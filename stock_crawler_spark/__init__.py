@@ -1,0 +1,18 @@
+"""stock_crawler_spark — a from-scratch PySpark-native URL-frontier engine.
+
+Generalizes the fetch-and-parse loop of the reference crawler
+(samwang0723/stock-crawler, Go) into a batch DataFrame crawl scheduler:
+
+- partitioned bloom/cuckoo URL-seen set over canonicalized+hashed URLs
+- per-host politeness (token-bucket delay per registrable domain)
+- robots.txt allow/deny as a broadcast-join filter
+- salted, host-hash-partitioned priority frontier
+- vectorized Arrow-UDF text extraction, byte-identical per url to the
+  reference parsers (see ``stock_crawler_spark.parsers``)
+- checkpointed, exactly-resumable scheduling rounds with per-partition
+  lineage and fetch/dedup/politeness metrics
+
+All row-level logic is pandas/Arrow vectorized — no per-row Python UDFs.
+"""
+
+__version__ = "0.1.0"

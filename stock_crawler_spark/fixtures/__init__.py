@@ -1,0 +1,1 @@
+"""Deterministic synthetic fixtures + reference-semantics simulator."""

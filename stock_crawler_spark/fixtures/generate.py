@@ -1,0 +1,415 @@
+"""Deterministic synthetic crawl corpus (FIXTURES.md schemas, seed=42).
+
+Generates, with no wall-clock and no external data:
+
+  pages(url, warc_ts, html binary, text, lang)   — input_hint shape; html is
+      Big5-encoded for the four parseable payload formats, `text` is the
+      GOLDEN extracted text (computed from the embedded records via the
+      shared serializer, independently of the engine's parsers)
+  seeds(url, strategy, stock_id, crawl_date, query_date, priority)
+  robots(domain, allow, deny, crawl_delay_ms, max_per_round)
+  skip_dates(crawl_date)                         — holiday analog (P2)
+
+Payload shapes mirror the reference fixtures (internal/app/parser/.testfiles/)
+with generated values: dailyclose/threeprimary CSV (TWSE/TPEX column layouts),
+stock-list HTML (<b>股票</b>-armed sections), concentration HTML
+(<tr id="oScrollFoot">), plus junk pages that must parse to empty text.
+
+Adversarial knobs: Zipf hot-domain skew, ~5% canonical-duplicate seed
+variants (:443 / uppercase-host / #fragment), ~2% fetch-miss urls (in seeds
+but absent from pages), ~1/13 junk pages, one holiday date.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+from datetime import datetime, timedelta
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from stock_crawler_spark.functions.coerce import to_f32_py, to_i64_py, to_u64_py
+from stock_crawler_spark.parsers import serialize
+from stock_crawler_spark.parsers.csvparse import unified_date_twse
+
+# -- deterministic helpers ---------------------------------------------------
+
+
+def _h(s: str) -> int:
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
+
+
+def _warc_ts(url: str) -> datetime:
+    return datetime(2023, 2, 1) + timedelta(seconds=_h(url) % (30 * 24 * 3600))
+
+
+_NAMES = ["台積電", "聯發科", "鴻海", "廣達", "緯創", "光寶科", "聯電", "日月光",
+          "中鋼", "長榮", "陽明", "華碩", "仁寶", "台達電", "國泰金", "富邦金"]
+
+STRATS_SIMPLE = (
+    "twse_dailyclose", "tpex_dailyclose",
+    "twse_threeprimary", "tpex_threeprimary",
+    "twse_stocklist", "tpex_stocklist",
+)
+
+_TEMPLATES = {
+    # modeled on internal/app/crawler/crawler.go:31-38
+    "twse_dailyclose": "https://{d}/exchangeReport/MI_INDEX?response=csv&date={q}&type=ALLBUT0999",
+    "tpex_dailyclose": "https://{d}/web/stock/aftertrading/stk_result.php?l=zh-tw&o=csv&d={q}",
+    "twse_threeprimary": "https://{d}/rwd/zh/fund/T86?response=csv&date={q}",
+    "tpex_threeprimary": "https://{d}/web/stock/3insti/3itrade_hedge.php?l=zh-tw&o=csv&d={q}",
+    "twse_stocklist": "https://{d}/isin/C_public.jsp?strMode=2",
+    "tpex_stocklist": "https://{d}/isin/C_public.jsp?strMode=4",
+}
+
+# deny prefixes per template family (used to make ~5% of seeds robots-denied)
+_DENY_BY_STRAT = {
+    "twse_threeprimary": "/rwd/",
+    "tpex_dailyclose": "/web/stock/aftertrading",
+}
+
+
+def _roc(date_iso: str) -> str:
+    y, m, d = date_iso.split("-")
+    return f"{int(y) - 1911}/{m}/{d}"
+
+
+# -- payload renderers (forward direction: records -> html + golden text) ----
+
+
+def _csv_bytes(rows: list[list[str]]) -> bytes:
+    # quoted CSV like the exchange endpoints emit; Big5-encoded.
+    lines = []
+    for r in rows:
+        lines.append(",".join('"' + c.replace('"', '""') + '"' for c in r))
+    return ("\r\n".join(lines) + "\r\n").encode("big5", errors="strict")
+
+
+def _fmt_int(rnd: random.Random, lo: int, hi: int) -> str:
+    return f"{rnd.randrange(lo, hi):,}"
+
+
+def _fmt_price(rnd: random.Random) -> str:
+    return f"{rnd.uniform(5, 500):.2f}"
+
+
+def render_dailyclose(rnd: random.Random, sids: list[str], date_q: str, market: str):
+    """-> (html bytes, golden text). 17-col CSV per reference layouts."""
+    rows = [[f"{date_q} 每日收盤行情(全部)"], ["證券代號", "證券名稱"] + ["-"] * 15]
+    golden = []
+    gdate = unified_date_twse(date_q)
+    for sid in sids:
+        name = _NAMES[_h(sid) % len(_NAMES)]
+        if market == "twse":
+            shares, txn, tov = (_fmt_int(rnd, 1000, 99_999_999) for _ in range(3))
+            op, hi, lo, cl = (_fmt_price(rnd) for _ in range(4))
+            sign = rnd.choice(["+", "-", "X"])
+            diff = f"{rnd.uniform(0, 20):.2f}"
+            row = [sid, name, shares, txn, tov, op, hi, lo, cl, sign, diff] + [
+                _fmt_price(rnd) for _ in range(6)
+            ]
+            golden.append(
+                serialize.dailyclose_json(
+                    sid, gdate,
+                    to_u64_py(shares.replace(",", "")),
+                    to_u64_py(txn.replace(",", "")),
+                    to_u64_py(tov.replace(",", "")),
+                    to_f32_py(op), to_f32_py(cl), to_f32_py(hi), to_f32_py(lo),
+                    to_f32_py(sign + diff),
+                )
+            )
+        else:
+            cl, diff, op, hi, lo = (_fmt_price(rnd) for _ in range(5))
+            if rnd.random() < 0.5:
+                diff = rnd.choice(["+", "-"]) + diff
+            shares, tov, txn = (_fmt_int(rnd, 1000, 99_999_999) for _ in range(3))
+            row = [sid, name, cl, f" {diff} ", op, hi, lo, shares, tov, txn] + [
+                _fmt_price(rnd) for _ in range(7)
+            ]
+            golden.append(
+                serialize.dailyclose_json(
+                    sid, gdate,
+                    to_u64_py(shares.replace(",", "")),
+                    to_u64_py(txn.replace(",", "")),
+                    to_u64_py(tov.replace(",", "")),
+                    to_f32_py(op), to_f32_py(cl), to_f32_py(hi), to_f32_py(lo),
+                    to_f32_py(diff.strip()),
+                )
+            )
+        rows.append(row)
+    rows.append(["合計", "", "999,999"] + [""] * 14)  # dropped by id predicate
+    return _csv_bytes(rows), serialize.join_lines(golden)
+
+
+def render_threeprimary(rnd: random.Random, sids: list[str], date_q: str, market: str):
+    ncols = 19 if market == "twse" else 24
+    idx = (4, 10, 14, 17) if market == "twse" else (10, 13, 16, 19)
+    rows = [[f"{date_q} 三大法人買賣超日報"], ["證券代號"] + ["-"] * (ncols - 1)]
+    golden = []
+    gdate = unified_date_twse(date_q)
+    for sid in sids:
+        row = [sid, _NAMES[_h(sid) % len(_NAMES)]] + [
+            f"{rnd.randrange(-5_000_000, 5_000_000):,}" for _ in range(ncols - 2)
+        ]
+        vals = [to_i64_py(row[i].replace(",", "")) for i in idx]
+        golden.append(serialize.threeprimary_json(sid, gdate, *vals))
+        rows.append(row)
+    return _csv_bytes(rows), serialize.join_lines(golden)
+
+
+def render_stocklist(rnd: random.Random, sids: list[str], market: str):
+    """HTML with 股票 section (6-cell rows) + TDR section (5-cell rows)."""
+    mk_text = "上市" if market == "twse" else "上櫃"
+    cats = ["半導體業", "電腦及週邊設備業", "金融保險業", "航運業", "光電業"]
+    parts = ["<html><body><table>"]
+    golden = []
+    parts.append("<tr><td><b>股票</b></td></tr>")
+    n_tdr = max(1, len(sids) // 5)
+    main, tdr = sids[:-n_tdr], sids[-n_tdr:]
+    for sid in main:
+        name = _NAMES[_h(sid) % len(_NAMES)]
+        cat = cats[_h(sid + "c") % len(cats)]
+        parts.append(
+            f"<tr><td>{sid}　{name}</td><td>TW000{sid}00{sid[-1]}</td>"
+            f"<td>2004/01/01</td><td>{mk_text}</td><td>{cat}</td><td>ESVUFR</td></tr>"
+        )
+        golden.append(
+            serialize.stock_json(sid, name, "TW", cat,
+                                 "otc" if "上櫃" in mk_text else "tse")
+        )
+    parts.append("<tr><td><b>臺灣存託憑證(TDR)</b></td></tr>")
+    for sid in tdr:
+        name = _NAMES[_h(sid) % len(_NAMES)]
+        parts.append(
+            f"<tr><td>{sid}　{name}</td><td>TW000{sid}009</td>"
+            f"<td>2010/05/05</td><td>{mk_text}</td><td>ESVUFR</td></tr>"
+        )
+        golden.append(
+            serialize.stock_json(sid, name, "TW", "臺灣存託憑證(TDR)",
+                                 "otc" if "上櫃" in mk_text else "tse")
+        )
+    parts.append("<tr><td><b>上市認購(售)權證</b></td></tr>")
+    parts.append("<tr><td>0501　權證甲</td><td>X</td><td>X</td><td>X</td><td>X</td><td>X</td></tr>")
+    parts.append("</table></body></html>")
+    html = "".join(parts).encode("big5", errors="strict")
+    return html, serialize.join_lines(golden)
+
+
+def render_concentration(rnd: random.Random, sid: str, date_iso: str, page_n: int):
+    buy = _fmt_int(rnd, 1, 999_999)
+    sell = _fmt_int(rnd, 1, 999_999)
+    avg_b = f"{rnd.uniform(1, 500):.2f}"
+    avg_s = f"{rnd.uniform(1, 500):.2f}"
+    html = (
+        f"<html><head><title>個股券商分點進出表-{sid}</title></head><body>"
+        "<table><tr><td>買超券商</td><td>賣超券商</td></tr>"
+        f'<tr id="oScrollFoot"><td>合計買超張數</td><td>{buy}</td>'
+        f"<td>合計賣超張數</td><td>{sell}</td>"
+        f"<td>平均買超成本</td><td>{avg_b}</td>"
+        f"<td>平均賣超成本</td><td>{avg_s}</td></tr>"
+        "</table></body></html>"
+    ).encode("big5", errors="strict")
+    gdate = date_iso.replace("-", "")
+    golden = serialize.concentration_json(
+        sid, gdate, None,
+        to_u64_py(buy.replace(",", "")), to_u64_py(sell.replace(",", "")),
+        to_f32_py(avg_b), to_f32_py(avg_s),
+    )
+    return html, golden
+
+
+def render_junk(rnd: random.Random) -> bytes:
+    words = ["lorem", "ipsum", "noise", "banner", "nav", "footer"]
+    body = " ".join(rnd.choices(words, k=30))
+    return f"<html><body><p>{body}</p></body></html>".encode("big5")
+
+
+# -- corpus assembly ----------------------------------------------------------
+
+SCALES = {
+    # n_domains, n_sids (concentration universe), n_dates, stocks_per_csv
+    "test": dict(n_domains=12, n_sids=40, n_dates=4, stocks_per_csv=12),
+    "small": dict(n_domains=6, n_sids=8, n_dates=2, stocks_per_csv=5),
+    "bench": dict(n_domains=400, n_sids=20000, n_dates=8, stocks_per_csv=40),
+}
+
+
+def generate_fixtures(out_dir: str, scale: str = "test", seed: int = 42, **overrides):
+    import os
+
+    cfg = dict(SCALES[scale])
+    cfg.update(overrides)
+    n_domains = cfg["n_domains"]
+    n_sids = cfg["n_sids"]
+    n_dates = cfg["n_dates"]
+    stocks_per_csv = cfg["stocks_per_csv"]
+
+    rnd = random.Random(seed)
+    os.makedirs(out_dir, exist_ok=True)
+
+    # weekdays starting 2023-01-02 (Mon)
+    all_dates = []
+    d0 = datetime(2023, 1, 2)
+    while len(all_dates) < n_dates:
+        if d0.weekday() < 5:
+            all_dates.append(d0.strftime("%Y-%m-%d"))
+        d0 += timedelta(days=1)
+    holiday = all_dates[-1] if n_dates > 2 else None
+
+    domains = []
+    for i in range(n_domains):
+        tld = ".com.tw" if i % 3 == 0 else ".com"
+        domains.append(f"site{i}.example{tld}")
+    # Zipf weights -> hot-domain skew
+    weights = [1.0 / (i + 1) ** 1.2 for i in range(n_domains)]
+
+    sids = [str(1001 + 7 * i) for i in range(n_sids)]
+
+    robots_rows = []
+    for i, dom in enumerate(domains):
+        deny = ["/private/"]
+        if i % 5 == 3:
+            deny.append(_DENY_BY_STRAT["twse_threeprimary"])
+        if i % 7 == 4:
+            deny.append(_DENY_BY_STRAT["tpex_dailyclose"])
+        robots_rows.append(
+            dict(
+                domain=dom,
+                allow=["/"],
+                deny=deny,
+                crawl_delay_ms=int(rnd.choice([250, 500, 1000, 2000])),
+                max_per_round=int(rnd.choice([5, 10, 20, 50])),
+            )
+        )
+
+    seeds_rows = []
+    pages_rows = []
+    fanout_counter = 0
+
+    def add_page(url: str, html: bytes, text: str, lang: str):
+        pages_rows.append(dict(url=url, warc_ts=_warc_ts(url), html=html, text=text, lang=lang))
+
+    def maybe_miss() -> bool:
+        nonlocal fanout_counter
+        fanout_counter += 1
+        return fanout_counter % 50 == 0  # ~2% fetch-miss
+
+    # non-concentration seeds: strategy x date x 3 domains
+    junk_counter = 0
+    for date_iso in all_dates:
+        for strat in STRATS_SIMPLE:
+            doms = rnd.choices(domains, weights=weights, k=3)
+            is_roc = strat.startswith("tpex")
+            q = _roc(date_iso) if is_roc else date_iso.replace("-", "")
+            for dom in set(doms):
+                url = _TEMPLATES[strat].format(d=dom, q=q)
+                seeds_rows.append(
+                    dict(url=url, strategy=strat, stock_id=None,
+                         crawl_date=date_iso, query_date=q,
+                         priority=rnd.random())
+                )
+                if maybe_miss():
+                    continue
+                junk_counter += 1
+                if junk_counter % 13 == 0:
+                    add_page(url, render_junk(rnd), "", "und")
+                    continue
+                csv_sids = rnd.sample(sids, min(stocks_per_csv, len(sids)))
+                if strat.endswith("dailyclose"):
+                    html, text = render_dailyclose(rnd, csv_sids, q, strat[:4])
+                elif strat.endswith("threeprimary"):
+                    html, text = render_threeprimary(rnd, csv_sids, q, strat[:4])
+                else:
+                    html, text = render_stocklist(rnd, csv_sids, strat[:4])
+                add_page(url, html, text, "zh-Hant")
+
+    # concentration seeds: one date per sid, Zipf domain, 5-page fan-out
+    for sid in sids:
+        date_iso = all_dates[_h("cdate" + sid) % len(all_dates)]
+        dom = rnd.choices(domains, weights=weights, k=1)[0]
+        base = f"https://{dom}/z/zc/zco/zco_{sid}"
+        seeds_rows.append(
+            dict(url=base + "_1.djhtm", strategy="concentration", stock_id=sid,
+                 crawl_date=date_iso, query_date=date_iso, priority=rnd.random())
+        )
+        for n in (1, 2, 3, 4, 6):
+            url = f"{base}_{n}.djhtm"
+            if maybe_miss():
+                continue
+            html, golden = render_concentration(rnd, sid, date_iso, n)
+            add_page(url, html, golden, "zh-Hant")
+
+    # ~5% canonical-duplicate seed variants
+    for i, s in enumerate(list(seeds_rows)):
+        if i % 20 != 7:
+            continue
+        u = s["url"]
+        variant = u.replace("https://site", "HTTPS://SITE", 1)
+        if i % 40 == 7:
+            variant = u.replace(".com/", ".com:443/", 1) + "#frag"
+        dup = dict(s)
+        dup["url"] = variant
+        dup["priority"] = rnd.random()
+        seeds_rows.append(dup)
+
+    # ~5% duplicate url rows in pages (same content, later snapshot)
+    for i, p in enumerate(list(pages_rows)):
+        if i % 20 == 11:
+            dup = dict(p)
+            dup["warc_ts"] = p["warc_ts"] + timedelta(hours=3)
+            pages_rows.append(dup)
+
+    # write parquet
+    pages_tbl = pa.table(
+        {
+            "url": [p["url"] for p in pages_rows],
+            "warc_ts": pa.array([p["warc_ts"] for p in pages_rows], pa.timestamp("us")),
+            "html": pa.array([p["html"] for p in pages_rows], pa.binary()),
+            "text": [p["text"] for p in pages_rows],
+            "lang": [p["lang"] for p in pages_rows],
+        }
+    )
+    pq.write_table(pages_tbl, os.path.join(out_dir, "pages.parquet"))
+
+    seeds_tbl = pa.table(
+        {
+            "url": [s["url"] for s in seeds_rows],
+            "strategy": [s["strategy"] for s in seeds_rows],
+            "stock_id": [s["stock_id"] for s in seeds_rows],
+            "crawl_date": [s["crawl_date"] for s in seeds_rows],
+            "query_date": [s["query_date"] for s in seeds_rows],
+            "priority": pa.array([s["priority"] for s in seeds_rows], pa.float64()),
+        }
+    )
+    pq.write_table(seeds_tbl, os.path.join(out_dir, "seeds.parquet"))
+
+    robots_tbl = pa.table(
+        {
+            "domain": [r["domain"] for r in robots_rows],
+            "allow": pa.array([r["allow"] for r in robots_rows], pa.list_(pa.string())),
+            "deny": pa.array([r["deny"] for r in robots_rows], pa.list_(pa.string())),
+            "crawl_delay_ms": pa.array([r["crawl_delay_ms"] for r in robots_rows], pa.int64()),
+            "max_per_round": pa.array([r["max_per_round"] for r in robots_rows], pa.int32()),
+        }
+    )
+    pq.write_table(robots_tbl, os.path.join(out_dir, "robots.parquet"))
+
+    skip_tbl = pa.table({"crawl_date": [holiday] if holiday else []})
+    pq.write_table(skip_tbl, os.path.join(out_dir, "skip_dates.parquet"))
+
+    return dict(
+        n_seeds=len(seeds_rows),
+        n_pages=len(pages_rows),
+        n_domains=n_domains,
+        holiday=holiday,
+        out_dir=out_dir,
+    )
+
+
+if __name__ == "__main__":
+    import sys
+
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/crawl_fixtures"
+    scale = sys.argv[2] if len(sys.argv) > 2 else "test"
+    print(generate_fixtures(out, scale))

@@ -1,0 +1,87 @@
+"""Zero-on-garbage numeric coercion (reference P6 semantics).
+
+The reference never errors or nulls on a bad numeric string — it yields 0
+(internal/helper/helper.go:74-98, ToInt64/ToUint64/ToFloat32). Spark's
+natural behavior differs twice over (ANSI cast throws; try_cast nulls), so
+these helpers pin the exact contract:
+
+  to_i64_or_zero  : optional +/- sign, decimal digits only     -> else 0
+  to_u64_or_zero  : decimal digits only (Go ParseUint: no sign) -> else 0
+  to_f32_or_zero  : Go ParseFloat(v,32) grammar (sans inf/nan/hex/underscore
+                    corner forms, which never occur in crawl payloads), value
+                    rounded through float32                     -> else 0.0
+
+Column versions are pure JVM expressions (regexp + try_cast, stays in
+whole-stage codegen); the *_py versions are for use inside the Arrow parse
+UDFs where values are already in Python.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_INT_RE = r"^[+-]?[0-9]+$"
+_UINT_RE = r"^[0-9]+$"
+_FLOAT_RE = r"^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?$"
+
+_INT_RE_PY = re.compile(_INT_RE)
+_UINT_RE_PY = re.compile(_UINT_RE)
+_FLOAT_RE_PY = re.compile(_FLOAT_RE)
+
+_I64_MIN = -(2**63)
+_I64_MAX = 2**63 - 1
+_U64_MAX = 2**64 - 1
+
+
+def to_i64_or_zero(c: Column) -> Column:
+    return F.when(c.rlike(_INT_RE), F.coalesce(c.try_cast("long"), F.lit(0))).otherwise(
+        F.lit(0)
+    )
+
+
+def to_u64_or_zero(c: Column) -> Column:
+    # Stored as Spark long; values above 2^63-1 overflow try_cast -> 0.
+    # (Go holds them in uint64; crawl payload values stay far below 2^63.)
+    return F.when(c.rlike(_UINT_RE), F.coalesce(c.try_cast("long"), F.lit(0))).otherwise(
+        F.lit(0)
+    )
+
+
+def to_f32_or_zero(c: Column) -> Column:
+    return F.when(
+        c.rlike(_FLOAT_RE), F.coalesce(c.try_cast("float"), F.lit(0.0).cast("float"))
+    ).otherwise(F.lit(0.0).cast("float"))
+
+
+def to_i64_py(v: str) -> int:
+    if not _INT_RE_PY.match(v):
+        return 0
+    i = int(v)
+    return i if _I64_MIN <= i <= _I64_MAX else 0
+
+
+def to_u64_py(v: str) -> int:
+    if not _UINT_RE_PY.match(v):
+        return 0
+    i = int(v)
+    return i if i <= _U64_MAX else 0
+
+
+def to_f32_py(v: str) -> np.float32:
+    if not _FLOAT_RE_PY.match(v):
+        return np.float32(0.0)
+    try:
+        return np.float32(float(v))
+    except (ValueError, OverflowError):
+        return np.float32(0.0)
+
+
+def is_integer_py(v: str) -> bool:
+    """Go helper.IsInteger (strconv.Atoi succeeds) — helper.go:65-71."""
+    if not _INT_RE_PY.match(v):
+        return False
+    return _I64_MIN <= int(v) <= _I64_MAX

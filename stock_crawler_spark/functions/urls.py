@@ -1,0 +1,115 @@
+"""URL canonicalization / hashing / host partitioning — pure Column expressions.
+
+The reference never canonicalizes (it only ever crawls URLs it generated
+itself, internal/app/handlers/downloader.go:112-135); a general frontier
+must, so duplicates like ``HTTP://Host:80/a#frag`` and ``http://host/a``
+collapse to one seen-set key. Everything here is a JVM built-in expression
+(parse_url / regexp / xxhash64) so canonicalize+hash of 10^10 URLs never
+leaves whole-stage codegen — no Python in this path at all.
+
+Canonical form (deterministic, documented contract):
+  - trim surrounding whitespace
+  - lowercase scheme and authority
+  - drop default ports (http:80, https:443)
+  - empty path -> "/"
+  - keep query as-is (no param re-ordering: conservative, loses some dups
+    but never merges distinct resources)
+  - drop fragment
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Multi-label public suffixes we recognize for registrable-domain extraction.
+# A production build would load the full public-suffix list as a broadcast
+# table; the mechanism (suffix match, longest wins) is identical.
+_TWO_LABEL_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.tw", "org.tw", "gov.tw", "edu.tw", "net.tw",
+    "com.cn", "com.au", "co.jp", "ne.jp", "or.jp",
+    "com.br", "co.in", "co.kr",
+)
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical URL as a Column expression (whole-stage-codegen friendly)."""
+    return _canon_from_parts(F.trim(url))
+
+
+def _canon_from_parts(u: Column) -> Column:
+    proto = F.lower(F.try_parse_url(u, F.lit("PROTOCOL")))
+    auth = F.lower(F.try_parse_url(u, F.lit("AUTHORITY")))
+    auth = F.when((proto == F.lit("http")), F.regexp_replace(auth, ":80$", "")).otherwise(auth)
+    auth = F.when((proto == F.lit("https")), F.regexp_replace(auth, ":443$", "")).otherwise(auth)
+    path = F.try_parse_url(u, F.lit("PATH"))
+    path = F.when((path.isNull()) | (path == F.lit("")), F.lit("/")).otherwise(path)
+    query = F.try_parse_url(u, F.lit("QUERY"))
+    canon = F.concat(proto, F.lit("://"), auth, path)
+    canon = F.when(query.isNotNull(), F.concat(canon, F.lit("?"), query)).otherwise(canon)
+    # unparseable URL (no protocol/authority) -> pass through trimmed input
+    return F.when(proto.isNull() | auth.isNull(), u).otherwise(canon)
+
+
+def host_of(url: Column) -> Column:
+    """Lowercased host (no port) of a URL."""
+    return F.lower(F.try_parse_url(F.trim(url), F.lit("HOST")))
+
+
+def registrable_domain(host: Column) -> Column:
+    """eTLD+1 approximation: last 2 labels, or 3 when the 2-label tail is a
+    known multi-label public suffix. IPs pass through unchanged."""
+    is_ip = host.rlike(r"^\d+\.\d+\.\d+\.\d+$")
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    last2 = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
+    last3 = F.concat_ws(
+        ".", F.element_at(parts, -3), F.element_at(parts, -2), F.element_at(parts, -1)
+    )
+    dom = F.when(n <= 2, host).otherwise(
+        F.when(last2.isin(*_TWO_LABEL_SUFFIXES), last3).otherwise(last2)
+    )
+    return F.when(is_ip | host.isNull(), host).otherwise(dom)
+
+
+def url_hash(url_canon: Column) -> Column:
+    """64-bit identity hash of the canonical URL (seen-set key).
+
+    xxhash64 is a JVM built-in (whole-stage codegen) — the 10^10-row
+    hashing pass never touches Python.
+    """
+    return F.xxhash64(url_canon)
+
+
+def shard_of(domain: Column, n_shards: int) -> Column:
+    """Stable shard id for co-partitioning frontier/seen by domain."""
+    return F.pmod(F.xxhash64(domain), F.lit(n_shards)).cast("int")
+
+
+def salted_shard(domain: Column, url_canon: Column, n_shards: int, hot_domains: Column | None = None, n_salts: int = 8) -> Column:
+    """Shard with intra-domain salting for hot domains.
+
+    Hot-domain skew is the #1 scale hazard of a web frontier (a handful of
+    domains own most URLs). For domains flagged hot, spread their rows over
+    ``n_salts`` consecutive shards keyed by url hash; politeness grouping
+    re-gathers per-domain state via a cheap secondary agg.
+    ``hot_domains`` is a boolean Column (e.g. membership in a broadcast
+    top-k list); None means no salting.
+    """
+    base = shard_of(domain, n_shards)
+    if hot_domains is None:
+        return base
+    salt = F.pmod(F.xxhash64(url_canon), F.lit(n_salts)).cast("int")
+    return F.when(hot_domains, F.pmod(base + salt, F.lit(n_shards)).cast("int")).otherwise(base)
+
+
+def with_url_columns(df, url_col: str = "url", n_shards: int = 64):
+    """Attach url_canon / url_hash / host / domain / shard in one projection."""
+    u = F.col(url_col)
+    df = df.withColumn("url_canon", _canon_from_parts(F.trim(u)))
+    df = df.withColumn("url_hash", url_hash(F.col("url_canon")))
+    df = df.withColumn("host", host_of(u))
+    df = df.withColumn("domain", registrable_domain(F.col("host")))
+    df = df.withColumn("shard", shard_of(F.col("domain"), n_shards))
+    return df

@@ -1,0 +1,58 @@
+"""Pure-Python twin of functions/urls.py — used by the fixture generator
+and the reference-semantics simulator (both non-Spark), pinned to the exact
+same canonical form as the Column expressions. test_urls.py asserts the two
+implementations agree on an adversarial URL corpus.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import urlsplit
+
+from stock_crawler_spark.functions.urls import _TWO_LABEL_SUFFIXES
+
+
+def canonicalize_py(url: str) -> str:
+    u = url.strip()
+    try:
+        parts = urlsplit(u)
+    except ValueError:
+        return u
+    if not parts.scheme or not parts.netloc:
+        return u
+    proto = parts.scheme.lower()
+    auth = parts.netloc.lower()
+    if proto == "http" and auth.endswith(":80"):
+        auth = auth[:-3]
+    elif proto == "https" and auth.endswith(":443"):
+        auth = auth[:-4]
+    path = parts.path or "/"
+    canon = f"{proto}://{auth}{path}"
+    if parts.query:
+        canon += f"?{parts.query}"
+    return canon
+
+
+def host_py(url: str) -> str | None:
+    try:
+        parts = urlsplit(url.strip())
+    except ValueError:
+        return None
+    if not parts.netloc:
+        return None
+    return (parts.hostname or "").lower() or None
+
+
+def registrable_domain_py(host: str | None) -> str | None:
+    if host is None:
+        return None
+    import re
+
+    if re.match(r"^\d+\.\d+\.\d+\.\d+$", host):
+        return host
+    labels = host.split(".")
+    if len(labels) <= 2:
+        return host
+    last2 = ".".join(labels[-2:])
+    if last2 in _TWO_LABEL_SUFFIXES:
+        return ".".join(labels[-3:])
+    return last2

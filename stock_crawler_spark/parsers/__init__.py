@@ -1,0 +1,15 @@
+"""Vectorized re-implementations of the reference parse strategies.
+
+The extracted ``text`` per url is the engine's byte-identity contract
+(BASELINE.json input_hint). Strategies (reference cites):
+
+  - dailyclose CSV      internal/app/parser/csv.go + entity/convert/dailyclose.go
+  - threeprimary CSV    internal/app/parser/csv.go + entity/convert/threeprimary.go
+  - stocklist HTML      internal/app/parser/stocks.go + entity/convert/stock.go
+  - concentration HTML  internal/app/parser/concentration.go + entity/convert/concentration.go
+
+All run inside Arrow-batched UDFs (mapInPandas) — one Python call per
+record batch, never per row.
+"""
+
+from stock_crawler_spark.parsers.dispatch import STRATEGIES, parse_payload  # noqa: F401

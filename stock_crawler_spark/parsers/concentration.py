@@ -1,0 +1,86 @@
+"""Stake-concentration HTML parse strategy (reference X4 + P11 converter).
+
+Behavioral transcription of internal/app/parser/concentration.go:35-117 and
+internal/app/entity/convert/concentration.go:19-65:
+
+  - the url suffix digit of ``zco_{id}_{n}.djhtm`` seeds record[0] (hidden
+    period index) and the dash-stripped date seeds record[1]
+  - <title> text must contain '-'; the token after the first dash (trimmed)
+    is the stock id (record[2]); otherwise the page yields no records
+    (ErrWrongConcentrationTitle, tolerated upstream)
+  - data collection arms at <tr id="oScrollFoot"> (exactly one attribute)
+  - while armed, each non-empty <td> text has commas stripped and is kept
+    only if it parses to a positive uint64 or positive float32
+  - when the buffer reaches 7 entries it converts and resets
+  - hidden index remap: '6' -> '4', else str(int(idx) - 1)
+
+Returns (json_lines, hidden_indexes) — the hidden index is json:"-" in the
+reference entity (never serialized) but drives the 5-page merge (A1), so
+the extractor surfaces it as a separate column.
+"""
+
+from __future__ import annotations
+
+from stock_crawler_spark.functions.coerce import to_f32_py, to_u64_py
+from stock_crawler_spark.parsers import serialize
+from stock_crawler_spark.parsers.html_fsm import START, TEXT, tokenize
+
+CONCENTRATION_CAP = 7  # parser/parser.go:35
+
+
+def _remap_hidden(idx: str) -> str:
+    if idx == "6":
+        return "4"
+    try:
+        return str(int(idx) - 1)
+    except ValueError:
+        return ""
+
+
+def parse_concentration(decoded: str, url: str, date: str) -> tuple[list[str], list[str]]:
+    records: list[str] = []
+    out_lines: list[str] = []
+    out_hidden: list[str] = []
+    is_column = is_title = start_parsing = False
+
+    if len(url) > 7 and url.endswith(".djhtm"):
+        records.append(url[-7:-6])
+        records.append(date.replace("-", ""))
+
+    for kind, data, attrs in tokenize(decoded):
+        if kind == START:
+            if data == "tr" and len(attrs) == 1:
+                k, v = attrs[0]
+                if k == "id" and v == "oScrollFoot":
+                    start_parsing = True
+            is_column = data == "td"
+            is_title = data == "title"
+        elif kind == TEXT:
+            content = data.strip()
+            if not content:
+                continue
+            if is_title:
+                header = content.split("-")
+                if len(header) <= 1:
+                    return [], []  # ErrWrongConcentrationTitle — tolerated
+                records.append(header[1].strip())
+            elif is_column and start_parsing:
+                n = content.replace(",", "")
+                if to_u64_py(n) > 0 or to_f32_py(n) > 0:
+                    records.append(n)
+                if len(records) == CONCENTRATION_CAP:
+                    hidden = _remap_hidden(records[0])
+                    out_lines.append(
+                        serialize.concentration_json(
+                            records[2],
+                            records[1],
+                            None,
+                            to_u64_py(records[3]),
+                            to_u64_py(records[4]),
+                            to_f32_py(records[5]),
+                            to_f32_py(records[6]),
+                        )
+                    )
+                    out_hidden.append(hidden)
+                    records = []
+    return out_lines, out_hidden

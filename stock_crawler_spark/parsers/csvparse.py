@@ -1,0 +1,119 @@
+"""Lenient-CSV parse strategy + row converters (reference X2 / P6 / P9 / P10).
+
+Reimplements, from observed behavior (NOT translated code):
+  - internal/app/parser/csv.go:35-76  — lenient reader (ragged rows OK),
+    rows shorter than the strategy capacity skipped, stock-id row predicate
+    (trimmed id, 0 < len < 6, first two chars parse as an integer)
+  - internal/app/entity/convert/dailyclose.go:31-74 — column projections
+    TWSE {0,2,3,4,5,6,7,8, 9+10 sign-concat} / TPEX {0,7,9,8,4,5,6,2,3}
+  - internal/app/entity/convert/threeprimary.go:30-59 — TWSE {0,4,10,14,17}
+    / TPEX {0,10,13,16,19}
+  - internal/helper/helper.go:147-164 — date unification to yyyymmdd
+
+This runs inside the Arrow extract UDF (one call per record batch); the
+engine never parses CSV row-at-a-time from the JVM side because the
+reference's semantics (comma-strip inside quoted fields, zero-on-garbage,
+ragged rows, id predicate over raw bytes) must hold byte-identically.
+"""
+
+from __future__ import annotations
+
+import csv
+import io
+
+from stock_crawler_spark.functions.coerce import is_integer_py, to_f32_py, to_i64_py, to_u64_py
+from stock_crawler_spark.parsers import serialize
+
+DAILYCLOSE_CAP = 17  # parser/parser.go:32
+TWSE_THREEPRIMARY_CAP = 19  # parser/parser.go:33
+TPEX_THREEPRIMARY_CAP = 24  # parser/parser.go:34
+
+
+def unified_date_twse(date: str) -> str:
+    """ROC 'yyy/mm/dd' -> 'YYYYmmdd'; else strip dashes (helper.go:147-164)."""
+    if "/" in date:
+        parts = date.split("/")
+        try:
+            year = int(parts[0])
+        except ValueError:
+            return ""
+        return f"{year + 1911}{parts[1]}{parts[2]}"
+    return date.replace("-", "")
+
+
+def _rows(decoded: str, capacity: int):
+    """Lenient CSV rows that pass the capacity + stock-id predicate."""
+    reader = csv.reader(io.StringIO(decoded), delimiter=",")
+    while True:
+        try:
+            row = next(reader)
+        except StopIteration:
+            return
+        except csv.Error:
+            # Go's reader skips rows it can't assemble (only EOF breaks the
+            # loop, csv.go:50-54); mirror by abandoning the malformed tail.
+            return
+        if len(row) == 0 or capacity > len(row):
+            continue
+        sid = row[0].strip()
+        # csv.go:58-59 — the first-two-BYTES check; ids of length 1 never
+        # occur (Go would slice out of range).
+        if 0 < len(sid) < 6 and len(sid) >= 2 and is_integer_py(sid[0:2]):
+            row = list(row)
+            row[0] = sid
+            yield row
+
+
+def parse_dailyclose(decoded: str, date: str, market: str) -> list[str]:
+    """-> JSON lines (entity order). ``market`` is 'twse' or 'tpex'."""
+    date = unified_date_twse(date)
+    out = []
+    for r in _rows(decoded, DAILYCLOSE_CAP):
+        if market == "twse":
+            line = serialize.dailyclose_json(
+                r[0],
+                date,
+                to_u64_py(r[2].replace(",", "")),
+                to_u64_py(r[3].replace(",", "")),
+                to_u64_py(r[4].replace(",", "")),
+                to_f32_py(r[5].replace(",", "")),
+                to_f32_py(r[8].replace(",", "")),
+                to_f32_py(r[6].replace(",", "")),
+                to_f32_py(r[7].replace(",", "")),
+                # TWSE: sign cell + value cell concatenated (dailyclose.go:63-69)
+                to_f32_py(r[9].strip() + r[10].strip()),
+            )
+        else:
+            line = serialize.dailyclose_json(
+                r[0],
+                date,
+                to_u64_py(r[7].replace(",", "")),
+                to_u64_py(r[9].replace(",", "")),
+                to_u64_py(r[8].replace(",", "")),
+                to_f32_py(r[4].replace(",", "")),
+                to_f32_py(r[2].replace(",", "")),
+                to_f32_py(r[5].replace(",", "")),
+                to_f32_py(r[6].replace(",", "")),
+                to_f32_py(r[3].strip()),
+            )
+        out.append(line)
+    return out
+
+
+def parse_threeprimary(decoded: str, date: str, market: str) -> list[str]:
+    date = unified_date_twse(date)
+    cap = TWSE_THREEPRIMARY_CAP if market == "twse" else TPEX_THREEPRIMARY_CAP
+    idx = (4, 10, 14, 17) if market == "twse" else (10, 13, 16, 19)
+    out = []
+    for r in _rows(decoded, cap):
+        out.append(
+            serialize.threeprimary_json(
+                r[0],
+                date,
+                to_i64_py(r[idx[0]].replace(",", "")),
+                to_i64_py(r[idx[1]].replace(",", "")),
+                to_i64_py(r[idx[2]].replace(",", "")),
+                to_i64_py(r[idx[3]].replace(",", "")),
+            )
+        )
+    return out

@@ -1,0 +1,79 @@
+"""Strategy dispatch for the vectorized text extractor (reference X1).
+
+Mirrors internal/app/parser/parser.go:67-103 (SetStrategy) — one strategy
+per source enum (internal/app/entity/convert/convert.go:20-28) — and
+parser.go:105-123 (Execute): every payload is Big5-decoded first, empty
+parses are tolerated (empty text, error code recorded, round continues).
+
+``parse_payload`` is pure Python on one payload; the Spark-facing wrapper
+(`stock_crawler_spark.operators.extract`) calls it inside mapInPandas so
+the engine pays one Python invocation per Arrow batch, never per row.
+"""
+
+from __future__ import annotations
+
+from stock_crawler_spark.parsers import serialize
+from stock_crawler_spark.parsers.concentration import parse_concentration
+from stock_crawler_spark.parsers.csvparse import parse_dailyclose, parse_threeprimary
+from stock_crawler_spark.parsers.stocks_html import parse_stocklist
+
+# source enum, mirroring convert.Source (convert.go:20-28)
+TWSE_DAILYCLOSE = "twse_dailyclose"
+TPEX_DAILYCLOSE = "tpex_dailyclose"
+TWSE_THREEPRIMARY = "twse_threeprimary"
+TPEX_THREEPRIMARY = "tpex_threeprimary"
+TWSE_STOCKLIST = "twse_stocklist"
+TPEX_STOCKLIST = "tpex_stocklist"
+CONCENTRATION = "concentration"
+
+STRATEGIES = (
+    TWSE_DAILYCLOSE,
+    TPEX_DAILYCLOSE,
+    TWSE_THREEPRIMARY,
+    TPEX_THREEPRIMARY,
+    TWSE_STOCKLIST,
+    TPEX_STOCKLIST,
+    CONCENTRATION,
+)
+
+# parse error codes (parser/errors.go analogs; tolerated, never fatal)
+OK = ""
+ERR_NO_RESULTS = "no_parse_results"
+ERR_DECODE = "decode_error"
+ERR_UNKNOWN_STRATEGY = "unknown_strategy"
+
+
+def decode_big5(raw: bytes) -> str:
+    """parser.go:106 — every payload flows through a Big5 decoder."""
+    return raw.decode("big5", errors="replace")
+
+
+def parse_payload(url: str, raw: bytes, strategy: str, date: str) -> tuple[str, str, int, str]:
+    """-> (text, hidden_csv, n_records, error_code).
+
+    ``text`` is the byte-identity JSON-lines serialization; ``hidden_csv``
+    carries the concentration hidden period index(es) (json:"-" field,
+    needed by the 5-page merge), empty for other strategies.
+    """
+    try:
+        decoded = decode_big5(raw if raw is not None else b"")
+    except Exception:
+        return "", "", 0, ERR_DECODE
+
+    hidden: list[str] = []
+    if strategy in (TWSE_DAILYCLOSE, TPEX_DAILYCLOSE):
+        market = "twse" if strategy == TWSE_DAILYCLOSE else "tpex"
+        lines = parse_dailyclose(decoded, date, market)
+    elif strategy in (TWSE_THREEPRIMARY, TPEX_THREEPRIMARY):
+        market = "twse" if strategy == TWSE_THREEPRIMARY else "tpex"
+        lines = parse_threeprimary(decoded, date, market)
+    elif strategy in (TWSE_STOCKLIST, TPEX_STOCKLIST):
+        lines = parse_stocklist(decoded)
+    elif strategy == CONCENTRATION:
+        lines, hidden = parse_concentration(decoded, url, date)
+    else:
+        return "", "", 0, ERR_UNKNOWN_STRATEGY
+
+    if not lines:
+        return "", "", 0, ERR_NO_RESULTS
+    return serialize.join_lines(lines), ",".join(hidden), len(lines), OK

@@ -1,0 +1,42 @@
+"""Shared HTML tokenizer shim producing x/net/html-style events.
+
+The reference walks pages with golang.org/x/net/html's streaming tokenizer
+(StartTag / EndTag / Text events) — internal/app/parser/stocks.go:39-91 and
+concentration.go:53-116. Python's html.parser emits the same event stream
+for the well-formed table markup these pages use; this shim flattens it to
+an ordered event list so each strategy FSM stays a faithful transcription
+of the reference state machine.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+START, END, TEXT = 0, 1, 2
+
+
+class _Tokenizer(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.events: list[tuple[int, str, list[tuple[str, str | None]]]] = []
+
+    def handle_starttag(self, tag, attrs):
+        self.events.append((START, tag, attrs))
+
+    def handle_endtag(self, tag):
+        self.events.append((END, tag, []))
+
+    def handle_data(self, data):
+        self.events.append((TEXT, data, []))
+
+    # Self-closing tags: x/net/html emits SelfClosingTagToken which both
+    # reference FSMs ignore entirely, so suppress the default start+end pair.
+    def handle_startendtag(self, tag, attrs):
+        pass
+
+
+def tokenize(html_text: str):
+    t = _Tokenizer()
+    t.feed(html_text)
+    t.close()
+    return t.events

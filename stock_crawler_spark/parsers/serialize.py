@@ -1,0 +1,129 @@
+"""Canonical byte-exact serialization of parsed entities.
+
+The reference publishes entities as JSON (jsoniter over struct tags —
+internal/app/services/entities.go:44 and the entity files under
+internal/app/entity/). The engine's ``text`` column per url is the
+JSON-lines serialization of that url's parse output in struct-field order,
+one entity per line, joined by "\n", "" when the parse is empty
+(ErrNoParseResults tolerated, internal/app/parser/parser.go:110-116).
+
+Byte rules (pinned so Go and Python agree):
+  - compact separators, keys in Go struct order (jsoniter emits struct order)
+  - strings: raw UTF-8, JSON-escaped quotes/backslash/control chars
+    (generator never emits ``< > &`` which Go would escape)
+  - int64/uint64: plain decimal
+  - float32: shortest positional decimal that round-trips float32 —
+    identical to Go encoding/json for |x| in [1e-6, 1e21)
+  - null slice -> null (Go marshals nil []int32 as null)
+
+Both the fixture generator (forward: records -> golden text) and the
+engine parsers (reverse: html -> records -> text) use THIS module, so the
+byte contract lives in exactly one place while the parse logic stays
+independent of the generation logic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_ESCAPES = {
+    "\\": "\\\\",
+    '"': '\\"',
+    "\n": "\\n",
+    "\r": "\\r",
+    "\t": "\\t",
+    "\b": "\\b",
+    "\f": "\\f",
+}
+
+
+def _jstr(s: str) -> str:
+    out = []
+    for ch in s:
+        if ch in _ESCAPES:
+            out.append(_ESCAPES[ch])
+        elif ord(ch) < 0x20:
+            out.append(f"\\u{ord(ch):04x}")
+        else:
+            out.append(ch)
+    return '"' + "".join(out) + '"'
+
+
+def format_f32(v) -> str:
+    """Shortest round-trip positional decimal of a float32 (Go %g-compatible
+    within [1e-6,1e21); e.g. np.float32(38.19) -> "38.19", 38.0 -> "38")."""
+    f = np.float32(v)
+    if f == 0:
+        return "0"
+    s = np.format_float_positional(f, unique=True, trim="-")
+    return s
+
+
+def stock_json(stock_id: str, name: str, country: str, category: str, market: str) -> str:
+    """entity/stock.go struct order: StockID, Name, Country, Category, Market."""
+    return (
+        "{"
+        + f'"stockId":{_jstr(stock_id)},"name":{_jstr(name)},"country":{_jstr(country)},'
+        + f'"category":{_jstr(category)},"market":{_jstr(market)}'
+        + "}"
+    )
+
+
+def dailyclose_json(
+    stock_id: str,
+    date: str,
+    trade_shares: int,
+    transactions: int,
+    turnover: int,
+    open_, close, high, low, price_diff,
+) -> str:
+    """entity/dailyclose.go order: StockID, Date, TradedShares, Transactions,
+    Turnover, Open, Close, High, Low, PriceDiff."""
+    return (
+        "{"
+        + f'"stockId":{_jstr(stock_id)},"date":{_jstr(date)},'
+        + f'"tradeShares":{int(trade_shares)},"transactions":{int(transactions)},'
+        + f'"turnover":{int(turnover)},"open":{format_f32(open_)},'
+        + f'"close":{format_f32(close)},"high":{format_f32(high)},'
+        + f'"low":{format_f32(low)},"priceDiff":{format_f32(price_diff)}'
+        + "}"
+    )
+
+
+def threeprimary_json(
+    stock_id: str, date: str, foreign: int, trust: int, dealer: int, hedging: int
+) -> str:
+    """entity/threeprimary.go order."""
+    return (
+        "{"
+        + f'"stockId":{_jstr(stock_id)},"date":{_jstr(date)},'
+        + f'"foreignTradeShares":{int(foreign)},"trustTradeShares":{int(trust)},'
+        + f'"dealerTradeShares":{int(dealer)},"hedgingTradeShares":{int(hedging)}'
+        + "}"
+    )
+
+
+def concentration_json(
+    stock_id: str,
+    date: str,
+    diff: list[int] | None,
+    sum_buy: int,
+    sum_sell: int,
+    avg_buy,
+    avg_sell,
+) -> str:
+    """entity/stakeconcentration.go order (HiddenField is json:"-", skipped):
+    StockID, Date, Diff, SumBuyShares, SumSellShares, AvgBuyPrice, AvgSellPrice."""
+    diff_s = "null" if diff is None else "[" + ",".join(str(int(d)) for d in diff) + "]"
+    return (
+        "{"
+        + f'"stockId":{_jstr(stock_id)},"exchangeDate":{_jstr(date)},"diff":{diff_s},'
+        + f'"sumBuyShares":{int(sum_buy)},"sumSellShares":{int(sum_sell)},'
+        + f'"avgBuyPrice":{format_f32(avg_buy)},"avgSellPrice":{format_f32(avg_sell)}'
+        + "}"
+    )
+
+
+def join_lines(lines: list[str]) -> str:
+    """Per-url text: JSON lines joined by \\n; empty parse -> ""."""
+    return "\n".join(lines)

@@ -1,0 +1,60 @@
+"""Stock-list HTML parse strategy (reference X3 + Stock converter).
+
+Behavioral transcription of internal/app/parser/stocks.go:32-95 and
+internal/app/entity/convert/stock.go:21-58:
+
+  - a <b> text equal to 股票 or 臺灣存託憑證(TDR) arms/disarms collection
+  - while armed, non-empty trimmed <td> text accumulates into a row buffer
+  - on </tr>, a buffer with >= 5 cells converts; the buffer always resets
+  - cell 0 splits on IDEOGRAPHIC SPACE (U+3000) into (stockId, name)
+  - market = 'otc' when cell 3 contains 上櫃, else 'tse'
+  - a row of exactly 5 cells is a TDR row: category forced to 臺灣存託憑證(TDR)
+"""
+
+from __future__ import annotations
+
+from stock_crawler_spark.parsers import serialize
+from stock_crawler_spark.parsers.html_fsm import END, START, TEXT, tokenize
+
+STOCK_CAP = 5  # parser/parser.go:31
+
+_ARM_TAGS = ("股票", "臺灣存託憑證(TDR)")
+
+
+def parse_stocklist(decoded: str) -> list[str]:
+    output: list[str] = []
+    records: list[str] = []
+    is_column = is_bold = start_parsing = False
+
+    for kind, data, _attrs in tokenize(decoded):
+        if kind == START:
+            is_column = data == "td"
+            is_bold = data == "b"
+        elif kind == TEXT:
+            content = data.strip()
+            if not content:
+                continue
+            if is_column:
+                if start_parsing:
+                    records.append(content)
+            elif is_bold:
+                start_parsing = content in _ARM_TAGS
+        elif kind == END and data == "tr":
+            if STOCK_CAP <= len(records):
+                line = _convert(records)
+                if line is not None:
+                    output.append(line)
+            records = []
+    return output
+
+
+def _convert(records: list[str]) -> str | None:
+    parts = records[0].split("　")
+    if len(parts) < 2:
+        # Go would panic on parts[1]; treat as unparseable row.
+        return None
+    market = "otc" if "上櫃" in records[3].strip() else "tse"
+    category = "臺灣存託憑證(TDR)" if len(records) == STOCK_CAP else records[4].strip()
+    return serialize.stock_json(
+        parts[0].strip(), parts[1].strip(), "TW", category, market
+    )

@@ -1,0 +1,27 @@
+from __future__ import annotations
+
+import pytest
+
+from stock_crawler_spark.fixtures.generate import generate_fixtures
+from stock_crawler_spark.session import build_session
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = build_session(master="local[4]", app_name="tests", shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def fixture_dir(tmp_path_factory) -> str:
+    out = tmp_path_factory.mktemp("crawl_fixtures")
+    generate_fixtures(str(out), scale="test")
+    return str(out)
+
+
+@pytest.fixture(scope="session")
+def small_fixture_dir(tmp_path_factory) -> str:
+    out = tmp_path_factory.mktemp("crawl_fixtures_small")
+    generate_fixtures(str(out), scale="small")
+    return str(out)

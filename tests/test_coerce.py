@@ -1,0 +1,56 @@
+"""P6 zero-on-garbage coercions: Column exprs vs Python twins vs the Go
+contract (internal/helper/helper.go:74-98, helper_test.go cases)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from stock_crawler_spark.functions import coerce
+
+INT_CASES = [
+    ("123", 123), ("-5", -5), ("+7", 7), ("", 0), ("abc", 0), ("1.5", 0),
+    ("1,000", 0), (" 12", 0), ("1_0", 0), ("9223372036854775807", 2**63 - 1),
+    ("99999999999999999999999", 0),
+]
+UINT_CASES = [
+    ("123", 123), ("-5", 0), ("+7", 0), ("", 0), ("abc", 0), ("5610", 5610),
+    ("1_0", 0),
+]
+FLOAT_CASES = [
+    ("38.19", np.float32("38.19")), ("-1.5", np.float32("-1.5")),
+    ("+2.25", np.float32("2.25")), ("", np.float32(0)), ("x", np.float32(0)),
+    ("--3", np.float32(0)), ("1e3", np.float32(1000.0)), (".5", np.float32(0.5)),
+    ("6.", np.float32(6.0)), ("1_0.5", np.float32(0)), ("X12.3", np.float32(0)),
+]
+
+
+@pytest.mark.parametrize("s,expected", INT_CASES)
+def test_to_i64_py(s, expected):
+    assert coerce.to_i64_py(s) == expected
+
+
+@pytest.mark.parametrize("s,expected", UINT_CASES)
+def test_to_u64_py(s, expected):
+    assert coerce.to_u64_py(s) == expected
+
+
+@pytest.mark.parametrize("s,expected", FLOAT_CASES)
+def test_to_f32_py(s, expected):
+    assert coerce.to_f32_py(s) == expected
+
+
+def test_column_versions_match_python(spark):
+    vals = sorted({s for s, _ in INT_CASES + UINT_CASES + FLOAT_CASES})
+    df = spark.createDataFrame([(v,) for v in vals], ["s"])
+    rows = df.select(
+        "s",
+        coerce.to_i64_or_zero(F.col("s")).alias("i"),
+        coerce.to_u64_or_zero(F.col("s")).alias("u"),
+        coerce.to_f32_or_zero(F.col("s")).alias("f"),
+    ).collect()
+    for r in rows:
+        assert r["i"] == coerce.to_i64_py(r["s"]), r["s"]
+        assert r["u"] == coerce.to_u64_py(r["s"]), r["s"]
+        assert np.float32(r["f"]) == coerce.to_f32_py(r["s"]), r["s"]

@@ -1,0 +1,144 @@
+"""Byte-identity goldens for the vectorized extractor strategies.
+
+Mirrors the reference test strategy (SURVEY.md §5): golden record counts
+(parser/csv_test.go, stocks_test.go) and exact field values
+(concentration_test.go:58-73), generalized to the full synthetic corpus —
+every generated page's extracted text must equal the golden `text`
+byte-for-byte.
+"""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+
+from stock_crawler_spark.parsers import serialize
+from stock_crawler_spark.parsers.concentration import parse_concentration
+from stock_crawler_spark.parsers.csvparse import parse_dailyclose, unified_date_twse
+from stock_crawler_spark.parsers.dispatch import (
+    ERR_NO_RESULTS,
+    parse_payload,
+)
+from stock_crawler_spark.parsers.stocks_html import parse_stocklist
+
+
+def _seed_info(seeds):
+    info = {}
+    for s in seeds:
+        info[s["url"]] = (s["strategy"], s["query_date"])
+        if s["strategy"] == "concentration":
+            base = s["url"].rsplit("_", 1)[0]
+            for n in (1, 2, 3, 4, 6):
+                info[f"{base}_{n}.djhtm"] = ("concentration", s["crawl_date"])
+    return info
+
+
+def test_full_corpus_byte_identity(fixture_dir):
+    pages = pq.read_table(f"{fixture_dir}/pages.parquet").to_pylist()
+    seeds = pq.read_table(f"{fixture_dir}/seeds.parquet").to_pylist()
+    info = _seed_info(seeds)
+    assert len(pages) > 100
+    checked = 0
+    for p in pages:
+        strat, date = info[p["url"]]
+        text, _hidden, n, err = parse_payload(p["url"], p["html"], strat, date)
+        assert text == p["text"], p["url"]
+        if p["lang"] == "und":
+            assert err == ERR_NO_RESULTS and text == ""
+        checked += 1
+    assert checked == len(pages)
+
+
+def test_concentration_golden_values():
+    """Transcribed golden from parser/concentration_test.go:58-73:
+    stock 3704 @ 20230110, page _1 -> buy 5610, sell 2180, 38.19/38.09,
+    hidden '0'."""
+    html = (
+        "<html><head><title>本日個股券商分點進出表-3704</title></head><body>"
+        '<table><tr id="oScrollFoot">'
+        "<td>合計買超張數</td><td>5,610</td>"
+        "<td>合計賣超張數</td><td>2,180</td>"
+        "<td>平均買超成本</td><td>38.19</td>"
+        "<td>平均賣超成本</td><td>38.09</td>"
+        "</tr></table></body></html>"
+    )
+    url = "https://fubon-ebrokerdj.fbs.com.tw/z/zc/zco/zco_3704_1.djhtm"
+    lines, hidden = parse_concentration(html, url, "2023-01-10")
+    assert hidden == ["0"]
+    assert lines == [
+        '{"stockId":"3704","exchangeDate":"20230110","diff":null,'
+        '"sumBuyShares":5610,"sumSellShares":2180,'
+        '"avgBuyPrice":38.19,"avgSellPrice":38.09}'
+    ]
+
+
+def test_concentration_hidden_remap():
+    """P11: url digit 6 -> hidden '4'; digits 1..4 -> 0..3."""
+    for digit, expect in [("1", "0"), ("2", "1"), ("3", "2"), ("4", "3"), ("6", "4")]:
+        html = (
+            "<html><head><title>x-9999</title></head><body>"
+            '<table><tr id="oScrollFoot">'
+            "<td>1</td><td>2</td><td>3.5</td><td>4.5</td></tr></table></body></html>"
+        )
+        url = f"https://h.example.com/z/zc/zco/zco_9999_{digit}.djhtm"
+        lines, hidden = parse_concentration(html, url, "2023-01-10")
+        assert hidden == [expect], digit
+
+
+def test_concentration_bad_title_tolerated():
+    html = "<html><head><title>no dash here</title></head><body></body></html>"
+    lines, hidden = parse_concentration(
+        html, "https://h.example.com/z/zc/zco/zco_1_1.djhtm", "2023-01-10"
+    )
+    assert lines == [] and hidden == []
+
+
+def test_stocklist_sections_and_tdr():
+    html = (
+        "<html><body><table>"
+        "<tr><td><b>股票</b></td></tr>"
+        "<tr><td>2330　台積電</td><td>ISIN</td><td>d</td><td>上市</td><td>半導體業</td><td>x</td></tr>"
+        "<tr><td><b>臺灣存託憑證(TDR)</b></td></tr>"
+        "<tr><td>9103　美德醫療</td><td>ISIN</td><td>d</td><td>上市</td><td>x</td></tr>"
+        "<tr><td><b>上市認購(售)權證</b></td></tr>"
+        "<tr><td>0501　權證</td><td>a</td><td>b</td><td>c</td><td>d</td><td>e</td></tr>"
+        "</table></body></html>"
+    )
+    lines = parse_stocklist(html)
+    assert len(lines) == 2  # warrant section disarmed
+    assert lines[0] == (
+        '{"stockId":"2330","name":"台積電","country":"TW",'
+        '"category":"半導體業","market":"tse"}'
+    )
+    # 5-cell row => TDR category forced (convert/stock.go:44-46)
+    assert '"category":"臺灣存託憑證(TDR)"' in lines[1]
+    assert '"stockId":"9103"' in lines[1]
+
+
+def test_dailyclose_row_filter_and_sign_concat():
+    rows = (
+        '"日期說明行"\r\n'
+        + '"證券代號","證券名稱","成交股數","成交筆數","成交金額","開盤價","最高價","最低價","收盤價","漲跌","漲跌價差","a","b","c","d","e","f"\r\n'
+        + '"2330","台積電","1,000","10","50,000","500.00","510.00","495.00","505.00","-","2.50","0","0","0","0","0","0"\r\n'
+        + '"合計","x","1","1","1","1","1","1","1","+","1","0","0","0","0","0","0"\r\n'
+    )
+    lines = parse_dailyclose(rows, "20230110", "twse")
+    assert len(lines) == 1
+    assert lines[0] == (
+        '{"stockId":"2330","date":"20230110","tradeShares":1000,"transactions":10,'
+        '"turnover":50000,"open":500,"close":505,"high":510,"low":495,"priceDiff":-2.5}'
+    )
+
+
+def test_unified_date_roc():
+    assert unified_date_twse("112/01/10") == "20230110"
+    assert unified_date_twse("2023-01-10") == "20230110"
+    assert unified_date_twse("20230110") == "20230110"
+
+
+def test_float32_formatting_go_compat():
+    assert serialize.format_f32(38.19) == "38.19"
+    assert serialize.format_f32(38.0) == "38"
+    assert serialize.format_f32(0.0) == "0"
+    assert serialize.format_f32(-2.5) == "-2.5"
+    assert serialize.format_f32(0.1) == "0.1"
+    assert serialize.format_f32(123456.78) == "123456.78"

@@ -1,0 +1,72 @@
+"""URL canonicalization: Column exprs and the pure-Python twin must agree
+(the simulator relies on the twin for golden traces)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stock_crawler_spark.functions import urls
+from stock_crawler_spark.functions.urls_py import (
+    canonicalize_py,
+    host_py,
+    registrable_domain_py,
+)
+
+CORPUS = [
+    "https://site0.example.com.tw/z/zc/zco/zco_1001_6.djhtm",
+    "HTTPS://SITE0.EXAMPLE.COM.TW/z/zc/zco/zco_1001_6.djhtm",
+    "https://site1.example.com:443/a/b?x=1&y=2#frag",
+    "http://site1.example.com:80/a",
+    "http://site1.example.com:8080/a",
+    "https://www.twse.com.tw/exchangeReport/MI_INDEX?response=csv&date=20230102&type=ALLBUT0999",
+    "https://host.example.com",
+    "  https://pad.example.com/x  ",
+    "https://sub.a.b.co.uk/path",
+    "https://1.2.3.4/path",
+    "not a url",
+]
+
+
+def test_canonical_variants_collapse():
+    a = canonicalize_py(CORPUS[0])
+    b = canonicalize_py(CORPUS[1])
+    assert a == b
+    assert canonicalize_py("http://site1.example.com:80/a") == "http://site1.example.com/a"
+    assert canonicalize_py("https://site1.example.com:443/a/b?x=1&y=2#frag") == (
+        "https://site1.example.com/a/b?x=1&y=2"
+    )
+    assert canonicalize_py("https://host.example.com") == "https://host.example.com/"
+
+
+def test_registrable_domain_py():
+    assert registrable_domain_py("site0.example.com.tw") == "example.com.tw"
+    assert registrable_domain_py("sub.a.b.co.uk") == "b.co.uk"
+    assert registrable_domain_py("www.twse.com.tw") == "twse.com.tw"
+    assert registrable_domain_py("a.example.com") == "example.com"
+    assert registrable_domain_py("1.2.3.4") == "1.2.3.4"
+    assert registrable_domain_py("localhost") == "localhost"
+
+
+def test_spark_matches_python(spark):
+    df = spark.createDataFrame([(u,) for u in CORPUS], ["url"])
+    rows = (
+        df.select(
+            "url",
+            urls.canonicalize_url(F.col("url")).alias("canon"),
+            urls.host_of(F.col("url")).alias("host"),
+            urls.registrable_domain(urls.host_of(F.col("url"))).alias("domain"),
+        )
+    ).collect()
+    for r in rows:
+        assert r["canon"] == canonicalize_py(r["url"]), r["url"]
+        assert r["host"] == host_py(r["url"]), r["url"]
+        assert r["domain"] == registrable_domain_py(host_py(r["url"])), r["url"]
+
+
+def test_with_url_columns_plan_stays_codegen(spark):
+    """canonicalize+hash of the frontier must not leave the JVM."""
+    df = spark.createDataFrame([(u,) for u in CORPUS[:3]], ["url"])
+    out = urls.with_url_columns(df)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(out._jdf.queryExecution(), "formatted")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
