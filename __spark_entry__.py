@@ -1,38 +1,613 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+One ``queries()`` entry per operator family from SURVEY.md §2 plus the
+training-data pipeline ops, each with a DuckDB oracle in ``oracle_sql()``
+(same column aliases both sides). Crawl-engine semantics that need the
+synthetic page corpus (byte-identity extraction, golden traces, resume)
+are covered by `python -m pytest tests/` — here they appear re-expressed
+over the driver's generic tables so the oracle gate can check them.
+
+Float discipline: aggregates over doubles go through decimal casts (exact,
+order-independent) or explicit round() so Spark's parallel partial
+aggregation and DuckDB's sequential scan hash identically.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from stock_crawler_spark.functions import text as T
+from stock_crawler_spark.functions.coerce import to_i64_or_zero
+from stock_crawler_spark.operators import ann, dedup
+
+_T = {}  # table cache per (sf_dir, name)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# relational / crawl-scheduling queries
+# ---------------------------------------------------------------------------
+
+
+def q01_pricing_rollup(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(dec("l_discount")).cast("double").alias("sum_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q02_topk_per_user(spark, sf):
+    """Frontier dequeue shape: top-3 per key by priority (P/top-k window)."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "value", "rn")
+    )
+
+
+def q03_antijoin_unseen(spark, sf):
+    """P3 seen-set subtraction shape: LEFT ANTI JOIN."""
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    return cust.join(
+        orders.select("o_custkey").distinct(),
+        cust["c_custkey"] == orders["o_custkey"],
+        "left_anti",
+    ).select("c_custkey", "c_name")
+
+
+def q04_fanout_urls(spark, sf):
+    """P1 url generation: 5-page fan-out via explode + format_string."""
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.explode(F.array(*[F.lit(n) for n in (1, 2, 3, 4, 6)])).alias("page_idx"),
+        "source",
+    ).select(
+        "doc_id",
+        "page_idx",
+        F.format_string("https://%s.example.com/z/zc/zco/zco_%d_%d.djhtm",
+                        F.col("source"), F.col("doc_id"), F.col("page_idx")).alias("url"),
+    )
+
+
+def _synthetic_priority(c):
+    return (F.col(c) * F.lit(2654435761) % F.lit(1000000)).cast("double") / F.lit(1000000.0)
+
+
+def q05_politeness_caps(spark, sf):
+    """C2 politeness: per-domain round cap by priority (window top-k)."""
+    docs = _t(spark, sf, "documents")
+    f = docs.select(
+        "doc_id", F.col("source").alias("domain"), _synthetic_priority("doc_id").alias("priority")
+    )
+    w = Window.partitionBy("domain").orderBy(F.desc("priority"), F.asc("doc_id"))
+    return (
+        f.withColumn("dom_rank", F.row_number().over(w))
+        .filter(F.col("dom_rank") <= 7)
+        .select("domain", "doc_id", "priority", "dom_rank")
+    )
+
+
+def q06_zero_coerce(spark, sf):
+    """P6 parse-or-zero coercion over a dirty string column."""
+    ev = _t(spark, sf, "events")
+    k = F.get_json_object(F.col("props"), "$.k")
+    return ev.groupBy("event_type").agg(
+        F.sum(to_i64_or_zero(k)).alias("sum_k"),
+        F.sum(to_i64_or_zero(F.col("event_type"))).alias("sum_garbage"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q07_workday_dates(spark, sf):
+    """P5 date pipeline: weekend skip + TWSE yyyymmdd + ROC format."""
+    o = _t(spark, sf, "orders")
+    wd = F.dayofweek("o_orderdate")  # 1=Sun..7=Sat
+    return (
+        o.filter(~wd.isin(1, 7))
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyyMMdd").alias("twse_date"),
+            F.concat(
+                (F.year("o_orderdate") - 1911).cast("string"),
+                F.lit("/"),
+                F.date_format("o_orderdate", "MM/dd"),
+            ).alias("roc_date"),
+        )
+    )
+
+
+def q08_fivepage_merge(spark, sf):
+    """A1 merge shape: per-group 5-element diff vector from sorted pages."""
+    li = _t(spark, sf, "lineitem")
+    rec = li.select(
+        "l_orderkey", "l_linenumber", (F.col("l_quantity").cast("long") * 100).alias("v")
+    )
+    g = rec.groupBy("l_orderkey").agg(
+        F.slice(F.array_sort(F.collect_list(F.struct("l_linenumber", "v"))), 1, 5).alias("recs"),
+        F.count(F.lit(1)).alias("n_lines"),
+    ).filter(F.col("n_lines") >= 5)
+    cols = [F.col("recs")[i]["v"].alias(f"d{i}") for i in range(5)]
+    return g.select("l_orderkey", "n_lines", *cols)
+
+
+def q21_frontier_merge(spark, sf):
+    """Frontier MERGE: union of seed generations, keep max priority per url."""
+    docs = _t(spark, sf, "documents")
+    a = docs.select(
+        F.format_string("https://%s/d/%d", F.col("source"), F.col("doc_id")).alias("url"),
+        _synthetic_priority("doc_id").alias("priority"),
+    )
+    b = docs.select(
+        F.format_string("https://%s/d/%d", F.col("source"), F.col("doc_id")).alias("url"),
+        (_synthetic_priority("doc_id") * 0.5 + 0.3).alias("priority"),
+    )
+    return a.unionByName(b).groupBy("url").agg(
+        F.max("priority").alias("priority"), F.count(F.lit(1)).alias("n_sources")
+    )
+
+
+def q22_retry_backoff(spark, sf):
+    """C3 retry state machine: exponential backoff schedule as data."""
+    ev = _t(spark, sf, "events").filter(F.col("event_type") == "error")
+    return ev.select(
+        "event_id",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("attempt"),
+    ).select(
+        "event_id",
+        "attempt",
+        (F.col("ts_epoch") + F.lit(60) * F.pow(F.lit(2.0), F.col("attempt") - 1).cast("long")).alias(
+            "next_attempt_epoch"
+        ),
+    )
+
+
+def q20_crawl_schedule(spark, sf):
+    """FLAGSHIP: one dequeue round re-expressed over generic tables —
+    robots deny + seen dedup + per-domain politeness cap + priority order."""
+    docs = _t(spark, sf, "documents")
+    f = docs.select(
+        "doc_id",
+        F.col("source").alias("domain"),
+        F.format_string("https://%s.example.com/doc/%d", F.col("source"), F.col("doc_id")).alias("url"),
+        _synthetic_priority("doc_id").alias("priority"),
+    )
+    f = f.filter(F.col("doc_id") % 17 != 3)  # robots deny
+    f = f.filter(F.col("doc_id") % 7 != 0)  # already seen
+    w = Window.partitionBy("domain").orderBy(F.desc("priority"), F.asc("url"))
+    return (
+        f.withColumn("seq_in_domain", F.row_number().over(w) - 1)
+        .filter(F.col("seq_in_domain") < 10)
+        .select("domain", "seq_in_domain", "url", "priority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming-shaped analytics (batch equivalents of the Structured Streaming ops)
+# ---------------------------------------------------------------------------
+
+
+def q18_windowed_agg(spark, sf):
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_epoch"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def q19_sessionize(spark, sf):
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    s = ev.withColumn("new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+    s = s.withColumn("sess_id", F.sum("new_sess").over(
+        Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    ))
+    per_sess = s.groupBy("user_id", "sess_id").agg(F.count(F.lit(1)).alias("sess_len"))
+    return per_sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("sess_len").alias("max_sess_len"),
+        F.sum("sess_len").alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline: dedup / similarity / text analysis
+# ---------------------------------------------------------------------------
+
+
+def q09_dedup_exact(spark, sf):
+    return dedup.exact_dedup(_t(spark, sf, "documents"))
+
+
+def q10_ngram_jaccard(spark, sf):
+    return dedup.ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.3)
+
+
+MINHASH_K = 16
+
+
+def q11_minhash_sigs(spark, sf):
+    sig = dedup.minhash_signatures(_t(spark, sf, "documents"), k=MINHASH_K)
+    return sig.select("doc", *[F.col("sig")[i].alias(f"mh{i}") for i in range(MINHASH_K)])
+
+
+def q12_simhash(spark, sf):
+    return dedup.simhash(_t(spark, sf, "documents"))
+
+
+def q13_ann_topk(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    out = ann.brute_force_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+    return out.select("query_id", "cand_id", F.round("cos", 6).alias("cos_r"), "rank")
+
+
+def q14_lang_id(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return docs.select("doc_id", T.lang_id(F.col("text")).alias("lang_pred"))
+
+
+def q15_quality(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return docs.select("doc_id", F.round(T.quality_score(F.col("text")), 6).alias("quality"))
+
+
+def q16_token_counts(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count_ws(F.col("text")).alias("n_ws"),
+        T.token_count_bpe(F.col("text")).alias("n_bpe"),
+    )
+
+
+def q17_fingerprint(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return docs.select("doc_id", T.fingerprint_md5(F.col("text"), 50).alias("fp"))
+
+
+def q23_label_centroids(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    e = emb.select("label", F.posexplode(F.col("embedding")).alias("dim_idx", "v"))
+    return e.groupBy("label", "dim_idx").agg(
+        F.round(F.avg(F.col("v").cast("double")), 5).alias("centroid_v"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver API
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship crawl-schedule query on sf0.001 (driver smoke check)."""
+    return q20_crawl_schedule(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q01_pricing_rollup": q01_pricing_rollup,
+        "q02_topk_per_user": q02_topk_per_user,
+        "q03_antijoin_unseen": q03_antijoin_unseen,
+        "q04_fanout_urls": q04_fanout_urls,
+        "q05_politeness_caps": q05_politeness_caps,
+        "q06_zero_coerce": q06_zero_coerce,
+        "q07_workday_dates": q07_workday_dates,
+        "q08_fivepage_merge": q08_fivepage_merge,
+        "q09_dedup_exact": q09_dedup_exact,
+        "q10_ngram_jaccard": q10_ngram_jaccard,
+        "q11_minhash_sigs": q11_minhash_sigs,
+        "q12_simhash": q12_simhash,
+        "q13_ann_topk": q13_ann_topk,
+        "q14_lang_id": q14_lang_id,
+        "q15_quality": q15_quality,
+        "q16_token_counts": q16_token_counts,
+        "q17_fingerprint": q17_fingerprint,
+        "q18_windowed_agg": q18_windowed_agg,
+        "q19_sessionize": q19_sessionize,
+        "q20_crawl_schedule": q20_crawl_schedule,
+        "q21_frontier_merge": q21_frontier_merge,
+        "q22_retry_backoff": q22_retry_backoff,
+        "q23_label_centroids": q23_label_centroids,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles (ANSI SQL on the same parquet views)
+# ---------------------------------------------------------------------------
+
+_STOP_SQL = ",".join(f"'{w}'" for w in T.EN_STOPWORDS)
+_TOKS = "string_split_regex(trim(lower(text)), '\\s+')"
+_TOKS_RAW = "string_split_regex(trim(text), '\\s+')"
+_BPE_SQL = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+_H60 = "('0x' || substr(md5(s), 1, 15))::bigint"
+_P = dedup._MH_PRIME
+
+
+def _minhash_oracle() -> str:
+    perms = dedup._perm_constants(MINHASH_K)
+    mins = ",\n    ".join(
+        f"min(({a} * (h % {_P}) + {b}) % {_P}) AS mh{i}" for i, (a, b) in enumerate(perms)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    generate_series(1, greatest(len(t) - 2, 0)),
+    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+  FROM toks
+), h AS (
+  SELECT doc_id AS doc, {_H60} AS h FROM sh
+)
+SELECT doc, {mins} FROM h GROUP BY doc
+"""
+
+
+def _simhash_oracle() -> str:
+    bit_sums = ",\n    ".join(
+        f"sum(CASE WHEN (h & {1 << b}) != 0 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(dedup.SIMHASH_BITS)
+    )
+    hash_sum = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(dedup.SIMHASH_BITS)
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id AS doc, unnest(list_distinct({_TOKS})) AS s FROM documents
+), h AS (
+  SELECT doc, {_H60} AS h FROM w
+), bits AS (
+  SELECT doc, {bit_sums} FROM h GROUP BY doc
+)
+SELECT doc, CAST({hash_sum} AS BIGINT) AS simhash FROM bits
+"""
+
+
+_JACCARD_CTE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    generate_series(1, greatest(len(t) - 2, 0)),
+    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+  FROM toks
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.3
+"""
+
+_QUALITY_SQL = f"""
+SELECT doc_id, round((
+  least(length(text) / 500.0, 1.0)
+  + (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.5 END)
+  + least(sw_ratio * 4.0, 1.0)
+  + (1.0 - least(p_ratio * 4.0, 1.0))
+) / 4.0, 6) AS quality
+FROM (
+  SELECT doc_id, text,
+    CASE WHEN len({_TOKS_RAW}) > 0
+         THEN CAST(list_sum(list_transform({_TOKS_RAW}, x -> length(x))) AS DOUBLE)
+              / len({_TOKS_RAW})
+         ELSE 0.0 END AS mwl,
+    CASE WHEN len({_TOKS}) > 0
+         THEN CAST(len(list_filter({_TOKS}, x -> x IN ({_STOP_SQL}))) AS DOUBLE)
+              / len({_TOKS})
+         ELSE 0.0 END AS sw_ratio,
+    CASE WHEN length(text) > 0
+         THEN CAST(len(regexp_extract_all(text, '[!-/:-@\\[-`{{-~]')) AS DOUBLE) / length(text)
+         ELSE 0.0 END AS p_ratio
+  FROM documents
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q01_pricing_rollup": """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc,
+  count(*) AS count_order
+FROM lineitem GROUP BY 1, 2
+""",
+        "q02_topk_per_user": """
+SELECT user_id, event_id, value, rn FROM (
+  SELECT user_id, event_id, value,
+    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+  FROM events
+) WHERE rn <= 3
+""",
+        "q03_antijoin_unseen": """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+        "q04_fanout_urls": """
+SELECT doc_id, page_idx,
+  printf('https://%s.example.com/z/zc/zco/zco_%d_%d.djhtm', source, doc_id, page_idx) AS url
+FROM documents, unnest([1, 2, 3, 4, 6]) AS t(page_idx)
+""",
+        "q05_politeness_caps": """
+SELECT domain, doc_id, priority, dom_rank FROM (
+  SELECT source AS domain, doc_id,
+    ((doc_id * 2654435761) % 1000000) / 1000000.0 AS priority,
+    row_number() OVER (
+      PARTITION BY source
+      ORDER BY ((doc_id * 2654435761) % 1000000) / 1000000.0 DESC, doc_id
+    ) AS dom_rank
+  FROM documents
+) WHERE dom_rank <= 7
+""",
+        "q06_zero_coerce": """
+SELECT event_type,
+  sum(CASE WHEN regexp_full_match(json_extract_string(props, '$.k'), '[+-]?[0-9]+')
+       THEN coalesce(try_cast(json_extract_string(props, '$.k') AS BIGINT), 0) ELSE 0 END) AS sum_k,
+  sum(CASE WHEN regexp_full_match(event_type, '[+-]?[0-9]+')
+       THEN coalesce(try_cast(event_type AS BIGINT), 0) ELSE 0 END) AS sum_garbage,
+  count(*) AS n
+FROM events GROUP BY 1
+""",
+        "q07_workday_dates": """
+SELECT o_orderkey,
+  strftime(o_orderdate, '%Y%m%d') AS twse_date,
+  CAST(year(o_orderdate) - 1911 AS VARCHAR) || '/' || strftime(o_orderdate, '%m/%d') AS roc_date
+FROM orders WHERE dayofweek(o_orderdate) NOT IN (0, 6)
+""",
+        "q08_fivepage_merge": """
+SELECT l_orderkey, n_lines, v[1] AS d0, v[2] AS d1, v[3] AS d2, v[4] AS d3, v[5] AS d4
+FROM (
+  SELECT l_orderkey,
+    count(*) AS n_lines,
+    (list(CAST(l_quantity AS BIGINT) * 100
+          ORDER BY l_linenumber, CAST(l_quantity AS BIGINT) * 100))[1:5] AS v
+  FROM lineitem GROUP BY 1
+) WHERE n_lines >= 5
+""",
+        "q09_dedup_exact": """
+SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+FROM documents GROUP BY 1
+""",
+        "q10_ngram_jaccard": _JACCARD_CTE,
+        "q11_minhash_sigs": _minhash_oracle(),
+        "q12_simhash": _simhash_oracle(),
+        "q13_ann_topk": """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS ce FROM embeddings),
+scored AS (
+  SELECT query_id, cand_id,
+    list_inner_product(qe, ce) / (sqrt(list_inner_product(qe, qe)) * sqrt(list_inner_product(ce, ce))) AS cos
+  FROM q, c
+)
+SELECT query_id, cand_id, round(cos, 6) AS cos_r, rank FROM (
+  SELECT query_id, cand_id, cos,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+        "q14_lang_id": f"""
+SELECT doc_id,
+  CASE
+    WHEN length(text) > 0 AND
+         CAST(len(regexp_extract_all(text, '[一-鿿]')) AS DOUBLE) / length(text) > 0.25 THEN 'zh'
+    WHEN len({_TOKS}) > 0 AND
+         CAST(len(list_filter({_TOKS}, x -> x IN ({_STOP_SQL}))) AS DOUBLE) / len({_TOKS}) >= 0.08 THEN 'en'
+    ELSE 'und'
+  END AS lang_pred
+FROM documents
+""",
+        "q15_quality": _QUALITY_SQL,
+        "q16_token_counts": f"""
+SELECT doc_id,
+  CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS_RAW}) END AS n_ws,
+  len(regexp_extract_all(text, '{_BPE_SQL}')) AS n_bpe
+FROM documents
+""",
+        "q17_fingerprint": f"""
+SELECT doc_id, md5(array_to_string({_TOKS_RAW}[1:50], ' ')) AS fp FROM documents
+""",
+        "q18_windowed_agg": """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_epoch, event_type,
+  count(*) AS n,
+  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+        "q19_sessionize": """
+WITH s AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+         OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800 THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, event_id,
+    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM s
+), per_sess AS (
+  SELECT user_id, sess_id, count(*) AS sess_len FROM sess GROUP BY 1, 2
+)
+SELECT user_id, count(*) AS n_sessions, max(sess_len) AS max_sess_len,
+       sum(sess_len) AS n_events
+FROM per_sess GROUP BY 1
+""",
+        "q20_crawl_schedule": """
+SELECT domain, seq_in_domain, url, priority FROM (
+  SELECT source AS domain,
+    row_number() OVER (
+      PARTITION BY source
+      ORDER BY ((doc_id * 2654435761) % 1000000) / 1000000.0 DESC,
+               printf('https://%s.example.com/doc/%d', source, doc_id)
+    ) - 1 AS seq_in_domain,
+    printf('https://%s.example.com/doc/%d', source, doc_id) AS url,
+    ((doc_id * 2654435761) % 1000000) / 1000000.0 AS priority
+  FROM documents
+  WHERE doc_id % 17 != 3 AND doc_id % 7 != 0
+) WHERE seq_in_domain < 10
+""",
+        "q21_frontier_merge": """
+WITH a AS (
+  SELECT printf('https://%s/d/%d', source, doc_id) AS url,
+         ((doc_id * 2654435761) % 1000000) / 1000000.0 AS priority
+  FROM documents
+), b AS (
+  SELECT printf('https://%s/d/%d', source, doc_id) AS url,
+         ((doc_id * 2654435761) % 1000000) / 1000000.0 * 0.5 + 0.3 AS priority
+  FROM documents
+), u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+SELECT url, max(priority) AS priority, count(*) AS n_sources FROM u GROUP BY 1
+""",
+        "q22_retry_backoff": """
+SELECT event_id, attempt,
+  CAST(floor(epoch(ts)) AS BIGINT) + 60 * CAST(pow(2.0, attempt - 1) AS BIGINT) AS next_attempt_epoch
+FROM events, unnest([1, 2, 3]) AS t(attempt)
+WHERE event_type = 'error'
+""",
+        "q23_label_centroids": """
+SELECT label, dim_idx, round(avg(CAST(v AS DOUBLE)), 5) AS centroid_v, count(*) AS n
+FROM (
+  SELECT label,
+    generate_subscripts(embedding, 1) - 1 AS dim_idx,
+    unnest(embedding) AS v
+  FROM embeddings
+) GROUP BY 1, 2
+""",
+    }

@@ -1,0 +1,111 @@
+"""Benchmark harness (driver contract).
+
+Prints ONE JSON line:
+  {"metric": "urls_scheduled_per_sec", "value": N, "unit": "sec",
+   "queries": {...per-query seconds...}, "sf": ...,
+   "scaling": {"throughput_8": ..., "throughput_32": ...,
+               "efficiency_8_to_32": ...}}
+
+Headline queries run at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS]; the north-star crawl-scheduling job runs on a
+10^6-URL synthetic frontier at local[8] AND local[cpus] to evidence the
+N->4N scaling-efficiency criterion (BASELINE.md) in a single-node sandbox.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from stock_crawler_spark.plans.bench_round import run_bench_round
+from stock_crawler_spark.session import build_session
+
+HEADLINE = [
+    "q01_pricing_rollup",
+    "q02_topk_per_user",
+    "q08_fivepage_merge",
+    "q10_ngram_jaccard",
+    "q11_minhash_sigs",
+    "q13_ann_topk",
+    "q18_windowed_agg",
+    "q19_sessionize",
+    "q20_crawl_schedule",
+]
+
+BENCH_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "8000000"))
+
+
+def time_query(fn, spark, sf_dir) -> float:
+    t0 = time.monotonic()
+    df = fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return round(time.monotonic() - t0, 3)
+
+
+def _scaling_run(cores: int, n_urls: int) -> dict:
+    """Fresh session at `cores`; one IDENTICAL warmup round (JIT + codegen
+    compile paid up front), then median of 3 timed rounds."""
+    s = build_session(master=f"local[{cores}]", app_name=f"bench{cores}",
+                      shuffle_partitions=max(cores * 2, 16))
+    run_bench_round(s, n_urls=n_urls)  # warmup: same plan, same literals
+    runs = sorted(run_bench_round(s, n_urls=n_urls)["wall_sec"] for _ in range(3))
+    s.stop()
+    wall = runs[1]
+    return {"wall_sec": wall, "urls_per_sec": round(n_urls / wall, 1), "runs": runs}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    # --- headline queries at full parallelism ---
+    spark = build_session(master=f"local[{cpus}]", app_name="bench",
+                          shuffle_partitions=max(cpus, 16))
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
+    qs = entrymod.queries()
+    per_query = {}
+    for name in HEADLINE:
+        per_query[name] = time_query(qs[name], spark, sf_dir)
+    spark.stop()
+
+    # --- scaling evidence: the identical job at N vs 4N cores, each in
+    #     its own warmed session. N=4 -> 4N=16: both tiers sit on physical
+    #     cores, so the measurement isolates Spark's scaling from
+    #     single-core turbo effects (this box: 32 cores, ~0.97 hardware
+    #     efficiency 4->16 on a pure-CPU burn, but per-core frequency drops
+    #     ~25% from 1 to 8+ busy cores). ---
+    n_small = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
+    n_large = 4 * n_small
+    r_small = _scaling_run(n_small, BENCH_URLS)
+    r_large = _scaling_run(n_large, BENCH_URLS)
+    per_query["crawl_sched_round"] = r_large["wall_sec"]
+    thr_s, thr_l = r_small["urls_per_sec"], r_large["urls_per_sec"]
+    scaling = {
+        "n_urls": BENCH_URLS,
+        "cores_small": n_small,
+        "cores_large": n_large,
+        "throughput_small": thr_s,
+        "throughput_large": thr_l,
+        "runs_small": r_small["runs"],
+        "runs_large": r_large["runs"],
+        "efficiency_n_to_4n": round((thr_l / thr_s) / (n_large / n_small), 3),
+    }
+
+    out = {
+        "metric": "urls_scheduled_per_sec",
+        "value": thr_l,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf_dir,
+        "scaling": scaling,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

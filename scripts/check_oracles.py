@@ -1,0 +1,88 @@
+"""Local twin of the driver's correctness gate: run every queries() entry on
+Spark and its oracle_sql() on DuckDB at sf0.01, compare row count + sorted
+values (column order normalized by name, floats rounded)."""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+import __spark_entry__ as entrymod  # noqa: E402
+from stock_crawler_spark.session import build_session  # noqa: E402
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.9g}"
+    return str(v)
+
+
+def run(sf_dir: str, only: list[str] | None = None) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    spark = build_session(master="local[8]", shuffle_partitions=16)
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sorted(sdf.columns)
+            srows = sorted(
+                tuple(norm_cell(r[c]) for c in scols) for r in sdf.collect()
+            )
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {str(e)[:300]}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"SKIP {name}: rows-only ({len(srows)} rows)")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dcols = sorted(d[0] for d in res.description)
+            raw = res.fetchall()
+            names = [d[0] for d in res.description]
+            idx = [names.index(c) for c in dcols]
+            drows = sorted(tuple(norm_cell(r[i]) for i in idx) for r in raw)
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {str(e)[:300]}")
+            failures += 1
+            continue
+        if scols != dcols:
+            print(f"FAIL {name}: columns spark={scols} duck={dcols}")
+            failures += 1
+            continue
+        if len(srows) != len(drows):
+            print(f"FAIL {name}: rows spark={len(srows)} duck={len(drows)}")
+            print("  spark sample:", srows[:2])
+            print("  duck  sample:", drows[:2])
+            failures += 1
+            continue
+        bad = [i for i, (a, b) in enumerate(zip(srows, drows)) if a != b]
+        if bad:
+            print(f"FAIL {name}: {len(bad)} differing rows of {len(srows)}")
+            for i in bad[:3]:
+                print("  spark:", srows[i])
+                print("  duck :", drows[i])
+            failures += 1
+        else:
+            print(f"OK   {name}: {len(srows)} rows, cols={dcols}")
+    return failures
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+    sys.exit(1 if run(sf, only) else 0)

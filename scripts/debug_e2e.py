@@ -1,0 +1,123 @@
+"""Dev harness: run simulator + engine on a fixture dir and diff them."""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+
+import pyarrow.parquet as pq
+
+from stock_crawler_spark.fixtures.generate import generate_fixtures
+from stock_crawler_spark.fixtures.simulator import simulate
+from stock_crawler_spark.plans.round import RoundConfig, run_crawl
+from stock_crawler_spark.session import build_session
+
+
+def compare(fixture_dir: str, state_dir: str, dedup_mode: str = "antijoin", spark=None) -> bool:
+    seeds = pq.read_table(f"{fixture_dir}/seeds.parquet").to_pylist()
+    robots = pq.read_table(f"{fixture_dir}/robots.parquet").to_pylist()
+    skip = [r["crawl_date"] for r in pq.read_table(f"{fixture_dir}/skip_dates.parquet").to_pylist()]
+    pages = pq.read_table(f"{fixture_dir}/pages.parquet").to_pylist()
+
+    sim = simulate(seeds, robots, skip, pages)
+
+    if spark is None:
+        spark = build_session(master="local[4]", shuffle_partitions=8)
+    import os
+
+    n_salts = int(os.environ.get("SPARK_GRAFT_SALTS", "1"))
+    cfg = RoundConfig(dedup_mode=dedup_mode, n_salts=n_salts)
+    seeds_df = spark.read.parquet(f"{fixture_dir}/seeds.parquet")
+    robots_df = spark.read.parquet(f"{fixture_dir}/robots.parquet")
+    skip_df = spark.read.parquet(f"{fixture_dir}/skip_dates.parquet")
+    pages_df = spark.read.parquet(f"{fixture_dir}/pages.parquet")
+    res = run_crawl(spark, state_dir, seeds_df, robots_df, skip_df, pages_df, cfg)
+    last = res["last_round"]
+    print("rounds run:", last)
+
+    ok = True
+    # --- trace ---
+    eng_trace = []
+    for r in range(1, last + 1):
+        eng_trace += [
+            (row["round_id"], row["seq"], row["url"], row["action"])
+            for row in spark.read.parquet(f"{state_dir}/trace/round={r}").collect()
+        ]
+    sim_sched = sorted(t for t in sim["trace"] if t[3] == "scheduled")
+    eng_sched = sorted(t for t in eng_trace if t[3] == "scheduled")
+    if sim_sched != eng_sched:
+        ok = False
+        print("TRACE MISMATCH (scheduled):", len(sim_sched), "vs", len(eng_sched))
+        s1, s2 = set(sim_sched), set(eng_sched)
+        for x in sorted(s1 ^ s2)[:10]:
+            print("  ", "SIM" if x in s1 else "ENG", x)
+    sim_other = sorted(t for t in sim["trace"] if t[3] != "scheduled")
+    eng_other = sorted(t for t in eng_trace if t[3] != "scheduled")
+    if sim_other != eng_other:
+        ok = False
+        print("TRACE MISMATCH (other):", len(sim_other), "vs", len(eng_other))
+        s1, s2 = set(sim_other), set(eng_other)
+        for x in sorted(s1 ^ s2)[:10]:
+            print("  ", "SIM" if x in s1 else "ENG", x)
+
+    # --- final states + seen ---
+    eng_front = spark.read.parquet(f"{state_dir}/frontier/round={last}").collect()
+    eng_states = {r["url_canon"]: r["state"] for r in eng_front}
+    if eng_states != sim["final_states"]:
+        ok = False
+        diff = {
+            k: (sim["final_states"].get(k), eng_states.get(k))
+            for k in set(eng_states) | set(sim["final_states"])
+            if sim["final_states"].get(k) != eng_states.get(k)
+        }
+        print("STATE MISMATCH:", len(diff))
+        for k, v in list(diff.items())[:10]:
+            print("  ", k, "sim:", v[0], "eng:", v[1])
+    eng_seen = {r["url"] for r in spark.read.parquet(f"{state_dir}/seen/round={last}").collect()}
+    if eng_seen != sim["seen"]:
+        ok = False
+        print("SEEN MISMATCH:", len(eng_seen), "vs", len(sim["seen"]))
+        for x in sorted(eng_seen ^ sim["seen"])[:10]:
+            print("  ", "ENG-only" if x in eng_seen else "SIM-only", x)
+
+    # --- pages_out text byte-identity ---
+    eng_pages = {}
+    for r in range(1, last + 1):
+        for row in spark.read.parquet(f"{state_dir}/pages_out/round={r}").collect():
+            eng_pages[row["url_canon"]] = row["text"]
+    if eng_pages != sim["pages_out"]:
+        ok = False
+        keys = set(eng_pages) | set(sim["pages_out"])
+        bad = [k for k in keys if eng_pages.get(k) != sim["pages_out"].get(k)]
+        print("PAGES_OUT MISMATCH:", len(bad))
+        for k in bad[:5]:
+            print("  ", k)
+            print("   sim:", repr((sim["pages_out"].get(k) or "")[:120]))
+            print("   eng:", repr((eng_pages.get(k) or "")[:120]))
+
+    # --- merged ---
+    eng_merged = {
+        (r["stock_id"], r["date"]): r["line"]
+        for r in spark.read.parquet(f"{state_dir}/merged/round={last}").collect()
+    }
+    if eng_merged != sim["merged"]:
+        ok = False
+        keys = set(eng_merged) | set(sim["merged"])
+        bad = [k for k in keys if eng_merged.get(k) != sim["merged"].get(k)]
+        print("MERGED MISMATCH:", len(bad), "eng:", len(eng_merged), "sim:", len(sim["merged"]))
+        for k in bad[:5]:
+            print("  ", k)
+            print("   sim:", repr(sim["merged"].get(k)))
+            print("   eng:", repr(eng_merged.get(k)))
+
+    print("PARITY OK" if ok else "PARITY FAILED")
+    return ok
+
+
+if __name__ == "__main__":
+    scale = sys.argv[1] if len(sys.argv) > 1 else "test"
+    dedup = sys.argv[2] if len(sys.argv) > 2 else "antijoin"
+    fx = tempfile.mkdtemp(prefix="fx_")
+    st = tempfile.mkdtemp(prefix="state_")
+    generate_fixtures(fx, scale)
+    sys.exit(0 if compare(fx, st, dedup) else 1)

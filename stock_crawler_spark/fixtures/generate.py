@@ -257,10 +257,12 @@ def generate_fixtures(out_dir: str, scale: str = "test", seed: int = 42, **overr
         d0 += timedelta(days=1)
     holiday = all_dates[-1] if n_dates > 2 else None
 
+    # registrable domains (robots/politeness key); urls live on the www host
+    # so host != domain exercises eTLD+1 extraction
     domains = []
     for i in range(n_domains):
         tld = ".com.tw" if i % 3 == 0 else ".com"
-        domains.append(f"site{i}.example{tld}")
+        domains.append(f"site{i}{tld}")
     # Zipf weights -> hot-domain skew
     weights = [1.0 / (i + 1) ** 1.2 for i in range(n_domains)]
 
@@ -303,7 +305,7 @@ def generate_fixtures(out_dir: str, scale: str = "test", seed: int = 42, **overr
             is_roc = strat.startswith("tpex")
             q = _roc(date_iso) if is_roc else date_iso.replace("-", "")
             for dom in set(doms):
-                url = _TEMPLATES[strat].format(d=dom, q=q)
+                url = _TEMPLATES[strat].format(d="www." + dom, q=q)
                 seeds_rows.append(
                     dict(url=url, strategy=strat, stock_id=None,
                          crawl_date=date_iso, query_date=q,
@@ -328,7 +330,7 @@ def generate_fixtures(out_dir: str, scale: str = "test", seed: int = 42, **overr
     for sid in sids:
         date_iso = all_dates[_h("cdate" + sid) % len(all_dates)]
         dom = rnd.choices(domains, weights=weights, k=1)[0]
-        base = f"https://{dom}/z/zc/zco/zco_{sid}"
+        base = f"https://www.{dom}/z/zc/zco/zco_{sid}"
         seeds_rows.append(
             dict(url=base + "_1.djhtm", strategy="concentration", stock_id=sid,
                  crawl_date=date_iso, query_date=date_iso, priority=rnd.random())
@@ -345,7 +347,7 @@ def generate_fixtures(out_dir: str, scale: str = "test", seed: int = 42, **overr
         if i % 20 != 7:
             continue
         u = s["url"]
-        variant = u.replace("https://site", "HTTPS://SITE", 1)
+        variant = u.replace("https://www.", "HTTPS://WWW.", 1)
         if i % 40 == 7:
             variant = u.replace(".com/", ".com:443/", 1) + "#frag"
         dup = dict(s)

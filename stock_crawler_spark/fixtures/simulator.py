@@ -1,0 +1,191 @@
+"""Reference-semantics crawl simulator — the golden-trace oracle.
+
+A deliberately naive, single-threaded, dict-and-list transcription of the
+scheduling semantics (seen-set subtraction entities.go:205-215, 5-page
+fan-out entities.go:221-224, politeness budget stage.go:90-156, retry
+backoff retry.go:30-48, canonical dispatch order per SURVEY §3). It shares
+ONLY the url-canonicalization twin and the hidden-index remap with the
+engine — no Spark, no engine operators — so trace equality is a real
+cross-check, not self-agreement.
+
+For extraction the simulator consumes the generator's golden ``text``
+directly (it never runs the engine's parsers), and computes concentration
+sums by json-decoding those golden lines.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from datetime import datetime, timedelta
+
+from stock_crawler_spark.functions.urls_py import (
+    canonicalize_py, host_py, registrable_domain_py,
+)
+
+EPOCH0 = datetime(2023, 3, 1)
+PAGES = (1, 2, 3, 4, 6)
+
+
+def _wrap32(x: int) -> int:
+    v = x & 0xFFFFFFFF
+    return v - 0x100000000 if v >= 0x80000000 else v
+
+
+def _remap_hidden(url: str) -> int:
+    d = url[-7:-6]
+    return 4 if d == "6" else int(d) - 1
+
+
+def simulate(
+    seeds: list[dict],
+    robots: list[dict],
+    skip_dates: list[str],
+    pages: list[dict],
+    round_interval_ms: int = 60_000,
+    round_budget_ms: int = 30_000,
+    backoff_ms: int = 60_000,
+    max_attempts: int = 3,
+    max_rounds: int = 12,
+) -> dict:
+    """Returns {'trace': [(round, seq, url, action)...],
+                'final_states': {url_canon: state},
+                'seen': set(url_canon),
+                'merged': {(stock_id, date): merged_line},
+                'pages_out': {url_canon: text}}"""
+    rob = {r["domain"]: r for r in robots}
+    holidays = set(skip_dates)
+
+    # latest snapshot per canonical page url (ties: min url)
+    page_by_canon: dict[str, dict] = {}
+    for p in pages:
+        c = canonicalize_py(p["url"])
+        prev = page_by_canon.get(c)
+        if prev is None or p["warc_ts"] > prev["warc_ts"] or (
+            p["warc_ts"] == prev["warc_ts"] and p["url"] < prev["url"]
+        ):
+            page_by_canon[c] = p
+
+    # --- init: expand, canonical dedup, classify ---
+    expanded = []
+    for s in seeds:
+        if s["strategy"] == "concentration":
+            base = re.sub(r"_\d\.djhtm$", "", s["url"])
+            for n in PAGES:
+                expanded.append({**s, "url": f"{base}_{n}.djhtm"})
+        else:
+            expanded.append(dict(s))
+
+    frontier: dict[str, dict] = {}
+    for row in expanded:
+        c = canonicalize_py(row["url"])
+        cur = frontier.get(c)
+        # keep max priority; ties -> min url string
+        if cur is None or row["priority"] > cur["priority"] or (
+            row["priority"] == cur["priority"] and row["url"] < cur["url"]
+        ):
+            frontier[c] = {
+                **row,
+                "url_canon": c,
+                "host": host_py(row["url"]),
+                "domain": registrable_domain_py(host_py(row["url"])),
+                "state": "pending",
+                "retry_count": 0,
+                "next_attempt_ts": EPOCH0,
+            }
+
+    for c, e in frontier.items():
+        r = rob.get(e["domain"], {"deny": [], "crawl_delay_ms": 1000, "max_per_round": 2**31 - 1})
+        e["crawl_delay_ms"] = r["crawl_delay_ms"]
+        e["max_per_round"] = r["max_per_round"]
+        path = e["url_canon"].split("://", 1)[1]
+        path = path[path.index("/"):] if "/" in path else "/"
+        if e["crawl_date"] in holidays:
+            e["state"] = "holiday"
+        elif any(path.startswith(p) for p in r["deny"]):
+            e["state"] = "denied"
+
+    seen: set[str] = set()
+    trace: list[tuple[int, int, str, str]] = []
+    pages_out: dict[str, str] = {}
+    records: list[dict] = []  # concentration page records
+    merged: dict[tuple[str, str], str] = {}
+
+    for rnum in range(1, max_rounds + 1):
+        now = EPOCH0 + timedelta(milliseconds=(rnum - 1) * round_interval_ms)
+        if not any(e["state"] in ("pending", "failed") for e in frontier.values()):
+            break
+        cands = [
+            e for e in frontier.values()
+            if e["state"] in ("pending", "failed") and e["next_attempt_ts"] <= now
+        ]
+        # seen dedup
+        fresh = []
+        for e in cands:
+            if e["url_canon"] in seen:
+                e["state"] = "deduped"
+                trace.append((rnum, -1, e["url"], "deduped"))
+            else:
+                fresh.append(e)
+        # politeness: per-domain cap, top by (priority desc, url asc)
+        by_dom: dict[str, list] = {}
+        for e in fresh:
+            by_dom.setdefault(e["domain"], []).append(e)
+        scheduled = []
+        for dom, group in by_dom.items():
+            cap = max(1, min(group[0]["max_per_round"],
+                             round_budget_ms // group[0]["crawl_delay_ms"]))
+            group.sort(key=lambda e: (-e["priority"], e["url"]))
+            scheduled.extend(group[: int(cap)])
+            for e in group[int(cap):]:
+                trace.append((rnum, -1, e["url"], "politeness_deferred"))
+        # canonical dispatch order
+        scheduled.sort(key=lambda e: (-e["priority"], e["host"], e["url"]))
+        for seq, e in enumerate(scheduled):
+            trace.append((rnum, seq, e["url"], "scheduled"))
+        # fetch + extract + state transitions
+        for e in scheduled:
+            page = page_by_canon.get(e["url_canon"])
+            if page is None:
+                e["retry_count"] += 1
+                if e["retry_count"] >= max_attempts:
+                    e["state"] = "dead"
+                else:
+                    e["state"] = "failed"
+                    e["next_attempt_ts"] = now + timedelta(
+                        milliseconds=backoff_ms * 2 ** (e["retry_count"] - 1)
+                    )
+                trace.append((rnum, -1, e["url"], "failed_retry"))
+                continue
+            e["state"] = "done"
+            seen.add(e["url_canon"])
+            pages_out[e["url_canon"]] = page["text"]
+            if e["strategy"] == "concentration" and page["text"]:
+                rec = json.loads(page["text"].splitlines()[0])
+                records.append(
+                    dict(
+                        stock_id=rec["stockId"], date=rec["exchangeDate"],
+                        hidden=_remap_hidden(e["url_canon"]),
+                        sum_buy=rec["sumBuyShares"], sum_sell=rec["sumSellShares"],
+                        line=page["text"].splitlines()[0], round_id=rnum,
+                    )
+                )
+        # A1 merge over all records so far
+        groups: dict[tuple[str, str], dict[int, dict]] = {}
+        for rec in records:
+            groups.setdefault((rec["stock_id"], rec["date"]), {})[rec["hidden"]] = rec
+        for key, g in groups.items():
+            if set(g.keys()) == {0, 1, 2, 3, 4}:
+                diffs = [_wrap32(g[i]["sum_buy"] - g[i]["sum_sell"]) for i in range(5)]
+                line = g[0]["line"].replace(
+                    '"diff":null', '"diff":[' + ",".join(str(d) for d in diffs) + "]"
+                )
+                merged[key] = line
+
+    return dict(
+        trace=trace,
+        final_states={c: e["state"] for c, e in frontier.items()},
+        seen=seen,
+        merged=merged,
+        pages_out=pages_out,
+    )

@@ -1,0 +1,103 @@
+"""Text-analysis functions for large-scale training-data pipelines.
+
+All pure Column expressions (JVM, whole-stage codegen) so they run at
+100 TB without touching Python: language-ID (stopword/CJK heuristics),
+quality scoring, token counting (whitespace + BPE-ish regex), and document
+fingerprinting. Each has a matching ANSI-SQL oracle in __spark_entry__.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# small embedded stopword list — deterministic, mirrored in the SQL oracles
+EN_STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "from", "this", "that", "be",
+)
+
+_BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens; empty/blank text -> empty array."""
+    t = F.trim(text)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def token_count_ws(text: Column) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def token_count_bpe(text: Column) -> Column:
+    """BPE-ish token count: letter runs, digit runs, single punctuation."""
+    return F.regexp_count(text, F.lit(_BPE_ISH)).cast("long")
+
+
+def stopword_ratio(text: Column) -> Column:
+    toks = tokens(F.lower(text))
+    n = F.size(toks)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
+    return F.when(n > 0, hits.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def cjk_ratio(text: Column) -> Column:
+    n = F.length(text)
+    cjk = F.regexp_count(text, F.lit(r"[一-鿿]"))
+    return F.when(n > 0, cjk.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def lang_id(text: Column) -> Column:
+    """n-gram-free heuristic language ID: CJK share, then stopword share."""
+    return (
+        F.when(cjk_ratio(text) > 0.25, F.lit("zh"))
+        .when(stopword_ratio(text) >= 0.08, F.lit("en"))
+        .otherwise(F.lit("und"))
+    )
+
+
+def punct_ratio(text: Column) -> Column:
+    n = F.length(text)
+    p = F.regexp_count(text, F.lit(r"[!-/:-@\[-`{-~]"))
+    return F.when(n > 0, p.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def mean_word_len(text: Column) -> Column:
+    toks = tokens(text)
+    n = F.size(toks)
+    total = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+    return F.when(n > 0, total.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """[0,1] heuristic quality: enough length, sane word lengths, some
+    stopwords, not punctuation soup. Deterministic, SQL-oracle-able."""
+    len_term = F.least(F.length(text).cast("double") / F.lit(500.0), F.lit(1.0))
+    wl = mean_word_len(text)
+    wl_term = F.when((wl >= 3.0) & (wl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    sw_term = F.least(stopword_ratio(text) * 4.0, F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(text) * 4.0, F.lit(1.0))
+    return (len_term + wl_term + sw_term + punct_term) / F.lit(4.0)
+
+
+def fingerprint_md5(text: Column, k_words: int = 50) -> Column:
+    """Deterministic doc fingerprint: md5 of the first k whitespace tokens."""
+    head = F.concat_ws(" ", F.slice(tokens(text), 1, k_words))
+    return F.md5(head)
+
+
+_ROLL_P = 2**31 - 1
+
+
+def fingerprint_rolling(text: Column) -> Column:
+    """Polynomial rolling hash over word hashes (Rabin-Karp style): order-
+    sensitive, xxhash64-based — JVM-only (no SQL oracle; rows-only check)."""
+    toks = tokens(text)
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: F.pmod(acc * 31 + F.pmod(F.xxhash64(t), F.lit(_ROLL_P)), F.lit(_ROLL_P)),
+    )

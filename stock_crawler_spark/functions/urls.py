@@ -104,6 +104,13 @@ def salted_shard(domain: Column, url_canon: Column, n_shards: int, hot_domains: 
     return F.when(hot_domains, F.pmod(base + salt, F.lit(n_shards)).cast("int")).otherwise(base)
 
 
+def proxy_rewrite(url: Column, proxy_prefix: str) -> Column:
+    """P4 — proxy URL rewrite (internal/app/crawler/proxy.go:37-50): wrap the
+    target url, query-escaped, into a proxy-API url. JVM url_encode matches
+    Go's url.QueryEscape for the characters crawl urls contain."""
+    return F.concat(F.lit(proxy_prefix), F.lit("&url="), F.url_encode(url))
+
+
 def with_url_columns(df, url_col: str = "url", n_shards: int = 64):
     """Attach url_canon / url_hash / host / domain / shard in one projection."""
     u = F.col(url_col)

@@ -1,0 +1,1 @@
+"""Crawl-engine operators (Spark-first: windows, joins, Arrow UDFs)."""

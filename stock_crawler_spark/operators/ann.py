@@ -1,0 +1,128 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Two physical strategies for the same logical top-k-by-cosine query:
+
+  brute_force_topk  exact: query x corpus join + per-query window top-k.
+                    The corpus side streams (no collect); right for small
+                    query batches or as the rerank stage.
+  ivf_topk          scale path: deterministic IVF — centroids are a fixed
+                    stride sample of the corpus, every vector is assigned
+                    to its nearest centroid (one narrow pass vs a
+                    broadcast centroid table), queries probe the nprobe
+                    nearest centroid cells only, then exact-rerank inside
+                    the probed cells. Search cost drops ~C/nprobe-fold;
+                    recall tested against brute force.
+
+Dot products run as zip_with + aggregate — JVM higher-order functions, no
+Python. Embeddings are array<float>; math is double for stability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(u, v):
+    return F.aggregate(
+        F.zip_with(u, v, lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(u):
+    return F.sqrt(_dot(u, u))
+
+
+def cosine(u, v):
+    return _dot(u, v) / (_norm(u) * _norm(v))
+
+
+def brute_force_topk(
+    queries: DataFrame, corpus: DataFrame, k: int = 5,
+    qid: str = "vec_id", cid: str = "vec_id", emb: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query. queries is expected to be small
+    (broadcast side); corpus streams through one stage."""
+    q = queries.select(F.col(qid).alias("query_id"), F.col(emb).alias("q_emb"))
+    c = corpus.select(F.col(cid).alias("cand_id"), F.col(emb).alias("c_emb"))
+    scored = F.broadcast(q).crossJoin(c).withColumn(
+        "cos", cosine(F.col("q_emb"), F.col("c_emb"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos", "rank")
+    )
+
+
+def build_ivf(corpus: DataFrame, n_cells: int = 16,
+              cid: str = "vec_id", emb: str = "embedding"):
+    """-> (centroids_df, assigned_df). Centroids = the n_cells corpus rows
+    with the smallest ids (deterministic sample; a production build runs a
+    few k-means refinement passes with the same join shape)."""
+    cents = (
+        corpus.orderBy(F.asc(cid)).limit(n_cells)
+        .select(
+            (F.row_number().over(Window.orderBy(F.asc(cid))) - 1).alias("cell"),
+            F.col(emb).alias("cent_emb"),
+        )
+    )
+    c = corpus.select(F.col(cid).alias("cand_id"), F.col(emb).alias("c_emb"))
+    scored = c.crossJoin(F.broadcast(cents)).withColumn(
+        "cos", cosine(F.col("c_emb"), F.col("cent_emb"))
+    )
+    w = Window.partitionBy("cand_id").orderBy(F.desc("cos"), F.asc("cell"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cand_id", "c_emb", "cell")
+    )
+    return cents, assigned
+
+
+def ivf_topk(
+    queries: DataFrame, corpus: DataFrame, k: int = 5, n_cells: int = 16,
+    nprobe: int = 4, qid: str = "vec_id", cid: str = "vec_id", emb: str = "embedding",
+) -> DataFrame:
+    """IVF-bucketed ANN: probe the nprobe nearest cells, exact rerank inside."""
+    cents, assigned = build_ivf(corpus, n_cells, cid, emb)
+    q = queries.select(F.col(qid).alias("query_id"), F.col(emb).alias("q_emb"))
+    qc = q.crossJoin(F.broadcast(cents)).withColumn(
+        "cos_c", cosine(F.col("q_emb"), F.col("cent_emb"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cos_c"), F.asc("cell"))
+    probes = (
+        qc.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "q_emb", "cell")
+    )
+    scored = probes.join(assigned, "cell").withColumn(
+        "cos", cosine(F.col("q_emb"), F.col("c_emb"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos", "rank")
+    )
+
+
+def embedding_neardup_pairs(
+    vectors: DataFrame, threshold: float = 0.95, n_cells: int = 16,
+    vid: str = "vec_id", emb: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate vector pairs (cosine >= threshold), blocked by IVF cell
+    so the self-join is per-cell, not all-pairs."""
+    _, assigned = build_ivf(vectors, n_cells, vid, emb)
+    a = assigned.select(F.col("cand_id").alias("id_a"), F.col("c_emb").alias("e_a"), "cell")
+    b = assigned.select(F.col("cand_id").alias("id_b"), F.col("c_emb").alias("e_b"), "cell")
+    return (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine(F.col("e_a"), F.col("e_b")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

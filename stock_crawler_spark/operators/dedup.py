@@ -1,0 +1,234 @@
+"""Deduplication operators for web-scale corpora.
+
+The reference's only dedup is the Redis seen-set subtraction (P3); a
+training-data pipeline needs content dedup too. All operators here are
+declarative DataFrame ops (explode/join/window/groupBy) — the shuffles are
+keyed by shingle/band/bucket so they scale horizontally, and nothing
+collects to the driver.
+
+  exact_dedup          hash-groupBy on md5(text)
+  ngram_jaccard_pairs  exact n-gram Jaccard over a shingle self-join
+  minhash_signatures   K-perm MinHash (md5-derived shingle hash, linear perms)
+  minhash_lsh_pairs    banded LSH candidates + exact Jaccard verify
+  simhash              32-bit SimHash per doc + hamming-distance pairs
+  embedding_neardup    cosine > threshold pairs (see ann.py for the join)
+
+MinHash/SimHash base hashing is md5-prefix-derived (not xxhash64) so the
+DuckDB oracle can reproduce bit-identical signatures in pure SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# --- shared shingling ---------------------------------------------------------
+
+
+def word_shingles(text, n: int = 3):
+    """Distinct word n-grams of lowercased whitespace tokens (array col)."""
+    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    k = F.size(toks) - (n - 1)
+    return F.when(k <= 0, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), k), lambda i: F.concat_ws(" ", F.slice(toks, i, n))
+            )
+        )
+    )
+
+
+def _md5_hash60(col):
+    """First 15 hex chars of md5 as a non-negative int64 — reproducible in
+    DuckDB SQL, unlike xxhash64 (which has no DuckDB twin)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+# --- exact ---------------------------------------------------------------------
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One survivor (min id) per exact text hash + the group size."""
+    h = docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
+    return h.groupBy("text_hash").agg(
+        F.min(id_col).alias("keep_id"),
+        F.count(F.lit(1)).alias("n_dups"),
+    )
+
+
+# --- exact n-gram Jaccard -------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All doc pairs (a<b) with n-gram Jaccard >= threshold.
+
+    shuffle plan: explode shingles -> self-join keyed BY SHINGLE (never the
+    full doc cross-product) -> count intersections -> join the two per-doc
+    set sizes (broadcastable aggregate).
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc"), F.explode(word_shingles(F.col(text_col), n)).alias("s")
+    )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc").alias("doc_a"), "s")
+    b = sh.select(F.col("doc").alias("doc_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    j = (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return j.select("doc_a", "doc_b", "jaccard")
+
+
+# --- MinHash + LSH --------------------------------------------------------------
+
+# 2^31-1: small enough that a*h never overflows int64 under ANSI arithmetic
+# (a < 2^31, h reduced mod P < 2^31 -> product < 2^62) in Spark AND DuckDB.
+_MH_PRIME = 2147483647
+
+
+def _perm_constants(k: int, seed: int = 42):
+    """Deterministic (a, b) pairs, identical in engine and SQL oracle."""
+    import random
+
+    rnd = random.Random(seed)
+    return [(rnd.randrange(1, 2**31 - 1), rnd.randrange(0, 2**31 - 1)) for _ in range(k)]
+
+
+def minhash_signatures(
+    docs: DataFrame, k: int = 32, n: int = 3,
+    id_col: str = "doc_id", text_col: str = "text", seed: int = 42,
+) -> DataFrame:
+    """-> (doc, sig array<long>): sig[i] = min over shingles of
+    (a_i * h60(shingle) + b_i) mod (2^61-1)."""
+    perms = _perm_constants(k, seed)
+    sh = docs.select(
+        F.col(id_col).alias("doc"), F.explode(word_shingles(F.col(text_col), n)).alias("s")
+    ).withColumn("h", F.pmod(_md5_hash60(F.col("s")), F.lit(_MH_PRIME)))
+    aggs = [
+        F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_MH_PRIME))).alias(f"mh{i}")
+        for i, (a, b) in enumerate(perms)
+    ]
+    sig = sh.groupBy("doc").agg(*aggs)
+    return sig.select("doc", F.array(*[F.col(f"mh{i}") for i in range(k)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, k: int = 32, bands: int = 8, n: int = 3,
+    threshold: float = 0.5, id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """Banded-LSH candidate pairs, verified with exact Jaccard >= threshold.
+
+    band key = md5 of the band's signature slice; candidates join only
+    within (band_idx, band_key) buckets -> no all-pairs shuffle.
+    """
+    rows_per_band = k // bands
+    sig = minhash_signatures(docs, k=k, n=n, id_col=id_col, text_col=text_col)
+    bands_df = sig.select(
+        "doc",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            ",", *[F.col("sig")[i] for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    a = bands_df.select(F.col("doc").alias("doc_a"), "band_idx", "band_key")
+    b = bands_df.select(F.col("doc").alias("doc_b"), "band_idx", "band_key")
+    cands = (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(docs, threshold=0.0, n=n, id_col=id_col, text_col=text_col)
+    return (
+        cands.join(exact, ["doc_a", "doc_b"], "inner")
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# --- SimHash --------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """32-bit SimHash over distinct lowercased words (md5-derived word hash).
+
+    bit b of the hash = sign of sum over words of (+1 if word-hash bit b
+    else -1); computed as 32 conditional sums in one aggregation pass
+    (whole-stage codegen; no Python)."""
+    w = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+        ).alias("w"),
+    ).withColumn("h", _md5_hash60(F.col("w")))
+    bit_sums = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"b{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = w.groupBy("doc").agg(*bit_sums)
+    hash_expr = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        hash_expr = term if hash_expr is None else hash_expr + term
+    return agg.select("doc", hash_expr.cast("long").alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
+                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, blocked on 4 hash chunks
+    (pigeonhole: distance <= 3 guarantees one identical 8-bit chunk)."""
+    sh = simhash(docs, id_col, text_col)
+    chunks = sh.select(
+        "doc", "simhash",
+        F.posexplode(
+            F.array(*[
+                F.shiftrightunsigned(F.col("simhash"), 8 * c).bitwiseAND(F.lit(0xFF))
+                for c in range(4)
+            ])
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    a = chunks.select(F.col("doc").alias("doc_a"), F.col("simhash").alias("h_a"),
+                      "chunk_idx", "chunk_val")
+    b = chunks.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("h_b"),
+                      "chunk_idx", "chunk_val")
+    cands = (
+        a.join(b, ["chunk_idx", "chunk_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "h_a", "h_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return cands.withColumn("hamming", ham).filter(
+        F.col("hamming") <= max_hamming
+    ).select("doc_a", "doc_b", "hamming")

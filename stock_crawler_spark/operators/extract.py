@@ -1,0 +1,123 @@
+"""Fetch + vectorized text extraction (reference S3/X1-X5/P8).
+
+Fetch: the sandbox has no network, so the fetch stage is a join of the
+scheduled urls against the Common-Crawl-style ``pages`` table (pluggable —
+a live deployment swaps in an async-HTTP mapInPandas stage with the same
+output schema; the reference's fetcher is link_fetcher.go:46-98).
+
+Extract: one mapInPandas pass — Arrow-batched, one Python call per batch —
+running the strategy dispatch (parsers/dispatch.py). Output ``text`` is the
+byte-identity JSON-lines contract; ``hidden_csv`` carries the concentration
+period indexes for the A1 merge; ``parse_error`` keeps the reference's
+tolerated-empty semantics (parser.go:110-116) as data instead of logs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType, LongType, StringType, StructField, StructType,
+)
+
+from stock_crawler_spark.functions.urls import canonicalize_url
+from stock_crawler_spark.parsers.dispatch import parse_payload
+
+EXTRACT_SCHEMA = StructType(
+    [
+        StructField("url_canon", StringType()),
+        StructField("warc_ts_ms", LongType()),
+        StructField("text", StringType()),
+        StructField("hidden_csv", StringType()),
+        StructField("n_records", IntegerType()),
+        StructField("parse_error", StringType()),
+    ]
+)
+
+
+def dedup_pages(pages: DataFrame) -> DataFrame:
+    """~5% of page urls have multiple snapshots; keep the latest warc_ts
+    (ties: first by url) — one deterministic row per canonical url."""
+    p = pages.withColumn("url_canon", canonicalize_url(F.col("url")))
+    w = Window.partitionBy("url_canon").orderBy(F.desc("warc_ts"), F.asc("url"))
+    return p.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def fetch_join(scheduled: DataFrame, pages_canon: DataFrame) -> DataFrame:
+    """Scheduled urls -> html via the page store; missing page = fetch miss.
+
+    Left join on url_canon. At scale both sides are huge: this is a shuffle
+    join on the key both tables are bucketed by (AQE handles hot-url skew);
+    broadcast is wrong here and never chosen.
+    """
+    pages_sel = pages_canon.select(
+        F.col("url_canon"), F.col("warc_ts").alias("_warc_ts"), F.col("html").alias("_html")
+    )
+    out = scheduled.join(pages_sel, "url_canon", "left")
+    return out.withColumn("fetched", F.col("_html").isNotNull())
+
+
+def extract_text(fetched: DataFrame) -> DataFrame:
+    """Arrow-batched extraction; input needs (url, url_canon, strategy,
+    query_date, _warc_ts, _html). Returns EXTRACT_SCHEMA keyed by url_canon."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            texts, hiddens, ns, errs, ts = [], [], [], [], []
+            for url, canon, strat, qd, warc, html in zip(
+                pdf["url"], pdf["url_canon"], pdf["strategy"],
+                pdf["query_date"], pdf["_warc_ts"], pdf["_html"],
+            ):
+                text, hidden, n, err = parse_payload(url, html, strat, qd or "")
+                texts.append(text)
+                hiddens.append(hidden)
+                ns.append(n)
+                errs.append(err)
+                ts.append(int(warc.value // 10**6) if warc is not None and not pd.isna(warc) else 0)
+            yield pd.DataFrame(
+                {
+                    "url_canon": pdf["url_canon"],
+                    "warc_ts_ms": pd.Series(ts, dtype="int64"),
+                    "text": texts,
+                    "hidden_csv": hiddens,
+                    "n_records": pd.Series(ns, dtype="int32"),
+                    "parse_error": errs,
+                }
+            )
+
+    cols = ["url", "url_canon", "strategy", "query_date", "_warc_ts", "_html"]
+    return fetched.filter(F.col("fetched")).select(*cols).mapInPandas(_run, EXTRACT_SCHEMA)
+
+
+def concentration_records(extracted: DataFrame, scheduled: DataFrame) -> DataFrame:
+    """Page-level concentration records for the A1 merge — JVM-side parse of
+    the extractor's own JSON lines (from_json; no second Python pass)."""
+    rec_schema = (
+        "stockId string, exchangeDate string, sumBuyShares long, "
+        "sumSellShares long, avgBuyPrice float, avgSellPrice float"
+    )
+    conc = scheduled.filter(F.col("strategy") == "concentration").select(
+        "url_canon", "round_id"
+    )
+    e = extracted.join(conc, "url_canon", "inner").filter(F.col("n_records") > 0)
+    lines = e.select(
+        "url_canon",
+        "round_id",
+        F.posexplode(F.split(F.col("text"), "\n")).alias("pos", "line"),
+        F.split(F.col("hidden_csv"), ",").alias("_hiddens"),
+    )
+    lines = lines.withColumn("hidden", F.element_at(F.col("_hiddens"), F.col("pos") + 1))
+    rec = lines.withColumn("r", F.from_json(F.col("line"), rec_schema))
+    return rec.select(
+        F.col("r.stockId").alias("stock_id"),
+        F.col("r.exchangeDate").alias("date"),
+        F.col("hidden").cast("int").alias("hidden"),
+        F.col("r.sumBuyShares").alias("sum_buy"),
+        F.col("r.sumSellShares").alias("sum_sell"),
+        F.col("line"),
+        "url_canon",
+        "round_id",
+    )

@@ -1,0 +1,182 @@
+"""Numpy-vectorized approximate membership filters (bloom + cuckoo).
+
+The reference's URL-seen set is a Redis set with SAdd/SMembers + 6h TTL
+(internal/cache/redis.go:32-38, services/entities.go:171-191). At 10^10
+URLs a central KV breaks down, so the engine shards the seen set by the
+frontier's domain-hash shard and keeps one compact filter per shard:
+
+  - bloom: fastest probe, no deletes (TTL handled by snapshot predicate)
+  - cuckoo: supports delete -> true TTL expiry of url_hashes
+
+Keys are the engine's xxhash64(url_canon) (already 64-bit uniform), so the
+filters derive their k probe positions with a splitmix64 remix — no string
+hashing in Python, and every operation is numpy-vectorized over Arrow
+batches (no per-row Python).
+
+At 10^10 keys / 1% fpp a bloom seen-set is ~12 GB total — viable only
+because it stays sharded and co-partitioned with the frontier; the driver
+only ever sees the shard blobs it broadcasts (SURVEY.md §7 watch-list).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+_U64 = np.uint64
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = (x + _U64(0x9E3779B97F4A7C15)).astype(_U64)
+    x ^= x >> _U64(30)
+    x = (x * _U64(0xBF58476D1CE4E5B9)).astype(_U64)
+    x ^= x >> _U64(27)
+    x = (x * _U64(0x94D049BB133111EB)).astype(_U64)
+    x ^= x >> _U64(31)
+    return x
+
+
+def _as_u64(hashes) -> np.ndarray:
+    return np.asarray(hashes, dtype=np.int64).view(np.uint64)
+
+
+class NumpyBloom:
+    """Standard (h1 + i*h2) double-hashing bloom over a numpy bit array."""
+
+    MAGIC = b"BLM1"
+
+    def __init__(self, n_items: int, fpp: float = 0.01):
+        n = max(1, n_items)
+        m = max(64, int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))))
+        self.m = m
+        self.k = max(1, int(round(m / n * math.log(2))))
+        self.fpp = fpp
+        self.bits = np.zeros((m + 7) // 8, dtype=np.uint8)
+
+    def add_many(self, hashes) -> None:
+        h = _as_u64(hashes)
+        if h.size == 0:
+            return
+        h1, h2 = h, _splitmix64(h)
+        for i in range(self.k):
+            idx = (h1 + _U64(i) * h2) % _U64(self.m)
+            np.bitwise_or.at(self.bits, (idx // _U64(8)).astype(np.int64),
+                             np.left_shift(np.uint8(1), (idx % _U64(8)).astype(np.uint8)))
+
+    def contains_many(self, hashes) -> np.ndarray:
+        h = _as_u64(hashes)
+        if h.size == 0:
+            return np.zeros(0, dtype=bool)
+        h1, h2 = h, _splitmix64(h)
+        out = np.ones(h.size, dtype=bool)
+        for i in range(self.k):
+            idx = (h1 + _U64(i) * h2) % _U64(self.m)
+            byte = self.bits[(idx // _U64(8)).astype(np.int64)]
+            bit = np.right_shift(byte, (idx % _U64(8)).astype(np.uint8)) & np.uint8(1)
+            out &= bit.astype(bool)
+        return out
+
+    def to_bytes(self) -> bytes:
+        header = self.MAGIC + np.array([self.m, self.k], dtype="<u8").tobytes()
+        return header + self.bits.tobytes()
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "NumpyBloom":
+        assert blob[:4] == cls.MAGIC
+        m, k = np.frombuffer(blob[4:20], dtype="<u8")
+        obj = cls.__new__(cls)
+        obj.m, obj.k, obj.fpp = int(m), int(k), float("nan")
+        obj.bits = np.frombuffer(blob[20:], dtype=np.uint8).copy()
+        return obj
+
+
+class NumpyCuckoo:
+    """(2,4)-cuckoo filter with 16-bit fingerprints — supports delete, the
+    TTL-expiry fallback the bloom can't do (BASELINE.json north_star)."""
+
+    MAGIC = b"CKF1"
+    SLOTS = 4
+    MAX_KICKS = 500
+
+    def __init__(self, n_items: int):
+        n_buckets = 1
+        while n_buckets * self.SLOTS * 0.95 < max(1, n_items):
+            n_buckets *= 2
+        self.n_buckets = n_buckets
+        self.table = np.zeros((n_buckets, self.SLOTS), dtype=np.uint16)
+        # deterministic eviction cursor (no randomness: resume-safe)
+        self._kick = 0
+
+    def _fp_and_buckets(self, hashes):
+        h = _as_u64(hashes)
+        fp = ((h & _U64(0xFFFF)) | _U64(1)).astype(np.uint16)  # never 0
+        b1 = (h >> _U64(16)) % _U64(self.n_buckets)
+        b2 = (b1 ^ _splitmix64(fp.astype(_U64))) % _U64(self.n_buckets)
+        return fp, b1.astype(np.int64), b2.astype(np.int64)
+
+    def add_many(self, hashes) -> int:
+        """Insert; returns number that failed (filter too full)."""
+        fp, b1, b2 = self._fp_and_buckets(hashes)
+        failed = 0
+        for f, x, y in zip(fp, b1, b2):
+            if not self._insert_one(np.uint16(f), int(x), int(y)):
+                failed += 1
+        return failed
+
+    def _insert_one(self, f, b1, b2) -> bool:
+        for b in (b1, b2):
+            row = self.table[b]
+            empty = np.nonzero(row == 0)[0]
+            if empty.size:
+                row[empty[0]] = f
+                return True
+        # evict deterministically
+        b = b1
+        for _ in range(self.MAX_KICKS):
+            slot = self._kick % self.SLOTS
+            self._kick += 1
+            f, self.table[b, slot] = self.table[b, slot], f
+            b = int((b ^ int(_splitmix64(np.array([f], dtype=_U64))[0])) % self.n_buckets)
+            row = self.table[b]
+            empty = np.nonzero(row == 0)[0]
+            if empty.size:
+                row[empty[0]] = f
+                return True
+        return False
+
+    def contains_many(self, hashes) -> np.ndarray:
+        fp, b1, b2 = self._fp_and_buckets(hashes)
+        in1 = (self.table[b1] == fp[:, None]).any(axis=1)
+        in2 = (self.table[b2] == fp[:, None]).any(axis=1)
+        return in1 | in2
+
+    def delete_many(self, hashes) -> int:
+        """Remove one copy of each fingerprint; returns count deleted."""
+        fp, b1, b2 = self._fp_and_buckets(hashes)
+        deleted = 0
+        for f, x, y in zip(fp, b1, b2):
+            for b in (int(x), int(y)):
+                row = self.table[b]
+                hit = np.nonzero(row == f)[0]
+                if hit.size:
+                    row[hit[0]] = 0
+                    deleted += 1
+                    break
+        return deleted
+
+    def to_bytes(self) -> bytes:
+        header = self.MAGIC + np.array([self.n_buckets], dtype="<u8").tobytes()
+        return header + self.table.tobytes()
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "NumpyCuckoo":
+        assert blob[:4] == cls.MAGIC
+        (n_buckets,) = np.frombuffer(blob[4:12], dtype="<u8")
+        obj = cls.__new__(cls)
+        obj.n_buckets = int(n_buckets)
+        obj.table = (
+            np.frombuffer(blob[12:], dtype=np.uint16).reshape(obj.n_buckets, cls.SLOTS).copy()
+        )
+        obj._kick = 0
+        return obj

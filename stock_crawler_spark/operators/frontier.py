@@ -1,0 +1,164 @@
+"""Frontier initialization + per-round dequeue (reference S1/S2/P1/P2/C2).
+
+The reference materializes an in-memory []*Link per round
+(internal/app/handlers/downloader.go:59-83); at 10^10 URLs the frontier is
+a partitioned table instead. Everything here is declarative DataFrame ops:
+fan-out = explode over a literal array (P1, entities.go:221-224), holiday
+filter = broadcast anti-join (P2, services/skip.go:25-34), robots deny =
+broadcast join + exists() over prefix rules, dequeue = one window per
+domain (C2's token bucket computed as data).
+
+Canonical dispatch order is (priority desc, host asc, url asc) — the
+reference's intra-round order is partially nondeterministic (Go map
+iteration, helper.go:314-320), so SURVEY.md §3 pins this contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from stock_crawler_spark.functions.urls import with_url_columns
+
+EPOCH0 = "2023-03-01 00:00:00"  # fixed round-0 clock (no wall time anywhere)
+
+CONCENTRATION_PAGES = [1, 2, 3, 4, 6]  # services/entities.go:221-224
+
+# frontier states
+PENDING, FAILED, DONE, DEAD, DENIED, HOLIDAY = (
+    "pending", "failed", "done", "dead", "denied", "holiday",
+)
+
+
+def expand_seeds(seeds: DataFrame) -> DataFrame:
+    """Concentration seeds fan out x5 page indexes (P1); others pass through.
+
+    Seed url for concentration is the ``_1.djhtm`` page; the base is the url
+    minus its ``_{n}.djhtm`` suffix.
+    """
+    conc = seeds.filter(F.col("strategy") == "concentration")
+    rest = seeds.filter(F.col("strategy") != "concentration")
+
+    base = F.regexp_replace(F.col("url"), r"_\d\.djhtm$", "")
+    conc = (
+        conc.withColumn("page_n", F.explode(F.array(*[F.lit(n) for n in CONCENTRATION_PAGES])))
+        .withColumn("url", F.concat(base, F.lit("_"), F.col("page_n"), F.lit(".djhtm")))
+        .drop("page_n")
+    )
+    return rest.unionByName(conc)
+
+
+def init_frontier(
+    seeds: DataFrame,
+    robots: DataFrame,
+    skip_dates: DataFrame,
+    n_shards: int = 64,
+) -> DataFrame:
+    """Seeds -> deduped, classified frontier table at round 0.
+
+    - canonical-duplicate collapse: keep highest priority (ties: min url)
+    - robots deny prefixes -> state 'denied' (never scheduled)
+    - holiday crawl_date -> state 'holiday' (reference P2 skips the round)
+    - everything else 'pending'
+    """
+    f = with_url_columns(expand_seeds(seeds), n_shards=n_shards)
+
+    # one row per canonical url: max priority, ties broken by url string
+    w = Window.partitionBy("url_canon").orderBy(F.desc("priority"), F.asc("url"))
+    f = f.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+    # robots deny: broadcast the (tiny vs frontier) rule table, prefix match
+    path = F.regexp_replace(
+        F.col("url_canon"), r"^[a-z]+://[^/]+", ""
+    )
+    rules = F.broadcast(robots.select("domain", "deny", "crawl_delay_ms", "max_per_round"))
+    f = f.join(rules, "domain", "left").withColumn("_path", path)
+    denied = F.exists(
+        F.coalesce(F.col("deny"), F.array()),
+        lambda p: F.col("_path").startswith(p),
+    )
+
+    holidays = F.broadcast(skip_dates.select(F.col("crawl_date").alias("_skip_date")))
+    f = f.join(holidays, f["crawl_date"] == holidays["_skip_date"], "left")
+
+    f = f.withColumn(
+        "state",
+        F.when(F.col("_skip_date").isNotNull(), F.lit(HOLIDAY))
+        .when(denied, F.lit(DENIED))
+        .otherwise(F.lit(PENDING)),
+    ).drop("_path", "_skip_date", "deny")
+
+    return f.select(
+        "url", "url_canon", "url_hash", "host", "domain", "shard",
+        "priority", "strategy", "stock_id", "crawl_date", "query_date",
+        "state",
+        F.lit(0).alias("retry_count"),
+        F.lit(EPOCH0).cast("timestamp").alias("next_attempt_ts"),
+        F.lit(0).alias("round_id"),
+        F.coalesce(F.col("crawl_delay_ms"), F.lit(1000)).alias("crawl_delay_ms"),
+        F.coalesce(F.col("max_per_round"), F.lit(2**31 - 1)).alias("max_per_round"),
+    )
+
+
+def dequeue(
+    candidates: DataFrame,
+    round_budget_ms: int,
+    n_salts: int = 1,
+    scheduled_only: bool = False,
+) -> DataFrame:
+    """Politeness dequeue: top-k ready urls per domain under the token-bucket
+    budget.
+
+    The reference admits one fetch per rate-limit tick (stage.go:156) with a
+    per-round per-stock cap (the 5-page fan-out) — as data this is:
+      cap(domain) = max(1, min(max_per_round, round_budget_ms / crawl_delay_ms))
+    Returns the input rows + ``_scheduled`` bool.
+
+    Hot-domain skew: a single window partitioned by domain makes the top
+    domain's rows sort in ONE task (a 10^10 frontier has domains with 10^8
+    urls). With ``n_salts`` > 1 an EXACT two-phase top-k runs first: a
+    window over (domain, salt) keeps each salt-group's top-cap — a strict
+    superset of the global per-domain top-cap — shrinking the hot domain
+    from |domain| rows to n_salts*cap before the per-domain window. Same
+    result set, measured 2-3x scaling improvement (see bench.py).
+    """
+    cap = F.greatest(
+        F.lit(1),
+        F.least(
+            F.col("max_per_round").cast("long"),
+            (F.lit(round_budget_ms) / F.col("crawl_delay_ms")).cast("long"),
+        ),
+    )
+    w_dom = Window.partitionBy("domain").orderBy(F.desc("priority"), F.asc("url"))
+    if n_salts <= 1:
+        out = candidates.withColumn("_dom_rank", F.row_number().over(w_dom)).withColumn(
+            "_scheduled", F.col("_dom_rank") <= cap
+        ).drop("_dom_rank")
+        return out.filter(F.col("_scheduled")) if scheduled_only else out
+
+    salt = F.pmod(F.xxhash64(F.col("url")), F.lit(n_salts))
+    w_salt = Window.partitionBy("domain", salt).orderBy(F.desc("priority"), F.asc("url"))
+    pruned = candidates.withColumn("_salt_rank", F.row_number().over(w_salt))
+    pruned = pruned.filter(F.col("_salt_rank") <= cap).drop("_salt_rank")
+    topk = pruned.withColumn("_dom_rank", F.row_number().over(w_dom)).filter(
+        F.col("_dom_rank") <= cap
+    ).drop("_dom_rank")
+    if scheduled_only:
+        return topk.withColumn("_scheduled", F.lit(True))
+    # deferred rows = candidates minus the scheduled set (join-back restores
+    # the phase-1-pruned rows so the caller still sees every candidate)
+    return candidates.join(
+        topk.select("url_canon").withColumn("_scheduled", F.lit(True)),
+        "url_canon",
+        "left",
+    ).withColumn("_scheduled", F.coalesce(F.col("_scheduled"), F.lit(False)))
+
+
+def with_dispatch_seq(scheduled: DataFrame) -> DataFrame:
+    """Global dispatch sequence under the canonical order — golden-trace
+    parity only. A single-partition window is fine at trace scale; at 10^10
+    the contract is per-domain order (dispatch is parallel anyway), so the
+    production round never runs this.
+    """
+    w = Window.orderBy(F.desc("priority"), F.asc("host"), F.asc("url"))
+    return scheduled.withColumn("seq", F.row_number().over(w) - 1)

@@ -1,0 +1,71 @@
+"""A1 — the 5-page stake-concentration merge, as pure JVM aggregation.
+
+Reference: broadcastor.go:60-75 buffers per-stock pages until 5 arrive,
+then entity.MapReduceStakeConcentration (stakeconcentration.go:40-64)
+emits one record: base = the hidden-index-0 page, Diff[i] = int32(uint64
+subtraction) of page i's SumBuy-SumSell; groups missing index 0 are
+dropped.
+
+Spark-first: groupBy(stock_id, date) + collect_list(struct) + array
+lambdas — whole-stage codegen, no Python, no streaming state (all 5 pages
+of a stock are scheduled in the same crawl, SURVEY.md §2 A1). The merged
+JSON line is produced by splicing the diff array into the base page's
+already-byte-exact line, so merged output keeps byte identity without
+re-serializing floats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PAGE_COUNT = 5  # broadcastor.go:13
+
+
+def _wrap32(col):
+    """Go's int32(uint64 subtraction): two's-complement truncation to 32 bits."""
+    return (F.pmod(col + F.lit(2**31), F.lit(2**32)) - F.lit(2**31)).cast("long")
+
+
+def merge_concentration(records: DataFrame) -> DataFrame:
+    """records(stock_id, date, hidden, sum_buy, sum_sell, line, round_id)
+    -> one merged row per complete (stock_id, date) group."""
+    g = records.groupBy("stock_id", "date").agg(
+        F.collect_list(
+            F.struct("hidden", "sum_buy", "sum_sell", "line", "round_id")
+        ).alias("recs")
+    )
+    # complete = all five period indexes present, incl. the base index 0
+    hidden_set = F.array_distinct(F.transform(F.col("recs"), lambda r: r["hidden"]))
+    g = g.filter(
+        (F.size(hidden_set) == PAGE_COUNT)
+        & F.array_contains(hidden_set, F.lit(0))
+    )
+
+    # per index i: the record with hidden == i, latest round wins (the
+    # reference overwrites in arrival order)
+    def pick(i: int):
+        matches = F.filter(F.col("recs"), lambda r: r["hidden"] == F.lit(i))
+        latest = F.array_sort(
+            matches, lambda a, b: F.when(a["round_id"] < b["round_id"], -1)
+            .when(a["round_id"] > b["round_id"], 1)
+            .otherwise(0),
+        )
+        return F.element_at(latest, -1)
+
+    picked = [pick(i) for i in range(PAGE_COUNT)]
+    diffs = F.array(*[_wrap32(p["sum_buy"] - p["sum_sell"]) for p in picked])
+    base_line = picked[0]["line"]
+    merged_line = F.regexp_replace(
+        base_line,
+        '"diff":null',
+        F.concat(F.lit('"diff":['), F.concat_ws(",", diffs), F.lit("]")),
+    )
+    done_round = F.array_max(F.transform(F.col("recs"), lambda r: r["round_id"]))
+    return g.select(
+        "stock_id",
+        "date",
+        merged_line.alias("line"),
+        diffs.alias("diff"),
+        done_round.alias("merged_round"),
+    )

@@ -1,0 +1,135 @@
+"""Multimodal (image/audio/video) columns as opaque binary + typed metadata.
+
+The container has no codec libraries, so the DECODE step is stubbed two
+ways — ``NotImplementedError`` for real codecs, and a deterministic fake
+format ("SYN1" header) that exercises the full Spark plumbing: binary
+columns through Arrow batches, mapInPandas schemas, batch shapes, and
+partition-preserving transforms. A production build swaps `_decode_real`
+for PIL/ffmpeg and nothing else changes.
+
+Fake payload format (what the fixture generator emits):
+  b"SYN1" | u16 width | u16 height | u8 channels | payload bytes
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType, BinaryType, FloatType, IntegerType, LongType,
+    StringType, StructField, StructType,
+)
+
+MAGIC = b"SYN1"
+
+META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("n_bytes", LongType()),
+        StructField("format", StringType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("feature", ArrayType(FloatType())),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def encode_fake(media_id: int, width: int, height: int, channels: int = 3) -> bytes:
+    """Deterministic fake media blob (fixture side)."""
+    rng = np.random.default_rng(media_id)
+    payload = rng.integers(0, 256, size=width * height * channels, dtype=np.uint8)
+    return MAGIC + struct.pack("<HHB", width, height, channels) + payload.tobytes()
+
+
+def _decode_real(blob: bytes):
+    raise NotImplementedError(
+        "real image/audio decode needs PIL/ffmpeg — not present in this "
+        "container; the SYN1 fake path exercises the identical Spark plumbing"
+    )
+
+
+def _decode_header(blob: bytes):
+    if blob[:4] != MAGIC:
+        return _decode_real(blob)
+    w, h, c = struct.unpack("<HHB", blob[4:9])
+    return w, h, c, blob[9:]
+
+
+def decode_metadata(media: DataFrame, id_col: str = "media_id", blob_col: str = "blob") -> DataFrame:
+    """mapInPandas metadata extraction — one Python call per Arrow batch."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[blob_col]):
+                w, h, c, payload = _decode_header(bytes(blob))
+                rows.append((int(mid), w, h, c, len(blob), "SYN1"))
+            yield pd.DataFrame(rows, columns=[f.name for f in META_SCHEMA.fields])
+
+    return media.select(id_col, blob_col).mapInPandas(_run, META_SCHEMA)
+
+
+def extract_features(media: DataFrame, dim: int = 8,
+                     id_col: str = "media_id", blob_col: str = "blob") -> DataFrame:
+    """Fake feature extractor: per-channel byte histograms folded to `dim`
+    floats — numpy-vectorized per batch, the exact shape a real CNN/CLIP
+    embedding stage would have."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, feats = [], []
+            for mid, blob in zip(pdf[id_col], pdf[blob_col]):
+                _w, _h, _c, payload = _decode_header(bytes(blob))
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                hist = np.bincount(arr % dim, minlength=dim).astype(np.float64)
+                feats.append((hist / max(1, arr.size)).astype(np.float32))
+                ids.append(int(mid))
+            yield pd.DataFrame({"media_id": ids, "feature": feats})
+
+    return media.select(id_col, blob_col).mapInPandas(_run, FEATURE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n: int = 4, frame_bytes: int = 64,
+                  id_col: str = "media_id", blob_col: str = "blob") -> DataFrame:
+    """Frame sampling for video-like payloads: slice every_n-th fixed-size
+    window of the payload as a 'frame' (binary out, 1->N row fan-out)."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, blob in zip(pdf[id_col], pdf[blob_col]):
+                _w, _h, _c, payload = _decode_header(bytes(blob))
+                n_frames = max(1, len(payload) // frame_bytes)
+                for i in range(0, n_frames, every_n):
+                    ids.append(int(mid))
+                    idxs.append(i)
+                    frames.append(payload[i * frame_bytes: (i + 1) * frame_bytes])
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return media.select(id_col, blob_col).mapInPandas(_run, FRAME_SCHEMA)
+
+
+def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Real resize requires a codec — explicit stub (NotImplementedError) so
+    callers hit a clear wall instead of silent wrong output."""
+    raise NotImplementedError("resize needs an image codec (PIL) — stubbed in this container")

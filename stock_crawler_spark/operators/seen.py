@@ -1,0 +1,129 @@
+"""URL-seen set: exact anti-join + sharded bloom/cuckoo prefilter (P3/A3).
+
+The reference subtracts the Redis seen-set from the crawl universe before
+scheduling (internal/app/services/entities.go:205-215, helper.go:302-321)
+and SAdds after publishing (entities.go:151,171-191). Spark-first:
+
+  exact path  — LEFT ANTI JOIN on url_hash, co-partitioned by shard
+  scale path  — per-shard bloom (or cuckoo) filters probed in an Arrow UDF;
+                probable-positives are confirmed with an exact semi-join, so
+                the result is EXACT while the big anti-join shrinks by ~99%
+                (only suspected-seen rows reach the shuffle)
+
+Filter shards are built with applyInPandas (one group per shard — the
+driver never holds the full set) and persisted as blob rows
+``seen_filters(shard, kind, blob, n_items, fpp)``; probing broadcasts only
+the blobs (10^10 keys @1% fpp ≈ 12 GB total — per-shard blobs stay MBs).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType, BooleanType, DoubleType, IntegerType, LongType,
+    StringType, StructField, StructType,
+)
+
+from stock_crawler_spark.operators.filters import NumpyBloom, NumpyCuckoo
+
+FILTERS_SCHEMA = StructType(
+    [
+        StructField("shard", IntegerType()),
+        StructField("kind", StringType()),
+        StructField("blob", BinaryType()),
+        StructField("n_items", LongType()),
+        StructField("fpp", DoubleType()),
+    ]
+)
+
+
+def anti_join_not_seen(candidates: DataFrame, seen: DataFrame) -> DataFrame:
+    """Exact dedup: candidates whose url_hash is not in seen."""
+    return candidates.join(
+        seen.select("url_hash").distinct(), "url_hash", "left_anti"
+    )
+
+
+def build_seen_filters(seen: DataFrame, kind: str = "bloom", fpp: float = 0.01) -> DataFrame:
+    """One filter blob per shard via applyInPandas (grouped, distributed)."""
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["shard"].iloc[0])
+        hashes = pdf["url_hash"].to_numpy()
+        if kind == "bloom":
+            f = NumpyBloom(len(hashes), fpp)
+            f.add_many(hashes)
+        else:
+            f = NumpyCuckoo(len(hashes))
+            f.add_many(hashes)
+        return pd.DataFrame(
+            {
+                "shard": [shard],
+                "kind": [kind],
+                "blob": [f.to_bytes()],
+                "n_items": [len(hashes)],
+                "fpp": [fpp],
+            }
+        )
+
+    return seen.select("shard", "url_hash").groupBy("shard").applyInPandas(
+        _build, schema=FILTERS_SCHEMA
+    )
+
+
+def probe_not_seen(
+    candidates: DataFrame,
+    filters: DataFrame,
+    seen: DataFrame,
+) -> DataFrame:
+    """Bloom-prefiltered EXACT dedup.
+
+    1. broadcast the shard->blob dict to executors
+    2. Arrow-batch probe: might_be_seen(shard, url_hash)
+    3. rows the filter clears are definitely-new (no false negatives)
+    4. suspected rows get the exact semi-join confirmation
+    """
+    spark = candidates.sparkSession
+    blob_rows = filters.select("shard", "kind", "blob").collect()
+    blobs = {r["shard"]: (r["kind"], bytes(r["blob"])) for r in blob_rows}
+    bc = spark.sparkContext.broadcast(blobs)
+
+    @F.pandas_udf(BooleanType())
+    def might_be_seen(shard: pd.Series, url_hash: pd.Series) -> pd.Series:
+        import numpy as np
+
+        local = {}
+        out = np.zeros(len(shard), dtype=bool)
+        sh = shard.to_numpy()
+        uh = url_hash.to_numpy()
+        for s in pd.unique(shard):
+            ent = bc.value.get(int(s))
+            if ent is None:
+                continue
+            kind, blob = ent
+            if s not in local:
+                local[s] = (
+                    NumpyBloom.from_bytes(blob) if kind == "bloom" else NumpyCuckoo.from_bytes(blob)
+                )
+            mask = sh == s
+            out[mask] = local[s].contains_many(uh[mask])
+        return pd.Series(out)
+
+    probed = candidates.withColumn("_maybe_seen", might_be_seen(F.col("shard"), F.col("url_hash")))
+    clear = probed.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
+    suspects = probed.filter(F.col("_maybe_seen")).drop("_maybe_seen")
+    confirmed_new = suspects.join(seen.select("url_hash").distinct(), "url_hash", "left_anti")
+    return clear.unionByName(confirmed_new)
+
+
+def append_seen(seen: DataFrame, newly_done: DataFrame, round_ts) -> DataFrame:
+    """A3: mark scheduled+fetched urls seen (Iceberg MERGE INTO equivalent)."""
+    add = newly_done.select(
+        "url_hash",
+        F.col("url_canon").alias("url"),
+        F.lit(round_ts).cast("timestamp").alias("first_seen_ts"),
+        "shard",
+    )
+    return seen.unionByName(add).dropDuplicates(["url_hash"])

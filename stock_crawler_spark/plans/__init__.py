@@ -1,0 +1,1 @@
+"""Round plans: the per-round batch DAG + checkpointed state store."""

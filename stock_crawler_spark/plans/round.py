@@ -1,0 +1,267 @@
+"""One scheduling round as a single declarative DataFrame job (SURVEY §3).
+
+Per round N (deterministic clock: EPOCH0 + (N-1)*round_interval — the
+engine never reads wall time, so re-runs are byte-stable):
+
+  frontier[N-1] -> ready filter -> seen dedup (anti-join or bloom+confirm)
+  -> politeness dequeue (window per domain) -> fetch (join page store)
+  -> Arrow extract -> concentration records -> A1 merge
+  -> frontier[N] / seen[N] / records[N] / merged[N] / pages_out[N]
+  -> trace[N] / metrics[N] -> atomic manifest commit
+
+The whole round is one lazy plan per output table; Catalyst fuses the
+ready-filter + dedup + dequeue into two shuffles (domain window + fetch
+join) at any scale.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from datetime import datetime, timedelta
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stock_crawler_spark.operators import frontier as fr
+from stock_crawler_spark.operators import seen as seen_ops
+from stock_crawler_spark.operators.extract import (
+    concentration_records, dedup_pages, extract_text, fetch_join,
+)
+from stock_crawler_spark.operators.merge import merge_concentration
+from stock_crawler_spark.plans.state import StateStore
+
+EPOCH0_DT = datetime(2023, 3, 1)
+
+
+@dataclass
+class RoundConfig:
+    round_interval_ms: int = 60_000
+    round_budget_ms: int = 30_000
+    backoff_ms: int = 60_000  # doubles per retry (retry/retry.go:41 analog)
+    max_attempts: int = 3  # pipeline/stage.go:26 defaultRetryTimes
+    n_shards: int = 16
+    dedup_mode: str = "antijoin"  # or "bloom" / "cuckoo"
+    n_salts: int = 1  # >1 = exact two-phase salted dequeue (hot-domain skew)
+    trace: bool = True
+
+
+def round_ts(round_id: int, cfg: RoundConfig) -> datetime:
+    return EPOCH0_DT + timedelta(milliseconds=(round_id - 1) * cfg.round_interval_ms)
+
+
+RECORDS_SCHEMA = (
+    "stock_id string, date string, hidden int, sum_buy long, sum_sell long, "
+    "line string, url_canon string, round_id int"
+)
+TRACE_SCHEMA = "round_id int, seq int, url string, action string"
+
+
+def bootstrap(spark: SparkSession, store: StateStore, seeds, robots, skip_dates, cfg: RoundConfig):
+    """Round 0: init frontier, empty seen/records/merged; commit manifest 0."""
+    f0 = fr.init_frontier(seeds, robots, skip_dates, n_shards=cfg.n_shards)
+    empty_seen = spark.createDataFrame(
+        [], "url_hash long, url string, first_seen_ts timestamp, shard int"
+    )
+    empty_records = spark.createDataFrame([], RECORDS_SCHEMA)
+    empty_merged = spark.createDataFrame(
+        [], "stock_id string, date string, line string, diff array<long>, merged_round int"
+    )
+    info = {
+        "tables": {
+            "frontier": store.write_table(f0, "frontier", 0),
+            "seen": store.write_table(empty_seen, "seen", 0),
+            "records": store.write_table(empty_records, "records", 0),
+            "merged": store.write_table(empty_merged, "merged", 0),
+        }
+    }
+    store.commit_round(0, info)
+    return info
+
+
+def run_round(
+    spark: SparkSession,
+    store: StateStore,
+    pages_canon: DataFrame,
+    round_id: int,
+    cfg: RoundConfig,
+) -> dict:
+    """Execute round N from the committed state of round N-1 (idempotent)."""
+    t0 = time.monotonic()
+    now = round_ts(round_id, cfg)
+    frontier = store.read_table(spark, "frontier", round_id - 1)
+    seen = store.read_table(spark, "seen", round_id - 1)
+    prev_records = store.read_table(spark, "records", round_id - 1)
+
+    candidates = frontier.filter(
+        F.col("state").isin(fr.PENDING, fr.FAILED)
+        & (F.col("next_attempt_ts") <= F.lit(now))
+    )
+
+    # --- dedup against the seen set (P3) ---
+    if cfg.dedup_mode == "antijoin":
+        not_seen = seen_ops.anti_join_not_seen(candidates, seen)
+    else:
+        kind = "bloom" if cfg.dedup_mode == "bloom" else "cuckoo"
+        filters = seen_ops.build_seen_filters(seen, kind=kind)
+        not_seen = seen_ops.probe_not_seen(candidates, filters, seen)
+    deduped = candidates.join(not_seen.select("url_canon"), "url_canon", "left_anti")
+
+    # --- politeness dequeue (C2) ---
+    dq = fr.dequeue(not_seen, cfg.round_budget_ms, n_salts=cfg.n_salts).cache()
+    scheduled = dq.filter(F.col("_scheduled")).drop("_scheduled")
+    deferred = dq.filter(~F.col("_scheduled")).drop("_scheduled")
+    scheduled = scheduled.withColumn("round_id", F.lit(round_id))
+
+    # --- fetch + extract (S3 / X1-X5) ---
+    fetched = fetch_join(scheduled, pages_canon).cache()
+    extracted = extract_text(fetched).cache()
+    ok_fetch = fetched.filter(F.col("fetched"))
+    miss = fetched.filter(~F.col("fetched"))
+
+    new_records = concentration_records(extracted, scheduled)
+    all_records = prev_records.unionByName(new_records)
+
+    # --- A1 merge over everything parsed so far ---
+    merged = merge_concentration(all_records)
+
+    # --- frontier state transitions ---
+    done_keys = ok_fetch.select("url_canon").withColumn("_new_state", F.lit(fr.DONE))
+    miss_keys = miss.select("url_canon").withColumn("_new_state", F.lit("_miss"))
+    dedup_keys = deduped.select("url_canon").withColumn("_new_state", F.lit("deduped"))
+    updates = done_keys.unionByName(miss_keys).unionByName(dedup_keys)
+
+    f = frontier.join(updates, "url_canon", "left")
+    rc = F.col("retry_count")
+    # exponential backoff x2 per retry (retry/retry.go:41)
+    backoff_sec = (F.lit(cfg.backoff_ms / 1000.0) * F.pow(F.lit(2.0), rc.cast("double"))).cast("long")
+    retry_ts = F.timestamp_seconds(
+        F.unix_timestamp(F.lit(now).cast("timestamp")) + backoff_sec
+    )
+    f_next = f.select(
+        *[c for c in frontier.columns if c not in ("state", "retry_count", "next_attempt_ts", "round_id")],
+        F.when(F.col("_new_state") == fr.DONE, F.lit(fr.DONE))
+        .when(F.col("_new_state") == "deduped", F.lit("deduped"))
+        .when(
+            F.col("_new_state") == "_miss",
+            F.when(rc + 1 >= cfg.max_attempts, F.lit(fr.DEAD)).otherwise(F.lit(fr.FAILED)),
+        )
+        .otherwise(F.col("state"))
+        .alias("state"),
+        F.when(F.col("_new_state") == "_miss", rc + 1).otherwise(rc).alias("retry_count"),
+        F.when(F.col("_new_state") == "_miss", retry_ts)
+        .otherwise(F.col("next_attempt_ts"))
+        .alias("next_attempt_ts"),
+        F.when(F.col("_new_state").isNotNull(), F.lit(round_id))
+        .otherwise(F.col("round_id"))
+        .alias("round_id"),
+    )
+
+    # --- seen additions (A3): scheduled + fetched urls ---
+    seen_next = seen_ops.append_seen(seen, ok_fetch, now)
+
+    # --- pages_out: the round's extracted text keyed by canonical url ---
+    pages_out = extracted.join(
+        scheduled.select("url", "url_canon", "strategy", "priority"), "url_canon", "inner"
+    ).select(
+        "url", "url_canon", "strategy", "text", "n_records", "parse_error",
+        F.lit(round_id).alias("round_id"),
+    )
+
+    # --- golden trace (ordering contract) ---
+    if cfg.trace:
+        sched_trace = fr.with_dispatch_seq(scheduled).select(
+            F.lit(round_id).alias("round_id"), "seq", "url", F.lit("scheduled").alias("action")
+        )
+        other = (
+            deduped.select("url").withColumn("action", F.lit("deduped"))
+            .unionByName(deferred.select("url").withColumn("action", F.lit("politeness_deferred")))
+            .unionByName(miss.select("url").withColumn("action", F.lit("failed_retry")))
+            .select(F.lit(round_id).alias("round_id"), F.lit(-1).alias("seq"), "url", "action")
+        )
+        trace = sched_trace.unionByName(other)
+    else:
+        trace = spark.createDataFrame([], TRACE_SCHEMA)
+
+    # --- metrics + per-shard lineage ---
+    n_sched = scheduled.count()
+    n_dedup = deduped.count()
+    n_defer = deferred.count()
+    n_miss = miss.count()
+    n_done = ok_fetch.count()
+    n_empty = extracted.filter(F.col("parse_error") != "").count()
+    shard_lineage = (
+        scheduled.groupBy("shard").count()
+        .select(F.lit(round_id).alias("round_id"), "shard", F.col("count").alias("n_scheduled"))
+    )
+    metrics_rows = [
+        ("scheduled", n_sched), ("deduped", n_dedup), ("politeness_deferred", n_defer),
+        ("fetch_missed", n_miss), ("fetch_ok", n_done), ("empty_parses", n_empty),
+    ]
+    metrics = spark.createDataFrame(
+        [(round_id, k, int(v)) for k, v in metrics_rows], "round_id int, metric string, value long"
+    )
+
+    info = {
+        "tables": {
+            "frontier": store.write_table(f_next, "frontier", round_id),
+            "seen": store.write_table(seen_next, "seen", round_id),
+            "records": store.write_table(all_records, "records", round_id),
+            "merged": store.write_table(merged, "merged", round_id),
+            "pages_out": store.write_table(pages_out, "pages_out", round_id),
+            "trace": store.write_table(trace, "trace", round_id),
+            "metrics": store.write_table(metrics, "metrics", round_id),
+        },
+        "metrics": dict(metrics_rows),
+        "shard_lineage": [r.asDict() for r in shard_lineage.collect()],
+        "wall_sec": round(time.monotonic() - t0, 3),
+    }
+    store.commit_round(round_id, info)
+    dq.unpersist()
+    fetched.unpersist()
+    extracted.unpersist()
+    return info
+
+
+def run_crawl(
+    spark: SparkSession,
+    state_dir: str,
+    seeds: DataFrame,
+    robots: DataFrame,
+    skip_dates: DataFrame,
+    pages: DataFrame,
+    cfg: RoundConfig | None = None,
+    max_rounds: int = 12,
+    resume: bool = False,
+    wall_budget_sec: float | None = None,
+) -> dict:
+    """Full crawl loop (driver-side round scheduler, reference C5/C6).
+
+    With ``resume=True`` continues from the last committed round — the
+    kill-and-resume contract (SURVEY §5).
+    """
+    cfg = cfg or RoundConfig()
+    store = StateStore(state_dir)
+    pages_canon = dedup_pages(pages).cache()
+
+    start = 1
+    if resume and store.latest_committed_round() >= 0:
+        start = store.latest_committed_round() + 1
+    else:
+        bootstrap(spark, store, seeds, robots, skip_dates, cfg)
+
+    # C7 analog: the reference kills a crawl after 8h (downloader.go:30-33);
+    # here a wall-clock budget stops between rounds — the committed state
+    # resumes exactly where it stopped.
+    t_start = time.monotonic()
+    rounds = []
+    for r in range(start, max_rounds + 1):
+        if wall_budget_sec is not None and time.monotonic() - t_start > wall_budget_sec:
+            break
+        frontier = store.read_table(spark, "frontier", r - 1)
+        remaining = frontier.filter(F.col("state").isin(fr.PENDING, fr.FAILED)).count()
+        if remaining == 0:
+            break
+        rounds.append(run_round(spark, store, pages_canon, r, cfg))
+    pages_canon.unpersist()
+    return {"rounds": rounds, "last_round": store.latest_committed_round()}

@@ -1,0 +1,15 @@
+"""Structured Streaming variants of the engine's dataflow.
+
+The reference's only stream is the ``download-v1`` Kafka command topic that
+triggers crawl rounds (internal/app/services/kafka.go:51-74) — a control
+channel, so the batch round loop covers it. These operators exist for the
+continuous-ingest deployment shape: seeds arriving as a stream become
+frontier inserts with streaming dedup; fetched pages become a streaming
+extract + windowed round metrics. All are thin wrappers over the SAME
+column logic as the batch plan (one code path to test for correctness).
+"""
+
+from stock_crawler_spark.streaming.jobs import (  # noqa: F401
+    streaming_frontier_ingest,
+    streaming_round_metrics,
+)

@@ -1,0 +1,47 @@
+"""Streaming jobs: frontier ingest with dedup, windowed crawl metrics.
+
+Patterns: file/kafka ``readStream`` -> event-time watermark -> streaming
+dedup (``dropDuplicatesWithinWatermark`` on url_hash: the streaming twin of
+the seen-set anti-join) and windowed aggregation (the streaming twin of the
+round metrics table). Tested with availableNow triggers + memory sinks so
+the semantics are pinned without a long-running cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from stock_crawler_spark.functions.urls import with_url_columns
+
+
+def streaming_frontier_ingest(
+    stream_df: DataFrame, n_shards: int = 64, watermark: str = "1 hour"
+) -> DataFrame:
+    """Seed stream (url, strategy, priority, event_ts) -> canonicalized,
+    hashed, deduped frontier inserts.
+
+    Dedup state is bounded by the watermark — late duplicate seeds beyond
+    it are handled downstream by the batch seen-set anti-join, exactly like
+    the batch path handles cross-round duplicates."""
+    f = with_url_columns(stream_df, n_shards=n_shards)
+    return f.withWatermark("event_ts", watermark).dropDuplicatesWithinWatermark(
+        ["url_hash"]
+    )
+
+
+def streaming_round_metrics(
+    pages_stream: DataFrame, window: str = "1 minute", watermark: str = "2 minutes"
+) -> DataFrame:
+    """Fetched-page stream (url, strategy, event_ts, n_records, parse_error)
+    -> per-window per-strategy crawl metrics (A2 counting sink, streaming)."""
+    return (
+        pages_stream.withWatermark("event_ts", watermark)
+        .groupBy(F.window("event_ts", window).alias("w"), "strategy")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum("n_records").alias("n_records"),
+            F.sum(F.when(F.col("parse_error") != "", 1).otherwise(0)).alias("n_errors"),
+        )
+        .select(F.col("w.start").alias("window_start"), "strategy", "n_pages", "n_records", "n_errors")
+    )

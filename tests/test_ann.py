@@ -1,0 +1,73 @@
+"""ANN: brute-force exactness + IVF recall on the embeddings table."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from stock_crawler_spark.operators import ann
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def _np_topk(rows, queries, k):
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = np.array([r["vec_id"] for r in rows])
+    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    out = {}
+    for q in queries:
+        qv = np.array(q["embedding"], dtype=np.float64)
+        cos = mat_n @ (qv / np.linalg.norm(qv))
+        order = np.lexsort((ids, -cos))[:k]
+        out[q["vec_id"]] = [int(ids[i]) for i in order]
+    return out
+
+
+def test_brute_force_matches_numpy(spark, emb):
+    rows = emb.collect()
+    queries = [r for r in rows if r["vec_id"] < 5]
+    expected = _np_topk(rows, queries, k=5)
+    got_rows = ann.brute_force_topk(
+        emb.filter(F.col("vec_id") < 5), emb, k=5
+    ).collect()
+    got = {}
+    for r in sorted(got_rows, key=lambda r: (r["query_id"], r["rank"])):
+        got.setdefault(r["query_id"], []).append(r["cand_id"])
+    assert got == expected
+
+
+def test_ivf_recall_at_least_half(spark, emb):
+    exact_rows = ann.brute_force_topk(emb.filter(F.col("vec_id") < 20), emb, k=10).collect()
+    ivf_rows = ann.ivf_topk(
+        emb.filter(F.col("vec_id") < 20), emb, k=10, n_cells=16, nprobe=6
+    ).collect()
+    exact = {}
+    for r in exact_rows:
+        exact.setdefault(r["query_id"], set()).add(r["cand_id"])
+    approx = {}
+    for r in ivf_rows:
+        approx.setdefault(r["query_id"], set()).add(r["cand_id"])
+    recalls = [len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.5, sum(recalls) / len(recalls)
+
+
+def test_embedding_neardup_self_pairs(spark, emb):
+    # plant an exact duplicate vector
+    dup = emb.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    df = emb.unionByName(dup)
+    pairs = ann.embedding_neardup_pairs(df, threshold=0.9999, n_cells=8).collect()
+    assert any(r["id_a"] == 0 and r["id_b"] == 100000 for r in pairs)
+
+
+def test_ann_plan_stays_jvm(spark, emb):
+    df = ann.brute_force_topk(emb.limit(3), emb, k=3)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    assert "EvalPython" not in plan

@@ -1,0 +1,117 @@
+"""Dedup operators against brute-force Python oracles on the documents table."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from stock_crawler_spark.operators import dedup
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+def _py_shingles(text: str, n: int = 3) -> set:
+    toks = text.strip().lower().split()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def test_exact_dedup_matches_oracle(spark, docs):
+    rows = docs.select("doc_id", "text").collect()
+    groups = {}
+    for r in rows:
+        h = hashlib.md5(r["text"].encode()).hexdigest()
+        groups.setdefault(h, []).append(r["doc_id"])
+    expected = {h: (min(ids), len(ids)) for h, ids in groups.items()}
+    got = {
+        r["text_hash"]: (r["keep_id"], r["n_dups"])
+        for r in dedup.exact_dedup(docs).collect()
+    }
+    assert got == expected
+
+
+def test_ngram_jaccard_matches_bruteforce(spark, docs):
+    rows = docs.select("doc_id", "text").limit(80).collect()
+    sub = spark.createDataFrame(rows)
+    sh = {r["doc_id"]: _py_shingles(r["text"]) for r in rows}
+    expected = set()
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sh[a] & sh[b])
+            union = len(sh[a] | sh[b])
+            if union and inter / union >= 0.3:
+                expected.add((a, b))
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_jaccard_pairs(sub, threshold=0.3).collect()
+    }
+    assert got == expected
+
+
+def test_minhash_signature_is_jaccard_estimator(spark, docs):
+    rows = docs.select("doc_id", "text").limit(60).collect()
+    sub = spark.createDataFrame(rows)
+    sigs = {r["doc"]: r["sig"] for r in dedup.minhash_signatures(sub, k=64).collect()}
+    sh = {r["doc_id"]: _py_shingles(r["text"]) for r in rows}
+    ids = sorted(sigs)
+    import itertools
+
+    checked = 0
+    for a, b in itertools.islice(itertools.combinations(ids, 2), 300):
+        if not sh[a] or not sh[b]:
+            continue
+        true_j = len(sh[a] & sh[b]) / len(sh[a] | sh[b])
+        est = sum(x == y for x, y in zip(sigs[a], sigs[b])) / 64
+        assert abs(est - true_j) < 0.35, (a, b, true_j, est)
+        checked += 1
+    assert checked > 100
+
+
+def test_minhash_lsh_finds_planted_neardups(spark):
+    # 100 distinct words, one word edited -> jaccard ~0.94: band-hit
+    # probability ~1.0 at k=32/8 bands (a repeated-phrase text would have a
+    # tiny distinct-shingle set and make LSH a coin flip)
+    base = " ".join(f"w{i}" for i in range(100))
+    near = base.replace("w50 ", "w50x ")
+    far = " ".join(f"v{i}" for i in range(100))
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far), (4, base)], ["doc_id", "text"]
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_pairs(df, threshold=0.5).collect()
+    }
+    assert (1, 4) in pairs  # exact dup
+    assert (1, 2) in pairs and (2, 4) in pairs  # near dup
+    assert not any(3 in p for p in pairs)
+
+
+def test_simhash_pairs_planted(spark):
+    base = " ".join(f"token{i}" for i in range(200))
+    near = base.replace("token7 ", "token7x ")
+    far = " ".join(f"other{i}" for i in range(200))
+    df = spark.createDataFrame([(1, base), (2, near), (3, far)], ["doc_id", "text"])
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash_pairs(df, max_hamming=4).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_dedup_plans_have_no_python_stage(spark, docs):
+    for df in (
+        dedup.exact_dedup(docs),
+        dedup.ngram_jaccard_pairs(docs.limit(10), threshold=0.5),
+        dedup.minhash_signatures(docs.limit(10)),
+        dedup.simhash(docs.limit(10)),
+    ):
+        plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+        assert "EvalPython" not in plan

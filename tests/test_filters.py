@@ -1,0 +1,53 @@
+"""Bloom/cuckoo membership filters: no false negatives, bounded false
+positives, cuckoo delete (the TTL-expiry path the reference gets from
+Redis SetExpire, services/entities.go:171-191)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from stock_crawler_spark.operators.filters import NumpyBloom, NumpyCuckoo
+
+RNG = np.random.default_rng(42)
+KEYS = RNG.integers(-(2**62), 2**62, size=20_000, dtype=np.int64)
+IN_SET, OUT_SET = KEYS[:10_000], KEYS[10_000:]
+
+
+def test_bloom_no_false_negatives():
+    b = NumpyBloom(len(IN_SET), fpp=0.01)
+    b.add_many(IN_SET)
+    assert b.contains_many(IN_SET).all()
+
+
+def test_bloom_fpp_bounded():
+    b = NumpyBloom(len(IN_SET), fpp=0.01)
+    b.add_many(IN_SET)
+    fp = b.contains_many(OUT_SET).mean()
+    assert fp < 0.03, fp
+
+
+def test_bloom_serialization_roundtrip():
+    b = NumpyBloom(len(IN_SET), fpp=0.01)
+    b.add_many(IN_SET)
+    b2 = NumpyBloom.from_bytes(b.to_bytes())
+    assert (b2.contains_many(KEYS) == b.contains_many(KEYS)).all()
+
+
+def test_cuckoo_membership_and_delete():
+    c = NumpyCuckoo(len(IN_SET))
+    failed = c.add_many(IN_SET)
+    assert failed == 0
+    assert c.contains_many(IN_SET).all()
+    fp = c.contains_many(OUT_SET).mean()
+    assert fp < 0.03, fp
+    # delete half -> those keys report absent (this is what bloom can't do)
+    c.delete_many(IN_SET[:5000])
+    assert not c.contains_many(IN_SET[:5000]).any()
+    assert c.contains_many(IN_SET[5000:]).all()
+
+
+def test_cuckoo_serialization_roundtrip():
+    c = NumpyCuckoo(1000)
+    c.add_many(IN_SET[:1000])
+    c2 = NumpyCuckoo.from_bytes(c.to_bytes())
+    assert (c2.contains_many(IN_SET[:1000]) == c.contains_many(IN_SET[:1000])).all()

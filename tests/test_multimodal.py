@@ -1,0 +1,54 @@
+"""Multimodal binary-column plumbing (decode stubbed per the task brief;
+schemas, Arrow batching, and fan-out shapes are real and tested)."""
+
+from __future__ import annotations
+
+import pytest
+
+from stock_crawler_spark.operators import multimodal as mm
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [(i, mm.encode_fake(i, 16 + i, 8 + i, 3)) for i in range(20)]
+    return spark.createDataFrame(rows, "media_id long, blob binary").cache()
+
+
+def test_decode_metadata(spark, media):
+    got = {r["media_id"]: r for r in mm.decode_metadata(media).collect()}
+    assert len(got) == 20
+    for i in range(20):
+        r = got[i]
+        assert (r["width"], r["height"], r["channels"]) == (16 + i, 8 + i, 3)
+        assert r["n_bytes"] == 9 + (16 + i) * (8 + i) * 3
+        assert r["format"] == "SYN1"
+
+
+def test_extract_features_deterministic_unit_simplex(spark, media):
+    rows = mm.extract_features(media, dim=8).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert len(r["feature"]) == 8
+        assert abs(sum(r["feature"]) - 1.0) < 1e-3
+    again = mm.extract_features(media, dim=8).collect()
+    assert sorted(map(str, rows)) == sorted(map(str, again))
+
+
+def test_sample_frames_fanout(spark, media):
+    frames = mm.sample_frames(media, every_n=4, frame_bytes=64).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert set(by_id) == set(range(20))
+    for i, rs in by_id.items():
+        payload_len = (16 + i) * (8 + i) * 3
+        expected = max(1, (max(1, payload_len // 64) + 3) // 4)
+        assert len(rs) == expected
+        assert all(len(r["frame"]) <= 64 for r in rs)
+
+
+def test_real_decode_is_explicit_stub(spark):
+    with pytest.raises(NotImplementedError):
+        mm._decode_real(b"\x89PNG...")
+    with pytest.raises(NotImplementedError):
+        mm.resize_stub(None, 32, 32)

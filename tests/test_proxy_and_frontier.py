@@ -1,0 +1,65 @@
+"""P4 proxy rewrite + frontier operator units."""
+
+from __future__ import annotations
+
+from urllib.parse import quote_plus
+
+import pytest
+from pyspark.sql import functions as F
+
+from stock_crawler_spark.functions.urls import proxy_rewrite
+from stock_crawler_spark.operators import frontier as fr
+
+
+def test_proxy_rewrite_matches_query_escape(spark):
+    urls = [
+        "https://h.example.com/z/zc/zco/zco_3704_1.djhtm",
+        "https://h.example.com/a?x=1&y=2 z",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    rows = df.select(
+        "url", proxy_rewrite(F.col("url"), "https://proxy.example/?token=T").alias("p")
+    ).collect()
+    for r in rows:
+        assert r["p"] == "https://proxy.example/?token=T&url=" + quote_plus(r["url"])
+
+
+def test_expand_seeds_fanout(spark):
+    seeds = spark.createDataFrame(
+        [
+            ("https://www.s.com/z/zc/zco/zco_1001_1.djhtm", "concentration", "1001", "2023-01-02", "2023-01-02", 0.5),
+            ("https://www.s.com/list", "twse_stocklist", None, "2023-01-02", "20230102", 0.4),
+        ],
+        "url string, strategy string, stock_id string, crawl_date string, query_date string, priority double",
+    )
+    urls = sorted(r["url"] for r in fr.expand_seeds(seeds).collect())
+    assert urls == sorted(
+        [f"https://www.s.com/z/zc/zco/zco_1001_{n}.djhtm" for n in (1, 2, 3, 4, 6)]
+        + ["https://www.s.com/list"]
+    )
+
+
+@pytest.mark.parametrize("n_salts", [1, 4])
+def test_dequeue_salted_equals_unsalted(spark, n_salts):
+    rows = [
+        (f"u{i:03d}", f"https://www.d{i % 3}.com/p/{i}", f"d{i % 3}.com",
+         float((i * 37) % 100) / 100, 500, 3)
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows, "url_canon string, url string, domain string, priority double, crawl_delay_ms long, max_per_round int"
+    )
+    base = {
+        r["url_canon"]
+        for r in fr.dequeue(df, 30_000, n_salts=1).filter(F.col("_scheduled")).collect()
+    }
+    got = {
+        r["url_canon"]
+        for r in fr.dequeue(df, 30_000, n_salts=n_salts).filter(F.col("_scheduled")).collect()
+    }
+    assert got == base
+    only = {
+        r["url_canon"]
+        for r in fr.dequeue(df, 30_000, n_salts=n_salts, scheduled_only=True).collect()
+    }
+    assert only == base

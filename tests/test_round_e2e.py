@@ -1,0 +1,72 @@
+"""End-to-end crawl parity vs the reference-semantics simulator, plus the
+kill-and-resume contract (SURVEY §5: identical ordering trace, identical
+final URL-seen membership, byte-identical text, identical state after
+resume)."""
+
+from __future__ import annotations
+
+import shutil
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo/scripts")
+from debug_e2e import compare  # noqa: E402
+
+from stock_crawler_spark.plans.round import RoundConfig, run_crawl
+from stock_crawler_spark.plans.state import StateStore
+
+
+def test_small_scale_parity_antijoin(spark, small_fixture_dir, tmp_path):
+    assert compare(small_fixture_dir, str(tmp_path / "state"), "antijoin", spark=spark)
+
+
+def test_small_scale_parity_bloom(spark, small_fixture_dir, tmp_path):
+    """Bloom-prefiltered dedup must stay EXACT (confirm-join kills FPs)."""
+    assert compare(small_fixture_dir, str(tmp_path / "state"), "bloom", spark=spark)
+
+
+def _load(spark, fx):
+    return (
+        spark.read.parquet(f"{fx}/seeds.parquet"),
+        spark.read.parquet(f"{fx}/robots.parquet"),
+        spark.read.parquet(f"{fx}/skip_dates.parquet"),
+        spark.read.parquet(f"{fx}/pages.parquet"),
+    )
+
+
+def test_kill_and_resume_identical_state(spark, small_fixture_dir, tmp_path):
+    seeds, robots, skip, pages = _load(spark, small_fixture_dir)
+    cfg = RoundConfig()
+
+    full_dir = str(tmp_path / "full")
+    run_crawl(spark, full_dir, seeds, robots, skip, pages, cfg)
+
+    # interrupted run: stop after round 2, then resume to completion
+    part_dir = str(tmp_path / "part")
+    run_crawl(spark, part_dir, seeds, robots, skip, pages, cfg, max_rounds=2)
+    # simulate a crash mid-round-3: stale uncommitted table files exist
+    store = StateStore(part_dir)
+    assert store.latest_committed_round() == 2
+    run_crawl(spark, part_dir, seeds, robots, skip, pages, cfg, resume=True)
+
+    last_full = StateStore(full_dir).latest_committed_round()
+    last_part = StateStore(part_dir).latest_committed_round()
+    assert last_full == last_part
+
+    for table in ("frontier", "seen", "merged"):
+        a = spark.read.parquet(f"{full_dir}/{table}/round={last_full}")
+        b = spark.read.parquet(f"{part_dir}/{table}/round={last_part}")
+        assert sorted(map(str, a.collect())) == sorted(map(str, b.collect())), table
+
+
+def test_manifest_lineage_recorded(spark, small_fixture_dir, tmp_path):
+    seeds, robots, skip, pages = _load(spark, small_fixture_dir)
+    state = str(tmp_path / "state")
+    run_crawl(spark, state, seeds, robots, skip, pages, RoundConfig(), max_rounds=1)
+    m = StateStore(state).read_manifest(1)
+    assert m["metrics"]["scheduled"] > 0
+    assert len(m["shard_lineage"]) > 0
+    assert all({"round_id", "shard", "n_scheduled"} <= set(r) for r in m["shard_lineage"])
+    assert set(m["tables"]) >= {"frontier", "seen", "records", "merged", "pages_out"}

@@ -1,0 +1,83 @@
+"""Structured Streaming: frontier ingest dedup + windowed metrics, pinned
+with availableNow triggers against batch-computed expectations."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def seed_stream_dir(spark, tmp_path):
+    rows = [
+        ("https://www.site1.com/a", "dailyclose", 0.9, "2023-03-01 00:00:01"),
+        ("HTTPS://WWW.SITE1.COM/a", "dailyclose", 0.5, "2023-03-01 00:00:02"),  # dup
+        ("https://www.site1.com/b", "dailyclose", 0.8, "2023-03-01 00:00:03"),
+        ("https://www.site2.com/c", "stocklist", 0.7, "2023-03-01 00:10:00"),
+        ("https://www.site2.com/c#frag", "stocklist", 0.2, "2023-03-01 00:10:30"),  # dup
+    ]
+    df = spark.createDataFrame(rows, "url string, strategy string, priority double, ts string")
+    df = df.withColumn("event_ts", F.col("ts").cast("timestamp")).drop("ts")
+    path = str(tmp_path / "seeds_stream")
+    df.coalesce(1).write.parquet(path)
+    return path, df.schema
+
+
+def test_streaming_frontier_ingest_dedups(spark, seed_stream_dir, tmp_path):
+    from stock_crawler_spark.streaming import streaming_frontier_ingest
+
+    path, schema = seed_stream_dir
+    stream = spark.readStream.schema(schema).parquet(path)
+    out = streaming_frontier_ingest(stream, n_shards=8)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("frontier_ingest")
+        .option("checkpointLocation", str(tmp_path / "ckpt1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select url_canon from frontier_ingest").collect()
+    canons = sorted(r["url_canon"] for r in got)
+    assert canons == [
+        "https://www.site1.com/a",
+        "https://www.site1.com/b",
+        "https://www.site2.com/c",
+    ]
+
+
+def test_streaming_metrics_match_batch(spark, seed_stream_dir, tmp_path):
+    from stock_crawler_spark.streaming import streaming_round_metrics
+
+    rows = [
+        ("u1", "dailyclose", "2023-03-01 00:00:05", 10, ""),
+        ("u2", "dailyclose", "2023-03-01 00:00:25", 0, "no_parse_results"),
+        ("u3", "concentration", "2023-03-01 00:01:10", 1, ""),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, strategy string, ts string, n_records int, parse_error string"
+    ).withColumn("event_ts", F.col("ts").cast("timestamp")).drop("ts")
+    path = str(tmp_path / "pages_stream")
+    df.coalesce(1).write.parquet(path)
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(path).schema
+    ).parquet(path)
+    out = streaming_round_metrics(stream)
+    # complete mode: an availableNow run is a single micro-batch, so
+    # append-mode watermarked windows would never finalize
+    q = (
+        out.writeStream.format("memory")
+        .queryName("round_metrics")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .outputMode("complete")
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r["window_start"]), r["strategy"]): (r["n_pages"], r["n_records"], r["n_errors"])
+        for r in spark.sql("select * from round_metrics").collect()
+    }
+    assert got[("2023-03-01 00:00:00", "dailyclose")] == (2, 10, 1)
+    assert got[("2023-03-01 00:01:00", "concentration")] == (1, 1, 0)

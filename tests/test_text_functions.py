@@ -1,0 +1,88 @@
+"""Text-analysis Column functions on the documents table."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from stock_crawler_spark.functions import text as T
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+def test_token_counts_match_python(spark, docs):
+    rows = (
+        docs.select(
+            "text",
+            T.token_count_ws(F.col("text")).alias("ws"),
+            T.token_count_bpe(F.col("text")).alias("bpe"),
+        )
+        .limit(100)
+        .collect()
+    )
+    pat = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+    for r in rows:
+        assert r["ws"] == len(r["text"].split()), r["text"][:40]
+        assert r["bpe"] == len(pat.findall(r["text"]))
+
+
+def test_lang_id_heuristic(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and it is a fine day for the cats"),
+            (2, "xyzzy qwerty asdf zxcv plugh foobar"),
+            (3, "這 是 一 段 中 文 文 字 測 試 內 容"),
+        ],
+        ["id", "text"],
+    )
+    got = {r["id"]: r["lang"] for r in df.select("id", T.lang_id(F.col("text")).alias("lang")).collect()}
+    assert got == {1: "en", 2: "und", 3: "zh"}
+
+
+def test_quality_score_ordering(spark):
+    good = "the quick brown fox jumps over the lazy dog and runs in the field " * 10
+    bad = "!!! ??? ### @@@ %%% ^^^ &&& *** ((( )))"
+    df = spark.createDataFrame([(1, good), (2, bad)], ["id", "text"])
+    got = {r["id"]: r["q"] for r in df.select("id", T.quality_score(F.col("text")).alias("q")).collect()}
+    assert got[1] > 0.8 and got[2] < 0.5
+    assert 0.0 <= got[2] <= got[1] <= 1.0
+
+
+def test_fingerprints_deterministic_and_discriminating(spark, docs):
+    a = docs.select(
+        "doc_id",
+        T.fingerprint_md5(F.col("text")).alias("fp"),
+        T.fingerprint_rolling(F.col("text")).alias("roll"),
+    ).collect()
+    b = docs.select(
+        "doc_id",
+        T.fingerprint_md5(F.col("text")).alias("fp"),
+        T.fingerprint_rolling(F.col("text")).alias("roll"),
+    ).collect()
+    assert sorted(map(str, a)) == sorted(map(str, b))
+    fps = {r["fp"] for r in a}
+    assert len(fps) > len(a) * 0.5  # mostly unique content -> mostly unique prints
+
+
+def test_rolling_fingerprint_is_order_sensitive(spark):
+    df = spark.createDataFrame([(1, "a b c"), (2, "c b a")], ["id", "text"])
+    got = {r["id"]: r["roll"] for r in df.select("id", T.fingerprint_rolling(F.col("text")).alias("roll")).collect()}
+    assert got[1] != got[2]
+
+
+def test_text_functions_stay_jvm(spark, docs):
+    out = docs.select(
+        T.lang_id(F.col("text")).alias("lang"),
+        T.quality_score(F.col("text")).alias("q"),
+        T.token_count_bpe(F.col("text")).alias("n"),
+        T.fingerprint_rolling(F.col("text")).alias("roll"),
+    )
+    plan = out._sc._jvm.PythonSQLUtils.explainString(out._jdf.queryExecution(), "formatted")
+    assert "EvalPython" not in plan
