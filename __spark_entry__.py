@@ -21,7 +21,9 @@ from pyspark.sql import functions as F
 
 from stock_crawler_spark.functions import text as T
 from stock_crawler_spark.functions.coerce import to_i64_or_zero
-from stock_crawler_spark.operators import ann, dedup
+from stock_crawler_spark.functions.urls import proxy_rewrite, url_hash
+from stock_crawler_spark.operators import ann, dedup, multimodal
+from stock_crawler_spark.operators.seen import build_seen_filters, probe_not_seen
 
 _T = {}  # table cache per (sf_dir, name)
 
@@ -199,6 +201,120 @@ def q20_crawl_schedule(spark, sf):
     )
 
 
+_PROXY_PREFIX = "https://proxy.example.com/api?key=K"
+
+
+def q24_proxy_rewrite(spark, sf):
+    """P4 proxy URL rewrite (crawler/proxy.go:37-50): query-escape the target
+    url into a proxy-API url. JVM url_encode == Go url.QueryEscape here."""
+    docs = _t(spark, sf, "documents")
+    u = F.format_string(
+        "https://%s.example.com/z/zc/zco/zco_%d_1.djhtm", F.col("source"), F.col("doc_id")
+    )
+    return docs.select(
+        "doc_id", u.alias("url"), proxy_rewrite(u, _PROXY_PREFIX).alias("proxy_url")
+    )
+
+
+NEARDUP_CELLS = 16
+# synthetic embeddings top out at pairwise cos ~0.51, so the "near-dup"
+# threshold is set inside the data's range to keep the gate non-vacuous
+NEARDUP_THRESHOLD = 0.42
+
+
+def q25_embedding_neardup(spark, sf):
+    """Embedding near-dup pairs (cosine >= t), IVF-cell blocked self-join."""
+    emb = _t(spark, sf, "embeddings")
+    out = ann.embedding_neardup_pairs(emb, threshold=NEARDUP_THRESHOLD, n_cells=NEARDUP_CELLS)
+    return out.select("id_a", "id_b", F.round("cos", 6).alias("cos_r"))
+
+
+def q26_ivf_topk(spark, sf):
+    """ANN scale path: IVF probe (nprobe cells) + exact rerank inside cells."""
+    emb = _t(spark, sf, "embeddings")
+    out = ann.ivf_topk(
+        emb.filter(F.col("vec_id") < 10), emb, k=5, n_cells=NEARDUP_CELLS, nprobe=4
+    )
+    return out.select("query_id", "cand_id", F.round("cos", 6).alias("cos_r"), "rank")
+
+
+def q27_media_meta(spark, sf):
+    """Multimodal plumbing: binary blobs through Arrow -> mapInPandas decode."""
+    docs = _t(spark, sf, "documents")
+    media = multimodal.synthesize_blobs(docs, "doc_id", "text")
+    return multimodal.decode_metadata(media)
+
+
+def q28_robots_filter(spark, sf):
+    """Robots allow/deny as broadcast rules join + exists() prefix match."""
+    docs = _t(spark, sf, "documents")
+    f = docs.select(
+        "doc_id",
+        F.col("source").alias("domain"),
+        F.format_string("/s%d/%d", F.col("doc_id") % 10, F.col("doc_id")).alias("path"),
+    )
+    rules = (
+        docs.select(F.col("source").alias("domain"))
+        .distinct()
+        .select(
+            "domain",
+            F.when(
+                F.length("domain") % 2 == 0, F.array(F.lit("/s1"), F.lit("/s4"))
+            ).otherwise(F.array(F.lit("/s7"))).alias("deny"),
+        )
+    )
+    j = f.join(F.broadcast(rules), "domain", "left")
+    denied = F.exists(
+        F.coalesce(F.col("deny"), F.array().cast("array<string>")),
+        lambda p: F.col("path").startswith(p),
+    )
+    return j.filter(~denied).select("doc_id", "domain", "path")
+
+
+def _doc_url_frontier(docs):
+    u = F.format_string("https://%s.example.com/doc/%d", F.col("source"), F.col("doc_id"))
+    return docs.select(
+        "doc_id",
+        u.alias("url"),
+        url_hash(u).alias("url_hash"),
+        F.pmod(F.xxhash64(F.col("source")), F.lit(8)).cast("int").alias("shard"),
+    )
+
+
+def q29_bloom_dedup(spark, sf):
+    """Scale-path dedup: sharded bloom prefilter + exact confirm join.
+    Result is EXACT (bloom has no false negatives; positives are confirmed),
+    so the plain anti-join SQL is a valid oracle."""
+    docs = _t(spark, sf, "documents")
+    cand = _doc_url_frontier(docs)
+    seen = cand.filter(F.col("doc_id") % 3 == 0)
+    filters = build_seen_filters(seen, kind="bloom", fpp=0.01)
+    return probe_not_seen(cand, filters, seen).select("doc_id")
+
+
+def q30_cuckoo_ttl_dedup(spark, sf):
+    """Cuckoo-filter dedup with TTL expiry via delete_many (A3's 6h-TTL
+    analog): expired seen-entries become schedulable again."""
+    docs = _t(spark, sf, "documents")
+    cand = _doc_url_frontier(docs)
+    seen = cand.filter(F.col("doc_id") % 3 == 0).withColumn(
+        "expired", F.col("doc_id") % 6 == 0
+    )
+    filters = build_seen_filters(seen, kind="cuckoo", expired_col="expired")
+    seen_live = seen.filter(~F.col("expired"))
+    return probe_not_seen(cand, filters, seen_live).select("doc_id")
+
+
+LSH_K = 16
+LSH_BANDS = 8
+
+
+def q31_minhash_lsh(spark, sf):
+    """Banded-LSH candidate pairs verified by exact Jaccard >= 0.3."""
+    docs = _t(spark, sf, "documents")
+    return dedup.minhash_lsh_pairs(docs, k=LSH_K, bands=LSH_BANDS, threshold=0.3)
+
+
 # ---------------------------------------------------------------------------
 # streaming-shaped analytics (batch equivalents of the Structured Streaming ops)
 # ---------------------------------------------------------------------------
@@ -337,6 +453,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_frontier_merge": q21_frontier_merge,
         "q22_retry_backoff": q22_retry_backoff,
         "q23_label_centroids": q23_label_centroids,
+        "q24_proxy_rewrite": q24_proxy_rewrite,
+        "q25_embedding_neardup": q25_embedding_neardup,
+        "q26_ivf_topk": q26_ivf_topk,
+        "q27_media_meta": q27_media_meta,
+        "q28_robots_filter": q28_robots_filter,
+        "q29_bloom_dedup": q29_bloom_dedup,
+        "q30_cuckoo_ttl_dedup": q30_cuckoo_ttl_dedup,
+        "q31_minhash_lsh": q31_minhash_lsh,
     }
 
 
@@ -437,6 +561,110 @@ FROM (
          ELSE 0.0 END AS p_ratio
   FROM documents
 )
+"""
+
+
+_COS = "list_inner_product({a}, {b}) / (sqrt(list_inner_product({a}, {a})) * sqrt(list_inner_product({b}, {b})))"
+
+_IVF_CTE = f"""
+WITH corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e AS ce
+  FROM corpus ORDER BY vec_id LIMIT {NEARDUP_CELLS}
+), assigned AS (
+  SELECT vec_id AS cand_id, e AS c_emb, cell FROM (
+    SELECT c.vec_id, c.e, cents.cell,
+      row_number() OVER (
+        PARTITION BY c.vec_id
+        ORDER BY {_COS.format(a='c.e', b='cents.ce')} DESC, cents.cell ASC
+      ) AS rn
+    FROM corpus c CROSS JOIN cents
+  ) WHERE rn = 1
+)
+"""
+
+_NEARDUP_SQL = f"""
+{_IVF_CTE}
+SELECT id_a, id_b, round(cos, 6) AS cos_r FROM (
+  SELECT a.cand_id AS id_a, b.cand_id AS id_b,
+    {_COS.format(a='a.c_emb', b='b.c_emb')} AS cos
+  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.cand_id < b.cand_id
+) WHERE cos >= {NEARDUP_THRESHOLD}
+"""
+
+_IVF_TOPK_SQL = f"""
+{_IVF_CTE}
+, probes AS (
+  SELECT query_id, q_emb, cell FROM (
+    SELECT q.vec_id AS query_id, q.e AS q_emb, cents.cell,
+      row_number() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY {_COS.format(a='q.e', b='cents.ce')} DESC, cents.cell ASC
+      ) AS rn
+    FROM (SELECT * FROM corpus WHERE vec_id < 10) q CROSS JOIN cents
+  ) WHERE rn <= 4
+)
+SELECT query_id, cand_id, round(cos, 6) AS cos_r, rank FROM (
+  SELECT query_id, cand_id, cos,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+  FROM (
+    SELECT p.query_id, a.cand_id, {_COS.format(a='p.q_emb', b='a.c_emb')} AS cos
+    FROM probes p JOIN assigned a ON p.cell = a.cell
+  )
+) WHERE rank <= 5
+"""
+
+
+def _lsh_oracle() -> str:
+    rows_per_band = LSH_K // LSH_BANDS
+    band_selects = " UNION ALL ".join(
+        "SELECT doc, {b} AS band_idx, md5({key}) AS band_key FROM sig".format(
+            b=b,
+            key=" || ',' || ".join(
+                f"mh{i}::VARCHAR" for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+            ),
+        )
+        for b in range(LSH_BANDS)
+    )
+    perms = dedup._perm_constants(LSH_K)
+    mins = ",\n    ".join(
+        f"min(({a} * (h % {_P}) + {b}) % {_P}) AS mh{i}" for i, (a, b) in enumerate(perms)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    generate_series(1, greatest(len(t) - 2, 0)),
+    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+  FROM toks
+), h AS (
+  SELECT doc_id AS doc, {_H60} AS h FROM sh
+), sig AS (
+  SELECT doc, {mins} FROM h GROUP BY doc
+), bands AS (
+  {band_selects}
+), cands AS (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc < b.doc
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT doc_a, doc_b,
+         CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.3
+)
+SELECT p.doc_a, p.doc_b, p.jaccard
+FROM pairs p JOIN cands c ON p.doc_a = c.doc_a AND p.doc_b = c.doc_b
 """
 
 
@@ -610,4 +838,37 @@ FROM (
   FROM embeddings
 ) GROUP BY 1, 2
 """,
+        # q24: input alphabet is [A-Za-z0-9._/:-]; URLEncoder escapes only : and /
+        "q24_proxy_rewrite": f"""
+SELECT doc_id, url,
+  '{_PROXY_PREFIX}&url=' || replace(replace(url, ':', '%3A'), '/', '%2F') AS proxy_url
+FROM (
+  SELECT doc_id,
+    printf('https://%s.example.com/z/zc/zco/zco_%d_1.djhtm', source, doc_id) AS url
+  FROM documents
+)
+""",
+        "q25_embedding_neardup": _NEARDUP_SQL,
+        "q26_ivf_topk": _IVF_TOPK_SQL,
+        "q27_media_meta": """
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+  CAST(doc_id % 64 + 1 AS INTEGER) AS width,
+  CAST(doc_id % 32 + 1 AS INTEGER) AS height,
+  3 AS channels,
+  CAST(9 + octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  'SYN1' AS format
+FROM documents
+""",
+        "q28_robots_filter": """
+SELECT doc_id, source AS domain, printf('/s%d/%d', doc_id % 10, doc_id) AS path
+FROM documents
+WHERE NOT (CASE WHEN length(source) % 2 = 0
+  THEN printf('/s%d', doc_id % 10) IN ('/s1', '/s4')
+  ELSE printf('/s%d', doc_id % 10) = '/s7' END)
+""",
+        "q29_bloom_dedup": "SELECT doc_id FROM documents WHERE doc_id % 3 != 0",
+        "q30_cuckoo_ttl_dedup": """
+SELECT doc_id FROM documents WHERE doc_id % 3 != 0 OR doc_id % 6 = 0
+""",
+        "q31_minhash_lsh": _lsh_oracle(),
     }

@@ -61,6 +61,26 @@ def encode_fake(media_id: int, width: int, height: int, channels: int = 3) -> by
     return MAGIC + struct.pack("<HHB", width, height, channels) + payload.tobytes()
 
 
+def synthesize_blobs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic SYN1 blobs from any (id, text) table — lets the driver's
+    generic tables exercise the binary-through-Arrow decode path end-to-end.
+    width/height derive from the id, payload is the utf-8 text bytes."""
+
+    @F.pandas_udf(BinaryType())
+    def _mk(ids: pd.Series, texts: pd.Series) -> pd.Series:
+        out = []
+        for i, t in zip(ids, texts):
+            i = int(i)
+            header = MAGIC + struct.pack("<HHB", i % 64 + 1, i % 32 + 1, 3)
+            out.append(header + str(t).encode("utf-8"))
+        return pd.Series(out)
+
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        _mk(F.col(id_col), F.col(text_col)).alias("blob"),
+    )
+
+
 def _decode_real(blob: bytes):
     raise NotImplementedError(
         "real image/audio decode needs PIL/ffmpeg — not present in this "

@@ -46,29 +46,48 @@ def anti_join_not_seen(candidates: DataFrame, seen: DataFrame) -> DataFrame:
     )
 
 
-def build_seen_filters(seen: DataFrame, kind: str = "bloom", fpp: float = 0.01) -> DataFrame:
-    """One filter blob per shard via applyInPandas (grouped, distributed)."""
+def build_seen_filters(
+    seen: DataFrame, kind: str = "bloom", fpp: float = 0.01, expired_col: str | None = None
+) -> DataFrame:
+    """One filter blob per shard via applyInPandas (grouped, distributed).
+
+    ``expired_col`` (boolean) implements the reference's 6h-TTL expiry
+    (services/entities.go:35,182) per filter kind: bloom can't delete, so
+    expired keys are excluded at build time (the snapshot-predicate path);
+    cuckoo inserts everything then ``delete_many``s the expired keys — safe
+    because cuckoo deletion of a previously-inserted key never produces
+    false negatives for other keys (a colliding fingerprint is stored once
+    per insertion)."""
 
     def _build(pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(pdf["shard"].iloc[0])
         hashes = pdf["url_hash"].to_numpy()
+        expired = pdf[expired_col].to_numpy(dtype=bool) if expired_col else None
         if kind == "bloom":
-            f = NumpyBloom(len(hashes), fpp)
-            f.add_many(hashes)
+            live = hashes if expired is None else hashes[~expired]
+            f = NumpyBloom(len(live), fpp)
+            f.add_many(live)
+            n_live = len(live)
         else:
             f = NumpyCuckoo(len(hashes))
-            f.add_many(hashes)
+            failed = f.add_many(hashes)
+            if failed:
+                raise RuntimeError(f"cuckoo shard {shard} over capacity: {failed} failed")
+            if expired is not None:
+                f.delete_many(hashes[expired])
+            n_live = len(hashes) - (int(expired.sum()) if expired is not None else 0)
         return pd.DataFrame(
             {
                 "shard": [shard],
                 "kind": [kind],
                 "blob": [f.to_bytes()],
-                "n_items": [len(hashes)],
+                "n_items": [n_live],
                 "fpp": [fpp],
             }
         )
 
-    return seen.select("shard", "url_hash").groupBy("shard").applyInPandas(
+    cols = ["shard", "url_hash"] + ([expired_col] if expired_col else [])
+    return seen.select(*cols).groupBy("shard").applyInPandas(
         _build, schema=FILTERS_SCHEMA
     )
 

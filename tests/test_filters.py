@@ -51,3 +51,34 @@ def test_cuckoo_serialization_roundtrip():
     c.add_many(IN_SET[:1000])
     c2 = NumpyCuckoo.from_bytes(c.to_bytes())
     assert (c2.contains_many(IN_SET[:1000]) == c.contains_many(IN_SET[:1000])).all()
+
+
+def test_cuckoo_ttl_delete_no_collateral_false_negatives():
+    """Deleting previously-inserted keys must never evict a live key's
+    membership (each insertion stores its own fingerprint copy)."""
+    c = NumpyCuckoo(len(IN_SET))
+    c.add_many(IN_SET)
+    expired = IN_SET[::2]
+    live = IN_SET[1::2]
+    c.delete_many(expired)
+    assert c.contains_many(live).all()
+
+
+def test_sharded_filter_build_with_ttl(spark):
+    """build_seen_filters(expired_col=...): bloom excludes expired at build,
+    cuckoo inserts-then-deletes; probe stays exact either way."""
+    from pyspark.sql import functions as F
+
+    from stock_crawler_spark.operators.seen import build_seen_filters, probe_not_seen
+
+    cand = spark.range(3000).select(
+        F.col("id"),
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash"),
+        F.pmod(F.col("id"), F.lit(4)).cast("int").alias("shard"),
+    )
+    seen = cand.filter(F.col("id") % 3 == 0).withColumn("expired", F.col("id") % 6 == 0)
+    expect = set(range(3000)) - {i for i in range(0, 3000, 3) if i % 6 != 0}
+    for kind in ("bloom", "cuckoo"):
+        filters = build_seen_filters(seen, kind=kind, expired_col="expired")
+        out = probe_not_seen(cand, filters, seen.filter(~F.col("expired")))
+        assert {r["id"] for r in out.collect()} == expect, kind

@@ -52,3 +52,15 @@ def test_real_decode_is_explicit_stub(spark):
         mm._decode_real(b"\x89PNG...")
     with pytest.raises(NotImplementedError):
         mm.resize_stub(None, 32, 32)
+
+
+def test_synthesize_blobs_roundtrip(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text {i} 中文") for i in range(10)], "doc_id long, text string"
+    )
+    meta = {r["media_id"]: r for r in mm.decode_metadata(mm.synthesize_blobs(docs)).collect()}
+    assert len(meta) == 10
+    for i in range(10):
+        r = meta[i]
+        assert (r["width"], r["height"], r["channels"]) == (i % 64 + 1, i % 32 + 1, 3)
+        assert r["n_bytes"] == 9 + len(f"text {i} 中文".encode())
