@@ -1,0 +1,103 @@
+"""Physical-plan audits: the properties that make the engine scale are
+asserted here, not just claimed — pushdown reaches the parquet scan,
+column pruning shrinks ReadSchema, small dims broadcast, the hot path has
+no Python eval, and codegen spans the scheduling pipeline.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+@pytest.fixture(scope="module")
+def docs(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("plan_docs") / "documents.parquet")
+    spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 7).cast("string")).alias("source"),
+        F.concat(F.lit("text of doc "), F.col("id").cast("string")).alias("text"),
+        (F.col("id") % 100).alias("bucket"),
+    ).write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)
+
+
+def test_filter_pushdown_reaches_parquet_scan(docs):
+    df = docs.filter(F.col("doc_id") > 500).select("doc_id", "source")
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(doc_id), GreaterThan(doc_id,500)]" in plan, plan
+
+
+def test_column_pruning_shrinks_read_schema(docs):
+    df = docs.select("doc_id", "source")
+    plan = _plan(df)
+    scan = plan[plan.index("ReadSchema"):].splitlines()[0]
+    assert "text" not in scan and "bucket" not in scan, scan
+
+
+def test_small_dim_join_broadcasts(docs):
+    rules = docs.select("source").distinct().withColumn("deny", F.lit("x"))
+    df = docs.join(F.broadcast(rules), "source")
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_round_dequeue_plan_is_jvm_only(spark):
+    """The north-star scheduling round (canonicalize+hash -> anti-join ->
+    politeness window) must contain zero Python eval and keep whole-stage
+    codegen across the scan+hash stage."""
+    from stock_crawler_spark.operators.frontier import dequeue
+    from stock_crawler_spark.operators.seen import anti_join_not_seen
+    from stock_crawler_spark.plans.bench_round import synthetic_frontier
+    from stock_crawler_spark.functions.urls import url_hash
+
+    f = synthetic_frontier(spark, 10_000).select(
+        "*",
+        url_hash(F.col("url")).alias("url_hash"),
+        F.lit(150).alias("crawl_delay_ms"),
+        F.lit(100).alias("max_per_round"),
+    )
+    seen = spark.range(0, 10_000, 3).select(F.xxhash64("id").alias("url_hash"))
+    dq = dequeue(anti_join_not_seen(f, seen), round_budget_ms=30_000, scheduled_only=True)
+    plan = _plan(dq)
+    assert "EvalPython" not in plan, plan
+    # anti-join on url_hash is present (broadcast or shuffled — AQE decides)
+    assert "LeftAnti" in plan
+    # AQE finalizes codegen stages only after execution; collect() runs THIS
+    # DataFrame's QueryExecution (count() would build a separate one)
+    dq.collect()
+    simple = dq._sc._jvm.PythonSQLUtils.explainString(dq._jdf.queryExecution(), "simple")
+    assert "isFinalPlan=true" in simple and "*(" in simple, simple
+
+
+def test_salted_dequeue_plan_no_python(spark):
+    from stock_crawler_spark.plans.bench_round import run_bench_round
+
+    # run once at tiny scale: exercises the 2-phase salted top-k path
+    out = run_bench_round(spark, n_urls=20_000, n_salts=4)
+    assert out["n_scheduled"] > 0
+
+
+def test_extract_text_is_arrow_batched(spark, small_fixture_dir):
+    """The ONLY Python in the round is the extract UDF — and it must be
+    Arrow/pandas (mapInPandas), never row-at-a-time BatchEvalPython."""
+    from stock_crawler_spark.functions.urls import canonicalize_url
+    from stock_crawler_spark.operators.extract import extract_text
+
+    pages = spark.read.parquet(f"{small_fixture_dir}/pages.parquet")
+    payload = pages.select(
+        "url",
+        canonicalize_url(F.col("url")).alias("url_canon"),
+        F.lit("dailyclose_twse").alias("strategy"),
+        F.lit("20230301").alias("query_date"),
+        F.col("warc_ts").alias("_warc_ts"),
+        F.col("html").alias("_html"),
+        F.lit(True).alias("fetched"),
+    )
+    plan = _plan(extract_text(payload))
+    assert "MapInPandas" in plan or "mapInPandas" in plan.lower(), plan
+    assert "BatchEvalPython" not in plan
