@@ -13,3 +13,6 @@ from stock_crawler_spark.streaming.jobs import (  # noqa: F401
     streaming_frontier_ingest,
     streaming_round_metrics,
 )
+from stock_crawler_spark.streaming.stateful import (  # noqa: F401
+    streaming_politeness_gate,
+)

@@ -1,0 +1,73 @@
+"""Custom stateful streaming operator: the per-domain politeness gate.
+
+The batch engine computes the token bucket as data per round
+(operators/frontier.dequeue); a continuously-fed frontier needs the same
+cap enforced ACROSS micro-batches — per-domain state that survives
+restarts. That is exactly ``applyInPandasWithState``: grouped Arrow
+batches + a checkpointed per-key state row (the streaming twin of the
+reference's DynamicWorkerPool budget, internal/app/pipeline/stage.go:76-164,
+whose "state" is the in-process token pool).
+
+Semantics (deterministic, golden-testable):
+  per domain, admit requests in canonical order (priority desc, url asc)
+  while the domain's cumulative admitted count stays under
+  ``max_per_domain``; the count lives in the state store, so a request
+  stream processed as 1 micro-batch or N micro-batches admits the SAME
+  urls with the SAME seq numbers.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType, IntegerType, LongType, StringType, StructField, StructType,
+)
+
+GATE_OUT_SCHEMA = StructType(
+    [
+        StructField("domain", StringType()),
+        StructField("url", StringType()),
+        StructField("priority", DoubleType()),
+        StructField("seq_in_domain", IntegerType()),
+    ]
+)
+
+GATE_STATE_SCHEMA = StructType([StructField("admitted", LongType())])
+
+
+def streaming_politeness_gate(requests: DataFrame, max_per_domain: int) -> DataFrame:
+    """Fetch-request stream (domain, url, priority) -> admitted stream.
+
+    One state row per domain (a long); unbounded-state hazards don't apply
+    — the key space is registrable domains, already bounded at 10^7-10^8.
+    """
+
+    def gate(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (domain,) = key
+        admitted = state.get[0] if state.exists else 0
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(
+            ["priority", "url"], ascending=[False, True], kind="mergesort"
+        )
+        take = max(0, max_per_domain - admitted)
+        out = rows.head(take).copy()
+        out["seq_in_domain"] = pd.Series(
+            range(admitted, admitted + len(out)), index=out.index, dtype="int32"
+        )
+        state.update((admitted + len(out),))
+        yield out[["domain", "url", "priority", "seq_in_domain"]]
+
+    return requests.groupBy("domain").applyInPandasWithState(
+        gate,
+        GATE_OUT_SCHEMA,
+        GATE_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

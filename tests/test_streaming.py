@@ -81,3 +81,56 @@ def test_streaming_metrics_match_batch(spark, seed_stream_dir, tmp_path):
     }
     assert got[("2023-03-01 00:00:00", "dailyclose")] == (2, 10, 1)
     assert got[("2023-03-01 00:01:00", "concentration")] == (1, 1, 0)
+
+
+def test_stateful_politeness_gate_state_survives_microbatches(spark, tmp_path):
+    """applyInPandasWithState: the per-domain admitted count must persist in
+    the state store — batch 2 sees batch 1's admissions via the checkpoint."""
+    from stock_crawler_spark.streaming import streaming_politeness_gate
+
+    schema = "domain string, url string, priority double"
+    src = tmp_path / "req_stream"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt_gate")
+    out = str(tmp_path / "gate_out")
+
+    def run_batch(rows):
+        # memory sink can't recover from a checkpoint; the file sink can
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(str(src))
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            streaming_politeness_gate(stream, max_per_domain=3)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(
+            (r["domain"], r["seq_in_domain"], r["url"])
+            for r in spark.read.parquet(out).collect()
+        )
+
+    got1 = run_batch(
+        [("d1.com", "https://d1.com/a", 0.9),
+         ("d1.com", "https://d1.com/b", 0.5),
+         ("d2.com", "https://d2.com/x", 0.7)],
+    )
+    # batch 1: d1 admits 2 (seq 0,1 in priority order), d2 admits 1
+    assert got1 == [
+        ("d1.com", 0, "https://d1.com/a"),
+        ("d1.com", 1, "https://d1.com/b"),
+        ("d2.com", 0, "https://d2.com/x"),
+    ]
+    got2 = run_batch(
+        [("d1.com", "https://d1.com/c", 1.0),
+         ("d1.com", "https://d1.com/d", 0.99),
+         ("d2.com", "https://d2.com/y", 0.1)],
+    )
+    # batch 2 processes only the new file: d1 has 1 slot left (cap 3, two
+    # admitted) and must pick the higher-priority /c with seq 2; /d is
+    # rejected; d2 continues at seq 1
+    assert got2 == sorted(
+        got1 + [("d1.com", 2, "https://d1.com/c"), ("d2.com", 1, "https://d2.com/y")]
+    )
