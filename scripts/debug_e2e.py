@@ -73,7 +73,11 @@ def compare(fixture_dir: str, state_dir: str, dedup_mode: str = "antijoin", spar
         print("STATE MISMATCH:", len(diff))
         for k, v in list(diff.items())[:10]:
             print("  ", k, "sim:", v[0], "eng:", v[1])
-    eng_seen = {r["url"] for r in spark.read.parquet(f"{state_dir}/seen/round={last}").collect()}
+    from stock_crawler_spark.plans.state import StateStore
+    eng_seen = {
+        r["url"]
+        for r in StateStore(state_dir).read_accumulated(spark, "seen", last).collect()
+    }
     if eng_seen != sim["seen"]:
         ok = False
         print("SEEN MISMATCH:", len(eng_seen), "vs", len(sim["seen"]))

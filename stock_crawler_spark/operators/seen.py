@@ -46,6 +46,19 @@ def anti_join_not_seen(candidates: DataFrame, seen: DataFrame) -> DataFrame:
     )
 
 
+def flag_seen(candidates: DataFrame, seen: DataFrame) -> DataFrame:
+    """Exact dedup decision as ONE join: candidates + boolean ``_seen``.
+
+    The round needs both halves (fresh rows get scheduled, seen rows get a
+    'deduped' state transition); an anti-join plus its complement would
+    shuffle the candidate set twice — this left-join shuffles it once and
+    both halves are cheap filters on the result."""
+    marks = seen.select("url_hash").distinct().withColumn("_seen_mark", F.lit(True))
+    return candidates.join(marks, "url_hash", "left").withColumn(
+        "_seen", F.coalesce(F.col("_seen_mark"), F.lit(False))
+    ).drop("_seen_mark")
+
+
 def build_seen_filters(
     seen: DataFrame, kind: str = "bloom", fpp: float = 0.01, expired_col: str | None = None
 ) -> DataFrame:
@@ -97,12 +110,22 @@ def probe_not_seen(
     filters: DataFrame,
     seen: DataFrame,
 ) -> DataFrame:
-    """Bloom-prefiltered EXACT dedup.
+    """Bloom-prefiltered EXACT dedup (rows not in seen)."""
+    out = probe_seen_flag(candidates, filters, seen)
+    return out.filter(~F.col("_seen")).drop("_seen")
+
+
+def probe_seen_flag(
+    candidates: DataFrame,
+    filters: DataFrame,
+    seen: DataFrame,
+) -> DataFrame:
+    """Bloom-prefiltered EXACT dedup decision as a ``_seen`` boolean.
 
     1. broadcast the shard->blob dict to executors
     2. Arrow-batch probe: might_be_seen(shard, url_hash)
-    3. rows the filter clears are definitely-new (no false negatives)
-    4. suspected rows get the exact semi-join confirmation
+    3. rows the filter clears are definitely-new (no false negatives) and
+       never shuffle — only suspects reach the exact confirm join
     """
     spark = candidates.sparkSession
     blob_rows = filters.select("shard", "kind", "blob").collect()
@@ -131,18 +154,24 @@ def probe_not_seen(
         return pd.Series(out)
 
     probed = candidates.withColumn("_maybe_seen", might_be_seen(F.col("shard"), F.col("url_hash")))
-    clear = probed.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
-    suspects = probed.filter(F.col("_maybe_seen")).drop("_maybe_seen")
-    confirmed_new = suspects.join(seen.select("url_hash").distinct(), "url_hash", "left_anti")
-    return clear.unionByName(confirmed_new)
+    clear = probed.filter(~F.col("_maybe_seen")).withColumn("_seen", F.lit(False))
+    suspects = probed.filter(F.col("_maybe_seen"))
+    marks = seen.select("url_hash").distinct().withColumn("_seen_mark", F.lit(True))
+    confirmed = suspects.join(marks, "url_hash", "left").withColumn(
+        "_seen", F.coalesce(F.col("_seen_mark"), F.lit(False))
+    ).drop("_seen_mark")
+    return clear.unionByName(confirmed).drop("_maybe_seen")
 
 
-def append_seen(seen: DataFrame, newly_done: DataFrame, round_ts) -> DataFrame:
-    """A3: mark scheduled+fetched urls seen (Iceberg MERGE INTO equivalent)."""
-    add = newly_done.select(
+def seen_delta(newly_done: DataFrame, round_ts) -> DataFrame:
+    """A3: the round's NEW seen rows (Iceberg MERGE INTO / append delta).
+
+    Scheduled urls passed the exact dedup gate, so the delta is disjoint
+    from every prior round by construction — the seen table is append-only
+    and each round writes only its delta (never rewrites 10^10 rows)."""
+    return newly_done.select(
         "url_hash",
         F.col("url_canon").alias("url"),
         F.lit(round_ts).cast("timestamp").alias("first_seen_ts"),
         "shard",
-    )
-    return seen.unionByName(add).dropDuplicates(["url_hash"])
+    ).dropDuplicates(["url_hash"])

@@ -3,11 +3,19 @@
 Per round N (deterministic clock: EPOCH0 + (N-1)*round_interval — the
 engine never reads wall time, so re-runs are byte-stable):
 
-  frontier[N-1] -> ready filter -> seen dedup (anti-join or bloom+confirm)
+  frontier[N-1] -> ready filter -> seen dedup (one-pass `_seen` flag:
+  anti-join or incremental bloom+confirm)
   -> politeness dequeue (window per domain) -> fetch (join page store)
-  -> Arrow extract -> concentration records -> A1 merge
-  -> frontier[N] / seen[N] / records[N] / merged[N] / pages_out[N]
-  -> trace[N] / metrics[N] -> atomic manifest commit
+  -> Arrow extract -> concentration records -> incremental A1 merge
+  -> frontier[N] snapshot / seen,records deltas (append-only)
+  / merged[N] / pages_out[N] / trace[N] / metrics[N]
+  -> incremental per-shard filter rebuild -> atomic manifest commit
+
+Per-round state I/O is O(round's work), not O(crawl history): seen/records
+append deltas, filters rebuild only touched shards, merge recomputes only
+touched (stock, date) groups. Only the frontier snapshot rewrites in full
+here — on Iceberg that becomes MERGE INTO with copy-on-write confined to
+the shard partitions the round touched.
 
 The whole round is one lazy plan per output table; Catalyst fuses the
 ready-filter + dedup + dequeue into two shuffles (domain window + fetch
@@ -58,7 +66,11 @@ TRACE_SCHEMA = "round_id int, seq int, url string, action string"
 
 
 def bootstrap(spark: SparkSession, store: StateStore, seeds, robots, skip_dates, cfg: RoundConfig):
-    """Round 0: init frontier, empty seen/records/merged; commit manifest 0."""
+    """Round 0: init frontier, empty seen/records/merged; commit manifest 0.
+
+    ``seen`` and ``records`` are APPEND-ONLY: rounds write deltas, readers
+    union them (Iceberg fast-append) — state writes stay O(round), never
+    O(history)."""
     f0 = fr.init_frontier(seeds, robots, skip_dates, n_shards=cfg.n_shards)
     empty_seen = spark.createDataFrame(
         [], "url_hash long, url string, first_seen_ts timestamp, shard int"
@@ -70,11 +82,14 @@ def bootstrap(spark: SparkSession, store: StateStore, seeds, robots, skip_dates,
     info = {
         "tables": {
             "frontier": store.write_table(f0, "frontier", 0),
-            "seen": store.write_table(empty_seen, "seen", 0),
-            "records": store.write_table(empty_records, "records", 0),
+            "seen": store.write_delta(empty_seen, "seen", 0),
+            "records": store.write_delta(empty_records, "records", 0),
             "merged": store.write_table(empty_merged, "merged", 0),
         }
     }
+    if cfg.dedup_mode != "antijoin":
+        empty_filters = spark.createDataFrame([], seen_ops.FILTERS_SCHEMA)
+        info["tables"]["seen_filters"] = store.write_table(empty_filters, "seen_filters", 0)
     store.commit_round(0, info)
     return info
 
@@ -90,22 +105,26 @@ def run_round(
     t0 = time.monotonic()
     now = round_ts(round_id, cfg)
     frontier = store.read_table(spark, "frontier", round_id - 1)
-    seen = store.read_table(spark, "seen", round_id - 1)
-    prev_records = store.read_table(spark, "records", round_id - 1)
+    seen = store.read_accumulated(spark, "seen", round_id - 1)
+    prev_records = store.read_accumulated(spark, "records", round_id - 1)
+    prev_merged = store.read_table(spark, "merged", round_id - 1)
 
     candidates = frontier.filter(
         F.col("state").isin(fr.PENDING, fr.FAILED)
         & (F.col("next_attempt_ts") <= F.lit(now))
     )
 
-    # --- dedup against the seen set (P3) ---
+    # --- dedup against the seen set (P3): ONE decision pass (`_seen` flag)
+    #     instead of anti-join + complement (two shuffles of the candidates) ---
     if cfg.dedup_mode == "antijoin":
-        not_seen = seen_ops.anti_join_not_seen(candidates, seen)
+        flagged = seen_ops.flag_seen(candidates, seen).cache()
     else:
-        kind = "bloom" if cfg.dedup_mode == "bloom" else "cuckoo"
-        filters = seen_ops.build_seen_filters(seen, kind=kind)
-        not_seen = seen_ops.probe_not_seen(candidates, filters, seen)
-    deduped = candidates.join(not_seen.select("url_canon"), "url_canon", "left_anti")
+        # filters are maintained INCREMENTALLY: read round N-1's committed
+        # blobs, rebuild only shards the round touches (below)
+        filters = store.read_table(spark, "seen_filters", round_id - 1)
+        flagged = seen_ops.probe_seen_flag(candidates, filters, seen).cache()
+    not_seen = flagged.filter(~F.col("_seen")).drop("_seen")
+    deduped = flagged.filter(F.col("_seen")).drop("_seen")
 
     # --- politeness dequeue (C2) ---
     dq = fr.dequeue(not_seen, cfg.round_budget_ms, n_salts=cfg.n_salts).cache()
@@ -119,11 +138,18 @@ def run_round(
     ok_fetch = fetched.filter(F.col("fetched"))
     miss = fetched.filter(~F.col("fetched"))
 
-    new_records = concentration_records(extracted, scheduled)
-    all_records = prev_records.unionByName(new_records)
+    new_records = concentration_records(extracted, scheduled).cache()
 
-    # --- A1 merge over everything parsed so far ---
-    merged = merge_concentration(all_records)
+    # --- A1 merge, INCREMENTAL: only (stock, date) groups with new pages
+    #     this round recompute; untouched groups keep their committed row
+    #     (merge work is O(touched), not O(all records ever) ---
+    touched = new_records.select("stock_id", "date").distinct()
+    touched_records = prev_records.unionByName(new_records).join(
+        touched, ["stock_id", "date"], "left_semi"
+    )
+    merged = prev_merged.join(touched, ["stock_id", "date"], "left_anti").unionByName(
+        merge_concentration(touched_records)
+    )
 
     # --- frontier state transitions ---
     done_keys = ok_fetch.select("url_canon").withColumn("_new_state", F.lit(fr.DONE))
@@ -157,8 +183,9 @@ def run_round(
         .alias("round_id"),
     )
 
-    # --- seen additions (A3): scheduled + fetched urls ---
-    seen_next = seen_ops.append_seen(seen, ok_fetch, now)
+    # --- seen additions (A3): the round's NEW rows only — the table is
+    #     append-only (delta disjointness guaranteed by the dedup gate) ---
+    new_seen = seen_ops.seen_delta(ok_fetch, now)
 
     # --- pages_out: the round's extracted text keyed by canonical url ---
     pages_out = extracted.join(
@@ -202,24 +229,42 @@ def run_round(
         [(round_id, k, int(v)) for k, v in metrics_rows], "round_id int, metric string, value long"
     )
 
+    tables = {
+        "frontier": store.write_table(f_next, "frontier", round_id),
+        "seen": store.write_delta(new_seen, "seen", round_id),
+        "records": store.write_delta(new_records, "records", round_id),
+        "merged": store.write_table(merged, "merged", round_id),
+        "pages_out": store.write_table(pages_out, "pages_out", round_id),
+        "trace": store.write_table(trace, "trace", round_id),
+        "metrics": store.write_table(metrics, "metrics", round_id),
+    }
+
+    # --- incremental filter maintenance: rebuild ONLY the shards this
+    #     round's seen-delta touched; untouched blobs carry forward ---
+    if cfg.dedup_mode != "antijoin":
+        kind = "bloom" if cfg.dedup_mode == "bloom" else "cuckoo"
+        touched_shards = (
+            spark.read.parquet(store.delta_path("seen", round_id)).select("shard").distinct()
+        )
+        seen_now = store.read_accumulated(spark, "seen", round_id)
+        rebuilt = seen_ops.build_seen_filters(
+            seen_now.join(touched_shards, "shard", "left_semi"), kind=kind
+        )
+        filters_next = filters.join(touched_shards, "shard", "left_anti").unionByName(rebuilt)
+        tables["seen_filters"] = store.write_table(filters_next, "seen_filters", round_id)
+
     info = {
-        "tables": {
-            "frontier": store.write_table(f_next, "frontier", round_id),
-            "seen": store.write_table(seen_next, "seen", round_id),
-            "records": store.write_table(all_records, "records", round_id),
-            "merged": store.write_table(merged, "merged", round_id),
-            "pages_out": store.write_table(pages_out, "pages_out", round_id),
-            "trace": store.write_table(trace, "trace", round_id),
-            "metrics": store.write_table(metrics, "metrics", round_id),
-        },
+        "tables": tables,
         "metrics": dict(metrics_rows),
         "shard_lineage": [r.asDict() for r in shard_lineage.collect()],
         "wall_sec": round(time.monotonic() - t0, 3),
     }
     store.commit_round(round_id, info)
+    flagged.unpersist()
     dq.unpersist()
     fetched.unpersist()
     extracted.unpersist()
+    new_records.unpersist()
     return info
 
 

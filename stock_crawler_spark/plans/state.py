@@ -24,7 +24,10 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-TABLES = ("frontier", "seen", "records", "merged", "pages_out", "trace", "metrics")
+TABLES = ("frontier", "seen", "records", "merged", "pages_out", "trace", "metrics", "seen_filters")
+# snapshot tables write <table>/round=N in full; append-only tables (seen,
+# records) write <table>/delta=N and are read as the union of deltas
+DELTA_TABLES = ("seen", "records")
 
 
 class StateStore:
@@ -50,6 +53,9 @@ class StateStore:
                     pass
         return best
 
+    def delta_path(self, name: str, round_id: int) -> str:
+        return os.path.join(self.root, name, f"delta={round_id}")
+
     def write_table(self, df: DataFrame, name: str, round_id: int) -> int:
         path = self.table_path(name, round_id)
         df.write.mode("overwrite").parquet(path)
@@ -59,6 +65,25 @@ class StateStore:
 
     def read_table(self, spark: SparkSession, name: str, round_id: int) -> DataFrame:
         return spark.read.parquet(self.table_path(name, round_id))
+
+    def write_delta(self, df: DataFrame, name: str, round_id: int) -> int:
+        """Append-only tables (seen, records) write ONLY the round's new
+        rows — the Iceberg fast-append equivalent. A crashed round's
+        uncommitted delta is simply overwritten by the deterministic re-run."""
+        path = self.delta_path(name, round_id)
+        df.write.mode("overwrite").parquet(path)
+        return df.sparkSession.read.parquet(path).count()
+
+    def read_accumulated(self, spark: SparkSession, name: str, round_id: int) -> DataFrame:
+        """The table's content as of round N = union of deltas 0..N (never
+        materialized: at scale this is a multi-path parquet scan whose
+        partition pruning and column pruning both still apply)."""
+        paths = [
+            self.delta_path(name, r)
+            for r in range(round_id + 1)
+            if os.path.isdir(self.delta_path(name, r))
+        ]
+        return spark.read.parquet(*paths)
 
     def commit_round(self, round_id: int, info: dict) -> None:
         """Atomic: the manifest appears only complete (tmp + rename)."""

@@ -55,9 +55,14 @@ def test_kill_and_resume_identical_state(spark, small_fixture_dir, tmp_path):
     last_part = StateStore(part_dir).latest_committed_round()
     assert last_full == last_part
 
-    for table in ("frontier", "seen", "merged"):
+    for table in ("frontier", "merged"):
         a = spark.read.parquet(f"{full_dir}/{table}/round={last_full}")
         b = spark.read.parquet(f"{part_dir}/{table}/round={last_part}")
+        assert sorted(map(str, a.collect())) == sorted(map(str, b.collect())), table
+    # append-only tables: accumulated content must match, not per-round files
+    for table in ("seen", "records"):
+        a = StateStore(full_dir).read_accumulated(spark, table, last_full)
+        b = StateStore(part_dir).read_accumulated(spark, table, last_part)
         assert sorted(map(str, a.collect())) == sorted(map(str, b.collect())), table
 
 
