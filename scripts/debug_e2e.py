@@ -10,6 +10,7 @@ import pyarrow.parquet as pq
 from stock_crawler_spark.fixtures.generate import generate_fixtures
 from stock_crawler_spark.fixtures.simulator import simulate
 from stock_crawler_spark.plans.round import RoundConfig, run_crawl
+from stock_crawler_spark.plans.state import StateStore
 from stock_crawler_spark.session import build_session
 
 
@@ -61,7 +62,7 @@ def compare(fixture_dir: str, state_dir: str, dedup_mode: str = "antijoin", spar
             print("  ", "SIM" if x in s1 else "ENG", x)
 
     # --- final states + seen ---
-    eng_front = spark.read.parquet(f"{state_dir}/frontier/round={last}").collect()
+    eng_front = StateStore(state_dir).read_frontier(spark, last).collect()
     eng_states = {r["url_canon"]: r["state"] for r in eng_front}
     if eng_states != sim["final_states"]:
         ok = False
@@ -73,7 +74,6 @@ def compare(fixture_dir: str, state_dir: str, dedup_mode: str = "antijoin", spar
         print("STATE MISMATCH:", len(diff))
         for k, v in list(diff.items())[:10]:
             print("  ", k, "sim:", v[0], "eng:", v[1])
-    from stock_crawler_spark.plans.state import StateStore
     eng_seen = {
         r["url"]
         for r in StateStore(state_dir).read_accumulated(spark, "seen", last).collect()

@@ -79,13 +79,15 @@ def bootstrap(spark: SparkSession, store: StateStore, seeds, robots, skip_dates,
     empty_merged = spark.createDataFrame(
         [], "stock_id string, date string, line string, diff array<long>, merged_round int"
     )
+    shard_map, n_f0 = store.write_frontier_shards(f0, 0, {})
     info = {
+        "frontier_shards": shard_map,
         "tables": {
-            "frontier": store.write_table(f0, "frontier", 0),
+            "frontier": n_f0,
             "seen": store.write_delta(empty_seen, "seen", 0),
             "records": store.write_delta(empty_records, "records", 0),
             "merged": store.write_table(empty_merged, "merged", 0),
-        }
+        },
     }
     if cfg.dedup_mode != "antijoin":
         empty_filters = spark.createDataFrame([], seen_ops.FILTERS_SCHEMA)
@@ -104,7 +106,7 @@ def run_round(
     """Execute round N from the committed state of round N-1 (idempotent)."""
     t0 = time.monotonic()
     now = round_ts(round_id, cfg)
-    frontier = store.read_table(spark, "frontier", round_id - 1)
+    frontier = store.read_frontier(spark, round_id - 1)
     seen = store.read_accumulated(spark, "seen", round_id - 1)
     prev_records = store.read_accumulated(spark, "records", round_id - 1)
     prev_merged = store.read_table(spark, "merged", round_id - 1)
@@ -151,13 +153,17 @@ def run_round(
         merge_concentration(touched_records)
     )
 
-    # --- frontier state transitions ---
-    done_keys = ok_fetch.select("url_canon").withColumn("_new_state", F.lit(fr.DONE))
-    miss_keys = miss.select("url_canon").withColumn("_new_state", F.lit("_miss"))
-    dedup_keys = deduped.select("url_canon").withColumn("_new_state", F.lit("deduped"))
-    updates = done_keys.unionByName(miss_keys).unionByName(dedup_keys)
+    # --- frontier state transitions, copy-on-write by shard: only the
+    #     shards with updated rows are rewritten this round ---
+    done_keys = ok_fetch.select("url_canon", "shard").withColumn("_new_state", F.lit(fr.DONE))
+    miss_keys = miss.select("url_canon", "shard").withColumn("_new_state", F.lit("_miss"))
+    dedup_keys = deduped.select("url_canon", "shard").withColumn("_new_state", F.lit("deduped"))
+    updates = done_keys.unionByName(miss_keys).unionByName(dedup_keys).cache()
+    changed_shards = [r["shard"] for r in updates.select("shard").distinct().collect()]
 
-    f = frontier.join(updates, "url_canon", "left")
+    f = frontier.filter(F.col("shard").isin(changed_shards or [-1])).join(
+        updates.drop("shard"), "url_canon", "left"
+    )
     rc = F.col("retry_count")
     # exponential backoff x2 per retry (retry/retry.go:41)
     backoff_sec = (F.lit(cfg.backoff_ms / 1000.0) * F.pow(F.lit(2.0), rc.cast("double"))).cast("long")
@@ -229,8 +235,11 @@ def run_round(
         [(round_id, k, int(v)) for k, v in metrics_rows], "round_id int, metric string, value long"
     )
 
+    shard_map, n_f_written = store.write_frontier_shards(
+        f_next, round_id, store.frontier_shard_map(round_id - 1)
+    )
     tables = {
-        "frontier": store.write_table(f_next, "frontier", round_id),
+        "frontier": n_f_written,
         "seen": store.write_delta(new_seen, "seen", round_id),
         "records": store.write_delta(new_records, "records", round_id),
         "merged": store.write_table(merged, "merged", round_id),
@@ -255,11 +264,14 @@ def run_round(
 
     info = {
         "tables": tables,
+        "frontier_shards": shard_map,
+        "changed_shards": sorted(changed_shards),
         "metrics": dict(metrics_rows),
         "shard_lineage": [r.asDict() for r in shard_lineage.collect()],
         "wall_sec": round(time.monotonic() - t0, 3),
     }
     store.commit_round(round_id, info)
+    updates.unpersist()
     flagged.unpersist()
     dq.unpersist()
     fetched.unpersist()
@@ -303,7 +315,7 @@ def run_crawl(
     for r in range(start, max_rounds + 1):
         if wall_budget_sec is not None and time.monotonic() - t_start > wall_budget_sec:
             break
-        frontier = store.read_table(spark, "frontier", r - 1)
+        frontier = store.read_frontier(spark, r - 1)
         remaining = frontier.filter(F.col("state").isin(fr.PENDING, fr.FAILED)).count()
         if remaining == 0:
             break

@@ -85,6 +85,39 @@ class StateStore:
         ]
         return spark.read.parquet(*paths)
 
+    # --- frontier: copy-on-write by shard (Iceberg MERGE INTO equivalent) ---
+
+    def write_frontier_shards(self, df: DataFrame, round_id: int, prev_map: dict) -> dict:
+        """Write ONLY the round's changed shard partitions; untouched shards
+        stay referenced at the round that last wrote them. Returns the new
+        shard->round map (stored in the manifest). Write amplification per
+        round is O(touched shards), not O(frontier)."""
+        path = self.table_path("frontier", round_id)
+        df.write.mode("overwrite").partitionBy("shard").parquet(path)
+        shard_map = dict(prev_map)
+        written = [d for d in os.listdir(path) if d.startswith("shard=")]
+        for d in written:
+            shard_map[d[6:]] = round_id
+        n_rows = (
+            df.sparkSession.read.parquet(path).count() if written else 0
+        )
+        return shard_map, n_rows
+
+    def frontier_shard_map(self, round_id: int) -> dict:
+        return self.read_manifest(round_id)["frontier_shards"]
+
+    def read_frontier(self, spark: SparkSession, round_id: int) -> DataFrame:
+        """Assemble the frontier as of round N from per-shard paths (the
+        manifest is the snapshot's file listing, like an Iceberg manifest)."""
+        shard_map = self.frontier_shard_map(round_id)
+        paths = [
+            os.path.join(self.root, "frontier", f"round={r}", f"shard={s}")
+            for s, r in sorted(shard_map.items(), key=lambda kv: int(kv[0]))
+        ]
+        base = os.path.join(self.root, "frontier")
+        df = spark.read.option("basePath", base).parquet(*paths)
+        return df.drop("round")  # the round=N dir name, not a data column
+
     def commit_round(self, round_id: int, info: dict) -> None:
         """Atomic: the manifest appears only complete (tmp + rename)."""
         path = self.manifest_path(round_id)
