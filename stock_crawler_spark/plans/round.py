@@ -52,6 +52,7 @@ class RoundConfig:
     dedup_mode: str = "antijoin"  # or "bloom" / "cuckoo"
     n_salts: int = 1  # >1 = exact two-phase salted dequeue (hot-domain skew)
     trace: bool = True
+    compact_every: int = 4  # fold seen/records deltas every K rounds (0 = off)
 
 
 def round_ts(round_id: int, cfg: RoundConfig) -> datetime:
@@ -320,5 +321,8 @@ def run_crawl(
         if remaining == 0:
             break
         rounds.append(run_round(spark, store, pages_canon, r, cfg))
+        if cfg.compact_every and r % cfg.compact_every == 0:
+            for t in ("seen", "records"):
+                store.compact(spark, t, r)
     pages_canon.unpersist()
     return {"rounds": rounds, "last_round": store.latest_committed_round()}

@@ -74,16 +74,53 @@ class StateStore:
         df.write.mode("overwrite").parquet(path)
         return df.sparkSession.read.parquet(path).count()
 
+    def base_path(self, name: str, round_id: int) -> str:
+        return os.path.join(self.root, name, f"base={round_id}")
+
+    def _latest_base(self, name: str, round_id: int) -> int:
+        tdir = os.path.join(self.root, name)
+        best = -1
+        if os.path.isdir(tdir):
+            for d in os.listdir(tdir):
+                if d.startswith("base="):
+                    try:
+                        b = int(d[5:])
+                    except ValueError:
+                        continue
+                    if b <= round_id:
+                        best = max(best, b)
+        return best
+
     def read_accumulated(self, spark: SparkSession, name: str, round_id: int) -> DataFrame:
-        """The table's content as of round N = union of deltas 0..N (never
-        materialized: at scale this is a multi-path parquet scan whose
-        partition pruning and column pruning both still apply)."""
-        paths = [
+        """The table's content as of round N = latest compacted base <= N
+        plus the deltas after it (never materialized: at scale this is a
+        multi-path parquet scan whose partition pruning and column pruning
+        both still apply)."""
+        base = self._latest_base(name, round_id)
+        paths = [self.base_path(name, base)] if base >= 0 else []
+        paths += [
             self.delta_path(name, r)
-            for r in range(round_id + 1)
+            for r in range(base + 1, round_id + 1)
             if os.path.isdir(self.delta_path(name, r))
         ]
         return spark.read.parquet(*paths)
+
+    def compact(self, spark: SparkSession, name: str, round_id: int) -> int:
+        """Fold deltas (and any prior base) <= round N into one base file
+        set, so the accumulated read stays O(1) paths no matter how many
+        rounds ran. Crash-safe: written to a tmp dir, renamed into place
+        (the Iceberg rewrite-data-files compaction equivalent); old deltas
+        stay for time travel and are simply skipped by readers."""
+        df = self.read_accumulated(spark, name, round_id)
+        final = self.base_path(name, round_id)
+        tmp = final + ".tmp"
+        df.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(final):  # idempotent re-run after a crash
+            import shutil
+
+            shutil.rmtree(final)
+        os.replace(tmp, final)
+        return spark.read.parquet(final).count()
 
     # --- frontier: copy-on-write by shard (Iceberg MERGE INTO equivalent) ---
 

@@ -80,3 +80,22 @@ def test_manifest_lineage_recorded(spark, small_fixture_dir, tmp_path):
     assert len(m["shard_lineage"]) > 0
     assert all({"round_id", "shard", "n_scheduled"} <= set(r) for r in m["shard_lineage"])
     assert set(m["tables"]) >= {"frontier", "seen", "records", "merged", "pages_out"}
+
+
+def test_delta_compaction_roundtrip(spark, tmp_path):
+    """Compaction folds deltas into a base without changing the accumulated
+    content, and older rounds still time-travel past newer bases."""
+    store = StateStore(str(tmp_path / "st"))
+    for r, vals in enumerate([[1, 2], [3], [4, 5]]):
+        store.write_delta(spark.createDataFrame([(v,) for v in vals], "v int"), "seen", r)
+
+    def acc(upto):
+        return sorted(x["v"] for x in store.read_accumulated(spark, "seen", upto).collect())
+
+    assert acc(2) == [1, 2, 3, 4, 5]
+    store.compact(spark, "seen", 1)
+    assert acc(2) == [1, 2, 3, 4, 5]  # base=1 + delta=2
+    store.compact(spark, "seen", 2)  # folds base=1 + delta=2
+    assert acc(2) == [1, 2, 3, 4, 5]
+    assert acc(1) == [1, 2, 3]  # time travel hits base=1, skips base=2
+    assert acc(0) == [1, 2]  # before any base: raw delta=0
