@@ -35,6 +35,7 @@ HEADLINE = [
     "q18_windowed_agg",
     "q19_sessionize",
     "q20_crawl_schedule",
+    "q29_bloom_dedup",
 ]
 
 BENCH_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "8000000"))
