@@ -305,6 +305,31 @@ def q30_cuckoo_ttl_dedup(spark, sf):
     return probe_not_seen(cand, filters, seen_live).select("doc_id")
 
 
+def q32_jaccard_prefix(spark, sf):
+    """EXACT Jaccard pairs at t=0.8 via prefix filtering (AllPairs) — the
+    web-scale path: join only canonical-order prefixes, verify candidates."""
+    docs = _t(spark, sf, "documents")
+    return dedup.ngram_jaccard_pairs_prefix(docs, threshold=0.8)
+
+
+def q33_merge_asof(spark, sf):
+    """Merge-asof join (latest right row <= left ts per key) as one
+    sort+window pass — no range-join blowup. Oracle: DuckDB ASOF JOIN."""
+    from stock_crawler_spark.operators.asof import merge_asof
+
+    ev = _t(spark, sf, "events")
+    left = ev.select("user_id", "ts", "event_id")
+    errs = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("err_event"))
+    )
+    out = merge_asof(left, errs, on="ts", by="user_id")
+    return out.select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("ts_epoch"), "err_event_asof"
+    )
+
+
 LSH_K = 16
 LSH_BANDS = 8
 
@@ -461,6 +486,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q29_bloom_dedup": q29_bloom_dedup,
         "q30_cuckoo_ttl_dedup": q30_cuckoo_ttl_dedup,
         "q31_minhash_lsh": q31_minhash_lsh,
+        "q32_jaccard_prefix": q32_jaccard_prefix,
+        "q33_merge_asof": q33_merge_asof,
     }
 
 
@@ -867,6 +894,18 @@ WHERE NOT (CASE WHEN length(source) % 2 = 0
   ELSE printf('/s%d', doc_id % 10) = '/s7' END)
 """,
         "q29_bloom_dedup": "SELECT doc_id FROM documents WHERE doc_id % 3 != 0",
+        "q32_jaccard_prefix": _JACCARD_CTE.replace("0.3", "0.8"),
+        "q33_merge_asof": """
+WITH err AS (
+  SELECT user_id, ts, max(event_id) AS err_event
+  FROM events WHERE event_type = 'error' GROUP BY 1, 2
+)
+SELECT e.user_id, e.event_id,
+  CAST(floor(epoch(e.ts)) AS BIGINT) AS ts_epoch,
+  err.err_event AS err_event_asof
+FROM events e ASOF LEFT JOIN err
+  ON e.user_id = err.user_id AND err.ts <= e.ts
+""",
         "q30_cuckoo_ttl_dedup": """
 SELECT doc_id FROM documents WHERE doc_id % 3 != 0 OR doc_id % 6 = 0
 """,

@@ -1,0 +1,71 @@
+"""Merge-asof join — an operator Spark lacks as a builtin.
+
+For each left row, attach the latest right row of the same key with
+``right.ts <= left.ts``. The naive formulation is a range join (quadratic
+blowup per key); this implementation is the scalable one: tag both sides,
+union, ONE sort per key partition, and carry the last-seen right row
+forward with a running window — O(n log n) per key group, one shuffle
+total, whole-stage codegen, no Python.
+
+The right row travels as a single struct so all its columns stay from the
+SAME row (independent per-column carries would mix rows when values are
+null).
+
+Crawl-engine uses: "latest robots snapshot at fetch time", "page snapshot
+as of the scheduling round", "last successful fetch before this attempt".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def merge_asof(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    value_cols: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """All left columns + each right value column as ``<col><suffix>``
+    (null when no right row at/before the left row's ``on`` time).
+
+    Ties (equal ``on``): the right row is visible to the left row (<=),
+    matching pandas.merge_asof and DuckDB ASOF JOIN; among equal right
+    timestamps the greatest value tuple wins (deterministic).
+    """
+    value_cols = value_cols or [c for c in right.columns if c not in (on, by)]
+
+    l_tag = left.withColumn("_side", F.lit(1)).withColumn(
+        "_r", F.lit(None).cast(
+            "struct<" + ",".join(
+                f"{c}:{dict(right.dtypes)[c]}" for c in value_cols
+            ) + ">"
+        )
+    )
+    r_tag = right.select(
+        by,
+        F.col(on),
+        F.lit(0).alias("_side"),
+        F.struct(*[F.col(c) for c in value_cols]).alias("_r"),
+    )
+    for c in left.columns:
+        if c not in (on, by):
+            r_tag = r_tag.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+
+    u = l_tag.unionByName(r_tag.select(*l_tag.columns))
+
+    # right rows sort before left rows at the same timestamp (side 0 < 1) so
+    # ties are visible; among same-ts right rows the last struct wins
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(on).asc(), F.col("_side").asc(), F.col("_r").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = u.withColumn("_carry", F.last(F.col("_r"), ignorenulls=True).over(w))
+    out = carried.filter(F.col("_side") == 1).drop("_side", "_r")
+    for c in value_cols:
+        out = out.withColumn(f"{c}{suffix}", F.col("_carry")[c])
+    return out.drop("_carry")

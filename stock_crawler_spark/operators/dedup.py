@@ -98,6 +98,63 @@ def ngram_jaccard_pairs(
     return j.select("doc_a", "doc_b", "jaccard")
 
 
+def ngram_jaccard_pairs_prefix(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT Jaccard pairs via prefix filtering (AllPairs/PPJoin family) —
+    the web-scale path for high thresholds.
+
+    Principle: order every shingle by a global canonical key (md5). If
+    J(A,B) >= t then |A∩B| >= ceil(t*|A|), and the globally-smallest shared
+    shingle must sit within A's first |A| - ceil(t*|A|) + 1 shingles (else
+    the >= ceil(t*|A|) - 1 remaining shared shingles can't fit behind it);
+    same for B. So joining ONLY prefix shingles finds every qualifying
+    pair; candidates then verify with array_intersect on the full sorted
+    sets. At t=0.8 the join explodes ~20% of the shingles instead of 100%,
+    and the verify is per-candidate-pair, not per-shared-shingle.
+    """
+    arr = docs.select(
+        F.col(id_col).alias("doc"),
+        F.transform(
+            F.array_sort(
+                F.transform(
+                    word_shingles(F.col(text_col), n),
+                    lambda s: F.struct(F.md5(s).alias("h"), s.alias("s")),
+                )
+            ),
+            lambda x: x["s"],
+        ).alias("sh"),
+    ).withColumn("len", F.size("sh")).filter(F.col("len") > 0)
+
+    prefix_len = (F.col("len") - F.ceil(F.lit(threshold) * F.col("len")) + 1).cast("int")
+    pre = arr.select(
+        "doc", F.explode(F.slice("sh", 1, prefix_len)).alias("s")
+    )
+    cands = (
+        pre.alias("a").join(pre.alias("b"), "s")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    sa = arr.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("len").alias("n_a"))
+    sb = arr.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("len").alias("n_b"))
+    v = (
+        cands.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return v.select("doc_a", "doc_b", "jaccard")
+
+
 # --- MinHash + LSH --------------------------------------------------------------
 
 # 2^31-1: small enough that a*h never overflows int64 under ANSI arithmetic

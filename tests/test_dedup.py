@@ -115,3 +115,19 @@ def test_dedup_plans_have_no_python_stage(spark, docs):
     ):
         plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
         assert "EvalPython" not in plan
+
+
+def test_prefix_jaccard_equals_allpairs(spark, docs):
+    """Prefix filtering must return the IDENTICAL pair set as the full
+    shingle-join at the same threshold (it's an exact technique)."""
+    for t in (0.3, 0.8):
+        full = {
+            (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+            for r in dedup.ngram_jaccard_pairs(docs, threshold=t).collect()
+        }
+        pre = {
+            (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+            for r in dedup.ngram_jaccard_pairs_prefix(docs, threshold=t).collect()
+        }
+        assert pre == full, t
+        assert len(pre) > 0  # fixture plants near-dups; the gate is non-vacuous

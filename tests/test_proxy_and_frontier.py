@@ -63,3 +63,29 @@ def test_dequeue_salted_equals_unsalted(spark, n_salts):
         for r in fr.dequeue(df, 30_000, n_salts=n_salts, scheduled_only=True).collect()
     }
     assert only == base
+
+
+def test_merge_asof_matches_pandas_semantics(spark):
+    """merge_asof: latest right row with ts <= left ts per key; ties visible;
+    no-match -> null."""
+    left = spark.createDataFrame(
+        [("k1", 5, "L1"), ("k1", 10, "L2"), ("k1", 2, "L0"), ("k2", 7, "L3"), ("k3", 1, "L4")],
+        "k string, ts long, lv string",
+    )
+    right = spark.createDataFrame(
+        [("k1", 3, "A"), ("k1", 5, "B"), ("k1", 9, "C"), ("k2", 8, "D")],
+        "k string, ts long, rv string",
+    )
+    from stock_crawler_spark.operators.asof import merge_asof
+
+    got = {
+        (r["k"], r["ts"]): r["rv_asof"]
+        for r in merge_asof(left, right, on="ts", by="k").collect()
+    }
+    assert got == {
+        ("k1", 2): None,   # before any right row
+        ("k1", 5): "B",    # tie at 5 is visible
+        ("k1", 10): "C",
+        ("k2", 7): None,   # k2's only right row is later (8 > 7)
+        ("k3", 1): None,   # key absent on the right
+    }
