@@ -330,6 +330,35 @@ def q33_merge_asof(spark, sf):
     )
 
 
+def q34_range_join(spark, sf):
+    """Bucketized interval join: events within 30 min of a same-user error,
+    as an equi-join on (user, bucket) — linear, not quadratic per key."""
+    from stock_crawler_spark.operators.rangejoin import range_join
+
+    ev = _t(spark, sf, "events").select(
+        "user_id", F.unix_timestamp("ts").alias("t"), "event_id"
+    )
+    errs = ev.filter(F.col("event_id") % 13 == 0).select(
+        "user_id", "t", F.col("event_id").alias("anchor_id")
+    )
+    out = range_join(ev, errs, by="user_id", on="t", width=1800)
+    return out.select(
+        "user_id", "event_id", F.col("r_anchor_id").alias("anchor_id"),
+        F.col("l_t").alias("t_event"), F.col("r_t").alias("t_anchor"),
+    )
+
+
+SAMPLE_RATES = {"src0": 0.5, "src1": 0.25, "src2": 0.1, "src3": 1.0}
+
+
+def q35_hash_sample(spark, sf):
+    """Deterministic stratified sampling by md5-hash thresholding —
+    partition- and re-run-invariant sample membership."""
+    docs = _t(spark, sf, "documents")
+    out = dedup.hash_sample(docs, SAMPLE_RATES, stratum_col="source")
+    return out.select("doc_id", "source")
+
+
 LSH_K = 16
 LSH_BANDS = 8
 
@@ -488,6 +517,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_minhash_lsh": q31_minhash_lsh,
         "q32_jaccard_prefix": q32_jaccard_prefix,
         "q33_merge_asof": q33_merge_asof,
+        "q34_range_join": q34_range_join,
+        "q35_hash_sample": q35_hash_sample,
     }
 
 
@@ -895,6 +926,22 @@ WHERE NOT (CASE WHEN length(source) % 2 = 0
 """,
         "q29_bloom_dedup": "SELECT doc_id FROM documents WHERE doc_id % 3 != 0",
         "q32_jaccard_prefix": _JACCARD_CTE.replace("0.3", "0.8"),
+        "q34_range_join": """
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id FROM events
+), anchors AS (
+  SELECT user_id, t, event_id AS anchor_id FROM ev WHERE event_id % 13 = 0
+)
+SELECT e.user_id, e.event_id, a.anchor_id, e.t AS t_event, a.t AS t_anchor
+FROM ev e JOIN anchors a
+  ON e.user_id = a.user_id AND abs(e.t - a.t) <= 1800
+""",
+        "q35_hash_sample": f"""
+SELECT doc_id, source FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000
+  < CASE source WHEN 'src0' THEN 500000 WHEN 'src1' THEN 250000
+                WHEN 'src2' THEN 100000 WHEN 'src3' THEN 1000000 ELSE 0 END
+""",
         "q33_merge_asof": """
 WITH err AS (
   SELECT user_id, ts, max(event_id) AS err_event

@@ -230,6 +230,34 @@ def minhash_lsh_pairs(
     )
 
 
+# --- deterministic sampling -----------------------------------------------------
+
+
+def hash_sample(
+    df: DataFrame,
+    rate_by_stratum: dict[str, float] | float,
+    stratum_col: str | None = None,
+    key_col: str = "doc_id",
+    denom: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic (stratified) sampling by hash thresholding — the
+    reproducible-sampling primitive of large corpus pipelines: membership
+    depends only on the row KEY, so re-runs, resumes, and different
+    partitionings select the identical sample (rng-based sample() cannot
+    promise that). md5-derived hash keeps it SQL-reproducible."""
+    u = F.pmod(_md5_hash60(F.col(key_col).cast("string")), F.lit(denom))
+    if isinstance(rate_by_stratum, dict):
+        assert stratum_col is not None
+        thr = None
+        for k, rate in sorted(rate_by_stratum.items()):
+            cond, cut = F.col(stratum_col) == k, F.lit(int(rate * denom))
+            thr = F.when(cond, cut) if thr is None else thr.when(cond, cut)
+        thr = thr.otherwise(F.lit(0))
+    else:
+        thr = F.lit(int(rate_by_stratum * denom))
+    return df.filter(u < thr)
+
+
 # --- SimHash --------------------------------------------------------------------
 
 SIMHASH_BITS = 32

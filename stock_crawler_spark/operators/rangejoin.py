@@ -1,0 +1,53 @@
+"""Bucketized range (interval) join — Spark's missing efficient theta join.
+
+``left JOIN right ON left.key = right.key AND |left.ts - right.ts| <= w``
+as a plain equi-join: quantize both sides to buckets of width w, explode
+the left side to its bucket and both neighbors, equi-join on (key,
+bucket), then apply the exact predicate. Every true pair shares one of the
+three buckets, so the result is EXACT while the join stays hash-based and
+linear — the naive `ON key = key AND abs(...) <= w` degenerates to a
+broadcast-nested-loop (quadratic per key) in Spark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    on: str,
+    width,
+    left_cols: list[str] | None = None,
+    right_cols: list[str] | None = None,
+) -> DataFrame:
+    """Pairs with same ``by`` key and ``|left.on - right.on| <= width``
+    (``on`` numeric, e.g. epoch seconds; ``width`` in the same unit)."""
+    left_cols = left_cols or [c for c in left.columns if c not in (by, on)]
+    right_cols = right_cols or [c for c in right.columns if c not in (by, on)]
+
+    bucket = lambda c: F.floor(F.col(c) / F.lit(width)).cast("long")
+    l = left.select(
+        F.col(by), F.col(on).alias("_l_on"), *left_cols,
+        F.explode(
+            F.array(bucket(on) - 1, bucket(on), bucket(on) + 1)
+        ).alias("_bucket"),
+    )
+    r = right.select(
+        F.col(by),
+        F.col(on).alias("_r_on"),
+        *[F.col(c).alias(f"r_{c}") for c in right_cols],
+        bucket(on).alias("_bucket"),
+    )
+    out = l.join(r, [by, "_bucket"]).filter(
+        F.abs(F.col("_l_on") - F.col("_r_on")) <= F.lit(width)
+    )
+    # no distinct needed: the right row carries ONE bucket value, so each
+    # qualifying (l, r) pair joins on exactly one of l's three buckets
+    return out.select(
+        by, F.col("_l_on").alias(f"l_{on}"), *left_cols,
+        F.col("_r_on").alias(f"r_{on}"), *[f"r_{c}" for c in right_cols],
+    )

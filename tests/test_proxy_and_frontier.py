@@ -89,3 +89,28 @@ def test_merge_asof_matches_pandas_semantics(spark):
         ("k2", 7): None,   # k2's only right row is later (8 > 7)
         ("k3", 1): None,   # key absent on the right
     }
+
+
+def test_range_join_equals_theta_join(spark):
+    """Bucketized interval join must equal the naive |l-r|<=w theta join."""
+    from pyspark.sql import functions as F
+
+    from stock_crawler_spark.operators.rangejoin import range_join
+
+    l = spark.range(200).select(
+        (F.col("id") % 5).alias("k"), (F.col("id") * 37 % 1000).alias("t"), F.col("id").alias("lid")
+    )
+    r = spark.range(60).select(
+        (F.col("id") % 5).alias("k"), (F.col("id") * 91 % 1000).alias("t"), F.col("id").alias("rid")
+    )
+    got = {
+        (x["k"], x["lid"], x["r_rid"])
+        for x in range_join(l, r, by="k", on="t", width=50).collect()
+    }
+    naive = {
+        (x["k"], x["lid"], x["rid"])
+        for x in l.alias("a").join(
+            r.withColumnRenamed("t", "t2").alias("b"), "k"
+        ).filter(F.abs(F.col("t") - F.col("t2")) <= 50).collect()
+    }
+    assert got == naive and len(got) > 0
