@@ -1,0 +1,71 @@
+"""spark-submit entry point: run a crawl (N rounds) as a cluster job.
+
+This is the deployment shape of the engine (north rule): the driver loop
+schedules batch rounds, each a single DataFrame job, with the engine code
+shipped via ``--py-files engine.zip``:
+
+    zip -r /tmp/engine.zip stock_crawler_spark
+    $SPARK_HOME/bin/spark-submit --master <cluster> \
+        --py-files /tmp/engine.zip scripts/submit_round.py \
+        --fixtures <dir> --state <dir> --max-rounds 12 --dedup bloom
+
+Prints ONE json line with the rounds executed and final metrics. On a real
+cluster nothing changes except --master (and Iceberg catalog conf instead
+of the local parquet state dir).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--fixtures", required=True)
+    p.add_argument("--state", required=True)
+    p.add_argument("--max-rounds", type=int, default=12)
+    p.add_argument("--dedup", default="bloom", choices=["antijoin", "bloom", "cuckoo"])
+    p.add_argument("--salts", type=int, default=1)
+    p.add_argument("--resume", action="store_true")
+    args = p.parse_args()
+
+    # master/conf come from spark-submit; only app-level settings here
+    spark = (
+        SparkSession.builder.appName("crawl-round")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+
+    from stock_crawler_spark.plans.round import RoundConfig, run_crawl
+    from stock_crawler_spark.plans.state import StateStore
+
+    fx = args.fixtures
+    res = run_crawl(
+        spark,
+        args.state,
+        spark.read.parquet(f"{fx}/seeds.parquet"),
+        spark.read.parquet(f"{fx}/robots.parquet"),
+        spark.read.parquet(f"{fx}/skip_dates.parquet"),
+        spark.read.parquet(f"{fx}/pages.parquet"),
+        RoundConfig(dedup_mode=args.dedup, n_salts=args.salts),
+        max_rounds=args.max_rounds,
+        resume=args.resume,
+    )
+    last = res["last_round"]
+    store = StateStore(args.state)
+    out = {
+        "last_round": last,
+        "rounds_run": len(res["rounds"]),
+        "total_scheduled": sum(r["metrics"]["scheduled"] for r in res["rounds"]),
+        "manifest_tables": sorted(store.read_manifest(last)["tables"]) if last >= 0 else [],
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

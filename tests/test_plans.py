@@ -101,3 +101,18 @@ def test_extract_text_is_arrow_batched(spark, small_fixture_dir):
     plan = _plan(extract_text(payload))
     assert "MapInPandas" in plan or "mapInPandas" in plan.lower(), plan
     assert "BatchEvalPython" not in plan
+
+
+def test_no_row_at_a_time_python_in_any_driver_query(spark):
+    """Sweep every queries() entry: BatchEvalPython (row-at-a-time Python)
+    must appear in NO plan — the only Python anywhere is Arrow-batched
+    (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+
+    for name, fn in entrymod.queries().items():
+        df = fn(spark, "/root/testdata/sf0.001")
+        plan = _plan(df)
+        assert "BatchEvalPython" not in plan, name

@@ -1,0 +1,50 @@
+"""Deployment-shape test: the engine runs under spark-submit with the code
+shipped as --py-files engine.zip (no PYTHONPATH, no installed package) —
+the north rule's invocation contract."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import zipfile
+
+import pytest
+
+SPARK_SUBMIT = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+
+
+@pytest.mark.skipif(not os.path.exists(SPARK_SUBMIT), reason="no spark-submit")
+def test_spark_submit_py_files_round(small_fixture_dir, tmp_path):
+    zip_path = str(tmp_path / "engine.zip")
+    pkg_root = "/root/repo/stock_crawler_spark"
+    with zipfile.ZipFile(zip_path, "w") as z:
+        for base, _dirs, files in os.walk(pkg_root):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(base, f)
+                    z.write(full, os.path.relpath(full, "/root/repo"))
+
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    proc = subprocess.run(
+        [
+            SPARK_SUBMIT,
+            "--master", "local[4]",
+            "--conf", "spark.ui.enabled=false",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--py-files", zip_path,
+            "/root/repo/scripts/submit_round.py",
+            "--fixtures", small_fixture_dir,
+            "--state", str(tmp_path / "state"),
+            "--max-rounds", "3",
+            "--dedup", "bloom",
+        ],
+        capture_output=True, text=True, timeout=420, env=env, cwd=str(tmp_path),
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    out = json.loads(line)
+    assert out["rounds_run"] == 3
+    assert out["total_scheduled"] > 0
+    assert "frontier" in out["manifest_tables"]
