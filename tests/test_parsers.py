@@ -142,3 +142,51 @@ def test_float32_formatting_go_compat():
     assert serialize.format_f32(-2.5) == "-2.5"
     assert serialize.format_f32(0.1) == "0.1"
     assert serialize.format_f32(123456.78) == "123456.78"
+
+
+ROBOTS_FIXTURE = """
+# global section
+User-agent: *
+Disallow: /private/
+Disallow: /tmp
+Allow: /private/ok
+Crawl-delay: 2.5
+
+User-agent: badbot
+Disallow: /
+"""
+
+
+def test_parse_robots_txt_star_section():
+    from stock_crawler_spark.parsers.robots import parse_robots_txt
+
+    deny, allow, delay = parse_robots_txt(ROBOTS_FIXTURE)
+    assert deny == ["/private/", "/tmp"]
+    assert allow == ["/private/ok"]
+    assert delay == 2500
+
+
+def test_parse_robots_txt_edge_cases():
+    from stock_crawler_spark.parsers.robots import parse_robots_txt
+
+    # empty disallow = allow-all; case-insensitive fields; CRLF; grouped UAs
+    body = "USER-AGENT: googlebot\r\nUser-Agent: *\r\nDISALLOW:\r\nDisallow: /a #c\r\n"
+    deny, allow, delay = parse_robots_txt(body)
+    assert deny == ["/a"] and allow == [] and delay is None
+    # non-star section rules never leak
+    deny, _, _ = parse_robots_txt("User-agent: bad\nDisallow: /x\n")
+    assert deny == []
+
+
+def test_compile_robots_vectorized(spark):
+    from stock_crawler_spark.parsers.robots import compile_robots
+
+    df = spark.createDataFrame(
+        [("d1.com", ROBOTS_FIXTURE), ("d2.com", ""), ("d3.com", None)],
+        "domain string, body string",
+    )
+    got = {r["domain"]: r for r in compile_robots(df).collect()}
+    assert got["d1.com"]["deny"] == ["/private/", "/tmp"]
+    assert got["d1.com"]["crawl_delay_ms"] == 2500
+    assert got["d2.com"]["deny"] == [] and got["d2.com"]["crawl_delay_ms"] == 1000
+    assert got["d3.com"]["deny"] == []
