@@ -48,6 +48,22 @@ def expand_seeds(seeds: DataFrame) -> DataFrame:
     return rest.unionByName(conc)
 
 
+def robots_denied(path, deny, allow=None):
+    """Robots verdict as a Column: denied iff the longest matching deny
+    prefix beats the longest matching allow prefix (Google's
+    longest-match-wins rule). ``allow=None`` degrades to plain prefix deny."""
+    empty = F.array().cast("array<string>")
+
+    def longest(arr):
+        hits = F.filter(F.coalesce(arr, empty), lambda p: path.startswith(p))
+        return F.coalesce(F.array_max(F.transform(hits, lambda p: F.length(p))), F.lit(0))
+
+    d = longest(deny)
+    if allow is None:
+        return d > 0
+    return d > longest(allow)
+
+
 def init_frontier(
     seeds: DataFrame,
     robots: DataFrame,
@@ -67,15 +83,20 @@ def init_frontier(
     w = Window.partitionBy("url_canon").orderBy(F.desc("priority"), F.asc("url"))
     f = f.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
-    # robots deny: broadcast the (tiny vs frontier) rule table, prefix match
+    # robots deny: broadcast the (tiny vs frontier) rule table; prefix match
+    # with longest-match-wins when the rule table carries Allow rules
+    # (e.g. from parsers/robots.compile_robots)
     path = F.regexp_replace(
         F.col("url_canon"), r"^[a-z]+://[^/]+", ""
     )
-    rules = F.broadcast(robots.select("domain", "deny", "crawl_delay_ms", "max_per_round"))
+    has_allow = "allow" in robots.columns
+    rule_cols = ["domain", "deny", "crawl_delay_ms", "max_per_round"] + (
+        ["allow"] if has_allow else []
+    )
+    rules = F.broadcast(robots.select(*rule_cols))
     f = f.join(rules, "domain", "left").withColumn("_path", path)
-    denied = F.exists(
-        F.coalesce(F.col("deny"), F.array()),
-        lambda p: F.col("_path").startswith(p),
+    denied = robots_denied(
+        F.col("_path"), F.col("deny"), F.col("allow") if has_allow else None
     )
 
     holidays = F.broadcast(skip_dates.select(F.col("crawl_date").alias("_skip_date")))

@@ -114,3 +114,27 @@ def test_range_join_equals_theta_join(spark):
         ).filter(F.abs(F.col("t") - F.col("t2")) <= 50).collect()
     }
     assert got == naive and len(got) > 0
+
+
+def test_robots_longest_match_wins(spark):
+    from pyspark.sql import functions as F
+
+    from stock_crawler_spark.operators.frontier import robots_denied
+
+    df = spark.createDataFrame(
+        [
+            ("/private/x", ["/private/"], ["/private/ok"]),      # denied
+            ("/private/ok/page", ["/private/"], ["/private/ok"]),  # allow wins (longer)
+            ("/public", ["/private/"], []),                       # no match
+            ("/a", ["/a"], ["/a"]),                               # tie -> allow (not denied)
+            ("/x", None, None),                                   # null rules
+        ],
+        "path string, deny array<string>, allow array<string>",
+    )
+    got = [
+        r["d"]
+        for r in df.select(
+            robots_denied(F.col("path"), F.col("deny"), F.col("allow")).alias("d")
+        ).collect()
+    ]
+    assert got == [True, False, False, False, False]
