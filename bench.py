@@ -69,12 +69,14 @@ def _burn_throughput(cores: int) -> float:
     return round(cores * 2 / dt, 3)
 
 
-def _scaling_measure(n_small: int, n_large: int, n_urls: int, visits: int = 2, reps: int = 2):
+def _scaling_measure(n_small: int, n_large: int, n_urls: int, visits: int | None = None, reps: int = 2):
     """Interleaved A/B visits: tier A then tier B, repeated — so the host's
     time-varying noise hits both tiers equally. Each visit: fresh session,
     identical warmup round (JIT/codegen paid up front), `reps` timed rounds,
     then a CPU-burn calibration of the host at that core count.
     Capability per tier = best observed run (min wall)."""
+    if visits is None:
+        visits = int(os.environ.get("SPARK_GRAFT_SCALE_VISITS", "3"))
     walls = {n_small: [], n_large: []}
     burns = {n_small: [], n_large: []}
     for _ in range(visits):
