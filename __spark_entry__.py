@@ -359,6 +359,33 @@ def q35_hash_sample(spark, sf):
     return out.select("doc_id", "source")
 
 
+def q36_rollup_metrics(spark, sf):
+    """Crawl-metrics rollup shape: per (strategy, day) with subtotals and a
+    grand total in one pass (grouping sets)."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.select("event_type", F.date_format("ts", "yyyy-MM-dd").alias("day"), "value")
+        .rollup("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
+def q37_percentiles(spark, sf):
+    """Exact per-group percentiles (linear interpolation — matches
+    quantile_cont)."""
+    ev = _t(spark, sf, "events")
+    v = F.col("value").cast("double")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile(v, F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile(v, F.lit(0.95)), 6).alias("p95"),
+        F.round(F.percentile(v, F.lit(0.99)), 6).alias("p99"),
+    )
+
+
 LSH_K = 16
 LSH_BANDS = 8
 
@@ -519,6 +546,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_merge_asof": q33_merge_asof,
         "q34_range_join": q34_range_join,
         "q35_hash_sample": q35_hash_sample,
+        "q36_rollup_metrics": q36_rollup_metrics,
+        "q37_percentiles": q37_percentiles,
     }
 
 
@@ -941,6 +970,22 @@ SELECT doc_id, source FROM documents
 WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000
   < CASE source WHEN 'src0' THEN 500000 WHEN 'src1' THEN 250000
                 WHEN 'src2' THEN 100000 WHEN 'src3' THEN 1000000 ELSE 0 END
+""",
+        # Spark's grouping_id over (a, b) = 2*grouping(a) + grouping(b)
+        "q36_rollup_metrics": """
+SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+  count(*) AS n,
+  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+  2 * GROUPING(event_type) + GROUPING(strftime(ts, '%Y-%m-%d')) AS gid
+FROM events
+GROUP BY ROLLUP(event_type, strftime(ts, '%Y-%m-%d'))
+""",
+        "q37_percentiles": """
+SELECT event_type,
+  round(quantile_cont(CAST(value AS DOUBLE), 0.5), 6) AS p50,
+  round(quantile_cont(CAST(value AS DOUBLE), 0.95), 6) AS p95,
+  round(quantile_cont(CAST(value AS DOUBLE), 0.99), 6) AS p99
+FROM events GROUP BY 1
 """,
         "q33_merge_asof": """
 WITH err AS (
