@@ -64,3 +64,22 @@ def test_synthesize_blobs_roundtrip(spark):
         r = meta[i]
         assert (r["width"], r["height"], r["channels"]) == (i % 64 + 1, i % 32 + 1, 3)
         assert r["n_bytes"] == 9 + len(f"text {i} 中文".encode())
+
+
+def test_features_compose_with_ann(spark, media):
+    """Pipeline composition: binary media -> Arrow feature extraction ->
+    cosine top-k — the multimodal retrieval shape end-to-end."""
+    from stock_crawler_spark.operators.ann import brute_force_topk
+
+    feats = mm.extract_features(media, dim=8)
+    out = brute_force_topk(
+        feats.filter(feats.media_id < 3), feats, k=3,
+        qid="media_id", cid="media_id", emb="feature",
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        top = min(rows, key=lambda r: r["rank"])
+        assert top["cand_id"] == q and abs(top["cos"] - 1.0) < 1e-9
+        assert len(rows) == 3
