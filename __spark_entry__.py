@@ -651,11 +651,20 @@ FROM (
 """
 
 
-_COS = "list_inner_product({a}, {b}) / (sqrt(list_inner_product({a}, {a})) * sqrt(list_inner_product({b}, {b})))"
+# engine pre-normalizes embeddings once (ann._unit_select), so cosine is a
+# plain dot product — the oracles mirror the exact same op sequence
+_COS = "list_inner_product({a}, {b})"
+
+_UNIT_CORPUS = """
+  SELECT vec_id, list_transform(e0, x -> x / n) AS e FROM (
+    SELECT vec_id, embedding::DOUBLE[] AS e0,
+      sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+    FROM embeddings)
+"""
 
 _IVF_CTE = f"""
 WITH corpus AS (
-  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+  {_UNIT_CORPUS}
 ), cents AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e AS ce
   FROM corpus ORDER BY vec_id LIMIT {NEARDUP_CELLS}
@@ -824,12 +833,14 @@ FROM documents GROUP BY 1
         "q10_ngram_jaccard": _JACCARD_CTE,
         "q11_minhash_sigs": _minhash_oracle(),
         "q12_simhash": _simhash_oracle(),
-        "q13_ann_topk": """
-WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 10),
-c AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS ce FROM embeddings),
+        "q13_ann_topk": f"""
+WITH u AS (
+  {_UNIT_CORPUS}
+),
+q AS (SELECT vec_id AS query_id, e AS qe FROM u WHERE vec_id < 10),
+c AS (SELECT vec_id AS cand_id, e AS ce FROM u),
 scored AS (
-  SELECT query_id, cand_id,
-    list_inner_product(qe, ce) / (sqrt(list_inner_product(qe, qe)) * sqrt(list_inner_product(ce, ce))) AS cos
+  SELECT query_id, cand_id, list_inner_product(qe, ce) AS cos
   FROM q, c
 )
 SELECT query_id, cand_id, round(cos, 6) AS cos_r, rank FROM (

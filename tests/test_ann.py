@@ -71,3 +71,27 @@ def test_ann_plan_stays_jvm(spark, emb):
     df = ann.brute_force_topk(emb.limit(3), emb, k=3)
     plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
     assert "EvalPython" not in plan
+
+
+def test_ivf_kmeans_refinement_recall(spark, emb):
+    """Spherical k-means refinement (pure DataFrame Lloyd passes) must not
+    hurt recall vs the stride-seeded centroids, and typically improves it."""
+    exact_rows = ann.brute_force_topk(emb.filter(F.col("vec_id") < 20), emb, k=10).collect()
+    exact = {}
+    for r in exact_rows:
+        exact.setdefault(r["query_id"], set()).add(r["cand_id"])
+
+    def recall(refine_iters):
+        rows = ann.ivf_topk(
+            emb.filter(F.col("vec_id") < 20), emb, k=10, n_cells=16, nprobe=6,
+            refine_iters=refine_iters,
+        ).collect()
+        approx = {}
+        for r in rows:
+            approx.setdefault(r["query_id"], set()).add(r["cand_id"])
+        rs = [len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact]
+        return sum(rs) / len(rs)
+
+    r0, r2 = recall(0), recall(2)
+    assert r2 >= r0 - 0.05, (r0, r2)
+    assert r2 >= 0.5, r2
