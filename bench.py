@@ -43,10 +43,15 @@ BENCH_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "8000000"))
 
 
 def time_query(fn, spark, sf_dir) -> float:
-    t0 = time.monotonic()
-    df = fn(spark, sf_dir)
-    df.write.format("noop").mode("overwrite").save()
-    return round(time.monotonic() - t0, 3)
+    """Best of 2 runs — the host's minute-scale noise would otherwise
+    dominate sub-10s queries."""
+    walls = []
+    for _ in range(2):
+        t0 = time.monotonic()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        walls.append(time.monotonic() - t0)
+    return round(min(walls), 3)
 
 
 def _burn_unit(_):
