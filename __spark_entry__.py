@@ -386,6 +386,23 @@ def q37_percentiles(spark, sf):
     )
 
 
+def q38_heavy_hitters(spark, sf):
+    """Corpus vocabulary heavy hitters: top-50 tokens by document frequency
+    (map-side partial agg -> tiny final sort; deterministic tie order)."""
+    docs = _t(spark, sf, "documents")
+    w = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.trim(F.lower("text")), r"\s+"))).alias("w"),
+    )
+    counts = w.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    win = Window.orderBy(F.desc("df"), F.asc("w"))
+    return (
+        counts.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= 50)
+        .select("rank", "w", "df")
+    )
+
+
 LSH_K = 16
 LSH_BANDS = 8
 
@@ -548,6 +565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_hash_sample": q35_hash_sample,
         "q36_rollup_metrics": q36_rollup_metrics,
         "q37_percentiles": q37_percentiles,
+        "q38_heavy_hitters": q38_heavy_hitters,
     }
 
 
@@ -997,6 +1015,15 @@ SELECT event_type,
   round(quantile_cont(CAST(value AS DOUBLE), 0.95), 6) AS p95,
   round(quantile_cont(CAST(value AS DOUBLE), 0.99), 6) AS p99
 FROM events GROUP BY 1
+""",
+        "q38_heavy_hitters": f"""
+SELECT rank, w, df FROM (
+  SELECT w, df, row_number() OVER (ORDER BY df DESC, w) AS rank FROM (
+    SELECT w, count(*) AS df FROM (
+      SELECT doc_id, unnest(list_distinct({_TOKS})) AS w FROM documents
+    ) GROUP BY w
+  )
+) WHERE rank <= 50
 """,
         "q33_merge_asof": """
 WITH err AS (
