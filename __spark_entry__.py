@@ -395,10 +395,14 @@ def q38_heavy_hitters(spark, sf):
         F.explode(F.array_distinct(F.split(F.trim(F.lower("text")), r"\s+"))).alias("w"),
     )
     counts = w.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    # Parallel partial top-k (TakeOrderedAndProject) — each partition keeps its
+    # local top-50, driver merges 50*P rows.  Only the 50 survivors then pass
+    # through the single-partition ranking window (trivial), so the full
+    # vocabulary (10^8+ at web scale) never funnels through one task.
+    top = counts.orderBy(F.desc("df"), F.asc("w")).limit(50)
     win = Window.orderBy(F.desc("df"), F.asc("w"))
     return (
-        counts.withColumn("rank", F.row_number().over(win))
-        .filter(F.col("rank") <= 50)
+        top.withColumn("rank", F.row_number().over(win))
         .select("rank", "w", "df")
     )
 
@@ -821,10 +825,10 @@ SELECT domain, doc_id, priority, dom_rank FROM (
 """,
         "q06_zero_coerce": """
 SELECT event_type,
-  sum(CASE WHEN regexp_full_match(json_extract_string(props, '$.k'), '[+-]?[0-9]+')
-       THEN coalesce(try_cast(json_extract_string(props, '$.k') AS BIGINT), 0) ELSE 0 END) AS sum_k,
-  sum(CASE WHEN regexp_full_match(event_type, '[+-]?[0-9]+')
-       THEN coalesce(try_cast(event_type AS BIGINT), 0) ELSE 0 END) AS sum_garbage,
+  CAST(sum(CASE WHEN regexp_full_match(json_extract_string(props, '$.k'), '[+-]?[0-9]+')
+       THEN coalesce(try_cast(json_extract_string(props, '$.k') AS BIGINT), 0) ELSE 0 END) AS BIGINT) AS sum_k,
+  CAST(sum(CASE WHEN regexp_full_match(event_type, '[+-]?[0-9]+')
+       THEN coalesce(try_cast(event_type AS BIGINT), 0) ELSE 0 END) AS BIGINT) AS sum_garbage,
   count(*) AS n
 FROM events GROUP BY 1
 """,
@@ -910,7 +914,7 @@ WITH s AS (
   SELECT user_id, sess_id, count(*) AS sess_len FROM sess GROUP BY 1, 2
 )
 SELECT user_id, count(*) AS n_sessions, max(sess_len) AS max_sess_len,
-       sum(sess_len) AS n_events
+       CAST(sum(sess_len) AS BIGINT) AS n_events
 FROM per_sess GROUP BY 1
 """,
         "q20_crawl_schedule": """

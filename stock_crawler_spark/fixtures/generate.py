@@ -289,13 +289,24 @@ def generate_fixtures(out_dir: str, scale: str = "test", seed: int = 42, **overr
     pages_rows = []
     fanout_counter = 0
 
-    def add_page(url: str, html: bytes, text: str, lang: str):
-        pages_rows.append(dict(url=url, warc_ts=_warc_ts(url), html=html, text=text, lang=lang))
+    def add_page(url: str, html: bytes, text: str, lang: str, status: int = 200):
+        pages_rows.append(
+            dict(url=url, warc_ts=_warc_ts(url), html=html, text=text, lang=lang,
+                 fetch_status=status)
+        )
 
     def maybe_miss() -> bool:
         nonlocal fanout_counter
         fanout_counter += 1
-        return fanout_counter % 50 == 0  # ~2% fetch-miss
+        return fanout_counter % 50 == 0  # ~2% fetch-miss (timeout analog)
+
+    def error_status() -> int:
+        # ~2% permanent 404s (retry.Stop analog) + ~2% transient 503s
+        if fanout_counter % 50 == 25:
+            return 404
+        if fanout_counter % 50 == 37:
+            return 503
+        return 200
 
     # non-concentration seeds: strategy x date x 3 domains
     junk_counter = 0
@@ -312,6 +323,10 @@ def generate_fixtures(out_dir: str, scale: str = "test", seed: int = 42, **overr
                          priority=rnd.random())
                 )
                 if maybe_miss():
+                    continue
+                st = error_status()
+                if st != 200:
+                    add_page(url, b"", "", "und", status=st)
                     continue
                 junk_counter += 1
                 if junk_counter % 13 == 0:
@@ -338,6 +353,10 @@ def generate_fixtures(out_dir: str, scale: str = "test", seed: int = 42, **overr
         for n in (1, 2, 3, 4, 6):
             url = f"{base}_{n}.djhtm"
             if maybe_miss():
+                continue
+            st = error_status()
+            if st != 200:
+                add_page(url, b"", "", "und", status=st)
                 continue
             html, golden = render_concentration(rnd, sid, date_iso, n)
             add_page(url, html, golden, "zh-Hant")
@@ -370,6 +389,9 @@ def generate_fixtures(out_dir: str, scale: str = "test", seed: int = 42, **overr
             "html": pa.array([p["html"] for p in pages_rows], pa.binary()),
             "text": [p["text"] for p in pages_rows],
             "lang": [p["lang"] for p in pages_rows],
+            "fetch_status": pa.array(
+                [p["fetch_status"] for p in pages_rows], pa.int32()
+            ),
         }
     )
     pq.write_table(pages_tbl, os.path.join(out_dir, "pages.parquet"))

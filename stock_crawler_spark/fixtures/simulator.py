@@ -146,7 +146,14 @@ def simulate(
         # fetch + extract + state transitions
         for e in scheduled:
             page = page_by_canon.get(e["url_canon"])
-            if page is None:
+            status = (page.get("fetch_status") or 200) if page is not None else None
+            if page is not None and status in (404, 410, 451):
+                # non-retryable failure: the reference's retry.Stop sentinel
+                # (retry/retry.go:50-57) — dead immediately, no backoff
+                e["state"] = "dead"
+                trace.append((rnum, -1, e["url"], "failed_permanent"))
+                continue
+            if page is None or status >= 400:
                 e["retry_count"] += 1
                 if e["retry_count"] >= max_attempts:
                     e["state"] = "dead"

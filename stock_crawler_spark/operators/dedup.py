@@ -70,11 +70,14 @@ def ngram_jaccard_pairs(
 
     shuffle plan: explode shingles -> self-join keyed BY SHINGLE (never the
     full doc cross-product) -> count intersections -> join the two per-doc
-    set sizes (broadcastable aggregate).
+    set sizes (broadcastable aggregate). The join key is the 60-bit md5
+    hash of the shingle, not the string — ~4x fewer shuffle bytes at web
+    scale, with a 2^-60 per-pair collision risk (negligible vs corpus
+    noise; the oracle joins on the raw string and still matches).
     """
     sh = docs.select(
         F.col(id_col).alias("doc"), F.explode(word_shingles(F.col(text_col), n)).alias("s")
-    )
+    ).select("doc", _md5_hash60(F.col("s")).alias("s"))
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc").alias("doc_a"), "s")
     b = sh.select(F.col("doc").alias("doc_b"), "s")
@@ -195,7 +198,12 @@ def minhash_lsh_pairs(
     """Banded-LSH candidate pairs, verified with exact Jaccard >= threshold.
 
     band key = md5 of the band's signature slice; candidates join only
-    within (band_idx, band_key) buckets -> no all-pairs shuffle.
+    within (band_idx, band_key) buckets -> no all-pairs shuffle. The verify
+    stage touches ONLY the candidate pairs: each candidate joins the two
+    docs' full shingle arrays and computes array_intersect per pair —
+    never the full-corpus shingle-shingle join (which would defeat the
+    banding at scale). Work is O(bucket collisions + candidates), so
+    recall/precision trade purely on (k, bands).
     """
     rows_per_band = k // bands
     sig = minhash_signatures(docs, k=k, n=n, id_col=id_col, text_col=text_col)
@@ -222,12 +230,22 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    exact = ngram_jaccard_pairs(docs, threshold=0.0, n=n, id_col=id_col, text_col=text_col)
-    return (
-        cands.join(exact, ["doc_a", "doc_b"], "inner")
+    arr = docs.select(
+        F.col(id_col).alias("doc"), word_shingles(F.col(text_col), n).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    sa = arr.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("n_a"))
+    sb = arr.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("n_b"))
+    v = (
+        cands.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        )
         .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
     )
+    return v.select("doc_a", "doc_b", "jaccard")
 
 
 # --- deterministic sampling -----------------------------------------------------
@@ -239,12 +257,17 @@ def hash_sample(
     stratum_col: str | None = None,
     key_col: str = "doc_id",
     denom: int = 1_000_000,
+    default_rate: float = 0.0,
 ) -> DataFrame:
     """Deterministic (stratified) sampling by hash thresholding — the
     reproducible-sampling primitive of large corpus pipelines: membership
     depends only on the row KEY, so re-runs, resumes, and different
     partitionings select the identical sample (rng-based sample() cannot
-    promise that). md5-derived hash keeps it SQL-reproducible."""
+    promise that). md5-derived hash keeps it SQL-reproducible.
+
+    Strata absent from ``rate_by_stratum`` fall through to ``default_rate``
+    (0.0 by default — i.e. unlisted strata are DROPPED; pass
+    ``default_rate=1.0`` to keep them unsampled instead)."""
     u = F.pmod(_md5_hash60(F.col(key_col).cast("string")), F.lit(denom))
     if isinstance(rate_by_stratum, dict):
         assert stratum_col is not None
@@ -252,7 +275,7 @@ def hash_sample(
         for k, rate in sorted(rate_by_stratum.items()):
             cond, cut = F.col(stratum_col) == k, F.lit(int(rate * denom))
             thr = F.when(cond, cut) if thr is None else thr.when(cond, cut)
-        thr = thr.otherwise(F.lit(0))
+        thr = thr.otherwise(F.lit(int(default_rate * denom)))
     else:
         thr = F.lit(int(rate_by_stratum * denom))
     return df.filter(u < thr)

@@ -46,18 +46,39 @@ def dedup_pages(pages: DataFrame) -> DataFrame:
     return p.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
 
+# HTTP statuses that must NOT retry — the reference wraps these fetch
+# errors in retry.Stop (internal/retry/retry.go:50-57) so the retry loop
+# breaks immediately; everything else (timeouts, 5xx) is retryable.
+PERMANENT_STATUSES = (404, 410, 451)
+
+
 def fetch_join(scheduled: DataFrame, pages_canon: DataFrame) -> DataFrame:
     """Scheduled urls -> html via the page store; missing page = fetch miss.
 
     Left join on url_canon. At scale both sides are huge: this is a shuffle
     join on the key both tables are bucketed by (AQE handles hot-url skew);
     broadcast is wrong here and never chosen.
+
+    Failure classification (retry.go:50-57 Stop-sentinel analog): if the
+    page store carries a ``fetch_status`` column, status >= 400 is a miss,
+    and PERMANENT_STATUSES mark the url non-retryable (``_permanent``) —
+    the round sends those straight to 'dead' with no backoff. A url absent
+    from the store (timeout analog) and plain 5xx stay transient.
     """
-    pages_sel = pages_canon.select(
+    has_status = "fetch_status" in pages_canon.columns
+    cols = [
         F.col("url_canon"), F.col("warc_ts").alias("_warc_ts"), F.col("html").alias("_html")
-    )
-    out = scheduled.join(pages_sel, "url_canon", "left")
-    return out.withColumn("fetched", F.col("_html").isNotNull())
+    ]
+    if has_status:
+        cols.append(F.coalesce(F.col("fetch_status"), F.lit(200)).alias("_status"))
+    out = scheduled.join(pages_canon.select(*cols), "url_canon", "left")
+    if has_status:
+        ok = F.col("_html").isNotNull() & (F.col("_status") < 400)
+        perm = F.coalesce(F.col("_status").isin(*PERMANENT_STATUSES), F.lit(False))
+    else:
+        ok = F.col("_html").isNotNull()
+        perm = F.lit(False)
+    return out.withColumn("fetched", ok).withColumn("_permanent", perm & ~ok)
 
 
 def extract_text(fetched: DataFrame) -> DataFrame:

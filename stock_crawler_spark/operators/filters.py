@@ -110,7 +110,10 @@ class NumpyCuckoo:
 
     def _fp_and_buckets(self, hashes):
         h = _as_u64(hashes)
-        fp = ((h & _U64(0xFFFF)) | _U64(1)).astype(np.uint16)  # never 0
+        # full 16-bit fingerprint; only the reserved 0 value remaps (to 1) —
+        # forcing the low bit would halve entropy and ~double the fpp
+        fp = (h & _U64(0xFFFF)).astype(np.uint16)
+        fp = np.where(fp == 0, np.uint16(1), fp)
         b1 = (h >> _U64(16)) % _U64(self.n_buckets)
         b2 = (b1 ^ _splitmix64(fp.astype(_U64))) % _U64(self.n_buckets)
         return fp, b1.astype(np.int64), b2.astype(np.int64)

@@ -24,6 +24,7 @@ join) at any scale.
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass
 from datetime import datetime, timedelta
@@ -139,7 +140,11 @@ def run_round(
     fetched = fetch_join(scheduled, pages_canon).cache()
     extracted = extract_text(fetched).cache()
     ok_fetch = fetched.filter(F.col("fetched"))
-    miss = fetched.filter(~F.col("fetched"))
+    # transient misses retry with backoff; permanent ones (404-class — the
+    # reference's retry.Stop sentinel, retry/retry.go:50-57) go straight
+    # to 'dead' and are never re-attempted
+    miss = fetched.filter(~F.col("fetched") & ~F.col("_permanent"))
+    perm = fetched.filter(F.col("_permanent"))
 
     new_records = concentration_records(extracted, scheduled).cache()
 
@@ -158,8 +163,9 @@ def run_round(
     #     shards with updated rows are rewritten this round ---
     done_keys = ok_fetch.select("url_canon", "shard").withColumn("_new_state", F.lit(fr.DONE))
     miss_keys = miss.select("url_canon", "shard").withColumn("_new_state", F.lit("_miss"))
+    perm_keys = perm.select("url_canon", "shard").withColumn("_new_state", F.lit("_miss_perm"))
     dedup_keys = deduped.select("url_canon", "shard").withColumn("_new_state", F.lit("deduped"))
-    updates = done_keys.unionByName(miss_keys).unionByName(dedup_keys).cache()
+    updates = done_keys.unionByName(miss_keys).unionByName(perm_keys).unionByName(dedup_keys).cache()
     changed_shards = [r["shard"] for r in updates.select("shard").distinct().collect()]
 
     f = frontier.filter(F.col("shard").isin(changed_shards or [-1])).join(
@@ -175,6 +181,7 @@ def run_round(
         *[c for c in frontier.columns if c not in ("state", "retry_count", "next_attempt_ts", "round_id")],
         F.when(F.col("_new_state") == fr.DONE, F.lit(fr.DONE))
         .when(F.col("_new_state") == "deduped", F.lit("deduped"))
+        .when(F.col("_new_state") == "_miss_perm", F.lit(fr.DEAD))
         .when(
             F.col("_new_state") == "_miss",
             F.when(rc + 1 >= cfg.max_attempts, F.lit(fr.DEAD)).otherwise(F.lit(fr.FAILED)),
@@ -211,6 +218,7 @@ def run_round(
             deduped.select("url").withColumn("action", F.lit("deduped"))
             .unionByName(deferred.select("url").withColumn("action", F.lit("politeness_deferred")))
             .unionByName(miss.select("url").withColumn("action", F.lit("failed_retry")))
+            .unionByName(perm.select("url").withColumn("action", F.lit("failed_permanent")))
             .select(F.lit(round_id).alias("round_id"), F.lit(-1).alias("seq"), "url", "action")
         )
         trace = sched_trace.unionByName(other)
@@ -222,6 +230,7 @@ def run_round(
     n_dedup = deduped.count()
     n_defer = deferred.count()
     n_miss = miss.count()
+    n_perm = perm.count()
     n_done = ok_fetch.count()
     n_empty = extracted.filter(F.col("parse_error") != "").count()
     shard_lineage = (
@@ -230,7 +239,8 @@ def run_round(
     )
     metrics_rows = [
         ("scheduled", n_sched), ("deduped", n_dedup), ("politeness_deferred", n_defer),
-        ("fetch_missed", n_miss), ("fetch_ok", n_done), ("empty_parses", n_empty),
+        ("fetch_missed", n_miss), ("permanent_failed", n_perm),
+        ("fetch_ok", n_done), ("empty_parses", n_empty),
     ]
     metrics = spark.createDataFrame(
         [(round_id, k, int(v)) for k, v in metrics_rows], "round_id int, metric string, value long"
@@ -305,6 +315,19 @@ def run_crawl(
     start = 1
     if resume and store.latest_committed_round() >= 0:
         start = store.latest_committed_round() + 1
+        # Resuming with a filter-backed dedup_mode against a state dir that
+        # was bootstrapped/advanced under a different mode: the committed
+        # round has no seen_filters table. Rebuild the blobs from the
+        # committed seen set (distributed, per-shard) instead of crashing
+        # on a missing path mid-crawl.
+        if cfg.dedup_mode != "antijoin" and not os.path.isdir(
+            store.table_path("seen_filters", start - 1)
+        ):
+            kind = "bloom" if cfg.dedup_mode == "bloom" else "cuckoo"
+            seen_now = store.read_accumulated(spark, "seen", start - 1)
+            store.write_table(
+                seen_ops.build_seen_filters(seen_now, kind=kind), "seen_filters", start - 1
+            )
     else:
         bootstrap(spark, store, seeds, robots, skip_dates, cfg)
 

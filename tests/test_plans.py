@@ -116,3 +116,64 @@ def test_no_row_at_a_time_python_in_any_driver_query(spark):
         df = fn(spark, "/root/testdata/sf0.001")
         plan = _plan(df)
         assert "BatchEvalPython" not in plan, name
+
+
+def test_lsh_verify_touches_candidates_only(spark):
+    """minhash_lsh_pairs must verify candidate pairs via per-doc shingle
+    arrays (array_intersect) — NEVER the full-corpus shingle-shingle join
+    (which at web scale is the all-pairs shuffle the banding exists to
+    avoid). The exact join's signature would be 2 extra shingle Generates
+    feeding a join keyed on the shingle hash."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["q31_minhash_lsh"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    tree = plan.split("\n\n")[0]
+    assert "array_intersect" in plan, plan
+    # 4 Generates = 2 shingle explodes (minhash sigs, self-join sides) +
+    # 2 band posexplodes; the full-corpus exact join would add 2 more
+    assert tree.count("Generate") <= 4, tree
+
+
+def test_heavy_hitters_topk_is_parallel(spark):
+    """q38 must compute top-50 with TakeOrderedAndProject (per-partition
+    partial top-k, driver merge) — the full vocabulary must never funnel
+    through a single-partition global window."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["q38_heavy_hitters"](spark, "/root/testdata/sf0.001")
+    tree = _plan(df).split("\n\n")[0]
+    assert "TakeOrderedAndProject" in tree, tree
+    # the only Window sits ABOVE the TakeOrdered (ranks <= 50 rows)
+    assert tree.index("Window") < tree.index("TakeOrderedAndProject"), tree
+
+
+def test_seen_probe_no_driver_collect(spark):
+    """probe_seen_flag must co-group candidates with their shard's filter
+    blob — the plan carries a FlatMapCoGroupsInPandas and the operator
+    never collects blobs to the driver (source-level assert)."""
+    import inspect
+
+    from stock_crawler_spark.operators import seen as seen_ops
+    from pyspark.sql import functions as F
+
+    src = inspect.getsource(seen_ops.probe_seen_flag)
+    assert ".collect()" not in src and "broadcast(" not in src, src
+    cand = spark.range(100).select(
+        F.col("id").alias("url_hash"), (F.col("id") % 4).cast("int").alias("shard")
+    )
+    seen = spark.range(0, 100, 2).select(
+        F.col("id").alias("url_hash"), (F.col("id") % 4).cast("int").alias("shard")
+    )
+    filters = seen_ops.build_seen_filters(seen)
+    flagged = seen_ops.probe_seen_flag(cand, filters, seen)
+    plan = _plan(flagged)
+    assert "FlatMapCoGroupsInPandas" in plan, plan
+    n_seen = flagged.filter(F.col("_seen")).count()
+    assert n_seen == 50

@@ -71,6 +71,77 @@ def test_kill_and_resume_identical_state(spark, small_fixture_dir, tmp_path):
         assert sorted(map(str, a.collect())) == sorted(map(str, b.collect())), table
 
 
+def test_permanent_failures_never_retry(spark, small_fixture_dir, tmp_path):
+    """404-class fetch results (the reference's retry.Stop sentinel,
+    retry/retry.go:50-57) go straight to 'dead' with retry_count 0 and are
+    attempted exactly once — transient misses keep the backoff ladder."""
+    seeds, robots, skip, pages = _load(spark, small_fixture_dir)
+    from stock_crawler_spark.functions.urls import canonicalize_url
+
+    perm_canon = {
+        r["c"]
+        for r in pages.filter(F.col("fetch_status") == 404)
+        .select(canonicalize_url(F.col("url")).alias("c"))
+        .collect()
+    }
+    assert perm_canon, "fixture must contain 404 pages"
+
+    state = str(tmp_path / "state")
+    run_crawl(spark, state, seeds, robots, skip, pages, RoundConfig())
+    store = StateStore(state)
+    last = store.latest_committed_round()
+    front = store.read_frontier(spark, last).collect()
+    by_canon = {r["url_canon"]: r for r in front}
+    attempted = 0
+    for c in perm_canon:
+        if c not in by_canon or by_canon[c]["state"] in ("denied", "holiday", "deduped"):
+            continue  # killed before fetch (robots/holiday) or canonical-dup
+        attempted += 1
+        assert by_canon[c]["state"] == "dead", c
+        assert by_canon[c]["retry_count"] == 0, c  # no backoff ladder
+    assert attempted > 0
+    # each permanent url appears in the trace as failed_permanent exactly once
+    perm_traces = []
+    for r in range(1, last + 1):
+        perm_traces += [
+            row["url"]
+            for row in spark.read.parquet(f"{state}/trace/round={r}")
+            .filter(F.col("action") == "failed_permanent")
+            .collect()
+        ]
+    assert len(perm_traces) == len(set(perm_traces)) == attempted
+    m = store.read_manifest(1)
+    assert "permanent_failed" in m["metrics"]
+
+
+def test_resume_with_different_dedup_mode(spark, small_fixture_dir, tmp_path):
+    """Resuming an antijoin-bootstrapped state dir with --dedup bloom must
+    rebuild the missing seen_filters table instead of crashing, and finish
+    with the same crawl state as a pure run."""
+    seeds, robots, skip, pages = _load(spark, small_fixture_dir)
+
+    full_dir = str(tmp_path / "full")
+    run_crawl(spark, full_dir, seeds, robots, skip, pages, RoundConfig())
+
+    mix_dir = str(tmp_path / "mix")
+    run_crawl(spark, mix_dir, seeds, robots, skip, pages,
+              RoundConfig(dedup_mode="antijoin"), max_rounds=2)
+    run_crawl(spark, mix_dir, seeds, robots, skip, pages,
+              RoundConfig(dedup_mode="bloom"), resume=True)
+
+    last_a, last_b = (
+        StateStore(full_dir).latest_committed_round(),
+        StateStore(mix_dir).latest_committed_round(),
+    )
+    assert last_a == last_b
+    a = StateStore(full_dir).read_frontier(spark, last_a)
+    b = StateStore(mix_dir).read_frontier(spark, last_b)
+    sel = sorted(a.columns)
+    assert sorted(map(str, a.select(*sel).collect())) == sorted(
+        map(str, b.select(*sel).collect())
+    )
+
+
 def test_manifest_lineage_recorded(spark, small_fixture_dir, tmp_path):
     seeds, robots, skip, pages = _load(spark, small_fixture_dir)
     state = str(tmp_path / "state")
