@@ -135,6 +135,25 @@ def q07_workday_dates(spark, sf):
     )
 
 
+def q39_rewind_dates(spark, sf):
+    """P5 residual: on-demand rewind-N-days date math — Column twin of the
+    reference's GetDateFromOffset (helper.go:147-164) feeding the Download
+    entry's Rewind field (downloader.go:54-56, dto.go:18-22). Per order,
+    rewind (o_orderkey % 7) days back; weekend targets drop (the empty-
+    string sentinel); all three strategy query formats emitted."""
+    from stock_crawler_spark.functions.dates import query_date_from_offset
+
+    o = _t(spark, sf, "orders")
+    off = -(F.col("o_orderkey") % 7).cast("int")
+    base = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        query_date_from_offset(base, off, "twse").alias("twse_q"),
+        query_date_from_offset(base, off, "tpex").alias("tpex_q"),
+        query_date_from_offset(base, off, "concentration").alias("conc_q"),
+    ).filter(F.col("twse_q").isNotNull())
+
+
 def q08_fivepage_merge(spark, sf):
     """A1 merge shape: per-group 5-element diff vector from sorted pages."""
     li = _t(spark, sf, "lineitem")
@@ -570,6 +589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_rollup_metrics": q36_rollup_metrics,
         "q37_percentiles": q37_percentiles,
         "q38_heavy_hitters": q38_heavy_hitters,
+        "q39_rewind_dates": q39_rewind_dates,
     }
 
 
@@ -1044,4 +1064,15 @@ FROM events e ASOF LEFT JOIN err
 SELECT doc_id FROM documents WHERE doc_id % 3 != 0 OR doc_id % 6 = 0
 """,
         "q31_minhash_lsh": _lsh_oracle(),
+        "q39_rewind_dates": """
+SELECT o_orderkey,
+  strftime(d, '%Y%m%d') AS twse_q,
+  CAST(year(d) - 1911 AS VARCHAR) || '/' || strftime(d, '%m/%d') AS tpex_q,
+  strftime(d, '%Y-%m-%d') AS conc_q
+FROM (
+  SELECT o_orderkey,
+    o_orderdate - to_days(CAST(o_orderkey % 7 AS INT)) AS d
+  FROM orders
+) WHERE dayofweek(d) NOT IN (0, 6)
+""",
     }

@@ -30,6 +30,13 @@ def main() -> None:
     p.add_argument("--dedup", default="bloom", choices=["antijoin", "bloom", "cuckoo"])
     p.add_argument("--salts", type=int, default=1)
     p.add_argument("--resume", action="store_true")
+    # On-demand entry (reference Download(rewind), downloader.go:54-56 /
+    # dto.go:18-22): crawl the single date base_date + rewind days.
+    # Weekend targets generate no work (helper.go:99-121 sentinel).
+    p.add_argument("--rewind", type=int, default=None,
+                   help="crawl only crawl_date = base-date + N days (N<=0)")
+    p.add_argument("--base-date", default=None,
+                   help="YYYY-MM-DD anchor for --rewind (default: max seed date)")
     args = p.parse_args()
 
     # master/conf come from spark-submit; only app-level settings here
@@ -44,10 +51,33 @@ def main() -> None:
     from stock_crawler_spark.plans.state import StateStore
 
     fx = args.fixtures
+    seeds = spark.read.parquet(f"{fx}/seeds.parquet")
+    if args.rewind is not None:
+        from datetime import date as _date
+
+        from pyspark.sql import functions as F
+
+        from stock_crawler_spark.functions.dates import rewind_target_py
+
+        if args.base_date:
+            base = _date.fromisoformat(args.base_date)
+        else:
+            base = _date.fromisoformat(
+                seeds.agg(F.max("crawl_date")).collect()[0][0]
+            )
+        target = rewind_target_py(base, args.rewind)
+        if target is None:
+            print(json.dumps({
+                "last_round": -1, "rounds_run": 0, "total_scheduled": 0,
+                "rewind_skipped": "weekend", "target": None,
+            }))
+            spark.stop()
+            return
+        seeds = seeds.filter(F.col("crawl_date") == target.isoformat())
     res = run_crawl(
         spark,
         args.state,
-        spark.read.parquet(f"{fx}/seeds.parquet"),
+        seeds,
         spark.read.parquet(f"{fx}/robots.parquet"),
         spark.read.parquet(f"{fx}/skip_dates.parquet"),
         spark.read.parquet(f"{fx}/pages.parquet"),

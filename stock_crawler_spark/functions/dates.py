@@ -1,0 +1,68 @@
+"""Rewind-N-days workday date math (reference P5 residual).
+
+Column twin of the reference's on-demand date pipeline:
+
+  GetDateFromOffset(offset, format)   internal/helper/helper.go:147-164
+  FormalizeValidTimeWithLocation      internal/helper/helper.go:99-121
+  formatQueryDate / Download(Rewind)  internal/app/handlers/downloader.go:109-151
+                                      internal/app/dto/dto.go:18-22
+
+Semantics: target = base_date + offset days; the target is INVALID (the
+reference returns "" and generates no urls) when it falls on a weekend.
+Valid targets format per strategy family:
+
+  twse           yyyyMMdd      (helper.TwseDateFormat)
+  tpex           ROC yyy/MM/dd (helper.TpexDateFormat via UnifiedDateFormatToTpex)
+  concentration  yyyy-MM-dd    (helper.StakeConcentrationFormat)
+
+Everything is a pure Column expression (whole-stage codegen; no Python in
+the plan) — at 10^10 seeds the rewind filter is a pushed-down predicate.
+"""
+
+from __future__ import annotations
+
+from datetime import date, timedelta
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+FORMATS = ("twse", "tpex", "concentration")
+
+
+def rewind_target_date(base_date, offset) -> Column:
+    """base + offset days as a date Column; NULL when Sat/Sun.
+
+    ``offset`` may be an int (typically negative: N days back) or a Column.
+    """
+    d = F.date_add(base_date.cast("date"), offset)
+    dow = F.dayofweek(d)  # 1=Sun .. 7=Sat
+    return F.when((dow != 1) & (dow != 7), d)
+
+
+def roc_date(d) -> Column:
+    """ROC calendar string yyy/MM/dd (year - 1911) — TPEX query format."""
+    return F.concat(
+        (F.year(d) - F.lit(1911)).cast("string"),
+        F.lit("/"),
+        F.date_format(d, "MM/dd"),
+    )
+
+
+def query_date_from_offset(base_date, offset, fmt: str) -> Column:
+    """GetDateFromOffset as a Column: NULL on weekend targets, else the
+    strategy family's query-date string."""
+    d = rewind_target_date(base_date, offset)
+    if fmt == "twse":
+        return F.date_format(d, "yyyyMMdd")
+    if fmt == "tpex":
+        return F.when(d.isNotNull(), roc_date(d))
+    if fmt == "concentration":
+        return F.date_format(d, "yyyy-MM-dd")
+    raise ValueError(f"unknown format family {fmt!r}; expected one of {FORMATS}")
+
+
+def rewind_target_py(base: date, offset: int) -> date | None:
+    """Driver-side twin (argparse-level): None on weekend targets, mirroring
+    the reference's empty-string sentinel that suppresses url generation."""
+    d = base + timedelta(days=offset)
+    return None if d.weekday() >= 5 else d

@@ -1,0 +1,51 @@
+"""Kafka-wire framing of the round's result tables (reference S5).
+
+The reference publishes ONE jsoniter-marshaled entity per Kafka message,
+one topic per entity family (internal/kafka/producer.go:27-31; marshal at
+internal/app/services/entities.go:41-44 and siblings). The engine's result
+tables already carry those exact bytes: ``pages_out.text`` is the
+JSON-lines serialization (one entity per line, parsers/serialize.py byte
+contract) and ``merged.line`` is the diff-filled concentration entity the
+reference publishes after the 5-page merge. Framing is therefore pure JVM
+column work — split the lines, tag the topic by strategy, cast to binary —
+no re-serialization, no Python in the plan.
+
+tests/test_wire.py proves the round-trip: every framed message parses back
+to structured fields that re-serialize to the identical bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# internal/kafka/producer.go:27-31
+DAILYCLOSES_V1 = "dailycloses-v1"
+STOCKS_V1 = "stocks-v1"
+THREEPRIMARY_V1 = "threeprimary-v1"
+STAKECONCENTRATION_V1 = "stakeconcentration-v1"
+
+
+def kafka_wire(pages_out: DataFrame, merged: DataFrame) -> DataFrame:
+    """-> (topic string, value binary): the exact publish stream.
+
+    Simple entities stream one message per parsed line as soon as their
+    page extracts; concentration streams the MERGED entity (diff vector
+    filled) once all five pages land — mirroring the reference, which
+    publishes StakeConcentration only after the per-stock merge.
+    """
+    topic = (
+        F.when(F.col("strategy").endswith("dailyclose"), F.lit(DAILYCLOSES_V1))
+        .when(F.col("strategy").endswith("threeprimary"), F.lit(THREEPRIMARY_V1))
+        .when(F.col("strategy").endswith("stocklist"), F.lit(STOCKS_V1))
+    )
+    simple = (
+        pages_out.filter((F.col("strategy") != "concentration") & (F.col("text") != ""))
+        .select(topic.alias("topic"), F.explode(F.split("text", "\n")).alias("line"))
+    )
+    conc = merged.select(
+        F.lit(STAKECONCENTRATION_V1).alias("topic"), F.col("line").alias("line")
+    )
+    return simple.unionByName(conc).select(
+        "topic", F.encode("line", "UTF-8").alias("value")
+    )

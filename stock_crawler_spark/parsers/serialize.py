@@ -12,8 +12,9 @@ Byte rules (pinned so Go and Python agree):
   - strings: raw UTF-8, JSON-escaped quotes/backslash/control chars
     (generator never emits ``< > &`` which Go would escape)
   - int64/uint64: plain decimal
-  - float32: shortest positional decimal that round-trips float32 —
-    identical to Go encoding/json for |x| in [1e-6, 1e21)
+  - float32: Go encoding/json float framing exactly — shortest positional
+    decimal for float32(|x|) in [1e-6, 1e21), shortest exponent form with
+    Go's negative-exponent cleanup outside it
   - null slice -> null (Go marshals nil []int32 as null)
 
 Both the fixture generator (forward: records -> golden text) and the
@@ -50,13 +51,22 @@ def _jstr(s: str) -> str:
 
 
 def format_f32(v) -> str:
-    """Shortest round-trip positional decimal of a float32 (Go %g-compatible
-    within [1e-6,1e21); e.g. np.float32(38.19) -> "38.19", 38.0 -> "38")."""
+    """Shortest round-trip decimal of a float32, byte-identical to Go
+    encoding/json (encoding/json/encode.go floatEncoder): positional 'f'
+    form for float32(|x|) in [1e-6, 1e21), exponent 'e' form outside it,
+    with Go's exponent cleanup ("1e-07" -> "1e-7"; positive exponents keep
+    their zero: "1e+21"). -0 marshals as "-0" like strconv does."""
     f = np.float32(v)
     if f == 0:
-        return "0"
-    s = np.format_float_positional(f, unique=True, trim="-")
-    return s
+        return "-0" if np.signbit(f) else "0"
+    af = np.float32(abs(float(f)))
+    if af < np.float32(1e-6) or af >= np.float32(1e21):
+        s = np.format_float_scientific(f, unique=True, trim="-")
+        # Go trims the leading zero of NEGATIVE single-digit exponents only
+        if len(s) >= 4 and s[-4:-1].startswith("e-0"):
+            s = s[:-2] + s[-1]
+        return s
+    return np.format_float_positional(f, unique=True, trim="-")
 
 
 def stock_json(stock_id: str, name: str, country: str, category: str, market: str) -> str:

@@ -8,12 +8,14 @@ batches + a checkpointed per-key state row (the streaming twin of the
 reference's DynamicWorkerPool budget, internal/app/pipeline/stage.go:76-164,
 whose "state" is the in-process token pool).
 
-Semantics (deterministic, golden-testable):
-  per domain, admit requests in canonical order (priority desc, url asc)
-  while the domain's cumulative admitted count stays under
-  ``max_per_domain``; the count lives in the state store, so a request
-  stream processed as 1 micro-batch or N micro-batches admits the SAME
-  urls with the SAME seq numbers.
+Semantics (deterministic, golden-testable): per domain, admission is
+GREEDY in arrival (micro-batch) order — within a batch, requests admit in
+canonical order (priority desc, url asc) while the domain's cumulative
+admitted count stays under ``max_per_domain``. The count lives in the
+checkpointed state store, so seq numbers and the admitted count are
+restart-stable; batch SPLITS are not order-invariant (a higher-priority
+url arriving after the cap filled is rejected, where a single batch
+would have admitted it over a lower-priority one — see the module test).
 """
 
 from __future__ import annotations

@@ -1,0 +1,71 @@
+"""Rewind-N-days workday date math (reference GetDateFromOffset twin,
+helper.go:147-164 + FormalizeValidTimeWithLocation helper.go:99-121):
+weekend targets are invalid, valid targets format per strategy family.
+Date cases mirror helper_test.go's fixed-date style (2021-12-22 anchor)."""
+
+from __future__ import annotations
+
+from datetime import date
+
+import pytest
+from pyspark.sql import functions as F
+
+from stock_crawler_spark.functions.dates import (
+    query_date_from_offset, rewind_target_date, rewind_target_py, roc_date,
+)
+
+
+def _one(spark, base: str, offset: int, fmt: str):
+    df = spark.createDataFrame([(base,)], "d string").select(
+        query_date_from_offset(F.col("d"), offset, fmt).alias("q")
+    )
+    return df.collect()[0]["q"]
+
+
+def test_offset_zero_formats(spark):
+    # helper_test.go anchor: Wed 2021-12-22
+    assert _one(spark, "2021-12-22", 0, "twse") == "20211222"
+    assert _one(spark, "2021-12-22", 0, "tpex") == "110/12/22"
+    assert _one(spark, "2021-12-22", 0, "concentration") == "2021-12-22"
+
+
+def test_weekend_target_is_null(spark):
+    # Wed - 3 = Sunday 2021-12-19 -> invalid (reference returns "")
+    assert _one(spark, "2021-12-22", -3, "twse") is None
+    assert _one(spark, "2021-12-22", -4, "twse") is None  # Saturday
+    # Wed - 5 = Friday 2021-12-17 -> valid
+    assert _one(spark, "2021-12-22", -5, "twse") == "20211217"
+    assert _one(spark, "2021-12-22", -5, "tpex") == "110/12/17"
+
+
+def test_positive_offset_and_year_boundary(spark):
+    # Fri 2021-12-31 + 3 = Mon 2022-01-03; ROC year rolls 110 -> 111
+    assert _one(spark, "2021-12-31", 3, "tpex") == "111/01/03"
+    assert _one(spark, "2021-12-31", 1, "twse") is None  # Saturday
+
+
+def test_column_offset(spark):
+    df = spark.createDataFrame(
+        [("2021-12-22", -1), ("2021-12-22", -4)], "d string, off int"
+    ).select(rewind_target_date(F.col("d"), F.col("off")).alias("t"))
+    vals = [r["t"] for r in df.collect()]
+    assert vals == [date(2021, 12, 21), None]
+
+
+def test_unknown_format_raises():
+    with pytest.raises(ValueError):
+        query_date_from_offset(F.lit("2021-12-22"), 0, "nasdaq")
+
+
+def test_python_twin_matches_column(spark):
+    for off in range(-10, 4):
+        py = rewind_target_py(date(2021, 12, 22), off)
+        col = _one(spark, "2021-12-22", off, "concentration")
+        assert (py.isoformat() if py else None) == col
+
+
+def test_roc_date_pads(spark):
+    out = spark.createDataFrame([("2023-01-05",)], "d string").select(
+        roc_date(F.col("d").cast("date")).alias("r")
+    ).collect()[0]["r"]
+    assert out == "112/01/05"

@@ -190,3 +190,49 @@ def test_compile_robots_vectorized(spark):
     assert got["d1.com"]["crawl_delay_ms"] == 2500
     assert got["d2.com"]["deny"] == [] and got["d2.com"]["crawl_delay_ms"] == 1000
     assert got["d3.com"]["deny"] == []
+
+
+def test_format_f32_go_exponent_branch():
+    """Go encoding/json float framing (encode.go floatEncoder): 'e' form
+    outside float32(|x|) in [1e-6, 1e21) with the negative-single-digit
+    exponent cleanup; positional inside; -0 stays signed. Expected bytes
+    hand-derived from strconv.AppendFloat(b, f, fmt, -1, 32) semantics."""
+    import numpy as np
+
+    cases = {
+        1e-7: "1e-7",          # e-07 -> e-7 cleanup
+        1.5e-7: "1.5e-7",
+        -1.5e-7: "-1.5e-7",
+        2.5e-40: "2.5e-40",    # subnormal; two-digit exponent keeps its digits
+        3.4e38: "3.4e+38",     # positive exponents keep the sign, no padding trim
+        1e21: "1e+21",         # boundary: float32(1e21) >= 1e21 -> 'e'
+        1e22: "1e+22",
+        1e-6: "0.000001",      # boundary: still positional
+        9.9999e20: "999990000000000000000",  # just under the cutoff
+        38.19: "38.19",
+        38.0: "38",
+        0.0: "0",
+    }
+    for v, want in cases.items():
+        got = serialize.format_f32(np.float32(v))
+        assert got == want, (v, got, want)
+    assert serialize.format_f32(np.float32("-0.0")) == "-0"
+
+
+def test_format_f32_always_roundtrips_float32():
+    """Property: the emitted string parses back to the identical float32
+    bit pattern, across both format branches and the branch boundary."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vals = np.concatenate([
+        rng.uniform(-1e3, 1e3, 200).astype(np.float32),
+        (rng.uniform(0.5, 2, 100) * 10.0 ** rng.randint(-45, 38, 100)).astype(np.float32),
+        np.array([1e-6, 9.999999e-7, 1e21, 9.9999e20, 3.4e38, 1.2e-38], dtype=np.float32),
+    ])
+    for v in vals:
+        if not np.isfinite(v):
+            continue
+        s = serialize.format_f32(v)
+        assert np.float32(s) == v, (v, s)
+        assert "E" not in s  # Go emits lowercase 'e' only

@@ -48,3 +48,47 @@ def test_spark_submit_py_files_round(small_fixture_dir, tmp_path):
     assert out["rounds_run"] == 3
     assert out["total_scheduled"] > 0
     assert "frontier" in out["manifest_tables"]
+
+
+@pytest.mark.skipif(not os.path.exists(SPARK_SUBMIT), reason="no spark-submit")
+def test_spark_submit_rewind_entry(small_fixture_dir, tmp_path):
+    """On-demand entry (reference Download(rewind)): --rewind crawls only
+    base_date + N days; weekend targets generate no work at all."""
+
+    zip_path = str(tmp_path / "engine.zip")
+    pkg_root = "/root/repo/stock_crawler_spark"
+    with zipfile.ZipFile(zip_path, "w") as z:
+        for base, _dirs, files in os.walk(pkg_root):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(base, f)
+                    z.write(full, os.path.relpath(full, "/root/repo"))
+
+    def run(*extra):
+        env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+        proc = subprocess.run(
+            [
+                SPARK_SUBMIT,
+                "--master", "local[4]",
+                "--conf", "spark.ui.enabled=false",
+                "--conf", "spark.sql.shuffle.partitions=8",
+                "--py-files", zip_path,
+                "/root/repo/scripts/submit_round.py",
+                "--fixtures", small_fixture_dir,
+                "--state", str(tmp_path / f"state{len(extra)}"),
+                "--max-rounds", "2",
+                *extra,
+            ],
+            capture_output=True, text=True, timeout=420, env=env, cwd=str(tmp_path),
+        )
+        assert proc.returncode == 0, proc.stderr[-3000:]
+        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+        return json.loads(line)
+
+    # Mon 2023-01-02 - 1 day = Sunday -> the reference's "" sentinel: no urls
+    out = run("--rewind", "-1", "--base-date", "2023-01-02")
+    assert out["rewind_skipped"] == "weekend" and out["total_scheduled"] == 0
+
+    # Tue 2023-01-03 - 1 day = Mon 2023-01-02 -> crawl exactly that date
+    out = run("--rewind", "-1", "--base-date", "2023-01-03", "--dedup", "antijoin")
+    assert out["rounds_run"] >= 1 and out["total_scheduled"] > 0

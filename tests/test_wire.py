@@ -1,0 +1,106 @@
+"""Kafka-wire parity (reference S5): every framed message must round-trip
+— parse the published bytes back to struct fields, re-serialize through
+the entity serializers (parsers/serialize.py, the jsoniter byte contract),
+and land on the identical bytes. Topics per internal/kafka/producer.go:27-31.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from stock_crawler_spark.fixtures.simulator import simulate
+from stock_crawler_spark.operators.wire import (
+    DAILYCLOSES_V1, STAKECONCENTRATION_V1, STOCKS_V1, THREEPRIMARY_V1, kafka_wire,
+)
+from stock_crawler_spark.parsers import serialize
+
+
+@pytest.fixture(scope="module")
+def wire_rows(spark, small_fixture_dir):
+    seeds = pq.read_table(f"{small_fixture_dir}/seeds.parquet").to_pylist()
+    robots = pq.read_table(f"{small_fixture_dir}/robots.parquet").to_pylist()
+    skip = [r["crawl_date"] for r in pq.read_table(f"{small_fixture_dir}/skip_dates.parquet").to_pylist()]
+    pages = pq.read_table(f"{small_fixture_dir}/pages.parquet").to_pylist()
+    sim = simulate(seeds, robots, skip, pages)
+
+    strat_by_canon = {}
+    from stock_crawler_spark.functions.urls_py import canonicalize_py
+
+    for s in seeds:
+        strat_by_canon[canonicalize_py(s["url"])] = s["strategy"]
+        if s["strategy"] == "concentration":
+            base = s["url"].rsplit("_", 1)[0]
+            for n in (1, 2, 3, 4, 6):
+                strat_by_canon[canonicalize_py(f"{base}_{n}.djhtm")] = "concentration"
+
+    pages_out = spark.createDataFrame(
+        [(c, strat_by_canon[c], t) for c, t in sim["pages_out"].items()],
+        "url_canon string, strategy string, text string",
+    )
+    merged = spark.createDataFrame(
+        [(k[0], k[1], line) for k, line in sim["merged"].items()],
+        "stock_id string, date string, line string",
+    )
+    return kafka_wire(pages_out, merged).collect()
+
+
+def test_all_topics_present(wire_rows):
+    topics = {r["topic"] for r in wire_rows}
+    assert topics == {DAILYCLOSES_V1, STOCKS_V1, THREEPRIMARY_V1, STAKECONCENTRATION_V1}
+
+
+def test_every_message_roundtrips_to_identical_bytes(wire_rows):
+    n_checked = 0
+    for r in wire_rows:
+        raw = bytes(r["value"]).decode("utf-8")
+        obj = json.loads(raw)
+        if r["topic"] == DAILYCLOSES_V1:
+            out = serialize.dailyclose_json(
+                obj["stockId"], obj["date"], obj["tradeShares"], obj["transactions"],
+                obj["turnover"], obj["open"], obj["close"], obj["high"], obj["low"],
+                obj["priceDiff"],
+            )
+        elif r["topic"] == THREEPRIMARY_V1:
+            out = serialize.threeprimary_json(
+                obj["stockId"], obj["date"], obj["foreignTradeShares"],
+                obj["trustTradeShares"], obj["dealerTradeShares"],
+                obj["hedgingTradeShares"],
+            )
+        elif r["topic"] == STOCKS_V1:
+            out = serialize.stock_json(
+                obj["stockId"], obj["name"], obj["country"], obj["category"],
+                obj["market"],
+            )
+        else:
+            out = serialize.concentration_json(
+                obj["stockId"], obj["exchangeDate"], obj["diff"],
+                obj["sumBuyShares"], obj["sumSellShares"], obj["avgBuyPrice"],
+                obj["avgSellPrice"],
+            )
+        assert out == raw, (r["topic"], raw)
+        n_checked += 1
+    assert n_checked == len(wire_rows) and n_checked > 50
+
+
+def test_merged_messages_carry_diff_vector(wire_rows):
+    conc = [json.loads(bytes(r["value"]).decode()) for r in wire_rows
+            if r["topic"] == STAKECONCENTRATION_V1]
+    assert conc and all(
+        isinstance(o["diff"], list) and len(o["diff"]) == 5 for o in conc
+    )
+
+
+def test_wire_plan_is_jvm_only(spark):
+    pages_out = spark.createDataFrame(
+        [("u", "twse_dailyclose", '{"a":1}\n{"a":2}')],
+        "url_canon string, strategy string, text string",
+    )
+    merged = spark.createDataFrame([("s", "d", '{"b":1}')],
+                                   "stock_id string, date string, line string")
+    df = kafka_wire(pages_out, merged)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    assert "EvalPython" not in plan and "InPandas" not in plan
