@@ -1,0 +1,152 @@
+"""Public-suffix rules for registrable-domain (eTLD+1) extraction.
+
+The reference keys politeness per host implicitly (it crawls a handful of
+fixed exchange hosts); a general frontier keys politeness and sharding by
+REGISTRABLE domain, which needs public-suffix knowledge. This module
+implements the full publicsuffix.org rule semantics —
+
+  - normal rules   ("co.uk")      the tail is a public suffix
+  - wildcard rules ("*.ck")       every direct child of the tail is one
+  - exception rules ("!www.ck")   carve-out: that exact tail is NOT one
+  - longest matching rule wins; no match -> the TLD itself is the suffix
+
+— over an EMBEDDED SNAPSHOT of the list: the ICANN second-level
+registrations for the ccTLDs that carry the overwhelming mass of web
+traffic, the classic wildcard TLDs, and the highest-traffic private
+suffixes (github.io-class platform domains). A production deployment
+swaps in the complete, current list file via ``load_psl_file`` (same
+rule engine; ~10k rules instead of ~300) and broadcasts it — suffix
+matching stays an O(1) hash-set probe per row either way (Catalyst
+compiles ``isin`` over literal sets to an InSet hash lookup inside
+whole-stage codegen; no join, no Python).
+
+Unsupported in the embedded snapshot (present in the full file): 4-label
+rules (e.g. Japanese geographic ``city.<city>.<pref>.jp``) and the
+``k12.<state>.us`` family — ``load_psl_file`` accepts them and the
+matcher handles rules up to 3 labels; deeper rules degrade conservatively
+to the 3-label match (never merges two distinct registrables of the
+embedded set).
+"""
+
+from __future__ import annotations
+
+# --- ICANN section snapshot: second-level registrations ----------------------
+
+_CC_SECOND_LEVEL = {
+    "uk": ("co", "org", "me", "ltd", "plc", "net", "sch", "ac", "gov", "nhs", "police"),
+    "jp": ("co", "or", "ne", "ac", "ad", "ed", "go", "gr", "lg"),
+    "au": ("com", "net", "org", "edu", "gov", "asn", "id"),
+    "nz": ("co", "net", "org", "govt", "ac", "school", "geek", "gen", "kiwi", "maori"),
+    "br": ("com", "net", "org", "gov", "edu", "mil", "art", "blog", "eco"),
+    "in": ("co", "net", "org", "gen", "firm", "ind", "nic", "ac", "edu", "res", "gov", "mil"),
+    "kr": ("co", "ne", "or", "re", "pe", "go", "mil", "ac", "hs", "ms", "es", "sc", "kg", "seoul", "busan"),
+    "tw": ("com", "org", "gov", "edu", "net", "idv", "game", "ebiz", "club", "mil"),
+    "cn": ("com", "net", "org", "gov", "edu", "mil", "ac", "ah", "bj", "sh", "gd", "zj", "js"),
+    "hk": ("com", "net", "org", "gov", "edu", "idv"),
+    "sg": ("com", "net", "org", "gov", "edu", "per"),
+    "my": ("com", "net", "org", "gov", "edu", "mil", "name"),
+    "th": ("co", "net", "or", "ac", "go", "in", "mi"),
+    "vn": ("com", "net", "org", "edu", "gov", "int", "ac", "biz", "info", "name", "pro", "health"),
+    "id": ("co", "net", "or", "web", "sch", "ac", "go", "mil", "my", "biz"),
+    "ph": ("com", "net", "org", "gov", "edu", "ngo", "mil", "i"),
+    "mx": ("com", "net", "org", "edu", "gob"),
+    "ar": ("com", "net", "org", "edu", "gob", "gov", "int", "mil", "tur"),
+    "za": ("co", "net", "org", "gov", "ac", "web", "mil", "nom"),
+    "tr": ("com", "net", "org", "gov", "edu", "mil", "gen", "web", "av", "dr", "k12", "bel", "pol"),
+    "ru": ("ac", "edu", "gov", "int", "mil", "msk", "spb", "com"),
+    "ua": ("com", "net", "org", "edu", "gov", "in", "kiev", "kyiv"),
+    "pl": ("com", "net", "org", "edu", "gov", "info", "waw", "biz", "mil"),
+    "il": ("co", "net", "org", "ac", "gov", "muni", "k12", "idf"),
+    "eg": ("com", "net", "org", "gov", "edu", "sci", "eun", "mil", "name"),
+    "sa": ("com", "net", "org", "gov", "edu", "med", "pub", "sch"),
+    "ng": ("com", "net", "org", "gov", "edu", "name", "sch", "mobi", "mil", "i"),
+    "ke": ("co", "or", "ne", "go", "ac", "sc", "me", "mobi", "info"),
+    "ca": ("gc",),
+}
+
+# PSL wildcard rules *.<tld>: every direct child label is a public suffix
+WILDCARD_TLDS = frozenset({"bd", "ck", "er", "fk", "jm", "kh", "mm", "np", "pg"})
+
+# PSL exception rules !<tail>: that exact tail is NOT a public suffix
+EXCEPTION_RULES = frozenset({"www.ck"})
+
+# Private-section snapshot: platform suffixes with the largest web mass
+_PRIVATE_2LABEL = frozenset({
+    "github.io", "gitlab.io", "readthedocs.io",
+    "blogspot.com", "appspot.com", "herokuapp.com", "firebaseapp.com",
+    "netlify.app", "vercel.app", "web.app",
+    "pages.dev", "workers.dev",
+    "azurewebsites.net", "cloudfront.net",
+    "repl.co", "glitch.me",
+})
+
+_PRIVATE_3LABEL = frozenset({
+    "s3.amazonaws.com",
+})
+
+SUFFIX_2LABEL = frozenset(
+    {f"{sld}.{tld}" for tld, slds in _CC_SECOND_LEVEL.items() for sld in slds}
+    | _PRIVATE_2LABEL
+)
+SUFFIX_3LABEL = frozenset(_PRIVATE_3LABEL)
+
+
+def load_psl_file(path: str):
+    """Parse a full publicsuffix.org ``public_suffix_list.dat`` into the
+    rule sets this module's matcher consumes:
+    ``(suffix_2label, suffix_3label, wildcard_tlds, exceptions)``.
+    Rules deeper than 3 labels fold into their 3-label tail (conservative).
+    In production the four sets ship to executors once (broadcast or plan
+    literals) — the per-row work is unchanged."""
+    s2, s3, wild, exc = set(), set(), set(), set()
+    with open(path, encoding="utf-8") as fh:
+        for raw in fh:
+            line = raw.strip()
+            if not line or line.startswith("//"):
+                continue
+            if line.startswith("!"):
+                exc.add(line[1:])
+                continue
+            labels = line.split(".")
+            if labels[0] == "*":
+                if len(labels) == 2:
+                    wild.add(labels[1])
+                else:  # "*.a.b" == every child of a.b: a.b-tail 3-label-ish
+                    s3.add(".".join(labels[-3:]) if len(labels) >= 3 else line)
+                continue
+            if len(labels) == 2:
+                s2.add(line)
+            elif len(labels) >= 3:
+                s3.add(".".join(labels[-3:]))
+            # 1-label rules (plain TLDs) are the implicit default — no set
+    return frozenset(s2), frozenset(s3), frozenset(wild), frozenset(exc)
+
+
+def registrable_domain_py(
+    host: str | None,
+    suffix2=SUFFIX_2LABEL,
+    suffix3=SUFFIX_3LABEL,
+    wildcard=WILDCARD_TLDS,
+    exceptions=EXCEPTION_RULES,
+) -> str | None:
+    """Reference implementation of the matcher (shared by the simulator and
+    the fixture generator; test_urls.py pins the Column twin to it)."""
+    if host is None:
+        return None
+    import re
+
+    if re.match(r"^\d+\.\d+\.\d+\.\d+$", host):
+        return host
+    labels = host.split(".")
+    n = len(labels)
+    if n <= 1:
+        return host
+    last2 = ".".join(labels[-2:])
+    last3 = ".".join(labels[-3:]) if n >= 3 else None
+    if last2 in exceptions:  # "!www.ck": www.ck itself is registrable
+        return last2
+    if last3 is not None and last3 in suffix3:
+        return ".".join(labels[-4:]) if n >= 4 else host
+    if last2 in suffix2 or labels[-1] in wildcard:
+        return last3 if n >= 3 else host
+    return last2

@@ -22,14 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Multi-label public suffixes we recognize for registrable-domain extraction.
-# A production build would load the full public-suffix list as a broadcast
-# table; the mechanism (suffix match, longest wins) is identical.
-_TWO_LABEL_SUFFIXES = (
-    "co.uk", "org.uk", "ac.uk", "gov.uk",
-    "com.tw", "org.tw", "gov.tw", "edu.tw", "net.tw",
-    "com.cn", "com.au", "co.jp", "ne.jp", "or.jp",
-    "com.br", "co.in", "co.kr",
+from stock_crawler_spark.functions.psl import (
+    EXCEPTION_RULES, SUFFIX_2LABEL, SUFFIX_3LABEL, WILDCARD_TLDS,
 )
 
 
@@ -58,17 +52,30 @@ def host_of(url: Column) -> Column:
 
 
 def registrable_domain(host: Column) -> Column:
-    """eTLD+1 approximation: last 2 labels, or 3 when the 2-label tail is a
-    known multi-label public suffix. IPs pass through unchanged."""
+    """eTLD+1 under the full public-suffix rule semantics (functions/psl.py:
+    normal + wildcard + exception rules, longest match wins) over the
+    embedded ICANN/private snapshot. IPs pass through unchanged.
+
+    All rule sets compile to ``isin`` over literal sets — Catalyst turns
+    those into InSet hash probes inside whole-stage codegen, so eTLD+1 of
+    10^10 hosts is still a narrow, Python-free projection (swap in the
+    full 10k-rule list via psl.load_psl_file without changing the plan
+    shape)."""
     is_ip = host.rlike(r"^\d+\.\d+\.\d+\.\d+$")
     parts = F.split(host, r"\.")
     n = F.size(parts)
-    last2 = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
-    last3 = F.concat_ws(
-        ".", F.element_at(parts, -3), F.element_at(parts, -2), F.element_at(parts, -1)
-    )
-    dom = F.when(n <= 2, host).otherwise(
-        F.when(last2.isin(*_TWO_LABEL_SUFFIXES), last3).otherwise(last2)
+    tail = lambda k: F.concat_ws(".", *[F.element_at(parts, -i) for i in range(k, 0, -1)])  # noqa: E731
+    last2, last3, last4 = tail(2), tail(3), tail(4)
+    dom = (
+        F.when(n <= 1, host)
+        .when(last2.isin(*sorted(EXCEPTION_RULES)), last2)  # "!www.ck"
+        .when((n >= 3) & last3.isin(*sorted(SUFFIX_3LABEL)), F.when(n >= 4, last4).otherwise(host))
+        .when(
+            last2.isin(*sorted(SUFFIX_2LABEL))
+            | F.element_at(parts, -1).isin(*sorted(WILDCARD_TLDS)),
+            F.when(n >= 3, last3).otherwise(host),
+        )
+        .otherwise(last2)
     )
     return F.when(is_ip | host.isNull(), host).otherwise(dom)
 

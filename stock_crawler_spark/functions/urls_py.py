@@ -8,7 +8,7 @@ from __future__ import annotations
 
 from urllib.parse import urlsplit
 
-from stock_crawler_spark.functions.urls import _TWO_LABEL_SUFFIXES
+from stock_crawler_spark.functions.psl import registrable_domain_py as _psl_domain
 
 
 def canonicalize_py(url: str) -> str:
@@ -43,16 +43,4 @@ def host_py(url: str) -> str | None:
 
 
 def registrable_domain_py(host: str | None) -> str | None:
-    if host is None:
-        return None
-    import re
-
-    if re.match(r"^\d+\.\d+\.\d+\.\d+$", host):
-        return host
-    labels = host.split(".")
-    if len(labels) <= 2:
-        return host
-    last2 = ".".join(labels[-2:])
-    if last2 in _TWO_LABEL_SUFFIXES:
-        return ".".join(labels[-3:])
-    return last2
+    return _psl_domain(host)

