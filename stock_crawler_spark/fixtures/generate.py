@@ -289,6 +289,14 @@ def generate_fixtures(out_dir: str, scale: str = "test", seed: int = 42, **overr
     pages_rows = []
     fanout_counter = 0
 
+    # One fetch outcome per url: date-independent urls (stocklists) recur
+    # across dates — without this, the same url could get conflicting rows
+    # (e.g. a 404 for one date, content for another) at the IDENTICAL
+    # deterministic warc_ts, making the snapshot-dedup winner a
+    # nondeterministic sort tie. First decision wins (matches the
+    # simulator's first-inserted tie-break); later dates skip entirely.
+    decided_urls: set[str] = set()
+
     def add_page(url: str, html: bytes, text: str, lang: str, status: int = 200):
         pages_rows.append(
             dict(url=url, warc_ts=_warc_ts(url), html=html, text=text, lang=lang,
@@ -322,6 +330,9 @@ def generate_fixtures(out_dir: str, scale: str = "test", seed: int = 42, **overr
                          crawl_date=date_iso, query_date=q,
                          priority=rnd.random())
                 )
+                if url in decided_urls:
+                    continue
+                decided_urls.add(url)
                 if maybe_miss():
                     continue
                 st = error_status()

@@ -225,13 +225,23 @@ def run_round(
     else:
         trace = spark.createDataFrame([], TRACE_SCHEMA)
 
-    # --- metrics + per-shard lineage ---
-    n_sched = scheduled.count()
+    # --- metrics + per-shard lineage: one aggregation action per cached
+    #     DataFrame (4 jobs), not one count() per metric (7) — the counts
+    #     are the round's serial driver fraction, so folding them is a
+    #     direct Amdahl win on the scaling criterion ---
+    one = F.lit(1)
+    dq_c = dq.agg(
+        F.sum(F.when(F.col("_scheduled"), one).otherwise(0)).alias("s"),
+        F.sum(F.when(~F.col("_scheduled"), one).otherwise(0)).alias("d"),
+    ).collect()[0]
+    n_sched, n_defer = int(dq_c["s"] or 0), int(dq_c["d"] or 0)
+    f_c = fetched.agg(
+        F.sum(F.when(F.col("fetched"), one).otherwise(0)).alias("ok"),
+        F.sum(F.when(~F.col("fetched") & ~F.col("_permanent"), one).otherwise(0)).alias("miss"),
+        F.sum(F.when(F.col("_permanent"), one).otherwise(0)).alias("perm"),
+    ).collect()[0]
+    n_done, n_miss, n_perm = int(f_c["ok"] or 0), int(f_c["miss"] or 0), int(f_c["perm"] or 0)
     n_dedup = deduped.count()
-    n_defer = deferred.count()
-    n_miss = miss.count()
-    n_perm = perm.count()
-    n_done = ok_fetch.count()
     n_empty = extracted.filter(F.col("parse_error") != "").count()
     shard_lineage = (
         scheduled.groupBy("shard").count()
