@@ -488,6 +488,20 @@ def q10_ngram_jaccard(spark, sf):
     return dedup.ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.3)
 
 
+def q40_dedup_clusters(spark, sf):
+    """Near-dup clustering: connected components over Jaccard>=0.3 pairs —
+    the canonicalization step corpus pipelines run after pair generation
+    (one survivor per component). Min-label propagation + pointer
+    doubling: O(E+V) per sweep, O(log diameter) sweeps
+    (operators/components.py)."""
+    from stock_crawler_spark.operators.components import connected_components
+
+    docs = _t(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.3)
+    out = connected_components(pairs)
+    return out.select("doc", F.col("rep").cast("long").alias("rep"))
+
+
 MINHASH_K = 16
 
 
@@ -590,6 +604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q37_percentiles": q37_percentiles,
         "q38_heavy_hitters": q38_heavy_hitters,
         "q39_rewind_dates": q39_rewind_dates,
+        "q40_dedup_clusters": q40_dedup_clusters,
     }
 
 
@@ -1064,6 +1079,22 @@ FROM events e ASOF LEFT JOIN err
 SELECT doc_id FROM documents WHERE doc_id % 3 != 0 OR doc_id % 6 = 0
 """,
         "q31_minhash_lsh": _lsh_oracle(),
+        "q40_dedup_clusters": f"""
+WITH RECURSIVE e AS (
+  SELECT doc_a, doc_b FROM ({_JACCARD_CTE})
+), sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM e UNION SELECT doc_b, doc_a FROM e
+), reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+)
+SELECT a AS doc, CAST(min(m) AS BIGINT) AS rep FROM (
+  SELECT a, b AS m FROM reach
+  UNION ALL
+  SELECT DISTINCT a, a FROM sym
+) GROUP BY a
+""",
         "q39_rewind_dates": """
 SELECT o_orderkey,
   strftime(d, '%Y%m%d') AS twse_q,

@@ -1,0 +1,89 @@
+"""Connected components over near-duplicate pairs — dedup clustering.
+
+Pair generators (LSH / prefix-filter / simhash, operators/dedup.py) emit
+EDGES; a corpus dedup actually needs the CLUSTERS: one canonical survivor
+per connected component (what C4/RefinedWeb-style pipelines do after
+MinHash). This is iterative min-label propagation as pure DataFrame ops:
+
+  label(v) <- min(label(v), min over neighbors u of label(u))
+
+repeated to fixpoint, with POINTER DOUBLING after every edge sweep
+(rep <- rep(rep), the hash-to-min / Kiveris-et-al. trick): the label tree
+halves in height each pass, so total sweeps are O(log diameter) — a
+10^6-long pathological chain converges in ~20 sweeps, and real near-dup
+clusters (star-like) in 2-3. Each sweep is an edge join + groupBy plus a
+labels self-join, all keyed by node id: O(E + V) shuffle per sweep, no
+driver-side graph. Lineage is truncated per sweep (localCheckpoint) so
+the plan never grows with iterations; convergence is a count of changed
+labels (one tiny action per sweep).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(doc_a, doc_b) edges -> (doc, rep): rep = min doc id in the
+    component. Every endpoint appears exactly once; isolated docs are the
+    caller's concern (they are their own rep by definition)."""
+    e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    e = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    e = e.localCheckpoint(eager=True)
+
+    labels = (
+        e.select(F.col("src").alias("node")).distinct()
+        .withColumn("rep", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # sweep 1: pull the min label across edges (1 hop)
+        nb_min = (
+            e.join(labels.select(F.col("node").alias("dst"), F.col("rep")), "dst")
+            .groupBy("src").agg(F.min("rep").alias("nb_rep"))
+        )
+        stepped = labels.join(
+            nb_min.select(F.col("src").alias("node"), "nb_rep"), "node", "left"
+        ).select(
+            "node",
+            F.least(F.col("rep"), F.coalesce(F.col("nb_rep"), F.col("rep"))).alias("rep"),
+        )
+        # sweep 2: pointer doubling — rep <- rep(rep); halves the label-tree
+        # height each pass, so total sweeps are O(log diameter), not O(diameter)
+        rep_of_rep = stepped.select(
+            F.col("node").alias("_rnode"), F.col("rep").alias("rep2")
+        )
+        doubled = (
+            stepped.join(rep_of_rep, stepped["rep"] == rep_of_rep["_rnode"], "left")
+            .select(
+                "node",
+                F.least(F.col("rep"), F.coalesce(F.col("rep2"), F.col("rep"))).alias("rep"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            doubled.alias("n").join(labels.alias("o"), "node")
+            .filter(F.col("n.rep") != F.col("o.rep")).count()
+        )
+        labels = doubled
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc"), "rep")
+
+
+def dedup_survivors(docs: DataFrame, components: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Corpus minus non-representative near-dups: keep docs that are their
+    component's rep, plus every doc with no near-dup edge at all (left
+    anti join — never materializes the complement)."""
+    losers = components.filter(F.col("doc") != F.col("rep")).select(
+        F.col("doc").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")

@@ -1,0 +1,53 @@
+"""Connected-components dedup clustering (operators/components.py):
+min-label propagation converges to the component minimum, sweeps bounded
+by diameter, survivors = one rep per cluster + untouched docs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stock_crawler_spark.operators.components import (
+    connected_components, dedup_survivors,
+)
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    return {
+        r["doc"]: r["rep"] for r in connected_components(df).collect()
+    }
+
+
+def test_chain_and_star_components(spark):
+    # chain 1-2-3-4 (diameter 3) + star 10-{11,12,13} + pair 20-21
+    got = _cc(spark, [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (10, 13), (20, 21)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20}
+
+
+def test_long_chain_converges(spark):
+    # 30-node path: worst-case diameter for propagation
+    edges = [(i, i + 1) for i in range(30)]
+    got = _cc(spark, edges)
+    assert set(got.values()) == {0} and len(got) == 31
+
+
+def test_cycle_and_merge(spark):
+    # two triangles bridged: one component, min id 1
+    got = _cc(spark, [(1, 2), (2, 3), (3, 1), (7, 8), (8, 9), (9, 7), (3, 7)])
+    assert set(got.values()) == {1} and len(got) == 6
+
+
+def test_dedup_survivors(spark):
+    docs = spark.range(10).select(F.col("id").alias("doc_id"))
+    comp = connected_components(
+        spark.createDataFrame([(1, 2), (2, 5), (7, 8)], "doc_a long, doc_b long")
+    )
+    kept = sorted(r["doc_id"] for r in dedup_survivors(docs, comp).collect())
+    # losers: 2,5 (rep 1) and 8 (rep 7); isolated docs untouched
+    assert kept == [0, 1, 3, 4, 6, 7, 9]
+
+
+def test_edge_determinism_and_order_invariance(spark):
+    e1 = [(4, 2), (2, 9), (9, 4), (1, 9)]
+    e2 = list(reversed([(a, b) if a < b else (b, a) for a, b in e1]))
+    assert _cc(spark, e1) == _cc(spark, e2) == {1: 1, 2: 1, 4: 1, 9: 1}
