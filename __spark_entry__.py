@@ -502,6 +502,28 @@ def q40_dedup_clusters(spark, sf):
     return out.select("doc", F.col("rep").cast("long").alias("rep"))
 
 
+def q41_decontaminate(spark, sf):
+    """Training-set decontamination: corpus docs sharing >= 1 word n-gram
+    with the benchmark split (doc_id % 20 == 0), with the distinct shared-
+    gram count. Benchmark gram set broadcasts; corpus streams (map-side
+    hash probe, no corpus-gram shuffle). n=4 here so the synthetic corpus
+    yields a dense signal; production decontamination uses 8-13."""
+    docs = _t(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    return dedup.decontaminate_hits(corpus, bench, n=4)
+
+
+BM25_QUERY = ["spark", "join", "window", "shuffle"]
+
+
+def q42_bm25(spark, sf):
+    """Okapi BM25 scores for a fixed term query — the retrieval primitive
+    of corpus search / RAG indexing; one corpus shuffle (tf groupBy),
+    stats and per-term df broadcast."""
+    return T.bm25_scores(_t(spark, sf, "documents"), BM25_QUERY)
+
+
 MINHASH_K = 16
 
 
@@ -605,6 +627,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_heavy_hitters": q38_heavy_hitters,
         "q39_rewind_dates": q39_rewind_dates,
         "q40_dedup_clusters": q40_dedup_clusters,
+        "q41_decontaminate": q41_decontaminate,
+        "q42_bm25": q42_bm25,
     }
 
 
@@ -1079,6 +1103,43 @@ FROM events e ASOF LEFT JOIN err
 SELECT doc_id FROM documents WHERE doc_id % 3 != 0 OR doc_id % 6 = 0
 """,
         "q31_minhash_lsh": _lsh_oracle(),
+        "q41_decontaminate": f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), g AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    generate_series(1, greatest(len(t) - 3, 0)),
+    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS g
+  FROM toks
+), bg AS (
+  SELECT DISTINCT g FROM g WHERE doc_id % 20 = 0
+), cg AS (
+  SELECT DISTINCT doc_id, g FROM g WHERE doc_id % 20 != 0
+)
+SELECT doc_id, count(*) AS n_hits FROM cg JOIN bg USING (g) GROUP BY 1
+""",
+        "q42_bm25": f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS t FROM documents
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1
+), stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avg_dl FROM dl
+), tf AS (
+  SELECT doc_id, t, count(*) AS tf FROM toks
+  WHERE t IN ('spark', 'join', 'window', 'shuffle') GROUP BY 1, 2
+), dft AS (
+  SELECT t, count(*) AS df FROM tf GROUP BY 1
+)
+SELECT tf.doc_id,
+  round(sum(
+    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+    * (tf * (1.2 + 1)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_dl))
+  ), 6) AS bm25,
+  count(*) AS n_terms_hit
+FROM tf JOIN dft USING (t) JOIN dl USING (doc_id) CROSS JOIN stats
+GROUP BY 1
+""",
         "q40_dedup_clusters": f"""
 WITH RECURSIVE e AS (
   SELECT doc_a, doc_b FROM ({_JACCARD_CTE})

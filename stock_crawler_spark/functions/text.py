@@ -101,3 +101,62 @@ def fingerprint_rolling(text: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, t: F.pmod(acc * 31 + F.pmod(F.xxhash64(t), F.lit(_ROLL_P)), F.lit(_ROLL_P)),
     )
+
+
+# --- BM25 retrieval scoring ---------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_scores(docs, query_terms, id_col: str = "doc_id", text_col: str = "text"):
+    """Okapi BM25 score of every matching doc for a bag of query terms —
+    the retrieval primitive of corpus search / RAG indexing, as one
+    declarative plan:
+
+      tokens -> per-(doc,term) tf  (one groupBy)
+      -> df per query term         (tiny: |query| rows, broadcast)
+      -> idf = ln((N - df + .5)/(df + .5) + 1)   [Robertson-Sparck Jones]
+      -> score = sum idf * tf*(k1+1)/(tf + k1*(1-b + b*len/avg_len))
+
+    Corpus stats (N, avg token length) ride along as a broadcast 1-row
+    cross join — nothing collects to the driver, the corpus shuffles
+    exactly once (the tf groupBy). Only docs containing >= 1 query term
+    appear (score > 0 by construction).
+    """
+    from pyspark.sql import functions as F
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("t"),
+    )
+    doc_len = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = doc_len.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avg_dl")
+    )
+    q = [t.lower() for t in query_terms]
+    tf = (
+        toks.filter(F.col("t").isin(*q))
+        .groupBy(id_col, "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_t), "t")
+        .join(doc_len, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
+        )
+        .withColumn(
+            "part",
+            F.col("idf")
+            * (F.col("tf") * (BM25_K1 + 1))
+            / (F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avg_dl"))),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.round(F.sum("part"), 6).alias("bm25"),
+        F.count(F.lit(1)).alias("n_terms_hit"),
+    )

@@ -248,6 +248,40 @@ def minhash_lsh_pairs(
     return v.select("doc_a", "doc_b", "jaccard")
 
 
+# --- benchmark decontamination ---------------------------------------------------
+
+
+def decontaminate_hits(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Training-set decontamination: corpus docs sharing >= 1 word n-gram
+    with any benchmark doc, with the count of distinct shared grams
+    (the standard 8-13-gram membership test eval suites require).
+
+    Scale shape: the benchmark gram set is tiny next to the corpus (an
+    eval suite is ~10^6 grams vs 10^12 corpus grams), so it BROADCASTS —
+    the corpus streams through a map-side hash probe, no shuffle of
+    corpus grams at all. Grams join on the 60-bit md5 hash (long), not
+    the string."""
+    bg = (
+        benchmark.select(F.explode(word_shingles(F.col(text_col), n)).alias("g"))
+        .select(_md5_hash60(F.col("g")).alias("gh"))
+        .distinct()
+    )
+    cg = corpus.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("g")
+    ).select(F.col(id_col), _md5_hash60(F.col("g")).alias("gh")).distinct()
+    return (
+        cg.join(F.broadcast(bg), "gh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
 # --- deterministic sampling -----------------------------------------------------
 
 

@@ -154,6 +154,21 @@ def test_heavy_hitters_topk_is_parallel(spark):
     assert tree.index("Window") < tree.index("TakeOrderedAndProject"), tree
 
 
+def test_decontaminate_broadcasts_benchmark(spark):
+    """q41: the benchmark gram set must BROADCAST (corpus streams through
+    a map-side hash probe) — a shuffled join of corpus grams would move
+    10^12 rows at the design point."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["q41_decontaminate"](spark, "/root/testdata/sf0.001")
+    tree = _plan(df).split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree, tree
+    assert "SortMergeJoin" not in tree, tree
+
+
 def test_seen_probe_no_driver_collect(spark):
     """probe_seen_flag must co-group candidates with their shard's filter
     blob — the plan carries a FlatMapCoGroupsInPandas and the operator
