@@ -65,6 +65,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_df: int | None = None,
 ) -> DataFrame:
     """All doc pairs (a<b) with n-gram Jaccard >= threshold.
 
@@ -74,11 +75,25 @@ def ngram_jaccard_pairs(
     hash of the shingle, not the string — ~4x fewer shuffle bytes at web
     scale, with a 2^-60 per-pair collision risk (negligible vs corpus
     noise; the oracle joins on the raw string and still matches).
+
+    ``max_df``: drop shingles occurring in more than max_df docs BEFORE
+    the self-join. A stop-shingle in d docs contributes d^2 join rows and
+    lands on one shuffle key (at web scale, boilerplate shingles hit 10^8
+    docs — the classic skew killer); capping df bounds every key at
+    max_df^2. This is an APPROXIMATION for candidate generation: pairs
+    whose overlap is only stop-shingles are missed, and intersection
+    counts shrink by the dropped shingles (Jaccard becomes a lower
+    bound). Default None = exact.
     """
     sh = docs.select(
         F.col(id_col).alias("doc"), F.explode(word_shingles(F.col(text_col), n)).alias("s")
     ).select("doc", _md5_hash60(F.col("s")).alias("s"))
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    if max_df is not None:
+        rare = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(
+            F.col("df") <= max_df
+        )
+        sh = sh.join(rare.select("s"), "s", "left_semi")
     a = sh.select(F.col("doc").alias("doc_a"), "s")
     b = sh.select(F.col("doc").alias("doc_b"), "s")
     inter = (

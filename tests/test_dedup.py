@@ -131,3 +131,32 @@ def test_prefix_jaccard_equals_allpairs(spark, docs):
         }
         assert pre == full, t
         assert len(pre) > 0  # fixture plants near-dups; the gate is non-vacuous
+
+
+def test_ngram_jaccard_max_df_cap(spark):
+    """max_df drops stop-shingles before the self-join: a shingle shared
+    by every doc no longer generates candidate pairs, while pairs with
+    rare overlap survive with Jaccard as a lower bound."""
+    from stock_crawler_spark.operators.dedup import ngram_jaccard_pairs
+
+    common = "the quick brown fox jumps"
+    docs = spark.createDataFrame(
+        [
+            (1, common + " alpha beta gamma delta"),
+            (2, common + " alpha beta gamma delta"),   # true near-dup of 1
+            (3, common + " zeta eta theta iota"),      # only stop-shingles shared
+            (4, common + " one two three four"),
+        ],
+        "doc_id long, text string",
+    )
+    exact = {(r["doc_a"], r["doc_b"]) for r in
+             ngram_jaccard_pairs(docs, threshold=0.2).collect()}
+    capped = {(r["doc_a"], r["doc_b"]) for r in
+              ngram_jaccard_pairs(docs, threshold=0.2, max_df=2).collect()}
+    assert (1, 2) in exact and (1, 2) in capped
+    # pairs held together ONLY by the 4-doc stop-shingles vanish under the cap
+    assert (1, 3) in exact and (1, 3) not in capped
+    # huge cap == exact
+    uncapped = {(r["doc_a"], r["doc_b"]) for r in
+                ngram_jaccard_pairs(docs, threshold=0.2, max_df=10**6).collect()}
+    assert uncapped == exact
