@@ -26,6 +26,22 @@ THREEPRIMARY_V1 = "threeprimary-v1"
 STAKECONCENTRATION_V1 = "stakeconcentration-v1"
 
 
+def simple_entity_messages(pages_out: DataFrame) -> DataFrame:
+    """Stateless half of the wire framing: one (topic, line) per parsed
+    entity line of the non-concentration strategies. Narrow ops only
+    (filter/split/explode), so the same expression runs unchanged on a
+    STREAMING pages DataFrame (streaming/jobs.streaming_wire_publish)."""
+    topic = (
+        F.when(F.col("strategy").endswith("dailyclose"), F.lit(DAILYCLOSES_V1))
+        .when(F.col("strategy").endswith("threeprimary"), F.lit(THREEPRIMARY_V1))
+        .when(F.col("strategy").endswith("stocklist"), F.lit(STOCKS_V1))
+    )
+    return (
+        pages_out.filter((F.col("strategy") != "concentration") & (F.col("text") != ""))
+        .select(topic.alias("topic"), F.explode(F.split("text", "\n")).alias("line"))
+    )
+
+
 def kafka_wire(pages_out: DataFrame, merged: DataFrame) -> DataFrame:
     """-> (topic string, value binary): the exact publish stream.
 
@@ -34,18 +50,9 @@ def kafka_wire(pages_out: DataFrame, merged: DataFrame) -> DataFrame:
     filled) once all five pages land — mirroring the reference, which
     publishes StakeConcentration only after the per-stock merge.
     """
-    topic = (
-        F.when(F.col("strategy").endswith("dailyclose"), F.lit(DAILYCLOSES_V1))
-        .when(F.col("strategy").endswith("threeprimary"), F.lit(THREEPRIMARY_V1))
-        .when(F.col("strategy").endswith("stocklist"), F.lit(STOCKS_V1))
-    )
-    simple = (
-        pages_out.filter((F.col("strategy") != "concentration") & (F.col("text") != ""))
-        .select(topic.alias("topic"), F.explode(F.split("text", "\n")).alias("line"))
-    )
     conc = merged.select(
         F.lit(STAKECONCENTRATION_V1).alias("topic"), F.col("line").alias("line")
     )
-    return simple.unionByName(conc).select(
+    return simple_entity_messages(pages_out).unionByName(conc).select(
         "topic", F.encode("line", "UTF-8").alias("value")
     )

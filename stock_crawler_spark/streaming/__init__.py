@@ -12,6 +12,7 @@ column logic as the batch plan (one code path to test for correctness).
 from stock_crawler_spark.streaming.jobs import (  # noqa: F401
     streaming_frontier_ingest,
     streaming_round_metrics,
+    streaming_wire_publish,
 )
 from stock_crawler_spark.streaming.stateful import (  # noqa: F401
     streaming_politeness_gate,

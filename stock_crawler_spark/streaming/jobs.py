@@ -30,6 +30,21 @@ def streaming_frontier_ingest(
     )
 
 
+def streaming_wire_publish(pages_stream: DataFrame) -> DataFrame:
+    """Extracted-page stream -> (topic, value binary) Kafka-wire messages —
+    the streaming twin of operators/wire.kafka_wire's simple-entity half
+    (in production: ``.writeStream.format("kafka")``). Stateless narrow
+    ops only, so bytes are identical to the batch framing on the same
+    rows. Concentration's merged entity needs cross-page state and
+    publishes from the batch merge, exactly like the reference publishes
+    StakeConcentration only after the 5-page merge."""
+    from stock_crawler_spark.operators.wire import simple_entity_messages
+
+    return simple_entity_messages(pages_stream).select(
+        "topic", F.encode("line", "UTF-8").alias("value")
+    )
+
+
 def streaming_round_metrics(
     pages_stream: DataFrame, window: str = "1 minute", watermark: str = "2 minutes"
 ) -> DataFrame:

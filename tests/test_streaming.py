@@ -134,3 +134,40 @@ def test_stateful_politeness_gate_state_survives_microbatches(spark, tmp_path):
     assert got2 == sorted(
         got1 + [("d1.com", 2, "https://d1.com/c"), ("d2.com", 1, "https://d2.com/y")]
     )
+
+
+def test_streaming_wire_publish_matches_batch_bytes(spark, tmp_path):
+    """The streaming wire framing must emit byte-identical messages to the
+    batch kafka_wire simple-entity half on the same rows."""
+    from stock_crawler_spark.operators.wire import kafka_wire
+    from stock_crawler_spark.streaming import streaming_wire_publish
+
+    rows = [
+        ("u1", "twse_dailyclose", '{"stockId":"1001"}\n{"stockId":"1002"}'),
+        ("u2", "tpex_stocklist", '{"stockId":"2330"}'),
+        ("u3", "concentration", '{"stockId":"3704"}'),   # excluded: batch-merge path
+        ("u4", "twse_threeprimary", ""),                 # empty parse: no message
+    ]
+    df = spark.createDataFrame(rows, "url_canon string, strategy string, text string")
+    path = str(tmp_path / "pages_out_stream")
+    df.coalesce(1).write.parquet(path)
+
+    stream = spark.readStream.schema(spark.read.parquet(path).schema).parquet(path)
+    q = (
+        streaming_wire_publish(stream)
+        .writeStream.format("memory")
+        .queryName("wire_pub")
+        .option("checkpointLocation", str(tmp_path / "ckpt_wire"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["topic"], bytes(r["value"]))
+        for r in spark.sql("select * from wire_pub").collect()
+    )
+    empty_merged = spark.createDataFrame([], "stock_id string, date string, line string")
+    want = sorted(
+        (r["topic"], bytes(r["value"])) for r in kafka_wire(df, empty_merged).collect()
+    )
+    assert got == want and len(got) == 3
