@@ -1131,14 +1131,15 @@ WITH toks AS (
 ), dft AS (
   SELECT t, count(*) AS df FROM tf GROUP BY 1
 )
-SELECT tf.doc_id,
-  round(sum(
-    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
-    * (tf * (1.2 + 1)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_dl))
-  ), 6) AS bm25,
+SELECT doc_id,
+  round(list_aggregate(list(part ORDER BY t), 'sum'), 6) AS bm25,
   count(*) AS n_terms_hit
-FROM tf JOIN dft USING (t) JOIN dl USING (doc_id) CROSS JOIN stats
-GROUP BY 1
+FROM (
+  SELECT tf.doc_id, t,
+    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+    * (tf * (1.2 + 1)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_dl)) AS part
+  FROM tf JOIN dft USING (t) JOIN dl USING (doc_id) CROSS JOIN stats
+) GROUP BY 1
 """,
         "q40_dedup_clusters": f"""
 WITH RECURSIVE e AS (

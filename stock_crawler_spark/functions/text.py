@@ -156,7 +156,16 @@ def bm25_scores(docs, query_terms, id_col: str = "doc_id", text_col: str = "text
             / (F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avg_dl"))),
         )
     )
+    # sum per-term parts in SORTED term order: float addition is not
+    # associative, and Spark's partial-agg order is partition-dependent —
+    # a fixed order makes the score bit-reproducible across runs, plans,
+    # and engines (the DuckDB oracle sums in the same order)
+    ordered_sum = F.aggregate(
+        F.array_sort(F.collect_list(F.struct(F.col("t"), F.col("part")))),
+        F.lit(0.0),
+        lambda acc, x: acc + x["part"],
+    )
     return scored.groupBy(id_col).agg(
-        F.round(F.sum("part"), 6).alias("bm25"),
+        F.round(ordered_sum, 6).alias("bm25"),
         F.count(F.lit(1)).alias("n_terms_hit"),
     )
