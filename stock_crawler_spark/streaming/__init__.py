@@ -10,6 +10,7 @@ column logic as the batch plan (one code path to test for correctness).
 """
 
 from stock_crawler_spark.streaming.jobs import (  # noqa: F401
+    streaming_extract,
     streaming_frontier_ingest,
     streaming_round_metrics,
     streaming_wire_publish,

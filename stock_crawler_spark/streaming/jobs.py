@@ -30,6 +30,17 @@ def streaming_frontier_ingest(
     )
 
 
+def streaming_extract(fetched_stream: DataFrame) -> DataFrame:
+    """Fetched-page stream -> extracted text: the batch Arrow extractor
+    applied UNCHANGED (mapInPandas is stream-capable; one code path, so
+    streaming bytes are identical to batch bytes per url by construction).
+    Input schema = operators/extract.fetch_join output: (url, url_canon,
+    strategy, query_date, _warc_ts, _html, fetched)."""
+    from stock_crawler_spark.operators.extract import extract_text
+
+    return extract_text(fetched_stream)
+
+
 def streaming_wire_publish(pages_stream: DataFrame) -> DataFrame:
     """Extracted-page stream -> (topic, value binary) Kafka-wire messages —
     the streaming twin of operators/wire.kafka_wire's simple-entity half

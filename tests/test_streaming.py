@@ -171,3 +171,48 @@ def test_streaming_wire_publish_matches_batch_bytes(spark, tmp_path):
         (r["topic"], bytes(r["value"])) for r in kafka_wire(df, empty_merged).collect()
     )
     assert got == want and len(got) == 3
+
+
+def test_streaming_extract_byte_identity_with_batch(spark, small_fixture_dir, tmp_path):
+    """The streaming extract is the batch Arrow extractor applied to a
+    stream — extracted text must be byte-identical per url."""
+    from stock_crawler_spark.functions.urls import canonicalize_url
+    from stock_crawler_spark.operators.extract import extract_text
+    from stock_crawler_spark.streaming import streaming_extract
+
+    pages = spark.read.parquet(f"{small_fixture_dir}/pages.parquet")
+    seeds = spark.read.parquet(f"{small_fixture_dir}/seeds.parquet")
+    strat = seeds.select(
+        canonicalize_url(F.col("url")).alias("url_canon"), "strategy", "query_date"
+    ).dropDuplicates(["url_canon"])
+    payload = (
+        pages.withColumn("url_canon", canonicalize_url(F.col("url")))
+        .join(strat, "url_canon", "inner")
+        .select(
+            "url", "url_canon", "strategy", "query_date",
+            F.col("warc_ts").alias("_warc_ts"), F.col("html").alias("_html"),
+            (F.col("fetch_status") < 400).alias("fetched"),
+        )
+    )
+    src = str(tmp_path / "payload_stream")
+    payload.coalesce(2).write.parquet(src)
+
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = (
+        streaming_extract(stream)
+        .writeStream.format("memory")
+        .queryName("stream_extract")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ext"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["url_canon"]: r["text"]
+        for r in spark.sql("select url_canon, text from stream_extract").collect()
+    }
+    want = {
+        r["url_canon"]: r["text"]
+        for r in extract_text(spark.read.parquet(src)).collect()
+    }
+    assert got == want and len(got) > 30
