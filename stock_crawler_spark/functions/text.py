@@ -120,9 +120,11 @@ def bm25_scores(docs, query_terms, id_col: str = "doc_id", text_col: str = "text
       -> score = sum idf * tf*(k1+1)/(tf + k1*(1-b + b*len/avg_len))
 
     Corpus stats (N, avg token length) ride along as a broadcast 1-row
-    cross join — nothing collects to the driver, the corpus shuffles
-    exactly once (the tf groupBy). Only docs containing >= 1 query term
-    appear (score > 0 by construction).
+    cross join — nothing collects to the driver. Raw token rows never
+    cross the network: both token aggregations (doc length, per-term tf)
+    partial-aggregate map-side, so the shuffles move O(docs) rows, and
+    df/stats broadcast. Only docs containing >= 1 query term appear
+    (score > 0 by construction).
     """
     from pyspark.sql import functions as F
 

@@ -100,7 +100,12 @@ class NumpyCuckoo:
     MAX_KICKS = 500
 
     def __init__(self, n_items: int):
-        n_buckets = 1
+        # floor of 16 buckets (128 B): below that, two-choice hashing has
+        # so few buckets that small adversarial key sets can concentrate
+        # their (b1, b2) pairs into fewer slots than keys and insertion
+        # fails far under the 95% design load. Costs nothing at real
+        # shard sizes.
+        n_buckets = 16
         while n_buckets * self.SLOTS * 0.95 < max(1, n_items):
             n_buckets *= 2
         self.n_buckets = n_buckets
@@ -114,7 +119,13 @@ class NumpyCuckoo:
         # forcing the low bit would halve entropy and ~double the fpp
         fp = (h & _U64(0xFFFF)).astype(np.uint16)
         fp = np.where(fp == 0, np.uint16(1), fp)
-        b1 = (h >> _U64(16)) % _U64(self.n_buckets)
+        # bucket from the FULL mixed key: deriving b1 from h >> 16 alone
+        # collapses key families that differ only in low bits (all small
+        # negative ints share identical upper 48 bits -> one bucket);
+        # splitmix over all 64 bits is uniform for any input. b1 need not
+        # be independent of fp — partial-key cuckoo only requires the
+        # b2 = b1 xor mix(fp) relation.
+        b1 = _splitmix64(h) % _U64(self.n_buckets)
         b2 = (b1 ^ _splitmix64(fp.astype(_U64))) % _U64(self.n_buckets)
         return fp, b1.astype(np.int64), b2.astype(np.int64)
 
@@ -134,11 +145,15 @@ class NumpyCuckoo:
             if empty.size:
                 row[empty[0]] = f
                 return True
-        # evict deterministically
+        # evict deterministically but APERIODICALLY: an LCG picks the slot —
+        # a plain incrementing cursor has period SLOTS and can cycle the
+        # same small bucket set for 500 kicks (seen at 56% load under
+        # adversarial key clusters); the LCG walk escapes. Still fully
+        # deterministic -> resume-safe rebuilds.
         b = b1
         for _ in range(self.MAX_KICKS):
-            slot = self._kick % self.SLOTS
-            self._kick += 1
+            self._kick = (self._kick * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            slot = (self._kick >> 33) % self.SLOTS
             f, self.table[b, slot] = self.table[b, slot], f
             b = int((b ^ int(_splitmix64(np.array([f], dtype=_U64))[0])) % self.n_buckets)
             row = self.table[b]

@@ -82,3 +82,48 @@ def test_sharded_filter_build_with_ttl(spark):
         filters = build_seen_filters(seen, kind=kind, expired_col="expired")
         out = probe_not_seen(cand, filters, seen.filter(~F.col("expired")))
         assert {r["id"] for r in out.collect()} == expect, kind
+
+
+# --- property tests (hypothesis): the invariants that make the probe EXACT ---
+
+from hypothesis import given, settings, strategies as st
+
+_keys = st.lists(
+    st.integers(min_value=-(2**63), max_value=2**63 - 1), min_size=1, max_size=300,
+    unique=True,
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(_keys)
+def test_bloom_never_false_negative_property(keys):
+    import numpy as np
+
+    from stock_crawler_spark.operators.filters import NumpyBloom
+
+    f = NumpyBloom(len(keys), 0.01)
+    f.add_many(np.array(keys, dtype=np.int64))
+    assert NumpyBloom.from_bytes(f.to_bytes()).contains_many(
+        np.array(keys, dtype=np.int64)
+    ).all()
+
+
+@settings(max_examples=50, deadline=None)
+@given(_keys, st.data())
+def test_cuckoo_delete_never_harms_other_keys_property(keys, data):
+    """Deleting any subset never makes a REMAINING key read absent —
+    the invariant that lets cuckoo TTL-expire without exact re-confirm
+    of negatives."""
+    import numpy as np
+
+    from stock_crawler_spark.operators.filters import NumpyCuckoo
+
+    f = NumpyCuckoo(len(keys))
+    failed = f.add_many(np.array(keys, dtype=np.int64))
+    assert failed == 0
+    n_del = data.draw(st.integers(min_value=0, max_value=len(keys)))
+    dropped, kept = keys[:n_del], keys[n_del:]
+    if dropped:
+        f.delete_many(np.array(dropped, dtype=np.int64))
+    if kept:
+        assert f.contains_many(np.array(kept, dtype=np.int64)).all()
