@@ -1,0 +1,78 @@
+"""Property tests for URL canonicalization — the seen-set key function.
+
+Two invariants keep a 10^10-URL frontier consistent:
+  1. IDEMPOTENCE: canon(canon(u)) == canon(u) — re-canonicalizing a stored
+     url_canon (resume, re-ingest) must never produce a new seen-set key.
+  2. TWIN AGREEMENT: the pure-Python twin (simulator/generator) and the
+     Column expression agree byte-for-byte, else sim-parity is vacuous.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from stock_crawler_spark.functions.urls_py import canonicalize_py, host_py
+
+_label = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789-", min_size=1, max_size=8
+)
+_urlish = st.builds(
+    lambda scheme, host, port, path, q, frag: (
+        f"{scheme}://{host}{port}{path}{q}{frag}"
+    ),
+    st.sampled_from(["http", "https", "HTTP", "HTTPS", "Http"]),
+    st.builds(lambda ls: ".".join(ls), st.lists(_label, min_size=1, max_size=4)),
+    st.sampled_from(["", ":80", ":443", ":8080"]),
+    st.sampled_from(["", "/", "/a", "/a/b.html", "/z/zc/zco_1101_1.djhtm"]),
+    st.sampled_from(["", "?x=1", "?response=csv&date=20230101"]),
+    st.sampled_from(["", "#frag", "#a/b?c"]),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_urlish)
+def test_canonicalize_idempotent(u):
+    c = canonicalize_py(u)
+    assert canonicalize_py(c) == c
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=40))
+def test_canonicalize_total_on_garbage(s):
+    # never raises; unparseable input passes through trimmed
+    c = canonicalize_py(s)
+    assert isinstance(c, str)
+    assert canonicalize_py(c) == c
+    host_py(s)  # total as well
+
+
+def test_twin_agreement_on_generated_corpus(spark):
+    """Column vs Python twin on a hypothesis-shaped corpus (one Spark job
+    for the whole set — per-example Spark would be minutes)."""
+    from pyspark.sql import functions as F
+
+    from stock_crawler_spark.functions.urls import canonicalize_url
+
+    import random
+
+    rnd = random.Random(7)
+    schemes = ["http", "https", "HTTP", "HTTPS", "Http"]
+    ports = ["", ":80", ":443", ":8080"]
+    paths = ["", "/", "/a", "/a/b.html", "/z/zc/zco_1101_1.djhtm"]
+    queries = ["", "?x=1", "?response=csv&date=20230101"]
+    frags = ["", "#frag", "#a/b?c"]
+    examples = [
+        f"{rnd.choice(schemes)}://h{i}.site{rnd.randrange(9)}.com"
+        f"{rnd.choice(ports)}{rnd.choice(paths)}{rnd.choice(queries)}{rnd.choice(frags)}"
+        for i in range(50)
+    ] + [
+        "  https://www.Site.com:443/a#f  ",
+        "http://h:80/",
+        "HTTPS://UPPER.HOST/p?Q=Mixed#x",
+        "notaurl", "://", "", "https://h",
+    ]
+    df = spark.createDataFrame([(u,) for u in examples], "url string").select(
+        "url", canonicalize_url(F.col("url")).alias("c")
+    )
+    for r in df.collect():
+        assert r["c"] == canonicalize_py(r["url"]), repr(r["url"])
