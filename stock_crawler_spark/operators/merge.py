@@ -23,8 +23,13 @@ PAGE_COUNT = 5  # broadcastor.go:13
 
 
 def _wrap32(col):
-    """Go's int32(uint64 subtraction): two's-complement truncation to 32 bits."""
-    return (F.pmod(col + F.lit(2**31), F.lit(2**32)) - F.lit(2**31)).cast("long")
+    """Go's int32(uint64 subtraction): two's-complement truncation to 32
+    bits. Bitwise, not modular arithmetic — ``pmod(col + 2^31, 2^32)``
+    raises ARITHMETIC_OVERFLOW under ANSI mode when |col| nears 2^63;
+    bitwiseAND + conditional sign-extension never overflows for any
+    int64."""
+    low = col.bitwiseAND(F.lit(0xFFFFFFFF))
+    return F.when(low >= F.lit(2**31), low - F.lit(2**32)).otherwise(low).cast("long")
 
 
 def merge_concentration(records: DataFrame) -> DataFrame:

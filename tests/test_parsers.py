@@ -236,3 +236,27 @@ def test_format_f32_always_roundtrips_float32():
         s = serialize.format_f32(v)
         assert np.float32(s) == v, (v, s)
         assert "E" not in s  # Go emits lowercase 'e' only
+
+
+def test_wrap32_column_matches_go_semantics(spark):
+    """A1 merge Diff[i] = int32(uint64(buy) - uint64(sell)) — the Column
+    wrap must equal Go's two's-complement truncation (simulator _wrap32)
+    across sign/overflow boundaries and random int64s."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from stock_crawler_spark.fixtures.simulator import _wrap32 as wrap_py
+    from stock_crawler_spark.operators.merge import _wrap32 as wrap_col
+
+    rnd = random.Random(13)
+    vals = (
+        [0, 1, -1, 2**31 - 1, 2**31, -(2**31), -(2**31) - 1, 2**32, 2**32 - 1,
+         2**63 - 1, -(2**63), 5610 - 2180, 100 - 2**31]
+        + [rnd.randrange(-(2**63), 2**63 - 1) for _ in range(200)]
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "v long").select(
+        "v", wrap_col(F.col("v")).alias("w")
+    )
+    for r in df.collect():
+        assert r["w"] == wrap_py(r["v"]), r["v"]
