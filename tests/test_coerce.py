@@ -54,3 +54,30 @@ def test_column_versions_match_python(spark):
         assert r["i"] == coerce.to_i64_py(r["s"]), r["s"]
         assert r["u"] == coerce.to_u64_py(r["s"]), r["s"]
         assert np.float32(r["f"]) == coerce.to_f32_py(r["s"]), r["s"]
+
+
+def test_column_matches_python_on_adversarial_corpus(spark):
+    """One batch job over a generated adversarial string corpus: numeric
+    shapes, signs, separators, unicode digits, whitespace, huge values —
+    the Column exprs and the Python twins must agree on every row."""
+    import random
+
+    rnd = random.Random(99)
+    frags = ["", "-", "+", "0", "7", "123", "1.5", ".", "e", "E5", " ", ",",
+             "_", "９", "x", "١٢", "00", "9" * 25, "1e", "inf", "nan", "NaN",
+             "0x10", "⁵", "٣.٥"]
+    corpus = sorted({
+        "".join(rnd.choice(frags) for _ in range(rnd.randrange(1, 4)))
+        for _ in range(400)
+    })
+    df = spark.createDataFrame([(v,) for v in corpus], ["s"])
+    rows = df.select(
+        "s",
+        coerce.to_i64_or_zero(F.col("s")).alias("i"),
+        coerce.to_u64_or_zero(F.col("s")).alias("u"),
+        coerce.to_f32_or_zero(F.col("s")).alias("f"),
+    ).collect()
+    for r in rows:
+        assert r["i"] == coerce.to_i64_py(r["s"]), repr(r["s"])
+        assert r["u"] == coerce.to_u64_py(r["s"]), repr(r["s"])
+        assert np.float32(r["f"]) == coerce.to_f32_py(r["s"]), repr(r["s"])
