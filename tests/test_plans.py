@@ -154,6 +154,32 @@ def test_heavy_hitters_topk_is_parallel(spark):
     assert tree.index("Window") < tree.index("TakeOrderedAndProject"), tree
 
 
+def test_no_cartesian_products_anywhere(spark):
+    """Sweep every queries() entry: CartesianProduct must appear in NO
+    plan, and BroadcastNestedLoopJoin only where the design broadcasts a
+    deliberately-small side (ANN query/centroid sets, BM25's 1-row
+    stats) — never as an accidental join-degeneration."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+
+    BNLJ_ALLOWED = {
+        "q13_ann_topk",          # broadcast query vectors x streamed corpus
+        "q25_embedding_neardup", # broadcast IVF centroids
+        "q26_ivf_topk",          # broadcast centroids + probed cells
+        "q42_bm25",              # broadcast 1-row corpus stats
+    }
+    for name, fn in entrymod.queries().items():
+        tree = _plan(fn(spark, "/root/testdata/sf0.001")).split("\n\n")[0]
+        assert "CartesianProduct" not in tree, name
+        if name not in BNLJ_ALLOWED:
+            assert "BroadcastNestedLoopJoin" not in tree, name
+        else:
+            # the nested-loop side must actually be broadcast
+            assert "BroadcastExchange" in tree, name
+
+
 def test_decontaminate_broadcasts_benchmark(spark):
     """q41: the benchmark gram set must BROADCAST (corpus streams through
     a map-side hash probe) — a shuffled join of corpus grams would move
