@@ -524,6 +524,13 @@ def q42_bm25(spark, sf):
     return T.bm25_scores(_t(spark, sf, "documents"), BM25_QUERY)
 
 
+def q43_posting_lists(spark, sf):
+    """Inverted-index build with doc-id-bucketed posting chunks — hot-term
+    postings never concentrate in one row/task (functions/text.
+    posting_lists; bucket 100 at test scale, 10^6 at corpus scale)."""
+    return T.posting_lists(_t(spark, sf, "documents"), bucket_size=100)
+
+
 MINHASH_K = 16
 
 
@@ -629,6 +636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_dedup_clusters": q40_dedup_clusters,
         "q41_decontaminate": q41_decontaminate,
         "q42_bm25": q42_bm25,
+        "q43_posting_lists": q43_posting_lists,
     }
 
 
@@ -1103,6 +1111,14 @@ FROM events e ASOF LEFT JOIN err
 SELECT doc_id FROM documents WHERE doc_id % 3 != 0 OR doc_id % 6 = 0
 """,
         "q31_minhash_lsh": _lsh_oracle(),
+        "q43_posting_lists": f"""
+SELECT t, CAST(floor(doc_id / 100) AS BIGINT) AS bucket,
+  array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings,
+  count(*) AS df_bucket
+FROM (
+  SELECT DISTINCT doc_id, unnest(list_distinct({_TOKS})) AS t FROM documents
+) GROUP BY 1, 2
+""",
         "q41_decontaminate": f"""
 WITH toks AS (
   SELECT doc_id, {_TOKS} AS t FROM documents

@@ -171,3 +171,37 @@ def bm25_scores(docs, query_terms, id_col: str = "doc_id", text_col: str = "text
         F.round(ordered_sum, 6).alias("bm25"),
         F.count(F.lit(1)).alias("n_terms_hit"),
     )
+
+
+def posting_lists(docs, bucket_size: int = 1_000_000,
+                  id_col: str = "doc_id", text_col: str = "text"):
+    """Inverted-index build: (term, bucket, postings, df_bucket) with
+    postings CHUNKED by doc-id range — the search-index primitive at
+    corpus scale. An unchunked collect_list per term concentrates a hot
+    term's 10^8 postings into one row/task (the classic index-build
+    skew); bucketing by floor(doc_id / bucket_size) bounds every group at
+    bucket_size postings while keeping each chunk internally sorted, so
+    readers stream chunks in (term, bucket) order and see globally sorted
+    postings. Postings serialize as a comma-joined string (deterministic,
+    engine-portable).
+    """
+    from pyspark.sql import functions as F
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+        ).alias("t"),
+    )
+    return (
+        toks.groupBy("t", F.floor(F.col(id_col) / bucket_size).alias("bucket"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(id_col)), lambda x: x.cast("string")
+                ),
+                ",",
+            ).alias("postings"),
+            F.count(F.lit(1)).alias("df_bucket"),
+        )
+    )
