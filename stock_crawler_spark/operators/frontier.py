@@ -48,14 +48,31 @@ def expand_seeds(seeds: DataFrame) -> DataFrame:
     return rest.unionByName(conc)
 
 
+def _robots_rule_matches(path, p):
+    """One robots rule as a Column predicate — Google spec: ``*`` matches
+    any char run, a TRAILING ``$`` anchors the end, all else literal.
+    Plain patterns keep the prefix fast-path (codegen, no regex); only
+    wildcard/anchored rules pay the per-row regex (rare in real robots).
+    Twin: parsers/robots.rule_matches_py."""
+    has_wild = p.contains("*") | p.endswith("$")
+    # escape regex specials except '*' (wildcard); then '*' -> '.*';
+    # then the escaped trailing '\$' becomes the end anchor
+    esc = F.regexp_replace(p, r"([.\[\]{}()+\-?^$|\\])", r"\\$1")
+    esc = F.regexp_replace(esc, r"\*", ".*")
+    esc = F.regexp_replace(esc, r"\\\$$", r"\$")
+    rx = F.concat(F.lit("^"), esc)
+    return F.when(has_wild, F.regexp_like(path, rx)).otherwise(path.startswith(p))
+
+
 def robots_denied(path, deny, allow=None):
     """Robots verdict as a Column: denied iff the longest matching deny
-    prefix beats the longest matching allow prefix (Google's
-    longest-match-wins rule). ``allow=None`` degrades to plain prefix deny."""
+    pattern beats the longest matching allow pattern (Google's
+    longest-match-wins rule; match = prefix or wildcard/anchored pattern).
+    ``allow=None`` degrades to plain deny."""
     empty = F.array().cast("array<string>")
 
     def longest(arr):
-        hits = F.filter(F.coalesce(arr, empty), lambda p: path.startswith(p))
+        hits = F.filter(F.coalesce(arr, empty), lambda p: _robots_rule_matches(path, p))
         return F.coalesce(F.array_max(F.transform(hits, lambda p: F.length(p))), F.lit(0))
 
     d = longest(deny)

@@ -75,6 +75,28 @@ def parse_robots_txt(body: str) -> tuple[list[str], list[str], int | None]:
     return deny, allow, delay_ms
 
 
+def pattern_to_regex_py(pattern: str) -> str:
+    """Google robots-spec pattern -> regex: ``*`` matches any char run,
+    a TRAILING ``$`` anchors the end, everything else is literal."""
+    import re
+
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    rx = "^" + re.escape(body).replace(r"\*", ".*")
+    return rx + "$" if anchored else rx
+
+
+def rule_matches_py(path: str, pattern: str) -> bool:
+    """One robots rule against one path — prefix fast-path for plain
+    patterns, regex for wildcard/anchored ones (Python twin of the
+    Column logic in operators/frontier.robots_denied)."""
+    import re
+
+    if "*" not in pattern and not pattern.endswith("$"):
+        return path.startswith(pattern)
+    return re.search(pattern_to_regex_py(pattern), path) is not None
+
+
 def compile_robots(
     robots_pages: DataFrame,
     domain_col: str = "domain",

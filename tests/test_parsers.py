@@ -260,3 +260,80 @@ def test_wrap32_column_matches_go_semantics(spark):
     )
     for r in df.collect():
         assert r["w"] == wrap_py(r["v"]), r["v"]
+
+
+GOOGLE_ROBOTS_CASES = [
+    # (pattern, path, matches) — from the Google robots.txt spec examples
+    ("/fish", "/fish", True),
+    ("/fish", "/fish.html", True),
+    ("/fish", "/fishheads/yummy.html", True),
+    ("/fish", "/Fish.asp", False),
+    ("/fish*", "/fish", True),
+    ("/fish*", "/fishheads", True),
+    ("/fish/", "/fish/", True),
+    ("/fish/", "/fish", False),
+    ("/fish/", "/fish/salmon.htm", True),
+    ("/*.php", "/index.php", True),
+    ("/*.php", "/folder/filename.php?parameters", True),
+    ("/*.php", "/", False),
+    ("/*.php", "/windows.PHP", False),
+    ("/*.php$", "/filename.php", True),
+    ("/*.php$", "/filename.php?parameters", False),
+    ("/*.php$", "/filename.php5", False),
+    ("/fish*.php", "/fish.php", True),
+    ("/fish*.php", "/fishheads/catfish.php?parameters", True),
+    ("/fish*.php", "/Fish.PHP", False),
+]
+
+
+def test_robots_wildcard_patterns_py():
+    from stock_crawler_spark.parsers.robots import rule_matches_py
+
+    for pat, path, want in GOOGLE_ROBOTS_CASES:
+        assert rule_matches_py(path, pat) == want, (pat, path)
+
+
+def test_robots_wildcard_patterns_column(spark):
+    """Column matcher equals the Python twin on every spec example plus
+    regex-metachar pathology (one batch job)."""
+    from pyspark.sql import functions as F
+
+    from stock_crawler_spark.operators.frontier import _robots_rule_matches
+    from stock_crawler_spark.parsers.robots import rule_matches_py
+
+    extra = [
+        ("/a(b)+c", "/a(b)+c/d", None), ("/a(b)+c", "/abbc", None),
+        ("/x[1]", "/x[1]y", None), ("/d\\e", "/d\\e/f", None),
+        ("/p$", "/p", None), ("/p$", "/pq", None), ("/$", "/", None),
+        ("/*", "/anything", None), ("/a**b", "/axxb", None),
+    ]
+    rows = [(path, pat) for pat, path, _ in GOOGLE_ROBOTS_CASES] + [
+        (path, pat) for pat, path, _ in extra
+    ]
+    df = spark.createDataFrame(rows, "path string, pat string").select(
+        "path", "pat", _robots_rule_matches(F.col("path"), F.col("pat")).alias("m")
+    )
+    for r in df.collect():
+        assert r["m"] == rule_matches_py(r["path"], r["pat"]), (r["pat"], r["path"])
+
+
+def test_robots_longest_match_with_wildcards(spark):
+    """Longest-match-wins across mixed prefix/wildcard allow/deny."""
+    from pyspark.sql import functions as F
+
+    from stock_crawler_spark.operators.frontier import robots_denied
+
+    rows = [
+        ("/page.php", ["/*.php"], ["/page"], True),    # deny len 6 > allow len 5
+        ("/page.php", ["/*.php"], ["/page.php"], False),  # allow len 9 wins
+        ("/dir/x.html", ["/dir/"], ["/dir/x*"], False),
+        ("/dir/y.html", ["/dir/"], ["/dir/x*"], True),
+    ]
+    df = spark.createDataFrame(
+        rows, "path string, deny array<string>, allow array<string>, want boolean"
+    ).select(
+        "want",
+        robots_denied(F.col("path"), F.col("deny"), F.col("allow")).alias("got"),
+    )
+    for r in df.collect():
+        assert r["got"] == r["want"]
