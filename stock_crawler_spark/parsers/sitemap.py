@@ -1,0 +1,113 @@
+"""sitemap.xml -> seed rows, vectorized (mapInPandas).
+
+A general frontier ingests sitemaps alongside link extraction (the
+reference's seed list is a fixed stock file — internal/app/services/
+entities.go sourceStockList — so this is frontier-generalization surface,
+not a port). Handles both document kinds of the sitemaps.org protocol:
+
+  <urlset><url><loc>..</loc><lastmod>..</lastmod><priority>..</priority>
+  <sitemapindex><sitemap><loc>..</loc></sitemap>   (index -> follow rows)
+
+Namespace-tolerant (any xmlns), stdlib ElementTree only, malformed XML
+degrades to a regex <loc> sweep instead of failing the batch — one bad
+sitemap must never kill a 10^6-sitemap ingest job.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BooleanType, DoubleType, StringType, StructField, StructType,
+)
+
+SEED_SCHEMA = StructType(
+    [
+        StructField("source_url", StringType()),
+        StructField("url", StringType()),
+        StructField("lastmod", StringType()),
+        StructField("priority", DoubleType()),
+        StructField("is_index", BooleanType()),  # True: url is a child sitemap
+    ]
+)
+
+_LOC_RX = re.compile(r"<loc>\s*([^<\s][^<]*?)\s*</loc>", re.IGNORECASE)
+
+
+def _strip_ns(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1].lower()
+
+
+def parse_sitemap(body: str) -> list[dict]:
+    """One sitemap document -> [{url, lastmod, priority, is_index}].
+    Pure Python, unit-testable; called per row inside the Arrow batch."""
+    import xml.etree.ElementTree as ET
+
+    out: list[dict] = []
+    try:
+        root = ET.fromstring(body)
+    except ET.ParseError:
+        # malformed XML: salvage every <loc> as a plain url row
+        return [
+            dict(url=m.group(1), lastmod=None, priority=None, is_index=False)
+            for m in _LOC_RX.finditer(body or "")
+        ]
+    is_index = _strip_ns(root.tag) == "sitemapindex"
+    for entry in root:
+        if _strip_ns(entry.tag) not in ("url", "sitemap"):
+            continue
+        loc, lastmod, prio = None, None, None
+        for child in entry:
+            t = _strip_ns(child.tag)
+            v = (child.text or "").strip()
+            if t == "loc" and v:
+                loc = v
+            elif t == "lastmod" and v:
+                lastmod = v
+            elif t == "priority" and v:
+                try:
+                    prio = float(v)
+                except ValueError:
+                    pass
+        if loc:
+            out.append(dict(url=loc, lastmod=lastmod, priority=prio, is_index=is_index))
+    return out
+
+
+def sitemap_seeds(
+    sitemaps: DataFrame,
+    url_col: str = "url",
+    body_col: str = "body",
+    default_priority: float = 0.5,
+) -> DataFrame:
+    """(url, body) sitemap fetches -> seed rows (SEED_SCHEMA). Index rows
+    (``is_index``) are child sitemaps for the next ingest round — the
+    driver loop re-fetches them exactly like frontier urls, so a nested
+    index never recurses inside a task."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            src, urls, lastmods, prios, idx = [], [], [], [], []
+            for surl, body in zip(pdf[url_col], pdf[body_col]):
+                for row in parse_sitemap(str(body or "")):
+                    src.append(surl)
+                    urls.append(row["url"])
+                    lastmods.append(row["lastmod"])
+                    prios.append(
+                        row["priority"] if row["priority"] is not None else default_priority
+                    )
+                    idx.append(row["is_index"])
+            yield pd.DataFrame(
+                {
+                    "source_url": src,
+                    "url": urls,
+                    "lastmod": lastmods,
+                    "priority": pd.Series(prios, dtype="float64"),
+                    "is_index": pd.Series(idx, dtype="bool"),
+                }
+            )
+
+    return sitemaps.select(url_col, body_col).mapInPandas(_run, SEED_SCHEMA)

@@ -1,0 +1,71 @@
+"""sitemap.xml seed source: urlset/sitemapindex parsing, namespace and
+malformed-input tolerance, Arrow-batched Spark shape."""
+
+from __future__ import annotations
+
+from stock_crawler_spark.parsers.sitemap import parse_sitemap, sitemap_seeds
+
+URLSET = """<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url><loc>https://ex.com/a</loc><lastmod>2023-01-05</lastmod><priority>0.8</priority></url>
+  <url><loc> https://ex.com/b </loc></url>
+  <url><lastmod>2023-01-06</lastmod></url>
+  <url><loc>https://ex.com/c</loc><priority>bogus</priority></url>
+</urlset>"""
+
+INDEX = """<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <sitemap><loc>https://ex.com/sitemap1.xml</loc><lastmod>2023-01-01</lastmod></sitemap>
+  <sitemap><loc>https://ex.com/sitemap2.xml</loc></sitemap>
+</sitemapindex>"""
+
+BROKEN = "<urlset><url><loc>https://ex.com/x</loc></url><url><loc>https://ex.com/y</loc>"
+
+
+def test_parse_urlset():
+    rows = parse_sitemap(URLSET)
+    assert [r["url"] for r in rows] == [
+        "https://ex.com/a", "https://ex.com/b", "https://ex.com/c"
+    ]
+    assert rows[0] == dict(
+        url="https://ex.com/a", lastmod="2023-01-05", priority=0.8, is_index=False
+    )
+    assert rows[1]["lastmod"] is None and rows[2]["priority"] is None
+
+
+def test_parse_sitemapindex():
+    rows = parse_sitemap(INDEX)
+    assert all(r["is_index"] for r in rows)
+    assert [r["url"] for r in rows] == [
+        "https://ex.com/sitemap1.xml", "https://ex.com/sitemap2.xml"
+    ]
+
+
+def test_malformed_degrades_to_loc_sweep():
+    rows = parse_sitemap(BROKEN)
+    assert [r["url"] for r in rows] == ["https://ex.com/x", "https://ex.com/y"]
+    assert parse_sitemap("") == [] and parse_sitemap("not xml at all") == []
+
+
+def test_no_namespace_and_weird_case():
+    rows = parse_sitemap("<URLSET><URL><LOC>https://e.com/p</LOC></URL></URLSET>")
+    assert [r["url"] for r in rows] == ["https://e.com/p"]
+
+
+def test_sitemap_seeds_spark(spark):
+    df = spark.createDataFrame(
+        [("https://ex.com/s.xml", URLSET), ("https://ex.com/i.xml", INDEX),
+         ("https://ex.com/broken.xml", BROKEN), ("https://ex.com/empty.xml", None)],
+        "url string, body string",
+    )
+    out = sitemap_seeds(df)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(out._jdf.queryExecution(), "formatted")
+    assert "MapInPandas" in plan and "BatchEvalPython" not in plan
+    rows = out.collect()
+    assert len(rows) == 7
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source_url"], []).append(r)
+    assert len(by_src["https://ex.com/s.xml"]) == 3
+    assert all(r["is_index"] for r in by_src["https://ex.com/i.xml"])
+    # default priority fills unset entries
+    assert {r["priority"] for r in by_src["https://ex.com/broken.xml"]} == {0.5}
