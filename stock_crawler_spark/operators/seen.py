@@ -125,42 +125,48 @@ def probe_seen_flag(
 ) -> DataFrame:
     """Bloom-prefiltered EXACT dedup decision as a ``_seen`` boolean.
 
-    1. co-group candidates x filter blobs by ``shard``
+    1. NARROW co-group probe: only ``(shard, url_hash)`` — 16 bytes/row —
+       travels through Arrow, co-grouped with the shard's filter blob
        (cogroup-applyInPandas): each task deserializes ONLY its own
        shard's blob — no ``collect()``, no full-filter broadcast. At the
        10^10-key design point the 12 GB of filter state never leaves its
-       shard; the candidate shuffle it costs is by the same shard key the
-       frontier is already partitioned on (co-located on Iceberg).
-    2. Arrow-batch probe inside the task: might_be_seen(url_hash)
-    3. rows the filter clears are definitely-new (no false negatives) and
-       skip the confirm — only suspects reach the exact semi-join
+       shard, and the wide candidate rows (urls, metadata) never pass
+       through Python at all. The probe RETURNS only the suspect hashes.
+    2. exact confirm: suspects semi-join the seen keys — both sides are
+       ~the dedup fraction, not the frontier.
+    3. candidates left-join the confirmed-seen hashes to pick up
+       ``_seen`` — in steady state (mostly-new candidates) that side is
+       small and AQE broadcasts it, so the wide rows shuffle at most
+       once.
+
+    CONTRACT: ``candidates.shard``, ``seen.shard``, and the filter build
+    must all use the SAME shard derivation (the engine derives seen.shard
+    from the frontier row, operators/seen.seen_delta). Probing a blob
+    built under a different sharding silently yields false
+    definitely-new verdicts — the confirm join only sees suspects.
     """
-    probe_schema = StructType(
-        candidates.schema.fields + [StructField("_maybe_seen", BooleanType())]
-    )
+    suspect_schema = StructType([StructField("url_hash", LongType())])
 
     def _probe(cand: pd.DataFrame, filt: pd.DataFrame) -> pd.DataFrame:
-        if len(cand) == 0:
-            return cand.assign(_maybe_seen=pd.Series([], dtype=bool))
-        if len(filt) == 0:
+        if len(cand) == 0 or len(filt) == 0:
             # no blob for this shard -> shard holds no seen keys -> all new
-            return cand.assign(_maybe_seen=False)
+            return pd.DataFrame({"url_hash": pd.Series([], dtype="int64")})
         kind, blob = filt["kind"].iloc[0], bytes(filt["blob"].iloc[0])
         f = NumpyBloom.from_bytes(blob) if kind == "bloom" else NumpyCuckoo.from_bytes(blob)
-        return cand.assign(_maybe_seen=f.contains_many(cand["url_hash"].to_numpy()))
+        mask = f.contains_many(cand["url_hash"].to_numpy())
+        return cand.loc[mask, ["url_hash"]]
 
-    probed = (
-        candidates.groupBy("shard")
+    suspects = (
+        candidates.select("shard", "url_hash").groupBy("shard")
         .cogroup(filters.select("shard", "kind", "blob").groupBy("shard"))
-        .applyInPandas(_probe, schema=probe_schema)
+        .applyInPandas(_probe, schema=suspect_schema)
     )
-    clear = probed.filter(~F.col("_maybe_seen")).withColumn("_seen", F.lit(False))
-    suspects = probed.filter(F.col("_maybe_seen"))
-    marks = seen.select("url_hash").distinct().withColumn("_seen_mark", F.lit(True))
-    confirmed = suspects.join(marks, "url_hash", "left").withColumn(
+    confirmed = suspects.join(
+        seen.select("url_hash").distinct(), "url_hash", "left_semi"
+    ).withColumn("_seen_mark", F.lit(True))
+    return candidates.join(confirmed, "url_hash", "left").withColumn(
         "_seen", F.coalesce(F.col("_seen_mark"), F.lit(False))
     ).drop("_seen_mark")
-    return clear.unionByName(confirmed).drop("_maybe_seen")
 
 
 def seen_delta(newly_done: DataFrame, round_ts) -> DataFrame:
