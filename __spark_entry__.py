@@ -524,6 +524,31 @@ def q42_bm25(spark, sf):
     return T.bm25_scores(_t(spark, sf, "documents"), BM25_QUERY)
 
 
+_Q44_PRE = (
+    "<html><head><title>t</title><script>var x = 1 < 2;</script>"
+    "<style>p { color: red; }</style></head><body><!-- nav boilerplate -->"
+    "<div><p>"
+)
+_Q44_POST = '</p></div><ul><li>item&nbsp;one</li><li>&quot;two&quot;</li></ul></body></html>'
+
+
+def q44_html_extract(spark, sf):
+    """Generic HTML -> text boilerplate strip (functions/html.html_to_text,
+    pure JVM regexp chain in the RE2-compatible subset): documents.text is
+    wrapped in deterministic boilerplate (script/style/comments/entities)
+    and must extract back to clean text — engine and DuckDB run the
+    IDENTICAL transformation chain."""
+    from stock_crawler_spark.functions.html import html_to_text
+
+    docs = _t(spark, sf, "documents")
+    html = F.concat(
+        F.lit(_Q44_PRE),
+        F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+        F.lit(_Q44_POST),
+    )
+    return docs.select("doc_id", html_to_text(html).alias("txt"))
+
+
 def q43_posting_lists(spark, sf):
     """Inverted-index build with doc-id-bucketed posting chunks — hot-term
     postings never concentrate in one row/task (functions/text.
@@ -637,6 +662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q41_decontaminate": q41_decontaminate,
         "q42_bm25": q42_bm25,
         "q43_posting_lists": q43_posting_lists,
+        "q44_html_extract": q44_html_extract,
     }
 
 
@@ -1111,6 +1137,36 @@ FROM events e ASOF LEFT JOIN err
 SELECT doc_id FROM documents WHERE doc_id % 3 != 0 OR doc_id % 6 = 0
 """,
         "q31_minhash_lsh": _lsh_oracle(),
+        "q44_html_extract": f"""
+WITH h AS (
+  SELECT doc_id,
+    '{_Q44_PRE.replace("'", "''")}' || replace(text, '&', '&amp;') ||
+    '{_Q44_POST.replace("'", "''")}' AS s
+  FROM documents
+), a AS (
+  SELECT doc_id, regexp_replace(s,
+    '(?is)<script\\b[^>]*>.*?</script\\s*>|<style\\b[^>]*>.*?</style\\s*>|<noscript\\b[^>]*>.*?</noscript\\s*>',
+    ' ', 'g') AS s FROM h
+), b AS (
+  SELECT doc_id, regexp_replace(s, '(?s)<!--.*?-->', ' ', 'g') AS s FROM a
+), c AS (
+  SELECT doc_id, regexp_replace(s,
+    '(?i)</?(p|div|li|ul|ol|tr|table|h[1-6]|br|section|article|header|footer)\\b[^>]*>',
+    chr(10), 'g') AS s FROM b
+), d AS (
+  SELECT doc_id, regexp_replace(s, '(?s)<[^>]+>', ' ', 'g') AS s FROM c
+), e AS (
+  SELECT doc_id,
+    replace(replace(replace(replace(replace(replace(s,
+      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+      '&#39;', ''''), '&amp;', '&') AS s FROM d
+), f AS (
+  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(s,
+    '[ \t\r]+', ' ', 'g'), ' ?\n ?', chr(10), 'g'), '\n{{2,}}', chr(10), 'g') AS s
+  FROM e
+)
+SELECT doc_id, trim(s, ' ' || chr(10) || chr(9) || chr(13)) AS txt FROM f
+""",
         "q43_posting_lists": f"""
 SELECT t, CAST(floor(doc_id / 100) AS BIGINT) AS bucket,
   array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings,

@@ -1,0 +1,79 @@
+"""Generic HTML -> text extraction as pure Column expressions.
+
+The crawl parsers (parsers/) are strategy-specific byte-identity ports;
+a web-text corpus ALSO needs the generic boilerplate strip that turns
+arbitrary crawled HTML into training text (the input_hint's
+``html binary -> text string`` edge for pages with no dedicated parser).
+Everything here is a chain of JVM regexp/translate expressions — whole-
+stage codegen, no Python, so it runs in the same stage as the scan at
+100 TB. The regex subset is common to Java (Spark) and RE2 (DuckDB), so
+the oracle can mirror the chain exactly (q44).
+
+Deterministic contract (documented, golden-tested):
+  1. drop <script>/<style>/<noscript> elements and <!-- comments -->
+  2. block-level closers/openers (p, div, li, tr, h1-6, br, table) -> \n
+  3. strip every remaining tag
+  4. decode the common entities (&amp; &lt; &gt; &quot; &#39; &nbsp;)
+  5. collapse runs of spaces/tabs to one space, trim each line,
+     collapse blank-line runs to a single \n, trim the document
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# no backreferences: the pattern must run under Java regex (Spark) AND
+# RE2 (DuckDB oracle) — RE2 has no \1
+_DROP_ELEMENTS = (
+    r"(?is)<script\b[^>]*>.*?</script\s*>"
+    r"|<style\b[^>]*>.*?</style\s*>"
+    r"|<noscript\b[^>]*>.*?</noscript\s*>"
+)
+_COMMENTS = r"(?s)<!--.*?-->"
+_BLOCK_TAGS = r"(?i)</?(p|div|li|ul|ol|tr|table|h[1-6]|br|section|article|header|footer)\b[^>]*>"
+_ANY_TAG = r"(?s)<[^>]+>"
+
+_ENTITIES = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),  # LAST: so "&amp;lt;" decodes to "&lt;" not "<"
+)
+
+
+def html_to_text(html: Column) -> Column:
+    """Boilerplate-stripped text of an HTML string Column (see module
+    contract). Input may be a string or binary column (decoded UTF-8)."""
+    s = html.cast("string")
+    s = F.regexp_replace(s, _DROP_ELEMENTS, " ")
+    s = F.regexp_replace(s, _COMMENTS, " ")
+    s = F.regexp_replace(s, _BLOCK_TAGS, "\n")
+    s = F.regexp_replace(s, _ANY_TAG, " ")
+    for ent, rep in _ENTITIES:
+        s = F.replace(s, F.lit(ent), F.lit(rep))
+    s = F.regexp_replace(s, r"[ \t\r]+", " ")
+    s = F.regexp_replace(s, r" ?\n ?", "\n")
+    s = F.regexp_replace(s, r"\n{2,}", "\n")
+    # btrim with explicit chars: plain trim() strips SPACES only (both in
+    # Spark and DuckDB), but the contract trims newlines too
+    return F.btrim(s, F.lit(" \n\t\r"))
+
+
+def html_to_text_py(html: str) -> str:
+    """Python twin (fixture/simulator side), same contract byte-for-byte."""
+    import re
+
+    s = html
+    s = re.sub(_DROP_ELEMENTS, " ", s)
+    s = re.sub(_COMMENTS, " ", s)
+    s = re.sub(_BLOCK_TAGS, "\n", s)
+    s = re.sub(_ANY_TAG, " ", s)
+    for ent, rep in _ENTITIES:
+        s = s.replace(ent, rep)
+    s = re.sub(r"[ \t\r]+", " ", s)
+    s = re.sub(r" ?\n ?", "\n", s)
+    s = re.sub(r"\n{2,}", "\n", s)
+    return s.strip()

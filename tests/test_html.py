@@ -1,0 +1,73 @@
+"""Generic HTML -> text boilerplate strip (functions/html.py): golden
+contract cases + Column/Python twin agreement."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stock_crawler_spark.functions.html import html_to_text, html_to_text_py
+
+CASES = [
+    (
+        "<html><head><script>if (a < b) { x(); }</script><style>p{}</style>"
+        "</head><body><p>Hello world</p></body></html>",
+        "Hello world",
+    ),
+    (
+        "<div>line one</div><div>line two</div>",
+        "line one\nline two",
+    ),
+    (
+        "<p>a&amp;b &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</p>",
+        'a&b <tag> "q" \'s\' end',
+    ),
+    # double-encoded entities must NOT double-decode (&amp;lt; -> &lt;)
+    ("<p>&amp;lt;</p>", "&lt;"),
+    ("<!-- nav --><span>x</span><!-- footer -->", "x"),
+    ("<ul><li>one</li><li>two</li></ul>", "one\ntwo"),
+    ("<SCRIPT>bad()</SCRIPT ><P>ok</P>", "ok"),
+    ("no tags at   all", "no tags at all"),
+    ("<table><tr><td>a</td><td>b</td></tr><tr><td>c</td></tr></table>", "a b\nc"),
+    ("", ""),
+    ("<br><br><br>text<br>", "text"),
+]
+
+
+def test_golden_contract():
+    for html, want in CASES:
+        assert html_to_text_py(html) == want, html
+
+
+def test_column_matches_python_twin(spark):
+    import random
+
+    rnd = random.Random(21)
+    frags = [
+        "<p>", "</p>", "<div class='x'>", "</div>", "text", "more words",
+        "<script>var a=1;</script>", "&amp;", "&nbsp;", "<!-- c -->", "<br>",
+        "<li>item</li>", "  ", "\n", "<b>bold</b>", "&lt;x&gt;", "<td>t</td>",
+    ]
+    corpus = [h for h, _ in CASES] + [
+        "".join(rnd.choice(frags) for _ in range(rnd.randrange(1, 12)))
+        for _ in range(120)
+    ]
+    df = spark.createDataFrame([(h,) for h in corpus], "h string").select(
+        "h", html_to_text(F.col("h")).alias("t")
+    )
+    for r in df.collect():
+        assert r["t"] == html_to_text_py(r["h"]), repr(r["h"])
+
+
+def test_binary_input_decodes(spark):
+    df = spark.createDataFrame(
+        [(bytearray("<p>bin&amp;ary</p>".encode()),)], "h binary"
+    ).select(html_to_text(F.col("h")).alias("t"))
+    assert df.collect()[0]["t"] == "bin&ary"
+
+
+def test_plan_is_jvm_only(spark):
+    df = spark.range(5).select(
+        html_to_text(F.concat(F.lit("<p>"), F.col("id").cast("string"), F.lit("</p>"))).alias("t")
+    )
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    assert "EvalPython" not in plan and "InPandas" not in plan
