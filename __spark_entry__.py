@@ -549,6 +549,28 @@ def q44_html_extract(spark, sf):
     return docs.select("doc_id", html_to_text(html).alias("txt"))
 
 
+def q45_link_extract(spark, sf):
+    """Outlink harvesting + RFC 3986-subset resolution (functions/links):
+    deterministic anchors injected per doc — root-relative,
+    protocol-relative, path-relative, absolute, and dropped
+    javascript/fragment hrefs. The oracle computes the EXPECTED resolved
+    urls directly (no regex), so it is fully independent of the engine's
+    extraction chain."""
+    from stock_crawler_spark.functions.links import extract_links
+
+    docs = _t(spark, sf, "documents")
+    sid = F.col("doc_id").cast("string")
+    base = F.concat(F.lit("https://www."), F.col("source"), F.lit(".com/dir/page.html"))
+    html = F.concat(
+        F.lit('<nav><a href="/p/'), sid, F.lit('">a</a> '),
+        F.lit("<A HREF='//cdn.ex.com/lib.js'>c</A>"),
+        F.lit('<a href="rel'), sid, F.lit('.html">r</a>'),
+        F.lit('<a href="javascript:void(0)">j</a><a href="#top">t</a>'),
+        F.lit('<a href="https://ext.example.org/x?id='), sid, F.lit('">e</a></nav>'),
+    )
+    return docs.select("doc_id", F.explode(extract_links(html, base)).alias("link"))
+
+
 def q43_posting_lists(spark, sf):
     """Inverted-index build with doc-id-bucketed posting chunks — hot-term
     postings never concentrate in one row/task (functions/text.
@@ -663,6 +685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_bm25": q42_bm25,
         "q43_posting_lists": q43_posting_lists,
         "q44_html_extract": q44_html_extract,
+        "q45_link_extract": q45_link_extract,
     }
 
 
@@ -1137,6 +1160,17 @@ FROM events e ASOF LEFT JOIN err
 SELECT doc_id FROM documents WHERE doc_id % 3 != 0 OR doc_id % 6 = 0
 """,
         "q31_minhash_lsh": _lsh_oracle(),
+        "q45_link_extract": """
+SELECT doc_id, 'https://www.' || source || '.com/p/' || CAST(doc_id AS VARCHAR) AS link
+FROM documents
+UNION ALL
+SELECT doc_id, 'https://cdn.ex.com/lib.js' FROM documents
+UNION ALL
+SELECT doc_id, 'https://www.' || source || '.com/dir/rel' || CAST(doc_id AS VARCHAR) || '.html'
+FROM documents
+UNION ALL
+SELECT doc_id, 'https://ext.example.org/x?id=' || CAST(doc_id AS VARCHAR) FROM documents
+""",
         "q44_html_extract": f"""
 WITH h AS (
   SELECT doc_id,

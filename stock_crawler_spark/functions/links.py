@@ -1,0 +1,101 @@
+"""Outlink extraction + reference resolution — frontier growth.
+
+The reference crawls a closed url universe generated from templates
+(crawler.go TypeLinkMapping); a general crawler DISCOVERS its frontier
+from anchors in fetched pages. Pure Column expressions end-to-end:
+regexp_extract_all for hrefs (Java/RE2-common subset), a simplified
+RFC 3986 resolution (absolute / protocol-relative / root-relative /
+path-relative against the base url), scheme filtering, and per-page
+dedup — so link harvesting of 10^10 pages stays inside whole-stage
+codegen and feeds with_url_columns/init_frontier directly.
+
+Resolution contract (documented subset; the long tail of RFC 3986 —
+``..`` segment normalization, base urls with queries — is left to the
+downstream canonicalizer which already lowercases/strips):
+
+  href "https://x/.."      -> as-is            (has a scheme)
+  href "//host/p"          -> base-scheme + "://host/p"
+  href "/p"                -> scheme://base-host + "/p"
+  href "p" or "./p"        -> scheme://base-host + dirname(base-path) + "/p"
+  javascript:/mailto:/data:/fragment-only hrefs are dropped
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_HREF_RX = r"""(?i)<a\b[^>]*?href\s*=\s*["']([^"'#][^"']*)["']"""
+_SCHEME_RX = r"(?i)^[a-z][a-z0-9+.-]*:"
+_DROP_SCHEMES = ("javascript:", "mailto:", "data:", "tel:", "ftp:")
+
+
+def extract_hrefs(html: Column) -> Column:
+    """Distinct raw href values of every anchor tag (array<string>)."""
+    return F.array_distinct(
+        F.regexp_extract_all(html.cast("string"), F.lit(_HREF_RX), F.lit(1))
+    )
+
+
+def resolve_url(href: Column, base_url: Column) -> Column:
+    """One href resolved against the base url; NULL for dropped schemes."""
+    h = F.trim(href)
+    scheme = F.lower(F.try_parse_url(base_url, F.lit("PROTOCOL")))
+    host = F.lower(F.try_parse_url(base_url, F.lit("HOST")))
+    base_path = F.coalesce(F.try_parse_url(base_url, F.lit("PATH")), F.lit("/"))
+    base_dir = F.regexp_replace(base_path, r"/[^/]*$", "")
+    rel = F.regexp_replace(h, r"^\./", "")
+    lower_h = F.lower(h)
+    is_dropped = None
+    for s in _DROP_SCHEMES:
+        cond = lower_h.startswith(s)
+        is_dropped = cond if is_dropped is None else (is_dropped | cond)
+    return (
+        F.when(is_dropped | (h == ""), F.lit(None).cast("string"))
+        .when(h.rlike(_SCHEME_RX), h)
+        .when(h.startswith("//"), F.concat(scheme, F.lit(":"), h))
+        .when(h.startswith("/"), F.concat(scheme, F.lit("://"), host, h))
+        .otherwise(F.concat(scheme, F.lit("://"), host, base_dir, F.lit("/"), rel))
+    )
+
+
+def extract_links(html: Column, base_url: Column) -> Column:
+    """Distinct resolved outlinks of a page (array<string>, drops null)."""
+    return F.array_distinct(
+        F.filter(
+            F.transform(extract_hrefs(html), lambda h: resolve_url(h, base_url)),
+            lambda u: u.isNotNull(),
+        )
+    )
+
+
+# --- Python twin (fixtures / simulator) --------------------------------------
+
+
+def extract_links_py(html: str, base_url: str) -> list[str]:
+    import re
+    from urllib.parse import urlsplit
+
+    out: list[str] = []
+    seen = set()
+    parts = urlsplit(base_url)
+    scheme, host = parts.scheme.lower(), (parts.hostname or "").lower()
+    base_path = parts.path or "/"
+    base_dir = re.sub(r"/[^/]*$", "", base_path)
+    for m in re.finditer(_HREF_RX, html):
+        h = m.group(1).strip()
+        lower = h.lower()
+        if not h or any(lower.startswith(s) for s in _DROP_SCHEMES):
+            continue
+        if re.match(_SCHEME_RX, h):
+            u = h
+        elif h.startswith("//"):
+            u = f"{scheme}:{h}"
+        elif h.startswith("/"):
+            u = f"{scheme}://{host}{h}"
+        else:
+            u = f"{scheme}://{host}{base_dir}/{re.sub(r'^[.]/', '', h)}"
+        if u not in seen:
+            seen.add(u)
+            out.append(u)
+    return out

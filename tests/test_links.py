@@ -1,0 +1,71 @@
+"""Outlink extraction + resolution (functions/links.py): resolution
+contract cases + Column/Python twin agreement."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stock_crawler_spark.functions.links import extract_links, extract_links_py
+
+BASE = "https://www.ex.com/dir/sub/page.html"
+
+CASES = [
+    ('<a href="https://abs.com/x">a</a>', ["https://abs.com/x"]),
+    ('<a href="//cdn.com/l.js">c</a>', ["https://cdn.com/l.js"]),
+    ('<a href="/root/p">r</a>', ["https://www.ex.com/root/p"]),
+    ('<a href="sibling.html">s</a>', ["https://www.ex.com/dir/sub/sibling.html"]),
+    ('<a href="./dot.html">d</a>', ["https://www.ex.com/dir/sub/dot.html"]),
+    ('<a href="javascript:void(0)">j</a>', []),
+    ('<a href="mailto:a@b.c">m</a>', []),
+    ('<a href="#frag">f</a>', []),
+    ("<A HREF='/caps'>C</A>", ["https://www.ex.com/caps"]),
+    ('<a class="x" id="y" href="/attrs">z</a>', ["https://www.ex.com/attrs"]),
+    ('<a href="/dup">1</a><a href="/dup">2</a>', ["https://www.ex.com/dup"]),
+    ('<a href="/q?x=1&y=2">q</a>', ["https://www.ex.com/q?x=1&y=2"]),
+    ('<a href="/keep#frag">k</a>', ["https://www.ex.com/keep#frag"]),
+    ("no anchors here", []),
+]
+
+
+def test_resolution_contract():
+    for html, want in CASES:
+        assert extract_links_py(html, BASE) == want, html
+
+
+def test_column_matches_python_twin(spark):
+    import random
+
+    rnd = random.Random(5)
+    frags = [h for h, _ in CASES] + [
+        '<a href="p%d.html">x</a>' % i for i in range(5)
+    ] + ['<div>noise</div>', '<a name="no-href">n</a>']
+    corpus = [(BASE, h) for h, _ in CASES] + [
+        ("https://h%d.org/a/b.html" % rnd.randrange(4),
+         "".join(rnd.choice(frags) for _ in range(rnd.randrange(1, 6))))
+        for _ in range(100)
+    ]
+    df = spark.createDataFrame(corpus, "base string, html string").select(
+        "base", "html", extract_links(F.col("html"), F.col("base")).alias("links")
+    )
+    for r in df.collect():
+        assert list(r["links"]) == extract_links_py(r["html"], r["base"]), (
+            r["base"], r["html"]
+        )
+
+
+def test_feeds_frontier_columns(spark):
+    """Harvested links flow into with_url_columns unchanged (the frontier-
+    growth composition)."""
+    from stock_crawler_spark.functions.urls import with_url_columns
+
+    pages = spark.createDataFrame(
+        [("https://www.ex.com/a.html", '<a href="/b">b</a><a href="//www.other.co.uk/c">c</a>')],
+        "url string, html string",
+    )
+    links = pages.select(
+        F.explode(extract_links(F.col("html"), F.col("url"))).alias("url")
+    )
+    out = with_url_columns(links).collect()
+    doms = {r["url"]: r["domain"] for r in out}
+    assert doms["https://www.ex.com/b"] == "ex.com"
+    assert doms["https://www.other.co.uk/c"] == "other.co.uk"
