@@ -37,6 +37,14 @@ def _remap_hidden(url: str) -> int:
     return 4 if d == "6" else int(d) - 1
 
 
+def _discovered_priority_py(url_canon: str) -> float:
+    """Twin of operators/frontier.discovered_priority (md5-derived)."""
+    import hashlib
+
+    h = int(hashlib.md5(url_canon.encode()).hexdigest()[:15], 16)
+    return (h % 1_000_000) / 1_000_000.0
+
+
 def simulate(
     seeds: list[dict],
     robots: list[dict],
@@ -47,6 +55,7 @@ def simulate(
     backoff_ms: int = 60_000,
     max_attempts: int = 3,
     max_rounds: int = 12,
+    follow_links: bool = False,
 ) -> dict:
     """Returns {'trace': [(round, seq, url, action)...],
                 'final_states': {url_canon: state},
@@ -113,6 +122,7 @@ def simulate(
 
     for rnum in range(1, max_rounds + 1):
         now = EPOCH0 + timedelta(milliseconds=(rnum - 1) * round_interval_ms)
+        discovered_this_round: dict[str, str] = {}
         if not any(e["state"] in ("pending", "failed") for e in frontier.values()):
             break
         cands = [
@@ -167,6 +177,40 @@ def simulate(
             e["state"] = "done"
             seen.add(e["url_canon"])
             pages_out[e["url_canon"]] = page["text"]
+            if follow_links:
+                # frontier growth twin (round.py follow_links / frontier.
+                # discovered_frontier_rows): harvest anchors, classify,
+                # append urls the frontier has never held
+                from stock_crawler_spark.functions.links import extract_links_py
+                from stock_crawler_spark.parsers.robots import rule_matches_py
+
+                html = (page.get("html") or b"").decode("utf-8", errors="replace")
+                for link in extract_links_py(html, e["url_canon"]):
+                    c = canonicalize_py(link)
+                    if c in frontier or c in discovered_this_round:
+                        continue
+                    discovered_this_round[c] = link
+                    host = host_py(link)
+                    dom = registrable_domain_py(host)
+                    r = rob.get(dom, {"deny": [], "allow": ["/"],
+                                      "crawl_delay_ms": 1000, "max_per_round": 2**31 - 1})
+                    path = c.split("://", 1)[1]
+                    path = path[path.index("/"):] if "/" in path else "/"
+                    d_len = max((len(p) for p in r.get("deny", [])
+                                 if rule_matches_py(path, p)), default=0)
+                    a_len = max((len(p) for p in r.get("allow", ["/"])
+                                 if rule_matches_py(path, p)), default=0)
+                    frontier[c] = {
+                        "url": link, "url_canon": c, "host": host, "domain": dom,
+                        "priority": _discovered_priority_py(c),
+                        "strategy": "discovered", "stock_id": None,
+                        "crawl_date": None, "query_date": None,
+                        "state": "denied" if d_len > a_len else "pending",
+                        "retry_count": 0, "next_attempt_ts": now,
+                        "crawl_delay_ms": r["crawl_delay_ms"],
+                        "max_per_round": r["max_per_round"],
+                    }
+                    trace.append((rnum, -1, link, "discovered"))
             if e["strategy"] == "concentration" and page["text"]:
                 rec = json.loads(page["text"].splitlines()[0])
                 records.append(

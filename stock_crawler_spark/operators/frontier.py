@@ -138,6 +138,59 @@ def init_frontier(
     )
 
 
+DISCOVER_STRATEGY = "discovered"
+
+
+def discovered_priority(url_canon):
+    """Deterministic synthetic priority for link-discovered urls —
+    md5-derived so the simulator twin reproduces it bit-exactly (a real
+    deployment swaps in PageRank-ish scores; determinism is the contract
+    here)."""
+    h = F.conv(F.substring(F.md5(url_canon), 1, 15), 16, 10).cast("long")
+    return (F.pmod(h, F.lit(1_000_000)) / F.lit(1_000_000.0)).cast("double")
+
+
+def discovered_frontier_rows(
+    links: DataFrame,
+    robots: DataFrame,
+    n_shards: int,
+    now,
+    round_id: int,
+) -> DataFrame:
+    """Resolved outlink urls -> frontier-schema rows (frontier GROWTH).
+
+    Mirrors init_frontier's classification (canonical-dup collapse, robots
+    longest-match deny, politeness params from the broadcast rule table)
+    for urls harvested mid-crawl: state 'pending' (eligible from the next
+    round) or 'denied'; no crawl_date (discovered pages have no exchange
+    date), strategy 'discovered' (generic extraction)."""
+    f = with_url_columns(links.select("url"), n_shards=n_shards)
+    w = Window.partitionBy("url_canon").orderBy(F.asc("url"))
+    f = f.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+    has_allow = "allow" in robots.columns
+    rule_cols = ["domain", "deny", "crawl_delay_ms", "max_per_round"] + (
+        ["allow"] if has_allow else []
+    )
+    f = f.join(F.broadcast(robots.select(*rule_cols)), "domain", "left")
+    path = F.regexp_replace(F.col("url_canon"), r"^[a-z]+://[^/]+", "")
+    denied = robots_denied(path, F.col("deny"), F.col("allow") if has_allow else None)
+
+    ns = F.lit(None).cast("string")
+    return f.select(
+        "url", "url_canon", "url_hash", "host", "domain", "shard",
+        discovered_priority(F.col("url_canon")).alias("priority"),
+        F.lit(DISCOVER_STRATEGY).alias("strategy"),
+        ns.alias("stock_id"), ns.alias("crawl_date"), ns.alias("query_date"),
+        F.when(denied, F.lit(DENIED)).otherwise(F.lit(PENDING)).alias("state"),
+        F.lit(0).alias("retry_count"),
+        F.lit(now).cast("timestamp").alias("next_attempt_ts"),
+        F.lit(round_id).alias("round_id"),
+        F.coalesce(F.col("crawl_delay_ms"), F.lit(1000)).alias("crawl_delay_ms"),
+        F.coalesce(F.col("max_per_round"), F.lit(2**31 - 1)).alias("max_per_round"),
+    )
+
+
 def dequeue(
     candidates: DataFrame,
     round_budget_ms: int,

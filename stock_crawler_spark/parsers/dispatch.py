@@ -19,6 +19,7 @@ from stock_crawler_spark.parsers.stocks_html import parse_stocklist
 
 # source enum, mirroring convert.Source (convert.go:20-28)
 TWSE_DAILYCLOSE = "twse_dailyclose"
+DISCOVERED = "discovered"  # link-harvested generic web page (no Go analog)
 TPEX_DAILYCLOSE = "tpex_dailyclose"
 TWSE_THREEPRIMARY = "twse_threeprimary"
 TPEX_THREEPRIMARY = "tpex_threeprimary"
@@ -55,6 +56,14 @@ def parse_payload(url: str, raw: bytes, strategy: str, date: str) -> tuple[str, 
     carries the concentration hidden period index(es) (json:"-" field,
     needed by the 5-page merge), empty for other strategies.
     """
+    if strategy == DISCOVERED:
+        # generic web page: utf-8 (not Big5 — that's exchange-specific),
+        # boilerplate-stripped via the html_to_text contract twin
+        from stock_crawler_spark.functions.html import html_to_text_py
+
+        text = html_to_text_py((raw or b"").decode("utf-8", errors="replace"))
+        return (text, "", 1 if text else 0, OK if text else ERR_NO_RESULTS)
+
     try:
         decoded = decode_big5(raw if raw is not None else b"")
     except Exception:

@@ -54,6 +54,7 @@ class RoundConfig:
     n_salts: int = 1  # >1 = exact two-phase salted dequeue (hot-domain skew)
     trace: bool = True
     compact_every: int = 4  # fold seen/records deltas every K rounds (0 = off)
+    follow_links: bool = False  # harvest outlinks into the frontier (growth)
 
 
 def round_ts(round_id: int, cfg: RoundConfig) -> datetime:
@@ -104,6 +105,7 @@ def run_round(
     pages_canon: DataFrame,
     round_id: int,
     cfg: RoundConfig,
+    robots: DataFrame | None = None,
 ) -> dict:
     """Execute round N from the committed state of round N-1 (idempotent)."""
     t0 = time.monotonic()
@@ -161,12 +163,36 @@ def run_round(
 
     # --- frontier state transitions, copy-on-write by shard: only the
     #     shards with updated rows are rewritten this round ---
+    # --- frontier GROWTH (follow_links): harvest outlinks of this round's
+    #     fetched pages, classify them like init_frontier, and append the
+    #     urls the frontier has never held. Anchors are ASCII even in
+    #     legacy-charset pages, so the utf-8 string cast is safe for
+    #     harvesting; generic pages extract via the 'discovered' strategy.
+    if cfg.follow_links:
+        from stock_crawler_spark.functions.links import extract_links
+
+        assert robots is not None, "follow_links needs the robots rule table"
+        harvested = ok_fetch.select(
+            F.explode(
+                extract_links(F.col("_html").cast("string"), F.col("url_canon"))
+            ).alias("url")
+        ).distinct()
+        disc = fr.discovered_frontier_rows(
+            harvested, robots, cfg.n_shards, now, round_id
+        ).join(frontier.select("url_canon"), "url_canon", "left_anti").cache()
+        n_disc = disc.count()
+    else:
+        disc, n_disc = None, 0
+
     done_keys = ok_fetch.select("url_canon", "shard").withColumn("_new_state", F.lit(fr.DONE))
     miss_keys = miss.select("url_canon", "shard").withColumn("_new_state", F.lit("_miss"))
     perm_keys = perm.select("url_canon", "shard").withColumn("_new_state", F.lit("_miss_perm"))
     dedup_keys = deduped.select("url_canon", "shard").withColumn("_new_state", F.lit("deduped"))
     updates = done_keys.unionByName(miss_keys).unionByName(perm_keys).unionByName(dedup_keys).cache()
     changed_shards = [r["shard"] for r in updates.select("shard").distinct().collect()]
+    if disc is not None:
+        disc_shards = [r["shard"] for r in disc.select("shard").distinct().collect()]
+        changed_shards = sorted(set(changed_shards) | set(disc_shards))
 
     f = frontier.filter(F.col("shard").isin(changed_shards or [-1])).join(
         updates.drop("shard"), "url_canon", "left"
@@ -196,6 +222,8 @@ def run_round(
         .otherwise(F.col("round_id"))
         .alias("round_id"),
     )
+    if disc is not None:
+        f_next = f_next.unionByName(disc.select(*f_next.columns))
 
     # --- seen additions (A3): the round's NEW rows only — the table is
     #     append-only (delta disjointness guaranteed by the dedup gate) ---
@@ -221,6 +249,13 @@ def run_round(
             .unionByName(perm.select("url").withColumn("action", F.lit("failed_permanent")))
             .select(F.lit(round_id).alias("round_id"), F.lit(-1).alias("seq"), "url", "action")
         )
+        if disc is not None:
+            other = other.unionByName(
+                disc.select(
+                    F.lit(round_id).alias("round_id"), F.lit(-1).alias("seq"),
+                    "url", F.lit("discovered").alias("action"),
+                )
+            )
         trace = sched_trace.unionByName(other)
     else:
         trace = spark.createDataFrame([], TRACE_SCHEMA)
@@ -251,6 +286,7 @@ def run_round(
         ("scheduled", n_sched), ("deduped", n_dedup), ("politeness_deferred", n_defer),
         ("fetch_missed", n_miss), ("permanent_failed", n_perm),
         ("fetch_ok", n_done), ("empty_parses", n_empty),
+        ("links_discovered", n_disc),
     ]
     metrics = spark.createDataFrame(
         [(round_id, k, int(v)) for k, v in metrics_rows], "round_id int, metric string, value long"
@@ -292,6 +328,8 @@ def run_round(
         "wall_sec": round(time.monotonic() - t0, 3),
     }
     store.commit_round(round_id, info)
+    if disc is not None:
+        disc.unpersist()
     updates.unpersist()
     flagged.unpersist()
     dq.unpersist()
@@ -353,7 +391,7 @@ def run_crawl(
         remaining = frontier.filter(F.col("state").isin(fr.PENDING, fr.FAILED)).count()
         if remaining == 0:
             break
-        rounds.append(run_round(spark, store, pages_canon, r, cfg))
+        rounds.append(run_round(spark, store, pages_canon, r, cfg, robots=robots))
         if cfg.compact_every and r % cfg.compact_every == 0:
             for t in ("seen", "records"):
                 store.compact(spark, t, r)

@@ -1,0 +1,148 @@
+"""Frontier growth: link-following crawl over a mini synthetic web —
+engine vs simulator parity (trace incl. 'discovered' actions, final
+states, seen set, extracted text), multi-hop discovery, robots denial at
+discovery time, and resume-compatibility of grown frontiers."""
+
+from __future__ import annotations
+
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo/scripts")
+from debug_e2e import compare  # noqa: E402
+
+from stock_crawler_spark.functions.html import html_to_text_py
+from stock_crawler_spark.plans.round import RoundConfig, run_crawl
+from stock_crawler_spark.plans.state import StateStore
+
+ROOT = "https://www.linkweb.com/index.html"
+
+PAGES = {
+    ROOT: (
+        '<html><body><h1>Index</h1><a href="/a.html">a</a>'
+        '<a href="/b.html">b</a><a href="//www.other.com/x.html">x</a>'
+        '<a href="/denied/secret.html">s</a><a href="mailto:z@y.c">m</a></body></html>'
+    ),
+    "https://www.linkweb.com/a.html": (
+        '<html><body><p>page a</p><a href="c.html">c</a>'
+        '<a href="/index.html">home</a></body></html>'
+    ),
+    "https://www.linkweb.com/b.html": "<html><body><p>page b</p></body></html>",
+    "https://www.linkweb.com/c.html": "<html><body><p>page c deep</p></body></html>",
+    "https://www.other.com/x.html": "<html><body><p>external x</p></body></html>",
+    "https://www.linkweb.com/denied/secret.html": "<html><body><p>never crawl</p></body></html>",
+}
+
+
+@pytest.fixture(scope="module")
+def linkweb_dir(tmp_path_factory):
+    out = tmp_path_factory.mktemp("linkweb")
+    from datetime import datetime
+
+    urls = sorted(PAGES)
+    pq.write_table(pa.table({
+        "url": urls,
+        "warc_ts": pa.array([datetime(2023, 2, 1, i) for i in range(len(urls))],
+                            pa.timestamp("us")),
+        "html": pa.array([PAGES[u].encode() for u in urls], pa.binary()),
+        "text": [html_to_text_py(PAGES[u]) for u in urls],
+        "lang": ["en"] * len(urls),
+        "fetch_status": pa.array([200] * len(urls), pa.int32()),
+    }), str(out / "pages.parquet"))
+    pq.write_table(pa.table({
+        "url": [ROOT],
+        "strategy": ["discovered"],
+        "stock_id": pa.array([None], pa.string()),
+        "crawl_date": ["2023-03-01"],
+        "query_date": [""],
+        "priority": pa.array([0.9], pa.float64()),
+    }), str(out / "seeds.parquet"))
+    pq.write_table(pa.table({
+        "domain": ["linkweb.com", "other.com"],
+        "allow": pa.array([["/"], ["/"]], pa.list_(pa.string())),
+        "deny": pa.array([["/denied/"], []], pa.list_(pa.string())),
+        "crawl_delay_ms": pa.array([250, 250], pa.int64()),
+        "max_per_round": pa.array([50, 50], pa.int32()),
+    }), str(out / "robots.parquet"))
+    pq.write_table(pa.table({"crawl_date": pa.array([], pa.string())}),
+                   str(out / "skip_dates.parquet"))
+    return str(out)
+
+
+def test_follow_links_sim_parity(spark, linkweb_dir, tmp_path):
+    assert compare(linkweb_dir, str(tmp_path / "state"), "antijoin",
+                   spark=spark, follow_links=True)
+
+
+def test_follow_links_multi_hop_and_robots(spark, linkweb_dir, tmp_path):
+    seeds = spark.read.parquet(f"{linkweb_dir}/seeds.parquet")
+    robots = spark.read.parquet(f"{linkweb_dir}/robots.parquet")
+    skip = spark.read.parquet(f"{linkweb_dir}/skip_dates.parquet")
+    pages = spark.read.parquet(f"{linkweb_dir}/pages.parquet")
+
+    state = str(tmp_path / "state")
+    run_crawl(spark, state, seeds, robots, skip, pages,
+              RoundConfig(follow_links=True))
+    store = StateStore(state)
+    last = store.latest_committed_round()
+    states = {
+        r["url_canon"]: r["state"]
+        for r in store.read_frontier(spark, last).collect()
+    }
+    assert states[ROOT] == "done"
+    # 1-hop and 2-hop discoveries all crawled
+    for u in ("https://www.linkweb.com/a.html", "https://www.linkweb.com/b.html",
+              "https://www.other.com/x.html", "https://www.linkweb.com/c.html"):
+        assert states[u] == "done", u
+    # robots denial applied AT DISCOVERY: never scheduled, never fetched
+    assert states["https://www.linkweb.com/denied/secret.html"] == "denied"
+    assert "mailto:z@y.c" not in states
+
+    # c.html is 2 hops deep: discovered strictly after round 1
+    disc_rounds = {}
+    for r in range(1, last + 1):
+        for row in spark.read.parquet(f"{state}/trace/round={r}").filter(
+            F.col("action") == "discovered"
+        ).collect():
+            disc_rounds[row["url"]] = r
+    assert disc_rounds["https://www.linkweb.com/c.html"] > disc_rounds[
+        "https://www.linkweb.com/a.html"
+    ]
+
+    # extracted text is the html_to_text contract output, byte-for-byte
+    texts = {}
+    for r in range(1, last + 1):
+        for row in spark.read.parquet(f"{state}/pages_out/round={r}").collect():
+            texts[row["url_canon"]] = row["text"]
+    assert texts["https://www.linkweb.com/c.html"] == "page c deep"
+    assert texts[ROOT] == html_to_text_py(PAGES[ROOT])
+    # metrics recorded the growth
+    m1 = store.read_manifest(1)
+    assert m1["metrics"]["links_discovered"] == 4  # a, b, x, secret (mailto dropped)
+
+
+def test_follow_links_resume(spark, linkweb_dir, tmp_path):
+    """A grown frontier must resume exactly like a static one."""
+    seeds = spark.read.parquet(f"{linkweb_dir}/seeds.parquet")
+    robots = spark.read.parquet(f"{linkweb_dir}/robots.parquet")
+    skip = spark.read.parquet(f"{linkweb_dir}/skip_dates.parquet")
+    pages = spark.read.parquet(f"{linkweb_dir}/pages.parquet")
+    cfg = RoundConfig(follow_links=True)
+
+    full, part = str(tmp_path / "full"), str(tmp_path / "part")
+    run_crawl(spark, full, seeds, robots, skip, pages, cfg)
+    run_crawl(spark, part, seeds, robots, skip, pages, cfg, max_rounds=1)
+    run_crawl(spark, part, seeds, robots, skip, pages, cfg, resume=True)
+
+    la, lb = StateStore(full).latest_committed_round(), StateStore(part).latest_committed_round()
+    assert la == lb
+    a = StateStore(full).read_frontier(spark, la)
+    b = StateStore(part).read_frontier(spark, lb)
+    sel = sorted(a.columns)
+    assert sorted(map(str, a.select(*sel).collect())) == sorted(
+        map(str, b.select(*sel).collect())
+    )
