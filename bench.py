@@ -37,6 +37,8 @@ HEADLINE = [
     "q19_sessionize",
     "q20_crawl_schedule",
     "q29_bloom_dedup",
+    "q42_bm25",
+    "q44_html_extract",
 ]
 
 BENCH_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "8000000"))

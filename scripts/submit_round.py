@@ -37,6 +37,8 @@ def main() -> None:
                    help="crawl only crawl_date = base-date + N days (N<=0)")
     p.add_argument("--base-date", default=None,
                    help="YYYY-MM-DD anchor for --rewind (default: max seed date)")
+    p.add_argument("--follow-links", action="store_true",
+                   help="harvest outlinks of fetched pages into the frontier")
     args = p.parse_args()
 
     # master/conf come from spark-submit; only app-level settings here
@@ -81,7 +83,8 @@ def main() -> None:
         spark.read.parquet(f"{fx}/robots.parquet"),
         spark.read.parquet(f"{fx}/skip_dates.parquet"),
         spark.read.parquet(f"{fx}/pages.parquet"),
-        RoundConfig(dedup_mode=args.dedup, n_salts=args.salts),
+        RoundConfig(dedup_mode=args.dedup, n_salts=args.salts,
+                    follow_links=args.follow_links),
         max_rounds=args.max_rounds,
         resume=args.resume,
     )
