@@ -178,39 +178,22 @@ def simulate(
             seen.add(e["url_canon"])
             pages_out[e["url_canon"]] = page["text"]
             if follow_links:
-                # frontier growth twin (round.py follow_links / frontier.
-                # discovered_frontier_rows): harvest anchors, classify,
-                # append urls the frontier has never held
+                # frontier growth twin (round.py follow_links): COLLECT
+                # candidate links during the round; classification and
+                # insertion happen after the dispatch loop keeping the MIN
+                # raw url per canon — mirroring the engine's round-global
+                # canonical-dup window (orderBy url asc), where inline
+                # insertion would keep first-encountered instead
                 from stock_crawler_spark.functions.links import extract_links_py
-                from stock_crawler_spark.parsers.robots import rule_matches_py
 
                 html = (page.get("html") or b"").decode("utf-8", errors="replace")
                 for link in extract_links_py(html, e["url_canon"]):
                     c = canonicalize_py(link)
-                    if c in frontier or c in discovered_this_round:
+                    if c in frontier:
                         continue
-                    discovered_this_round[c] = link
-                    host = host_py(link)
-                    dom = registrable_domain_py(host)
-                    r = rob.get(dom, {"deny": [], "allow": ["/"],
-                                      "crawl_delay_ms": 1000, "max_per_round": 2**31 - 1})
-                    path = c.split("://", 1)[1]
-                    path = path[path.index("/"):] if "/" in path else "/"
-                    d_len = max((len(p) for p in r.get("deny", [])
-                                 if rule_matches_py(path, p)), default=0)
-                    a_len = max((len(p) for p in r.get("allow", ["/"])
-                                 if rule_matches_py(path, p)), default=0)
-                    frontier[c] = {
-                        "url": link, "url_canon": c, "host": host, "domain": dom,
-                        "priority": _discovered_priority_py(c),
-                        "strategy": "discovered", "stock_id": None,
-                        "crawl_date": None, "query_date": None,
-                        "state": "denied" if d_len > a_len else "pending",
-                        "retry_count": 0, "next_attempt_ts": now,
-                        "crawl_delay_ms": r["crawl_delay_ms"],
-                        "max_per_round": r["max_per_round"],
-                    }
-                    trace.append((rnum, -1, link, "discovered"))
+                    prev = discovered_this_round.get(c)
+                    if prev is None or link < prev:
+                        discovered_this_round[c] = link
             if e["strategy"] == "concentration" and page["text"]:
                 rec = json.loads(page["text"].splitlines()[0])
                 records.append(
@@ -221,6 +204,33 @@ def simulate(
                         line=page["text"].splitlines()[0], round_id=rnum,
                     )
                 )
+        # insert this round's discoveries (min raw url per canon)
+        if follow_links and discovered_this_round:
+            from stock_crawler_spark.parsers.robots import rule_matches_py
+
+            for c, link in discovered_this_round.items():
+                host = host_py(link)
+                dom = registrable_domain_py(host)
+                r = rob.get(dom, {"deny": [], "allow": ["/"],
+                                  "crawl_delay_ms": 1000, "max_per_round": 2**31 - 1})
+                path = c.split("://", 1)[1]
+                path = path[path.index("/"):] if "/" in path else "/"
+                d_len = max((len(p) for p in r.get("deny", [])
+                             if rule_matches_py(path, p)), default=0)
+                a_len = max((len(p) for p in r.get("allow", ["/"])
+                             if rule_matches_py(path, p)), default=0)
+                frontier[c] = {
+                    "url": link, "url_canon": c, "host": host, "domain": dom,
+                    "priority": _discovered_priority_py(c),
+                    "strategy": "discovered", "stock_id": None,
+                    "crawl_date": None, "query_date": None,
+                    "state": "denied" if d_len > a_len else "pending",
+                    "retry_count": 0, "next_attempt_ts": now,
+                    "crawl_delay_ms": r["crawl_delay_ms"],
+                    "max_per_round": r["max_per_round"],
+                }
+                trace.append((rnum, -1, link, "discovered"))
+
         # A1 merge over all records so far
         groups: dict[tuple[str, str], dict[int, dict]] = {}
         for rec in records:

@@ -51,7 +51,10 @@ def resolve_url(href: Column, base_url: Column) -> Column:
         cond = lower_h.startswith(s)
         is_dropped = cond if is_dropped is None else (is_dropped | cond)
     return (
-        F.when(is_dropped | (h == ""), F.lit(None).cast("string"))
+        # fragment-only check AFTER trim: the regex first-char class only
+        # guards the raw first char, so ' #top' would otherwise resolve
+        # as a path-relative href
+        F.when(is_dropped | (h == "") | h.startswith("#"), F.lit(None).cast("string"))
         .when(h.rlike(_SCHEME_RX), h)
         .when(h.startswith("//"), F.concat(scheme, F.lit(":"), h))
         .when(h.startswith("/"), F.concat(scheme, F.lit("://"), host, h))
@@ -85,7 +88,7 @@ def extract_links_py(html: str, base_url: str) -> list[str]:
     for m in re.finditer(_HREF_RX, html):
         h = m.group(1).strip()
         lower = h.lower()
-        if not h or any(lower.startswith(s) for s in _DROP_SCHEMES):
+        if not h or h.startswith("#") or any(lower.startswith(s) for s in _DROP_SCHEMES):
             continue
         if re.match(_SCHEME_RX, h):
             u = h

@@ -30,6 +30,8 @@ embedded set).
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 # --- ICANN section snapshot: second-level registrations ----------------------
 
 _CC_SECOND_LEVEL = {
@@ -91,44 +93,61 @@ SUFFIX_2LABEL = frozenset(
 SUFFIX_3LABEL = frozenset(_PRIVATE_3LABEL)
 
 
-def load_psl_file(path: str):
-    """Parse a full publicsuffix.org ``public_suffix_list.dat`` into the
-    rule sets this module's matcher consumes:
-    ``(suffix_2label, suffix_3label, wildcard_tlds, exceptions)``.
-    Rules deeper than 3 labels fold into their 3-label tail (conservative).
-    In production the four sets ship to executors once (broadcast or plan
-    literals) — the per-row work is unchanged."""
-    s2, s3, wild, exc = set(), set(), set(), set()
+class PslRules(NamedTuple):
+    """Complete rule sets the matcher consumes (embedded snapshot or a
+    load_psl_file parse of the full list). ``wildcard2``: 2-label tails
+    from ``*.a.b`` rules (every child of a.b is a suffix); ``exceptions3``
+    covers 3-label exception rules like ``!city.kawasaki.jp``."""
+
+    suffix2: frozenset = SUFFIX_2LABEL
+    suffix3: frozenset = SUFFIX_3LABEL
+    wildcard_tlds: frozenset = WILDCARD_TLDS
+    wildcard2: frozenset = frozenset()
+    exceptions2: frozenset = EXCEPTION_RULES
+    exceptions3: frozenset = frozenset()
+
+
+DEFAULT_RULES = PslRules()
+
+
+def load_psl_file(path: str) -> PslRules:
+    """Parse a full publicsuffix.org ``public_suffix_list.dat`` into
+    PslRules. 2- and 3-label rules (incl. ``*.a.b`` wildcards and deep
+    exceptions) are exact; rules deeper than 3 labels fold to their
+    3-label tail (conservative: the folded suffix is shorter, so two
+    registrables of the deep rule may share a bucket, but registrables of
+    the embedded/exact rules never merge). In production the sets ship to
+    executors once (plan literals / broadcast) — per-row work unchanged."""
+    s2, s3, wild, wild2, exc2, exc3 = set(), set(), set(), set(), set(), set()
     with open(path, encoding="utf-8") as fh:
         for raw in fh:
             line = raw.strip()
             if not line or line.startswith("//"):
                 continue
             if line.startswith("!"):
-                exc.add(line[1:])
+                labels = line[1:].split(".")
+                (exc2 if len(labels) <= 2 else exc3).add(".".join(labels[-3:]))
                 continue
             labels = line.split(".")
             if labels[0] == "*":
-                if len(labels) == 2:
-                    wild.add(labels[1])
-                else:  # "*.a.b" == every child of a.b: a.b-tail 3-label-ish
-                    s3.add(".".join(labels[-3:]) if len(labels) >= 3 else line)
+                rest = labels[1:]
+                if len(rest) == 1:
+                    wild.add(rest[0])
+                else:  # "*.a.b": every child of a.b is a suffix
+                    wild2.add(".".join(rest[-2:]))
                 continue
             if len(labels) == 2:
                 s2.add(line)
             elif len(labels) >= 3:
                 s3.add(".".join(labels[-3:]))
             # 1-label rules (plain TLDs) are the implicit default — no set
-    return frozenset(s2), frozenset(s3), frozenset(wild), frozenset(exc)
+    return PslRules(
+        frozenset(s2), frozenset(s3), frozenset(wild),
+        frozenset(wild2), frozenset(exc2), frozenset(exc3),
+    )
 
 
-def registrable_domain_py(
-    host: str | None,
-    suffix2=SUFFIX_2LABEL,
-    suffix3=SUFFIX_3LABEL,
-    wildcard=WILDCARD_TLDS,
-    exceptions=EXCEPTION_RULES,
-) -> str | None:
+def registrable_domain_py(host: str | None, rules: PslRules = DEFAULT_RULES) -> str | None:
     """Reference implementation of the matcher (shared by the simulator and
     the fixture generator; test_urls.py pins the Column twin to it)."""
     if host is None:
@@ -143,10 +162,14 @@ def registrable_domain_py(
         return host
     last2 = ".".join(labels[-2:])
     last3 = ".".join(labels[-3:]) if n >= 3 else None
-    if last2 in exceptions:  # "!www.ck": www.ck itself is registrable
+    # exception rules win over everything at their depth
+    if last3 is not None and last3 in rules.exceptions3:
+        return last3
+    if last2 in rules.exceptions2:  # "!www.ck": www.ck itself is registrable
         return last2
-    if last3 is not None and last3 in suffix3:
+    # 3-label suffixes: explicit, or any child of a wildcard2 tail
+    if last3 is not None and (last3 in rules.suffix3 or last2 in rules.wildcard2):
         return ".".join(labels[-4:]) if n >= 4 else host
-    if last2 in suffix2 or labels[-1] in wildcard:
+    if last2 in rules.suffix2 or labels[-1] in rules.wildcard_tlds:
         return last3 if n >= 3 else host
     return last2

@@ -137,6 +137,14 @@ def bm25_scores(docs, query_terms, id_col: str = "doc_id", text_col: str = "text
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avg_dl")
     )
     q = [t.lower() for t in query_terms]
+    if not q:
+        # empty query (e.g. everything stop-word-stripped upstream):
+        # empty result, stable schema — isin(*[]) would raise
+        return docs.select(
+            F.col(id_col),
+            F.lit(0.0).alias("bm25"),
+            F.lit(0).cast("long").alias("n_terms_hit"),
+        ).limit(0)
     tf = (
         toks.filter(F.col("t").isin(*q))
         .groupBy(id_col, "t")

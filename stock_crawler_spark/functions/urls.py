@@ -22,9 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from stock_crawler_spark.functions.psl import (
-    EXCEPTION_RULES, SUFFIX_2LABEL, SUFFIX_3LABEL, WILDCARD_TLDS,
-)
+from stock_crawler_spark.functions.psl import DEFAULT_RULES, PslRules
 
 
 def canonicalize_url(url: Column) -> Column:
@@ -51,16 +49,21 @@ def host_of(url: Column) -> Column:
     return F.lower(F.try_parse_url(F.trim(url), F.lit("HOST")))
 
 
-def registrable_domain(host: Column) -> Column:
+def _in_set(col: Column, values) -> Column:
+    """isin over a literal set; empty sets fold to FALSE (isin(*[]) raises)."""
+    return col.isin(*sorted(values)) if values else F.lit(False)
+
+
+def registrable_domain(host: Column, rules: PslRules = DEFAULT_RULES) -> Column:
     """eTLD+1 under the full public-suffix rule semantics (functions/psl.py:
-    normal + wildcard + exception rules, longest match wins) over the
-    embedded ICANN/private snapshot. IPs pass through unchanged.
+    normal + wildcard + exception rules at both depths, longest match
+    wins). Defaults to the embedded ICANN/private snapshot; pass
+    ``rules=psl.load_psl_file(...)`` to run the complete current list —
+    same plan shape either way. IPs pass through unchanged.
 
     All rule sets compile to ``isin`` over literal sets — Catalyst turns
     those into InSet hash probes inside whole-stage codegen, so eTLD+1 of
-    10^10 hosts is still a narrow, Python-free projection (swap in the
-    full 10k-rule list via psl.load_psl_file without changing the plan
-    shape)."""
+    10^10 hosts is a narrow, Python-free projection."""
     is_ip = host.rlike(r"^\d+\.\d+\.\d+\.\d+$")
     parts = F.split(host, r"\.")
     n = F.size(parts)
@@ -68,11 +71,15 @@ def registrable_domain(host: Column) -> Column:
     last2, last3, last4 = tail(2), tail(3), tail(4)
     dom = (
         F.when(n <= 1, host)
-        .when(last2.isin(*sorted(EXCEPTION_RULES)), last2)  # "!www.ck"
-        .when((n >= 3) & last3.isin(*sorted(SUFFIX_3LABEL)), F.when(n >= 4, last4).otherwise(host))
+        .when((n >= 3) & _in_set(last3, rules.exceptions3), last3)
+        .when(_in_set(last2, rules.exceptions2), last2)  # "!www.ck"
         .when(
-            last2.isin(*sorted(SUFFIX_2LABEL))
-            | F.element_at(parts, -1).isin(*sorted(WILDCARD_TLDS)),
+            (n >= 3) & (_in_set(last3, rules.suffix3) | _in_set(last2, rules.wildcard2)),
+            F.when(n >= 4, last4).otherwise(host),
+        )
+        .when(
+            _in_set(last2, rules.suffix2)
+            | _in_set(F.element_at(parts, -1), rules.wildcard_tlds),
             F.when(n >= 3, last3).otherwise(host),
         )
         .otherwise(last2)

@@ -25,7 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    BinaryType, BooleanType, DoubleType, IntegerType, LongType,
+    BinaryType, DoubleType, IntegerType, LongType,
     StringType, StructField, StructType,
 )
 
@@ -160,6 +160,10 @@ def probe_seen_flag(
         candidates.select("shard", "url_hash").groupBy("shard")
         .cogroup(filters.select("shard", "kind", "blob").groupBy("shard"))
         .applyInPandas(_probe, schema=suspect_schema)
+        # distinct: two candidates whose distinct canons collide on the
+        # 64-bit hash would otherwise duplicate the mark row and fan the
+        # final left join out (expected ~n^2/2^65 times at 10^10 keys)
+        .distinct()
     )
     confirmed = suspects.join(
         seen.select("url_hash").distinct(), "url_hash", "left_semi"

@@ -36,9 +36,14 @@ def simple_entity_messages(pages_out: DataFrame) -> DataFrame:
         .when(F.col("strategy").endswith("threeprimary"), F.lit(THREEPRIMARY_V1))
         .when(F.col("strategy").endswith("stocklist"), F.lit(STOCKS_V1))
     )
+    # topic.isNotNull(): strategies with no entity topic (concentration —
+    # published after the merge — and link-discovered generic pages, whose
+    # text is corpus output, not a Kafka entity) must never frame as
+    # NULL-topic messages; a Kafka sink rejects those and fails the batch
     return (
-        pages_out.filter((F.col("strategy") != "concentration") & (F.col("text") != ""))
+        pages_out.filter(F.col("text") != "")
         .select(topic.alias("topic"), F.explode(F.split("text", "\n")).alias("line"))
+        .filter(F.col("topic").isNotNull())
     )
 
 

@@ -160,3 +160,11 @@ def test_ngram_jaccard_max_df_cap(spark):
     uncapped = {(r["doc_a"], r["doc_b"]) for r in
                 ngram_jaccard_pairs(docs, threshold=0.2, max_df=10**6).collect()}
     assert uncapped == exact
+
+
+def test_bm25_empty_query_returns_empty(spark):
+    from stock_crawler_spark.functions.text import bm25_scores
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    out = bm25_scores(docs, [])
+    assert out.columns == ["doc_id", "bm25", "n_terms_hit"] and out.count() == 0

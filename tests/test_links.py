@@ -18,6 +18,7 @@ CASES = [
     ('<a href="javascript:void(0)">j</a>', []),
     ('<a href="mailto:a@b.c">m</a>', []),
     ('<a href="#frag">f</a>', []),
+    ('<a href=" #padded">f</a>', []),  # fragment after whitespace still drops
     ("<A HREF='/caps'>C</A>", ["https://www.ex.com/caps"]),
     ('<a class="x" id="y" href="/attrs">z</a>', ["https://www.ex.com/attrs"]),
     ('<a href="/dup">1</a><a href="/dup">2</a>', ["https://www.ex.com/dup"]),

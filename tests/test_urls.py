@@ -121,8 +121,8 @@ def test_psl_column_matches_python(spark):
 
 
 def test_psl_file_loader(tmp_path):
-    """load_psl_file parses the real .dat format (comments, wildcards,
-    exceptions, deep rules fold to 3 labels)."""
+    """load_psl_file parses the real .dat format (comments, 1/2-label
+    wildcards, exceptions at both depths, deep rules fold to 3 labels)."""
     from stock_crawler_spark.functions.psl import load_psl_file, registrable_domain_py
 
     p = tmp_path / "psl.dat"
@@ -134,15 +134,46 @@ def test_psl_file_loader(tmp_path):
         "!www.ck\n"
         "k12.ma.us\n"
         "city.kobe.jp\n"
+        "*.kawasaki.jp\n"
+        "!city.kawasaki.jp\n"
         "\n"
         "// private\n"
         "github.io\n"
     )
-    s2, s3, wild, exc = load_psl_file(str(p))
-    assert "co.uk" in s2 and "github.io" in s2
-    assert "k12.ma.us" in s3 and "city.kobe.jp" in s3
-    assert wild == frozenset({"ck"}) and exc == frozenset({"www.ck"})
-    assert registrable_domain_py("school.k12.ma.us", s2, s3, wild, exc) == "school.k12.ma.us"
-    assert registrable_domain_py("a.school.k12.ma.us", s2, s3, wild, exc) == "school.k12.ma.us"
-    assert registrable_domain_py("x.foo.bar.ck", s2, s3, wild, exc) == "foo.bar.ck"
-    assert registrable_domain_py("www.ck", s2, s3, wild, exc) == "www.ck"
+    r = load_psl_file(str(p))
+    assert "co.uk" in r.suffix2 and "github.io" in r.suffix2
+    assert "k12.ma.us" in r.suffix3 and "city.kobe.jp" in r.suffix3
+    assert r.wildcard_tlds == frozenset({"ck"})
+    assert r.wildcard2 == frozenset({"kawasaki.jp"})
+    assert r.exceptions2 == frozenset({"www.ck"})
+    assert r.exceptions3 == frozenset({"city.kawasaki.jp"})
+    rd = lambda h: registrable_domain_py(h, r)  # noqa: E731
+    assert rd("school.k12.ma.us") == "school.k12.ma.us"
+    assert rd("a.school.k12.ma.us") == "school.k12.ma.us"
+    assert rd("x.foo.bar.ck") == "foo.bar.ck"
+    assert rd("www.ck") == "www.ck"
+    # *.kawasaki.jp: any child is a suffix -> eTLD+1 keeps 4 labels
+    assert rd("foo.x.kawasaki.jp") == "foo.x.kawasaki.jp"
+    assert rd("a.foo.x.kawasaki.jp") == "foo.x.kawasaki.jp"
+    # !city.kawasaki.jp carve-out: city.kawasaki.jp itself is registrable
+    assert rd("city.kawasaki.jp") == "city.kawasaki.jp"
+    assert rd("a.city.kawasaki.jp") == "city.kawasaki.jp"
+
+
+def test_psl_column_accepts_loaded_rules(spark, tmp_path):
+    """registrable_domain(rules=...) runs a loaded rule set with the same
+    plan shape — the documented full-list swap has a real injection point."""
+    from pyspark.sql import functions as F
+
+    from stock_crawler_spark.functions import urls
+    from stock_crawler_spark.functions.psl import load_psl_file, registrable_domain_py
+
+    p = tmp_path / "psl.dat"
+    p.write_text("*.kawasaki.jp\n!city.kawasaki.jp\nco.uk\n")
+    r = load_psl_file(str(p))
+    hosts = ["foo.x.kawasaki.jp", "a.city.kawasaki.jp", "b.co.uk", "plain.com"]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string").select(
+        "host", urls.registrable_domain(F.col("host"), rules=r).alias("dom")
+    )
+    for row in df.collect():
+        assert row["dom"] == registrable_domain_py(row["host"], r), row["host"]

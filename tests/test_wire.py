@@ -94,6 +94,21 @@ def test_merged_messages_carry_diff_vector(wire_rows):
     )
 
 
+def test_discovered_pages_never_frame(spark):
+    """Link-discovered generic pages are corpus output, not Kafka
+    entities — they must produce no message (and never a NULL topic,
+    which a Kafka sink rejects)."""
+    pages_out = spark.createDataFrame(
+        [("u", "discovered", "some extracted text"),
+         ("v", "twse_dailyclose", '{"a":1}')],
+        "url_canon string, strategy string, text string",
+    )
+    merged = spark.createDataFrame([], "stock_id string, date string, line string")
+    rows = kafka_wire(pages_out, merged).collect()
+    assert len(rows) == 1 and rows[0]["topic"] == DAILYCLOSES_V1
+    assert all(r["topic"] is not None for r in rows)
+
+
 def test_wire_plan_is_jvm_only(spark):
     pages_out = spark.createDataFrame(
         [("u", "twse_dailyclose", '{"a":1}\n{"a":2}')],
