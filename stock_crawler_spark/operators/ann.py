@@ -5,16 +5,18 @@ Two physical strategies for the same logical top-k-by-cosine query:
   brute_force_topk  exact: query x corpus join + per-query window top-k.
                     The corpus side streams (no collect); right for small
                     query batches or as the rerank stage.
-  ivf_topk          scale path: deterministic IVF — centroids are a fixed
-                    stride sample of the corpus, every vector is assigned
-                    to its nearest centroid (one narrow pass vs a
-                    broadcast centroid table), queries probe the nprobe
-                    nearest centroid cells only, then exact-rerank inside
-                    the probed cells. Search cost drops ~C/nprobe-fold;
-                    recall tested against brute force.
+  ivf_topk          scale path: deterministic IVF — centroids seed from
+                    the n_cells smallest-id corpus rows (optionally
+                    refined by spherical k-means), every vector is
+                    assigned to its nearest centroid, queries probe the
+                    nprobe nearest centroid cells only, then exact-rerank
+                    inside the probed cells. Search cost drops
+                    ~C/nprobe-fold; recall tested against brute force.
 
 Dot products run as zip_with + aggregate — JVM higher-order functions, no
 Python. Embeddings are array<float>; math is double for stability.
+Precondition: ids are unique per row (the testdata contract) — duplicate
+ids would collapse in the nearest-centroid window.
 """
 
 from __future__ import annotations
@@ -35,20 +37,23 @@ def _norm(u):
     return F.sqrt(_dot(u, u))
 
 
-def cosine(u, v):
-    return _dot(u, v) / (_norm(u) * _norm(v))
-
-
 def _unit_select(df: DataFrame, id_col: str, emb: str, out_id: str, out_emb: str) -> DataFrame:
     """Pre-normalize embeddings ONCE (norm per row, not per pair): cosine
     against unit vectors is a plain dot product, which cuts the per-pair
-    work by ~3x in every topk/neardup join below."""
+    work by ~3x in every topk/neardup join below. Zero-norm vectors map
+    to the zero vector (cos 0 against everything) instead of dividing to
+    NULL — an all-zero embedding (e.g. a feature of an empty payload)
+    must rank last, not poison the window with NULL ties."""
     return (
         df.select(F.col(id_col).alias(out_id), F.col(emb).alias("_e"))
         .withColumn("_n", _norm(F.col("_e")))
         .select(
             out_id,
-            F.transform(F.col("_e"), lambda x: x.cast("double") / F.col("_n")).alias(out_emb),
+            F.transform(
+                F.col("_e"),
+                lambda x: F.when(F.col("_n") > 0, x.cast("double") / F.col("_n"))
+                .otherwise(F.lit(0.0)),
+            ).alias(out_emb),
         )
     )
 
@@ -110,9 +115,20 @@ def build_ivf(corpus: DataFrame, n_cells: int = 16,
                 F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
             ).alias("_e")
         )
-        cents = raw.withColumn("_n", _norm(F.col("_e"))).select(
+        refined = raw.withColumn("_n", _norm(F.col("_e"))).select(
             "cell",
-            F.transform(F.col("_e"), lambda x: x / F.col("_n")).alias("cent_emb"),
+            F.transform(
+                F.col("_e"),
+                lambda x: F.when(F.col("_n") > 0, x / F.col("_n")).otherwise(F.lit(0.0)),
+            ).alias("cent_emb"),
+        )
+        # empty-cell keep-alive: a cell with no assignments this pass keeps
+        # its previous centroid (standard Lloyd reseeding) instead of
+        # silently vanishing and shrinking the effective n_cells
+        cents = (
+            cents.select("cell", F.col("cent_emb").alias("_prev"))
+            .join(refined, "cell", "left")
+            .select("cell", F.coalesce(F.col("cent_emb"), F.col("_prev")).alias("cent_emb"))
         )
     assigned = _assign(c, cents)
     return cents, assigned
@@ -150,8 +166,14 @@ def embedding_neardup_pairs(
     vectors: DataFrame, threshold: float = 0.95, n_cells: int = 16,
     vid: str = "vec_id", emb: str = "embedding",
 ) -> DataFrame:
-    """Near-duplicate vector pairs (cosine >= threshold), blocked by IVF cell
-    so the self-join is per-cell, not all-pairs."""
+    """Near-duplicate pairs with cosine >= threshold AMONG PAIRS SHARING AN
+    IVF CELL — blocked-approximate: the self-join is per-cell, never
+    all-pairs, so a boundary pair whose members assign to different cells
+    is missed. Recall trades on n_cells (fewer cells = higher recall,
+    bigger blocks); the standard extension is multi-probe assignment
+    (each vector to its top-m cells), which multiplies block rows by m.
+    The q25 oracle replicates the same blocking, so the gate checks the
+    blocking's determinism, not all-pairs completeness."""
     _, assigned = build_ivf(vectors, n_cells, vid, emb)
     a = assigned.select(F.col("cand_id").alias("id_a"), F.col("c_emb").alias("e_a"), "cell")
     b = assigned.select(F.col("cand_id").alias("id_b"), F.col("c_emb").alias("e_b"), "cell")

@@ -11,7 +11,8 @@ collects to the driver.
   minhash_signatures   K-perm MinHash (md5-derived shingle hash, linear perms)
   minhash_lsh_pairs    banded LSH candidates + exact Jaccard verify
   simhash              32-bit SimHash per doc + hamming-distance pairs
-  embedding_neardup    cosine > threshold pairs (see ann.py for the join)
+  embedding_neardup    cosine > threshold pairs within IVF-cell blocks
+                       (blocked-approximate; see ann.py for the join)
 
 MinHash/SimHash base hashing is md5-prefix-derived (not xxhash64) so the
 DuckDB oracle can reproduce bit-identical signatures in pure SQL.

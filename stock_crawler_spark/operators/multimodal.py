@@ -89,7 +89,9 @@ def _decode_real(blob: bytes):
 
 
 def _decode_header(blob: bytes):
-    if blob[:4] != MAGIC:
+    # truncated/corrupt SYN1 headers hit the same explicit wall as foreign
+    # formats — a struct.error would otherwise kill the task cryptically
+    if blob[:4] != MAGIC or len(blob) < 9:
         return _decode_real(blob)
     w, h, c = struct.unpack("<HHB", blob[4:9])
     return w, h, c, blob[9:]
@@ -111,9 +113,12 @@ def decode_metadata(media: DataFrame, id_col: str = "media_id", blob_col: str = 
 
 def extract_features(media: DataFrame, dim: int = 8,
                      id_col: str = "media_id", blob_col: str = "blob") -> DataFrame:
-    """Fake feature extractor: per-channel byte histograms folded to `dim`
-    floats — numpy-vectorized per batch, the exact shape a real CNN/CLIP
-    embedding stage would have."""
+    """Fake feature extractor stand-in: per-channel byte histograms folded
+    to `dim` floats. Arrow-batched at the SPARK boundary (one Python call
+    per batch); inside the batch it loops per blob with a numpy bincount
+    each — the per-row loop is where a real CNN/CLIP stage would run its
+    model forward pass, so the Spark-side shape (schema, batching,
+    partitioning) is the load-bearing part, not this toy kernel."""
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

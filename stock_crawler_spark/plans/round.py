@@ -38,7 +38,7 @@ from stock_crawler_spark.operators.extract import (
     concentration_records, dedup_pages, extract_text, fetch_join,
 )
 from stock_crawler_spark.operators.merge import merge_concentration
-from stock_crawler_spark.plans.state import StateStore
+from stock_crawler_spark.plans.state import DELTA_TABLES, StateStore
 
 EPOCH0_DT = datetime(2023, 3, 1)
 
@@ -393,7 +393,7 @@ def run_crawl(
             break
         rounds.append(run_round(spark, store, pages_canon, r, cfg, robots=robots))
         if cfg.compact_every and r % cfg.compact_every == 0:
-            for t in ("seen", "records"):
+            for t in DELTA_TABLES:
                 store.compact(spark, t, r)
     pages_canon.unpersist()
     return {"rounds": rounds, "last_round": store.latest_committed_round()}

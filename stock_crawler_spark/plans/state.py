@@ -24,9 +24,9 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-TABLES = ("frontier", "seen", "records", "merged", "pages_out", "trace", "metrics", "seen_filters")
-# snapshot tables write <table>/round=N in full; append-only tables (seen,
-# records) write <table>/delta=N and are read as the union of deltas
+# snapshot tables write <table>/round=N in full; append-only tables write
+# <table>/delta=N and are read as the union of deltas. run_crawl compacts
+# exactly this set — add a delta table HERE and compaction follows.
 DELTA_TABLES = ("seen", "records")
 
 
@@ -124,11 +124,14 @@ class StateStore:
 
     # --- frontier: copy-on-write by shard (Iceberg MERGE INTO equivalent) ---
 
-    def write_frontier_shards(self, df: DataFrame, round_id: int, prev_map: dict) -> dict:
+    def write_frontier_shards(
+        self, df: DataFrame, round_id: int, prev_map: dict
+    ) -> tuple[dict, int]:
         """Write ONLY the round's changed shard partitions; untouched shards
-        stay referenced at the round that last wrote them. Returns the new
-        shard->round map (stored in the manifest). Write amplification per
-        round is O(touched shards), not O(frontier)."""
+        stay referenced at the round that last wrote them. Returns
+        ``(shard->round map, rows written)`` — the map is stored in the
+        manifest. Write amplification per round is O(touched shards),
+        not O(frontier)."""
         path = self.table_path("frontier", round_id)
         df.write.mode("overwrite").partitionBy("shard").parquet(path)
         shard_map = dict(prev_map)

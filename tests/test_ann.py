@@ -95,3 +95,37 @@ def test_ivf_kmeans_refinement_recall(spark, emb):
     r0, r2 = recall(0), recall(2)
     assert r2 >= r0 - 0.05, (r0, r2)
     assert r2 >= 0.5, r2
+
+
+def test_zero_norm_embedding_ranks_last_not_null(spark):
+    """An all-zero embedding (e.g. feature of an empty payload) must score
+    cos=0 against everything — never NULL-poison the ranking window."""
+    from stock_crawler_spark.operators.ann import brute_force_topk
+
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame([(9, [1.0, 0.0])], "vec_id long, embedding array<float>")
+    rows = {r["cand_id"]: r for r in brute_force_topk(queries, corpus, k=3).collect()}
+    assert rows[0]["cos"] == 1.0
+    assert rows[2]["cos"] == 0.0 and rows[2]["rank"] == 3  # last, not null
+    # zero-vector QUERY: all cos 0, deterministic id order, no nulls
+    zq = spark.createDataFrame([(8, [0.0, 0.0])], "vec_id long, embedding array<float>")
+    out = brute_force_topk(zq, corpus, k=3).collect()
+    assert all(r["cos"] == 0.0 for r in out)
+
+
+def test_kmeans_empty_cell_keeps_centroid(spark):
+    """A centroid that attracts no vectors must survive a Lloyd pass with
+    its previous position (reseed), not silently shrink the index."""
+    from stock_crawler_spark.operators.ann import build_ivf
+
+    # 2 tight clusters + n_cells=3: the 3rd seed loses all members
+    rows = [(i, [10.0 + i * 0.01, 0.0]) for i in range(4)] + [
+        (10 + i, [0.0, 10.0 + i * 0.01]) for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents, assigned = build_ivf(df, n_cells=3, refine_iters=2)
+    assert cents.count() == 3  # no vanishing cells
+    assert assigned.count() == len(rows)

@@ -83,3 +83,16 @@ def test_features_compose_with_ann(spark, media):
         top = min(rows, key=lambda r: r["rank"])
         assert top["cand_id"] == q and abs(top["cos"] - 1.0) < 1e-9
         assert len(rows) == 3
+
+
+def test_truncated_syn1_blob_hits_decode_wall():
+    """A blob with the SYN1 magic but a short header must raise the
+    explicit NotImplementedError wall, not a cryptic struct.error."""
+    import pytest
+
+    from stock_crawler_spark.operators.multimodal import _decode_header
+
+    with pytest.raises(NotImplementedError):
+        _decode_header(b"SYN1\x10\x00")
+    with pytest.raises(NotImplementedError):
+        _decode_header(b"JPEG....")
