@@ -234,7 +234,12 @@ def simulate(
         # A1 merge over all records so far
         groups: dict[tuple[str, str], dict[int, dict]] = {}
         for rec in records:
-            groups.setdefault((rec["stock_id"], rec["date"]), {})[rec["hidden"]] = rec
+            slot = groups.setdefault((rec["stock_id"], rec["date"]), {})
+            cur = slot.get(rec["hidden"])
+            # latest round wins; same-round ties break on line bytes (the
+            # engine's byte-stable pick rule in operators/merge.py)
+            if cur is None or (rec["round_id"], rec["line"]) > (cur["round_id"], cur["line"]):
+                slot[rec["hidden"]] = rec
         for key, g in groups.items():
             if set(g.keys()) == {0, 1, 2, 3, 4}:
                 diffs = [_wrap32(g[i]["sum_buy"] - g[i]["sum_sell"]) for i in range(5)]

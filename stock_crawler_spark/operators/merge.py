@@ -40,20 +40,26 @@ def merge_concentration(records: DataFrame) -> DataFrame:
             F.struct("hidden", "sum_buy", "sum_sell", "line", "round_id")
         ).alias("recs")
     )
-    # complete = all five period indexes present, incl. the base index 0
-    hidden_set = F.array_distinct(F.transform(F.col("recs"), lambda r: r["hidden"]))
-    g = g.filter(
-        (F.size(hidden_set) == PAGE_COUNT)
-        & F.array_contains(hidden_set, F.lit(0))
+    # complete = the period indexes are EXACTLY {0..4} (the simulator's
+    # set-equality rule): "five distinct incl. 0" would admit groups like
+    # {0,1,2,3,6} from a malformed url digit, whose pick(4) is empty and
+    # raises under ANSI element_at
+    hidden_set = F.array_sort(
+        F.array_distinct(F.transform(F.col("recs"), lambda r: r["hidden"]))
     )
+    g = g.filter(hidden_set == F.array(*[F.lit(i) for i in range(PAGE_COUNT)]))
 
     # per index i: the record with hidden == i, latest round wins (the
-    # reference overwrites in arrival order)
+    # reference overwrites in arrival order); same-round duplicates break
+    # the tie on line bytes so re-runs stay byte-stable regardless of
+    # partition arrival order
     def pick(i: int):
         matches = F.filter(F.col("recs"), lambda r: r["hidden"] == F.lit(i))
         latest = F.array_sort(
             matches, lambda a, b: F.when(a["round_id"] < b["round_id"], -1)
             .when(a["round_id"] > b["round_id"], 1)
+            .when(a["line"] < b["line"], -1)
+            .when(a["line"] > b["line"], 1)
             .otherwise(0),
         )
         return F.element_at(latest, -1)

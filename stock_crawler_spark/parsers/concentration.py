@@ -83,4 +83,9 @@ def parse_concentration(decoded: str, url: str, date: str) -> tuple[list[str], l
                     )
                     out_hidden.append(hidden)
                     records = []
+                    # one entity per footer row: disarm until the next
+                    # oScrollFoot — staying armed would let later numeric
+                    # cells (stats tables under the footer) refill the
+                    # buffer from index 0 and assemble a corrupt entity
+                    start_parsing = False
     return out_lines, out_hidden

@@ -30,9 +30,13 @@ TPEX_THREEPRIMARY_CAP = 24  # parser/parser.go:34
 
 
 def unified_date_twse(date: str) -> str:
-    """ROC 'yyy/mm/dd' -> 'YYYYmmdd'; else strip dashes (helper.go:147-164)."""
+    """ROC 'yyy/mm/dd' -> 'YYYYmmdd'; else strip dashes (helper.go:147-164).
+    Malformed slash dates degrade to "" (the parser's zero/empty-on-garbage
+    contract) instead of raising inside the Arrow batch."""
     if "/" in date:
         parts = date.split("/")
+        if len(parts) < 3:
+            return ""
         try:
             year = int(parts[0])
         except ValueError:
@@ -42,17 +46,22 @@ def unified_date_twse(date: str) -> str:
 
 
 def _rows(decoded: str, capacity: int):
-    """Lenient CSV rows that pass the capacity + stock-id predicate."""
-    reader = csv.reader(io.StringIO(decoded), delimiter=",")
-    while True:
+    """Lenient CSV rows that pass the capacity + stock-id predicate.
+
+    Record-at-a-time like Go's encoding/csv read loop (csv.go:50-54): a
+    malformed row (bad quoting, oversized field) is SKIPPED and parsing
+    continues with the next line — a single shared csv.reader would
+    abandon the whole tail on its first csv.Error. ``strict=True``
+    mirrors Go's default (no LazyQuotes). Relies on the exchange payload
+    shape of one record per line (no embedded newlines inside quoted
+    fields), which every strategy's endpoint satisfies."""
+    for line in decoded.splitlines():
+        if not line:
+            continue
         try:
-            row = next(reader)
-        except StopIteration:
-            return
+            row = next(csv.reader([line], delimiter=",", strict=True), [])
         except csv.Error:
-            # Go's reader skips rows it can't assemble (only EOF breaks the
-            # loop, csv.go:50-54); mirror by abandoning the malformed tail.
-            return
+            continue
         if len(row) == 0 or capacity > len(row):
             continue
         sid = row[0].strip()

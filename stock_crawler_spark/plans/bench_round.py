@@ -19,10 +19,10 @@ from __future__ import annotations
 
 import time
 
-from pyspark.sql import SparkSession, Window
+from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from stock_crawler_spark.functions.urls import url_hash, with_url_columns
+from stock_crawler_spark.functions.urls import url_hash
 
 
 def synthetic_frontier(spark: SparkSession, n_urls: int, n_domains: int = 10_000):
@@ -64,14 +64,13 @@ def run_bench_round(
         F.lit(max_per_domain).alias("max_per_round"),
     )
 
-    # ~1/3 of urls are already seen (hash-keyed, like the seen table)
+    # ~1/3 of urls are already seen — derived from the SAME synthesis as
+    # the frontier (one formula, no drift: a divergent inline copy here
+    # would silently zero the dedup overlap and skew the benchmark)
     seen = (
-        spark.range(0, n_urls, seen_fraction_mod)
-        .select(url_hash(F.format_string(
-            "https://www.d%d.com/page/%d",
-            F.floor(F.lit(n_domains) * F.pow(
-                F.pmod(F.xxhash64(F.col("id")), F.lit(1_000_000)) / 1_000_000.0, F.lit(3.0))).cast("long"),
-            F.col("id"))).alias("url_hash"))
+        synthetic_frontier(spark, n_urls, n_domains)
+        .filter(F.col("id") % seen_fraction_mod == 0)
+        .select(url_hash(F.col("url")).alias("url_hash"))
     )
 
     t0 = time.monotonic()

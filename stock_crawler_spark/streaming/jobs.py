@@ -42,13 +42,17 @@ def streaming_extract(fetched_stream: DataFrame) -> DataFrame:
 
 
 def streaming_wire_publish(pages_stream: DataFrame) -> DataFrame:
-    """Extracted-page stream -> (topic, value binary) Kafka-wire messages —
-    the streaming twin of operators/wire.kafka_wire's simple-entity half
-    (in production: ``.writeStream.format("kafka")``). Stateless narrow
-    ops only, so bytes are identical to the batch framing on the same
-    rows. Concentration's merged entity needs cross-page state and
-    publishes from the batch merge, exactly like the reference publishes
-    StakeConcentration only after the 5-page merge."""
+    """pages_out-shaped stream (must carry ``strategy`` and ``text``) ->
+    (topic, value binary) Kafka-wire messages — the streaming twin of
+    operators/wire.kafka_wire's simple-entity half (in production:
+    ``.writeStream.format("kafka")``). NOTE: streaming_extract's raw
+    output has no ``strategy`` column — join it back to the scheduled
+    stream first, exactly like the batch round builds pages_out
+    (plans/round.py). Stateless narrow ops only, so bytes are identical
+    to the batch framing on the same rows. Concentration's merged entity
+    needs cross-page state and publishes from the batch merge, exactly
+    like the reference publishes StakeConcentration only after the
+    5-page merge."""
     from stock_crawler_spark.operators.wire import simple_entity_messages
 
     return simple_entity_messages(pages_stream).select(
