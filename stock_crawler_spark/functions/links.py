@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from stock_crawler_spark.functions.urls import authority_of
+
 _HREF_RX = r"""(?i)<a\b[^>]*?href\s*=\s*["']([^"'#][^"']*)["']"""
 _SCHEME_RX = r"(?i)^[a-z][a-z0-9+.-]*:"
 _DROP_SCHEMES = ("javascript:", "mailto:", "data:", "tel:", "ftp:")
@@ -38,10 +40,15 @@ def extract_hrefs(html: Column) -> Column:
 
 
 def resolve_url(href: Column, base_url: Column) -> Column:
-    """One href resolved against the base url; NULL for dropped schemes."""
+    """One href resolved against the base url; NULL for dropped schemes.
+
+    Root-/path-relative hrefs resolve against the AUTHORITY (host:port,
+    default ports stripped exactly like the canonicalizer), not the bare
+    host — a base of ``https://x.com:8443/a`` with href ``/p`` must stay on
+    port 8443, not silently move to the default-port origin."""
     h = F.trim(href)
     scheme = F.lower(F.try_parse_url(base_url, F.lit("PROTOCOL")))
-    host = F.lower(F.try_parse_url(base_url, F.lit("HOST")))
+    host = authority_of(base_url)
     base_path = F.coalesce(F.try_parse_url(base_url, F.lit("PATH")), F.lit("/"))
     base_dir = F.regexp_replace(base_path, r"/[^/]*$", "")
     rel = F.regexp_replace(h, r"^\./", "")
@@ -82,7 +89,15 @@ def extract_links_py(html: str, base_url: str) -> list[str]:
     out: list[str] = []
     seen = set()
     parts = urlsplit(base_url)
-    scheme, host = parts.scheme.lower(), (parts.hostname or "").lower()
+    scheme = parts.scheme.lower()
+    # authority (netloc) with default-port stripping — twin of
+    # urls.authority_of so Column and Python resolution agree on non-default
+    # ports (https://x.com:8443/a + /p -> https://x.com:8443/p)
+    host = (parts.netloc or "").lower()
+    if scheme == "http" and host.endswith(":80"):
+        host = host[: -len(":80")]
+    elif scheme == "https" and host.endswith(":443"):
+        host = host[: -len(":443")]
     base_path = parts.path or "/"
     base_dir = re.sub(r"/[^/]*$", "", base_path)
     for m in re.finditer(_HREF_RX, html):

@@ -10,26 +10,23 @@ implements the full publicsuffix.org rule semantics —
   - exception rules ("!www.ck")   carve-out: that exact tail is NOT one
   - longest matching rule wins; no match -> the TLD itself is the suffix
 
-— over an EMBEDDED SNAPSHOT of the list: the ICANN second-level
-registrations for the ccTLDs that carry the overwhelming mass of web
-traffic, the classic wildcard TLDs, and the highest-traffic private
-suffixes (github.io-class platform domains). A production deployment
-swaps in the complete, current list file via ``load_psl_file`` (same
-rule engine; ~10k rules instead of ~300) and broadcasts it — suffix
-matching stays an O(1) hash-set probe per row either way (Catalyst
-compiles ``isin`` over literal sets to an InSet hash lookup inside
-whole-stage codegen; no join, no Python).
-
-Unsupported in the embedded snapshot (present in the full file): 4-label
-rules (e.g. Japanese geographic ``city.<city>.<pref>.jp``) and the
-``k12.<state>.us`` family — ``load_psl_file`` accepts them and the
-matcher handles rules up to 3 labels; deeper rules degrade conservatively
-to the 3-label match (never merges two distinct registrables of the
-embedded set).
+— at EVERY depth the real list uses (normal/exception tails up to 5
+labels, wildcard tails up to 4: ``*.compute.amazonaws.com.cn`` is the
+deepest rule in the current file). The engine DEFAULT is the complete
+publicsuffix.org list vendored at ``stock_crawler_spark/data/
+public_suffix_list.dat`` (public data, MPL 2.0 — the license header ships
+inside the file; ~9.5k non-TLD rules), parsed once at import; the
+~300-rule embedded snapshot below remains as the no-data-file fallback
+and for tests that want a tiny rule set. Either way suffix matching is an
+O(1) hash-set probe per row: Catalyst compiles ``isin`` over literal sets
+to an InSet hash lookup inside whole-stage codegen — no join, no Python,
+and eTLD+1 of 10^10 hosts stays a narrow projection.
 """
 
 from __future__ import annotations
 
+import os
+import re
 from typing import NamedTuple
 
 # --- ICANN section snapshot: second-level registrations ----------------------
@@ -93,11 +90,22 @@ SUFFIX_2LABEL = frozenset(
 SUFFIX_3LABEL = frozenset(_PRIVATE_3LABEL)
 
 
+# Deepest rule tail the matcher supports: normal/exception tails up to
+# MAX_SUFFIX_LABELS labels, wildcard tails up to MAX_SUFFIX_LABELS - 1.
+# The current real list tops out at 5 (``s3.dualstack.<region>.amazonaws
+# .com``, ``*.compute.amazonaws.com.cn``); a future deeper rule folds to
+# its 5-label tail (conservative: folded suffixes are shorter, so the
+# folded rule's registrables may share a politeness bucket, but exact
+# rules never merge).
+MAX_SUFFIX_LABELS = 5
+
+
 class PslRules(NamedTuple):
-    """Complete rule sets the matcher consumes (embedded snapshot or a
-    load_psl_file parse of the full list). ``wildcard2``: 2-label tails
-    from ``*.a.b`` rules (every child of a.b is a suffix); ``exceptions3``
-    covers 3-label exception rules like ``!city.kawasaki.jp``."""
+    """Complete rule sets the matcher consumes (vendored full list or the
+    embedded snapshot). ``suffixN``: tails of N-label normal rules;
+    ``wildcardN`` / ``wildcard_tlds``: N-label tails of ``*.tail`` rules
+    (every direct child of the tail is a suffix); ``exceptionsN``: N-label
+    tails of ``!tail`` carve-outs (the tail itself is registrable)."""
 
     suffix2: frozenset = SUFFIX_2LABEL
     suffix3: frozenset = SUFFIX_3LABEL
@@ -105,20 +113,42 @@ class PslRules(NamedTuple):
     wildcard2: frozenset = frozenset()
     exceptions2: frozenset = EXCEPTION_RULES
     exceptions3: frozenset = frozenset()
+    suffix4: frozenset = frozenset()
+    suffix5: frozenset = frozenset()
+    wildcard3: frozenset = frozenset()
+    wildcard4: frozenset = frozenset()
+    exceptions4: frozenset = frozenset()
+    exceptions5: frozenset = frozenset()
+
+    def suffixes_at(self, d: int) -> frozenset:
+        return {2: self.suffix2, 3: self.suffix3, 4: self.suffix4, 5: self.suffix5}[d]
+
+    def wildcards_at(self, d: int) -> frozenset:
+        return {
+            1: self.wildcard_tlds, 2: self.wildcard2,
+            3: self.wildcard3, 4: self.wildcard4,
+        }[d]
+
+    def exceptions_at(self, d: int) -> frozenset:
+        return {
+            2: self.exceptions2, 3: self.exceptions3,
+            4: self.exceptions4, 5: self.exceptions5,
+        }[d]
 
 
-DEFAULT_RULES = PslRules()
+SNAPSHOT_RULES = PslRules()
 
 
 def load_psl_file(path: str) -> PslRules:
-    """Parse a full publicsuffix.org ``public_suffix_list.dat`` into
-    PslRules. 2- and 3-label rules (incl. ``*.a.b`` wildcards and deep
-    exceptions) are exact; rules deeper than 3 labels fold to their
-    3-label tail (conservative: the folded suffix is shorter, so two
-    registrables of the deep rule may share a bucket, but registrables of
-    the embedded/exact rules never merge). In production the sets ship to
-    executors once (plan literals / broadcast) — per-row work unchanged."""
-    s2, s3, wild, wild2, exc2, exc3 = set(), set(), set(), set(), set(), set()
+    """Parse a publicsuffix.org ``public_suffix_list.dat`` into PslRules —
+    EXACT at every depth the current list uses (normal/exception tails to
+    5 labels, wildcard tails to 4); anything deeper folds to its 5-label
+    tail. In production the sets ship to executors once (plan literals /
+    broadcast) — per-row work is unchanged."""
+    M = MAX_SUFFIX_LABELS
+    suf = {d: set() for d in range(2, M + 1)}
+    wild = {d: set() for d in range(1, M)}
+    exc = {d: set() for d in range(2, M + 1)}
     with open(path, encoding="utf-8") as fh:
         for raw in fh:
             line = raw.strip()
@@ -126,50 +156,75 @@ def load_psl_file(path: str) -> PslRules:
                 continue
             if line.startswith("!"):
                 labels = line[1:].split(".")
-                (exc2 if len(labels) <= 2 else exc3).add(".".join(labels[-3:]))
+                d = min(max(2, len(labels)), M)
+                exc[d].add(".".join(labels[-d:]))
                 continue
             labels = line.split(".")
             if labels[0] == "*":
                 rest = labels[1:]
-                if len(rest) == 1:
-                    wild.add(rest[0])
-                else:  # "*.a.b": every child of a.b is a suffix
-                    wild2.add(".".join(rest[-2:]))
+                d = min(len(rest), M - 1)
+                wild[d].add(".".join(rest[-d:]))
                 continue
-            if len(labels) == 2:
-                s2.add(line)
-            elif len(labels) >= 3:
-                s3.add(".".join(labels[-3:]))
+            if len(labels) >= 2:
+                d = min(len(labels), M)
+                suf[d].add(".".join(labels[-d:]))
             # 1-label rules (plain TLDs) are the implicit default — no set
     return PslRules(
-        frozenset(s2), frozenset(s3), frozenset(wild),
-        frozenset(wild2), frozenset(exc2), frozenset(exc3),
+        suffix2=frozenset(suf[2]), suffix3=frozenset(suf[3]),
+        wildcard_tlds=frozenset(wild[1]), wildcard2=frozenset(wild[2]),
+        exceptions2=frozenset(exc[2]), exceptions3=frozenset(exc[3]),
+        suffix4=frozenset(suf[4]), suffix5=frozenset(suf[5]),
+        wildcard3=frozenset(wild[3]), wildcard4=frozenset(wild[4]),
+        exceptions4=frozenset(exc[4]), exceptions5=frozenset(exc[5]),
     )
 
 
-def registrable_domain_py(host: str | None, rules: PslRules = DEFAULT_RULES) -> str | None:
+# Vendored copy of the official list (public data, MPL 2.0; license header
+# inside the file). Engine default: the FULL list — politeness/sharding
+# key quality is the frontier's backbone, and the snapshot's 3-label
+# folding merges distinct registrables (e.g. Japanese geographic
+# ``<name>.<city>.<pref>.jp``). Falls back to the snapshot if the data
+# file is missing (e.g. a trimmed deployment bundle).
+VENDORED_PSL_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(__file__)), "data", "public_suffix_list.dat"
+)
+
+
+def _default_rules() -> PslRules:
+    try:
+        return load_psl_file(VENDORED_PSL_PATH)
+    except OSError:
+        return SNAPSHOT_RULES
+
+
+DEFAULT_RULES = _default_rules()
+
+
+def registrable_domain_py(host: str | None, rules: PslRules = None) -> str | None:
     """Reference implementation of the matcher (shared by the simulator and
-    the fixture generator; test_urls.py pins the Column twin to it)."""
+    the fixture generator; test_urls.py pins the Column twin to it).
+
+    Official publicsuffix.org algorithm over the rule sets: a matching
+    EXCEPTION rule wins outright (its tail is the registrable domain);
+    otherwise the LONGEST matching normal/wildcard rule is the public
+    suffix and the registrable domain keeps one more label; no matching
+    rule means the implicit ``*`` rule (bare TLD suffix)."""
+    if rules is None:
+        rules = DEFAULT_RULES
     if host is None:
         return None
-    import re
-
     if re.match(r"^\d+\.\d+\.\d+\.\d+$", host):
         return host
     labels = host.split(".")
     n = len(labels)
     if n <= 1:
         return host
-    last2 = ".".join(labels[-2:])
-    last3 = ".".join(labels[-3:]) if n >= 3 else None
-    # exception rules win over everything at their depth
-    if last3 is not None and last3 in rules.exceptions3:
-        return last3
-    if last2 in rules.exceptions2:  # "!www.ck": www.ck itself is registrable
-        return last2
-    # 3-label suffixes: explicit, or any child of a wildcard2 tail
-    if last3 is not None and (last3 in rules.suffix3 or last2 in rules.wildcard2):
-        return ".".join(labels[-4:]) if n >= 4 else host
-    if last2 in rules.suffix2 or labels[-1] in rules.wildcard_tlds:
-        return last3 if n >= 3 else host
-    return last2
+    tail = lambda d: ".".join(labels[-d:])  # noqa: E731
+    M = MAX_SUFFIX_LABELS
+    for d in range(min(n, M), 1, -1):
+        if tail(d) in rules.exceptions_at(d):
+            return tail(d)
+    for d in range(min(n, M), 1, -1):
+        if tail(d) in rules.suffixes_at(d) or tail(d - 1) in rules.wildcards_at(d - 1):
+            return tail(d + 1) if n >= d + 1 else host
+    return tail(2)

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from stock_crawler_spark.functions import psl
 from stock_crawler_spark.functions.psl import DEFAULT_RULES, PslRules
 
 
@@ -30,11 +31,22 @@ def canonicalize_url(url: Column) -> Column:
     return _canon_from_parts(F.trim(url))
 
 
-def _canon_from_parts(u: Column) -> Column:
+def authority_of(url: Column) -> Column:
+    """Lowercased authority (host[:port], userinfo kept) with default ports
+    stripped — the EXACT authority treatment of the canonicalizer, shared so
+    link resolution (functions/links.py) produces urls the canonicalizer
+    maps onto themselves (a resolver that drops a non-default port would
+    silently move hrefs to the wrong origin)."""
+    u = F.trim(url)
     proto = F.lower(F.try_parse_url(u, F.lit("PROTOCOL")))
     auth = F.lower(F.try_parse_url(u, F.lit("AUTHORITY")))
     auth = F.when((proto == F.lit("http")), F.regexp_replace(auth, ":80$", "")).otherwise(auth)
-    auth = F.when((proto == F.lit("https")), F.regexp_replace(auth, ":443$", "")).otherwise(auth)
+    return F.when((proto == F.lit("https")), F.regexp_replace(auth, ":443$", "")).otherwise(auth)
+
+
+def _canon_from_parts(u: Column) -> Column:
+    proto = F.lower(F.try_parse_url(u, F.lit("PROTOCOL")))
+    auth = authority_of(u)
     path = F.try_parse_url(u, F.lit("PATH"))
     path = F.when((path.isNull()) | (path == F.lit("")), F.lit("/")).otherwise(path)
     query = F.try_parse_url(u, F.lit("QUERY"))
@@ -54,36 +66,110 @@ def _in_set(col: Column, values) -> Column:
     return col.isin(*sorted(values)) if values else F.lit(False)
 
 
-def registrable_domain(host: Column, rules: PslRules = DEFAULT_RULES) -> Column:
+def _sql_str(v: str) -> str:
+    return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _sql_in(expr: str, values) -> str:
+    if not values:
+        return "FALSE"
+    return f"{expr} IN ({','.join(_sql_str(v) for v in sorted(values))})"
+
+
+_DOMAIN_SQL_CACHE: dict = {}
+
+
+def registrable_domain_sql(host_sql: str, rules: PslRules | None = None) -> str:
+    """The eTLD+1 matcher as ONE SQL expression string over ``host_sql``.
+
+    Semantically identical to ``registrable_domain`` (same rule walk,
+    same InSet plan after parsing) but built as a single string handed to
+    the parser in one call: constructing the ~8k-literal ``isin`` columns
+    through the Python Column API costs ~9s of driver time PER CALL (one
+    py4j round-trip per literal), which would dominate every frontier
+    plan build; rendering the SQL text takes ~ms and is memoized per
+    (rules, host expression). This is the hot-path entry —
+    ``with_url_columns`` uses it."""
+    if rules is None:
+        rules = DEFAULT_RULES
+    key = (rules, host_sql)
+    cached = _DOMAIN_SQL_CACHE.get(key)
+    if cached is not None:
+        return cached
+    h = f"({host_sql})"
+    parts = f"split({h}, '\\\\.')"
+    n = f"size({parts})"
+
+    def tail(k: int) -> str:
+        items = ",".join(f"element_at({parts},-{i})" for i in range(k, 0, -1))
+        return f"concat_ws('.',{items})"
+
+    M = psl.MAX_SUFFIX_LABELS
+    whens = [f"WHEN {n} <= 1 THEN {h}"]
+    for d in range(M, 1, -1):
+        exc = rules.exceptions_at(d)
+        if exc:
+            whens.append(f"WHEN {n} >= {d} AND {_sql_in(tail(d), exc)} THEN {tail(d)}")
+    for d in range(M, 1, -1):
+        hit = _sql_in(tail(d), rules.suffixes_at(d))
+        wild = rules.wildcards_at(d - 1)
+        if wild:
+            hit = f"({hit} OR {_sql_in(tail(d - 1), wild)})"
+        else:
+            hit = f"({hit})"
+        if hit == "((FALSE))" or hit == "(FALSE)":
+            continue
+        whens.append(
+            f"WHEN {n} >= {d} AND {hit} THEN "
+            f"CASE WHEN {n} >= {d + 1} THEN {tail(d + 1)} ELSE {h} END"
+        )
+    dom = "CASE " + " ".join(whens) + f" ELSE {tail(2)} END"
+    out = (
+        f"CASE WHEN {h} IS NULL OR {h} RLIKE '^[0-9]+\\\\.[0-9]+\\\\.[0-9]+\\\\.[0-9]+$' "
+        f"THEN {h} ELSE {dom} END"
+    )
+    _DOMAIN_SQL_CACHE[key] = out
+    return out
+
+
+def registrable_domain(host: Column | str, rules: PslRules | None = None) -> Column:
     """eTLD+1 under the full public-suffix rule semantics (functions/psl.py:
-    normal + wildcard + exception rules at both depths, longest match
-    wins). Defaults to the embedded ICANN/private snapshot; pass
-    ``rules=psl.load_psl_file(...)`` to run the complete current list —
-    same plan shape either way. IPs pass through unchanged.
+    normal + wildcard + exception rules at EVERY depth the real list uses
+    — tails to 5 labels — longest match wins, exceptions win outright).
+    Defaults to the vendored complete publicsuffix.org list; pass
+    ``rules=`` (e.g. psl.SNAPSHOT_RULES, or a psl.load_psl_file of a newer
+    file) to swap the rule set — same plan shape either way. IPs pass
+    through unchanged.
 
     All rule sets compile to ``isin`` over literal sets — Catalyst turns
     those into InSet hash probes inside whole-stage codegen, so eTLD+1 of
-    10^10 hosts is a narrow, Python-free projection."""
+    10^10 hosts is a narrow, Python-free projection. Conditions are
+    ordered so Catalyst's short-circuiting ``And`` guards every
+    ``element_at`` with the label-count test (ANSI-safe)."""
+    if rules is None:
+        rules = DEFAULT_RULES
+    if isinstance(host, str):  # fast path: one parser call, no per-literal py4j
+        return F.expr(registrable_domain_sql(host, rules))
     is_ip = host.rlike(r"^\d+\.\d+\.\d+\.\d+$")
     parts = F.split(host, r"\.")
     n = F.size(parts)
     tail = lambda k: F.concat_ws(".", *[F.element_at(parts, -i) for i in range(k, 0, -1)])  # noqa: E731
-    last2, last3, last4 = tail(2), tail(3), tail(4)
-    dom = (
-        F.when(n <= 1, host)
-        .when((n >= 3) & _in_set(last3, rules.exceptions3), last3)
-        .when(_in_set(last2, rules.exceptions2), last2)  # "!www.ck"
-        .when(
-            (n >= 3) & (_in_set(last3, rules.suffix3) | _in_set(last2, rules.wildcard2)),
-            F.when(n >= 4, last4).otherwise(host),
+    M = psl.MAX_SUFFIX_LABELS
+    dom = F.when(n <= 1, host)
+    # exception rules first (deepest first): the tail itself is registrable
+    for d in range(M, 1, -1):
+        if rules.exceptions_at(d):
+            dom = dom.when((n >= d) & _in_set(tail(d), rules.exceptions_at(d)), tail(d))
+    # longest matching normal/wildcard rule: suffix has d labels ->
+    # registrable keeps d+1 (the whole host IS the suffix when n == d)
+    for d in range(M, 1, -1):
+        hit = _in_set(tail(d), rules.suffixes_at(d)) | _in_set(
+            tail(d - 1), rules.wildcards_at(d - 1)
         )
-        .when(
-            _in_set(last2, rules.suffix2)
-            | _in_set(F.element_at(parts, -1), rules.wildcard_tlds),
-            F.when(n >= 3, last3).otherwise(host),
+        dom = dom.when(
+            (n >= d) & hit, F.when(n >= d + 1, tail(d + 1)).otherwise(host)
         )
-        .otherwise(last2)
-    )
+    dom = dom.otherwise(tail(2))  # implicit "*" rule: bare-TLD suffix
     return F.when(is_ip | host.isNull(), host).otherwise(dom)
 
 
@@ -131,6 +217,6 @@ def with_url_columns(df, url_col: str = "url", n_shards: int = 64):
     df = df.withColumn("url_canon", _canon_from_parts(F.trim(u)))
     df = df.withColumn("url_hash", url_hash(F.col("url_canon")))
     df = df.withColumn("host", host_of(u))
-    df = df.withColumn("domain", registrable_domain(F.col("host")))
+    df = df.withColumn("domain", registrable_domain("host"))
     df = df.withColumn("shard", shard_of(F.col("domain"), n_shards))
     return df

@@ -29,10 +29,20 @@ def connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 25,
+    return_sweeps: bool = False,
 ) -> DataFrame:
     """(doc_a, doc_b) edges -> (doc, rep): rep = min doc id in the
     component. Every endpoint appears exactly once; isolated docs are the
-    caller's concern (they are their own rep by definition)."""
+    caller's concern (they are their own rep by definition).
+
+    Pointer doubling makes convergence O(log diameter): max_iter=25 covers
+    any graph a dedup pipeline can produce (diameter < 2^25). If the loop
+    still exhausts without converging, the labels are PARTIAL — downstream
+    dedup_survivors would silently keep several survivors per component —
+    so this RAISES instead of returning wrong answers (ADVICE r2).
+
+    ``return_sweeps=True`` returns ``(labels, n_sweeps)`` so tests can pin
+    the O(log diameter) bound instead of trusting the comment."""
     e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     e = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -44,7 +54,10 @@ def connected_components(
         .withColumn("rep", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    changed = -1
+    sweeps = 0
     for _ in range(max_iter):
+        sweeps += 1
         # sweep 1: pull the min label across edges (1 hop)
         nb_min = (
             e.join(labels.select(F.col("node").alias("dst"), F.col("rep")), "dst")
@@ -76,7 +89,14 @@ def connected_components(
         labels = doubled
         if changed == 0:
             break
-    return labels.select(F.col("node").alias("doc"), "rep")
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} sweeps "
+            f"({changed} labels still changing) — labels would be partial; "
+            "raise max_iter (sweeps needed ~ log2(graph diameter))"
+        )
+    out = labels.select(F.col("node").alias("doc"), "rep")
+    return (out, sweeps) if return_sweeps else out
 
 
 def dedup_survivors(docs: DataFrame, components: DataFrame, id_col: str = "doc_id") -> DataFrame:

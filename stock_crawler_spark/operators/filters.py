@@ -83,7 +83,11 @@ class NumpyBloom:
 
     @classmethod
     def from_bytes(cls, blob: bytes) -> "NumpyBloom":
-        assert blob[:4] == cls.MAGIC
+        if blob[:4] != cls.MAGIC:
+            raise ValueError(
+                f"bloom blob magic {blob[:4]!r} != {cls.MAGIC!r}: stale filter "
+                "format — rebuild seen_filters from the seen table"
+            )
         m, k = np.frombuffer(blob[4:20], dtype="<u8")
         obj = cls.__new__(cls)
         obj.m, obj.k, obj.fpp = int(m), int(k), float("nan")
@@ -95,7 +99,12 @@ class NumpyCuckoo:
     """(2,4)-cuckoo filter with 16-bit fingerprints — supports delete, the
     TTL-expiry fallback the bloom can't do (BASELINE.json north_star)."""
 
-    MAGIC = b"CKF1"
+    # CKF2: the fingerprint/bucket derivation changed after CKF1 blobs
+    # shipped (full 16-bit fp, splitmix64 bucket). A CKF1 blob probed with
+    # the CKF2 formulas would silently answer "definitely new" for seen
+    # keys, so the magic is bumped and from_bytes REJECTS old blobs — the
+    # crawl resume path then rebuilds filters from the seen table.
+    MAGIC = b"CKF2"
     SLOTS = 4
     MAX_KICKS = 500
 
@@ -189,7 +198,11 @@ class NumpyCuckoo:
 
     @classmethod
     def from_bytes(cls, blob: bytes) -> "NumpyCuckoo":
-        assert blob[:4] == cls.MAGIC
+        if blob[:4] != cls.MAGIC:
+            raise ValueError(
+                f"cuckoo blob magic {blob[:4]!r} != {cls.MAGIC!r}: stale filter "
+                "format — rebuild seen_filters from the seen table"
+            )
         (n_buckets,) = np.frombuffer(blob[4:12], dtype="<u8")
         obj = cls.__new__(cls)
         obj.n_buckets = int(n_buckets)

@@ -21,6 +21,7 @@ blobs stay MBs). SURVEY §7 watch-list item 3.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -30,6 +31,13 @@ from pyspark.sql.types import (
 )
 
 from stock_crawler_spark.operators.filters import NumpyBloom, NumpyCuckoo
+
+# Recorded in every manifest that commits a seen_filters table; a resume
+# whose committed tag differs (blob format changed between releases, e.g.
+# CKF1 -> CKF2) rebuilds the filters from the seen table instead of
+# silently probing stale blobs (ADVICE r2: stale-magic blobs would return
+# false definitely-new verdicts).
+FILTER_FORMAT = (NumpyBloom.MAGIC + NumpyCuckoo.MAGIC).decode()
 
 FILTERS_SCHEMA = StructType(
     [
@@ -151,9 +159,20 @@ def probe_seen_flag(
         if len(cand) == 0 or len(filt) == 0:
             # no blob for this shard -> shard holds no seen keys -> all new
             return pd.DataFrame({"url_hash": pd.Series([], dtype="int64")})
-        kind, blob = filt["kind"].iloc[0], bytes(filt["blob"].iloc[0])
-        f = NumpyBloom.from_bytes(blob) if kind == "bloom" else NumpyCuckoo.from_bytes(blob)
-        mask = f.contains_many(cand["url_hash"].to_numpy())
+        # A healthy filters table has exactly one blob per shard; if a
+        # carry-forward/compaction bug ever leaves several, OR the probes
+        # across ALL of them — suspects stay a superset of the truly-seen
+        # (the exact confirm join keeps the result exact) instead of
+        # silently ignoring every blob past the first (ADVICE r2).
+        hashes = cand["url_hash"].to_numpy()
+        mask = np.zeros(len(hashes), dtype=bool)
+        for kind, blob in zip(filt["kind"], filt["blob"]):
+            f = (
+                NumpyBloom.from_bytes(bytes(blob))
+                if kind == "bloom"
+                else NumpyCuckoo.from_bytes(bytes(blob))
+            )
+            mask |= f.contains_many(hashes)
         return cand.loc[mask, ["url_hash"]]
 
     suspects = (

@@ -83,8 +83,20 @@ def bootstrap(spark: SparkSession, store: StateStore, seeds, robots, skip_dates,
         [], "stock_id string, date string, line string, diff array<long>, merged_round int"
     )
     shard_map, n_f0 = store.write_frontier_shards(f0, 0, {})
+    # Pending-count seed for the manifest-carried loop-exit test: each round
+    # updates it ARITHMETICALLY from its state-transition counts, so
+    # run_crawl never scans the full frontier just to decide loop exit
+    # (that scan was an O(frontier) serial action per round — the largest
+    # Amdahl fraction in the round loop at 10^10 rows). Counting once at
+    # bootstrap is O(frontier) but happens exactly once per crawl.
+    n_pending0 = (
+        spark.read.parquet(store.table_path("frontier", 0))
+        .filter(F.col("state").isin(fr.PENDING, fr.FAILED))
+        .count()
+    )
     info = {
         "frontier_shards": shard_map,
+        "n_pending": int(n_pending0),
         "tables": {
             "frontier": n_f0,
             "seen": store.write_delta(empty_seen, "seen", 0),
@@ -95,6 +107,7 @@ def bootstrap(spark: SparkSession, store: StateStore, seeds, robots, skip_dates,
     if cfg.dedup_mode != "antijoin":
         empty_filters = spark.createDataFrame([], seen_ops.FILTERS_SCHEMA)
         info["tables"]["seen_filters"] = store.write_table(empty_filters, "seen_filters", 0)
+        info["filter_format"] = seen_ops.FILTER_FORMAT
     store.commit_round(0, info)
     return info
 
@@ -180,9 +193,15 @@ def run_round(
         disc = fr.discovered_frontier_rows(
             harvested, robots, cfg.n_shards, now, round_id
         ).join(frontier.select("url_canon"), "url_canon", "left_anti").cache()
-        n_disc = disc.count()
+        # one action: total discovered + how many enter the pending set
+        # (robots-denied discoveries never become pending)
+        d_c = disc.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("state") == fr.PENDING, 1).otherwise(0)).alias("p"),
+        ).collect()[0]
+        n_disc, n_disc_pending = int(d_c["n"] or 0), int(d_c["p"] or 0)
     else:
-        disc, n_disc = None, 0
+        disc, n_disc, n_disc_pending = None, 0, 0
 
     done_keys = ok_fetch.select("url_canon", "shard").withColumn("_new_state", F.lit(fr.DONE))
     miss_keys = miss.select("url_canon", "shard").withColumn("_new_state", F.lit("_miss"))
@@ -270,12 +289,19 @@ def run_round(
         F.sum(F.when(~F.col("_scheduled"), one).otherwise(0)).alias("d"),
     ).collect()[0]
     n_sched, n_defer = int(dq_c["s"] or 0), int(dq_c["d"] or 0)
+    is_miss = ~F.col("fetched") & ~F.col("_permanent")
     f_c = fetched.agg(
         F.sum(F.when(F.col("fetched"), one).otherwise(0)).alias("ok"),
-        F.sum(F.when(~F.col("fetched") & ~F.col("_permanent"), one).otherwise(0)).alias("miss"),
+        F.sum(F.when(is_miss, one).otherwise(0)).alias("miss"),
         F.sum(F.when(F.col("_permanent"), one).otherwise(0)).alias("perm"),
+        # misses whose NEXT retry count hits the cap transition to 'dead'
+        # this round — needed for the manifest-carried pending arithmetic
+        F.sum(
+            F.when(is_miss & (F.col("retry_count") + 1 >= cfg.max_attempts), one).otherwise(0)
+        ).alias("miss_dead"),
     ).collect()[0]
     n_done, n_miss, n_perm = int(f_c["ok"] or 0), int(f_c["miss"] or 0), int(f_c["perm"] or 0)
+    n_miss_dead = int(f_c["miss_dead"] or 0)
     n_dedup = deduped.count()
     n_empty = extracted.filter(F.col("parse_error") != "").count()
     shard_lineage = (
@@ -318,11 +344,31 @@ def run_round(
         )
         filters_next = filters.join(touched_shards, "shard", "left_anti").unionByName(rebuilt)
         tables["seen_filters"] = store.write_table(filters_next, "seen_filters", round_id)
+        info_filter_format = seen_ops.FILTER_FORMAT
+    else:
+        info_filter_format = None
+
+    # --- manifest-carried pending count: pending' = pending - (rows that
+    #     LEFT the {pending,failed} set: done, deduped, permanent-dead,
+    #     miss-that-exhausted-retries) + discovered-pending. Deferred and
+    #     still-retryable misses stay in the set. run_crawl reads this
+    #     instead of scanning the full frontier per round (Amdahl fix). ---
+    prev_manifest = store.read_manifest(round_id - 1)
+    n_pending_prev = prev_manifest.get("n_pending")
+    if n_pending_prev is None:  # legacy state dir: scan once, carry forward
+        n_pending_prev = (
+            frontier.filter(F.col("state").isin(fr.PENDING, fr.FAILED)).count()
+        )
+    n_pending = (
+        int(n_pending_prev) - n_done - n_dedup - n_perm - n_miss_dead + n_disc_pending
+    )
 
     info = {
         "tables": tables,
         "frontier_shards": shard_map,
+        "n_pending": n_pending,
         "changed_shards": sorted(changed_shards),
+        **({"filter_format": info_filter_format} if info_filter_format else {}),
         "metrics": dict(metrics_rows),
         "shard_lineage": [r.asDict() for r in shard_lineage.collect()],
         "wall_sec": round(time.monotonic() - t0, 3),
@@ -363,19 +409,26 @@ def run_crawl(
     start = 1
     if resume and store.latest_committed_round() >= 0:
         start = store.latest_committed_round() + 1
-        # Resuming with a filter-backed dedup_mode against a state dir that
-        # was bootstrapped/advanced under a different mode: the committed
-        # round has no seen_filters table. Rebuild the blobs from the
-        # committed seen set (distributed, per-shard) instead of crashing
-        # on a missing path mid-crawl.
-        if cfg.dedup_mode != "antijoin" and not os.path.isdir(
-            store.table_path("seen_filters", start - 1)
-        ):
-            kind = "bloom" if cfg.dedup_mode == "bloom" else "cuckoo"
-            seen_now = store.read_accumulated(spark, "seen", start - 1)
-            store.write_table(
-                seen_ops.build_seen_filters(seen_now, kind=kind), "seen_filters", start - 1
-            )
+        # Resuming with a filter-backed dedup_mode must rebuild the blobs
+        # from the committed seen set (distributed, per-shard) when the
+        # committed state can't be probed as-is:
+        #   - no seen_filters table (state dir advanced under another mode)
+        #   - STALE BLOB FORMAT: the manifest's filter_format tag differs
+        #     from the current one (e.g. CKF1-era blobs probed with CKF2
+        #     formulas would silently answer definitely-new — ADVICE r2).
+        #     The tag check is O(1) manifest read; no blob ever reaches the
+        #     driver.
+        if cfg.dedup_mode != "antijoin":
+            need_rebuild = not os.path.isdir(store.table_path("seen_filters", start - 1))
+            if not need_rebuild:
+                committed_fmt = store.read_manifest(start - 1).get("filter_format")
+                need_rebuild = committed_fmt != seen_ops.FILTER_FORMAT
+            if need_rebuild:
+                kind = "bloom" if cfg.dedup_mode == "bloom" else "cuckoo"
+                seen_now = store.read_accumulated(spark, "seen", start - 1)
+                store.write_table(
+                    seen_ops.build_seen_filters(seen_now, kind=kind), "seen_filters", start - 1
+                )
     else:
         bootstrap(spark, store, seeds, robots, skip_dates, cfg)
 
@@ -387,8 +440,16 @@ def run_crawl(
     for r in range(start, max_rounds + 1):
         if wall_budget_sec is not None and time.monotonic() - t_start > wall_budget_sec:
             break
-        frontier = store.read_frontier(spark, r - 1)
-        remaining = frontier.filter(F.col("state").isin(fr.PENDING, fr.FAILED)).count()
+        # loop-exit test from the manifest's carried pending count — O(1)
+        # manifest read instead of an O(frontier) scan per round (the r2
+        # verdict's top serial-fraction finding). Legacy manifests without
+        # the field (pre-upgrade state dirs) fall back to one scan.
+        remaining = store.read_manifest(r - 1).get("n_pending")
+        if remaining is None:
+            frontier = store.read_frontier(spark, r - 1)
+            remaining = frontier.filter(
+                F.col("state").isin(fr.PENDING, fr.FAILED)
+            ).count()
         if remaining == 0:
             break
         rounds.append(run_round(spark, store, pages_canon, r, cfg, robots=robots))

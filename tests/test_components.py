@@ -47,6 +47,36 @@ def test_dedup_survivors(spark):
     assert kept == [0, 1, 3, 4, 6, 7, 9]
 
 
+def test_adversarial_chain_sweep_bound(spark):
+    """Pins the O(log diameter) claim: a 4096-node path (the worst graph a
+    pair generator can emit) must converge in ~log2(diameter) sweeps, not
+    O(diameter) — and to the right labels."""
+    n = 4096
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    labels, sweeps = connected_components(edges, return_sweeps=True)
+    import math
+
+    assert sweeps <= int(math.log2(n)) + 4, sweeps
+    got = labels.agg(
+        F.countDistinct("rep").alias("reps"), F.count("*").alias("n")
+    ).collect()[0]
+    assert got["reps"] == 1 and got["n"] == n
+
+
+def test_nonconvergence_raises(spark):
+    """Exhausting max_iter with labels still moving must raise, never
+    silently return partial labels (ADVICE r2)."""
+    import pytest
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=2)
+
+
 def test_edge_determinism_and_order_invariance(spark):
     e1 = [(4, 2), (2, 9), (9, 4), (1, 9)]
     e2 = list(reversed([(a, b) if a < b else (b, a) for a, b in e1]))

@@ -125,6 +125,21 @@ def test_follow_links_multi_hop_and_robots(spark, linkweb_dir, tmp_path):
     assert m1["metrics"]["links_discovered"] == 4  # a, b, x, secret (mailto dropped)
 
 
+def test_follow_links_n_pending_manifest(spark, linkweb_dir, tmp_path):
+    """Discovered urls (pending AND robots-denied) must keep the
+    manifest-carried pending count in lockstep with a real frontier scan —
+    the growth path is the hard case for the loop-exit arithmetic."""
+    from test_round_e2e import assert_n_pending_matches_scan
+
+    seeds = spark.read.parquet(f"{linkweb_dir}/seeds.parquet")
+    robots = spark.read.parquet(f"{linkweb_dir}/robots.parquet")
+    skip = spark.read.parquet(f"{linkweb_dir}/skip_dates.parquet")
+    pages = spark.read.parquet(f"{linkweb_dir}/pages.parquet")
+    state = str(tmp_path / "state")
+    run_crawl(spark, state, seeds, robots, skip, pages, RoundConfig(follow_links=True))
+    assert_n_pending_matches_scan(spark, state)
+
+
 def test_follow_links_resume(spark, linkweb_dir, tmp_path):
     """A grown frontier must resume exactly like a static one."""
     seeds = spark.read.parquet(f"{linkweb_dir}/seeds.parquet")

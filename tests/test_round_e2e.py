@@ -142,6 +142,34 @@ def test_resume_with_different_dedup_mode(spark, small_fixture_dir, tmp_path):
     )
 
 
+def assert_n_pending_matches_scan(spark, state_dir):
+    """The manifest-carried pending count (arithmetic over the round's state
+    transitions — the loop-exit O(frontier)-scan replacement) must equal an
+    actual scan of the committed frontier at EVERY round."""
+    store = StateStore(state_dir)
+    last = store.latest_committed_round()
+    assert last >= 1
+    for r in range(0, last + 1):
+        m = store.read_manifest(r)
+        scanned = (
+            store.read_frontier(spark, r)
+            .filter(F.col("state").isin("pending", "failed"))
+            .count()
+        )
+        assert m["n_pending"] == scanned, f"round {r}: {m['n_pending']} != {scanned}"
+    return store.read_manifest(last)["n_pending"]
+
+
+@pytest.mark.parametrize("mode", ["antijoin", "bloom", "cuckoo"])
+def test_manifest_n_pending_matches_scan(spark, small_fixture_dir, tmp_path, mode):
+    seeds, robots, skip, pages = _load(spark, small_fixture_dir)
+    state = str(tmp_path / f"state_{mode}")
+    out = run_crawl(spark, state, seeds, robots, skip, pages, RoundConfig(dedup_mode=mode))
+    final_pending = assert_n_pending_matches_scan(spark, state)
+    if out["last_round"] < 12:  # loop exited via the manifest check, not max_rounds
+        assert final_pending == 0
+
+
 def test_manifest_lineage_recorded(spark, small_fixture_dir, tmp_path):
     seeds, robots, skip, pages = _load(spark, small_fixture_dir)
     state = str(tmp_path / "state")

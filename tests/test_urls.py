@@ -177,3 +177,96 @@ def test_psl_column_accepts_loaded_rules(spark, tmp_path):
     )
     for row in df.collect():
         assert row["dom"] == registrable_domain_py(row["host"], r), row["host"]
+
+
+def test_full_psl_vendored_is_default():
+    """The engine default is the complete vendored publicsuffix.org list —
+    deep rules present, snapshot left as explicit fallback (VERDICT r2 #2)."""
+    import os
+
+    from stock_crawler_spark.functions.psl import (
+        DEFAULT_RULES, SNAPSHOT_RULES, VENDORED_PSL_PATH,
+    )
+
+    assert os.path.isfile(VENDORED_PSL_PATH)
+    assert len(DEFAULT_RULES.suffix2) > 5000          # full ICANN+private mass
+    assert DEFAULT_RULES.suffix4 and DEFAULT_RULES.suffix5
+    assert DEFAULT_RULES.wildcard3                    # *.compute.amazonaws.com etc.
+    # the snapshot is still available for tiny-rule-set tests
+    assert len(SNAPSHOT_RULES.suffix2) < 1000
+    # ICANN deep families resolve exactly, not folded to 3 labels
+    from stock_crawler_spark.functions.psl import registrable_domain_py as rd
+
+    assert rd("obj.bucket.s3.dualstack.ap-south-1.amazonaws.com") == (
+        "bucket.s3.dualstack.ap-south-1.amazonaws.com"
+    )
+    assert rd("x.vm.compute.amazonaws.com.cn") == "x.vm.compute.amazonaws.com.cn"
+
+
+def test_psl_deep_rules_column_python_parity(spark, tmp_path):
+    """4/5-label normal + wildcard + exception rules: the Column matcher,
+    the SQL fast path, and the Python twin agree exactly (no 3-label
+    folding — VERDICT r2 #2 done-condition)."""
+    from stock_crawler_spark.functions.psl import load_psl_file, registrable_domain_py
+
+    p = tmp_path / "psl.dat"
+    p.write_text(
+        "jp\nus\ncom\n"
+        "k12.ma.us\n"                # 3-label normal
+        "pref.aichi.jp\n"            # 3-label normal
+        "a.b.c.com\n"                # 4-label normal
+        "d.a.b.c.com\n"              # 5-label normal
+        "*.x.y.com\n"                # wildcard, 3-label tail
+        "!ok.x.y.com\n"              # 4-label exception
+        "*.w.a.b.com\n"              # wildcard, 4-label tail
+    )
+    r = load_psl_file(str(p))
+    assert "a.b.c.com" in r.suffix4 and "d.a.b.c.com" in r.suffix5
+    assert "x.y.com" in r.wildcard3 and "w.a.b.com" in r.wildcard4
+    assert "ok.x.y.com" in r.exceptions4
+    hosts = [
+        "site.a.b.c.com", "q.site.a.b.c.com",        # 4-label suffix -> 5-label reg
+        "site.d.a.b.c.com", "q.site.d.a.b.c.com",    # 5-label suffix -> 6-label reg
+        "child.x.y.com", "s.child.x.y.com", "t.s.child.x.y.com",  # wildcard3
+        "ok.x.y.com", "s.ok.x.y.com",                # exception4 carve-out
+        "kid.w.a.b.com", "s.kid.w.a.b.com", "t.s.kid.w.a.b.com",  # wildcard4
+        "school.k12.ma.us", "a.school.k12.ma.us",
+        "plain.com", "a.b.c.com",                    # suffix itself passes through
+    ]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(h,) for h in hosts], "host string").select(
+        "host",
+        urls.registrable_domain(F.col("host"), rules=r).alias("dom_col"),
+        urls.registrable_domain("host", rules=r).alias("dom_sql"),
+    )
+    for row in df.collect():
+        want = registrable_domain_py(row["host"], r)
+        assert row["dom_col"] == want, (row["host"], row["dom_col"], want)
+        assert row["dom_sql"] == want, (row["host"], row["dom_sql"], want)
+    # spot-pin the semantics themselves (not just twin agreement)
+    rd = lambda h: registrable_domain_py(h, r)  # noqa: E731
+    assert rd("q.site.a.b.c.com") == "site.a.b.c.com"
+    # *.x.y.com: child.x.y.com IS the suffix -> its child is registrable
+    assert rd("child.x.y.com") == "child.x.y.com"  # suffix itself: pass-through
+    assert rd("s.child.x.y.com") == "s.child.x.y.com"
+    assert rd("t.s.child.x.y.com") == "s.child.x.y.com"
+    assert rd("ok.x.y.com") == "ok.x.y.com"      # exception: tail registrable
+    assert rd("s.ok.x.y.com") == "ok.x.y.com"
+    assert rd("t.s.kid.w.a.b.com") == "s.kid.w.a.b.com"
+
+
+def test_registrable_domain_sql_matches_column_on_full_rules(spark):
+    """The memoized SQL fast path and the Column builder are the same
+    matcher under the FULL vendored rules (hot path == reference path)."""
+    hosts = [
+        "foo.city.kawasaki.jp", "x.a.b.kawasaki.jp", "deep.site.seoul.kr",
+        "obj.bucket.s3.dualstack.ap-south-1.amazonaws.com",
+        "x.vm.compute.amazonaws.com.cn", "user.github.io", "a.b.co.uk",
+        "example.com", "localhost", "1.2.3.4", "x.www.ck", "shop.com.np",
+    ]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string").select(
+        "host", urls.registrable_domain("host").alias("dom")
+    )
+    for row in df.collect():
+        assert row["dom"] == registrable_domain_py(row["host"]), row["host"]
