@@ -219,6 +219,41 @@ def render_concentration(rnd: random.Random, sid: str, date_iso: str, page_n: in
     return html, golden
 
 
+def render_invalid_big5_stocklist():
+    """Decode-wall adversarial page (VERDICT r2 #6): a stocklist whose name
+    cells are INVALID Big5 byte sequences — invalid trail, unassigned pair,
+    bad leads — spliced raw into an otherwise-valid Big5 page. Golden text
+    is computed through the engine's own decode_big5 (one code path), so
+    the corpus pins the substitution bytes end-to-end; the granularity
+    RULES themselves (Go x/text state machine) are pinned by hard-coded
+    expectations in test_parsers."""
+    from stock_crawler_spark.parsers.dispatch import decode_big5
+
+    garbles = [
+        b"\xa4 g1",      # invalid trail (0x20): U+FFFD consumes lead only
+        b"\x81\x40g2",   # valid-range pair: assigned-or-FFFD, 2 bytes
+        b"\xffg3",       # 0xFF is never a lead
+        b"\x80g4",       # 0x80 is never a lead
+    ]
+    sids = ["9101", "9102", "9103", "9104"]
+    e = lambda s: s.encode("big5", errors="strict")  # noqa: E731
+    parts = [e("<html><body><table>"), e("<tr><td><b>股票</b></td></tr>")]
+    golden = []
+    for sid, g in zip(sids, garbles):
+        parts.append(
+            e(f"<tr><td>{sid}　") + g
+            + e(
+                f"</td><td>TW000{sid}00{sid[-1]}</td><td>2004/01/01</td>"
+                "<td>上市</td><td>其他</td><td>ESVUFR</td></tr>"
+            )
+        )
+        golden.append(
+            serialize.stock_json(sid, decode_big5(g).strip(), "TW", "其他", "tse")
+        )
+    parts.append(e("</table></body></html>"))
+    return b"".join(parts), serialize.join_lines(golden)
+
+
 def render_junk(rnd: random.Random) -> bytes:
     words = ["lorem", "ipsum", "noise", "banner", "nav", "footer"]
     body = " ".join(rnd.choices(words, k=30))
@@ -371,6 +406,23 @@ def generate_fixtures(out_dir: str, scale: str = "test", seed: int = 42, **overr
                 continue
             html, golden = render_concentration(rnd, sid, date_iso, n)
             add_page(url, html, golden, "zh-Hant")
+
+    # decode-wall adversarial pages (invalid Big5 on the substitution path):
+    # a stocklist with garbage-byte names, and a junk page truncated
+    # mid-multibyte (lone lead at EOF -> one U+FFFD, empty parse)
+    adv_url = f"https://www.{domains[0]}/zh/invalid_big5_stocklist.html"
+    seeds_rows.append(
+        dict(url=adv_url, strategy="twse_stocklist", stock_id=None,
+             crawl_date=all_dates[0], query_date="", priority=0.99)
+    )
+    adv_html, adv_text = render_invalid_big5_stocklist()
+    add_page(adv_url, adv_html, adv_text, "zh-Hant")
+    trunc_url = f"https://www.{domains[0]}/zh/truncated_big5.html"
+    seeds_rows.append(
+        dict(url=trunc_url, strategy="twse_stocklist", stock_id=None,
+             crawl_date=all_dates[0], query_date="", priority=0.98)
+    )
+    add_page(trunc_url, render_junk(rnd) + b"\xa4", "", "und")
 
     # ~5% canonical-duplicate seed variants
     for i, s in enumerate(list(seeds_rows)):

@@ -99,14 +99,23 @@ class NumpyCuckoo:
     """(2,4)-cuckoo filter with 16-bit fingerprints — supports delete, the
     TTL-expiry fallback the bloom can't do (BASELINE.json north_star)."""
 
-    # CKF2: the fingerprint/bucket derivation changed after CKF1 blobs
-    # shipped (full 16-bit fp, splitmix64 bucket). A CKF1 blob probed with
-    # the CKF2 formulas would silently answer "definitely new" for seen
-    # keys, so the magic is bumped and from_bytes REJECTS old blobs — the
-    # crawl resume path then rebuilds filters from the seen table.
-    MAGIC = b"CKF2"
+    # CKF3: fp/bucket derivation history — CKF1 (truncated fp), CKF2 (full
+    # 16-bit fp, splitmix64 bucket — but fp and b1 came from the SAME mix
+    # of the same value, so for keys < 2^16, where fp == key, the xor in
+    # b2 = b1 ^ mix(fp) cancelled and EVERY small key's alternate bucket
+    # was bucket 0: one bucket absorbed ~N demand and inserts failed at
+    # 78% load; caught by the high-load property test). CKF3 takes the fp
+    # from the TOP 16 bits of the mix (b1 uses the low bits) and a second
+    # mixing constant for the fp->offset map. A stale blob probed with the
+    # new formulas would silently answer "definitely new" for seen keys,
+    # so from_bytes REJECTS old magics — the crawl resume path then
+    # rebuilds filters from the seen table.
+    MAGIC = b"CKF3"
     SLOTS = 4
     MAX_KICKS = 500
+    # Knuth multiplicative constant, distinct from the splitmix64 stream:
+    # maps the stored 16-bit fp to its partner-bucket xor offset.
+    _FP_MIX = 0x9E3779B97F4A7C15
 
     def __init__(self, n_items: int):
         # floor of 16 buckets (128 B): below that, two-choice hashing has
@@ -124,19 +133,24 @@ class NumpyCuckoo:
 
     def _fp_and_buckets(self, hashes):
         h = _as_u64(hashes)
-        # full 16-bit fingerprint; only the reserved 0 value remaps (to 1) —
-        # forcing the low bit would halve entropy and ~double the fpp
-        fp = (h & _U64(0xFFFF)).astype(np.uint16)
+        s = _splitmix64(h)
+        # full 16-bit fingerprint from the TOP bits of the mix (b1 uses the
+        # low bits — fp and b1 must not share bits: CKF2 derived fp from the
+        # raw key, so for keys < 2^16 fp == key and b1 ^ mix(fp) cancelled
+        # to bucket 0 for every small key). Only the reserved 0 fp remaps
+        # (to 1) — forcing the low bit would halve entropy and ~double fpp.
+        fp = (s >> _U64(48)).astype(np.uint16)
         fp = np.where(fp == 0, np.uint16(1), fp)
-        # bucket from the FULL mixed key: deriving b1 from h >> 16 alone
-        # collapses key families that differ only in low bits (all small
-        # negative ints share identical upper 48 bits -> one bucket);
-        # splitmix over all 64 bits is uniform for any input. b1 need not
-        # be independent of fp — partial-key cuckoo only requires the
-        # b2 = b1 xor mix(fp) relation.
-        b1 = _splitmix64(h) % _U64(self.n_buckets)
-        b2 = (b1 ^ _splitmix64(fp.astype(_U64))) % _U64(self.n_buckets)
+        b1 = s % _U64(self.n_buckets)
+        b2 = (b1 ^ self._fp_offset(fp)) % _U64(self.n_buckets)
         return fp, b1.astype(np.int64), b2.astype(np.int64)
+
+    def _fp_offset(self, fp) -> np.ndarray:
+        """fp -> partner-bucket xor offset, via a mix DISTINCT from the
+        b1 stream (multiply-then-downmix; n_buckets is a power of two, so
+        xor-then-mod keeps the b1<->b2 involution)."""
+        x = (fp.astype(_U64) * _U64(self._FP_MIX)).astype(_U64)
+        return x >> _U64(32)
 
     def add_many(self, hashes) -> int:
         """Insert; returns number that failed (filter too full)."""
@@ -164,7 +178,7 @@ class NumpyCuckoo:
             self._kick = (self._kick * 6364136223846793005 + 1442695040888963407) % (1 << 64)
             slot = (self._kick >> 33) % self.SLOTS
             f, self.table[b, slot] = self.table[b, slot], f
-            b = int((b ^ int(_splitmix64(np.array([f], dtype=_U64))[0])) % self.n_buckets)
+            b = int((b ^ int(self._fp_offset(np.array([f], dtype=np.uint16))[0])) % self.n_buckets)
             row = self.table[b]
             empty = np.nonzero(row == 0)[0]
             if empty.size:

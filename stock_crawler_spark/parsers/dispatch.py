@@ -44,9 +44,71 @@ ERR_DECODE = "decode_error"
 ERR_UNKNOWN_STRATEGY = "unknown_strategy"
 
 
+def _decode_big5_go(raw: bytes) -> str:
+    """Go x/text Big5 substitution semantics, byte for byte (the decoder
+    behind transform.NewReader in the reference's parser.go:106; state
+    machine per x/text/encoding/traditionalchinese — public source):
+
+      - ASCII byte            -> itself (1 byte)
+      - lead 0x81..0xFE, trail in [0x40,0x7E] or [0xA1,0xFE]:
+          assigned pair       -> its rune (2 bytes)
+          unassigned pair     -> one U+FFFD consuming BOTH bytes
+      - lead 0x81..0xFE, INVALID trail -> one U+FFFD consuming the LEAD
+        only; the trail re-decodes on its own (an ASCII trail survives)
+      - lead 0x80/0xFF, or a lead truncated at EOF -> one U+FFFD
+
+    Python's ``errors="replace"`` differs exactly on the unassigned-pair
+    case (it consumes only the lead, leaking the trail byte into the
+    text), which is why this loop exists. Assigned-pair lookup tries the
+    plain big5 table first, then big5hkscs — x/text follows the WHATWG
+    big5 index, which includes the HKSCS extensions.
+
+    Only MALFORMED payloads reach this per-byte loop; well-formed pages
+    (the entire real corpus) take the strict C-codec fast path in
+    decode_big5 below."""
+    out: list[str] = []
+    i, n = 0, len(raw)
+    while i < n:
+        c0 = raw[i]
+        if c0 < 0x80:
+            out.append(chr(c0))
+            i += 1
+        elif 0x81 <= c0 <= 0xFE:
+            if i + 1 >= n:  # truncated lead at EOF
+                out.append("�")
+                i += 1
+            else:
+                c1 = raw[i + 1]
+                if (0x40 <= c1 <= 0x7E) or (0xA1 <= c1 <= 0xFE):
+                    pair = raw[i : i + 2]
+                    for codec in ("big5", "big5hkscs"):
+                        try:
+                            out.append(pair.decode(codec))
+                            break
+                        except UnicodeDecodeError:
+                            continue
+                    else:  # unassigned: both bytes consumed
+                        out.append("�")
+                    i += 2
+                else:  # invalid trail: lead only; trail re-decodes
+                    out.append("�")
+                    i += 1
+        else:  # 0x80 / 0xFF lead
+            out.append("�")
+            i += 1
+    return "".join(out)
+
+
 def decode_big5(raw: bytes) -> str:
-    """parser.go:106 — every payload flows through a Big5 decoder."""
-    return raw.decode("big5", errors="replace")
+    """parser.go:106 — every payload flows through a Big5 decoder.
+
+    Fast path: the strict C codec (valid pages — the whole real corpus).
+    Malformed payloads fall back to the Go-conformant substitution loop so
+    the U+FFFD granularity matches the reference decoder, not Python's."""
+    try:
+        return raw.decode("big5")
+    except UnicodeDecodeError:
+        return _decode_big5_go(raw)
 
 
 def parse_payload(url: str, raw: bytes, strategy: str, date: str) -> tuple[str, str, int, str]:

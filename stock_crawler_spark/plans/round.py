@@ -55,6 +55,10 @@ class RoundConfig:
     trace: bool = True
     compact_every: int = 4  # fold seen/records deltas every K rounds (0 = off)
     follow_links: bool = False  # harvest outlinks into the frontier (growth)
+    # keep only the last K rounds' state on disk (None = keep everything);
+    # GC runs after each compaction boundary and is time-travel-safe within
+    # the retained window (plans/state.StateStore.gc)
+    retain_rounds: int | None = None
 
 
 def round_ts(round_id: int, cfg: RoundConfig) -> datetime:
@@ -456,5 +460,7 @@ def run_crawl(
         if cfg.compact_every and r % cfg.compact_every == 0:
             for t in DELTA_TABLES:
                 store.compact(spark, t, r)
+            if cfg.retain_rounds is not None:
+                store.gc(spark, keep_last=cfg.retain_rounds)
     pages_canon.unpersist()
     return {"rounds": rounds, "last_round": store.latest_committed_round()}

@@ -158,6 +158,98 @@ class StateStore:
         df = spark.read.option("basePath", base).parquet(*paths)
         return df.drop("round")  # the round=N dir name, not a data column
 
+    # --- retention / GC ------------------------------------------------------
+
+    def gc(self, spark: SparkSession, keep_last: int = 4) -> dict:
+        """Reclaim state older than the last ``keep_last`` committed rounds
+        (the Iceberg expire-snapshots equivalent; the reference's analog is
+        the Redis 6h TTL, services/entities.go:35). Without this a long
+        crawl accumulates every round=N/delta=N dir and manifest forever.
+
+        Time-travel-SAFE within retention: every round in
+        [cutoff, last] stays fully readable (frontier, accumulated deltas,
+        snapshots, manifest) — deltas at or below the cutoff are first
+        FOLDED into a base at the cutoff (compact is crash-safe: tmp +
+        atomic rename), and only then deleted, so an interrupted GC leaves
+        a state that is a superset of the post-GC one and a re-run
+        completes it. Frontier shard dirs are deleted only when NO kept
+        manifest references them (copy-on-write shards are shared across
+        rounds). Returns a summary dict for the caller's logs."""
+        import shutil
+
+        def _num(s: str) -> int | None:
+            try:
+                return int(s)
+            except ValueError:  # e.g. a crashed compaction's "3.tmp"
+                return None
+
+        last = self.latest_committed_round()
+        cutoff = last - keep_last
+        if cutoff <= 0:
+            return {"cutoff": cutoff, "deleted": 0}
+        deleted = 0
+
+        # 1. delta tables: fold everything <= cutoff into base=cutoff, then
+        #    drop the folded deltas and any older bases
+        for name in DELTA_TABLES:
+            self.compact(spark, name, cutoff)
+            tdir = os.path.join(self.root, name)
+            for d in os.listdir(tdir):
+                if d.startswith("delta="):
+                    r = _num(d[6:])
+                    if r is not None and r <= cutoff:
+                        shutil.rmtree(os.path.join(tdir, d))
+                        deleted += 1
+                elif d.startswith("base="):
+                    b = _num(d[5:])
+                    if b is not None and b < cutoff:
+                        shutil.rmtree(os.path.join(tdir, d))
+                        deleted += 1
+
+        # 2. frontier: keep every (round, shard) dir some kept manifest
+        #    references; delete the rest of the pre-cutoff round dirs
+        referenced: set[tuple[int, str]] = set()
+        for r in range(cutoff, last + 1):
+            if os.path.isfile(self.manifest_path(r)):
+                for s, rr in self.read_manifest(r)["frontier_shards"].items():
+                    referenced.add((int(rr), s))
+        fdir = os.path.join(self.root, "frontier")
+        if os.path.isdir(fdir):
+            for d in list(os.listdir(fdir)):
+                if not d.startswith("round="):
+                    continue
+                r = _num(d[6:])
+                if r is None or r >= cutoff:
+                    continue
+                rdir = os.path.join(fdir, d)
+                for sd in list(os.listdir(rdir)):
+                    if sd.startswith("shard=") and (r, sd[6:]) not in referenced:
+                        shutil.rmtree(os.path.join(rdir, sd))
+                        deleted += 1
+                if not any(x.startswith("shard=") for x in os.listdir(rdir)):
+                    shutil.rmtree(rdir)
+
+        # 3. snapshot tables: drop pre-cutoff round dirs
+        for name in os.listdir(self.root):
+            tdir = os.path.join(self.root, name)
+            if name in ("frontier", "_manifests") or not os.path.isdir(tdir):
+                continue
+            if name in DELTA_TABLES:
+                continue
+            for d in list(os.listdir(tdir)):
+                if d.startswith("round=") and (_num(d[6:]) or 0) < cutoff and _num(d[6:]) is not None:
+                    shutil.rmtree(os.path.join(tdir, d))
+                    deleted += 1
+
+        # 4. manifests last (a crash before this point leaves extra but
+        #    valid history; re-running gc finishes the job)
+        for r in range(0, cutoff):
+            p = self.manifest_path(r)
+            if os.path.isfile(p):
+                os.remove(p)
+                deleted += 1
+        return {"cutoff": cutoff, "deleted": deleted}
+
     def commit_round(self, round_id: int, info: dict) -> None:
         """Atomic: the manifest appears only complete (tmp + rename)."""
         path = self.manifest_path(round_id)

@@ -15,6 +15,10 @@ from stock_crawler_spark.streaming.jobs import (  # noqa: F401
     streaming_round_metrics,
     streaming_wire_publish,
 )
+from stock_crawler_spark.streaming.sinks import (  # noqa: F401
+    kafka_foreach_batch_sink,
+    read_published,
+)
 from stock_crawler_spark.streaming.stateful import (  # noqa: F401
     streaming_politeness_gate,
 )

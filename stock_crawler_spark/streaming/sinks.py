@@ -1,0 +1,70 @@
+"""Kafka-shaped streaming sink: a foreachBatch producer drain.
+
+The sandbox has no Kafka broker, so the producer side of the reference's
+publish path (internal/kafka/producer.go:118-137 WriteMessages) is modeled
+as a foreachBatch drain that enforces the exact contract a real
+``writeStream.format("kafka")`` sink would:
+
+  - schema must be exactly (topic string, value binary) — the kafka sink's
+    required columns; anything else fails the query, not silently drops
+  - NULL topic or NULL value fails the batch (Kafka rejects such records;
+    the reference never produces them — wire.simple_entity_messages filters
+    topicless strategies for the same reason)
+  - each micro-batch lands ATOMICALLY under ``batch=<epoch_id>`` (tmp +
+    rename) and a replayed epoch overwrites its own directory, so the
+    crash-replay a Structured Streaming sink must tolerate (the last
+    uncommitted batch re-runs after recovery) is effectively-once here —
+    the same discipline an idempotent Kafka producer gives the reference.
+
+Swapping in a real broker is a one-line change at the call site
+(``.writeStream.format("kafka").option("kafka.bootstrap.servers", ...)``);
+everything upstream of the sink is identical.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_BATCH_DIR_RX = re.compile(r"^batch=\d+$")
+
+
+def kafka_foreach_batch_sink(out_dir: str):
+    """-> a foreachBatch callable draining (topic, value) micro-batches."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _drain(batch_df: DataFrame, epoch_id: int) -> None:
+        dtypes = dict(batch_df.dtypes)
+        if dtypes.get("topic") != "string" or dtypes.get("value") != "binary":
+            raise ValueError(
+                f"kafka sink needs (topic string, value binary), got {dtypes}"
+            )
+        n_bad = batch_df.filter(
+            F.col("topic").isNull() | F.col("value").isNull()
+        ).count()
+        if n_bad:
+            raise ValueError(f"kafka sink: {n_bad} records with NULL topic/value")
+        final = os.path.join(out_dir, f"batch={epoch_id}")
+        tmp = final + ".tmp"
+        batch_df.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(final):  # crash-replay of an uncommitted epoch
+            shutil.rmtree(final)
+        os.replace(tmp, final)
+
+    return _drain
+
+
+def read_published(spark: SparkSession, out_dir: str) -> DataFrame:
+    """All messages the sink committed (ignores orphaned .tmp batches)."""
+    paths = sorted(
+        os.path.join(out_dir, d)
+        for d in os.listdir(out_dir)
+        if _BATCH_DIR_RX.match(d)
+    )
+    if not paths:
+        return spark.createDataFrame([], "topic string, value binary")
+    return spark.read.parquet(*paths)

@@ -129,3 +129,83 @@ def test_kmeans_empty_cell_keeps_centroid(spark):
     cents, assigned = build_ivf(df, n_cells=3, refine_iters=2)
     assert cents.count() == 3  # no vanishing cells
     assert assigned.count() == len(rows)
+
+
+def test_auto_n_cells_scales_with_corpus():
+    """The n_cells default derives from corpus size (sqrt operating point,
+    capped) — never a scale-blind constant (r2 verdict #3)."""
+    from stock_crawler_spark.operators.ann import auto_n_cells
+
+    assert auto_n_cells(0) == 1 and auto_n_cells(1) == 1
+    assert auto_n_cells(100) == 10
+    assert auto_n_cells(10**6) == 1000
+    assert auto_n_cells(10**10) == 65536          # cap: flat IVF's ceiling
+    assert auto_n_cells(10**6, target_cell_rows=1000) == 1000
+    assert auto_n_cells(10**4, target_cell_rows=10**6) == 1   # floor
+    # monotone in corpus size up to the cap
+    prev = 0
+    for n in (10, 10**3, 10**5, 10**7, 10**9):
+        cur = auto_n_cells(n)
+        assert cur >= prev
+        prev = cur
+
+
+def test_ivf_auto_cells_end_to_end(spark, emb):
+    """n_cells=None flows through ivf_topk: index sized from the corpus,
+    results still well-formed and reasonably accurate."""
+    exact_rows = ann.brute_force_topk(emb.filter(F.col("vec_id") < 10), emb, k=5).collect()
+    rows = ann.ivf_topk(emb.filter(F.col("vec_id") < 10), emb, k=5, nprobe=8).collect()
+    assert len(rows) > 0
+    exact = {}
+    for r in exact_rows:
+        exact.setdefault(r["query_id"], set()).add(r["cand_id"])
+    approx = {}
+    for r in rows:
+        approx.setdefault(r["query_id"], set()).add(r["cand_id"])
+    recalls = [len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.4, recalls
+
+
+def test_neardup_multiprobe_recall_vs_bruteforce(spark, emb):
+    """Multi-probe assignment must recover boundary pairs single-probe
+    blocking misses: recall vs the brute-force pair set is monotone in
+    n_probe_cells and reaches >= 0.8 at m=4. The testdata embeddings have
+    no natural near-dups (max pairwise cos ~0.48), so the corpus is the
+    table's first 120 vectors plus a perturbed copy of each — every
+    (v, v+noise) pair is a planted near-dup, and the perturbations land
+    close to cell boundaries exactly where single-probe blocking loses
+    pairs."""
+    import numpy as np
+
+    base = emb.filter(F.col("vec_id") < 120).collect()
+    rng = np.random.default_rng(7)
+    rows = []
+    for r in base:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        rows.append((int(r["vec_id"]), [float(x) for x in v]))
+        noisy = v + rng.normal(0, 0.02 * np.linalg.norm(v) / np.sqrt(len(v)), len(v))
+        rows.append((int(r["vec_id"]) + 100000, [float(x) for x in noisy]))
+    sub = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+    thr = 0.95
+    # brute-force truth: all pairs above threshold
+    a = ann._unit_select(sub, "vec_id", "embedding", "id_a", "e_a")
+    b = ann._unit_select(sub, "vec_id", "embedding", "id_b", "e_b")
+    truth_rows = (
+        a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", ann._dot(F.col("e_a"), F.col("e_b")))
+        .filter(F.col("cos") >= thr).select("id_a", "id_b").collect()
+    )
+    truth = {(r["id_a"], r["id_b"]) for r in truth_rows}
+    assert truth, "test corpus must contain near-dup pairs at this threshold"
+
+    def pairs(m):
+        got = ann.embedding_neardup_pairs(
+            sub, threshold=thr, n_cells=12, n_probe_cells=m
+        ).collect()
+        return {(r["id_a"], r["id_b"]) for r in got}
+
+    p1, p4 = pairs(1), pairs(4)
+    assert p1 <= truth and p4 <= truth      # blocking never invents pairs
+    assert len(p4) >= len(p1)               # multi-probe only adds recall
+    assert len(p4) / len(truth) >= 0.8, (len(p1), len(p4), len(truth))
+    sub.unpersist()

@@ -337,3 +337,65 @@ def test_robots_longest_match_with_wildcards(spark):
     )
     for r in df.collect():
         assert r["got"] == r["want"]
+
+
+def test_decode_big5_go_substitution_granularity():
+    """Pins decode_big5 to the Go x/text Big5 state machine (the decoder
+    behind the reference's parser.go:106), hard-coded case by case.
+    Python's errors='replace' differs on unassigned valid-range pairs —
+    it consumes only the lead and leaks the trail byte into the text —
+    so these expectations are the GO rules, not the Python codec's
+    (VERDICT r2 #6)."""
+    from stock_crawler_spark.parsers.dispatch import decode_big5
+
+    R = "\ufffd"
+    cases = {
+        b"abc": "abc",                            # pure ASCII
+        b"abc\xa4": "abc" + R,                    # truncated lead at EOF
+        b"\xa4 x": R + " x",                      # invalid trail 0x20: FFFD
+                                                  #   for the lead; ' ' survives
+        b"\xa4\x7fx": R + "\x7f" + "x",           # 0x7F invalid trail; DEL
+                                                  #   re-decodes as ASCII
+        b"\xffAx": R + "Ax",                      # 0xFF never a lead
+        b"\x80Ax": R + "Ax",                      # 0x80 never a lead
+        "\u4e2d\u6587".encode("big5") + b"ok": "\u4e2d\u6587ok",  # valid pairs
+        b"A\xa4B\xa4\x40C": "A\u4e01\u4e00C",      # 0x42/0x40 ARE valid trails
+        # THE divergence: unassigned valid-range pair (0x81,0x40 maps in
+        # neither big5 nor hkscs) consumes BOTH bytes -> one FFFD, no '@'
+        b"\x81\x40x": R + "x",
+        b"\x81\xa1x": R + "x",
+        # HKSCS-assigned pair: strict big5 fails, WHATWG/Go decodes it
+        b"\xfe\xfex": "\u79d4x",
+    }
+    for raw, want in cases.items():
+        assert decode_big5(raw) == want, (raw, decode_big5(raw), want)
+    # document the exact Python-codec divergence the loop exists to fix
+    assert b"\x81\x40x".decode("big5", errors="replace") == R + "@x"
+
+
+def test_invalid_big5_corpus_page_roundtrip(small_fixture_dir, spark):
+    """The adversarial decode-wall pages are IN the corpus and the engine
+    extracts byte-identical golden text for them (e2e, not just unit)."""
+    from pyspark.sql import functions as F
+
+    from stock_crawler_spark.functions.urls import canonicalize_url
+    from stock_crawler_spark.operators.extract import extract_text
+
+    pages = spark.read.parquet(f"{small_fixture_dir}/pages.parquet")
+    adv = pages.filter(F.col("url").contains("invalid_big5_stocklist"))
+    assert adv.count() == 1
+    row = adv.collect()[0]
+    assert "�" in row["text"]            # substitution path exercised
+    payload = adv.select(
+        "url",
+        canonicalize_url(F.col("url")).alias("url_canon"),
+        F.lit("twse_stocklist").alias("strategy"),
+        F.lit("").alias("query_date"),
+        F.col("warc_ts").alias("_warc_ts"),
+        F.col("html").alias("_html"),
+        F.lit(True).alias("fetched"),
+    )
+    got = extract_text(payload).collect()[0]
+    assert got["text"] == row["text"]         # byte identity through Spark
+    trunc = pages.filter(F.col("url").contains("truncated_big5"))
+    assert trunc.count() == 1 and trunc.collect()[0]["text"] == ""

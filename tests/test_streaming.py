@@ -216,3 +216,81 @@ def test_streaming_extract_byte_identity_with_batch(spark, small_fixture_dir, tm
         for r in extract_text(spark.read.parquet(src)).collect()
     }
     assert got == want and len(got) > 30
+
+
+def test_streaming_kafka_sink_e2e_matches_batch(spark, tmp_path):
+    """VERDICT r2 #5: drain streaming_wire_publish through the Kafka-shaped
+    foreachBatch sink and byte-compare the COMMITTED messages against batch
+    kafka_wire on the same corpus — closes the stream-to-sink gap the
+    memory-sink test left open."""
+    from stock_crawler_spark.operators.wire import kafka_wire
+    from stock_crawler_spark.streaming import (
+        kafka_foreach_batch_sink, read_published, streaming_wire_publish,
+    )
+
+    rows = [
+        ("u1", "twse_dailyclose", '{"stockId":"1001"}\n{"stockId":"1002"}'),
+        ("u2", "tpex_stocklist", '{"stockId":"2330"}'),
+        ("u3", "concentration", '{"stockId":"3704"}'),   # excluded: batch-merge path
+        ("u4", "twse_threeprimary", ""),                 # empty parse: no message
+        ("u5", "discovered", "generic page text"),       # topicless: never framed
+    ]
+    df = spark.createDataFrame(rows, "url_canon string, strategy string, text string")
+    src = str(tmp_path / "pages_src")
+    df.coalesce(2).write.parquet(src)
+
+    sink_dir = str(tmp_path / "kafka_out")
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = (
+        streaming_wire_publish(stream)
+        .writeStream.foreachBatch(kafka_foreach_batch_sink(sink_dir))
+        .option("checkpointLocation", str(tmp_path / "ckpt_sink"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        (r["topic"], bytes(r["value"]))
+        for r in read_published(spark, sink_dir).collect()
+    )
+    empty_merged = spark.createDataFrame([], "stock_id string, date string, line string")
+    want = sorted(
+        (r["topic"], bytes(r["value"])) for r in kafka_wire(df, empty_merged).collect()
+    )
+    assert got == want and len(got) == 3
+
+
+def test_kafka_sink_replayed_epoch_is_effectively_once(spark, tmp_path):
+    """A crash-replayed micro-batch (same epoch id) must overwrite its own
+    commit, not duplicate messages — the idempotent-producer discipline."""
+    from stock_crawler_spark.streaming import kafka_foreach_batch_sink, read_published
+
+    sink_dir = str(tmp_path / "kafka_replay")
+    drain = kafka_foreach_batch_sink(sink_dir)
+    batch = spark.createDataFrame(
+        [("t1", b"m1"), ("t1", b"m2")], "topic string, value binary"
+    )
+    drain(batch, 0)
+    drain(batch, 0)  # replay after simulated crash
+    drain(batch.limit(1), 1)
+    got = read_published(spark, sink_dir).collect()
+    assert len(got) == 3  # 2 (epoch 0, once) + 1 (epoch 1)
+
+
+def test_kafka_sink_rejects_null_topic_and_bad_schema(spark, tmp_path):
+    """The sink enforces the Kafka producer contract loudly."""
+    import pytest
+
+    from stock_crawler_spark.streaming import kafka_foreach_batch_sink
+
+    drain = kafka_foreach_batch_sink(str(tmp_path / "kafka_bad"))
+    with pytest.raises(ValueError, match="NULL topic"):
+        drain(
+            spark.createDataFrame(
+                [(None, b"m1")], "topic string, value binary"
+            ),
+            0,
+        )
+    with pytest.raises(ValueError, match="needs"):
+        drain(spark.createDataFrame([("t", "not-binary")], "topic string, value string"), 1)
