@@ -248,6 +248,18 @@ def q25_embedding_neardup(spark, sf):
     return out.select("id_a", "id_b", F.round("cos", 6).alias("cos_r"))
 
 
+def q46_neardup_multiprobe(spark, sf):
+    """Multi-probe near-dup blocking (r3): each vector joins its top-2 IVF
+    cells, recovering boundary pairs single-probe blocking misses; pairs
+    sharing both cells score once. The oracle replicates the top-m
+    assignment (rn <= m) and DISTINCT-dedups pairs before the cosine."""
+    emb = _t(spark, sf, "embeddings")
+    out = ann.embedding_neardup_pairs(
+        emb, threshold=NEARDUP_THRESHOLD, n_cells=NEARDUP_CELLS, n_probe_cells=2
+    )
+    return out.select("id_a", "id_b", F.round("cos", 6).alias("cos_r"))
+
+
 def q26_ivf_topk(spark, sf):
     """ANN scale path: IVF probe (nprobe cells) + exact rerank inside cells."""
     emb = _t(spark, sf, "embeddings")
@@ -686,6 +698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_posting_lists": q43_posting_lists,
         "q44_html_extract": q44_html_extract,
         "q45_link_extract": q45_link_extract,
+        "q46_neardup_multiprobe": q46_neardup_multiprobe,
     }
 
 
@@ -824,6 +837,29 @@ SELECT id_a, id_b, round(cos, 6) AS cos_r FROM (
   SELECT a.cand_id AS id_a, b.cand_id AS id_b,
     {_COS.format(a='a.c_emb', b='b.c_emb')} AS cos
   FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.cand_id < b.cand_id
+) WHERE cos >= {NEARDUP_THRESHOLD}
+"""
+
+_NEARDUP_MP_SQL = f"""
+{_IVF_CTE}
+, assigned2 AS (
+  SELECT vec_id AS cand_id, e AS c_emb, cell FROM (
+    SELECT c.vec_id, c.e, cents.cell,
+      row_number() OVER (
+        PARTITION BY c.vec_id
+        ORDER BY {_COS.format(a='c.e', b='cents.ce')} DESC, cents.cell ASC
+      ) AS rn
+    FROM corpus c CROSS JOIN cents
+  ) WHERE rn <= 2
+), cand AS (
+  SELECT DISTINCT a.cand_id AS id_a, b.cand_id AS id_b
+  FROM assigned2 a JOIN assigned2 b ON a.cell = b.cell AND a.cand_id < b.cand_id
+)
+SELECT id_a, id_b, round(cos, 6) AS cos_r FROM (
+  SELECT p.id_a, p.id_b, {_COS.format(a='ua.e', b='ub.e')} AS cos
+  FROM cand p
+  JOIN corpus ua ON ua.vec_id = p.id_a
+  JOIN corpus ub ON ub.vec_id = p.id_b
 ) WHERE cos >= {NEARDUP_THRESHOLD}
 """
 
@@ -1085,6 +1121,7 @@ FROM (
 )
 """,
         "q25_embedding_neardup": _NEARDUP_SQL,
+        "q46_neardup_multiprobe": _NEARDUP_MP_SQL,
         "q26_ivf_topk": _IVF_TOPK_SQL,
         "q27_media_meta": """
 SELECT CAST(doc_id AS BIGINT) AS media_id,

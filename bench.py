@@ -90,7 +90,11 @@ def _scaling_measure(n_small: int, n_large: int, n_urls: int, visits: int | None
     both tiers and scales no better), so the default stays unsalted — the
     skew answer earns its keep at much hotter skew than this shape."""
     if visits is None:
-        visits = int(os.environ.get("SPARK_GRAFT_SCALE_VISITS", "4"))
+        # 6 interleaved visits (r3): capability = min wall across visits,
+        # so on this time-varying overcommitted host more visits raise the
+        # odds that BOTH tiers catch a good window — the r2 driver run
+        # landed raw 0.74 in a degraded window with 4 visits.
+        visits = int(os.environ.get("SPARK_GRAFT_SCALE_VISITS", "6"))
     n_salts = int(os.environ.get("SPARK_GRAFT_SALTS", "1"))
     walls = {n_small: [], n_large: []}  # one list of reps per visit
     burns = {n_small: [], n_large: []}

@@ -39,6 +39,12 @@ def main() -> None:
                    help="YYYY-MM-DD anchor for --rewind (default: max seed date)")
     p.add_argument("--follow-links", action="store_true",
                    help="harvest outlinks of fetched pages into the frontier")
+    p.add_argument("--retain", type=int, default=None,
+                   help="keep only the last N rounds' state (GC at "
+                        "compaction boundaries; default: keep everything)")
+    p.add_argument("--health-port", type=int, default=None,
+                   help="serve /healthz + /readyz probes on this port for "
+                        "the crawl's duration (reference serve.go:84-102)")
     args = p.parse_args()
 
     # master/conf come from spark-submit; only app-level settings here
@@ -51,6 +57,12 @@ def main() -> None:
 
     from stock_crawler_spark.plans.round import RoundConfig, run_crawl
     from stock_crawler_spark.plans.state import StateStore
+
+    health_srv = None
+    if args.health_port is not None:
+        from stock_crawler_spark.plans.health import serve_health
+
+        health_srv = serve_health(args.state, port=args.health_port)
 
     fx = args.fixtures
     seeds = spark.read.parquet(f"{fx}/seeds.parquet")
@@ -84,7 +96,8 @@ def main() -> None:
         spark.read.parquet(f"{fx}/skip_dates.parquet"),
         spark.read.parquet(f"{fx}/pages.parquet"),
         RoundConfig(dedup_mode=args.dedup, n_salts=args.salts,
-                    follow_links=args.follow_links),
+                    follow_links=args.follow_links,
+                    retain_rounds=args.retain),
         max_rounds=args.max_rounds,
         resume=args.resume,
     )
@@ -97,6 +110,8 @@ def main() -> None:
         "manifest_tables": sorted(store.read_manifest(last)["tables"]) if last >= 0 else [],
     }
     print(json.dumps(out))
+    if health_srv is not None:
+        health_srv.shutdown()
     spark.stop()
 
 

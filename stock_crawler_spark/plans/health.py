@@ -1,0 +1,137 @@
+"""Health / readiness surface over the crawl state store.
+
+The reference serves Kubernetes liveness/readiness probes from its gRPC
+health service (serve.go:84-102: /healthz liveness, readiness flips once
+the Kafka producer and Redis pool are connected). A batch Spark engine
+has no long-lived connections to probe; its operational truth lives in
+the state store's committed manifests. So the equivalent surface here is
+
+  - ``health_snapshot(state_dir)`` — pure-manifest inspection (no Spark,
+    no parquet scan): last committed round, its wall/metrics, pending
+    backlog (the manifest-carried n_pending), delta backlog since the
+    last compaction base, filter format tag, staleness since the last
+    commit.
+  - ``serve_health(state_dir)`` — a stdlib HTTP server exposing
+      /healthz  liveness: the process answers (always 200, like the
+                reference's Check -> SERVING)
+      /readyz   readiness: a committed manifest EXISTS, parses, and is
+                fresher than ``max_staleness_sec`` (a wedged driver loop
+                goes unready exactly like the reference's failed
+                dependency wiring keeps readiness false)
+    both returning the snapshot JSON, for the deployment shape the
+    reference's helm chart probes (deployment.yaml liveness/readiness).
+
+Out of the data plane by design: nothing here touches a DataFrame, so a
+probe can never contend with the round job for executor time.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from stock_crawler_spark.plans.state import DELTA_TABLES, StateStore
+
+DEFAULT_MAX_STALENESS_SEC = 12 * 3600  # reference round budget 8h + slack
+
+
+def health_snapshot(state_dir: str) -> dict:
+    """Operational state from manifests alone (no Spark session)."""
+    store = StateStore(state_dir)
+    last = store.latest_committed_round()
+    snap: dict = {"state_dir": state_dir, "last_round": last}
+    if last < 0:
+        snap["status"] = "empty"
+        return snap
+    m = store.read_manifest(last)
+    mtime = os.path.getmtime(store.manifest_path(last))
+    # delta backlog: uncompacted delta dirs newer than the latest base —
+    # how much work the next compaction folds (read-amplification proxy)
+    backlog = {}
+    for t in DELTA_TABLES:
+        tdir = os.path.join(state_dir, t)
+        if not os.path.isdir(tdir):
+            continue
+        bases = [int(d[5:]) for d in os.listdir(tdir)
+                 if d.startswith("base=") and d[5:].isdigit()]
+        base = max(bases, default=-1)
+        backlog[t] = sum(
+            1 for d in os.listdir(tdir)
+            if d.startswith("delta=") and d[6:].isdigit() and int(d[6:]) > base
+        )
+    snap.update(
+        status="ok",
+        committed_unix=mtime,
+        staleness_sec=round(time.time() - mtime, 1),
+        n_pending=m.get("n_pending"),
+        wall_sec=m.get("wall_sec"),
+        metrics=m.get("metrics", {}),
+        tables=m.get("tables", {}),
+        n_frontier_shards=len(m.get("frontier_shards", {})),
+        changed_shards=len(m.get("changed_shards", [])),
+        filter_format=m.get("filter_format"),
+        delta_backlog=backlog,
+    )
+    return snap
+
+
+def ready(state_dir: str, max_staleness_sec: float = DEFAULT_MAX_STALENESS_SEC) -> tuple[bool, dict]:
+    """Readiness verdict + snapshot. Unready when no round has ever
+    committed, a manifest is unreadable, or the last commit is stale."""
+    try:
+        snap = health_snapshot(state_dir)
+    except (OSError, json.JSONDecodeError, ValueError) as e:
+        return False, {"status": "error", "error": str(e)}
+    if snap.get("status") != "ok":
+        return False, snap
+    if snap["staleness_sec"] > max_staleness_sec:
+        snap["status"] = "stale"
+        return False, snap
+    return True, snap
+
+
+class _Handler(BaseHTTPRequestHandler):
+    state_dir = "."
+    max_staleness_sec = DEFAULT_MAX_STALENESS_SEC
+
+    def do_GET(self):  # noqa: N802 (stdlib API name)
+        if self.path == "/healthz":
+            ok, body = True, {"status": "serving"}  # liveness: we answered
+        elif self.path == "/readyz":
+            ok, body = ready(self.state_dir, self.max_staleness_sec)
+        else:
+            ok, body = False, {"status": "not_found"}
+            self._reply(404, body)
+            return
+        self._reply(200 if ok else 503, body)
+
+    def _reply(self, code: int, body: dict) -> None:
+        raw = json.dumps(body).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(raw)))
+        self.end_headers()
+        self.wfile.write(raw)
+
+    def log_message(self, *_):  # probes every few seconds: keep logs quiet
+        pass
+
+
+def serve_health(
+    state_dir: str, port: int = 0,
+    max_staleness_sec: float = DEFAULT_MAX_STALENESS_SEC,
+) -> ThreadingHTTPServer:
+    """Start the probe server on ``port`` (0 = ephemeral); returns the
+    server (``.server_address[1]`` is the bound port; ``.shutdown()`` to
+    stop). Run it in the crawl driver's process so liveness tracks the
+    driver, as the reference's health service tracks its server process."""
+    handler = type("Handler", (_Handler,), {
+        "state_dir": state_dir, "max_staleness_sec": max_staleness_sec,
+    })
+    srv = ThreadingHTTPServer(("127.0.0.1", port), handler)
+    import threading
+
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv

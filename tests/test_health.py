@@ -1,0 +1,101 @@
+"""Health/readiness surface (plans/health) — the serve.go:84-102 analog:
+liveness always answers, readiness tracks committed-manifest existence,
+parseability, and staleness. Pure-manifest: no Spark session needed."""
+
+import json
+import os
+import time
+import urllib.request
+
+from stock_crawler_spark.plans.health import (
+    health_snapshot,
+    ready,
+    serve_health,
+)
+from stock_crawler_spark.plans.state import StateStore
+
+
+def _commit(store, r, **extra):
+    info = {
+        "tables": {"frontier": 10, "records": 4},
+        "frontier_shards": {"0": r, "1": r},
+        "n_pending": 7 - r,
+        "changed_shards": ["0"],
+        "metrics": {"scheduled": 5, "done": 4},
+        "shard_lineage": [],
+        "wall_sec": 1.5,
+        **extra,
+    }
+    store.commit_round(r, info)
+
+
+def test_snapshot_empty_and_committed(tmp_path):
+    sd = str(tmp_path / "st")
+    store = StateStore(sd)
+    assert health_snapshot(sd)["status"] == "empty"
+    ok, snap = ready(sd)
+    assert not ok and snap["status"] == "empty"
+
+    _commit(store, 0)
+    _commit(store, 1, filter_format="BLM1")
+    # delta backlog counts deltas newer than the latest base
+    os.makedirs(os.path.join(sd, "seen", "base=0"))
+    os.makedirs(os.path.join(sd, "seen", "delta=1"))
+    os.makedirs(os.path.join(sd, "records", "delta=0"))
+    os.makedirs(os.path.join(sd, "records", "delta=1"))
+
+    snap = health_snapshot(sd)
+    assert snap["status"] == "ok" and snap["last_round"] == 1
+    assert snap["n_pending"] == 6
+    assert snap["filter_format"] == "BLM1"
+    assert snap["n_frontier_shards"] == 2
+    assert snap["delta_backlog"] == {"seen": 1, "records": 2}
+    assert snap["staleness_sec"] < 60
+
+    ok, snap = ready(sd)
+    assert ok and snap["status"] == "ok"
+
+
+def test_ready_flips_on_staleness_and_corruption(tmp_path):
+    sd = str(tmp_path / "st")
+    store = StateStore(sd)
+    _commit(store, 0)
+    ok, _ = ready(sd)
+    assert ok
+    # stale commit -> unready (wedged driver loop)
+    old = time.time() - 100_000
+    os.utime(store.manifest_path(0), (old, old))
+    ok, snap = ready(sd, max_staleness_sec=3600)
+    assert not ok and snap["status"] == "stale"
+    # corrupt manifest -> unready, not a crash
+    with open(store.manifest_path(0), "w") as fh:
+        fh.write("{not json")
+    ok, snap = ready(sd)
+    assert not ok and snap["status"] == "error"
+
+
+def test_http_probe_endpoints(tmp_path):
+    sd = str(tmp_path / "st")
+    store = StateStore(sd)
+    srv = serve_health(sd, port=0, max_staleness_sec=3600)
+    try:
+        port = srv.server_address[1]
+
+        def get(path):
+            try:
+                with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}") as r:
+                    return r.status, json.loads(r.read())
+            except urllib.error.HTTPError as e:
+                return e.code, json.loads(e.read())
+
+        code, body = get("/healthz")
+        assert code == 200 and body["status"] == "serving"
+        code, body = get("/readyz")          # nothing committed yet
+        assert code == 503 and body["status"] == "empty"
+        _commit(store, 0)
+        code, body = get("/readyz")
+        assert code == 200 and body["status"] == "ok" and body["last_round"] == 0
+        code, _ = get("/nope")
+        assert code == 404
+    finally:
+        srv.shutdown()

@@ -168,6 +168,7 @@ def test_no_cartesian_products_anywhere(spark):
         "q13_ann_topk",          # broadcast query vectors x streamed corpus
         "q25_embedding_neardup", # broadcast IVF centroids
         "q26_ivf_topk",          # broadcast centroids + probed cells
+        "q46_neardup_multiprobe", # broadcast centroids (top-2 assignment)
         "q42_bm25",              # broadcast 1-row corpus stats
     }
     for name, fn in entrymod.queries().items():
