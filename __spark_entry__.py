@@ -21,7 +21,11 @@ from pyspark.sql import functions as F
 
 from stock_crawler_spark.functions import text as T
 from stock_crawler_spark.functions.coerce import to_i64_or_zero
-from stock_crawler_spark.functions.urls import proxy_rewrite, url_hash
+from stock_crawler_spark.functions.urls import (
+    proxy_rewrite,
+    registrable_domain,
+    url_hash,
+)
 from stock_crawler_spark.operators import ann, dedup, multimodal
 from stock_crawler_spark.operators.seen import build_seen_filters, probe_not_seen
 
@@ -258,6 +262,37 @@ def q46_neardup_multiprobe(spark, sf):
         emb, threshold=NEARDUP_THRESHOLD, n_cells=NEARDUP_CELLS, n_probe_cells=2
     )
     return out.select("id_a", "id_b", F.round("cos", 6).alias("cos_r"))
+
+
+_Q47_SUFFIXES = [
+    "example.com",       # plain TLD rule -> eTLD+1 is example.com
+    "co.uk",             # 2-label ICANN suffix
+    "foo.ck",            # wildcard *.ck: foo.ck is a suffix
+    "www.ck",            # exception !www.ck: registrable itself (host as-is)
+    "github.io",         # private-section suffix
+    "s3.amazonaws.com",  # 3-label private suffix
+    "city.kobe.jp",      # wildcard *.kobe.jp + exception !city.kobe.jp
+    "internal",          # unknown TLD -> fallback: TLD itself is the suffix
+]
+
+
+def q47_registrable_domain(spark, sf):
+    """Registrable-domain (eTLD+1) extraction through the full vendored
+    public-suffix rule engine (functions/psl) — the politeness/sharding
+    key of the crawl. Hosts synthesized to cover every rule class; the
+    oracle states the EXPECTED eTLD+1 per class, hand-derived from
+    publicsuffix.org semantics (fully independent of the engine)."""
+    docs = _t(spark, sf, "documents")
+    sfx = F.element_at(
+        F.array(*[F.lit(s) for s in _Q47_SUFFIXES]),
+        (F.col("doc_id") % 8 + 1).cast("int"),
+    )
+    host = F.when(F.col("doc_id") % 8 == 3, F.lit("www.ck")).otherwise(
+        F.concat(F.col("source"), F.lit("."), sfx)
+    )
+    return docs.select(
+        "doc_id", host.alias("host"), registrable_domain(host).alias("dom")
+    )
 
 
 def q26_ivf_topk(spark, sf):
@@ -699,6 +734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_html_extract": q44_html_extract,
         "q45_link_extract": q45_link_extract,
         "q46_neardup_multiprobe": q46_neardup_multiprobe,
+        "q47_registrable_domain": q47_registrable_domain,
     }
 
 
@@ -1122,6 +1158,30 @@ FROM (
 """,
         "q25_embedding_neardup": _NEARDUP_SQL,
         "q46_neardup_multiprobe": _NEARDUP_MP_SQL,
+        "q47_registrable_domain": """
+SELECT doc_id,
+  CASE doc_id % 8
+    WHEN 3 THEN 'www.ck'
+    WHEN 0 THEN source || '.example.com'
+    WHEN 1 THEN source || '.co.uk'
+    WHEN 2 THEN source || '.foo.ck'
+    WHEN 4 THEN source || '.github.io'
+    WHEN 5 THEN source || '.s3.amazonaws.com'
+    WHEN 6 THEN source || '.city.kobe.jp'
+    ELSE source || '.internal'
+  END AS host,
+  CASE doc_id % 8
+    WHEN 0 THEN 'example.com'
+    WHEN 1 THEN source || '.co.uk'
+    WHEN 2 THEN source || '.foo.ck'
+    WHEN 3 THEN 'www.ck'
+    WHEN 4 THEN source || '.github.io'
+    WHEN 5 THEN source || '.s3.amazonaws.com'
+    WHEN 6 THEN 'city.kobe.jp'
+    ELSE source || '.internal'
+  END AS dom
+FROM documents
+""",
         "q26_ivf_topk": _IVF_TOPK_SQL,
         "q27_media_meta": """
 SELECT CAST(doc_id AS BIGINT) AS media_id,

@@ -12,6 +12,11 @@ Canonical form (deterministic, documented contract):
   - lowercase scheme and authority
   - drop default ports (http:80, https:443)
   - empty path -> "/"
+  - RFC 3986 §5.2.4 dot-segment removal ("/a/./b" -> "/a/b",
+    "/a/../b" -> "/b", excess ".." clamps at root) — applied only when
+    the path contains "/." (one `contains` per row on the clean-URL hot
+    path; the segment-stack fold is JVM higher-order exprs, still no
+    Python)
   - keep query as-is (no param re-ordering: conservative, loses some dups
     but never merges distinct resources)
   - drop fragment
@@ -44,11 +49,39 @@ def authority_of(url: Column) -> Column:
     return F.when((proto == F.lit("https")), F.regexp_replace(auth, ":443$", "")).otherwise(auth)
 
 
+def _remove_dot_segments(path: Column) -> Column:
+    """RFC 3986 §5.2.4 over an absolute path: fold the segments through a
+    stack ("." drops, ".." pops, ".." above root clamps), preserving empty
+    segments ("//" stays distinct). Trailing "." / ".." leave a trailing
+    slash per the RFC ("/a/." -> "/a/"). Pure JVM (split + aggregate +
+    array_join) — callers gate it on ``path.contains("/.")`` so clean
+    paths never build the stack."""
+    # drop the leading "" of the absolute path; slice length must keep
+    # start+length inside int32 (INT_MAX here silently overflows to an
+    # empty slice), so bound it by the actual segment count
+    segs = F.split(path, "/")
+    segs = F.slice(segs, 2, F.greatest(F.size(segs) - 1, F.lit(0)))
+    stack = F.aggregate(
+        segs,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(x == ".", acc)
+        .when(
+            x == "..",
+            F.when(F.size(acc) > 0, F.slice(acc, 1, F.size(acc) - 1)).otherwise(acc),
+        )
+        .otherwise(F.concat(acc, F.array(x))),
+    )
+    out = F.concat(F.lit("/"), F.array_join(stack, "/"))
+    trail = path.rlike(r"/\.\.?$") & ~out.endswith("/")
+    return F.when(trail, F.concat(out, F.lit("/"))).otherwise(out)
+
+
 def _canon_from_parts(u: Column) -> Column:
     proto = F.lower(F.try_parse_url(u, F.lit("PROTOCOL")))
     auth = authority_of(u)
     path = F.try_parse_url(u, F.lit("PATH"))
     path = F.when((path.isNull()) | (path == F.lit("")), F.lit("/")).otherwise(path)
+    path = F.when(path.contains("/."), _remove_dot_segments(path)).otherwise(path)
     query = F.try_parse_url(u, F.lit("QUERY"))
     canon = F.concat(proto, F.lit("://"), auth, path)
     canon = F.when(query.isNotNull(), F.concat(canon, F.lit("?"), query)).otherwise(canon)

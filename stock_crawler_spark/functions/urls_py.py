@@ -6,9 +6,29 @@ implementations agree on an adversarial URL corpus.
 
 from __future__ import annotations
 
+import re
 from urllib.parse import urlsplit
 
 from stock_crawler_spark.functions.psl import registrable_domain_py as _psl_domain
+
+
+def _remove_dot_segments_py(path: str) -> str:
+    """Twin of urls._remove_dot_segments (RFC 3986 §5.2.4): '.' drops,
+    '..' pops (clamped at root), empty segments preserved, trailing
+    '.'/'..' leave a trailing slash."""
+    stack: list[str] = []
+    for s in path.split("/")[1:]:
+        if s == ".":
+            continue
+        if s == "..":
+            if stack:
+                stack.pop()
+            continue
+        stack.append(s)
+    out = "/" + "/".join(stack)
+    if re.search(r"/\.\.?$", path) and not out.endswith("/"):
+        out += "/"
+    return out
 
 
 def canonicalize_py(url: str) -> str:
@@ -26,6 +46,8 @@ def canonicalize_py(url: str) -> str:
     elif proto == "https" and auth.endswith(":443"):
         auth = auth[:-4]
     path = parts.path or "/"
+    if "/." in path:
+        path = _remove_dot_segments_py(path)
     canon = f"{proto}://{auth}{path}"
     if parts.query:
         canon += f"?{parts.query}"

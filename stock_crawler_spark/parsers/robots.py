@@ -13,6 +13,10 @@ Semantics implemented (the de-facto subset every major crawler honors):
   - ``Disallow:`` / ``Allow:`` accumulate path prefixes; empty Disallow
     means allow-all (ignored)
   - ``Crawl-delay: <seconds>`` -> crawl_delay_ms (fractional ok)
+  - ``Sitemap: <absolute-url>`` -> sitemaps (RFC 9309 §2.2.4: a
+    cross-SECTION directive — collected wherever it appears, independent
+    of user-agent grouping; multiple lines accumulate). This is the
+    standard discovery path feeding parsers/sitemap.sitemap_seeds.
   - comments (#...) stripped, field names case-insensitive, CR tolerated
 """
 
@@ -32,15 +36,19 @@ RULES_SCHEMA = StructType(
         StructField("deny", ArrayType(StringType())),
         StructField("allow", ArrayType(StringType())),
         StructField("crawl_delay_ms", LongType()),
+        StructField("sitemaps", ArrayType(StringType())),
     ]
 )
 
 
-def parse_robots_txt(body: str) -> tuple[list[str], list[str], int | None]:
+def parse_robots_txt(
+    body: str,
+) -> tuple[list[str], list[str], int | None, list[str]]:
     """Pure-Python single-document parse (unit-testable; called per row
     inside the Arrow batch loop)."""
     deny: list[str] = []
     allow: list[str] = []
+    sitemaps: list[str] = []
     delay_ms: int | None = None
     in_star = False
     seen_ua_gap = True  # True between sections / before the first UA line
@@ -61,6 +69,13 @@ def parse_robots_txt(body: str) -> tuple[list[str], list[str], int | None]:
                 in_star = True
             continue
         seen_ua_gap = True
+        if field == "sitemap":
+            # cross-section: collected regardless of the current UA group;
+            # the value must be an absolute url (sitemaps.org) — anything
+            # else is noise a 10^6-domain ingest must not trip on
+            if value.lower().startswith(("http://", "https://")):
+                sitemaps.append(value)
+            continue
         if not in_star:
             continue
         if field == "disallow" and value:
@@ -72,7 +87,7 @@ def parse_robots_txt(body: str) -> tuple[list[str], list[str], int | None]:
                 delay_ms = int(float(value) * 1000)
             except ValueError:
                 pass
-    return deny, allow, delay_ms
+    return deny, allow, delay_ms, sitemaps
 
 
 def pattern_to_regex_py(pattern: str) -> str:
@@ -107,20 +122,33 @@ def compile_robots(
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            doms, denies, allows, delays = [], [], [], []
+            doms, denies, allows, delays, maps = [], [], [], [], []
             for dom, body in zip(pdf[domain_col], pdf[body_col]):
-                deny, allow, delay = parse_robots_txt(str(body or ""))
+                deny, allow, delay, sitemaps = parse_robots_txt(str(body or ""))
                 doms.append(dom)
                 denies.append(deny)
                 allows.append(allow)
                 delays.append(delay if delay is not None else default_delay_ms)
+                maps.append(sitemaps)
             yield pd.DataFrame(
                 {
                     "domain": doms,
                     "deny": denies,
                     "allow": allows,
                     "crawl_delay_ms": pd.Series(delays, dtype="int64"),
+                    "sitemaps": maps,
                 }
             )
 
     return robots_pages.select(domain_col, body_col).mapInPandas(_run, RULES_SCHEMA)
+
+
+def robots_sitemap_urls(rules: DataFrame) -> DataFrame:
+    """Compiled rules -> distinct (domain, sitemap_url) discovery rows,
+    ready for a fetch stage + parsers/sitemap.sitemap_seeds ingestion."""
+    from pyspark.sql import functions as F
+
+    return (
+        rules.select("domain", F.explode("sitemaps").alias("sitemap_url"))
+        .distinct()
+    )

@@ -146,6 +146,7 @@ def test_float32_formatting_go_compat():
 
 ROBOTS_FIXTURE = """
 # global section
+Sitemap: https://d1.com/sitemap.xml
 User-agent: *
 Disallow: /private/
 Disallow: /tmp
@@ -154,16 +155,22 @@ Crawl-delay: 2.5
 
 User-agent: badbot
 Disallow: /
+SITEMAP: https://cdn.d1.com/other.xml
 """
 
 
 def test_parse_robots_txt_star_section():
     from stock_crawler_spark.parsers.robots import parse_robots_txt
 
-    deny, allow, delay = parse_robots_txt(ROBOTS_FIXTURE)
+    deny, allow, delay, sitemaps = parse_robots_txt(ROBOTS_FIXTURE)
     assert deny == ["/private/", "/tmp"]
     assert allow == ["/private/ok"]
     assert delay == 2500
+    # Sitemap is cross-section (RFC 9309 §2.2.4): harvested from before
+    # any UA group AND from inside the badbot section, case-insensitive
+    assert sitemaps == [
+        "https://d1.com/sitemap.xml", "https://cdn.d1.com/other.xml",
+    ]
 
 
 def test_parse_robots_txt_edge_cases():
@@ -171,11 +178,17 @@ def test_parse_robots_txt_edge_cases():
 
     # empty disallow = allow-all; case-insensitive fields; CRLF; grouped UAs
     body = "USER-AGENT: googlebot\r\nUser-Agent: *\r\nDISALLOW:\r\nDisallow: /a #c\r\n"
-    deny, allow, delay = parse_robots_txt(body)
+    deny, allow, delay, _ = parse_robots_txt(body)
     assert deny == ["/a"] and allow == [] and delay is None
     # non-star section rules never leak
-    deny, _, _ = parse_robots_txt("User-agent: bad\nDisallow: /x\n")
+    deny, _, _, _ = parse_robots_txt("User-agent: bad\nDisallow: /x\n")
     assert deny == []
+    # relative / garbage sitemap values are dropped, not ingested
+    _, _, _, maps = parse_robots_txt(
+        "Sitemap: /relative.xml\nSitemap: ftp://x/s.xml\nSitemap:\n"
+        "Sitemap: HTTPS://D.COM/S.XML\n"
+    )
+    assert maps == ["HTTPS://D.COM/S.XML"]
 
 
 def test_compile_robots_vectorized(spark):
@@ -188,8 +201,27 @@ def test_compile_robots_vectorized(spark):
     got = {r["domain"]: r for r in compile_robots(df).collect()}
     assert got["d1.com"]["deny"] == ["/private/", "/tmp"]
     assert got["d1.com"]["crawl_delay_ms"] == 2500
+    assert got["d1.com"]["sitemaps"] == [
+        "https://d1.com/sitemap.xml", "https://cdn.d1.com/other.xml",
+    ]
     assert got["d2.com"]["deny"] == [] and got["d2.com"]["crawl_delay_ms"] == 1000
-    assert got["d3.com"]["deny"] == []
+    assert got["d3.com"]["deny"] == [] and got["d3.com"]["sitemaps"] == []
+
+
+def test_robots_sitemap_discovery_rows(spark):
+    from stock_crawler_spark.parsers.robots import compile_robots, robots_sitemap_urls
+
+    df = spark.createDataFrame(
+        [("d1.com", ROBOTS_FIXTURE), ("d2.com", "Sitemap: https://d1.com/sitemap.xml")],
+        "domain string, body string",
+    )
+    rows = {(r["domain"], r["sitemap_url"])
+            for r in robots_sitemap_urls(compile_robots(df)).collect()}
+    assert rows == {
+        ("d1.com", "https://d1.com/sitemap.xml"),
+        ("d1.com", "https://cdn.d1.com/other.xml"),
+        ("d2.com", "https://d1.com/sitemap.xml"),
+    }
 
 
 def test_format_f32_go_exponent_branch():

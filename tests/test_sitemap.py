@@ -69,3 +69,38 @@ def test_sitemap_seeds_spark(spark):
     assert all(r["is_index"] for r in by_src["https://ex.com/i.xml"])
     # default priority fills unset entries
     assert {r["priority"] for r in by_src["https://ex.com/broken.xml"]} == {0.5}
+
+
+def test_robots_discovery_to_sitemap_seed_pipeline(spark):
+    """Full discovery composition: robots.txt `Sitemap:` directives ->
+    robots_sitemap_urls -> page-store join (the fetch stage) ->
+    sitemap_seeds; a nested sitemapindex surfaces as is_index rows the
+    driver re-fetches next round, exactly like frontier urls."""
+    from pyspark.sql import functions as F
+
+    from stock_crawler_spark.parsers.robots import (
+        compile_robots,
+        robots_sitemap_urls,
+    )
+
+    robots = spark.createDataFrame(
+        [
+            ("ex.com", "Sitemap: https://ex.com/s.xml\nUser-agent: *\nDisallow: /p\n"),
+            ("idx.com", "Sitemap: https://idx.com/i.xml"),
+            ("bare.com", "User-agent: *\nDisallow:\n"),
+        ],
+        "domain string, body string",
+    )
+    page_store = spark.createDataFrame(
+        [("https://ex.com/s.xml", URLSET), ("https://idx.com/i.xml", INDEX)],
+        "url string, body string",
+    )
+    discovered = robots_sitemap_urls(compile_robots(robots))
+    fetched = discovered.join(
+        page_store, discovered["sitemap_url"] == page_store["url"], "left"
+    ).select(F.col("sitemap_url").alias("url"), "body")
+    seeds = sitemap_seeds(fetched).collect()
+    leaf = sorted(r["url"] for r in seeds if not r["is_index"])
+    nested = sorted(r["url"] for r in seeds if r["is_index"])
+    assert leaf and all(u.startswith("https://ex.com/") for u in leaf)
+    assert nested == ["https://ex.com/sitemap1.xml", "https://ex.com/sitemap2.xml"]

@@ -24,7 +24,36 @@ CORPUS = [
     "https://sub.a.b.co.uk/path",
     "https://1.2.3.4/path",
     "not a url",
+    # RFC 3986 §5.2.4 dot segments
+    "https://dot.example.com/a/./b",
+    "https://dot.example.com/a/../b",
+    "https://dot.example.com/../../a",
+    "https://dot.example.com/a/b/..",
+    "https://dot.example.com/a/.",
+    "https://dot.example.com/a//b/../c",
+    "https://dot.example.com/.hidden/x",
+    "https://dot.example.com/..",
+    "https://dot.example.com/a/..%2Fb",
 ]
+
+
+def test_dot_segment_removal():
+    """Canonicalization normalizes dot segments so '/a/../b' and '/b' hash
+    to ONE seen-set key (a crawler otherwise re-fetches the same resource
+    under every dotted spelling)."""
+    cases = {
+        "https://d.ex.com/a/./b": "https://d.ex.com/a/b",
+        "https://d.ex.com/a/../b": "https://d.ex.com/b",
+        "https://d.ex.com/../../a": "https://d.ex.com/a",   # clamp at root
+        "https://d.ex.com/a/b/..": "https://d.ex.com/a/",   # trailing ..
+        "https://d.ex.com/a/.": "https://d.ex.com/a/",      # trailing .
+        "https://d.ex.com/..": "https://d.ex.com/",
+        "https://d.ex.com/a//b/../c": "https://d.ex.com/a//c",  # '' preserved
+        "https://d.ex.com/.hidden/x": "https://d.ex.com/.hidden/x",
+        "https://d.ex.com/a/..b/c": "https://d.ex.com/a/..b/c",  # not a dot seg
+    }
+    for raw, want in cases.items():
+        assert canonicalize_py(raw) == want, raw
 
 
 def test_canonical_variants_collapse():
@@ -70,6 +99,30 @@ def test_with_url_columns_plan_stays_codegen(spark):
     plan = out._sc._jvm.PythonSQLUtils.explainString(out._jdf.queryExecution(), "formatted")
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_canonicalize_twins_agree_random_dotted_paths(spark):
+    """Seeded random URL corpus weighted toward dot-segment pathology
+    ('.', '..', empty segments, dotted-prefix names, deep ../ runs):
+    Column and Python canonicalizers must agree on every row. One batch
+    Spark job for the whole corpus (not per-example)."""
+    import random
+
+    rnd = random.Random(20260817)
+    seg_pool = [".", "..", "", "a", "b", "img", ".hidden", "..b", "a.b",
+                "x%20y", "index.html", "...", "a."]
+    urls_l = []
+    for _ in range(300):
+        n = rnd.randint(0, 7)
+        path = "/" + "/".join(rnd.choice(seg_pool) for _ in range(n))
+        host = rnd.choice(["d.ex.com", "D.EX.com:443", "d.ex.com:8080"])
+        q = rnd.choice(["", "?a=1", "?a=./.."])
+        urls_l.append(f"https://{host}{path}{q}")
+    df = spark.createDataFrame([(u,) for u in urls_l], ["url"])
+    rows = df.select("url", urls.canonicalize_url(F.col("url")).alias("c")).collect()
+    assert len(rows) == 300
+    for r in rows:
+        assert r["c"] == canonicalize_py(r["url"]), r["url"]
 
 
 def test_psl_rule_semantics_py():
