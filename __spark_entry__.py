@@ -677,6 +677,93 @@ def q23_label_centroids(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# webtext corpus cleaning + link-graph prioritization (round 3)
+# ---------------------------------------------------------------------------
+
+LINE_TOKENS = 8
+GRAPH_HOSTS = 120
+GRAPH_FANOUT = 3
+
+
+def q48_line_dedup(spark, sf):
+    """CCNet-style line-level boilerplate strip (operators/lines.line_dedup):
+    lines occurring in >= 2 distinct docs are removed; per-doc kept-line
+    counts plus an md5 of the cleaned text. 'Lines' are deterministic
+    8-token chunks (the test corpus is single-line; see module docstring)."""
+    from stock_crawler_spark.operators.lines import line_dedup
+
+    docs = _t(spark, sf, "documents")
+    return line_dedup(docs, line_tokens=LINE_TOKENS, min_docs=2)
+
+
+def q49_gopher_quality(spark, sf):
+    """Gopher repetition rules (operators/lines.gopher_repetition):
+    within-doc duplicate-line fractions + top-2-gram char mass, with the
+    paper's keep/reject thresholds."""
+    from stock_crawler_spark.operators.lines import gopher_repetition
+
+    docs = _t(spark, sf, "documents")
+    return gopher_repetition(docs, line_tokens=LINE_TOKENS)
+
+
+def _q50_edges(spark, sf):
+    """Deterministic host-graph edges harvested through the REAL extraction
+    chain: per doc, 3 anchors to https://www.h{(doc_id*7+k) % 120}.com/p{k}
+    are injected into synthetic HTML, pulled back out with
+    functions/links.extract_links, and collapsed to registrable domains.
+    The oracle derives the same edges arithmetically — independent of the
+    extractor."""
+    from stock_crawler_spark.functions.links import extract_links
+
+    docs = _t(spark, sf, "documents")
+    base = F.concat(
+        F.lit("https://www.h"),
+        (F.col("doc_id") % GRAPH_HOSTS).cast("string"),
+        F.lit(".com/dir/page.html"),
+    )
+    anchors = [
+        F.concat(
+            F.lit('<a href="https://www.h'),
+            ((F.col("doc_id") * 7 + k) % GRAPH_HOSTS).cast("string"),
+            F.lit(f'.com/p{k}">x</a>'),
+        )
+        for k in range(1, GRAPH_FANOUT + 1)
+    ]
+    html = F.concat(*anchors)
+    links = docs.select(
+        registrable_domain(
+            F.concat(F.lit("www.h"), (F.col("doc_id") % GRAPH_HOSTS).cast("string"), F.lit(".com"))
+        ).alias("src_dom"),
+        F.explode(extract_links(html, base)).alias("link"),
+    )
+    host = F.regexp_extract(F.col("link"), r"^https://([^/]+)/", 1)
+    return links.select("src_dom", registrable_domain(host).alias("dst_dom"))
+
+
+def q50_host_indegree(spark, sf):
+    """Frontier prioritization from the harvested link graph
+    (operators/graph.host_indegree): distinct-referrer indegree per
+    registrable domain + log1p-damped priority."""
+    from stock_crawler_spark.operators.graph import host_indegree
+
+    return host_indegree(_q50_edges(spark, sf))
+
+
+def q51_crawl_depth(spark, sf):
+    """Depth-limited BFS from seed hosts over the same harvested host graph
+    (operators/graph.bfs_depth): which hosts would a crawl seeded at
+    {h0,h1,h2}.com enqueue within 3 hops, and at what depth. Iterative
+    frontier-wave joins; oracle is a recursive CTE."""
+    from stock_crawler_spark.operators.graph import bfs_depth
+
+    edges = _q50_edges(spark, sf)
+    seeds = spark.createDataFrame(
+        [("h0.com",), ("h1.com",), ("h2.com",)], ["dom"]
+    )
+    return bfs_depth(edges, seeds, max_hops=3)
+
+
+# ---------------------------------------------------------------------------
 # driver API
 # ---------------------------------------------------------------------------
 
@@ -735,6 +822,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_link_extract": q45_link_extract,
         "q46_neardup_multiprobe": q46_neardup_multiprobe,
         "q47_registrable_domain": q47_registrable_domain,
+        "q48_line_dedup": q48_line_dedup,
+        "q49_gopher_quality": q49_gopher_quality,
+        "q50_host_indegree": q50_host_indegree,
+        "q51_crawl_depth": q51_crawl_depth,
     }
 
 
@@ -1370,5 +1461,99 @@ FROM (
     o_orderdate - to_days(CAST(o_orderkey % 7 AS INT)) AS d
   FROM orders
 ) WHERE dayofweek(d) NOT IN (0, 6)
+""",
+        "q48_line_dedup": f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_RAW} AS t FROM documents WHERE trim(text) <> ''
+), ls AS (
+  SELECT doc_id, list_transform(
+    generate_series(0, CAST(ceil(len(t) / {float(LINE_TOKENS)}) AS INT) - 1),
+    i -> array_to_string(t[(i*{LINE_TOKENS}+1):(i*{LINE_TOKENS}+{LINE_TOKENS})], ' ')) AS lns
+  FROM toks
+), lines AS (
+  SELECT doc_id, unnest(lns) AS line,
+         unnest(generate_series(1, len(lns))) AS pos
+  FROM ls
+), freq AS (
+  SELECT md5(line) AS lh, count(DISTINCT doc_id) AS nd FROM lines GROUP BY 1
+)
+SELECT l.doc_id, count(*) AS n_lines,
+  count(*) FILTER (WHERE f.nd < 2) AS n_kept,
+  md5(coalesce(
+    string_agg(l.line, chr(10) ORDER BY l.pos) FILTER (WHERE f.nd < 2), ''
+  )) AS clean_fp
+FROM lines l JOIN freq f ON md5(l.line) = f.lh
+GROUP BY l.doc_id
+""",
+        "q49_gopher_quality": f"""
+WITH toks AS (
+  SELECT doc_id, length(trim(text)) AS n_chars,
+         {_TOKS_RAW} AS t, {_TOKS} AS tl
+  FROM documents WHERE trim(text) <> ''
+), ls AS (
+  SELECT doc_id, list_transform(
+    generate_series(0, CAST(ceil(len(t) / {float(LINE_TOKENS)}) AS INT) - 1),
+    i -> array_to_string(t[(i*{LINE_TOKENS}+1):(i*{LINE_TOKENS}+{LINE_TOKENS})], ' ')) AS lns
+  FROM toks
+), per_line AS (
+  SELECT doc_id, line, count(*) AS c
+  FROM (SELECT doc_id, unnest(lns) AS line FROM ls) GROUP BY 1, 2
+), line_stats AS (
+  SELECT doc_id,
+    sum(c - 1) / sum(c) AS dlf,
+    sum((c - 1) * length(line)) / sum(c * length(line)) AS dlcf
+  FROM per_line GROUP BY 1
+), per_gram AS (
+  SELECT doc_id, gram, count(*) AS c FROM (
+    SELECT doc_id, unnest(list_transform(
+      generate_series(1, len(tl) - 1), i -> tl[i] || ' ' || tl[i+1])) AS gram
+    FROM toks WHERE len(tl) >= 2
+  ) GROUP BY 1, 2
+), top_gram AS (
+  SELECT doc_id, chars AS top_chars FROM (
+    SELECT doc_id, c * length(gram) AS chars,
+      row_number() OVER (PARTITION BY doc_id
+                         ORDER BY c * length(gram) DESC, gram) AS rn
+    FROM per_gram
+  ) WHERE rn = 1
+)
+SELECT s.doc_id,
+  round(s.dlf, 6) AS dup_line_frac,
+  round(s.dlcf, 6) AS dup_line_char_frac,
+  round(coalesce(g.top_chars, 0) / t.n_chars, 6) AS top2gram_char_frac,
+  (s.dlf <= 0.30 AND s.dlcf <= 0.20
+   AND coalesce(g.top_chars, 0) / t.n_chars <= 0.20) AS keep
+FROM line_stats s
+JOIN toks t USING (doc_id)
+LEFT JOIN top_gram g USING (doc_id)
+""",
+        "q50_host_indegree": f"""
+WITH ks AS (
+  SELECT doc_id, unnest([1, 2, 3]) AS k FROM documents
+), e AS (
+  SELECT 'h' || CAST(doc_id % {GRAPH_HOSTS} AS VARCHAR) || '.com' AS src_dom,
+         'h' || CAST((doc_id * 7 + k) % {GRAPH_HOSTS} AS VARCHAR) || '.com' AS dst_dom
+  FROM ks
+)
+SELECT dst_dom AS dom,
+  count(DISTINCT src_dom) AS indegree,
+  count(*) AS n_links,
+  round(ln(1 + count(DISTINCT src_dom)), 6) AS priority
+FROM e WHERE src_dom <> dst_dom
+GROUP BY 1
+""",
+        "q51_crawl_depth": f"""
+WITH RECURSIVE e AS (
+  SELECT DISTINCT
+    'h' || CAST(doc_id % {GRAPH_HOSTS} AS VARCHAR) || '.com' AS s,
+    'h' || CAST((doc_id * 7 + k) % {GRAPH_HOSTS} AS VARCHAR) || '.com' AS d
+  FROM (SELECT doc_id, unnest([1, 2, 3]) AS k FROM documents)
+  WHERE doc_id % {GRAPH_HOSTS} <> (doc_id * 7 + k) % {GRAPH_HOSTS}
+), walk(dom, depth) AS (
+  SELECT dom, 0 FROM (VALUES ('h0.com'), ('h1.com'), ('h2.com')) AS seeds(dom)
+  UNION ALL
+  SELECT e.d, w.depth + 1 FROM walk w JOIN e ON w.dom = e.s WHERE w.depth < 3
+)
+SELECT dom, CAST(min(depth) AS INT) AS depth FROM walk GROUP BY 1
 """,
     }

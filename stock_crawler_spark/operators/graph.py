@@ -1,0 +1,95 @@
+"""Host-graph operators: frontier prioritization from the link graph.
+
+The reference crawls a CLOSED URL universe (a stock list fans out to a
+fixed set of exchange pages — fetcher.go builds URLs from the list, it
+never follows links). Once follow-links frontier growth exists
+(operators/frontier.py + functions/links.py), the crawler needs a way to
+ORDER the open frontier: hosts that many other hosts link to should be
+fetched first. These operators compute that signal from harvested edges.
+
+  host_indegree   per-target-host distinct-referrer count -> priority
+  bfs_depth       min hop-distance from seed hosts (depth-limited crawl)
+
+Scale notes (10^8 hosts, 10^10 edges):
+  * host_indegree is one distinct + one groupBy, both keyed on the
+    target host — uniform enough after registrable-domain collapsing
+    that AQE's skew split handles the residual head (a count_distinct
+    on (dst, src) pairs is two-stage partial-aggregated by Spark);
+  * bfs_depth is iterative min-distance label propagation, the same
+    O(log/linear-sweep) pattern as operators/components.py: each sweep
+    is one join keyed on the host id + one min-groupBy; the frontier
+    df passed between sweeps is localCheckpoint-truncated so the plan
+    never grows with depth. Depth is bounded (crawl depth limits are
+    3-10 in practice), so sweeps = max_hops, not graph diameter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def host_indegree(edges: DataFrame, src: str = "src_dom", dst: str = "dst_dom") -> DataFrame:
+    """Distinct-referrer indegree per target host, plus a log-damped
+    frontier priority (log1p keeps mega-hubs from starving the tail —
+    the same damping the politeness scheduler applies to hot domains).
+
+    Self-links are excluded: a host linking to itself says nothing about
+    external endorsement (and every nav bar does it).
+    """
+    e = edges.filter(F.col(src) != F.col(dst))
+    return (
+        e.groupBy(F.col(dst).alias("dom"))
+        .agg(
+            F.count_distinct(src).alias("indegree"),
+            F.count("*").alias("n_links"),
+        )
+        .withColumn(
+            "priority", F.round(F.log1p(F.col("indegree").cast("double")), 6)
+        )
+    )
+
+
+def bfs_depth(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    src: str = "src_dom",
+    dst: str = "dst_dom",
+    seed_col: str = "dom",
+) -> DataFrame:
+    """Minimum hop-distance from any seed host, up to max_hops.
+
+    Returns (dom, depth) for every host reachable within max_hops
+    (seeds at depth 0). Classic depth-limited frontier expansion: the
+    set of hosts a crawl seeded at `seeds` with a max-depth budget will
+    ever enqueue.
+
+    Each sweep joins the CURRENT frontier (hosts first reached at depth
+    d) against the edge list — not the full visited set — so sweep cost
+    tracks the frontier wave, and the edge df is the only large operand
+    (re-partitioned once on src and reused across sweeps). Visited-set
+    dedup is an anti-join keyed on host.
+    """
+    e = edges.filter(F.col(src) != F.col(dst)).select(
+        F.col(src).alias("_s"), F.col(dst).alias("_d")
+    ).distinct()
+    visited = seeds.select(F.col(seed_col).alias("dom")).distinct().withColumn(
+        "depth", F.lit(0)
+    )
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["dom"] == e["_s"])
+            .select(F.col("_d").alias("dom"))
+            .distinct()
+            .join(visited.select("dom"), "dom", "left_anti")
+            .withColumn("depth", F.lit(hop))
+        )
+        # truncate lineage so the plan stays O(1) per sweep, not O(hops)
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        visited = visited.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited

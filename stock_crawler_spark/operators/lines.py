@@ -1,0 +1,198 @@
+"""Line-level (paragraph-level) corpus operators for webtext pipelines.
+
+CCNet / RefinedWeb-style cleaning works at line granularity: a line that
+repeats across many documents is boilerplate (nav bars, cookie banners,
+footers) and is stripped BEFORE document-level dedup; within-document line
+repetition is the strongest of the Gopher quality rules. The reference
+crawler emits whole pages (parser.go Parse -> one record per row); these
+operators are the next pipeline stage a consumer of those pages runs.
+
+Everything is declarative DataFrame ops:
+
+  split_lines      Column expr: deterministic token-chunk "lines"
+  line_dedup       strip lines that occur in >= min_docs distinct docs
+  gopher_repetition per-doc duplicate-line / duplicate-2gram fractions
+
+Scale notes (10^10 docs, 10^12 lines):
+  * the line-frequency aggregation is a single groupBy on md5(line) —
+    partial aggregation is map-side, the shuffle key is uniform by
+    construction (a cryptographic hash), no skew;
+  * the "is this line boilerplate" verdict joins back on the same
+    md5(line) key, so with matching partitioning the exchange is reused;
+    the boilerplate SET (lines with df >= min_docs) is typically tiny
+    relative to the corpus — Spark's AQE converts the join to broadcast
+    when it fits, and we hint it explicitly since df >= 2 lines are
+    ~1-5% of distinct lines in practice;
+  * per-doc reassembly is an ordered collect_list keyed by doc — one
+    shuffle on doc_id, the natural partitioning of every downstream stage.
+
+Test corpora carry single-line texts, so "lines" are derived
+deterministically: whitespace tokens chunked N-at-a-time. The chunking is
+a pure Column expression with an exact DuckDB twin (oracle q48), so swap
+in `F.split(text, '\\n')` for real multi-line pages without touching the
+aggregation plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_LINE_TOKENS = 8
+
+
+def split_lines(text, line_tokens: int = DEFAULT_LINE_TOKENS):
+    """Array of deterministic 'lines': whitespace tokens chunked
+    line_tokens at a time, joined by single spaces. Empty text -> []."""
+    toks = F.split(F.trim(text), r"\s+")
+    n_chunks = F.ceil(F.size(toks) / F.lit(line_tokens)).cast("int")
+    chunked = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * line_tokens + 1, line_tokens)),
+    )
+    return F.when(F.trim(text) == "", F.array().cast("array<string>")).otherwise(chunked)
+
+
+def _exploded_lines(docs: DataFrame, id_col: str, text_col: str, line_tokens: int) -> DataFrame:
+    """Inner posexplode: docs with empty/blank text have no lines and are
+    absent from every per-line operator's output (mirrored in the SQL
+    oracles via WHERE trim(text) <> '')."""
+    return docs.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(split_lines(F.col(text_col), line_tokens)).alias("pos", "line"),
+    )
+
+
+def line_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_tokens: int = DEFAULT_LINE_TOKENS,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Strip boilerplate lines (lines occurring in >= min_docs distinct
+    docs) and return per doc: n_lines, n_kept, and md5 of the kept text
+    (kept lines in original order, '\\n'-joined; empty when all lines are
+    boilerplate).
+
+    Two shuffles: line-hash groupBy (uniform md5 key) and doc reassembly.
+    The boilerplate set is broadcast — it is the df>=min_docs tail of the
+    line-frequency distribution, orders of magnitude smaller than the
+    corpus; for a pathological corpus where it is not, drop the hint and
+    let AQE pick sort-merge.
+    """
+    lines = _exploded_lines(docs, id_col, text_col, line_tokens).withColumn(
+        "lh", F.md5(F.col("line"))
+    )
+    boiler = (
+        lines.groupBy("lh")
+        .agg(F.count_distinct("doc").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("lh")
+    )
+    kept = lines.join(F.broadcast(boiler.withColumn("is_boiler", F.lit(True))),
+                      "lh", "left")
+    per_doc = kept.groupBy("doc").agg(
+        F.count("*").alias("n_lines"),
+        F.count(F.when(F.col("is_boiler").isNull(), 1)).alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("is_boiler").isNull(),
+                                F.struct(F.col("pos"), F.col("line")),
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+            )
+        ).alias("clean_fp"),
+    )
+    return per_doc.select(
+        F.col("doc").alias(id_col), "n_lines", "n_kept", "clean_fp"
+    )
+
+
+def gopher_repetition(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_tokens: int = DEFAULT_LINE_TOKENS,
+    max_dup_line_frac: float = 0.30,
+    max_dup_line_char_frac: float = 0.20,
+    max_top2gram_char_frac: float = 0.20,
+) -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021,
+    table A1 'repetitious text' rules, re-expressed over token-chunk
+    lines):
+
+      dup_line_frac       fraction of lines that are repeats of an
+                          earlier identical line in the SAME doc
+      dup_line_char_frac  fraction of line-characters in such repeats
+      top2gram_char_frac  chars of the most frequent word 2-gram
+                          (count*len, first-by-gram tie-break) / text chars
+      keep                all three under their thresholds
+
+    One explode per signal family, aggregations keyed by doc — linear,
+    map-side partials, no per-row Python. The within-doc duplicate count
+    uses groupBy(doc, line) rather than an O(lines^2) array fold so a
+    pathological million-line page costs one shuffle row per DISTINCT
+    line, not a quadratic task.
+    """
+    lines = _exploded_lines(docs, id_col, text_col, line_tokens)
+    per_line = lines.groupBy("doc", "line").agg(F.count("*").alias("c"))
+    line_stats = per_line.groupBy("doc").agg(
+        (F.sum(F.col("c") - 1) / F.sum("c")).alias("dup_line_frac"),
+        (
+            F.sum((F.col("c") - 1) * F.length("line"))
+            / F.sum(F.col("c") * F.length("line"))
+        ).alias("dup_line_char_frac"),
+    )
+
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    k = F.size(toks) - 1
+    grams = F.when(k <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(F.sequence(F.lit(1), k), lambda i: F.concat_ws(" ", F.slice(toks, i, 2)))
+    )
+    g = docs.filter(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col).alias("doc"),
+        F.length(F.trim(F.col(text_col))).alias("n_chars"),
+        F.explode_outer(grams).alias("gram"),
+    )
+    per_gram = g.groupBy("doc", "n_chars", "gram").agg(F.count("*").alias("c"))
+    # min_by over (-char_mass, gram): max char mass, lexicographically FIRST
+    # gram on ties — deterministic across partitionings. NULL-gram rows
+    # (docs with < 2 tokens) have a NULL ordering and are skipped.
+    top_gram = per_gram.groupBy("doc").agg(
+        F.min_by(
+            F.col("c") * F.length("gram"),
+            F.when(
+                F.col("gram").isNotNull(),
+                F.struct(
+                    (-F.col("c") * F.length("gram")).alias("neg"), F.col("gram")
+                ),
+            ),
+        ).alias("top2gram_chars"),
+        F.first("n_chars").alias("n_chars"),
+    )
+
+    out = line_stats.join(top_gram, "doc")
+    top_frac = F.when(
+        F.col("n_chars") > 0,
+        F.coalesce(F.col("top2gram_chars"), F.lit(0)).cast("double") / F.col("n_chars"),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        F.col("doc").alias(id_col),
+        F.round("dup_line_frac", 6).alias("dup_line_frac"),
+        F.round("dup_line_char_frac", 6).alias("dup_line_char_frac"),
+        F.round(top_frac, 6).alias("top2gram_char_frac"),
+        (
+            (F.col("dup_line_frac") <= max_dup_line_frac)
+            & (F.col("dup_line_char_frac") <= max_dup_line_char_frac)
+            & (top_frac <= max_top2gram_char_frac)
+        ).alias("keep"),
+    )

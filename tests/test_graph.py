@@ -1,0 +1,84 @@
+"""Host-graph frontier prioritization (operators/graph.py): indegree
+priority and depth-limited BFS semantics."""
+
+from __future__ import annotations
+
+import math
+
+from stock_crawler_spark.operators.graph import bfs_depth, host_indegree
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src_dom string, dst_dom string")
+
+
+def _seeds(spark, doms):
+    return spark.createDataFrame([(d,) for d in doms], "dom string")
+
+
+def test_indegree_distinct_referrers_and_selfloops(spark):
+    e = _edges(
+        spark,
+        [
+            ("a.com", "hub.com"),
+            ("a.com", "hub.com"),  # repeat link: n_links 2, indegree 1
+            ("b.com", "hub.com"),
+            ("hub.com", "hub.com"),  # self-link excluded entirely
+            ("a.com", "leaf.com"),
+        ],
+    )
+    got = {r["dom"]: r for r in host_indegree(e).collect()}
+    assert got["hub.com"]["indegree"] == 2 and got["hub.com"]["n_links"] == 3
+    assert got["leaf.com"]["indegree"] == 1
+    assert "hub.com" in got and got["hub.com"]["priority"] == round(math.log1p(2), 6)
+    # a self-link-only host would not appear at all
+    only_self = host_indegree(_edges(spark, [("x.com", "x.com")])).collect()
+    assert only_self == []
+
+
+def test_bfs_depth_min_distance(spark):
+    # s -> a -> b -> c -> d ; s -> b (shortcut): b is depth 1, not 2
+    e = _edges(
+        spark,
+        [
+            ("s.com", "a.com"),
+            ("a.com", "b.com"),
+            ("b.com", "c.com"),
+            ("c.com", "d.com"),
+            ("s.com", "b.com"),
+        ],
+    )
+    got = {r["dom"]: r["depth"] for r in bfs_depth(e, _seeds(spark, ["s.com"]), 3).collect()}
+    assert got == {"s.com": 0, "a.com": 1, "b.com": 1, "c.com": 2, "d.com": 3}
+
+
+def test_bfs_depth_hop_budget_cuts(spark):
+    e = _edges(spark, [("s.com", "a.com"), ("a.com", "b.com"), ("b.com", "c.com")])
+    got = {r["dom"]: r["depth"] for r in bfs_depth(e, _seeds(spark, ["s.com"]), 1).collect()}
+    assert got == {"s.com": 0, "a.com": 1}
+
+
+def test_bfs_multiple_seeds_and_cycles(spark):
+    # cycle a->b->a must terminate; two seeds race: min depth wins
+    e = _edges(
+        spark,
+        [("a.com", "b.com"), ("b.com", "a.com"), ("z.com", "b.com")],
+    )
+    got = {
+        r["dom"]: r["depth"]
+        for r in bfs_depth(e, _seeds(spark, ["a.com", "z.com"]), 5).collect()
+    }
+    assert got == {"a.com": 0, "z.com": 0, "b.com": 1}
+
+
+def test_bfs_disconnected_host_absent(spark):
+    e = _edges(spark, [("s.com", "a.com"), ("x.com", "y.com")])
+    got = {r["dom"] for r in bfs_depth(e, _seeds(spark, ["s.com"]), 4).collect()}
+    assert got == {"s.com", "a.com"}
+
+
+def test_bfs_early_stop_on_empty_frontier(spark):
+    # frontier dries up at hop 1; loop must exit, not run max_hops joins
+    e = _edges(spark, [("s.com", "a.com")])
+    got = bfs_depth(e, _seeds(spark, ["s.com"]), 100)
+    assert {r["dom"]: r["depth"] for r in got.collect()} == {"s.com": 0, "a.com": 1}

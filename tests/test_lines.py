@@ -1,0 +1,124 @@
+"""Line-level dedup + Gopher repetition rules (operators/lines.py):
+chunked-line derivation, cross-doc boilerplate strip, within-doc
+duplicate fractions, top-2-gram char mass, keep thresholds."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from stock_crawler_spark.operators.lines import (
+    gopher_repetition,
+    line_dedup,
+    split_lines,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+# --- split_lines ---------------------------------------------------------------
+
+
+def test_split_lines_chunking(spark):
+    df = _docs(spark, ["a b c d e f g h i j", "one", "", "   "])
+    got = df.select("doc_id", split_lines(F.col("text"), 4).alias("ls")).collect()
+    by_id = {r["doc_id"]: r["ls"] for r in got}
+    assert by_id[0] == ["a b c d", "e f g h", "i j"]
+    assert by_id[1] == ["one"]
+    assert by_id[2] == [] and by_id[3] == []
+
+
+# --- line_dedup ----------------------------------------------------------------
+
+
+def test_line_dedup_strips_cross_doc_lines(spark):
+    # line "x y" appears in docs 0 and 1 -> boilerplate; "a b"/"c d"/"e f" unique
+    df = _docs(spark, ["x y a b", "x y c d", "e f"])
+    got = {r["doc_id"]: r for r in line_dedup(df, line_tokens=2).collect()}
+    assert (got[0]["n_lines"], got[0]["n_kept"]) == (2, 1)
+    assert got[0]["clean_fp"] == _md5("a b")
+    assert got[1]["clean_fp"] == _md5("c d")
+    assert (got[2]["n_lines"], got[2]["n_kept"]) == (1, 1)
+    assert got[2]["clean_fp"] == _md5("e f")
+
+
+def test_line_dedup_all_boiler_gives_empty_fp(spark):
+    df = _docs(spark, ["x y", "x y"])
+    got = {r["doc_id"]: r for r in line_dedup(df, line_tokens=2).collect()}
+    assert got[0]["n_kept"] == 0 and got[0]["clean_fp"] == _md5("")
+
+
+def test_line_dedup_within_doc_repeat_is_not_boiler(spark):
+    # "x y" repeats WITHIN doc 0 only: distinct-doc count is 1 -> kept
+    df = _docs(spark, ["x y x y", "c d"])
+    got = {r["doc_id"]: r for r in line_dedup(df, line_tokens=2).collect()}
+    assert got[0]["n_kept"] == 2 and got[0]["clean_fp"] == _md5("x y\nx y")
+
+
+def test_line_dedup_order_preserved(spark):
+    # kept lines rejoin in original order even when the dupe sits between them
+    df = _docs(spark, ["a b x y c d", "x y"])
+    got = {r["doc_id"]: r for r in line_dedup(df, line_tokens=2).collect()}
+    assert got[0]["clean_fp"] == _md5("a b\nc d")
+
+
+def test_line_dedup_min_docs_threshold(spark):
+    df = _docs(spark, ["x y", "x y", "x y c d"])
+    got = {r["doc_id"]: r for r in line_dedup(df, line_tokens=2, min_docs=4).collect()}
+    assert all(r["n_kept"] == r["n_lines"] for r in got.values())
+
+
+# --- gopher_repetition -----------------------------------------------------------
+
+
+def test_gopher_dup_line_fractions(spark):
+    # doc 0: lines [x y, x y, a b] -> dup_line_frac = 1/3;
+    # chars: dup repeats contribute 3 of 9 line-chars
+    df = _docs(spark, ["x y x y a b"])
+    r = gopher_repetition(df, line_tokens=2).collect()[0]
+    assert r["dup_line_frac"] == round(1 / 3, 6)
+    assert r["dup_line_char_frac"] == round(3 / 9, 6)
+
+
+def test_gopher_top2gram_mass(spark):
+    # "p q" 2-gram occurs 3x in "p q p q p q" (grams: pq qp pq qp pq)
+    # top gram "p q": 3 occurrences * 3 chars = 9; n_chars = 11
+    df = _docs(spark, ["p q p q p q"])
+    r = gopher_repetition(df, line_tokens=100).collect()[0]
+    assert r["top2gram_char_frac"] == round(9 / 11, 6)
+    assert r["keep"] is False  # repetition soup
+
+
+def test_gopher_clean_doc_keeps(spark):
+    # long enough that one occurrence of the heaviest 2-gram is < 20% of chars
+    words = " ".join(f"w{i:02d}x" for i in range(40))
+    df = _docs(spark, [words])
+    r = gopher_repetition(df, line_tokens=4).collect()[0]
+    assert r["dup_line_frac"] == 0.0 and r["keep"] is True
+
+
+def test_gopher_single_token_doc(spark):
+    # no 2-grams: top2gram mass 0, keep decided by line rules alone
+    df = _docs(spark, ["word"])
+    r = gopher_repetition(df, line_tokens=4).collect()[0]
+    assert r["top2gram_char_frac"] == 0.0 and r["keep"] is True
+
+
+def test_gopher_tie_break_deterministic(spark):
+    # "b a" and "a b" both occur once with equal char mass; the
+    # lexicographically first gram must win regardless of partitioning
+    df = _docs(spark, ["a b a"])  # grams: "a b", "b a" — tie at 3 chars
+    rows = [
+        gopher_repetition(df.repartition(n), line_tokens=100).collect()[0]
+        for n in (1, 7)
+    ]
+    assert rows[0] == rows[1]
