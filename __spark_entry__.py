@@ -763,6 +763,46 @@ def q51_crawl_depth(spark, sf):
     return bfs_depth(edges, seeds, max_hops=3)
 
 
+WINNOW_K = 8
+WINNOW_W = 4
+
+
+def q52_winnow_fingerprints(spark, sf):
+    """MOSS winnowing fingerprints (operators/dedup.winnow_fingerprints):
+    char-8-gram rolling hashes, window-4 minima — the partial-copy index.
+    Per-row codegen array exprs; md5-derived hashes so DuckDB reproduces
+    them bit-exactly."""
+    docs = _t(spark, sf, "documents")
+    return dedup.winnow_fingerprints(docs, k=WINNOW_K, w=WINNOW_W)
+
+
+def q53_url_canonicalize(spark, sf):
+    """URL canonicalization as the seen-set key (functions/urls.
+    canonicalize_url — the r3 RFC 3986 dot-segment path included): six
+    variant classes per doc (case+default port+fragment, /./ segments,
+    /../ pops, empty path, surrounding whitespace with query kept as-is,
+    excess ../ clamping at root). The oracle states the EXPECTED
+    canonical string per class, hand-derived from the documented
+    contract — fully independent of the engine."""
+    from stock_crawler_spark.functions.urls import canonicalize_url
+
+    docs = _t(spark, sf, "documents")
+    n = (F.col("doc_id") % GRAPH_HOSTS).cast("string")
+    pid = F.col("doc_id").cast("string")
+    variants = [
+        F.concat(F.lit("HTTPS://WWW.H"), n, F.lit(".COM:443/a/page"), pid, F.lit(".html#frag")),
+        F.concat(F.lit("http://h"), n, F.lit(".com:80/p/./q/page"), pid, F.lit(".html")),
+        F.concat(F.lit("https://h"), n, F.lit(".com/x/../page"), pid, F.lit(".html")),
+        F.concat(F.lit("https://h"), n, F.lit(".com")),
+        F.concat(F.lit("  https://h"), n, F.lit(".com/page"), pid, F.lit(".html?b=2&a=1  ")),
+        F.concat(F.lit("https://h"), n, F.lit(".com/a/b/../../../page"), pid, F.lit(".html")),
+    ]
+    url_in = F.element_at(F.array(*variants), (F.col("doc_id") % 6 + 1).cast("int"))
+    return docs.select(
+        "doc_id", url_in.alias("url_in"), canonicalize_url(url_in).alias("url_canon")
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver API
 # ---------------------------------------------------------------------------
@@ -826,6 +866,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_gopher_quality": q49_gopher_quality,
         "q50_host_indegree": q50_host_indegree,
         "q51_crawl_depth": q51_crawl_depth,
+        "q52_winnow_fingerprints": q52_winnow_fingerprints,
+        "q53_url_canonicalize": q53_url_canonicalize,
     }
 
 
@@ -1555,5 +1597,47 @@ WITH RECURSIVE e AS (
   SELECT e.d, w.depth + 1 FROM walk w JOIN e ON w.dom = e.s WHERE w.depth < 3
 )
 SELECT dom, CAST(min(depth) AS INT) AS depth FROM walk GROUP BY 1
+""",
+        "q52_winnow_fingerprints": f"""
+WITH s AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+  FROM documents
+), g AS (
+  SELECT doc_id, list_transform(
+    generate_series(1, length(t) - {WINNOW_K - 1}),
+    i -> ('0x' || substr(md5(substr(t, i, {WINNOW_K})), 1, 15))::bigint) AS hs
+  FROM s WHERE length(t) >= {WINNOW_K}
+), fps AS (
+  SELECT doc_id, list_distinct(list_transform(
+    generate_series(1, greatest(len(hs) - {WINNOW_W - 1}, 1)),
+    j -> list_min(hs[j:(j + {WINNOW_W - 1})]))) AS fp_list
+  FROM g
+)
+SELECT doc_id, CAST(unnest(fp_list) AS BIGINT) AS fp FROM fps
+""",
+        "q53_url_canonicalize": f"""
+SELECT doc_id,
+  CASE doc_id % 6
+    WHEN 0 THEN 'HTTPS://WWW.H' || n || '.COM:443/a/page' || pid || '.html#frag'
+    WHEN 1 THEN 'http://h' || n || '.com:80/p/./q/page' || pid || '.html'
+    WHEN 2 THEN 'https://h' || n || '.com/x/../page' || pid || '.html'
+    WHEN 3 THEN 'https://h' || n || '.com'
+    WHEN 4 THEN '  https://h' || n || '.com/page' || pid || '.html?b=2&a=1  '
+    ELSE 'https://h' || n || '.com/a/b/../../../page' || pid || '.html'
+  END AS url_in,
+  CASE doc_id % 6
+    WHEN 0 THEN 'https://www.h' || n || '.com/a/page' || pid || '.html'
+    WHEN 1 THEN 'http://h' || n || '.com/p/q/page' || pid || '.html'
+    WHEN 2 THEN 'https://h' || n || '.com/page' || pid || '.html'
+    WHEN 3 THEN 'https://h' || n || '.com/'
+    WHEN 4 THEN 'https://h' || n || '.com/page' || pid || '.html?b=2&a=1'
+    ELSE 'https://h' || n || '.com/page' || pid || '.html'
+  END AS url_canon
+FROM (
+  SELECT doc_id,
+    CAST(doc_id % {GRAPH_HOSTS} AS VARCHAR) AS n,
+    CAST(doc_id AS VARCHAR) AS pid
+  FROM documents
+)
 """,
     }

@@ -331,6 +331,55 @@ def hash_sample(
     return df.filter(u < thr)
 
 
+# --- winnowing fingerprints ------------------------------------------------------
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MOSS-style winnowing document fingerprints (Schleimer, Wilkerson,
+    Aiken — "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD 2003): hash every char k-gram of the whitespace-normalized
+    lowercased text, slide a window of w consecutive hashes, keep the
+    window minimum. Guarantees any shared substring of length >= k+w-1
+    yields a shared fingerprint, while selecting only ~2/(w+1) of the
+    hashes — the partial-copy detector exact dedup and shingle Jaccard
+    both miss (they need whole-doc or whole-shingle-set overlap).
+
+    Returns exploded (id, fp) rows — the corpus fingerprint index. Two
+    docs sharing any fp are copy-candidates: a self-join on fp (uniform
+    md5-derived key, same shape as the shingle join in
+    ngram_jaccard_pairs) finds them without comparing documents pairwise.
+
+    Everything is per-row array expressions inside whole-stage codegen —
+    the only shuffle downstream is whatever the caller does with the
+    index. Docs shorter than k chars have no k-grams and emit no rows;
+    docs with fewer than w hashes get one window over all of them.
+    md5-derived hashes keep the oracle SQL-reproducible (q52).
+    """
+    norm = docs.select(
+        F.col(id_col),
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ").alias("_s"),
+    ).filter(F.length("_s") >= k)
+    s = F.col("_s")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(s) - (k - 1)),
+        lambda i: _md5_hash60(F.substring(s, i, F.lit(k))),
+    )
+    n_win = F.greatest(F.size(grams) - (w - 1), F.lit(1))
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_win),
+            lambda j: F.array_min(F.slice(grams, j, w)),
+        )
+    )
+    return norm.select(F.col(id_col), F.explode(fps).alias("fp"))
+
+
 # --- SimHash --------------------------------------------------------------------
 
 SIMHASH_BITS = 32

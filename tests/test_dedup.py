@@ -168,3 +168,62 @@ def test_bm25_empty_query_returns_empty(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     out = bm25_scores(docs, [])
     assert out.columns == ["doc_id", "bm25", "n_terms_hit"] and out.count() == 0
+
+
+# --- winnowing fingerprints ------------------------------------------------------
+
+
+def test_winnow_guarantee_shared_substring(spark):
+    """Winnowing guarantee (SIGMOD'03): any shared substring of length
+    >= k + w - 1 yields at least one shared fingerprint."""
+    from stock_crawler_spark.operators.dedup import winnow_fingerprints
+
+    shared = "copied sentence fragment here"  # 29 chars >= 8 + 4 - 1
+    docs = spark.createDataFrame(
+        [
+            (1, "intro text then " + shared + " and a unique tail one"),
+            (2, "different opening; " + shared + " -- another ending"),
+            (3, "totally unrelated content with no overlap at all xyz"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs, k=8, w=4)
+    by_doc = {
+        r["doc_id"]: {x["fp"] for x in rows}
+        for r in [{"doc_id": d} for d in (1, 2, 3)]
+        for rows in [fps.filter(fps["doc_id"] == r["doc_id"]).collect()]
+    }
+    assert by_doc[1] & by_doc[2], "shared substring must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3] and by_doc[2] & by_doc[3])
+
+
+def test_winnow_density_and_short_docs(spark):
+    from stock_crawler_spark.operators.dedup import winnow_fingerprints
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefgh" * 20), (2, "tiny"), (3, "exactly8")],
+        "doc_id long, text string",
+    )
+    rows = winnow_fingerprints(docs, k=8, w=4).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    # doc 2 shorter than k -> no k-grams -> absent
+    assert 2 not in by_doc
+    # doc 3 has exactly one k-gram -> one window over all -> one fp
+    assert len(by_doc[3]) == 1
+    # periodic doc: fingerprints selected, far fewer than the 153 k-grams
+    assert 1 <= len(by_doc[1]) < 50
+
+
+def test_winnow_whitespace_case_normalization(spark):
+    from stock_crawler_spark.operators.dedup import winnow_fingerprints
+
+    docs = spark.createDataFrame(
+        [(1, "Hello   World  Again"), (2, "hello world again")],
+        "doc_id long, text string",
+    )
+    out = winnow_fingerprints(docs, k=8, w=4).collect()
+    a = {r["fp"] for r in out if r["doc_id"] == 1}
+    b = {r["fp"] for r in out if r["doc_id"] == 2}
+    assert a == b and a
