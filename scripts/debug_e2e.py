@@ -15,20 +15,23 @@ from stock_crawler_spark.session import build_session
 
 
 def compare(fixture_dir: str, state_dir: str, dedup_mode: str = "antijoin",
-            spark=None, follow_links: bool = False) -> bool:
+            spark=None, follow_links: bool = False,
+            indegree_priority: bool = False) -> bool:
     seeds = pq.read_table(f"{fixture_dir}/seeds.parquet").to_pylist()
     robots = pq.read_table(f"{fixture_dir}/robots.parquet").to_pylist()
     skip = [r["crawl_date"] for r in pq.read_table(f"{fixture_dir}/skip_dates.parquet").to_pylist()]
     pages = pq.read_table(f"{fixture_dir}/pages.parquet").to_pylist()
 
-    sim = simulate(seeds, robots, skip, pages, follow_links=follow_links)
+    sim = simulate(seeds, robots, skip, pages, follow_links=follow_links,
+                   indegree_priority=indegree_priority)
 
     if spark is None:
         spark = build_session(master="local[4]", shuffle_partitions=8)
     import os
 
     n_salts = int(os.environ.get("SPARK_GRAFT_SALTS", "1"))
-    cfg = RoundConfig(dedup_mode=dedup_mode, n_salts=n_salts, follow_links=follow_links)
+    cfg = RoundConfig(dedup_mode=dedup_mode, n_salts=n_salts, follow_links=follow_links,
+                      indegree_priority=indegree_priority)
     seeds_df = spark.read.parquet(f"{fixture_dir}/seeds.parquet")
     robots_df = spark.read.parquet(f"{fixture_dir}/robots.parquet")
     skip_df = spark.read.parquet(f"{fixture_dir}/skip_dates.parquet")

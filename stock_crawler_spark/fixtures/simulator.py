@@ -56,6 +56,7 @@ def simulate(
     max_attempts: int = 3,
     max_rounds: int = 12,
     follow_links: bool = False,
+    indegree_priority: bool = False,
 ) -> dict:
     """Returns {'trace': [(round, seq, url, action)...],
                 'final_states': {url_canon: state},
@@ -123,6 +124,9 @@ def simulate(
     for rnum in range(1, max_rounds + 1):
         now = EPOCH0 + timedelta(milliseconds=(rnum - 1) * round_interval_ms)
         discovered_this_round: dict[str, str] = {}
+        # indegree_priority twin (round.py): distinct referrer domains per
+        # TARGET domain over this round's harvest, self-domain excluded
+        indeg_sets: dict[str, set] = {}
         if not any(e["state"] in ("pending", "failed") for e in frontier.values()):
             break
         cands = [
@@ -189,6 +193,10 @@ def simulate(
                 html = (page.get("html") or b"").decode("utf-8", errors="replace")
                 for link in extract_links_py(html, e["url_canon"]):
                     c = canonicalize_py(link)
+                    if indegree_priority:
+                        tgt_dom = registrable_domain_py(host_py(link))
+                        if tgt_dom != e["domain"]:
+                            indeg_sets.setdefault(tgt_dom, set()).add(e["domain"])
                     if c in frontier:
                         continue
                     prev = discovered_this_round.get(c)
@@ -219,9 +227,12 @@ def simulate(
                              if rule_matches_py(path, p)), default=0)
                 a_len = max((len(p) for p in r.get("allow", ["/"])
                              if rule_matches_py(path, p)), default=0)
+                # integer indegree added to the [0,1) hash base: exact in
+                # IEEE doubles, so the engine twin matches bit-for-bit
+                boost = float(len(indeg_sets.get(dom, ()))) if indegree_priority else 0.0
                 frontier[c] = {
                     "url": link, "url_canon": c, "host": host, "domain": dom,
-                    "priority": _discovered_priority_py(c),
+                    "priority": _discovered_priority_py(c) + boost,
                     "strategy": "discovered", "stock_id": None,
                     "crawl_date": None, "query_date": None,
                     "state": "denied" if d_len > a_len else "pending",

@@ -55,6 +55,13 @@ class RoundConfig:
     trace: bool = True
     compact_every: int = 4  # fold seen/records deltas every K rounds (0 = off)
     follow_links: bool = False  # harvest outlinks into the frontier (growth)
+    # boost link-discovered urls' priority by their target domain's
+    # distinct-referrer indegree among THIS round's harvested links
+    # (self-domain links excluded). The boost is the integer count added
+    # to the [0,1) hash base — float-exact (no rounding), monotone
+    # equivalent to a log-damped score for pure ordering, so the
+    # simulator twin reproduces priorities bit-for-bit. Needs follow_links.
+    indegree_priority: bool = False
     # keep only the last K rounds' state on disk (None = keep everything);
     # GC runs after each compaction boundary and is time-travel-safe within
     # the retained window (plans/state.StateStore.gc)
@@ -189,14 +196,38 @@ def run_round(
         from stock_crawler_spark.functions.links import extract_links
 
         assert robots is not None, "follow_links needs the robots rule table"
-        harvested = ok_fetch.select(
+        pairs = ok_fetch.select(
+            F.col("domain").alias("_src_dom"),
             F.explode(
                 extract_links(F.col("_html").cast("string"), F.col("url_canon"))
-            ).alias("url")
+            ).alias("url"),
         ).distinct()
         disc = fr.discovered_frontier_rows(
-            harvested, robots, cfg.n_shards, now, round_id
-        ).join(frontier.select("url_canon"), "url_canon", "left_anti").cache()
+            pairs.select("url").distinct(), robots, cfg.n_shards, now, round_id
+        )
+        if cfg.indegree_priority:
+            # per-target-domain distinct-referrer count over this round's
+            # harvest (operators/graph.host_indegree semantics, inlined on
+            # the already-exploded pairs); broadcastable — bounded by the
+            # domains linked from one politeness-capped round's pages
+            from stock_crawler_spark.functions.urls import with_url_columns
+
+            indeg = (
+                with_url_columns(pairs, n_shards=cfg.n_shards)
+                .filter(F.col("domain") != F.col("_src_dom"))
+                .groupBy("domain")
+                .agg(F.count_distinct("_src_dom").alias("_indeg"))
+            )
+            disc = (
+                disc.join(F.broadcast(indeg), "domain", "left")
+                .withColumn(
+                    "priority",
+                    F.col("priority")
+                    + F.coalesce(F.col("_indeg"), F.lit(0)).cast("double"),
+                )
+                .drop("_indeg")
+            )
+        disc = disc.join(frontier.select("url_canon"), "url_canon", "left_anti").cache()
         # one action: total discovered + how many enter the pending set
         # (robots-denied discoveries never become pending)
         d_c = disc.agg(

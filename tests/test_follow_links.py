@@ -161,3 +161,41 @@ def test_follow_links_resume(spark, linkweb_dir, tmp_path):
     assert sorted(map(str, a.select(*sel).collect())) == sorted(
         map(str, b.select(*sel).collect())
     )
+
+
+def test_indegree_priority_sim_parity(spark, linkweb_dir, tmp_path):
+    """Frontier prioritization from the harvested link graph: engine and
+    simulator must agree on trace/states/seen/text with the indegree
+    boost on (priorities feed the dispatch ordering, so any drift in the
+    boost arithmetic would reorder the trace)."""
+    assert compare(linkweb_dir, str(tmp_path / "state"), "antijoin",
+                   spark=spark, follow_links=True, indegree_priority=True)
+
+
+def test_indegree_priority_orders_cross_domain_first(spark, linkweb_dir, tmp_path):
+    """other.com/x.html has one EXTERNAL referrer (linkweb.com) -> boost
+    +1.0; linkweb.com's own discoveries are self-domain links -> no boost
+    (priority stays in the [0,1) hash range). x.html must therefore
+    dispatch first among round-2 discoveries."""
+    seeds = spark.read.parquet(f"{linkweb_dir}/seeds.parquet")
+    robots = spark.read.parquet(f"{linkweb_dir}/robots.parquet")
+    skip = spark.read.parquet(f"{linkweb_dir}/skip_dates.parquet")
+    pages = spark.read.parquet(f"{linkweb_dir}/pages.parquet")
+    state = str(tmp_path / "state")
+    run_crawl(spark, state, seeds, robots, skip, pages,
+              RoundConfig(follow_links=True, indegree_priority=True))
+
+    sched2 = sorted(
+        (r["seq"], r["url"])
+        for r in spark.read.parquet(f"{state}/trace/round=2")
+        .filter(F.col("action") == "scheduled").collect()
+    )
+    assert sched2[0][1] == "https://www.other.com/x.html"
+
+    store = StateStore(state)
+    last = store.latest_committed_round()
+    rows = {r["url_canon"]: r for r in store.read_frontier(spark, last).collect()}
+    x = rows["https://www.other.com/x.html"]
+    assert 1.0 <= x["priority"] < 2.0  # hash base in [0,1) + boost 1
+    a = rows["https://www.linkweb.com/a.html"]
+    assert 0.0 <= a["priority"] < 1.0  # self-domain links: no boost
