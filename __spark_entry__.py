@@ -803,6 +803,96 @@ def q53_url_canonicalize(spark, sf):
     )
 
 
+PR_ITER = 3
+PR_SRC_CAP = 100  # hosts h100..h119 send no links -> true dangling sinks
+
+
+SPAN_TRIO = "shared span alpha. shared span beta. shared span gamma."
+
+
+def q55_c4_clean(spark, sf):
+    """C4 cleaning rules (operators/c4.c4_clean — Raffel et al. 2020
+    §2.2): line rules (terminal punctuation, >= 3 words, no
+    'javascript') and page rules ('lorem ipsum', '{', >= 5 sentences).
+    The documents table carries punctuation-free prose, so pages are
+    embellished deterministically from doc_id: a keepable line, a
+    too-short line, an unterminated line, a javascript line, plus
+    sentence-mass / lorem / code lines keyed to doc_id mod 3/7/11. The
+    oracle builds byte-identical pages and applies the same rules in
+    SQL."""
+    from stock_crawler_spark.operators.c4 import c4_clean
+
+    docs = _t(spark, sf, "documents")
+    t = F.split(F.trim(F.col("text")), r"\s+")
+    lines = [
+        F.concat(F.concat_ws(" ", F.slice(t, 1, 5)), F.lit(" stays on the page.")),
+        F.lit("too short."),
+        F.concat_ws(" ", F.slice(t, 6, 4)),
+        F.lit("please enable javascript to continue."),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit("one more. two more. three more. four more. five more."),
+        ),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("lorem ipsum dolor sit amet.")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit("function f() { return; }")),
+    ]
+    pages = docs.select("doc_id", F.concat_ws("\n", *lines).alias("text"))
+    return c4_clean(pages)
+
+
+def _q56_pages(spark, sf):
+    """Pages with three own sentences (token-derived, doc_id-salted so
+    they never collide across docs) plus — for doc_id%5 in {0,1} — a
+    shared three-sentence trio at position 0 or 3. The first occurrence
+    in (doc_id, pos) order keeps the trio; every other page loses it."""
+    docs = _t(spark, sf, "documents")
+    t = F.split(F.trim(F.col("text")), r"\s+")
+
+    def s(k: int):
+        return F.concat(
+            F.concat_ws(" ", F.slice(t, 3 * k + 1, 3)),
+            F.lit(" d"),
+            F.col("doc_id").cast("string"),
+            F.lit(f" s{k}."),
+        )
+
+    own = F.concat_ws(" ", s(0), s(1), s(2))
+    m = F.col("doc_id") % 5
+    page = (
+        F.when(m == 0, F.concat(F.lit(SPAN_TRIO + " "), own))
+        .when(m == 1, F.concat(own, F.lit(" " + SPAN_TRIO)))
+        .otherwise(own)
+    )
+    return docs.select("doc_id", page.alias("text"))
+
+
+def q56_span_dedup(spark, sf):
+    """C4 exact three-sentence-span dedup (operators/c4.span_dedup):
+    global first occurrence of each duplicated span survives, all other
+    occurrences are cut from their pages; a page fully covered by
+    duplicate spans comes back empty rather than vanishing."""
+    from stock_crawler_spark.operators.c4 import span_dedup
+
+    return span_dedup(_q56_pages(spark, sf))
+
+
+def q54_pagerank(spark, sf):
+    """Host PageRank over the harvested link graph with dangling-mass
+    redistribution (operators/graph.pagerank) — the frontier-priority
+    signal one tier up from q50's indegree. Edges whose source host is
+    >= h100 are dropped, so h100-h119 only RECEIVE links: real sinks,
+    exercising the dangling redistribution path. Every float reduction
+    is a two-level ordered fold (graph.det_sum), so ranks are
+    bit-deterministic and the oracle unrolls the same 3 iterations with
+    the same fold order — exact match, no tolerance."""
+    from stock_crawler_spark.operators.graph import pagerank
+
+    edges = _q50_edges(spark, sf).filter(
+        F.regexp_extract("src_dom", r"^h(\d+)\.com$", 1).cast("int") < PR_SRC_CAP
+    )
+    return pagerank(edges, n_iter=PR_ITER)
+
+
 # ---------------------------------------------------------------------------
 # driver API
 # ---------------------------------------------------------------------------
@@ -868,6 +958,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_crawl_depth": q51_crawl_depth,
         "q52_winnow_fingerprints": q52_winnow_fingerprints,
         "q53_url_canonicalize": q53_url_canonicalize,
+        "q54_pagerank": q54_pagerank,
+        "q55_c4_clean": q55_c4_clean,
+        "q56_span_dedup": q56_span_dedup,
     }
 
 
@@ -1105,6 +1198,59 @@ WITH toks AS (
 SELECT p.doc_a, p.doc_b, p.jaccard
 FROM pairs p JOIN cands c ON p.doc_a = c.doc_a AND p.doc_b = c.doc_b
 """
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled power iteration matching operators/graph.pagerank bit-
+    for-bit: same md5 bucketing, same ordered folds (list_aggregate over
+    list(... ORDER BY key)), same IEEE expression tree per rank update.
+    Edges derived arithmetically from doc_id — independent of the
+    engine's extract_links/registrable_domain chain."""
+    from stock_crawler_spark.operators.graph import DET_SUM_BUCKETS, PR_DAMPING
+
+    d = f"CAST({PR_DAMPING!r} AS DOUBLE)"
+    omd = f"CAST({1.0 - PR_DAMPING!r} AS DOUBLE)"
+
+    def bkt(x: str) -> str:
+        return f"(('0x' || substr(md5({x}), 1, 15))::BIGINT % {DET_SUM_BUCKETS})"
+
+    sql = f"""
+WITH ks AS (
+  SELECT doc_id, unnest([1, 2, 3]) AS k FROM documents
+), e AS (
+  SELECT DISTINCT 'h' || CAST(doc_id % {GRAPH_HOSTS} AS VARCHAR) || '.com' AS s,
+         'h' || CAST((doc_id * 7 + k) % {GRAPH_HOSTS} AS VARCHAR) || '.com' AS d
+  FROM ks
+  WHERE doc_id % {GRAPH_HOSTS} < {PR_SRC_CAP}
+    AND doc_id % {GRAPH_HOSTS} <> (doc_id * 7 + k) % {GRAPH_HOSTS}
+), nodes AS (
+  SELECT s AS dom FROM e UNION SELECT d FROM e
+), st AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+od AS (SELECT s AS dom, od_n FROM (SELECT s, count(*) AS od_n FROM e GROUP BY s)),
+r0 AS (SELECT dom, CAST(1.0 AS DOUBLE) / (SELECT n FROM st) AS rank FROM nodes)"""
+    for i in range(1, PR_ITER + 1):
+        p = i - 1
+        sql += f""",
+c{i}a AS (
+  SELECT e.d AS dom, {bkt('e.s')} AS b,
+         list_aggregate(list(r.rank / od.od_n ORDER BY e.s), 'sum') AS s1
+  FROM e JOIN r{p} r ON e.s = r.dom JOIN od ON e.s = od.dom
+  GROUP BY 1, 2
+), c{i} AS (
+  SELECT dom, list_aggregate(list(s1 ORDER BY b), 'sum') AS c FROM c{i}a GROUP BY 1
+), g{i}a AS (
+  SELECT {bkt('r.dom')} AS b, list_aggregate(list(r.rank ORDER BY r.dom), 'sum') AS s1
+  FROM r{p} r LEFT JOIN od ON r.dom = od.dom WHERE od.dom IS NULL GROUP BY 1
+), g{i} AS (
+  SELECT coalesce(list_aggregate(list(s1 ORDER BY b), 'sum'), CAST(0 AS DOUBLE)) AS dm
+  FROM g{i}a
+), r{i} AS (
+  SELECT n.dom,
+    {omd} / st.n + {d} * (coalesce(c.c, CAST(0 AS DOUBLE)) + g.dm / st.n) AS rank
+  FROM nodes n CROSS JOIN st CROSS JOIN g{i} g LEFT JOIN c{i} c ON n.dom = c.dom
+)"""
+    sql += f"\nSELECT dom, round(rank, 9) AS pagerank FROM r{PR_ITER}"
+    return sql
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1639,5 +1785,90 @@ FROM (
     CAST(doc_id AS VARCHAR) AS pid
   FROM documents
 )
+""",
+        "q54_pagerank": _pagerank_oracle(),
+        "q55_c4_clean": f"""
+WITH pages AS (
+  SELECT doc_id, concat_ws(chr(10),
+    array_to_string(t[1:5], ' ') || ' stays on the page.',
+    'too short.',
+    array_to_string(t[6:9], ' '),
+    'please enable javascript to continue.',
+    CASE WHEN doc_id % 3 = 0
+         THEN 'one more. two more. three more. four more. five more.' END,
+    CASE WHEN doc_id % 7 = 0 THEN 'lorem ipsum dolor sit amet.' END,
+    CASE WHEN doc_id % 11 = 0 THEN 'function f() {{ return; }}' END
+  ) AS page
+  FROM (SELECT doc_id, {_TOKS_RAW} AS t FROM documents)
+), cleaned AS (
+  SELECT doc_id, page,
+    len(string_split(page, chr(10))) AS n_lines,
+    list_filter(
+      list_transform(string_split(page, chr(10)), l -> trim(l)),
+      l -> regexp_matches(l, '[.!?"]$')
+           AND len(string_split_regex(l, '\\s+')) >= 3
+           AND NOT contains(lower(l), 'javascript')
+    ) AS kept
+  FROM pages
+)
+SELECT doc_id, n_lines, len(kept) AS n_kept,
+  len(regexp_extract_all(array_to_string(kept, chr(10)), '[.!?]+')) AS n_sentences,
+  (NOT contains(lower(page), 'lorem ipsum') AND NOT contains(page, '{{')
+   AND len(regexp_extract_all(array_to_string(kept, chr(10)), '[.!?]+')) >= 5) AS keep,
+  array_to_string(kept, chr(10)) AS clean_text
+FROM cleaned
+""",
+        "q56_span_dedup": f"""
+WITH pages AS (
+  SELECT doc_id,
+    CASE doc_id % 5
+      WHEN 0 THEN '{SPAN_TRIO} ' || own
+      WHEN 1 THEN own || ' {SPAN_TRIO}'
+      ELSE own END AS page
+  FROM (
+    SELECT doc_id,
+      array_to_string(t[1:3], ' ') || ' d' || CAST(doc_id AS VARCHAR) || ' s0.'
+      || ' ' || array_to_string(t[4:6], ' ') || ' d' || CAST(doc_id AS VARCHAR) || ' s1.'
+      || ' ' || array_to_string(t[7:9], ' ') || ' d' || CAST(doc_id AS VARCHAR) || ' s2.'
+      AS own
+    FROM (SELECT doc_id, {_TOKS_RAW} AS t FROM documents)
+  )
+), nz AS (
+  SELECT doc_id AS doc,
+    list_transform(regexp_extract_all(page, '[^.!?]+[.!?]+'), s -> trim(s)) AS ss,
+    len(list_transform(regexp_extract_all(page, '[^.!?]+[.!?]+'), s -> trim(s))) AS n
+  FROM pages
+  WHERE len(regexp_extract_all(page, '[^.!?]+[.!?]+')) > 0
+), sp0 AS (
+  SELECT doc, ss, unnest(generate_series(1, n - 2)) AS i FROM nz WHERE n >= 3
+), spans AS (
+  SELECT doc, i - 1 AS pos,
+    md5(array_to_string(
+      list_transform(ss[i:i+2], x -> regexp_replace(lower(x), '\\s+', ' ', 'g')),
+      ' ')) AS h
+  FROM sp0
+), w AS (
+  SELECT h, count(*) AS occ, min(doc * 1000000 + pos) AS wk FROM spans GROUP BY h
+), losers AS (
+  SELECT DISTINCT doc, pos + u AS idx
+  FROM (
+    SELECT s.doc, s.pos FROM spans s JOIN w
+      ON s.h = w.h AND w.occ > 1 AND s.doc * 1000000 + s.pos <> w.wk
+  ) CROSS JOIN (SELECT unnest([0, 1, 2]) AS u)
+), ex0 AS (
+  SELECT doc, ss, unnest(generate_series(1, n)) AS i FROM nz
+), keptx AS (
+  SELECT e.doc, e.i - 1 AS idx, e.ss[e.i] AS s
+  FROM ex0 e LEFT JOIN losers l ON e.doc = l.doc AND e.i - 1 = l.idx
+  WHERE l.doc IS NULL
+), agg AS (
+  SELECT doc, count(*) AS n_kept,
+    array_to_string(list(s ORDER BY idx), ' ') AS dedup_text
+  FROM keptx GROUP BY doc
+)
+SELECT n.doc AS doc_id, n.n AS n_sentences,
+  n.n - coalesce(a.n_kept, 0) AS n_removed,
+  coalesce(a.dedup_text, '') AS dedup_text
+FROM nz n LEFT JOIN agg a ON n.doc = a.doc
 """,
     }

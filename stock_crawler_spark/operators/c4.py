@@ -1,0 +1,177 @@
+"""C4-style corpus cleaning (Raffel et al. 2020, §2.2) as declarative
+DataFrame ops — the classic webtext pretraining filter family, one
+pipeline stage downstream of the pages the reference crawler emits
+(parser.go Parse -> one record per row).
+
+  c4_clean    line rules (terminal punctuation, >= 3 words, no
+              "javascript" lines) + page rules (no "lorem ipsum", no
+              '{', >= 5 sentences)
+  span_dedup  C4's exact dedup: of any three-sentence span occurring
+              more than once in the corpus, keep only the first
+              occurrence (global order = (doc, position)) and cut the
+              span's sentences from every other page
+
+Divergences from the paper, on purpose:
+  * sentence boundaries are approximated as terminal-punctuation runs
+    (`[.!?]+`) instead of a learned sentence tokenizer — pure Column
+    expressions with an exact ANSI-SQL twin, no Python in the hot path;
+  * the paper's bad-words page filter is omitted: it is a list lookup
+    with no new plan shape (identical to the "lorem ipsum" containment
+    rule, swap the literal for an `exists(badwords)` over tokens).
+
+Scale notes (10^10 pages):
+  * c4_clean is per-row Column algebra — narrow, whole-stage codegen,
+    zero shuffles;
+  * span_dedup shuffles twice, both keyed on md5(span): the winner
+    aggregation (min (doc,pos) per span — partial-aggregated map-side,
+    uniform crypto-hash key) and the loser join back; removed-sentence
+    reassembly is one groupBy(doc) with an array_sort fold, the natural
+    downstream partitioning. Never all-pairs: a span occurring K times
+    costs K rows, so boilerplate mega-spans degrade linearly (and the
+    winner row for a K=10^6 span is one min, not a collect).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+C4_MIN_WORDS_PER_LINE = 3
+C4_MIN_SENTENCES = 5
+SPAN_SENTENCES = 3
+
+# a line is kept iff it ends in terminal punctuation (C4: period,
+# exclamation, question mark, end quotation mark)
+_TERMINAL_RE = r'[.!?"]$'
+
+
+def _kept_lines(text):
+    """Array of lines surviving C4's line rules (lines are '\\n'-split,
+    trimmed; blank lines vanish via the >= 3 words rule)."""
+    return F.filter(
+        F.transform(F.split(text, r"\n"), lambda l: F.trim(l)),
+        lambda l: l.rlike(_TERMINAL_RE)
+        & (F.size(F.split(l, r"\s+")) >= C4_MIN_WORDS_PER_LINE)
+        & ~F.lower(l).contains("javascript"),
+    )
+
+
+def c4_clean(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-page C4 cleaning verdict + cleaned text.
+
+    Line rules drop individual lines; page rules veto the whole page:
+    any '{' (code), any 'lorem ipsum' (placeholder boilerplate), or
+    fewer than C4_MIN_SENTENCES sentences among the RETAINED lines
+    (sentence = terminal-punctuation run). Returns every input page
+    with its verdict so the caller can route keeps/drops; filter on
+    `keep` for the C4 corpus.
+    """
+    text = F.col(text_col)
+    kept = _kept_lines(text)
+    clean = F.concat_ws("\n", kept)
+    n_sent = F.regexp_count(clean, F.lit(r"[.!?]+"))
+    return docs.select(
+        F.col(id_col),
+        F.size(F.split(text, r"\n")).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        n_sent.alias("n_sentences"),
+        (
+            ~F.lower(text).contains("lorem ipsum")
+            & ~text.contains("{")
+            & (n_sent >= C4_MIN_SENTENCES)
+        ).alias("keep"),
+        clean.alias("clean_text"),
+    )
+
+
+def _sentences(text):
+    """Sentences as '<body><terminal-run>' chunks, trimmed."""
+    return F.transform(
+        F.regexp_extract_all(text, F.lit(r"[^.!?]+[.!?]+"), 0),
+        lambda s: F.trim(s),
+    )
+
+
+def span_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span: int = SPAN_SENTENCES,
+) -> DataFrame:
+    """C4 exact span dedup: any `span` consecutive sentences occurring
+    more than once corpus-wide survive only at their FIRST occurrence
+    (global order: (doc id, sentence position)); every other occurrence
+    is cut from its page. Span identity is whitespace-/case-insensitive
+    (md5 of the normalized join).
+
+    Returns (id, n_sentences, n_removed, dedup_text) for every page
+    with >= 1 sentence; pages shorter than `span` sentences carry no
+    spans and pass through intact.
+    """
+    sents = docs.select(
+        F.col(id_col).alias("doc"), _sentences(F.col(text_col)).alias("ss")
+    ).filter(F.size("ss") > 0)
+
+    norm = lambda s: F.regexp_replace(F.lower(s), r"\s+", " ")  # noqa: E731
+    # guard: sequence(1, 0) in Spark DESCENDS ([1, 0]) — a page shorter
+    # than `span` must yield NO spans, not phantom ones
+    span_structs = F.when(
+        F.size("ss") >= span,
+        F.transform(
+            F.sequence(F.lit(1), F.size("ss") - span + 1),
+            lambda i: F.struct(
+                (i - 1).alias("pos"),
+                F.md5(
+                    F.concat_ws(" ", F.transform(F.slice("ss", i, span), norm))
+                ).alias("h"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,h:string>>"))
+    spans = sents.select("doc", F.explode(span_structs).alias("sp")).select(
+        "doc", F.col("sp.pos").alias("pos"), F.col("sp.h").alias("h")
+    )
+
+    winners = spans.groupBy("h").agg(
+        F.min(F.struct(F.col("doc"), F.col("pos"))).alias("w"),
+        F.count(F.lit(1)).alias("occ"),
+    )
+    losers = (
+        spans.join(winners.filter(F.col("occ") > 1), "h")
+        .filter((F.col("doc") != F.col("w.doc")) | (F.col("pos") != F.col("w.pos")))
+        .select("doc", F.explode(F.sequence(F.col("pos"), F.col("pos") + span - 1)).alias("idx"))
+        .distinct()
+    )
+
+    exploded = sents.select("doc", F.posexplode("ss").alias("idx", "s"))
+    agg = (
+        exploded.join(losers, ["doc", "idx"], "left_anti")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("idx"), F.col("s")))
+                    ),
+                    lambda x: x["s"],
+                ),
+            ).alias("dedup_text"),
+        )
+    )
+    # left join so a page whose EVERY sentence sat in duplicate spans
+    # still comes back (empty), rather than vanishing from the corpus
+    return (
+        sents.select("doc", F.size("ss").alias("n_sentences"))
+        .join(agg, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            "n_sentences",
+            (F.col("n_sentences") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+                "n_removed"
+            ),
+            F.coalesce(F.col("dedup_text"), F.lit("")).alias("dedup_text"),
+        )
+    )

@@ -93,3 +93,166 @@ def bfs_depth(
         visited = visited.union(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return visited
+
+
+# --- deterministic distributed float sum --------------------------------------
+
+DET_SUM_BUCKETS = 64
+
+
+def _h60(col):
+    """First 15 hex chars of md5 as a non-negative int64 — the repo's
+    engine-portable hash (same formula as operators/dedup._md5_hash60;
+    DuckDB: ('0x' || substr(md5(x),1,15))::BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _sorted_fold(key, val):
+    """Fold `val` doubles in ascending `key` order: collect_list ->
+    array_sort -> aggregate. Keys must be unique within the group for
+    the order (and hence the float sum) to be well-defined."""
+    return F.aggregate(
+        F.array_sort(F.collect_list(F.struct(key.alias("_k"), val.alias("_v")))),
+        F.lit(0.0),
+        lambda acc, x: acc + x["_v"],
+    )
+
+
+def det_sum(
+    df: DataFrame,
+    group_cols: list,
+    key_col: str,
+    val_col: str,
+    out_col: str,
+    buckets: int = DET_SUM_BUCKETS,
+) -> DataFrame:
+    """Bit-reproducible distributed sum of a double column.
+
+    Float addition is not associative and Spark's partial-aggregation
+    order is partition-dependent, so plain ``sum()`` over doubles can
+    differ run-to-run (and engine-to-engine). This sums in a FIXED
+    order instead, in two levels so no single collected array exceeds
+    ~|group|/buckets expected length:
+
+      level 1: bucket = md5(key) % buckets; fold values in key order
+      level 2: fold the per-bucket sums in bucket order
+
+    Both levels are expressible in ANSI SQL
+    (``list_aggregate(list(x ORDER BY k), 'sum')``), so results can be
+    cross-checked bit-for-bit against another engine — the same
+    contract functions/text.bm25_scores uses for its per-term fold.
+
+    Cost: two shuffling groupBys (collect_list cannot map-side
+    partial-aggregate values it must keep, only pre-bucket them) — use
+    plain ``sum()`` when bit-stability doesn't matter. With the group
+    key appended to the bucket key, level 1's shuffle is the same width
+    as the naive groupBy-sum shuffle; level 2 moves only
+    groups × buckets rows.
+
+    Empty input with ``group_cols=[]`` still yields exactly one row
+    with ``out_col = 0.0`` (fold over the empty array), matching SQL's
+    ``coalesce(list_aggregate(...), 0.0)`` on an empty scan.
+    """
+    b = F.pmod(_h60(F.col(key_col)), F.lit(buckets)).alias("_b")
+    lvl1 = df.groupBy(*group_cols, b).agg(
+        _sorted_fold(F.col(key_col), F.col(val_col)).alias("_s")
+    )
+    fold2 = _sorted_fold(F.col("_b"), F.col("_s")).alias(out_col)
+    if group_cols:
+        return lvl1.groupBy(*group_cols).agg(fold2)
+    return lvl1.agg(fold2)
+
+
+# --- PageRank -----------------------------------------------------------------
+
+PR_DAMPING = 0.85
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 3,
+    damping: float = PR_DAMPING,
+    src: str = "src_dom",
+    dst: str = "dst_dom",
+    buckets: int = DET_SUM_BUCKETS,
+) -> DataFrame:
+    """Host-level PageRank over harvested link-graph edges — the classic
+    frontier-prioritization signal one tier up from host_indegree
+    (indegree is PageRank's first iteration, un-normalized).
+
+    Power iteration with dangling-mass redistribution:
+
+      rank'(v) = (1-d)/N + d * (sum_{u->v} rank(u)/outdeg(u) + D/N)
+
+    where D is the total rank held by sink hosts (no out-edges). Every
+    float reduction goes through det_sum's two-level ordered fold, so
+    ranks are bit-reproducible across runs, partitionings, and engines
+    (the DuckDB oracle unrolls the same iterations with the same fold
+    order). Self-links dropped; duplicate edges collapsed (a host
+    either links to a host or it doesn't — fetch-frequency is not
+    endorsement).
+
+    Scale (10^8 hosts, 10^10 edges): per iteration, one join of edges
+    against ranks keyed on src (edges re-partitioned once, reused),
+    then det_sum keyed on (dst, md5-bucket(src)) — a mega-hub's
+    in-edges split across `buckets` arrays, so no single collect_list
+    exceeds indegree/buckets; raise `buckets` if max-indegree/buckets
+    outgrows executor memory. The dangling reduction collects only
+    bucket-partials. Rank state between iterations is
+    localCheckpoint-truncated (same pattern as bfs_depth) so the plan
+    never grows with n_iter. n_iter is small and fixed (3-10 moves
+    ordering little beyond that; the reference signal is ORDER, not
+    convergence to 1e-12).
+    """
+    e = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .filter(F.col("_s") != F.col("_d"))
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("_s").alias("dom"))
+        .union(e.select(F.col("_d").alias("dom")))
+        .distinct()
+    )
+    stats = nodes.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    outdeg = e.groupBy(F.col("_s").alias("dom")).agg(F.count(F.lit(1)).alias("_od"))
+    ranks = nodes.crossJoin(F.broadcast(stats)).select(
+        "dom", (F.lit(1.0) / F.col("_n")).alias("rank")
+    )
+    for _ in range(n_iter):
+        contrib = (
+            e.join(ranks.select(F.col("dom").alias("_s"), "rank"), "_s")
+            .join(outdeg.select(F.col("dom").alias("_s"), "_od"), "_s")
+            .select(
+                F.col("_d").alias("dom"),
+                F.col("_s"),
+                (F.col("rank") / F.col("_od")).alias("_c"),
+            )
+        )
+        summed = det_sum(contrib, ["dom"], "_s", "_c", "_sum", buckets)
+        dangling = det_sum(
+            ranks.join(outdeg.select("dom"), "dom", "left_anti"),
+            [],
+            "dom",
+            "rank",
+            "_dm",
+            buckets,
+        )
+        ranks = (
+            nodes.join(summed, "dom", "left")
+            .crossJoin(F.broadcast(dangling))
+            .crossJoin(F.broadcast(stats))
+            .select(
+                "dom",
+                (
+                    F.lit(1.0 - damping) / F.col("_n")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("_sum"), F.lit(0.0))
+                        + F.col("_dm") / F.col("_n")
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("dom", F.round(F.col("rank"), 9).alias("pagerank"))

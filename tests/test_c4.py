@@ -1,0 +1,112 @@
+"""C4 cleaning rules and exact three-sentence-span dedup
+(operators/c4.py) — Raffel et al. 2020 §2.2 semantics."""
+
+from __future__ import annotations
+
+from stock_crawler_spark.operators.c4 import c4_clean, span_dedup
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+GOOD = "\n".join(
+    [
+        "this page has a proper first sentence.",
+        "and a second one that also ends well!",
+        "a third, asking a question?",
+        "a fourth keeps the count moving.",
+        "finally sentence five closes it out.",
+    ]
+)
+
+
+def test_c4_line_rules(spark):
+    txt = "\n".join(
+        [
+            "a good line that stays here.",   # kept
+            "no terminal punctuation here",   # dropped: no . ! ? "
+            "too short.",                     # dropped: < 3 words
+            "please enable javascript now.",  # dropped: javascript
+            'a quoted ending counts too."',   # kept: end-quote terminal
+        ]
+    )
+    row = c4_clean(_docs(spark, [(1, txt)])).collect()[0]
+    assert row["n_lines"] == 5 and row["n_kept"] == 2
+    assert row["clean_text"].splitlines() == [
+        "a good line that stays here.",
+        'a quoted ending counts too."',
+    ]
+
+
+def test_c4_page_rules(spark):
+    rows = c4_clean(
+        _docs(
+            spark,
+            [
+                (1, GOOD),                                # passes everything
+                (2, GOOD + "\nlorem ipsum dolor sit."),   # lorem -> drop
+                (3, GOOD + "\nvar x = {};"),              # curly -> drop
+                (4, "one short sentence only."),          # < 5 sentences
+            ],
+        )
+    ).collect()
+    keep = {r["doc_id"]: r["keep"] for r in rows}
+    assert keep == {1: True, 2: False, 3: False, 4: False}
+    sent = {r["doc_id"]: r["n_sentences"] for r in rows}
+    assert sent[1] == 5 and sent[4] == 1
+
+
+def test_c4_multi_sentence_line_counts_each_sentence(spark):
+    txt = "one here. two now. three works. four more. five done."
+    row = c4_clean(_docs(spark, [(1, txt)])).collect()[0]
+    assert row["n_sentences"] == 5 and row["keep"]
+
+
+def test_span_dedup_first_occurrence_wins(spark):
+    trio = "alpha goes first. beta comes second. gamma is third."
+    d1 = trio + " own one. own two."          # doc 1: trio at pos 0 (winner)
+    d2 = "mine here. " + trio + " tail end."  # doc 2: trio at pos 1 (cut)
+    d3 = "solo a. solo b. solo c."            # untouched
+    got = {
+        r["doc_id"]: r
+        for r in span_dedup(_docs(spark, [(1, d1), (2, d2), (3, d3)])).collect()
+    }
+    assert got[1]["n_removed"] == 0 and got[1]["dedup_text"].startswith("alpha")
+    assert got[2]["n_removed"] == 3
+    assert got[2]["dedup_text"] == "mine here. tail end."
+    assert got[3]["n_removed"] == 0
+
+
+def test_span_dedup_normalized_match_and_full_removal(spark):
+    trio = "alpha goes first. beta comes second. gamma is third."
+    shout = "ALPHA  GOES FIRST. BETA   COMES SECOND. GAMMA IS THIRD."
+    got = {
+        r["doc_id"]: r
+        for r in span_dedup(_docs(spark, [(1, trio), (2, shout)])).collect()
+    }
+    # case/whitespace-insensitive identity; doc 2 is ENTIRELY the dup
+    # span -> comes back empty, not missing
+    assert got[1]["n_removed"] == 0
+    assert got[2]["n_removed"] == 3 and got[2]["dedup_text"] == ""
+
+
+def test_span_dedup_short_pages_pass_through(spark):
+    got = span_dedup(_docs(spark, [(1, "only two. sentences here."), (2, "")])).collect()
+    rows = {r["doc_id"]: r for r in got}
+    assert rows[1]["n_removed"] == 0 and rows[1]["n_sentences"] == 2
+    assert 2 not in rows  # no sentences at all -> absent (documented)
+
+
+def test_span_dedup_overlapping_spans_union_removal(spark):
+    # doc 2 repeats doc 1's sentences 0..3: spans (0,1,2) and (1,2,3)
+    # both duplicate -> removal is the UNION {0,1,2,3}, not double-count
+    base = "s one. s two. s three. s four."
+    got = {
+        r["doc_id"]: r
+        for r in span_dedup(
+            _docs(spark, [(1, base + " own tail."), (2, base + " other tail.")])
+        ).collect()
+    }
+    assert got[1]["n_removed"] == 0
+    assert got[2]["n_removed"] == 4 and got[2]["dedup_text"] == "other tail."

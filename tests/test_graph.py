@@ -82,3 +82,87 @@ def test_bfs_early_stop_on_empty_frontier(spark):
     e = _edges(spark, [("s.com", "a.com")])
     got = bfs_depth(e, _seeds(spark, ["s.com"]), 100)
     assert {r["dom"]: r["depth"] for r in got.collect()} == {"s.com": 0, "a.com": 1}
+
+
+# --- det_sum + pagerank -------------------------------------------------------
+
+def test_det_sum_matches_plain_sum_and_is_partition_invariant(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from stock_crawler_spark.operators.graph import det_sum
+
+    rnd = random.Random(7)
+    rows = [(f"g{i % 3}", f"k{i}", rnd.uniform(-1, 1)) for i in range(500)]
+    df = spark.createDataFrame(rows, "g string, k string, v double")
+    got = {
+        r["g"]: r["s"]
+        for r in det_sum(df, ["g"], "k", "v", "s").collect()
+    }
+    # numerically equal to the plain sum (tolerance: fp ordering only)
+    want = {r["g"]: r["s"] for r in df.groupBy("g").agg(F.sum("v").alias("s")).collect()}
+    for g in want:
+        assert abs(got[g] - want[g]) < 1e-9
+    # bit-identical across different partitionings (plain sum is not
+    # guaranteed to be) — the whole point of the ordered fold
+    got2 = {
+        r["g"]: r["s"]
+        for r in det_sum(df.repartition(17, "v"), ["g"], "k", "v", "s").collect()
+    }
+    assert got == got2
+    # global (no group cols) over empty input: exactly one row, 0.0
+    empty = det_sum(df.limit(0), [], "k", "v", "s").collect()
+    assert [r["s"] for r in empty] == [0.0]
+
+
+def test_pagerank_two_node_cycle_uniform(spark):
+    from stock_crawler_spark.operators.graph import pagerank
+
+    e = _edges(spark, [("a.com", "b.com"), ("b.com", "a.com")])
+    got = {r["dom"]: r["pagerank"] for r in pagerank(e, n_iter=5).collect()}
+    # symmetric 2-cycle: exact fixed point 0.5 each from the start
+    assert got == {"a.com": 0.5, "b.com": 0.5}
+
+
+def test_pagerank_hub_ranks_highest_and_mass_conserved(spark):
+    from stock_crawler_spark.operators.graph import pagerank
+
+    # star: 4 spokes -> hub; hub is a sink (dangling) so its mass
+    # redistributes uniformly instead of leaking
+    e = _edges(spark, [(f"s{i}.com", "hub.com") for i in range(4)])
+    rows = pagerank(e, n_iter=4).collect()
+    got = {r["dom"]: r["pagerank"] for r in rows}
+    assert max(got, key=got.get) == "hub.com"
+    assert abs(sum(got.values()) - 1.0) < 1e-6  # total rank conserved
+    spokes = {v for d, v in got.items() if d != "hub.com"}
+    assert len(spokes) == 1  # symmetric spokes tie exactly (bit-equal)
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    from stock_crawler_spark.operators.graph import pagerank
+
+    pairs = [
+        ("a.com", "b.com"), ("a.com", "c.com"), ("b.com", "c.com"),
+        ("c.com", "a.com"), ("d.com", "c.com"),  # e.com dangling via c->e
+        ("c.com", "e.com"),
+    ]
+    doms = sorted({d for p in pairs for d in p})
+    idx = {d: i for i, d in enumerate(doms)}
+    n, d = len(doms), 0.85
+    out = {}
+    for s, t in pairs:
+        out.setdefault(s, []).append(t)
+    r = np.full(n, 1.0 / n)
+    for _ in range(3):
+        nxt = np.zeros(n)
+        for s, tgts in out.items():
+            for t in tgts:
+                nxt[idx[t]] += r[idx[s]] / len(tgts)
+        dm = sum(r[idx[x]] for x in doms if x not in out)
+        r = (1 - d) / n + d * (nxt + dm / n)
+    got = {x["dom"]: x["pagerank"] for x in pagerank(_edges(spark, pairs), n_iter=3).collect()}
+    for dom in doms:
+        assert abs(got[dom] - r[idx[dom]]) < 1e-9, dom
