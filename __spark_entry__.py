@@ -876,6 +876,39 @@ def q56_span_dedup(spark, sf):
     return span_dedup(_q56_pages(spark, sf))
 
 
+MIX_WEIGHTS = {"src0": 2.5, "src1": 0.5, "src2": 1.0}
+PACK_BUDGET = 256
+
+
+def q57_mix_upsample(spark, sf):
+    """Weighted corpus mixing with upsampling (operators/training.
+    mix_upsample): src0 x2.5 (two full epochs + deterministic half),
+    src1 x0.5, src2 x1.0, every other source dropped. Membership keys
+    on md5(doc_id) only, so the oracle reproduces the mix exactly."""
+    from stock_crawler_spark.operators.training import mix_upsample
+
+    docs = _t(spark, sf, "documents")
+    return mix_upsample(docs, MIX_WEIGHTS).select("doc_id", "source", "epoch")
+
+
+def q58_pack_sequences(spark, sf):
+    """Concat-and-chunk sequence packing (operators/training.
+    pack_sequences): exact integer token offsets via the two-level
+    distributed prefix sum — bucket_rows=64 forces the multi-bucket
+    path even at test scale; the oracle is an INDEPENDENT single-window
+    cumsum, cross-checking the scan composition."""
+    from stock_crawler_spark.operators.training import pack_sequences
+
+    docs = _t(spark, sf, "documents")
+    d = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_toks"),
+    )
+    return pack_sequences(
+        d, budget=PACK_BUDGET, tokens_col="n_toks", bucket_rows=64
+    )
+
+
 def q54_pagerank(spark, sf):
     """Host PageRank over the harvested link graph with dangling-mass
     redistribution (operators/graph.pagerank) — the frontier-priority
@@ -961,6 +994,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_pagerank": q54_pagerank,
         "q55_c4_clean": q55_c4_clean,
         "q56_span_dedup": q56_span_dedup,
+        "q57_mix_upsample": q57_mix_upsample,
+        "q58_pack_sequences": q58_pack_sequences,
     }
 
 
@@ -1870,5 +1905,39 @@ SELECT n.doc AS doc_id, n.n AS n_sentences,
   n.n - coalesce(a.n_kept, 0) AS n_removed,
   coalesce(a.dedup_text, '') AS dedup_text
 FROM nz n LEFT JOIN agg a ON n.doc = a.doc
+""",
+        "q57_mix_upsample": f"""
+WITH w AS (
+  SELECT doc_id, source,
+    CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.5
+                WHEN 'src2' THEN 1.0 ELSE 0.0 END AS wt,
+    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS u
+  FROM documents
+), n AS (
+  SELECT doc_id, source,
+    CAST(floor(wt) AS BIGINT)
+      + CASE WHEN u < CAST(floor((wt - floor(wt)) * 1000000) AS BIGINT)
+             THEN 1 ELSE 0 END AS n_ep
+  FROM w
+)
+SELECT doc_id, source, unnest(generate_series(0, n_ep - 1)) AS epoch
+FROM n WHERE n_ep > 0
+""",
+        "q58_pack_sequences": f"""
+WITH d AS (
+  SELECT doc_id,
+    len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+  FROM documents
+), o AS (
+  SELECT doc_id, n_tokens,
+    coalesce(sum(n_tokens) OVER (
+      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS "offset"
+  FROM d
+)
+SELECT doc_id, n_tokens, "offset",
+  CAST(floor("offset" / {PACK_BUDGET}) AS BIGINT) AS seq_id,
+  CAST(floor(("offset" + greatest(n_tokens, 1) - 1) / {PACK_BUDGET}) AS BIGINT)
+    AS end_seq_id
+FROM o
 """,
     }

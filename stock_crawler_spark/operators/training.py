@@ -1,0 +1,131 @@
+"""Training-data assembly operators: corpus mixing and sequence packing.
+
+The last stage of a webtext pipeline turns a cleaned corpus into model
+input: each source is weighted to a target mixture (wiki x3.5, web x0.8,
+...), then documents are concatenated and chunked into fixed-token-budget
+sequences. Downsampling already exists as operators/dedup.hash_sample;
+this module adds the two missing pieces:
+
+  mix_upsample    weights >= 0, including > 1: floor(w) full copies
+                  (epoch-tagged) plus a deterministic hash-sampled
+                  fractional epoch — membership depends only on the row
+                  key, so re-runs and resumes build the identical mix
+  pack_sequences  concat-and-chunk packing: global token offset per doc
+                  (exact integer prefix sum) and the sequence ids the
+                  doc lands in
+
+Scale notes (10^10 docs):
+  * mix_upsample is one explode over a per-row integer range — narrow,
+    no shuffle; output size is sum(w_s * n_s) by construction;
+  * pack_sequences computes the prefix sum in two levels, the classic
+    distributed scan: within-bucket cumsum (window partitioned by
+    bucket — parallel), then a cumsum over the per-bucket totals
+    (one window over n_docs/bucket_rows rows — with 10^6-row buckets
+    and 10^10 docs that is 10^4 rows on one partition, negligible),
+    then a broadcast join back. All sums are INTEGER token counts —
+    exact, order-free, no det_sum machinery needed. The global order
+    key must be a real column (here: the doc id); pipelines without a
+    dense id assign one first with the same two-level scan pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from stock_crawler_spark.operators.dedup import _md5_hash60
+
+PACK_BUCKET_ROWS = 1_000_000
+MIX_DENOM = 1_000_000
+
+
+def mix_upsample(
+    docs: DataFrame,
+    weight_by_source: dict[str, float],
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    default_weight: float = 0.0,
+    denom: int = MIX_DENOM,
+) -> DataFrame:
+    """Weighted corpus mixing with upsampling. A source with weight w
+    contributes floor(w) full passes over its docs — tagged epoch
+    0..floor(w)-1 — plus a fractional pass (epoch floor(w)) holding the
+    deterministic hash-sampled w-floor(w) share, threshold keyed on
+    md5(key) exactly like hash_sample, so the fractional membership is
+    partition- and rerun-invariant. Sources not listed fall through to
+    ``default_weight`` (0.0 = dropped).
+
+    Epoch tags let the trainer interleave copies instead of seeing them
+    back to back; (key, epoch) is unique in the output.
+    """
+    w_expr = None
+    for s, w in sorted(weight_by_source.items()):
+        assert w >= 0, f"negative weight for {s!r}"
+        cond = F.col(source_col) == s
+        val = F.lit(float(w))
+        w_expr = F.when(cond, val) if w_expr is None else w_expr.when(cond, val)
+    w_expr = (
+        w_expr.otherwise(F.lit(float(default_weight)))
+        if w_expr is not None
+        else F.lit(float(default_weight))
+    )
+    full = F.floor(w_expr).cast("long")
+    frac_cut = ((w_expr - full) * denom).cast("long")
+    u = F.pmod(_md5_hash60(F.col(key_col).cast("string")), F.lit(denom))
+    n_epochs = full + (u < frac_cut).cast("long")
+    return (
+        docs.withColumn("_n", n_epochs)
+        .filter(F.col("_n") > 0)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.col("_n") - 1)))
+        .drop("_n")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    bucket_rows: int = PACK_BUCKET_ROWS,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are laid out in
+    ``id_col`` order into one logical token stream, which is cut every
+    ``budget`` tokens. Returns per doc its exact stream ``offset``, the
+    sequence it starts in (``seq_id``), and the one it ends in
+    (``end_seq_id`` — straddling docs span several).
+
+    offset is an exact integer prefix sum computed in two levels (see
+    module docstring); every step is deterministic, so packing layout is
+    stable across partitionings and re-runs — a requirement for
+    resumable tokenization shards.
+    """
+    d = docs.select(
+        F.col(id_col),
+        F.col(tokens_col).cast("long").alias("_tok"),
+        F.floor(F.col(id_col) / bucket_rows).alias("_b"),
+    )
+    w_in = (
+        Window.partitionBy("_b")
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = d.withColumn("_in_off", F.coalesce(F.sum("_tok").over(w_in), F.lit(0)))
+    totals = d.groupBy("_b").agg(F.sum("_tok").alias("_bt"))
+    w_b = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offs = totals.withColumn(
+        "_b_off", F.coalesce(F.sum("_bt").over(w_b), F.lit(0))
+    ).select("_b", "_b_off")
+    out = d.join(F.broadcast(offs), "_b").select(
+        F.col(id_col),
+        F.col("_tok").alias("n_tokens"),
+        (F.col("_b_off") + F.col("_in_off")).alias("offset"),
+    )
+    return out.select(
+        id_col,
+        "n_tokens",
+        "offset",
+        F.floor(F.col("offset") / budget).alias("seq_id"),
+        F.floor(
+            (F.col("offset") + F.greatest(F.col("n_tokens"), F.lit(1)) - 1) / budget
+        ).alias("end_seq_id"),
+    )

@@ -1,0 +1,90 @@
+"""Corpus mixing and sequence packing (operators/training.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stock_crawler_spark.operators.training import mix_upsample, pack_sequences
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+
+
+def test_mix_upsample_full_and_fractional_epochs(spark):
+    rows = [(i, "wiki" if i < 100 else "web", 10) for i in range(200)]
+    out = mix_upsample(
+        _docs(spark, rows), {"wiki": 2.5, "web": 0.5}
+    ).cache()
+    by_src = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    # wiki: 2 full epochs (200 rows) + ~50% fractional; web: ~50%
+    assert 200 + 30 <= by_src["wiki"] <= 200 + 70
+    assert 30 <= by_src["web"] <= 70
+    # epochs tag copies: wiki docs appear at epoch 0 AND 1, fractional at 2
+    ep = {r["epoch"] for r in out.filter(F.col("source") == "wiki").select("epoch").distinct().collect()}
+    assert ep == {0, 1, 2}
+    # (doc_id, epoch) unique
+    assert out.count() == out.select("doc_id", "epoch").distinct().count()
+    out.unpersist()
+
+
+def test_mix_upsample_deterministic_and_nested_fraction(spark):
+    rows = [(i, "a", 5) for i in range(500)]
+    d = _docs(spark, rows)
+    a = {(r["doc_id"], r["epoch"]) for r in mix_upsample(d, {"a": 0.3}).collect()}
+    b = {
+        (r["doc_id"], r["epoch"])
+        for r in mix_upsample(d.repartition(13), {"a": 0.3}).collect()
+    }
+    assert a == b and 100 <= len(a) <= 200
+    # the 0.3 sample is a SUBSET of the 0.7 sample's fractional epoch
+    c = {r["doc_id"] for r in mix_upsample(d, {"a": 0.7}).collect()}
+    assert {k for k, _ in a} <= c
+
+
+def test_mix_upsample_unlisted_sources_drop_by_default(spark):
+    d = _docs(spark, [(1, "a", 5), (2, "b", 5)])
+    assert [r["doc_id"] for r in mix_upsample(d, {"a": 1.0}).collect()] == [1]
+    got = mix_upsample(d, {"a": 1.0}, default_weight=1.0)
+    assert sorted(r["doc_id"] for r in got.collect()) == [1, 2]
+
+
+def test_pack_sequences_offsets_and_straddle(spark):
+    rows = [(i, "s", t) for i, t in enumerate([4, 5, 3, 9, 2])]
+    got = {
+        r["doc_id"]: r
+        for r in pack_sequences(_docs(spark, rows), budget=8).collect()
+    }
+    # stream: 0:[0,4) 1:[4,9) 2:[9,12) 3:[12,21) 4:[21,23)
+    assert [got[i]["offset"] for i in range(5)] == [0, 4, 9, 12, 21]
+    assert [got[i]["seq_id"] for i in range(5)] == [0, 0, 1, 1, 2]
+    # doc 1 spans seqs 0-1 (tokens 4..8), doc 3 spans 1-2 (12..20)
+    assert got[1]["end_seq_id"] == 1 and got[3]["end_seq_id"] == 2
+    assert got[4]["end_seq_id"] == 2
+
+
+def test_pack_sequences_bucket_invariance(spark):
+    # tiny buckets force the two-level path; result must equal the
+    # single-bucket (pure window) layout exactly
+    rows = [(i, "s", (i * 7) % 11 + 1) for i in range(300)]
+    d = _docs(spark, rows)
+    small = {r["doc_id"]: (r["offset"], r["seq_id"]) for r in
+             pack_sequences(d, budget=64, bucket_rows=7).collect()}
+    one = {r["doc_id"]: (r["offset"], r["seq_id"]) for r in
+           pack_sequences(d, budget=64, bucket_rows=10**9).collect()}
+    assert small == one
+    # offsets are a prefix sum: offset[i+1] = offset[i] + tok[i]
+    toks = dict((i, (i * 7) % 11 + 1) for i in range(300))
+    for i in range(299):
+        assert small[i + 1][0] == small[i][0] + toks[i]
+
+
+def test_pack_sequences_zero_token_doc(spark):
+    # a zero-token doc occupies no stream space but still gets a seq id
+    rows = [(0, "s", 5), (1, "s", 0), (2, "s", 5)]
+    got = {r["doc_id"]: r for r in pack_sequences(_docs(spark, rows), budget=4).collect()}
+    assert got[1]["offset"] == 5 and got[2]["offset"] == 5
+    assert got[1]["seq_id"] == got[1]["end_seq_id"] == 1
