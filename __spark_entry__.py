@@ -876,6 +876,16 @@ def q56_span_dedup(spark, sf):
     return span_dedup(_q56_pages(spark, sf))
 
 
+def q59_ccnet_ppl_buckets(spark, sf):
+    """CCNet head/middle/tail quality bucketing (functions/text.
+    ccnet_ppl_buckets): per-doc cross-entropy under a corpus-estimated
+    unigram LM (the sanctioned stand-in for KenLM — same plan, swap the
+    nll column for the model UDF), terciled over the deterministic
+    (score, doc_id) order."""
+    docs = _t(spark, sf, "documents")
+    return T.ccnet_ppl_buckets(docs)
+
+
 MIX_WEIGHTS = {"src0": 2.5, "src1": 0.5, "src2": 1.0}
 PACK_BUDGET = 256
 
@@ -996,6 +1006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_span_dedup": q56_span_dedup,
         "q57_mix_upsample": q57_mix_upsample,
         "q58_pack_sequences": q58_pack_sequences,
+        "q59_ccnet_ppl_buckets": q59_ccnet_ppl_buckets,
     }
 
 
@@ -1905,6 +1916,27 @@ SELECT n.doc AS doc_id, n.n AS n_sentences,
   n.n - coalesce(a.n_kept, 0) AS n_removed,
   coalesce(a.dedup_text, '') AS dedup_text
 FROM nz n LEFT JOIN agg a ON n.doc = a.doc
+""",
+        "q59_ccnet_ppl_buckets": f"""
+WITH toks AS (
+  SELECT doc_id AS doc, unnest({_TOKS}) AS t FROM documents WHERE trim(text) <> ''
+), tf AS (
+  SELECT doc, t, count(*) AS tf FROM toks GROUP BY 1, 2
+), cnt AS (
+  SELECT t, sum(tf) AS c FROM tf GROUP BY 1
+), tot AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM cnt),
+parts AS (
+  SELECT tf.doc, tf.t, tf.tf * -ln(cnt.c / tot.total) AS part, tf.tf
+  FROM tf JOIN cnt ON tf.t = cnt.t CROSS JOIN tot
+), per AS (
+  SELECT doc,
+    list_aggregate(list(part ORDER BY t), 'sum') / sum(tf) AS raw,
+    CAST(sum(tf) AS BIGINT) AS n_tokens
+  FROM parts GROUP BY doc
+)
+SELECT doc AS doc_id, n_tokens, round(raw, 6) AS nll,
+  ntile(3) OVER (ORDER BY raw, doc) AS bucket
+FROM per
 """,
         "q57_mix_upsample": f"""
 WITH w AS (

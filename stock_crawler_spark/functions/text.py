@@ -213,3 +213,66 @@ def posting_lists(docs, bucket_size: int = 1_000_000,
             F.count(F.lit(1)).alias("df_bucket"),
         )
     )
+
+
+# --- CCNet-style perplexity bucketing ----------------------------------------
+
+
+def ccnet_ppl_buckets(docs, id_col: str = "doc_id", text_col: str = "text",
+                      n_buckets: int = 3):
+    """CCNet-style language-model quality bucketing (Wenzek et al. 2020):
+    score every document by cross-entropy under a corpus-estimated LM,
+    then split the corpus into quality buckets at score quantiles
+    (CCNet: head / middle / tail at terciles; bucket 1 = lowest score =
+    most fluent under the corpus distribution).
+
+    CCNet uses a pretrained KenLM 5-gram; this container has no model
+    artifacts, so the LM is a unigram MLE fitted on the corpus ITSELF —
+    the weakest member of the same family, with the identical plan
+    shape: swap the `nll` column for a Pandas-UDF KenLM call to get the
+    paper's scorer, nothing else moves.
+
+      score(d) = sum_t tf(d,t) * -ln(count(t)/total) / len(d)
+
+    The per-doc sum folds in sorted term order (BM25's bit-reproducible
+    contract). Bucketing is ntile over the deterministic total order
+    (score, doc id) — an UNPARTITIONED window, which Spark executes on a
+    single partition of the per-doc score table (one small row per doc):
+    exact, and acceptable to ~10^8 docs. Beyond that, keep the scorer
+    and swap the bucketer for approxQuantile cutoff broadcast — the
+    bucket EDGES are the only global state, and fixed precomputed edges
+    are what CCNet itself ships.
+
+    Empty/blank docs carry no tokens and are absent (mirrored in the
+    SQL oracle via WHERE trim(text) <> '').
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    toks = docs.filter(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("t"),
+    )
+    tf = toks.groupBy("doc", "t").agg(F.count(F.lit(1)).alias("tf"))
+    cnt = tf.groupBy("t").agg(F.sum("tf").alias("c"))
+    total = cnt.agg(F.sum("c").cast("double").alias("total"))
+    scored = (
+        tf.join(cnt, "t")
+        .crossJoin(F.broadcast(total))
+        .withColumn("part", F.col("tf") * -F.log(F.col("c") / F.col("total")))
+    )
+    ordered_sum = F.aggregate(
+        F.array_sort(F.collect_list(F.struct(F.col("t"), F.col("part")))),
+        F.lit(0.0),
+        lambda acc, x: acc + x["part"],
+    )
+    per_doc = scored.groupBy("doc").agg(
+        (ordered_sum / F.sum("tf")).alias("raw"), F.sum("tf").alias("n_tokens")
+    )
+    w = Window.orderBy(F.col("raw"), F.col("doc"))
+    return per_doc.select(
+        F.col("doc").alias(id_col),
+        "n_tokens",
+        F.round(F.col("raw"), 6).alias("nll"),
+        F.ntile(n_buckets).over(w).alias("bucket"),
+    )

@@ -86,3 +86,34 @@ def test_text_functions_stay_jvm(spark, docs):
     )
     plan = out._sc._jvm.PythonSQLUtils.explainString(out._jdf.queryExecution(), "formatted")
     assert "EvalPython" not in plan
+
+
+def test_ccnet_ppl_buckets(spark):
+    from pyspark.sql import functions as F
+
+    from stock_crawler_spark.functions.text import ccnet_ppl_buckets
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the the the the"),          # most predictable -> lowest nll
+            (2, "the the rare rare"),
+            (3, "unique words only here"),   # all-singleton -> highest nll
+            (4, "the rare unique words"),
+            (5, "the the the rare"),
+            (6, "   "),                      # blank: absent
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in ccnet_ppl_buckets(docs).collect()}
+    assert 6 not in got and len(got) == 5
+    # 'the' is the modal token: doc 1 scores strictly lowest, bucket 1
+    assert got[1]["bucket"] == 1
+    assert got[1]["nll"] == min(r["nll"] for r in got.values())
+    assert got[3]["bucket"] == 3
+    assert {r["bucket"] for r in got.values()} == {1, 2, 3}
+    # deterministic across partitionings (ordered fold + total order)
+    again = {
+        r["doc_id"]: r["nll"]
+        for r in ccnet_ppl_buckets(docs.repartition(7)).collect()
+    }
+    assert again == {k: v["nll"] for k, v in got.items()}
