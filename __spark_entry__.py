@@ -886,6 +886,56 @@ def q59_ccnet_ppl_buckets(spark, sf):
     return T.ccnet_ppl_buckets(docs)
 
 
+def q60_url_quality(spark, sf):
+    """URL-form quality gate (functions/urls.with_url_quality —
+    RefinedWeb §G.1 style): length, media extension, spam terms,
+    digit-heavy hosts, query-param count, all from the URL string alone
+    (the pre-fetch filter). Six deterministic variant classes per doc;
+    the oracle recomputes every feature in SQL on the same strings."""
+    from stock_crawler_spark.functions.urls import with_url_quality
+
+    docs = _t(spark, sf, "documents")
+    n = (F.col("doc_id") % GRAPH_HOSTS).cast("string")
+    pid = F.col("doc_id").cast("string")
+    variants = [
+        F.concat(F.lit("https://www.h"), n, F.lit(".com/articles/page"), pid, F.lit(".html")),
+        F.concat(F.lit("https://www.h"), n, F.lit(".com/free-casino-bonus/page"), pid, F.lit(".html")),
+        F.concat(F.lit("https://cdn.h"), n, F.lit(".com/img/photo"), pid, F.lit(".jpg")),
+        F.concat(F.lit("https://h123456.h"), n, F.lit(".com/page"), pid, F.lit(".html")),
+        F.concat(F.lit("https://www.h"), n, F.lit(".com/"), F.lit("x" * 300)),
+        F.concat(F.lit("https://www.h"), n, F.lit(".com/p?a=1&b=2&c=3&d=4")),
+    ]
+    urls = docs.select(
+        "doc_id",
+        F.element_at(F.array(*variants), (F.col("doc_id") % 6 + 1).cast("int")).alias("url"),
+    )
+    return with_url_quality(urls)
+
+
+def q61_recrawl_intervals(spark, sf):
+    """Adaptive revisit scheduling from a fetch log (operators/recrawl.
+    recrawl_intervals — Cho & Garcia-Molina freshness policy): per-url
+    change rate from consecutive content signatures, geometric
+    interval interpolation, exact integer next-fetch micros. The log
+    derives from events: user_id as url, md5(user, floor(value)) as the
+    content signature."""
+    from stock_crawler_spark.operators.recrawl import recrawl_intervals
+
+    ev = _t(spark, sf, "events")
+    hist = ev.select(
+        F.col("user_id").alias("url_id"),
+        "ts",
+        F.md5(
+            F.concat(
+                F.col("user_id").cast("string"),
+                F.lit(":"),
+                F.floor(F.col("value")).cast("string"),
+            )
+        ).alias("sig"),
+    )
+    return recrawl_intervals(hist)
+
+
 MIX_WEIGHTS = {"src0": 2.5, "src1": 0.5, "src2": 1.0}
 PACK_BUDGET = 256
 
@@ -1007,6 +1057,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q57_mix_upsample": q57_mix_upsample,
         "q58_pack_sequences": q58_pack_sequences,
         "q59_ccnet_ppl_buckets": q59_ccnet_ppl_buckets,
+        "q60_url_quality": q60_url_quality,
+        "q61_recrawl_intervals": q61_recrawl_intervals,
     }
 
 
@@ -1297,6 +1349,93 @@ c{i}a AS (
 )"""
     sql += f"\nSELECT dom, round(rank, 9) AS pagerank FROM r{PR_ITER}"
     return sql
+
+
+def _url_quality_oracle() -> str:
+    """Recomputes every with_url_quality feature in SQL on the same
+    constructed URL strings (full rule replication, not hand-derived
+    verdicts), with constants imported from the engine module so the
+    twins cannot drift."""
+    from stock_crawler_spark.functions import urls as U
+
+    spam = " + ".join(
+        f"(CASE WHEN contains(low, '{t}') THEN 1 ELSE 0 END)"
+        for t in U.SPAM_URL_TERMS
+    )
+    exts = ",".join(f"'{e}'" for e in U.MEDIA_EXTENSIONS)
+    dfrac = "CASE WHEN length(host) > 0 THEN hd / length(host) ELSE 0.0 END"
+    npar = "CASE WHEN query = '' THEN 0 ELSE len(string_split(query, '&')) END"
+    ext = "regexp_extract(path, '\\.([a-z0-9]{1,5})$', 1)"
+    return f"""
+WITH u AS (
+  SELECT doc_id,
+    CASE (doc_id % 6)
+      WHEN 0 THEN 'https://www.h' || n || '.com/articles/page' || pid || '.html'
+      WHEN 1 THEN 'https://www.h' || n || '.com/free-casino-bonus/page' || pid || '.html'
+      WHEN 2 THEN 'https://cdn.h' || n || '.com/img/photo' || pid || '.jpg'
+      WHEN 3 THEN 'https://h123456.h' || n || '.com/page' || pid || '.html'
+      WHEN 4 THEN 'https://www.h' || n || '.com/' || repeat('x', 300)
+      ELSE 'https://www.h' || n || '.com/p?a=1&b=2&c=3&d=4'
+    END AS url
+  FROM (SELECT doc_id, CAST(doc_id % {GRAPH_HOSTS} AS VARCHAR) AS n,
+               CAST(doc_id AS VARCHAR) AS pid FROM documents)
+), f AS (
+  SELECT doc_id, url, lower(url) AS low,
+    regexp_replace(regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1),
+                   ':[0-9]+$', '') AS host,
+    regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+    regexp_extract(url, '\\?([^#]*)', 1) AS query
+  FROM u
+), g AS (
+  SELECT *, length(host) - length(regexp_replace(host, '[0-9]', '', 'g')) AS hd
+  FROM f
+)
+SELECT doc_id, url,
+  length(url) AS url_len,
+  round({dfrac}, 6) AS host_digit_frac,
+  len(string_split(host, '.')) AS subdomain_depth,
+  length(path) - length(replace(path, '/', '')) AS path_depth,
+  {npar} AS n_params,
+  {ext} AS ext,
+  {spam} AS spam_hits,
+  (length(url) <= {U.URL_MAX_LEN} AND {ext} NOT IN ({exts}) AND ({spam}) = 0
+   AND {dfrac} <= {U.URL_MAX_HOST_DIGIT_FRAC!r}
+   AND {npar} <= {U.URL_MAX_PARAMS}) AS keep
+FROM g
+"""
+
+
+def _recrawl_oracle() -> str:
+    from stock_crawler_spark.operators import recrawl as R
+
+    lo, hi = float(R.MIN_INTERVAL_SEC), float(R.MAX_INTERVAL_SEC)
+    interval = (
+        f"CASE WHEN n_fetches > 1 THEN CAST({hi!r} AS DOUBLE) * "
+        f"power(CAST({lo / hi!r} AS DOUBLE), n_changes / (n_fetches - 1)) "
+        f"ELSE CAST({(lo * hi) ** 0.5!r} AS DOUBLE) END"
+    )
+    return f"""
+WITH h AS (
+  SELECT user_id AS url_id, ts,
+    md5(CAST(user_id AS VARCHAR) || ':' ||
+        CAST(CAST(floor(value) AS BIGINT) AS VARCHAR)) AS sig
+  FROM events
+), c AS (
+  SELECT url_id, ts, sig,
+    CASE WHEN lag(sig) OVER w IS NULL THEN NULL
+         WHEN sig <> lag(sig) OVER w THEN 1 ELSE 0 END AS chg
+  FROM h WINDOW w AS (PARTITION BY url_id ORDER BY ts, sig)
+), per AS (
+  SELECT url_id, count(*) AS n_fetches,
+         CAST(coalesce(sum(chg), 0) AS BIGINT) AS n_changes,
+         max(ts) AS last_ts
+  FROM c GROUP BY 1
+)
+SELECT url_id, n_fetches, n_changes,
+  CAST(round({interval}) AS BIGINT) AS interval_sec,
+  epoch_us(last_ts) + CAST(round({interval}) AS BIGINT) * 1000000 AS next_fetch_us
+FROM per
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1917,6 +2056,8 @@ SELECT n.doc AS doc_id, n.n AS n_sentences,
   coalesce(a.dedup_text, '') AS dedup_text
 FROM nz n LEFT JOIN agg a ON n.doc = a.doc
 """,
+        "q60_url_quality": _url_quality_oracle(),
+        "q61_recrawl_intervals": _recrawl_oracle(),
         "q59_ccnet_ppl_buckets": f"""
 WITH toks AS (
   SELECT doc_id AS doc, unnest({_TOKS}) AS t FROM documents WHERE trim(text) <> ''

@@ -253,3 +253,84 @@ def with_url_columns(df, url_col: str = "url", n_shards: int = 64):
     df = df.withColumn("domain", registrable_domain("host"))
     df = df.withColumn("shard", shard_of(F.col("domain"), n_shards))
     return df
+
+
+# --- URL quality filtering (RefinedWeb-style) --------------------------------
+
+SPAM_URL_TERMS = ("casino", "viagra", "lottery", "xxx", "free-download")
+MEDIA_EXTENSIONS = (
+    "jpg", "jpeg", "png", "gif", "webp", "svg", "ico",
+    "mp3", "mp4", "avi", "mov", "webm",
+    "zip", "rar", "gz", "exe", "dmg", "iso", "css", "js",
+)
+URL_MAX_LEN = 256
+URL_MAX_PARAMS = 8
+URL_MAX_HOST_DIGIT_FRAC = 0.5
+
+
+def with_url_quality(
+    df,
+    url_col: str = "url",
+    spam_terms=SPAM_URL_TERMS,
+    bad_extensions=MEDIA_EXTENSIONS,
+    max_len: int = URL_MAX_LEN,
+    max_params: int = URL_MAX_PARAMS,
+    max_host_digit_frac: float = URL_MAX_HOST_DIGIT_FRAC,
+):
+    """URL-level quality gate (RefinedWeb §G.1 / UT1-style): score a URL
+    from its FORM alone, before spending a fetch on it — the cheapest
+    filter in the crawl tier, so it runs first. Appends feature columns
+    plus the `keep` verdict:
+
+      url_len, host_digit_frac, subdomain_depth, path_depth, n_params,
+      ext, spam_hits
+
+    keep = short enough AND no media/binary extension AND no spam term
+    in the lowered URL AND host not digit-heavy AND few query params.
+    Pure Column regexp algebra — codegen, zero shuffles, runs at frontier
+    scan speed. Domain BLOCKLISTS are deliberately not here: that is a
+    broadcast semi-join against registrable_domain (same shape as the
+    robots/holiday gates in plans/round.init_frontier).
+    """
+    url = F.col(url_col)
+    low = F.lower(url)
+    host = F.regexp_replace(
+        F.regexp_extract(low, r"^[a-z][a-z0-9+.-]*://([^/?#]+)", 1),
+        r":[0-9]+$",
+        "",
+    )
+    path = F.regexp_extract(low, r"^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    host_digits = F.length(host) - F.length(F.regexp_replace(host, "[0-9]", ""))
+    digit_frac = F.when(
+        F.length(host) > 0, host_digits / F.length(host)
+    ).otherwise(F.lit(0.0))
+    n_params = F.when(query == "", F.lit(0)).otherwise(
+        F.size(F.split(query, "&"))
+    )
+    ext = F.regexp_extract(path, r"\.([a-z0-9]{1,5})$", 1)
+    spam_hits = None
+    for t in spam_terms:
+        hit = low.contains(t).cast("int")
+        spam_hits = hit if spam_hits is None else spam_hits + hit
+    if spam_hits is None:
+        spam_hits = F.lit(0)
+    return df.select(
+        "*",
+        F.length(url).alias("url_len"),
+        F.round(digit_frac, 6).alias("host_digit_frac"),
+        F.size(F.split(host, r"\.")).alias("subdomain_depth"),
+        (F.length(path) - F.length(F.regexp_replace(path, "/", ""))).alias(
+            "path_depth"
+        ),
+        n_params.alias("n_params"),
+        ext.alias("ext"),
+        spam_hits.alias("spam_hits"),
+        (
+            (F.length(url) <= max_len)
+            & ~ext.isin(*bad_extensions)
+            & (spam_hits == 0)
+            & (digit_frac <= max_host_digit_frac)
+            & (n_params <= max_params)
+        ).alias("keep"),
+    )

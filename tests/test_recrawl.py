@@ -1,0 +1,81 @@
+"""Adaptive recrawl scheduling (operators/recrawl.py) and URL-form
+quality gating (functions/urls.with_url_quality)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from stock_crawler_spark.operators.recrawl import (
+    MAX_INTERVAL_SEC,
+    MIN_INTERVAL_SEC,
+    recrawl_intervals,
+)
+
+
+def _hist(spark, rows):
+    return spark.createDataFrame(rows, "url_id long, ts timestamp, sig string")
+
+
+def _t(i):
+    return datetime(2024, 1, 1 + i)
+
+
+def test_recrawl_always_changing_gets_min_interval(spark):
+    rows = [(1, _t(i), f"v{i}") for i in range(5)]  # changes every fetch
+    got = recrawl_intervals(_hist(spark, rows)).collect()[0]
+    assert got["n_fetches"] == 5 and got["n_changes"] == 4
+    assert got["interval_sec"] == MIN_INTERVAL_SEC
+
+
+def test_recrawl_never_changing_gets_max_interval(spark):
+    rows = [(2, _t(i), "same") for i in range(5)]
+    got = recrawl_intervals(_hist(spark, rows)).collect()[0]
+    assert got["n_changes"] == 0
+    assert got["interval_sec"] == MAX_INTERVAL_SEC
+    # next fetch = last ts + interval, exact micros
+    last_us = int(_t(4).timestamp() * 1_000_000)
+    assert got["next_fetch_us"] == last_us + MAX_INTERVAL_SEC * 1_000_000
+
+
+def test_recrawl_single_fetch_geometric_midpoint(spark):
+    got = recrawl_intervals(_hist(spark, [(3, _t(0), "x")])).collect()[0]
+    mid = round((MIN_INTERVAL_SEC * MAX_INTERVAL_SEC) ** 0.5)
+    assert got["interval_sec"] == mid and got["n_changes"] == 0
+
+
+def test_recrawl_interval_monotone_in_change_rate(spark):
+    # 1 of 4 changes vs 3 of 4 changes: higher rate -> shorter interval
+    lazy = [(4, _t(i), "a" if i < 4 else "b") for i in range(5)]
+    busy = [(5, _t(i), f"v{i // 2}") for i in range(5)]
+    got = {
+        r["url_id"]: r["interval_sec"]
+        for r in recrawl_intervals(_hist(spark, lazy + busy)).collect()
+    }
+    assert MIN_INTERVAL_SEC < got[5] < got[4] < MAX_INTERVAL_SEC
+
+
+def test_url_quality_verdicts(spark):
+    from stock_crawler_spark.functions.urls import with_url_quality
+
+    urls = [
+        (0, "https://www.example.com/articles/page1.html", True),
+        (1, "https://www.example.com/free-casino-bonus/p.html", False),  # spam
+        (2, "https://cdn.example.com/img/photo.JPG", False),             # ext
+        (3, "https://9876543210987.ex.com/p.html", False),  # digits 13/20 > .5
+        (4, "https://www.example.com/" + "x" * 300, False),              # length
+        (5, "https://e.com/p?" + "&".join(f"k{i}=1" for i in range(9)), False),
+        (6, "https://e.com/p?a=1&b=2", True),
+        (7, "https://e.com:8443/deep/a/b/c.html#frag", True),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u, _ in urls], "doc_id long, url string"
+    )
+    got = {r["doc_id"]: r for r in with_url_quality(df).collect()}
+    for i, _, want in urls:
+        assert got[i]["keep"] is want, (i, dict(got[i].asDict()))
+    # feature spot-checks
+    assert got[2]["ext"] == "jpg"          # lowered
+    assert got[1]["spam_hits"] == 1
+    assert got[5]["n_params"] == 9
+    assert got[7]["path_depth"] == 4       # port stripped, fragment ignored
+    assert got[7]["subdomain_depth"] == 2
