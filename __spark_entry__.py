@@ -714,6 +714,15 @@ def _q50_edges(spark, sf):
     The oracle derives the same edges arithmetically — independent of the
     extractor."""
     from stock_crawler_spark.functions.links import extract_links
+    from stock_crawler_spark.functions import psl
+
+    # the graph queries measure graph OPERATORS (indegree/BFS/PageRank);
+    # every synthetic host is a plain `<label>.com`, so the ~300-rule
+    # snapshot resolves identically to the full vendored list while
+    # keeping the plan ~30x smaller (the 8k-literal rule CASE appears 4x
+    # in the optimized plan after filter pushdown — ~480KB of plan text
+    # that the optimizer re-walks per action). q47 gates the FULL list.
+    _rules = psl.SNAPSHOT_RULES
 
     docs = _t(spark, sf, "documents")
     base = F.concat(
@@ -732,12 +741,23 @@ def _q50_edges(spark, sf):
     html = F.concat(*anchors)
     links = docs.select(
         registrable_domain(
-            F.concat(F.lit("www.h"), (F.col("doc_id") % GRAPH_HOSTS).cast("string"), F.lit(".com"))
+            F.concat(F.lit("www.h"), (F.col("doc_id") % GRAPH_HOSTS).cast("string"), F.lit(".com")),
+            rules=_rules,
         ).alias("src_dom"),
         F.explode(extract_links(html, base)).alias("link"),
     )
-    host = F.regexp_extract(F.col("link"), r"^https://([^/]+)/", 1)
-    return links.select("src_dom", registrable_domain(host).alias("dst_dom"))
+    # materialize host as a NAMED column before the PSL walk: passing the
+    # regexp_extract Column directly would inline it into every branch of
+    # registrable_domain's rule CASE at Column-build time (~200 regexp
+    # evaluations per row once codegen falls back on the huge expression —
+    # measured 16s vs 0.4s at sf0.1); as an attribute reference the
+    # extract runs once and CollapseProject keeps the projections apart
+    # (expensive expr referenced many times is never re-inlined)
+    return links.withColumn(
+        "host", F.regexp_extract(F.col("link"), r"^https://([^/]+)/", 1)
+    ).select(
+        "src_dom", registrable_domain(F.col("host"), rules=_rules).alias("dst_dom")
+    )
 
 
 def q50_host_indegree(spark, sf):
@@ -986,6 +1006,206 @@ def q54_pagerank(spark, sf):
     return pagerank(edges, n_iter=PR_ITER)
 
 
+def q62_warc_roundtrip(spark, sf):
+    """Common-Crawl WARC ingestion (parsers/warc): build deterministic
+    gzip-member segments from the documents table, then parse them back
+    spec-correctly (Content-Length framing, warcinfo records skipped,
+    HTTP envelope stripped). The oracle computes the expected record
+    table DIRECTLY from documents — url/date arithmetic plus md5 of the
+    utf-8 payload — so any framing, header, or byte slip in either
+    direction of the round trip breaks the hash."""
+    from stock_crawler_spark.parsers.warc import parse_warc_records, warc_segments
+
+    docs = _t(spark, sf, "documents")
+    parsed = parse_warc_records(warc_segments(docs, docs_per_segment=100))
+    return parsed.select(
+        "url",
+        "warc_date",
+        "http_status",
+        "content_type",
+        F.length("payload").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
+CLF_BUCKETS = 1 << 20
+
+
+def q63_hashed_classifier(spark, sf):
+    """fastText-style hashed-n-gram linear quality classifier
+    (functions/classifier.hashed_linear_score): unigram+bigram features
+    hashed into 2^20 buckets, deterministic stand-in weight table
+    broadcast-joined, mean-pooled sigmoid score with a bit-reproducible
+    sorted-feature dot product. The oracle recomputes the weight of
+    every feature inline (same md5 formulas), so the hash path, the
+    join, and the fold order are all cross-checked."""
+    from stock_crawler_spark.functions.classifier import (
+        hashed_linear_score,
+        make_hash_weights,
+    )
+
+    docs = _t(spark, sf, "documents")
+    w = make_hash_weights(spark, CLF_BUCKETS, seed="w0")
+    return hashed_linear_score(docs, w, n_buckets=CLF_BUCKETS)
+
+
+DSIR_K = 100
+
+
+def q64_dsir_select(spark, sf):
+    """DSIR importance resampling (functions/classifier.dsir_select):
+    hashed-n-gram bag distributions for the src0 target vs the whole
+    corpus, add-1 smoothed log-likelihood-ratio weights, deterministic
+    Gumbel-top-k selection of 100 docs. log-ratios are pinned to 12
+    decimals so the per-doc folds are bit-identical cross-engine; the
+    oracle rebuilds both distributions and the same perturbed ranking."""
+    from stock_crawler_spark.functions.classifier import dsir_select
+
+    docs = _t(spark, sf, "documents")
+    return dsir_select(
+        docs, docs.filter(F.col("source") == "src0"), k=DSIR_K,
+        n_buckets=CLF_BUCKETS,
+    )
+
+
+def q65_canonical_fold(spark, sf):
+    """rel=canonical alias folding (functions/links.extract_canonical /
+    fold_canonical): doc_id%4==0 declares a root-relative canonical
+    (rel-then-href), %4==1 declares an absolute one with REVERSED
+    attribute order, %4==2 declares a self-canonical, %4==3 declares
+    none — covering resolution, both attribute orders, no-op folds, and
+    absent links. The oracle computes the expected fold arithmetically,
+    independent of the regexp chain."""
+    from stock_crawler_spark.functions.links import fold_canonical
+
+    docs = _t(spark, sf, "documents")
+    sid = F.col("doc_id").cast("string")
+    url = F.concat(F.lit("https://www.h"), (F.col("doc_id") % 50).cast("string"),
+                   F.lit(".com/p/"), sid, F.lit("?utm=x"))
+    m = F.col("doc_id") % 4
+    link = (
+        F.when(m == 0, F.concat(F.lit('<link rel="canonical" href="/p/'), sid, F.lit('">')))
+        .when(m == 1, F.concat(F.lit("<link href='https://canon.ex.com/c/"), sid, F.lit("' rel='canonical'>")))
+        .when(m == 2, F.concat(F.lit('<link rel="canonical" href="'), url, F.lit('">')))
+        .otherwise(F.lit(""))
+    )
+    html = F.concat(F.lit("<head>"), link, F.lit("</head><body>x</body>"))
+    pages = docs.select("doc_id", url.alias("url"), html.alias("html"))
+    return fold_canonical(pages).select("doc_id", "url", "fetch_url", "is_alias")
+
+
+def q66_crawl_traps(spark, sf):
+    """Crawler-trap detection (operators/traps.detect_crawl_traps):
+    synthetic frontier where hosts h0-h9 carry a calendar trap (every
+    doc spawns 25 distinct /cal/YYYY/M/D urls collapsing to ONE
+    template) plus a healthy /post/N family, and other hosts only the
+    healthy family. Per-(host,template) distinct-url counts roll up to
+    per-host trap flags. Oracle rebuilds templates arithmetically."""
+    from stock_crawler_spark.operators.traps import detect_crawl_traps
+
+    docs = _t(spark, sf, "documents")
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 40).cast("string"), F.lit(".com"))
+    base = F.concat(F.lit("https://"), host)
+    healthy = F.array(
+        F.concat(base, F.lit("/post/"), F.col("doc_id").cast("string")),
+        F.concat(base, F.lit("/about")),
+    )
+    trap = F.transform(
+        F.sequence(F.lit(1), F.lit(25)),
+        lambda i: F.concat(
+            base, F.lit("/cal/2024/"), ((F.col("doc_id") + i) % 12 + 1).cast("string"),
+            F.lit("/"), i.cast("string"), F.lit("?s="), F.col("doc_id").cast("string"),
+        ),
+    )
+    urls = docs.select(
+        host.alias("domain"),
+        F.explode(
+            F.when(F.col("doc_id") % 40 < 10, F.concat(healthy, trap)).otherwise(healthy)
+        ).alias("url"),
+    )
+    return detect_crawl_traps(urls, trap_urls_per_template=50)
+
+
+def q67_mirror_hosts(spark, sf):
+    """Mirror-host detection (operators/traps.mirror_hosts): every doc's
+    md5 fingerprint is published on its home host h<doc_id%40>; docs on
+    h0/h1 are ALSO mirrored to m0.ex/m1.ex (full mirrors), and every
+    doc_id%10==0 doc additionally appears on cdn.shared (partial
+    overlap with many hosts — capped boilerplate-style). Pair join is
+    fp-keyed with the max_hosts_per_fp stop-fp cap; oracle rebuilds the
+    same pair table in SQL."""
+    from stock_crawler_spark.operators.traps import mirror_hosts
+
+    docs = _t(spark, sf, "documents")
+    home = F.concat(F.lit("h"), (F.col("doc_id") % 40).cast("string"), F.lit(".ex"))
+    mirror = F.when(
+        F.col("doc_id") % 40 < 2,
+        F.concat(F.lit("m"), (F.col("doc_id") % 40).cast("string"), F.lit(".ex")),
+    )
+    cdn = F.when(F.col("doc_id") % 10 == 0, F.lit("cdn.shared"))
+    pages = docs.select(
+        F.md5("text").alias("fp"),
+        F.explode(
+            F.filter(F.array(home, mirror, cdn), lambda h: h.isNotNull())
+        ).alias("host"),
+    )
+    return mirror_hosts(pages, min_jaccard=0.5, min_shared=2)
+
+
+BUDGET_TOTAL = 1000
+
+
+def q68_budget_allocation(spark, sf):
+    """Exact largest-remainder crawl-budget apportionment
+    (operators/budget.allocate_budget): per-domain doc counts as the
+    priority signal, sqrt damping, integer 1e9-unit weights, and the
+    threshold-refinement top-R selection (never a global sort over all
+    domains). sum(budget) == 1000 exactly. The oracle is the naive
+    single-window formulation — refined selection must match it row
+    for row (sqrt is IEEE-exact in both engines, so the integer units
+    agree bit-for-bit)."""
+    from stock_crawler_spark.operators.budget import allocate_budget
+
+    docs = _t(spark, sf, "documents")
+    ranks = docs.groupBy(
+        F.concat(F.lit("h"), (F.col("doc_id") % 120).cast("string"), F.lit(".com")).alias("dom")
+    ).agg(F.count(F.lit(1)).alias("rank"))
+    return allocate_budget(ranks, BUDGET_TOTAL, weight_col="rank", dom_col="dom")
+
+
+def q69_incremental_lsh(spark, sf):
+    """Snapshot-over-snapshot LSH dedup (operators/dedup.
+    lsh_dedup_incremental): the 'new crawl' is every doc re-crawled with
+    two extra tokens (jaccard (L-2)/L vs its source — a guaranteed
+    near-dup family), probed against the existing corpus' band table.
+    Candidates are new x index only; best match per new doc. The oracle
+    rebuilds both snapshots' signatures, bands, and the exact-jaccard
+    verify in SQL."""
+    docs = _t(spark, sf, "documents")
+    new = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz qq")).alias("text"),
+    )
+    return dedup.lsh_dedup_incremental(
+        new, docs, k=LSH_K, bands=LSH_BANDS, threshold=0.5
+    )
+
+
+QUOTA_BY_LANG = {"en": 50, "zh": 30}
+
+
+def q70_stratified_quota(spark, sf):
+    """Exact per-stratum quota cap (operators/training.stratified_quota):
+    at most 50 'en' docs, 30 'zh', 10 of any other language — the
+    smallest-md5-hash rows win deterministically. The engine's binned
+    per-stratum selection (no whole-stratum sort) must match the
+    oracle's naive PARTITION BY window row for row."""
+    from stock_crawler_spark.operators.training import stratified_quota
+
+    docs = _t(spark, sf, "documents").select("doc_id", "lang", "source")
+    return stratified_quota(docs, QUOTA_BY_LANG, "lang", default_quota=10)
+
+
 # ---------------------------------------------------------------------------
 # driver API
 # ---------------------------------------------------------------------------
@@ -1059,6 +1279,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q59_ccnet_ppl_buckets": q59_ccnet_ppl_buckets,
         "q60_url_quality": q60_url_quality,
         "q61_recrawl_intervals": q61_recrawl_intervals,
+        "q62_warc_roundtrip": q62_warc_roundtrip,
+        "q63_hashed_classifier": q63_hashed_classifier,
+        "q64_dsir_select": q64_dsir_select,
+        "q65_canonical_fold": q65_canonical_fold,
+        "q66_crawl_traps": q66_crawl_traps,
+        "q67_mirror_hosts": q67_mirror_hosts,
+        "q68_budget_allocation": q68_budget_allocation,
+        "q69_incremental_lsh": q69_incremental_lsh,
+        "q70_stratified_quota": q70_stratified_quota,
     }
 
 
@@ -1295,6 +1524,71 @@ WITH toks AS (
 )
 SELECT p.doc_a, p.doc_b, p.jaccard
 FROM pairs p JOIN cands c ON p.doc_a = c.doc_a AND p.doc_b = c.doc_b
+"""
+
+
+def _incr_lsh_oracle() -> str:
+    """q69: both snapshots' signatures + bands in SQL; candidates are
+    new x index only; exact-jaccard verify; best match per new doc."""
+    rows_per_band = LSH_K // LSH_BANDS
+    band_selects = " UNION ALL ".join(
+        "SELECT doc, is_new, {b} AS band_idx, md5({key}) AS band_key FROM sig".format(
+            b=b,
+            key=" || ',' || ".join(
+                f"mh{i}::VARCHAR" for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+            ),
+        )
+        for b in range(LSH_BANDS)
+    )
+    perms = dedup._perm_constants(LSH_K)
+    mins = ",\n    ".join(
+        f"min(({a} * (h % {_P}) + {b}) % {_P}) AS mh{i}" for i, (a, b) in enumerate(perms)
+    )
+    return f"""
+WITH alldocs AS (
+  SELECT doc_id, text, 0 AS is_new FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' zz qq' AS text, 1 AS is_new
+  FROM documents
+), toks AS (
+  SELECT doc_id, is_new, {_TOKS} AS t FROM alldocs
+), sh AS (
+  SELECT doc_id, is_new, unnest(list_distinct(list_transform(
+    generate_series(1, greatest(len(t) - 2, 0)),
+    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+  FROM toks
+), h AS (
+  SELECT doc_id AS doc, is_new, {_H60} AS h FROM sh
+), sig AS (
+  SELECT doc, is_new, {mins} FROM h GROUP BY doc, is_new
+), bands AS (
+  {band_selects}
+), cands AS (
+  SELECT DISTINCT a.doc AS new_doc, b.doc AS dup_of
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+  WHERE a.is_new = 1 AND b.is_new = 0
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS new_doc, b.doc_id AS dup_of, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s
+  WHERE a.is_new = 1 AND b.is_new = 0
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT i.new_doc, i.dup_of,
+    CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.new_doc
+  JOIN sizes sb ON sb.doc_id = i.dup_of
+  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+), best AS (
+  SELECT p.new_doc, p.dup_of, p.jaccard,
+    row_number() OVER (PARTITION BY p.new_doc
+                       ORDER BY p.jaccard DESC, p.dup_of) AS rn
+  FROM pairs p JOIN cands c ON p.new_doc = c.new_doc AND p.dup_of = c.dup_of
+)
+SELECT new_doc, dup_of, round(jaccard, 6) AS jaccard FROM best WHERE rn = 1
 """
 
 
@@ -1721,6 +2015,7 @@ FROM events e ASOF LEFT JOIN err
 SELECT doc_id FROM documents WHERE doc_id % 3 != 0 OR doc_id % 6 = 0
 """,
         "q31_minhash_lsh": _lsh_oracle(),
+        "q69_incremental_lsh": _incr_lsh_oracle(),
         "q45_link_extract": """
 SELECT doc_id, 'https://www.' || source || '.com/p/' || CAST(doc_id AS VARCHAR) AS link
 FROM documents
@@ -2058,6 +2353,200 @@ FROM nz n LEFT JOIN agg a ON n.doc = a.doc
 """,
         "q60_url_quality": _url_quality_oracle(),
         "q61_recrawl_intervals": _recrawl_oracle(),
+        # q62: the oracle computes the expected WARC record table straight
+        # from documents — the Spark side must round-trip the same values
+        # through real WARC bytes (build -> gzip members -> parse).
+        "q62_warc_roundtrip": """
+SELECT 'https://h' || (doc_id % 120) || '.com/d' || doc_id AS url,
+  printf('2024-01-%02dT%02d:%02d:%02dZ',
+         doc_id // 86400 + 1, (doc_id % 86400) // 3600,
+         (doc_id % 3600) // 60, doc_id % 60) AS warc_date,
+  200 AS http_status,
+  'text/html; charset=utf-8' AS content_type,
+  octet_length(encode(coalesce(text, ''))) AS n_bytes,
+  md5(coalesce(text, '')) AS payload_md5
+FROM documents
+""",
+        # q63: weights recomputed inline per feature (same md5 chain the
+        # Spark side routes through its broadcast weight table).
+        "q63_hashed_classifier": f"""
+WITH toks AS (
+  SELECT doc_id AS doc, unnest({_TOKS}) AS t,
+         generate_subscripts({_TOKS}, 1) AS idx
+  FROM documents WHERE trim(text) <> ''
+), feats AS (
+  SELECT doc, t AS feat FROM toks
+  UNION ALL
+  SELECT doc, lag(t) OVER (PARTITION BY doc ORDER BY idx) || '_' || t AS feat
+  FROM toks QUALIFY lag(t) OVER (PARTITION BY doc ORDER BY idx) IS NOT NULL
+), tf AS (
+  SELECT doc, feat, count(*) AS tf FROM feats GROUP BY 1, 2
+), wtd AS (
+  SELECT doc, feat, tf,
+    tf * ((('0x' || substr(md5('w0:' ||
+            ((('0x' || substr(md5(feat), 1, 15))::BIGINT) % {CLF_BUCKETS})),
+          1, 15))::BIGINT % 2000001) / 1000000.0 - 1.0) AS part
+  FROM tf
+), per AS (
+  SELECT doc, count(*) AS n_feats, CAST(sum(tf) AS BIGINT) AS total_tf,
+    list_aggregate(list(part ORDER BY feat), 'sum') AS dot
+  FROM wtd GROUP BY doc
+)
+SELECT doc AS doc_id, n_feats, total_tf,
+  round(1.0 / (1.0 + exp(-(dot / total_tf))), 6) AS score,
+  round(1.0 / (1.0 + exp(-(dot / total_tf))), 6) >= 0.5 AS keep
+FROM per
+""",
+        # q64: both bag distributions + the same Gumbel-perturbed top-k.
+        "q64_dsir_select": f"""
+WITH toks AS (
+  SELECT doc_id AS doc, source, unnest({_TOKS}) AS t,
+         generate_subscripts({_TOKS}, 1) AS idx
+  FROM documents WHERE trim(text) <> ''
+), feats AS (
+  SELECT doc, source, t AS feat FROM toks
+  UNION ALL
+  SELECT doc, source,
+         lag(t) OVER (PARTITION BY doc ORDER BY idx) || '_' || t AS feat
+  FROM toks QUALIFY lag(t) OVER (PARTITION BY doc ORDER BY idx) IS NOT NULL
+), binst AS (
+  SELECT doc, source,
+    (('0x' || substr(md5(feat), 1, 15))::BIGINT) % {CLF_BUCKETS} AS bucket
+  FROM feats
+), raw_tf AS (
+  SELECT doc, bucket, count(*) AS tf FROM binst GROUP BY 1, 2
+), c_raw AS (
+  SELECT bucket, sum(tf) AS c_raw FROM raw_tf GROUP BY 1
+), c_tgt AS (
+  SELECT bucket, count(*) AS c_tgt FROM binst WHERE source = 'src0' GROUP BY 1
+), tot AS (
+  SELECT (SELECT CAST(sum(c_raw) AS DOUBLE) FROM c_raw) AS n_raw,
+         (SELECT CAST(sum(c_tgt) AS DOUBLE) FROM c_tgt) AS n_tgt
+), ratio AS (
+  SELECT r.bucket AS bucket,
+    round(ln(coalesce(g.c_tgt, 0) + 1.0) - ln(t.n_tgt + {CLF_BUCKETS}.0)
+        - ln(coalesce(r.c_raw, 0) + 1.0) + ln(t.n_raw + {CLF_BUCKETS}.0),
+        12) AS log_ratio
+  FROM c_raw r LEFT JOIN c_tgt g ON r.bucket = g.bucket CROSS JOIN tot t
+), logw AS (
+  SELECT rt.doc,
+    list_aggregate(list(rt.tf * ra.log_ratio ORDER BY rt.bucket), 'sum')
+      AS log_w
+  FROM raw_tf rt JOIN ratio ra ON rt.bucket = ra.bucket GROUP BY rt.doc
+), keyed AS (
+  SELECT doc, log_w,
+    log_w + round(-ln(-ln(((('0x' || substr(md5('g:' || doc), 1, 15))::BIGINT
+        % 1000000) + 0.5) / 1000000.0)), 12) AS sel_key
+  FROM logw
+)
+SELECT doc AS doc_id, round(log_w, 6) AS log_w, round(sel_key, 6) AS sel_key
+FROM keyed ORDER BY sel_key DESC, doc LIMIT {DSIR_K}
+""",
+        # q65: expected fold computed arithmetically (no regexp) — fully
+        # independent of the engine's extraction + resolution chain.
+        "q65_canonical_fold": """
+WITH p AS (
+  SELECT doc_id,
+    'https://www.h' || (doc_id % 50) || '.com/p/' || doc_id || '?utm=x' AS url,
+    doc_id % 4 AS m
+  FROM documents
+)
+SELECT doc_id, url,
+  CASE m
+    WHEN 0 THEN 'https://www.h' || (doc_id % 50) || '.com/p/' || doc_id
+    WHEN 1 THEN 'https://canon.ex.com/c/' || doc_id
+    ELSE url
+  END AS fetch_url,
+  m IN (0, 1) AS is_alias
+FROM p
+""",
+        # q66: per-(host,template) distinct-url counts rebuilt
+        # arithmetically — /post/<id> collapses to one template with
+        # n_docs distinct urls, /about to one url, and the 25-url
+        # calendar trap to 25*n_docs (i and ?s=<id> both vary).
+        "q66_crawl_traps": """
+WITH d AS (SELECT doc_id, doc_id % 40 AS hid FROM documents),
+per_host AS (SELECT hid, count(*) AS n_docs FROM d GROUP BY 1),
+tmpl AS (
+  SELECT hid, 'post' AS template, n_docs AS n_urls FROM per_host
+  UNION ALL SELECT hid, 'about', 1 FROM per_host
+  UNION ALL SELECT hid, 'cal', 25 * n_docs FROM per_host WHERE hid < 10
+)
+SELECT 'h' || hid || '.com' AS host,
+  CAST(sum(n_urls) AS BIGINT) AS n_urls,
+  count(*) AS n_templates,
+  CAST(max(n_urls) AS BIGINT) AS max_template_urls,
+  CAST(sum(CASE WHEN n_urls > 50 THEN 1 ELSE 0 END) AS BIGINT)
+    AS trap_templates,
+  sum(CASE WHEN n_urls > 50 THEN 1 ELSE 0 END) > 0 AS is_trap
+FROM tmpl GROUP BY hid
+""",
+        # q67: same distinct (host, fp) table, stop-fp cap, pair join,
+        # and jaccard filter — in SQL.
+        "q67_mirror_hosts": """
+WITH hosts AS (
+  SELECT md5(text) AS fp, 'h' || (doc_id % 40) || '.ex' AS host FROM documents
+  UNION ALL
+  SELECT md5(text), 'm' || (doc_id % 40) || '.ex' FROM documents
+  WHERE doc_id % 40 < 2
+  UNION ALL
+  SELECT md5(text), 'cdn.shared' FROM documents WHERE doc_id % 10 = 0
+), hf AS (SELECT DISTINCT host, fp FROM hosts),
+sizes AS (SELECT host, count(*) AS n FROM hf GROUP BY 1),
+caps AS (SELECT fp FROM hf GROUP BY fp HAVING count(*) <= 50),
+k AS (SELECT hf.host, hf.fp FROM hf JOIN caps USING (fp)),
+pairs AS (
+  SELECT a.host AS host_a, b.host AS host_b, count(*) AS shared
+  FROM k a JOIN k b ON a.fp = b.fp AND a.host < b.host
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT host_a, host_b, shared, sa.n AS n_a, sb.n AS n_b,
+  round(shared / (sa.n + sb.n - shared), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.host = pairs.host_a
+JOIN sizes sb ON sb.host = pairs.host_b
+WHERE round(shared / (sa.n + sb.n - shared), 6) >= 0.5
+""",
+        # q68: naive single-window largest-remainder — the refined
+        # threshold selection must reproduce it exactly.
+        "q68_budget_allocation": f"""
+WITH r AS (
+  SELECT 'h' || (doc_id % 120) || '.com' AS dom, count(*) AS n
+  FROM documents GROUP BY 1
+), p AS (
+  SELECT dom, CAST(round(sqrt(n) * 1000000000, 0) AS BIGINT) AS wi FROM r
+), t AS (SELECT CAST(sum(wi) AS BIGINT) AS W FROM p),
+q AS (
+  SELECT dom, wi, (wi * {BUDGET_TOTAL}) // W AS base,
+         (wi * {BUDGET_TOTAL}) % W AS rem
+  FROM p CROSS JOIN t
+), l AS (SELECT {BUDGET_TOTAL} - CAST(sum(base) AS BIGINT) AS R FROM q),
+rk AS (
+  SELECT dom, wi, base, row_number() OVER (ORDER BY rem DESC, dom) AS rn
+  FROM q
+)
+SELECT dom, wi, CAST(base AS BIGINT) AS base,
+  CASE WHEN rn <= (SELECT R FROM l) THEN 1 ELSE 0 END AS extra,
+  CAST(base AS BIGINT)
+    + CASE WHEN rn <= (SELECT R FROM l) THEN 1 ELSE 0 END AS budget
+FROM rk
+""",
+        # q70: naive per-stratum window — the engine's binned selection
+        # must reproduce it exactly.
+        "q70_stratified_quota": """
+WITH d AS (
+  SELECT doc_id, lang, source,
+    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      % 1000000 AS u,
+    CASE lang WHEN 'en' THEN 50 WHEN 'zh' THEN 30 ELSE 10 END AS q
+  FROM documents
+), r AS (
+  SELECT doc_id, lang, source, q,
+    row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rn
+  FROM d
+)
+SELECT doc_id, lang, source FROM r WHERE rn <= q
+""",
         "q59_ccnet_ppl_buckets": f"""
 WITH toks AS (
   SELECT doc_id AS doc, unnest({_TOKS}) AS t FROM documents WHERE trim(text) <> ''

@@ -1,0 +1,242 @@
+"""Hashed n-gram linear classifier — fastText-style quality scoring.
+
+Production webtext pipelines gate documents with a cheap linear
+classifier over hashed bag-of-n-gram features (fastText supervised /
+the CCNet & DCLM quality filters, Joulin et al. 2016): every unigram
+and bigram hashes into one of D buckets, the model is a D-vector of
+weights, and the doc score is the sigmoid of the mean feature weight.
+This module runs that inference as one declarative plan — the heuristic
+cousins (stopword/punct ratios, Gopher rules) live in functions/text
+and operators/lines; this is the LEARNED-model shape with the weight
+table as DATA, the way a trained model would actually ship.
+
+Plan (mirrors text.bm25_scores' discipline):
+
+  tokens -> unigram+bigram features (per-row Column algebra, narrow)
+  -> per-(doc, feat) tf            (one shuffle, map-side partial agg)
+  -> bucket = md5-hash(feat) % D   (engine-portable, SQL-reproducible)
+  -> broadcast join weights on bucket
+  -> per-doc fold of tf*w in sorted feat order / total tf -> sigmoid
+
+Scale notes (10^10 docs, D = 2^20-2^21 buckets i.e. ~8-16 MB doubles):
+  * the weight table broadcasts — inference never shuffles the model;
+  * the tf groupBy is the only O(tokens)-input shuffle and it
+    partial-aggregates map-side, so the wire carries O(distinct
+    (doc, feat)) rows;
+  * the per-doc ordered fold bounds its array by the doc's distinct
+    feature count (~doc length), and fixed fold order makes scores
+    bit-reproducible across partitionings and engines — the model
+    gate is deterministic, so re-runs keep/drop the identical set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEFAULT_BUCKETS = 1 << 20
+
+
+def _h60(col: Column) -> Column:
+    """First 15 hex chars of md5 as non-negative int64 (engine-portable;
+    DuckDB: ('0x' || substr(md5(x),1,15))::BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def doc_features(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """(doc, feat, tf) for unigram + adjacent-bigram features.
+
+    Bigrams are built with zip_with over two array slices — pure Column
+    algebra, no explode-then-self-join (which would shuffle the token
+    stream twice). Empty/blank docs contribute no rows."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.when(n >= 2, F.slice(toks, 2, n - 1)).otherwise(F.array()),
+        lambda a, b: F.concat(a, F.lit("_"), b),
+    )
+    feats = (
+        docs.filter(F.trim(F.col(text_col)) != "")
+        .select(
+            F.col(id_col).alias("doc"),
+            F.explode(F.concat(toks, bigrams)).alias("feat"),
+        )
+    )
+    return feats.groupBy("doc", "feat").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def make_hash_weights(spark: SparkSession, n_buckets: int = DEFAULT_BUCKETS,
+                      seed: str = "w0") -> DataFrame:
+    """Deterministic stand-in for a trained weight vector: bucket b gets
+    a uniform-ish weight in [-1, 1] derived from md5(seed:b). A real
+    deployment swaps this for the trained table (same schema) — the
+    inference plan is unchanged. SQL twin:
+      (('0x'||substr(md5(seed||':'||b),1,15))::BIGINT % 2000001)
+        / 1000000.0 - 1.0
+    """
+    return spark.range(n_buckets).select(
+        F.col("id").alias("bucket"),
+        (
+            F.pmod(
+                _h60(F.concat(F.lit(seed + ":"), F.col("id"))), F.lit(2000001)
+            )
+            / 1000000.0
+            - 1.0
+        ).alias("w"),
+    )
+
+
+def hashed_linear_score(
+    docs: DataFrame,
+    weights: DataFrame,
+    n_buckets: int = DEFAULT_BUCKETS,
+    bias: float = 0.0,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score every doc with the hashed linear model; returns
+    (doc_id, n_feats, total_tf, score, keep).
+
+    score = sigmoid(bias + sum(tf * w[bucket(feat)]) / sum(tf)) — the
+    fastText mean-pooled inference. Weights join broadcast on bucket;
+    the dot product folds in sorted feature order (bit-reproducible,
+    see module docstring). Docs with no features (blank text) are
+    excluded, matching the upstream blank-page drop."""
+    tf = doc_features(docs, id_col, text_col).withColumn(
+        "bucket", F.pmod(_h60(F.col("feat")), F.lit(n_buckets))
+    )
+    contrib = tf.join(F.broadcast(weights), "bucket").select(
+        "doc", "feat", "tf", (F.col("tf") * F.col("w")).alias("part")
+    )
+    ordered_dot = F.aggregate(
+        F.array_sort(F.collect_list(F.struct(F.col("feat"), F.col("part")))),
+        F.lit(0.0),
+        lambda acc, x: acc + x["part"],
+    )
+    per_doc = contrib.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_feats"),
+        F.sum("tf").alias("total_tf"),
+        ordered_dot.alias("_dot"),
+    )
+    score = F.round(
+        F.lit(1.0)
+        / (F.lit(1.0) + F.exp(-(F.lit(bias) + F.col("_dot") / F.col("total_tf")))),
+        6,
+    )
+    return per_doc.select(
+        F.col("doc").alias(id_col),
+        "n_feats",
+        "total_tf",
+        score.alias("score"),
+        (score >= threshold).alias("keep"),
+    )
+
+
+# --- DSIR: Data Selection via Importance Resampling ---------------------------
+#
+# Xie et al. 2023 ("Data Selection for Language Models via Importance
+# Resampling"): estimate hashed-n-gram bag-of-words distributions for a
+# small TARGET corpus (e.g. wiki/books) and the RAW web corpus, weight
+# every raw doc by its log likelihood ratio, then Gumbel-top-k sample —
+# the standard recipe for steering a 10^10-doc crawl toward a target
+# domain without training a model.
+
+
+def dsir_select(
+    raw_docs: DataFrame,
+    target_docs: DataFrame,
+    k: int,
+    n_buckets: int = DEFAULT_BUCKETS,
+    alpha: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k raw docs by DSIR importance, Gumbel-perturbed.
+
+    log_w(doc) = sum_b c_b(doc) * (log p_tgt(b) - log p_raw(b)),
+    with add-alpha smoothing over the D buckets; selection key adds a
+    DETERMINISTIC Gumbel g = -ln(-ln(u)), u = (md5(doc)%10^6 + .5)/10^6
+    — re-runs and engines draw the identical sample (true Gumbel-top-k
+    sampling-without-replacement semantics, derandomized the same way
+    the engine's hash_sample derandomizes Bernoulli).
+
+    Scale (10^10 raw docs): the two distribution estimates are
+    O(tokens)-input groupBys that partial-aggregate down to <= D rows;
+    the log-ratio table broadcasts (<= D rows, ~16 MB at 2^20); per-doc
+    weights ride one (doc, bucket) shuffle with integer tf (exact, so
+    the float fold order per doc is the only float path — sorted by
+    bucket, bit-reproducible); the global top-k is TakeOrdered (per-
+    partition heaps, never a single-partition global sort)."""
+
+    def _bucket_tf(docs: DataFrame) -> DataFrame:
+        return (
+            doc_features(docs, id_col, text_col)
+            .withColumn("bucket", F.pmod(_h60(F.col("feat")), F.lit(n_buckets)))
+            .groupBy("doc", "bucket")
+            .agg(F.sum("tf").alias("tf"))
+        )
+
+    def _dist(bucket_tf: DataFrame, name: str) -> DataFrame:
+        return bucket_tf.groupBy("bucket").agg(F.sum("tf").alias(name))
+
+    raw_tf = _bucket_tf(raw_docs)
+    tgt_counts = _dist(_bucket_tf(target_docs), "c_tgt")
+    raw_counts = _dist(raw_tf, "c_raw")
+    totals = raw_counts.agg(F.sum("c_raw").alias("n_raw")).crossJoin(
+        tgt_counts.agg(F.sum("c_tgt").alias("n_tgt"))
+    )
+    # log p_tgt(b) - log p_raw(b), add-alpha smoothed over D buckets.
+    # LEFT join on the raw side: a bucket unseen in raw can never match a
+    # raw doc, so target-only buckets are dead weight — and the target
+    # distribution (the SMALL corpus by construction in DSIR) broadcasts,
+    # keeping the ratio build free of any sort-merge join.
+    ratio = (
+        raw_counts.join(F.broadcast(tgt_counts), "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            # round to 12 decimals: ln() may differ by an ulp between
+            # engines (libm vs JVM); pinning the ratio makes the per-doc
+            # fold bit-identical cross-engine, not just cross-partition
+            F.round(
+                F.log(F.coalesce(F.col("c_tgt"), F.lit(0)) + F.lit(alpha))
+                - F.log(F.col("n_tgt") + F.lit(alpha * n_buckets))
+                - F.log(F.coalesce(F.col("c_raw"), F.lit(0)) + F.lit(alpha))
+                + F.log(F.col("n_raw") + F.lit(alpha * n_buckets)),
+                12,
+            ).alias("log_ratio"),
+        )
+    )
+    ordered_sum = F.aggregate(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("bucket"), F.col("part")))
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x["part"],
+    )
+    logw = (
+        raw_tf.join(F.broadcast(ratio), "bucket")
+        .withColumn("part", F.col("tf") * F.col("log_ratio"))
+        .groupBy("doc")
+        .agg(ordered_sum.alias("log_w"))
+    )
+    u = (
+        F.pmod(_h60(F.concat(F.lit("g:"), F.col("doc"))), F.lit(1_000_000))
+        + 0.5
+    ) / 1_000_000.0
+    keyed = logw.withColumn(
+        "sel_key", F.col("log_w") + F.round(-F.log(-F.log(u)), 12)
+    )
+    return (
+        keyed.orderBy(F.col("sel_key").desc(), F.col("doc"))
+        .limit(k)
+        .select(
+            F.col("doc").alias(id_col),
+            F.round("log_w", 6).alias("log_w"),
+            F.round("sel_key", 6).alias("sel_key"),
+        )
+    )

@@ -22,7 +22,7 @@ downstream canonicalizer which already lowercases/strips):
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from stock_crawler_spark.functions.urls import authority_of
@@ -77,6 +77,44 @@ def extract_links(html: Column, base_url: Column) -> Column:
             lambda u: u.isNotNull(),
         )
     )
+
+
+# --- rel=canonical ------------------------------------------------------------
+
+_CANON_RX_RH = r"""(?i)<link\b[^>]*?rel\s*=\s*["']canonical["'][^>]*?href\s*=\s*["']([^"']+)["']"""
+_CANON_RX_HR = r"""(?i)<link\b[^>]*?href\s*=\s*["']([^"']+)["'][^>]*?rel\s*=\s*["']canonical["']"""
+
+
+def extract_canonical(html: Column, base_url: Column) -> Column:
+    """The page's declared canonical url (``<link rel="canonical">``),
+    resolved against the base url; NULL when absent.
+
+    Duplicate-content urls (tracking params, session ids, mobile
+    mirrors) declare one canonical target — folding aliases onto it
+    BEFORE the seen-set insert collapses whole alias families to a
+    single frontier row, a dedup the url canonicalizer alone cannot do
+    (it can strip utm_*, it cannot know ``/p?page=2`` is ``/p``).
+    Attribute order is free in HTML, so both ``rel..href`` and
+    ``href..rel`` forms match; first declaration wins (browser
+    behavior). Pure Column regexp — codegen, no Python."""
+    raw = F.coalesce(
+        F.nullif(F.regexp_extract(html.cast("string"), _CANON_RX_RH, 1), F.lit("")),
+        F.nullif(F.regexp_extract(html.cast("string"), _CANON_RX_HR, 1), F.lit("")),
+    )
+    return F.when(raw.isNotNull(), resolve_url(raw, base_url))
+
+
+def fold_canonical(pages: DataFrame, url_col: str = "url",
+                   html_col: str = "html", base_col: str | None = None):
+    """(url, fetch_url) pairs after alias folding: each page's effective
+    frontier identity is its canonical target when declared (and
+    non-null after resolution), else itself. One narrow projection —
+    joins/dedup downstream key on ``fetch_url``."""
+    base = F.col(base_col) if base_col else F.col(url_col)
+    canon = extract_canonical(F.col(html_col), base)
+    return pages.withColumn(
+        "fetch_url", F.coalesce(canon, F.col(url_col))
+    ).withColumn("is_alias", F.col("fetch_url") != F.col(url_col))
 
 
 # --- Python twin (fixtures / simulator) --------------------------------------

@@ -178,7 +178,16 @@ def registrable_domain(host: Column | str, rules: PslRules | None = None) -> Col
     those into InSet hash probes inside whole-stage codegen, so eTLD+1 of
     10^10 hosts is a narrow, Python-free projection. Conditions are
     ordered so Catalyst's short-circuiting ``And`` guards every
-    ``element_at`` with the label-count test (ANSI-safe)."""
+    ``element_at`` with the label-count test (ANSI-safe).
+
+    CALLER CONTRACT: pass the host as an attribute reference (``F.col`` /
+    a column name string), NOT an expression-valued Column. A Column
+    argument is textually inlined into every rule branch at build time;
+    if it is itself expensive (regexp_extract, try_parse_url) it
+    re-evaluates per branch whenever the huge CASE falls out of codegen
+    (measured 36x slowdown). Materialize expensive hosts with a
+    ``withColumn`` first — CollapseProject will not re-inline a non-cheap
+    expression referenced many times."""
     if rules is None:
         rules = DEFAULT_RULES
     if isinstance(host, str):  # fast path: one parser call, no per-literal py4j

@@ -1,0 +1,171 @@
+"""Per-domain crawl-budget allocation — exact largest-remainder method.
+
+A round has a global fetch budget (politeness caps bound each host, but
+the FLEET capacity bounds the sum). Dividing that budget across 10^8
+domains proportionally to a priority signal (pagerank, indegree,
+quality) is seat apportionment: the classic largest-remainder method
+(Hamilton/Hare) gives every domain floor(total * w_i / W) and hands the
+leftover R = total - sum(floor) seats to the R largest remainders —
+exact, deterministic, and sum-preserving by construction.
+
+Everything is INTEGER arithmetic: weights are quantized to 1e9 units
+(documented bound: total_budget * 1e9 * n_heaviest-domain must fit
+int64 — with w <= 1.0 that is total_budget < 9.2e9, far above any real
+per-round budget), so base/remainder are exact in both Spark and any
+SQL engine — no float apportionment drift.
+
+The top-R selection is the scale-sensitive step. A global
+row_number() window would funnel all 10^8 domains through ONE
+partition; instead the selection runs as threshold refinement:
+
+  1. bucket remainders into NBINS coarse bins (integer bin index),
+  2. aggregate per-bin counts (NBINS rows, driver-side — the same
+     O(shards) scalar collect the round loop already does),
+  3. every domain in a bin strictly above the threshold bin takes +1
+     without any sort; only the THRESHOLD bin (expected n/NBINS rows)
+     is exactly ranked by (remainder desc, dom) to fill the last seats.
+
+Worst case: all remainders identical lands every row in one bin and the
+refinement degrades to the naive global sort — but identical remainders
+with distinct doms still rank deterministically, and uniform weights at
+10^8 domains mean the caller wanted round-robin, not apportionment.
+
+The naive single-window equivalent exists as allocate_budget_naive for
+small inputs and as the cross-check oracle; tests pin refined == naive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+UNITS = 1_000_000_000
+NBINS = 4096
+
+
+def _prep(ranks: DataFrame, total_budget: int, weight_col: str,
+          dom_col: str, power: float) -> DataFrame:
+    """(dom, wi, base, rem): integer weight units, floor quota, remainder."""
+    wi = F.round(
+        F.pow(F.col(weight_col).cast("double"), F.lit(power)) * UNITS, 0
+    ).cast("long")
+    prepped = ranks.select(F.col(dom_col).alias("dom"), wi.alias("wi"))
+    w_total = prepped.agg(F.sum("wi").alias("W"))
+    return (
+        prepped.crossJoin(F.broadcast(w_total))
+        .select(
+            "dom",
+            "wi",
+            # `div`, not `/`: long / long in Spark is DOUBLE division,
+            # which loses exactness past 2^53 — the whole point here is
+            # integer apportionment
+            F.expr(f"(wi * CAST({total_budget} AS BIGINT)) div W").alias("base"),
+            F.pmod(F.col("wi") * total_budget, F.col("W")).alias("rem"),
+            F.col("W"),
+        )
+    )
+
+
+def allocate_budget(
+    ranks: DataFrame,
+    total_budget: int,
+    weight_col: str = "pagerank",
+    dom_col: str = "dom",
+    power: float = 0.5,
+) -> DataFrame:
+    """(dom, wi, base, extra, budget) with sum(budget) == total_budget
+    exactly. power=0.5 (sqrt) is the usual sub-linear damping so mega
+    domains do not absorb the fleet."""
+    p = _prep(ranks, total_budget, weight_col, dom_col, power)
+    # cast((wi*total)/W) truncates toward zero == floor (all non-negative)
+    # double math on purpose: rem*NBINS would overflow int64 at 10^8
+    # domains (W ~ 1e17). Exactness is NOT needed here — only
+    # monotonicity (rem1 <= rem2 => bin1 <= bin2), which double
+    # division + truncation preserves; the threshold bin is ranked
+    # exactly on the integer rem regardless of which side of a bin
+    # boundary a value rounds to.
+    binned = p.withColumn(
+        "bin", ((F.col("rem") / F.col("W")) * NBINS).cast("long")
+    )
+    binned.persist()
+    try:
+        leftover_row = binned.agg(
+            (F.lit(total_budget) - F.sum("base")).alias("R")
+        ).collect()[0]
+        if leftover_row["R"] is None:
+            raise ValueError(
+                "allocate_budget: total weight is zero (or ranks empty) — "
+                "nothing to apportion"
+            )
+        r_total = int(leftover_row["R"])
+        if r_total <= 0:  # quotas divided W exactly — no leftover seats
+            out = binned.select(
+                "dom", "wi", "base", F.lit(0).alias("extra"),
+                F.col("base").alias("budget"),
+            ).localCheckpoint(eager=True)
+            return out
+        hist = {
+            int(r["bin"]): int(r["n"])
+            for r in binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        # walk bins from the top until the cumulative count covers R
+        need, thresh_bin = r_total, -1
+        for b in sorted(hist, reverse=True):
+            if need <= 0:
+                break
+            thresh_bin = b
+            need -= hist[b]
+        # seats taken entirely by bins ABOVE the threshold bin
+        above = sum(n for b, n in hist.items() if b > thresh_bin)
+        from_thresh = r_total - above  # 0 <= from_thresh <= hist[thresh_bin]
+
+        w_rank = Window.orderBy(F.col("rem").desc(), F.col("dom"))
+        in_thresh = (
+            binned.filter(F.col("bin") == thresh_bin)
+            .withColumn("_rn", F.row_number().over(w_rank))
+            .select("dom", (F.col("_rn") <= from_thresh).alias("_take"))
+        )
+        out = (
+            binned.join(in_thresh, "dom", "left")
+            .select(
+                "dom",
+                "wi",
+                "base",
+                F.when(F.col("bin") > thresh_bin, F.lit(1))
+                .when(F.coalesce(F.col("_take"), F.lit(False)), F.lit(1))
+                .otherwise(F.lit(0))
+                .alias("extra"),
+            )
+            .withColumn("budget", F.col("base") + F.col("extra"))
+        )
+        # materialize before unpersist so the plan never re-reads binned
+        out = out.localCheckpoint(eager=True)
+    finally:
+        binned.unpersist()
+    return out
+
+
+def allocate_budget_naive(
+    ranks: DataFrame,
+    total_budget: int,
+    weight_col: str = "pagerank",
+    dom_col: str = "dom",
+    power: float = 0.5,
+) -> DataFrame:
+    """Single-global-window reference implementation (and the shape of
+    the SQL oracle). Correct at any size; scales only to what one
+    partition can sort."""
+    p = _prep(ranks, total_budget, weight_col, dom_col, power)
+    leftover = p.agg((F.lit(total_budget) - F.sum("base")).alias("R"))
+    w_rank = Window.orderBy(F.col("rem").desc(), F.col("dom"))
+    return (
+        p.crossJoin(F.broadcast(leftover))
+        .withColumn("_rn", F.row_number().over(w_rank))
+        .select(
+            "dom",
+            "wi",
+            "base",
+            (F.col("_rn") <= F.col("R")).cast("int").alias("extra"),
+        )
+        .withColumn("budget", F.col("base") + F.col("extra"))
+    )

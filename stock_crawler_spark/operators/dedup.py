@@ -207,23 +207,18 @@ def minhash_signatures(
     return sig.select("doc", F.array(*[F.col(f"mh{i}") for i in range(k)]).alias("sig"))
 
 
-def minhash_lsh_pairs(
+def lsh_band_table(
     docs: DataFrame, k: int = 32, bands: int = 8, n: int = 3,
-    threshold: float = 0.5, id_col: str = "doc_id", text_col: str = "text",
+    id_col: str = "doc_id", text_col: str = "text",
 ) -> DataFrame:
-    """Banded-LSH candidate pairs, verified with exact Jaccard >= threshold.
-
-    band key = md5 of the band's signature slice; candidates join only
-    within (band_idx, band_key) buckets -> no all-pairs shuffle. The verify
-    stage touches ONLY the candidate pairs: each candidate joins the two
-    docs' full shingle arrays and computes array_intersect per pair —
-    never the full-corpus shingle-shingle join (which would defeat the
-    banding at scale). Work is O(bucket collisions + candidates), so
-    recall/precision trade purely on (k, bands).
-    """
+    """-> (doc, band_idx, band_key): the persistable LSH INDEX of a
+    corpus. band_key = md5 of the band's signature slice. Within one
+    crawl this feeds minhash_lsh_pairs; across crawls it is the table a
+    new snapshot probes (lsh_dedup_incremental) — build once per
+    snapshot, store partitioned by (band_idx, bucket(band_key))."""
     rows_per_band = k // bands
     sig = minhash_signatures(docs, k=k, n=n, id_col=id_col, text_col=text_col)
-    bands_df = sig.select(
+    return sig.select(
         "doc",
         F.posexplode(
             F.array(
@@ -238,6 +233,23 @@ def minhash_lsh_pairs(
             )
         ).alias("band_idx", "band_key"),
     )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, k: int = 32, bands: int = 8, n: int = 3,
+    threshold: float = 0.5, id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """Banded-LSH candidate pairs, verified with exact Jaccard >= threshold.
+
+    band key = md5 of the band's signature slice; candidates join only
+    within (band_idx, band_key) buckets -> no all-pairs shuffle. The verify
+    stage touches ONLY the candidate pairs: each candidate joins the two
+    docs' full shingle arrays and computes array_intersect per pair —
+    never the full-corpus shingle-shingle join (which would defeat the
+    banding at scale). Work is O(bucket collisions + candidates), so
+    recall/precision trade purely on (k, bands).
+    """
+    bands_df = lsh_band_table(docs, k=k, bands=bands, n=n, id_col=id_col, text_col=text_col)
     a = bands_df.select(F.col("doc").alias("doc_a"), "band_idx", "band_key")
     b = bands_df.select(F.col("doc").alias("doc_b"), "band_idx", "band_key")
     cands = (
@@ -262,6 +274,69 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
     )
     return v.select("doc_a", "doc_b", "jaccard")
+
+
+def lsh_dedup_incremental(
+    new_docs: DataFrame,
+    index_docs: DataFrame,
+    k: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot-over-snapshot dedup: flag each NEW doc that near-dupes a
+    doc already in the corpus -> (new_doc, dup_of, jaccard), one row per
+    duplicate new doc (best match: max jaccard, ties to the smallest
+    index doc id).
+
+    This is the monthly-Common-Crawl flow: the historical corpus keeps
+    its band table (lsh_band_table, built once per snapshot and stored),
+    and each new snapshot probes it — new x index candidates only, never
+    new x new (intra-snapshot dedup is minhash_lsh_pairs' job) and never
+    a recompute over history. The probe join keys on (band_idx,
+    band_key); the verify stage joins candidate pairs to the two docs'
+    shingle arrays only (same contract as minhash_lsh_pairs — plan-
+    asserted there). The best-match window partitions by new_doc, so it
+    parallelizes over new docs and never globally sorts.
+
+    At 10^10 index docs the band table is ~bands x 10^10 rows; with it
+    bucketed by band_key on store, the probe is a co-located join and
+    only buckets HIT by new-snapshot bands are read (partition pruning
+    on band_idx + bucket)."""
+    new_bands = lsh_band_table(new_docs, k=k, bands=bands, n=n, id_col=id_col, text_col=text_col)
+    idx_bands = lsh_band_table(index_docs, k=k, bands=bands, n=n, id_col=id_col, text_col=text_col)
+    cands = (
+        new_bands.withColumnRenamed("doc", "new_doc")
+        .join(idx_bands.withColumnRenamed("doc", "dup_of"), ["band_idx", "band_key"])
+        .select("new_doc", "dup_of")
+        .distinct()
+    )
+
+    def _sh(docs, alias, sh_alias, n_alias):
+        return docs.select(
+            F.col(id_col).alias(alias),
+            word_shingles(F.col(text_col), n).alias(sh_alias),
+        ).withColumn(n_alias, F.size(sh_alias))
+
+    v = (
+        cands.join(_sh(new_docs, "new_doc", "sh_n", "n_n"), "new_doc")
+        .join(_sh(index_docs, "dup_of", "sh_i", "n_i"), "dup_of")
+        .withColumn("n_common", F.size(F.array_intersect("sh_n", "sh_i")))
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_n") + F.col("n_i") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    w = Window.partitionBy("new_doc").orderBy(F.col("jaccard").desc(), F.col("dup_of"))
+    return (
+        v.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("new_doc", "dup_of", F.round("jaccard", 6).alias("jaccard"))
+    )
 
 
 # --- benchmark decontamination ---------------------------------------------------

@@ -175,6 +175,7 @@ def pagerank(
     src: str = "src_dom",
     dst: str = "dst_dom",
     buckets: int = DET_SUM_BUCKETS,
+    truncate_lineage: bool = True,
 ) -> DataFrame:
     """Host-level PageRank over harvested link-graph edges — the classic
     frontier-prioritization signal one tier up from host_indegree
@@ -209,20 +210,40 @@ def pagerank(
         .filter(F.col("_s") != F.col("_d"))
         .distinct()
     )
+    # the edge list is read every iteration — without persist, each
+    # sweep re-derives it from source (at web scale: re-extracting
+    # links from 10^10 pages per sweep; on a real cluster this is
+    # persist(DISK_ONLY))
+    e = e.persist()
     nodes = (
         e.select(F.col("_s").alias("dom"))
         .union(e.select(F.col("_d").alias("dom")))
         .distinct()
     )
     stats = nodes.agg(F.count(F.lit(1)).cast("double").alias("_n"))
-    outdeg = e.groupBy(F.col("_s").alias("dom")).agg(F.count(F.lit(1)).alias("_od"))
-    ranks = nodes.crossJoin(F.broadcast(stats)).select(
-        "dom", (F.lit(1.0) / F.col("_n")).alias("rank")
+    outdeg = e.groupBy(F.col("_s").alias("dom")).agg(
+        F.count(F.lit(1)).alias("_od")
     )
+    # out-degree rides IN the rank state (it is iteration-invariant), so
+    # each sweep needs exactly ONE large join (edges x state) — not
+    # edges x ranks + edges x outdeg + nodes x new-ranks. Sinks are the
+    # _od=0 rows: the dangling mass is a filter, not an anti-join.
+    ranks = (
+        nodes.join(outdeg, "dom", "left")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "dom",
+            F.coalesce(F.col("_od"), F.lit(0)).alias("_od"),
+            (F.lit(1.0) / F.col("_n")).alias("rank"),
+        )
+    )
+    if truncate_lineage:
+        ranks = ranks.localCheckpoint(eager=True)
     for _ in range(n_iter):
         contrib = (
-            e.join(ranks.select(F.col("dom").alias("_s"), "rank"), "_s")
-            .join(outdeg.select(F.col("dom").alias("_s"), "_od"), "_s")
+            e.join(
+                ranks.select(F.col("dom").alias("_s"), "rank", "_od"), "_s"
+            )
             .select(
                 F.col("_d").alias("dom"),
                 F.col("_s"),
@@ -231,19 +252,15 @@ def pagerank(
         )
         summed = det_sum(contrib, ["dom"], "_s", "_c", "_sum", buckets)
         dangling = det_sum(
-            ranks.join(outdeg.select("dom"), "dom", "left_anti"),
-            [],
-            "dom",
-            "rank",
-            "_dm",
-            buckets,
+            ranks.filter(F.col("_od") == 0), [], "dom", "rank", "_dm", buckets
         )
         ranks = (
-            nodes.join(summed, "dom", "left")
+            ranks.select("dom", "_od").join(summed, "dom", "left")
             .crossJoin(F.broadcast(dangling))
             .crossJoin(F.broadcast(stats))
             .select(
                 "dom",
+                "_od",
                 (
                     F.lit(1.0 - damping) / F.col("_n")
                     + F.lit(damping)
@@ -253,6 +270,14 @@ def pagerank(
                     )
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
         )
-    return ranks.select("dom", F.round(F.col("rank"), 9).alias("pagerank"))
+        if truncate_lineage:
+            # keeps the plan O(1) per iteration; disable only to audit
+            # the un-truncated iteration plan (tests/test_plans.py)
+            ranks = ranks.localCheckpoint(eager=True)
+    out = ranks.select("dom", F.round(F.col("rank"), 9).alias("pagerank"))
+    if truncate_lineage:
+        # ranks is already checkpoint-materialized (lineage cut), so the
+        # cached edge list is unreachable from the returned plan
+        e.unpersist()
+    return out

@@ -1,4 +1,5 @@
-"""Training-data assembly operators: corpus mixing and sequence packing.
+"""Training-data assembly operators: corpus mixing, sequence packing,
+and exact per-stratum quota sampling.
 
 The last stage of a webtext pipeline turns a cleaned corpus into model
 input: each source is weighted to a target mixture (wiki x3.5, web x0.8,
@@ -129,3 +130,74 @@ def pack_sequences(
             (F.col("offset") + F.greatest(F.col("n_tokens"), F.lit(1)) - 1) / budget
         ).alias("end_seq_id"),
     )
+
+
+# --- exact per-stratum quota sampling -----------------------------------------
+
+QUOTA_DENOM = 1_000_000
+QUOTA_BINS = 4096
+
+
+def stratified_quota(
+    df: DataFrame,
+    quota_by_stratum: dict[str, int],
+    stratum_col: str,
+    key_col: str = "doc_id",
+    default_quota: int = 0,
+    denom: int = QUOTA_DENOM,
+    bins: int = QUOTA_BINS,
+) -> DataFrame:
+    """Keep at most quota rows per stratum — the corpus-balancing cap
+    ("<=100k docs per (lang, source)") that rate-based hash_sample
+    cannot express when stratum sizes are unknown or shifting.
+
+    Selection is deterministic: the quota rows with the SMALLEST
+    md5-hash u (ties by key) win, so re-runs, resumes, and different
+    partitionings keep the identical set, and a grown corpus keeps a
+    superset-stable prefix per stratum (a doc only drops out when
+    enough smaller-u docs arrive).
+
+    Scale (10^10 rows, a handful of mega-strata): a naive
+    row_number() OVER (PARTITION BY stratum ORDER BY u) funnels each
+    stratum through ONE task — a 10^9-row language through one sort.
+    Instead, the binning trick from operators/budget: u is uniform, so
+    per-(stratum, u-bin) counts plus a per-stratum cumulative over the
+    bins (a window over `bins` rows per stratum — tiny) locate the
+    quota boundary; bins entirely past it are dropped outright, and the
+    surviving rows rank only WITHIN their own (stratum, bin) window —
+    every window holds ~n_stratum/bins rows, so no task ever sorts a
+    whole stratum. Everything stays distributed — no driver collect.
+    """
+    u = F.pmod(_md5_hash60(F.col(key_col).cast("string")), F.lit(denom))
+    quota = None
+    for k, q in sorted(quota_by_stratum.items()):
+        cond, val = F.col(stratum_col) == k, F.lit(int(q))
+        quota = F.when(cond, val) if quota is None else quota.when(cond, val)
+    quota = quota.otherwise(F.lit(int(default_quota))) if quota is not None else F.lit(int(default_quota))
+    # u < denom and bins*denom << 2^63: integer bin, exact and monotone
+    d = df.withColumn("_u", u).withColumn(
+        "_bin", (F.col("_u") * bins / denom).cast("long")
+    ).withColumn("_q", quota)
+
+    counts = d.groupBy(stratum_col, "_bin").agg(F.count(F.lit(1)).alias("_n"))
+    w_cum = (
+        Window.partitionBy(stratum_col)
+        .orderBy("_bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # _below: rows in strictly earlier bins of this stratum
+    edges = counts.withColumn(
+        "_below", F.coalesce(F.sum("_n").over(w_cum), F.lit(0))
+    )
+    d2 = d.join(edges.select(stratum_col, "_bin", "_below"), [stratum_col, "_bin"])
+    # bins that start at or past the quota can contribute nothing; the
+    # straddling bin and everything below it remain
+    passed = d2.filter(F.col("_below") < F.col("_q"))
+    w_rank = Window.partitionBy(stratum_col, "_bin").orderBy(
+        F.col("_u"), F.col(key_col)
+    )
+    kept = (
+        passed.withColumn("_rn", F.row_number().over(w_rank))
+        .filter(F.col("_below") + F.col("_rn") <= F.col("_q"))
+    )
+    return kept.drop("_u", "_bin", "_q", "_below", "_rn")

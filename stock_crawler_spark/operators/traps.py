@@ -1,0 +1,138 @@
+"""Crawl-hygiene operators: trap detection and mirror-host folding.
+
+Two failure modes eat real crawl budgets that no per-URL filter catches:
+
+  * **Crawler traps** — calendar pages, session-id links, faceted search:
+    one URL TEMPLATE expanding into unbounded concrete URLs. The frontier
+    happily queues millions of distinct-but-worthless urls from one host.
+  * **Mirror hosts** — www./m./cdn variants and outright mirrors serving
+    the same corpus under different hostnames. URL-level dedup can never
+    fold them (every url differs); only content overlap exposes them.
+
+Both are HOST-level signals computed from tables the engine already has
+(the frontier / fetched pages), and both feed back as broadcastable
+deny/alias lists for the next round's scheduling — the same shape as the
+robots deny list in operators/frontier.
+
+Scale notes (10^10 urls, 10^8 hosts):
+  * url_template is a per-row regexp projection (codegen, no shuffle);
+  * detect_crawl_traps is two partial-aggregated groupBys — the
+    (host, template) key splits a hot host's rows across templates, and
+    count_distinct(url) two-stage-aggregates, so a 10^7-url trap host
+    never funnels through one task before the template split;
+  * mirror_hosts joins distinct (host, fp) pairs on fp. Boilerplate
+    fingerprints shared by MANY hosts would explode that join
+    quadratically — the max_hosts_per_fp cap drops them first (the
+    same stop-key discipline as dedup.max_df), which cannot create
+    false mirror pairs (a fp on >cap hosts is boilerplate, not a
+    mirror signal) and bounds the join at cap^2 per fp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def url_template(url: Column) -> Column:
+    """Collapse a url to its trap-detection template: lowercase, digit
+    runs in the path -> 'N', every query value -> 'V', fragment dropped.
+
+      https://h.com/2024/03/15/post?id=88&s=x#a
+        -> https://h.com/N/N/N/post?id=V&s=V
+
+    Pure Column regexp chain (codegen). SQL twin in the q66 oracle."""
+    u = F.lower(url)
+    u = F.regexp_replace(u, r"#.*$", "")
+    u = F.regexp_replace(u, r"=[^&]*", "=V")
+    # digit runs only in the PATH: stop the path match at '?'
+    return F.concat(
+        F.regexp_replace(
+            F.regexp_extract(u, r"^([^?]*)", 1), r"[0-9]+", "N"
+        ),
+        F.regexp_extract(u, r"(\?.*)$", 1),
+    )
+
+
+def detect_crawl_traps(
+    frontier: DataFrame,
+    trap_urls_per_template: int = 1000,
+    url_col: str = "url",
+    host_col: str = "domain",
+) -> DataFrame:
+    """Per-host trap report: (host, n_urls, n_templates, max_template_urls,
+    trap_templates, is_trap).
+
+    A template with more than ``trap_urls_per_template`` distinct urls is
+    a trap template; a host with any is flagged. The returned host list
+    is small (hosts, not urls) — broadcast it into the next round's
+    dequeue as a deny/de-prioritize filter."""
+    t = frontier.select(
+        F.col(host_col).alias("host"),
+        F.col(url_col).alias("url"),
+        url_template(F.col(url_col)).alias("template"),
+    )
+    per_template = t.groupBy("host", "template").agg(
+        F.count_distinct("url").alias("n_urls")
+    )
+    return per_template.groupBy("host").agg(
+        F.sum("n_urls").alias("n_urls"),
+        F.count(F.lit(1)).alias("n_templates"),
+        F.max("n_urls").alias("max_template_urls"),
+        F.sum(
+            (F.col("n_urls") > trap_urls_per_template).cast("long")
+        ).alias("trap_templates"),
+    ).withColumn("is_trap", F.col("trap_templates") > 0)
+
+
+def mirror_hosts(
+    pages: DataFrame,
+    min_jaccard: float = 0.5,
+    min_shared: int = 2,
+    max_hosts_per_fp: int = 50,
+    host_col: str = "host",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Host pairs whose content-fingerprint sets overlap like mirrors:
+    (host_a, host_b, shared, n_a, n_b, jaccard) with host_a < host_b,
+    jaccard >= min_jaccard, shared >= min_shared.
+
+    Input is (host, fp) — fp being any content identity the pipeline
+    already computes (functions/text.fingerprint_md5, winnowing fps).
+    Fingerprints on more than ``max_hosts_per_fp`` hosts are dropped as
+    boilerplate before the pair join (see module docstring)."""
+    hf = pages.select(
+        F.col(host_col).alias("host"), F.col(fp_col).alias("fp")
+    ).distinct()
+    sizes = hf.groupBy("host").agg(F.count(F.lit(1)).alias("n"))
+    df_cap = hf.groupBy("fp").agg(F.count(F.lit(1)).alias("_hosts"))
+    kept = hf.join(
+        df_cap.filter(F.col("_hosts") <= max_hosts_per_fp).select("fp"), "fp"
+    )
+    a = kept.select("fp", F.col("host").alias("host_a"))
+    b = kept.select("fp", F.col("host").alias("host_b"))
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    out = (
+        pairs.join(sizes.withColumnRenamed("host", "host_a")
+                   .withColumnRenamed("n", "n_a"), "host_a")
+        .join(sizes.withColumnRenamed("host", "host_b")
+              .withColumnRenamed("n", "n_b"), "host_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("shared")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+    return out.select(
+        "host_a", "host_b", "shared", "n_a", "n_b", "jaccard"
+    )

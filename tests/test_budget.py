@@ -1,0 +1,74 @@
+"""Largest-remainder budget allocation (operators/budget)."""
+
+import random
+
+from pyspark.sql import functions as F
+
+from stock_crawler_spark.operators.budget import (
+    allocate_budget,
+    allocate_budget_naive,
+)
+
+
+def _ranks(spark, weights):
+    return spark.createDataFrame(
+        [(f"d{i:04d}.com", w) for i, w in enumerate(weights)],
+        "dom string, pagerank double",
+    )
+
+
+def _rows(df):
+    return sorted(
+        (r["dom"], r["wi"], r["base"], r["extra"], r["budget"])
+        for r in df.collect()
+    )
+
+
+def test_sum_preserved_exactly(spark):
+    rnd = random.Random(7)
+    ranks = _ranks(spark, [rnd.random() for _ in range(200)])
+    for total in (1, 17, 1000, 12345):
+        out = allocate_budget(ranks, total)
+        assert out.agg(F.sum("budget")).collect()[0][0] == total
+
+
+def test_refined_matches_naive(spark):
+    """The threshold-refinement selection is an optimization, not an
+    approximation: row-identical to the global-window method."""
+    rnd = random.Random(11)
+    for seed_n in (3, 50, 500):
+        ranks = _ranks(spark, [rnd.random() for _ in range(seed_n)])
+        a = _rows(allocate_budget(ranks, 997))
+        b = _rows(allocate_budget_naive(ranks, 997))
+        assert a == b
+
+
+def test_zero_leftover_short_circuit(spark):
+    """Equal weights, total divisible by n: quotas divide exactly, R=0,
+    nobody gets an extra seat."""
+    ranks = _ranks(spark, [0.25] * 8)
+    out = allocate_budget(ranks, 64)
+    rows = out.collect()
+    assert all(r["extra"] == 0 and r["budget"] == 8 for r in rows)
+
+
+def test_remainder_ties_break_by_dom(spark):
+    """Identical weights with non-divisible total: every remainder ties,
+    the first doms in lexicographic order take the leftovers — both
+    implementations must agree."""
+    ranks = _ranks(spark, [1.0] * 10)
+    a = _rows(allocate_budget(ranks, 13))
+    b = _rows(allocate_budget_naive(ranks, 13))
+    assert a == b
+    winners = [dom for dom, _, _, extra, _ in a if extra == 1]
+    assert winners == [f"d{i:04d}.com" for i in range(3)]
+
+
+def test_sublinear_damping_reorders(spark):
+    """power=0.5 compresses the head: a 100x rank gap becomes a 10x
+    budget gap."""
+    ranks = _ranks(spark, [1.0, 0.0001])
+    out = {r["dom"]: r["budget"] for r in allocate_budget(ranks, 1010).collect()}
+    # sqrt: 1.0 vs 0.01 -> ~1000 vs ~10
+    assert abs(out["d0000.com"] - 1000) <= 1
+    assert abs(out["d0001.com"] - 10) <= 1

@@ -1,0 +1,100 @@
+"""Hashed-n-gram linear classifier + DSIR (functions/classifier)."""
+
+from pyspark.sql import functions as F
+
+from stock_crawler_spark.functions.classifier import (
+    doc_features,
+    dsir_select,
+    hashed_linear_score,
+    make_hash_weights,
+)
+
+
+def _feats(spark, text):
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    return {
+        (r["feat"], r["tf"]) for r in doc_features(df).collect()
+    }
+
+
+def test_unigram_bigram_features(spark):
+    assert _feats(spark, "a b c") == {
+        ("a", 1), ("b", 1), ("c", 1), ("a_b", 1), ("b_c", 1)
+    }
+
+
+def test_single_token_doc_no_bigrams(spark):
+    assert _feats(spark, "  Solo  ") == {("solo", 1)}
+
+
+def test_repeated_tokens_tf(spark):
+    assert _feats(spark, "x x x") == {("x", 3), ("x_x", 2)}
+
+
+def test_blank_docs_excluded(spark):
+    df = spark.createDataFrame(
+        [(1, "ok doc"), (2, "   "), (3, "")], "doc_id long, text string"
+    )
+    w = make_hash_weights(spark, 1 << 10)
+    out = hashed_linear_score(df, w, n_buckets=1 << 10)
+    assert [r["doc_id"] for r in out.collect()] == [1]
+
+
+def test_score_bounds_and_keep_consistency(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    w = make_hash_weights(spark, 1 << 16)
+    out = hashed_linear_score(docs, w, n_buckets=1 << 16).collect()
+    assert len(out) > 0
+    for r in out:
+        assert 0.0 < r["score"] < 1.0
+        assert r["keep"] == (r["score"] >= 0.5)
+
+
+def test_score_partition_invariant(spark):
+    """Bit-identical scores regardless of input partitioning — the fold
+    order is data-defined, not plan-defined."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    w = make_hash_weights(spark, 1 << 16)
+
+    def scores(d):
+        return {
+            r["doc_id"]: r["score"]
+            for r in hashed_linear_score(d, w, n_buckets=1 << 16).collect()
+        }
+
+    assert scores(docs.coalesce(1)) == scores(docs.repartition(13))
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    """Docs sharing the target corpus vocabulary must outrank docs from
+    a disjoint vocabulary."""
+    rows = []
+    # 20 target docs over vocab A; raw corpus: 30 A-like + 30 B-like
+    for i in range(30):
+        rows.append((i, "alpha beta gamma delta alpha beta", "web"))
+    for i in range(30, 60):
+        rows.append((i, "omega psi chi phi omega psi", "web"))
+    raw = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    tgt = spark.createDataFrame(
+        [(100 + i, "alpha beta gamma delta", "wiki") for i in range(20)],
+        "doc_id long, text string, source string",
+    )
+    sel = dsir_select(raw, tgt, k=20, n_buckets=1 << 14)
+    picked = [r["doc_id"] for r in sel.collect()]
+    assert len(picked) == 20
+    # every selected doc is A-like: the B-vocab log-ratios are strongly
+    # negative (unseen in target), no Gumbel jitter overcomes the gap
+    assert all(d < 30 for d in picked)
+
+
+def test_dsir_deterministic_and_partition_invariant(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    tgt = docs.filter(F.col("source") == "src0")
+
+    def run(d):
+        return [
+            (r["doc_id"], r["log_w"], r["sel_key"])
+            for r in dsir_select(d, tgt, k=50, n_buckets=1 << 16).collect()
+        ]
+
+    assert run(docs) == run(docs.repartition(11))

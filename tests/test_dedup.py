@@ -227,3 +227,53 @@ def test_winnow_whitespace_case_normalization(spark):
     a = {r["fp"] for r in out if r["doc_id"] == 1}
     b = {r["fp"] for r in out if r["doc_id"] == 2}
     assert a == b and a
+
+
+def test_incremental_lsh_flags_recrawled_docs(spark):
+    """Snapshot-over-snapshot: a re-crawl with one edited word must match
+    its index source; genuinely new content must not match anything; and
+    new x new near-dups must NOT pair (intra-snapshot dedup is a
+    different operator)."""
+    base = " ".join(f"w{i}" for i in range(100))
+    other = " ".join(f"u{i}" for i in range(100))
+    index = spark.createDataFrame([(1, base), (2, other)], ["doc_id", "text"])
+    new = spark.createDataFrame(
+        [
+            (10, base.replace("w50 ", "w50x ")),  # near-dup of 1
+            (11, base),                           # exact re-crawl of 1
+            (12, " ".join(f"z{i}" for i in range(100))),  # fresh
+            (13, " ".join(f"z{i}" for i in range(100))),  # dup of 12 (new x new)
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["new_doc"]: (r["dup_of"], r["jaccard"])
+        for r in dedup.lsh_dedup_incremental(new, index, threshold=0.5).collect()
+    }
+    assert out[10][0] == 1 and out[10][1] < 1.0
+    assert out[11] == (1, 1.0)
+    assert 12 not in out and 13 not in out  # new x new never pairs
+
+
+def test_incremental_lsh_best_match_is_highest_jaccard(spark):
+    base = " ".join(f"w{i}" for i in range(100))
+    index = spark.createDataFrame(
+        [(1, base), (2, base.replace("w10 ", "w10x "))], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame([(10, base)], ["doc_id", "text"])
+    out = dedup.lsh_dedup_incremental(new, index, threshold=0.5).collect()
+    assert len(out) == 1
+    assert out[0]["dup_of"] == 1 and out[0]["jaccard"] == 1.0
+
+
+def test_band_table_refactor_preserves_pairs(spark):
+    """minhash_lsh_pairs through the extracted lsh_band_table still finds
+    the planted family (regression for the index refactor)."""
+    base = " ".join(f"w{i}" for i in range(100))
+    df = spark.createDataFrame([(1, base), (2, base)], ["doc_id", "text"])
+    bands = dedup.lsh_band_table(df)
+    # identical docs -> identical band keys in every band
+    rows = bands.groupBy("band_idx").agg(
+        F.count_distinct("band_key").alias("nk")
+    ).collect()
+    assert all(r["nk"] == 1 for r in rows)

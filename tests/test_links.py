@@ -70,3 +70,65 @@ def test_feeds_frontier_columns(spark):
     doms = {r["url"]: r["domain"] for r in out}
     assert doms["https://www.ex.com/b"] == "ex.com"
     assert doms["https://www.other.co.uk/c"] == "other.co.uk"
+
+
+# --- rel=canonical ------------------------------------------------------------
+
+
+def _canon(spark, html, base="https://www.ex.com/dir/page.html?s=1"):
+    from stock_crawler_spark.functions.links import extract_canonical
+
+    df = spark.createDataFrame([(base, html)], "base string, html string")
+    return df.select(
+        extract_canonical(F.col("html"), F.col("base")).alias("c")
+    ).collect()[0]["c"]
+
+
+def test_canonical_rel_then_href(spark):
+    assert (
+        _canon(spark, '<link rel="canonical" href="/clean">')
+        == "https://www.ex.com/clean"
+    )
+
+
+def test_canonical_href_then_rel(spark):
+    assert (
+        _canon(spark, "<link href='https://c.ex.com/x' rel='canonical'>")
+        == "https://c.ex.com/x"
+    )
+
+
+def test_canonical_relative_resolves_against_base_dir(spark):
+    assert _canon(spark, '<link rel="canonical" href="v2.html">') == (
+        "https://www.ex.com/dir/v2.html"
+    )
+
+
+def test_canonical_absent_and_other_rels(spark):
+    assert _canon(spark, "<body>no links</body>") is None
+    assert _canon(spark, '<link rel="stylesheet" href="/s.css">') is None
+
+
+def test_canonical_case_insensitive(spark):
+    assert (
+        _canon(spark, '<LINK REL="Canonical" HREF="/C">')
+        == "https://www.ex.com/C"
+    )
+
+
+def test_fold_canonical_self_is_not_alias(spark):
+    from stock_crawler_spark.functions.links import fold_canonical
+
+    url = "https://www.ex.com/p"
+    pages = spark.createDataFrame(
+        [
+            (url, f'<link rel="canonical" href="{url}">'),
+            (url + "?utm=1", f'<link rel="canonical" href="{url}">'),
+            (url + "/other", "<body>none</body>"),
+        ],
+        "url string, html string",
+    )
+    out = {r["url"]: (r["fetch_url"], r["is_alias"]) for r in fold_canonical(pages).collect()}
+    assert out[url] == (url, False)
+    assert out[url + "?utm=1"] == (url, True)
+    assert out[url + "/other"] == (url + "/other", False)

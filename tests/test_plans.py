@@ -170,15 +170,21 @@ def test_no_cartesian_products_anywhere(spark):
         "q26_ivf_topk",          # broadcast centroids + probed cells
         "q46_neardup_multiprobe", # broadcast centroids (top-2 assignment)
         "q42_bm25",              # broadcast 1-row corpus stats
+        "q54_pagerank",          # broadcast node-count + 1-row dangling mass
+        "q59_ccnet_ppl_buckets", # broadcast 1-row corpus token total
+        "q64_dsir_select",       # broadcast 1-row corpus-size totals
     }
     for name, fn in entrymod.queries().items():
         tree = _plan(fn(spark, "/root/testdata/sf0.001")).split("\n\n")[0]
         assert "CartesianProduct" not in tree, name
-        if name not in BNLJ_ALLOWED:
-            assert "BroadcastNestedLoopJoin" not in tree, name
-        else:
+        if "BroadcastNestedLoopJoin" in tree:
+            assert name in BNLJ_ALLOWED, name
             # the nested-loop side must actually be broadcast
             assert "BroadcastExchange" in tree, name
+        # q54's final plan is localCheckpoint-truncated (its broadcast
+        # cross joins run inside the iteration), so an allowlisted entry
+        # with no visible BNLJ is fine — the allowlist is a cap, not a
+        # requirement.
 
 
 def test_decontaminate_broadcasts_benchmark(spark):
@@ -219,3 +225,101 @@ def test_seen_probe_no_driver_collect(spark):
     assert "FlatMapCoGroupsInPandas" in plan, plan
     n_seen = flagged.filter(F.col("_seen")).count()
     assert n_seen == 50
+
+
+def test_c4_clean_is_narrow_codegen(docs):
+    """C4 page cleaning is per-row Column algebra: zero exchanges, no
+    Python eval — it must run at scan speed."""
+    from stock_crawler_spark.operators.c4 import c4_clean
+
+    plan = _plan(c4_clean(docs))
+    # higher-order filter/transform exprs run interpreted (outside
+    # whole-stage codegen) but still JVM-side in one narrow Project
+    assert "Exchange" not in plan and "EvalPython" not in plan, plan
+
+
+def test_url_quality_is_narrow_codegen(docs):
+    from stock_crawler_spark.functions.urls import with_url_quality
+
+    plan = _plan(with_url_quality(docs.select("doc_id", F.col("text").alias("url"))))
+    assert "Exchange" not in plan and "EvalPython" not in plan, plan
+
+
+def test_pack_sequences_bucket_offsets_broadcast(docs):
+    """The two-level prefix sum joins per-row data against the tiny
+    bucket-offset table — that join must broadcast, never sort-merge."""
+    from stock_crawler_spark.operators.training import pack_sequences
+
+    d = docs.select("doc_id", F.length("text").alias("n_tokens"))
+    plan = _plan(pack_sequences(d, budget=64, bucket_rows=100))
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan, plan
+
+
+def test_pagerank_contrib_join_not_nested_loop(spark):
+    """PageRank's edge-x-rank join is keyed on src — it must be a hash
+    join; the only nested-loop joins are the broadcast 1-row stats."""
+    from stock_crawler_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame(
+        [(f"a{i}.com", f"a{(i * 3) % 50}.com") for i in range(200)],
+        "src_dom string, dst_dom string",
+    )
+    plan = _plan(pagerank(e, n_iter=1, truncate_lineage=False))
+    assert "CartesianProduct" not in plan, plan
+    # rank-update left join keyed on dom: hash-joined, not nested-loop
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_classifier_weights_broadcast(spark, docs):
+    """q63: the model (weight table) must broadcast — inference never
+    shuffles the model, and no SortMergeJoin touches the feature rows."""
+    from stock_crawler_spark.functions.classifier import (
+        hashed_linear_score,
+        make_hash_weights,
+    )
+
+    w = make_hash_weights(spark, 1 << 16)
+    plan = _plan(hashed_linear_score(docs, w, n_buckets=1 << 16))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_dsir_ratio_broadcast_and_topk(spark, docs):
+    """q64: log-ratio table broadcasts onto the per-doc feature rows and
+    the global selection is TakeOrdered (per-partition heaps), never a
+    single-partition global Sort+Limit."""
+    from stock_crawler_spark.functions.classifier import dsir_select
+    from pyspark.sql import functions as F
+
+    tgt = docs.filter(F.col("source") == "src0")
+    plan = _plan(dsir_select(docs, tgt, k=50, n_buckets=1 << 16))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_warc_parse_no_per_row_python(spark, docs):
+    """q62: the only Python is the sanctioned Arrow batch wall (one
+    applyInPandas build + one mapInPandas parse); no row-at-a-time
+    BatchEvalPython anywhere."""
+    from stock_crawler_spark.parsers.warc import parse_warc_records, warc_segments
+
+    plan = _plan(parse_warc_records(warc_segments(docs, docs_per_segment=100)))
+    assert "BatchEvalPython" not in plan, plan
+    assert "MapInPandas" in plan and "FlatMapGroupsInPandas" in plan, plan
+
+
+def test_canonical_fold_is_narrow_codegen(docs):
+    """q65: alias folding is a per-row regexp projection — zero
+    exchanges, zero Python."""
+    from stock_crawler_spark.functions.links import fold_canonical
+    from pyspark.sql import functions as F
+
+    pages = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://e.com/"), F.col("doc_id")).alias("url"),
+        F.col("text").alias("html"),
+    )
+    plan = _plan(fold_canonical(pages))
+    assert "Exchange" not in plan and "EvalPython" not in plan, plan

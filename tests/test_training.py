@@ -88,3 +88,57 @@ def test_pack_sequences_zero_token_doc(spark):
     got = {r["doc_id"]: r for r in pack_sequences(_docs(spark, rows), budget=4).collect()}
     assert got[1]["offset"] == 5 and got[2]["offset"] == 5
     assert got[1]["seq_id"] == got[1]["end_seq_id"] == 1
+
+
+# --- stratified_quota ---------------------------------------------------------
+
+
+def _sq_input(spark, n=400):
+    from pyspark.sql import functions as F
+
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("en"), F.lit("zh"), F.lit("de"), F.lit("fr")),
+            (F.col("id") % 4 + 1).cast("int"),
+        ).alias("lang"),
+    )
+
+
+def test_quota_caps_each_stratum(spark):
+    from stock_crawler_spark.operators.training import stratified_quota
+
+    d = _sq_input(spark)
+    out = stratified_quota(d, {"en": 10, "zh": 25}, "lang", default_quota=5)
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    assert counts == {"en": 10, "zh": 25, "de": 5, "fr": 5}
+
+
+def test_quota_matches_naive_window(spark):
+    from pyspark.sql import Window, functions as F
+    from stock_crawler_spark.operators.dedup import _md5_hash60
+    from stock_crawler_spark.operators.training import stratified_quota
+
+    d = _sq_input(spark)
+    got = {r["doc_id"] for r in stratified_quota(d, {"en": 17, "zh": 3}, "lang", default_quota=9).collect()}
+    u = F.pmod(_md5_hash60(F.col("doc_id").cast("string")), F.lit(1_000_000))
+    q = F.when(F.col("lang") == "en", 17).when(F.col("lang") == "zh", 3).otherwise(9)
+    w = Window.partitionBy("lang").orderBy(u, F.col("doc_id"))
+    want = {
+        r["doc_id"]
+        for r in d.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= q)
+        .collect()
+    }
+    assert got == want
+
+
+def test_quota_partition_invariant_and_oversized(spark):
+    from stock_crawler_spark.operators.training import stratified_quota
+
+    d = _sq_input(spark, 80)
+    a = {r["doc_id"] for r in stratified_quota(d, {"en": 1000}, "lang", default_quota=2).collect()}
+    b = {r["doc_id"] for r in stratified_quota(d.repartition(13), {"en": 1000}, "lang", default_quota=2).collect()}
+    assert a == b
+    # quota above stratum size keeps the whole stratum
+    assert sum(1 for x in a if x % 4 == 0) == 20

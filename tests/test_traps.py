@@ -1,0 +1,98 @@
+"""Crawl-hygiene operators (operators/traps)."""
+
+from pyspark.sql import functions as F
+
+from stock_crawler_spark.operators.traps import (
+    detect_crawl_traps,
+    mirror_hosts,
+    url_template,
+)
+
+
+def _tmpl(spark, url):
+    df = spark.createDataFrame([(url,)], "u string")
+    return df.select(url_template(F.col("u")).alias("t")).collect()[0]["t"]
+
+
+def test_url_template_collapses_digits_and_values(spark):
+    assert (
+        _tmpl(spark, "https://H.com/2024/03/15/post?id=88&s=x#frag")
+        == "https://h.com/N/N/N/post?id=V&s=V"
+    )
+
+
+def test_url_template_query_digits_not_path_collapsed(spark):
+    # digits inside query VALUES vanish into V, digits in keys survive
+    assert _tmpl(spark, "https://h.com/p?k2=9") == "https://h.com/p?k2=V"
+
+
+def test_url_template_plain_path_unchanged(spark):
+    assert _tmpl(spark, "https://h.com/about") == "https://h.com/about"
+
+
+def test_trap_host_flagged_healthy_not(spark):
+    rows = []
+    for i in range(200):  # calendar trap: one template, 200 urls
+        rows.append(("trap.com", f"https://trap.com/cal/2024/{i % 12}/{i}"))
+    for i in range(200):  # healthy: 200 urls but i is in a query VALUE?
+        rows.append(("ok.com", f"https://ok.com/post/{i}"))
+    # duplicates must not inflate distinct counts
+    rows += rows[:50]
+    f = spark.createDataFrame(rows, "domain string, url string")
+    out = {r["host"]: r for r in detect_crawl_traps(f, trap_urls_per_template=100).collect()}
+    assert out["trap.com"]["is_trap"] and out["trap.com"]["trap_templates"] == 1
+    assert out["trap.com"]["max_template_urls"] == 200
+    # ok.com's /post/<N> ALSO collapses to one 200-url template — the
+    # detector is count-driven, not pattern-driven; with a higher
+    # threshold neither trips
+    out2 = {r["host"]: r for r in detect_crawl_traps(f, trap_urls_per_template=500).collect()}
+    assert not out2["trap.com"]["is_trap"] and not out2["ok.com"]["is_trap"]
+
+
+def test_template_split_separates_families(spark):
+    f = spark.createDataFrame(
+        [("h.com", f"https://h.com/a/{i}") for i in range(60)]
+        + [("h.com", f"https://h.com/b/{i}") for i in range(5)],
+        "domain string, url string",
+    )
+    row = detect_crawl_traps(f, trap_urls_per_template=50).collect()[0]
+    assert row["n_templates"] == 2
+    assert row["trap_templates"] == 1 and row["max_template_urls"] == 60
+
+
+def _mh(spark, rows, **kw):
+    df = spark.createDataFrame(rows, "host string, fp string")
+    return {
+        (r["host_a"], r["host_b"]): r for r in mirror_hosts(df, **kw).collect()
+    }
+
+
+def test_full_mirror_found(spark):
+    rows = [("a.com", f"f{i}") for i in range(10)]
+    rows += [("b.com", f"f{i}") for i in range(10)]
+    rows += [("c.com", f"g{i}") for i in range(10)]
+    out = _mh(spark, rows)
+    assert set(out) == {("a.com", "b.com")}
+    r = out[("a.com", "b.com")]
+    assert r["shared"] == 10 and r["jaccard"] == 1.0
+
+
+def test_partial_overlap_below_threshold_dropped(spark):
+    rows = [("a.com", f"f{i}") for i in range(10)]
+    rows += [("b.com", f"f{i}") for i in range(4)]  # jacc 4/10 = 0.4
+    assert _mh(spark, rows, min_jaccard=0.5) == {}
+    assert set(_mh(spark, rows, min_jaccard=0.4)) == {("a.com", "b.com")}
+
+
+def test_boilerplate_fp_cap_blocks_false_pairs(spark):
+    # one fp on 30 hosts (cookie-banner page): with the cap below 30 it
+    # must produce NO pairs; each host pair shares only that 1 fp anyway
+    rows = [(f"h{i}.com", "banner") for i in range(30)]
+    assert _mh(spark, rows, max_hosts_per_fp=10, min_shared=1, min_jaccard=0.1) == {}
+
+
+def test_duplicate_rows_do_not_inflate_shared(spark):
+    rows = [("a.com", "f1"), ("a.com", "f1"), ("b.com", "f1"),
+            ("a.com", "f2"), ("b.com", "f2")]
+    out = _mh(spark, rows, min_shared=2, min_jaccard=0.5)
+    assert out[("a.com", "b.com")]["shared"] == 2

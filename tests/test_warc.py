@@ -1,0 +1,110 @@
+"""WARC ingestion (parsers/warc): spec framing, gzip member traversal,
+adversarial payloads, and failure loudness."""
+
+import gzip
+
+import pytest
+from pyspark.sql import functions as F
+
+from stock_crawler_spark.parsers.warc import (
+    _parse_one_segment,
+    build_record,
+    parse_warc_records,
+    warc_segments,
+)
+
+
+def _records(blob, compress=False):
+    return list(_parse_one_segment(blob, compress))
+
+
+def test_roundtrip_single_record():
+    raw = build_record("https://a.com/x", 5, b"<html>hi</html>", "r1")
+    recs = _records(raw)
+    assert len(recs) == 1
+    r = recs[0]
+    assert r["url"] == "https://a.com/x"
+    assert r["warc_date"] == "2024-01-01T00:00:05Z"
+    assert r["http_status"] == 200
+    assert r["content_type"] == "text/html; charset=utf-8"
+    assert r["payload"] == b"<html>hi</html>"
+
+
+def test_payload_containing_warc_magic_not_split():
+    """Framing is Content-Length-driven: a payload that embeds the record
+    magic (a page QUOTING a WARC file) must stay one record."""
+    evil = b"look: WARC/1.0\r\nWARC-Type: response\r\n\r\n gotcha"
+    raw = build_record("https://a.com/e", 0, evil, "r1") + build_record(
+        "https://a.com/f", 1, b"next", "r2"
+    )
+    recs = _records(raw)
+    assert [r["url"] for r in recs] == ["https://a.com/e", "https://a.com/f"]
+    assert recs[0]["payload"] == evil
+
+
+def test_warcinfo_records_skipped():
+    raw = build_record("", 0, b"software: x\r\n", "i", warc_type="warcinfo")
+    raw += build_record("https://a.com/x", 1, b"p", "r1")
+    recs = _records(raw)
+    assert len(recs) == 1 and recs[0]["url"] == "https://a.com/x"
+
+
+def test_gzip_member_traversal():
+    """CC layout: each record its own gzip member, concatenated."""
+    parts = [
+        build_record("https://a.com/1", 1, b"one", "r1"),
+        build_record("https://a.com/2", 2, b"two", "r2"),
+    ]
+    blob = b"".join(gzip.compress(p, mtime=0) for p in parts)
+    recs = _records(blob, compress=True)
+    assert [r["payload"] for r in recs] == [b"one", b"two"]
+
+
+def test_truncated_segment_raises():
+    raw = build_record("https://a.com/x", 0, b"full payload bytes", "r1")
+    with pytest.raises(ValueError, match="truncated"):
+        _records(raw[:-10])
+
+
+def test_bad_magic_raises():
+    with pytest.raises(ValueError, match="magic"):
+        _records(b"HTTP/1.1 200 OK\r\n\r\n")
+
+
+def test_empty_payload_record():
+    raw = build_record("https://a.com/empty", 0, b"", "r1")
+    recs = _records(raw)
+    assert recs[0]["payload"] == b""
+
+
+def test_dataframe_roundtrip_byte_exact(spark):
+    """End-to-end through Spark: md5(payload) must equal md5 of the
+    source utf-8 text for every doc, and be invariant to segment size."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for dps in (17, 500):
+        parsed = parse_warc_records(warc_segments(docs, docs_per_segment=dps))
+        bad = (
+            parsed.withColumn(
+                "doc_id", F.regexp_extract("url", r"/d(\d+)$", 1).cast("long")
+            )
+            .join(docs, "doc_id")
+            .filter(F.md5("payload") != F.md5(F.encode("text", "utf-8")))
+            .count()
+        )
+        assert bad == 0
+        assert parsed.count() == docs.count()
+
+
+def test_segment_build_deterministic(spark):
+    """Same input -> byte-identical segments (gzip mtime pinned to 0):
+    resumable ingest can re-derive any segment bit-for-bit."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {
+        r["segment_id"]: bytes(r["warc"])
+        for r in warc_segments(docs, docs_per_segment=50).collect()
+    }
+    b = {
+        r["segment_id"]: bytes(r["warc"])
+        for r in warc_segments(docs.repartition(7), docs_per_segment=50).collect()
+    }
+    assert a == b
