@@ -1206,6 +1206,106 @@ def q70_stratified_quota(spark, sf):
     return stratified_quota(docs, QUOTA_BY_LANG, "lang", default_quota=10)
 
 
+def q71_cdx_index(spark, sf):
+    """CDX index generation (operators/cdx): WARC segments -> records ->
+    the globally (surt, ts)-ordered capture index. The oracle computes
+    every column ARITHMETICALLY from documents — including the SURT key
+    ('com,h<k>)/d<id>') — so both the WARC round trip and the SURT
+    transform are pinned end-to-end."""
+    from stock_crawler_spark.operators.cdx import cdx_index
+    from stock_crawler_spark.parsers.warc import parse_warc_records, warc_segments
+
+    docs = _t(spark, sf, "documents")
+    return cdx_index(parse_warc_records(warc_segments(docs, docs_per_segment=100)))
+
+
+CMS_W = 512
+CMS_D = 4
+
+
+def q72_cms_counts(spark, sf):
+    """Count-min sketch (operators/sketch): sketch the per-user event
+    multiset (d=4, w=512), then point-query every distinct user and
+    report estimate vs exact. CM guarantee (est >= exact) is checked as
+    data: the overcount column is what the oracle must reproduce — both
+    engines walk the identical md5 probe chain, so every collision
+    lands in the same cell."""
+    from stock_crawler_spark.operators.sketch import cms_build, cms_estimate
+
+    ev = _t(spark, sf, "events")
+    sk = cms_build(ev, "user_id", depth=CMS_D, width=CMS_W)
+    est = cms_estimate(
+        sk, ev.select("user_id").distinct(), "user_id", depth=CMS_D, width=CMS_W
+    )
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact"))
+    return est.join(exact, "user_id").select(
+        "user_id", "est", "exact", (F.col("est") - F.col("exact")).alias("overcount")
+    )
+
+
+ANCHOR_DOMS = 40
+ANCHOR_TEXTS = ["breaking news", "read <b>more</b>", "home", "contact us", "top stories"]
+
+
+def q73_anchor_topk(spark, sf):
+    """Anchor-text aggregation (functions/links.anchor_text_agg): per
+    target domain, the top-3 anchor texts by distinct referring pages.
+    Anchors are injected arithmetically into synthetic HTML (doc i, slot
+    k -> target t{(i*3+k)%40}.com with text ANCHOR_TEXTS[(i+k)%5], one
+    with inner markup to exercise the strip); the oracle rebuilds the
+    same (src, dom, anchor) triples without touching HTML at all."""
+    from stock_crawler_spark.functions.links import anchor_text_agg
+
+    docs = _t(spark, sf, "documents")
+    anchors = [
+        F.concat(
+            F.lit('<a href="https://t'),
+            ((F.col("doc_id") * 3 + k) % ANCHOR_DOMS).cast("string"),
+            F.lit('.com/p">'),
+            F.element_at(
+                F.array(*[F.lit(t) for t in ANCHOR_TEXTS]),
+                ((F.col("doc_id") + k) % len(ANCHOR_TEXTS) + 1).cast("int"),
+            ),
+            F.lit("</a>"),
+        )
+        for k in range(3)
+    ]
+    pages = docs.select(
+        F.concat(F.lit("https://s"), F.col("doc_id").cast("string"), F.lit(".com/p")).alias(
+            "url"
+        ),
+        F.concat(*anchors).alias("html"),
+    )
+    return anchor_text_agg(pages, top_k=3)
+
+
+def q74_soft404(spark, sf):
+    """Soft-404 detection (functions/html.soft404_score): every 7th doc
+    is a classic 200-status error page, the rest carry a body of
+    (doc_id % 40) 'content ' repeats. The oracle derives each page's
+    score and flag purely from doc_id arithmetic — the title (+2),
+    phrase (+1 each), and short-text (+1) signals are pinned without
+    re-running any regexp."""
+    from stock_crawler_spark.functions.html import is_soft404, soft404_score
+
+    docs = _t(spark, sf, "documents")
+    err = F.lit(
+        "<title>404 Not Found</title><p>The page you requested was not found."
+        " Return to the homepage.</p>"
+    )
+    normal = F.concat(
+        F.lit("<p>"), F.repeat(F.lit("content "), (F.col("doc_id") % 40).cast("int")), F.lit("</p>")
+    )
+    pages = docs.select(
+        "doc_id", F.when(F.col("doc_id") % 7 == 0, err).otherwise(normal).alias("html")
+    )
+    return pages.select(
+        "doc_id",
+        soft404_score(F.col("html")).alias("score"),
+        is_soft404(F.col("html")).alias("flagged"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver API
 # ---------------------------------------------------------------------------
@@ -1288,6 +1388,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_budget_allocation": q68_budget_allocation,
         "q69_incremental_lsh": q69_incremental_lsh,
         "q70_stratified_quota": q70_stratified_quota,
+        "q71_cdx_index": q71_cdx_index,
+        "q72_cms_counts": q72_cms_counts,
+        "q73_anchor_topk": q73_anchor_topk,
+        "q74_soft404": q74_soft404,
     }
 
 
@@ -2601,5 +2705,76 @@ SELECT doc_id, n_tokens, "offset",
   CAST(floor(("offset" + greatest(n_tokens, 1) - 1) / {PACK_BUDGET}) AS BIGINT)
     AS end_seq_id
 FROM o
+""",
+        # q71: every column derived arithmetically — url/date math as q62,
+        # SURT stated directly ('com,h<k>)/d<id>'), never via the transform.
+        "q71_cdx_index": """
+SELECT 'com,h' || (doc_id % 120) || ')/d' || doc_id AS surt,
+  printf('202401%02d%02d%02d%02d',
+         doc_id // 86400 + 1, (doc_id % 86400) // 3600,
+         (doc_id % 3600) // 60, doc_id % 60) AS ts,
+  'https://h' || (doc_id % 120) || '.com/d' || doc_id AS url,
+  md5(coalesce(text, '')) AS digest,
+  'text/html; charset=utf-8' AS mime,
+  200 AS status,
+  octet_length(encode(coalesce(text, ''))) AS length
+FROM documents
+""",
+        # q72: the full sketch rebuilt in SQL through the identical md5
+        # probe chain — every hash collision lands in the same cell.
+        "q72_cms_counts": f"""
+WITH depths AS (SELECT unnest([0, 1, 2, 3]) AS i),
+probes AS (
+  SELECT user_id, i,
+    ('0x' || substr(md5('cms' || i || ':' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+      % {CMS_W} AS col
+  FROM events CROSS JOIN depths
+), cells AS (
+  SELECT i AS row, col, count(*) AS cnt FROM probes GROUP BY 1, 2
+), keys AS (SELECT DISTINCT user_id FROM events),
+kp AS (
+  SELECT user_id, i,
+    ('0x' || substr(md5('cms' || i || ':' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+      % {CMS_W} AS col
+  FROM keys CROSS JOIN depths
+), est AS (
+  SELECT kp.user_id, min(coalesce(c.cnt, 0)) AS est
+  FROM kp LEFT JOIN cells c ON c.row = kp.i AND c.col = kp.col
+  GROUP BY 1
+), exact AS (SELECT user_id, count(*) AS exact FROM events GROUP BY 1)
+SELECT est.user_id, est.est, exact.exact, est.est - exact.exact AS overcount
+FROM est JOIN exact USING (user_id)
+""",
+        # q73: (src, dom, anchor) triples rebuilt from doc_id arithmetic —
+        # the HTML/regexp/markup-strip chain never runs in the oracle.
+        "q73_anchor_topk": f"""
+WITH tri AS (
+  SELECT doc_id, unnest([0, 1, 2]) AS k FROM documents
+), a AS (
+  SELECT doc_id,
+    't' || ((doc_id * 3 + k) % {ANCHOR_DOMS}) || '.com' AS dom,
+    ['breaking news', 'read more', 'home', 'contact us', 'top stories']
+      [((doc_id + k) % 5) + 1] AS anchor
+  FROM tri
+), c AS (
+  SELECT dom, anchor, count(DISTINCT doc_id) AS n_refs FROM a GROUP BY 1, 2
+), r AS (
+  SELECT dom, anchor, n_refs,
+    CAST(row_number() OVER (PARTITION BY dom ORDER BY n_refs DESC, anchor)
+         AS INTEGER) AS rank
+  FROM c
+)
+SELECT dom, anchor, n_refs, rank FROM r WHERE rank <= 3
+""",
+        # q74: scores stated from doc_id arithmetic: error pages are a
+        # known constant 5 (title 2 + not-found 1 + return-home 1 + short
+        # 1); normal '<p>content x k</p>' bodies score 1 iff the stripped
+        # text (8k-1 chars, 0 at k=0) is under 200.
+        "q74_soft404": """
+SELECT doc_id,
+  CASE WHEN doc_id % 7 = 0 THEN 5
+       WHEN (doc_id % 40) <= 25 THEN 1 ELSE 0 END AS score,
+  doc_id % 7 = 0 AS flagged
+FROM documents
 """,
     }

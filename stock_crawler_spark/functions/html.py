@@ -77,3 +77,43 @@ def html_to_text_py(html: str) -> str:
     s = re.sub(r" ?\n ?", "\n", s)
     s = re.sub(r"\n{2,}", "\n", s)
     return s.strip()
+
+
+# --- soft-404 detection -------------------------------------------------------
+
+# phrase classes, each worth one indicator point; the (?i)(?s) pair lets
+# one scan cover title and body regardless of markup line breaks
+_SOFT404_TITLE = r"(?is)<title[^>]*>[^<]*(404|not\s+found|error)[^<]*</title>"
+_SOFT404_PHRASES = (
+    r"(?is)page\s+(you\s+(requested|are\s+looking\s+for)\s+)?(was\s+|could\s+)?not(\s+be)?\s+found",
+    r"(?is)(no\s+longer|doesn'?t|does\s+not)\s+exist",
+    r"(?is)been\s+(removed|deleted|moved)",
+    r"(?is)return\s+to\s+(the\s+)?home\s*page",
+)
+SOFT404_MIN_SCORE = 2
+
+
+def soft404_score(html: Column) -> Column:
+    """Indicator count (0-6) that a 200-status page is really an error
+    page: title says 404/not-found (+2 — the strongest single signal),
+    one point per matched body phrase class, +1 when the stripped text
+    is under 200 chars (error pages are short).
+
+    Soft 404s poison a crawl twice — they dedup nothing (each has a
+    distinct url), and they enter the corpus as junk documents. Status
+    filtering cannot catch them (the server SAID 200); this content
+    check runs in the extract stage as a pure Column projection, and
+    pages scoring >= SOFT404_MIN_SCORE are dropped/marked exactly like
+    a real 404 (operators/extract's permanent-failure class).
+    """
+    s = html.cast("string")
+    score = F.when(s.rlike(_SOFT404_TITLE), F.lit(2)).otherwise(F.lit(0))
+    for p in _SOFT404_PHRASES:
+        score = score + F.when(s.rlike(p), F.lit(1)).otherwise(F.lit(0))
+    return score + F.when(
+        F.length(html_to_text(s)) < 200, F.lit(1)
+    ).otherwise(F.lit(0))
+
+
+def is_soft404(html: Column, min_score: int = SOFT404_MIN_SCORE) -> Column:
+    return soft404_score(html) >= F.lit(min_score)

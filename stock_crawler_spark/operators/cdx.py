@@ -1,0 +1,115 @@
+"""CDX index generation — the lookup artifact of a WARC crawl.
+
+Common Crawl (and every wayback-style archive) pairs its WARC segments
+with a CDX(J) index: one line per capture, keyed by the SURT-transformed
+URL plus a 14-digit timestamp, globally sorted so a reader can binary-
+search captures of a URL prefix without touching the WARCs. This module
+produces that table from the records `parsers/warc.parse_warc_records`
+emits — closing the ingest loop: segments -> records -> index.
+
+SURT (Sort-friendly URI Reordering Transform) subset implemented here
+(documented; the full Heritrix transform also folds its canonicalizer
+in, which this engine keeps separate in functions/urls.canonicalize_url):
+
+  * lowercase; scheme dropped
+  * userinfo dropped; default :80/:443 stripped (scheme-aware)
+  * host labels reversed and comma-joined:  ``com,example``
+  * ``)`` then path?query verbatim (empty path -> ``/``); fragment dropped
+
+``https://www.Example.com:443/a/b?q=1#f`` -> ``com,example,www)/a/b?q=1``
+
+Both pieces are pure Column regexp/array algebra — codegen, no Python,
+and every function has a DuckDB-SQL twin (list_reverse/string_split),
+so the oracle reproduces keys bit-exactly.
+
+Scale notes (3x10^9 captures per monthly crawl):
+  * the projection is narrow (no shuffle);
+  * the GLOBAL sort that makes a CDX a CDX is Spark's orderBy — a
+    range-partitioned sort (sampled boundaries), i.e. the output files
+    ARE the sharded CDX: each part file covers a disjoint SURT range in
+    order, which is exactly how CC ships cdx-00000..cdx-00299 plus the
+    cluster.idx secondary index (the per-file min key = the boundary);
+  * hot prefixes (one mega-domain) skew range partitions; the standard
+    fix is raising spark.sql.shuffle.partitions for the write — keys
+    inside one domain still spread across files because the boundary
+    sampler sees the true density, not the domain count.
+
+Reference parity: the reference keeps no fetch index (it re-crawls by
+date); the CDX is the web-scale generalization of its `daily_closes`
+result table keyed by (stock_id, exchange_date) — crawler/fetcher.go:72
+knows the current capture only, a CDX knows them all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SCHEME_RX = r"^([a-z][a-z0-9+.\-]*)://"
+_AUTH_RX = r"^[a-z][a-z0-9+.\-]*://([^/?#]+)"
+_PATHQ_RX = r"^[a-z][a-z0-9+.\-]*://[^/?#]+([^#]*)"
+
+
+def surt_key(url: Column) -> Column:
+    """The SURT sort key of a URL (see module docstring for the exact
+    subset). NULL for rows with no ``scheme://`` prefix."""
+    u = F.lower(F.trim(url))
+    scheme = F.regexp_extract(u, _SCHEME_RX, 1)
+    auth = F.regexp_extract(u, _AUTH_RX, 1)
+    # userinfo off, then scheme-aware default-port strip
+    host = F.regexp_replace(auth, r"^[^@]*@", "")
+    host = (
+        F.when(scheme == "http", F.regexp_replace(host, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host, ":443$", ""))
+        .otherwise(host)
+    )
+    pathq = F.regexp_extract(u, _PATHQ_RX, 1)
+    # empty path -> '/', and a path-less query ('http://x?q') still gets
+    # its leading slash: ')/?q'
+    pathq = (
+        F.when(pathq == "", F.lit("/"))
+        .when(pathq.startswith("?"), F.concat(F.lit("/"), pathq))
+        .otherwise(pathq)
+    )
+    # a surviving (non-default) port belongs AFTER the reversed labels:
+    # `org,x:8080)` — split it off before the label reverse
+    port = F.regexp_extract(host, r"(:\d+)$", 1)
+    bare = F.regexp_replace(host, r":\d+$", "")
+    rev = F.array_join(F.reverse(F.split(bare, r"\.")), ",")
+    return F.when(auth == "", F.lit(None).cast("string")).otherwise(
+        F.concat(rev, port, F.lit(")"), pathq)
+    )
+
+
+def cdx_index(
+    records: DataFrame,
+    url_col: str = "url",
+    date_col: str = "warc_date",
+    payload_col: str = "payload",
+    status_col: str = "http_status",
+    mime_col: str = "content_type",
+) -> DataFrame:
+    """(surt, ts, url, digest, mime, status, length) globally ordered by
+    (surt, ts) — the CDX table of a parsed WARC record set.
+
+    ts is the 14-digit capture timestamp (digits of the WARC-Date);
+    digest is md5 of the payload bytes (CC uses sha1-b32; md5 is the
+    engine-wide cross-engine digest — same role, documented divergence).
+    The orderBy is the artifact's defining property: range-partitioned
+    total order, so each output split is a contiguous, sorted SURT range
+    (the shardable CDX layout). Everything before it is one narrow
+    projection.
+    """
+    return (
+        records.select(
+            surt_key(F.col(url_col)).alias("surt"),
+            F.regexp_replace(F.col(date_col), r"[^0-9]", "").alias("ts"),
+            F.col(url_col).alias("url"),
+            F.md5(F.col(payload_col)).alias("digest"),
+            F.col(mime_col).alias("mime"),
+            F.col(status_col).alias("status"),
+            F.length(F.col(payload_col)).alias("length"),
+        )
+        .filter(F.col("surt").isNotNull())
+        .orderBy("surt", "ts")
+    )

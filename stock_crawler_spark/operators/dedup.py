@@ -285,11 +285,17 @@ def lsh_dedup_incremental(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    index_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Snapshot-over-snapshot dedup: flag each NEW doc that near-dupes a
     doc already in the corpus -> (new_doc, dup_of, jaccard), one row per
     duplicate new doc (best match: max jaccard, ties to the smallest
     index doc id).
+
+    ``index_bands``: pass the STORED band table of the historical corpus
+    (store_band_table) to skip re-signing history; when it was written
+    bucketed on band_key, the probe join reads it shuffle-free
+    (plan-asserted in tests/test_dedup.py).
 
     This is the monthly-Common-Crawl flow: the historical corpus keeps
     its band table (lsh_band_table, built once per snapshot and stored),
@@ -306,7 +312,11 @@ def lsh_dedup_incremental(
     only buckets HIT by new-snapshot bands are read (partition pruning
     on band_idx + bucket)."""
     new_bands = lsh_band_table(new_docs, k=k, bands=bands, n=n, id_col=id_col, text_col=text_col)
-    idx_bands = lsh_band_table(index_docs, k=k, bands=bands, n=n, id_col=id_col, text_col=text_col)
+    idx_bands = (
+        index_bands
+        if index_bands is not None
+        else lsh_band_table(index_docs, k=k, bands=bands, n=n, id_col=id_col, text_col=text_col)
+    )
     cands = (
         new_bands.withColumnRenamed("doc", "new_doc")
         .join(idx_bands.withColumnRenamed("doc", "dup_of"), ["band_idx", "band_key"])
@@ -337,6 +347,35 @@ def lsh_dedup_incremental(
         .filter(F.col("_rn") == 1)
         .select("new_doc", "dup_of", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def store_band_table(
+    bands_df: DataFrame, table_name: str, path: str, n_buckets: int = 16
+) -> DataFrame:
+    """Persist a snapshot's LSH band index BUCKETED on band_key and hand
+    back the table handle. This is the layout the incremental-dedup
+    docstring promises: with probe-side repartitioning (or a second
+    bucketed table) the band join is CO-LOCATED — Spark's bucketed scan
+    reports HashPartitioning(band_key, n_buckets), EnsureRequirements
+    sees the join's ClusteredDistribution already satisfied, and the
+    10^10-row history index is never shuffled again, round after round.
+    sortBy additionally lets sort-merge join skip its sort on the index
+    side. Bucketing is on BOTH join keys (band_idx, band_key) so the
+    scan's HashPartitioning equals the join's cluster keys exactly —
+    satisfied even under requireAllClusterKeysForCoPartition.
+
+    Bucket count is a STORED property: every snapshot's index must use
+    the same n_buckets (like-for-like with the seen-set's fixed shard
+    count, operators/seen)."""
+    (
+        bands_df.write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(n_buckets, "band_idx", "band_key")
+        .sortBy("band_idx", "band_key")
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+    return bands_df.sparkSession.table(table_name)
 
 
 # --- benchmark decontamination ---------------------------------------------------

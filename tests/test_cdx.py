@@ -1,0 +1,131 @@
+"""CDX index + SURT key (operators/cdx)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stock_crawler_spark.operators.cdx import cdx_index, surt_key
+
+
+def _surt(spark, url):
+    return (
+        spark.createDataFrame([(url,)], ["url"])
+        .select(surt_key(F.col("url")).alias("s"))
+        .first()
+        .s
+    )
+
+
+def test_surt_reverses_host_and_keeps_query(spark):
+    assert (
+        _surt(spark, "https://www.Example.com/a/b?q=1&z=2")
+        == "com,example,www)/a/b?q=1&z=2"
+    )
+
+
+def test_surt_strips_default_port_scheme_aware(spark):
+    assert _surt(spark, "https://x.org:443/p") == "org,x)/p"
+    assert _surt(spark, "http://x.org:80/p") == "org,x)/p"
+    # non-default port survives; https does NOT strip :80
+    assert _surt(spark, "http://x.org:8080/p") == "org,x:8080)/p"
+    assert _surt(spark, "https://x.org:80/p") == "org,x:80)/p"
+
+
+def test_surt_drops_userinfo_and_fragment_empty_path(spark):
+    assert _surt(spark, "http://user:pw@site.net") == "net,site)/"
+    assert _surt(spark, "https://a.b.c.d/e#frag") == "d,c,b,a)/e"
+
+
+def test_surt_null_for_schemeless(spark):
+    assert _surt(spark, "not a url") is None
+
+
+def test_cdx_index_row_shape_and_order(spark):
+    rows = [
+        ("https://b.com/x", "2024-01-02T03:04:05Z", 200, "text/html", bytearray(b"xx")),
+        ("https://a.com/y", "2024-06-01T00:00:00Z", 404, "text/html", bytearray(b"y")),
+        ("https://a.com/y", "2023-06-01T00:00:00Z", 200, "text/html", bytearray(b"old")),
+        ("garbage", "2023-06-01T00:00:00Z", 200, "text/html", bytearray(b"")),
+    ]
+    recs = spark.createDataFrame(
+        rows, ["url", "warc_date", "http_status", "content_type", "payload"]
+    )
+    got = cdx_index(recs).collect()
+    # schemeless row filtered; total order by (surt, ts)
+    assert [(r.surt, r.ts) for r in got] == [
+        ("com,a)/y", "20230601000000"),
+        ("com,a)/y", "20240601000000"),
+        ("com,b)/x", "20240102030405"),
+    ]
+    r0 = got[0]
+    assert r0.url == "https://a.com/y" and r0.status == 200 and r0.length == 3
+    import hashlib
+
+    assert r0.digest == hashlib.md5(b"old").hexdigest()
+
+
+def test_cdx_from_real_warc_roundtrip(spark):
+    """Segments -> records -> index: every capture present exactly once."""
+    from stock_crawler_spark.parsers.warc import parse_warc_records, warc_segments
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", "en", "web", 10) for i in range(30)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    recs = parse_warc_records(warc_segments(docs, docs_per_segment=7))
+    idx = cdx_index(recs)
+    assert idx.count() == 30
+    assert idx.select("surt").distinct().count() == 30
+    surts = [r.surt for r in idx.collect()]
+    assert surts == sorted(surts)
+
+
+# --- property: SURT vs an independent urllib-based oracle ----------------------
+
+
+def test_surt_property_matches_urllib_oracle(spark):
+    from hypothesis import given, settings, strategies as st
+    from urllib.parse import urlsplit
+
+    label = st.text(alphabet="abcz09-", min_size=1, max_size=6).filter(
+        lambda s: not s.startswith("-") and not s.endswith("-")
+    )
+    hosts = st.lists(label, min_size=1, max_size=4).map(".".join)
+    paths = st.text(alphabet="/abcz09.-_~%", max_size=12)
+    queries = st.one_of(st.none(), st.text(alphabet="abcz09=&", max_size=8))
+    ports = st.one_of(st.none(), st.sampled_from([80, 443, 8080]))
+    schemes = st.sampled_from(["http", "https"])
+
+    cases = []
+
+    @settings(max_examples=120, deadline=None)
+    @given(schemes, hosts, ports, paths, queries)
+    def _collect(scheme, host, port, path, query):
+        url = f"{scheme}://{host}"
+        if port is not None:
+            url += f":{port}"
+        if path and not path.startswith("/"):
+            path = "/" + path
+        url += path
+        if query is not None:
+            url += "?" + query
+        p = urlsplit(url.lower())
+        h = p.hostname or ""
+        keep_port = p.port is not None and not (
+            (p.scheme == "http" and p.port == 80)
+            or (p.scheme == "https" and p.port == 443)
+        )
+        rev = ",".join(reversed(h.split(".")))
+        if keep_port:
+            rev += f":{p.port}"
+        pathq = p.path or "/"
+        if query is not None:
+            pathq += "?" + p.query
+        cases.append((url, rev + ")" + pathq))
+
+    _collect()
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
+    got = [r.s for r in df.select(surt_key(F.col("url")).alias("s")).collect()]
+    # createDataFrame preserves row order for a local list
+    for (url, want), s in zip(cases, got):
+        assert s == want, (url, want, s)

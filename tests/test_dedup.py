@@ -277,3 +277,64 @@ def test_band_table_refactor_preserves_pairs(spark):
         F.count_distinct("band_key").alias("nk")
     ).collect()
     assert all(r["nk"] == 1 for r in rows)
+
+
+def test_stored_band_table_probe_join_is_shuffle_free_on_index(spark, tmp_path):
+    """The 100-TB claim in lsh_dedup_incremental's docstring, executed:
+    a band index STORED bucketed on band_key joins a probe side without
+    any Exchange above the index scan — the history is never reshuffled.
+    Result equality with the recompute path is asserted too."""
+    from stock_crawler_spark.operators.dedup import (
+        lsh_band_table,
+        lsh_dedup_incremental,
+        store_band_table,
+    )
+
+    idx_docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta {i}") for i in range(40)],
+        ["doc_id", "text"],
+    )
+    new_docs = spark.createDataFrame(
+        [(1000 + i, f"alpha beta gamma delta epsilon zeta {i}") for i in range(10)]
+        + [(2000, "totally different words nothing shared here at all")],
+        ["doc_id", "text"],
+    )
+    stored = store_band_table(
+        lsh_band_table(idx_docs, k=16, bands=4),
+        "band_idx_test",
+        str(tmp_path / "bands"),
+        n_buckets=8,
+    )
+    try:
+        got = lsh_dedup_incremental(
+            new_docs, idx_docs, k=16, bands=4, index_bands=stored
+        )
+        ref = lsh_dedup_incremental(new_docs, idx_docs, k=16, bands=4)
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+        assert got.count() == 10  # every recrawl flagged, the fresh doc not
+
+        # plan audit on the raw probe join: the bucketed index side must
+        # carry NO Exchange between its scan and the join. Broadcast is
+        # disabled so the at-scale path (sort-merge over buckets) plans —
+        # at 10^10 index rows broadcast would never apply anyway.
+        probe = lsh_band_table(new_docs, k=16, bands=4).withColumnRenamed(
+            "doc", "new_doc"
+        )
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = probe.join(
+                stored.withColumnRenamed("doc", "dup_of"), ["band_idx", "band_key"]
+            )
+            plan = j._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        scan_line = [l for l in plan.splitlines() if "band_idx_test" in l]
+        assert scan_line and "Bucketed: true" in plan
+        # the index-scan subtree (everything at/after its Scan line in the
+        # printed tree) must hold no Exchange — only the probe side above
+        # it is allowed to shuffle
+        idx_pos = plan.index(scan_line[-1])
+        assert "Exchange" not in plan[idx_pos:], plan[idx_pos:]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS band_idx_test")

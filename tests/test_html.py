@@ -71,3 +71,53 @@ def test_plan_is_jvm_only(spark):
     )
     plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
     assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+# --- soft-404 ------------------------------------------------------------------
+
+
+def _s404(spark, html):
+    from stock_crawler_spark.functions.html import is_soft404, soft404_score
+
+    return (
+        spark.createDataFrame([(html,)], ["html"])
+        .select(
+            soft404_score(F.col("html")).alias("s"),
+            is_soft404(F.col("html")).alias("b"),
+        )
+        .first()
+    )
+
+
+def test_soft404_classic_error_page_flagged(spark):
+    r = _s404(
+        spark,
+        "<title>404 Not Found</title><p>The page you requested was not found. "
+        "Return to the homepage.</p>",
+    )
+    assert r.b and r.s >= 3
+
+
+def test_soft404_long_real_content_passes(spark):
+    r = _s404(
+        spark,
+        "<title>Chocolate cake</title><p>" + "Mix the butter and sugar. " * 30 + "</p>",
+    )
+    assert not r.b and r.s == 0
+
+
+def test_soft404_short_page_alone_is_not_enough(spark):
+    # brevity is one point; the threshold needs a phrase signal too
+    r = _s404(spark, "<title>Hi</title><p>tiny</p>")
+    assert r.s == 1 and not r.b
+
+
+def test_soft404_mentioning_404_in_prose_needs_more_signals(spark):
+    r = _s404(
+        spark,
+        "<title>HTTP status codes explained</title><p>"
+        + "A 404 means the page was not found by the server. " * 20
+        + "Clients should handle it gracefully. </p>",
+    )
+    # body phrase matches but title/shortness don't -> below threshold
+    assert r.s < 2 and not r.b

@@ -132,3 +132,72 @@ def test_fold_canonical_self_is_not_alias(spark):
     assert out[url] == (url, False)
     assert out[url + "?utm=1"] == (url, True)
     assert out[url + "/other"] == (url + "/other", False)
+
+
+# --- anchor text ----------------------------------------------------------------
+
+
+def test_extract_anchors_strips_markup_and_resolves(spark):
+    from stock_crawler_spark.functions.links import extract_anchors
+
+    pages = spark.createDataFrame(
+        [
+            (
+                "https://src.com/dir/page.html",
+                '<a href="https://t.com/a">Big <b>News</b>  Today</a>'
+                '<a href="#frag">skip me</a>'
+                '<a href="rel.html">Relative</a>'
+                '<a href="https://img.com/i"><img src="x.png"/></a>',
+            )
+        ],
+        ["url", "html"],
+    )
+    got = pages.select(
+        F.explode(extract_anchors(F.col("html"), F.col("url"))).alias("a")
+    ).collect()
+    pairs = [(r.a.link, r.a.anchor) for r in got]
+    assert ("https://t.com/a", "big news today") in pairs
+    assert ("https://src.com/dir/rel.html", "relative") in pairs
+    assert ("https://img.com/i", "") in pairs  # image link: empty text kept
+    assert all("#" not in l or not l.startswith("#") for l, _ in pairs)
+    assert len(pairs) == 3  # fragment-only anchor dropped
+
+
+def test_anchor_text_agg_distinct_referrers_and_topk(spark):
+    from stock_crawler_spark.functions.links import anchor_text_agg
+
+    # page s1 repeats the same link 3 times -> still ONE referrer vote
+    s1 = '<a href="https://t.com/x">news</a>' * 3 + '<a href="https://t.com/x">other</a>'
+    s2 = '<a href="https://t.com/x">news</a>'
+    s3 = '<a href="https://t.com/x">breaking</a>'
+    pages = spark.createDataFrame(
+        [
+            ("https://s1.com/p", s1),
+            ("https://s2.com/p", s2),
+            ("https://s3.com/p", s3),
+        ],
+        ["url", "html"],
+    )
+    got = anchor_text_agg(pages, top_k=2).orderBy("rank", "anchor").collect()
+    assert [(r.anchor, r.n_refs, r.rank) for r in got] == [
+        ("news", 2, 1),
+        ("breaking", 1, 2),  # tie with 'other' broken by anchor text
+    ]
+    assert all(r.dom == "t.com" for r in got)
+
+
+def test_anchor_agg_window_partitions_by_dom(spark):
+    """The rank window must partition by dom — a global window would
+    funnel every (dom, anchor) row through one task."""
+    from stock_crawler_spark.functions.links import anchor_text_agg
+
+    pages = spark.createDataFrame(
+        [("https://s.com/p", '<a href="https://t.com/x">hi</a>')], ["url", "html"]
+    )
+    plan = anchor_text_agg(pages)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionBy" not in plan or "dom" in plan
+    import re
+
+    # the Window operator must list a partition spec containing dom
+    wins = [l for l in plan.splitlines() if "Window" in l and "row_number" in l]
+    assert wins and all("dom" in w for w in wins)

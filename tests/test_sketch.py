@@ -1,0 +1,81 @@
+"""Count-min sketch (operators/sketch): CM guarantees + mergeability."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from stock_crawler_spark.operators.sketch import cms_build, cms_estimate, cms_merge
+
+
+@pytest.fixture(scope="module")
+def zipf_df(spark):
+    # key k appears 1000 // (k+1) times — a skewed multiset of 280 keys
+    rows = [(k,) for k in range(280) for _ in range(1000 // (k + 1))]
+    return spark.createDataFrame(rows, ["k"])
+
+
+def _exact(zipf_df):
+    return {
+        r.k: r.n
+        for r in zipf_df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
+
+def test_estimate_never_undercounts(spark, zipf_df):
+    sk = cms_build(zipf_df, "k", depth=4, width=256)
+    est = cms_estimate(sk, zipf_df.distinct(), "k", depth=4, width=256).collect()
+    exact = _exact(zipf_df)
+    assert all(r.est >= exact[r.k] for r in est)
+
+
+def test_error_bounded_by_eps_n(spark, zipf_df):
+    """CM bound: overcount <= e/width * N with high probability; assert a
+    loose multiple so the test pins the mechanism, not the luck."""
+    n_total = zipf_df.count()
+    sk = cms_build(zipf_df, "k", depth=4, width=256)
+    est = cms_estimate(sk, zipf_df.distinct(), "k", depth=4, width=256).collect()
+    exact = _exact(zipf_df)
+    bound = 3 * 2.718 * n_total / 256
+    assert all(r.est - exact[r.k] <= bound for r in est)
+
+
+def test_wide_sketch_is_exact_here(spark, zipf_df):
+    """With width >> distinct keys, collisions are unlikely across all 4
+    rows -> min over rows recovers exact counts for this input."""
+    sk = cms_build(zipf_df, "k", depth=4, width=8192)
+    est = cms_estimate(sk, zipf_df.distinct(), "k", depth=4, width=8192).collect()
+    exact = _exact(zipf_df)
+    assert {r.k: r.est for r in est} == exact
+
+
+def test_merge_equals_build_on_union(spark, zipf_df):
+    half_a = zipf_df.filter(F.col("k") % 2 == 0)
+    half_b = zipf_df.filter(F.col("k") % 2 == 1)
+    merged = cms_merge(
+        cms_build(half_a, "k", depth=4, width=256),
+        cms_build(half_b, "k", depth=4, width=256),
+    )
+    direct = cms_build(zipf_df, "k", depth=4, width=256)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_absent_key_estimates_can_be_zero_and_never_negative(spark, zipf_df):
+    sk = cms_build(zipf_df, "k", depth=4, width=4096)
+    ghosts = spark.createDataFrame([(k,) for k in range(100000, 100020)], ["k"])
+    est = cms_estimate(sk, ghosts, "k", depth=4, width=4096).collect()
+    assert all(r.est >= 0 for r in est)
+    assert any(r.est == 0 for r in est)  # most probes must miss at this width
+
+
+def test_sketch_state_is_bounded(spark, zipf_df):
+    sk = cms_build(zipf_df, "k", depth=4, width=64)
+    assert sk.count() <= 4 * 64
+
+
+def test_estimate_join_broadcasts_sketch(spark, zipf_df):
+    sk = cms_build(zipf_df, "k", depth=4, width=256)
+    plan = cms_estimate(
+        sk, zipf_df.distinct(), "k", depth=4, width=256
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
