@@ -1276,7 +1276,10 @@ def q73_anchor_topk(spark, sf):
         ),
         F.concat(*anchors).alias("html"),
     )
-    return anchor_text_agg(pages, top_k=3)
+    # snapshot rule set: targets are plain .com (same rationale as _q50_edges)
+    from stock_crawler_spark.functions import psl
+
+    return anchor_text_agg(pages, top_k=3, rules=psl.SNAPSHOT_RULES)
 
 
 def q74_soft404(spark, sf):

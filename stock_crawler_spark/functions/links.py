@@ -198,6 +198,7 @@ def anchor_text_agg(
     html_col: str = "html",
     base_col: str = "url",
     top_k: int = 3,
+    rules=None,
 ) -> DataFrame:
     """Per target-domain anchor profile: (dom, anchor, n_refs, rank) —
     the top_k anchor texts pointing AT each registrable domain, ranked
@@ -224,7 +225,7 @@ def anchor_text_agg(
         F.col("p.anchor").alias("anchor"),
     )
     counts = (
-        a.withColumn("dom", registrable_domain(F.col("_host")))
+        a.withColumn("dom", registrable_domain(F.col("_host"), rules=rules))
         .groupBy("dom", "anchor")
         .agg(F.count_distinct("_src").alias("n_refs"))
     )

@@ -79,3 +79,57 @@ def test_estimate_join_broadcasts_sketch(spark, zipf_df):
         sk, zipf_df.distinct(), "k", depth=4, width=256
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_streaming_cms_microbatch_merge_matches_batch(spark, zipf_df, tmp_path):
+    """The sketch's merge property IS its streaming story: per-microbatch
+    sketches folded with cms_merge equal the one-shot batch sketch over
+    the union. Drive a file-source stream in two microbatches through
+    foreachBatch, merging each batch's sketch into a running table."""
+    import os
+
+    from stock_crawler_spark.operators.sketch import cms_build, cms_merge
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "cms_state")
+    os.makedirs(src)
+    zipf_df.filter(F.col("k") % 2 == 0).coalesce(1).write.mode("overwrite").parquet(
+        src + "/b0"
+    )
+    zipf_df.filter(F.col("k") % 2 == 1).coalesce(1).write.mode("overwrite").parquet(
+        src + "/b1"
+    )
+
+    def fold(batch_df, batch_id):
+        sk = cms_build(batch_df, "k", depth=4, width=256)
+        if os.path.exists(state + "/_SUCCESS"):
+            prev = batch_df.sparkSession.read.parquet(state)
+            sk = cms_merge(prev, sk)
+        # rewrite-on-merge: tiny (<= d*w rows) so the rewrite is O(sketch);
+        # the read-modify-write is per-microbatch serialized by the sink.
+        # Stage first — state can't be overwritten while a lazy plan
+        # still reads from it.
+        staging = str(tmp_path / "staging")
+        sk.coalesce(1).write.mode("overwrite").parquet(staging)
+        batch_df.sparkSession.read.parquet(staging).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(state)
+
+    stream = (
+        spark.readStream.schema("k long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    streamed = spark.read.parquet(state)
+    direct = cms_build(zipf_df, "k", depth=4, width=256)
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
