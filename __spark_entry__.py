@@ -1309,6 +1309,42 @@ def q74_soft404(spark, sf):
     )
 
 
+HLL_P_Q75 = 10
+
+
+def q75_hll_distinct(spark, sf):
+    """HyperLogLog distinct counting (operators/sketch.hll_*): per-host
+    distinct-URL estimates next to the exact counts. Visits are synthetic:
+    event e lands on host h{e%20}.com at page e % (41 + 30*(e%20)) — odd
+    moduli keep gcd(20, M)=1 so per-host true cardinality spans
+    min(|events|/20, 41..611) with real revisit multiplicity. The oracle
+    rebuilds the ENTIRE register table and estimator in SQL through the
+    identical md5/bit chain: the harmonic sum is exact BIGINT arithmetic
+    (terms 2^(51-rho)), the sole float division is IEEE-identical, and
+    the linear-counting ln is rounded to 12 decimals per the repo
+    discipline — estimates match bit-for-bit, not approximately."""
+    from stock_crawler_spark.operators.sketch import hll_build, hll_estimate
+
+    ev = _t(spark, sf, "events")
+    host_i = F.col("event_id") % 20
+    visits = ev.select(
+        F.concat(F.lit("h"), host_i.cast("string"), F.lit(".com")).alias("host"),
+        F.concat(
+            F.lit("https://h"),
+            host_i.cast("string"),
+            F.lit(".com/p"),
+            (F.col("event_id") % (F.lit(41) + F.lit(30) * host_i)).cast("string"),
+        ).alias("url"),
+    )
+    est = hll_estimate(
+        hll_build(visits, "url", group_cols=["host"], p=HLL_P_Q75),
+        group_cols=["host"],
+        p=HLL_P_Q75,
+    )
+    exact = visits.groupBy("host").agg(F.count_distinct("url").alias("exact"))
+    return est.join(exact, "host").select("host", "est", "exact")
+
+
 # ---------------------------------------------------------------------------
 # driver API
 # ---------------------------------------------------------------------------
@@ -1395,6 +1431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q72_cms_counts": q72_cms_counts,
         "q73_anchor_topk": q73_anchor_topk,
         "q74_soft404": q74_soft404,
+        "q75_hll_distinct": q75_hll_distinct,
     }
 
 
@@ -2779,5 +2816,39 @@ SELECT doc_id,
        WHEN (doc_id % 40) <= 25 THEN 1 ELSE 0 END AS score,
   doc_id % 7 = 0 AS flagged
 FROM documents
+""",
+        # q75: the full HLL register table + estimator rebuilt in SQL —
+        # same md5/bit chain, exact-integer harmonic sum, one IEEE
+        # division, 12-decimal-rounded ln on the LC branch.
+        "q75_hll_distinct": f"""
+WITH visits AS (
+  SELECT 'h' || (event_id % 20) || '.com' AS host,
+         'https://h' || (event_id % 20) || '.com/p' ||
+           (event_id % (41 + 30 * (event_id % 20))) AS url
+  FROM events
+), hashed AS (
+  SELECT host, ('0x' || substr(md5('hll:' || url), 1, 15))::BIGINT AS h
+  FROM visits
+), regs AS (
+  SELECT host, h % 1024 AS bucket,
+    max(CASE WHEN (h >> 10) = 0 THEN 51
+             ELSE 51 - length(bin(h >> 10)) END) AS rho
+  FROM hashed GROUP BY 1, 2
+), agg AS (
+  SELECT host,
+    sum(1::BIGINT << (51 - rho))
+      + (1024 - count(*)) * (1::BIGINT << 51) AS ssum,
+    1024 - count(*) AS v
+  FROM regs GROUP BY 1
+), est AS (
+  SELECT host,
+    CASE WHEN ({0.7213 / (1.0 + 1.079 / 1024) * 1024 * 1024 * float(1 << 51)!r}
+               / ssum) <= 2560.0 AND v > 0
+         THEN round(round(ln(1024 / v), 12) * 1024, 6)
+         ELSE round({0.7213 / (1.0 + 1.079 / 1024) * 1024 * 1024 * float(1 << 51)!r}
+                    / ssum, 6) END AS est
+  FROM agg
+), exact AS (SELECT host, count(DISTINCT url) AS exact FROM visits GROUP BY 1)
+SELECT host, est, exact FROM est JOIN exact USING (host)
 """,
     }

@@ -133,3 +133,85 @@ def test_streaming_cms_microbatch_merge_matches_batch(spark, zipf_df, tmp_path):
     assert sorted(map(tuple, streamed.collect())) == sorted(
         map(tuple, direct.collect())
     )
+
+
+# ---------------------------------------------------------------- HLL
+
+
+@pytest.fixture(scope="module")
+def urls_df(spark):
+    # 24 hosts x (host index + 1) * 40 distinct pages, each page visited
+    # 1-3 times -> per-host true distinct spans 40..960
+    rows = [
+        (f"h{h}.com", f"https://h{h}.com/p{p}")
+        for h in range(24)
+        for p in range((h + 1) * 40)
+        for _ in range(1 + (p % 3 == 0) + (p % 7 == 0))
+    ]
+    return spark.createDataFrame(rows, ["host", "url"])
+
+
+def test_hll_error_within_bound(spark, urls_df):
+    from stock_crawler_spark.operators.sketch import hll_build, hll_estimate
+
+    est = {
+        r.host: r.est
+        for r in hll_estimate(
+            hll_build(urls_df, "url", group_cols=["host"]), group_cols=["host"]
+        ).collect()
+    }
+    exact = {
+        r.host: r.n
+        for r in urls_df.groupBy("host")
+        .agg(F.count_distinct("url").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    # 1.04/sqrt(1024) ~ 3.3% std error; assert 5 sigma so the test pins
+    # the mechanism, not the luck (small hosts take the LC branch where
+    # error is far tighter)
+    for h, n in exact.items():
+        assert abs(est[h] - n) <= max(5 * 0.0325 * n, 3), (h, est[h], n)
+
+
+def test_hll_merge_equals_build_on_union(spark, urls_df):
+    from stock_crawler_spark.operators.sketch import (
+        hll_build,
+        hll_estimate,
+        hll_merge,
+    )
+
+    a = urls_df.filter(F.crc32(F.col("url")) % 2 == 0)
+    b = urls_df.filter(F.crc32(F.col("url")) % 2 == 1)
+    merged = hll_merge(
+        hll_build(a, "url", group_cols=["host"]),
+        hll_build(b, "url", group_cols=["host"]),
+        group_cols=["host"],
+    )
+    direct = hll_build(urls_df, "url", group_cols=["host"])
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    # and therefore identical estimates
+    e1 = hll_estimate(merged, group_cols=["host"]).collect()
+    e2 = hll_estimate(direct, group_cols=["host"]).collect()
+    assert sorted(map(tuple, e1)) == sorted(map(tuple, e2))
+
+
+def test_hll_insert_order_and_multiplicity_invariant(spark, urls_df):
+    """Distinct-ness: re-inserting keys (any number of times, any
+    partitioning) never changes a register."""
+    from stock_crawler_spark.operators.sketch import hll_build
+
+    tripled = urls_df.unionByName(urls_df).unionByName(urls_df).repartition(13)
+    a = hll_build(urls_df, "url", group_cols=["host"]).collect()
+    b = hll_build(tripled, "url", group_cols=["host"]).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_hll_register_state_bounded(spark, urls_df):
+    from stock_crawler_spark.operators.sketch import hll_build
+
+    sk = hll_build(urls_df, "url", group_cols=["host"], p=6)
+    per_host = sk.groupBy("host").count().collect()
+    assert all(r["count"] <= 64 for r in per_host)
