@@ -1345,6 +1345,21 @@ def q75_hll_distinct(spark, sf):
     return est.join(exact, "host").select("host", "est", "exact")
 
 
+def q76_hits(spark, sf):
+    """HITS hubs & authorities (operators/graph.hits) on the same
+    harvested link graph as q54 (h100-h119 only receive links: their
+    hub score must be exactly 0, exercising the zero-out-edge path).
+    L1-normalized mutual recursion; every reduction is det_sum's
+    two-level ordered fold, so the oracle unrolls the same 3 iterations
+    with the same fold order — exact match, no tolerance."""
+    from stock_crawler_spark.operators.graph import hits
+
+    edges = _q50_edges(spark, sf).filter(
+        F.regexp_extract("src_dom", r"^h(\d+)\.com$", 1).cast("int") < PR_SRC_CAP
+    )
+    return hits(edges, n_iter=PR_ITER)
+
+
 # ---------------------------------------------------------------------------
 # driver API
 # ---------------------------------------------------------------------------
@@ -1432,6 +1447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q73_anchor_topk": q73_anchor_topk,
         "q74_soft404": q74_soft404,
         "q75_hll_distinct": q75_hll_distinct,
+        "q76_hits": q76_hits,
     }
 
 
@@ -1787,6 +1803,73 @@ c{i}a AS (
 )"""
     sql += f"\nSELECT dom, round(rank, 9) AS pagerank FROM r{PR_ITER}"
     return sql
+
+
+def _hits_oracle() -> str:
+    """Unrolled HITS matching operators/graph.hits bit-for-bit: same
+    md5 bucketing, same ordered folds for the per-node sums AND the L1
+    normalizers, same CASE/coalesce/division tree. Edges derived
+    arithmetically from doc_id (same universe as the pagerank oracle)."""
+    from stock_crawler_spark.operators.graph import DET_SUM_BUCKETS
+
+    def bkt(x: str) -> str:
+        return f"(('0x' || substr(md5({x}), 1, 15))::BIGINT % {DET_SUM_BUCKETS})"
+
+    z = "CAST(0 AS DOUBLE)"
+    sql = f"""
+WITH ks AS (
+  SELECT doc_id, unnest([1, 2, 3]) AS k FROM documents
+), e AS (
+  SELECT DISTINCT 'h' || CAST(doc_id % {GRAPH_HOSTS} AS VARCHAR) || '.com' AS s,
+         'h' || CAST((doc_id * 7 + k) % {GRAPH_HOSTS} AS VARCHAR) || '.com' AS d
+  FROM ks
+  WHERE doc_id % {GRAPH_HOSTS} < {PR_SRC_CAP}
+    AND doc_id % {GRAPH_HOSTS} <> (doc_id * 7 + k) % {GRAPH_HOSTS}
+), nodes AS (
+  SELECT s AS dom FROM e UNION SELECT d FROM e
+), h0 AS (SELECT dom, CAST(1.0 AS DOUBLE) AS hub FROM nodes)"""
+    for i in range(1, PR_ITER + 1):
+        p = i - 1
+        sql += f""",
+a{i}a AS (
+  SELECT e.d AS dom, {bkt('e.s')} AS b,
+         list_aggregate(list(h.hub ORDER BY e.s), 'sum') AS s1
+  FROM e JOIN h{p} h ON e.s = h.dom GROUP BY 1, 2
+), a{i}r AS (
+  SELECT dom, list_aggregate(list(s1 ORDER BY b), 'sum') AS a FROM a{i}a GROUP BY 1
+), a{i}ta AS (
+  SELECT {bkt('dom')} AS b, list_aggregate(list(a ORDER BY dom), 'sum') AS s1
+  FROM a{i}r GROUP BY 1
+), a{i}t AS (
+  SELECT coalesce(list_aggregate(list(s1 ORDER BY b), 'sum'), {z}) AS t FROM a{i}ta
+), au{i} AS (
+  SELECT n.dom,
+    CASE WHEN t.t = 0 THEN {z} ELSE coalesce(a.a, {z}) / t.t END AS auth
+  FROM nodes n CROSS JOIN a{i}t t LEFT JOIN a{i}r a ON n.dom = a.dom
+), h{i}a AS (
+  SELECT e.s AS dom, {bkt('e.d')} AS b,
+         list_aggregate(list(au.auth ORDER BY e.d), 'sum') AS s1
+  FROM e JOIN au{i} au ON e.d = au.dom GROUP BY 1, 2
+), h{i}r AS (
+  SELECT dom, list_aggregate(list(s1 ORDER BY b), 'sum') AS hh FROM h{i}a GROUP BY 1
+), h{i}ta AS (
+  SELECT {bkt('dom')} AS b, list_aggregate(list(hh ORDER BY dom), 'sum') AS s1
+  FROM h{i}r GROUP BY 1
+), h{i}t AS (
+  SELECT coalesce(list_aggregate(list(s1 ORDER BY b), 'sum'), {z}) AS t FROM h{i}ta
+), h{i} AS (
+  SELECT n.dom,
+    CASE WHEN t.t = 0 THEN {z} ELSE coalesce(r.hh, {z}) / t.t END AS hub
+  FROM nodes n CROSS JOIN h{i}t t LEFT JOIN h{i}r r ON n.dom = r.dom
+)"""
+    sql += f"""
+SELECT h.dom, round(h.hub, 9) AS hub, round(au.auth, 9) AS auth
+FROM h{PR_ITER} h JOIN au{PR_ITER} au ON h.dom = au.dom"""
+    # MATERIALIZED is load-bearing: HITS' two interleaved recurrences
+    # reference each prior CTE several times; DuckDB's default inlining
+    # re-expands the whole chain per reference (exponential planner blowup
+    # — >280s at sf0.001 vs 0.5s materialized). Values are unchanged.
+    return sql.replace(" AS (", " AS MATERIALIZED (")
 
 
 def _url_quality_oracle() -> str:
@@ -2411,6 +2494,7 @@ FROM (
 )
 """,
         "q54_pagerank": _pagerank_oracle(),
+        "q76_hits": _hits_oracle(),
         "q55_c4_clean": f"""
 WITH pages AS (
   SELECT doc_id, concat_ws(chr(10),

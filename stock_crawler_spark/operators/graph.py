@@ -281,3 +281,100 @@ def pagerank(
         # cached edge list is unreachable from the returned plan
         e.unpersist()
     return out
+
+
+# --- HITS (hubs & authorities) --------------------------------------------------
+
+HITS_ITER = 3
+
+
+def hits(
+    edges: DataFrame,
+    n_iter: int = HITS_ITER,
+    src: str = "src_dom",
+    dst: str = "dst_dom",
+    buckets: int = DET_SUM_BUCKETS,
+    truncate_lineage: bool = True,
+) -> DataFrame:
+    """Kleinberg HITS over the host link graph -> (dom, hub, auth).
+
+    The frontier wants BOTH of HITS' signals: authorities (hosts many
+    good hubs point AT — fetch their pages first) and hubs (directory /
+    aggregator hosts whose outlinks are worth harvesting eagerly —
+    follow their links first). PageRank above collapses the two into
+    one score; HITS keeps them separate, which is exactly the
+    prioritize-fetch vs prioritize-link-extraction split a crawl
+    scheduler acts on.
+
+    Mutual recursion, L1-normalized each half-step (the classic
+    eigenvector pair up to scale; L1 keeps the normalizer a plain
+    ordered SUM — no sqrt — so the DuckDB oracle replays it exactly):
+
+      auth'(v) = sum_{u->v} hub(u)   / || . ||_1
+      hub'(u)  = sum_{u->v} auth'(v) / || . ||_1
+
+    Every float reduction goes through det_sum's two-level ordered fold
+    (per-node in-/out-sums keyed by the opposite endpoint, the L1
+    normalizer keyed by dom), so scores are bit-reproducible across
+    runs, partitionings, and engines. Self-links dropped; duplicate
+    edges collapsed — same edge semantics as pagerank.
+
+    Scale: two large joins per iteration (edges x hub keyed on src,
+    edges x auth keyed on dst) — HITS' two directions are irreducible;
+    the edge list is persisted once and reused. Normalizers reduce
+    bucket partials only. State is localCheckpoint-truncated per sweep.
+    Nodes with no out-edges get hub = 0, no in-edges get auth = 0 (kept
+    in the output — a sink can still be a top authority).
+    """
+    e = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .filter(F.col("_s") != F.col("_d"))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("_s").alias("dom"))
+        .union(e.select(F.col("_d").alias("dom")))
+        .distinct()
+    )
+    if truncate_lineage:
+        nodes = nodes.localCheckpoint(eager=True)
+    hub = nodes.withColumn("hub", F.lit(1.0))
+    auth = nodes.withColumn("auth", F.lit(0.0))
+
+    def _normalized(raw: DataFrame, out: str) -> DataFrame:
+        """raw (dom, _sum) -> (dom, out = coalesce(_sum,0)/total) over
+        ALL nodes; total is the ordered fold of raw's sums."""
+        total = det_sum(raw, [], "dom", "_sum", "_t", buckets)
+        return (
+            nodes.join(raw, "dom", "left")
+            .crossJoin(F.broadcast(total))
+            .select(
+                "dom",
+                F.when(F.col("_t") == 0.0, F.lit(0.0))
+                .otherwise(F.coalesce(F.col("_sum"), F.lit(0.0)) / F.col("_t"))
+                .alias(out),
+            )
+        )
+
+    for _ in range(n_iter):
+        contrib_a = e.join(
+            hub.select(F.col("dom").alias("_s"), "hub"), "_s"
+        ).select(F.col("_d").alias("dom"), "_s", F.col("hub").alias("_c"))
+        auth = _normalized(det_sum(contrib_a, ["dom"], "_s", "_c", "_sum", buckets), "auth")
+        if truncate_lineage:
+            auth = auth.localCheckpoint(eager=True)
+        contrib_h = e.join(
+            auth.select(F.col("dom").alias("_d"), "auth"), "_d"
+        ).select(F.col("_s").alias("dom"), "_d", F.col("auth").alias("_c"))
+        hub = _normalized(det_sum(contrib_h, ["dom"], "_d", "_c", "_sum", buckets), "hub")
+        if truncate_lineage:
+            hub = hub.localCheckpoint(eager=True)
+    out = hub.join(auth, "dom").select(
+        "dom",
+        F.round(F.col("hub"), 9).alias("hub"),
+        F.round(F.col("auth"), 9).alias("auth"),
+    )
+    if truncate_lineage:
+        e.unpersist()
+    return out

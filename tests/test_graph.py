@@ -166,3 +166,80 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     got = {x["dom"]: x["pagerank"] for x in pagerank(_edges(spark, pairs), n_iter=3).collect()}
     for dom in doms:
         assert abs(got[dom] - r[idx[dom]]) < 1e-9, dom
+
+
+# ---------------------------------------------------------------- HITS
+
+
+def _np_hits(pairs, n_iter=3):
+    import numpy as np
+
+    doms = sorted({d for p in pairs for d in p})
+    idx = {d: i for i, d in enumerate(doms)}
+    n = len(doms)
+    adj = np.zeros((n, n))
+    for s, t in pairs:
+        if s != t:
+            adj[idx[s], idx[t]] = 1.0
+    hub = np.ones(n)
+    auth = np.zeros(n)
+    for _ in range(n_iter):
+        auth = adj.T @ hub
+        if auth.sum() > 0:
+            auth = auth / auth.sum()
+        hub = adj @ auth
+        if hub.sum() > 0:
+            hub = hub / hub.sum()
+    return doms, idx, hub, auth
+
+
+HITS_PAIRS = [
+    ("a.com", "b.com"), ("a.com", "c.com"), ("a.com", "e.com"),
+    ("b.com", "c.com"), ("d.com", "c.com"), ("d.com", "e.com"),
+    ("c.com", "a.com"), ("f.com", "a.com"),
+    # g.com only receives: pure authority, hub must be 0
+    ("a.com", "g.com"), ("d.com", "g.com"),
+]
+
+
+def test_hits_matches_numpy(spark):
+    from stock_crawler_spark.operators.graph import hits
+
+    got = {
+        r["dom"]: (r["hub"], r["auth"])
+        for r in hits(_edges(spark, HITS_PAIRS), n_iter=3).collect()
+    }
+    doms, idx, hub, auth = _np_hits(HITS_PAIRS, 3)
+    assert set(got) == set(doms)
+    for d in doms:
+        assert abs(got[d][0] - hub[idx[d]]) < 1e-9, ("hub", d)
+        assert abs(got[d][1] - auth[idx[d]]) < 1e-9, ("auth", d)
+
+
+def test_hits_sink_hub_zero_and_l1_normalized(spark):
+    from stock_crawler_spark.operators.graph import hits
+
+    rows = hits(_edges(spark, HITS_PAIRS), n_iter=2).collect()
+    by = {r["dom"]: r for r in rows}
+    assert by["g.com"]["hub"] == 0.0  # no out-edges
+    assert by["f.com"]["auth"] == 0.0  # no in-edges
+    assert abs(sum(r["hub"] for r in rows) - 1.0) < 1e-6
+    assert abs(sum(r["auth"] for r in rows) - 1.0) < 1e-6
+
+
+def test_hits_partition_invariant_bitwise(spark):
+    from stock_crawler_spark.operators.graph import hits
+
+    e = _edges(spark, HITS_PAIRS)
+    a = hits(e.repartition(1), n_iter=3).collect()
+    b = hits(e.repartition(17), n_iter=3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_hits_duplicate_edges_and_selfloops_collapse(spark):
+    from stock_crawler_spark.operators.graph import hits
+
+    noisy = HITS_PAIRS + HITS_PAIRS[:4] + [("a.com", "a.com"), ("g.com", "g.com")]
+    a = hits(_edges(spark, noisy), n_iter=2).collect()
+    b = hits(_edges(spark, HITS_PAIRS), n_iter=2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
