@@ -1360,6 +1360,25 @@ def q76_hits(spark, sf):
     return hits(edges, n_iter=PR_ITER)
 
 
+DD_QS = [0.5, 0.95, 0.99]
+
+
+def q77_latency_quantiles(spark, sf):
+    """DDSketch relative-error quantiles (operators/sketch.dd_*):
+    per-event-type p50/p95/p99 of events.value — the per-host
+    fetch-latency telemetry a politeness scheduler reads, computed in
+    <= #buckets rows of state per group instead of a full sort. The
+    oracle rebuilds buckets (same rounded-ln * K literal * ceil chain),
+    replays the integer cumulative-count walk as a window + min, and
+    applies the identical exp/round value map — bit-exact, no
+    tolerance."""
+    from stock_crawler_spark.operators.sketch import dd_build, dd_quantiles
+
+    ev = _t(spark, sf, "events")
+    sk = dd_build(ev, "value", group_cols=["event_type"])
+    return dd_quantiles(sk, DD_QS, group_cols=["event_type"])
+
+
 # ---------------------------------------------------------------------------
 # driver API
 # ---------------------------------------------------------------------------
@@ -1448,6 +1467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q74_soft404": q74_soft404,
         "q75_hll_distinct": q75_hll_distinct,
         "q76_hits": q76_hits,
+        "q77_latency_quantiles": q77_latency_quantiles,
     }
 
 
@@ -1870,6 +1890,43 @@ FROM h{PR_ITER} h JOIN au{PR_ITER} au ON h.dom = au.dom"""
     # re-expands the whole chain per reference (exponential planner blowup
     # — >280s at sf0.001 vs 0.5s materialized). Values are unchanged.
     return sql.replace(" AS (", " AS MATERIALIZED (")
+
+
+def _dd_oracle() -> str:
+    """Replays sketch.dd_build + dd_quantiles bit-for-bit: identical
+    bucket chain (ln rounded to 12 decimals, multiplied by the SAME
+    shortest-roundtrip K literal, ceil), the quantile walk as integer
+    window cumsum + min-bucket (== the engine's first-bucket ordered
+    fold, since cum is monotone in bucket), identical exp/round value
+    map. Bare float literals are cast to DOUBLE — DuckDB parses them as
+    DECIMAL otherwise, which would change the rank arithmetic."""
+    from stock_crawler_spark.operators.sketch import DD_ZERO_BUCKET, _dd_consts
+
+    k, lg, c = _dd_consts(0.01)
+    qs = ", ".join(f"CAST({q!r} AS DOUBLE)" for q in DD_QS)
+    return f"""
+WITH b AS (
+  SELECT event_type,
+         CASE WHEN value <= 0.0 THEN CAST({DD_ZERO_BUCKET} AS BIGINT)
+              ELSE CAST(ceil(round(ln(value), 12) * {k!r}) AS BIGINT) END AS bucket,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, bucket,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type) AS n
+  FROM b
+), hit AS (
+  SELECT event_type, q, min(bucket) AS idx
+  FROM cum CROSS JOIN (SELECT unnest([{qs}]) AS q) qq
+  WHERE cum > CAST(floor(q * CAST(n - 1 AS DOUBLE)) AS BIGINT)
+  GROUP BY 1, 2
+)
+SELECT event_type, q,
+       CASE WHEN idx = {DD_ZERO_BUCKET} THEN CAST(0.0 AS DOUBLE)
+            ELSE round({c!r} * exp(round(CAST(idx AS DOUBLE) * {lg!r}, 12)), 6)
+       END AS est
+FROM hit"""
 
 
 def _url_quality_oracle() -> str:
@@ -2495,6 +2552,7 @@ FROM (
 """,
         "q54_pagerank": _pagerank_oracle(),
         "q76_hits": _hits_oracle(),
+        "q77_latency_quantiles": _dd_oracle(),
         "q55_c4_clean": f"""
 WITH pages AS (
   SELECT doc_id, concat_ws(chr(10),

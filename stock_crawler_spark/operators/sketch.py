@@ -202,3 +202,130 @@ def hll_estimate(
         F.round(F.round(F.log(F.lit(m) / v), 12) * F.lit(m), 6),
     ).otherwise(F.round(e_raw, 6))
     return agg.select(*group_cols, est.alias("est"))
+
+
+# --------------------------------------------------------------------------
+# DDSketch — mergeable relative-error QUANTILE estimation as a DataFrame.
+#
+# The scheduler's latency questions (per-host fetch p50/p95/p99 feeding
+# the politeness token-bucket and the adaptive-recrawl backoff) are
+# full-sort jobs if answered exactly at 10^10 fetches. DDSketch (Masson,
+# Rim & Lee, VLDB 2019) answers them with a guaranteed RELATIVE error
+# alpha using log-spaced buckets: value x > 0 lands in bucket
+# i = ceil(log_gamma(x)) with gamma = (1+alpha)/(1-alpha), and any
+# value in bucket i is represented by 2*gamma^i/(gamma+1), which is
+# within alpha of x. Buckets MERGE by count addition — the same
+# fold-anywhere property as cms_*/hll_* above, executed by Spark's
+# partial aggregation (each partition collapses to <= #buckets rows per
+# group before the shuffle).
+#
+# Representation mirrors cms_*/hll_*: the sketch IS a DataFrame
+# ``(*group_cols, bucket, cnt)``. Non-positive values go to a dedicated
+# zero bucket (sentinel index, estimate 0.0) per the paper's design.
+#
+# Determinism / oracle reproducibility: bucket index is
+# ceil(round(ln(x), 12) * K) with K = 1/ln(gamma) embedded as the SAME
+# shortest-roundtrip float literal on both engines — one rounded
+# transcendental, one IEEE multiply, one ceil: bit-identical in Spark
+# and DuckDB. The quantile walk is integer arithmetic (cumulative
+# counts vs rank floor(q*(n-1))); the reported value rounds one exp()
+# to 12 decimals and the output to 6, per the repo-wide discipline.
+# --------------------------------------------------------------------------
+
+DD_ALPHA = 0.01  # 1% relative error; ~1384 buckets span [1e-6, 1e6]
+DD_ZERO_BUCKET = -(1 << 31)  # sorts before any real bucket (>= ~-34500)
+
+
+def _dd_consts(alpha: float) -> tuple[float, float, float]:
+    """(K = 1/ln(gamma), ln(gamma), C = 2/(gamma+1)) as Python floats —
+    embedded verbatim in both the Column tree and the oracle SQL so the
+    two engines multiply by bit-identical literals."""
+    import math
+
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    lg = math.log(gamma)
+    return 1.0 / lg, lg, 2.0 / (gamma + 1.0)
+
+
+def _dd_bucket(value: Column, alpha: float) -> Column:
+    k, _, _ = _dd_consts(alpha)
+    return (
+        F.when(value <= F.lit(0.0), F.lit(DD_ZERO_BUCKET).cast("long"))
+        .otherwise(F.ceil(F.round(F.log(value), 12) * F.lit(k)))
+    )
+
+
+def dd_build(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    alpha: float = DD_ALPHA,
+) -> DataFrame:
+    """Sketch the distribution of ``value_col`` (per group) ->
+    ``(*group_cols, bucket, cnt)``. One shuffle; map-side partial counts
+    bound every partition's contribution to <= #buckets rows per group."""
+    group_cols = list(group_cols or [])
+    bucket = _dd_bucket(F.col(value_col).cast("double"), alpha)
+    return (
+        df.select(*group_cols, bucket.alias("bucket"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def dd_merge(*sketches: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """Fold sketches built with the same alpha: union + sum — identical
+    to building over the unioned inputs (counts are associative)."""
+    group_cols = list(group_cols or [])
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*group_cols, "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def dd_quantiles(
+    sketch: DataFrame,
+    qs: list[float],
+    group_cols: list[str] | None = None,
+    alpha: float = DD_ALPHA,
+) -> DataFrame:
+    """Sketch -> ``(*group_cols, q, est)`` for each q in ``qs``.
+
+    Per the paper: rank r = floor(q * (n - 1)); the answer is the FIRST
+    bucket (ascending index) whose cumulative count exceeds r, reported
+    as 2*gamma^i/(gamma+1) (0.0 for the zero bucket) — within alpha
+    relative error of the exact rank-r order statistic.
+
+    The walk is an ordered fold over the group's <= #buckets register
+    rows (collect_list -> sort_array -> aggregate): no window over the
+    raw data, no second shuffle beyond the one groupBy."""
+    group_cols = list(group_cols or [])
+    _, lg, c = _dd_consts(alpha)
+    per_group = sketch.groupBy(*group_cols).agg(
+        F.sort_array(F.collect_list(F.struct("bucket", "cnt"))).alias("_bs"),
+        F.sum("cnt").alias("_n"),
+    )
+    rows = per_group.select(
+        *group_cols,
+        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+        "_bs",
+        "_n",
+    )
+    r = F.floor(F.col("q") * (F.col("_n") - F.lit(1)).cast("double"))
+    idx = F.aggregate(
+        F.col("_bs"),
+        F.struct(
+            F.lit(0).cast("long").alias("cum"),
+            F.lit(None).cast("long").alias("idx"),
+        ),
+        lambda acc, x: F.struct(
+            (acc.cum + x.cnt).alias("cum"),
+            F.coalesce(
+                acc.idx, F.when(acc.cum + x.cnt > r, x.bucket)
+            ).alias("idx"),
+        ),
+    )["idx"]
+    est = F.when(idx == F.lit(DD_ZERO_BUCKET), F.lit(0.0)).otherwise(
+        F.round(F.lit(c) * F.exp(F.round(idx.cast("double") * F.lit(lg), 12)), 6)
+    )
+    return rows.select(*group_cols, "q", est.alias("est"))

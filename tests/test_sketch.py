@@ -215,3 +215,118 @@ def test_hll_register_state_bounded(spark, urls_df):
     sk = hll_build(urls_df, "url", group_cols=["host"], p=6)
     per_host = sk.groupBy("host").count().collect()
     assert all(r["count"] <= 64 for r in per_host)
+
+
+# ------------------------------------------------------------------ DDSketch
+
+
+@pytest.fixture(scope="module")
+def latency_df(spark):
+    """Seeded lognormal 'fetch latencies' over 3 hosts + a zero-heavy
+    host — the per-host p50/p95/p99 use case."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for host, mu in [("a.com", 3.0), ("b.com", 4.5), ("c.com", 2.0)]:
+        for v in np.exp(rng.normal(mu, 1.0, 400)):
+            rows.append((host, float(v)))
+    rows += [("z.com", 0.0)] * 50 + [("z.com", 12.5)] * 10
+    return spark.createDataFrame(rows, ["host", "ms"])
+
+
+def test_dd_quantiles_within_alpha_relative_error(spark, latency_df):
+    """The DDSketch guarantee: est within alpha of the exact
+    rank-floor(q*(n-1)) order statistic, per group."""
+    import math
+
+    from stock_crawler_spark.operators.sketch import dd_build, dd_quantiles
+
+    qs = [0.01, 0.25, 0.5, 0.75, 0.95, 0.99]
+    sk = dd_build(latency_df, "ms", ["host"], alpha=0.01)
+    got = {
+        (r.host, r.q): r.est
+        for r in dd_quantiles(sk, qs, ["host"], alpha=0.01).collect()
+    }
+    by_host = {}
+    for r in latency_df.collect():
+        by_host.setdefault(r.host, []).append(r.ms)
+    for host, vals in by_host.items():
+        vals.sort()
+        for q in qs:
+            exact = vals[math.floor(q * (len(vals) - 1))]
+            est = got[(host, q)]
+            if exact == 0.0:
+                assert est == 0.0, (host, q)
+            else:
+                assert abs(est - exact) <= 0.0101 * exact, (host, q, est, exact)
+
+
+def test_dd_merge_equals_build_on_union(spark, latency_df):
+    from stock_crawler_spark.operators.sketch import dd_build, dd_merge
+
+    a = latency_df.filter(F.crc32(F.col("ms").cast("string")) % 2 == 0)
+    b = latency_df.filter(F.crc32(F.col("ms").cast("string")) % 2 == 1)
+    merged = dd_merge(
+        dd_build(a, "ms", ["host"]), dd_build(b, "ms", ["host"]),
+        group_cols=["host"],
+    )
+    direct = dd_build(latency_df, "ms", ["host"])
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_dd_partition_invariant_bitwise(spark, latency_df):
+    from stock_crawler_spark.operators.sketch import dd_build, dd_quantiles
+
+    qs = [0.5, 0.95, 0.99]
+    a = dd_quantiles(dd_build(latency_df.repartition(1), "ms", ["host"]), qs, ["host"])
+    b = dd_quantiles(dd_build(latency_df.repartition(17), "ms", ["host"]), qs, ["host"])
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_dd_zero_and_negative_values_zero_bucket(spark):
+    from stock_crawler_spark.operators.sketch import (
+        DD_ZERO_BUCKET,
+        dd_build,
+        dd_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [("h", -1.0), ("h", 0.0), ("h", 0.0), ("h", 5.0)], ["host", "ms"]
+    )
+    sk = dd_build(df, "ms", ["host"])
+    zb = [r for r in sk.collect() if r.bucket == DD_ZERO_BUCKET]
+    assert zb and zb[0].cnt == 3
+    got = {r.q: r.est for r in dd_quantiles(sk, [0.5, 0.99, 1.0], ["host"]).collect()}
+    assert got[0.5] == 0.0  # rank 1 of 4 lands in the zero bucket
+    assert got[0.99] == 0.0  # rank floor(.99*3) = 2 is still a zero
+    assert abs(got[1.0] - 5.0) <= 0.0101 * 5.0  # rank 3: the max
+
+
+def test_dd_quantiles_monotone_in_q(spark, latency_df):
+    from stock_crawler_spark.operators.sketch import dd_build, dd_quantiles
+
+    qs = [0.1, 0.3, 0.5, 0.7, 0.9, 0.99]
+    sk = dd_build(latency_df, "ms", ["host"])
+    rows = dd_quantiles(sk, qs, ["host"], alpha=0.01).collect()
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r.host, []).append((r.q, r.est))
+    for host, pairs in by_host.items():
+        ests = [e for _, e in sorted(pairs)]
+        assert ests == sorted(ests), host
+
+
+def test_dd_state_bounded_by_value_range(spark, latency_df):
+    """#rows per group <= #distinct buckets ~ log_gamma(max/min) + 2."""
+    import math
+
+    from stock_crawler_spark.operators.sketch import dd_build
+
+    sk = dd_build(latency_df, "ms", ["host"]).collect()
+    per_host = {}
+    for r in sk:
+        per_host[r.host] = per_host.get(r.host, 0) + 1
+    vals = [r.ms for r in latency_df.collect() if r.ms > 0]
+    bound = math.log(max(vals) / min(vals)) / math.log(101 / 99) + 2
+    assert all(n <= bound for n in per_host.values()), per_host
