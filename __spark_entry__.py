@@ -1379,6 +1379,19 @@ def q77_latency_quantiles(spark, sf):
     return dd_quantiles(sk, DD_QS, group_cols=["event_type"])
 
 
+def q78_weighted_sample(spark, sf):
+    """Weighted sample without replacement (operators/training.
+    weighted_sample, Efraimidis-Spirakis A-ES): 20 docs per lang with
+    inclusion probability increasing in n_chars — the quality-weighted
+    corpus subsample. Deterministic: u is md5-derived per doc, ln
+    rounded to 12 decimals, so the oracle's one-window ranking
+    reproduces the engine's salted two-phase top-k row-for-row."""
+    from stock_crawler_spark.operators.training import weighted_sample
+
+    docs = _t(spark, sf, "documents")
+    return weighted_sample(docs, 20, "n_chars", ["lang"]).select("doc_id", "lang")
+
+
 # ---------------------------------------------------------------------------
 # driver API
 # ---------------------------------------------------------------------------
@@ -1468,6 +1481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q75_hll_distinct": q75_hll_distinct,
         "q76_hits": q76_hits,
         "q77_latency_quantiles": q77_latency_quantiles,
+        "q78_weighted_sample": q78_weighted_sample,
     }
 
 
@@ -2553,6 +2567,21 @@ FROM (
         "q54_pagerank": _pagerank_oracle(),
         "q76_hits": _hits_oracle(),
         "q77_latency_quantiles": _dd_oracle(),
+        "q78_weighted_sample": f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         round(ln((CAST(('0x' || substr(md5('ws0:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE)
+                   + CAST(0.5 AS DOUBLE)) / CAST({1 << 60} AS DOUBLE)), 12)
+           / CAST(n_chars AS DOUBLE) AS s
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0
+), r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY s DESC, doc_id) AS rn
+  FROM d
+)
+SELECT doc_id, lang FROM r WHERE rn <= 20
+""",
         "q55_c4_clean": f"""
 WITH pages AS (
   SELECT doc_id, concat_ws(chr(10),

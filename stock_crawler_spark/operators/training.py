@@ -201,3 +201,64 @@ def stratified_quota(
         .filter(F.col("_below") + F.col("_rn") <= F.col("_q"))
     )
     return kept.drop("_u", "_bin", "_q", "_below", "_rn")
+
+
+WS_DENOM = float(1 << 60)
+WS_SALTS = 8
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    group_cols: list[str] | None = None,
+    key_col: str = "doc_id",
+    seed: int = 0,
+    salts: int = WS_SALTS,
+) -> DataFrame:
+    """Weighted sample WITHOUT replacement: k rows per group, inclusion
+    probability increasing in ``weight_col`` — the quality-weighted
+    subsample step of corpus assembly ("keep 1M docs, prefer high
+    quality score") that uniform hash_sample / stratified_quota cannot
+    express.
+
+    Algorithm A-ES (Efraimidis & Spirakis 2006): each row draws
+    u ~ U(0,1] and scores s = ln(u) / w; the k LARGEST s win — exactly
+    a weighted draw without replacement. u is md5-derived from
+    (seed, key), so the sample is a pure function of the key set:
+    deterministic across re-runs, partitionings, and engines
+    (ln rounded to 12 decimals per the repo discipline; everything
+    after is IEEE-identical arithmetic). Rows with w <= 0 or NULL are
+    excluded (zero weight = zero probability; A-ES has no meaning for
+    negatives).
+
+    Scale: a naive row_number() OVER (PARTITION BY group ORDER BY s)
+    funnels a mega-group through one task. Instead the classic exact
+    two-phase top-k: rank within (group, salt) first — salts
+    hash-derived, so every window holds ~n_group/salts rows — keep k
+    per salt, then rank the <= salts*k survivors per group. Identical
+    result (the global top-k is contained in the per-salt top-ks under
+    a total order; ties broken by key), never a whole-group sort.
+    """
+    group_cols = list(group_cols or [])
+    key = F.col(key_col).cast("string")
+    h = _md5_hash60(F.concat(F.lit(f"ws{seed}:"), key))
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(WS_DENOM)
+    s = F.round(F.log(u), 12) / F.col(weight_col).cast("double")
+    d = (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("_s", s)
+        .withColumn("_salt", F.pmod(_md5_hash60(F.concat(F.lit("wss:"), key)), F.lit(salts)))
+    )
+    w1 = Window.partitionBy(*group_cols, "_salt").orderBy(
+        F.col("_s").desc(), F.col(key_col)
+    )
+    survivors = d.withColumn("_rn", F.row_number().over(w1)).filter(
+        F.col("_rn") <= k
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy(F.col("_s").desc(), F.col(key_col))
+    return (
+        survivors.withColumn("_rn2", F.row_number().over(w2))
+        .filter(F.col("_rn2") <= k)
+        .drop("_s", "_salt", "_rn", "_rn2")
+    )

@@ -142,3 +142,82 @@ def test_quota_partition_invariant_and_oversized(spark):
     assert a == b
     # quota above stratum size keeps the whole stratum
     assert sum(1 for x in a if x % 4 == 0) == 20
+
+
+# ---------------------------------------------------------- weighted_sample
+
+
+def _wdocs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, lang string, w double")
+
+
+def test_weighted_sample_matches_single_window_reference(spark):
+    """Two-phase salted top-k == the naive one-window ranking, exactly."""
+    import math
+
+    from stock_crawler_spark.operators.training import weighted_sample
+
+    rows = [(i, "en" if i % 3 else "de", float(1 + i % 7)) for i in range(500)]
+    got = weighted_sample(_wdocs(spark, rows), 25, "w", ["lang"]).collect()
+
+    import hashlib
+
+    def h60(sx):
+        return int(hashlib.md5(sx.encode()).hexdigest()[:15], 16)
+
+    ref = {}
+    for i, lang, w in rows:
+        u = (float(h60(f"ws0:{i}")) + 0.5) / float(1 << 60)
+        s = round(math.log(u), 12) / w
+        ref.setdefault(lang, []).append((-s, i))
+    expect = set()
+    for lang, scored in ref.items():
+        for _, i in sorted(scored)[:25]:
+            expect.add((i, lang))
+    assert {(r.doc_id, r.lang) for r in got} == expect
+
+
+def test_weighted_sample_prefers_heavy_weights(spark):
+    """ES property: across seeds, weight-4 docs are sampled ~4x as often
+    as weight-1 docs (k << n regime; loose band, pins the mechanism)."""
+    from stock_crawler_spark.operators.training import weighted_sample
+
+    rows = [(i, "en", 4.0 if i < 50 else 1.0) for i in range(500)]
+    df = _wdocs(spark, rows).cache()
+    heavy = light = 0
+    for seed in range(40):
+        for r in weighted_sample(df, 20, "w", ["lang"], seed=seed).collect():
+            if r.doc_id < 50:
+                heavy += 1
+            else:
+                light += 1
+    # 50 heavy (w=4) vs 450 light (w=1): heavy inclusion odds ~4x ->
+    # expected heavy share ~ 200/650 ~ 0.31 of each draw of 20
+    share = heavy / (heavy + light)
+    assert 0.22 < share < 0.42, share
+    df.unpersist()
+
+
+def test_weighted_sample_partition_invariant_and_deterministic(spark):
+    from stock_crawler_spark.operators.training import weighted_sample
+
+    rows = [(i, "en" if i % 2 else "fr", float(1 + i % 5)) for i in range(300)]
+    a = weighted_sample(_wdocs(spark, rows).repartition(1), 10, "w", ["lang"])
+    b = weighted_sample(_wdocs(spark, rows).repartition(13), 10, "w", ["lang"])
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_weighted_sample_excludes_nonpositive_and_null_weights(spark):
+    from stock_crawler_spark.operators.training import weighted_sample
+
+    rows = [(1, "en", 0.0), (2, "en", -3.0), (3, "en", None), (4, "en", 2.0)]
+    got = weighted_sample(_wdocs(spark, rows), 10, "w", ["lang"]).collect()
+    assert [r.doc_id for r in got] == [4]
+
+
+def test_weighted_sample_k_at_least_group_keeps_all_positive(spark):
+    from stock_crawler_spark.operators.training import weighted_sample
+
+    rows = [(i, "en", float(i + 1)) for i in range(30)]
+    got = weighted_sample(_wdocs(spark, rows), 100, "w", ["lang"]).collect()
+    assert len(got) == 30
