@@ -330,3 +330,53 @@ def test_dd_state_bounded_by_value_range(spark, latency_df):
     vals = [r.ms for r in latency_df.collect() if r.ms > 0]
     bound = math.log(max(vals) / min(vals)) / math.log(101 / 99) + 2
     assert all(n <= bound for n in per_host.values()), per_host
+
+
+def test_streaming_dd_microbatch_merge_matches_batch(spark, latency_df, tmp_path):
+    """Same streaming story as the CMS/HLL folds: per-microbatch DDSketches
+    merged with dd_merge equal the one-shot batch sketch — so quantile
+    telemetry folds incrementally over an endless fetch-latency stream."""
+    import os
+
+    from stock_crawler_spark.operators.sketch import dd_build, dd_merge
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "dd_state")
+    os.makedirs(src)
+    lat = latency_df.select("host", "ms")
+    lat.filter(F.crc32(F.col("ms").cast("string")) % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src + "/b0")
+    lat.filter(F.crc32(F.col("ms").cast("string")) % 2 == 1).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src + "/b1")
+
+    def fold(batch_df, batch_id):
+        sk = dd_build(batch_df, "ms", ["host"])
+        if os.path.exists(state + "/_SUCCESS"):
+            prev = batch_df.sparkSession.read.parquet(state)
+            sk = dd_merge(prev, sk, group_cols=["host"])
+        staging = str(tmp_path / "staging")
+        sk.coalesce(1).write.mode("overwrite").parquet(staging)
+        batch_df.sparkSession.read.parquet(staging).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(state)
+
+    stream = (
+        spark.readStream.schema("host string, ms double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    streamed = spark.read.parquet(state)
+    direct = dd_build(lat, "ms", ["host"])
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
