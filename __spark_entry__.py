@@ -1379,6 +1379,24 @@ def q77_latency_quantiles(spark, sf):
     return dd_quantiles(sk, DD_QS, group_cols=["event_type"])
 
 
+def q79_adaptive_politeness(spark, sf):
+    """Adaptive per-host politeness (operators/recrawl.
+    adaptive_politeness): crawl_delay_ms = clamp(2 x DDSketch-p95 fetch
+    latency). Synthetic fetch log: event e hits host h{user_id % 50}
+    with latency value*20 ms — the x20 spreads p95 across the floor /
+    proportional / (near-)ceiling clamp bands. Oracle replays the
+    bucket chain, the p95 walk, and the multiply/round/clamp — bit
+    exact."""
+    from stock_crawler_spark.operators.recrawl import adaptive_politeness
+
+    ev = _t(spark, sf, "events")
+    lat = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 50).cast("string"), F.lit(".com")).alias("host"),
+        (F.col("value") * F.lit(20.0)).alias("ms"),
+    )
+    return adaptive_politeness(lat)
+
+
 def q78_weighted_sample(spark, sf):
     """Weighted sample without replacement (operators/training.
     weighted_sample, Efraimidis-Spirakis A-ES): 20 docs per lang with
@@ -1482,6 +1500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q76_hits": q76_hits,
         "q77_latency_quantiles": q77_latency_quantiles,
         "q78_weighted_sample": q78_weighted_sample,
+        "q79_adaptive_politeness": q79_adaptive_politeness,
     }
 
 
@@ -1941,6 +1960,49 @@ SELECT event_type, q,
             ELSE round({c!r} * exp(round(CAST(idx AS DOUBLE) * {lg!r}, 12)), 6)
        END AS est
 FROM hit"""
+
+
+def _politeness_oracle() -> str:
+    """q79: the dd chain of _dd_oracle on latency ms = value*20 grouped
+    by synthetic host, p95 only, then the clamp(2 x p95) delay map.
+    round(x, 0) is integral before the BIGINT cast on both engines, and
+    both round half away from zero for positives."""
+    from stock_crawler_spark.operators.sketch import DD_ZERO_BUCKET, _dd_consts
+
+    k, lg, c = _dd_consts(0.01)
+    return f"""
+WITH lat AS (
+  SELECT 'h' || CAST(user_id % 50 AS VARCHAR) || '.com' AS host,
+         value * CAST(20.0 AS DOUBLE) AS ms
+  FROM events
+), b AS (
+  SELECT host,
+         CASE WHEN ms <= 0.0 THEN CAST({DD_ZERO_BUCKET} AS BIGINT)
+              ELSE CAST(ceil(round(ln(ms), 12) * {k!r}) AS BIGINT) END AS bucket,
+         count(*) AS cnt
+  FROM lat GROUP BY 1, 2
+), cum AS (
+  SELECT host, bucket,
+         sum(cnt) OVER (PARTITION BY host ORDER BY bucket) AS cum,
+         sum(cnt) OVER (PARTITION BY host) AS n
+  FROM b
+), hit AS (
+  SELECT host, min(bucket) AS idx
+  FROM cum
+  WHERE cum > CAST(floor(CAST(0.95 AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS BIGINT)
+  GROUP BY 1
+), p AS (
+  SELECT host,
+         CASE WHEN idx = {DD_ZERO_BUCKET} THEN CAST(0.0 AS DOUBLE)
+              ELSE round({c!r} * exp(round(CAST(idx AS DOUBLE) * {lg!r}, 12)), 6)
+         END AS p95_ms
+  FROM hit
+)
+SELECT host, p95_ms,
+       least(CAST(30000 AS BIGINT),
+             greatest(CAST(500 AS BIGINT),
+                      CAST(round(p95_ms * CAST(2.0 AS DOUBLE), 0) AS BIGINT))) AS crawl_delay_ms
+FROM p"""
 
 
 def _url_quality_oracle() -> str:
@@ -2567,6 +2629,7 @@ FROM (
         "q54_pagerank": _pagerank_oracle(),
         "q76_hits": _hits_oracle(),
         "q77_latency_quantiles": _dd_oracle(),
+        "q79_adaptive_politeness": _politeness_oracle(),
         "q78_weighted_sample": f"""
 WITH d AS (
   SELECT doc_id, lang,

@@ -75,3 +75,54 @@ def recrawl_intervals(
             + F.round(interval).cast("long") * F.lit(1_000_000)
         ).alias("next_fetch_us"),
     )
+
+
+# --- adaptive politeness from latency telemetry -----------------------------
+
+DELAY_FACTOR = 2.0
+MIN_DELAY_MS = 500
+MAX_DELAY_MS = 30_000
+
+
+def adaptive_politeness(
+    latencies: DataFrame,
+    host_col: str = "host",
+    ms_col: str = "ms",
+    delay_factor: float = DELAY_FACTOR,
+    min_delay_ms: int = MIN_DELAY_MS,
+    max_delay_ms: int = MAX_DELAY_MS,
+) -> DataFrame:
+    """Per-host crawl delay from observed fetch latency -> (host,
+    p95_ms, crawl_delay_ms).
+
+    Heritrix's politeness rule (delay = delayFactor x last fetch
+    duration, clamped) needs per-URL last-fetch state; at 10^10 fetches
+    the bounded-state version is delay = delayFactor x per-host p95
+    latency, read off a DDSketch (operators/sketch.dd_*) — <= #buckets
+    rows of state per host, mergeable across rounds, and p95 is robust
+    to the one slow request that would whipsaw a last-fetch rule.
+
+    The result feeds frontier.dequeue as the crawl_delay_ms rule column
+    (same clamp semantics as robots Crawl-delay; robots wins if
+    stricter — take the max downstream).
+
+    Determinism: dd_quantiles is bit-reproducible (see sketch.py); the
+    delay map is one IEEE multiply by a shared literal + round + clamp,
+    so the DuckDB oracle matches exactly.
+    """
+    from stock_crawler_spark.operators.sketch import dd_build, dd_quantiles
+
+    sk = dd_build(latencies, ms_col, [host_col])
+    p95 = dd_quantiles(sk, [0.95], [host_col]).drop("q")
+    delay = F.least(
+        F.lit(int(max_delay_ms)).cast("long"),
+        F.greatest(
+            F.lit(int(min_delay_ms)).cast("long"),
+            F.round(F.col("est") * F.lit(float(delay_factor)), 0).cast("long"),
+        ),
+    )
+    return p95.select(
+        F.col(host_col),
+        F.col("est").alias("p95_ms"),
+        delay.alias("crawl_delay_ms"),
+    )

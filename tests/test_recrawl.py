@@ -79,3 +79,47 @@ def test_url_quality_verdicts(spark):
     assert got[5]["n_params"] == 9
     assert got[7]["path_depth"] == 4       # port stripped, fragment ignored
     assert got[7]["subdomain_depth"] == 2
+
+
+# ------------------------------------------------------ adaptive_politeness
+
+
+def test_adaptive_politeness_clamps_and_scales(spark):
+    from stock_crawler_spark.operators.recrawl import adaptive_politeness
+
+    rows = (
+        [("fast.com", 10.0)] * 50          # p95 ~10ms -> 2x = 20 -> floor 500
+        + [("mid.com", 2000.0)] * 50       # p95 ~2000 -> ~4000ms
+        + [("slow.com", 60000.0)] * 50     # p95 ~60s -> 2x clamped to 30s
+    )
+    df = spark.createDataFrame(rows, ["host", "ms"])
+    got = {r.host: r for r in adaptive_politeness(df).collect()}
+    assert got["fast.com"].crawl_delay_ms == 500
+    assert got["slow.com"].crawl_delay_ms == 30000
+    mid = got["mid.com"]
+    # within DDSketch's 1% of 2x p95
+    assert abs(mid.crawl_delay_ms - 2 * mid.p95_ms) <= 1
+    assert abs(mid.p95_ms - 2000.0) <= 0.0101 * 2000.0
+
+
+def test_adaptive_politeness_p95_robust_to_one_outlier(spark):
+    """One slow request must not move the delay (the failure mode of the
+    last-fetch rule this replaces)."""
+    from stock_crawler_spark.operators.recrawl import adaptive_politeness
+
+    base = [("h.com", 1000.0)] * 99
+    a = adaptive_politeness(spark.createDataFrame(base, ["host", "ms"])).collect()
+    b = adaptive_politeness(
+        spark.createDataFrame(base + [("h.com", 120000.0)], ["host", "ms"])
+    ).collect()
+    assert a[0].crawl_delay_ms == b[0].crawl_delay_ms
+
+
+def test_adaptive_politeness_partition_invariant(spark):
+    from stock_crawler_spark.operators.recrawl import adaptive_politeness
+
+    rows = [(f"h{i % 7}.com", float(50 + (i * 37) % 5000)) for i in range(400)]
+    df = spark.createDataFrame(rows, ["host", "ms"])
+    a = adaptive_politeness(df.repartition(1)).collect()
+    b = adaptive_politeness(df.repartition(13)).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
