@@ -1397,6 +1397,40 @@ def q79_adaptive_politeness(spark, sf):
     return adaptive_politeness(lat)
 
 
+def q80_dust_params(spark, sf):
+    """DUST URL-alias param mining (operators/dust.dust_params).
+    Synthetic fetch evidence: every doc yields url A
+    /item?page=p&sid=s{doc_id}, its param-removed twin B /item?page=p,
+    and the bare C /item. On hosts with doc_id%4==0 the sid-carrying
+    fetch serves DIFFERENT content (fp=sid{doc_id}) so sid is
+    contradicted there; elsewhere A==B content makes sid irrelevant.
+    Removing `page` collapses onto C whose fp differs -> page is
+    contradicted everywhere. Oracle rebuilds the whole chain (param
+    explode, name-filtered rebuild, evidence join, thresholds) in
+    DuckDB list lambdas."""
+    from stock_crawler_spark.operators.dust import dust_params
+
+    docs = _t(spark, sf, "documents")
+    g = (F.col("doc_id") % 20).cast("string")
+    p = (F.col("doc_id") % 5).cast("string")
+    base = F.concat(F.lit("https://h"), g, F.lit(".example/item"))
+    fp_gp = F.concat(F.lit("f"), g, F.lit("_"), p)
+    a = docs.select(
+        F.concat(
+            base, F.lit("?page="), p, F.lit("&sid=s"), F.col("doc_id").cast("string")
+        ).alias("url"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("sid"), F.col("doc_id").cast("string")),
+        ).otherwise(fp_gp).alias("fp"),
+    )
+    b = docs.select(
+        F.concat(base, F.lit("?page="), p).alias("url"), fp_gp.alias("fp")
+    )
+    c = docs.select(base.alias("url"), F.concat(F.lit("root"), g).alias("fp"))
+    return dust_params(a.unionByName(b).unionByName(c))
+
+
 def q78_weighted_sample(spark, sf):
     """Weighted sample without replacement (operators/training.
     weighted_sample, Efraimidis-Spirakis A-ES): 20 docs per lang with
@@ -1501,6 +1535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q77_latency_quantiles": q77_latency_quantiles,
         "q78_weighted_sample": q78_weighted_sample,
         "q79_adaptive_politeness": q79_adaptive_politeness,
+        "q80_dust_params": q80_dust_params,
     }
 
 
@@ -2003,6 +2038,68 @@ SELECT host, p95_ms,
              greatest(CAST(500 AS BIGINT),
                       CAST(round(p95_ms * CAST(2.0 AS DOUBLE), 0) AS BIGINT))) AS crawl_delay_ms
 FROM p"""
+
+
+def _dust_oracle() -> str:
+    """q80: full SQL rebuild of operators/dust.dust_params on the same
+    constructed (url, fp) evidence — param-name explode via list
+    lambdas, name-filtered url rebuild, evidence equi-join, support /
+    contradiction rollup, thresholds. Counts cast to BIGINT (DuckDB sum
+    is HUGEINT)."""
+    return r"""
+WITH docs AS (
+  SELECT doc_id,
+         CAST(doc_id % 20 AS VARCHAR) AS g,
+         CAST(doc_id % 5 AS VARCHAR) AS p
+  FROM documents
+), raw AS (
+  SELECT 'https://h' || g || '.example/item?page=' || p || '&sid=s' || CAST(doc_id AS VARCHAR) AS url,
+         CASE WHEN doc_id % 4 = 0 THEN 'sid' || CAST(doc_id AS VARCHAR)
+              ELSE 'f' || g || '_' || p END AS fp
+  FROM docs
+  UNION ALL
+  SELECT 'https://h' || g || '.example/item?page=' || p, 'f' || g || '_' || p FROM docs
+  UNION ALL
+  SELECT 'https://h' || g || '.example/item', 'root' || g FROM docs
+), u AS (
+  SELECT url, min(fp) AS fp FROM raw GROUP BY url
+), e AS (
+  SELECT url, fp,
+         lower(regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1)) AS host,
+         regexp_extract(url, '^([^?#]*)', 1) AS base,
+         regexp_extract(url, '\?([^#]*)', 1) AS query
+  FROM u
+), pl AS (
+  SELECT *, CASE WHEN query = '' THEN CAST([] AS VARCHAR[])
+                 ELSE string_split(query, '&') END AS params
+  FROM e
+), ex AS (
+  SELECT url, fp, host, base, params,
+         unnest(list_distinct(list_transform(params,
+                kv -> regexp_extract(kv, '^([^=]*)', 1)))) AS param
+  FROM pl
+), w AS (
+  SELECT host, param, fp AS fp_a,
+         CASE WHEN len(list_filter(params,
+                    kv -> regexp_extract(kv, '^([^=]*)', 1) <> param)) = 0
+              THEN base
+              ELSE base || '?' || array_to_string(list_filter(params,
+                    kv -> regexp_extract(kv, '^([^=]*)', 1) <> param), '&')
+         END AS url_wo
+  FROM ex
+), evid AS (
+  SELECT w.host, w.param, w.fp_a, b.fp AS fp_b
+  FROM w JOIN u b ON w.url_wo = b.url
+), agg AS (
+  SELECT host, param,
+         CAST(sum(CASE WHEN fp_a = fp_b THEN 1 ELSE 0 END) AS BIGINT) AS support,
+         CAST(sum(CASE WHEN fp_a <> fp_b THEN 1 ELSE 0 END) AS BIGINT) AS contradictions
+  FROM evid GROUP BY 1, 2
+)
+SELECT host, param, support, contradictions,
+       round(contradictions / CAST(support + contradictions AS DOUBLE), 6) AS violation_rate,
+       (support >= 2 AND contradictions <= round(0.0 * (support + contradictions), 9)) AS irrelevant
+FROM agg"""
 
 
 def _url_quality_oracle() -> str:
@@ -2630,6 +2727,7 @@ FROM (
         "q76_hits": _hits_oracle(),
         "q77_latency_quantiles": _dd_oracle(),
         "q79_adaptive_politeness": _politeness_oracle(),
+        "q80_dust_params": _dust_oracle(),
         "q78_weighted_sample": f"""
 WITH d AS (
   SELECT doc_id, lang,

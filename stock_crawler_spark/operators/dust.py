@@ -1,0 +1,172 @@
+"""DUST-style URL-alias parameter mining (content-irrelevant query params).
+
+"Different URLs with Similar Text" (Bar-Yossef et al., WWW'07) — session
+ids, tracking params (``utm_*``), sort toggles: query parameters that
+change the URL string without changing the page. URL-level dedup can
+never fold them (every url differs); canonicalize_url can't strip them
+without rules. This operator MINES the rules from evidence the crawl
+already produced: pairs (url-with-param, url-without-param) that both
+got fetched and carry the same content fingerprint.
+
+Per (host, param):
+  * a POSITIVE instance is a fetched url carrying ``param`` whose
+    param-removed twin was also fetched with an EQUAL fingerprint;
+  * a CONTRADICTION is the same join with UNEQUAL fingerprints.
+A param is ``irrelevant`` when support >= min_support and the violation
+rate is <= max_violation_rate. The resulting (host, param) rule table is
+tiny — broadcast it into canonicalization so the next round's seen-set
+keys fold the whole alias family.
+
+Scale notes (10^10 fetched urls):
+  * the explode factor is the number of DISTINCT param names per url —
+    a small constant (99p < 10 on web corpora);
+  * the evidence join is an equi-join on the exact param-removed url
+    string against the (already url-unique) fetched table: output rows
+    are LINEAR in the exploded side, never pairwise. A trap host whose
+    10^6 session urls all collapse onto one target skews the join key;
+    AQE skew-join splits it, and the rollup is a partial-agg count;
+  * everything below is pure Column algebra (codegen) — no UDFs.
+
+Reference tie-in: the reference crawler dedups on exact url only
+(crawler/crawler.go URL set); this generalizes its seen-key to the DUST
+alias family, same motivation as functions/urls.canonicalize_url.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from stock_crawler_spark.functions.urls import host_of
+
+_NAME_RE = "^([^=]*)"  # param name = kv up to the first '='
+
+
+def _param_name(kv: Column) -> Column:
+    return F.regexp_extract(kv, _NAME_RE, 1)
+
+
+def dust_params(
+    pages: DataFrame,
+    min_support: int = 2,
+    max_violation_rate: float = 0.0,
+    url_col: str = "url",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Mine content-irrelevant query params -> (host, param, support,
+    contradictions, violation_rate, irrelevant).
+
+    ``pages`` is (url, fp): any fetched-page table with a content
+    fingerprint (functions/text.fingerprint_md5, winnowing fps). A url
+    fetched with several fps (recrawls) folds to min(fp) so the
+    evidence join stays url-unique and deterministic.
+
+    Removing a param removes EVERY ``name=value`` occurrence of that
+    name (DUST rules are per-name, not per-occurrence); remaining
+    params keep their original order, so the twin lookup only fires
+    when the site actually serves that exact param-removed url.
+    """
+    u = (
+        pages.select(F.col(url_col).alias("url"), F.col(fp_col).alias("fp"))
+        .groupBy("url")
+        .agg(F.min("fp").alias("fp"))
+    )
+    base = F.regexp_extract(F.col("url"), r"^([^?#]*)", 1)
+    query = F.regexp_extract(F.col("url"), r"\?([^#]*)", 1)
+    params = F.when(query == "", F.array().cast("array<string>")).otherwise(
+        F.split(query, "&")
+    )
+    exploded = u.select(
+        "url",
+        "fp",
+        host_of(F.col("url")).alias("host"),
+        base.alias("_base"),
+        params.alias("_params"),
+    ).select(
+        "url",
+        "fp",
+        "host",
+        "_base",
+        "_params",
+        F.explode(
+            F.array_distinct(F.transform(F.col("_params"), _param_name))
+        ).alias("param"),
+    )
+    kept = F.filter(
+        F.col("_params"), lambda kv: _param_name(kv) != F.col("param")
+    )
+    url_wo = F.when(F.size(kept) == 0, F.col("_base")).otherwise(
+        F.concat(F.col("_base"), F.lit("?"), F.array_join(kept, "&"))
+    )
+    a = exploded.select(
+        "host", "param", F.col("fp").alias("_fp_a"), url_wo.alias("_url_wo")
+    )
+    b = u.select(F.col("url").alias("_url_wo"), F.col("fp").alias("_fp_b"))
+    evid = a.join(b, "_url_wo", "inner")
+    agg = evid.groupBy("host", "param").agg(
+        F.sum((F.col("_fp_a") == F.col("_fp_b")).cast("long")).alias("support"),
+        F.sum((F.col("_fp_a") != F.col("_fp_b")).cast("long")).alias(
+            "contradictions"
+        ),
+    )
+    rate = F.round(
+        F.col("contradictions")
+        / (F.col("support") + F.col("contradictions")).cast("double"),
+        6,
+    )
+    return agg.select(
+        "host",
+        "param",
+        "support",
+        "contradictions",
+        rate.alias("violation_rate"),
+        (
+            (F.col("support") >= F.lit(int(min_support)))
+            & (
+                F.col("contradictions")
+                <= F.round(
+                    F.lit(float(max_violation_rate))
+                    * (F.col("support") + F.col("contradictions")),
+                    9,
+                )
+            )
+        ).alias("irrelevant"),
+    )
+
+
+def dust_strip(
+    df: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Apply mined rules: strip every irrelevant param of the url's host.
+
+    ``rules`` is dust_params' output (only ``irrelevant`` rows are
+    used). The per-host param set is collected into an array and joined
+    BROADCAST — the rule table is (hosts x params), never urls. Adds
+    ``url_dust``: the url with those params removed, same order
+    otherwise; urls on rule-less hosts pass through unchanged.
+    """
+    per_host = (
+        rules.filter(F.col("irrelevant"))
+        .groupBy("host")
+        .agg(F.array_sort(F.collect_set("param")).alias("_drop"))
+    )
+    base = F.regexp_extract(F.col(url_col), r"^([^?#]*)", 1)
+    query = F.regexp_extract(F.col(url_col), r"\?([^#]*)", 1)
+    params = F.when(query == "", F.array().cast("array<string>")).otherwise(
+        F.split(query, "&")
+    )
+    kept = F.filter(
+        params, lambda kv: ~F.array_contains(F.col("_drop"), _param_name(kv))
+    )
+    stripped = F.when(F.size(kept) == 0, base).otherwise(
+        F.concat(base, F.lit("?"), F.array_join(kept, "&"))
+    )
+    out = df.withColumn("_host", host_of(F.col(url_col))).join(
+        F.broadcast(per_host.withColumnRenamed("host", "_host")), "_host", "left"
+    )
+    return out.withColumn(
+        "url_dust",
+        F.when(F.col("_drop").isNull(), F.col(url_col)).otherwise(stripped),
+    ).drop("_host", "_drop")

@@ -1,0 +1,90 @@
+"""DUST param mining (operators/dust): evidence join + rule application."""
+
+from pyspark.sql import functions as F
+
+from stock_crawler_spark.operators.dust import dust_params, dust_strip
+
+
+def _pages(spark):
+    rows = [
+        # sessionid is content-irrelevant on a.com: with/without pairs
+        # share fp, across two distinct (page) targets -> support 2
+        ("https://a.com/item?page=1&sessionid=s1", "f1"),
+        ("https://a.com/item?page=1", "f1"),
+        ("https://a.com/item?page=2&sessionid=s2", "f2"),
+        ("https://a.com/item?page=2", "f2"),
+        # page is content-RELEVANT: removing it changes the fingerprint
+        ("https://a.com/item", "froot"),
+        # b.com: same param name, but there removal changes content
+        ("https://b.com/x?sessionid=k", "g1"),
+        ("https://b.com/x", "g2"),
+        # no-query url contributes no instances
+        ("https://c.com/plain", "h1"),
+    ]
+    return spark.createDataFrame(rows, ["url", "fp"])
+
+
+def test_dust_params_mines_per_host_rules(spark):
+    got = {(r.host, r.param): r for r in dust_params(_pages(spark)).collect()}
+    sid = got[("a.com", "sessionid")]
+    assert (sid.support, sid.contradictions, sid.irrelevant) == (2, 0, True)
+    page = got[("a.com", "page")]
+    # page=1 / page=2 both collapse to /item which exists with froot
+    assert page.support == 0 and page.contradictions == 2
+    assert not page.irrelevant
+    # same param name is judged PER HOST: b.com's sessionid contradicts
+    bsid = got[("b.com", "sessionid")]
+    assert (bsid.support, bsid.contradictions, bsid.irrelevant) == (0, 1, False)
+    assert ("c.com", "") not in got and len(got) == 3
+
+
+def test_dust_params_removes_every_occurrence_of_name(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://d.com/p?s=1&x=2&s=3", "q1"),
+            ("https://d.com/p?x=2", "q1"),
+        ],
+        ["url", "fp"],
+    )
+    got = {r.param: r for r in dust_params(df, min_support=1).collect()}
+    assert got["s"].support == 1 and got["s"].irrelevant
+
+
+def test_dust_params_violation_rate_threshold(spark):
+    rows = (
+        [(f"https://e.com/p{i}?t=z", f"f{i}") for i in range(4)]
+        + [(f"https://e.com/p{i}", f"f{i}") for i in range(3)]
+        + [("https://e.com/p3", "DIFFERENT")]
+    )
+    df = spark.createDataFrame(rows, ["url", "fp"])
+    strict = dust_params(df).collect()[0]
+    assert (strict.support, strict.contradictions) == (3, 1)
+    assert strict.violation_rate == 0.25 and not strict.irrelevant
+    loose = dust_params(df, max_violation_rate=0.3).collect()[0]
+    assert loose.irrelevant
+
+
+def test_dust_strip_applies_rules_and_passes_through(spark):
+    pages = _pages(spark)
+    rules = dust_params(pages)
+    got = {
+        r.url: r.url_dust
+        for r in dust_strip(pages.select("url"), rules).collect()
+    }
+    assert got["https://a.com/item?page=1&sessionid=s1"] == "https://a.com/item?page=1"
+    assert got["https://a.com/item?page=2"] == "https://a.com/item?page=2"
+    # b.com's sessionid is NOT irrelevant there; c.com has no rules
+    assert got["https://b.com/x?sessionid=k"] == "https://b.com/x?sessionid=k"
+    assert got["https://c.com/plain"] == "https://c.com/plain"
+
+
+def test_dust_params_partition_invariant(spark):
+    rows = []
+    for i in range(120):
+        h = f"h{i % 5}.com"
+        rows.append((f"https://{h}/d{i % 11}?page={i % 7}&sid=u{i}", f"c{i % 11}_{i % 7}"))
+        rows.append((f"https://{h}/d{i % 11}?page={i % 7}", f"c{i % 11}_{i % 7}"))
+    df = spark.createDataFrame(rows, ["url", "fp"])
+    a = sorted(map(tuple, dust_params(df.repartition(1)).collect()))
+    b = sorted(map(tuple, dust_params(df.repartition(17)).collect()))
+    assert a == b and len(a) > 0
