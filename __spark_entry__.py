@@ -1431,6 +1431,24 @@ def q80_dust_params(spark, sf):
     return dust_params(a.unionByName(b).unionByName(c))
 
 
+def q81_hrw_reshard(spark, sf):
+    """Rendezvous-hash shard assignment (functions/urls.hrw_shard):
+    per-host fetcher shard at n=16 and n=17, plus the moved flag — the
+    HRW guarantee is that only ~1/17 of hosts move and every mover
+    lands on the NEW shard. Oracle recomputes both assignments via the
+    same md5->60-bit scores with max-over-struct tie-break."""
+    from stock_crawler_spark.functions.urls import hrw_shard
+
+    docs = _t(spark, sf, "documents")
+    host = F.concat(F.lit("w"), F.col("doc_id").cast("string"), F.lit(".net"))
+    out = docs.select(
+        host.alias("host"),
+        hrw_shard(host, 16).alias("shard16"),
+        hrw_shard(host, 17).alias("shard17"),
+    )
+    return out.withColumn("moved", F.col("shard16") != F.col("shard17"))
+
+
 def q78_weighted_sample(spark, sf):
     """Weighted sample without replacement (operators/training.
     weighted_sample, Efraimidis-Spirakis A-ES): 20 docs per lang with
@@ -1536,6 +1554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q78_weighted_sample": q78_weighted_sample,
         "q79_adaptive_politeness": q79_adaptive_politeness,
         "q80_dust_params": q80_dust_params,
+        "q81_hrw_reshard": q81_hrw_reshard,
     }
 
 
@@ -2728,6 +2747,20 @@ FROM (
         "q77_latency_quantiles": _dd_oracle(),
         "q79_adaptive_politeness": _politeness_oracle(),
         "q80_dust_params": _dust_oracle(),
+        "q81_hrw_reshard": """
+WITH h AS (
+  SELECT 'w' || CAST(doc_id AS VARCHAR) || '.net' AS host FROM documents
+), s16 AS (
+  SELECT host, max({'h': ('0x' || substr(md5(host || ':' || CAST(s AS VARCHAR)), 1, 15))::BIGINT,
+                    's': CAST(s AS INT)})['s'] AS shard16
+  FROM h, range(0, 16) t(s) GROUP BY host
+), s17 AS (
+  SELECT host, max({'h': ('0x' || substr(md5(host || ':' || CAST(s AS VARCHAR)), 1, 15))::BIGINT,
+                    's': CAST(s AS INT)})['s'] AS shard17
+  FROM h, range(0, 17) t(s) GROUP BY host
+)
+SELECT s16.host, shard16, shard17, shard16 <> shard17 AS moved
+FROM s16 JOIN s17 ON s16.host = s17.host""",
         "q78_weighted_sample": f"""
 WITH d AS (
   SELECT doc_id, lang,

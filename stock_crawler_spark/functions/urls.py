@@ -229,6 +229,46 @@ def shard_of(domain: Column, n_shards: int) -> Column:
     return F.pmod(F.xxhash64(domain), F.lit(n_shards)).cast("int")
 
 
+def hrw_shard(domain: Column, n_shards: int) -> Column:
+    """Rendezvous (highest-random-weight) shard id — reshard-stable.
+
+    ``shard_of``'s mod-hash relocates ~(1 - 1/n') of all hosts when the
+    shard count changes; on a live 10^10-row frontier that reshuffle is
+    a full-table rewrite of frontier/seen/filter state. HRW hashing
+    (Thaler & Ravishankar 1998) scores every (host, shard) pair and
+    picks the argmax, so growing n -> n+1 relocates exactly the hosts
+    the NEW shard wins — 1/(n+1) of them in expectation — and shrinking
+    relocates only the removed shard's hosts.
+
+    Pure Column algebra: per row an n-element transform over a literal
+    sequence, argmax via array_max on (score, shard) structs (ties —
+    2^-60 — break to the larger shard id deterministically). Cost is
+    O(n_shards) md5s per row: fine for the O(100) fetcher-shard counts
+    this keys; for the 2^16-partition seen-set use shard_of, whose
+    count never changes.
+
+    The score hash is the md5->60-bit idiom shared with
+    operators/dedup._md5_long so a SQL engine reproduces assignments
+    bit-for-bit (q81's oracle).
+    """
+    scored = F.transform(
+        F.sequence(F.lit(0), F.lit(int(n_shards) - 1)),
+        lambda s: F.struct(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(domain, F.lit(":"), s.cast("string"))), 1, 15
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h"),
+            s.cast("int").alias("s"),
+        ),
+    )
+    return F.array_max(scored)["s"]
+
+
 def salted_shard(domain: Column, url_canon: Column, n_shards: int, hot_domains: Column | None = None, n_salts: int = 8) -> Column:
     """Shard with intra-domain salting for hot domains.
 

@@ -323,3 +323,39 @@ def test_registrable_domain_sql_matches_column_on_full_rules(spark):
     )
     for row in df.collect():
         assert row["dom"] == registrable_domain_py(row["host"]), row["host"]
+
+
+# --------------------------------------------------------------- hrw_shard
+
+
+def test_hrw_shard_range_and_determinism(spark):
+    hosts = [(f"h{i}.com",) for i in range(300)]
+    df = spark.createDataFrame(hosts, "host string")
+    got = df.select(
+        "host", urls.hrw_shard(F.col("host"), 16).alias("s")
+    )
+    a = {r.host: r.s for r in got.collect()}
+    b = {r.host: r.s for r in got.repartition(13).collect()}
+    assert a == b
+    assert all(0 <= s < 16 for s in a.values())
+    # every shard gets SOME hosts at 300 hosts / 16 shards
+    assert len(set(a.values())) == 16
+
+
+def test_hrw_shard_minimal_relocation_on_reshard(spark):
+    """Growing 16 -> 17 shards must relocate ~1/17 of hosts (the HRW
+    guarantee); mod-hashing relocates ~16/17 on the same change."""
+    n = 1000
+    df = spark.createDataFrame([(f"host{i}.example",) for i in range(n)], "host string")
+    got = df.select(
+        urls.hrw_shard(F.col("host"), 16).alias("s16"),
+        urls.hrw_shard(F.col("host"), 17).alias("s17"),
+        urls.shard_of(F.col("host"), 16).alias("m16"),
+        urls.shard_of(F.col("host"), 17).alias("m17"),
+    ).collect()
+    hrw_moved = sum(1 for r in got if r.s16 != r.s17) / n
+    mod_moved = sum(1 for r in got if r.m16 != r.m17) / n
+    assert hrw_moved < 0.12, hrw_moved          # E = 1/17 ~ 0.059
+    assert mod_moved > 0.8, mod_moved           # mod-hash reshuffles ~all
+    # everything that moved under HRW landed on the NEW shard
+    assert all(r.s17 == 16 for r in got if r.s16 != r.s17)
