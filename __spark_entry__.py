@@ -1449,6 +1449,26 @@ def q81_hrw_reshard(spark, sf):
     return out.withColumn("moved", F.col("shard16") != F.col("shard17"))
 
 
+def q82_circuit_breaker(spark, sf):
+    """Per-host fetch circuit breaker (operators/recrawl.
+    host_circuit_breaker). Synthetic fetch log over 6 rounds: hosts
+    h0-h5 fail ~70% of fetches, the rest ~10%; the breaker reads the
+    trailing 3-round window at current_round=6. Oracle replays the
+    window filter, rollup, 6dp rate, and trip/cooldown rule."""
+    from stock_crawler_spark.operators.recrawl import host_circuit_breaker
+
+    ev = _t(spark, sf, "events")
+    log = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 40).cast("string"), F.lit(".org")).alias("host"),
+        (F.col("event_id") % 6 + 1).cast("int").alias("round_id"),
+        (
+            ((F.col("user_id") + F.col("event_id")) % 10)
+            >= F.when(F.col("user_id") % 40 < 6, F.lit(7)).otherwise(F.lit(1))
+        ).alias("ok"),
+    )
+    return host_circuit_breaker(log, current_round=6)
+
+
 def q78_weighted_sample(spark, sf):
     """Weighted sample without replacement (operators/training.
     weighted_sample, Efraimidis-Spirakis A-ES): 20 docs per lang with
@@ -1555,6 +1575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q79_adaptive_politeness": q79_adaptive_politeness,
         "q80_dust_params": q80_dust_params,
         "q81_hrw_reshard": q81_hrw_reshard,
+        "q82_circuit_breaker": q82_circuit_breaker,
     }
 
 
@@ -2747,6 +2768,25 @@ FROM (
         "q77_latency_quantiles": _dd_oracle(),
         "q79_adaptive_politeness": _politeness_oracle(),
         "q80_dust_params": _dust_oracle(),
+        "q82_circuit_breaker": """
+WITH log AS (
+  SELECT 'h' || CAST(user_id % 40 AS VARCHAR) || '.org' AS host,
+         CAST(event_id % 6 + 1 AS INT) AS round_id,
+         ((user_id + event_id) % 10) >= (CASE WHEN user_id % 40 < 6 THEN 7 ELSE 1 END) AS ok
+  FROM events
+), w AS (
+  SELECT * FROM log WHERE round_id > 6 - 3 AND round_id <= 6
+), agg AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS attempts,
+         CAST(sum(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS failures
+  FROM w GROUP BY host
+)
+SELECT host, attempts, failures,
+       round(failures / CAST(attempts AS DOUBLE), 6) AS failure_rate,
+       (attempts >= 10 AND round(failures / CAST(attempts AS DOUBLE), 6) >= 0.5) AS tripped,
+       CASE WHEN attempts >= 10 AND round(failures / CAST(attempts AS DOUBLE), 6) >= 0.5
+            THEN CAST(8 AS BIGINT) END AS resume_round
+FROM agg""",
         "q81_hrw_reshard": """
 WITH h AS (
   SELECT 'w' || CAST(doc_id AS VARCHAR) || '.net' AS host FROM documents

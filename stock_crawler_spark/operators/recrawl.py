@@ -126,3 +126,66 @@ def adaptive_politeness(
         F.col("est").alias("p95_ms"),
         delay.alias("crawl_delay_ms"),
     )
+
+
+# --- per-host failure circuit breaker ---------------------------------------
+
+CB_WINDOW_ROUNDS = 3
+CB_MIN_ATTEMPTS = 10
+CB_MAX_FAILURE_RATE = 0.5
+CB_COOLDOWN_ROUNDS = 2
+
+
+def host_circuit_breaker(
+    fetch_log: DataFrame,
+    current_round: int,
+    window_rounds: int = CB_WINDOW_ROUNDS,
+    min_attempts: int = CB_MIN_ATTEMPTS,
+    max_failure_rate: float = CB_MAX_FAILURE_RATE,
+    cooldown_rounds: int = CB_COOLDOWN_ROUNDS,
+    host_col: str = "host",
+    round_col: str = "round_id",
+    ok_col: str = "ok",
+) -> DataFrame:
+    """Per-host fetch circuit breaker -> (host, attempts, failures,
+    failure_rate, tripped, resume_round).
+
+    A host whose fetches are mostly failing (server down, blocking us,
+    DNS flap) must stop eating budget IMMEDIATELY, not per-url: the
+    per-url retry machine (plans/round) backs each url off
+    independently, so a dead host with 10^6 queued urls still burns
+    10^6 fetch slots before the urls individually die. The breaker is
+    the host-level analog of Heritrix's connect-failure backoff: over
+    the trailing ``window_rounds`` rounds, a host with >= min_attempts
+    fetches and a failure rate >= max_failure_rate trips, suspending it
+    until round ``current_round + cooldown_rounds`` (feed the tripped
+    set into frontier.dequeue exactly like the robots deny list —
+    it is O(hosts), broadcastable).
+
+    min_attempts gates low-evidence hosts (1 try, 1 fail must NOT trip
+    — that is one transient). One partial-agg groupBy over the trailing
+    window's log; state is O(hosts). failure_rate rounds to 6dp so the
+    trip decision is engine-portable (q82's oracle).
+    """
+    w = fetch_log.filter(
+        (F.col(round_col) > F.lit(int(current_round) - int(window_rounds)))
+        & (F.col(round_col) <= F.lit(int(current_round)))
+    )
+    agg = w.groupBy(F.col(host_col).alias("host")).agg(
+        F.count(F.lit(1)).alias("attempts"),
+        F.sum((~F.col(ok_col)).cast("long")).alias("failures"),
+    )
+    rate = F.round(F.col("failures") / F.col("attempts").cast("double"), 6)
+    tripped = (F.col("attempts") >= F.lit(int(min_attempts))) & (
+        rate >= F.lit(float(max_failure_rate))
+    )
+    return agg.select(
+        "host",
+        "attempts",
+        "failures",
+        rate.alias("failure_rate"),
+        tripped.alias("tripped"),
+        F.when(
+            tripped, F.lit(int(current_round) + int(cooldown_rounds))
+        ).cast("long").alias("resume_round"),
+    )

@@ -123,3 +123,36 @@ def test_adaptive_politeness_partition_invariant(spark):
     a = adaptive_politeness(df.repartition(1)).collect()
     b = adaptive_politeness(df.repartition(13)).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# ------------------------------------------------------ host_circuit_breaker
+
+
+def test_circuit_breaker_trips_only_with_evidence(spark):
+    from stock_crawler_spark.operators.recrawl import host_circuit_breaker
+
+    rows = (
+        [("down.com", 5, False)] * 12            # 12 failures -> trips
+        + [("flaky.com", 5, False)] * 4          # high rate but < min_attempts
+        + [("ok.com", 5, True)] * 20
+        + [("mixed.com", 5, False)] * 6 + [("mixed.com", 5, True)] * 6
+    )
+    df = spark.createDataFrame(rows, ["host", "round_id", "ok"])
+    got = {r.host: r for r in host_circuit_breaker(df, current_round=5).collect()}
+    assert got["down.com"].tripped and got["down.com"].resume_round == 7
+    assert not got["flaky.com"].tripped and got["flaky.com"].resume_round is None
+    assert not got["ok.com"].tripped
+    assert got["mixed.com"].tripped          # rate 0.5 == threshold trips
+    assert got["mixed.com"].failure_rate == 0.5
+
+
+def test_circuit_breaker_window_excludes_old_rounds(spark):
+    from stock_crawler_spark.operators.recrawl import host_circuit_breaker
+
+    rows = [("h.com", 1, False)] * 50 + [("h.com", 5, True)] * 10
+    df = spark.createDataFrame(rows, ["host", "round_id", "ok"])
+    got = host_circuit_breaker(df, current_round=5, window_rounds=3).collect()
+    assert len(got) == 1
+    r = got[0]
+    # only round-5 attempts are in the trailing window (rounds 3..5)
+    assert (r.attempts, r.failures, r.tripped) == (10, 0, False)
