@@ -1469,6 +1469,21 @@ def q82_circuit_breaker(spark, sf):
     return host_circuit_breaker(log, current_round=6)
 
 
+def q83_opic(spark, sf):
+    """OPIC adaptive page importance (operators/graph.opic) over the
+    q54 edge universe (h100-h119 are sinks — they pay only the virtual
+    node z, whose redistribution keeps them earning). Every float
+    reduction is a det_sum ordered fold, so the oracle unrolls the same
+    3 synchronous sweeps with the same fold order — exact match, no
+    tolerance."""
+    from stock_crawler_spark.operators.graph import opic
+
+    edges = _q50_edges(spark, sf).filter(
+        F.regexp_extract("src_dom", r"^h(\d+)\.com$", 1).cast("int") < PR_SRC_CAP
+    )
+    return opic(edges, n_iter=PR_ITER)
+
+
 def q78_weighted_sample(spark, sf):
     """Weighted sample without replacement (operators/training.
     weighted_sample, Efraimidis-Spirakis A-ES): 20 docs per lang with
@@ -1576,6 +1591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q80_dust_params": q80_dust_params,
         "q81_hrw_reshard": q81_hrw_reshard,
         "q82_circuit_breaker": q82_circuit_breaker,
+        "q83_opic": q83_opic,
     }
 
 
@@ -2140,6 +2156,77 @@ SELECT host, param, support, contradictions,
        round(contradictions / CAST(support + contradictions AS DOUBLE), 6) AS violation_rate,
        (support >= 2 AND contradictions <= round(0.0 * (support + contradictions), 9)) AS irrelevant
 FROM agg"""
+
+
+def _opic_oracle() -> str:
+    """Unrolled OPIC sweeps matching operators/graph.opic bit-for-bit:
+    same md5 bucketing and ordered folds for the per-node in-sums, the
+    virtual node z's intake, and the final normalizer; same
+    coalesce/division expression tree per cash update. Same edge
+    universe as the pagerank oracle."""
+    from stock_crawler_spark.operators.graph import DET_SUM_BUCKETS
+
+    def bkt(x: str) -> str:
+        return f"(('0x' || substr(md5({x}), 1, 15))::BIGINT % {DET_SUM_BUCKETS})"
+
+    sql = f"""
+WITH ks AS (
+  SELECT doc_id, unnest([1, 2, 3]) AS k FROM documents
+), e AS (
+  SELECT DISTINCT 'h' || CAST(doc_id % {GRAPH_HOSTS} AS VARCHAR) || '.com' AS s,
+         'h' || CAST((doc_id * 7 + k) % {GRAPH_HOSTS} AS VARCHAR) || '.com' AS d
+  FROM ks
+  WHERE doc_id % {GRAPH_HOSTS} < {PR_SRC_CAP}
+    AND doc_id % {GRAPH_HOSTS} <> (doc_id * 7 + k) % {GRAPH_HOSTS}
+), nodes AS (
+  SELECT s AS dom FROM e UNION SELECT d FROM e
+), st AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+od AS (SELECT s, count(*) AS od_n FROM e GROUP BY s),
+sh AS (
+  SELECT dom, CAST(coalesce(od_n, 0) + 1 AS DOUBLE) AS share
+  FROM nodes LEFT JOIN od ON nodes.dom = od.s
+),
+c0 AS (SELECT dom, CAST(1.0 AS DOUBLE) / (SELECT n FROM st) AS cash FROM nodes),
+h0 AS (SELECT dom, CAST(0 AS DOUBLE) AS hist FROM nodes)"""
+    for i in range(1, PR_ITER + 1):
+        p = i - 1
+        zc_prev = "CAST(0 AS DOUBLE)" if p == 0 else f"(SELECT zc FROM z{p})"
+        sql += f""",
+in{i}a AS (
+  SELECT e.d AS dom, {bkt('e.s')} AS b,
+         list_aggregate(list(c.cash / sh.share ORDER BY e.s), 'sum') AS s1
+  FROM e JOIN c{p} c ON e.s = c.dom JOIN sh ON e.s = sh.dom
+  GROUP BY 1, 2
+), in{i} AS (
+  SELECT dom, list_aggregate(list(s1 ORDER BY b), 'sum') AS c FROM in{i}a GROUP BY 1
+), z{i}a AS (
+  SELECT {bkt('c.dom')} AS b,
+         list_aggregate(list(c.cash / sh.share ORDER BY c.dom), 'sum') AS s1
+  FROM c{p} c JOIN sh ON c.dom = sh.dom GROUP BY 1
+), z{i} AS (
+  SELECT coalesce(list_aggregate(list(s1 ORDER BY b), 'sum'), CAST(0 AS DOUBLE)) AS zc
+  FROM z{i}a
+), c{i} AS (
+  SELECT n.dom, coalesce(i.c, CAST(0 AS DOUBLE)) + {zc_prev} / st.n AS cash
+  FROM nodes n CROSS JOIN st LEFT JOIN in{i} i ON n.dom = i.dom
+), h{i} AS (
+  SELECT h.dom, h.hist + c.cash AS hist
+  FROM h{p} h JOIN c{p} c ON h.dom = c.dom
+)"""
+    k = PR_ITER
+    sql += f""",
+ta AS (
+  SELECT {bkt('c.dom')} AS b,
+         list_aggregate(list(h.hist + c.cash ORDER BY c.dom), 'sum') AS s1
+  FROM c{k} c JOIN h{k} h ON c.dom = h.dom GROUP BY 1
+), tt AS (
+  SELECT coalesce(list_aggregate(list(s1 ORDER BY b), 'sum'), CAST(0 AS DOUBLE)) AS t
+  FROM ta
+)
+SELECT c.dom, round(c.cash, 9) AS cash, round(h.hist, 9) AS history,
+       round((h.hist + c.cash) / tt.t, 9) AS importance
+FROM c{k} c JOIN h{k} h ON c.dom = h.dom CROSS JOIN tt"""
+    return sql
 
 
 def _url_quality_oracle() -> str:
@@ -2787,6 +2874,7 @@ SELECT host, attempts, failures,
        CASE WHEN attempts >= 10 AND round(failures / CAST(attempts AS DOUBLE), 6) >= 0.5
             THEN CAST(8 AS BIGINT) END AS resume_round
 FROM agg""",
+        "q83_opic": _opic_oracle(),
         "q81_hrw_reshard": """
 WITH h AS (
   SELECT 'w' || CAST(doc_id AS VARCHAR) || '.net' AS host FROM documents

@@ -378,3 +378,123 @@ def hits(
     if truncate_lineage:
         e.unpersist()
     return out
+
+
+# --- OPIC (adaptive on-line page importance) -------------------------------------
+
+OPIC_ITER = 3
+
+
+def opic(
+    edges: DataFrame,
+    n_iter: int = OPIC_ITER,
+    src: str = "src_dom",
+    dst: str = "dst_dom",
+    buckets: int = DET_SUM_BUCKETS,
+    truncate_lineage: bool = True,
+) -> DataFrame:
+    """OPIC cash/history importance (Abiteboul-Preda-Cobena, WWW'03) ->
+    (dom, cash, history, importance).
+
+    PageRank above needs the whole graph and converged iterations; OPIC
+    was designed FOR crawl scheduling: every node carries CASH (to
+    distribute) and HISTORY (cash it has held), importance is read off
+    (history + cash) at ANY point — the estimate is usable after one
+    sweep and refines monotonically, which is exactly how a frontier
+    consumes it between rounds. A virtual node z closes the graph
+    (every node also pays z one share; z redistributes to all nodes
+    next sweep), so sinks leak nothing and disconnected nodes keep
+    earning — no damping constant.
+
+    Per sweep (synchronous batch variant — the crawl-round analog of
+    the paper's per-fetch updates):
+
+      history'(v) = history(v) + cash(v)
+      cash'(v)    = sum_{u->v} cash(u)/(od(u)+1) + cash(z)/N
+      cash'(z)    = sum_v cash(v)/(od(v)+1)
+
+    init cash = 1/N, history = 0, cash(z) = 0; importance is
+    (history + cash) normalized over nodes after the last sweep.
+
+    Every float reduction goes through det_sum's two-level ordered fold
+    — bit-reproducible across runs, partitionings, and engines (q83's
+    oracle unrolls the same sweeps). Same edge semantics and the same
+    per-sweep plan shape as pagerank: ONE large join (edges x state
+    keyed on src), det_sum keyed on dst, z's intake reduced to bucket
+    partials; state localCheckpoint-truncated per sweep.
+    """
+    e = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .filter(F.col("_s") != F.col("_d"))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("_s").alias("dom"))
+        .union(e.select(F.col("_d").alias("dom")))
+        .distinct()
+    )
+    stats = nodes.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    outdeg = e.groupBy(F.col("_s").alias("dom")).agg(
+        F.count(F.lit(1)).alias("_od")
+    )
+    # share = od+1: the +1 is the implicit edge to z
+    state = (
+        nodes.join(outdeg, "dom", "left")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "dom",
+            (F.coalesce(F.col("_od"), F.lit(0)) + F.lit(1)).cast("double").alias("_share"),
+            (F.lit(1.0) / F.col("_n")).alias("cash"),
+            F.lit(0.0).alias("history"),
+        )
+    )
+    if truncate_lineage:
+        state = state.localCheckpoint(eager=True)
+    zcash = stats.select(F.lit(0.0).alias("_zc"))
+    for _ in range(n_iter):
+        contrib = e.join(
+            state.select(F.col("dom").alias("_s"), "cash", "_share"), "_s"
+        ).select(
+            F.col("_d").alias("dom"),
+            F.col("_s"),
+            (F.col("cash") / F.col("_share")).alias("_c"),
+        )
+        summed = det_sum(contrib, ["dom"], "_s", "_c", "_sum", buckets)
+        z_in = det_sum(
+            state.withColumn("_tz", F.col("cash") / F.col("_share")),
+            [], "dom", "_tz", "_zc", buckets,
+        )
+        state = (
+            state.select(
+                "dom", "_share", (F.col("history") + F.col("cash")).alias("history")
+            )
+            .join(summed, "dom", "left")
+            .crossJoin(F.broadcast(zcash))
+            .crossJoin(F.broadcast(stats))
+            .select(
+                "dom",
+                "_share",
+                (
+                    F.coalesce(F.col("_sum"), F.lit(0.0))
+                    + F.col("_zc") / F.col("_n")
+                ).alias("cash"),
+                "history",
+            )
+        )
+        if truncate_lineage:
+            state = state.localCheckpoint(eager=True)
+        zcash = z_in
+    total = det_sum(
+        state.withColumn("_m", F.col("history") + F.col("cash")),
+        [], "dom", "_m", "_t", buckets,
+    )
+    out = state.crossJoin(F.broadcast(total)).select(
+        "dom",
+        F.round(F.col("cash"), 9).alias("cash"),
+        F.round(F.col("history"), 9).alias("history"),
+        F.round((F.col("history") + F.col("cash")) / F.col("_t"), 9).alias("importance"),
+    )
+    if truncate_lineage:
+        e.unpersist()
+    return out

@@ -243,3 +243,76 @@ def test_hits_duplicate_edges_and_selfloops_collapse(spark):
     a = hits(_edges(spark, noisy), n_iter=2).collect()
     b = hits(_edges(spark, HITS_PAIRS), n_iter=2).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# ----------------------------------------------------------------- opic
+
+
+def _opic_py(edges, n_iter):
+    """Driver-side OPIC twin (same synchronous sweep semantics)."""
+    from collections import Counter
+
+    nodes = sorted({u for u, v in edges} | {v for u, v in edges})
+    n = len(nodes)
+    od = Counter(u for u, v in edges)
+    cash = {d: 1.0 / n for d in nodes}
+    hist = {d: 0.0 for d in nodes}
+    zc = 0.0
+    for _ in range(n_iter):
+        new = {d: 0.0 for d in nodes}
+        for u, v in edges:
+            new[v] += cash[u] / (od[u] + 1)
+        z_in = sum(cash[d] / (od.get(d, 0) + 1) for d in nodes)
+        for d in nodes:
+            hist[d] += cash[d]
+        cash = {d: new[d] + zc / n for d in nodes}
+        zc = z_in
+    tot = sum(hist[d] + cash[d] for d in nodes)
+    return {d: (cash[d], hist[d], (hist[d] + cash[d]) / tot) for d in nodes}
+
+
+def _opic_edges():
+    return [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+        ("d", "c"),            # d has no in-links: earns only via z
+        ("e", "f"), ("f", "e"),  # separate component
+        ("g", "sink"),          # sink: no out-edges at all
+    ]
+
+
+def test_opic_matches_python_twin(spark):
+    from stock_crawler_spark.operators.graph import opic
+
+    edges = _opic_edges()
+    df = spark.createDataFrame(edges, ["src_dom", "dst_dom"])
+    got = {r.dom: r for r in opic(df, n_iter=4).collect()}
+    want = _opic_py(edges, 4)
+    assert set(got) == set(want)
+    for d, (c, h, imp) in want.items():
+        assert abs(got[d].cash - c) < 2e-9, d
+        assert abs(got[d].history - h) < 2e-9, d
+        assert abs(got[d].importance - imp) < 2e-9, d
+
+
+def test_opic_virtual_node_feeds_everyone(spark):
+    """Sinks and in-link-less nodes still hold cash (z redistribution):
+    nothing starves, no damping constant needed."""
+    from stock_crawler_spark.operators.graph import opic
+
+    df = spark.createDataFrame(_opic_edges(), ["src_dom", "dst_dom"])
+    got = {r.dom: r for r in opic(df, n_iter=4).collect()}
+    assert got["sink"].cash > 0.0 and got["d"].cash > 0.0
+    # importance normalizes to 1 over nodes
+    assert abs(sum(r.importance for r in got.values()) - 1.0) < 1e-6
+    # z holds the rest of the cash: node cash alone sums below 1
+    assert sum(r.cash for r in got.values()) < 1.0
+
+
+def test_opic_partition_invariant_bit_exact(spark):
+    from stock_crawler_spark.operators.graph import opic
+
+    edges = [(f"h{i % 23}", f"h{(i * 5 + 1) % 23}") for i in range(150)]
+    df = spark.createDataFrame(edges, ["src_dom", "dst_dom"])
+    a = sorted(map(tuple, opic(df.repartition(1), n_iter=3).collect()))
+    b = sorted(map(tuple, opic(df.repartition(16), n_iter=3).collect()))
+    assert a == b
