@@ -1497,6 +1497,61 @@ def q78_weighted_sample(spark, sf):
     return weighted_sample(docs, 20, "n_chars", ["lang"]).select("doc_id", "lang")
 
 
+def _pii_augmented_text(docs):
+    """Documents text + deterministic synthetic PII keyed off doc_id —
+    an email, an IPv4 literal, and (by doc_id mod 3) a US-formatted or
+    international phone number — so the scrub has real matches to mask.
+    The oracle rebuilds the identical augmentation with ``||``."""
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com ip 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0.1"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" call 202-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit(" tel +4915"),
+                F.lpad((F.col("doc_id") % 100000000).cast("string"), 8, "0"),
+            ),
+        )
+        .otherwise(F.lit("")),
+    )
+
+
+def q84_pii_scrub(spark, sf):
+    """PII scrubbing (functions/pii.with_pii_scrubbed): the Dolma /
+    RefinedWeb-style regex masking pass every public LLM pipeline runs
+    before training. Counts are measured independently per type on the
+    raw text; masks apply sequentially in PII_RULES order. The oracle
+    replays the exact same regexes (Java and RE2 evaluate this subset
+    identically — no lookaround, no backreferences) so the scrubbed
+    text md5 matches byte-for-byte."""
+    from stock_crawler_spark.functions.pii import with_pii_scrubbed
+
+    docs = _t(spark, sf, "documents")
+    aug = docs.select("doc_id", _pii_augmented_text(docs).alias("text"))
+    out = with_pii_scrubbed(aug, "text")
+    return out.select(
+        "doc_id",
+        "n_email",
+        "n_ipv4",
+        "n_phone_us",
+        "n_phone_intl",
+        F.md5("text_scrubbed").alias("scrub_md5"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver API
 # ---------------------------------------------------------------------------
@@ -1592,6 +1647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q81_hrw_reshard": q81_hrw_reshard,
         "q82_circuit_breaker": q82_circuit_breaker,
         "q83_opic": q83_opic,
+        "q84_pii_scrub": q84_pii_scrub,
     }
 
 
@@ -2316,6 +2372,46 @@ FROM per
 """
 
 
+def _pii_oracle() -> str:
+    """Replays functions/pii.with_pii_scrubbed over the q84 augmented
+    text: per-type counts via regexp_extract_all on the raw text, then
+    the sequential email→ipv4→phone_us→phone_intl global replace. The
+    regex strings come straight from PII_RULES so the two engines can
+    never drift; DuckDB single-quoted strings keep backslashes literal,
+    matching the Java pattern text exactly (quotes doubled only)."""
+    from stock_crawler_spark.functions.pii import PII_RULES
+
+    def q(pat: str) -> str:
+        return "'" + pat.replace("'", "''") + "'"
+
+    aug = """
+SELECT doc_id,
+  text || ' contact u' || CAST(doc_id AS VARCHAR) || '@mail'
+       || CAST(doc_id % 7 AS VARCHAR) || '.example.com ip 10.'
+       || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
+       || CASE
+            WHEN doc_id % 3 = 0 THEN ' call 202-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+            WHEN doc_id % 3 = 1 THEN ' tel +4915' || lpad(CAST(doc_id % 100000000 AS VARCHAR), 8, '0')
+            ELSE ''
+          END AS t
+FROM documents
+"""
+    counts = ",\n  ".join(
+        f"CAST(len(regexp_extract_all(t, {q(pat)})) AS BIGINT) AS n_{name}"
+        for name, pat, _ in PII_RULES
+    )
+    scrub = "t"
+    for _, pat, mask in PII_RULES:
+        scrub = f"regexp_replace({scrub}, {q(pat)}, '{mask}', 'g')"
+    return f"""
+WITH aug AS ({aug})
+SELECT doc_id,
+  {counts},
+  md5({scrub}) AS scrub_md5
+FROM aug
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q01_pricing_rollup": """
@@ -2875,6 +2971,7 @@ SELECT host, attempts, failures,
             THEN CAST(8 AS BIGINT) END AS resume_round
 FROM agg""",
         "q83_opic": _opic_oracle(),
+        "q84_pii_scrub": _pii_oracle(),
         "q81_hrw_reshard": """
 WITH h AS (
   SELECT 'w' || CAST(doc_id AS VARCHAR) || '.net' AS host FROM documents

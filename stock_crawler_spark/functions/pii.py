@@ -1,0 +1,77 @@
+"""PII scrubbing for webtext corpora — the masking stage every public
+LLM pipeline runs before training (Dolma's EmailAndPhone taggers,
+RefinedWeb/FineWeb's regex scrubbers).
+
+Deliberately REGEX-ONLY and deterministic: the patterns below are the
+high-precision core (emails, IPv4 literals, formatted phone numbers)
+shared by the public pipelines, written in the regex subset that Java
+(Spark) and RE2 (DuckDB/Go) evaluate identically — no lookaround, no
+backreferences — so the q84 oracle replays the exact same scrub.
+
+Semantics:
+  * counts are measured INDEPENDENTLY per type on the RAW text (a digit
+    run inside an email counts as both email and phone evidence);
+  * the scrubbed text applies replacements SEQUENTIALLY in the fixed
+    order email -> ipv4 -> phone (US formatted) -> phone
+    (international) — masks contain no digits, so later patterns can't
+    re-match inside an earlier mask.
+
+Everything is a per-row Column regexp chain: codegen, zero shuffles,
+scales as a mapper at any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# (name, pattern, mask) — order IS the scrub order
+PII_RULES: tuple[tuple[str, str, str], ...] = (
+    (
+        "email",
+        r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+        "<EMAIL_ADDRESS>",
+    ),
+    (
+        "ipv4",
+        r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+        "<IP_ADDRESS>",
+    ),
+    (
+        "phone_us",
+        r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b",
+        "<PHONE_NUMBER>",
+    ),
+    (
+        "phone_intl",
+        r"\+\d{8,15}\b",
+        "<PHONE_NUMBER>",
+    ),
+)
+
+
+def scrub_pii(text: Column) -> Column:
+    """Masked text: every rule applied in PII_RULES order."""
+    out = text
+    for _, pat, mask in PII_RULES:
+        out = F.regexp_replace(out, pat, mask)
+    return out
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-type match counts on the raw text (independent per rule)."""
+    return {
+        f"n_{name}": F.regexp_count(text, F.lit(pat))
+        for name, pat, _ in PII_RULES
+    }
+
+
+def with_pii_scrubbed(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds n_email / n_ipv4 / n_phone_us / n_phone_intl (ints, counted
+    on the raw text) and ``text_scrubbed``. Drop or keep the raw column
+    downstream per the corpus's retention policy."""
+    t = F.col(text_col)
+    cols = [df["*"]]
+    cols += [c.cast("long").alias(n) for n, c in pii_counts(t).items()]
+    cols.append(scrub_pii(t).alias("text_scrubbed"))
+    return df.select(*cols)

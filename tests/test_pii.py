@@ -1,0 +1,85 @@
+"""PII scrubbing (functions/pii) — Dolma/RefinedWeb-style regex masks.
+
+Pins the two semantic contracts the q84 oracle relies on:
+  * counts are independent per type on the RAW text;
+  * the scrub applies rules sequentially in PII_RULES order, and masks
+    contain no digits so later rules never re-match inside a mask.
+Plus Column==Python twin parity over the real documents corpus.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from stock_crawler_spark.functions.pii import (
+    PII_RULES,
+    scrub_pii,
+    with_pii_scrubbed,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def py_scrub(text: str) -> str:
+    for _, pat, mask in PII_RULES:
+        text = re.sub(pat, mask, text)
+    return text
+
+
+def py_counts(text: str) -> dict[str, int]:
+    return {f"n_{name}": len(re.findall(pat, text)) for name, pat, _ in PII_RULES}
+
+
+CASES = [
+    "write to alice.smith+spam@sub.example.co.uk today",
+    "server at 192.168.001.2 and 8.8.8.8:53",
+    "call 555-123-4567 or 555.123.4567 or 555 123 4567",
+    "intl +8613912345678 but not +1234567 (too short)",
+    # digit run inside an email: counts as BOTH email and phone evidence,
+    # but the scrub masks the email first so the phone never fires.
+    "mail 555-123-4567@phones.example.com now",
+    "no pii here at all",
+    "edge@x.io+4915012345678",
+    "",
+]
+
+
+def test_twin_parity_on_cases(spark):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(CASES)], "i long, text string")
+    out = with_pii_scrubbed(df, "text").orderBy("i").collect()
+    for row, raw in zip(out, CASES):
+        exp = py_counts(raw)
+        for k, v in exp.items():
+            assert row[k] == v, (raw, k, row[k], v)
+        assert row["text_scrubbed"] == py_scrub(raw), raw
+
+
+def test_counts_independent_and_scrub_sequential(spark):
+    raw = "mail 555-123-4567@phones.example.com now"
+    df = spark.createDataFrame([(raw,)], "text string")
+    row = with_pii_scrubbed(df, "text").collect()[0]
+    # the digit run is evidence for phone_us AND part of the email match
+    assert row["n_email"] == 1
+    assert row["n_phone_us"] == 1
+    # but sequential scrub masks the email first — no phone mask inside
+    assert row["text_scrubbed"] == "mail <EMAIL_ADDRESS> now"
+
+
+def test_masks_contain_no_digits():
+    # the sequential-scrub correctness argument: a mask can never feed a
+    # later rule's \d-based pattern
+    for _, _, mask in PII_RULES:
+        assert not re.search(r"\d", mask), mask
+
+
+def test_twin_parity_on_corpus(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(200)
+    rows = (
+        docs.select("text", scrub_pii(F.col("text")).alias("s"))
+        .collect()
+    )
+    for r in rows:
+        assert r["s"] == py_scrub(r["text"])
