@@ -1552,6 +1552,38 @@ def q84_pii_scrub(spark, sf):
     )
 
 
+FUNNEL_MIN_CHARS = 100
+FUNNEL_MIN_QUALITY = 0.7
+
+
+def q85_quality_funnel(spark, sf):
+    """Composed quality funnel (operators/funnel.quality_funnel): the
+    Dolma/RefinedWeb-style ordered filter chain with first-failure
+    attribution — too_short → non_english → repetitive (Gopher A1
+    repetition, q49's signals) → low_quality (q15's score). The oracle
+    rebuilds the same four predicates from the factored q14/q15/q49 SQL
+    and replays the CASE chain; verdicts are exact strings so the hash
+    pins both the signals and the attribution order."""
+    from stock_crawler_spark.operators.funnel import quality_funnel
+    from stock_crawler_spark.operators.lines import gopher_repetition
+
+    docs = _t(spark, sf, "documents")
+    rep = gopher_repetition(docs, line_tokens=LINE_TOKENS).select(
+        "doc_id", F.col("keep").alias("gopher_keep")
+    )
+    joined = docs.join(rep, "doc_id", "left")
+    stages = [
+        ("too_short", F.col("n_chars") < FUNNEL_MIN_CHARS),
+        ("non_english", T.lang_id(F.col("text")) != "en"),
+        ("repetitive", ~F.coalesce(F.col("gopher_keep"), F.lit(True))),
+        (
+            "low_quality",
+            F.round(T.quality_score(F.col("text")), 6) < FUNNEL_MIN_QUALITY,
+        ),
+    ]
+    return quality_funnel(joined, stages).select("doc_id", "verdict")
+
+
 # ---------------------------------------------------------------------------
 # driver API
 # ---------------------------------------------------------------------------
@@ -1648,6 +1680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q82_circuit_breaker": q82_circuit_breaker,
         "q83_opic": q83_opic,
         "q84_pii_scrub": q84_pii_scrub,
+        "q85_quality_funnel": q85_quality_funnel,
     }
 
 
@@ -1724,6 +1757,61 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.3
+"""
+
+_LANG_SQL = f"""
+SELECT doc_id,
+  CASE
+    WHEN length(text) > 0 AND
+         CAST(len(regexp_extract_all(text, '[一-鿿]')) AS DOUBLE) / length(text) > 0.25 THEN 'zh'
+    WHEN len({_TOKS}) > 0 AND
+         CAST(len(list_filter({_TOKS}, x -> x IN ({_STOP_SQL}))) AS DOUBLE) / len({_TOKS}) >= 0.08 THEN 'en'
+    ELSE 'und'
+  END AS lang_pred
+FROM documents
+"""
+
+_GOPHER_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, length(trim(text)) AS n_chars,
+         {_TOKS_RAW} AS t, {_TOKS} AS tl
+  FROM documents WHERE trim(text) <> ''
+), ls AS (
+  SELECT doc_id, list_transform(
+    generate_series(0, CAST(ceil(len(t) / {float(LINE_TOKENS)}) AS INT) - 1),
+    i -> array_to_string(t[(i*{LINE_TOKENS}+1):(i*{LINE_TOKENS}+{LINE_TOKENS})], ' ')) AS lns
+  FROM toks
+), per_line AS (
+  SELECT doc_id, line, count(*) AS c
+  FROM (SELECT doc_id, unnest(lns) AS line FROM ls) GROUP BY 1, 2
+), line_stats AS (
+  SELECT doc_id,
+    sum(c - 1) / sum(c) AS dlf,
+    sum((c - 1) * length(line)) / sum(c * length(line)) AS dlcf
+  FROM per_line GROUP BY 1
+), per_gram AS (
+  SELECT doc_id, gram, count(*) AS c FROM (
+    SELECT doc_id, unnest(list_transform(
+      generate_series(1, len(tl) - 1), i -> tl[i] || ' ' || tl[i+1])) AS gram
+    FROM toks WHERE len(tl) >= 2
+  ) GROUP BY 1, 2
+), top_gram AS (
+  SELECT doc_id, chars AS top_chars FROM (
+    SELECT doc_id, c * length(gram) AS chars,
+      row_number() OVER (PARTITION BY doc_id
+                         ORDER BY c * length(gram) DESC, gram) AS rn
+    FROM per_gram
+  ) WHERE rn = 1
+)
+SELECT s.doc_id,
+  round(s.dlf, 6) AS dup_line_frac,
+  round(s.dlcf, 6) AS dup_line_char_frac,
+  round(coalesce(g.top_chars, 0) / t.n_chars, 6) AS top2gram_char_frac,
+  (s.dlf <= 0.30 AND s.dlcf <= 0.20
+   AND coalesce(g.top_chars, 0) / t.n_chars <= 0.20) AS keep
+FROM line_stats s
+JOIN toks t USING (doc_id)
+LEFT JOIN top_gram g USING (doc_id)
 """
 
 _QUALITY_SQL = f"""
@@ -2497,17 +2585,7 @@ SELECT query_id, cand_id, round(cos, 6) AS cos_r, rank FROM (
   FROM scored
 ) WHERE rank <= 5
 """,
-        "q14_lang_id": f"""
-SELECT doc_id,
-  CASE
-    WHEN length(text) > 0 AND
-         CAST(len(regexp_extract_all(text, '[一-鿿]')) AS DOUBLE) / length(text) > 0.25 THEN 'zh'
-    WHEN len({_TOKS}) > 0 AND
-         CAST(len(list_filter({_TOKS}, x -> x IN ({_STOP_SQL}))) AS DOUBLE) / len({_TOKS}) >= 0.08 THEN 'en'
-    ELSE 'und'
-  END AS lang_pred
-FROM documents
-""",
+        "q14_lang_id": _LANG_SQL,
         "q15_quality": _QUALITY_SQL,
         "q16_token_counts": f"""
 SELECT doc_id,
@@ -2833,48 +2911,7 @@ SELECT l.doc_id, count(*) AS n_lines,
 FROM lines l JOIN freq f ON md5(l.line) = f.lh
 GROUP BY l.doc_id
 """,
-        "q49_gopher_quality": f"""
-WITH toks AS (
-  SELECT doc_id, length(trim(text)) AS n_chars,
-         {_TOKS_RAW} AS t, {_TOKS} AS tl
-  FROM documents WHERE trim(text) <> ''
-), ls AS (
-  SELECT doc_id, list_transform(
-    generate_series(0, CAST(ceil(len(t) / {float(LINE_TOKENS)}) AS INT) - 1),
-    i -> array_to_string(t[(i*{LINE_TOKENS}+1):(i*{LINE_TOKENS}+{LINE_TOKENS})], ' ')) AS lns
-  FROM toks
-), per_line AS (
-  SELECT doc_id, line, count(*) AS c
-  FROM (SELECT doc_id, unnest(lns) AS line FROM ls) GROUP BY 1, 2
-), line_stats AS (
-  SELECT doc_id,
-    sum(c - 1) / sum(c) AS dlf,
-    sum((c - 1) * length(line)) / sum(c * length(line)) AS dlcf
-  FROM per_line GROUP BY 1
-), per_gram AS (
-  SELECT doc_id, gram, count(*) AS c FROM (
-    SELECT doc_id, unnest(list_transform(
-      generate_series(1, len(tl) - 1), i -> tl[i] || ' ' || tl[i+1])) AS gram
-    FROM toks WHERE len(tl) >= 2
-  ) GROUP BY 1, 2
-), top_gram AS (
-  SELECT doc_id, chars AS top_chars FROM (
-    SELECT doc_id, c * length(gram) AS chars,
-      row_number() OVER (PARTITION BY doc_id
-                         ORDER BY c * length(gram) DESC, gram) AS rn
-    FROM per_gram
-  ) WHERE rn = 1
-)
-SELECT s.doc_id,
-  round(s.dlf, 6) AS dup_line_frac,
-  round(s.dlcf, 6) AS dup_line_char_frac,
-  round(coalesce(g.top_chars, 0) / t.n_chars, 6) AS top2gram_char_frac,
-  (s.dlf <= 0.30 AND s.dlcf <= 0.20
-   AND coalesce(g.top_chars, 0) / t.n_chars <= 0.20) AS keep
-FROM line_stats s
-JOIN toks t USING (doc_id)
-LEFT JOIN top_gram g USING (doc_id)
-""",
+        "q49_gopher_quality": _GOPHER_SQL,
         "q50_host_indegree": f"""
 WITH ks AS (
   SELECT doc_id, unnest([1, 2, 3]) AS k FROM documents
@@ -2972,6 +3009,21 @@ SELECT host, attempts, failures,
 FROM agg""",
         "q83_opic": _opic_oracle(),
         "q84_pii_scrub": _pii_oracle(),
+        "q85_quality_funnel": f"""
+WITH lang AS ({_LANG_SQL}), qual AS ({_QUALITY_SQL}), rep AS ({_GOPHER_SQL})
+SELECT d.doc_id,
+  CASE
+    WHEN d.n_chars < {FUNNEL_MIN_CHARS} THEN 'too_short'
+    WHEN l.lang_pred <> 'en' THEN 'non_english'
+    WHEN NOT coalesce(r.keep, TRUE) THEN 'repetitive'
+    WHEN q.quality < {FUNNEL_MIN_QUALITY} THEN 'low_quality'
+    ELSE 'kept'
+  END AS verdict
+FROM documents d
+JOIN lang l USING (doc_id)
+JOIN qual q USING (doc_id)
+LEFT JOIN rep r USING (doc_id)
+""",
         "q81_hrw_reshard": """
 WITH h AS (
   SELECT 'w' || CAST(doc_id AS VARCHAR) || '.net' AS host FROM documents

@@ -1,0 +1,76 @@
+"""Composed quality funnel — the keep/reject chain a webtext corpus
+actually runs before training (Dolma's mixer, RefinedWeb §3's pipeline
+table, Gopher A1): an ordered list of filters where each document is
+attributed to the FIRST rule that rejects it, plus the
+survivors-after-each-stage summary crawl operators watch per snapshot.
+
+The funnel adds no new compute of its own: stages are boolean "fails"
+Columns over the (optionally signal-joined) document row, composed into
+one chained CASE — whole-stage codegen, zero shuffles beyond what the
+signal joins already pay. First-failure attribution makes stage counts
+mutually exclusive and additive (they sum to n_docs), which is what
+lets funnels be compared across crawls and what a percent-rejected
+dashboard needs. At 100 TB the funnel is a mapper over the corpus; the
+summary is an O(stages) aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+Stage = tuple[str, Column]
+
+
+def quality_funnel(
+    docs: DataFrame,
+    stages: list[Stage],
+    keep_label: str = "kept",
+    verdict_col: str = "verdict",
+) -> DataFrame:
+    """Adds ``verdict``: the name of the FIRST stage whose "fails"
+    predicate is true, else ``keep_label``. ``stages`` order IS the
+    pipeline order. Signals that need aggregation (e.g. Gopher
+    repetition) are joined onto ``docs`` by the caller first; a stage
+    predicate must treat NULL as non-failing (coalesce) so left-join
+    misses fall through to later stages."""
+    verdict = F.lit(keep_label)
+    for name, fails in reversed(stages):
+        verdict = F.when(fails, F.lit(name)).otherwise(verdict)
+    return docs.withColumn(verdict_col, verdict)
+
+
+def funnel_summary(
+    labeled: DataFrame,
+    stage_order: list[str],
+    verdict_col: str = "verdict",
+) -> DataFrame:
+    """Per-stage (stage_idx, stage, n_rejected, survivors_after) from a
+    ``quality_funnel`` output. ``survivors_after`` is the doc count
+    still alive after that stage — the funnel curve. The whole
+    computation past the one groupBy is O(stages) rows; the unpartitioned
+    cumulative window is over those rows only, never the corpus."""
+    spark = labeled.sparkSession
+    idx = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(stage_order)], "stage_idx int, stage string"
+    )
+    counts = labeled.groupBy(F.col(verdict_col).alias("stage")).agg(
+        F.count("*").alias("n")
+    )
+    total = counts.agg(F.sum("n").alias("total"))
+    w_cum = Window.orderBy("stage_idx").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        idx.join(counts, "stage", "left")
+        .crossJoin(F.broadcast(total))
+        .withColumn("n_rejected", F.coalesce("n", F.lit(0)))
+        .select(
+            "stage_idx",
+            "stage",
+            "n_rejected",
+            (F.col("total") - F.sum("n_rejected").over(w_cum)).alias(
+                "survivors_after"
+            ),
+        )
+    )

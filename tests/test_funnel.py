@@ -1,0 +1,63 @@
+"""Quality funnel (operators/funnel) — first-failure attribution and
+the survivors-after-each-stage summary."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stock_crawler_spark.operators.funnel import funnel_summary, quality_funnel
+
+STAGES = ["a", "b", "c"]
+
+
+def _labeled(spark):
+    # fails_a/b/c chosen so every attribution case appears, including a
+    # row failing several stages (must attribute to the FIRST) and a
+    # NULL predicate (must fall through, not reject)
+    df = spark.createDataFrame(
+        [
+            (0, True, True, True),   # a (first failure wins)
+            (1, False, True, False), # b
+            (2, False, False, True), # c
+            (3, False, False, False),# kept
+            (4, None, True, False),  # NULL a -> falls through to b
+            (5, None, None, None),   # all NULL -> kept
+        ],
+        "doc_id long, fa boolean, fb boolean, fc boolean",
+    )
+    stages = [
+        ("a", F.coalesce(F.col("fa"), F.lit(False))),
+        ("b", F.coalesce(F.col("fb"), F.lit(False))),
+        ("c", F.coalesce(F.col("fc"), F.lit(False))),
+    ]
+    return quality_funnel(df, stages)
+
+
+def test_first_failure_attribution(spark):
+    got = {r["doc_id"]: r["verdict"] for r in _labeled(spark).collect()}
+    assert got == {0: "a", 1: "b", 2: "c", 3: "kept", 4: "b", 5: "kept"}
+
+
+def test_summary_cumulative_survivors(spark):
+    rows = funnel_summary(_labeled(spark), STAGES).orderBy("stage_idx").collect()
+    assert [(r["stage"], r["n_rejected"], r["survivors_after"]) for r in rows] == [
+        ("a", 1, 5),
+        ("b", 2, 3),
+        ("c", 1, 2),
+    ]
+
+
+def test_stage_counts_are_additive(spark):
+    # mutual exclusivity: rejected-per-stage + kept == n_docs
+    labeled = _labeled(spark)
+    counts = {r["verdict"]: r["count"] for r in labeled.groupBy("verdict").count().collect()}
+    assert sum(counts.values()) == labeled.count() == 6
+
+
+def test_zero_reject_stage_present_in_summary(spark):
+    df = spark.createDataFrame([(0, False)], "doc_id long, fa boolean")
+    labeled = quality_funnel(df, [("a", F.col("fa"))])
+    rows = funnel_summary(labeled, ["a"]).collect()
+    assert [(r["stage"], r["n_rejected"], r["survivors_after"]) for r in rows] == [
+        ("a", 0, 1)
+    ]
