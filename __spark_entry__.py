@@ -1584,6 +1584,26 @@ def q85_quality_funnel(spark, sf):
     return quality_funnel(joined, stages).select("doc_id", "verdict")
 
 
+SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
+SPLIT_SALT = "sp0"
+
+
+def q86_split_leakage(spark, sf):
+    """Hash-based train/val/test split + cross-split near-dup leakage
+    audit (operators/training.split_by_hash / split_leakage): assignment
+    is a pure integer comparison on the md5-derived 60-bit hash against
+    exact driver-computed cut points, so re-runs, resumes, and the
+    DuckDB oracle carve identical ranges; leakage counts each doc's
+    Jaccard>=0.3 neighbors (q10's pair generator) landing in another
+    split — the in-corpus analog of decontamination."""
+    from stock_crawler_spark.operators.training import split_by_hash, split_leakage
+
+    docs = _t(spark, sf, "documents")
+    assigned = split_by_hash(docs, SPLIT_WEIGHTS, salt=SPLIT_SALT)
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.3)
+    return split_leakage(assigned, pairs).select("doc_id", "split", "n_leaks")
+
+
 # ---------------------------------------------------------------------------
 # driver API
 # ---------------------------------------------------------------------------
@@ -1681,6 +1701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q83_opic": q83_opic,
         "q84_pii_scrub": q84_pii_scrub,
         "q85_quality_funnel": q85_quality_funnel,
+        "q86_split_leakage": q86_split_leakage,
     }
 
 
@@ -2500,6 +2521,39 @@ FROM aug
 """
 
 
+def _split_oracle() -> str:
+    """Replays split_by_hash (same exact integer cut points, same
+    md5-60-bit hash) and the leakage join over the q10 Jaccard pairs."""
+    from stock_crawler_spark.operators.training import split_thresholds
+
+    ths = split_thresholds(SPLIT_WEIGHTS)
+    case = "CASE\n"
+    for upper, name in ths[:-1]:
+        case += f"    WHEN h < {upper} THEN '{name}'\n"
+    case += f"    ELSE '{ths[-1][1]}'\n  END"
+    return f"""
+WITH pairs AS ({_JACCARD_CTE}), assigned AS (
+  SELECT doc_id, {case} AS split
+  FROM (SELECT doc_id,
+          ('0x' || substr(md5('{SPLIT_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        FROM documents)
+), edges AS (
+  SELECT doc_a AS doc, doc_b AS other FROM pairs
+  UNION ALL
+  SELECT doc_b AS doc, doc_a AS other FROM pairs
+), cross_links AS (
+  SELECT e.doc, count(*) AS n
+  FROM edges e
+  JOIN assigned x ON e.doc = x.doc_id
+  JOIN assigned y ON e.other = y.doc_id
+  WHERE x.split <> y.split
+  GROUP BY 1
+)
+SELECT a.doc_id, a.split, CAST(coalesce(c.n, 0) AS BIGINT) AS n_leaks
+FROM assigned a LEFT JOIN cross_links c ON a.doc_id = c.doc
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q01_pricing_rollup": """
@@ -3009,6 +3063,7 @@ SELECT host, attempts, failures,
 FROM agg""",
         "q83_opic": _opic_oracle(),
         "q84_pii_scrub": _pii_oracle(),
+        "q86_split_leakage": _split_oracle(),
         "q85_quality_funnel": f"""
 WITH lang AS ({_LANG_SQL}), qual AS ({_QUALITY_SQL}), rep AS ({_GOPHER_SQL})
 SELECT d.doc_id,

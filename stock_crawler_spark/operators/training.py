@@ -262,3 +262,80 @@ def weighted_sample(
         .filter(F.col("_rn2") <= k)
         .drop("_s", "_salt", "_rn", "_rn2")
     )
+
+
+def split_thresholds(weights: dict[str, float]) -> list[tuple[int, str]]:
+    """(upper_bound, name) cut points on the 60-bit hash line, in dict
+    order. Bounds are EXACT integers computed once driver-side, so the
+    assignment is a pure integer comparison in any engine — no float
+    boundary drift between Spark and an SQL replay."""
+    total = float(sum(weights.values()))
+    out: list[tuple[int, str]] = []
+    cum = 0.0
+    for name, w in weights.items():
+        cum += w / total
+        out.append((min(int(cum * (1 << 60)), 1 << 60), name))
+    out[-1] = (1 << 60, out[-1][1])  # close the line exactly
+    return out
+
+
+def split_by_hash(
+    docs: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by keyed hash — the split
+    every training pipeline needs to be partition-, rerun-, and
+    resume-invariant: membership depends only on (salt, id). Weights are
+    normalized; dict insertion order fixes the bucket layout, so the
+    same weights always carve the same hash ranges (adding docs never
+    reassigns existing ones). Pure Column chain — a codegen mapper."""
+    ths = split_thresholds(weights)
+    h = _md5_hash60(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    expr = F.lit(ths[-1][1])
+    for upper, name in reversed(ths[:-1]):
+        expr = F.when(h < F.lit(upper), F.lit(name)).otherwise(expr)
+    return docs.withColumn(split_col, expr)
+
+
+def split_leakage(
+    assigned: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    split_col: str = "split",
+) -> DataFrame:
+    """Cross-split near-dup leakage audit: per doc, how many of its
+    near-duplicate neighbors (``pairs``: doc_a/doc_b from any pair
+    generator — exact Jaccard, LSH, SimHash) landed in a DIFFERENT
+    split. A nonzero count on a test doc means its content leaks into
+    train — the in-corpus analog of benchmark decontamination.
+
+    Scale: pairs is the (small) near-dup edge set; both id joins are
+    plain hash joins on the id key, and the final attach is a left join
+    of the corpus against the O(|pairs|) aggregate — linear end-to-end,
+    never corpus x corpus."""
+    edges = pairs.select(
+        F.col("doc_a").alias("_doc"), F.col("doc_b").alias("_other")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("_doc"), F.col("doc_a").alias("_other"))
+    )
+    a = assigned.select(F.col(id_col).alias("_doc"), F.col(split_col).alias("_s_doc"))
+    b = assigned.select(
+        F.col(id_col).alias("_other"), F.col(split_col).alias("_s_other")
+    )
+    cross = (
+        edges.join(a, "_doc")
+        .join(b, "_other")
+        .filter(F.col("_s_doc") != F.col("_s_other"))
+        .groupBy("_doc")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    return (
+        assigned.join(cross, assigned[id_col] == cross["_doc"], "left")
+        .select(
+            assigned["*"],
+            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_leaks"),
+        )
+    )

@@ -1,0 +1,66 @@
+"""Hash split + cross-split leakage audit (operators/training)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from stock_crawler_spark.operators.training import (
+    split_by_hash,
+    split_leakage,
+    split_thresholds,
+)
+
+W = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def test_thresholds_exact_and_closed():
+    ths = split_thresholds(W)
+    assert [n for _, n in ths] == ["train", "val", "test"]
+    assert ths[-1][0] == 1 << 60  # line closed: every hash lands somewhere
+    assert all(isinstance(u, int) for u, _ in ths)
+    # deterministic: the same dict always carves the same line
+    assert split_thresholds(dict(W)) == ths
+    assert 0 < ths[0][0] < ths[1][0] < ths[2][0]
+
+
+@pytest.fixture(scope="module")
+def assigned(spark):
+    docs = spark.range(0, 20000).withColumnRenamed("id", "doc_id")
+    return split_by_hash(docs, W, salt="t").cache()
+
+
+def test_proportions_near_weights(assigned):
+    counts = {r["split"]: r["count"] for r in assigned.groupBy("split").count().collect()}
+    assert set(counts) == set(W)
+    for name, w in W.items():
+        assert counts[name] == pytest.approx(20000 * w / sum(W.values()), rel=0.15)
+
+
+def test_partition_invariance(spark, assigned):
+    base = {r["doc_id"]: r["split"] for r in assigned.collect()}
+    docs = spark.range(0, 20000).withColumnRenamed("id", "doc_id").repartition(17)
+    again = {r["doc_id"]: r["split"] for r in split_by_hash(docs, W, salt="t").collect()}
+    assert again == base
+
+
+def test_growing_corpus_never_reassigns(spark, assigned):
+    # membership depends only on (salt, id): adding docs changes nothing
+    base = {r["doc_id"]: r["split"] for r in assigned.collect()}
+    bigger = spark.range(0, 30000).withColumnRenamed("id", "doc_id")
+    grown = {r["doc_id"]: r["split"] for r in split_by_hash(bigger, W, salt="t").collect()}
+    assert {k: grown[k] for k in base} == base
+
+
+def test_leakage_counts(spark):
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    # force known splits via a stub assignment column
+    a = docs.withColumn(
+        "split", F.when(F.col("doc_id") < 3, "train").otherwise("test")
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 3), (0, 4), (3, 4), (2, 5)], "doc_a long, doc_b long"
+    )
+    got = {r["doc_id"]: r["n_leaks"] for r in split_leakage(a, pairs).collect()}
+    # 0: neighbors 1(train, same), 3, 4 (test) -> 2 ; 3: 0 (cross) + 4 (same) -> 1
+    assert got == {0: 2, 1: 0, 2: 1, 3: 1, 4: 1, 5: 1}
