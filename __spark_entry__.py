@@ -1604,6 +1604,46 @@ def q86_split_leakage(spark, sf):
     return split_leakage(assigned, pairs).select("doc_id", "split", "n_leaks")
 
 
+def q87_snapshot_diff(spark, sf):
+    """Cross-snapshot crawl diff + per-host churn (operators/cdx.
+    snapshot_diff/host_churn — the CDX 'revisit' mechanic between two
+    monthly crawls). Synthetic snapshots from doc_id arithmetic: old
+    covers ids [0,N), new ids [50,N+50) (50 removed, 50 added), every
+    id%7==0 capture changes digest. Oracle replays the derivation, the
+    full-outer diff CASE, and the churn join."""
+    from stock_crawler_spark.operators.cdx import host_churn, snapshot_diff
+
+    docs = _t(spark, sf, "documents")
+
+    def snap(idc):
+        return F.concat(
+            F.lit("https://h"),
+            (idc % 50).cast("string"),
+            F.lit(".com/p"),
+            idc.cast("string"),
+        )
+
+    old = docs.select(
+        snap(F.col("doc_id")).alias("url"),
+        F.md5(F.concat(F.lit("d:"), F.col("doc_id").cast("string"))).alias("digest"),
+    )
+    nid = F.col("doc_id") + 50
+    new = docs.select(
+        snap(nid).alias("url"),
+        F.when(nid % 7 == 0, F.md5(F.concat(F.lit("D:"), nid.cast("string"))))
+        .otherwise(F.md5(F.concat(F.lit("d:"), nid.cast("string"))))
+        .alias("digest"),
+    )
+    diff = snapshot_diff(old, new)
+    host = F.regexp_extract("url", r"https://(h\d+\.com)/", 1)
+    churn = host_churn(diff, host)
+    return (
+        diff.withColumn("host", host)
+        .join(churn.select("host", "change_rate"), "host")
+        .select("url", "status", "change_rate")
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver API
 # ---------------------------------------------------------------------------
@@ -1702,6 +1742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q84_pii_scrub": q84_pii_scrub,
         "q85_quality_funnel": q85_quality_funnel,
         "q86_split_leakage": q86_split_leakage,
+        "q87_snapshot_diff": q87_snapshot_diff,
     }
 
 
@@ -3064,6 +3105,33 @@ FROM agg""",
         "q83_opic": _opic_oracle(),
         "q84_pii_scrub": _pii_oracle(),
         "q86_split_leakage": _split_oracle(),
+        "q87_snapshot_diff": r"""
+WITH old AS (
+  SELECT 'https://h' || CAST(doc_id % 50 AS VARCHAR) || '.com/p' || CAST(doc_id AS VARCHAR) AS url,
+         md5('d:' || CAST(doc_id AS VARCHAR)) AS digest
+  FROM documents
+), new AS (
+  SELECT 'https://h' || CAST((doc_id + 50) % 50 AS VARCHAR) || '.com/p' || CAST(doc_id + 50 AS VARCHAR) AS url,
+         CASE WHEN (doc_id + 50) % 7 = 0 THEN md5('D:' || CAST(doc_id + 50 AS VARCHAR))
+              ELSE md5('d:' || CAST(doc_id + 50 AS VARCHAR)) END AS digest
+  FROM documents
+), d AS (
+  SELECT coalesce(o.url, n.url) AS url,
+    CASE WHEN o.digest IS NULL THEN 'added'
+         WHEN n.digest IS NULL THEN 'removed'
+         WHEN o.digest = n.digest THEN 'unchanged'
+         ELSE 'changed' END AS status
+  FROM old o FULL OUTER JOIN new n ON o.url = n.url
+), h AS (
+  SELECT regexp_extract(url, 'https://(h\d+\.com)/', 1) AS host, url, status FROM d
+), churn AS (
+  SELECT host,
+    round(CAST(sum(CASE WHEN status <> 'unchanged' THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS change_rate
+  FROM h GROUP BY 1
+)
+SELECT h.url, h.status, churn.change_rate
+FROM h JOIN churn USING (host)
+""",
         "q85_quality_funnel": f"""
 WITH lang AS ({_LANG_SQL}), qual AS ({_QUALITY_SQL}), rep AS ({_GOPHER_SQL})
 SELECT d.doc_id,

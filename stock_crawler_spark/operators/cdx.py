@@ -113,3 +113,53 @@ def cdx_index(
         .filter(F.col("surt").isNotNull())
         .orderBy("surt", "ts")
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "url",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Cross-snapshot capture diff — the CDX 'revisit' mechanic applied
+    between two whole crawls (CC-MAIN-A vs CC-MAIN-B): per URL, whether
+    the capture was added, removed, changed (digest differs), or
+    unchanged (a revisit record in WARC terms — the payload need not be
+    stored again). One full-outer hash join on the URL key — linear in
+    the snapshot sizes, co-located for free when snapshot tables are
+    bucketed by the URL hash (this engine's frontier sharding).
+    """
+    o = old.select(key_col, F.col(digest_col).alias("_d_old"))
+    n = new.select(key_col, F.col(digest_col).alias("_d_new"))
+    status = (
+        F.when(F.col("_d_old").isNull(), "added")
+        .when(F.col("_d_new").isNull(), "removed")
+        .when(F.col("_d_old") == F.col("_d_new"), "unchanged")
+        .otherwise("changed")
+    )
+    return o.join(n, key_col, "full_outer").select(key_col, status.alias("status"))
+
+
+def host_churn(diff: DataFrame, host: Column, round_dp: int = 6) -> DataFrame:
+    """Per-host churn from a ``snapshot_diff``: capture counts by status
+    and change_rate = non-unchanged fraction — the host-level signal
+    recrawl budgeting consumes (high-churn hosts earn revisit budget,
+    parked hosts age out). One partial-agg groupBy; output is O(hosts),
+    broadcastable back into scheduling."""
+    return (
+        diff.groupBy(host.alias("host"))
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.sum(F.when(F.col("status") != "unchanged", 1).otherwise(0)).alias(
+                "n_changed"
+            ),
+        )
+        .select(
+            "host",
+            "n_urls",
+            "n_changed",
+            F.round(F.col("n_changed") / F.col("n_urls"), round_dp).alias(
+                "change_rate"
+            ),
+        )
+    )

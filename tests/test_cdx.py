@@ -129,3 +129,22 @@ def test_surt_property_matches_urllib_oracle(spark):
     # createDataFrame preserves row order for a local list
     for (url, want), s in zip(cases, got):
         assert s == want, (url, want, s)
+
+
+def test_snapshot_diff_statuses(spark):
+    from stock_crawler_spark.operators.cdx import host_churn, snapshot_diff
+
+    old = spark.createDataFrame(
+        [("u1", "a"), ("u2", "b"), ("u3", "c")], "url string, digest string"
+    )
+    new = spark.createDataFrame(
+        [("u2", "b"), ("u3", "X"), ("u4", "d")], "url string, digest string"
+    )
+    got = {r["url"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    assert got == {"u1": "removed", "u2": "unchanged", "u3": "changed", "u4": "added"}
+
+    churn = host_churn(snapshot_diff(old, new), F.lit("h")).collect()
+    assert len(churn) == 1
+    r = churn[0]
+    # 3 of 4 urls are not 'unchanged'
+    assert (r["n_urls"], r["n_changed"], r["change_rate"]) == (4, 3, 0.75)
