@@ -1644,6 +1644,30 @@ def q87_snapshot_diff(spark, sf):
     )
 
 
+def q88_redirect_chains(spark, sf):
+    """Redirect-chain resolution (operators/redirects.resolve_redirects,
+    pointer doubling — O(log max_hops) join rounds). Synthetic 3xx
+    graph from doc_id arithmetic: id%5!=0 redirects one step down the
+    chain (terminals at multiples of 5), and id%485==0 terminals
+    self-loop — so chains ending there are cycle-tainted and must come
+    back UNRESOLVED with NULL final/hops, never a wrong target. Oracle
+    walks the same chains with a recursive CTE."""
+    from stock_crawler_spark.operators.redirects import resolve_redirects
+
+    docs = _t(spark, sf, "documents")
+
+    def u(c):
+        return F.concat(F.lit("https://r.com/u"), c.cast("string"))
+
+    chain = docs.filter(F.col("doc_id") % 5 != 0).select(
+        u(F.col("doc_id")).alias("src"), u(F.col("doc_id") - 1).alias("dst")
+    )
+    loops = docs.filter(F.col("doc_id") % 485 == 0).select(
+        u(F.col("doc_id")).alias("src"), u(F.col("doc_id")).alias("dst")
+    )
+    return resolve_redirects(chain.unionByName(loops), max_hops=32)
+
+
 # ---------------------------------------------------------------------------
 # driver API
 # ---------------------------------------------------------------------------
@@ -1743,6 +1767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q85_quality_funnel": q85_quality_funnel,
         "q86_split_leakage": q86_split_leakage,
         "q87_snapshot_diff": q87_snapshot_diff,
+        "q88_redirect_chains": q88_redirect_chains,
     }
 
 
@@ -3105,6 +3130,29 @@ FROM agg""",
         "q83_opic": _opic_oracle(),
         "q84_pii_scrub": _pii_oracle(),
         "q86_split_leakage": _split_oracle(),
+        "q88_redirect_chains": """
+WITH RECURSIVE edges AS (
+  SELECT 'https://r.com/u' || CAST(doc_id AS VARCHAR) AS src,
+         'https://r.com/u' || CAST(doc_id - 1 AS VARCHAR) AS dst
+  FROM documents WHERE doc_id % 5 <> 0
+  UNION ALL
+  SELECT 'https://r.com/u' || CAST(doc_id AS VARCHAR),
+         'https://r.com/u' || CAST(doc_id AS VARCHAR)
+  FROM documents WHERE doc_id % 485 = 0
+), walk(src, cur, hops) AS (
+  SELECT src, dst, 1 FROM edges
+  UNION ALL
+  SELECT w.src, e.dst, w.hops + 1
+  FROM walk w JOIN edges e ON w.cur = e.src
+  WHERE w.hops < 32
+), fin AS (
+  SELECT src, cur AS final_url, hops
+  FROM walk WHERE cur NOT IN (SELECT src FROM edges) AND hops <= 32
+)
+SELECT e.src AS url, f.final_url, CAST(f.hops AS BIGINT) AS n_hops,
+       f.final_url IS NOT NULL AS resolved
+FROM edges e LEFT JOIN fin f ON e.src = f.src
+""",
         "q87_snapshot_diff": r"""
 WITH old AS (
   SELECT 'https://h' || CAST(doc_id % 50 AS VARCHAR) || '.com/p' || CAST(doc_id AS VARCHAR) AS url,

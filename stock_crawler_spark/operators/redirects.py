@@ -1,0 +1,97 @@
+"""Redirect-chain resolution — following 3xx chains to their final
+target, the alias-collapse every crawler runs before dedup/seen-set
+insertion (a chain's members are all the same page; Heritrix and
+wget cap chains at ~20-30 hops and treat loops as fetch failures).
+
+Spark-first: pointer doubling, the same O(log chain-length) trick as
+operators/components — after k rounds the jump table covers min(2^k,
+dist-to-terminal) steps, so ceil(log2(max_hops)) equi-join rounds
+resolve every chain up to max_hops. A naive per-hop loop would need
+max_hops shuffle rounds; at web scale chains are short but the ROUND
+COUNT is the serial fraction, so log2 matters. All joins are plain
+hash equi-joins on the url key; lineage is truncated per round
+(localCheckpoint) exactly like components.
+
+Semantics:
+  * input edges (src, dst): src redirects (one hop) to dst; a url that
+    is never a src is terminal;
+  * resolved src -> (final_url, n_hops exact, resolved=true);
+  * a chain that has not terminated within max_hops (a cycle, a
+    self-loop, or a genuinely too-long chain) -> resolved=false with
+    NULL final/hops — the fetch-failure verdict, never a wrong target.
+
+No overshoot: a jump from u covers min(2^k, dist(u, terminal)) steps
+because doubling left-joins the second half and keeps the shorter hop
+when the midpoint is terminal — so hop counts stay exact.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def resolve_redirects(edges: DataFrame, max_hops: int = 32) -> DataFrame:
+    """Resolve every redirect source to its final target.
+
+    edges: (src, dst) one-hop redirects, one row per src.
+    Returns (url, final_url, n_hops, resolved) with one row per src.
+    """
+    rounds = max(1, math.ceil(math.log2(max_hops)))
+    e = edges.select("src", "dst").localCheckpoint(eager=True)
+
+    state = e.select("src", F.col("dst").alias("cur"), F.lit(1).alias("hops"))
+    jump = e.select(
+        F.col("src").alias("j_src"),
+        F.col("dst").alias("j_dst"),
+        F.lit(1).alias("j_len"),
+    )
+    for _ in range(rounds):
+        state = (
+            state.join(jump, state["cur"] == jump["j_src"], "left")
+            .select(
+                "src",
+                F.coalesce("j_dst", "cur").alias("cur"),
+                (F.col("hops") + F.coalesce("j_len", F.lit(0))).alias("hops"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        j2 = jump.select(
+            F.col("j_src").alias("b_src"),
+            F.col("j_dst").alias("b_dst"),
+            F.col("j_len").alias("b_len"),
+        )
+        jump = (
+            jump.join(j2, jump["j_dst"] == j2["b_src"], "left")
+            .select(
+                "j_src",
+                F.coalesce("b_dst", "j_dst").alias("j_dst"),
+                (F.col("j_len") + F.coalesce("b_len", F.lit(0))).alias("j_len"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    is_src = e.select(F.col("src").alias("cur")).distinct().withColumn(
+        "_is_src", F.lit(True)
+    )
+    done = F.col("_is_src").isNull() & (F.col("hops") <= max_hops)
+    return (
+        state.join(is_src, "cur", "left")
+        .select(
+            F.col("src").alias("url"),
+            F.when(done, F.col("cur")).alias("final_url"),
+            F.when(done, F.col("hops")).cast("long").alias("n_hops"),
+            done.alias("resolved"),
+        )
+    )
+
+
+def collapse_aliases(resolved: DataFrame) -> DataFrame:
+    """(alias_url, canonical_url) pairs for the seen-set / dedup fold:
+    every RESOLVED redirect source is an alias of its final target.
+    Unresolved (cycle) urls are excluded — they have no canonical."""
+    return resolved.filter(F.col("resolved")).select(
+        F.col("url").alias("alias_url"), F.col("final_url").alias("canonical_url")
+    )

@@ -1,0 +1,57 @@
+"""Redirect-chain resolution (operators/redirects)."""
+
+from __future__ import annotations
+
+from stock_crawler_spark.operators.redirects import (
+    collapse_aliases,
+    resolve_redirects,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def test_chain_exact_hops(spark):
+    # a -> b -> c -> d (terminal): exact hop counts, shared final
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    got = {r["url"]: (r["final_url"], r["n_hops"], r["resolved"])
+           for r in resolve_redirects(e).collect()}
+    assert got == {"a": ("d", 3, True), "b": ("d", 2, True), "c": ("d", 1, True)}
+
+
+def test_cycle_unresolved_never_wrong_target(spark):
+    # 2-cycle + a chain feeding it: all unresolved, NULL final/hops
+    e = _edges(spark, [("x", "y"), ("y", "x"), ("a", "x")])
+    got = {r["url"]: (r["final_url"], r["n_hops"], r["resolved"])
+           for r in resolve_redirects(e).collect()}
+    assert got == {
+        "x": (None, None, False),
+        "y": (None, None, False),
+        "a": (None, None, False),
+    }
+
+
+def test_self_loop_unresolved(spark):
+    e = _edges(spark, [("s", "s"), ("t", "s")])
+    got = {r["url"]: r["resolved"] for r in resolve_redirects(e).collect()}
+    assert got == {"s": False, "t": False}
+
+
+def test_max_hops_cutoff(spark):
+    # chain of length 6 with max_hops=4: too long -> unresolved
+    pairs = [(f"u{i}", f"u{i+1}") for i in range(6)]
+    e = _edges(spark, pairs)
+    got = {r["url"]: (r["resolved"], r["n_hops"])
+           for r in resolve_redirects(e, max_hops=4).collect()}
+    assert got["u5"] == (True, 1)
+    assert got["u2"] == (True, 4)
+    assert got["u0"] == (False, None)  # needs 6 hops
+    assert got["u1"] == (False, None)  # needs 5
+
+
+def test_collapse_aliases_excludes_cycles(spark):
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("x", "x")])
+    got = {r["alias_url"]: r["canonical_url"]
+           for r in collapse_aliases(resolve_redirects(e)).collect()}
+    assert got == {"a": "c", "b": "c"}
