@@ -323,3 +323,43 @@ def test_canonical_fold_is_narrow_codegen(docs):
     )
     plan = _plan(fold_canonical(pages))
     assert "Exchange" not in plan and "EvalPython" not in plan, plan
+
+
+def test_pii_scrub_plan_is_shuffle_free_codegen(docs):
+    """PII scrubbing must stay a pure mapper: no Exchange, no Python
+    eval, one whole-stage codegen span over the scan."""
+    from stock_crawler_spark.functions.pii import with_pii_scrubbed
+
+    plan = _plan(with_pii_scrubbed(docs))
+    assert "Exchange" not in plan and "EvalPython" not in plan, plan
+    # "* Project" = the node sits inside a whole-stage-codegen span
+    assert "* Project" in plan, plan
+
+
+def test_split_by_hash_plan_is_shuffle_free(docs):
+    """Split assignment is a codegen mapper — hash + integer compares."""
+    from stock_crawler_spark.operators.training import split_by_hash
+
+    plan = _plan(split_by_hash(docs, {"train": 0.9, "val": 0.1}))
+    assert "Exchange" not in plan and "EvalPython" not in plan, plan
+    assert "* Project" in plan, plan
+
+
+def test_snapshot_diff_is_single_hash_join_pass(docs):
+    """The cross-snapshot diff must be ONE join of the two snapshots —
+    never a cartesian, never a nested loop."""
+    from stock_crawler_spark.operators.cdx import snapshot_diff
+
+    old = docs.select(F.col("doc_id").cast("string").alias("url"),
+                      F.md5("text").alias("digest"))
+    new = docs.select(F.col("doc_id").cast("string").alias("url"),
+                      F.md5(F.concat(F.lit("x"), "text")).alias("digest"))
+    plan = _plan(snapshot_diff(old, new))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    # formatted mode prints each node twice (tree + detail header);
+    # count detail headers ") <Join>" — exactly one join node, full outer
+    n_joins = sum(
+        plan.count(f") {j}")
+        for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+    assert n_joins == 1 and "FullOuter" in plan, plan
