@@ -1668,6 +1668,32 @@ def q88_redirect_chains(spark, sf):
     return resolve_redirects(chain.unionByName(loops), max_hops=32)
 
 
+def q89_semantic_dedup(spark, sf):
+    """SemDeDup (Abbas et al. 2023) as pure composition: embedding
+    cosine pairs (q25's IVF-cell blocking, never all-pairs) → connected
+    components (q40's pointer-doubling operator) → ONE survivor per
+    semantic cluster. Survivor policy here is min id — deterministic
+    stand-in for the paper's farthest-from-centroid choice (an argmin
+    swap, not a structural change). Returns every vector with its
+    cluster rep and the kept verdict."""
+    from stock_crawler_spark.operators.components import connected_components
+
+    emb = _t(spark, sf, "embeddings")
+    pairs = ann.embedding_neardup_pairs(
+        emb, threshold=NEARDUP_THRESHOLD, n_cells=NEARDUP_CELLS
+    )
+    comp = connected_components(
+        pairs.select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    )
+    out = emb.select("vec_id").join(comp, emb["vec_id"] == comp["doc"], "left")
+    rep = F.coalesce(F.col("rep"), F.col("vec_id"))
+    return out.select(
+        "vec_id",
+        rep.cast("long").alias("rep"),
+        (rep == F.col("vec_id")).alias("kept"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver API
 # ---------------------------------------------------------------------------
@@ -1768,6 +1794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q86_split_leakage": q86_split_leakage,
         "q87_snapshot_diff": q87_snapshot_diff,
         "q88_redirect_chains": q88_redirect_chains,
+        "q89_semantic_dedup": q89_semantic_dedup,
     }
 
 
@@ -3130,6 +3157,27 @@ FROM agg""",
         "q83_opic": _opic_oracle(),
         "q84_pii_scrub": _pii_oracle(),
         "q86_split_leakage": _split_oracle(),
+        "q89_semantic_dedup": f"""
+WITH RECURSIVE prs AS (
+  SELECT id_a AS doc_a, id_b AS doc_b FROM ({_NEARDUP_SQL})
+), sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM prs UNION SELECT doc_b, doc_a FROM prs
+), reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+), labels AS (
+  SELECT a AS doc, min(m) AS rep FROM (
+    SELECT a, b AS m FROM reach
+    UNION ALL
+    SELECT DISTINCT a, a FROM sym
+  ) GROUP BY a
+)
+SELECT v.vec_id,
+  CAST(coalesce(l.rep, v.vec_id) AS BIGINT) AS rep,
+  coalesce(l.rep, v.vec_id) = v.vec_id AS kept
+FROM embeddings v LEFT JOIN labels l ON v.vec_id = l.doc
+""",
         "q88_redirect_chains": """
 WITH RECURSIVE edges AS (
   SELECT 'https://r.com/u' || CAST(doc_id AS VARCHAR) AS src,

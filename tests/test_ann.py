@@ -209,3 +209,21 @@ def test_neardup_multiprobe_recall_vs_bruteforce(spark, emb):
     assert len(p4) >= len(p1)               # multi-probe only adds recall
     assert len(p4) / len(truth) >= 0.8, (len(p1), len(p4), len(truth))
     sub.unpersist()
+
+
+def test_semantic_dedup_composition(spark):
+    """SemDeDup composition: pairs -> components -> one survivor per
+    cluster; isolated vectors keep themselves."""
+    import __spark_entry__ as entry
+
+    out = entry.q89_semantic_dedup(spark, "/root/testdata/sf0.001").cache()
+    rows = out.collect()
+    by_rep = {}
+    for r in rows:
+        by_rep.setdefault(r["rep"], []).append(r)
+    for rep, members in by_rep.items():
+        kept = [m for m in members if m["kept"]]
+        # exactly one survivor per cluster, and it IS the rep (min id)
+        assert len(kept) == 1
+        assert kept[0]["vec_id"] == rep == min(m["vec_id"] for m in members)
+    out.unpersist()
