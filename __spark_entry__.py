@@ -1694,6 +1694,18 @@ def q89_semantic_dedup(spark, sf):
     )
 
 
+def q90_gopher_ngrams(spark, sf):
+    """The rest of Gopher's repetition table (operators/lines.
+    gopher_ngram_battery): top-{3,4}-gram char mass and duplicate-
+    {5,10}-gram repeat mass per doc (n=2 and the line rules live in
+    q49). Oracle rebuilds each n's gram explode with the same tokens
+    and tie-breaks."""
+    from stock_crawler_spark.operators.lines import gopher_ngram_battery
+
+    docs = _t(spark, sf, "documents")
+    return gopher_ngram_battery(docs)
+
+
 # ---------------------------------------------------------------------------
 # driver API
 # ---------------------------------------------------------------------------
@@ -1795,6 +1807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q87_snapshot_diff": q87_snapshot_diff,
         "q88_redirect_chains": q88_redirect_chains,
         "q89_semantic_dedup": q89_semantic_dedup,
+        "q90_gopher_ngrams": q90_gopher_ngrams,
     }
 
 
@@ -3157,6 +3170,58 @@ FROM agg""",
         "q83_opic": _opic_oracle(),
         "q84_pii_scrub": _pii_oracle(),
         "q86_split_leakage": _split_oracle(),
+        "q90_gopher_ngrams": f"""
+WITH toks AS (
+  SELECT doc_id, length(trim(text)) AS n_chars, {_TOKS} AS tl
+  FROM documents WHERE trim(text) <> ''
+), g3 AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(tl) - 2),
+    i -> array_to_string(tl[i:i+2], ' '))) AS gram
+  FROM toks WHERE len(tl) >= 3
+), p3 AS (
+  SELECT doc_id, gram, count(*) AS c FROM g3 GROUP BY 1, 2
+), t3 AS (
+  SELECT doc_id, chars FROM (
+    SELECT doc_id, c * length(gram) AS chars,
+      row_number() OVER (PARTITION BY doc_id
+                         ORDER BY c * length(gram) DESC, gram) AS rn
+    FROM p3) WHERE rn = 1
+), g4 AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(tl) - 3),
+    i -> array_to_string(tl[i:i+3], ' '))) AS gram
+  FROM toks WHERE len(tl) >= 4
+), p4 AS (
+  SELECT doc_id, gram, count(*) AS c FROM g4 GROUP BY 1, 2
+), t4 AS (
+  SELECT doc_id, chars FROM (
+    SELECT doc_id, c * length(gram) AS chars,
+      row_number() OVER (PARTITION BY doc_id
+                         ORDER BY c * length(gram) DESC, gram) AS rn
+    FROM p4) WHERE rn = 1
+), g5 AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(tl) - 4),
+    i -> array_to_string(tl[i:i+4], ' '))) AS gram
+  FROM toks WHERE len(tl) >= 5
+), d5 AS (
+  SELECT doc_id, sum((c - 1) * length(gram)) / sum(c * length(gram)) AS frac
+  FROM (SELECT doc_id, gram, count(*) AS c FROM g5 GROUP BY 1, 2) GROUP BY 1
+), g10 AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(tl) - 9),
+    i -> array_to_string(tl[i:i+9], ' '))) AS gram
+  FROM toks WHERE len(tl) >= 10
+), d10 AS (
+  SELECT doc_id, sum((c - 1) * length(gram)) / sum(c * length(gram)) AS frac
+  FROM (SELECT doc_id, gram, count(*) AS c FROM g10 GROUP BY 1, 2) GROUP BY 1
+)
+SELECT tk.doc_id,
+  round(coalesce(t3.chars, 0) / tk.n_chars, 6) AS top3gram_char_frac,
+  round(coalesce(t4.chars, 0) / tk.n_chars, 6) AS top4gram_char_frac,
+  round(coalesce(d5.frac, 0), 6) AS dup5gram_char_frac,
+  round(coalesce(d10.frac, 0), 6) AS dup10gram_char_frac
+FROM toks tk
+LEFT JOIN t3 USING (doc_id) LEFT JOIN t4 USING (doc_id)
+LEFT JOIN d5 USING (doc_id) LEFT JOIN d10 USING (doc_id)
+""",
         "q89_semantic_dedup": f"""
 WITH RECURSIVE prs AS (
   SELECT id_a AS doc_a, id_b AS doc_b FROM ({_NEARDUP_SQL})

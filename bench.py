@@ -39,6 +39,8 @@ HEADLINE = [
     "q29_bloom_dedup",
     "q42_bm25",
     "q44_html_extract",
+    "q84_pii_scrub",
+    "q85_quality_funnel",
     "q48_line_dedup",
     # q50 (single-pass indegree) represents the graph family here; the
     # iterative q54 pagerank stays in the oracle gate but its sf0.1 wall

@@ -196,3 +196,101 @@ def gopher_repetition(
             & (top_frac <= max_top2gram_char_frac)
         ).alias("keep"),
     )
+
+
+def gopher_ngram_battery(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_ns: tuple[int, ...] = (3, 4),
+    dup_ns: tuple[int, ...] = (5, 10),
+) -> DataFrame:
+    """The rest of Gopher's repetition table (Rae et al. 2021 A1):
+    per document,
+
+      top{n}gram_char_frac   chars of the most frequent word n-gram
+                             (count*len, first-by-gram tie-break)
+                             / text chars, for n in top_ns (paper: 2-4;
+                             n=2 lives in gopher_repetition)
+      dup{n}gram_char_frac   gram-chars in REPEAT occurrences
+                             (sum (c-1)*len over grams with c>1
+                             / sum c*len), for n in dup_ns (paper: 5-10)
+
+    The dup fraction counts repeat-occurrence mass over total gram mass
+    — the same shape as gopher_repetition's dup_line_char_frac, exactly
+    SQL-replayable; the paper's span-union variant needs interval
+    merging that no engine replays bit-for-bit.
+
+    One explode per n, each a linear groupBy keyed by (doc, gram) with
+    map-side partials — at web scale this is the same cost family as
+    the 2-gram pass, n times. Docs with no n-gram at some n (< n
+    tokens) get 0.0 for that column.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = docs.filter(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col).alias("doc"),
+        F.length(F.trim(F.col(text_col))).alias("n_chars"),
+        toks.alias("t"),
+    )
+
+    def grams_of(n: int) -> DataFrame:
+        k = F.size(F.col("t")) - (n - 1)
+        g = F.when(k <= 0, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, n)),
+            )
+        )
+        return base.select("doc", "n_chars", F.explode_outer(g).alias("gram"))
+
+    out = base.select("doc")
+    for n in top_ns:
+        per = grams_of(n).groupBy("doc", "n_chars", "gram").agg(
+            F.count("*").alias("c")
+        )
+        top = per.groupBy("doc").agg(
+            F.min_by(
+                F.col("c") * F.length("gram"),
+                F.when(
+                    F.col("gram").isNotNull(),
+                    F.struct(
+                        (-F.col("c") * F.length("gram")).alias("neg"),
+                        F.col("gram"),
+                    ),
+                ),
+            ).alias("chars"),
+            F.first("n_chars").alias("n_chars"),
+        )
+        frac = F.when(
+            F.col("n_chars") > 0,
+            F.coalesce(F.col("chars"), F.lit(0)).cast("double") / F.col("n_chars"),
+        ).otherwise(F.lit(0.0))
+        out = out.join(
+            top.select("doc", F.round(frac, 6).alias(f"top{n}gram_char_frac")),
+            "doc",
+        )
+    for n in dup_ns:
+        per = grams_of(n).filter(F.col("gram").isNotNull()).groupBy(
+            "doc", "gram"
+        ).agg(F.count("*").alias("c"))
+        dup = per.groupBy("doc").agg(
+            (
+                F.sum((F.col("c") - 1) * F.length("gram"))
+                / F.sum(F.col("c") * F.length("gram"))
+            ).alias("frac")
+        )
+        out = out.join(
+            dup.select(
+                "doc",
+                F.round(F.coalesce("frac", F.lit(0.0)), 6).alias(
+                    f"dup{n}gram_char_frac"
+                ),
+            ),
+            "doc",
+            "left",
+        )
+        out = out.withColumn(
+            f"dup{n}gram_char_frac",
+            F.coalesce(F.col(f"dup{n}gram_char_frac"), F.lit(0.0)),
+        )
+    return out.withColumnRenamed("doc", id_col)

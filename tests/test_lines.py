@@ -122,3 +122,44 @@ def test_gopher_tie_break_deterministic(spark):
         for n in (1, 7)
     ]
     assert rows[0] == rows[1]
+
+
+def test_gopher_ngram_battery_hand_computed(spark):
+    from stock_crawler_spark.operators.lines import gopher_ngram_battery
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "x y"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in gopher_ngram_battery(docs).collect()}
+    # empty text filtered entirely
+    assert set(rows) == {1, 2}
+    r1 = rows[1]
+    # 3-grams "a b a"(2) / "b a b"(2): tie -> first gram, mass 2*5=10, n_chars=11
+    assert r1["top3gram_char_frac"] == round(10 / 11, 6)
+    # 4-grams: "a b a b" x2 -> 2*7=14 (overlap mass can exceed n_chars)
+    assert r1["top4gram_char_frac"] == round(14 / 11, 6)
+    # 5-grams all unique -> 0; 10-grams absent (6 tokens) -> 0
+    assert r1["dup5gram_char_frac"] == 0.0
+    assert r1["dup10gram_char_frac"] == 0.0
+    # doc with < 3 tokens: all zero, still present
+    r2 = rows[2]
+    assert (
+        r2["top3gram_char_frac"],
+        r2["top4gram_char_frac"],
+        r2["dup5gram_char_frac"],
+        r2["dup10gram_char_frac"],
+    ) == (0.0, 0.0, 0.0, 0.0)
+
+
+def test_gopher_ngram_battery_dup_mass(spark):
+    from stock_crawler_spark.operators.lines import gopher_ngram_battery
+
+    # "p q r s t" x3 (15 tokens) is 5-periodic: EVERY 5-gram repeats —
+    # "p q r s t" c=3 (pos 1,6,11), the 4 rotations c=2 each; 11
+    # occurrences total, each len 9
+    text = " ".join(["p q r s t"] * 3)
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = gopher_ngram_battery(docs).collect()[0]
+    # repeat mass (3-1)*9 + 4*(2-1)*9 = 54 over total 11*9 = 99
+    assert r["dup5gram_char_frac"] == round(54 / 99, 6)
