@@ -1706,6 +1706,20 @@ def q90_gopher_ngrams(spark, sf):
     return gopher_ngram_battery(docs)
 
 
+def q91_wet_roundtrip(spark, sf):
+    """Common-Crawl WET loop (parsers/warc.wet_segments /
+    parse_wet_records): build gzip-member conversion (text/plain)
+    segments from documents, parse them back spec-correctly. The oracle
+    derives url / WARC-Date / refers-to / text DIRECTLY from documents
+    arithmetic, so any framing or byte slip in either direction breaks
+    the match."""
+    from stock_crawler_spark.parsers.warc import parse_wet_records, wet_segments
+
+    docs = _t(spark, sf, "documents")
+    parsed = parse_wet_records(wet_segments(docs, docs_per_segment=100))
+    return parsed.select("url", "warc_date", "refers_to", "text")
+
+
 # ---------------------------------------------------------------------------
 # driver API
 # ---------------------------------------------------------------------------
@@ -1808,6 +1822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q88_redirect_chains": q88_redirect_chains,
         "q89_semantic_dedup": q89_semantic_dedup,
         "q90_gopher_ngrams": q90_gopher_ngrams,
+        "q91_wet_roundtrip": q91_wet_roundtrip,
     }
 
 
@@ -3170,6 +3185,15 @@ FROM agg""",
         "q83_opic": _opic_oracle(),
         "q84_pii_scrub": _pii_oracle(),
         "q86_split_leakage": _split_oracle(),
+        "q91_wet_roundtrip": """
+SELECT 'https://h' || (doc_id % 120) || '.com/d' || doc_id AS url,
+  printf('2024-01-%02dT%02d:%02d:%02dZ',
+         doc_id // 86400 + 1, (doc_id % 86400) // 3600,
+         (doc_id % 3600) // 60, doc_id % 60) AS warc_date,
+  '<urn:uuid:seg' || (doc_id // 100) || '-doc' || doc_id || '>' AS refers_to,
+  coalesce(text, '') AS text
+FROM documents
+""",
         "q90_gopher_ngrams": f"""
 WITH toks AS (
   SELECT doc_id, length(trim(text)) AS n_chars, {_TOKS} AS tl

@@ -94,8 +94,13 @@ def _warc_date(ts_s: int) -> str:
 
 
 def build_record(url: str, ts_s: int, payload: bytes, rec_id: str,
-                 warc_type: str = "response") -> bytes:
-    """One spec-complete WARC record (uncompressed bytes)."""
+                 warc_type: str = "response",
+                 refers_to: str | None = None) -> bytes:
+    """One spec-complete WARC record (uncompressed bytes).
+
+    ``conversion`` is the WET layout: text/plain block, no HTTP
+    envelope, ``WARC-Refers-To`` naming the response record the text
+    was extracted from."""
     if warc_type == "response":
         http = (
             b"HTTP/1.1 200 OK" + CRLF
@@ -105,6 +110,9 @@ def build_record(url: str, ts_s: int, payload: bytes, rec_id: str,
             + payload
         )
         block_type = b"application/http; msgtype=response"
+    elif warc_type == "conversion":
+        http = payload
+        block_type = b"text/plain"
     else:  # warcinfo and friends: bare block, no HTTP envelope
         http = payload
         block_type = b"application/warc-fields"
@@ -116,6 +124,8 @@ def build_record(url: str, ts_s: int, payload: bytes, rec_id: str,
         b"Content-Type: " + block_type,
         b"Content-Length: " + str(len(http)).encode(),
     ]
+    if refers_to:
+        head.insert(3, b"WARC-Refers-To: <urn:uuid:" + refers_to.encode() + b">")
     if url:
         head.insert(3, b"WARC-Target-URI: " + url.encode())
     return CRLF.join(head) + CRLF + CRLF + http + CRLF + CRLF
@@ -197,8 +207,10 @@ def _split_gzip_members(blob: bytes) -> Iterator[bytes]:
         rest = d.unused_data
 
 
-def _parse_one_segment(blob: bytes, compress: bool) -> Iterator[dict]:
-    """Yield response-record dicts from one segment's bytes.
+def _parse_one_segment(
+    blob: bytes, compress: bool, want: str = "response"
+) -> Iterator[dict]:
+    """Yield ``want``-record dicts from one segment's bytes.
 
     Spec-driven framing: header lines to the first blank line, then
     exactly Content-Length block bytes, then the record separator.
@@ -231,7 +243,15 @@ def _parse_one_segment(blob: bytes, compress: bool) -> Iterator[dict]:
                 break  # block continues in next member
             block = buf[body_start : body_start + clen]
             buf = buf[body_start + clen :]
-            if headers.get("warc-type") != "response":
+            if headers.get("warc-type") != want:
+                continue
+            if want == "conversion":
+                yield {
+                    "url": headers.get("warc-target-uri"),
+                    "warc_date": headers.get("warc-date"),
+                    "refers_to": headers.get("warc-refers-to"),
+                    "text": block.decode("utf-8", "replace"),
+                }
                 continue
             http_end = block.find(CRLF + CRLF)
             status_line = block[: block.find(CRLF)].decode("ascii", "replace")
@@ -280,4 +300,101 @@ def parse_warc_records(
 
     return segments.select("segment_id", "warc").mapInPandas(
         _run, PARSED_SCHEMA
+    )
+
+
+WET_PARSED_SCHEMA = StructType(
+    [
+        StructField("segment_id", LongType()),
+        StructField("url", StringType()),
+        StructField("warc_date", StringType()),
+        StructField("refers_to", StringType()),
+        StructField("text", StringType()),
+    ]
+)
+
+
+def wet_segments(
+    docs: DataFrame,
+    docs_per_segment: int = 100,
+    compress: bool = True,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic Common-Crawl WET segments — the extracted-text twin
+    of ``warc_segments``: a leading ``warcinfo`` record, then one
+    ``conversion`` (text/plain) record per doc in doc-id order, each
+    ``WARC-Refers-To`` the doc's response record id. Same grouped
+    applyInPandas build, same url/date arithmetic, so a WET segment
+    pairs 1:1 with its WARC segment."""
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        seg_id = int(pdf["segment_id"].iloc[0])
+        parts = [
+            build_record(
+                "", seg_id, b"software: stock-crawler-spark synthetic\r\n",
+                f"wet{seg_id}-info", warc_type="warcinfo",
+            )
+        ]
+        for did, text in zip(pdf["doc_id"], pdf["text"]):
+            did = int(did)
+            parts.append(
+                build_record(
+                    f"https://h{did % 120}.com/d{did}",
+                    did,
+                    ("" if text is None else str(text)).encode("utf-8"),
+                    f"wet{seg_id}-doc{did}",
+                    warc_type="conversion",
+                    refers_to=f"seg{seg_id}-doc{did}",
+                )
+            )
+        if compress:
+            blob = b"".join(_gzip_member(p) for p in parts)
+        else:
+            blob = b"".join(parts)
+        return pd.DataFrame(
+            {
+                "segment_id": pd.Series([seg_id], dtype="int64"),
+                "warc": [blob],
+                "n_records": pd.Series([len(parts)], dtype="int64"),
+            }
+        )
+
+    staged = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(text_col).alias("text"),
+        (F.col(id_col).cast("long") / docs_per_segment)
+        .cast("long")
+        .alias("segment_id"),
+    )
+    return staged.groupBy("segment_id").applyInPandas(_build, SEGMENT_SCHEMA)
+
+
+def parse_wet_records(
+    segments: DataFrame, compress: bool = True, emit_batch: int = 1024
+) -> DataFrame:
+    """WET segments -> one row per ``conversion`` record (utf-8 text).
+    Same Arrow-batched mapInPandas framing as ``parse_warc_records``."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[dict] = []
+            for seg_id, blob in zip(pdf["segment_id"], pdf["warc"]):
+                try:
+                    for rec in _parse_one_segment(
+                        bytes(blob), compress, want="conversion"
+                    ):
+                        rec["segment_id"] = int(seg_id)
+                        out.append(rec)
+                        if len(out) >= emit_batch:
+                            yield pd.DataFrame(out)[WET_PARSED_SCHEMA.names]
+                            out = []
+                except (ValueError, KeyError, IndexError) as e:
+                    raise ValueError(f"segment {seg_id}: {e}") from e
+            if out:
+                yield pd.DataFrame(out)[WET_PARSED_SCHEMA.names]
+
+    return segments.select("segment_id", "warc").mapInPandas(
+        _run, WET_PARSED_SCHEMA
     )

@@ -108,3 +108,54 @@ def test_segment_build_deterministic(spark):
         for r in warc_segments(docs.repartition(7), docs_per_segment=50).collect()
     }
     assert a == b
+
+
+def test_wet_record_bytes_layout():
+    from stock_crawler_spark.parsers.warc import build_record
+
+    rec = build_record(
+        "https://h1.com/d1", 61, "hi there".encode(), "wet0-doc1",
+        warc_type="conversion", refers_to="seg0-doc1",
+    )
+    assert rec.startswith(b"WARC/1.0\r\nWARC-Type: conversion\r\n")
+    assert b"WARC-Target-URI: https://h1.com/d1\r\n" in rec
+    assert b"WARC-Refers-To: <urn:uuid:seg0-doc1>\r\n" in rec
+    assert b"Content-Type: text/plain\r\n" in rec
+    assert b"Content-Length: 8\r\n" in rec
+    # no HTTP envelope: block is the bare text
+    assert rec.endswith(b"\r\n\r\nhi there\r\n\r\n")
+
+
+def test_wet_roundtrip_and_warc_pairing(spark):
+    from stock_crawler_spark.parsers.warc import (
+        parse_warc_records,
+        parse_wet_records,
+        wet_segments,
+        warc_segments,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i} körper\n line") for i in range(25)],
+        "doc_id long, text string",
+    )
+    wet = parse_wet_records(wet_segments(docs, docs_per_segment=10)).collect()
+    assert len(wet) == 25
+    by_url = {r["url"]: r for r in wet}
+    for i in range(25):
+        r = by_url[f"https://h{i % 120}.com/d{i}"]
+        assert r["text"] == f"text {i} körper\n line"
+        assert r["refers_to"] == f"<urn:uuid:seg{i // 10}-doc{i}>"
+    # pairing: WET text == utf-8 decode of the WARC response payload
+    warc = {
+        r["url"]: bytes(r["payload"]).decode("utf-8")
+        for r in parse_warc_records(warc_segments(docs, docs_per_segment=10)).collect()
+    }
+    assert {u: r["text"] for u, r in by_url.items()} == warc
+
+
+def test_wet_parser_skips_response_records(spark):
+    # a WARC (response) file parsed with the WET parser yields nothing
+    from stock_crawler_spark.parsers.warc import parse_wet_records, warc_segments
+
+    docs = spark.createDataFrame([(1, "t")], "doc_id long, text string")
+    assert parse_wet_records(warc_segments(docs)).count() == 0
