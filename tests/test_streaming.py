@@ -294,3 +294,48 @@ def test_kafka_sink_rejects_null_topic_and_bad_schema(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="needs"):
         drain(spark.createDataFrame([("t", "not-binary")], "topic string, value string"), 1)
+
+
+def test_streaming_pii_and_funnel_match_batch(spark, tmp_path):
+    """The new corpus mappers (PII scrub, funnel verdicts) are pure
+    Column chains, so they apply to a stream UNCHANGED and must produce
+    row-identical output to batch on the same docs."""
+    from pyspark.sql import functions as F
+
+    from stock_crawler_spark.functions.pii import with_pii_scrubbed
+    from stock_crawler_spark.operators.funnel import quality_funnel
+
+    rows = [
+        (1, "mail me at a@b.com or call 555-123-4567 now please ok"),
+        (2, "short"),
+        (3, "plain text with no pii in it at all but words " * 3),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "docs_stream")
+    df.coalesce(1).write.parquet(path)
+
+    def xform(d):
+        scrubbed = with_pii_scrubbed(d)
+        stages = [
+            ("too_short", F.length("text") < 10),
+            ("has_pii", (F.col("n_email") + F.col("n_phone_us")) > 0),
+        ]
+        return quality_funnel(scrubbed, stages).select(
+            "doc_id", "n_email", "n_phone_us", "text_scrubbed", "verdict"
+        )
+
+    stream = spark.readStream.schema(spark.read.parquet(path).schema).parquet(path)
+    q = (
+        xform(stream)
+        .writeStream.format("memory")
+        .queryName("pii_funnel")
+        .option("checkpointLocation", str(tmp_path / "ckpt_pii"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql("select * from pii_funnel").collect()))
+    want = sorted(map(tuple, xform(spark.read.parquet(path)).collect()))
+    assert got == want
+    verd = {t[0]: t[4] for t in got}
+    assert verd == {1: "has_pii", 2: "too_short", 3: "kept"}
