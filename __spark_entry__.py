@@ -1720,6 +1720,62 @@ def q91_wet_roundtrip(spark, sf):
     return parsed.select("url", "warc_date", "refers_to", "text")
 
 
+def q92_bpe_train(spark, sf):
+    """Distributed BPE tokenizer training (operators/bpe, Sennrich et
+    al. 2016): one corpus-scale word-frequency pass, then 3 merge
+    iterations over the distinct-word table only (pair explode +
+    bounded groupBy + parallel TakeOrdered argmax + JVM greedy-fold
+    apply). Output is the post-training symbol inventory — any wrong
+    merge or mis-applied fold shifts it, so the table verifies the
+    whole chained training trajectory. Oracle replays all 3 iterations
+    as CTEs with DuckDB ``list_reduce`` running the identical greedy
+    fold."""
+    from stock_crawler_spark.operators.bpe import bpe_symbols, bpe_train
+
+    docs = _t(spark, sf, "documents")
+    _, vocab = bpe_train(docs, n_merges=3)
+    return bpe_symbols(vocab)
+
+
+LM_SPLIT = {"train": 0.9, "val": 0.1}
+LM_SALT = "lm0"
+
+
+def q93_bigram_lm(spark, sf):
+    """Bigram LM train + held-out scoring (functions/lm — the KenLM
+    rung above q59's unigram, trained distributed): hash-split the
+    corpus 90/10 (split_by_hash — leakage-free by construction), fit
+    interpolated bigram/add-one-unigram counts on train, score every
+    val doc's cross-entropy. Counts are two map-side-combine groupBys;
+    scoring is three linear hash joins + a 1-row totals broadcast.
+    Floats follow the BM25 contract: identical interpolation shape
+    both engines, ln rounded 12, position-ordered fold, round 6."""
+    from stock_crawler_spark.functions.lm import bigram_lm, bigram_nll
+    from stock_crawler_spark.operators.training import split_by_hash
+
+    docs = split_by_hash(
+        _t(spark, sf, "documents"), LM_SPLIT, salt=LM_SALT
+    )
+    train = docs.filter(F.col("split") == "train")
+    val = docs.filter(F.col("split") == "val")
+    uni, bi, totals = bigram_lm(train)
+    return bigram_nll(val, uni, bi, totals)
+
+
+def q94_epoch_shuffle(spark, sf):
+    """Deterministic per-epoch training-data shuffle (operators/
+    training.epoch_shuffle): md5(seed, epoch, id) permutation keys with
+    the distributed global-index pattern — range repartition (the ONE
+    shuffle), per-partition mii rank, driver offsets of O(partitions x
+    epochs) scalars — never a single-partition row_number window. The
+    oracle IS that naive global window, so the scalable plan must
+    reproduce it position-for-position."""
+    from stock_crawler_spark.operators.training import epoch_shuffle
+
+    docs = _t(spark, sf, "documents")
+    return epoch_shuffle(docs, seed=7, n_epochs=2)
+
+
 # ---------------------------------------------------------------------------
 # driver API
 # ---------------------------------------------------------------------------
@@ -1823,6 +1879,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q89_semantic_dedup": q89_semantic_dedup,
         "q90_gopher_ngrams": q90_gopher_ngrams,
         "q91_wet_roundtrip": q91_wet_roundtrip,
+        "q92_bpe_train": q92_bpe_train,
+        "q93_bigram_lm": q93_bigram_lm,
+        "q94_epoch_shuffle": q94_epoch_shuffle,
     }
 
 
@@ -2675,6 +2734,133 @@ FROM assigned a LEFT JOIN cross_links c ON a.doc_id = c.doc
 """
 
 
+def _bpe_oracle(n_merges: int = 3, max_word_len: int = 64) -> str:
+    """Replays operators/bpe.bpe_train iteration by iteration: per
+    iteration a pair-count CTE, a (cnt DESC, l, r) argmax CTE, and an
+    apply CTE running the IDENTICAL greedy left-to-right fold via
+    DuckDB list_reduce (acc on a list-of-lists so the first symbol
+    seeds the accumulator; out-of-range acc[len] is NULL -> append,
+    matching Spark's F.get on the empty array)."""
+    ctes = [
+        f"""wf AS (
+  SELECT t AS word, count(*) AS freq
+  FROM (SELECT unnest({_TOKS}) AS t FROM documents WHERE trim(text) <> '')
+  WHERE t <> '' GROUP BY 1
+), v0 AS (
+  SELECT word, freq, string_split(word, '') AS syms
+  FROM wf WHERE length(word) <= {max_word_len}
+)"""
+    ]
+    for i in range(1, n_merges + 1):
+        ctes.append(
+            f"""p{i} AS (
+  SELECT pr[1] AS l, pr[2] AS r, sum(freq) AS cnt
+  FROM (SELECT freq,
+          unnest([[syms[x + 1], syms[x + 2]] FOR x IN range(len(syms) - 1)]) AS pr
+        FROM v{i - 1})
+  GROUP BY 1, 2
+), t{i} AS (SELECT l, r FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1),
+v{i} AS (
+  SELECT word, freq,
+    list_reduce(list_transform(syms, s -> [s]),
+      (acc, x) -> CASE WHEN acc[len(acc)] = t{i}.l AND x[1] = t{i}.r
+                  THEN list_append(acc[1:len(acc) - 1], t{i}.l || t{i}.r)
+                  ELSE list_append(acc, x[1]) END) AS syms
+  FROM v{i - 1} CROSS JOIN t{i}
+)"""
+        )
+    return f"""
+WITH {', '.join(ctes)}
+SELECT symbol, CAST(sum(freq * k) AS BIGINT) AS wcount, count(*) AS n_words
+FROM (
+  SELECT word, freq, symbol, count(*) AS k
+  FROM (SELECT word, freq, unnest(syms) AS symbol FROM v{n_merges})
+  GROUP BY 1, 2, 3
+) GROUP BY 1
+"""
+
+
+def _lm_oracle(lam: float = 0.9) -> str:
+    """Replays q93: the split_by_hash cut points with the LM salt, the
+    bigram/unigram count fit on train, and the interpolated scoring of
+    val — the arithmetic written with the identical literal shape as
+    functions/lm.bigram_nll (lam and 1-lam interpolated via repr so
+    both engines parse the same IEEE doubles), ln rounded 12,
+    position-ordered fold, round 6."""
+    from stock_crawler_spark.operators.training import split_thresholds
+
+    ths = split_thresholds(LM_SPLIT)
+    case = "CASE\n"
+    for upper, name in ths[:-1]:
+        case += f"    WHEN h < {upper} THEN '{name}'\n"
+    case += f"    ELSE '{ths[-1][1]}'\n  END"
+    return f"""
+WITH assigned AS (
+  SELECT doc_id, text, {case} AS split
+  FROM (SELECT doc_id, text,
+          ('0x' || substr(md5('{LM_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        FROM documents)
+), tr AS (
+  SELECT {_TOKS} AS arr FROM assigned WHERE split = 'train' AND trim(text) <> ''
+), uni AS (
+  SELECT t AS w, count(*) AS c FROM (SELECT unnest(arr) AS t FROM tr) GROUP BY 1
+), totals AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS v_size,
+         (SELECT count(*) FROM tr) AS n_docs
+  FROM uni
+), bi AS (
+  SELECT pr[1] AS w1, pr[2] AS w2, count(*) AS c12 FROM (
+    SELECT unnest([[a[x + 1], a[x + 2]] FOR x IN range(len(a) - 1)]) AS pr
+    FROM (SELECT ['<s>'] || arr AS a FROM tr)
+  ) GROUP BY 1, 2
+), ctx AS (
+  SELECT w AS w1, c AS c1 FROM uni
+  UNION ALL SELECT '<s>', n_docs FROM totals
+), va AS (
+  SELECT doc_id AS doc, ['<s>'] || {_TOKS} AS a
+  FROM assigned WHERE split = 'val' AND trim(text) <> ''
+), pairs AS (
+  SELECT doc, pr.pos AS pos, pr.w1 AS w1, pr.w2 AS w2 FROM (
+    SELECT doc,
+      unnest([{{'pos': x, 'w1': a[x + 1], 'w2': a[x + 2]}} FOR x IN range(len(a) - 1)]) AS pr
+    FROM va
+  )
+), tok AS (
+  SELECT doc, pos,
+    round(-ln(
+      CASE WHEN c1 > 0
+           THEN {lam!r} * (CAST(coalesce(c12, 0) AS DOUBLE) / CAST(c1 AS DOUBLE))
+           ELSE 0.0 END
+      + {1.0 - lam!r} * (CAST(coalesce(c2, 0) + 1 AS DOUBLE)
+                         / CAST(n_tokens + v_size AS DOUBLE))
+    ), 12) AS nll_tok
+  FROM pairs
+  LEFT JOIN bi USING (w1, w2)
+  LEFT JOIN ctx USING (w1)
+  LEFT JOIN (SELECT w AS w2, c AS c2 FROM uni) u2 USING (w2)
+  CROSS JOIN totals
+)
+SELECT doc AS doc_id, count(*) AS n_tokens,
+  round(list_aggregate(list(nll_tok ORDER BY pos), 'sum') / count(*), 6) AS nll
+FROM tok GROUP BY 1
+"""
+
+
+_SHUFFLE_ORACLE = """
+WITH e AS (SELECT doc_id, unnest([0, 1]) AS epoch FROM documents),
+k AS (
+  SELECT epoch, doc_id,
+    ('0x' || substr(md5('shuf7:e' || CAST(epoch AS VARCHAR) || ':'
+                        || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS key
+  FROM e
+)
+SELECT epoch,
+  CAST(row_number() OVER (PARTITION BY epoch ORDER BY key, doc_id) - 1 AS BIGINT) AS pos,
+  doc_id
+FROM k
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q01_pricing_rollup": """
@@ -3185,6 +3371,9 @@ FROM agg""",
         "q83_opic": _opic_oracle(),
         "q84_pii_scrub": _pii_oracle(),
         "q86_split_leakage": _split_oracle(),
+        "q92_bpe_train": _bpe_oracle(),
+        "q93_bigram_lm": _lm_oracle(),
+        "q94_epoch_shuffle": _SHUFFLE_ORACLE,
         "q91_wet_roundtrip": """
 SELECT 'https://h' || (doc_id % 120) || '.com/d' || doc_id AS url,
   printf('2024-01-%02dT%02d:%02d:%02dZ',

@@ -1,0 +1,150 @@
+"""Distributed n-gram language-model training + scoring.
+
+Completes the CCNet quality-scoring story (Wenzek et al. 2020) one
+rung above q59's unigram stand-in: TRAIN an interpolated bigram LM on
+the corpus's train split, then SCORE held-out documents by
+cross-entropy — the same scorer family as the paper's KenLM, with the
+training step itself expressed as DataFrame aggregations instead of a
+single-node toolkit. (KenLM's own estimator is an external-memory
+sort/merge pipeline — exactly a groupBy in Spark terms.)
+
+Model: interpolated MLE-bigram / add-one-unigram
+
+    p(w2 | w1) = lam * c(w1,w2)/c(w1)  +  (1-lam) * (c(w2)+1)/(N+V)
+
+with a BOS token ``<s>`` opening every document (c(<s>) = number of
+training docs). The second term is add-one smoothed over the train
+vocabulary, so p > 0 for any held-out token; when the CONTEXT w1 was
+never seen in training, the first term is 0 and the model backs off
+to the smoothed unigram.
+
+Scale shape: counts are two corpus-scale groupBys (unigram, bigram) —
+the natural map-side-combine aggregations; scoring is three LINEAR
+hash joins of the score-side pair table against the count tables
+(build sides keyed uniquely; hot probe keys like "the" are fine), and
+a 1-row totals broadcast. Nothing is ever collected; nothing is
+quadratic.
+
+Cross-engine float discipline (BASELINE.md conventions): the
+interpolation is written with identical literal shape on both
+engines, ln is rounded to 12 decimals, per-doc summation folds in
+token-position order (collect_list -> array_sort -> aggregate ==
+DuckDB ``list(x ORDER BY pos)`` + list sum), and the final
+cross-entropy is rounded to 6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BOS = "<s>"
+
+
+def _tok_arr(text_col: str):
+    """Whitespace token array (engine-wide q59/q14 convention)."""
+    return F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        lambda t: t != F.lit(""),
+    )
+
+
+def _bos_arr(arr_col):
+    """BOS-prefixed token array (one ``<s>`` opens every document)."""
+    return F.concat(F.array(F.lit(BOS)), arr_col)
+
+
+# (pos, w1, w2) structs over a column literally named `warr`
+_PAIRS_EXPR = (
+    "transform(slice(warr, 1, greatest(size(warr) - 1, 0)),"
+    " (x, i) -> struct(i AS pos, x AS w1, get(warr, i + 1) AS w2))"
+)
+
+
+def bigram_lm(
+    train_docs: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Fit the model: returns (uni, bi, totals).
+
+    uni: (w, c) over real tokens; bi: (w1, w2, c) including the BOS
+    context; totals: 1 row (n_tokens, v_size, n_docs) — N, V, and
+    c(<s>). Blank documents carry no tokens and are excluded, mirrored
+    by the SQL oracle."""
+    docs = train_docs.filter(F.trim(F.col(text_col)) != "").select(
+        _tok_arr(text_col).alias("arr")
+    )
+    toks = docs.select(F.explode("arr").alias("w"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    bi = (
+        docs.select(_bos_arr(F.col("arr")).alias("warr"))
+        .select(F.explode(F.expr(_PAIRS_EXPR)).alias("p"))
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = uni.agg(
+        F.sum("c").alias("n_tokens"), F.count(F.lit(1)).alias("v_size")
+    ).crossJoin(F.broadcast(docs.agg(F.count(F.lit(1)).alias("n_docs"))))
+    return uni, bi, totals
+
+
+def bigram_nll(
+    docs: DataFrame,
+    uni: DataFrame,
+    bi: DataFrame,
+    totals: DataFrame,
+    lam: float = 0.9,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score documents under a fitted model: (id, n_tokens, nll) with
+    nll = mean per-token negative log-likelihood (cross-entropy;
+    exp(nll) is the perplexity). See module doc for the join shape and
+    float discipline."""
+    pairs = (
+        docs.filter(F.trim(F.col(text_col)) != "")
+        .select(
+            F.col(id_col).alias("doc"),
+            _bos_arr(_tok_arr(text_col)).alias("warr"),
+        )
+        .select("doc", F.explode(F.expr(_PAIRS_EXPR)).alias("p"))
+        .select("doc", "p.pos", "p.w1", "p.w2")
+    )
+    ctx = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")).unionByName(
+        totals.select(F.lit(BOS).alias("w1"), F.col("n_docs").alias("c1"))
+    )
+    joined = (
+        pairs.join(
+            bi.select("w1", "w2", F.col("c").alias("c12")), ["w1", "w2"], "left"
+        )
+        .join(ctx, "w1", "left")
+        .join(
+            uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")),
+            "w2",
+            "left",
+        )
+        .crossJoin(F.broadcast(totals.select("n_tokens", "v_size")))
+    )
+    # identical literal shape on the DuckDB side — do not refactor
+    p = F.when(
+        F.col("c1") > 0,
+        F.lit(lam)
+        * (
+            F.coalesce(F.col("c12"), F.lit(0)).cast("double")
+            / F.col("c1").cast("double")
+        ),
+    ).otherwise(F.lit(0.0)) + F.lit(1.0 - lam) * (
+        (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1)).cast("double")
+        / (F.col("n_tokens") + F.col("v_size")).cast("double")
+    )
+    tok = joined.select(
+        "doc", "pos", F.round(-F.log(p), 12).alias("nll_tok")
+    )
+    ordered_sum = F.aggregate(
+        F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("nll_tok")))),
+        F.lit(0.0),
+        lambda acc, x: acc + x["nll_tok"],
+    )
+    return tok.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(ordered_sum / F.count(F.lit(1)), 6).alias("nll"),
+    ).select(F.col("doc").alias(id_col), "n_tokens", "nll")

@@ -1,0 +1,177 @@
+"""Distributed BPE tokenizer training (Sennrich et al. 2016, ACL —
+"Neural Machine Translation of Rare Words with Subword Units").
+
+The operator a training-data pipeline runs right before packing: learn
+the byte-pair merge table from the corpus itself. The classic
+formulation is sequential; the distributed shape here is the one that
+survives 100 TB:
+
+  1. ONE corpus-scale pass: tokenize + ``groupBy(word)`` into a
+     word-frequency table (the only shuffle whose size tracks the
+     corpus). Everything after runs on the DISTINCT-WORD table —
+     ~10^7-10^8 rows for web text, 3-5 orders smaller than the corpus.
+  2. Per merge iteration over the vocab table only:
+     adjacent-pair explode + ``groupBy(l, r)`` (map-side partials;
+     cardinality is bounded by |symbols|^2), a parallel TakeOrdered
+     argmax, then a JVM-side greedy fold applying the winning pair to
+     every word. ``localCheckpoint`` after each iteration keeps the
+     plan O(1) in the number of merges instead of O(n_merges) nested.
+
+Driver state is O(n_merges) scalar rows (the argmax pair per
+iteration) — the same pattern as Spark MLlib's own iterative
+optimizers; no corpus data ever reaches the driver.
+
+The merge APPLICATION is canonical greedy left-to-right: scan the
+symbol array once, merging every non-overlapping (l, r) adjacency;
+a freshly merged token never re-matches within the same iteration
+(``l + r == l`` or ``== r`` is impossible for non-empty halves), so a
+single `aggregate` fold is exact. The same fold is expressible in
+ANSI SQL (DuckDB ``list_reduce``), which is what the q92 oracle runs.
+
+Determinism: the winning pair ties break on (count DESC, l ASC,
+r ASC); word order never matters because counts are exact integer
+sums. Words longer than ``max_word_len`` symbols are excluded from
+training (web-scale corpora put URLs and base64 blobs in the tail;
+the cap bounds the per-word fold at O(max_word_len^2) and is the
+standard tokenizer-training hygiene filter).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MERGE_SCHEMA = StructType(
+    [
+        StructField("iter", IntegerType(), False),
+        StructField("left", StringType(), False),
+        StructField("right", StringType(), False),
+        StructField("merged", StringType(), False),
+        StructField("pair_count", LongType(), False),
+    ]
+)
+
+
+def word_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus -> (word, freq): the single corpus-scale aggregation.
+    Tokenization matches the engine-wide convention (q59/q14):
+    whitespace split of the trimmed, lowercased text; blank docs and
+    empty tokens drop out."""
+    toks = docs.filter(F.trim(F.col(text_col)) != "").select(
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("word")
+    )
+    return (
+        toks.filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def initial_vocab(
+    words: DataFrame, max_word_len: int = 64
+) -> DataFrame:
+    """(word, freq) -> (word, freq, syms): character-level start state.
+    ``syms`` is an array<string> of single characters; words longer
+    than ``max_word_len`` symbols are excluded (see module doc)."""
+    syms = F.filter(F.split(F.col("word"), ""), lambda c: c != F.lit(""))
+    return (
+        words.withColumn("syms", syms)
+        .filter(F.size("syms") <= max_word_len)
+    )
+
+
+def pair_counts(vocab: DataFrame) -> DataFrame:
+    """Weighted adjacent-pair counts over the vocab table: one linear
+    explode + one bounded-cardinality groupBy (map-side combine)."""
+    pairs = F.expr(
+        "transform(slice(syms, 1, greatest(size(syms) - 1, 0)),"
+        " (x, i) -> struct(x AS l, get(syms, i + 1) AS r))"
+    )
+    return (
+        vocab.select(F.col("freq"), F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
+def apply_merge(syms, left: str, right: str):
+    """Greedy left-to-right application of one merge to a symbol
+    array, as a single JVM ``aggregate`` fold (no Python in the loop).
+
+    acc starts empty; for each symbol x: if the last accumulated
+    symbol is ``left`` and x is ``right``, replace the last with the
+    merged token, else append x. ``get(acc, size-1)`` returns NULL on
+    the empty array (never throws under ANSI), so the first symbol
+    always appends. Per-word cost is O(len^2) array copies with len
+    <= max_word_len — constant-bounded."""
+    merged = left + right
+
+    def step(acc, x):
+        last = F.get(acc, F.size(acc) - 1)
+        return F.when(
+            (last == F.lit(left)) & (x == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    return F.aggregate(
+        syms, F.expr("CAST(array() AS array<string>)"), step
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 3,
+    text_col: str = "text",
+    max_word_len: int = 64,
+) -> tuple[DataFrame, DataFrame]:
+    """Learn ``n_merges`` BPE merges from the corpus. Returns
+    (merges, vocab): ``merges`` is the ordered merge table
+    (iter, left, right, merged, pair_count) — the trained model —
+    and ``vocab`` the word table with ``syms`` in its final
+    segmentation. See module doc for the distributed shape."""
+    spark = SparkSession.getActiveSession() or docs.sparkSession
+    vocab = initial_vocab(word_freqs(docs, text_col), max_word_len)
+
+    rows: list[tuple] = []
+    for it in range(1, n_merges + 1):
+        top = (
+            pair_counts(vocab)
+            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
+        rows.append((it, l, r, l + r, cnt))
+        vocab = vocab.withColumn(
+            "syms", apply_merge(F.col("syms"), l, r)
+        ).localCheckpoint()
+
+    return spark.createDataFrame(rows, MERGE_SCHEMA), vocab
+
+
+def bpe_symbols(vocab: DataFrame) -> DataFrame:
+    """Post-training symbol inventory: (symbol, wcount, n_words) where
+    wcount weights by word frequency and n_words counts distinct words
+    containing the symbol. One explode, then two groupBys — the first
+    partial-aggregates per (word, symbol) map-side, so the second is
+    O(|vocab| * avg_distinct_syms), never re-touching the corpus."""
+    per_word = (
+        vocab.select("word", "freq", F.explode("syms").alias("symbol"))
+        .groupBy("word", "freq", "symbol")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    return per_word.groupBy("symbol").agg(
+        F.sum(F.col("freq") * F.col("k")).alias("wcount"),
+        F.count(F.lit(1)).alias("n_words"),
+    )

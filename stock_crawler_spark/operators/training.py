@@ -339,3 +339,101 @@ def split_leakage(
             F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_leaks"),
         )
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    n_epochs: int = 2,
+    n_partitions: int = 32,
+) -> DataFrame:
+    """Deterministic per-epoch global shuffle of the training corpus:
+    (epoch, pos, id) where pos is the row's 0-based position in epoch
+    e's permutation. Training loaders need a DIFFERENT but REPRODUCIBLE
+    order per epoch; the permutation key is md5(seed, epoch, id), so
+    the order depends only on those three values — partition-count-,
+    rerun-, and resume-invariant.
+
+    Scale shape — the distributed global-index pattern, ONE shuffle:
+    a naive ``row_number() OVER (ORDER BY key)`` funnels the corpus
+    through a single partition. Instead:
+
+      1. ``repartitionByRange(epoch, key, id)`` — the only shuffle;
+         partition i holds a contiguous slice of the total order.
+         ``localCheckpoint`` pins the sampled range boundaries so the
+         counts pass and the output read the SAME partitioning (range
+         boundary sampling is not otherwise stable across jobs).
+      2. per-(partition, epoch) row counts -> driver (O(partitions x
+         epochs) scalars), cumulated into epoch-relative offsets.
+      3. within each materialized partition, a narrow
+         ``sortWithinPartitions`` + ``monotonically_increasing_id``:
+         Spark documents mii as (partitionId << 33) | rowIndex, so
+         ``mii & (2^33 - 1)`` is the row's index in its sorted
+         partition — a zero-shuffle per-partition rank.
+      4. pos = epoch_offset(pid, epoch) + local_index -
+         rows_of_earlier_epochs_in_this_partition — broadcast-joined
+         back on (pid, epoch).
+
+    Total order ties break on id, so positions are unique even under
+    64-bit key collisions."""
+    epochs = df.select(F.col(id_col).alias("id")).select(
+        "id",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(int(n_epochs) - 1))
+        ).alias("epoch"),
+    )
+    keyed = epochs.withColumn(
+        "key",
+        _md5_hash60(
+            F.concat(
+                F.lit(f"shuf{seed}:e"),
+                F.col("epoch").cast("string"),
+                F.lit(":"),
+                F.col("id").cast("string"),
+            )
+        ),
+    )
+    parts = keyed.repartitionByRange(
+        n_partitions, "epoch", "key", "id"
+    ).localCheckpoint()
+    with_pid = parts.withColumn("_pid", F.spark_partition_id())
+    counts = (
+        with_pid.groupBy("_pid", "epoch")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    # epoch-major cumulative offsets over ascending pid (= range order),
+    # minus each partition's earlier-epoch row count (mii indexes the
+    # whole partition, epochs within it are contiguous by the sort).
+    by_epoch: dict[int, list[tuple[int, int]]] = {}
+    before_in_pid: dict[tuple[int, int], int] = {}
+    for r in counts:
+        by_epoch.setdefault(r["epoch"], []).append((r["_pid"], r["n"]))
+    for pid in {p for lst in by_epoch.values() for p, _ in lst}:
+        acc = 0
+        for ep in sorted(by_epoch):
+            n = dict(by_epoch[ep]).get(pid)
+            if n is not None:
+                before_in_pid[(pid, ep)] = acc
+                acc += n
+    rows = []
+    for ep in sorted(by_epoch):
+        off = 0
+        for pid, n in sorted(by_epoch[ep]):
+            rows.append((int(ep), int(pid), int(off - before_in_pid[(pid, ep)])))
+            off += n
+    offsets = df.sparkSession.createDataFrame(
+        rows, schema="epoch int, _pid int, _base long"
+    )
+    local = F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1))
+    return (
+        with_pid.sortWithinPartitions("epoch", "key", "id")
+        .withColumn("_local", local)
+        .join(F.broadcast(offsets), ["_pid", "epoch"])
+        .select(
+            "epoch",
+            (F.col("_base") + F.col("_local")).alias("pos"),
+            F.col("id").alias(id_col),
+        )
+    )

@@ -1,0 +1,164 @@
+"""Distributed BPE training (operators/bpe) vs a sequential reference.
+
+The reference twin implements canonical greedy BPE (Sennrich et al.
+2016) in plain Python — word-frequency table, argmax pair with the
+(count DESC, l, r) tie-break, greedy left-to-right apply — so any
+divergence in the engine's fold or argmax shows as a merge-table or
+symbol-table diff."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from stock_crawler_spark.operators.bpe import (
+    apply_merge,
+    bpe_symbols,
+    bpe_train,
+    initial_vocab,
+    pair_counts,
+    word_freqs,
+)
+
+
+# -- sequential reference ---------------------------------------------------
+
+
+def _ref_word_freqs(texts):
+    c = Counter()
+    for t in texts:
+        if t.strip():
+            c.update(w for w in t.strip().lower().split() if w)
+    return c
+
+
+def _ref_apply(syms, l, r):
+    out = []
+    for x in syms:
+        if out and out[-1] == l and x == r:
+            out[-1] = l + r
+        else:
+            out.append(x)
+    return out
+
+
+def _ref_train(texts, n_merges, max_word_len=64):
+    wf = {
+        w: f
+        for w, f in _ref_word_freqs(texts).items()
+        if len(w) <= max_word_len
+    }
+    vocab = {w: list(w) for w in wf}
+    merges = []
+    for it in range(1, n_merges + 1):
+        pc = Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += wf[w]
+        if not pc:
+            break
+        (l, r), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((it, l, r, l + r, cnt))
+        vocab = {w: _ref_apply(s, l, r) for w, s in vocab.items()}
+    return merges, vocab, wf
+
+
+def _ref_symbols(vocab, wf):
+    out = Counter()
+    words = Counter()
+    for w, syms in vocab.items():
+        for s, k in Counter(syms).items():
+            out[s] += wf[w] * k
+            words[s] += 1
+    return {s: (out[s], words[s]) for s in out}
+
+
+CORPUS = [
+    "the cat sat on the mat",
+    "the bat and the cat chat",
+    "that hat on that cat",
+    "the the the then there",
+    "aaaa aaab baaa",  # same-char runs: greedy fold semantics
+    "  spaced   out   tokens  ",
+    "",
+    "TH the The tHe",  # casefold collapses
+]
+
+
+def _docs(spark, texts=CORPUS):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_merges_match_sequential_reference(spark):
+    merges, vocab = bpe_train(_docs(spark), n_merges=4)
+    got = [
+        (r["iter"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in merges.orderBy("iter").collect()
+    ]
+    want, _, _ = _ref_train(CORPUS, 4)
+    assert got == want
+
+
+def test_symbol_table_matches_reference(spark):
+    _, vocab = bpe_train(_docs(spark), n_merges=3)
+    got = {
+        r["symbol"]: (r["wcount"], r["n_words"])
+        for r in bpe_symbols(vocab).collect()
+    }
+    _, rv, wf = _ref_train(CORPUS, 3)
+    assert got == _ref_symbols(rv, wf)
+
+
+def test_greedy_fold_on_runs(spark):
+    """aaaa + pair (a,a) must become [aa, aa] (greedy left-to-right),
+    never [aa, a, a] or [a, aa, a]."""
+    df = spark.createDataFrame([(["a"] * 4,), (["a"] * 5,), (["b", "a", "a"],)],
+                               "syms array<string>")
+    got = [r[0] for r in df.select(apply_merge(F.col("syms"), "a", "a")).collect()]
+    assert got == [["aa", "aa"], ["aa", "aa", "a"], ["b", "aa"]]
+
+
+def test_merged_token_never_rematches(spark):
+    """Within one iteration a fresh merge must not chain: (a, ab)
+    adjacency created BY the merge is left for a later iteration."""
+    df = spark.createDataFrame([(["a", "a", "b"],)], "syms array<string>")
+    got = df.select(apply_merge(F.col("syms"), "a", "b")).first()[0]
+    assert got == ["a", "ab"]
+
+
+def test_partition_invariance(spark):
+    docs = _docs(spark).repartition(7)
+    merges, vocab = bpe_train(docs, n_merges=3)
+    base_m, base_v, wf = _ref_train(CORPUS, 3)
+    got = [
+        (r["iter"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in merges.orderBy("iter").collect()
+    ]
+    assert got == base_m
+
+
+def test_max_word_len_excludes_tails(spark):
+    texts = ["short word " + "x" * 80]
+    vocab = initial_vocab(word_freqs(_docs(spark, texts)), max_word_len=64)
+    words = {r["word"] for r in vocab.collect()}
+    assert words == {"short", "word"}
+
+
+def test_no_pairs_stops_early(spark):
+    """Single-char-word corpus has no adjacent pairs: training returns
+    an empty merge table instead of failing or looping."""
+    merges, vocab = bpe_train(_docs(spark, ["a b c", "b c a"]), n_merges=3)
+    assert merges.count() == 0
+    assert vocab.count() == 3  # vocab intact, untouched
+
+
+def test_pair_counts_weighted_by_freq(spark):
+    vocab = initial_vocab(word_freqs(_docs(spark, ["ab ab ab", "ab cd"])))
+    pc = {
+        (r["l"], r["r"]): r["cnt"] for r in pair_counts(vocab).collect()
+    }
+    assert pc == {("a", "b"): 4, ("c", "d"): 1}

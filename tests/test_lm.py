@@ -1,0 +1,108 @@
+"""Bigram LM train + score (functions/lm) vs hand math and a
+sequential reference."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from stock_crawler_spark.functions.lm import BOS, bigram_lm, bigram_nll
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def _ref_counts(texts):
+    uni, bi, n_docs = {}, {}, 0
+    for t in texts:
+        toks = [w for w in t.strip().lower().split() if w]
+        if not toks:
+            continue
+        n_docs += 1
+        for w in toks:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip([BOS] + toks, toks):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    return uni, bi, n_docs
+
+
+def _ref_nll(text, uni, bi, n_docs, lam=0.9):
+    toks = [w for w in text.strip().lower().split() if w]
+    n = sum(uni.values())
+    v = len(uni)
+    total = 0.0
+    for a, b in zip([BOS] + toks, toks):
+        c1 = n_docs if a == BOS else uni.get(a, 0)
+        p = (lam * bi.get((a, b), 0) / c1 if c1 > 0 else 0.0) + (
+            1.0 - lam
+        ) * (uni.get(b, 0) + 1) / (n + v)
+        total += round(-math.log(p), 12)
+    return len(toks), round(total / len(toks), 6)
+
+
+TRAIN = [
+    "the cat sat on the mat",
+    "the cat ran",
+    "a dog sat",
+    "",  # blank: no tokens, not a doc for c(<s>)
+]
+VAL = [
+    "the cat sat",        # all bigrams seen
+    "the zebra sat",      # unseen token (zebra): unigram add-one path
+    "zebra the cat",      # unseen CONTEXT: c1=0 backoff branch
+]
+
+
+def test_nll_matches_sequential_reference(spark):
+    uni, bi, totals = bigram_lm(_docs(spark, TRAIN))
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["nll"])
+        for r in bigram_nll(_docs(spark, VAL), uni, bi, totals).collect()
+    }
+    runi, rbi, nd = _ref_counts(TRAIN)
+    want = {i: _ref_nll(t, runi, rbi, nd) for i, t in enumerate(VAL)}
+    assert got == want
+
+
+def test_counts_and_totals(spark):
+    uni, bi, totals = bigram_lm(_docs(spark, TRAIN))
+    runi, rbi, nd = _ref_counts(TRAIN)
+    assert {(r["w"], r["c"]) for r in uni.collect()} == set(runi.items())
+    assert {
+        ((r["w1"], r["w2"]), r["c"]) for r in bi.collect()
+    } == set(rbi.items())
+    t = totals.first()
+    assert (t["n_tokens"], t["v_size"], t["n_docs"]) == (
+        sum(runi.values()),
+        len(runi),
+        nd,
+    )
+
+
+def test_seen_text_scores_lower_than_gibberish(spark):
+    uni, bi, totals = bigram_lm(_docs(spark, TRAIN))
+    val = _docs(spark, ["the cat sat on the mat", "zq xv qqq zzz vvv kkk"])
+    rows = {r["doc_id"]: r["nll"] for r in bigram_nll(val, uni, bi, totals).collect()}
+    assert rows[0] < rows[1]
+
+
+def test_blank_val_docs_absent(spark):
+    uni, bi, totals = bigram_lm(_docs(spark, TRAIN))
+    out = bigram_nll(_docs(spark, ["", "   ", "the cat"]), uni, bi, totals)
+    assert [r["doc_id"] for r in out.collect()] == [2]
+
+
+def test_partition_invariance(spark):
+    d = _docs(spark, TRAIN)
+    uni, bi, totals = bigram_lm(d.repartition(5))
+    a = sorted(
+        bigram_nll(_docs(spark, VAL).repartition(3), uni, bi, totals).collect()
+    )
+    uni2, bi2, totals2 = bigram_lm(d)
+    b = sorted(bigram_nll(_docs(spark, VAL), uni2, bi2, totals2).collect())
+    assert a == b

@@ -173,6 +173,8 @@ def test_no_cartesian_products_anywhere(spark):
         "q54_pagerank",          # broadcast node-count + 1-row dangling mass
         "q59_ccnet_ppl_buckets", # broadcast 1-row corpus token total
         "q64_dsir_select",       # broadcast 1-row corpus-size totals
+        "q83_opic",              # broadcast 1-row virtual-node cash total
+        "q93_bigram_lm",         # broadcast 1-row LM totals (N, V, n_docs)
     }
     for name, fn in entrymod.queries().items():
         tree = _plan(fn(spark, "/root/testdata/sf0.001")).split("\n\n")[0]

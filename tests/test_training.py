@@ -221,3 +221,82 @@ def test_weighted_sample_k_at_least_group_keeps_all_positive(spark):
     rows = [(i, "en", float(i + 1)) for i in range(30)]
     got = weighted_sample(_wdocs(spark, rows), 100, "w", ["lang"]).collect()
     assert len(got) == 30
+
+
+# -- epoch_shuffle ----------------------------------------------------------
+
+
+def _ids(spark, n):
+    return spark.range(n).withColumnRenamed("id", "doc_id")
+
+
+def test_epoch_shuffle_matches_global_window_reference(spark):
+    """The one-shuffle distributed global index must reproduce the
+    naive row_number()-over-global-order positions exactly."""
+    from stock_crawler_spark.operators.dedup import _md5_hash60
+    from stock_crawler_spark.operators.training import epoch_shuffle
+
+    out = epoch_shuffle(_ids(spark, 500), seed=3, n_epochs=2, n_partitions=8)
+    got = {(r["epoch"], r["doc_id"]): r["pos"] for r in out.collect()}
+
+    ref_rows = (
+        spark.range(500)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.explode(F.array(F.lit(0), F.lit(1))).alias("epoch"),
+        )
+        .withColumn(
+            "key",
+            _md5_hash60(
+                F.concat(
+                    F.lit("shuf3:e"),
+                    F.col("epoch").cast("string"),
+                    F.lit(":"),
+                    F.col("doc_id").cast("string"),
+                )
+            ),
+        )
+        .collect()
+    )
+    by_epoch: dict[int, list] = {0: [], 1: []}
+    for r in ref_rows:
+        by_epoch[r["epoch"]].append((r["key"], r["doc_id"]))
+    want = {}
+    for ep, lst in by_epoch.items():
+        for pos, (_, did) in enumerate(sorted(lst)):
+            want[(ep, did)] = pos
+    assert got == want
+
+
+def test_epoch_shuffle_is_permutation_per_epoch(spark):
+    from stock_crawler_spark.operators.training import epoch_shuffle
+
+    out = epoch_shuffle(_ids(spark, 300), seed=1, n_epochs=3, n_partitions=5)
+    rows = out.collect()
+    for ep in range(3):
+        sub = [r for r in rows if r["epoch"] == ep]
+        assert sorted(r["pos"] for r in sub) == list(range(300))
+        assert {r["doc_id"] for r in sub} == set(range(300))
+
+
+def test_epoch_shuffle_orders_differ_between_epochs(spark):
+    from stock_crawler_spark.operators.training import epoch_shuffle
+
+    out = epoch_shuffle(_ids(spark, 200), seed=1, n_epochs=2).collect()
+    o0 = [r["doc_id"] for r in sorted(out, key=lambda r: r["pos"]) if r["epoch"] == 0]
+    o1 = [r["doc_id"] for r in sorted(out, key=lambda r: r["pos"]) if r["epoch"] == 1]
+    assert o0 != o1
+
+
+def test_epoch_shuffle_partition_count_invariant(spark):
+    from stock_crawler_spark.operators.training import epoch_shuffle
+
+    a = sorted(
+        epoch_shuffle(_ids(spark, 250), seed=5, n_partitions=3).collect()
+    )
+    b = sorted(
+        epoch_shuffle(
+            _ids(spark, 250).repartition(11), seed=5, n_partitions=16
+        ).collect()
+    )
+    assert a == b
