@@ -1776,6 +1776,30 @@ def q94_epoch_shuffle(spark, sf):
     return epoch_shuffle(docs, seed=7, n_epochs=2)
 
 
+ES_FOOTER = " == footer: subscribe to the example newsletter for updates! =="
+
+
+def q95_exact_substr(spark, sf):
+    """ExactSubstr dedup (operators/exact_substr — Lee et al. 2022):
+    duplicated >= 40-char runs survive only at their globally-first
+    occurrence, found via fixed-k gram matching + per-doc interval
+    union instead of the paper's single-node suffix array. A shared
+    footer is appended to 2/3 of the docs deterministically so the
+    corpus carries known cross-doc duplication; the oracle replays the
+    augmentation, the gram argmin, a gaps-and-islands merge, and the
+    string_agg reconstruction."""
+    from stock_crawler_spark.operators.exact_substr import exact_substr_dedup
+
+    docs = _t(spark, sf, "documents")
+    txt = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(F.col("doc_id") % 3 != 0, F.lit(ES_FOOTER)).otherwise(F.lit("")),
+    )
+    return exact_substr_dedup(
+        docs.select("doc_id", txt.alias("text")), k=40
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver API
 # ---------------------------------------------------------------------------
@@ -1882,6 +1906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q92_bpe_train": q92_bpe_train,
         "q93_bigram_lm": q93_bigram_lm,
         "q94_epoch_shuffle": q94_epoch_shuffle,
+        "q95_exact_substr": q95_exact_substr,
     }
 
 
@@ -2846,6 +2871,68 @@ FROM tok GROUP BY 1
 """
 
 
+def _exact_substr_oracle(k: int = 40) -> str:
+    """Replays q95: the footer augmentation, the k-gram positions (same
+    md5-60 hash), the packed-integer argmin (pos < 2^20 so
+    doc*2^20+pos orders exactly like the engine's (doc, pos) struct
+    min), a gaps-and-islands window merge (an island's end is
+    max(pos)+k, the same invariant the engine's fold keeps), and the
+    lag/string_agg text reconstruction."""
+    return f"""
+WITH d AS (
+  SELECT doc_id AS doc,
+    coalesce(text, '')
+      || CASE WHEN doc_id % 3 <> 0 THEN '{ES_FOOTER}' ELSE '' END AS txt
+  FROM documents
+), grams AS (
+  SELECT doc, g.pos AS pos, g.h AS h FROM (
+    SELECT doc,
+      unnest([{{'pos': x,
+                'h': ('0x' || substr(md5(substr(txt, x + 1, {k})), 1, 15))::BIGINT}}
+              FOR x IN range(length(txt) - {k - 1})]) AS g
+    FROM d
+  )
+), w AS (
+  SELECT h, min(doc * 1048576 + pos) AS wk, count(*) AS occ
+  FROM grams GROUP BY 1
+), losers AS (
+  SELECT g.doc, g.pos FROM grams g JOIN w USING (h)
+  WHERE occ > 1 AND g.doc * 1048576 + g.pos <> wk
+), marked AS (
+  SELECT doc, pos,
+    CASE WHEN pos <= coalesce(max(pos) OVER (
+           PARTITION BY doc ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + {k}, -1)
+         THEN 0 ELSE 1 END AS brk
+  FROM losers
+), isl AS (
+  SELECT doc, min(pos) AS s, max(pos) + {k} AS e FROM (
+    SELECT doc, pos, sum(brk) OVER (
+      PARTITION BY doc ORDER BY pos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS iid
+    FROM marked
+  ) GROUP BY doc, iid
+), seg AS (
+  SELECT i.doc, i.s, i.e, d2.txt,
+    coalesce(lag(i.e) OVER (PARTITION BY i.doc ORDER BY i.s), 0) AS prev_e
+  FROM isl i JOIN d d2 ON i.doc = d2.doc
+), sg AS (
+  SELECT doc,
+    string_agg(substr(txt, prev_e + 1, s - prev_e), '' ORDER BY s) AS kept,
+    max(e) AS max_e, count(*) AS n_isl, sum(e - s) AS rm
+  FROM seg GROUP BY 1
+), st AS (
+  SELECT doc, count(*) AS n_dup FROM losers GROUP BY 1
+)
+SELECT d.doc AS doc_id,
+  CAST(coalesce(st.n_dup, 0) AS BIGINT) AS n_dup_grams,
+  CAST(coalesce(sg.n_isl, 0) AS BIGINT) AS n_islands,
+  CAST(coalesce(sg.rm, 0) AS BIGINT) AS removed_chars,
+  coalesce(sg.kept, '') || substr(d.txt, coalesce(sg.max_e, 0) + 1) AS cleaned_text
+FROM d LEFT JOIN sg USING (doc) LEFT JOIN st USING (doc)
+"""
+
+
 _SHUFFLE_ORACLE = """
 WITH e AS (SELECT doc_id, unnest([0, 1]) AS epoch FROM documents),
 k AS (
@@ -3374,6 +3461,7 @@ FROM agg""",
         "q92_bpe_train": _bpe_oracle(),
         "q93_bigram_lm": _lm_oracle(),
         "q94_epoch_shuffle": _SHUFFLE_ORACLE,
+        "q95_exact_substr": _exact_substr_oracle(),
         "q91_wet_roundtrip": """
 SELECT 'https://h' || (doc_id % 120) || '.com/d' || doc_id AS url,
   printf('2024-01-%02dT%02d:%02d:%02dZ',

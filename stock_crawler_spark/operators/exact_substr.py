@@ -1,0 +1,144 @@
+"""Exact duplicated-substring removal — the ExactSubstr method of
+Lee et al. 2022 (ICML, "Deduplicating Training Data Makes Language
+Models Better"), re-expressed for Spark.
+
+The paper removes every substring of >= T characters that occurs more
+than once in the corpus. Its reference implementation builds a global
+suffix array — inherently single-node. The distributed formulation
+that survives 100 TB replaces the suffix array with fixed-k gram
+matching, which is EXACT for the same threshold semantics: a
+duplicated run of length L >= k is covered precisely by the union of
+its duplicated k-gram positions ([p, p+k) intervals overlap-merge back
+into the maximal run), and no run < k chars is ever flagged.
+
+Policy (repo-wide precedent, q56): the globally FIRST occurrence of a
+duplicated gram — min (doc, pos) — survives; every other occurrence is
+cut from its page.
+
+Scale shape:
+  * gram emission is one linear ``transform + explode`` over the
+    corpus (O(total chars) rows, 8-byte md5-60 keys);
+  * the winner groupBy on the gram hash is the ONLY corpus-scale
+    shuffle; the loser join is a plain hash join keyed by that hash;
+  * interval union and text reconstruction are per-doc ``aggregate``
+    folds over the doc's own sorted loser positions — O(doc_len)
+    state, never a per-character explode (a naive char-level
+    anti-join would multiply every duplicated run by k).
+
+The identical pipeline is expressible in ANSI SQL (q95's oracle:
+gram comprehension, the same winner argmin, gaps-and-islands window
+merge, string_agg reconstruction), which pins the semantics
+cross-engine."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from stock_crawler_spark.operators.dedup import _md5_hash60
+
+
+def exact_substr_dedup(
+    docs: DataFrame,
+    k: int = 40,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_dup_grams, n_islands, removed_chars, cleaned_text) for
+    every input doc; docs carrying no duplicated >= k-char run pass
+    through intact. See module doc for semantics and scale shape."""
+    base = docs.select(
+        F.col(id_col).alias("doc"), F.col(text_col).alias("txt")
+    )
+    gram_structs = F.when(
+        F.length("txt") >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.length("txt") - k),
+            lambda i: F.struct(
+                i.alias("pos"),
+                _md5_hash60(F.col("txt").substr(i + 1, F.lit(k))).alias("h"),
+            ),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<struct<pos:int,h:bigint>>)"))
+    grams = base.select("doc", F.explode(gram_structs).alias("g")).select(
+        "doc", F.col("g.pos").alias("pos"), F.col("g.h").alias("h")
+    )
+
+    winners = grams.groupBy("h").agg(
+        F.min(F.struct(F.col("doc"), F.col("pos"))).alias("w"),
+        F.count(F.lit(1)).alias("occ"),
+    )
+    losers = (
+        grams.join(winners.filter(F.col("occ") > 1), "h")
+        .filter(
+            (F.col("doc") != F.col("w.doc")) | (F.col("pos") != F.col("w.pos"))
+        )
+        .select("doc", "pos")
+    )
+
+    # per-doc sorted loser positions -> overlap-merged [s, e) islands
+    merge_islands = F.aggregate(
+        F.array_sort(F.collect_list("pos")),
+        F.expr("CAST(array() AS array<struct<s:int,e:int>>)"),
+        lambda acc, p: F.when(
+            (F.size(acc) > 0) & (p <= F.get(acc, F.size(acc) - 1)["e"]),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.get(acc, F.size(acc) - 1)["s"].alias("s"),
+                        F.greatest(
+                            F.get(acc, F.size(acc) - 1)["e"], p + F.lit(k)
+                        ).alias("e"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(
+                acc, F.array(F.struct(p.alias("s"), (p + F.lit(k)).alias("e")))
+            )
+        ),
+    )
+    per_doc = losers.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_dup_grams"), merge_islands.alias("isl")
+    )
+
+    joined = base.join(per_doc, "doc", "left").withColumn(
+        "isl",
+        F.coalesce(
+            F.col("isl"), F.expr("CAST(array() AS array<struct<s:int,e:int>>)")
+        ),
+    )
+    # fold islands left-to-right: emit the kept segment before each
+    # island, carry the island end; append the tail after the last one
+    rebuild = F.aggregate(
+        F.col("isl"),
+        F.struct(F.lit(0).alias("prev"), F.lit("").alias("out")),
+        lambda acc, i: F.struct(
+            i["e"].alias("prev"),
+            F.concat(
+                acc["out"],
+                F.col("txt").substr(acc["prev"] + 1, i["s"] - acc["prev"]),
+            ).alias("out"),
+        ),
+        lambda acc: F.concat(
+            acc["out"],
+            F.col("txt").substr(
+                acc["prev"] + 1, F.length("txt") - acc["prev"]
+            ),
+        ),
+    )
+    removed = F.aggregate(
+        F.col("isl"),
+        F.lit(0),
+        lambda acc, i: acc + (i["e"] - i["s"]),
+    )
+    return joined.select(
+        F.col("doc").alias(id_col),
+        F.coalesce(F.col("n_dup_grams"), F.lit(0)).cast("long").alias(
+            "n_dup_grams"
+        ),
+        F.size("isl").cast("long").alias("n_islands"),
+        removed.cast("long").alias("removed_chars"),
+        rebuild.alias("cleaned_text"),
+    )

@@ -1,0 +1,124 @@
+"""ExactSubstr dedup (operators/exact_substr) vs a sequential
+reference implementing the same semantics: duplicated >= k-char runs
+survive only at their globally-first occurrence."""
+
+from __future__ import annotations
+
+import pytest
+
+from stock_crawler_spark.operators.exact_substr import exact_substr_dedup
+
+K = 10
+
+
+def _ref(texts: dict[int, str], k: int = K):
+    occ: dict[str, list[tuple[int, int]]] = {}
+    for d, t in texts.items():
+        for p in range(max(len(t) - k + 1, 0)):
+            occ.setdefault(t[p : p + k], []).append((d, p))
+    losers: dict[int, set[int]] = {}
+    for lst in occ.values():
+        if len(lst) > 1:
+            w = min(lst)
+            for o in lst:
+                if o != w:
+                    losers.setdefault(o[0], set()).add(o[1])
+    out = {}
+    for d, t in texts.items():
+        ps = sorted(losers.get(d, ()))
+        islands: list[list[int]] = []
+        for p in ps:
+            if islands and p <= islands[-1][1]:
+                islands[-1][1] = max(islands[-1][1], p + k)
+            else:
+                islands.append([p, p + k])
+        kept, prev = [], 0
+        for s, e in islands:
+            kept.append(t[prev:s])
+            prev = e
+        kept.append(t[prev:])
+        out[d] = (
+            len(ps),
+            len(islands),
+            sum(e - s for s, e in islands),
+            "".join(kept),
+        )
+    return out
+
+
+FOOTER = "SUBSCRIBE-TO-OUR-NEWSLETTER-TODAY"  # 33 chars > K
+TEXTS = {
+    0: "unique leading prose zero. " + FOOTER,
+    1: "other unique words here one. " + FOOTER,
+    2: "short",  # < k: no grams at all
+    3: "totally original text with no duplication anywhere at all",
+    4: "unique leading prose zero. " + FOOTER,  # full dup of doc 0
+    5: "abcabcabcabcabcabcabcabc",  # internal periodic repetition
+    6: "prefix " + FOOTER + " middle " + FOOTER + " suffix",  # twice in one doc
+}
+
+
+def _run(spark, texts=TEXTS, k=K):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    return {
+        r["doc_id"]: (
+            r["n_dup_grams"],
+            r["n_islands"],
+            r["removed_chars"],
+            r["cleaned_text"],
+        )
+        for r in exact_substr_dedup(df, k=k).collect()
+    }
+
+
+def test_matches_sequential_reference(spark):
+    assert _run(spark) == _ref(TEXTS)
+
+
+def test_first_occurrence_survives_whole(spark):
+    got = _run(spark)
+    assert got[0] == (0, 0, 0, TEXTS[0])  # doc 0 holds every winner
+    assert got[4][3] != TEXTS[4] and FOOTER not in got[4][3]
+
+
+def test_short_and_unique_docs_pass_through(spark):
+    got = _run(spark)
+    assert got[2] == (0, 0, 0, TEXTS[2])
+    assert got[3] == (0, 0, 0, TEXTS[3])
+
+
+def test_full_duplicate_doc_cleans_to_empty(spark):
+    texts = {0: "a" * 30 + "xyz distinct tail", 1: "a" * 30}
+    got = _run(spark, texts)
+    # doc 1's whole text is covered by duplicated grams (winners live
+    # in doc 0), so everything is removed
+    assert got[1][3] == ""
+    assert got[1][2] == 30
+    assert got == _ref(texts)
+
+
+def test_internal_repetition_within_one_doc(spark):
+    got = _run(spark)
+    ref = _ref(TEXTS)
+    assert got[5] == ref[5]
+    assert got[6] == ref[6]
+    # doc 6 keeps its FIRST footer copy (the global winner is doc 0's,
+    # so both of doc 6's copies go) — pinned by the reference equality
+
+
+def test_partition_invariance(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in TEXTS.items()], "doc_id long, text string"
+    ).repartition(7)
+    got = {
+        r["doc_id"]: (
+            r["n_dup_grams"],
+            r["n_islands"],
+            r["removed_chars"],
+            r["cleaned_text"],
+        )
+        for r in exact_substr_dedup(df, k=K).collect()
+    }
+    assert got == _ref(TEXTS)

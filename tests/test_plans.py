@@ -189,6 +189,48 @@ def test_no_cartesian_products_anywhere(spark):
         # requirement.
 
 
+def test_epoch_shuffle_no_global_window(spark):
+    """q94's global index must come from the range-partition +
+    per-partition-rank path: no Window operator and no
+    single-partition exchange in the final plan (the one data shuffle
+    happens before the localCheckpoint; only the O(partitions x
+    epochs) offsets table is broadcast back)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["q94_epoch_shuffle"](spark, "/root/testdata/sf0.001")
+    tree = _plan(df).split("\n\n")[0]
+    assert "Window" not in tree, tree
+    assert "Exchange SinglePartition" not in tree, tree
+    assert "BroadcastHashJoin" in tree, tree
+
+
+def test_exact_substr_no_per_char_explode(spark):
+    """q95 must resolve duplicated runs via the per-doc interval fold:
+    exactly the gram explode (one Generate for gram emission), never a
+    second per-character explode of loser intervals — a duplicated run
+    would otherwise fan out k x its length."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["q95_exact_substr"](spark, "/root/testdata/sf0.001")
+    full = _plan(df)
+    tree = full.split("\n\n")[0]
+    # the gram emission legitimately appears twice (winner + prober
+    # sides of the self-join); a loser-interval char explode would be
+    # a THIRD Generate, over sequence(pos, ...) rather than the k-gram
+    # transform's length(txt)-bounded sequence
+    assert tree.count("Generate (") == 2, tree
+    for blk in full.split("\n\n"):
+        if blk.startswith("(") and ") Generate" in blk.split("\n")[0]:
+            assert "length(txt" in blk, blk
+    assert "Exchange SinglePartition" not in tree, tree
+
+
 def test_decontaminate_broadcasts_benchmark(spark):
     """q41: the benchmark gram set must BROADCAST (corpus streams through
     a map-side hash probe) — a shuffled join of corpus grams would move
