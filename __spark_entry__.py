@@ -1800,6 +1800,67 @@ def q95_exact_substr(spark, sf):
     )
 
 
+def q96_meta_robots(spark, sf):
+    """Page-level robots meta directives (functions/html.meta_noindex/
+    meta_nofollow) — the in-page complement to robots.txt: noindex
+    drops the page from the corpus, nofollow gates link harvesting.
+    Seven deterministic variants per doc (attribute orders, casing,
+    'none', 'all', multiple tags, irrelevant directives, absent); the
+    oracle states the EXPECTED flags from doc_id arithmetic, fully
+    independent of the regexp chain, so the whole extraction path is
+    checked against ground truth."""
+    from stock_crawler_spark.functions.html import meta_nofollow, meta_noindex
+
+    docs = _t(spark, sf, "documents")
+    v = F.col("doc_id") % 7
+    tag = (
+        F.when(v == 1, F.lit('<meta name="robots" content="noindex, follow">'))
+        .when(v == 2, F.lit("<meta content='nofollow' name='robots'>"))
+        .when(v == 3, F.lit('<META NAME="robots" CONTENT="NONE">'))
+        .when(v == 4, F.lit('<meta name="ROBOTS" content="all">'))
+        .when(
+            v == 5,
+            F.lit(
+                '<meta name="robots" content="noindex">'
+                '<meta name="robots" content="nofollow">'
+            ),
+        )
+        .when(v == 6, F.lit('<meta name="robots" content="noarchive">'))
+        .otherwise(F.lit(""))
+    )
+    html = F.concat(
+        F.lit("<html><head>"), tag, F.lit("</head><body>ok</body></html>")
+    )
+    return docs.select(
+        "doc_id",
+        meta_noindex(html).alias("noindex"),
+        meta_nofollow(html).alias("nofollow"),
+    )
+
+
+TR_SEEDS = 10  # h0..h9 are the human-vetted trusted hosts
+
+
+def q97_trustrank(spark, sf):
+    """TrustRank spam demotion (operators/graph.trustrank — Gyongyi et
+    al. 2004): PageRank with teleport AND dangling mass restricted to
+    the trusted seed hosts h0-h9, over the same harvested link graph as
+    q54 (real extract_links chain). det_sum ordered folds make ranks
+    bit-deterministic; the oracle unrolls the identical 3 iterations —
+    exact match, no tolerance."""
+    from stock_crawler_spark.operators.graph import trustrank
+
+    edges = _q50_edges(spark, sf).filter(
+        F.regexp_extract("src_dom", r"^h(\d+)\.com$", 1).cast("int") < PR_SRC_CAP
+    )
+    seeds = spark.range(TR_SEEDS).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"), F.lit(".com")).alias(
+            "dom"
+        )
+    )
+    return trustrank(edges, seeds, n_iter=PR_ITER)
+
+
 # ---------------------------------------------------------------------------
 # driver API
 # ---------------------------------------------------------------------------
@@ -1907,6 +1968,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q93_bigram_lm": q93_bigram_lm,
         "q94_epoch_shuffle": q94_epoch_shuffle,
         "q95_exact_substr": q95_exact_substr,
+        "q96_meta_robots": q96_meta_robots,
+        "q97_trustrank": q97_trustrank,
     }
 
 
@@ -2933,6 +2996,67 @@ FROM d LEFT JOIN sg USING (doc) LEFT JOIN st USING (doc)
 """
 
 
+def _trustrank_oracle() -> str:
+    """Unrolled TrustRank matching operators/graph.trustrank bit-for-
+    bit: the pagerank oracle's edge universe, md5 bucketing, and
+    ordered folds, with teleport and dangling mass restricted to the
+    h0-h9 seed set (t = 1/|S in graph|; both engines compute the same
+    IEEE division)."""
+    from stock_crawler_spark.operators.graph import DET_SUM_BUCKETS, PR_DAMPING
+
+    d = f"CAST({PR_DAMPING!r} AS DOUBLE)"
+    omd = f"CAST({1.0 - PR_DAMPING!r} AS DOUBLE)"
+    seed_in = "(" + ", ".join(f"'h{i}.com'" for i in range(TR_SEEDS)) + ")"
+
+    def bkt(x: str) -> str:
+        return f"(('0x' || substr(md5({x}), 1, 15))::BIGINT % {DET_SUM_BUCKETS})"
+
+    sql = f"""
+WITH ks AS (
+  SELECT doc_id, unnest([1, 2, 3]) AS k FROM documents
+), e AS (
+  SELECT DISTINCT 'h' || CAST(doc_id % {GRAPH_HOSTS} AS VARCHAR) || '.com' AS s,
+         'h' || CAST((doc_id * 7 + k) % {GRAPH_HOSTS} AS VARCHAR) || '.com' AS d
+  FROM ks
+  WHERE doc_id % {GRAPH_HOSTS} < {PR_SRC_CAP}
+    AND doc_id % {GRAPH_HOSTS} <> (doc_id * 7 + k) % {GRAPH_HOSTS}
+), nodes AS (
+  SELECT s AS dom FROM e UNION SELECT d FROM e
+), sd AS (
+  SELECT CAST(count(*) AS DOUBLE) AS ns FROM nodes WHERE dom IN {seed_in}
+), tv AS (
+  SELECT dom, CASE WHEN dom IN {seed_in}
+                   THEN CAST(1.0 AS DOUBLE) / (SELECT ns FROM sd)
+                   ELSE CAST(0 AS DOUBLE) END AS t
+  FROM nodes
+), od AS (SELECT s AS dom, od_n FROM (SELECT s, count(*) AS od_n FROM e GROUP BY s)),
+r0 AS (SELECT dom, t AS rank FROM tv)"""
+    for i in range(1, PR_ITER + 1):
+        p = i - 1
+        sql += f""",
+c{i}a AS (
+  SELECT e.d AS dom, {bkt('e.s')} AS b,
+         list_aggregate(list(r.rank / od.od_n ORDER BY e.s), 'sum') AS s1
+  FROM e JOIN r{p} r ON e.s = r.dom JOIN od ON e.s = od.dom
+  GROUP BY 1, 2
+), c{i} AS (
+  SELECT dom, list_aggregate(list(s1 ORDER BY b), 'sum') AS c FROM c{i}a GROUP BY 1
+), g{i}a AS (
+  SELECT {bkt('r.dom')} AS b, list_aggregate(list(r.rank ORDER BY r.dom), 'sum') AS s1
+  FROM r{p} r LEFT JOIN od ON r.dom = od.dom WHERE od.dom IS NULL GROUP BY 1
+), g{i} AS (
+  SELECT coalesce(list_aggregate(list(s1 ORDER BY b), 'sum'), CAST(0 AS DOUBLE)) AS dm
+  FROM g{i}a
+), r{i} AS (
+  SELECT n.dom,
+    {omd} * tv.t + {d} * (coalesce(c.c, CAST(0 AS DOUBLE)) + g.dm * tv.t) AS rank
+  FROM nodes n JOIN tv ON n.dom = tv.dom
+  CROSS JOIN g{i} g LEFT JOIN c{i} c ON n.dom = c.dom
+)"""
+    sql += f"\nSELECT dom, round(rank, 9) AS trustrank FROM r{PR_ITER}"
+    return sql
+
+
 _SHUFFLE_ORACLE = """
 WITH e AS (SELECT doc_id, unnest([0, 1]) AS epoch FROM documents),
 k AS (
@@ -3462,6 +3586,13 @@ FROM agg""",
         "q93_bigram_lm": _lm_oracle(),
         "q94_epoch_shuffle": _SHUFFLE_ORACLE,
         "q95_exact_substr": _exact_substr_oracle(),
+        "q96_meta_robots": """
+SELECT doc_id,
+  (doc_id % 7) IN (1, 3, 5) AS noindex,
+  (doc_id % 7) IN (2, 3, 5) AS nofollow
+FROM documents
+""",
+        "q97_trustrank": _trustrank_oracle(),
         "q91_wet_roundtrip": """
 SELECT 'https://h' || (doc_id % 120) || '.com/d' || doc_id AS url,
   printf('2024-01-%02dT%02d:%02d:%02dZ',

@@ -117,3 +117,52 @@ def soft404_score(html: Column) -> Column:
 
 def is_soft404(html: Column, min_score: int = SOFT404_MIN_SCORE) -> Column:
     return soft404_score(html) >= F.lit(min_score)
+
+
+# --- meta robots directives -------------------------------------------------
+
+# <meta name="robots" content="..."> with either attribute order; the
+# regex subset is shared Java/RE2 semantics (no backrefs, no lookaround)
+# so the DuckDB oracle runs the IDENTICAL pattern strings.
+META_ROBOTS_NAME_FIRST = (
+    r'(?i)<meta\s[^>]*name\s*=\s*["\']robots["\'][^>]*'
+    r'content\s*=\s*["\']([^"\']*)["\']'
+)
+META_ROBOTS_CONTENT_FIRST = (
+    r'(?i)<meta\s[^>]*content\s*=\s*["\']([^"\']*)["\'][^>]*'
+    r'name\s*=\s*["\']robots["\']'
+)
+
+
+def _meta_robots_directives(html: Column) -> Column:
+    """All robots meta content values on the page, joined with ',' and
+    lowercased — multiple tags union their directives (Google's
+    documented rule: the most restrictive wins, which a union gives
+    for free since directives only ever RESTRICT)."""
+    s = html.cast("string")
+    return F.lower(
+        F.concat_ws(
+            ",",
+            F.regexp_extract_all(s, F.lit(META_ROBOTS_NAME_FIRST), 1),
+            F.regexp_extract_all(s, F.lit(META_ROBOTS_CONTENT_FIRST), 1),
+        )
+    )
+
+
+_DIRECTIVE = r"(^|[,\s])%s([,\s]|$)"
+
+
+def meta_noindex(html: Column) -> Column:
+    """True when any robots meta tag carries noindex or none — the page
+    must NOT enter the corpus (its text is dropped in the extract
+    stage), though its links may still be followed unless nofollow."""
+    d = _meta_robots_directives(html)
+    return d.rlike(_DIRECTIVE % "(noindex|none)")
+
+
+def meta_nofollow(html: Column) -> Column:
+    """True when any robots meta tag carries nofollow or none — the
+    page's outlinks must not feed the frontier (functions/links
+    harvesting is gated on this in the follow-links path)."""
+    d = _meta_robots_directives(html)
+    return d.rlike(_DIRECTIVE % "(nofollow|none)")

@@ -283,6 +283,113 @@ def pagerank(
     return out
 
 
+def trustrank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_iter: int = 3,
+    damping: float = PR_DAMPING,
+    src: str = "src_dom",
+    dst: str = "dst_dom",
+    buckets: int = DET_SUM_BUCKETS,
+    truncate_lineage: bool = True,
+) -> DataFrame:
+    """TrustRank (Gyongyi, Garcia-Molina & Pedersen, VLDB 2004):
+    PageRank with the teleport vector restricted to a human-vetted
+    trusted seed set — trust flows OUT of the seeds along links, so
+    link-farm hosts that manufacture rank among themselves stay near
+    zero. The crawl engine's spam-demotion complement to q54's raw
+    importance.
+
+      rank'(v) = (1-d) * t(v) + d * (sum_{u->v} rank(u)/outdeg(u)
+                                     + D * t(v))
+
+    where t(v) = 1/|S| for seed hosts present in the graph, else 0,
+    and D is the dangling mass (sinks return trust to the seeds, not
+    uniformly). rank0 = t.
+
+    Same loop and cost shape as ``pagerank`` — the teleport weight
+    rides in the iteration state next to the out-degree, so each sweep
+    is still exactly one edges x state join plus det_sum's ordered
+    folds (bit-reproducible; the q97 oracle unrolls the identical
+    iterations). Raises if no seed host appears in the graph: an
+    all-zero teleport would silently decay every rank to 0."""
+    e = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .filter(F.col("_s") != F.col("_d"))
+        .distinct()
+    )
+    e = e.persist()
+    nodes = (
+        e.select(F.col("_s").alias("dom"))
+        .union(e.select(F.col("_d").alias("dom")))
+        .distinct()
+    )
+    outdeg = e.groupBy(F.col("_s").alias("dom")).agg(
+        F.count(F.lit(1)).alias("_od")
+    )
+    flagged = nodes.join(
+        seeds.select("dom").distinct().withColumn("_f", F.lit(1)),
+        "dom",
+        "left",
+    )
+    n_seed = flagged.agg(
+        F.sum(F.coalesce(F.col("_f"), F.lit(0))).alias("ns")
+    ).first()["ns"]
+    if not n_seed:
+        raise ValueError(
+            "trustrank: no seed host appears in the link graph — the "
+            "teleport vector would be all-zero and every rank would "
+            "decay to 0; check the seed list against the edge universe"
+        )
+    t = F.when(F.col("_f") == 1, F.lit(1.0 / float(n_seed))).otherwise(
+        F.lit(0.0)
+    )
+    ranks = flagged.join(outdeg, "dom", "left").select(
+        "dom",
+        F.coalesce(F.col("_od"), F.lit(0)).alias("_od"),
+        t.alias("_t"),
+        t.alias("rank"),
+    )
+    if truncate_lineage:
+        ranks = ranks.localCheckpoint(eager=True)
+    for _ in range(n_iter):
+        contrib = e.join(
+            ranks.select(F.col("dom").alias("_s"), "rank", "_od"), "_s"
+        ).select(
+            F.col("_d").alias("dom"),
+            F.col("_s"),
+            (F.col("rank") / F.col("_od")).alias("_c"),
+        )
+        summed = det_sum(contrib, ["dom"], "_s", "_c", "_sum", buckets)
+        dangling = det_sum(
+            ranks.filter(F.col("_od") == 0), [], "dom", "rank", "_dm", buckets
+        )
+        ranks = (
+            ranks.select("dom", "_od", "_t")
+            .join(summed, "dom", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "dom",
+                "_od",
+                "_t",
+                (
+                    F.lit(1.0 - damping) * F.col("_t")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("_sum"), F.lit(0.0))
+                        + F.col("_dm") * F.col("_t")
+                    )
+                ).alias("rank"),
+            )
+        )
+        if truncate_lineage:
+            ranks = ranks.localCheckpoint(eager=True)
+    out = ranks.select("dom", F.round(F.col("rank"), 9).alias("trustrank"))
+    if truncate_lineage:
+        e.unpersist()
+    return out
+
+
 # --- HITS (hubs & authorities) --------------------------------------------------
 
 HITS_ITER = 3

@@ -316,3 +316,91 @@ def test_opic_partition_invariant_bit_exact(spark):
     a = sorted(map(tuple, opic(df.repartition(1), n_iter=3).collect()))
     b = sorted(map(tuple, opic(df.repartition(16), n_iter=3).collect()))
     assert a == b
+
+
+# --- TrustRank --------------------------------------------------------------
+
+
+def test_trustrank_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    from stock_crawler_spark.operators.graph import trustrank
+
+    pairs = [
+        ("a.com", "b.com"), ("a.com", "c.com"), ("b.com", "c.com"),
+        ("c.com", "a.com"), ("d.com", "c.com"), ("c.com", "e.com"),
+    ]
+    seeds = ["a.com", "d.com"]
+    doms = sorted({d for p in pairs for d in p})
+    idx = {d: i for i, d in enumerate(doms)}
+    n, d = len(doms), 0.85
+    out = {}
+    for s, t in pairs:
+        out.setdefault(s, []).append(t)
+    t_vec = np.array([1.0 / len(seeds) if x in seeds else 0.0 for x in doms])
+    r = t_vec.copy()
+    for _ in range(3):
+        nxt = np.zeros(n)
+        for s, tgts in out.items():
+            for t in tgts:
+                nxt[idx[t]] += r[idx[s]] / len(tgts)
+        dm = sum(r[idx[x]] for x in doms if x not in out)
+        r = (1 - d) * t_vec + d * (nxt + dm * t_vec)
+    # compare against the UNROUNDED twin value: the engine rounds to 9
+    # decimals half-up, Python's round() is banker's — at an exact .5
+    # boundary they differ by one 1e-9 grid step, so tolerance is the
+    # half-step
+    want = {x: float(r[idx[x]]) for x in doms}
+
+    e = _edges(spark, pairs)
+    sd = spark.createDataFrame([(s,) for s in seeds], "dom string")
+    got = {row["dom"]: row["trustrank"] for row in trustrank(e, sd).collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) <= 6e-10, (k, got[k], want[k])
+
+
+def test_trustrank_demotes_unreachable_spam_farm(spark):
+    """A link farm that cites itself heavily but is unreachable from
+    the seeds gets EXACTLY zero trust — the property that separates
+    TrustRank from raw PageRank, where the farm would accumulate mass."""
+    from stock_crawler_spark.operators.graph import pagerank, trustrank
+
+    pairs = [
+        ("seed.com", "good.com"), ("good.com", "seed.com"),
+        # 3-node farm, densely self-citing, no inlink from the trusted side
+        ("f1.com", "f2.com"), ("f2.com", "f3.com"), ("f3.com", "f1.com"),
+        ("f1.com", "f3.com"), ("f2.com", "f1.com"), ("f3.com", "f2.com"),
+    ]
+    e = _edges(spark, pairs)
+    sd = spark.createDataFrame([("seed.com",)], "dom string")
+    tr = {r["dom"]: r["trustrank"] for r in trustrank(e, sd).collect()}
+    pr = {r["dom"]: r["pagerank"] for r in pagerank(e).collect()}
+    assert tr["f1.com"] == tr["f2.com"] == tr["f3.com"] == 0.0
+    assert tr["good.com"] > 0 and tr["seed.com"] > 0
+    assert pr["f1.com"] > 0  # pagerank cannot tell the farm apart
+    # trust mass conserved: dangling returns to seeds, nothing leaks
+    assert abs(sum(tr.values()) - 1.0) < 1e-6
+
+
+def test_trustrank_raises_without_in_graph_seed(spark):
+    import pytest as _pytest
+
+    from stock_crawler_spark.operators.graph import trustrank
+
+    e = _edges(spark, [("a.com", "b.com")])
+    sd = spark.createDataFrame([("absent.com",)], "dom string")
+    with _pytest.raises(ValueError, match="no seed host"):
+        trustrank(e, sd)
+
+
+def test_trustrank_partition_invariant_bit_exact(spark):
+    from stock_crawler_spark.operators.graph import trustrank
+
+    pairs = [(f"h{i}.com", f"h{(i * 3 + 1) % 7}.com") for i in range(40)]
+    sd = spark.createDataFrame([("h0.com",), ("h1.com",)], "dom string")
+    a = sorted(trustrank(_edges(spark, pairs), sd).collect())
+    b = sorted(
+        trustrank(_edges(spark, pairs).repartition(13), sd).collect()
+    )
+    assert a == b

@@ -121,3 +121,49 @@ def test_soft404_mentioning_404_in_prose_needs_more_signals(spark):
     )
     # body phrase matches but title/shortness don't -> below threshold
     assert r.s < 2 and not r.b
+
+
+# --- meta robots ------------------------------------------------------------
+
+
+def _mr(spark, html):
+    from stock_crawler_spark.functions.html import meta_nofollow, meta_noindex
+
+    df = spark.createDataFrame([(html,)], "h string")
+    r = df.select(
+        meta_noindex(F.col("h")).alias("ni"),
+        meta_nofollow(F.col("h")).alias("nf"),
+    ).first()
+    return r["ni"], r["nf"]
+
+
+def test_meta_robots_basic_and_attribute_order(spark):
+    assert _mr(spark, '<meta name="robots" content="noindex, follow">') == (True, False)
+    assert _mr(spark, "<meta content='nofollow' name='robots'>") == (False, True)
+    assert _mr(spark, '<meta name="robots" content="noindex,nofollow">') == (True, True)
+
+
+def test_meta_robots_none_and_all_and_case(spark):
+    assert _mr(spark, '<META NAME="robots" CONTENT="NONE">') == (True, True)
+    assert _mr(spark, '<meta name="ROBOTS" content="all">') == (False, False)
+    assert _mr(spark, '<meta name="robots" content="NOINDEX">') == (True, False)
+
+
+def test_meta_robots_multiple_tags_union(spark):
+    h = '<meta name="robots" content="noindex"><meta name="robots" content="nofollow">'
+    assert _mr(spark, h) == (True, True)
+
+
+def test_meta_robots_absent_or_irrelevant(spark):
+    assert _mr(spark, "<html><body>plain</body></html>") == (False, False)
+    assert _mr(spark, '<meta name="robots" content="noarchive, nosnippet">') == (False, False)
+    # other meta names never match
+    assert _mr(spark, '<meta name="viewport" content="noindex">') == (False, False)
+
+
+def test_meta_robots_directive_boundaries(spark):
+    # substrings must not trigger: 'noindexed' / 'nonessential'
+    assert _mr(spark, '<meta name="robots" content="noindexed">') == (False, False)
+    assert _mr(spark, '<meta name="robots" content="nonessential">') == (False, False)
+    # space-separated directive lists still parse
+    assert _mr(spark, '<meta name="robots" content="noindex nofollow">') == (True, True)

@@ -175,6 +175,7 @@ def test_no_cartesian_products_anywhere(spark):
         "q64_dsir_select",       # broadcast 1-row corpus-size totals
         "q83_opic",              # broadcast 1-row virtual-node cash total
         "q93_bigram_lm",         # broadcast 1-row LM totals (N, V, n_docs)
+        "q97_trustrank",         # broadcast 1-row dangling trust mass
     }
     for name, fn in entrymod.queries().items():
         tree = _plan(fn(spark, "/root/testdata/sf0.001")).split("\n\n")[0]
