@@ -188,10 +188,16 @@ def simulate(
                 # raw url per canon — mirroring the engine's round-global
                 # canonical-dup window (orderBy url asc), where inline
                 # insertion would keep first-encountered instead
+                from stock_crawler_spark.functions.html import meta_nofollow_py
                 from stock_crawler_spark.functions.links import extract_links_py
 
                 html = (page.get("html") or b"").decode("utf-8", errors="replace")
-                for link in extract_links_py(html, e["url_canon"]):
+                # twin of round.py's meta-robots gate: nofollow/none
+                # pages contribute no outlinks
+                for link in (
+                    [] if meta_nofollow_py(html)
+                    else extract_links_py(html, e["url_canon"])
+                ):
                     c = canonicalize_py(link)
                     if indegree_priority:
                         tgt_dom = registrable_domain_py(host_py(link))

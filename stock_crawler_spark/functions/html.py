@@ -166,3 +166,24 @@ def meta_nofollow(html: Column) -> Column:
     harvesting is gated on this in the follow-links path)."""
     d = _meta_robots_directives(html)
     return d.rlike(_DIRECTIVE % "(nofollow|none)")
+
+
+def meta_noindex_py(html: str) -> bool:
+    """Python twin of meta_noindex (simulator parity)."""
+    return _meta_directive_py(html, ("noindex", "none"))
+
+
+def meta_nofollow_py(html: str) -> bool:
+    """Python twin of meta_nofollow (simulator parity)."""
+    return _meta_directive_py(html, ("nofollow", "none"))
+
+
+def _meta_directive_py(html: str, hits: tuple[str, ...]) -> bool:
+    import re
+
+    vals: list[str] = []
+    vals += re.findall(META_ROBOTS_NAME_FIRST, html)
+    vals += re.findall(META_ROBOTS_CONTENT_FIRST, html)
+    joined = ",".join(vals).lower()
+    pat = r"(^|[,\s])(" + "|".join(hits) + r")([,\s]|$)"
+    return re.search(pat, joined) is not None

@@ -193,15 +193,24 @@ def run_round(
     #     legacy-charset pages, so the utf-8 string cast is safe for
     #     harvesting; generic pages extract via the 'discovered' strategy.
     if cfg.follow_links:
+        from stock_crawler_spark.functions.html import meta_nofollow
         from stock_crawler_spark.functions.links import extract_links
 
         assert robots is not None, "follow_links needs the robots rule table"
-        pairs = ok_fetch.select(
-            F.col("domain").alias("_src_dom"),
-            F.explode(
-                extract_links(F.col("_html").cast("string"), F.col("url_canon"))
-            ).alias("url"),
-        ).distinct()
+        # pages carrying <meta name="robots" content="nofollow|none">
+        # contribute NO outlinks (functions/html.meta_nofollow; the
+        # simulator twin gates identically) — the in-page complement to
+        # the robots.txt deny rules already applied at discovery
+        pairs = (
+            ok_fetch.filter(~meta_nofollow(F.col("_html").cast("string")))
+            .select(
+                F.col("domain").alias("_src_dom"),
+                F.explode(
+                    extract_links(F.col("_html").cast("string"), F.col("url_canon"))
+                ).alias("url"),
+            )
+            .distinct()
+        )
         disc = fr.discovered_frontier_rows(
             pairs.select("url").distinct(), robots, cfg.n_shards, now, round_id
         )

@@ -25,7 +25,17 @@ PAGES = {
     ROOT: (
         '<html><body><h1>Index</h1><a href="/a.html">a</a>'
         '<a href="/b.html">b</a><a href="//www.other.com/x.html">x</a>'
-        '<a href="/denied/secret.html">s</a><a href="mailto:z@y.c">m</a></body></html>'
+        '<a href="/denied/secret.html">s</a><a href="mailto:z@y.c">m</a>'
+        '<a href="/nf.html">n</a></body></html>'
+    ),
+    # meta-robots nofollow: the page itself is fetched, but its
+    # outlinks must never enter the frontier (round.py harvest gate)
+    "https://www.linkweb.com/nf.html": (
+        '<html><head><meta name="robots" content="nofollow"></head>'
+        '<body><p>nofollow hub</p><a href="/hidden.html">h</a></body></html>'
+    ),
+    "https://www.linkweb.com/hidden.html": (
+        "<html><body><p>reachable only through nf</p></body></html>"
     ),
     "https://www.linkweb.com/a.html": (
         '<html><body><p>page a</p><a href="c.html">c</a>'
@@ -101,6 +111,10 @@ def test_follow_links_multi_hop_and_robots(spark, linkweb_dir, tmp_path):
     # robots denial applied AT DISCOVERY: never scheduled, never fetched
     assert states["https://www.linkweb.com/denied/secret.html"] == "denied"
     assert "mailto:z@y.c" not in states
+    # meta-robots nofollow: the carrying page is crawled normally, but
+    # its outlink target never enters the frontier at all
+    assert states["https://www.linkweb.com/nf.html"] == "done"
+    assert "https://www.linkweb.com/hidden.html" not in states
 
     # c.html is 2 hops deep: discovered strictly after round 1
     disc_rounds = {}
@@ -122,7 +136,8 @@ def test_follow_links_multi_hop_and_robots(spark, linkweb_dir, tmp_path):
     assert texts[ROOT] == html_to_text_py(PAGES[ROOT])
     # metrics recorded the growth
     m1 = store.read_manifest(1)
-    assert m1["metrics"]["links_discovered"] == 4  # a, b, x, secret (mailto dropped)
+    # a, b, x, secret, nf (mailto dropped; hidden blocked by nofollow)
+    assert m1["metrics"]["links_discovered"] == 5
 
 
 def test_follow_links_n_pending_manifest(spark, linkweb_dir, tmp_path):

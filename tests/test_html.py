@@ -167,3 +167,34 @@ def test_meta_robots_directive_boundaries(spark):
     assert _mr(spark, '<meta name="robots" content="nonessential">') == (False, False)
     # space-separated directive lists still parse
     assert _mr(spark, '<meta name="robots" content="noindex nofollow">') == (True, True)
+
+
+def test_meta_robots_column_python_twins_agree(spark):
+    from stock_crawler_spark.functions.html import (
+        meta_nofollow,
+        meta_nofollow_py,
+        meta_noindex,
+        meta_noindex_py,
+    )
+
+    cases = [
+        '<meta name="robots" content="noindex, follow">',
+        "<meta content='nofollow' name='robots'>",
+        '<META NAME="robots" CONTENT="NONE">',
+        '<meta name="ROBOTS" content="all">',
+        '<meta name="robots" content="noindex"><meta name="robots" content="nofollow">',
+        '<meta name="robots" content="noarchive">',
+        '<meta name="viewport" content="noindex">',
+        '<meta name="robots" content="noindexed">',
+        "<html><body>plain</body></html>",
+        "",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "h string")
+    got = df.select(
+        F.col("h"),
+        meta_noindex(F.col("h")).alias("ni"),
+        meta_nofollow(F.col("h")).alias("nf"),
+    ).collect()
+    for r in got:
+        assert r["ni"] == meta_noindex_py(r["h"]), r["h"]
+        assert r["nf"] == meta_nofollow_py(r["h"]), r["h"]
