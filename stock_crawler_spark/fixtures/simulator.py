@@ -180,7 +180,13 @@ def simulate(
                 continue
             e["state"] = "done"
             seen.add(e["url_canon"])
-            pages_out[e["url_canon"]] = page["text"]
+            # twin of round.py's meta-robots noindex gate: the page is
+            # done + seen, but its text stays out of the corpus output
+            from stock_crawler_spark.functions.html import meta_noindex_py
+
+            _html_str = (page.get("html") or b"").decode("utf-8", errors="replace")
+            if not meta_noindex_py(_html_str):
+                pages_out[e["url_canon"]] = page["text"]
             if follow_links:
                 # frontier growth twin (round.py follow_links): COLLECT
                 # candidate links during the round; classification and
@@ -191,12 +197,11 @@ def simulate(
                 from stock_crawler_spark.functions.html import meta_nofollow_py
                 from stock_crawler_spark.functions.links import extract_links_py
 
-                html = (page.get("html") or b"").decode("utf-8", errors="replace")
                 # twin of round.py's meta-robots gate: nofollow/none
                 # pages contribute no outlinks
                 for link in (
-                    [] if meta_nofollow_py(html)
-                    else extract_links_py(html, e["url_canon"])
+                    [] if meta_nofollow_py(_html_str)
+                    else extract_links_py(_html_str, e["url_canon"])
                 ):
                     c = canonicalize_py(link)
                     if indegree_priority:

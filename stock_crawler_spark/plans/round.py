@@ -292,12 +292,31 @@ def run_round(
     #     append-only (delta disjointness guaranteed by the dedup gate) ---
     new_seen = seen_ops.seen_delta(ok_fetch, now)
 
-    # --- pages_out: the round's extracted text keyed by canonical url ---
-    pages_out = extracted.join(
-        scheduled.select("url", "url_canon", "strategy", "priority"), "url_canon", "inner"
-    ).select(
-        "url", "url_canon", "strategy", "text", "n_records", "parse_error",
-        F.lit(round_id).alias("round_id"),
+    # --- pages_out: the round's extracted text keyed by canonical url.
+    #     Pages carrying <meta name="robots" content="noindex|none"> are
+    #     fetched, parsed, and marked seen (recrawl bookkeeping intact),
+    #     but their text never enters the corpus output — the meta-robots
+    #     complement on the CONTENT side (the nofollow gate in the
+    #     follow_links block guards the frontier side); simulator twin
+    #     gates identically ---
+    from stock_crawler_spark.functions.html import meta_noindex
+
+    noidx = ok_fetch.select(
+        "url_canon",
+        meta_noindex(F.col("_html").cast("string")).alias("_noindex"),
+    )
+    pages_out = (
+        extracted.join(
+            scheduled.select("url", "url_canon", "strategy", "priority"),
+            "url_canon",
+            "inner",
+        )
+        .join(noidx, "url_canon", "left")
+        .filter(~F.coalesce(F.col("_noindex"), F.lit(False)))
+        .select(
+            "url", "url_canon", "strategy", "text", "n_records", "parse_error",
+            F.lit(round_id).alias("round_id"),
+        )
     )
 
     # --- golden trace (ordering contract) ---

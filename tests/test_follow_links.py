@@ -26,7 +26,7 @@ PAGES = {
         '<html><body><h1>Index</h1><a href="/a.html">a</a>'
         '<a href="/b.html">b</a><a href="//www.other.com/x.html">x</a>'
         '<a href="/denied/secret.html">s</a><a href="mailto:z@y.c">m</a>'
-        '<a href="/nf.html">n</a></body></html>'
+        '<a href="/nf.html">n</a><a href="/ni.html">i</a></body></html>'
     ),
     # meta-robots nofollow: the page itself is fetched, but its
     # outlinks must never enter the frontier (round.py harvest gate)
@@ -36,6 +36,15 @@ PAGES = {
     ),
     "https://www.linkweb.com/hidden.html": (
         "<html><body><p>reachable only through nf</p></body></html>"
+    ),
+    # meta-robots noindex (follow implied): the page is fetched and its
+    # links ARE followed, but its text stays out of pages_out
+    "https://www.linkweb.com/ni.html": (
+        '<html><head><meta name="robots" content="noindex"></head>'
+        '<body><p>noindex but follow</p><a href="/nd.html">d</a></body></html>'
+    ),
+    "https://www.linkweb.com/nd.html": (
+        "<html><body><p>found via noindex page</p></body></html>"
     ),
     "https://www.linkweb.com/a.html": (
         '<html><body><p>page a</p><a href="c.html">c</a>'
@@ -115,6 +124,10 @@ def test_follow_links_multi_hop_and_robots(spark, linkweb_dir, tmp_path):
     # its outlink target never enters the frontier at all
     assert states["https://www.linkweb.com/nf.html"] == "done"
     assert "https://www.linkweb.com/hidden.html" not in states
+    # meta-robots noindex: fetched AND its links followed (nd.html is
+    # discovered through it) — only the corpus output excludes it
+    assert states["https://www.linkweb.com/ni.html"] == "done"
+    assert states["https://www.linkweb.com/nd.html"] == "done"
 
     # c.html is 2 hops deep: discovered strictly after round 1
     disc_rounds = {}
@@ -134,10 +147,14 @@ def test_follow_links_multi_hop_and_robots(spark, linkweb_dir, tmp_path):
             texts[row["url_canon"]] = row["text"]
     assert texts["https://www.linkweb.com/c.html"] == "page c deep"
     assert texts[ROOT] == html_to_text_py(PAGES[ROOT])
+    # noindex page: crawled (state above) but its text is NOT in the
+    # corpus output; the page it links to is
+    assert "https://www.linkweb.com/ni.html" not in texts
+    assert texts["https://www.linkweb.com/nd.html"] == "found via noindex page"
     # metrics recorded the growth
     m1 = store.read_manifest(1)
-    # a, b, x, secret, nf (mailto dropped; hidden blocked by nofollow)
-    assert m1["metrics"]["links_discovered"] == 5
+    # a, b, x, secret, nf, ni (mailto dropped; hidden blocked by nofollow)
+    assert m1["metrics"]["links_discovered"] == 6
 
 
 def test_follow_links_n_pending_manifest(spark, linkweb_dir, tmp_path):
