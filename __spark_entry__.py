@@ -1861,6 +1861,67 @@ def q97_trustrank(spark, sf):
     return trustrank(edges, seeds, n_iter=PR_ITER)
 
 
+def q98_trust_budget(spark, sf):
+    """Trust-weighted crawl-budget apportionment — q97's TrustRank
+    scores fed into q68's exact largest-remainder allocator
+    (operators/budget.allocate_budget, sqrt damping): the fleet's
+    per-domain fetch budget follows TRUST, so link farms (trust 0) get
+    base share only from the sub-linear floor (sqrt(0)=0 -> nothing)
+    while seed-adjacent hosts absorb the crawl. sum(budget) == total
+    exactly; the oracle chains the unrolled TrustRank iterations into
+    the naive single-window budget formulation."""
+    from stock_crawler_spark.operators.budget import allocate_budget
+
+    tr = q97_trustrank(spark, sf)
+    return allocate_budget(tr, BUDGET_TOTAL, weight_col="trustrank")
+
+
+def q99_cdx_closest(spark, sf):
+    """Wayback-style closest-capture lookup — the CDX API's core query
+    — composed from cdx_index (q71) + merge_asof (q33): for each
+    (url, t) find the latest capture at-or-before t. Three monthly
+    captures per url; even docs query mid-February (must resolve to
+    the February capture, never March), odd docs query before any
+    capture (null). The oracle states the matched capture timestamp
+    and digest PURELY from doc_id arithmetic — ground truth through
+    WARC-date digit extraction, SURT keying, and asof semantics."""
+    from stock_crawler_spark.operators.asof import merge_asof
+    from stock_crawler_spark.operators.cdx import cdx_index, surt_key
+
+    docs = _t(spark, sf, "documents")
+    url = F.concat(
+        F.lit("https://h"), (F.col("doc_id") % GRAPH_HOSTS).cast("string"),
+        F.lit(".com/d"), F.col("doc_id").cast("string"),
+    )
+    recs = docs.select("doc_id", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("k")).select(
+        url.alias("url"),
+        F.format_string(
+            "2024-%02d-01T%02d:%02d:%02dZ",
+            F.col("k"),
+            ((F.col("doc_id") % 86400) / 3600).cast("int"),
+            ((F.col("doc_id") % 3600) / 60).cast("int"),
+            (F.col("doc_id") % 60).cast("int"),
+        ).alias("warc_date"),
+        F.encode(
+            F.concat(F.lit("cap"), F.col("k").cast("string"), F.lit(":"), F.col("doc_id").cast("string")),
+            "utf-8",
+        ).alias("payload"),
+        F.lit(200).alias("http_status"),
+        F.lit("text/html").alias("content_type"),
+    )
+    cdx = cdx_index(recs)
+    queries_df = docs.select(
+        "doc_id",
+        surt_key(url).alias("surt"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("20240215000000"))
+        .otherwise(F.lit("20231201000000"))
+        .alias("ts"),
+    )
+    right = cdx.select("surt", "ts", F.col("ts").alias("cap_ts"), "digest")
+    out = merge_asof(queries_df, right, on="ts", by="surt")
+    return out.select("doc_id", "ts", "cap_ts_asof", "digest_asof")
+
+
 # ---------------------------------------------------------------------------
 # driver API
 # ---------------------------------------------------------------------------
@@ -1970,6 +2031,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q95_exact_substr": q95_exact_substr,
         "q96_meta_robots": q96_meta_robots,
         "q97_trustrank": q97_trustrank,
+        "q98_trust_budget": q98_trust_budget,
+        "q99_cdx_closest": q99_cdx_closest,
     }
 
 
@@ -2996,12 +3059,9 @@ FROM d LEFT JOIN sg USING (doc) LEFT JOIN st USING (doc)
 """
 
 
-def _trustrank_oracle() -> str:
-    """Unrolled TrustRank matching operators/graph.trustrank bit-for-
-    bit: the pagerank oracle's edge universe, md5 bucketing, and
-    ordered folds, with teleport and dangling mass restricted to the
-    h0-h9 seed set (t = 1/|S in graph|; both engines compute the same
-    IEEE division)."""
+def _trustrank_chain() -> str:
+    """The shared CTE chain unrolling TrustRank bit-for-bit (see
+    _trustrank_oracle); q98 extends it with the budget CTEs."""
     from stock_crawler_spark.operators.graph import DET_SUM_BUCKETS, PR_DAMPING
 
     d = f"CAST({PR_DAMPING!r} AS DOUBLE)"
@@ -3053,8 +3113,59 @@ c{i}a AS (
   FROM nodes n JOIN tv ON n.dom = tv.dom
   CROSS JOIN g{i} g LEFT JOIN c{i} c ON n.dom = c.dom
 )"""
-    sql += f"\nSELECT dom, round(rank, 9) AS trustrank FROM r{PR_ITER}"
     return sql
+
+
+def _trustrank_oracle() -> str:
+    """Unrolled TrustRank matching operators/graph.trustrank bit-for-
+    bit: the pagerank oracle's edge universe, md5 bucketing, and
+    ordered folds, with teleport and dangling mass restricted to the
+    h0-h9 seed set (t = 1/|S in graph|; both engines compute the same
+    IEEE division)."""
+    return (
+        _trustrank_chain()
+        + f"\nSELECT dom, round(rank, 9) AS trustrank FROM r{PR_ITER}"
+    )
+
+
+def _trust_budget_oracle() -> str:
+    """q98: the TrustRank chain feeding q68's naive largest-remainder
+    budget formulation (sqrt damping, 1e9 integer units — sqrt/pow(0.5)
+    agree bit-for-bit across engines, q68 precedent)."""
+    return (
+        _trustrank_chain()
+        + f""",
+tr AS (SELECT dom, round(rank, 9) AS w FROM r{PR_ITER}),
+p AS (SELECT dom, CAST(round(sqrt(w) * 1000000000, 0) AS BIGINT) AS wi FROM tr),
+t AS (SELECT CAST(sum(wi) AS BIGINT) AS W FROM p),
+q AS (
+  SELECT dom, wi, (wi * {BUDGET_TOTAL}) // W AS base,
+         (wi * {BUDGET_TOTAL}) % W AS rem
+  FROM p CROSS JOIN t
+), l AS (SELECT {BUDGET_TOTAL} - CAST(sum(base) AS BIGINT) AS R FROM q),
+rk AS (
+  SELECT dom, wi, base, row_number() OVER (ORDER BY rem DESC, dom) AS rn
+  FROM q
+)
+SELECT dom, wi, CAST(base AS BIGINT) AS base,
+  CASE WHEN rn <= (SELECT R FROM l) THEN 1 ELSE 0 END AS extra,
+  CAST(base AS BIGINT)
+    + CASE WHEN rn <= (SELECT R FROM l) THEN 1 ELSE 0 END AS budget
+FROM rk
+"""
+    )
+
+
+_CDX_CLOSEST_ORACLE = """
+SELECT doc_id,
+  CASE WHEN doc_id % 2 = 0 THEN '20240215000000'
+       ELSE '20231201000000' END AS ts,
+  CASE WHEN doc_id % 2 = 0 THEN printf('20240201%02d%02d%02d',
+         (doc_id % 86400) // 3600, (doc_id % 3600) // 60, doc_id % 60)
+       END AS cap_ts_asof,
+  CASE WHEN doc_id % 2 = 0 THEN md5('cap2:' || doc_id) END AS digest_asof
+FROM documents
+"""
 
 
 _SHUFFLE_ORACLE = """
@@ -3593,6 +3704,8 @@ SELECT doc_id,
 FROM documents
 """,
         "q97_trustrank": _trustrank_oracle(),
+        "q98_trust_budget": _trust_budget_oracle(),
+        "q99_cdx_closest": _CDX_CLOSEST_ORACLE,
         "q91_wet_roundtrip": """
 SELECT 'https://h' || (doc_id % 120) || '.com/d' || doc_id AS url,
   printf('2024-01-%02dT%02d:%02d:%02dZ',
