@@ -1922,6 +1922,37 @@ def q99_cdx_closest(spark, sf):
     return out.select("doc_id", "ts", "cap_ts_asof", "digest_asof")
 
 
+def q100_dedup_keep_best(spark, sf):
+    """End-to-end fuzzy dedup with KEEP-BEST survivor selection — the
+    SlimPajama/FineWeb policy: near-dup pairs (q10's shingle-hash
+    generator) -> connected components (q40) -> per-cluster survivor by
+    (quality DESC, doc_id ASC) using q15's quality score, instead of
+    the min-id convention. Singletons keep themselves. The per-cluster
+    window partitions by rep (bounded cluster sizes — never a global
+    sort); the oracle chains the recursive-CTE components, the quality
+    SQL, and the same argmax window."""
+    from stock_crawler_spark.operators.components import connected_components
+
+    docs = _t(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.3)
+    comps = connected_components(pairs)
+    qual = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.round(T.quality_score(F.col("text")), 6).alias("quality"),
+    )
+    assigned = (
+        qual.join(comps, "doc", "left")
+        .withColumn("rep", F.coalesce(F.col("rep"), F.col("doc")).cast("long"))
+    )
+    w = Window.partitionBy("rep").orderBy(F.desc("quality"), F.asc("doc"))
+    return assigned.select(
+        F.col("doc").alias("doc_id"),
+        "rep",
+        "quality",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver API
 # ---------------------------------------------------------------------------
@@ -2033,6 +2064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q97_trustrank": q97_trustrank,
         "q98_trust_budget": q98_trust_budget,
         "q99_cdx_closest": q99_cdx_closest,
+        "q100_dedup_keep_best": q100_dedup_keep_best,
     }
 
 
@@ -3156,6 +3188,31 @@ FROM rk
     )
 
 
+def _keep_best_oracle() -> str:
+    """q100: recursive-CTE components over the q10 pairs + the q15
+    quality SQL + the same (quality DESC, doc) argmax window."""
+    return f"""
+WITH RECURSIVE pairs AS ({_JACCARD_CTE}), sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs
+), reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+), cc AS (
+  SELECT a AS doc, CAST(min(m) AS BIGINT) AS rep FROM (
+    SELECT a, b AS m FROM reach UNION ALL SELECT DISTINCT a, a FROM sym
+  ) GROUP BY a
+), qual AS ({_QUALITY_SQL}), assigned AS (
+  SELECT q.doc_id AS doc, CAST(coalesce(cc.rep, q.doc_id) AS BIGINT) AS rep,
+         q.quality
+  FROM qual q LEFT JOIN cc ON q.doc_id = cc.doc
+)
+SELECT doc AS doc_id, rep, quality,
+  row_number() OVER (PARTITION BY rep ORDER BY quality DESC, doc) = 1 AS keep
+FROM assigned
+"""
+
+
 _CDX_CLOSEST_ORACLE = """
 SELECT doc_id,
   CASE WHEN doc_id % 2 = 0 THEN '20240215000000'
@@ -3706,6 +3763,7 @@ FROM documents
         "q97_trustrank": _trustrank_oracle(),
         "q98_trust_budget": _trust_budget_oracle(),
         "q99_cdx_closest": _CDX_CLOSEST_ORACLE,
+        "q100_dedup_keep_best": _keep_best_oracle(),
         "q91_wet_roundtrip": """
 SELECT 'https://h' || (doc_id % 120) || '.com/d' || doc_id AS url,
   printf('2024-01-%02dT%02d:%02d:%02dZ',
