@@ -162,3 +162,53 @@ def test_pair_counts_weighted_by_freq(spark):
         (r["l"], r["r"]): r["cnt"] for r in pair_counts(vocab).collect()
     }
     assert pc == {("a", "b"): 4, ("c", "d"): 1}
+
+
+def test_fold_random_battery_matches_reference(spark):
+    """200 seeded-random symbol arrays over a 3-letter alphabet x a
+    random pair each — the JVM greedy fold must agree with the
+    sequential reference on every one (single Spark job)."""
+    import random
+
+    rng = random.Random(42)
+    rows = []
+    for i in range(200):
+        syms = [rng.choice("ab" if rng.random() < 0.8 else "c")
+                for _ in range(rng.randint(1, 24))]
+        rows.append((i, syms))
+    df = spark.createDataFrame(rows, "i long, syms array<string>")
+    for l, r in [("a", "a"), ("a", "b"), ("b", "a"), ("c", "c")]:
+        got = {
+            row["i"]: row["m"]
+            for row in df.select(
+                "i", apply_merge(F.col("syms"), l, r).alias("m")
+            ).collect()
+        }
+        for i, syms in rows:
+            assert got[i] == _ref_apply(syms, l, r), (i, syms, l, r)
+
+
+def test_train_random_corpus_matches_reference(spark):
+    """Seeded-random 60-doc corpus over a tiny vocabulary: 5 merge
+    iterations end-to-end vs the sequential reference (argmax ties
+    included — the tie-break is part of the contract)."""
+    import random
+
+    rng = random.Random(7)
+    words = ["aba", "bab", "abab", "aa", "bb", "ab", "ba", "aabb"]
+    texts = [
+        " ".join(rng.choice(words) for _ in range(rng.randint(0, 12)))
+        for _ in range(60)
+    ]
+    merges, vocab = bpe_train(_docs(spark, texts), n_merges=5)
+    got = [
+        (r["iter"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in merges.orderBy("iter").collect()
+    ]
+    want, rv, wf = _ref_train(texts, 5)
+    assert got == want
+    sym_got = {
+        r["symbol"]: (r["wcount"], r["n_words"])
+        for r in bpe_symbols(vocab).collect()
+    }
+    assert sym_got == _ref_symbols(rv, wf)

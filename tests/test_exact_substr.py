@@ -122,3 +122,28 @@ def test_partition_invariance(spark):
         for r in exact_substr_dedup(df, k=K).collect()
     }
     assert got == _ref(TEXTS)
+
+
+def test_random_corpus_battery_matches_reference(spark):
+    """Seeded-random 30-doc corpus over a 2-letter alphabet with
+    planted duplications (shared blocks, periodic runs, self-repeats):
+    the interval-union engine must agree with the sequential reference
+    on every doc, at two different k values."""
+    import random
+
+    rng = random.Random(13)
+    shared = ["".join(rng.choice("ab") for _ in range(15)) for _ in range(4)]
+    texts = {}
+    for i in range(30):
+        parts = []
+        for _ in range(rng.randint(1, 4)):
+            roll = rng.random()
+            if roll < 0.4:
+                parts.append(rng.choice(shared))
+            elif roll < 0.6:
+                parts.append("a" * rng.randint(5, 20))  # periodic runs
+            else:
+                parts.append("".join(rng.choice("ab") for _ in range(rng.randint(0, 18))))
+        texts[i] = " ".join(parts)
+    for k in (6, 11):
+        assert _run(spark, texts, k=k) == _ref(texts, k=k), k
