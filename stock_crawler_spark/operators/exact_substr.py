@@ -28,7 +28,15 @@ Scale shape:
 The identical pipeline is expressible in ANSI SQL (q95's oracle:
 gram comprehension, the same winner argmin, gaps-and-islands window
 merge, string_agg reconstruction), which pins the semantics
-cross-engine."""
+cross-engine.
+
+Note the gram subtree appears TWICE in the physical plan (winner
+build side and prober side of the self-join) — deliberate: grams are
+~total-chars rows, so re-running the linear transform+explode is
+cheaper than materializing them (a persist would cache k bytes per
+character of corpus; the winner groupBy's shuffle files already
+amortize the build side). tests/test_plans.py pins exactly two gram
+Generates and no per-char explode."""
 
 from __future__ import annotations
 
