@@ -1953,6 +1953,28 @@ def q100_dedup_keep_best(spark, sf):
     )
 
 
+TOKEN_BUDGET = 20000
+
+
+def q101_token_budget(spark, sf):
+    """Token-budgeted corpus selection (operators/training.
+    select_token_budget): keep the highest-quality docs whose running
+    token total stays within the training budget — greedy by (quality
+    DESC, doc). The distributed cumulative sum uses range partitioning
+    + per-partition offsets + a pid-partitioned window (two bounded
+    shuffles); the oracle is the naive single-window global cumsum the
+    scalable plan must reproduce row for row."""
+    from stock_crawler_spark.operators.training import select_token_budget
+
+    docs = _t(spark, sf, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.round(T.quality_score(F.col("text")), 6).alias("quality"),
+        T.token_count_ws(F.col("text")).alias("n_tokens"),
+    )
+    return select_token_budget(scored, TOKEN_BUDGET)
+
+
 # ---------------------------------------------------------------------------
 # driver API
 # ---------------------------------------------------------------------------
@@ -2065,6 +2087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q98_trust_budget": q98_trust_budget,
         "q99_cdx_closest": q99_cdx_closest,
         "q100_dedup_keep_best": q100_dedup_keep_best,
+        "q101_token_budget": q101_token_budget,
     }
 
 
@@ -3213,6 +3236,29 @@ FROM assigned
 """
 
 
+def _token_budget_oracle() -> str:
+    """q101: the naive single-window global cumsum over (quality DESC,
+    doc_id) that the distributed offsets+pid-window plan must match."""
+    return f"""
+WITH qual AS ({_QUALITY_SQL}), tok AS (
+  SELECT doc_id,
+    CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS_RAW}) END AS n_tokens
+  FROM documents
+), s AS (
+  SELECT q.doc_id, q.quality, CAST(t.n_tokens AS BIGINT) AS n_tokens
+  FROM qual q JOIN tok t USING (doc_id)
+), c AS (
+  SELECT doc_id, quality, n_tokens,
+    CAST(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+  FROM s
+)
+SELECT doc_id, quality, n_tokens, cum_tokens,
+  cum_tokens <= {TOKEN_BUDGET} AS keep
+FROM c
+"""
+
+
 _CDX_CLOSEST_ORACLE = """
 SELECT doc_id,
   CASE WHEN doc_id % 2 = 0 THEN '20240215000000'
@@ -3764,6 +3810,7 @@ FROM documents
         "q98_trust_budget": _trust_budget_oracle(),
         "q99_cdx_closest": _CDX_CLOSEST_ORACLE,
         "q100_dedup_keep_best": _keep_best_oracle(),
+        "q101_token_budget": _token_budget_oracle(),
         "q91_wet_roundtrip": """
 SELECT 'https://h' || (doc_id % 120) || '.com/d' || doc_id AS url,
   printf('2024-01-%02dT%02d:%02d:%02dZ',

@@ -437,3 +437,71 @@ def epoch_shuffle(
             F.col("id").alias(id_col),
         )
     )
+
+
+def select_token_budget(
+    scored: DataFrame,
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    quality_col: str = "quality",
+    tokens_col: str = "n_tokens",
+    n_partitions: int = 32,
+) -> DataFrame:
+    """Token-budgeted corpus selection: keep the highest-quality
+    documents whose CUMULATIVE token count stays within the training
+    budget — the data-selection step between scoring and packing.
+    Greedy by (quality DESC, id ASC); a doc is kept iff the running
+    total THROUGH it is <= budget (no partial documents).
+
+    Scale shape — the distributed cumulative sum, two bounded shuffles:
+
+      1. ``repartitionByRange`` on the selection order (quality DESC,
+         id) — partition i holds a contiguous quality slice;
+         ``localCheckpoint`` pins the sampled boundaries.
+      2. per-partition token totals -> driver (O(partitions) scalars),
+         cumulated into partition offsets.
+      3. running sum WITHIN each partition: a window partitioned by
+         the physical partition id — parallel across partitions (one
+         hash exchange on pid), never the single-partition global
+         window the naive ``sum() OVER (ORDER BY ...)`` plans to.
+
+    cum = offset(pid) + within-partition running total; keep = cum <=
+    budget. Ties on quality break by id, so the kept set is exact and
+    rerun-invariant."""
+    from pyspark.sql import Window
+
+    base = scored.select(
+        F.col(id_col).alias("id"),
+        F.col(quality_col).cast("double").alias("q"),
+        F.col(tokens_col).cast("long").alias("nt"),
+    )
+    parts = base.repartitionByRange(
+        n_partitions, F.desc("q"), F.asc("id")
+    ).localCheckpoint()
+    with_pid = parts.withColumn("_pid", F.spark_partition_id())
+    totals = (
+        with_pid.groupBy("_pid").agg(F.sum("nt").alias("t")).collect()
+    )
+    off, rows = 0, []
+    for pid, t in sorted((r["_pid"], r["t"]) for r in totals):
+        rows.append((int(pid), int(off)))
+        off += int(t)
+    offsets = scored.sparkSession.createDataFrame(
+        rows, schema="_pid int, _off long"
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(F.desc("q"), F.asc("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        with_pid.join(F.broadcast(offsets), "_pid")
+        .withColumn("cum_tokens", F.col("_off") + F.sum("nt").over(w))
+        .select(
+            F.col("id").alias(id_col),
+            F.col("q").alias(quality_col),
+            F.col("nt").alias(tokens_col),
+            "cum_tokens",
+            (F.col("cum_tokens") <= F.lit(int(budget_tokens))).alias("keep"),
+        )
+    )

@@ -339,3 +339,84 @@ def test_streaming_pii_and_funnel_match_batch(spark, tmp_path):
     assert got == want
     verd = {t[0]: t[4] for t in got}
     assert verd == {1: "has_pii", 2: "too_short", 3: "kept"}
+
+
+def test_streaming_lm_scoring_matches_batch(spark, tmp_path):
+    """Scoring under a FITTED bigram LM (functions/lm.bigram_nll) is a
+    stream-static join chain + a per-doc aggregation: the batch scorer
+    applies to a stream UNCHANGED (complete-mode agg over the
+    availableNow window) and must match batch row-for-row."""
+    from stock_crawler_spark.functions.lm import bigram_lm, bigram_nll
+
+    train = spark.createDataFrame(
+        [(0, "the cat sat on the mat"), (1, "the cat ran"), (2, "a dog sat")],
+        "doc_id long, text string",
+    )
+    uni, bi, totals = bigram_lm(train)
+    # a fitted model is static state: pin it so both sides score the
+    # same tables
+    uni, bi, totals = (
+        uni.localCheckpoint(), bi.localCheckpoint(), totals.localCheckpoint()
+    )
+    val = spark.createDataFrame(
+        [(10, "the cat sat"), (11, "the zebra sat"), (12, "zebra the cat"),
+         (13, "")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "lm_stream")
+    val.coalesce(1).write.parquet(path)
+
+    stream = spark.readStream.schema(val.schema).parquet(path)
+    q = (
+        bigram_nll(stream, uni, bi, totals)
+        .writeStream.format("memory")
+        .queryName("lm_scores")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_lm"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql("select * from lm_scores").collect()))
+    want = sorted(
+        map(tuple, bigram_nll(spark.read.parquet(path), uni, bi, totals).collect())
+    )
+    assert got == want and len(got) == 3  # blank doc absent both sides
+
+
+def test_streaming_meta_robots_flags_match_batch(spark, tmp_path):
+    """meta_noindex/meta_nofollow are pure Column chains — stream-safe
+    unchanged."""
+    from pyspark.sql import functions as F
+
+    from stock_crawler_spark.functions.html import meta_nofollow, meta_noindex
+
+    rows = [
+        (1, '<meta name="robots" content="noindex">x'),
+        (2, "<meta content='nofollow' name='robots'>y"),
+        (3, "<html>plain</html>"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, h string")
+    path = str(tmp_path / "mr_stream")
+    df.coalesce(1).write.parquet(path)
+
+    def xform(d):
+        return d.select(
+            "doc_id",
+            meta_noindex(F.col("h")).alias("ni"),
+            meta_nofollow(F.col("h")).alias("nf"),
+        )
+
+    stream = spark.readStream.schema(df.schema).parquet(path)
+    q = (
+        xform(stream)
+        .writeStream.format("memory")
+        .queryName("mr_flags")
+        .option("checkpointLocation", str(tmp_path / "ckpt_mr"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql("select * from mr_flags").collect()))
+    want = sorted(map(tuple, xform(df).collect()))
+    assert got == want

@@ -300,3 +300,66 @@ def test_epoch_shuffle_partition_count_invariant(spark):
         ).collect()
     )
     assert a == b
+
+
+# -- select_token_budget -----------------------------------------------------
+
+
+def _scored(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, quality double, n_tokens long")
+
+
+def _naive_budget(rows, budget):
+    out, cum = {}, 0
+    for did, q, nt in sorted(rows, key=lambda r: (-r[1], r[0])):
+        cum += nt
+        out[did] = (q, nt, cum, cum <= budget)
+    return out
+
+
+def test_select_token_budget_matches_global_window(spark):
+    import random
+
+    from stock_crawler_spark.operators.training import select_token_budget
+
+    rng = random.Random(3)
+    rows = [
+        (i, round(rng.random(), 3), rng.randint(1, 500)) for i in range(400)
+    ]
+    got = {
+        r["doc_id"]: (r["quality"], r["n_tokens"], r["cum_tokens"], r["keep"])
+        for r in select_token_budget(_scored(spark, rows), 30000, n_partitions=7).collect()
+    }
+    assert got == _naive_budget(rows, 30000)
+
+
+def test_select_token_budget_edges_and_ties(spark):
+    from stock_crawler_spark.operators.training import select_token_budget
+
+    rows = [(1, 0.5, 10), (2, 0.5, 10), (3, 0.9, 5), (4, 0.1, 100)]
+    # tie on 0.5 breaks by id: order is 3, 1, 2, 4
+    got = {
+        r["doc_id"]: (r["cum_tokens"], r["keep"])
+        for r in select_token_budget(_scored(spark, rows), 25).collect()
+    }
+    assert got == {3: (5, True), 1: (15, True), 2: (25, True), 4: (125, False)}
+    none = select_token_budget(_scored(spark, rows), 0)
+    assert [r["keep"] for r in none.collect()] == [False] * 4
+    every = select_token_budget(_scored(spark, rows), 10**9)
+    assert all(r["keep"] for r in every.collect())
+
+
+def test_select_token_budget_partition_invariant(spark):
+    import random
+
+    from stock_crawler_spark.operators.training import select_token_budget
+
+    rng = random.Random(9)
+    rows = [(i, round(rng.random(), 2), rng.randint(1, 50)) for i in range(200)]
+    a = sorted(select_token_budget(_scored(spark, rows), 2000, n_partitions=3).collect())
+    b = sorted(
+        select_token_budget(
+            _scored(spark, rows).repartition(11), 2000, n_partitions=17
+        ).collect()
+    )
+    assert a == b
