@@ -1975,6 +1975,33 @@ def q101_token_budget(spark, sf):
     return select_token_budget(scored, TOKEN_BUDGET)
 
 
+def q102_script_profile(spark, sf):
+    """Unicode-script + encoding-damage profile (functions/text.
+    script_profile — the pre-LM health check of a multilingual pass):
+    per-script char counts (Latin/Cyrillic/CJK/Arabic ranges), U+FFFD
+    replacement-char count from lossy decode walls, and the classic
+    UTF-8-as-Latin-1 mojibake digraphs. Text is built PURELY from
+    doc_id arithmetic (known counts of each class injected), so the
+    oracle states every count as ground truth and the engine's Java
+    regexes are checked against construction, not against another
+    regex engine."""
+    from stock_crawler_spark.functions.text import script_profile
+
+    docs = _t(spark, sf, "documents")
+    zh, cyr, repl = chr(0x4E2D), chr(0x416), chr(0xFFFD)
+    moji = chr(0xC3) + chr(0xA9)  # 'A-tilde + copyright-ish' digraph
+    txt = F.expr(
+        "concat(repeat('ab', CAST(3 + doc_id % 7 AS INT)),"
+        f" repeat('{cyr}', CAST(doc_id % 5 AS INT)),"
+        f" repeat('{zh}', CAST(doc_id % 3 AS INT)),"
+        f" repeat('{repl}', CAST(doc_id % 2 AS INT)),"
+        f" repeat('{moji}', CAST(doc_id % 4 AS INT)))"
+    )
+    return docs.select(
+        "doc_id", *[c.alias(n) for n, c in script_profile(txt)]
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver API
 # ---------------------------------------------------------------------------
@@ -2088,6 +2115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q99_cdx_closest": q99_cdx_closest,
         "q100_dedup_keep_best": q100_dedup_keep_best,
         "q101_token_budget": q101_token_budget,
+        "q102_script_profile": q102_script_profile,
     }
 
 
@@ -3811,6 +3839,24 @@ FROM documents
         "q99_cdx_closest": _CDX_CLOSEST_ORACLE,
         "q100_dedup_keep_best": _keep_best_oracle(),
         "q101_token_budget": _token_budget_oracle(),
+        # q102: every count stated from the construction arithmetic —
+        # ground truth; the engine's Java regex classes never get to
+        # disagree with another regex engine, only with reality.
+        # (lat = 2 per 'ab' + 1 per mojibake pair, whose lead byte
+        # char(195) sits in the Latin-1-supplement range.)
+        "q102_script_profile": """
+SELECT doc_id,
+  CAST(2 * (3 + doc_id % 7) + doc_id % 4 AS INTEGER) AS n_latin,
+  CAST(doc_id % 5 AS INTEGER) AS n_cyrillic,
+  CAST(doc_id % 3 AS INTEGER) AS n_cjk,
+  0 AS n_arabic,
+  CAST(doc_id % 2 AS INTEGER) AS n_replacement,
+  CAST(doc_id % 4 AS INTEGER) AS n_mojibake,
+  round(CAST(2 * (3 + doc_id % 7) + doc_id % 4 AS DOUBLE)
+        / (2 * (3 + doc_id % 7) + doc_id % 4 + doc_id % 5 + doc_id % 3), 6)
+    AS script_ratio_max
+FROM documents
+""",
         "q91_wet_roundtrip": """
 SELECT 'https://h' || (doc_id % 120) || '.com/d' || doc_id AS url,
   printf('2024-01-%02dT%02d:%02d:%02dZ',

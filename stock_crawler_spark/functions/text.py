@@ -276,3 +276,49 @@ def ccnet_ppl_buckets(docs, id_col: str = "doc_id", text_col: str = "text",
         F.round(F.col("raw"), 6).alias("nll"),
         F.ntile(n_buckets).over(w).alias("bucket"),
     )
+
+
+# --- unicode script / mojibake profile --------------------------------------
+
+# codepoint-class patterns (Java regex; counts via regexp_count). ASCII
+# source: ranges spelled as \uXXXX escapes. The mojibake digraphs are
+# the classic UTF-8-read-as-Latin-1 artifacts (\u00c3/\u00e2 lead bytes).
+SCRIPT_CLASSES = (
+    ("latin", "[A-Za-z\u00c0-\u024f]"),
+    ("cyrillic", "[\u0400-\u04ff]"),
+    ("cjk", "[\u4e00-\u9fff\u3040-\u30ff\uac00-\ud7af]"),
+    ("arabic", "[\u0600-\u06ff]"),
+)
+REPLACEMENT_CHAR = "\ufffd"
+MOJIBAKE_RX = "\u00c3[\u0080-\u00bf]|\u00e2\u0080[\u0090-\u00be]"
+
+
+def script_profile(text: Column):
+    """Per-script character counts + encoding-damage signals, all JVM
+    regexp_count — the pre-LM health check every multilingual corpus
+    pass runs: which script dominates, and is the page mojibake
+    (UTF-8 mis-decoded as Latin-1) or full of U+FFFD replacement
+    characters from a lossy decode wall.
+
+    Returns a list of (name, Column) pairs: n_<script> for each
+    SCRIPT_CLASSES entry, n_replacement, n_mojibake, and
+    script_ratio_max (dominant-script fraction over counted script
+    chars, round 6; 0.0 when no script chars at all)."""
+    cols = [
+        (f"n_{name}", F.regexp_count(text, F.lit(rx)))
+        for name, rx in SCRIPT_CLASSES
+    ]
+    n_repl = F.regexp_count(text, F.lit(REPLACEMENT_CHAR))
+    n_moji = F.regexp_count(text, F.lit(MOJIBAKE_RX))
+    total = None
+    for _, c in cols:
+        total = c if total is None else total + c
+    ratio = F.when(
+        total > 0,
+        F.round(F.greatest(*[c for _, c in cols]).cast("double") / total, 6),
+    ).otherwise(F.lit(0.0))
+    return cols + [
+        ("n_replacement", n_repl),
+        ("n_mojibake", n_moji),
+        ("script_ratio_max", ratio),
+    ]

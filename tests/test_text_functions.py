@@ -117,3 +117,37 @@ def test_ccnet_ppl_buckets(spark):
         for r in ccnet_ppl_buckets(docs.repartition(7)).collect()
     }
     assert again == {k: v["nll"] for k, v in got.items()}
+
+
+
+# --- script_profile ---------------------------------------------------------
+
+
+def _profile(spark, s):
+    from stock_crawler_spark.functions.text import script_profile
+
+    df = spark.createDataFrame([(s,)], "t string")
+    cols = script_profile(F.col("t"))
+    return df.select(*[c.alias(n) for n, c in cols]).first().asDict()
+
+
+def test_script_profile_multilingual_counts(spark):
+    p = _profile(spark, "hello \u043c\u0438\u0440 \u4e16\u754c ok")
+    assert p["n_latin"] == 7 and p["n_cyrillic"] == 3 and p["n_cjk"] == 2
+    assert p["n_arabic"] == 0 and p["n_replacement"] == 0 and p["n_mojibake"] == 0
+    assert p["script_ratio_max"] == round(7 / 12, 6)
+
+
+def test_script_profile_mojibake_and_replacement(spark):
+    # UTF-8 'e-acute' mis-decoded as Latin-1 shows as C3 A9 chars
+    p = _profile(spark, "caf\u00c3\u00a9 r\u00c3\u00a9sum\u00c3\u00a9 \ufffd\ufffd")
+    assert p["n_mojibake"] == 3
+    assert p["n_replacement"] == 2
+    # the C3 lead chars count as latin-supplement
+    assert p["n_latin"] == len("caf") + len("rsum") + 3
+
+
+def test_script_profile_no_script_chars(spark):
+    p = _profile(spark, "12345 !!! ...")
+    assert p["script_ratio_max"] == 0.0
+    assert all(p[k] == 0 for k in ("n_latin", "n_cyrillic", "n_cjk", "n_arabic"))
