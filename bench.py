@@ -48,6 +48,11 @@ HEADLINE = [
     # stages), which benches the host's scheduler, not the engine
     "q50_host_indegree",
     "q55_c4_clean",
+    "q92_bpe_train",
+    "q95_exact_substr",
+    "q101_token_budget",
+    # q100 (keep-best dedup) stays in the oracle gate only: its sf0.1
+    # wall is ~90% the q10 pair generation already benched above
 ]
 
 BENCH_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "8000000"))
