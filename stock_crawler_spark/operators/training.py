@@ -341,6 +341,21 @@ def split_leakage(
     )
 
 
+def _pinned_range_parts(df: DataFrame, n_partitions: int, *sort_cols) -> DataFrame:
+    """The shared core of the distributed global-index pattern
+    (epoch_shuffle, select_token_budget): range-partition on the total
+    order, ``localCheckpoint`` to PIN the sampled range boundaries
+    (boundary sampling is not otherwise stable across jobs — the
+    offsets pass and the output read must see the SAME partitioning),
+    and attach the physical partition id. Any fix to this determinism
+    contract lands in every pattern user at once."""
+    return (
+        df.repartitionByRange(n_partitions, *sort_cols)
+        .localCheckpoint()
+        .withColumn("_pid", F.spark_partition_id())
+    )
+
+
 def epoch_shuffle(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -394,10 +409,7 @@ def epoch_shuffle(
             )
         ),
     )
-    parts = keyed.repartitionByRange(
-        n_partitions, "epoch", "key", "id"
-    ).localCheckpoint()
-    with_pid = parts.withColumn("_pid", F.spark_partition_id())
+    with_pid = _pinned_range_parts(keyed, n_partitions, "epoch", "key", "id")
     counts = (
         with_pid.groupBy("_pid", "epoch")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -467,18 +479,20 @@ def select_token_budget(
 
     cum = offset(pid) + within-partition running total; keep = cum <=
     budget. Ties on quality break by id, so the kept set is exact and
-    rerun-invariant."""
+    rerun-invariant. NULL guards: a null quality ranks as 0.0 (worst)
+    and null tokens count as 0, so real-crawl gaps (fetch failures,
+    empty extracts) neither crash the driver-side offset cumulation
+    nor silently understate the running total."""
     from pyspark.sql import Window
 
     base = scored.select(
         F.col(id_col).alias("id"),
-        F.col(quality_col).cast("double").alias("q"),
-        F.col(tokens_col).cast("long").alias("nt"),
+        F.coalesce(F.col(quality_col).cast("double"), F.lit(0.0)).alias("q"),
+        F.coalesce(F.col(tokens_col).cast("long"), F.lit(0)).alias("nt"),
     )
-    parts = base.repartitionByRange(
-        n_partitions, F.desc("q"), F.asc("id")
-    ).localCheckpoint()
-    with_pid = parts.withColumn("_pid", F.spark_partition_id())
+    with_pid = _pinned_range_parts(
+        base, n_partitions, F.desc("q"), F.asc("id")
+    )
     totals = (
         with_pid.groupBy("_pid").agg(F.sum("nt").alias("t")).collect()
     )

@@ -208,6 +208,22 @@ def test_epoch_shuffle_no_global_window(spark):
     assert "BroadcastHashJoin" in tree, tree
 
 
+def test_token_budget_no_global_window(spark):
+    """q101's cumulative sum must stay partitioned: the only Window in
+    the plan is pid-partitioned (no single-partition exchange), with
+    the offsets table broadcast back — never the naive global
+    sum() OVER (ORDER BY ...)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["q101_token_budget"](spark, "/root/testdata/sf0.001")
+    tree = _plan(df).split("\n\n")[0]
+    assert "Exchange SinglePartition" not in tree, tree
+    assert "Window" in tree and "BroadcastHashJoin" in tree, tree
+
+
 def test_exact_substr_no_per_char_explode(spark):
     """q95 must resolve duplicated runs via the per-doc interval fold:
     exactly the gram explode (one Generate for gram emission), never a

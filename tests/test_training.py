@@ -363,3 +363,27 @@ def test_select_token_budget_partition_invariant(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_select_token_budget_null_guards(spark):
+    """Null quality ranks worst (0.0), null tokens count 0 — and a
+    partition of all-null token rows must not crash the driver-side
+    offset cumulation."""
+    from stock_crawler_spark.operators.training import select_token_budget
+
+    df = spark.createDataFrame(
+        [(1, 0.9, 10), (2, None, None), (3, 0.5, None), (4, None, 5)],
+        "doc_id long, quality double, n_tokens long",
+    )
+    got = {
+        r["doc_id"]: (r["quality"], r["n_tokens"], r["cum_tokens"], r["keep"])
+        for r in select_token_budget(df, 10, n_partitions=4).collect()
+    }
+    # order: (0.9,1) nt 10 -> cum 10 keep; (0.5,3) nt 0 -> cum 10 keep;
+    # (0.0,2) nt 0 -> cum 10 keep; (0.0,4) nt 5 -> cum 15 drop
+    assert got == {
+        1: (0.9, 10, 10, True),
+        3: (0.5, 0, 10, True),
+        2: (0.0, 0, 10, True),
+        4: (0.0, 5, 15, False),
+    }
