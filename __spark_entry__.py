@@ -2002,6 +2002,64 @@ def q102_script_profile(spark, sf):
     )
 
 
+def q103_host_reputation(spark, sf):
+    """FineWeb-style per-host reputation table + domain filter verdict:
+    the host-level rollup every corpus pass consults before admitting a
+    domain — doc count, mean quality (det_sum ordered fold, bit-exact
+    cross-engine), English fraction, soft-404 rate — and a blocked flag
+    (mean quality < 0.4 OR soft404 rate > 0.3). Per-doc signals reuse
+    q15/q14/q74's exact functions over the q74-style synthetic html;
+    the rollup is one partial-agg groupBy + the det_sum fold, O(hosts)
+    output, broadcastable back into the frontier filter."""
+    from stock_crawler_spark.functions.html import is_soft404
+    from stock_crawler_spark.operators.graph import det_sum
+
+    docs = _t(spark, sf, "documents")
+    host = F.concat(
+        F.lit("h"), (F.col("doc_id") % GRAPH_HOSTS).cast("string"), F.lit(".com")
+    )
+    # fully synthetic html for the soft-404 signal so the oracle can
+    # state is_404 = (doc_id % 11 == 0) as ground truth: 404 variants
+    # trip the title rule, healthy ones carry a long non-phrase body
+    html = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.lit("<html><title>404 Not Found</title><body>page not found</body></html>"),
+    ).otherwise(
+        F.lit("<html><title>ok</title><body>" + "x " * 150 + "</body></html>")
+    )
+    per_doc = docs.select(
+        host.alias("host"),
+        F.col("doc_id").cast("string").alias("doc"),
+        F.round(T.quality_score(F.col("text")), 6).alias("q"),
+        (T.lang_id(F.col("text")) == "en").cast("int").alias("is_en"),
+        is_soft404(html).cast("int").alias("is_404"),
+    )
+    counts = per_doc.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("is_en").alias("n_en"),
+        F.sum("is_404").alias("n_404"),
+    )
+    qsum = det_sum(per_doc, ["host"], "doc", "q", "_qs")
+    # NO rounding on the ratios: inputs are the round-6 per-doc scores
+    # summed in det_sum's fixed order plus exact integer counts, so the
+    # raw doubles are bit-identical cross-engine — a final round() only
+    # ADDS divergence risk at .5 boundaries (hit at sf0.001)
+    return (
+        counts.join(qsum, "host")
+        .select(
+            "host",
+            "n_docs",
+            (F.col("_qs") / F.col("n_docs")).alias("mean_quality"),
+            (F.col("n_en").cast("double") / F.col("n_docs")).alias("en_frac"),
+            (F.col("n_404").cast("double") / F.col("n_docs")).alias("soft404_rate"),
+        )
+        .withColumn(
+            "blocked",
+            (F.col("mean_quality") < 0.4) | (F.col("soft404_rate") > 0.3),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver API
 # ---------------------------------------------------------------------------
@@ -2116,6 +2174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q100_dedup_keep_best": q100_dedup_keep_best,
         "q101_token_budget": q101_token_budget,
         "q102_script_profile": q102_script_profile,
+        "q103_host_reputation": q103_host_reputation,
     }
 
 
@@ -3287,6 +3346,48 @@ FROM c
 """
 
 
+def _host_reputation_oracle() -> str:
+    """q103: quality/lang SQL (q15/q14) per doc, is_404 from the
+    construction arithmetic (fully synthetic 404 html), and the
+    det_sum two-level ordered fold for the quality mean — doc keys
+    fold as VARCHAR (the engine's det_sum md5s and sorts the string
+    key), so ORDER BY the cast matches bit-for-bit."""
+    from stock_crawler_spark.operators.graph import DET_SUM_BUCKETS
+
+    bkt = (
+        "(('0x' || substr(md5(CAST(doc AS VARCHAR)), 1, 15))::BIGINT"
+        f" % {DET_SUM_BUCKETS})"
+    )
+    return f"""
+WITH qual AS ({_QUALITY_SQL}), lang AS ({_LANG_SQL}), per AS (
+  SELECT 'h' || (q.doc_id % {GRAPH_HOSTS}) || '.com' AS host,
+         CAST(q.doc_id AS VARCHAR) AS doc, q.quality AS q,
+         CASE WHEN l.lang_pred = 'en' THEN 1 ELSE 0 END AS is_en,
+         CASE WHEN q.doc_id % 11 = 0 THEN 1 ELSE 0 END AS is_404
+  FROM qual q JOIN lang l ON q.doc_id = l.doc_id
+), counts AS (
+  SELECT host, count(*) AS n_docs,
+         CAST(sum(is_en) AS BIGINT) AS n_en,
+         CAST(sum(is_404) AS BIGINT) AS n_404
+  FROM per GROUP BY 1
+), qs1 AS (
+  SELECT host, {bkt} AS b,
+         list_aggregate(list(q ORDER BY doc), 'sum') AS s1
+  FROM per GROUP BY 1, 2
+), qs AS (
+  SELECT host, list_aggregate(list(s1 ORDER BY b), 'sum') AS qsum
+  FROM qs1 GROUP BY 1
+)
+SELECT c.host, c.n_docs,
+  qs.qsum / c.n_docs AS mean_quality,
+  CAST(c.n_en AS DOUBLE) / c.n_docs AS en_frac,
+  CAST(c.n_404 AS DOUBLE) / c.n_docs AS soft404_rate,
+  (qs.qsum / c.n_docs < 0.4
+   OR CAST(c.n_404 AS DOUBLE) / c.n_docs > 0.3) AS blocked
+FROM counts c JOIN qs USING (host)
+"""
+
+
 _CDX_CLOSEST_ORACLE = """
 SELECT doc_id,
   CASE WHEN doc_id % 2 = 0 THEN '20240215000000'
@@ -3839,6 +3940,7 @@ FROM documents
         "q99_cdx_closest": _CDX_CLOSEST_ORACLE,
         "q100_dedup_keep_best": _keep_best_oracle(),
         "q101_token_budget": _token_budget_oracle(),
+        "q103_host_reputation": _host_reputation_oracle(),
         # q102: every count stated from the construction arithmetic —
         # ground truth; the engine's Java regex classes never get to
         # disagree with another regex engine, only with reality.
