@@ -2060,6 +2060,44 @@ def q103_host_reputation(spark, sf):
     )
 
 
+def q104_template_sample(spark, sf):
+    """Per-URL-template QA sampling — q66's DUST template collapse
+    composed with q70's exact stratified quota: at most 5 urls per
+    template family, smallest-md5 winners, the sample a crawl operator
+    eyeballs per pattern ('did /tag/N pages extract sanely?') without
+    ever sorting a whole template's 10^8 urls. Six deterministic url
+    families per doc; the oracle states each family's TEMPLATE as a
+    literal (ground truth for the collapse chain) and replays the
+    quota winner rule as the naive per-stratum window."""
+    from stock_crawler_spark.operators.traps import url_template
+    from stock_crawler_spark.operators.training import stratified_quota
+
+    docs = _t(spark, sf, "documents")
+    h = (F.col("doc_id") % GRAPH_HOSTS).cast("string")
+    d = F.col("doc_id").cast("string")
+    v = F.col("doc_id") % 6
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://h"), h, F.lit(".com/2024/"),
+                                (F.col("doc_id") % 12 + 1).cast("string"),
+                                F.lit("/post"), d, F.lit(".html")))
+        .when(v == 1, F.concat(F.lit("https://h"), h, F.lit(".com/list?page="), d))
+        .when(v == 2, F.concat(F.lit("https://h"), h, F.lit(".com/about")))
+        .when(v == 3, F.concat(F.lit("https://h"), h, F.lit(".com/tag/"),
+                               (F.col("doc_id") % 50).cast("string"),
+                               F.lit("?sort=asc&p="), d))
+        .when(v == 4, F.concat(F.lit("https://h"), h, F.lit(".com/item"), d,
+                               F.lit("#frag"), d))
+        .otherwise(F.concat(F.lit("https://h"), h, F.lit(".com/a/"), d,
+                            F.lit("/b/"), (F.col("doc_id") * 7).cast("string")))
+    )
+    with_tpl = docs.select(
+        "doc_id", url_template(url).alias("template")
+    )
+    return stratified_quota(
+        with_tpl, {}, "template", default_quota=5
+    ).select("doc_id", "template")
+
+
 # ---------------------------------------------------------------------------
 # driver API
 # ---------------------------------------------------------------------------
@@ -2175,6 +2213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q101_token_budget": q101_token_budget,
         "q102_script_profile": q102_script_profile,
         "q103_host_reputation": q103_host_reputation,
+        "q104_template_sample": q104_template_sample,
     }
 
 
@@ -3941,6 +3980,33 @@ FROM documents
         "q100_dedup_keep_best": _keep_best_oracle(),
         "q101_token_budget": _token_budget_oracle(),
         "q103_host_reputation": _host_reputation_oracle(),
+        # q104: templates stated as LITERALS per construction family —
+        # ground truth for the DUST collapse chain — and the quota's
+        # smallest-md5 winner rule replayed as the naive window (q70's
+        # u formula: md5-60 of the doc id mod 1e6, ties by doc_id).
+        "q104_template_sample": """
+WITH t AS (
+  SELECT doc_id,
+    CASE doc_id % 6
+      WHEN 0 THEN 'https://hN.com/N/N/postN.html'
+      WHEN 1 THEN 'https://hN.com/list?page=V'
+      WHEN 2 THEN 'https://hN.com/about'
+      WHEN 3 THEN 'https://hN.com/tag/N?sort=V&p=V'
+      WHEN 4 THEN 'https://hN.com/itemN'
+      ELSE 'https://hN.com/a/N/b/N'
+    END AS template
+  FROM documents
+), u AS (
+  SELECT doc_id, template,
+    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS u
+  FROM t
+)
+SELECT doc_id, template FROM (
+  SELECT doc_id, template,
+    row_number() OVER (PARTITION BY template ORDER BY u, doc_id) AS rn
+  FROM u
+) WHERE rn <= 5
+""",
         # q102: every count stated from the construction arithmetic —
         # ground truth; the engine's Java regex classes never get to
         # disagree with another regex engine, only with reality.
