@@ -2098,6 +2098,40 @@ def q104_template_sample(spark, sf):
     ).select("doc_id", "template")
 
 
+def q105_blocklist_admit(spark, sf):
+    """UT1-style deny gate (operators/blocklist.admit_urls): registrable-
+    domain blocklist broadcast join + ordered keyword categories, with
+    funnel-style first-failure attribution (domain beats category,
+    first category wins). Urls and the blocked-domain list are both
+    derived from doc_id arithmetic, so the oracle states every verdict
+    as GROUND TRUTH — independent of the PSL walk, the join, and the
+    CASE chain. Subdomain coverage is exercised: doc_id%3==0 urls live
+    on a www. subdomain that must fold onto the blocked eTLD+1."""
+    from stock_crawler_spark.operators.blocklist import admit_urls
+
+    docs = _t(spark, sf, "documents")
+    h = (F.col("doc_id") % 40).cast("string")
+    sub = F.when(F.col("doc_id") % 3 == 0, F.lit("www.")).otherwise(F.lit(""))
+    v = F.col("doc_id") % 5
+    path = (
+        F.when(v == 1, F.lit("/poker/room"))
+        .when(v == 2, F.lit("/adserver/img"))
+        .when(v == 3, F.lit("/clicktrack/poker"))
+        .otherwise(F.concat(F.lit("/page"), F.col("doc_id").cast("string")))
+    )
+    urls = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://"), sub, F.lit("h"), h, F.lit(".com"), path).alias("url"),
+    )
+    blocked = (
+        spark.range(0, 40)
+        .filter(F.col("id") % 8 == 0)
+        .select(F.concat(F.lit("h"), F.col("id").cast("string"), F.lit(".com")).alias("domain"))
+    )
+    cats = [("gambling", ["poker", "bets"]), ("ads", ["adserver", "clicktrack"])]
+    return admit_urls(urls, blocked, cats).select("doc_id", "url", "verdict")
+
+
 # ---------------------------------------------------------------------------
 # driver API
 # ---------------------------------------------------------------------------
@@ -2214,6 +2248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q102_script_profile": q102_script_profile,
         "q103_host_reputation": q103_host_reputation,
         "q104_template_sample": q104_template_sample,
+        "q105_blocklist_admit": q105_blocklist_admit,
     }
 
 
@@ -4640,5 +4675,26 @@ WITH visits AS (
   FROM agg
 ), exact AS (SELECT host, count(DISTINCT url) AS exact FROM visits GROUP BY 1)
 SELECT host, est, exact FROM est JOIN exact USING (host)
+""",
+        # q105: every verdict stated as GROUND TRUTH from doc_id
+        # arithmetic — independent of the PSL walk, broadcast join, and
+        # keyword CASE chain under test. The url string is rebuilt by the
+        # same concat so the column hashes cover it too.
+        "q105_blocklist_admit": """
+SELECT doc_id,
+  'https://' || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
+    || 'h' || (doc_id % 40) || '.com'
+    || CASE doc_id % 5
+         WHEN 1 THEN '/poker/room'
+         WHEN 2 THEN '/adserver/img'
+         WHEN 3 THEN '/clicktrack/poker'
+         ELSE '/page' || doc_id
+       END AS url,
+  CASE WHEN (doc_id % 40) % 8 = 0 THEN 'blocked_domain'
+       WHEN doc_id % 5 IN (1, 3) THEN 'blocked_gambling'
+       WHEN doc_id % 5 = 2 THEN 'blocked_ads'
+       ELSE 'admitted'
+  END AS verdict
+FROM documents
 """,
     }

@@ -1,0 +1,118 @@
+"""URL / domain blocklist admission — the UT1-style deny gate every
+production crawl runs before a url ever reaches the frontier.
+
+Two deny classes, checked in a fixed attribution order (the same
+first-failure discipline as operators/funnel):
+
+  1. **Domain blocks** — a curated list of registrable domains
+     (UT1 / Dolma's blocklist shape: ~4M eTLD+1 entries across
+     categories). A block covers the whole domain INCLUDING subdomains:
+     matching happens on the eTLD+1 of the url's host (the same
+     functions/urls.registrable_domain the politeness sharder uses), so
+     ``bad.example.com`` and ``cdn.bad.example.com`` both fold onto a
+     blocked ``example.com``.
+  2. **URL pattern blocks** — ordered keyword categories matched against
+     the lowercased url (UT1's url-keyword lists). First matching
+     category wins; categories are checked in the caller's order.
+
+Scale notes (10^10 urls):
+  * the domain list — even UT1's full ~4M entries — is a few hundred MB
+    of strings: ALWAYS broadcast. The corpus side never shuffles; the
+    whole gate is one broadcast LEFT join plus a codegen CASE chain.
+  * eTLD+1 extraction is the pure-Column PSL walk (InSet codegen), no
+    UDF, no shuffle.
+  * keyword categories compile to one chained CASE of ``contains``
+    predicates — codegen, evaluated only for rows that survived the
+    domain check (Spark short-circuits CASE branches).
+
+Reference analog: the reference crawler trusts a closed seed list and
+needs no deny gate (crawler/crawler.go fetches a fixed url universe);
+at open-web scale the gate is mandatory, hence first-class here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from stock_crawler_spark.functions.urls import host_of, registrable_domain
+
+ADMITTED = "admitted"
+BLOCKED_DOMAIN = "blocked_domain"
+
+
+def admit_urls(
+    df: DataFrame,
+    blocked_domains: DataFrame,
+    categories: list[tuple[str, list[str]]] | None = None,
+    url_col: str = "url",
+) -> DataFrame:
+    """Append a ``verdict`` column: 'admitted', 'blocked_domain', or
+    'blocked_<category>' for the FIRST matching keyword category.
+
+    ``blocked_domains`` must have a ``domain`` column of registrable
+    domains (eTLD+1, lowercase). ``categories`` is an ordered list of
+    (name, [keywords]); keywords match case-insensitively anywhere in
+    the url. Domain blocks take precedence over keyword blocks —
+    attribution is deterministic, counts per verdict are additive.
+    """
+    url = F.col(url_col)
+    # materialize the host BEFORE the PSL walk: registrable_domain inlines
+    # its argument into every rule branch, so an expression-valued host
+    # (try_parse_url) must be pinned to an attribute first (caller
+    # contract in functions/urls.registrable_domain — measured 36x)
+    marked = (
+        df.withColumn("_bl_host", host_of(url))
+        .withColumn("_bl_dom", registrable_domain("_bl_host"))
+        .drop("_bl_host")
+    )
+    marked = marked.join(
+        F.broadcast(
+            blocked_domains.select(
+                F.lower(F.col("domain")).alias("_bl_dom"),
+                F.lit(True).alias("_dom_blocked"),
+            ).distinct()
+        ),
+        "_bl_dom",
+        "left",
+    )
+    verdict: Column = F.lit(ADMITTED)
+    for name, keywords in reversed(categories or []):
+        hit: Column | None = None
+        low = F.lower(url)
+        for kw in keywords:
+            c = low.contains(kw.lower())
+            hit = c if hit is None else (hit | c)
+        if hit is not None:
+            verdict = F.when(hit, F.lit(f"blocked_{name}")).otherwise(verdict)
+    verdict = F.when(
+        F.coalesce(F.col("_dom_blocked"), F.lit(False)), F.lit(BLOCKED_DOMAIN)
+    ).otherwise(verdict)
+    return marked.withColumn("verdict", verdict).drop("_bl_dom", "_dom_blocked")
+
+
+def admit_verdict_py(
+    url: str,
+    blocked_domains: set[str],
+    categories: list[tuple[str, list[str]]] | None = None,
+    registrable_py=None,
+) -> str:
+    """Python twin of the verdict rule (for property tests / simulators).
+
+    ``registrable_py`` maps host -> eTLD+1; defaults to the last-2-labels
+    fold, which matches the Column path on .com-style test hosts."""
+    from urllib.parse import urlsplit
+
+    host = (urlsplit(url).hostname or "").lower()
+    if registrable_py is None:
+        parts = host.split(".")
+        dom = ".".join(parts[-2:]) if len(parts) >= 2 else host
+    else:
+        dom = registrable_py(host)
+    if dom in blocked_domains:
+        return BLOCKED_DOMAIN
+    low = url.lower()
+    for name, keywords in categories or []:
+        if any(kw.lower() in low for kw in keywords):
+            return f"blocked_{name}"
+    return ADMITTED

@@ -1,0 +1,116 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stock_crawler_spark.operators.blocklist import (
+    ADMITTED,
+    BLOCKED_DOMAIN,
+    admit_urls,
+    admit_verdict_py,
+)
+
+CATS = [
+    ("gambling", ["poker", "bets"]),
+    ("ads", ["adserver", "clicktrack"]),
+]
+
+
+def _blocked(spark):
+    return spark.createDataFrame(
+        [("evil.com",), ("Spam.Net",)], "domain string"
+    )
+
+
+def test_domain_block_covers_subdomains(spark):
+    urls = spark.createDataFrame(
+        [
+            ("https://evil.com/page",),
+            ("https://cdn.evil.com/a/b",),
+            ("https://deep.sub.evil.com/",),
+            ("https://notevil.com/x",),
+            ("https://evil.com.example.org/x",),  # evil.com as a LABEL PREFIX only
+        ],
+        "url string",
+    )
+    out = {r["url"]: r["verdict"] for r in admit_urls(urls, _blocked(spark)).collect()}
+    assert out["https://evil.com/page"] == BLOCKED_DOMAIN
+    assert out["https://cdn.evil.com/a/b"] == BLOCKED_DOMAIN
+    assert out["https://deep.sub.evil.com/"] == BLOCKED_DOMAIN
+    assert out["https://notevil.com/x"] == ADMITTED
+    # eTLD+1 of evil.com.example.org is example.org — never blocked
+    assert out["https://evil.com.example.org/x"] == ADMITTED
+
+
+def test_blocklist_case_insensitive_both_sides(spark):
+    urls = spark.createDataFrame(
+        [("https://SPAM.net/x",), ("https://a.spam.NET/y",)], "url string"
+    )
+    out = [r["verdict"] for r in admit_urls(urls, _blocked(spark)).collect()]
+    assert out == [BLOCKED_DOMAIN, BLOCKED_DOMAIN]
+
+
+def test_category_order_and_domain_precedence(spark):
+    urls = spark.createDataFrame(
+        [
+            ("https://ok.com/poker/adserver",),  # both cats -> FIRST cat wins
+            ("https://ok.com/clicktrack",),
+            ("https://evil.com/poker",),  # domain beats category
+            ("https://ok.com/POKER",),  # keyword case-insensitive
+            ("https://ok.com/fine",),
+        ],
+        "url string",
+    )
+    out = [
+        r["verdict"]
+        for r in admit_urls(urls, _blocked(spark), CATS)
+        .orderBy("url")
+        .collect()
+    ]
+    by_url = dict(
+        zip(sorted([r["url"] for r in urls.collect()]), out)
+    )
+    assert by_url["https://ok.com/poker/adserver"] == "blocked_gambling"
+    assert by_url["https://ok.com/clicktrack"] == "blocked_ads"
+    assert by_url["https://evil.com/poker"] == BLOCKED_DOMAIN
+    assert by_url["https://ok.com/POKER"] == "blocked_gambling"
+    assert by_url["https://ok.com/fine"] == ADMITTED
+
+
+def test_column_matches_python_twin(spark):
+    urls = [
+        "https://evil.com/x",
+        "https://sub.evil.com/poker",
+        "https://clean.org/bets",
+        "https://clean.org/adserver?x=1",
+        "https://clean.org/",
+        "https://spam.net/anything",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {
+        r["url"]: r["verdict"] for r in admit_urls(df, _blocked(spark), CATS).collect()
+    }
+    blocked = {"evil.com", "spam.net"}
+    for u in urls:
+        assert got[u] == admit_verdict_py(u, blocked, CATS), u
+
+
+def test_no_categories_and_empty_blocklist(spark):
+    urls = spark.createDataFrame([("https://a.com/poker",)], "url string")
+    empty = spark.createDataFrame([], "domain string")
+    assert admit_urls(urls, empty).collect()[0]["verdict"] == ADMITTED
+    assert admit_urls(urls, empty, []).collect()[0]["verdict"] == ADMITTED
+
+
+def test_broadcast_plan_no_corpus_shuffle(spark):
+    """The gate must be ONE broadcast join — no shuffle of the url side."""
+    urls = spark.range(0, 1000).select(
+        F.concat(F.lit("https://h"), (F.col("id") % 50).cast("string"), F.lit(".com/p"), F.col("id").cast("string")).alias("url")
+    )
+    plan = admit_urls(urls, _blocked(spark), CATS)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the ONLY shuffle is the blocklist-side distinct (O(blocklist), under
+    # the BroadcastExchange); the corpus side must have zero exchanges
+    assert plan.count("Exchange hashpartitioning") == 1
+    corpus_side = plan.split("BroadcastExchange")[0]
+    assert "Exchange" not in corpus_side
