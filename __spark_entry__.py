@@ -2132,6 +2132,33 @@ def q105_blocklist_admit(spark, sf):
     return admit_urls(urls, blocked, cats).select("doc_id", "url", "verdict")
 
 
+def q106_sitemap_recrawl(spark, sf):
+    """Sitemap-lastmod freshness tier (operators/recrawl.
+    sitemap_recrawl_due): publisher-declared lastmod vs the latest
+    capture we hold — never_fetched / stale (+staleness_us) / fresh.
+    Entries and captures both derive from doc_id arithmetic (captures
+    missing for doc_id%4==1, equal-boundary at doc_id%5==2, 3s-stale at
+    doc_id%3==0), so the oracle states every verdict as ground truth."""
+    from stock_crawler_spark.operators.recrawl import sitemap_recrawl_due
+
+    docs = _t(spark, sf, "documents")
+    url = F.concat(
+        F.lit("https://h"), (F.col("doc_id") % 40).cast("string"),
+        F.lit(".com/p"), F.col("doc_id").cast("string"),
+    )
+    entries = docs.select(url.alias("url"), (F.col("doc_id") * 1_000_000).alias("lastmod_us"))
+    cap = (
+        F.when(F.col("doc_id") % 5 == 2, F.col("doc_id"))
+        .when(F.col("doc_id") % 3 == 0, F.col("doc_id") - 3)
+        .otherwise(F.col("doc_id") + 7)
+        * 1_000_000
+    )
+    captures = docs.filter(F.col("doc_id") % 4 != 1).select(
+        url.alias("url"), cap.alias("capture_us")
+    )
+    return sitemap_recrawl_due(entries, captures)
+
+
 # ---------------------------------------------------------------------------
 # driver API
 # ---------------------------------------------------------------------------
@@ -2249,6 +2276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q103_host_reputation": q103_host_reputation,
         "q104_template_sample": q104_template_sample,
         "q105_blocklist_admit": q105_blocklist_admit,
+        "q106_sitemap_recrawl": q106_sitemap_recrawl,
     }
 
 
@@ -4695,6 +4723,27 @@ SELECT doc_id,
        WHEN doc_id % 5 = 2 THEN 'blocked_ads'
        ELSE 'admitted'
   END AS verdict
+FROM documents
+""",
+        # q106: every column stated as ground truth from doc_id
+        # arithmetic — independent of the dedup groupBys, the left join,
+        # and the reason CASE under test.
+        "q106_sitemap_recrawl": """
+SELECT
+  'https://h' || (doc_id % 40) || '.com/p' || doc_id AS url,
+  doc_id * 1000000 AS lastmod_us,
+  CASE WHEN doc_id % 4 = 1 THEN NULL
+       WHEN doc_id % 5 = 2 THEN doc_id * 1000000
+       WHEN doc_id % 3 = 0 THEN (doc_id - 3) * 1000000
+       ELSE (doc_id + 7) * 1000000
+  END AS last_capture_us,
+  CASE WHEN doc_id % 4 = 1 THEN 'never_fetched'
+       WHEN doc_id % 5 = 2 THEN 'fresh'
+       WHEN doc_id % 3 = 0 THEN 'stale'
+       ELSE 'fresh'
+  END AS reason,
+  CASE WHEN doc_id % 4 != 1 AND doc_id % 5 != 2 AND doc_id % 3 = 0
+       THEN 3000000 END AS staleness_us
 FROM documents
 """,
     }

@@ -189,3 +189,64 @@ def host_circuit_breaker(
             tripped, F.lit(int(current_round) + int(cooldown_rounds))
         ).cast("long").alias("resume_round"),
     )
+
+
+# --- sitemap-lastmod freshness tier -----------------------------------------
+
+
+def sitemap_recrawl_due(
+    entries: DataFrame,
+    captures: DataFrame,
+    url_col: str = "url",
+    lastmod_col: str = "lastmod_us",
+    capture_col: str = "capture_us",
+) -> DataFrame:
+    """Publisher-declared freshness: which sitemap urls need a (re)fetch.
+
+    ``recrawl_intervals`` budgets revisits from OBSERVED change history;
+    this is its complement for urls where the publisher TELLS us the last
+    modification time (sitemap <lastmod>, RFC: sitemaps.org 0.9 — parsed
+    by parsers/sitemap.parse_sitemap). Per sitemap entry against the
+    latest capture we hold (CDX index / pages_out):
+
+      never captured            -> 'never_fetched'  (highest urgency)
+      lastmod >  last capture   -> 'stale', staleness_us = lastmod - capture
+      lastmod <= last capture   -> 'fresh' (the crawl may skip it)
+
+    Timestamps are integer microseconds end-to-end (the next_fetch_us
+    discipline above — exact arithmetic, engine-portable).
+
+    Scale (10^8 sitemap entries x 10^10 captures): captures collapse to
+    one row per url via a partial-aggregated max BEFORE the join — the
+    equi-join on url is then entries-sized on both inputs, one shuffle
+    each (co-located for free under url-hash bucketing of the CDX table).
+    Duplicate sitemap entries for a url (multi-sitemap sites) keep the
+    max lastmod, so the output is one row per url, frontier-joinable.
+    """
+    e = (
+        entries.select(F.col(url_col).alias("url"), F.col(lastmod_col).alias("_lm"))
+        .groupBy("url")
+        .agg(F.max("_lm").alias("lastmod_us"))
+    )
+    c = (
+        captures.select(F.col(url_col).alias("url"), F.col(capture_col).alias("_cap"))
+        .groupBy("url")
+        .agg(F.max("_cap").alias("last_capture_us"))
+    )
+    j = e.join(c, "url", "left")
+    reason = (
+        F.when(F.col("last_capture_us").isNull(), F.lit("never_fetched"))
+        .when(F.col("lastmod_us") > F.col("last_capture_us"), F.lit("stale"))
+        .otherwise(F.lit("fresh"))
+    )
+    return j.select(
+        "url",
+        "lastmod_us",
+        "last_capture_us",
+        reason.alias("reason"),
+        F.when(
+            F.col("last_capture_us").isNotNull()
+            & (F.col("lastmod_us") > F.col("last_capture_us")),
+            F.col("lastmod_us") - F.col("last_capture_us"),
+        ).alias("staleness_us"),
+    )

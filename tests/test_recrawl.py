@@ -156,3 +156,69 @@ def test_circuit_breaker_window_excludes_old_rounds(spark):
     r = got[0]
     # only round-5 attempts are in the trailing window (rounds 3..5)
     assert (r.attempts, r.failures, r.tripped) == (10, 0, False)
+
+
+# --- sitemap_recrawl_due -----------------------------------------------------
+
+
+def test_sitemap_due_reasons_and_staleness(spark):
+    from stock_crawler_spark.operators.recrawl import sitemap_recrawl_due
+
+    entries = spark.createDataFrame(
+        [
+            ("u1", 1_000_000),  # never captured
+            ("u2", 5_000_000),  # stale: capture at 2s
+            ("u3", 2_000_000),  # fresh: capture at 2s (boundary: equal)
+            ("u4", 1_000_000),  # fresh: capture newer
+        ],
+        "url string, lastmod_us long",
+    )
+    caps = spark.createDataFrame(
+        [("u2", 2_000_000), ("u3", 2_000_000), ("u4", 9_000_000)],
+        "url string, capture_us long",
+    )
+    out = {r["url"]: r for r in sitemap_recrawl_due(entries, caps).collect()}
+    assert out["u1"]["reason"] == "never_fetched" and out["u1"]["staleness_us"] is None
+    assert out["u2"]["reason"] == "stale" and out["u2"]["staleness_us"] == 3_000_000
+    assert out["u3"]["reason"] == "fresh" and out["u3"]["staleness_us"] is None
+    assert out["u4"]["reason"] == "fresh"
+
+
+def test_sitemap_due_dedups_both_sides(spark):
+    """Multi-sitemap dup entries keep max lastmod; multi-capture urls
+    compare against the LATEST capture; output is one row per url."""
+    from stock_crawler_spark.operators.recrawl import sitemap_recrawl_due
+
+    entries = spark.createDataFrame(
+        [("u", 1_000), ("u", 5_000), ("u", 3_000)], "url string, lastmod_us long"
+    )
+    caps = spark.createDataFrame(
+        [("u", 4_000), ("u", 2_000)], "url string, capture_us long"
+    )
+    rows = sitemap_recrawl_due(entries, caps).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["lastmod_us"] == 5_000 and r["last_capture_us"] == 4_000
+    assert r["reason"] == "stale" and r["staleness_us"] == 1_000
+
+
+def test_sitemap_due_capture_side_preaggregates(spark):
+    """The capture side must collapse to one row per url BEFORE the join
+    (partial-agg groupBy under the join, never a raw 10^10-row join)."""
+    from stock_crawler_spark.operators.recrawl import sitemap_recrawl_due
+    from pyspark.sql import functions as F
+
+    entries = spark.range(100).select(
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("url"),
+        (F.col("id") * 10).alias("lastmod_us"),
+    )
+    caps = spark.range(1000).select(
+        F.concat(F.lit("u"), (F.col("id") % 100).cast("string")).alias("url"),
+        F.col("id").alias("capture_us"),
+    )
+    df = sitemap_recrawl_due(entries, caps)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # join inputs are both HashAggregate outputs (the per-url max), and
+    # the aggregate has a partial phase (merge_max in the final)
+    assert plan.count("HashAggregate") >= 4  # partial+final per side
+    assert df.count() == 100
