@@ -2159,6 +2159,30 @@ def q106_sitemap_recrawl(spark, sf):
     return sitemap_recrawl_due(entries, captures)
 
 
+GROUP_BUDGETS = {"en": 12000, "zh": 3000}
+
+
+def q107_group_token_budget(spark, sf):
+    """Per-language token-budgeted selection (operators/training.
+    select_token_budget_per_group): each language gets its own token
+    budget — the FineWeb2/CC-Net rebalancing shape — and within a
+    language the greedy (quality DESC, doc_id) rule applies. 'und'
+    docs fall to default_budget=0 (dropped). The distributed plan
+    range-partitions on (lang, quality DESC, doc_id) so a hot language
+    spreads over many partitions instead of one per-group window task;
+    the oracle is the naive PARTITION BY lang window it must match."""
+    from stock_crawler_spark.operators.training import select_token_budget_per_group
+
+    docs = _t(spark, sf, "documents")
+    scored = docs.select(
+        "doc_id",
+        T.lang_id(F.col("text")).alias("lang"),
+        F.round(T.quality_score(F.col("text")), 6).alias("quality"),
+        T.token_count_ws(F.col("text")).alias("n_tokens"),
+    )
+    return select_token_budget_per_group(scored, GROUP_BUDGETS)
+
+
 # ---------------------------------------------------------------------------
 # driver API
 # ---------------------------------------------------------------------------
@@ -2277,6 +2301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q104_template_sample": q104_template_sample,
         "q105_blocklist_admit": q105_blocklist_admit,
         "q106_sitemap_recrawl": q106_sitemap_recrawl,
+        "q107_group_token_budget": q107_group_token_budget,
     }
 
 
@@ -4745,5 +4770,27 @@ SELECT
   CASE WHEN doc_id % 4 != 1 AND doc_id % 5 != 2 AND doc_id % 3 = 0
        THEN 3000000 END AS staleness_us
 FROM documents
+""",
+        # q107: naive per-language PARTITION BY window cumsum — the
+        # skew-proof range-partitioned plan must match it row for row.
+        "q107_group_token_budget": f"""
+WITH qual AS ({_QUALITY_SQL}), lang AS ({_LANG_SQL}), tok AS (
+  SELECT doc_id,
+    CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS_RAW}) END AS n_tokens
+  FROM documents
+), s AS (
+  SELECT l.lang_pred AS lang, q.doc_id, q.quality,
+         CAST(t.n_tokens AS BIGINT) AS n_tokens
+  FROM qual q JOIN tok t USING (doc_id) JOIN lang l USING (doc_id)
+), c AS (
+  SELECT lang, doc_id, quality, n_tokens,
+    CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+  FROM s
+)
+SELECT lang, doc_id, quality, n_tokens, cum_tokens,
+  cum_tokens <= CASE lang WHEN 'en' THEN 12000 WHEN 'zh' THEN 3000
+                ELSE 0 END AS keep
+FROM c
 """,
     }

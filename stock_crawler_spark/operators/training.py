@@ -519,3 +519,81 @@ def select_token_budget(
             (F.col("cum_tokens") <= F.lit(int(budget_tokens))).alias("keep"),
         )
     )
+
+
+def select_token_budget_per_group(
+    scored: DataFrame,
+    budgets: dict[str, int],
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    quality_col: str = "quality",
+    tokens_col: str = "n_tokens",
+    default_budget: int = 0,
+    n_partitions: int = 32,
+) -> DataFrame:
+    """Per-group token-budgeted selection — the FineWeb2/CC-Net shape:
+    each language (or source/domain) gets its OWN token budget, and
+    within a group the greedy (quality DESC, id) rule of
+    ``select_token_budget`` applies unchanged. Groups missing from
+    ``budgets`` get ``default_budget`` (0 = drop).
+
+    Scale shape — the same two-level distributed cumsum, made
+    SKEW-PROOF for hot groups: the range partitioning is on
+    (group, quality DESC, id), so a group holding 90% of the corpus
+    (English) spreads over many contiguous range partitions instead of
+    funneling through one per-group window task (the naive
+    ``PARTITION BY lang`` plan). Per-(partition, group) totals come
+    back to the driver — O(n_partitions + n_groups) rows, since range
+    slices are contiguous each partition holds few groups — and the
+    running-sum window is per (partition, group): parallel, bounded.
+    """
+    from pyspark.sql import Window
+
+    base = scored.select(
+        F.col(group_col).alias("g"),
+        F.col(id_col).alias("id"),
+        F.coalesce(F.col(quality_col).cast("double"), F.lit(0.0)).alias("q"),
+        F.coalesce(F.col(tokens_col).cast("long"), F.lit(0)).alias("nt"),
+    )
+    with_pid = _pinned_range_parts(
+        base, n_partitions, F.asc("g"), F.desc("q"), F.asc("id")
+    )
+    totals = (
+        with_pid.groupBy("_pid", "g").agg(F.sum("nt").alias("t")).collect()
+    )
+    # per-group offset = tokens of the SAME group in all earlier pids
+    # (range order makes a group's pids contiguous, but plain per-group
+    # cumulation needs no such assumption)
+    acc: dict[str, int] = {}
+    rows = []
+    for pid, g, t in sorted((r["_pid"], r["g"], r["t"]) for r in totals):
+        rows.append((int(pid), g, int(acc.get(g, 0))))
+        acc[g] = acc.get(g, 0) + int(t)
+    offsets = scored.sparkSession.createDataFrame(
+        rows, schema="_pid int, g string, _off long"
+    )
+    budget_rows = [(g, int(b)) for g, b in sorted(budgets.items())]
+    budget_df = scored.sparkSession.createDataFrame(
+        budget_rows, schema="g string, _budget long"
+    ) if budget_rows else scored.sparkSession.createDataFrame([], "g string, _budget long")
+    w = (
+        Window.partitionBy("_pid", "g")
+        .orderBy(F.desc("q"), F.asc("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        with_pid.join(F.broadcast(offsets), ["_pid", "g"])
+        .join(F.broadcast(budget_df), "g", "left")
+        .withColumn("cum_tokens", F.col("_off") + F.sum("nt").over(w))
+        .select(
+            F.col("g").alias(group_col),
+            F.col("id").alias(id_col),
+            F.col("q").alias(quality_col),
+            F.col("nt").alias(tokens_col),
+            "cum_tokens",
+            (
+                F.col("cum_tokens")
+                <= F.coalesce(F.col("_budget"), F.lit(int(default_budget)))
+            ).alias("keep"),
+        )
+    )

@@ -387,3 +387,81 @@ def test_select_token_budget_null_guards(spark):
         2: (0.0, 0, 10, True),
         4: (0.0, 5, 15, False),
     }
+
+
+# -- select_token_budget_per_group --------------------------------------------
+
+
+def _gscored(spark, rows):
+    return spark.createDataFrame(
+        rows, "lang string, doc_id long, quality double, n_tokens long"
+    )
+
+
+def _naive_group_budget(rows, budgets, default=0):
+    out, cum = {}, {}
+    for g, did, q, nt in sorted(rows, key=lambda r: (r[0], -r[2], r[1])):
+        cum[g] = cum.get(g, 0) + nt
+        out[did] = (g, q, nt, cum[g], cum[g] <= budgets.get(g, default))
+    return out
+
+
+def test_group_budget_matches_per_group_window(spark):
+    import random
+
+    from stock_crawler_spark.operators.training import select_token_budget_per_group
+
+    rng = random.Random(9)
+    langs = ["en", "de", "fr", "zh"]
+    # en dominates (hot-group skew): ~70% of rows
+    rows = [
+        (langs[0] if rng.random() < 0.7 else rng.choice(langs[1:]),
+         i, round(rng.random(), 3), rng.randint(1, 500))
+        for i in range(500)
+    ]
+    budgets = {"en": 20000, "de": 4000, "fr": 1, "zh": 7000}
+    got = {
+        r["doc_id"]: (r["lang"], r["quality"], r["n_tokens"], r["cum_tokens"], r["keep"])
+        for r in select_token_budget_per_group(
+            _gscored(spark, rows), budgets, n_partitions=7
+        ).collect()
+    }
+    assert got == _naive_group_budget(rows, budgets)
+
+
+def test_group_budget_default_drops_unlisted(spark):
+    from stock_crawler_spark.operators.training import select_token_budget_per_group
+
+    rows = [("en", 1, 0.9, 10), ("xx", 2, 0.9, 10)]
+    got = {
+        r["doc_id"]: r["keep"]
+        for r in select_token_budget_per_group(
+            _gscored(spark, rows), {"en": 100}
+        ).collect()
+    }
+    assert got == {1: True, 2: False}
+    got2 = {
+        r["doc_id"]: r["keep"]
+        for r in select_token_budget_per_group(
+            _gscored(spark, rows), {"en": 100}, default_budget=1000
+        ).collect()
+    }
+    assert got2 == {1: True, 2: True}
+
+
+def test_group_budget_partition_invariance(spark):
+    from stock_crawler_spark.operators.training import select_token_budget_per_group
+
+    rows = [("g" + str(i % 3), i, float((i * 7) % 11) / 11, (i % 13) + 1) for i in range(200)]
+    budgets = {"g0": 50, "g1": 500, "g2": 5000}
+    a = sorted(
+        map(tuple, select_token_budget_per_group(
+            _gscored(spark, rows), budgets, n_partitions=3
+        ).collect())
+    )
+    b = sorted(
+        map(tuple, select_token_budget_per_group(
+            _gscored(spark, rows).repartition(13), budgets, n_partitions=17
+        ).collect())
+    )
+    assert a == b
