@@ -2183,6 +2183,22 @@ def q107_group_token_budget(spark, sf):
     return select_token_budget_per_group(scored, GROUP_BUDGETS)
 
 
+SHARD_TARGET_BYTES = 4096
+
+
+def q108_pack_shards(spark, sf):
+    """Byte-targeted output sharding (operators/training.pack_shards):
+    WebDataset/tar-shard packing — contiguous runs of the corpus order
+    per shard, shard_id = exclusive-cum-bytes div target. Distributed
+    two-level cumsum (range shuffle + per-partition window), integral
+    div on longs; the oracle is the naive global window it must match."""
+    from stock_crawler_spark.operators.training import pack_shards
+
+    docs = _t(spark, sf, "documents")
+    sized = docs.select("doc_id", F.octet_length("text").alias("n_bytes"))
+    return pack_shards(sized, SHARD_TARGET_BYTES)
+
+
 # ---------------------------------------------------------------------------
 # driver API
 # ---------------------------------------------------------------------------
@@ -2302,6 +2318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q105_blocklist_admit": q105_blocklist_admit,
         "q106_sitemap_recrawl": q106_sitemap_recrawl,
         "q107_group_token_budget": q107_group_token_budget,
+        "q108_pack_shards": q108_pack_shards,
     }
 
 
@@ -4791,6 +4808,22 @@ WITH qual AS ({_QUALITY_SQL}), lang AS ({_LANG_SQL}), tok AS (
 SELECT lang, doc_id, quality, n_tokens, cum_tokens,
   cum_tokens <= CASE lang WHEN 'en' THEN 12000 WHEN 'zh' THEN 3000
                 ELSE 0 END AS keep
+FROM c
+""",
+        # q108: naive global-window byte cumsum + integer div — the
+        # range-partitioned two-level plan must match it row for row.
+        "q108_pack_shards": f"""
+WITH s AS (
+  SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents
+), c AS (
+  SELECT doc_id, n_bytes,
+    CAST(sum(n_bytes) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_bytes
+      AS BIGINT) AS offset_bytes
+  FROM s
+)
+SELECT doc_id, n_bytes, offset_bytes,
+  offset_bytes // {SHARD_TARGET_BYTES} AS shard_id
 FROM c
 """,
     }

@@ -597,3 +597,65 @@ def select_token_budget_per_group(
             ).alias("keep"),
         )
     )
+
+
+def pack_shards(
+    docs: DataFrame,
+    target_shard_bytes: int,
+    id_col: str = "doc_id",
+    bytes_col: str = "n_bytes",
+    order_col: str | None = None,
+    n_partitions: int = 32,
+) -> DataFrame:
+    """Byte-targeted output sharding — the WebDataset/tar-shard packing
+    shape: assign each document a ``shard_id`` so every shard holds a
+    CONTIGUOUS run of the corpus order totalling ~``target_shard_bytes``.
+    Rule: ``shard_id = exclusive_cum_bytes div target`` — a document
+    straddling a boundary belongs to the shard where it STARTS, so a
+    shard overshoots by at most one document and no shard is empty
+    while input remains. Order is (``order_col``, id) when given, else
+    id alone — compose with :func:`epoch_shuffle` (order_col="pos") to
+    pack in shuffled training order.
+
+    Scale shape — the shared distributed-cumsum pattern
+    (:func:`_pinned_range_parts`): ONE range shuffle on the total
+    order, per-partition byte totals to the driver (O(n_partitions)
+    scalars), then a per-partition window — never a global
+    single-partition window. shard_id comes from integral ``div`` on
+    longs (no double rounding at 10^14-byte offsets)."""
+    from pyspark.sql import Window
+
+    if int(target_shard_bytes) <= 0:
+        raise ValueError("target_shard_bytes must be positive")
+    ordc = order_col or id_col
+    base = docs.select(
+        F.col(ordc).alias("o"),
+        F.col(id_col).alias("id"),
+        F.coalesce(F.col(bytes_col).cast("long"), F.lit(0)).alias("nb"),
+    )
+    with_pid = _pinned_range_parts(base, n_partitions, F.asc("o"), F.asc("id"))
+    totals = with_pid.groupBy("_pid").agg(F.sum("nb").alias("t")).collect()
+    off = 0
+    rows = []
+    for pid, t in sorted((r["_pid"], r["t"]) for r in totals):
+        rows.append((int(pid), int(off)))
+        off += int(t)
+    offsets = docs.sparkSession.createDataFrame(rows, schema="_pid int, _off long")
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(F.asc("o"), F.asc("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sel = [
+        F.col("id").alias(id_col),
+        F.col("nb").alias(bytes_col),
+        F.col("_excl").alias("offset_bytes"),
+        F.expr(f"_excl div {int(target_shard_bytes)}").alias("shard_id"),
+    ]
+    if order_col and order_col != id_col:
+        sel.insert(0, F.col("o").alias(order_col))
+    return (
+        with_pid.join(F.broadcast(offsets), "_pid")
+        .withColumn("_excl", F.col("_off") + F.sum("nb").over(w) - F.col("nb"))
+        .select(*sel)
+    )

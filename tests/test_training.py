@@ -465,3 +465,70 @@ def test_group_budget_partition_invariance(spark):
         ).collect())
     )
     assert a == b
+
+
+# -- pack_shards ---------------------------------------------------------------
+
+
+def _naive_pack(rows, target, key=lambda r: (r[0],)):
+    cum = 0
+    out = {}
+    for r in sorted(rows, key=key):
+        nb = r[-1] or 0
+        out[r[0] if len(r) == 2 else r[1]] = (nb, cum, cum // target)
+        cum += nb
+    return out
+
+
+def test_pack_shards_matches_naive(spark):
+    import random
+
+    from stock_crawler_spark.operators.training import pack_shards
+
+    rng = random.Random(3)
+    rows = [(i, rng.randint(0, 900)) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, n_bytes long")
+    got = {
+        r["doc_id"]: (r["n_bytes"], r["offset_bytes"], r["shard_id"])
+        for r in pack_shards(df, 2048, n_partitions=7).collect()
+    }
+    assert got == _naive_pack(rows, 2048)
+    # contiguity: shard ids ascending in corpus order, no gaps
+    sids = [got[i][2] for i in sorted(got)]
+    assert sids == sorted(sids)
+    assert set(sids) == set(range(max(sids) + 1))
+
+
+def test_pack_shards_custom_order_and_nulls(spark):
+    from stock_crawler_spark.operators.training import pack_shards
+
+    rows = [(3, 10, 100), (1, 20, None), (2, 30, 50)]
+    df = spark.createDataFrame(rows, "pos long, doc_id long, n_bytes long")
+    got = {
+        r["doc_id"]: (r["pos"], r["n_bytes"], r["offset_bytes"], r["shard_id"])
+        for r in pack_shards(df, 60, order_col="pos").collect()
+    }
+    # order by pos: doc 20 (null->0 bytes), doc 30 (50), doc 10 (100)
+    assert got == {20: (1, 0, 0, 0), 30: (2, 50, 0, 0), 10: (3, 100, 50, 0)}
+
+
+def test_pack_shards_partition_invariance(spark):
+    from stock_crawler_spark.operators.training import pack_shards
+
+    rows = [(i, (i * 37) % 500) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, n_bytes long")
+    a = sorted(map(tuple, pack_shards(df, 1000, n_partitions=3).collect()))
+    b = sorted(
+        map(tuple, pack_shards(df.repartition(11), 1000, n_partitions=17).collect())
+    )
+    assert a == b
+
+
+def test_pack_shards_rejects_bad_target(spark):
+    import pytest as _pytest
+
+    from stock_crawler_spark.operators.training import pack_shards
+
+    df = spark.createDataFrame([(1, 1)], "doc_id long, n_bytes long")
+    with _pytest.raises(ValueError):
+        pack_shards(df, 0)
