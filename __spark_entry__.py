@@ -2199,6 +2199,21 @@ def q108_pack_shards(spark, sf):
     return pack_shards(sized, SHARD_TARGET_BYTES)
 
 
+def q109_bpe_encode(spark, sf):
+    """Corpus BPE encoding under a trained merge table (operators/bpe.
+    bpe_encode_docs): trains the same 3-merge table as q92, then
+    segments the corpus — per-word greedy fold on the DISTINCT-word
+    table only (Zipf amortization), per-doc token stats via a JVM
+    (doc, word)-count join, never per-corpus-row Python. Verifies the
+    encode fold, the distinct-word join-back, and the weighted stat
+    aggregation against a full DuckDB replay."""
+    from stock_crawler_spark.operators.bpe import bpe_encode_docs, bpe_train
+
+    docs = _t(spark, sf, "documents")
+    merges, _ = bpe_train(docs, n_merges=3)
+    return bpe_encode_docs(docs, merges)
+
+
 # ---------------------------------------------------------------------------
 # driver API
 # ---------------------------------------------------------------------------
@@ -2319,6 +2334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q106_sitemap_recrawl": q106_sitemap_recrawl,
         "q107_group_token_budget": q107_group_token_budget,
         "q108_pack_shards": q108_pack_shards,
+        "q109_bpe_encode": q109_bpe_encode,
     }
 
 
@@ -3171,13 +3187,27 @@ FROM assigned a LEFT JOIN cross_links c ON a.doc_id = c.doc
 """
 
 
-def _bpe_oracle(n_merges: int = 3, max_word_len: int = 64) -> str:
-    """Replays operators/bpe.bpe_train iteration by iteration: per
-    iteration a pair-count CTE, a (cnt DESC, l, r) argmax CTE, and an
-    apply CTE running the IDENTICAL greedy left-to-right fold via
-    DuckDB list_reduce (acc on a list-of-lists so the first symbol
-    seeds the accumulator; out-of-range acc[len] is NULL -> append,
-    matching Spark's F.get on the empty array)."""
+def _bpe_fold_sql(src: str, merge_table: str) -> str:
+    """The greedy left-to-right merge fold as a DuckDB expression:
+    identical shape in the training replay (v{i}) and the encode
+    replay (e{i}). acc is seeded from the first single-symbol list, so
+    a freshly merged token (l||r, r non-empty so never equal to l)
+    cannot re-match within its own pass — same argument as the Spark
+    JVM fold in operators/bpe.apply_merge."""
+    return f"""
+  SELECT {src}.* EXCLUDE (syms),
+    list_reduce(list_transform(syms, s -> [s]),
+      (acc, x) -> CASE WHEN acc[len(acc)] = {merge_table}.l AND x[1] = {merge_table}.r
+                  THEN list_append(acc[1:len(acc) - 1], {merge_table}.l || {merge_table}.r)
+                  ELSE list_append(acc, x[1]) END) AS syms
+  FROM {src} CROSS JOIN {merge_table}"""
+
+
+def _bpe_train_ctes(n_merges: int = 3, max_word_len: int = 64) -> list:
+    """Training-replay CTEs shared by the q92 (train) and q109
+    (encode) oracles: word-frequency pass wf, char-split v0, then per
+    iteration a pair-count CTE p{i}, a (cnt DESC, l, r) argmax CTE
+    t{i}, and an apply CTE v{i} running the greedy fold."""
     ctes = [
         f"""wf AS (
   SELECT t AS word, count(*) AS freq
@@ -3197,15 +3227,20 @@ def _bpe_oracle(n_merges: int = 3, max_word_len: int = 64) -> str:
         FROM v{i - 1})
   GROUP BY 1, 2
 ), t{i} AS (SELECT l, r FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1),
-v{i} AS (
-  SELECT word, freq,
-    list_reduce(list_transform(syms, s -> [s]),
-      (acc, x) -> CASE WHEN acc[len(acc)] = t{i}.l AND x[1] = t{i}.r
-                  THEN list_append(acc[1:len(acc) - 1], t{i}.l || t{i}.r)
-                  ELSE list_append(acc, x[1]) END) AS syms
-  FROM v{i - 1} CROSS JOIN t{i}
+v{i} AS ({_bpe_fold_sql(f'v{i - 1}', f't{i}')}
 )"""
         )
+    return ctes
+
+
+def _bpe_oracle(n_merges: int = 3, max_word_len: int = 64) -> str:
+    """Replays operators/bpe.bpe_train iteration by iteration: per
+    iteration a pair-count CTE, a (cnt DESC, l, r) argmax CTE, and an
+    apply CTE running the IDENTICAL greedy left-to-right fold via
+    DuckDB list_reduce (acc on a list-of-lists so the first symbol
+    seeds the accumulator; out-of-range acc[len] is NULL -> append,
+    matching Spark's F.get on the empty array)."""
+    ctes = _bpe_train_ctes(n_merges, max_word_len)
     return f"""
 WITH {', '.join(ctes)}
 SELECT symbol, CAST(sum(freq * k) AS BIGINT) AS wcount, count(*) AS n_words
@@ -3214,6 +3249,35 @@ FROM (
   FROM (SELECT word, freq, unnest(syms) AS symbol FROM v{n_merges})
   GROUP BY 1, 2, 3
 ) GROUP BY 1
+"""
+
+
+def _bpe_encode_oracle(n_merges: int = 3, max_word_len: int = 64) -> str:
+    """Replays q109: trains the same {n_merges}-merge table (shared
+    CTEs with the q92 oracle), then encodes every DISTINCT corpus word
+    with the identical greedy fold chained once per merge, and joins
+    the encoded stats back to per-(doc, word) counts — the same
+    Zipf-amortized shape as operators/bpe.bpe_encode_docs."""
+    ctes = _bpe_train_ctes(n_merges, max_word_len)
+    ctes.append(
+        f"""dw AS (
+  SELECT doc_id, t AS word, count(*) AS k
+  FROM (SELECT doc_id, unnest({_TOKS}) AS t FROM documents WHERE trim(text) <> '')
+  WHERE t <> '' GROUP BY 1, 2
+), e0 AS (
+  SELECT word, string_split(word, '') AS syms FROM (SELECT DISTINCT word FROM dw)
+)"""
+    )
+    for i in range(1, n_merges + 1):
+        ctes.append(f"e{i} AS ({_bpe_fold_sql(f'e{i - 1}', f't{i}')}\n)")
+    return f"""
+WITH {', '.join(ctes)}
+SELECT doc_id,
+  CAST(sum(k) AS BIGINT) AS n_words,
+  CAST(sum(k * len(syms)) AS BIGINT) AS n_bpe_tokens,
+  CAST(sum(k * len(list_filter(syms, s -> length(s) > 1))) AS BIGINT) AS n_merged_tokens
+FROM dw JOIN e{n_merges} USING (word)
+GROUP BY 1
 """
 
 
@@ -4070,6 +4134,7 @@ FROM agg""",
         "q84_pii_scrub": _pii_oracle(),
         "q86_split_leakage": _split_oracle(),
         "q92_bpe_train": _bpe_oracle(),
+        "q109_bpe_encode": _bpe_encode_oracle(),
         "q93_bigram_lm": _lm_oracle(),
         "q94_epoch_shuffle": _SHUFFLE_ORACLE,
         "q95_exact_substr": _exact_substr_oracle(),

@@ -175,3 +175,109 @@ def bpe_symbols(vocab: DataFrame) -> DataFrame:
         F.sum(F.col("freq") * F.col("k")).alias("wcount"),
         F.count(F.lit(1)).alias("n_words"),
     )
+
+
+# --- encoding (apply a trained merge table to the corpus) ---------------------
+
+
+def _encode_word_py(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Python twin of chaining :func:`apply_merge` over the ordered
+    merge table: for each merge, ONE greedy left-to-right pass (a
+    freshly merged token never re-matches within its own pass — same
+    argument as the JVM fold). Runs only on the DISTINCT-word table."""
+    syms = list(word)
+    for left, right in merges:
+        if len(syms) < 2:
+            continue
+        merged, out, i = left + right, [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                out.append(merged)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def encode_words(
+    words: DataFrame, merges: list[tuple[str, str]], impl: str = "jvm"
+) -> DataFrame:
+    """(word) -> (word, syms): segment every distinct word under an
+    ordered merge table. ``impl="jvm"`` chains the :func:`apply_merge`
+    aggregate fold once per merge — pure Column, right for small merge
+    tables (expression depth grows with n_merges). ``impl="arrow"`` is
+    the production path for real tokenizers (10k+ merges, where a
+    10k-deep Column expression is not viable): ONE Arrow-batched
+    pandas UDF whose per-word loop is the exact Python twin of the
+    fold — and it only ever touches the distinct-word table, never
+    the corpus."""
+    if impl == "jvm":
+        col = F.filter(F.split(F.col("word"), ""), lambda c: c != F.lit(""))
+        for left, right in merges:
+            col = apply_merge(col, left, right)
+        return words.select("word", col.alias("syms"))
+    if impl != "arrow":
+        raise ValueError(f"unknown impl: {impl!r}")
+    from pyspark.sql.types import ArrayType
+
+    # explicit returnType + no type hints: the module uses
+    # `from __future__ import annotations`, under which pandas_udf's
+    # hint inference cannot resolve locally-imported names.
+    def _enc_fn(col):
+        return col.map(lambda w: _encode_word_py(w, merges))
+
+    _enc = F.pandas_udf(_enc_fn, ArrayType(StringType()))
+
+    return words.select("word", _enc(F.col("word")).alias("syms"))
+
+
+def bpe_encode_docs(
+    docs: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    impl: str = "jvm",
+) -> DataFrame:
+    """Corpus-scale BPE encoding stats under a trained merge table:
+    (doc_id, n_words, n_bpe_tokens, n_merged_tokens). The merge table
+    is the MODEL — O(n_merges) rows, collected once at the driver
+    (same as training keeps it there) and shipped inside the plan.
+
+    Scale shape — Zipf amortization, the encode twin of training's
+    distinct-word trick: the per-word fold runs on the DISTINCT-word
+    table (orders of magnitude smaller than the corpus), and per-doc
+    stats come from (doc, word) counts (map-side combine) equi-joined
+    to the encoded vocabulary — corpus-scale work stays in JVM
+    explode/agg/join; no per-corpus-row Python in any impl."""
+    ordered = [
+        (r["left"], r["right"])
+        for r in merges.orderBy("iter").select("iter", "left", "right").collect()
+    ]
+    per_doc = (
+        docs.filter(F.trim(F.col(text_col)) != "")
+        .select(
+            "doc_id",
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).alias("word"),
+        )
+        .filter(F.col("word") != "")
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    encoded = encode_words(per_doc.select("word").distinct(), ordered, impl)
+    stats = encoded.select(
+        "word",
+        F.size("syms").alias("_nt"),
+        F.size(F.filter(F.col("syms"), lambda s: F.length(s) > 1)).alias("_nm"),
+    )
+    return (
+        per_doc.join(stats, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_words"),
+            F.sum(F.col("k") * F.col("_nt")).alias("n_bpe_tokens"),
+            F.sum(F.col("k") * F.col("_nm")).alias("n_merged_tokens"),
+        )
+    )

@@ -212,3 +212,83 @@ def test_train_random_corpus_matches_reference(spark):
         for r in bpe_symbols(vocab).collect()
     }
     assert sym_got == _ref_symbols(rv, wf)
+
+
+# -- encoding ----------------------------------------------------------------
+
+
+def _ref_encode(word, merges):
+    syms = list(word)
+    for l, r in merges:
+        syms = _ref_apply(syms, l, r)
+    return syms
+
+
+def test_encode_words_jvm_matches_arrow_and_reference(spark):
+    import random
+
+    from stock_crawler_spark.operators.bpe import encode_words
+
+    rng = random.Random(11)
+    alpha = "abcde"
+    words = sorted(
+        {"".join(rng.choice(alpha) for _ in range(rng.randint(1, 12))) for _ in range(120)}
+    )
+    # adversarial, NOT training-derived merges: overlaps, chains, repeats
+    merges = [("a", "a"), ("aa", "a"), ("b", "c"), ("a", "bc"), ("d", "e"), ("de", "de")]
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    jvm = {r["word"]: r["syms"] for r in encode_words(df, merges, "jvm").collect()}
+    arrow = {r["word"]: r["syms"] for r in encode_words(df, merges, "arrow").collect()}
+    ref = {w: _ref_encode(w, merges) for w in words}
+    assert jvm == ref
+    assert arrow == ref
+
+
+def test_encode_words_empty_merges_is_chars(spark):
+    from stock_crawler_spark.operators.bpe import encode_words
+
+    df = spark.createDataFrame([("héllo",), ("x",)], "word string")
+    got = {r["word"]: r["syms"] for r in encode_words(df, [], "jvm").collect()}
+    assert got == {"héllo": list("héllo"), "x": ["x"]}
+
+
+def test_bpe_encode_docs_trained_roundtrip(spark):
+    from stock_crawler_spark.operators.bpe import bpe_encode_docs, bpe_train
+
+    texts = [
+        (1, "the cat the cat sat"),
+        (2, "the the the mat"),
+        (3, "  "),
+        (4, "cat"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    merges, _ = bpe_train(docs, n_merges=3)
+    mlist = [(r["left"], r["right"]) for r in merges.orderBy("iter").collect()]
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"], r["n_merged_tokens"])
+        for r in bpe_encode_docs(docs, merges).collect()
+    }
+    # reference: encode every word of every non-blank doc
+    exp = {}
+    for did, t in texts:
+        ws = [w for w in t.strip().lower().split() if w]
+        if not ws:
+            continue
+        toks = [s for w in ws for s in _ref_encode(w, mlist)]
+        exp[did] = (len(ws), len(toks), sum(1 for s in toks if len(s) > 1))
+    assert got == exp
+    # blank doc excluded
+    assert 3 not in got
+
+
+def test_bpe_encode_docs_arrow_impl_agrees(spark):
+    from stock_crawler_spark.operators.bpe import bpe_encode_docs, bpe_train
+
+    docs = spark.createDataFrame(
+        [(i, f"ab{'c' * (i % 4)} abab {'ab ' * (i % 3)}") for i in range(1, 30)],
+        "doc_id long, text string",
+    )
+    merges, _ = bpe_train(docs, n_merges=4)
+    a = sorted(map(tuple, bpe_encode_docs(docs, merges, impl="jvm").collect()))
+    b = sorted(map(tuple, bpe_encode_docs(docs, merges, impl="arrow").collect()))
+    assert a == b
