@@ -2214,6 +2214,41 @@ def q109_bpe_encode(spark, sf):
     return bpe_encode_docs(docs, merges)
 
 
+WARC_SEGMENT_TARGET = 32768
+
+
+def q110_warc_export(spark, sf):
+    """WARC/1.0 export manifest (operators/warc_export): render each
+    page as a spec-complete response record (pure Column — sha-256
+    payload digest, octet-length framing), pack records into
+    byte-targeted segments with the shared distributed cumsum, and
+    emit the CDX-shaped manifest (segment_id, in-segment offset,
+    length, digest). The oracle reconstructs the identical record
+    STRING in DuckDB and replays the cumsum/div/min-window — so record
+    bytes, framing lengths, digests, and extents are all value-checked;
+    the gzip-member layout and the ingest round-trip are pinned by
+    tests/test_warc_export.py."""
+    from stock_crawler_spark.operators.warc_export import warc_export
+
+    docs = _t(spark, sf, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://h"), (F.col("doc_id") % GRAPH_HOSTS).cast("string"),
+            F.lit(".com/d"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.format_string(
+            "2024-01-%02dT%02d:%02d:%02dZ",
+            (F.col("doc_id") / 86400).cast("int") + 1,
+            ((F.col("doc_id") % 86400) / 3600).cast("int"),
+            ((F.col("doc_id") % 3600) / 60).cast("int"),
+            (F.col("doc_id") % 60).cast("int"),
+        ).alias("warc_date"),
+        F.col("text").alias("payload"),
+    )
+    return warc_export(pages, WARC_SEGMENT_TARGET)
+
+
 # ---------------------------------------------------------------------------
 # driver API
 # ---------------------------------------------------------------------------
@@ -2335,6 +2370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q107_group_token_budget": q107_group_token_budget,
         "q108_pack_shards": q108_pack_shards,
         "q109_bpe_encode": q109_bpe_encode,
+        "q110_warc_export": q110_warc_export,
     }
 
 
@@ -4135,6 +4171,42 @@ FROM agg""",
         "q86_split_leakage": _split_oracle(),
         "q92_bpe_train": _bpe_oracle(),
         "q109_bpe_encode": _bpe_encode_oracle(),
+        "q110_warc_export": f"""
+WITH k AS (SELECT chr(13) || chr(10) AS c),
+pages AS (
+  SELECT doc_id,
+    'https://h' || (doc_id % 120) || '.com/d' || doc_id AS url,
+    printf('2024-01-%02dT%02d:%02d:%02dZ',
+           doc_id // 86400 + 1, (doc_id % 86400) // 3600,
+           (doc_id % 3600) // 60, doc_id % 60) AS warc_date,
+    coalesce(text, '') AS payload
+  FROM documents
+), http AS (
+  SELECT doc_id, url, warc_date, payload, sha256(payload) AS digest,
+    'HTTP/1.1 200 OK' || c || 'Content-Type: text/html; charset=utf-8' || c
+      || 'Content-Length: ' || strlen(payload) || c || c || payload AS h
+  FROM pages CROSS JOIN k
+), rec AS (
+  SELECT doc_id, url, digest,
+    strlen('WARC/1.0' || c || 'WARC-Type: response' || c
+      || 'WARC-Record-ID: <urn:uuid:doc' || doc_id || '>' || c
+      || 'WARC-Target-URI: ' || url || c
+      || 'WARC-Date: ' || warc_date || c
+      || 'WARC-Payload-Digest: sha-256:' || digest || c
+      || 'Content-Type: application/http; msgtype=response' || c
+      || 'Content-Length: ' || strlen(h) || c || c || h || c || c) AS length
+  FROM http CROSS JOIN k
+), cum AS (
+  SELECT doc_id, url, digest, length,
+    coalesce(sum(length) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
+  FROM rec
+)
+SELECT doc_id, url, excl // {WARC_SEGMENT_TARGET} AS segment_id,
+  excl - min(excl) OVER (PARTITION BY excl // {WARC_SEGMENT_TARGET}) AS offset,
+  length, digest AS payload_digest
+FROM cum
+""",
         "q93_bigram_lm": _lm_oracle(),
         "q94_epoch_shuffle": _SHUFFLE_ORACLE,
         "q95_exact_substr": _exact_substr_oracle(),

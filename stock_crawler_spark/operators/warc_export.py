@@ -1,0 +1,266 @@
+"""WARC/1.0 export — the WRITE path of the Common-Crawl edge.
+
+`parsers/warc.py` ingests CC segments; this module produces them: given
+the pages table the engine crawls/extracts (url, date, payload), render
+each page as a spec-complete ``response`` record, pack records into
+~1 GB segments, and emit the (segment, offset, length, digest) manifest
+— i.e. exactly the fields a CDX index publishes (operators/cdx.py), now
+REAL byte offsets instead of synthetic ones. Reference parity: the
+reference publishes parsed rows to Kafka (internal/kafka/producer.go);
+a web-scale crawl additionally archives raw captures, and WARC is the
+public interchange format for that archive (ISO 28500).
+
+Scale shape (100 TB of captures -> ~10^5 1-GB segments):
+  * record RENDERING is a pure Column chain — string concat +
+    ``sha2`` + ``octet_length``, whole-stage codegen, zero Python;
+  * segment ASSIGNMENT + in-stream offsets reuse the shared
+    distributed-cumsum pattern (operators/training.pack_shards): ONE
+    range shuffle, O(n_partitions) driver scalars, per-partition
+    windows — never a global single-partition cumsum window;
+  * in-SEGMENT offsets subtract each segment's first stream offset,
+    obtained by a groupBy(segment).min aggregate joined back —
+    O(n_segments) rows (~10^5 at the design point), AQE broadcasts it;
+  * actual blob materialization concatenates each segment's records in
+    one task (`segment_blobs`, applyInPandas) — the same
+    segment-is-the-parallelism-unit contract the ingest side relies
+    on. With ``compress=True`` records become individual gzip members
+    (CC's layout, mtime=0 deterministic) and offsets/lengths are the
+    COMPRESSED member extents — computed by an Arrow-batched pandas
+    UDF (compressed size is not a Column-expressible function), which
+    is the sanctioned byte wall, never per-row Python.
+
+The uncompressed path is fully SQL-reproducible (record text, sha-256
+digest, byte lengths, cumsum offsets), which is what the q110 oracle
+replays in DuckDB; the gzip path is proven by byte round-trip instead
+(tests slice each member out of the packed blob at [offset, offset+
+length) and re-parse it with the ingest parser).
+"""
+
+from __future__ import annotations
+
+import gzip
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from stock_crawler_spark.operators.training import pack_shards
+
+CRLF = "\r\n"
+
+MANIFEST_COLS = ("segment_id", "offset", "length", "payload_digest")
+
+
+def warc_record_text(
+    url,
+    warc_date,
+    payload,
+    record_id,
+):
+    """The rendered ``response`` record as ONE string Column.
+
+    Layout matches parsers/warc.build_record (header order, HTTP/1.1
+    envelope, trailing CRLF CRLF separator) plus a
+    ``WARC-Payload-Digest: sha-256:<hex>`` header — the spec's labelled
+    digest form; sha-256 (not sha-1-base32) so the digest is
+    reproducible in any SQL engine. All lengths are OCTET lengths:
+    multibyte payloads count bytes, exactly what framing needs."""
+    http = F.concat(
+        F.lit(
+            "HTTP/1.1 200 OK" + CRLF
+            + "Content-Type: text/html; charset=utf-8" + CRLF
+            + "Content-Length: "
+        ),
+        F.octet_length(payload).cast("string"),
+        F.lit(CRLF + CRLF),
+        payload,
+    )
+    digest = F.sha2(F.encode(payload, "UTF-8"), 256)
+    return (
+        F.concat(
+            F.lit("WARC/1.0" + CRLF + "WARC-Type: response" + CRLF),
+            F.lit("WARC-Record-ID: <urn:uuid:"), record_id, F.lit(">" + CRLF),
+            F.lit("WARC-Target-URI: "), url, F.lit(CRLF),
+            F.lit("WARC-Date: "), warc_date, F.lit(CRLF),
+            F.lit("WARC-Payload-Digest: sha-256:"), digest, F.lit(CRLF),
+            F.lit("Content-Type: application/http; msgtype=response" + CRLF),
+            F.lit("Content-Length: "),
+            F.octet_length(http).cast("string"),
+            F.lit(CRLF + CRLF),
+            http,
+            F.lit(CRLF + CRLF),
+        ),
+        digest,
+    )
+
+
+def warc_render(
+    pages: DataFrame,
+    url_col: str = "url",
+    date_col: str = "warc_date",
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, url, date, payload) -> (id, url, record, length,
+    payload_digest). Pure Column chain — codegen, no shuffle; NULL
+    payloads render as empty captures (a fetch that returned no body
+    still gets an archival record)."""
+    payload = F.coalesce(F.col(payload_col).cast("string"), F.lit(""))
+    rec, digest = warc_record_text(
+        F.col(url_col),
+        F.col(date_col),
+        payload,
+        F.concat(F.lit("doc"), F.col(id_col).cast("string")),
+    )
+    return pages.select(
+        F.col(id_col),
+        F.col(url_col).alias("url"),
+        rec.alias("record"),
+        F.octet_length(rec).alias("length"),
+        digest.alias("payload_digest"),
+    )
+
+
+def _gzip_member_stats(records: DataFrame, id_col: str) -> DataFrame:
+    """record string -> (id, member binary, length=compressed bytes).
+    Arrow-batched: the gzip wall crosses once per batch. mtime=0 /
+    fixed level keeps members byte-deterministic (parsers/warc
+    ingest convention)."""
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("member", BinaryType()),
+            StructField("length", LongType()),
+        ]
+    )
+
+    def _gz(batches):
+        for pdf in batches:
+            members = [
+                gzip.compress(r.encode("utf-8"), compresslevel=6, mtime=0)
+                for r in pdf["record"]
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "member": members,
+                    "length": pd.Series(
+                        [len(m) for m in members], dtype="int64"
+                    ),
+                }
+            )
+
+    return records.select(id_col, "record").mapInPandas(_gz, schema)
+
+
+def warc_pack(
+    rendered: DataFrame,
+    target_segment_bytes: int,
+    id_col: str = "doc_id",
+    n_partitions: int = 32,
+) -> DataFrame:
+    """Rendered records -> the CDX-shaped manifest: every record gets
+    (segment_id, offset-IN-segment, length). Segments are contiguous
+    id-order runs of ~target bytes, cut at record boundaries
+    (pack_shards: a straddling record belongs to the segment where it
+    starts, so overshoot is <= 1 record).
+
+    offset = stream_offset - first stream_offset of the segment; the
+    per-segment minimum is an O(n_segments) aggregate joined back —
+    small side, AQE broadcast."""
+    placed = pack_shards(
+        rendered.select(id_col, "length"),
+        target_segment_bytes,
+        id_col=id_col,
+        bytes_col="length",
+        n_partitions=n_partitions,
+    ).withColumnRenamed("shard_id", "segment_id")
+    starts = placed.groupBy("segment_id").agg(
+        F.min("offset_bytes").alias("_seg_start")
+    )
+    return (
+        placed.join(starts, "segment_id")
+        .select(
+            F.col(id_col),
+            "segment_id",
+            (F.col("offset_bytes") - F.col("_seg_start")).alias("offset"),
+            F.col("length"),
+        )
+    )
+
+
+def warc_export(
+    pages: DataFrame,
+    target_segment_bytes: int,
+    url_col: str = "url",
+    date_col: str = "warc_date",
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    compress: bool = False,
+    n_partitions: int = 32,
+) -> DataFrame:
+    """Pages -> archival manifest (id, url, segment_id, offset, length,
+    payload_digest). With ``compress=True`` the extents are gzip-member
+    extents (CC layout); digests always cover the UNcompressed payload
+    (that is what WARC-Payload-Digest means)."""
+    rendered = warc_render(pages, url_col, date_col, payload_col, id_col)
+    if compress:
+        sized = _gzip_member_stats(rendered, id_col).select(id_col, "length")
+        rendered = rendered.drop("length").join(sized, id_col)
+    manifest = warc_pack(rendered, target_segment_bytes, id_col, n_partitions)
+    return manifest.join(
+        rendered.select(id_col, "url", "payload_digest"), id_col
+    ).select(
+        id_col, "url", "segment_id", "offset", "length", "payload_digest"
+    )
+
+
+SEGMENT_SCHEMA = StructType(
+    [
+        StructField("segment_id", LongType()),
+        StructField("blob", BinaryType()),
+        StructField("n_records", LongType()),
+    ]
+)
+
+
+def segment_blobs(
+    rendered: DataFrame,
+    manifest: DataFrame,
+    id_col: str = "doc_id",
+    compress: bool = False,
+) -> DataFrame:
+    """Materialize segment bytes: records concatenated in offset order,
+    one segment per task (the ingest side's unit of parallelism). The
+    test harness round-trips these through parsers/warc ingest and the
+    manifest's [offset, offset+length) extents."""
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("offset")
+        if compress:
+            parts = [
+                gzip.compress(r.encode("utf-8"), compresslevel=6, mtime=0)
+                for r in pdf["record"]
+            ]
+        else:
+            parts = [r.encode("utf-8") for r in pdf["record"]]
+        return pd.DataFrame(
+            {
+                "segment_id": pd.Series(
+                    [int(pdf["segment_id"].iloc[0])], dtype="int64"
+                ),
+                "blob": [b"".join(parts)],
+                "n_records": pd.Series([len(parts)], dtype="int64"),
+            }
+        )
+
+    joined = manifest.select(id_col, "segment_id", "offset").join(
+        rendered.select(id_col, "record"), id_col
+    )
+    return joined.groupBy("segment_id").applyInPandas(_build, SEGMENT_SCHEMA)

@@ -1,0 +1,199 @@
+"""WARC export (write path): record rendering byte identity, manifest
+extents as a real random-access index, gzip-member layout, and the
+ingest round-trip — parsers/warc reads back what warc_export wrote."""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from stock_crawler_spark.operators.warc_export import (
+    segment_blobs,
+    warc_export,
+    warc_pack,
+    warc_render,
+)
+from stock_crawler_spark.parsers.warc import _parse_one_segment
+
+CRLF = "\r\n"
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, url string, warc_date string, payload string"
+    )
+
+
+def _ref_record(url: str, date: str, payload: str, rid: str) -> bytes:
+    """Python twin of warc_record_text — independent construction."""
+    pb = payload.encode("utf-8")
+    http = (
+        f"HTTP/1.1 200 OK{CRLF}Content-Type: text/html; charset=utf-8{CRLF}"
+        f"Content-Length: {len(pb)}{CRLF}{CRLF}"
+    ).encode() + pb
+    digest = hashlib.sha256(pb).hexdigest()
+    head = (
+        f"WARC/1.0{CRLF}WARC-Type: response{CRLF}"
+        f"WARC-Record-ID: <urn:uuid:{rid}>{CRLF}"
+        f"WARC-Target-URI: {url}{CRLF}WARC-Date: {date}{CRLF}"
+        f"WARC-Payload-Digest: sha-256:{digest}{CRLF}"
+        f"Content-Type: application/http; msgtype=response{CRLF}"
+        f"Content-Length: {len(http)}{CRLF}{CRLF}"
+    ).encode()
+    return head + http + CRLF.encode() + CRLF.encode()
+
+
+ROWS = [
+    (1, "https://a.com/x", "2024-01-01T00:00:01Z", "hello world"),
+    (2, "https://b.com/y", "2024-01-01T00:00:02Z", "héllo – multibyte €"),
+    (3, "https://c.com/z", "2024-01-01T00:00:03Z", None),  # empty capture
+    (4, "https://d.com/w", "2024-01-01T00:00:04Z", "x" * 400),
+    (5, "https://e.com/v", "2024-01-01T00:00:05Z", "short"),
+]
+
+
+def test_render_byte_identity_with_python_twin(spark):
+    got = {
+        r["doc_id"]: r["record"]
+        for r in warc_render(_pages(spark, ROWS)).collect()
+    }
+    for did, url, date, payload in ROWS:
+        exp = _ref_record(url, date, payload or "", f"doc{did}")
+        assert got[did].encode("utf-8") == exp, did
+
+
+def test_manifest_extents_slice_parseable_records(spark):
+    """The point of the manifest: blob[offset:offset+length) IS the
+    record — parse each slice standalone and check url/payload/digest."""
+    pages = _pages(spark, ROWS)
+    rendered = warc_render(pages)
+    manifest = warc_pack(rendered, target_segment_bytes=600)
+    blobs = {
+        r["segment_id"]: bytes(r["blob"])
+        for r in segment_blobs(rendered, manifest).collect()
+    }
+    man = {
+        r["doc_id"]: r for r in warc_export(pages, 600).collect()
+    }
+    assert len(blobs) > 1, "target 600 must split this corpus"
+    by_doc_payload = {d: (p or "") for d, _, _, p in ROWS}
+    for did, url, date, payload in ROWS:
+        m = man[did]
+        blob = blobs[m["segment_id"]]
+        piece = blob[m["offset"] : m["offset"] + m["length"]]
+        recs = list(_parse_one_segment(piece, compress=False))
+        assert len(recs) == 1
+        assert recs[0]["url"] == url
+        assert recs[0]["payload"].decode("utf-8") == by_doc_payload[did]
+        assert (
+            hashlib.sha256(recs[0]["payload"]).hexdigest()
+            == m["payload_digest"]
+        )
+    # contiguity: per segment, extents tile the blob exactly
+    for seg, blob in blobs.items():
+        ext = sorted(
+            (m["offset"], m["length"])
+            for m in man.values()
+            if m["segment_id"] == seg
+        )
+        pos = 0
+        for off, ln in ext:
+            assert off == pos
+            pos += ln
+        assert pos == len(blob)
+
+
+def test_overshoot_bounded_by_one_record(spark):
+    """A segment exceeds the target by at most its LAST record (the
+    straddler that started before the boundary)."""
+    target = 600
+    man = warc_export(_pages(spark, ROWS), target).collect()
+    by_seg: dict[int, list] = {}
+    for m in man:
+        by_seg.setdefault(m["segment_id"], []).append(m)
+    for seg, ms in by_seg.items():
+        ms.sort(key=lambda m: m["offset"])
+        # every record except possibly the last STARTS before target
+        for m in ms:
+            assert m["offset"] < target, (seg, m)
+
+
+def test_gzip_member_roundtrip(spark):
+    """compress=True: extents are gzip-member extents in the packed
+    blob; each member decompresses to the rendered record and the
+    digest still covers the UNcompressed payload."""
+    pages = _pages(spark, ROWS)
+    man = {r["doc_id"]: r for r in warc_export(pages, 500, compress=True).collect()}
+    rendered = warc_render(pages)
+    # rebuild manifest-compatible assignment for blob materialization
+    manifest = spark.createDataFrame(
+        [(m["doc_id"], m["segment_id"], m["offset"]) for m in man.values()],
+        "doc_id long, segment_id long, offset long",
+    )
+    blobs = {
+        r["segment_id"]: bytes(r["blob"])
+        for r in segment_blobs(rendered, manifest, compress=True).collect()
+    }
+    for did, url, date, payload in ROWS:
+        m = man[did]
+        blob = blobs[m["segment_id"]]
+        member = blob[m["offset"] : m["offset"] + m["length"]]
+        raw = gzip.decompress(member)
+        assert raw == _ref_record(url, date, payload or "", f"doc{did}")
+        # member length is exactly the compressed extent
+        assert len(member) == m["length"]
+        recs = list(_parse_one_segment(member, compress=True))
+        assert recs[0]["url"] == url
+        assert (
+            hashlib.sha256(recs[0]["payload"]).hexdigest()
+            == m["payload_digest"]
+        )
+
+
+def test_ingest_reads_back_export(spark):
+    """Full-circle: segments written by the export path parse with the
+    production ingest operator (parse_warc_records) and reproduce the
+    original pages table."""
+    from stock_crawler_spark.parsers.warc import parse_warc_records
+
+    pages = _pages(spark, ROWS)
+    rendered = warc_render(pages)
+    manifest = warc_pack(rendered, 500)
+    segs = segment_blobs(rendered, manifest, compress=True).select(
+        "segment_id", F.col("blob").alias("warc"), "n_records"
+    )
+    parsed = parse_warc_records(segs, compress=True)
+    got = {
+        r["url"]: (r["warc_date"], r["payload"].decode("utf-8"))
+        for r in parsed.collect()
+    }
+    assert got == {
+        url: (date, payload or "") for _, url, date, payload in ROWS
+    }
+
+
+def test_render_plan_is_jvm_only(spark):
+    """The uncompressed render+pack path must never drop to Python:
+    rendering is pure Column, packing is the shared cumsum pattern."""
+    df = warc_render(_pages(spark, ROWS))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_partition_invariance(spark):
+    man1 = sorted(
+        map(tuple, warc_export(_pages(spark, ROWS), 600).collect())
+    )
+    man2 = sorted(
+        map(
+            tuple,
+            warc_export(
+                _pages(spark, ROWS).repartition(7), 600, n_partitions=3
+            ).collect(),
+        )
+    )
+    assert man1 == man2
