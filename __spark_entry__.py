@@ -2249,6 +2249,19 @@ def q110_warc_export(spark, sf):
     return warc_export(pages, WARC_SEGMENT_TARGET)
 
 
+def q111_tfidf_cosine(spark, sf):
+    """TF-IDF sparse cosine document-pair similarity (functions/text.
+    tfidf_cosine_pairs): the vector-space doc-doc primitive — tf,
+    smoothed-free ln(N/df) idf (rounded 12), zero-idf pruning, postings
+    self-join candidate generation, ordered-float-sum dots/norms, cosine
+    filter on the rounded value. df-capped join bounds hot-term fanout;
+    the oracle replays the identical capped metric."""
+    from stock_crawler_spark.functions.text import tfidf_cosine_pairs
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    return tfidf_cosine_pairs(docs, min_sim=0.8, max_df=90)
+
+
 # ---------------------------------------------------------------------------
 # driver API
 # ---------------------------------------------------------------------------
@@ -2371,6 +2384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q108_pack_shards": q108_pack_shards,
         "q109_bpe_encode": q109_bpe_encode,
         "q110_warc_export": q110_warc_export,
+        "q111_tfidf_cosine": q111_tfidf_cosine,
     }
 
 
@@ -4171,6 +4185,34 @@ FROM agg""",
         "q86_split_leakage": _split_oracle(),
         "q92_bpe_train": _bpe_oracle(),
         "q109_bpe_encode": _bpe_encode_oracle(),
+        "q111_tfidf_cosine": f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS t FROM documents WHERE doc_id < 100
+), tf AS (
+  SELECT doc_id, t, count(*) AS tf FROM toks WHERE t <> '' GROUP BY 1, 2
+), stats AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+dft AS (SELECT t, count(*) AS df FROM tf GROUP BY 1 HAVING count(*) <= 90),
+w AS (
+  SELECT doc_id, t, tf * round(ln(n_docs / df), 12) AS w
+  FROM tf JOIN dft USING (t) CROSS JOIN stats
+  WHERE tf * round(ln(n_docs / df), 12) <> 0
+), norms AS (
+  SELECT doc_id, sqrt(list_aggregate(list(w * w ORDER BY t), 'sum')) AS norm
+  FROM w GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    list_aggregate(list(a.w * b.w ORDER BY a.t), 'sum') AS dot,
+    count(*) AS n_shared
+  FROM w a JOIN w b ON a.t = b.t AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_shared,
+  round(dot / (na.norm * nb.norm), 6) AS cos_r
+FROM pairs
+JOIN norms na ON pairs.doc_a = na.doc_id
+JOIN norms nb ON pairs.doc_b = nb.doc_id
+WHERE round(dot / (na.norm * nb.norm), 6) >= 0.8 AND na.norm > 0 AND nb.norm > 0
+""",
         "q110_warc_export": f"""
 WITH k AS (SELECT chr(13) || chr(10) AS c),
 pages AS (

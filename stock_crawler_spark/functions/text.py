@@ -322,3 +322,96 @@ def script_profile(text: Column):
         ("n_mojibake", n_moji),
         ("script_ratio_max", ratio),
     ]
+
+
+# --- TF-IDF sparse cosine document similarity ---------------------------------
+
+
+def tfidf_cosine_pairs(
+    docs,
+    min_sim: float = 0.9,
+    max_df: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """All document pairs with TF-IDF cosine similarity >= ``min_sim``
+    — the sparse-vector near-dup/similarity primitive (Salton's vector
+    model; the doc-doc counterpart of :func:`bm25_scores`, which scores
+    query-doc). One declarative plan:
+
+      tokens -> per-(doc, term) tf          (one groupBy, map-side combine)
+      -> df per term, idf = ln(N / df)      (rounded 12 — the repo's
+                                             transcendental discipline)
+      -> weights w = tf * idf; w == 0 drops (df == N terms: zero signal
+                                             AND the hottest join keys)
+      -> per-doc norms                       (ordered float sum, exact
+                                              reproducible)
+      -> postings self-join on term, a < b  (candidate generation)
+      -> dot per pair                        (ordered float sum over the
+                                              shared-term list)
+      -> cos = dot / (norm_a * norm_b)       filter on round(cos, 6)
+
+    Scale shape (10^10 docs): the self-join's fanout is sum_t df(t)^2 —
+    unbounded on hot terms, so ``max_df`` caps candidate-generating
+    terms (the classic AllPairs prune; the dropped terms are the
+    near-zero-idf head, exactly the ones carrying no signal — and the
+    cap DEFINES the metric here: norms exclude capped terms too, so
+    cosine stays a true cosine of the capped vectors, and the DuckDB
+    oracle replays the identical capped metric). Both aggregations
+    partial map-side; norms broadcast back onto the O(candidate) pair
+    set. For a stricter bound at low thresholds, the Jaccard analog
+    ships as operators/dedup.jaccard_prefix_pairs (q32).
+    """
+    from pyspark.sql import functions as F
+
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("t"),
+    ).filter(F.col("t") != "")
+    tf = toks.groupBy("_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    stats = tf.select("_id").distinct().agg(F.count(F.lit(1)).alias("n_docs"))
+    dft = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    if max_df is not None:
+        dft = dft.filter(F.col("df") <= int(max_df))
+    w = (
+        tf.join(F.broadcast(dft), "t")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "w",
+            F.col("tf")
+            * F.round(F.log(F.col("n_docs") / F.col("df")), 12),
+        )
+        .filter(F.col("w") != 0.0)
+        .select("_id", "t", "w")
+    )
+
+    def _ordered_sum(val):
+        return F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("t"), val.alias("v")))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["v"],
+        )
+
+    norms = w.groupBy("_id").agg(
+        F.sqrt(_ordered_sum(F.col("w") * F.col("w"))).alias("norm")
+    ).filter(F.col("norm") > 0)
+    a = w.select(F.col("_id").alias("doc_a"), "t", F.col("w").alias("wa"))
+    b = w.select(F.col("_id").alias("doc_b"), "t", F.col("w").alias("wb"))
+    pairs = (
+        a.join(b, "t")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            _ordered_sum(F.col("wa") * F.col("wb")).alias("dot"),
+            F.count(F.lit(1)).alias("n_shared"),
+        )
+    )
+    na = norms.select(F.col("_id").alias("doc_a"), F.col("norm").alias("_na"))
+    nb = norms.select(F.col("_id").alias("doc_b"), F.col("norm").alias("_nb"))
+    return (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn("cos_r", F.round(F.col("dot") / (F.col("_na") * F.col("_nb")), 6))
+        .filter(F.col("cos_r") >= float(min_sim))
+        .select("doc_a", "doc_b", "n_shared", "cos_r")
+    )

@@ -151,3 +151,110 @@ def test_script_profile_no_script_chars(spark):
     p = _profile(spark, "12345 !!! ...")
     assert p["script_ratio_max"] == 0.0
     assert all(p[k] == 0 for k in ("n_latin", "n_cyrillic", "n_cjk", "n_arabic"))
+
+
+# --- TF-IDF cosine pairs ------------------------------------------------------
+
+
+def _ref_tfidf_pairs(texts, min_sim, max_df=None):
+    """Independent reference: same metric, same rounding discipline."""
+    import math
+
+    toks = {
+        d: [w for w in t.strip().lower().split() if w]
+        for d, t in texts
+        if t and t.strip()
+    }
+    tf = {d: {} for d in toks}
+    for d, ws in toks.items():
+        for w in ws:
+            tf[d][w] = tf[d].get(w, 0) + 1
+    n = len([d for d in tf if tf[d]])
+    df = {}
+    for d in tf:
+        for w in tf[d]:
+            df[w] = df.get(w, 0) + 1
+    keep = {w for w, c in df.items() if max_df is None or c <= max_df}
+    wt = {
+        d: {
+            w: c * round(math.log(n / df[w]), 12)
+            for w, c in tf[d].items()
+            if w in keep and df[w] != n
+        }
+        for d in tf
+    }
+    def osum(items):  # ordered left fold, term-ascending
+        acc = 0.0
+        for _, v in sorted(items):
+            acc += v
+        return acc
+    norms = {d: math.sqrt(osum([(w, v * v) for w, v in ws.items()]))
+             for d, ws in wt.items()}
+    out = {}
+    ids = sorted(wt)
+    for i, da in enumerate(ids):
+        for dn in ids[i + 1:]:
+            shared = set(wt[da]) & set(wt[dn])
+            if not shared or norms[da] == 0 or norms[dn] == 0:
+                continue
+            dot = osum([(w, wt[da][w] * wt[dn][w]) for w in shared])
+            cos = round(dot / (norms[da] * norms[dn]), 6)
+            if cos >= min_sim:
+                out[(da, dn)] = (len(shared), cos)
+    return out
+
+
+def test_tfidf_cosine_pairs_matches_reference(spark):
+    from stock_crawler_spark.functions.text import tfidf_cosine_pairs
+
+    texts = [
+        (1, "spark join window shuffle spark"),
+        (2, "spark join window shuffle spark"),        # identical to 1
+        (3, "spark join window shuffle"),               # near dup of 1
+        (4, "table scan filter vector batch"),          # disjoint-ish
+        (5, "table scan filter vector batch agg"),
+        (6, "  "),                                       # blank: excluded
+        (7, "spark spark spark join join window"),
+        (8, "row"),                                      # singleton term
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["n_shared"], r["cos_r"])
+        for r in tfidf_cosine_pairs(docs, min_sim=0.1).collect()
+    }
+    assert got == _ref_tfidf_pairs(texts, 0.1)
+    # identical docs hit cosine 1.0
+    assert got[(1, 2)][1] == 1.0
+
+
+def test_tfidf_cosine_max_df_defines_capped_metric(spark):
+    from stock_crawler_spark.functions.text import tfidf_cosine_pairs
+
+    texts = [
+        (1, "common alpha beta"),
+        (2, "common alpha beta"),
+        (3, "common gamma delta"),
+        (4, "common epsilon zeta"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["n_shared"], r["cos_r"])
+        for r in tfidf_cosine_pairs(docs, min_sim=0.0, max_df=2).collect()
+    }
+    # 'common' (df=4) is capped out of the metric entirely: (1,3), (1,4),
+    # (3,4) share nothing else -> absent; (1,2) still cosine 1.0
+    assert got == _ref_tfidf_pairs(texts, 0.0, max_df=2)
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)][1] == 1.0
+
+
+def test_tfidf_cosine_partition_invariance(spark):
+    from stock_crawler_spark.functions.text import tfidf_cosine_pairs
+
+    texts = [(i, f"w{i % 5} w{(i + 1) % 5} w{(i + 2) % 7} shared") for i in range(40)]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    r1 = sorted(map(tuple, tfidf_cosine_pairs(docs, 0.3).collect()))
+    r2 = sorted(
+        map(tuple, tfidf_cosine_pairs(docs.repartition(13), 0.3).collect())
+    )
+    assert r1 == r2 and len(r1) > 0
