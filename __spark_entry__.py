@@ -2262,6 +2262,26 @@ def q111_tfidf_cosine(spark, sf):
     return tfidf_cosine_pairs(docs, min_sim=0.8, max_df=90)
 
 
+def q112_containment(spark, sf):
+    """Shingle containment (Broder 1997 asymmetric overlap) — the
+    quote/scraper/subset duplicate class Jaccard misses (operators/
+    dedup.containment_pairs). The corpus is documents plus a derived
+    12-token snippet per doc_id < 50 (id + 100000): every snippet is
+    fully contained in its source (containment 1.0 source-ward) while
+    the source is NOT contained in the snippet — the oracle replays
+    the same derived corpus and the directional n_common / |src|."""
+    from stock_crawler_spark.operators.dedup import containment_pairs
+
+    docs = _t(spark, sf, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    snippets = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 1, 12)).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(snippets)
+    return containment_pairs(corpus, threshold=0.8)
+
+
 # ---------------------------------------------------------------------------
 # driver API
 # ---------------------------------------------------------------------------
@@ -2385,6 +2405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q109_bpe_encode": q109_bpe_encode,
         "q110_warc_export": q110_warc_export,
         "q111_tfidf_cosine": q111_tfidf_cosine,
+        "q112_containment": q112_containment,
     }
 
 
@@ -4185,6 +4206,31 @@ FROM agg""",
         "q86_split_leakage": _split_oracle(),
         "q92_bpe_train": _bpe_oracle(),
         "q109_bpe_encode": _bpe_encode_oracle(),
+        "q112_containment": f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000,
+    array_to_string(({_TOKS})[1:12], ' ')
+  FROM documents WHERE doc_id < 50
+), toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM base
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    generate_series(1, greatest(len(t) - 2, 0)),
+    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+  FROM toks
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT src, dst, CAST(n_common AS DOUBLE) / ss.n_sh AS containment
+FROM inter JOIN sizes ss ON ss.doc_id = src
+WHERE CAST(n_common AS DOUBLE) / ss.n_sh >= 0.8
+""",
         "q111_tfidf_cosine": f"""
 WITH toks AS (
   SELECT doc_id, unnest({_TOKS}) AS t FROM documents WHERE doc_id < 100

@@ -117,6 +117,77 @@ def ngram_jaccard_pairs(
     return j.select("doc_a", "doc_b", "jaccard")
 
 
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.9,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Ordered doc pairs (src, dst) where src's shingle set is contained
+    in dst's to degree >= threshold: c(src, dst) = |S ∩ D| / |S|.
+
+    Containment is the ASYMMETRIC overlap measure (Broder 1997, "On the
+    resemblance and containment of documents") that Jaccard structurally
+    misses: a tweet-sized quote inside a long aggregator page has
+    near-zero Jaccard but containment ~1.0 — the quote/scraper/subset
+    duplicate class of web corpora. Both directions are emitted as
+    separate ordered rows (src ⊆ dst and dst ⊆ src are different
+    findings).
+
+    Shuffle plan is ngram_jaccard_pairs' verbatim: shingle-hash-keyed
+    self-join (never a doc cross-product), one unordered intersection
+    count, sizes joined back (broadcastable), THEN the unordered pair
+    row fans into its two ordered verdicts — the expensive stages are
+    direction-agnostic, so asymmetry costs one extra narrow explode.
+    ``max_df`` caps stop-shingle skew exactly as there (containment
+    becomes a lower bound when set).
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("s"),
+    ).select("doc", _md5_hash60(F.col("s")).alias("s"))
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    if max_df is not None:
+        rare = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(
+            F.col("df") <= max_df
+        )
+        sh = sh.join(rare.select("s"), "s", "left_semi")
+    a = sh.select(F.col("doc").alias("doc_a"), "s")
+    b = sh.select(F.col("doc").alias("doc_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    both = inter.join(sa, "doc_a").join(sb, "doc_b")
+    directed = both.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("src"),
+                    F.col("doc_b").alias("dst"),
+                    (
+                        F.col("n_common").cast("double") / F.col("n_a")
+                    ).alias("containment"),
+                ),
+                F.struct(
+                    F.col("doc_b").alias("src"),
+                    F.col("doc_a").alias("dst"),
+                    (
+                        F.col("n_common").cast("double") / F.col("n_b")
+                    ).alias("containment"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst", "e.containment")
+    return directed.filter(F.col("containment") >= float(threshold))
+
+
 def ngram_jaccard_pairs_prefix(
     docs: DataFrame,
     threshold: float = 0.8,

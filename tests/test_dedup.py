@@ -338,3 +338,86 @@ def test_stored_band_table_probe_join_is_shuffle_free_on_index(spark, tmp_path):
         assert "Exchange" not in plan[idx_pos:], plan[idx_pos:]
     finally:
         spark.sql("DROP TABLE IF EXISTS band_idx_test")
+
+
+# --- containment (asymmetric overlap) ----------------------------------------
+
+
+def _ref_containment(texts, threshold, n=3, max_df=None):
+    def shingles(t):
+        ws = [w for w in t.strip().lower().split() if w] if t and t.strip() else []
+        return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+    sets = {d: shingles(t) for d, t in texts}
+    sets = {d: s for d, s in sets.items() if s}
+    sizes = {d: len(s) for d, s in sets.items()}  # BEFORE df-capping
+    if max_df is not None:
+        df = {}
+        for s in sets.values():
+            for g in s:
+                df[g] = df.get(g, 0) + 1
+        sets = {d: {g for g in s if df[g] <= max_df} for d, s in sets.items()}
+    out = {}
+    for a in sets:
+        for b in sets:
+            if a == b:
+                continue
+            inter = len(sets[a] & sets[b])
+            if inter and inter / sizes[a] >= threshold:
+                out[(a, b)] = inter / sizes[a]
+    return out
+
+
+def test_containment_quote_inside_aggregator(spark):
+    from stock_crawler_spark.operators.dedup import containment_pairs
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    texts = [
+        (1, quote),
+        (2, "aggregator intro words here " + quote + " plus lots of trailing commentary text words"),
+        (3, "totally different content about spark joins and shuffles again"),
+        (4, ""),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        (r["src"], r["dst"]): r["containment"]
+        for r in containment_pairs(docs, threshold=0.5).collect()
+    }
+    assert got == _ref_containment(texts, 0.5)
+    # the quote is fully contained in the aggregator...
+    assert got[(1, 2)] == 1.0
+    # ...but the aggregator is NOT contained in the quote (asymmetry)
+    assert (2, 1) not in got
+
+
+def test_containment_max_df_is_lower_bound(spark):
+    from stock_crawler_spark.operators.dedup import containment_pairs
+
+    # shingle "x y z" appears in 3 docs; cap df<=2 drops it
+    texts = [
+        (1, "x y z a b c"),
+        (2, "x y z a b c"),
+        (3, "x y z q r s"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        (r["src"], r["dst"]): r["containment"]
+        for r in containment_pairs(docs, threshold=0.0, max_df=2).collect()
+    }
+    assert got == _ref_containment(texts, 0.0, max_df=2)
+    # (1,3) shared only the capped shingle -> absent
+    assert (1, 3) not in got and (3, 1) not in got
+
+
+def test_containment_partition_invariance(spark):
+    from stock_crawler_spark.operators.dedup import containment_pairs
+
+    texts = [
+        (i, " ".join(f"w{(i * 3 + j) % 11}" for j in range(8))) for i in range(30)
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    r1 = sorted(map(tuple, containment_pairs(docs, 0.4).collect()))
+    r2 = sorted(
+        map(tuple, containment_pairs(docs.repartition(9), 0.4).collect())
+    )
+    assert r1 == r2 and len(r1) > 0
