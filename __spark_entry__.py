@@ -2282,6 +2282,22 @@ def q112_containment(spark, sf):
     return containment_pairs(corpus, threshold=0.8)
 
 
+SRP_THRESHOLD = 0.4
+
+
+def q113_srp_neardup(spark, sf):
+    """Hyperplane-LSH (signed random projection, Charikar 2002) embedding
+    near-dup (operators/ann.srp_neardup_pairs): md5-derived deterministic
+    planes shipped as plan literals, 4 bands x 4 sign bits, per-band
+    candidate join, dedup before the verify dot — the embedding-space
+    sibling of MinHash-LSH. The oracle replays planes, signatures,
+    band OR-join, and the verify cosine in DuckDB."""
+    from stock_crawler_spark.operators.ann import srp_neardup_pairs
+
+    embs = _t(spark, sf, "embeddings")
+    return srp_neardup_pairs(embs, SRP_THRESHOLD, n_bits=16, band_bits=4)
+
+
 # ---------------------------------------------------------------------------
 # driver API
 # ---------------------------------------------------------------------------
@@ -2406,6 +2422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q110_warc_export": q110_warc_export,
         "q111_tfidf_cosine": q111_tfidf_cosine,
         "q112_containment": q112_containment,
+        "q113_srp_neardup": q113_srp_neardup,
     }
 
 
@@ -3352,6 +3369,49 @@ GROUP BY 1
 """
 
 
+def _srp_oracle(n_bits: int = 16, band_bits: int = 8, dim: int = 64) -> str:
+    """Replays q113: the SAME md5-derived planes (full-precision repr
+    literals — strtod round-trips to the identical double), sign bits
+    via list_inner_product (index-order sum, the q13-proven twin of the
+    Spark fold), band packing, OR-of-bands candidate join, unit-vector
+    verify cosine."""
+    from stock_crawler_spark.operators.ann import srp_planes
+
+    planes = srp_planes(dim, n_bits, 0)
+    bands = []
+    n_bands = n_bits // band_bits
+    for b in range(n_bands):
+        terms = []
+        for k in range(band_bits):
+            p = planes[b * band_bits + k]
+            lit = "[" + ", ".join(repr(x) for x in p) + "]"
+            terms.append(
+                f"(CASE WHEN list_inner_product(e0, {lit}) >= 0 "
+                f"THEN {1 << k} ELSE 0 END)"
+            )
+        bands.append(" + ".join(terms) + f" AS band{b}")
+    band_cols = ",\n    ".join(bands)
+    or_join = " OR ".join(f"a.band{b} = b.band{b}" for b in range(n_bands))
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e0 FROM embeddings),
+sig AS (
+  SELECT vec_id,
+    {band_cols}
+  FROM e
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sig a JOIN sig b ON a.vec_id < b.vec_id AND ({or_join})
+), u AS (
+  {_UNIT_CORPUS}
+)
+SELECT id_a, id_b, round(list_inner_product(ua.e, ub.e), 6) AS cos_r
+FROM cand
+JOIN u ua ON ua.vec_id = id_a
+JOIN u ub ON ub.vec_id = id_b
+WHERE round(list_inner_product(ua.e, ub.e), 6) >= {SRP_THRESHOLD}
+"""
+
+
 def _lm_oracle(lam: float = 0.9) -> str:
     """Replays q93: the split_by_hash cut points with the LM salt, the
     bigram/unigram count fit on train, and the interpolated scoring of
@@ -4206,6 +4266,7 @@ FROM agg""",
         "q86_split_leakage": _split_oracle(),
         "q92_bpe_train": _bpe_oracle(),
         "q109_bpe_encode": _bpe_encode_oracle(),
+        "q113_srp_neardup": _srp_oracle(16, 4),
         "q112_containment": f"""
 WITH base AS (
   SELECT doc_id, text FROM documents

@@ -245,3 +245,133 @@ def embedding_neardup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+# --- signed random projection (hyperplane) LSH --------------------------------
+
+
+def srp_planes(dim: int, n_bits: int, seed: int = 0) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes for SRP-LSH (Charikar
+    2002, STOC — "Similarity estimation techniques from rounding
+    algorithms"): component (j, i) is md5-derived uniform in [-1, 1).
+    md5 (not a PRNG object) so ANY engine — this module, the DuckDB
+    oracle, a future Rust probe — reproduces the exact planes from
+    (seed, j, i) alone. Uniform components suffice for sign-projection
+    LSH (the collision-probability argument needs only symmetry, not
+    Gaussianity)."""
+    import hashlib
+
+    return [
+        [
+            int(
+                hashlib.md5(f"srp{seed}:{j}:{i}".encode()).hexdigest()[:15], 16
+            )
+            / float(1 << 60)
+            * 2
+            - 1
+            for i in range(dim)
+        ]
+        for j in range(n_bits)
+    ]
+
+
+def auto_srp_bits(
+    n_rows: int, n_bands: int = 2, target_bucket_rows: int = 10_000
+) -> int:
+    """band_bits sized so an average band bucket holds ~target rows:
+    band_bits = ceil(log2(N / target)). The per-band self-join does
+    O(bucket^2) work per bucket; a CONSTANT band width is the same
+    scale hazard as a constant IVF n_cells (r2 verdict) — at 10^10
+    rows, 8 fixed bits leaves 4x10^7-row buckets. Returns TOTAL bits
+    (n_bands * band_bits), floor 8 per band."""
+    import math
+
+    band = max(8, math.ceil(math.log2(max(n_rows, 2) / max(target_bucket_rows, 1))))
+    return n_bands * band
+
+
+def srp_signatures(
+    vectors: DataFrame,
+    n_bits: int = 16,
+    band_bits: int = 8,
+    seed: int = 0,
+    vid: str = "vec_id",
+    emb: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """(vec_id, band, band_val): sign-of-projection signature, split
+    into bands for LSH blocking. Each bit is sign(<v, plane_j>) — the
+    dot is the SAME index-ordered fold as every cosine in this module
+    (q13-proven bit-compatible with DuckDB's list_inner_product), so
+    signatures are engine-reproducible; planes enter the plan as
+    literal arrays (O(n_bits * dim) constants — the model ships inside
+    the plan, like the BPE merge table). Pure Column chain, zero
+    shuffle, codegen."""
+    if n_bits % band_bits != 0:
+        raise ValueError("n_bits must be a multiple of band_bits")
+    if dim is None:
+        dim = len(vectors.select(emb).first()[0])
+    planes = srp_planes(dim, n_bits, seed)
+    bits = [
+        (
+            _dot(
+                F.col(emb),
+                F.array(*[F.lit(p) for p in plane]),
+            )
+            >= 0
+        ).cast("long")
+        for plane in planes
+    ]
+    bands = []
+    for b in range(n_bits // band_bits):
+        val = F.lit(0).cast("long")
+        for k in range(band_bits):
+            val = val + bits[b * band_bits + k] * F.lit(1 << k)
+        bands.append(F.struct(F.lit(b).alias("band"), val.alias("band_val")))
+    return vectors.select(
+        F.col(vid).alias("vec"), F.explode(F.array(*bands)).alias("s")
+    ).select("vec", "s.band", "s.band_val")
+
+
+def srp_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.8,
+    n_bits: int = 16,
+    band_bits: int = 8,
+    seed: int = 0,
+    vid: str = "vec_id",
+    emb: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs with cosine >= threshold AMONG PAIRS AGREEING
+    ON >= 1 SIGNATURE BAND — hyperplane-LSH blocking (Charikar 2002), the
+    embedding-space sibling of MinHash-LSH (operators/dedup): collision
+    probability per bit is 1 - theta/pi, so near-parallel vectors agree
+    on whole bands while far pairs almost never do. Blocked-approximate
+    exactly like ivf/minhash: a qualifying pair disagreeing on every
+    band is missed (more bands = higher recall, more candidates).
+
+    Scale shape: signatures are narrow codegen; the candidate join is
+    per-(band, band_val) — size band_bits with :func:`auto_srp_bits` so
+    buckets stay bounded (constant width is the r2 IVF hazard). Pairs
+    colliding in several bands dedupe BEFORE the verify dot; the verify
+    join touches candidates only (the LSH-verify contract,
+    test_plans.py)."""
+    sig = srp_signatures(vectors, n_bits, band_bits, seed, vid, emb)
+    a = sig.select(F.col("vec").alias("id_a"), "band", "band_val")
+    b = sig.select(F.col("vec").alias("id_b"), "band", "band_val")
+    cand = (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    u = _unit_select(vectors, vid, emb, "uid", "ue")
+    ua = u.select(F.col("uid").alias("id_a"), F.col("ue").alias("e_a"))
+    ub = u.select(F.col("uid").alias("id_b"), F.col("ue").alias("e_b"))
+    return (
+        cand.join(ua, "id_a")
+        .join(ub, "id_b")
+        .withColumn("cos_r", F.round(_dot(F.col("e_a"), F.col("e_b")), 6))
+        .filter(F.col("cos_r") >= float(threshold))
+        .select("id_a", "id_b", "cos_r")
+    )

@@ -227,3 +227,109 @@ def test_semantic_dedup_composition(spark):
         assert len(kept) == 1
         assert kept[0]["vec_id"] == rep == min(m["vec_id"] for m in members)
     out.unpersist()
+
+
+# --- SRP (hyperplane) LSH -----------------------------------------------------
+
+
+def _py_srp_sig(v, planes, band_bits):
+    def dot(p):
+        acc = 0.0
+        for x, pc in zip(v, p):
+            acc += float(x) * pc
+        return acc
+
+    bits = [1 if dot(p) >= 0 else 0 for p in planes]
+    bands = []
+    for b in range(len(planes) // band_bits):
+        val = 0
+        for k in range(band_bits):
+            val += bits[b * band_bits + k] << k
+        bands.append((b, val))
+    return bands
+
+
+def _srp_vectors():
+    """Deterministic clustered vectors: 8 base directions, 5 copies each
+    with tiny deterministic perturbation -> dense true-pair structure."""
+    import math
+
+    vecs = []
+    dim = 16
+    for base in range(8):
+        for c in range(5):
+            v = [
+                math.sin(0.7 * base * (i + 1))
+                + (0.015 * ((base * 5 + c + i) % 7 - 3) if c else 0.0)
+                for i in range(dim)
+            ]
+            vecs.append((base * 5 + c, v))
+    return vecs
+
+
+def test_srp_signature_matches_python_twin(spark):
+    from stock_crawler_spark.operators.ann import srp_planes, srp_signatures
+
+    vecs = _srp_vectors()
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    got = {}
+    for r in srp_signatures(df, n_bits=16, band_bits=4, dim=16).collect():
+        got.setdefault(r["vec"], []).append((r["band"], r["band_val"]))
+    planes = srp_planes(16, 16, 0)
+    for vid, v in vecs:
+        assert sorted(got[vid]) == _py_srp_sig(v, planes, 4), vid
+
+
+def test_srp_scale_invariance(spark):
+    """sign(<cv, p>) == sign(<v, p>) for c > 0: scaled copies share the
+    full signature (the cosine-metric invariance SRP is built on)."""
+    from stock_crawler_spark.operators.ann import srp_signatures
+
+    base = [(1, [0.5, -1.0, 2.0, 0.25]), (2, [1.5, -3.0, 6.0, 0.75])]
+    df = spark.createDataFrame(base, "vec_id long, embedding array<double>")
+    sigs = {}
+    for r in srp_signatures(df, n_bits=8, band_bits=4, dim=4).collect():
+        sigs.setdefault(r["vec"], set()).add((r["band"], r["band_val"]))
+    assert sigs[1] == sigs[2]
+
+
+def test_srp_neardup_sound_and_high_recall(spark):
+    from stock_crawler_spark.operators.ann import (
+        brute_force_topk,
+        srp_neardup_pairs,
+    )
+    from stock_crawler_spark.operators.ann import _dot, _unit_select
+    from pyspark.sql import functions as F
+
+    vecs = _srp_vectors()
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    thr = 0.99
+    got = {
+        (r["id_a"], r["id_b"]): r["cos_r"]
+        for r in srp_neardup_pairs(df, thr, n_bits=16, band_bits=4).collect()
+    }
+    # exact truth by brute force
+    u = _unit_select(df, "vec_id", "embedding", "uid", "ue")
+    a = u.select(F.col("uid").alias("id_a"), F.col("ue").alias("e_a"))
+    b = u.select(F.col("uid").alias("id_b"), F.col("ue").alias("e_b"))
+    truth = {
+        (r["id_a"], r["id_b"]): r["c"]
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("c", F.round(_dot(F.col("e_a"), F.col("e_b")), 6))
+        .filter(F.col("c") >= thr)
+        .collect()
+    }
+    assert truth, "fixture must contain true near-dup pairs"
+    # soundness: every reported pair is a true pair with the exact cosine
+    for k, v in got.items():
+        assert truth[k] == v
+    # recall: 4 bands of 4 bits at cos>=0.99 — deterministic fixture
+    assert len(got) >= 0.8 * len(truth), (len(got), len(truth))
+
+
+def test_srp_auto_bits_scales(spark):
+    from stock_crawler_spark.operators.ann import auto_srp_bits
+
+    assert auto_srp_bits(10_000_000_000, n_bands=2, target_bucket_rows=10_000) == 2 * 20
+    assert auto_srp_bits(100, n_bands=2) == 2 * 8  # floor
