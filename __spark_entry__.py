@@ -2298,6 +2298,31 @@ def q113_srp_neardup(spark, sf):
     return srp_neardup_pairs(embs, SRP_THRESHOLD, n_bits=16, band_bits=4)
 
 
+def q114_poisson_recrawl(spark, sf):
+    """Poisson change-rate recrawl priority (operators/recrawl.
+    poisson_change_rate; Cho & Garcia-Molina TOIT 2003 bias-corrected
+    estimator): synthetic capture history — 1..6 captures per url with
+    per-url cadence and change period, every-11th url single-capture to
+    exercise the explore path — then lambda_hat and p_changed = 1 -
+    exp(-lambda * age) ordered against a full SQL replay (lag window,
+    rounded-ln discipline, unrounded-mean division)."""
+    from stock_crawler_spark.operators.recrawl import poisson_change_rate
+
+    docs = _t(spark, sf, "documents")
+    n_max = F.when(F.col("doc_id") % 11 == 0, F.lit(0)).otherwise(
+        (F.col("doc_id") % 5) + 1
+    )
+    caps = docs.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), n_max)).alias("k")
+    )
+    hist = caps.select(
+        F.col("doc_id").alias("url_id"),
+        (F.col("k") * (F.lit(100) + (F.col("doc_id") % 7) * 50)).alias("ts"),
+        F.expr("CAST(k DIV (1 + doc_id % 3) AS STRING)").alias("sig"),
+    )
+    return poisson_change_rate(hist, now_s=3000)
+
+
 # ---------------------------------------------------------------------------
 # driver API
 # ---------------------------------------------------------------------------
@@ -2423,6 +2448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q111_tfidf_cosine": q111_tfidf_cosine,
         "q112_containment": q112_containment,
         "q113_srp_neardup": q113_srp_neardup,
+        "q114_poisson_recrawl": q114_poisson_recrawl,
     }
 
 
@@ -4266,6 +4292,43 @@ FROM agg""",
         "q86_split_leakage": _split_oracle(),
         "q92_bpe_train": _bpe_oracle(),
         "q109_bpe_encode": _bpe_encode_oracle(),
+        "q114_poisson_recrawl": """
+WITH caps AS (
+  SELECT doc_id AS url_id,
+    unnest(generate_series(0,
+      CASE WHEN doc_id % 11 = 0 THEN 0 ELSE 1 + doc_id % 5 END)) AS k
+  FROM documents
+), h AS (
+  SELECT url_id, k * (100 + (url_id % 7) * 50) AS ts,
+    CAST(k // (1 + url_id % 3) AS VARCHAR) AS sig
+  FROM caps
+), chg AS (
+  SELECT url_id, ts, sig,
+    CASE WHEN sig <> lag(sig) OVER w THEN 1 ELSE 0 END AS c
+  FROM h WINDOW w AS (PARTITION BY url_id ORDER BY ts, sig)
+), per AS (
+  SELECT url_id, count(*) - 1 AS n_intervals,
+    CAST(coalesce(sum(c), 0) AS BIGINT) AS n_changes,
+    min(ts) AS f, max(ts) AS l
+  FROM chg GROUP BY 1
+), est AS (
+  SELECT *,
+    CASE WHEN n_intervals > 0 AND l > f THEN
+      -round(ln((n_intervals - n_changes + 0.5) / (n_intervals + 0.5)), 12)
+      / ((l - f) / n_intervals)
+    END AS lam
+  FROM per
+)
+SELECT url_id, n_intervals, n_changes,
+  CASE WHEN n_intervals > 0 THEN round((l - f) / n_intervals, 6) END
+    AS mean_interval_sec,
+  round(lam, 12) + 0 AS lambda_hat,  -- +0 canonicalizes IEEE -0.0
+  CASE WHEN lam IS NULL THEN 1.0
+       ELSE round(1.0 - exp(-lam * (3000 - l)), 6) END AS p_changed,
+  (CASE WHEN lam IS NULL THEN 1.0
+        ELSE round(1.0 - exp(-lam * (3000 - l)), 6) END) >= 0.5 AS due
+FROM est
+""",
         "q113_srp_neardup": _srp_oracle(16, 4),
         "q112_containment": f"""
 WITH base AS (

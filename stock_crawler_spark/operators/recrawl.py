@@ -250,3 +250,80 @@ def sitemap_recrawl_due(
             F.col("lastmod_us") - F.col("last_capture_us"),
         ).alias("staleness_us"),
     )
+
+
+# --- Poisson change-rate estimation ------------------------------------------
+
+POISSON_DUE_P = 0.5
+
+
+def poisson_change_rate(
+    history: DataFrame,
+    now_s: int,
+    id_col: str = "url_id",
+    ts_col: str = "ts",
+    sig_col: str = "sig",
+    due_threshold: float = POISSON_DUE_P,
+) -> DataFrame:
+    """Per-url Poisson change-rate estimate from the capture log, and
+    the change-probability that orders the recrawl frontier.
+
+    Cho & Garcia-Molina, "Estimating Frequency of Change" (ACM TOIT
+    2003): under a Poisson change process observed at intervals, the
+    bias-corrected rate estimator is
+
+        r_hat = -ln((n - X + 0.5) / (n + 0.5))      changes/interval
+        lambda_hat = r_hat / mean_interval           changes/second
+
+    (finite even at X == n, where the naive -ln(1 - X/n) diverges —
+    their estimator's whole point). The scheduling signal is
+
+        p_changed = 1 - exp(-lambda_hat * age),  age = now - last_capture
+
+    i.e. the probability the page changed since we last saw it; ``due``
+    flags p >= due_threshold. Single-capture urls and zero-length
+    observation windows carry no rate information: lambda_hat is NULL
+    and p_changed 1.0 (maximum-entropy explore — an unknown page is
+    always worth a revisit), matching recrawl_intervals' treatment of
+    unknowns.
+
+    :func:`recrawl_intervals` is the descriptive policy (geometric
+    interpolation of observed change fraction); this is the generative
+    model — it extrapolates BEYOND the observation cadence, which is
+    what a freshness tier needs when sitemap hints disagree with
+    history. Same shuffle shape: one window + one groupBy, both keyed
+    on the url; determinism discipline: ln rounded 12, outputs round 6.
+    """
+    w = Window.partitionBy(id_col).orderBy(F.col(ts_col), F.col(sig_col))
+    h = history.withColumn(
+        "_chg", (F.col(sig_col) != F.lag(sig_col).over(w)).cast("long")
+    )
+    per = h.groupBy(id_col).agg(
+        (F.count(F.lit(1)) - 1).alias("n_intervals"),
+        F.coalesce(F.sum("_chg"), F.lit(0)).alias("n_changes"),
+        F.min(ts_col).alias("_first"),
+        F.max(ts_col).alias("_last"),
+    )
+    n = F.col("n_intervals").cast("double")
+    x = F.col("n_changes").cast("double")
+    mean_iv = (F.col("_last") - F.col("_first")).cast("double") / n
+    r_hat = -F.round(F.log((n - x + 0.5) / (n + 0.5)), 12)
+    lam = F.when(
+        (F.col("n_intervals") > 0) & (F.col("_last") > F.col("_first")),
+        r_hat / mean_iv,
+    )
+    age = (F.lit(int(now_s)) - F.col("_last")).cast("double")
+    p = F.when(
+        lam.isNull(), F.lit(1.0)
+    ).otherwise(F.round(F.lit(1.0) - F.exp(-lam * age), 6))
+    return per.select(
+        id_col,
+        "n_intervals",
+        "n_changes",
+        F.when(F.col("n_intervals") > 0, F.round(mean_iv, 6)).alias(
+            "mean_interval_sec"
+        ),
+        F.round(lam, 12).alias("lambda_hat"),
+        p.alias("p_changed"),
+        (p >= F.lit(float(due_threshold))).alias("due"),
+    )

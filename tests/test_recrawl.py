@@ -222,3 +222,85 @@ def test_sitemap_due_capture_side_preaggregates(spark):
     # the aggregate has a partial phase (merge_max in the final)
     assert plan.count("HashAggregate") >= 4  # partial+final per side
     assert df.count() == 100
+
+
+# --- Poisson change-rate estimator --------------------------------------------
+
+
+def _ref_poisson(rows, now_s, thr=0.5):
+    import math
+
+    by = {}
+    for u, ts, sig in rows:
+        by.setdefault(u, []).append((ts, sig))
+    out = {}
+    for u, caps in by.items():
+        caps.sort()
+        n = len(caps) - 1
+        x = sum(
+            1 for i in range(1, len(caps)) if caps[i][1] != caps[i - 1][1]
+        )
+        first, last = caps[0][0], caps[-1][0]
+        if n > 0 and last > first:
+            mean_iv = (last - first) / n
+            r = -round(math.log((n - x + 0.5) / (n + 0.5)), 12)
+            lam = r / mean_iv
+            p = round(1.0 - math.exp(-lam * (now_s - last)), 6)
+            out[u] = (n, x, round(mean_iv, 6), round(lam, 12), p, p >= thr)
+        else:
+            out[u] = (
+                n, x, round((last - first) / n, 6) if n > 0 else None,
+                None, 1.0, True,
+            )
+    return out
+
+
+def test_poisson_change_rate_matches_reference(spark):
+    from stock_crawler_spark.operators.recrawl import poisson_change_rate
+
+    now = 10_000
+    rows = [
+        # never changes: lambda ~ small, p small
+        (1, 100, "a"), (1, 200, "a"), (1, 300, "a"), (1, 400, "a"),
+        # always changes (X == n): estimator still finite
+        (2, 100, "a"), (2, 200, "b"), (2, 300, "c"),
+        # half the intervals change
+        (3, 0, "a"), (3, 1000, "a"), (3, 2000, "b"), (3, 3000, "b"),
+        # single capture: explore (NULL lambda, p = 1)
+        (4, 500, "z"),
+        # repeated identical timestamps: zero window -> explore
+        (5, 700, "a"), (5, 700, "b"),
+    ]
+    df = spark.createDataFrame(rows, "url_id long, ts long, sig string")
+    got = {
+        r["url_id"]: (
+            r["n_intervals"], r["n_changes"], r["mean_interval_sec"],
+            r["lambda_hat"], r["p_changed"], r["due"],
+        )
+        for r in poisson_change_rate(df, now).collect()
+    }
+    exp = _ref_poisson(rows, now)
+    assert got == exp
+    # the stable page is NOT due; the always-changing one is
+    assert got[1][5] is False and got[2][5] is True
+    # single capture and zero-window both explore
+    assert got[4][3] is None and got[4][4] == 1.0
+    assert got[5][3] is None and got[5][4] == 1.0
+
+
+def test_poisson_more_changes_higher_priority(spark):
+    """Monotonicity sanity: same cadence, more changed intervals =>
+    strictly higher p_changed."""
+    from stock_crawler_spark.operators.recrawl import poisson_change_rate
+
+    rows = []
+    for u, sigs in [(1, "aaaa"), (2, "aabb"), (3, "abbb"), (4, "abcd")]:
+        for k, s in enumerate(sigs):
+            rows.append((u, k * 100, s))
+    df = spark.createDataFrame(rows, "url_id long, ts long, sig string")
+    got = {
+        r["url_id"]: r["p_changed"]
+        for r in poisson_change_rate(df, 1000).collect()
+    }
+    assert got[1] < got[2] < got[4]
+    assert got[2] == got[3]  # same X, same cadence
