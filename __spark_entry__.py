@@ -2323,6 +2323,22 @@ def q114_poisson_recrawl(spark, sf):
     return poisson_change_rate(hist, now_s=3000)
 
 
+INTERLEAVE_WEIGHTS = {"en": 3.0, "zh": 1.5, "de": 1.0, "fr": 1.0}
+
+
+def q115_interleave(spark, sf):
+    """Weighted fair-queueing group interleave (operators/training.
+    interleave_groups): virtual-time schedule vt = (k+1)/w_g, global
+    order (vt, g, k) — prefix-proportional curriculum mixing; 'es' is
+    absent from the weights (default 0 = dropped). Distributed
+    global-index pattern twice, never a single-partition window; the
+    oracle IS the naive two-window plan it must equal."""
+    from stock_crawler_spark.operators.training import interleave_groups
+
+    docs = _t(spark, sf, "documents")
+    return interleave_groups(docs, INTERLEAVE_WEIGHTS, "lang", "doc_id")
+
+
 # ---------------------------------------------------------------------------
 # driver API
 # ---------------------------------------------------------------------------
@@ -2449,6 +2465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q112_containment": q112_containment,
         "q113_srp_neardup": q113_srp_neardup,
         "q114_poisson_recrawl": q114_poisson_recrawl,
+        "q115_interleave": q115_interleave,
     }
 
 
@@ -4292,6 +4309,22 @@ FROM agg""",
         "q86_split_leakage": _split_oracle(),
         "q92_bpe_train": _bpe_oracle(),
         "q109_bpe_encode": _bpe_encode_oracle(),
+        "q115_interleave": """
+WITH w AS (
+  SELECT doc_id, lang,
+    CASE lang WHEN 'en' THEN 3.0 WHEN 'zh' THEN 1.5
+              WHEN 'de' THEN 1.0 WHEN 'fr' THEN 1.0 ELSE 0.0 END AS wt
+  FROM documents
+), ranked AS (
+  SELECT lang, doc_id,
+    row_number() OVER (PARTITION BY lang ORDER BY doc_id) - 1 AS k,
+    (row_number() OVER (PARTITION BY lang ORDER BY doc_id)) / wt AS vt
+  FROM w WHERE wt > 0
+)
+SELECT row_number() OVER (ORDER BY vt, lang, k) - 1 AS pos,
+  lang, doc_id, k, round(vt, 9) AS vt_r
+FROM ranked
+""",
         "q114_poisson_recrawl": """
 WITH caps AS (
   SELECT doc_id AS url_id,

@@ -659,3 +659,93 @@ def pack_shards(
         .withColumn("_excl", F.col("_off") + F.sum("nb").over(w) - F.col("nb"))
         .select(*sel)
     )
+
+
+def interleave_groups(
+    df: DataFrame,
+    weight_by_group: dict[str, float],
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    default_weight: float = 0.0,
+    n_partitions: int = 32,
+) -> DataFrame:
+    """Deterministic proportional interleave of groups into one global
+    training order — the curriculum-mixing step after per-group
+    selection: a group with weight w receives every ~(1/w)-th slot, so
+    the trainer sees languages/sources blended at their target ratios
+    instead of in giant contiguous blocks (which wreck optimization)
+    and instead of relying on a global random shuffle (which only
+    mixes IN EXPECTATION — epoch_shuffle composes after this when
+    randomness is also wanted).
+
+    The schedule is weighted fair queueing virtual time: group g's
+    k-th document (k = 0-based rank by id within g) runs at
+    vt = (k + 1) / w_g; the global order is (vt, g, k) — exactly the
+    largest-remainder apportionment of slots to groups, prefix-optimal:
+    every prefix of the output holds each group in proportion w_g
+    (±1 slot). Groups not in ``weight_by_group`` get ``default_weight``
+    (0 = dropped).
+
+    Scale shape — the distributed global-index pattern TWICE, both
+    shuffles bounded: (1) per-group rank k via range partitioning on
+    (g, id) + per-(pid, g) driver offsets (O(parts + groups) scalars —
+    the select_token_budget_per_group skew-proof layout); (2) global
+    pos over (vt, g, k) via range partitioning + per-partition counts +
+    mii local index (the epoch_shuffle layout). vt is one IEEE division
+    of exact integers — engine-reproducible, no transcendentals."""
+    w_expr = None
+    for g, wt in sorted(weight_by_group.items()):
+        assert wt >= 0, f"negative weight for {g!r}"
+        cond = F.col("g") == g
+        w_expr = (
+            F.when(cond, F.lit(float(wt)))
+            if w_expr is None
+            else w_expr.when(cond, F.lit(float(wt)))
+        )
+    w_expr = (
+        w_expr.otherwise(F.lit(float(default_weight)))
+        if w_expr is not None
+        else F.lit(float(default_weight))
+    )
+    base = df.select(
+        F.col(group_col).alias("g"), F.col(id_col).alias("id")
+    ).withColumn("_w", w_expr).filter(F.col("_w") > 0)
+
+    # pass 1: per-group rank k by (g, id)
+    p1 = _pinned_range_parts(base, n_partitions, F.asc("g"), F.asc("id"))
+    counts = p1.groupBy("_pid", "g").agg(F.count(F.lit(1)).alias("n")).collect()
+    acc: dict[str, int] = {}
+    rows = []
+    for pid, g, n in sorted((r["_pid"], r["g"], r["n"]) for r in counts):
+        rows.append((int(pid), g, int(acc.get(g, 0))))
+        acc[g] = acc.get(g, 0) + int(n)
+    offsets = df.sparkSession.createDataFrame(rows, "_pid int, g string, _off long")
+    w_k = Window.partitionBy("_pid", "g").orderBy("id")
+    ranked = (
+        p1.join(F.broadcast(offsets), ["_pid", "g"])
+        .withColumn("k", F.col("_off") + F.row_number().over(w_k) - 1)
+        .withColumn("vt", (F.col("k") + 1).cast("double") / F.col("_w"))
+        .select("g", "id", "k", "vt")
+    )
+
+    # pass 2: global position over (vt, g, k)
+    p2 = _pinned_range_parts(ranked, n_partitions, F.asc("vt"), F.asc("g"), F.asc("k"))
+    totals = p2.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    off, rows2 = 0, []
+    for pid, n in sorted((r["_pid"], r["n"]) for r in totals):
+        rows2.append((int(pid), int(off)))
+        off += int(n)
+    offs2 = df.sparkSession.createDataFrame(rows2, "_pid int, _base long")
+    local = F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1))
+    return (
+        p2.sortWithinPartitions("vt", "g", "k")
+        .withColumn("_local", local)
+        .join(F.broadcast(offs2), "_pid")
+        .select(
+            (F.col("_base") + F.col("_local")).alias("pos"),
+            F.col("g").alias(group_col),
+            F.col("id").alias(id_col),
+            "k",
+            F.round("vt", 9).alias("vt_r"),
+        )
+    )

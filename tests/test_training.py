@@ -532,3 +532,62 @@ def test_pack_shards_rejects_bad_target(spark):
     df = spark.createDataFrame([(1, 1)], "doc_id long, n_bytes long")
     with _pytest.raises(ValueError):
         pack_shards(df, 0)
+
+
+# --- weighted fair interleave --------------------------------------------------
+
+
+def _ref_interleave(rows, weights, default=0.0):
+    per = {}
+    for g, i in rows:
+        w = weights.get(g, default)
+        if w > 0:
+            per.setdefault(g, []).append(i)
+    out = []
+    for g, ids in per.items():
+        w = weights.get(g, default)
+        for k, i in enumerate(sorted(ids)):
+            out.append(((k + 1) / w, g, k, i))
+    out.sort()
+    return [
+        (pos, g, i, k, round(vt, 9))
+        for pos, (vt, g, k, i) in enumerate(out)
+    ]
+
+
+def test_interleave_matches_reference_and_is_proportional(spark):
+    from stock_crawler_spark.operators.training import interleave_groups
+
+    rows = [("en", i) for i in range(60)] + [("fr", i + 100) for i in range(20)] \
+        + [("de", i + 200) for i in range(20)] + [("drop", 999)]
+    weights = {"en": 3.0, "fr": 1.0, "de": 1.0}
+    df = spark.createDataFrame(rows, "lang string, doc_id long")
+    got = sorted(
+        (r["pos"], r["lang"], r["doc_id"], r["k"], r["vt_r"])
+        for r in interleave_groups(df, weights, "lang", "doc_id").collect()
+    )
+    assert got == _ref_interleave(rows, weights)
+    # prefix proportionality: any prefix of 5 slots holds 3 en + 1 fr + 1 de
+    langs = [g for _, g, _, _, _ in got]
+    for end in range(5, 100, 5):
+        assert langs[:end].count("en") == end * 3 // 5, end
+    # the zero-weight group is dropped
+    assert "drop" not in langs
+
+
+def test_interleave_partition_invariance(spark):
+    from stock_crawler_spark.operators.training import interleave_groups
+
+    rows = [(f"g{i % 4}", i) for i in range(200)]
+    weights = {"g0": 2.5, "g1": 1.0, "g2": 0.5, "g3": 4.0}
+    df = spark.createDataFrame(rows, "lang string, doc_id long")
+    a = sorted(map(tuple, interleave_groups(df, weights).collect()))
+    b = sorted(
+        map(
+            tuple,
+            interleave_groups(df.repartition(17), weights, n_partitions=5).collect(),
+        )
+    )
+    assert a == b
+    # pos is a dense permutation 0..N-1
+    assert sorted(r[0] for r in a) == list(range(200))
