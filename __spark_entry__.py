@@ -2339,6 +2339,25 @@ def q115_interleave(spark, sf):
     return interleave_groups(docs, INTERLEAVE_WEIGHTS, "lang", "doc_id")
 
 
+CDX_SHARD_RECORDS = 37
+
+
+def q116_cdx_cluster(spark, sf):
+    """CDX secondary index — Common Crawl's cluster.idx shape (operators/
+    cdx.cdx_cluster_index): the (surt, ts)-ordered capture stream cut
+    into fixed-record shards, one boundary row per shard for two-level
+    binary-search lookup. Runs the FULL pipeline (WARC segments ->
+    parse -> cdx_index -> cluster index); shard_id is a deterministic
+    global-rank div — the oracle replays it with a naive row_number
+    window over the arithmetic capture table."""
+    from stock_crawler_spark.operators.cdx import cdx_cluster_index, cdx_index
+    from stock_crawler_spark.parsers.warc import parse_warc_records, warc_segments
+
+    docs = _t(spark, sf, "documents")
+    cdx = cdx_index(parse_warc_records(warc_segments(docs, docs_per_segment=100)))
+    return cdx_cluster_index(cdx, CDX_SHARD_RECORDS)
+
+
 # ---------------------------------------------------------------------------
 # driver API
 # ---------------------------------------------------------------------------
@@ -2466,6 +2485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q113_srp_neardup": q113_srp_neardup,
         "q114_poisson_recrawl": q114_poisson_recrawl,
         "q115_interleave": q115_interleave,
+        "q116_cdx_cluster": q116_cdx_cluster,
     }
 
 
@@ -4309,6 +4329,29 @@ FROM agg""",
         "q86_split_leakage": _split_oracle(),
         "q92_bpe_train": _bpe_oracle(),
         "q109_bpe_encode": _bpe_encode_oracle(),
+        "q116_cdx_cluster": f"""
+WITH cdx AS (
+  SELECT 'com,h' || (doc_id % 120) || ')/d' || doc_id AS surt,
+    printf('202401%02d%02d%02d%02d',
+           doc_id // 86400 + 1, (doc_id % 86400) // 3600,
+           (doc_id % 3600) // 60, doc_id % 60) AS ts,
+    'https://h' || (doc_id % 120) || '.com/d' || doc_id AS url
+  FROM documents
+), idx AS (
+  SELECT surt, ts,
+    (row_number() OVER (ORDER BY surt, ts, url) - 1) // {CDX_SHARD_RECORDS}
+      AS shard_id
+  FROM cdx
+)
+SELECT shard_id,
+  min(surt || chr(1) || ts)[:strpos(min(surt || chr(1) || ts), chr(1)) - 1]
+    AS first_surt,
+  arg_min(ts, surt || chr(1) || ts) AS first_ts,
+  arg_max(surt, surt || chr(1) || ts) AS last_surt,
+  arg_max(ts, surt || chr(1) || ts) AS last_ts,
+  count(*) AS n_records
+FROM idx GROUP BY 1
+""",
         "q115_interleave": """
 WITH w AS (
   SELECT doc_id, lang,

@@ -163,3 +163,59 @@ def host_churn(diff: DataFrame, host: Column, round_dp: int = 6) -> DataFrame:
             ),
         )
     )
+
+
+def cdx_cluster_index(
+    cdx: DataFrame,
+    shard_records: int = 3000,
+    n_partitions: int = 32,
+) -> DataFrame:
+    """The CDX secondary index — Common Crawl's ``cluster.idx`` shape:
+    cut the (surt, ts)-ordered CDX stream into fixed-record shards and
+    emit one row per shard (shard_id, first_surt, first_ts, last_surt,
+    last_ts, n_records). A reader binary-searches THIS table (one row
+    per ~3000 captures: ~10^6 rows for a 3x10^9-capture crawl, a
+    laptop-sized file) to find the one CDX shard that can hold a key,
+    then scans only that shard — the two-level lookup CC's own index
+    server uses (public pywb/cdxj-indexer layout).
+
+    shard_id = global_rank div shard_records over the (surt, ts, url)
+    total order — a deterministic rule (NOT Spark's sampled range
+    boundaries, which no other engine could reproduce). The global rank
+    uses the distributed global-index pattern (epoch_shuffle's layout):
+    ONE range shuffle, O(n_partitions) driver scalars, per-partition
+    mii local ranks; the per-shard boundary rows come from one
+    groupBy(shard) min/max over (surt, ts) structs."""
+    from stock_crawler_spark.operators.training import _pinned_range_parts
+
+    base = cdx.select("surt", "ts", "url")
+    p = _pinned_range_parts(base, n_partitions, "surt", "ts", "url")
+    totals = p.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    off, rows = 0, []
+    for pid, n in sorted((r["_pid"], r["n"]) for r in totals):
+        rows.append((int(pid), int(off)))
+        off += int(n)
+    offs = cdx.sparkSession.createDataFrame(rows, "_pid int, _base long")
+    local = F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1))
+    indexed = (
+        p.sortWithinPartitions("surt", "ts", "url")
+        .withColumn("_local", local)
+        .join(F.broadcast(offs), "_pid")
+        .withColumn(
+            "shard_id",
+            F.expr(f"(_base + _local) div {int(shard_records)}"),
+        )
+    )
+    key = F.struct(F.col("surt"), F.col("ts"))
+    return indexed.groupBy("shard_id").agg(
+        F.min(key).alias("_lo"),
+        F.max(key).alias("_hi"),
+        F.count(F.lit(1)).alias("n_records"),
+    ).select(
+        "shard_id",
+        F.col("_lo.surt").alias("first_surt"),
+        F.col("_lo.ts").alias("first_ts"),
+        F.col("_hi.surt").alias("last_surt"),
+        F.col("_hi.ts").alias("last_ts"),
+        "n_records",
+    )

@@ -148,3 +148,45 @@ def test_snapshot_diff_statuses(spark):
     r = churn[0]
     # 3 of 4 urls are not 'unchanged'
     assert (r["n_urls"], r["n_changed"], r["change_rate"]) == (4, 3, 0.75)
+
+
+# --- cluster.idx secondary index ----------------------------------------------
+
+
+def test_cdx_cluster_index_matches_naive(spark):
+    from stock_crawler_spark.operators.cdx import cdx_cluster_index
+
+    rows = [
+        (f"com,h{i % 7})/p{i}", f"2024010{1 + i % 9}000000", f"https://h{i % 7}.com/p{i}")
+        for i in range(101)
+    ]
+    cdx = spark.createDataFrame(rows, "surt string, ts string, url string")
+    got = sorted(
+        map(tuple, cdx_cluster_index(cdx, shard_records=10).collect())
+    )
+    ordered = sorted(rows)
+    exp = []
+    for s in range((len(ordered) + 9) // 10):
+        chunk = ordered[s * 10 : (s + 1) * 10]
+        keys = sorted((r[0], r[1]) for r in chunk)
+        exp.append((s, keys[0][0], keys[0][1], keys[-1][0], keys[-1][1], len(chunk)))
+    assert got == sorted(exp)
+    # 101 records at 10/shard -> 11 shards, last holds 1
+    assert len(got) == 11 and got[-1][5] == 1
+
+
+def test_cdx_cluster_index_tiles_key_space(spark):
+    from stock_crawler_spark.operators.cdx import cdx_cluster_index
+
+    rows = [
+        (f"org,site)/{i:04d}", "20240101000000", f"https://site.org/{i:04d}")
+        for i in range(250)
+    ]
+    cdx = spark.createDataFrame(rows, "surt string, ts string, url string")
+    shards = sorted(
+        map(tuple, cdx_cluster_index(cdx.repartition(13), 40, n_partitions=5).collect())
+    )
+    # binary-search contract: shard ranges are disjoint and ordered
+    for (a, b) in zip(shards, shards[1:]):
+        assert (a[3], a[4]) <= (b[1], b[2]), (a, b)
+    assert sum(s[5] for s in shards) == 250
