@@ -2358,6 +2358,18 @@ def q116_cdx_cluster(spark, sf):
     return cdx_cluster_index(cdx, CDX_SHARD_RECORDS)
 
 
+def q117_chunk_windows(spark, sf):
+    """Sliding-window chunking (operators/lines.chunk_windows): the
+    RAG/embedding context chunker — 16-token windows at stride 12,
+    last window covers the tail, integer-exact layout, pure-Column
+    narrow explode. Oracle replays the generate_series + list-slice
+    plan."""
+    from stock_crawler_spark.operators.lines import chunk_windows
+
+    docs = _t(spark, sf, "documents")
+    return chunk_windows(docs, chunk_tokens=16, stride=12)
+
+
 # ---------------------------------------------------------------------------
 # driver API
 # ---------------------------------------------------------------------------
@@ -2486,6 +2498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q114_poisson_recrawl": q114_poisson_recrawl,
         "q115_interleave": q115_interleave,
         "q116_cdx_cluster": q116_cdx_cluster,
+        "q117_chunk_windows": q117_chunk_windows,
     }
 
 
@@ -4329,6 +4342,21 @@ FROM agg""",
         "q86_split_leakage": _split_oracle(),
         "q92_bpe_train": _bpe_oracle(),
         "q109_bpe_encode": _bpe_encode_oracle(),
+        "q117_chunk_windows": f"""
+WITH toks AS (
+  SELECT doc_id, list_filter({_TOKS}, t -> t <> '') AS tl FROM documents
+), d AS (
+  SELECT doc_id, tl, len(tl) AS n FROM toks WHERE len(tl) > 0
+), c AS (
+  SELECT doc_id, tl, n, unnest(generate_series(0,
+    CASE WHEN n > 16 THEN (n - 16 + 12 - 1) // 12 ELSE 0 END)) AS chunk_id
+  FROM d
+)
+SELECT doc_id, chunk_id, chunk_id * 12 AS start_tok,
+  least(16, n - chunk_id * 12) AS n_tokens,
+  array_to_string(tl[chunk_id * 12 + 1 : chunk_id * 12 + 16], ' ') AS chunk
+FROM c
+""",
         "q116_cdx_cluster": f"""
 WITH cdx AS (
   SELECT 'com,h' || (doc_id % 120) || ')/d' || doc_id AS surt,

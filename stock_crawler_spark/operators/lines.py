@@ -294,3 +294,64 @@ def gopher_ngram_battery(
             F.coalesce(F.col(f"dup{n}gram_char_frac"), F.lit(0.0)),
         )
     return out.withColumnRenamed("doc", id_col)
+
+
+# --- sliding-window chunking ---------------------------------------------------
+
+
+def chunk_windows(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping fixed-token windows per document — the RAG/embedding
+    chunker (context windows with stride < chunk so no boundary
+    sentence is ever seen only torn in half). Returns (id, chunk_id,
+    start_tok, n_tokens, chunk).
+
+    Layout: starts at 0, stride, 2*stride, ...; the last window is the
+    first one covering the tail, so n_chunks = 1 + max(0,
+    ceil((n - chunk)/stride)) and every token lands in >= 1 chunk with
+    no all-empty trailing windows. Integer arithmetic only
+    ((n - chunk + stride - 1) div stride — no float ceil), so the
+    layout is engine-exact. Blank docs chunk to nothing.
+
+    Scale: one narrow explode per doc (fanout n/stride), pure Column —
+    codegen, zero shuffle; compose with pack_shards to bin the chunks.
+    """
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        lambda t: t != F.lit(""),
+    )
+    n = F.size(toks)
+    extra = F.expr(
+        f"greatest(0, (size(_toks) - {int(chunk_tokens)} + {int(stride)} - 1) "
+        f"div {int(stride)})"
+    )
+    d = docs.select(
+        F.col(id_col), toks.alias("_toks")
+    ).filter(F.size("_toks") > 0)
+    return (
+        d.withColumn("chunk_id", F.explode(F.sequence(F.lit(0), extra)))
+        .select(
+            id_col,
+            "chunk_id",
+            (F.col("chunk_id") * stride).alias("start_tok"),
+            F.least(
+                F.lit(int(chunk_tokens)),
+                F.size("_toks") - F.col("chunk_id") * stride,
+            ).alias("n_tokens"),
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("_toks"),
+                    F.col("chunk_id") * stride + 1,
+                    F.lit(int(chunk_tokens)),
+                ),
+            ).alias("chunk"),
+        )
+    )

@@ -163,3 +163,67 @@ def test_gopher_ngram_battery_dup_mass(spark):
     r = gopher_ngram_battery(docs).collect()[0]
     # repeat mass (3-1)*9 + 4*(2-1)*9 = 54 over total 11*9 = 99
     assert r["dup5gram_char_frac"] == round(54 / 99, 6)
+
+
+# --- sliding-window chunking ----------------------------------------------------
+
+
+def _ref_chunks(texts, chunk, stride):
+    out = {}
+    for d, t in texts:
+        ws = [w for w in t.strip().lower().split() if w] if t and t.strip() else []
+        if not ws:
+            continue
+        n = len(ws)
+        extra = max(0, -(-(n - chunk) // stride)) if n > chunk else 0
+        for c in range(extra + 1):
+            s = c * stride
+            out[(d, c)] = (s, min(chunk, n - s), " ".join(ws[s : s + chunk]))
+    return out
+
+
+def test_chunk_windows_matches_reference(spark):
+    from stock_crawler_spark.operators.lines import chunk_windows
+
+    texts = [
+        (1, " ".join(f"t{i}" for i in range(10))),   # n == 10: 3 chunks @4/3
+        (2, "a b c"),                                 # n < chunk: 1 chunk
+        (3, " ".join(f"t{i}" for i in range(7))),     # n == chunk + stride
+        (4, ""),                                      # blank: none
+        (5, "x " * 4),                                # exact chunk size
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["start_tok"], r["n_tokens"], r["chunk"])
+        for r in chunk_windows(docs, chunk_tokens=4, stride=3).collect()
+    }
+    assert got == _ref_chunks(texts, 4, 3)
+    # every token covered: union of [start, start+n) == [0, 10) for doc 1
+    cov = set()
+    for (d, c), (s, n, _) in got.items():
+        if d == 1:
+            cov |= set(range(s, s + n))
+    assert cov == set(range(10))
+    # no chunk for the blank doc
+    assert not any(d == 4 for d, _ in got)
+
+
+def test_chunk_windows_overlap_property(spark):
+    from stock_crawler_spark.operators.lines import chunk_windows
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(5 + i * 7))) for i in range(12)],
+        "doc_id long, text string",
+    )
+    rows = chunk_windows(docs, chunk_tokens=16, stride=8).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for d, rs in by_doc.items():
+        rs.sort(key=lambda r: r["chunk_id"])
+        # consecutive windows overlap by chunk - stride (except short tails)
+        for a, b in zip(rs, rs[1:]):
+            assert b["start_tok"] - a["start_tok"] == 8
+            assert a["start_tok"] + a["n_tokens"] >= b["start_tok"]
+        # last chunk is never empty
+        assert rs[-1]["n_tokens"] >= 1
