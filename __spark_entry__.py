@@ -2370,6 +2370,19 @@ def q117_chunk_windows(spark, sf):
     return chunk_windows(docs, chunk_tokens=16, stride=12)
 
 
+def q118_pmi_bigrams(spark, sf):
+    """PMI collocation mining (functions/lm.pmi_bigrams; Church & Hanks
+    1990): adjacent-pair association scores — two map-side-partial
+    groupBys, marginals attached by plain hash joins (web-scale vocab is
+    not broadcastable; aggregated pair rows match exactly one marginal),
+    min_count hapax prune before the joins. Oracle replays counts and
+    the exact division shape."""
+    from stock_crawler_spark.functions.lm import pmi_bigrams
+
+    docs = _t(spark, sf, "documents")
+    return pmi_bigrams(docs, min_count=5)
+
+
 # ---------------------------------------------------------------------------
 # driver API
 # ---------------------------------------------------------------------------
@@ -2499,6 +2512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q115_interleave": q115_interleave,
         "q116_cdx_cluster": q116_cdx_cluster,
         "q117_chunk_windows": q117_chunk_windows,
+        "q118_pmi_bigrams": q118_pmi_bigrams,
     }
 
 
@@ -4342,6 +4356,27 @@ FROM agg""",
         "q86_split_leakage": _split_oracle(),
         "q92_bpe_train": _bpe_oracle(),
         "q109_bpe_encode": _bpe_encode_oracle(),
+        "q118_pmi_bigrams": f"""
+WITH base AS (
+  SELECT list_filter({_TOKS}, t -> t <> '') AS arr
+  FROM documents WHERE trim(text) <> ''
+), uni AS (
+  SELECT t AS w, count(*) AS c FROM (SELECT unnest(arr) AS t FROM base) GROUP BY 1
+), pairs AS (
+  SELECT w1, w2, count(*) AS c_pair FROM (
+    SELECT unnest(list_transform(generate_series(1, greatest(len(arr) - 1, 0)),
+      i -> struct_pack(w1 := arr[i], w2 := arr[i + 1]))) AS p
+    FROM base
+  ) t_(p), LATERAL (SELECT p.w1 AS w1, p.w2 AS w2)
+  GROUP BY 1, 2 HAVING count(*) >= 5
+), totals AS (
+  SELECT (SELECT sum(c) FROM uni) AS n_uni,
+    (SELECT sum(greatest(len(arr) - 1, 0)) FROM base) AS n_bi
+)
+SELECT w1, w2, c_pair, u1.c AS c1, u2.c AS c2,
+  round(ln((c_pair / n_bi) / ((u1.c / n_uni) * (u2.c / n_uni))), 6) AS pmi_r
+FROM pairs JOIN uni u1 ON u1.w = w1 JOIN uni u2 ON u2.w = w2 CROSS JOIN totals
+""",
         "q117_chunk_windows": f"""
 WITH toks AS (
   SELECT doc_id, list_filter({_TOKS}, t -> t <> '') AS tl FROM documents

@@ -148,3 +148,69 @@ def bigram_nll(
         F.count(F.lit(1)).alias("n_tokens"),
         F.round(ordered_sum / F.count(F.lit(1)), 6).alias("nll"),
     ).select(F.col("doc").alias(id_col), "n_tokens", "nll")
+
+
+def pmi_bigrams(
+    docs: DataFrame,
+    min_count: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pointwise mutual information of adjacent token pairs (Church &
+    Hanks 1990, "Word association norms, mutual information, and
+    lexicography") — collocation mining: the association score behind
+    phrase detection (word2vec-style phrase merging) and a diagnostic
+    for BPE merge quality. Returns (w1, w2, c_pair, c1, c2, pmi_r)
+    for pairs with c_pair >= min_count:
+
+        pmi = ln( (c12 / N_bi) / ((c1 / N_uni) * (c2 / N_uni)) )
+
+    evaluated in exactly that shape (each division IEEE-deterministic;
+    ln under the engine-wide round-6 output discipline).
+
+    Scale shape: unigram and adjacent-pair counts are two groupBys with
+    map-side partials (the corpus-scale work); the pair table joins the
+    vocabulary MARGINALS by plain hash joins on w1 then w2 — the vocab
+    of a web corpus (~10^8 rows) is NOT broadcastable, and each
+    aggregated pair row matches exactly one marginal row, so fanout is
+    1; hot-word key skew (every pair starting 'the' hashing together)
+    is the AQE skew-join case. ``min_count`` prunes the hapax tail
+    BEFORE the joins — the classic 90%+ row cut."""
+    base = docs.filter(F.trim(F.col(text_col)) != "").select(
+        _tok_arr(text_col).alias("arr")
+    )
+    toks = base.select(F.explode("arr").alias("w"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    pairs = (
+        base.select(F.col("arr").alias("warr"))
+        .select(F.explode(F.expr(_PAIRS_EXPR)).alias("p"))
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("c_pair"))
+        .filter(F.col("c_pair") >= int(min_count))
+    )
+    totals = uni.agg(
+        F.sum("c").alias("n_uni"),
+    ).crossJoin(
+        F.broadcast(
+            base.select(
+                F.sum(F.greatest(F.size("arr") - 1, F.lit(0))).alias("n_bi")
+            )
+        )
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    pmi = (
+        F.col("c_pair").cast("double") / F.col("n_bi")
+    ) / (
+        (F.col("c1").cast("double") / F.col("n_uni"))
+        * (F.col("c2").cast("double") / F.col("n_uni"))
+    )
+    return (
+        pairs.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1", "w2", "c_pair", "c1", "c2",
+            F.round(F.log(pmi), 6).alias("pmi_r"),
+        )
+    )

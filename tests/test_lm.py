@@ -106,3 +106,64 @@ def test_partition_invariance(spark):
     uni2, bi2, totals2 = bigram_lm(d)
     b = sorted(bigram_nll(_docs(spark, VAL), uni2, bi2, totals2).collect())
     assert a == b
+
+
+# --- PMI collocations -----------------------------------------------------------
+
+
+def _ref_pmi(texts, min_count):
+    import math
+
+    toks = [
+        [w for w in t.strip().lower().split() if w]
+        for _, t in texts
+        if t and t.strip()
+    ]
+    uni, pairs = {}, {}
+    n_bi = 0
+    for ws in toks:
+        for w in ws:
+            uni[w] = uni.get(w, 0) + 1
+        n_bi += max(0, len(ws) - 1)
+        for a, b in zip(ws, ws[1:]):
+            pairs[(a, b)] = pairs.get((a, b), 0) + 1
+    n_uni = sum(uni.values())
+    out = {}
+    for (a, b), c in pairs.items():
+        if c < min_count:
+            continue
+        pmi = (c / n_bi) / ((uni[a] / n_uni) * (uni[b] / n_uni))
+        out[(a, b)] = (c, uni[a], uni[b], round(math.log(pmi), 6))
+    return out
+
+
+def test_pmi_bigrams_matches_reference(spark):
+    from stock_crawler_spark.functions.lm import pmi_bigrams
+
+    texts = [
+        (1, "new york new york city"),
+        (2, "new york is big and new deals are new"),
+        (3, "york minster and york shire"),
+        (4, "big deals and big city and big and"),
+        (5, "   "),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        (r["w1"], r["w2"]): (r["c_pair"], r["c1"], r["c2"], r["pmi_r"])
+        for r in pmi_bigrams(docs, min_count=2).collect()
+    }
+    exp = _ref_pmi(texts, 2)
+    assert got == exp
+    # the collocation 'new york' must out-associate the frequent-but-
+    # independent 'and big'
+    assert got[("new", "york")][3] > got[("and", "big")][3]
+
+
+def test_pmi_min_count_prunes(spark):
+    from stock_crawler_spark.functions.lm import pmi_bigrams
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b c d")], "doc_id long, text string"
+    )
+    got = {(r["w1"], r["w2"]) for r in pmi_bigrams(docs, min_count=3).collect()}
+    assert got == {("a", "b")}  # c('a b')=3; everything else below 3
