@@ -176,6 +176,8 @@ def test_no_cartesian_products_anywhere(spark):
         "q83_opic",              # broadcast 1-row virtual-node cash total
         "q93_bigram_lm",         # broadcast 1-row LM totals (N, V, n_docs)
         "q97_trustrank",         # broadcast 1-row dangling trust mass
+        "q111_tfidf_cosine",     # broadcast 1-row n_docs total
+        "q118_pmi_bigrams",      # broadcast 1-row (n_uni, n_bi) totals
     }
     for name, fn in entrymod.queries().items():
         tree = _plan(fn(spark, "/root/testdata/sf0.001")).split("\n\n")[0]
