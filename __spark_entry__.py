@@ -2383,6 +2383,29 @@ def q118_pmi_bigrams(spark, sf):
     return pmi_bigrams(docs, min_count=5)
 
 
+def q119_host_line_dedup(spark, sf):
+    """Host-scoped line-level boilerplate strip (operators/lines.
+    host_line_dedup) — the truer CC-Net semantics: boilerplate is
+    defined WITHIN a site. Synthetic hosts (25 of them) each share an
+    injected 8-token nav line (host id inside, so no cross-host
+    collision); the line is boilerplate on its host, body lines
+    survive. The boilerplate mark join keys on (host, line-hash) —
+    never a broadcast of the host-crossed set."""
+    from stock_crawler_spark.operators.lines import host_line_dedup
+
+    docs = _t(spark, sf, "documents")
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 25).cast("string"))
+    nav = F.concat(F.lit("nav menu login search cart help about "), host)
+    staged = docs.select(
+        "doc_id",
+        host.alias("host"),
+        F.concat(nav, F.lit(" "), F.coalesce(F.col("text"), F.lit(""))).alias(
+            "text"
+        ),
+    )
+    return host_line_dedup(staged, min_docs=2)
+
+
 # ---------------------------------------------------------------------------
 # driver API
 # ---------------------------------------------------------------------------
@@ -2513,6 +2536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q116_cdx_cluster": q116_cdx_cluster,
         "q117_chunk_windows": q117_chunk_windows,
         "q118_pmi_bigrams": q118_pmi_bigrams,
+        "q119_host_line_dedup": q119_host_line_dedup,
     }
 
 
@@ -4356,6 +4380,36 @@ FROM agg""",
         "q86_split_leakage": _split_oracle(),
         "q92_bpe_train": _bpe_oracle(),
         "q109_bpe_encode": _bpe_encode_oracle(),
+        "q119_host_line_dedup": f"""
+WITH d AS (
+  SELECT doc_id, 'h' || (doc_id % 25) AS host,
+    'nav menu login search cart help about h' || (doc_id % 25)
+      || ' ' || coalesce(text, '') AS text
+  FROM documents
+), toks AS (
+  SELECT doc_id, host, string_split_regex(trim(text), '\\s+') AS t
+  FROM d WHERE trim(text) <> ''
+), ls AS (
+  SELECT doc_id, host, list_transform(
+    generate_series(0, CAST(ceil(len(t) / {float(LINE_TOKENS)}) AS INT) - 1),
+    i -> array_to_string(t[(i*{LINE_TOKENS}+1):(i*{LINE_TOKENS}+{LINE_TOKENS})], ' ')) AS lns
+  FROM toks
+), lines AS (
+  SELECT doc_id, host, unnest(lns) AS line,
+         unnest(generate_series(1, len(lns))) AS pos
+  FROM ls
+), freq AS (
+  SELECT host, md5(line) AS lh, count(DISTINCT doc_id) AS nd
+  FROM lines GROUP BY 1, 2
+)
+SELECT l.doc_id, l.host, count(*) AS n_lines,
+  count(*) FILTER (WHERE f.nd < 2) AS n_kept,
+  md5(coalesce(
+    string_agg(l.line, chr(10) ORDER BY l.pos) FILTER (WHERE f.nd < 2), ''
+  )) AS clean_fp
+FROM lines l JOIN freq f ON f.host = l.host AND md5(l.line) = f.lh
+GROUP BY 1, 2
+""",
         "q118_pmi_bigrams": f"""
 WITH base AS (
   SELECT list_filter({_TOKS}, t -> t <> '') AS arr

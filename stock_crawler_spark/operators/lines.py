@@ -355,3 +355,66 @@ def chunk_windows(
             ).alias("chunk"),
         )
     )
+
+
+def host_line_dedup(
+    docs: DataFrame,
+    host_col: str = "host",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_tokens: int = DEFAULT_LINE_TOKENS,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Line-level boilerplate strip with the boilerplate SCOPED PER HOST
+    — the truer CC-Net/Dolma semantics: a nav bar is boilerplate
+    because it repeats across ITS SITE's pages; a common English
+    sentence repeating across unrelated hosts is content. The global
+    variant (:func:`line_dedup`) over-strips exactly that class; this
+    one counts distinct docs per (host, line) and strips only lines
+    crossing ``min_docs`` WITHIN their host.
+
+    Scale shape: same two aggregations as line_dedup, but the
+    boilerplate set keys on (host, line-hash) — at 10^8 hosts that set
+    is NOT broadcastable, so the mark join is a plain hash join on the
+    composite key (uniform: md5 line hash spreads every hot host's
+    lines) and AQE picks the strategy. Per-doc reassembly is unchanged.
+    """
+    lines = _exploded_lines(docs, id_col, text_col, line_tokens)
+    lines = lines.join(
+        docs.select(F.col(id_col).alias("doc"), F.col(host_col).alias("_h")),
+        "doc",
+    ).withColumn("lh", F.md5(F.col("line")))
+    boiler = (
+        lines.groupBy("_h", "lh")
+        .agg(F.count_distinct("doc").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("_h", "lh", F.lit(True).alias("is_boiler"))
+    )
+    kept = lines.join(boiler, ["_h", "lh"], "left")
+    per_doc = kept.groupBy("doc", "_h").agg(
+        F.count("*").alias("n_lines"),
+        F.count(F.when(F.col("is_boiler").isNull(), 1)).alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("is_boiler").isNull(),
+                                F.struct(F.col("pos"), F.col("line")),
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+            )
+        ).alias("clean_fp"),
+    )
+    return per_doc.select(
+        F.col("doc").alias(id_col),
+        F.col("_h").alias(host_col),
+        "n_lines",
+        "n_kept",
+        "clean_fp",
+    )

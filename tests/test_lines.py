@@ -227,3 +227,51 @@ def test_chunk_windows_overlap_property(spark):
             assert a["start_tok"] + a["n_tokens"] >= b["start_tok"]
         # last chunk is never empty
         assert rs[-1]["n_tokens"] >= 1
+
+
+# --- host-scoped line dedup -----------------------------------------------------
+
+
+def test_host_line_dedup_scopes_boilerplate_to_host(spark):
+    """The same nav line on host A (2 docs) is boilerplate there; the
+    IDENTICAL line appearing once on host B is content on B."""
+    from stock_crawler_spark.operators.lines import host_line_dedup
+
+    nav = "home products about contact login search cart help"  # 8 tokens
+    body_a = "alpha beta gamma delta epsilon zeta eta theta"
+    body_b = "iota kappa lambda mu nu xi omicron pi"
+    rows = [
+        (1, "a.com", nav + " " + body_a),
+        (2, "a.com", nav + " " + body_b),
+        (3, "b.com", nav + " " + body_a),          # nav unique ON b.com
+        (4, "b.com", body_b),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, host string, text string")
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_kept"])
+        for r in host_line_dedup(docs, min_docs=2).collect()
+    }
+    # a.com docs lose the nav line (host-boilerplate)
+    assert got[1] == (2, 1) and got[2] == (2, 1)
+    # b.com keeps everything: nav occurs once there, body_a once,
+    # body_b once per host
+    assert got[3] == (2, 2) and got[4] == (1, 1)
+
+
+def test_host_line_dedup_vs_global_overstrip(spark):
+    """The exact over-strip case the host scope fixes: a sentence
+    repeated across DIFFERENT hosts survives host-scoped dedup but is
+    stripped by the global one."""
+    from stock_crawler_spark.operators.lines import host_line_dedup, line_dedup
+
+    common = "the quick brown fox jumps over lazy dogs"
+    rows = [(i, f"h{i}.com", common) for i in range(1, 5)]
+    docs = spark.createDataFrame(rows, "doc_id long, host string, text string")
+    host_kept = {
+        r["doc_id"]: r["n_kept"] for r in host_line_dedup(docs).collect()
+    }
+    glob_kept = {
+        r["doc_id"]: r["n_kept"] for r in line_dedup(docs).collect()
+    }
+    assert all(v == 1 for v in host_kept.values())
+    assert all(v == 0 for v in glob_kept.values())
