@@ -2406,6 +2406,34 @@ def q119_host_line_dedup(spark, sf):
     return host_line_dedup(staged, min_docs=2)
 
 
+def q120_harvest_stop(spark, sf):
+    """Diminishing-returns crawl stop (operators/budget.harvest_stop):
+    per-host harvest-rate EWMA over synthetic round stats — 30 hosts,
+    3..8 rounds each, discovery decaying with round; exhausted when the
+    in-order EWMA fold (first-element-seeded, alpha=0.5 — exact halves)
+    drops under 0.1. The oracle is the identical list_reduce fold."""
+    from stock_crawler_spark.operators.budget import harvest_stop
+
+    docs = _t(spark, sf, "documents")
+    hosts = docs.filter(F.col("doc_id") < 30).select(
+        F.col("doc_id").alias("h")
+    )
+    stats = hosts.select(
+        "h",
+        F.explode(
+            F.sequence(F.lit(0), (F.col("h") % 6) + 2)
+        ).alias("round"),
+    ).select(
+        F.concat(F.lit("h"), F.col("h").cast("string")).alias("host"),
+        "round",
+        (F.lit(10) + (F.col("h") + F.col("round")) % 3).alias("n_fetched"),
+        F.greatest(
+            F.lit(0), F.lit(8) - F.col("round") * 2 - (F.col("h") % 4)
+        ).alias("n_new"),
+    )
+    return harvest_stop(stats, alpha=0.5, eps=0.1)
+
+
 # ---------------------------------------------------------------------------
 # driver API
 # ---------------------------------------------------------------------------
@@ -2537,6 +2565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q117_chunk_windows": q117_chunk_windows,
         "q118_pmi_bigrams": q118_pmi_bigrams,
         "q119_host_line_dedup": q119_host_line_dedup,
+        "q120_harvest_stop": q120_harvest_stop,
     }
 
 
@@ -4380,6 +4409,27 @@ FROM agg""",
         "q86_split_leakage": _split_oracle(),
         "q92_bpe_train": _bpe_oracle(),
         "q109_bpe_encode": _bpe_encode_oracle(),
+        "q120_harvest_stop": """
+WITH hosts AS (
+  SELECT doc_id AS h FROM documents WHERE doc_id < 30
+), stats AS (
+  SELECT h, unnest(generate_series(0, h % 6 + 2)) AS round
+  FROM hosts
+), rated AS (
+  SELECT 'h' || h AS host, round,
+    CAST(greatest(0, 8 - round * 2 - (h % 4)) AS DOUBLE)
+      / (10 + (h + round) % 3) AS x
+  FROM stats
+), per AS (
+  SELECT host, list(x ORDER BY round) AS xs FROM rated GROUP BY 1
+)
+SELECT host, len(xs) AS n_rounds,
+  round(xs[-1], 6) AS last_rate,
+  round(list_reduce(xs, (acc, x) -> 0.5 * x + 0.5 * acc), 6) AS ewma_rate,
+  round(list_reduce(xs, (acc, x) -> 0.5 * x + 0.5 * acc), 6) < 0.1
+    AS exhausted
+FROM per
+""",
         "q119_host_line_dedup": f"""
 WITH d AS (
   SELECT doc_id, 'h' || (doc_id % 25) AS host,

@@ -169,3 +169,53 @@ def allocate_budget_naive(
         )
         .withColumn("budget", F.col("base") + F.col("extra"))
     )
+
+
+# --- diminishing-returns crawl stop -------------------------------------------
+
+
+def harvest_stop(
+    stats: DataFrame,
+    alpha: float = 0.5,
+    eps: float = 0.1,
+    host_col: str = "host",
+    round_col: str = "round",
+    fetched_col: str = "n_fetched",
+    new_col: str = "n_new",
+) -> DataFrame:
+    """Per-host diminishing-returns stop rule from the round-by-round
+    harvest rate — the frontier-budget guard that ends a site's crawl
+    when discovery dries up (the harvest-rate criterion of focused
+    crawling, Chakrabarti et al. 1999, adapted to URL discovery):
+
+        rate_t  = n_new_t / n_fetched_t        (rounds with 0 fetches skip)
+        ewma_0  = rate_0;  ewma_t = alpha*rate_t + (1-alpha)*ewma_{t-1}
+        exhausted = ewma_T < eps
+
+    EWMA is computed as ONE in-order array fold per host (history is
+    O(rounds) — bounded small — so collect_list per host is safe), the
+    first element seeding the accumulator: exactly the recursion, no
+    pow(), engine-exact (DuckDB list_reduce seeds the same way). One
+    groupBy keyed on host; output one row per host for the frontier
+    to anti-join or down-prioritize."""
+    rate = F.col(new_col).cast("double") / F.col(fetched_col).cast("double")
+    d = stats.filter(F.col(fetched_col) > 0).select(
+        F.col(host_col).alias("h"),
+        F.struct(F.col(round_col).alias("r"), rate.alias("x")).alias("s"),
+    )
+    per = d.groupBy("h").agg(
+        F.array_sort(F.collect_list("s")).alias("arr")
+    )
+    a = float(alpha)
+    ewma = F.aggregate(
+        F.slice(F.col("arr"), 2, F.greatest(F.size("arr") - 1, F.lit(0))),
+        F.element_at(F.col("arr"), 1)["x"],
+        lambda acc, s: F.lit(a) * s["x"] + F.lit(1.0 - a) * acc,
+    )
+    return per.select(
+        F.col("h").alias(host_col),
+        F.size("arr").alias("n_rounds"),
+        F.round(F.element_at(F.col("arr"), -1)["x"], 6).alias("last_rate"),
+        F.round(ewma, 6).alias("ewma_rate"),
+        (F.round(ewma, 6) < F.lit(float(eps))).alias("exhausted"),
+    )

@@ -72,3 +72,48 @@ def test_sublinear_damping_reorders(spark):
     # sqrt: 1.0 vs 0.01 -> ~1000 vs ~10
     assert abs(out["d0000.com"] - 1000) <= 1
     assert abs(out["d0001.com"] - 10) <= 1
+
+
+# --- harvest-rate EWMA stop -----------------------------------------------------
+
+
+def _ref_harvest(rows, alpha=0.5, eps=0.1):
+    by = {}
+    for h, r, f, n in rows:
+        if f > 0:
+            by.setdefault(h, []).append((r, n / f))
+    out = {}
+    for h, xs in by.items():
+        xs.sort()
+        e = xs[0][1]
+        for _, x in xs[1:]:
+            e = alpha * x + (1 - alpha) * e
+        out[h] = (len(xs), round(xs[-1][1], 6), round(e, 6), round(e, 6) < eps)
+    return out
+
+
+def test_harvest_stop_matches_reference(spark):
+    from stock_crawler_spark.operators.budget import harvest_stop
+
+    rows = [
+        # drying up: .4 -> .25 -> .125 -> .0625: ewma sinks below 0.1
+        ("a.com", 0, 10, 4), ("a.com", 1, 10, 1),
+        ("a.com", 2, 10, 0), ("a.com", 3, 10, 0),
+        # steady discovery: stays productive
+        ("b.com", 0, 10, 6), ("b.com", 1, 10, 7), ("b.com", 2, 10, 6),
+        # zero-fetch round is skipped entirely
+        ("c.com", 0, 0, 0), ("c.com", 1, 5, 3),
+        # out-of-order input rounds fold in ROUND order
+        ("d.com", 2, 10, 0), ("d.com", 0, 10, 9), ("d.com", 1, 10, 5),
+    ]
+    df = spark.createDataFrame(rows, "host string, round int, n_fetched int, n_new int")
+    got = {
+        r["host"]: (r["n_rounds"], r["last_rate"], r["ewma_rate"], r["exhausted"])
+        for r in harvest_stop(df).collect()
+    }
+    exp = _ref_harvest(rows)
+    assert got == exp
+    assert got["a.com"][3] is True and got["b.com"][3] is False
+    assert got["c.com"][0] == 1
+    # d.com: 0.9 -> .5*.5+.5*.9=.7 -> .5*0+.5*.7=.35 (order matters)
+    assert got["d.com"][2] == 0.35
