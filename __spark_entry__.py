@@ -2434,6 +2434,27 @@ def q120_harvest_stop(spark, sf):
     return harvest_stop(stats, alpha=0.5, eps=0.1)
 
 
+def q121_readability(spark, sf):
+    """Flesch Reading Ease + Flesch-Kincaid grade (functions/text.
+    readability; Kincaid et al. 1975): words / sentence-run / vowel-run
+    counts as pure codegen regexp Columns, S floored at 1 for
+    punctuation-free text. Sentence punctuation is injected
+    deterministically (doc_id % 4 '. stop' suffixes) so both the
+    S-varying and the S-floor paths hit; oracle replays counts and the
+    exact division shapes."""
+    from stock_crawler_spark.functions.text import readability
+
+    docs = _t(spark, sf, "documents")
+    staged = docs.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.repeat(F.lit(". stop"), (F.col("doc_id") % 4).cast("int")),
+        ).alias("text"),
+    )
+    return readability(staged)
+
+
 # ---------------------------------------------------------------------------
 # driver API
 # ---------------------------------------------------------------------------
@@ -2566,6 +2587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q118_pmi_bigrams": q118_pmi_bigrams,
         "q119_host_line_dedup": q119_host_line_dedup,
         "q120_harvest_stop": q120_harvest_stop,
+        "q121_readability": q121_readability,
     }
 
 
@@ -4409,6 +4431,22 @@ FROM agg""",
         "q86_split_leakage": _split_oracle(),
         "q92_bpe_train": _bpe_oracle(),
         "q109_bpe_encode": _bpe_encode_oracle(),
+        "q121_readability": """
+WITH d AS (
+  SELECT doc_id, coalesce(text, '') || repeat('. stop', doc_id % 4) AS t2
+  FROM documents
+), m AS (
+  SELECT doc_id,
+    len(string_split_regex(trim(t2), '\\s+')) AS w,
+    greatest(len(regexp_extract_all(t2, '[.!?]+')), 1) AS s,
+    len(regexp_extract_all(t2, '[aeiouyAEIOUY]+')) AS y
+  FROM d WHERE trim(t2) <> ''
+)
+SELECT doc_id, w AS n_words, s AS n_sentences, y AS n_syllables,
+  round(206.835 - 1.015 * (w / s) - 84.6 * (y / w), 6) AS fre_r,
+  round(0.39 * (w / s) + 11.8 * (y / w) - 15.59, 6) AS fkgl_r
+FROM m
+""",
         "q120_harvest_stop": """
 WITH hosts AS (
   SELECT doc_id AS h FROM documents WHERE doc_id < 30

@@ -415,3 +415,42 @@ def tfidf_cosine_pairs(
         .filter(F.col("cos_r") >= float(min_sim))
         .select("doc_a", "doc_b", "n_shared", "cos_r")
     )
+
+
+# --- readability (Flesch) -------------------------------------------------------
+
+_VOWEL_RUNS = "[aeiouyAEIOUY]+"
+_SENT_RUNS = "[.!?]+"
+
+
+def readability(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Flesch Reading Ease + Flesch-Kincaid grade level per document
+    (Kincaid et al. 1975) — the classic readability pair, still a
+    standard feature in web quality filters:
+
+        FRE  = 206.835 - 1.015*(W/S) - 84.6*(Y/W)
+        FKGL = 0.39*(W/S) + 11.8*(Y/W) - 15.59
+
+    W = whitespace words, S = sentence-ending punctuation runs
+    (floored at 1: headline-style text without terminal punctuation is
+    one sentence, not a division by zero), Y = syllable estimate as
+    vowel-group runs over the whole text (whitespace breaks groups, so
+    this is the per-word vowel-group sum — the standard cheap
+    syllable proxy; exact per both engines' regexp engines on this
+    character-class-only pattern). Pure Column chain — codegen mapper,
+    zero shuffles; blank docs are excluded (no words, no score)."""
+    from pyspark.sql import functions as F
+
+    w = token_count_ws(F.col(text_col))
+    s = F.greatest(F.regexp_count(F.col(text_col), F.lit(_SENT_RUNS)), F.lit(1))
+    y = F.regexp_count(F.col(text_col), F.lit(_VOWEL_RUNS))
+    wps = w.cast("double") / s.cast("double")
+    ypw = y.cast("double") / w.cast("double")
+    return docs.filter(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col),
+        w.alias("n_words"),
+        s.alias("n_sentences"),
+        y.alias("n_syllables"),
+        F.round(F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * ypw, 6).alias("fre_r"),
+        F.round(F.lit(0.39) * wps + F.lit(11.8) * ypw - F.lit(15.59), 6).alias("fkgl_r"),
+    )

@@ -258,3 +258,52 @@ def test_tfidf_cosine_partition_invariance(spark):
         map(tuple, tfidf_cosine_pairs(docs.repartition(13), 0.3).collect())
     )
     assert r1 == r2 and len(r1) > 0
+
+
+# --- readability -----------------------------------------------------------------
+
+
+def _ref_readability(texts):
+    import re
+
+    out = {}
+    for d, t in texts:
+        if not t or not t.strip():
+            continue
+        w = len(t.strip().split())
+        s = max(len(re.findall(r"[.!?]+", t)), 1)
+        y = len(re.findall(r"[aeiouyAEIOUY]+", t))
+        wps, ypw = w / s, y / w
+        out[d] = (
+            w, s, y,
+            round(206.835 - 1.015 * wps - 84.6 * ypw, 6),
+            round(0.39 * wps + 11.8 * ypw - 15.59, 6),
+        )
+    return out
+
+
+def test_readability_matches_reference(spark):
+    from stock_crawler_spark.functions.text import readability
+
+    texts = [
+        (1, "The cat sat. The dog ran! Did it?"),
+        (2, "Incomprehensibility characterises multisyllabic terminology."),
+        (3, "no terminal punctuation here at all"),
+        (4, "  "),
+        (5, "Ellipsis... and?! mixed runs.. count as single boundaries"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_words"], r["n_sentences"], r["n_syllables"],
+            r["fre_r"], r["fkgl_r"],
+        )
+        for r in readability(docs).collect()
+    }
+    assert got == _ref_readability(texts)
+    # simple prose reads easier than the polysyllabic monster
+    assert got[1][3] > got[2][3]
+    # grade level orders the other way
+    assert got[1][4] < got[2][4]
+    # blank doc excluded; punctuation-free doc uses S = 1
+    assert 4 not in got and got[3][1] == 1
