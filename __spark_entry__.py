@@ -2455,6 +2455,35 @@ def q121_readability(spark, sf):
     return readability(staged)
 
 
+def q122_zipf_fit(spark, sf):
+    """Zipf rank-frequency fit (operators/profile.zipf_fit): OLS of
+    ln(freq) on ln(rank) over the top-30 vocabulary — the natural-
+    language sanity slope (~ -1) and spam-drift alarm. Parallel
+    TakeOrdered top-k, one K-row window, order-pinned float sums."""
+    from stock_crawler_spark.operators.profile import zipf_fit
+
+    docs = _t(spark, sf, "documents")
+    toks = docs.filter(F.trim(F.col("text")) != "").select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("t")
+    ).filter(F.col("t") != "")
+    return zipf_fit(toks, k=30)
+
+
+def q123_skew_profile(spark, sf):
+    """Key-skew profile (operators/profile.skew_profile): the salting
+    decision in one row — count concentration + exact-integer Gini over
+    per-key counts, ranks from the shared distributed global-index
+    pattern (never a single-partition window over distinct keys).
+    Profiled key: the corpus vocabulary."""
+    from stock_crawler_spark.operators.profile import skew_profile
+
+    docs = _t(spark, sf, "documents")
+    toks = docs.filter(F.trim(F.col("text")) != "").select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("t")
+    ).filter(F.col("t") != "")
+    return skew_profile(toks, "t", top_k=10)
+
+
 # ---------------------------------------------------------------------------
 # driver API
 # ---------------------------------------------------------------------------
@@ -2588,6 +2617,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q119_host_line_dedup": q119_host_line_dedup,
         "q120_harvest_stop": q120_harvest_stop,
         "q121_readability": q121_readability,
+        "q122_zipf_fit": q122_zipf_fit,
+        "q123_skew_profile": q123_skew_profile,
     }
 
 
@@ -4431,6 +4462,55 @@ FROM agg""",
         "q86_split_leakage": _split_oracle(),
         "q92_bpe_train": _bpe_oracle(),
         "q109_bpe_encode": _bpe_encode_oracle(),
+        "q122_zipf_fit": f"""
+WITH tf AS (
+  SELECT t, count(*) AS c
+  FROM (SELECT unnest({_TOKS}) AS t FROM documents WHERE trim(text) <> '')
+  WHERE t <> '' GROUP BY 1
+), top AS (
+  SELECT t, c, row_number() OVER (ORDER BY c DESC, t) AS rank
+  FROM tf ORDER BY c DESC, t LIMIT 30
+), pts AS (
+  SELECT rank, round(ln(rank), 12) AS x, round(ln(c), 12) AS y FROM top
+), s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+    list_aggregate(list(x ORDER BY rank), 'sum') AS sx,
+    list_aggregate(list(y ORDER BY rank), 'sum') AS sy,
+    list_aggregate(list(x * x ORDER BY rank), 'sum') AS sxx,
+    list_aggregate(list(y * y ORDER BY rank), 'sum') AS syy,
+    list_aggregate(list(x * y ORDER BY rank), 'sum') AS sxy
+  FROM pts
+)
+SELECT CAST(n AS BIGINT) AS k,
+  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope_r,
+  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+    AS intercept_r,
+  round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+        / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2_r
+FROM s
+""",
+        "q123_skew_profile": f"""
+WITH cnt AS (
+  SELECT t AS k, count(*) AS c
+  FROM (SELECT unnest({_TOKS}) AS t FROM documents WHERE trim(text) <> '')
+  WHERE t <> '' GROUP BY 1
+), r AS (
+  SELECT c, row_number() OVER (ORDER BY c, k) AS i FROM cnt
+), agg AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_rows, count(*) AS m,
+    CAST(sum(i * c) AS BIGINT) AS ic,
+    max(CASE WHEN i = (SELECT count(*) FROM cnt) THEN c END) AS top1,
+    CAST(sum(CASE WHEN i > (SELECT count(*) FROM cnt) - 10 THEN c END)
+         AS BIGINT) AS topk
+  FROM r
+)
+SELECT n_rows, CAST(m AS BIGINT) AS n_keys,
+  round(top1 / n_rows, 6) AS top1_share_r,
+  round(topk / n_rows, 6) AS topk_share_r,
+  round(2.0 * ic / (CAST(m AS DOUBLE) * n_rows) - (m + 1) / CAST(m AS DOUBLE), 6)
+    AS gini_r
+FROM agg
+""",
         "q121_readability": """
 WITH d AS (
   SELECT doc_id, coalesce(text, '') || repeat('. stop', doc_id % 4) AS t2

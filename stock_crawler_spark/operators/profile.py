@@ -1,0 +1,148 @@
+"""Corpus / key-distribution diagnostics: Zipf fit and skew profiling.
+
+Datasheet-grade statistics a 100 TB pipeline computes about ITSELF:
+
+  zipf_fit       OLS slope of the rank-frequency log-log line over the
+                 top-K vocabulary — the sanity check that a text corpus
+                 is natural language (slope ~ -1, Zipf 1949) and the
+                 drift alarm when a crawl fills with spam/boilerplate
+                 (slope flattens).
+  skew_profile   the shuffle-planning profile of ANY key column: row /
+                 distinct counts, top-share concentration, and the Gini
+                 coefficient of the per-key count distribution — the
+                 number that says whether a join/groupBy on this key
+                 needs salting (engine's own operators document their
+                 skew levers; this measures the skew they guard
+                 against).
+
+Scale notes: both reduce to per-key counts (one map-side-partial
+groupBy — the only corpus-scale shuffle). zipf_fit then works on K
+rows (driver-free TakeOrdered + one K-row window — K ~ 100).
+skew_profile needs the RANK of every distinct key by count; at 10^8+
+distinct keys that must not be a single-partition window, so the rank
+comes from the shared distributed global-index pattern
+(operators/training._pinned_range_parts), and every Gini term is exact
+integer arithmetic (rank * count products summed as longs — no float
+associativity anywhere until the final division).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from stock_crawler_spark.operators.training import _pinned_range_parts
+
+
+def zipf_fit(
+    tokens: DataFrame,
+    k: int = 100,
+    term_col: str = "t",
+) -> DataFrame:
+    """One row: (k, slope_r, intercept_r, r2_r) — OLS of
+    ln(freq) on ln(rank) over the top-k terms (rank by freq DESC, term
+    ASC: a total order, so the fit is rerun-exact).
+
+    The closed-form normal equations run over ONE ordered array fold
+    (rank order) so every float sum is order-pinned; ln values carry
+    the engine-wide round-12 discipline. The top-k is Spark's parallel
+    TakeOrdered (orderBy + limit — per-partition heaps, no global
+    sort); the K-row window after it is driver-scale by construction."""
+    tf = tokens.groupBy(term_col).agg(F.count(F.lit(1)).alias("c"))
+    top = tf.orderBy(F.desc("c"), F.asc(term_col)).limit(int(k))
+    w = Window.orderBy(F.desc("c"), F.asc(term_col))
+    pts = top.withColumn("rank", F.row_number().over(w)).select(
+        F.round(F.log(F.col("rank").cast("double")), 12).alias("x"),
+        F.round(F.log(F.col("c").cast("double")), 12).alias("y"),
+        "rank",
+    )
+
+    def osum(val):
+        return F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("rank"), val.alias("v")))
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + s["v"],
+        )
+
+    agg = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        osum(F.col("x")).alias("sx"),
+        osum(F.col("y")).alias("sy"),
+        osum(F.col("x") * F.col("x")).alias("sxx"),
+        osum(F.col("y") * F.col("y")).alias("syy"),
+        osum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return agg.select(
+        F.col("n").cast("long").alias("k"),
+        F.round(cov / varx, 6).alias("slope_r"),
+        F.round((F.col("sy") - (cov / varx) * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept_r"
+        ),
+        F.round((cov * cov) / (varx * vary), 6).alias("r2_r"),
+    )
+
+
+def skew_profile(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 10,
+    n_partitions: int = 32,
+) -> DataFrame:
+    """One row: (n_rows, n_keys, top1_share_r, topk_share_r, gini_r)
+    for the distribution of per-key row counts — the salting decision
+    in one number. Gini over counts c_(1) <= ... <= c_(m):
+
+        G = (2 * sum(i * c_(i)) / (m * sum(c))) - (m + 1) / m
+
+    Ranks come from the distributed global-index pattern over
+    (count, key) — never a single-partition window over the distinct
+    keys — and every sum is exact integer arithmetic (i * c_(i) as
+    longs); floats appear only in the final divisions, so the profile
+    is bit-stable under any partitioning. NULL keys count as a real
+    key (their share is exactly what a skew planner needs to see)."""
+    counts = df.groupBy(
+        F.col(key_col).cast("string").alias("_k")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    p = _pinned_range_parts(counts, n_partitions, F.asc("c"), F.asc("_k"))
+    totals = p.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    off, rows = 0, []
+    for pid, n in sorted((r["_pid"], r["n"]) for r in totals):
+        rows.append((int(pid), int(off)))
+        off += int(n)
+    offs = df.sparkSession.createDataFrame(rows, "_pid int, _base long")
+    local = F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1))
+    ranked = (
+        p.sortWithinPartitions("c", "_k")
+        .withColumn("_local", local)
+        .join(F.broadcast(offs), "_pid")
+        .withColumn("i", F.col("_base") + F.col("_local") + 1)
+    )
+    agg = ranked.agg(
+        F.sum("c").alias("n_rows"),
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.col("i") * F.col("c")).alias("ic"),
+        F.max(F.when(F.col("i") == off, F.col("c"))).alias("top1"),
+        F.sum(F.when(F.col("i") > off - int(top_k), F.col("c"))).alias("topk"),
+    )
+    m = F.col("m").cast("double")
+    return agg.select(
+        "n_rows",
+        F.col("m").alias("n_keys"),
+        F.round(F.col("top1").cast("double") / F.col("n_rows"), 6).alias(
+            "top1_share_r"
+        ),
+        F.round(F.col("topk").cast("double") / F.col("n_rows"), 6).alias(
+            "topk_share_r"
+        ),
+        F.round(
+            F.lit(2.0) * F.col("ic").cast("double")
+            / (m * F.col("n_rows").cast("double"))
+            - (m + 1) / m,
+            6,
+        ).alias("gini_r"),
+    )

@@ -1,0 +1,85 @@
+"""Zipf fit + skew profile diagnostics."""
+
+from __future__ import annotations
+
+import math
+
+
+def _ref_zipf(freqs, k):
+    top = sorted(freqs.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    pts = [
+        (round(math.log(i + 1), 12), round(math.log(c), 12))
+        for i, (_, c) in enumerate(top)
+    ]
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    syy = sum(y * y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    cov, varx, vary = n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy
+    return (
+        n,
+        round(cov / varx, 6),
+        round((sy - (cov / varx) * sx) / n, 6),
+        round(cov * cov / (varx * vary), 6),
+    )
+
+
+def test_zipf_fit_recovers_power_law(spark):
+    from stock_crawler_spark.operators.profile import zipf_fit
+
+    # exact Zipf: term i appears floor(1000/i) times -> slope ~ -1
+    rows = [(f"w{i:03d}",) for i in range(1, 40) for _ in range(1000 // i)]
+    df = spark.createDataFrame(rows, "t string")
+    got = zipf_fit(df, k=30).collect()[0]
+    freqs = {}
+    for (t,) in rows:
+        freqs[t] = freqs.get(t, 0) + 1
+    exp = _ref_zipf(freqs, 30)
+    assert (got["k"], got["slope_r"], got["intercept_r"], got["r2_r"]) == exp
+    assert -1.05 < got["slope_r"] < -0.95
+    assert got["r2_r"] > 0.99
+
+
+def _ref_skew(keys, top_k=10):
+    from collections import Counter
+
+    c = Counter(keys)
+    counts = sorted((v, str(k)) for k, v in c.items())
+    m, n = len(counts), sum(v for v, _ in counts)
+    ic = sum((i + 1) * v for i, (v, _) in enumerate(counts))
+    gini = 2.0 * ic / (m * n) - (m + 1) / m
+    top1 = counts[-1][0]
+    topk = sum(v for v, _ in counts[-top_k:])
+    return (n, m, round(top1 / n, 6), round(topk / n, 6), round(gini, 6))
+
+
+def test_skew_profile_uniform_and_skewed(spark):
+    from stock_crawler_spark.operators.profile import skew_profile
+
+    uni = spark.createDataFrame([(f"k{i % 8}",) for i in range(64)], "key string")
+    r = skew_profile(uni, "key").collect()[0]
+    assert (r["n_rows"], r["n_keys"], r["gini_r"]) == (64, 8, 0.0)
+
+    skewed_keys = ["hot"] * 90 + [f"cold{i}" for i in range(10)]
+    sk = spark.createDataFrame([(k,) for k in skewed_keys], "key string")
+    r2 = skew_profile(sk, "key", top_k=3).collect()[0]
+    exp = _ref_skew(skewed_keys, 3)
+    assert (
+        r2["n_rows"], r2["n_keys"], r2["top1_share_r"], r2["topk_share_r"],
+        r2["gini_r"],
+    ) == exp
+    assert r2["top1_share_r"] == 0.9 and r2["gini_r"] > 0.7
+
+
+def test_skew_profile_partition_invariance_and_nulls(spark):
+    from stock_crawler_spark.operators.profile import skew_profile
+
+    rows = [(f"k{i % 7}" if i % 5 else None,) for i in range(200)]
+    df = spark.createDataFrame(rows, "key string")
+    a = tuple(skew_profile(df, "key").collect()[0])
+    b = tuple(skew_profile(df.repartition(11), "key", n_partitions=5).collect()[0])
+    assert a == b
+    # NULL keys are profiled as a real key
+    assert a[1] == 8
