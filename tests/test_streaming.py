@@ -420,3 +420,43 @@ def test_streaming_meta_robots_flags_match_batch(spark, tmp_path):
     got = sorted(map(tuple, spark.sql("select * from mr_flags").collect()))
     want = sorted(map(tuple, xform(df).collect()))
     assert got == want
+
+
+def test_streaming_chunk_and_readability_match_batch(spark, tmp_path):
+    """chunk_windows and readability are stateless narrow Column chains
+    (explode + regexp counts), so they apply to a stream UNCHANGED —
+    the ingestion-time chunker/scorer of a live crawl must emit exactly
+    what a batch re-run would."""
+    from stock_crawler_spark.functions.text import readability
+    from stock_crawler_spark.operators.lines import chunk_windows
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again. Yes!"),
+        (2, "short one."),
+        (3, " ".join(f"tok{i} word{i}" for i in range(20)) + "."),
+        (4, "   "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "docs_chunk_stream")
+    df.coalesce(1).write.parquet(path)
+
+    def xform(d):
+        chunks = chunk_windows(d, chunk_tokens=8, stride=6)
+        scores = readability(d).select(
+            "doc_id", F.col("fre_r").alias("doc_fre")
+        )
+        return chunks.join(scores, "doc_id")
+
+    stream = spark.readStream.schema(spark.read.parquet(path).schema).parquet(path)
+    q = (
+        xform(stream)
+        .writeStream.format("memory")
+        .queryName("chunk_read")
+        .option("checkpointLocation", str(tmp_path / "ckpt_chunk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql("select * from chunk_read").collect()))
+    want = sorted(map(tuple, xform(spark.read.parquet(path)).collect()))
+    assert got == want and len(got) > 0
