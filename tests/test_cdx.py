@@ -190,3 +190,46 @@ def test_cdx_cluster_index_tiles_key_space(spark):
     for (a, b) in zip(shards, shards[1:]):
         assert (a[3], a[4]) <= (b[1], b[2]), (a, b)
     assert sum(s[5] for s in shards) == 250
+
+
+def test_cluster_index_routes_lookups_via_asof(spark):
+    """Read-path proof for the two-level index: route each query key to
+    its shard with merge_asof over (first_surt, first_ts) — 'the last
+    shard starting at or before the key' — and check that every key
+    that EXISTS in the CDX is found inside exactly the routed shard."""
+    from pyspark.sql import functions as F
+
+    from stock_crawler_spark.operators.asof import merge_asof
+    from stock_crawler_spark.operators.cdx import cdx_cluster_index
+
+    rows = [
+        (f"com,site)/{i:04d}", f"2024010{1 + i % 3}000000", f"https://site.com/{i:04d}")
+        for i in range(0, 400, 2)  # even keys only
+    ]
+    cdx = spark.createDataFrame(rows, "surt string, ts string, url string")
+    cluster = cdx_cluster_index(cdx, shard_records=25)
+
+    # querying both present (even) and absent (odd) keys
+    queries = spark.createDataFrame(
+        [(f"com,site)/{i:04d}", "20240101000000") for i in range(0, 400, 7)],
+        "surt string, ts string",
+    ).withColumn("qkey", F.concat_ws("\x01", "surt", "ts"))
+    shards = cluster.select(
+        F.concat_ws("\x01", "first_surt", "first_ts").alias("qkey"),
+        "shard_id", "first_surt", "last_surt",
+    ).withColumn("_g", F.lit(1))
+    routed = merge_asof(
+        queries.withColumn("_g", F.lit(1)), shards, on="qkey", by="_g"
+    )
+    # ground truth: shard of each existing key from the index build
+    truth_rows = sorted(rows)
+    shard_of = {
+        (r[0], r[1]): i // 25 for i, r in enumerate(truth_rows)
+    }
+    for q in routed.collect():
+        key = (q["surt"], q["ts"])
+        if key in shard_of:
+            assert q["shard_id_asof"] == shard_of[key], key
+        else:
+            # absent keys still route into the unique covering range
+            assert q["first_surt_asof"] <= q["surt"], key
