@@ -2484,6 +2484,28 @@ def q123_skew_profile(spark, sf):
     return skew_profile(toks, "t", top_k=10)
 
 
+def q124_line_lang(spark, sf):
+    """Per-line language profile (operators/lines.line_lang_profile) —
+    the CC-Net per-paragraph lang-ID move: line-level lang_id rolled up
+    to (counts, dominant with fixed alphabetical tie-break, mixed
+    flag). Every 5th doc gets an appended CJK run so the zh path and
+    the mixed flag both exercise; oracle replays the line split and
+    the lang CASE per line."""
+    from stock_crawler_spark.operators.lines import line_lang_profile
+
+    docs = _t(spark, sf, "documents")
+    staged = docs.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0, F.lit(" 的 了 是 在 有 我 他 这")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return line_lang_profile(staged)
+
+
 # ---------------------------------------------------------------------------
 # driver API
 # ---------------------------------------------------------------------------
@@ -2619,6 +2641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q121_readability": q121_readability,
         "q122_zipf_fit": q122_zipf_fit,
         "q123_skew_profile": q123_skew_profile,
+        "q124_line_lang": q124_line_lang,
     }
 
 
@@ -4488,6 +4511,49 @@ SELECT CAST(n AS BIGINT) AS k,
   round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
         / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2_r
 FROM s
+""",
+        "q124_line_lang": f"""
+WITH d AS (
+  SELECT doc_id, coalesce(text, '')
+    || CASE WHEN doc_id % 5 = 0 THEN ' 的 了 是 在 有 我 他 这' ELSE '' END AS t2
+  FROM documents
+), toks AS (
+  SELECT doc_id, string_split_regex(trim(t2), '\\s+') AS t
+  FROM d WHERE trim(t2) <> ''
+), ls AS (
+  SELECT doc_id, list_transform(
+    generate_series(0, CAST(ceil(len(t) / {float(LINE_TOKENS)}) AS INT) - 1),
+    i -> array_to_string(t[(i*{LINE_TOKENS}+1):(i*{LINE_TOKENS}+{LINE_TOKENS})], ' ')) AS lns
+  FROM toks
+), lines AS (
+  SELECT doc_id, unnest(lns) AS line FROM ls
+), lng AS (
+  SELECT doc_id,
+    CASE
+      WHEN length(line) > 0 AND
+           CAST(len(regexp_extract_all(line, '[一-鿿]')) AS DOUBLE)
+             / length(line) > 0.25 THEN 'zh'
+      WHEN len(string_split_regex(trim(lower(line)), '\\s+')) > 0 AND
+           CAST(len(list_filter(string_split_regex(trim(lower(line)), '\\s+'),
+                                x -> x IN ({_STOP_SQL}))) AS DOUBLE)
+             / len(string_split_regex(trim(lower(line)), '\\s+')) >= 0.08
+        THEN 'en'
+      ELSE 'und'
+    END AS lg
+  FROM lines
+), per AS (
+  SELECT doc_id, count(*) AS n_lines,
+    CAST(sum(CASE WHEN lg = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+    CAST(sum(CASE WHEN lg = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS n_zh,
+    CAST(sum(CASE WHEN lg = 'und' THEN 1 ELSE 0 END) AS BIGINT) AS n_und
+  FROM lng GROUP BY 1
+)
+SELECT doc_id, n_lines, n_en, n_zh, n_und,
+  CASE WHEN n_en >= n_und AND n_en >= n_zh THEN 'en'
+       WHEN n_und >= n_zh THEN 'und' ELSE 'zh' END AS dominant_lang,
+  (CAST(n_en > 0 AS INT) + CAST(n_zh > 0 AS INT) + CAST(n_und > 0 AS INT)) >= 2
+    AS mixed
+FROM per
 """,
         "q123_skew_profile": f"""
 WITH cnt AS (

@@ -418,3 +418,53 @@ def host_line_dedup(
         "n_kept",
         "clean_fp",
     )
+
+
+def line_lang_profile(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_tokens: int = DEFAULT_LINE_TOKENS,
+) -> DataFrame:
+    """Per-LINE language identification rolled up per document — the
+    CC-Net move (Wenzek et al. 2020 run lang-ID per paragraph, not per
+    page) that catches mixed-language pages a doc-level ID averages
+    away: boilerplate in English wrapping body text in Chinese, quoted
+    passages, bilingual news. Returns (id, n_lines, n_en, n_zh, n_und,
+    dominant_lang, mixed).
+
+    dominant_lang is the max line count with alphabetical tie-break
+    (en < und < zh — a fixed total order, so the rollup is
+    engine-exact); ``mixed`` flags >= 2 languages present. Pure Column
+    chain over the shared deterministic line split + functions/
+    text.lang_id — one narrow explode, one groupBy, codegen."""
+    from stock_crawler_spark.functions.text import lang_id
+
+    lines = _exploded_lines(docs, id_col, text_col, line_tokens).withColumn(
+        "_lg", lang_id(F.col("line"))
+    )
+    per = lines.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum((F.col("_lg") == "en").cast("long")).alias("n_en"),
+        F.sum((F.col("_lg") == "zh").cast("long")).alias("n_zh"),
+        F.sum((F.col("_lg") == "und").cast("long")).alias("n_und"),
+    )
+    dom = (
+        F.when(
+            (F.col("n_en") >= F.col("n_und")) & (F.col("n_en") >= F.col("n_zh")),
+            F.lit("en"),
+        )
+        .when(F.col("n_und") >= F.col("n_zh"), F.lit("und"))
+        .otherwise(F.lit("zh"))
+    )
+    n_present = (
+        (F.col("n_en") > 0).cast("int")
+        + (F.col("n_zh") > 0).cast("int")
+        + (F.col("n_und") > 0).cast("int")
+    )
+    return per.select(
+        F.col("doc").alias(id_col),
+        "n_lines", "n_en", "n_zh", "n_und",
+        dom.alias("dominant_lang"),
+        (n_present >= 2).alias("mixed"),
+    )

@@ -275,3 +275,48 @@ def test_host_line_dedup_vs_global_overstrip(spark):
     }
     assert all(v == 1 for v in host_kept.values())
     assert all(v == 0 for v in glob_kept.values())
+
+
+# --- per-line language profile ----------------------------------------------
+
+
+def test_line_lang_profile_detects_mixed_docs(spark):
+    from stock_crawler_spark.operators.lines import line_lang_profile
+
+    en_line = "the of and to in is was for on with"[:100]
+    zh_line = "的 了 是 在 有 我 他 这"
+    und_line = "zzz qqq vvv kkk jjj xxx www yyy"
+    rows = [
+        (1, f"{en_line} {zh_line}"),          # en line + zh line -> mixed
+        (2, f"{en_line} {en_line}"),          # pure en
+        (3, und_line),                         # single und line
+        (4, "的 了 是 在 有 我 他 这 你 好 "
+            "的 了 是 在 有 我 他 这 你 好 " + en_line),  # 2 zh lines + 1 en
+        (5, ""),                               # blank: no rows
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_lines"], r["n_en"], r["n_zh"], r["n_und"],
+            r["dominant_lang"], r["mixed"],
+        )
+        for r in line_lang_profile(docs, line_tokens=10).collect()
+    }
+    assert got[1] == (2, 1, 1, 0, "en", True)
+    assert got[2] == (2, 2, 0, 0, "en", False)
+    assert got[3] == (1, 0, 0, 1, "und", False)
+    assert got[4][4] == "zh" and got[4][5] is True
+    assert 5 not in got
+
+
+def test_line_lang_profile_tie_breaks_alphabetically(spark):
+    from stock_crawler_spark.operators.lines import line_lang_profile
+
+    zh = "的 了 是 在 有 我 他 这 你 好"
+    und = "zzz qqq vvv kkk jjj xxx www yyy uuu ttt"
+    docs = spark.createDataFrame(
+        [(1, f"{zh} {und}")], "doc_id long, text string"
+    )
+    r = line_lang_profile(docs, line_tokens=10).collect()[0]
+    # one zh line, one und line: tie -> 'und' (alphabetical, en<und<zh)
+    assert (r["n_zh"], r["n_und"], r["dominant_lang"]) == (1, 1, "und")
