@@ -2506,6 +2506,32 @@ def q124_line_lang(spark, sf):
     return line_lang_profile(staged)
 
 
+def q125_content_sniff(spark, sf):
+    """Content sniffing (functions/html.content_sniff): MIME from
+    payload magic (WHATWG-in-spirit ordered rules), declared charset /
+    XML encoding extraction, doctype flag — the dispatch row before
+    parser routing. Six synthetic payload classes cycle by doc_id % 6;
+    oracle replays the rule CASE and the RE2-safe charset regex."""
+    from stock_crawler_spark.functions.html import content_sniff
+
+    docs = _t(spark, sf, "documents")
+    payload = (
+        F.when(F.col("doc_id") % 6 == 0,
+               F.concat(F.lit("%PDF-1."), (F.col("doc_id") % 3).cast("string"), F.lit(" obj")))
+        .when(F.col("doc_id") % 6 == 1, F.lit("GIF89a frame"))
+        .when(F.col("doc_id") % 6 == 2,
+              F.concat(F.lit('<!DOCTYPE html><html><head><meta charset="utf-8"></head><body>'),
+                       F.coalesce(F.col("text"), F.lit(""))))
+        .when(F.col("doc_id") % 6 == 3,
+              F.concat(F.lit('<?xml version="1.0" encoding="ISO-8859-'),
+                       (F.col("doc_id") % 3 + 1).cast("string"), F.lit('"?>')))
+        .when(F.col("doc_id") % 6 == 4,
+              F.concat(F.lit('{"doc": '), F.col("doc_id").cast("string"), F.lit("}")))
+        .otherwise(F.coalesce(F.col("text"), F.lit("")))
+    )
+    return content_sniff(docs.select("doc_id", payload.alias("payload")))
+
+
 # ---------------------------------------------------------------------------
 # driver API
 # ---------------------------------------------------------------------------
@@ -2642,6 +2668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q122_zipf_fit": q122_zipf_fit,
         "q123_skew_profile": q123_skew_profile,
         "q124_line_lang": q124_line_lang,
+        "q125_content_sniff": q125_content_sniff,
     }
 
 
@@ -4512,6 +4539,42 @@ SELECT CAST(n AS BIGINT) AS k,
         / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2_r
 FROM s
 """,
+        "q125_content_sniff": '''
+WITH pages AS (
+  SELECT doc_id,
+    CASE doc_id % 6
+      WHEN 0 THEN '%PDF-1.' || (doc_id % 3) || ' obj'
+      WHEN 1 THEN 'GIF89a frame'
+      WHEN 2 THEN '<!DOCTYPE html><html><head><meta charset="utf-8"></head><body>'
+                  || coalesce(text, '')
+      WHEN 3 THEN '<?xml version="1.0" encoding="ISO-8859-'
+                  || (doc_id % 3 + 1) || '"?>'
+      WHEN 4 THEN '{"doc": ' || doc_id || '}'
+      ELSE coalesce(text, '')
+    END AS payload
+  FROM documents
+), s AS (
+  SELECT doc_id, payload, ltrim(payload) AS t,
+    lower(substr(ltrim(payload), 1, 256)) AS head,
+    regexp_extract(substr(payload, 1, 1024),
+      '(?i)(?:charset|encoding)\s*=\s*["'']?([A-Za-z0-9_][A-Za-z0-9_.:-]*)',
+      1) AS hit
+  FROM pages
+)
+SELECT doc_id,
+  CASE
+    WHEN starts_with(t, '%PDF-') THEN 'application/pdf'
+    WHEN starts_with(t, 'GIF87a') OR starts_with(t, 'GIF89a') THEN 'image/gif'
+    WHEN starts_with(head, '<!doctype html') OR contains(head, '<html')
+      THEN 'text/html'
+    WHEN starts_with(t, '<?xml') THEN 'text/xml'
+    WHEN starts_with(t, '{') OR starts_with(t, '[') THEN 'application/json'
+    ELSE 'text/plain'
+  END AS mime_sniffed,
+  CASE WHEN hit <> '' THEN lower(hit) END AS charset,
+  starts_with(lower(t), '<!doctype') AS has_doctype
+FROM s
+''',
         "q124_line_lang": f"""
 WITH d AS (
   SELECT doc_id, coalesce(text, '')

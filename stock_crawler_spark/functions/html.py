@@ -187,3 +187,64 @@ def _meta_directive_py(html: str, hits: tuple[str, ...]) -> bool:
     joined = ",".join(vals).lower()
     pat = r"(^|[,\s])(" + "|".join(hits) + r")([,\s]|$)"
     return re.search(pat, joined) is not None
+
+
+# --- content sniffing -----------------------------------------------------------
+
+_CHARSET_RX = (
+    r'(?i)(?:charset|encoding)\s*=\s*["\x27]?([A-Za-z0-9_][A-Za-z0-9_.:-]*)'
+)
+
+
+def sniff_mime(payload: Column) -> Column:
+    """MIME type from content magic — the ingest-time sniff a crawler
+    runs because Content-Type headers lie (WHATWG MIME-sniffing in
+    spirit; text-representable magics here, binary magics live behind
+    the multimodal wall). Ordered first-match rules, pure Column:
+    %PDF- / GIF8xa prefixes, doctype-or-<html> for HTML, <?xml, a
+    leading { or [ for JSON, else text/plain."""
+    t = F.ltrim(payload)
+    head = F.lower(F.substring(t, 1, 256))
+    return (
+        F.when(t.startswith("%PDF-"), F.lit("application/pdf"))
+        .when(
+            t.startswith("GIF87a") | t.startswith("GIF89a"), F.lit("image/gif")
+        )
+        .when(
+            head.startswith("<!doctype html") | head.contains("<html"),
+            F.lit("text/html"),
+        )
+        .when(t.startswith("<?xml"), F.lit("text/xml"))
+        .when(
+            t.startswith("{") | t.startswith("["), F.lit("application/json")
+        )
+        .otherwise(F.lit("text/plain"))
+    )
+
+
+def sniff_charset(payload: Column) -> Column:
+    """Declared charset from the first 1024 chars (meta charset=...,
+    XML encoding=..., or Content-Type-style charset= attributes),
+    lowercased; NULL when undeclared. RE2-safe character-class regex —
+    engine-identical between Spark and the SQL oracle."""
+    hit = F.regexp_extract(F.substring(payload, 1, 1024), _CHARSET_RX, 1)
+    return F.when(hit != "", F.lower(hit))
+
+
+def content_sniff(
+    pages,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+):
+    """(id, mime_sniffed, charset, has_doctype) — one codegen mapper,
+    zero shuffles; the dispatch row a fetch pipeline computes before
+    routing payloads to parsers (reference analog: the per-strategy
+    parser dispatch, parser/parser.go)."""
+    return pages.select(
+        F.col(id_col),
+        sniff_mime(F.col(payload_col)).alias("mime_sniffed"),
+        sniff_charset(F.col(payload_col)).alias("charset"),
+        F.lower(F.ltrim(F.col(payload_col)))
+        .startswith("<!doctype")
+        .alias("has_doctype"),
+    )

@@ -198,3 +198,36 @@ def test_meta_robots_column_python_twins_agree(spark):
     for r in got:
         assert r["ni"] == meta_noindex_py(r["h"]), r["h"]
         assert r["nf"] == meta_nofollow_py(r["h"]), r["h"]
+
+
+# --- content sniffing -------------------------------------------------------
+
+
+def test_content_sniff_rules(spark):
+    from stock_crawler_spark.functions.html import content_sniff
+
+    rows = [
+        (1, "%PDF-1.7\nstream..."),
+        (2, "GIF89a\x01\x02"),
+        (3, '<!DOCTYPE html><html><head><meta charset="UTF-8"></head>'),
+        (4, "  <html lang='en'><head></head>"),          # no doctype
+        (5, '<?xml version="1.0" encoding="ISO-8859-1"?><root/>'),
+        (6, '  {"key": [1, 2]}'),
+        (7, "plain old text with charset=fake mention far away"),
+        (8, "Content-Type: text/html; charset = 'Big5' and more"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, payload string")
+    got = {
+        r["doc_id"]: (r["mime_sniffed"], r["charset"], r["has_doctype"])
+        for r in content_sniff(docs).collect()
+    }
+    assert got[1] == ("application/pdf", None, False)
+    assert got[2] == ("image/gif", None, False)
+    assert got[3] == ("text/html", "utf-8", True)
+    assert got[4] == ("text/html", None, False)
+    assert got[5] == ("text/xml", "iso-8859-1", False)
+    assert got[6] == ("application/json", None, False)
+    # charset= appears within the first 1024 chars -> extracted even in
+    # plain text (a sniffer reports declarations; policy decides later)
+    assert got[7][0] == "text/plain" and got[7][1] == "fake"
+    assert got[8] == ("text/plain", "big5", False)
