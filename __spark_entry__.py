@@ -2532,6 +2532,36 @@ def q125_content_sniff(spark, sf):
     return content_sniff(docs.select("doc_id", payload.alias("payload")))
 
 
+def q126_bpe_fertility(spark, sf):
+    """Tokenizer fertility per language — the multilingual-equity
+    metric (tokens-per-word by lang; languages a tokenizer serves badly
+    pay more compute per word): q109's corpus encoding joined to doc
+    lang, rolled up as exact integer sums with the ratio computed once
+    per group. Composition query (bpe_train -> bpe_encode_docs ->
+    lang rollup); oracle extends the q109 replay with the lang join."""
+    from stock_crawler_spark.operators.bpe import bpe_encode_docs, bpe_train
+
+    docs = _t(spark, sf, "documents")
+    merges, _ = bpe_train(docs, n_merges=3)
+    stats = bpe_encode_docs(docs, merges)
+    return (
+        stats.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("words"),
+            F.sum("n_bpe_tokens").alias("bpe_tokens"),
+            F.sum("n_merged_tokens").alias("merged_tokens"),
+        )
+        .select(
+            "lang", "n_docs", "words", "bpe_tokens", "merged_tokens",
+            F.round(
+                F.col("bpe_tokens").cast("double") / F.col("words"), 6
+            ).alias("fertility_r"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver API
 # ---------------------------------------------------------------------------
@@ -2669,6 +2699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q123_skew_profile": q123_skew_profile,
         "q124_line_lang": q124_line_lang,
         "q125_content_sniff": q125_content_sniff,
+        "q126_bpe_fertility": q126_bpe_fertility,
     }
 
 
@@ -3658,6 +3689,39 @@ WHERE round(list_inner_product(ua.e, ub.e), 6) >= {SRP_THRESHOLD}
 """
 
 
+def _bpe_fertility_oracle(n_merges: int = 3, max_word_len: int = 64) -> str:
+    """q126: the q109 encode replay rolled up per language."""
+    ctes = _bpe_train_ctes(n_merges, max_word_len)
+    ctes.append(
+        f"""dw AS (
+  SELECT doc_id, t AS word, count(*) AS k
+  FROM (SELECT doc_id, unnest({_TOKS}) AS t FROM documents WHERE trim(text) <> '')
+  WHERE t <> '' GROUP BY 1, 2
+), e0 AS (
+  SELECT word, string_split(word, '') AS syms FROM (SELECT DISTINCT word FROM dw)
+)"""
+    )
+    for i in range(1, n_merges + 1):
+        ctes.append(f"e{i} AS ({_bpe_fold_sql(f'e{i - 1}', f't{i}')}\n)")
+    return f"""
+WITH {', '.join(ctes)}, per AS (
+  SELECT doc_id,
+    CAST(sum(k) AS BIGINT) AS n_words,
+    CAST(sum(k * len(syms)) AS BIGINT) AS n_bpe,
+    CAST(sum(k * len(list_filter(syms, s -> length(s) > 1))) AS BIGINT) AS n_m
+  FROM dw JOIN e{n_merges} USING (word)
+  GROUP BY 1
+)
+SELECT lang, count(*) AS n_docs,
+  CAST(sum(n_words) AS BIGINT) AS words,
+  CAST(sum(n_bpe) AS BIGINT) AS bpe_tokens,
+  CAST(sum(n_m) AS BIGINT) AS merged_tokens,
+  round(CAST(sum(n_bpe) AS DOUBLE) / sum(n_words), 6) AS fertility_r
+FROM per JOIN documents USING (doc_id)
+GROUP BY 1
+"""
+
+
 def _lm_oracle(lam: float = 0.9) -> str:
     """Replays q93: the split_by_hash cut points with the LM salt, the
     bigram/unigram count fit on train, and the interpolated scoring of
@@ -4512,6 +4576,7 @@ FROM agg""",
         "q86_split_leakage": _split_oracle(),
         "q92_bpe_train": _bpe_oracle(),
         "q109_bpe_encode": _bpe_encode_oracle(),
+        "q126_bpe_fertility": _bpe_fertility_oracle(),
         "q122_zipf_fit": f"""
 WITH tf AS (
   SELECT t, count(*) AS c
