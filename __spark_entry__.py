@@ -2562,6 +2562,20 @@ def q126_bpe_fertility(spark, sf):
     )
 
 
+def q127_span_corrupt(spark, sf):
+    """T5-style deterministic span corruption (operators/denoise.
+    span_corrupt; Raffel et al. 2020): block-local md5-driven span
+    masking producing (input with <extra_id_K> sentinels, T5-layout
+    target with terminator) as a pure function of (salt, doc, block) —
+    shard-rebuild-identical, no RNG object. One narrow Column
+    transform; the oracle replays blocks, draws, slices, and both
+    renderings in DuckDB list algebra."""
+    from stock_crawler_spark.operators.denoise import span_corrupt
+
+    docs = _t(spark, sf, "documents")
+    return span_corrupt(docs, mask_rate=0.5, block=8, span_len=2)
+
+
 # ---------------------------------------------------------------------------
 # driver API
 # ---------------------------------------------------------------------------
@@ -2700,6 +2714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q124_line_lang": q124_line_lang,
         "q125_content_sniff": q125_content_sniff,
         "q126_bpe_fertility": q126_bpe_fertility,
+        "q127_span_corrupt": q127_span_corrupt,
     }
 
 
@@ -4576,6 +4591,45 @@ FROM agg""",
         "q86_split_leakage": _split_oracle(),
         "q92_bpe_train": _bpe_oracle(),
         "q109_bpe_encode": _bpe_encode_oracle(),
+        "q127_span_corrupt": f"""
+WITH d AS (
+  SELECT doc_id, list_filter({_TOKS}, t -> t <> '') AS tk
+  FROM documents WHERE trim(text) <> ''
+), d2 AS (
+  SELECT doc_id, tk, len(tk) AS n FROM d WHERE len(tk) > 0
+), blk AS (
+  SELECT doc_id, tk, n, list_transform(generate_series(0, (n + 7) // 8 - 1),
+    b -> struct_pack(
+      b := b,
+      bs := least(8, n - b * 8),
+      m := (('0x' || substr(md5('sc0:' || doc_id || ':' || b), 1, 15))::bigint
+            % 1000000) < 500000 AND least(8, n - b * 8) > 2,
+      o := ('0x' || substr(md5('sco0:' || doc_id || ':' || b), 1, 15))::bigint
+           % greatest(least(8, n - b * 8) - 1, 1)
+    )) AS blocks
+  FROM d2
+), mk AS (
+  SELECT doc_id, tk, n, blocks, list_filter(blocks, x -> x.m) AS masked
+  FROM blk
+)
+SELECT doc_id, n AS n_tokens,
+  CAST(len(masked) AS BIGINT) AS n_spans,
+  CAST(len(masked) * 2 AS BIGINT) AS n_masked,
+  array_to_string(list_transform(blocks, x -> CASE WHEN NOT x.m
+      THEN array_to_string(tk[x.b*8+1 : x.b*8+x.bs], ' ')
+      ELSE array_to_string(
+        list_concat(list_concat(
+          tk[x.b*8+1 : x.b*8+x.o],
+          ['<extra_id_' || len(list_filter(masked, y -> y.b < x.b)) || '>']),
+          tk[x.b*8+x.o+3 : x.b*8+x.bs]), ' ')
+      END), ' ') AS input_text,
+  coalesce(array_to_string(list_transform(masked, x ->
+      '<extra_id_' || len(list_filter(masked, y -> y.b < x.b)) || '> ' ||
+      array_to_string(tk[x.b*8+x.o+1 : x.b*8+x.o+2], ' ')), ' '), '')
+    || CASE WHEN len(masked) > 0 THEN ' ' ELSE '' END
+    || '<extra_id_' || len(masked) || '>' AS target_text
+FROM mk
+""",
         "q126_bpe_fertility": _bpe_fertility_oracle(),
         "q122_zipf_fit": f"""
 WITH tf AS (

@@ -1,0 +1,163 @@
+"""Deterministic span corruption — the T5 denoising objective's data
+side (Raffel et al. 2020, JMLR: replace token spans with sentinels,
+train to reconstruct). A training-data pipeline materializes
+(input, target) pairs ahead of time; at 10^10 documents that
+materialization must be a pure function of (salt, doc, position) so
+shards rebuild identically on retry/resume — the same determinism
+contract as hash_sample/split_by_hash, extended to SPAN selection.
+
+The classic T5 sampler draws span starts sequentially (stateful RNG —
+not partition-stable). The deterministic variant here is BLOCK-LOCAL:
+tokens partition into fixed blocks of ``block`` tokens; each block
+masks at most one ``span_len``-token span, chosen by two md5 draws
+(mask? and offset). Non-overlap holds by construction, the expected
+mask rate is ``mask_rate * span_len/block`` adjustable through either
+knob, and every decision depends only on (salt, doc_id, block_index) —
+no RNG object, any engine replays it.
+
+Everything is one pure-Column transform over the token array (narrow,
+codegen, zero shuffle). Sentinel ordinals are computed per block by
+counting masked blocks before it — O(blocks^2) per document, which is
+fine at web-document lengths (<= a few hundred blocks); book-length
+inputs should pass through chunk_windows first (the same upstream cut
+T5 itself applies via its sequence length).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from stock_crawler_spark.operators.dedup import _md5_hash60
+
+SC_DENOM = 1_000_000
+
+
+def span_corrupt(
+    docs: DataFrame,
+    mask_rate: float = 0.5,
+    block: int = 8,
+    span_len: int = 2,
+    salt: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_tokens, n_spans, n_masked, input_text, target_text):
+    T5-style corruption pairs. Per block b of ``block`` tokens:
+
+      mask?   md5("sc{salt}:{id}:{b}") % 1e6 < mask_rate * 1e6,
+              only when the block holds > span_len tokens (a fully
+              masked block would leave no context token)
+      offset  md5("sco{salt}:{id}:{b}") % (block_size - span_len + 1)
+
+    input joins blocks with spans replaced by ``<extra_id_K>`` (K in
+    masked-block order); target is the T5 layout ``<extra_id_0> span
+    <extra_id_1> span ... <extra_id_n>`` with the terminating sentinel.
+    Blank docs produce no row."""
+    if span_len >= block:
+        raise ValueError("span_len must be < block")
+    cut = int(float(mask_rate) * SC_DENOM)
+    doc = F.col(id_col).cast("string")
+
+    def h(prefix, b):
+        return _md5_hash60(
+            F.concat(F.lit(prefix), doc, F.lit(":"), b.cast("string"))
+        )
+
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        lambda t: t != F.lit(""),
+    )
+    d = docs.select(F.col(id_col), toks.alias("_toks")).filter(
+        F.size("_toks") > 0
+    )
+    n = F.size("_toks")
+    nblocks = F.expr(f"(size(_toks) + {block} - 1) div {block}")
+    blocks = F.transform(
+        F.sequence(F.lit(0), nblocks - 1),
+        lambda b: F.struct(
+            b.alias("b"),
+            F.least(F.lit(block), n - b * block).alias("bs"),
+            (
+                (F.pmod(h(f"sc{salt}:", b), F.lit(SC_DENOM)) < cut)
+                & (F.least(F.lit(block), n - b * block) > span_len)
+            ).alias("m"),
+            F.pmod(
+                h(f"sco{salt}:", b),
+                F.greatest(
+                    F.least(F.lit(block), n - b * block) - span_len + 1,
+                    F.lit(1),
+                ),
+            ).alias("o"),
+        ),
+    )
+    d = d.withColumn("_blocks", blocks)
+    masked = F.filter(F.col("_blocks"), lambda x: x["m"])
+
+    def ordinal(x):
+        return F.size(F.filter(masked, lambda y: y["b"] < x["b"]))
+
+    def block_toks(x):
+        return F.slice(F.col("_toks"), x["b"] * block + 1, x["bs"])
+
+    def render_input(x):
+        bt = block_toks(x)
+        return F.when(
+            ~x["m"], F.array_join(bt, " ")
+        ).otherwise(
+            F.array_join(
+                F.flatten(
+                    F.array(
+                        F.slice(bt, 1, x["o"]),
+                        F.array(
+                            F.concat(
+                                F.lit("<extra_id_"),
+                                ordinal(x).cast("string"),
+                                F.lit(">"),
+                            )
+                        ),
+                        F.slice(
+                            bt,
+                            x["o"] + span_len + 1,
+                            x["bs"] - x["o"] - span_len,
+                        ),
+                    )
+                ),
+                " ",
+            )
+        )
+
+    def render_target(x):
+        return F.array_join(
+            F.flatten(
+                F.array(
+                    F.array(
+                        F.concat(
+                            F.lit("<extra_id_"),
+                            ordinal(x).cast("string"),
+                            F.lit(">"),
+                        )
+                    ),
+                    F.slice(block_toks(x), x["o"] + 1, span_len),
+                )
+            ),
+            " ",
+        )
+
+    n_spans = F.size(masked)
+    return d.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        n_spans.alias("n_spans"),
+        (n_spans * span_len).alias("n_masked"),
+        F.array_join(
+            F.transform(F.col("_blocks"), render_input), " "
+        ).alias("input_text"),
+        F.concat(
+            F.array_join(F.transform(masked, render_target), " "),
+            F.when(n_spans > 0, F.lit(" ")).otherwise(F.lit("")),
+            F.lit("<extra_id_"),
+            n_spans.cast("string"),
+            F.lit(">"),
+        ).alias("target_text"),
+    )

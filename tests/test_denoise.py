@@ -1,0 +1,100 @@
+"""T5-style deterministic span corruption."""
+
+from __future__ import annotations
+
+import hashlib
+
+SC_DENOM = 1_000_000
+
+
+def _h(s):
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _ref_corrupt(texts, mask_rate=0.5, block=8, span_len=2, salt=0):
+    cut = int(mask_rate * SC_DENOM)
+    out = {}
+    for did, t in texts:
+        ws = [w for w in t.strip().lower().split() if w] if t and t.strip() else []
+        if not ws:
+            continue
+        n = len(ws)
+        nb = -(-n // block)
+        spans = []
+        inp = []
+        k = 0
+        for b in range(nb):
+            bt = ws[b * block : (b + 1) * block]
+            bs = len(bt)
+            m = _h(f"sc{salt}:{did}:{b}") % SC_DENOM < cut and bs > span_len
+            if not m:
+                inp.append(" ".join(bt))
+                continue
+            o = _h(f"sco{salt}:{did}:{b}") % (bs - span_len + 1)
+            inp.append(
+                " ".join(bt[:o] + [f"<extra_id_{k}>"] + bt[o + span_len :])
+            )
+            spans.append(f"<extra_id_{k}> " + " ".join(bt[o : o + span_len]))
+            k += 1
+        tgt = " ".join(spans) + (" " if spans else "") + f"<extra_id_{k}>"
+        out[did] = (n, k, k * span_len, " ".join(inp), tgt)
+    return out
+
+
+def test_span_corrupt_matches_reference(spark):
+    from stock_crawler_spark.operators.denoise import span_corrupt
+
+    texts = [
+        (1, " ".join(f"w{i}" for i in range(20))),
+        (2, "only three tokens"),      # single short block
+        (3, " ".join(f"t{i}" for i in range(8))),   # exactly one block
+        (4, ""),                        # blank -> no row
+        (5, " ".join(f"x{i}" for i in range(33))),  # ragged tail block
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["n_spans"], r["n_masked"],
+            r["input_text"], r["target_text"],
+        )
+        for r in span_corrupt(docs).collect()
+    }
+    assert got == _ref_corrupt(texts)
+    assert 4 not in got
+    # reconstruction invariant: un-masking input with target spans
+    # yields the original token stream
+    for did, t in texts:
+        if did not in got:
+            continue
+        ws = [w for w in t.strip().lower().split() if w]
+        n, k, _, inp, tgt = got[did]
+        parts = tgt.split("<extra_id_")
+        spans = {}
+        for p in parts[1:]:
+            idx, _, rest = p.partition(">")
+            spans[int(idx)] = rest.strip().split() if rest.strip() else []
+        rebuilt = []
+        for tok in inp.split():
+            if tok.startswith("<extra_id_"):
+                rebuilt.extend(spans[int(tok[10:-1])])
+            else:
+                rebuilt.append(tok)
+        assert rebuilt == ws, did
+
+
+def test_span_corrupt_is_rerun_and_partition_invariant(spark):
+    from stock_crawler_spark.operators.denoise import span_corrupt
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(25))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, span_corrupt(docs, salt=7).collect()))
+    b = sorted(map(tuple, span_corrupt(docs.repartition(9), salt=7).collect()))
+    assert a == b
+    # different salt -> different corruption (same doc set)
+    c = sorted(map(tuple, span_corrupt(docs, salt=8).collect()))
+    assert a != c
+    # some docs masked, some not, at rate 0.5 over ~4 blocks
+    n_spans = [r[2] for r in a]
+    assert any(s > 0 for s in n_spans) and any(s == 0 for s in n_spans)
