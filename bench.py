@@ -51,6 +51,8 @@ HEADLINE = [
     "q92_bpe_train",
     "q95_exact_substr",
     "q101_token_budget",
+    "q110_warc_export",
+    "q127_span_corrupt",
     # q100 (keep-best dedup) stays in the oracle gate only: its sf0.1
     # wall is ~90% the q10 pair generation already benched above
 ]
