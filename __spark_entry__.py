@@ -2576,6 +2576,22 @@ def q127_span_corrupt(spark, sf):
     return span_corrupt(docs, mask_rate=0.5, block=8, span_len=2)
 
 
+def q128_contrastive(spark, sf):
+    """Contrastive (anchor, positive, negative) triples (operators/
+    dedup.contrastive_triples): positives = the q10 Jaccard>=0.3 pair
+    generator, negatives = deterministic hash-argmin picks from a
+    broadcast 10% hash-sampled pool, neighbors excluded (false-negative
+    poison). Pure function of (salt, anchor) — shard-rebuild identical.
+    Oracle replays pool, exclusion, and argmin in SQL."""
+    from stock_crawler_spark.operators import dedup
+
+    docs = _t(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.3)
+    return dedup.contrastive_triples(
+        pairs, docs.select("doc_id"), pool_rate=0.1
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver API
 # ---------------------------------------------------------------------------
@@ -2715,6 +2731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q125_content_sniff": q125_content_sniff,
         "q126_bpe_fertility": q126_bpe_fertility,
         "q127_span_corrupt": q127_span_corrupt,
+        "q128_contrastive": q128_contrastive,
     }
 
 
@@ -4591,6 +4608,29 @@ FROM agg""",
         "q86_split_leakage": _split_oracle(),
         "q92_bpe_train": _bpe_oracle(),
         "q109_bpe_encode": _bpe_encode_oracle(),
+        "q128_contrastive": f"""
+WITH pairs AS ({_JACCARD_CTE}),
+dirs AS (
+  SELECT doc_a AS anchor, doc_b AS positive FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+), nbrs AS (
+  SELECT doc_a AS anchor, doc_b AS nb FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+), pool AS (
+  SELECT doc_id AS cand FROM documents
+  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::bigint
+        % 1000000 < 100000
+), crossed AS (
+  SELECT b.anchor, b.positive, p.cand,
+    ('0x' || substr(md5('neg0:' || b.anchor || ':' || p.cand), 1, 15))::bigint
+      AS h
+  FROM dirs b CROSS JOIN pool p
+  LEFT JOIN nbrs n ON n.anchor = b.anchor AND n.nb = p.cand
+  WHERE p.cand <> b.anchor AND n.anchor IS NULL
+)
+SELECT anchor, positive, arg_min(cand, h) AS negative, min(h) AS neg_hash
+FROM crossed GROUP BY 1, 2
+""",
         "q127_span_corrupt": f"""
 WITH d AS (
   SELECT doc_id, list_filter({_TOKS}, t -> t <> '') AS tk

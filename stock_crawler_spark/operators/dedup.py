@@ -624,3 +624,81 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
     return cands.withColumn("hamming", ham).filter(
         F.col("hamming") <= max_hamming
     ).select("doc_a", "doc_b", "hamming")
+
+
+# --- contrastive triple mining ---------------------------------------------------
+
+
+def contrastive_triples(
+    pairs: DataFrame,
+    corpus_ids: DataFrame,
+    pool_rate: float = 0.1,
+    salt: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(anchor, positive, negative) training triples for embedding /
+    retrieval models (the SimCSE/DPR data shape): positives are the
+    near-duplicate pairs ANY pair generator in this module emits
+    (Jaccard, LSH, SimHash, SRP...), negatives are deterministic
+    hash-argmin picks from a sampled corpus pool — a pure function of
+    (salt, anchor), so shards rebuild identically (the corpus-wide
+    determinism contract of hash_sample, extended to negative mining).
+
+    For anchor a the negative is argmin_x md5("neg{salt}:{a}:{x}") over
+    pool \\ ({a} U neighbors(a)) — a uniform random-like pick that any
+    engine replays; excluding neighbors keeps false negatives out
+    (the standard in-batch-negative poison). Anchors whose entire pool
+    is excluded drop (tested; at real pool sizes that is ~impossible).
+
+    Scale shape: the pool is hash-thresholded to ``pool_rate`` and
+    BROADCAST (size the rate so the pool stays broadcastable —
+    10^4-10^5 ids; a pool that small still gives uniform negatives);
+    the argmin is one groupBy(anchor, positive) min(struct) — no
+    window, no corpus x corpus. Both directions of each input pair
+    anchor once (a,b) and once (b,a)."""
+    both = pairs.select(
+        F.col("doc_a").alias("anchor"), F.col("doc_b").alias("positive")
+    ).unionByName(
+        pairs.select(
+            F.col("doc_b").alias("anchor"), F.col("doc_a").alias("positive")
+        )
+    )
+    neighbors = both.select("anchor", F.col("positive").alias("_nb"))
+    pool = hash_sample(
+        corpus_ids.select(F.col(id_col).alias("_cand")),
+        pool_rate,
+        key_col="_cand",
+    )
+    crossed = (
+        both.join(F.broadcast(pool), how="cross")
+        .filter(F.col("_cand") != F.col("anchor"))
+        .join(
+            neighbors.withColumnRenamed("_nb", "_cand").withColumn(
+                "_is_nb", F.lit(True)
+            ),
+            ["anchor", "_cand"],
+            "left",
+        )
+        .filter(F.col("_is_nb").isNull())
+        .withColumn(
+            "_h",
+            _md5_hash60(
+                F.concat(
+                    F.lit(f"neg{salt}:"),
+                    F.col("anchor").cast("string"),
+                    F.lit(":"),
+                    F.col("_cand").cast("string"),
+                )
+            ),
+        )
+    )
+    return (
+        crossed.groupBy("anchor", "positive")
+        .agg(F.min(F.struct(F.col("_h"), F.col("_cand"))).alias("_m"))
+        .select(
+            "anchor",
+            "positive",
+            F.col("_m._cand").alias("negative"),
+            F.col("_m._h").alias("neg_hash"),
+        )
+    )

@@ -421,3 +421,82 @@ def test_containment_partition_invariance(spark):
         map(tuple, containment_pairs(docs.repartition(9), 0.4).collect())
     )
     assert r1 == r2 and len(r1) > 0
+
+
+# --- contrastive triples ---------------------------------------------------------
+
+
+def _ref_triples(pairs, ids, pool_rate, salt=0, denom=1_000_000):
+    import hashlib
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    pool = [i for i in ids if h60(str(i)) % denom < int(pool_rate * denom)]
+    nbrs = {}
+    for a, b in pairs:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    out = {}
+    for a, b in pairs:
+        for anchor, pos in ((a, b), (b, a)):
+            cands = [
+                x for x in pool if x != anchor and x not in nbrs[anchor]
+            ]
+            if not cands:
+                continue
+            best = min((h60(f"neg{salt}:{anchor}:{x}"), x) for x in cands)
+            out[(anchor, pos)] = (best[1], best[0])
+    return out
+
+
+def test_contrastive_triples_match_reference(spark):
+    from stock_crawler_spark.operators.dedup import contrastive_triples
+
+    ids = list(range(100))
+    pairs = [(1, 2), (2, 3), (50, 51)]
+    pdf = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    cdf = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        (r["anchor"], r["positive"]): (r["negative"], r["neg_hash"])
+        for r in contrastive_triples(pdf, cdf, pool_rate=0.3).collect()
+    }
+    exp = _ref_triples(pairs, ids, 0.3)
+    assert got == exp
+    # both directions of every pair anchor
+    assert (1, 2) in got and (2, 1) in got
+    # the negative is never the anchor or one of its neighbors
+    for (a, p), (n, _) in got.items():
+        assert n != a and n != p
+    # anchor 2's neighbors {1, 3} are excluded even if in pool
+    assert got[(2, 1)][0] not in (1, 2, 3)
+
+
+def test_contrastive_triples_all_pool_excluded_drops(spark):
+    from stock_crawler_spark.operators.dedup import contrastive_triples
+
+    # pool_rate 1.0 over a 2-doc corpus where the only docs are the
+    # pair itself -> every candidate excluded -> no triples
+    pdf = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    cdf = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    assert contrastive_triples(pdf, cdf, pool_rate=1.0).count() == 0
+
+
+def test_contrastive_triples_salt_and_partition_invariance(spark):
+    from stock_crawler_spark.operators.dedup import contrastive_triples
+
+    pairs = [(i, i + 200) for i in range(30)]
+    pdf = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    cdf = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    a = sorted(map(tuple, contrastive_triples(pdf, cdf, 0.2, salt=1).collect()))
+    b = sorted(
+        map(
+            tuple,
+            contrastive_triples(
+                pdf.repartition(7), cdf.repartition(5), 0.2, salt=1
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) == 60
+    c = sorted(map(tuple, contrastive_triples(pdf, cdf, 0.2, salt=2).collect()))
+    assert a != c
