@@ -702,3 +702,42 @@ def contrastive_triples(
             F.col("_m._h").alias("neg_hash"),
         )
     )
+
+
+def lsh_plan(
+    threshold: float,
+    n_perm: int,
+    fn_weight: float = 0.5,
+) -> tuple[int, int]:
+    """(bands, rows_per_band) for MinHash LSH at a target Jaccard
+    threshold — the S-curve planner (Leskovec/Rajaraman/Ullman, MMDS
+    ch.3; the same optimization datasketch ships): collision
+    probability at similarity s is 1 - (1 - s^r)^b; choose (b, r) with
+    b*r <= n_perm minimizing fn_weight * FN + (1-fn_weight) * FP, the
+    probability masses integrated (midpoint rule, 100 steps —
+    deterministic) below/above the threshold.
+
+    Driver-side pure math (the LSH twin of auto_n_cells/auto_srp_bits):
+    run it once, pass the result to minhash_lsh_pairs — at 10^10 docs
+    the difference between (b=32, r=4) and (b=8, r=16) is orders of
+    magnitude of candidate volume."""
+    if not 0 < threshold < 1:
+        raise ValueError("threshold must be in (0, 1)")
+    best = None
+    for b in range(1, n_perm + 1):
+        r = n_perm // b
+        if r == 0:
+            break
+        steps = 100
+        fp = fn = 0.0
+        for i in range(steps):
+            s = (i + 0.5) / steps
+            p = 1.0 - (1.0 - s**r) ** b
+            if s < threshold:
+                fp += p / steps
+            else:
+                fn += (1.0 - p) / steps
+        cost = fn_weight * fn + (1.0 - fn_weight) * fp
+        if best is None or cost < best[0]:
+            best = (cost, b, r)
+    return best[1], best[2]

@@ -500,3 +500,29 @@ def test_contrastive_triples_salt_and_partition_invariance(spark):
     assert a == b and len(a) == 60
     c = sorted(map(tuple, contrastive_triples(pdf, cdf, 0.2, salt=2).collect()))
     assert a != c
+
+
+def test_lsh_plan_tracks_threshold():
+    from stock_crawler_spark.operators.dedup import lsh_plan
+
+    # low threshold -> many bands of few rows (catch low-sim pairs);
+    # high threshold -> few bands of many rows (suppress candidates)
+    b_lo, r_lo = lsh_plan(0.3, 128)
+    b_hi, r_hi = lsh_plan(0.9, 128)
+    assert r_lo < r_hi and b_lo > b_hi
+    assert b_lo * r_lo <= 128 and b_hi * r_hi <= 128
+    # the planned curve's midpoint sits near the threshold:
+    # (1/b)^(1/r) approximates the S-curve inflection
+    for thr in (0.3, 0.5, 0.7, 0.9):
+        b, r = lsh_plan(thr, 128)
+        mid = (1.0 / b) ** (1.0 / r)
+        assert abs(mid - thr) < 0.2, (thr, b, r, mid)
+
+
+def test_lsh_plan_validates():
+    import pytest
+
+    from stock_crawler_spark.operators.dedup import lsh_plan
+
+    with pytest.raises(ValueError):
+        lsh_plan(1.5, 64)
