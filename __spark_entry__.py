@@ -2592,6 +2592,21 @@ def q128_contrastive(spark, sf):
     )
 
 
+def q129_ivf_assign_delta(spark, sf):
+    """Incremental IVF assignment (operators/ann.ivf_assign_delta): the
+    new snapshot's vectors (vec_id >= 400) route into the base
+    snapshot's existing 16-cell IVF without retraining — the q69
+    incremental-LSH analog for embeddings; cos_r against the won
+    centroid is the router confidence / drift signal. Oracle replays
+    base-seeded centroids and the single-probe argmax."""
+    from stock_crawler_spark.operators.ann import ivf_assign_delta
+
+    embs = _t(spark, sf, "embeddings")
+    base = embs.filter(F.col("vec_id") < 400)
+    delta = embs.filter(F.col("vec_id") >= 400)
+    return ivf_assign_delta(base, delta, n_cells=16)
+
+
 # ---------------------------------------------------------------------------
 # driver API
 # ---------------------------------------------------------------------------
@@ -2732,6 +2747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q126_bpe_fertility": q126_bpe_fertility,
         "q127_span_corrupt": q127_span_corrupt,
         "q128_contrastive": q128_contrastive,
+        "q129_ivf_assign_delta": q129_ivf_assign_delta,
     }
 
 
@@ -4608,6 +4624,23 @@ FROM agg""",
         "q86_split_leakage": _split_oracle(),
         "q92_bpe_train": _bpe_oracle(),
         "q109_bpe_encode": _bpe_encode_oracle(),
+        "q129_ivf_assign_delta": f"""
+WITH corpus AS (
+  {_UNIT_CORPUS}
+), cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e AS ce
+  FROM corpus WHERE vec_id < 400 ORDER BY vec_id LIMIT 16
+)
+SELECT vec_id, cell, round(cos, 6) AS cos_r FROM (
+  SELECT c.vec_id, cents.cell, list_inner_product(c.e, cents.ce) AS cos,
+    row_number() OVER (
+      PARTITION BY c.vec_id
+      ORDER BY list_inner_product(c.e, cents.ce) DESC, cents.cell
+    ) AS rn
+  FROM corpus c CROSS JOIN cents
+  WHERE c.vec_id >= 400
+) WHERE rn = 1
+""",
         "q128_contrastive": f"""
 WITH pairs AS ({_JACCARD_CTE}),
 dirs AS (

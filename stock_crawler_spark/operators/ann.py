@@ -375,3 +375,40 @@ def srp_neardup_pairs(
         .filter(F.col("cos_r") >= float(threshold))
         .select("id_a", "id_b", "cos_r")
     )
+
+
+def ivf_assign_delta(
+    base: DataFrame,
+    delta: DataFrame,
+    n_cells: int | None = None,
+    vid: str = "vec_id",
+    emb: str = "embedding",
+) -> DataFrame:
+    """Assign a NEW snapshot's vectors to the EXISTING IVF structure
+    without retraining — the ANN maintenance move of an incremental
+    corpus (the q69 incremental-LSH analog for embeddings): monthly
+    crawl deltas join the index the base snapshot built; a full
+    centroid rebuild would invalidate every stored cell id and cost a
+    corpus-scale k-means for a ~1% delta. Returns (vec_id, cell,
+    cos_r = similarity to the won centroid — the router's confidence;
+    a delta whose cos_r distribution sags signals centroid drift and
+    schedules the real rebuild).
+
+    Scale: centroids broadcast (O(n_cells) rows); the delta streams
+    through one stage; the per-vector argmax window partitions on the
+    vector id — parallel, bounded at n_cells rows per key."""
+    cents, _ = build_ivf(base, n_cells, vid, emb)
+    d = _unit_select(delta, vid, emb, "cand_id", "c_emb")
+    scored = d.crossJoin(F.broadcast(cents)).withColumn(
+        "cos", _dot(F.col("c_emb"), F.col("cent_emb"))
+    )
+    w = Window.partitionBy("cand_id").orderBy(F.desc("cos"), F.asc("cell"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("cand_id").alias(vid),
+            "cell",
+            F.round(F.col("cos"), 6).alias("cos_r"),
+        )
+    )

@@ -333,3 +333,48 @@ def test_srp_auto_bits_scales(spark):
 
     assert auto_srp_bits(10_000_000_000, n_bands=2, target_bucket_rows=10_000) == 2 * 20
     assert auto_srp_bits(100, n_bands=2) == 2 * 8  # floor
+
+
+def test_ivf_assign_delta_matches_full_assign(spark):
+    """Delta vectors land in the same cells a from-scratch assignment
+    over (base centroids, delta) would give, and base cell ids stay
+    valid (no retraining)."""
+    from pyspark.sql import functions as F
+
+    from stock_crawler_spark.operators.ann import (
+        _assign,
+        _unit_select,
+        build_ivf,
+        ivf_assign_delta,
+    )
+
+    vecs = _srp_vectors()
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    base = df.filter(F.col("vec_id") < 30)
+    delta = df.filter(F.col("vec_id") >= 30)
+    got = {
+        (r["vec_id"], r["cell"]): r["cos_r"]
+        for r in ivf_assign_delta(base, delta, n_cells=4).collect()
+    }
+    cents, base_assigned = build_ivf(base, 4)
+    d = _unit_select(delta, "vec_id", "embedding", "cand_id", "c_emb")
+    exp_cells = {
+        r["cand_id"]: r["cell"] for r in _assign(d, cents).collect()
+    }
+    assert {v for v, _ in got} == set(exp_cells)
+    for (v, cell), cos in got.items():
+        assert cell == exp_cells[v]
+        assert -1.000001 <= cos <= 1.000001
+    # base cell ids remain the 0..n_cells-1 space the delta routed into
+    base_cells = {r["cell"] for r in base_assigned.collect()}
+    assert {c for _, c in got} <= base_cells
+    # cos_r is the dot against the WON centroid: recompute independently
+    from stock_crawler_spark.operators.ann import _dot as dot_col
+
+    cent_rows = {r["cell"]: r["cent_emb"] for r in cents.collect()}
+    unit = {r["cand_id"]: r["c_emb"] for r in d.collect()}
+    for (v, cell), cos in got.items():
+        exp_cos = round(
+            sum(a * b for a, b in zip(unit[v], cent_rows[cell])), 6
+        )
+        assert abs(cos - exp_cos) < 1e-9, (v, cell)
