@@ -2607,6 +2607,17 @@ def q129_ivf_assign_delta(spark, sf):
     return ivf_assign_delta(base, delta, n_cells=16)
 
 
+def q130_schedule_fairness(spark, sf):
+    """Dequeue fairness telemetry (operators/frontier.schedule_fairness;
+    Jain/Chiu/Hawe 1984): Jain index + dominance share of the per-host
+    scheduled counts of the FLAGSHIP q20 round — the report that says
+    whether politeness caps actually spread the budget. Exact integer
+    sums, floats only in the final divisions."""
+    from stock_crawler_spark.operators.frontier import schedule_fairness
+
+    return schedule_fairness(q20_crawl_schedule(spark, sf))
+
+
 # ---------------------------------------------------------------------------
 # driver API
 # ---------------------------------------------------------------------------
@@ -2748,6 +2759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q127_span_corrupt": q127_span_corrupt,
         "q128_contrastive": q128_contrastive,
         "q129_ivf_assign_delta": q129_ivf_assign_delta,
+        "q130_schedule_fairness": q130_schedule_fairness,
     }
 
 
@@ -4624,6 +4636,31 @@ FROM agg""",
         "q86_split_leakage": _split_oracle(),
         "q92_bpe_train": _bpe_oracle(),
         "q109_bpe_encode": _bpe_encode_oracle(),
+        "q130_schedule_fairness": """
+WITH sched AS (
+  SELECT domain FROM (
+    SELECT source AS domain,
+      row_number() OVER (
+        PARTITION BY source
+        ORDER BY ((doc_id * 2654435761) % 1000000) / 1000000.0 DESC,
+                 printf('https://%s.example.com/doc/%d', source, doc_id)
+      ) - 1 AS seq_in_domain
+    FROM documents
+    WHERE doc_id % 17 != 3 AND doc_id % 7 != 0
+  ) WHERE seq_in_domain < 10
+), counts AS (
+  SELECT domain, count(*) AS x FROM sched GROUP BY 1
+), agg AS (
+  SELECT count(*) AS n_hosts, CAST(sum(x) AS BIGINT) AS total,
+    CAST(sum(x * x) AS BIGINT) AS sq,
+    CAST(max(x) AS BIGINT) AS max_count, CAST(min(x) AS BIGINT) AS min_count
+  FROM counts
+)
+SELECT CAST(n_hosts AS BIGINT) AS n_hosts, total, max_count, min_count,
+  round(CAST(total * total AS DOUBLE) / (n_hosts * sq), 6) AS jain_r,
+  round(CAST(max_count AS DOUBLE) / total, 6) AS dominance_r
+FROM agg
+""",
         "q129_ivf_assign_delta": f"""
 WITH corpus AS (
   {_UNIT_CORPUS}

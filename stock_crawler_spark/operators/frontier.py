@@ -253,3 +253,36 @@ def with_dispatch_seq(scheduled: DataFrame) -> DataFrame:
     """
     w = Window.orderBy(F.desc("priority"), F.asc("host"), F.asc("url"))
     return scheduled.withColumn("seq", F.row_number().over(w) - 1)
+
+
+def schedule_fairness(schedule: DataFrame, key_col: str = "domain") -> DataFrame:
+    """One-row fairness report over a dequeue round: Jain's index
+    (Jain/Chiu/Hawe 1984) of per-host scheduled counts,
+
+        J = (sum x)^2 / (n * sum x^2),   J = 1 ideal, J = 1/n monopoly
+
+    plus the dominance share (max count / total) — the SRE telemetry
+    that says whether politeness caps are actually spreading the round
+    across hosts or one mega-host is eating the budget. Two exact
+    integer aggregations (counts, then sums of counts and squares);
+    the only float is the final division, so the report is bit-stable
+    and SQL-replayable."""
+    counts = schedule.groupBy(key_col).agg(F.count(F.lit(1)).alias("x"))
+    agg = counts.agg(
+        F.count(F.lit(1)).alias("n_hosts"),
+        F.sum("x").alias("total"),
+        F.sum(F.col("x") * F.col("x")).alias("_sq"),
+        F.max("x").alias("max_count"),
+        F.min("x").alias("min_count"),
+    )
+    return agg.select(
+        "n_hosts", "total", "max_count", "min_count",
+        F.round(
+            (F.col("total") * F.col("total")).cast("double")
+            / (F.col("n_hosts") * F.col("_sq")).cast("double"),
+            6,
+        ).alias("jain_r"),
+        F.round(
+            F.col("max_count").cast("double") / F.col("total").cast("double"), 6
+        ).alias("dominance_r"),
+    )

@@ -138,3 +138,26 @@ def test_robots_longest_match_wins(spark):
         ).collect()
     ]
     assert got == [True, False, False, False, False]
+
+
+def test_schedule_fairness_bounds(spark):
+    from pyspark.sql import functions as F
+
+    from stock_crawler_spark.operators.frontier import schedule_fairness
+
+    # perfectly fair: 4 hosts x 5 urls -> J = 1
+    fair = spark.createDataFrame(
+        [(f"h{i % 4}", j) for i in range(4) for j in range(5)], "domain string, u int"
+    )
+    r = schedule_fairness(fair).collect()[0]
+    assert (r["n_hosts"], r["total"], r["jain_r"]) == (4, 20, 1.0)
+    # monopoly: one host takes everything -> J = 1/n
+    mono = spark.createDataFrame(
+        [("hog", j) for j in range(30)] + [("h1", 0), ("h2", 0)],
+        "domain string, u int",
+    )
+    r2 = schedule_fairness(mono).collect()[0]
+    # J = (32^2) / (3 * (900 + 1 + 1))
+    assert r2["jain_r"] == round(32 * 32 / (3 * 902), 6)
+    assert r2["dominance_r"] == round(30 / 32, 6)
+    assert r2["max_count"] == 30 and r2["min_count"] == 1
