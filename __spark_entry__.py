@@ -4768,7 +4768,7 @@ SELECT CAST(n AS BIGINT) AS k,
         / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2_r
 FROM s
 """,
-        "q125_content_sniff": '''
+        "q125_content_sniff": r'''
 WITH pages AS (
   SELECT doc_id,
     CASE doc_id % 6

@@ -178,6 +178,8 @@ def test_no_cartesian_products_anywhere(spark):
         "q97_trustrank",         # broadcast 1-row dangling trust mass
         "q111_tfidf_cosine",     # broadcast 1-row n_docs total
         "q118_pmi_bigrams",      # broadcast 1-row (n_uni, n_bi) totals
+        "q128_contrastive",      # broadcast hash-sampled negative pool
+        "q129_ivf_assign_delta", # broadcast IVF centroids (O(n_cells))
     }
     for name, fn in entrymod.queries().items():
         tree = _plan(fn(spark, "/root/testdata/sf0.001")).split("\n\n")[0]
@@ -426,3 +428,57 @@ def test_snapshot_diff_is_single_hash_join_pass(docs):
         for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
     )
     assert n_joins == 1 and "FullOuter" in plan, plan
+
+
+def test_srp_verify_touches_candidates_only(spark):
+    """srp_neardup_pairs (q113) must verify the cosine on CANDIDATE pairs
+    only — banded signature equi-joins feeding one dedup, then unit-vector
+    lookups per side. The all-pairs failure mode would show up as a
+    cartesian / nested-loop join; the healthy plan has only hash joins
+    and exactly one Generate per band posexplode side."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["q113_srp_neardup"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree, tree
+    assert "BroadcastNestedLoopJoin" not in tree, tree
+    # 2 band posexplodes (self-join sides); the brute-force alternative
+    # would need zero Generates but a cartesian — assert the LSH shape
+    assert 1 <= tree.count("Generate") <= 2, tree
+
+
+def test_interleave_no_global_window(spark):
+    """interleave_groups (q115) computes both its ranks (per-group k and
+    global pos) via range partitioning + broadcast offsets — the plan
+    must never collapse to a single-partition exchange, and every Window
+    in it must be pid-partitioned."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["q115_interleave"](spark, "/root/testdata/sf0.001")
+    tree = _plan(df).split("\n\n")[0]
+    assert "Exchange SinglePartition" not in tree, tree
+    assert "BroadcastHashJoin" in tree, tree
+
+
+def test_skew_profile_no_global_window(spark):
+    """skew_profile (q123) ranks the per-key counts with the distributed
+    global-index pattern — no Window operator at all and no
+    single-partition exchange before the final 1-row aggregate."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["q123_skew_profile"](spark, "/root/testdata/sf0.001")
+    tree = _plan(df).split("\n\n")[0]
+    assert "Window" not in tree, tree
+    # the only SinglePartition allowed is the terminal 1-row aggregate
+    pre_agg = tree.split("HashAggregate")[0]
+    assert "Exchange SinglePartition" not in pre_agg, tree
