@@ -2618,6 +2618,28 @@ def q130_schedule_fairness(spark, sf):
     return schedule_fairness(q20_crawl_schedule(spark, sf))
 
 
+def q131_lr_train(spark, sf):
+    """Distributed quality-classifier TRAINING (functions/classifier
+    lr_train; the fastText-supervised fit behind CCNet/DCLM quality
+    gates): 2 sweeps of full-batch logistic-regression GD over hashed
+    mean-pooled unigram+bigram features, labels = long-doc heuristic
+    (length >= 300). Model state is a DataFrame broadcast into each
+    sweep; every gradient/margin reduction folds in sorted order
+    (det_sum), so the oracle unrolls the identical iterations. Output:
+    per-doc predicted keep-probability under the trained model."""
+    from stock_crawler_spark.functions.classifier import lr_predict, lr_train
+
+    docs = _t(spark, sf, "documents")
+    labels = docs.select(
+        "doc_id", (F.length("text") >= 300).cast("int").alias("label")
+    )
+    model = lr_train(
+        docs, labels, n_iter=2, step=0.5, l2=0.01, n_buckets=4096, det_buckets=64
+    )
+    pred = lr_predict(docs, model, n_buckets=4096)
+    return pred.join(labels, "doc_id").select("doc_id", "p_r", "keep", "label")
+
+
 # ---------------------------------------------------------------------------
 # driver API
 # ---------------------------------------------------------------------------
@@ -2760,6 +2782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q128_contrastive": q128_contrastive,
         "q129_ivf_assign_delta": q129_ivf_assign_delta,
         "q130_schedule_fairness": q130_schedule_fairness,
+        "q131_lr_train": q131_lr_train,
     }
 
 
@@ -4700,6 +4723,101 @@ dirs AS (
 )
 SELECT anchor, positive, arg_min(cand, h) AS negative, min(h) AS neg_hash
 FROM crossed GROUP BY 1, 2
+""",
+        # q131: full unrolled replay of 2 GD sweeps — same hashed features
+        # as q63, same det_sum two-level sorted folds as q54, exp() the
+        # only ulp-sensitive op (rounded at 6 dp in the output only)
+        "q131_lr_train": r"""
+WITH toks AS (
+  SELECT doc_id AS doc, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t,
+         generate_subscripts(string_split_regex(trim(lower(text)), '\s+'), 1) AS idx
+  FROM documents WHERE trim(text) <> ''
+), featrows AS (
+  SELECT doc, t AS feat FROM toks
+  UNION ALL
+  SELECT doc, lag(t) OVER (PARTITION BY doc ORDER BY idx) || '_' || t AS feat
+  FROM toks QUALIFY lag(t) OVER (PARTITION BY doc ORDER BY idx) IS NOT NULL
+), tf AS (
+  SELECT doc, feat, count(*) AS tf FROM featrows GROUP BY 1, 2
+), bt AS (
+  SELECT doc, (('0x' || substr(md5(feat), 1, 15))::BIGINT % 4096) AS bucket,
+         sum(tf) AS btf
+  FROM tf GROUP BY 1, 2
+), tot AS (
+  SELECT doc, sum(tf) AS ttf FROM tf GROUP BY 1
+), xs AS (
+  SELECT bt.doc, bt.bucket,
+         CAST(bt.btf AS DOUBLE) / CAST(tot.ttf AS DOUBLE) AS x
+  FROM bt JOIN tot ON bt.doc = tot.doc
+), lab AS (
+  SELECT doc_id AS doc,
+         CAST(CASE WHEN length(text) >= 300 THEN 1 ELSE 0 END AS DOUBLE) AS y
+  FROM documents
+), xy AS (
+  SELECT xs.doc, CAST(xs.doc AS VARCHAR) AS k, xs.bucket, xs.x, lab.y
+  FROM xs JOIN lab ON xs.doc = lab.doc
+), nst AS (
+  SELECT CAST(count(DISTINCT doc) AS DOUBLE) AS n FROM xy
+), e1 AS (
+  SELECT doc, k, (0.5 - y) AS e FROM (SELECT DISTINCT doc, k, y FROM xy)
+), g1a AS (
+  SELECT xy.bucket, (('0x' || substr(md5(xy.k), 1, 15))::BIGINT % 64) AS b,
+         list_aggregate(list(xy.x * e1.e ORDER BY xy.k), 'sum') AS s1
+  FROM xy JOIN e1 ON xy.doc = e1.doc GROUP BY 1, 2
+), g1 AS (
+  SELECT bucket, list_aggregate(list(s1 ORDER BY b), 'sum') AS gsum
+  FROM g1a GROUP BY 1
+), gb1a AS (
+  SELECT (('0x' || substr(md5(k), 1, 15))::BIGINT % 64) AS b,
+         list_aggregate(list(e ORDER BY k), 'sum') AS s1
+  FROM e1 GROUP BY 1
+), gb1 AS (
+  SELECT coalesce(list_aggregate(list(s1 ORDER BY b), 'sum'), 0.0) AS gsum
+  FROM gb1a
+), w1 AS (
+  SELECT g1.bucket, (0.0 - 0.5 * (g1.gsum / nst.n + 0.01 * 0.0)) AS w
+  FROM g1 CROSS JOIN nst
+), b1 AS (
+  SELECT (0.0 - 0.5 * gb1.gsum / nst.n) AS b FROM gb1 CROSS JOIN nst
+), d2 AS (
+  SELECT xy.doc, xy.k, max(xy.y) AS y,
+         list_aggregate(list(xy.x * w1.w ORDER BY xy.bucket), 'sum') AS dot
+  FROM xy JOIN w1 ON xy.bucket = w1.bucket GROUP BY 1, 2
+), e2 AS (
+  SELECT doc, k, (1.0 / (1.0 + exp(-(b1.b + dot))) - y) AS e
+  FROM d2 CROSS JOIN b1
+), g2a AS (
+  SELECT xy.bucket, (('0x' || substr(md5(xy.k), 1, 15))::BIGINT % 64) AS b,
+         list_aggregate(list(xy.x * e2.e ORDER BY xy.k), 'sum') AS s1
+  FROM xy JOIN e2 ON xy.doc = e2.doc GROUP BY 1, 2
+), g2 AS (
+  SELECT bucket, list_aggregate(list(s1 ORDER BY b), 'sum') AS gsum
+  FROM g2a GROUP BY 1
+), gb2a AS (
+  SELECT (('0x' || substr(md5(k), 1, 15))::BIGINT % 64) AS b,
+         list_aggregate(list(e ORDER BY k), 'sum') AS s1
+  FROM e2 GROUP BY 1
+), gb2 AS (
+  SELECT coalesce(list_aggregate(list(s1 ORDER BY b), 'sum'), 0.0) AS gsum
+  FROM gb2a
+), w2 AS (
+  SELECT w1.bucket,
+         (w1.w - 0.5 * (coalesce(g2.gsum, 0.0) / nst.n + 0.01 * w1.w)) AS w
+  FROM w1 LEFT JOIN g2 ON w1.bucket = g2.bucket CROSS JOIN nst
+), b2 AS (
+  SELECT (b1.b - 0.5 * gb2.gsum / nst.n) AS b
+  FROM b1 CROSS JOIN gb2 CROSS JOIN nst
+), pr AS (
+  SELECT xs.doc,
+         list_aggregate(list(xs.x * coalesce(w2.w, 0.0) ORDER BY xs.bucket),
+                        'sum') AS dot
+  FROM xs LEFT JOIN w2 ON xs.bucket = w2.bucket GROUP BY 1
+)
+SELECT pr.doc AS doc_id,
+  round(1.0 / (1.0 + exp(-(b2.b + pr.dot))), 6) AS p_r,
+  round(1.0 / (1.0 + exp(-(b2.b + pr.dot))), 6) >= 0.5 AS keep,
+  CAST(lab.y AS INTEGER) AS label
+FROM pr CROSS JOIN b2 JOIN lab ON pr.doc = lab.doc
 """,
         "q127_span_corrupt": f"""
 WITH d AS (

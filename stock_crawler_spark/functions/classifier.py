@@ -240,3 +240,213 @@ def dsir_select(
             F.round("sel_key", 6).alias("sel_key"),
         )
     )
+
+
+# --- Logistic-regression TRAINING of the hashed linear model ------------------
+#
+# The pipeline so far only APPLIES linear quality models
+# (hashed_linear_score) or sidesteps training entirely (DSIR). Real
+# webtext curation trains the gate: fastText-supervised quality
+# classifiers (CCNet's wiki-vs-common-crawl filter, DCLM's OH2.5+ELI5
+# model) are logistic regressions over hashed bag-of-n-gram features,
+# refit every crawl snapshot. lr_train is that fit as a Spark batch
+# job: full-batch gradient descent where each sweep is one broadcast
+# join (model -> features) + one deterministic fold (gradient), the
+# same iterative shape as operators/graph.pagerank — model state lives
+# in a DataFrame, never on the driver.
+#
+# Bit-reproducibility contract: every cross-row float reduction (the
+# per-doc margin dot and the per-bucket gradient) folds in a FIXED
+# sorted order via operators/graph.det_sum / a per-doc bucket-ordered
+# fold, so the trained weights — and therefore the keep/drop set the
+# model gates at 10^10 docs — are identical across runs, partitionings,
+# and engines (the DuckDB oracle unrolls the same iterations with the
+# same fold order). sigmoid uses exp(), whose last-ulp rounding is the
+# one engine-dependent piece (same caveat as hashed_linear_score /
+# q63); outputs round to 6 dp, far above ulp drift.
+#
+# Scale notes (10^10 docs, D = 2^20 buckets, k sweeps):
+#   * features are computed ONCE and persisted; each sweep reads them,
+#     never the corpus;
+#   * the model (<= D rows + 1 bias row) broadcasts into the margin
+#     join — sweeps never shuffle the corpus by anything but doc;
+#   * gradients reduce through det_sum's two-level ordered fold:
+#     O(distinct (doc,bucket)) rows into a bucket-keyed shuffle whose
+#     per-group arrays are bounded by n_docs/det-buckets;
+#   * model state is localCheckpoint-truncated per sweep (the
+#     pagerank/bfs pattern), so the plan never grows with n_iter;
+#   * full-batch GD, k fixed and small (quality gates need a stable
+#     separator, not SGD-converged loss; DCLM refits weekly with
+#     single-digit epochs).
+
+BIAS_BUCKET = -1
+
+
+def _bucket_fold(val: Column) -> Column:
+    """Fold `val` doubles in ascending bucket order (bucket is unique
+    per doc after lr_features' groupBy, so the order — and the float
+    sum — is well-defined). SQL: list_aggregate(list(v ORDER BY
+    bucket), 'sum')."""
+    return F.aggregate(
+        F.array_sort(F.collect_list(F.struct(F.col("bucket").alias("_k"), val.alias("_v")))),
+        F.lit(0.0),
+        lambda acc, x: acc + x["_v"],
+    )
+
+
+def lr_features(
+    docs: DataFrame,
+    n_buckets: int = DEFAULT_BUCKETS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc, bucket, x): mean-pool-normalized hashed features — the
+    exact input space hashed_linear_score evaluates, pre-collapsed to
+    bucket granularity (x_b = sum of tf over feats hashing to b, over
+    the doc's total tf). Blank docs contribute no rows."""
+    tf = doc_features(docs, id_col, text_col).withColumn(
+        "bucket", F.pmod(_h60(F.col("feat")), F.lit(n_buckets))
+    )
+    per_bucket = tf.groupBy("doc", "bucket").agg(F.sum("tf").alias("_btf"))
+    tot = tf.groupBy("doc").agg(F.sum("tf").alias("_ttf"))
+    return per_bucket.join(tot, "doc").select(
+        "doc",
+        "bucket",
+        (F.col("_btf").cast("double") / F.col("_ttf").cast("double")).alias("x"),
+    )
+
+
+def lr_train(
+    docs: DataFrame,
+    labels: DataFrame,
+    n_iter: int = 2,
+    step: float = 0.5,
+    l2: float = 0.0,
+    n_buckets: int = DEFAULT_BUCKETS,
+    id_col: str = "doc_id",
+    label_col: str = "label",
+    text_col: str = "text",
+    det_buckets: int = 64,
+    truncate_lineage: bool = True,
+) -> DataFrame:
+    """Fit w, b by full-batch gradient descent on mean-pooled logistic
+    loss; returns the model as (bucket, w) with the bias at
+    bucket = BIAS_BUCKET — the table lr_predict (and, reshaped, any
+    engine) serves.
+
+      p_d   = sigmoid(b + sum_b w_b x_{d,b})
+      w_b  -= step * ( fold_d (p_d - y_d) x_{d,b} / n  +  l2 * w_b )
+      b    -= step *   fold_d (p_d - y_d) / n
+
+    Weights exist only for buckets the training set touches (w0 = 0
+    everywhere, and untouched buckets receive no gradient, so they
+    stay exactly 0 — the full 2^20-row table is implicit). Docs with
+    blank text or no label row are excluded, matching the upstream
+    blank-page drop."""
+    from stock_crawler_spark.operators.graph import det_sum
+
+    lab = labels.select(
+        F.col(id_col).alias("doc"), F.col(label_col).cast("double").alias("y")
+    )
+    xy = (
+        lr_features(docs, n_buckets, id_col, text_col)
+        .join(lab, "doc")
+        .select("doc", F.col("doc").cast("string").alias("_k"), "bucket", "x", "y")
+        .persist()
+    )
+    nst = xy.agg(F.count_distinct("doc").cast("double").alias("_n"))
+    model = (
+        xy.select("bucket").distinct()
+        .unionByName(xy.sparkSession.range(1).select(F.lit(BIAS_BUCKET).alias("bucket")))
+        .withColumn("w", F.lit(0.0))
+    )
+    if truncate_lineage:
+        model = model.localCheckpoint(eager=True)
+
+    for _ in range(n_iter):
+        wts = model.filter(F.col("bucket") != BIAS_BUCKET)
+        bst = model.filter(F.col("bucket") == BIAS_BUCKET).select(
+            F.col("w").alias("_b")
+        )
+        scored = (
+            xy.join(F.broadcast(wts), "bucket")
+            .groupBy("doc", "_k", "y")
+            .agg(_bucket_fold(F.col("x") * F.col("w")).alias("_dot"))
+            .crossJoin(F.broadcast(bst))
+            .select(
+                "doc",
+                "_k",
+                (
+                    F.lit(1.0)
+                    / (F.lit(1.0) + F.exp(-(F.col("_b") + F.col("_dot"))))
+                    - F.col("y")
+                ).alias("_e"),
+            )
+        )
+        contrib = xy.join(scored.select("doc", "_e"), "doc").select(
+            "bucket", "_k", (F.col("x") * F.col("_e")).alias("_g")
+        )
+        gw = det_sum(contrib, ["bucket"], "_k", "_g", "_gsum", det_buckets)
+        gb = det_sum(scored, [], "_k", "_e", "_gsum", det_buckets)
+        new_w = (
+            wts.join(gw, "bucket", "left")
+            .crossJoin(F.broadcast(nst))
+            .select(
+                "bucket",
+                (
+                    F.col("w")
+                    - F.lit(step)
+                    * (
+                        F.coalesce(F.col("_gsum"), F.lit(0.0)) / F.col("_n")
+                        + F.lit(l2) * F.col("w")
+                    )
+                ).alias("w"),
+            )
+        )
+        new_b = (
+            bst.crossJoin(gb)
+            .crossJoin(F.broadcast(nst))
+            .select(
+                F.lit(BIAS_BUCKET).alias("bucket"),
+                (F.col("_b") - F.lit(step) * F.col("_gsum") / F.col("_n")).alias("w"),
+            )
+        )
+        model = new_w.unionByName(new_b)
+        if truncate_lineage:
+            model = model.localCheckpoint(eager=True)
+    return model
+
+
+def lr_predict(
+    docs: DataFrame,
+    model: DataFrame,
+    n_buckets: int = DEFAULT_BUCKETS,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score docs with an lr_train model; returns (id_col, p_r, keep).
+    Same bucket-ordered margin fold as training (bit-identical margins),
+    model broadcast — inference never shuffles by anything but doc.
+    Buckets absent from the model contribute w = 0 (they were never
+    touched in training), via a left join + coalesce."""
+    x = lr_features(docs, n_buckets, id_col, text_col)
+    wts = model.filter(F.col("bucket") != BIAS_BUCKET)
+    bst = model.filter(F.col("bucket") == BIAS_BUCKET).select(
+        F.col("w").alias("_b")
+    )
+    p = F.round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("_b") + F.col("_dot")))), 6
+    )
+    return (
+        x.join(F.broadcast(wts), "bucket", "left")
+        .withColumn("_p", F.col("x") * F.coalesce(F.col("w"), F.lit(0.0)))
+        .groupBy("doc")
+        .agg(_bucket_fold(F.col("_p")).alias("_dot"))
+        .crossJoin(F.broadcast(bst))
+        .select(
+            F.col("doc").alias(id_col),
+            p.alias("p_r"),
+            (p >= F.lit(threshold)).alias("keep"),
+        )
+    )

@@ -98,3 +98,118 @@ def test_dsir_deterministic_and_partition_invariant(spark):
         ]
 
     assert run(docs) == run(docs.repartition(11))
+
+
+# --- lr_train: full-batch logistic regression --------------------------------
+
+def _toy(spark, n=40):
+    rows = []
+    for i in range(n):
+        spam = i % 2 == 0
+        words = (
+            ["buy", "cheap", "pills", "now"]
+            if spam
+            else ["the", "quiet", "garden", "grows"]
+        ) + [f"w{i % 5}"]
+        rows.append((i, " ".join(words), 1 if spam else 0))
+    docs = spark.createDataFrame(
+        [(r[0], r[1]) for r in rows], "doc_id long, text string"
+    )
+    labels = spark.createDataFrame(
+        [(r[0], r[2]) for r in rows], "doc_id long, label int"
+    )
+    return docs, labels
+
+
+def test_lr_train_separates_toy_corpus(spark):
+    from stock_crawler_spark.functions.classifier import lr_predict, lr_train
+
+    docs, labels = _toy(spark)
+    model = lr_train(docs, labels, n_iter=6, step=2.0, n_buckets=512)
+    pred = lr_predict(docs, model, n_buckets=512).collect()
+    assert len(pred) == 40
+    for r in pred:
+        assert (r["p_r"] >= 0.5) == (r["doc_id"] % 2 == 0), r
+        assert r["keep"] == (r["p_r"] >= 0.5)
+
+
+def test_lr_train_matches_numpy_replay(spark):
+    """The distributed GD must compute the same fit as a dense NumPy
+    replay of the identical math (same hashing, same normalization) —
+    tolerance covers fold-order float drift only."""
+    import hashlib
+
+    import numpy as np
+
+    from stock_crawler_spark.functions.classifier import lr_predict, lr_train
+
+    docs, labels = _toy(spark)
+    nb, n_iter, step, l2 = 256, 3, 0.7, 0.05
+    model = lr_train(docs, labels, n_iter=n_iter, step=step, l2=l2, n_buckets=nb)
+    pred = {r["doc_id"]: r["p_r"] for r in lr_predict(docs, model, n_buckets=nb).collect()}
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+    y = np.array([i % 2 == 0 for i, _ in rows], dtype=float)
+    X = np.zeros((len(rows), nb))
+    for r_i, (_, text) in enumerate(rows):
+        toks = text.lower().split()
+        feats = toks + [a + "_" + b for a, b in zip(toks, toks[1:])]
+        for f_ in feats:
+            X[r_i, h60(f_) % nb] += 1.0 / len(feats)
+    w = np.zeros(nb)
+    b = 0.0
+    n = float(len(rows))
+    for _ in range(n_iter):
+        p = 1 / (1 + np.exp(-(b + X @ w)))
+        e = p - y
+        w = w - step * (X.T @ e / n + l2 * w)
+        b = b - step * e.sum() / n
+    p_np = 1 / (1 + np.exp(-(b + X @ w)))
+    for r_i, (i, _) in enumerate(rows):
+        assert abs(pred[i] - p_np[r_i]) < 1e-6, (i, pred[i], p_np[r_i])
+
+
+def test_lr_train_partition_invariant(spark):
+    from stock_crawler_spark.functions.classifier import lr_predict, lr_train
+
+    docs, labels = _toy(spark)
+
+    def run(d, lb):
+        m = lr_train(d, lb, n_iter=2, step=0.5, l2=0.01, n_buckets=128)
+        return sorted(
+            (r["doc_id"], r["p_r"]) for r in lr_predict(d, m, n_buckets=128).collect()
+        )
+
+    assert run(docs, labels) == run(docs.repartition(13), labels.repartition(7))
+
+
+def test_lr_l2_shrinks_weights(spark):
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from stock_crawler_spark.functions.classifier import lr_train
+
+    docs, labels = _toy(spark)
+
+    def norm(l2):
+        m = lr_train(docs, labels, n_iter=4, step=1.0, l2=l2, n_buckets=128)
+        return m.filter(F.col("bucket") >= 0).agg(
+            F.sum(F.col("w") * F.col("w"))
+        ).collect()[0][0]
+
+    assert norm(0.5) < norm(0.0)
+
+
+def test_lr_unlabeled_and_blank_docs_excluded_from_training(spark):
+    from stock_crawler_spark.functions.classifier import lr_train
+
+    docs, labels = _toy(spark, n=20)
+    extra = spark.createDataFrame(
+        [(900, "   "), (901, "unlabeled words here")], "doc_id long, text string"
+    )
+    m_base = lr_train(docs, labels, n_iter=2, n_buckets=128)
+    m_extra = lr_train(docs.unionByName(extra), labels, n_iter=2, n_buckets=128)
+    base = {(r["bucket"], r["w"]) for r in m_base.collect()}
+    assert base == {(r["bucket"], r["w"]) for r in m_extra.collect()}
