@@ -2640,6 +2640,21 @@ def q131_lr_train(spark, sf):
     return pred.join(labels, "doc_id").select("doc_id", "p_r", "keep", "label")
 
 
+def q132_pq_adc(spark, sf):
+    """Product-quantization ANN (operators/ann pq_train/pq_encode/
+    pq_topk; Jegou et al. 2011): per-block codebooks from deterministic
+    seeds, corpus compressed to (block, code) pairs, asymmetric-distance
+    top-k via a broadcast per-query LUT — the memory tier under IVF at
+    10^10 vectors. Every fold is dim-/block-ordered, so codes and ranks
+    replay exactly."""
+    from stock_crawler_spark.operators.ann import pq_encode, pq_topk, pq_train
+
+    emb = _t(spark, sf, "embeddings")
+    book = pq_train(emb, m=8, n_codes=16)
+    codes = pq_encode(emb, book, m=8)
+    return pq_topk(emb.filter(F.col("vec_id") < 5), codes, book, k=5, m=8)
+
+
 # ---------------------------------------------------------------------------
 # driver API
 # ---------------------------------------------------------------------------
@@ -2783,6 +2798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q129_ivf_assign_delta": q129_ivf_assign_delta,
         "q130_schedule_fairness": q130_schedule_fairness,
         "q131_lr_train": q131_lr_train,
+        "q132_pq_adc": q132_pq_adc,
     }
 
 
@@ -4723,6 +4739,54 @@ dirs AS (
 )
 SELECT anchor, positive, arg_min(cand, h) AS negative, min(h) AS neg_hash
 FROM crossed GROUP BY 1, 2
+""",
+        # q132: PQ replay — seeded per-block codebooks, L2-argmin codes,
+        # ADC via block-ordered LUT folds (list_inner_product == the
+        # Spark dim-ordered dot, proven by q129)
+        "q132_pq_adc": f"""
+WITH corpus AS (
+  {_UNIT_CORPUS}
+), seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, e
+  FROM corpus ORDER BY vec_id LIMIT 16
+), blocks AS (
+  SELECT unnest(generate_series(0, 7)) AS block
+), book AS (
+  SELECT b.block, s.code,
+         array_slice(s.e, b.block * 8 + 1, b.block * 8 + 8) AS cw
+  FROM seeds s CROSS JOIN blocks b
+), cblocks AS (
+  SELECT c.vec_id, b.block,
+         array_slice(c.e, b.block * 8 + 1, b.block * 8 + 8) AS sub
+  FROM corpus c CROSS JOIN blocks b
+), dists AS (
+  SELECT cb.vec_id, cb.block, k.code,
+    list_aggregate(list_transform(generate_series(1, 8),
+      i -> (cb.sub[i] - k.cw[i]) * (cb.sub[i] - k.cw[i])), 'sum') AS d
+  FROM cblocks cb JOIN book k ON cb.block = k.block
+), codes AS (
+  SELECT vec_id, block, code FROM (
+    SELECT vec_id, block, code,
+      row_number() OVER (PARTITION BY vec_id, block ORDER BY d, code) AS rn
+    FROM dists) WHERE rn = 1
+), qblocks AS (
+  SELECT c.vec_id AS query_id, b.block,
+         array_slice(c.e, b.block * 8 + 1, b.block * 8 + 8) AS qsub
+  FROM corpus c CROSS JOIN blocks b WHERE c.vec_id < 5
+), lut AS (
+  SELECT q.query_id, q.block, k.code, list_inner_product(q.qsub, k.cw) AS part
+  FROM qblocks q JOIN book k ON q.block = k.block
+), scored AS (
+  SELECT l.query_id, cd.vec_id AS cand_id,
+         list_aggregate(list(l.part ORDER BY l.block), 'sum') AS adc
+  FROM codes cd JOIN lut l ON cd.block = l.block AND cd.code = l.code
+  GROUP BY 1, 2
+)
+SELECT query_id, cand_id, round(adc, 6) AS adc_r, rank FROM (
+  SELECT query_id, cand_id, adc,
+    row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, cand_id) AS rank
+  FROM scored)
+WHERE rank <= 5
 """,
         # q131: full unrolled replay of 2 GD sweeps — same hashed features
         # as q63, same det_sum two-level sorted folds as q54, exp() the

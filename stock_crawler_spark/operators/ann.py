@@ -412,3 +412,203 @@ def ivf_assign_delta(
             F.round(F.col("cos"), 6).alias("cos_r"),
         )
     )
+
+
+# --- Product quantization (PQ) + asymmetric-distance (ADC) search -------------
+#
+# The memory side of billion-scale ANN (Jegou, Douze, Schmid 2011 —
+# "Product Quantization for Nearest Neighbor Search"): split each
+# D-dim vector into M blocks, learn a tiny per-block codebook of
+# n_codes codewords, store each vector as M one-byte-ish codes. At
+# 10^10 vectors x 64 dims x 8 bytes, raw floats are ~5 TB; PQ with
+# M=8, 256 codes is ~80 GB — the difference between "fits in cluster
+# memory" and "doesn't". Search is ADC: the QUERY stays exact, each
+# candidate's dot is approximated as the sum over blocks of a
+# precomputed lookup dot(q_block, codeword(code)) — IVF (build_ivf)
+# routes to cells, PQ scores inside them; this module keeps the two
+# composable but independent.
+#
+# Scale shape: the codebook (M x n_codes rows) and the per-query LUT
+# (n_queries x M x n_codes) BROADCAST; encoding and scoring stream the
+# corpus through one stage each; the per-(vec, block) argmin is a
+# groupBy min(struct) — no window over anything corpus-sized. Every
+# float reduction folds in fixed order (dim order inside a block,
+# block order across blocks), so codes, ADC scores, and ranks are
+# bit-reproducible across runs, partitionings, and engines.
+
+
+def _block_explode(df: DataFrame, emb_col: str, m: int, d_block: int,
+                   out: str = "sub"):
+    """-> df + (block, sub): the M contiguous d_block-dim slices."""
+    slices = F.array(*[
+        F.slice(F.col(emb_col), b * d_block + 1, d_block) for b in range(m)
+    ])
+    return df.select("*", F.posexplode(slices).alias("block", out)).drop(emb_col)
+
+
+def _infer_dim(corpus: DataFrame, emb: str) -> int:
+    row = corpus.select(F.size(F.col(emb)).alias("d")).first()
+    if row is None:
+        raise ValueError("pq: empty corpus")
+    return int(row["d"])
+
+
+def _sq_l2(a, b):
+    """Squared L2 between two equal-length arrays, folded in dim order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    cid: str = "vec_id",
+    emb: str = "embedding",
+    refine_iters: int = 0,
+    dim: int | None = None,
+) -> DataFrame:
+    """-> codebook (block, code, cw) over unit vectors. Initial codewords
+    per block = the sub-vectors of the n_codes corpus rows with the
+    smallest ids (the build_ivf deterministic seed, applied per block);
+    ``refine_iters`` runs per-block Lloyd passes — assign each
+    (vec, block) to its nearest codeword, re-center codewords on the
+    mean of their members — entirely as DataFrame ops. Empty codewords
+    keep their previous value (build_ivf's keep-alive)."""
+    dim = dim if dim is not None else _infer_dim(corpus, emb)
+    assert dim % m == 0, f"dim {dim} not divisible into {m} blocks"
+    d_block = dim // m
+    c = _unit_select(corpus, cid, emb, "cand_id", "c_emb")
+    seeds = (
+        c.orderBy(F.asc("cand_id")).limit(n_codes)
+        .select(
+            (F.row_number().over(Window.orderBy(F.asc("cand_id"))) - 1).alias("code"),
+            "c_emb",
+        )
+    )
+    book = _block_explode(seeds, "c_emb", m, d_block, "cw").select(
+        "block", "code", "cw"
+    )
+    if refine_iters:
+        blocks = _block_explode(c, "c_emb", m, d_block).select(
+            "cand_id", "block", "sub"
+        ).persist()
+        for _ in range(refine_iters):
+            assigned = (
+                blocks.join(F.broadcast(book), "block")
+                .groupBy("cand_id", "block")
+                .agg(
+                    F.min(
+                        F.struct(
+                            _sq_l2(F.col("sub"), F.col("cw")).alias("d"),
+                            F.col("code").alias("c"),
+                        )
+                    ).alias("_m")
+                )
+                .select("cand_id", "block", F.col("_m.c").alias("code"))
+            )
+            dims = (
+                blocks.join(assigned, ["cand_id", "block"])
+                .select("block", "code", F.posexplode("sub").alias("dim", "v"))
+            )
+            means = dims.groupBy("block", "code", "dim").agg(F.avg("v").alias("mv"))
+            refined = means.groupBy("block", "code").agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "mv"))),
+                    lambda s: s["mv"],
+                ).alias("cw")
+            )
+            book = (
+                book.select("block", "code", F.col("cw").alias("_prev"))
+                .join(refined, ["block", "code"], "left")
+                .select(
+                    "block", "code",
+                    F.coalesce(F.col("cw"), F.col("_prev")).alias("cw"),
+                )
+            )
+        blocks.unpersist()
+    return book
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    m: int = 8,
+    cid: str = "vec_id",
+    emb: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """-> (vec_id, block, code, qerr_r): each vector's nearest codeword
+    per block (squared-L2 argmin, code-ascending tie-break) plus the
+    per-block quantization error — the compressed representation ADC
+    searches over. One broadcast join + one groupBy; never a window."""
+    dim = dim if dim is not None else _infer_dim(corpus, emb)
+    d_block = dim // m
+    c = _unit_select(corpus, cid, emb, "cand_id", "c_emb")
+    blocks = _block_explode(c, "c_emb", m, d_block)
+    best = (
+        blocks.join(F.broadcast(codebook), "block")
+        .groupBy("cand_id", "block")
+        .agg(
+            F.min(
+                F.struct(
+                    _sq_l2(F.col("sub"), F.col("cw")).alias("d"),
+                    F.col("code").alias("c"),
+                )
+            ).alias("_m")
+        )
+    )
+    return best.select(
+        F.col("cand_id").alias(cid),
+        "block",
+        F.col("_m.c").alias("code"),
+        F.round(F.col("_m.d"), 6).alias("qerr_r"),
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebook: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    qid: str = "vec_id",
+    cid: str = "vec_id",
+    emb: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """ADC top-k: approximate cosine of every coded corpus vector
+    against each exact (unit-normalized) query as the block-ordered
+    fold of LUT[block, code] = dot(q_block, codeword). The LUT
+    (n_queries x M x n_codes rows) broadcasts; the coded corpus joins
+    it on (block, code) and reduces per (query, vec) — the only
+    corpus-sized shuffle. Rank ties break on cand_id ascending."""
+    dim = dim if dim is not None else _infer_dim(queries, emb)
+    d_block = dim // m
+    q = _unit_select(queries, qid, emb, "query_id", "q_emb")
+    qblocks = _block_explode(q, "q_emb", m, d_block, "qsub")
+    lut = qblocks.join(F.broadcast(codebook), "block").select(
+        "query_id", "block", "code",
+        _dot(F.col("qsub"), F.col("cw")).alias("part"),
+    )
+    ordered = F.aggregate(
+        F.array_sort(F.collect_list(F.struct(F.col("block").alias("_k"),
+                                             F.col("part").alias("_v")))),
+        F.lit(0.0),
+        lambda acc, x: acc + x["_v"],
+    )
+    scored = (
+        codes.select(F.col(cid).alias("cand_id"), "block", "code")
+        .join(F.broadcast(lut), ["block", "code"])
+        .groupBy("query_id", "cand_id")
+        .agg(ordered.alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", F.round("adc", 6).alias("adc_r"), "rank")
+    )

@@ -378,3 +378,60 @@ def test_ivf_assign_delta_matches_full_assign(spark):
             sum(a * b for a, b in zip(unit[v], cent_rows[cell])), 6
         )
         assert abs(cos - exp_cos) < 1e-9, (v, cell)
+
+
+# --- product quantization + ADC ------------------------------------------------
+
+def test_pq_codes_complete_and_in_range(spark):
+    from stock_crawler_spark.operators.ann import pq_encode, pq_train
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    book = pq_train(emb, m=8, n_codes=16)
+    assert book.count() == 8 * 16
+    codes = pq_encode(emb, book, m=8)
+    n = emb.count()
+    assert codes.count() == n * 8  # one code per (vec, block)
+    bad = codes.filter((F.col("code") < 0) | (F.col("code") >= 16)).count()
+    assert bad == 0
+
+
+def test_pq_seed_vectors_encode_losslessly(spark):
+    """The n_codes smallest-id vectors ARE the codebook, so they encode
+    with zero quantization error and ADC reconstructs their self-dot
+    exactly (unit vectors: 1.0)."""
+    from stock_crawler_spark.operators.ann import pq_encode, pq_topk, pq_train
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    book = pq_train(emb, m=8, n_codes=16)
+    codes = pq_encode(emb, book, m=8)
+    assert codes.filter((F.col("vec_id") < 16) & (F.col("qerr_r") > 0)).count() == 0
+    top = pq_topk(emb.filter(F.col("vec_id") < 3), codes, book, k=1, m=8)
+    for r in top.collect():
+        assert r["cand_id"] == r["query_id"], r
+        assert abs(r["adc_r"] - 1.0) < 1e-6, r
+
+
+def test_pq_lloyd_refine_reduces_quantization_error(spark):
+    from stock_crawler_spark.operators.ann import pq_encode, pq_train
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def err(iters):
+        book = pq_train(emb, m=8, n_codes=16, refine_iters=iters)
+        return pq_encode(emb, book, m=8).agg(F.sum("qerr_r")).collect()[0][0]
+
+    assert err(2) < err(0)
+
+
+def test_pq_partition_invariant(spark):
+    from stock_crawler_spark.operators.ann import pq_encode, pq_topk, pq_train
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def run(df):
+        book = pq_train(df, m=8, n_codes=16)
+        codes = pq_encode(df, book, m=8)
+        top = pq_topk(df.filter(F.col("vec_id") < 5), codes, book, k=5, m=8)
+        return sorted(tuple(r) for r in top.collect())
+
+    assert run(emb) == run(emb.repartition(13))
