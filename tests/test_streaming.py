@@ -460,3 +460,56 @@ def test_streaming_chunk_and_readability_match_batch(spark, tmp_path):
     got = sorted(map(tuple, spark.sql("select * from chunk_read").collect()))
     want = sorted(map(tuple, xform(spark.read.parquet(path)).collect()))
     assert got == want and len(got) > 0
+
+
+def test_streaming_lr_gate_matches_batch(spark, tmp_path):
+    """Gating a stream under a FITTED quality classifier
+    (functions/classifier.lr_predict) is the production shape — train
+    offline on a labeled snapshot, score live ingest — driven through
+    foreachBatch (see inline comment) and required to match a batch
+    re-run row-for-row."""
+    from stock_crawler_spark.functions.classifier import lr_predict, lr_train
+
+    train = spark.createDataFrame(
+        [(i, ("buy cheap pills now w%d" % (i % 3)) if i % 2 == 0
+          else ("the quiet garden grows w%d" % (i % 3)), 1 if i % 2 == 0 else 0)
+         for i in range(20)],
+        "doc_id long, text string, label int",
+    )
+    model = lr_train(
+        train.select("doc_id", "text"), train.select("doc_id", "label"),
+        n_iter=4, step=1.5, n_buckets=256,
+    ).localCheckpoint()
+
+    val = spark.createDataFrame(
+        [(100, "buy cheap pills"), (101, "quiet garden"), (102, "   ")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "lr_stream")
+    val.coalesce(1).write.parquet(path)
+
+    # lr_predict's feature normalization joins two aggregations of its
+    # input (per-(doc,bucket) tf vs per-doc total) — a stream-stream
+    # join Structured Streaming forbids, so the deployment shape is
+    # foreachBatch: score each micro-batch with batch semantics, exact
+    # because the operator is per-doc and a doc never spans batches.
+    out_dir = str(tmp_path / "lr_gate_out")
+
+    def gate(batch_df, _epoch):
+        lr_predict(batch_df, model, n_buckets=256).write.mode("append").parquet(out_dir)
+
+    stream = spark.readStream.schema(val.schema).parquet(path)
+    q = (
+        stream.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", str(tmp_path / "ckpt_lr"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.read.parquet(out_dir).collect()))
+    want = sorted(
+        map(tuple, lr_predict(spark.read.parquet(path), model, n_buckets=256).collect())
+    )
+    assert got == want and len(got) == 2  # blank doc absent both sides
+    by_id = {r[0]: r[2] for r in got}
+    assert by_id[100] and not by_id[101]  # spam kept by the spam-label gate
