@@ -2655,6 +2655,20 @@ def q132_pq_adc(spark, sf):
     return pq_topk(emb.filter(F.col("vec_id") < 5), codes, book, k=5, m=8)
 
 
+def q133_ivfpq_topk(spark, sf):
+    """IVF-PQ serving composition (operators/ann.ivfpq_topk): IVF routes
+    each query to nprobe cells, ADC scores only the coded vectors inside
+    them — candidates shrink N -> N*nprobe/n_cells AND each candidate
+    reads M codes instead of D floats. The 10^10-vector serving shape."""
+    from stock_crawler_spark.operators.ann import ivfpq_topk
+
+    emb = _t(spark, sf, "embeddings")
+    return ivfpq_topk(
+        emb.filter(F.col("vec_id") < 5), emb, k=5,
+        n_cells=NEARDUP_CELLS, nprobe=4, m=8, n_codes=16,
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver API
 # ---------------------------------------------------------------------------
@@ -2799,6 +2813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q130_schedule_fairness": q130_schedule_fairness,
         "q131_lr_train": q131_lr_train,
         "q132_pq_adc": q132_pq_adc,
+        "q133_ivfpq_topk": q133_ivfpq_topk,
     }
 
 
@@ -4780,6 +4795,76 @@ WITH corpus AS (
   SELECT l.query_id, cd.vec_id AS cand_id,
          list_aggregate(list(l.part ORDER BY l.block), 'sum') AS adc
   FROM codes cd JOIN lut l ON cd.block = l.block AND cd.code = l.code
+  GROUP BY 1, 2
+)
+SELECT query_id, cand_id, round(adc, 6) AS adc_r, rank FROM (
+  SELECT query_id, cand_id, adc,
+    row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, cand_id) AS rank
+  FROM scored)
+WHERE rank <= 5
+""",
+        # q133: IVF routing (q26/q129 convention) composed with the q132
+        # PQ replay — ADC restricted to probed cells
+        "q133_ivfpq_topk": f"""
+WITH corpus AS (
+  {_UNIT_CORPUS}
+), cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e AS ce
+  FROM corpus ORDER BY vec_id LIMIT {NEARDUP_CELLS}
+), assigned AS (
+  SELECT vec_id AS cand_id, cell FROM (
+    SELECT c.vec_id, cents.cell,
+      row_number() OVER (
+        PARTITION BY c.vec_id
+        ORDER BY list_inner_product(c.e, cents.ce) DESC, cents.cell
+      ) AS rn
+    FROM corpus c CROSS JOIN cents) WHERE rn = 1
+), seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, e
+  FROM corpus ORDER BY vec_id LIMIT 16
+), blocks AS (
+  SELECT unnest(generate_series(0, 7)) AS block
+), book AS (
+  SELECT b.block, s.code,
+         array_slice(s.e, b.block * 8 + 1, b.block * 8 + 8) AS cw
+  FROM seeds s CROSS JOIN blocks b
+), cblocks AS (
+  SELECT c.vec_id, b.block,
+         array_slice(c.e, b.block * 8 + 1, b.block * 8 + 8) AS sub
+  FROM corpus c CROSS JOIN blocks b
+), dists AS (
+  SELECT cb.vec_id, cb.block, k.code,
+    list_aggregate(list_transform(generate_series(1, 8),
+      i -> (cb.sub[i] - k.cw[i]) * (cb.sub[i] - k.cw[i])), 'sum') AS d
+  FROM cblocks cb JOIN book k ON cb.block = k.block
+), codes AS (
+  SELECT vec_id, block, code FROM (
+    SELECT vec_id, block, code,
+      row_number() OVER (PARTITION BY vec_id, block ORDER BY d, code) AS rn
+    FROM dists) WHERE rn = 1
+), probes AS (
+  SELECT query_id, cell FROM (
+    SELECT c.vec_id AS query_id, cents.cell,
+      row_number() OVER (
+        PARTITION BY c.vec_id
+        ORDER BY list_inner_product(c.e, cents.ce) DESC, cents.cell
+      ) AS rn
+    FROM corpus c CROSS JOIN cents WHERE c.vec_id < 5) WHERE rn <= 4
+), qblocks AS (
+  SELECT c.vec_id AS query_id, b.block,
+         array_slice(c.e, b.block * 8 + 1, b.block * 8 + 8) AS qsub
+  FROM corpus c CROSS JOIN blocks b WHERE c.vec_id < 5
+), lut AS (
+  SELECT q.query_id, q.block, k.code, list_inner_product(q.qsub, k.cw) AS part
+  FROM qblocks q JOIN book k ON q.block = k.block
+), scored AS (
+  SELECT l.query_id, cd.vec_id AS cand_id,
+         list_aggregate(list(l.part ORDER BY l.block), 'sum') AS adc
+  FROM codes cd
+  JOIN assigned a ON cd.vec_id = a.cand_id
+  JOIN probes p ON a.cell = p.cell
+  JOIN lut l ON p.query_id = l.query_id
+            AND cd.block = l.block AND cd.code = l.code
   GROUP BY 1, 2
 )
 SELECT query_id, cand_id, round(adc, 6) AS adc_r, rank FROM (

@@ -612,3 +612,79 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", F.round("adc", 6).alias("adc_r"), "rank")
     )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_cells: int | None = None,
+    nprobe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    qid: str = "vec_id",
+    cid: str = "vec_id",
+    emb: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """IVF-PQ: the composition real 10^10-vector systems serve — IVF
+    routes each query to its nprobe nearest cells (build_ivf), ADC
+    scores ONLY the coded vectors inside those cells (pq_encode /
+    the pq_topk LUT). Versus flat PQ, the scored candidate set shrinks
+    from N to ~N * nprobe / n_cells; versus flat IVF, the scan inside a
+    cell reads M codes per vector instead of D floats.
+
+    Scale shape: centroids, codebook, and the per-query LUT broadcast;
+    the one corpus-sized join keys the coded vectors on cell against
+    the probe list. Same determinism contract as the components
+    (ordered folds, cell/code/cand tie-breaks). adc is an
+    APPROXIMATION of cosine (quantization error) — rerank the top-k'
+    with exact dots when serving demands it."""
+    dim = dim if dim is not None else _infer_dim(corpus, emb)
+    d_block = dim // m
+    cents, assigned = build_ivf(corpus, n_cells, cid, emb)
+    book = pq_train(corpus, m, n_codes, cid, emb, dim=dim)
+    codes = pq_encode(corpus, book, m, cid, emb, dim=dim).select(
+        F.col(cid).alias("cand_id"), "block", "code"
+    )
+    cell_codes = codes.join(
+        assigned.select("cand_id", "cell"), "cand_id"
+    )
+
+    q = _unit_select(queries, qid, emb, "query_id", "q_emb")
+    qc = q.crossJoin(F.broadcast(cents)).withColumn(
+        "cos_c", _dot(F.col("q_emb"), F.col("cent_emb"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cos_c"), F.asc("cell"))
+    probes = (
+        qc.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "q_emb", "cell")
+    )
+    qblocks = _block_explode(
+        probes.select("query_id", "q_emb").distinct(), "q_emb", m, d_block, "qsub"
+    )
+    lut = qblocks.join(F.broadcast(book), "block").select(
+        "query_id", "block", "code",
+        _dot(F.col("qsub"), F.col("cw")).alias("part"),
+    )
+    ordered = F.aggregate(
+        F.array_sort(F.collect_list(F.struct(F.col("block").alias("_k"),
+                                             F.col("part").alias("_v")))),
+        F.lit(0.0),
+        lambda acc, x: acc + x["_v"],
+    )
+    scored = (
+        cell_codes.join(
+            F.broadcast(probes.select("query_id", "cell")), "cell"
+        )
+        .join(F.broadcast(lut), ["query_id", "block", "code"])
+        .groupBy("query_id", "cand_id")
+        .agg(ordered.alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", F.round("adc", 6).alias("adc_r"), "rank")
+    )

@@ -435,3 +435,46 @@ def test_pq_partition_invariant(spark):
         return sorted(tuple(r) for r in top.collect())
 
     assert run(emb) == run(emb.repartition(13))
+
+
+def test_ivfpq_matches_flat_pq_inside_probed_cells(spark):
+    """IVF-PQ is flat PQ restricted to probed cells: every (query, cand)
+    it returns must carry the identical ADC score flat PQ computed, and
+    its candidates must lie in the query's probed cells."""
+    from stock_crawler_spark.operators.ann import (
+        ivfpq_topk, pq_encode, pq_topk, pq_train,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 3)
+    book = pq_train(emb, m=8, n_codes=16)
+    codes = pq_encode(emb, book, m=8)
+    flat = {
+        (r["query_id"], r["cand_id"]): r["adc_r"]
+        for r in pq_topk(qs, codes, book, k=10**9, m=8).collect()
+    }
+    ivf = ivfpq_topk(qs, emb, k=5, n_cells=16, nprobe=4, m=8, n_codes=16)
+    rows = ivf.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert flat[(r["query_id"], r["cand_id"])] == r["adc_r"], r
+
+
+def test_ivfpq_full_probe_equals_flat_pq_topk(spark):
+    """With nprobe == n_cells (probe everything) IVF-PQ degenerates to
+    flat PQ exactly — same top-k, same ranks."""
+    from stock_crawler_spark.operators.ann import (
+        ivfpq_topk, pq_encode, pq_topk, pq_train,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 3)
+    book = pq_train(emb, m=8, n_codes=16)
+    codes = pq_encode(emb, book, m=8)
+    flat = sorted(tuple(r) for r in pq_topk(qs, codes, book, k=5, m=8).collect())
+    full = sorted(
+        tuple(r)
+        for r in ivfpq_topk(qs, emb, k=5, n_cells=16, nprobe=16, m=8,
+                            n_codes=16).collect()
+    )
+    assert flat == full

@@ -182,6 +182,7 @@ def test_no_cartesian_products_anywhere(spark):
         "q129_ivf_assign_delta", # broadcast IVF centroids (O(n_cells))
         "q131_lr_train",         # broadcast 1-row bias/doc-count state
         "q132_pq_adc",           # broadcast PQ codebook + per-query LUT
+        "q133_ivfpq_topk",       # broadcast centroids + codebook + LUT
     }
     for name, fn in entrymod.queries().items():
         tree = _plan(fn(spark, "/root/testdata/sf0.001")).split("\n\n")[0]
