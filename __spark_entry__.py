@@ -2669,6 +2669,19 @@ def q133_ivfpq_topk(spark, sf):
     )
 
 
+def q134_temperature_mix(spark, sf):
+    """Temperature-scaled multilingual mixture (operators/training.
+    temperature_weights; mT5/XLM-R alpha-sampling): w_g = n^alpha /
+    sum(n^alpha) per language plus a largest-remainder apportionment of
+    a 1000-slot budget — the weight table interleave_groups (q115) and
+    per-group budgets (q107) consume. Everything past one corpus groupBy
+    is O(n_langs) rows."""
+    from stock_crawler_spark.operators.training import temperature_weights
+
+    docs = _t(spark, sf, "documents")
+    return temperature_weights(docs, alpha=0.3, budget_slots=1000)
+
+
 # ---------------------------------------------------------------------------
 # driver API
 # ---------------------------------------------------------------------------
@@ -2814,6 +2827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q131_lr_train": q131_lr_train,
         "q132_pq_adc": q132_pq_adc,
         "q133_ivfpq_topk": q133_ivfpq_topk,
+        "q134_temperature_mix": q134_temperature_mix,
     }
 
 
@@ -4872,6 +4886,32 @@ SELECT query_id, cand_id, round(adc, 6) AS adc_r, rank FROM (
     row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, cand_id) AS rank
   FROM scored)
 WHERE rank <= 5
+""",
+        # q134: pow + largest-remainder apportionment replay
+        "q134_temperature_mix": """
+WITH counts AS (
+  SELECT lang AS g, count(*) AS n_docs FROM documents GROUP BY 1
+), tw AS (
+  SELECT g, n_docs, pow(CAST(n_docs AS DOUBLE), 0.3) AS t FROM counts
+), tot AS (
+  SELECT sum(t) AS z FROM tw
+), w AS (
+  SELECT g, n_docs, (t / tot.z) AS w FROM tw CROSS JOIN tot
+), base AS (
+  SELECT g, n_docs, w, w * 1000.0 AS exact,
+         CAST(floor(w * 1000.0) AS BIGINT) AS f,
+         w * 1000.0 - floor(w * 1000.0) AS rem
+  FROM w
+), spare AS (
+  SELECT CAST(1000 - sum(f) AS BIGINT) AS spare FROM base
+), ranked AS (
+  SELECT g, n_docs, w, f, spare.spare,
+         row_number() OVER (ORDER BY rem DESC, g) AS rk
+  FROM base CROSS JOIN spare
+)
+SELECT g AS lang, n_docs, round(w, 6) AS weight_r,
+       CAST(f + CASE WHEN rk <= spare THEN 1 ELSE 0 END AS BIGINT) AS slots
+FROM ranked
 """,
         # q131: full unrolled replay of 2 GD sweeps — same hashed features
         # as q63, same det_sum two-level sorted folds as q54, exp() the

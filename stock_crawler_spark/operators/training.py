@@ -749,3 +749,62 @@ def interleave_groups(
             F.round("vt", 9).alias("vt_r"),
         )
     )
+
+
+def temperature_weights(
+    df: DataFrame,
+    alpha: float = 0.3,
+    budget_slots: int | None = None,
+    group_col: str = "lang",
+) -> DataFrame:
+    """Temperature-scaled mixture weights over groups — the multilingual
+    sampling rule of mT5/XLM-R (Conneau et al. 2020; Xue et al. 2021):
+    sampling a group proportionally to its size drowns low-resource
+    languages, uniformly starves high-resource ones; the standard
+    compromise samples
+
+        w_g = n_g^alpha / sum_h n_h^alpha          (alpha in [0, 1])
+
+    alpha=1 is proportional, alpha=0 uniform, alpha~0.3 the published
+    operating point. With ``budget_slots`` the fractional weights are
+    apportioned into integer slot counts by largest remainder
+    (Hamilton's method — the same prefix-optimal rule
+    interleave_groups applies per slot): floor the exact shares, hand
+    the leftover slots to the largest remainders (group-ascending
+    tie-break). The output feeds interleave_groups /
+    select_token_budget_per_group as the weight table.
+
+    Scale shape: one groupBy over the corpus, then everything is
+    O(n_groups) rows — the ranking window is bounded by the number of
+    languages/sources (tens), the same deliberately-tiny-window shape
+    as build_ivf's seed numbering, never corpus-sized. pow() is the
+    one ulp-sensitive op (same caveat as exp in the classifier);
+    weights round at 6 dp in the output only."""
+    counts = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    tw = counts.withColumn("_t", F.pow(F.col("n_docs").cast("double"), F.lit(float(alpha))))
+    tot = tw.agg(F.sum("_t").alias("_z"))
+    w = tw.crossJoin(F.broadcast(tot)).withColumn("_w", F.col("_t") / F.col("_z"))
+    if budget_slots is None:
+        return w.select(
+            F.col("g").alias(group_col), "n_docs", F.round("_w", 6).alias("weight_r")
+        )
+    exact = w.withColumn("_exact", F.col("_w") * F.lit(float(budget_slots)))
+    base = exact.withColumn("_floor", F.floor("_exact").cast("long")).withColumn(
+        "_rem", F.col("_exact") - F.col("_floor")
+    )
+    spare = base.agg(
+        (F.lit(budget_slots) - F.sum("_floor")).cast("long").alias("_spare")
+    )
+    ranked = base.crossJoin(F.broadcast(spare)).withColumn(
+        "_rk", F.row_number().over(Window.orderBy(F.desc("_rem"), F.asc("g")))
+    )
+    return ranked.select(
+        F.col("g").alias(group_col),
+        "n_docs",
+        F.round("_w", 6).alias("weight_r"),
+        (F.col("_floor") + F.when(F.col("_rk") <= F.col("_spare"), 1).otherwise(0))
+        .cast("long")
+        .alias("slots"),
+    )

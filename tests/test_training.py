@@ -591,3 +591,56 @@ def test_interleave_partition_invariance(spark):
     assert a == b
     # pos is a dense permutation 0..N-1
     assert sorted(r[0] for r in a) == list(range(200))
+
+
+# --- temperature-scaled mixture weights ---------------------------------------
+
+def test_temperature_weights_endpoints(spark):
+    """alpha=1 reproduces proportional shares; alpha=0 is uniform."""
+    from stock_crawler_spark.operators.training import temperature_weights
+
+    rows = [(i, "en" if i < 80 else ("fr" if i < 95 else "de")) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    prop = {r["lang"]: r["weight_r"] for r in temperature_weights(df, alpha=1.0).collect()}
+    assert prop == {"en": 0.8, "fr": 0.15, "de": 0.05}
+    uni = {r["lang"]: r["weight_r"] for r in temperature_weights(df, alpha=0.0).collect()}
+    assert all(abs(v - 1 / 3) < 1e-5 for v in uni.values())
+
+
+def test_temperature_weights_boost_low_resource(spark):
+    """alpha < 1 must shift share from the head language to the tail —
+    the whole point of the rule."""
+    from stock_crawler_spark.operators.training import temperature_weights
+
+    rows = [(i, "en" if i < 90 else "sw") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    w = {r["lang"]: r["weight_r"] for r in temperature_weights(df, alpha=0.3).collect()}
+    assert w["sw"] > 0.10 and w["en"] < 0.90  # proportional would be 0.10 / 0.90
+
+
+def test_temperature_slots_apportion_exactly(spark):
+    from stock_crawler_spark.operators.training import temperature_weights
+
+    rows = [(i, ["en", "fr", "de", "zh", "es"][i % 5] if i % 7 else "ja")
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    for slots in (7, 100, 999):
+        out = temperature_weights(df, alpha=0.3, budget_slots=slots).collect()
+        assert sum(r["slots"] for r in out) == slots
+        # every group's slots within 1 of its exact share (Hamilton bound)
+        for r in out:
+            assert abs(r["slots"] - r["weight_r"] * slots) <= 1.0 + 1e-6, r
+
+
+def test_temperature_weights_partition_invariant(spark):
+    from stock_crawler_spark.operators.training import temperature_weights
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def run(d):
+        return sorted(
+            tuple(r)
+            for r in temperature_weights(d, alpha=0.3, budget_slots=500).collect()
+        )
+
+    assert run(docs) == run(docs.repartition(17))
