@@ -2682,6 +2682,59 @@ def q134_temperature_mix(spark, sf):
     return temperature_weights(docs, alpha=0.3, budget_slots=1000)
 
 
+RRF_TOPK = 50
+
+
+def q136_kneser_ney(spark, sf):
+    """Interpolated Kneser-Ney bigram LM (functions/lm.kneser_ney_lm /
+    kneser_ney_nll; Kneser & Ney 1995, Chen & Goodman 1999) — the
+    smoothing KenLM actually estimates for CCNet perplexity filters,
+    one rung above q93's add-one interpolation. Same leakage-free
+    hash split as q93; fit adds only two O(distinct-bigrams) groupBys
+    over the count table (continuation counts), scoring adds two
+    linear joins. Float contract: p_cont materialized as a column,
+    ln rounded 12, position-ordered fold, round 6."""
+    from stock_crawler_spark.functions.lm import kneser_ney_lm, kneser_ney_nll
+    from stock_crawler_spark.operators.training import split_by_hash
+
+    docs = split_by_hash(_t(spark, sf, "documents"), LM_SPLIT, salt=LM_SALT)
+    train = docs.filter(F.col("split") == "train")
+    val = docs.filter(F.col("split") == "val")
+    uni, bi, fw, bw, totals = kneser_ney_lm(train)
+    return kneser_ney_nll(val, uni, bi, fw, bw, totals)
+
+
+def q135_rrf_fusion(spark, sf):
+    """Hybrid retrieval via reciprocal-rank fusion (operators/retrieval.
+    rrf_fuse; Cormack et al. SIGIR 2009, k=60): the BM25 top-50 for the
+    fixed term query (q42's scorer) fused with the embedding-cosine
+    top-50 against vec 0's embedding (q13's scorer), doc_id == vec_id.
+    Each ranking arrives as a bounded head (TakeOrdered + IVF-class
+    operators upstream), so fusion is one UNION ALL + one groupBy over
+    O(systems*k) rows; contributions fold in system-name order for a
+    bit-reproducible sum."""
+    from stock_crawler_spark.operators.retrieval import rrf_fuse
+
+    docs = _t(spark, sf, "documents")
+    emb = _t(spark, sf, "embeddings")
+    bm = (
+        T.bm25_scores(docs, BM25_QUERY)
+        .orderBy(F.col("bm25").desc(), F.col("doc_id"))
+        .limit(RRF_TOPK)
+    )
+    bm_r = bm.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id")))
+        .alias("rnk"),
+    )
+    cos = ann.brute_force_topk(
+        emb.filter(F.col("vec_id") == 0), emb, k=RRF_TOPK
+    )
+    cos_r = cos.select(F.col("cand_id").alias("doc_id"), F.col("rank").alias("rnk"))
+    return rrf_fuse({"bm25": bm_r, "cos": cos_r}, k=60)
+
+
 # ---------------------------------------------------------------------------
 # driver API
 # ---------------------------------------------------------------------------
@@ -2828,6 +2881,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q132_pq_adc": q132_pq_adc,
         "q133_ivfpq_topk": q133_ivfpq_topk,
         "q134_temperature_mix": q134_temperature_mix,
+        "q135_rrf_fusion": q135_rrf_fusion,
+        "q136_kneser_ney": q136_kneser_ney,
     }
 
 
@@ -3916,6 +3971,82 @@ FROM tok GROUP BY 1
 """
 
 
+def _kn_oracle(d: float = 0.75) -> str:
+    """Replays q136: q93's hash split and bigram/unigram fit plus the
+    KN continuation counts (fw/bw over the bigram table, B = distinct
+    bigrams), then the interpolated-KN scoring with the identical
+    literal shape as functions/lm.kneser_ney_nll — p_cont materialized
+    first, discount d via repr, ln rounded 12, position-ordered fold,
+    round 6."""
+    from stock_crawler_spark.operators.training import split_thresholds
+
+    ths = split_thresholds(LM_SPLIT)
+    case = "CASE\n"
+    for upper, name in ths[:-1]:
+        case += f"    WHEN h < {upper} THEN '{name}'\n"
+    case += f"    ELSE '{ths[-1][1]}'\n  END"
+    return f"""
+WITH assigned AS (
+  SELECT doc_id, text, {case} AS split
+  FROM (SELECT doc_id, text,
+          ('0x' || substr(md5('{LM_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        FROM documents)
+), tr AS (
+  SELECT {_TOKS} AS arr FROM assigned WHERE split = 'train' AND trim(text) <> ''
+), uni AS (
+  SELECT t AS w, count(*) AS c FROM (SELECT unnest(arr) AS t FROM tr) GROUP BY 1
+), lm_totals AS (
+  SELECT count(*) AS v_size, (SELECT count(*) FROM tr) AS n_docs FROM uni
+), bi AS (
+  SELECT pr[1] AS w1, pr[2] AS w2, count(*) AS c12 FROM (
+    SELECT unnest([[a[x + 1], a[x + 2]] FOR x IN range(len(a) - 1)]) AS pr
+    FROM (SELECT ['<s>'] || arr AS a FROM tr)
+  ) GROUP BY 1, 2
+), fw AS (
+  SELECT w1, count(*) AS nfw FROM bi GROUP BY 1
+), bw AS (
+  SELECT w2, count(*) AS nbw FROM bi GROUP BY 1
+), totals AS (
+  SELECT (SELECT count(*) FROM bi) AS n_bigrams, v_size, n_docs FROM lm_totals
+), ctx AS (
+  SELECT w AS w1, c AS c1 FROM uni
+  UNION ALL SELECT '<s>', n_docs FROM totals
+), va AS (
+  SELECT doc_id AS doc, ['<s>'] || {_TOKS} AS a
+  FROM assigned WHERE split = 'val' AND trim(text) <> ''
+), pairs AS (
+  SELECT doc, pr.pos AS pos, pr.w1 AS w1, pr.w2 AS w2 FROM (
+    SELECT doc,
+      unnest([{{'pos': x, 'w1': a[x + 1], 'w2': a[x + 2]}} FOR x IN range(len(a) - 1)]) AS pr
+    FROM va
+  )
+), scored AS (
+  SELECT doc, pos, c12, c1, nfw,
+    CAST(coalesce(nbw, 0) + 1 AS DOUBLE)
+      / CAST(n_bigrams + v_size AS DOUBLE) AS pcont
+  FROM pairs
+  LEFT JOIN bi USING (w1, w2)
+  LEFT JOIN ctx USING (w1)
+  LEFT JOIN fw USING (w1)
+  LEFT JOIN bw USING (w2)
+  CROSS JOIN totals
+), tok AS (
+  SELECT doc, pos,
+    round(-ln(
+      CASE WHEN coalesce(c1, 0) > 0 AND coalesce(nfw, 0) > 0
+           THEN greatest(CAST(coalesce(c12, 0) AS DOUBLE) - {d!r}, 0.0)
+                  / CAST(c1 AS DOUBLE)
+                + {d!r} * CAST(nfw AS DOUBLE) / CAST(c1 AS DOUBLE) * pcont
+           ELSE pcont END
+    ), 12) AS nll_tok
+  FROM scored
+)
+SELECT doc AS doc_id, count(*) AS n_tokens,
+  round(list_aggregate(list(nll_tok ORDER BY pos), 'sum') / count(*), 6) AS nll
+FROM tok GROUP BY 1
+"""
+
+
 def _exact_substr_oracle(k: int = 40) -> str:
     """Replays q95: the footer augmentation, the k-gram positions (same
     md5-60 hash), the packed-integer argmin (pos < 2^20 so
@@ -4913,6 +5044,62 @@ SELECT g AS lang, n_docs, round(w, 6) AS weight_r,
        CAST(f + CASE WHEN rk <= spare THEN 1 ELSE 0 END AS BIGINT) AS slots
 FROM ranked
 """,
+        # q135: BM25 top-50 (q42's scorer) + cosine top-50 vs vec 0
+        # (q13's scorer), RRF k=60; contributions fold ORDER BY sys to
+        # mirror the engine's system-name-ordered sum
+        "q135_rrf_fusion": f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS t FROM documents
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1
+), stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avg_dl FROM dl
+), tf AS (
+  SELECT doc_id, t, count(*) AS tf FROM toks
+  WHERE t IN ('spark', 'join', 'window', 'shuffle') GROUP BY 1, 2
+), dft AS (
+  SELECT t, count(*) AS df FROM tf GROUP BY 1
+), bm AS (
+  SELECT doc_id,
+    round(list_aggregate(list(part ORDER BY t), 'sum'), 6) AS bm25
+  FROM (
+    SELECT tf.doc_id, t,
+      ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+      * (tf * (1.2 + 1)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_dl)) AS part
+    FROM tf JOIN dft USING (t) JOIN dl USING (doc_id) CROSS JOIN stats
+  ) GROUP BY 1
+), bmr AS (
+  SELECT doc_id, r FROM (
+    SELECT doc_id,
+      row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+    FROM bm
+  ) WHERE r <= {RRF_TOPK}
+), u AS (
+  {_UNIT_CORPUS}
+), qv AS (SELECT e AS qe FROM u WHERE vec_id = 0),
+cosr AS (
+  SELECT doc_id, r FROM (
+    SELECT vec_id AS doc_id,
+      row_number() OVER (
+        ORDER BY list_inner_product(e, qe) DESC, vec_id) AS r
+    FROM u CROSS JOIN qv
+  ) WHERE r <= {RRF_TOPK}
+), tagged AS (
+  SELECT doc_id, 'bm25' AS sys, r FROM bmr
+  UNION ALL SELECT doc_id, 'cos' AS sys, r FROM cosr
+), fused AS (
+  SELECT doc_id,
+    round(list_aggregate(
+      list(CAST(1.0 AS DOUBLE) / CAST(60 + r AS DOUBLE) ORDER BY sys),
+      'sum'), 9) AS rrf,
+    count(*) AS n_systems,
+    CAST(min(r) AS BIGINT) AS best_rank
+  FROM tagged GROUP BY 1
+)
+SELECT doc_id, rrf, n_systems, best_rank,
+  row_number() OVER (ORDER BY rrf DESC, doc_id) AS fused_rank
+FROM fused
+""",
         # q131: full unrolled replay of 2 GD sweeps — same hashed features
         # as q63, same det_sum two-level sorted folds as q54, exp() the
         # only ulp-sensitive op (rounded at 6 dp in the output only)
@@ -5446,6 +5633,7 @@ SELECT doc_id, url, excl // {WARC_SEGMENT_TARGET} AS segment_id,
 FROM cum
 """,
         "q93_bigram_lm": _lm_oracle(),
+        "q136_kneser_ney": _kn_oracle(),
         "q94_epoch_shuffle": _SHUFFLE_ORACLE,
         "q95_exact_substr": _exact_substr_oracle(),
         "q96_meta_robots": """

@@ -150,6 +150,117 @@ def bigram_nll(
     ).select(F.col("doc").alias(id_col), "n_tokens", "nll")
 
 
+KN_D = 0.75  # absolute discount (Kneser-Ney's canonical value)
+
+
+def kneser_ney_lm(
+    train_docs: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Fit an interpolated Kneser-Ney bigram model (Kneser & Ney 1995;
+    Chen & Goodman 1999's interpolated variant) — the smoothing rung
+    above bigram_lm's add-one interpolation, and what KenLM actually
+    estimates for CCNet-style perplexity filters:
+
+      p(w2|w1) = max(c(w1,w2) - D, 0)/c(w1)
+               + D * N1+(w1,*)/c(w1) * p_cont(w2)          if c(w1) > 0
+      p_cont(w2) = (N1+(*,w2) + 1) / (B + V)
+
+    where N1+(w1,*) / N1+(*,w2) are the distinct-continuation /
+    distinct-context counts and B the number of distinct bigrams. The
+    continuation distribution is add-one smoothed over the train
+    vocabulary (a documented divergence from textbook KN) so p > 0 for
+    held-out tokens never seen in ANY context; when the context w1 is
+    unseen — or was never a context (only ever document-final), so the
+    discount mass is zero — the model backs off to p_cont outright.
+
+    Returns (uni, bi, fw, bw, totals): unigram counts (w, c); bigram
+    counts (w1, w2, c) with a BOS ``<s>`` opening every doc; forward
+    continuation counts (w1, nfw) = N1+(w1,*); backward (w2, nbw) =
+    N1+(*,w2); totals 1 row (n_bigrams, v_size, n_docs). Everything is
+    the same two corpus-scale map-side-combine groupBys as bigram_lm
+    plus two O(distinct-bigrams) groupBys over the count table itself —
+    never a third pass over the corpus.
+    """
+    uni, bi, lm_totals = bigram_lm(train_docs, text_col)
+    fw = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("nfw"))
+    bw = bi.groupBy("w2").agg(F.count(F.lit(1)).alias("nbw"))
+    totals = (
+        bi.agg(F.count(F.lit(1)).alias("n_bigrams"))
+        .crossJoin(F.broadcast(lm_totals.select("v_size", "n_docs")))
+    )
+    return uni, bi, fw, bw, totals
+
+
+def kneser_ney_nll(
+    docs: DataFrame,
+    uni: DataFrame,
+    bi: DataFrame,
+    fw: DataFrame,
+    bw: DataFrame,
+    totals: DataFrame,
+    d: float = KN_D,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score documents under a fitted KN model: (id, n_tokens, nll),
+    nll = mean per-token negative log-likelihood. Join shape matches
+    bigram_nll (linear hash joins against the count tables, 1-row
+    totals broadcast) plus the two continuation-count joins; float
+    discipline identical (ln rounded 12, position-ordered fold,
+    round 6; p_cont materialized as its own column so both engines
+    compose the same doubles)."""
+    pairs = (
+        docs.filter(F.trim(F.col(text_col)) != "")
+        .select(
+            F.col(id_col).alias("doc"),
+            _bos_arr(_tok_arr(text_col)).alias("warr"),
+        )
+        .select("doc", F.explode(F.expr(_PAIRS_EXPR)).alias("p"))
+        .select("doc", "p.pos", "p.w1", "p.w2")
+    )
+    ctx = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")).unionByName(
+        totals.select(F.lit(BOS).alias("w1"), F.col("n_docs").alias("c1"))
+    )
+    joined = (
+        pairs.join(
+            bi.select("w1", "w2", F.col("c").alias("c12")), ["w1", "w2"], "left"
+        )
+        .join(ctx, "w1", "left")
+        .join(fw, "w1", "left")
+        .join(bw, "w2", "left")
+        .crossJoin(F.broadcast(totals.select("n_bigrams", "v_size")))
+    )
+    # identical literal shape on the DuckDB side — do not refactor
+    pcont = (
+        (F.coalesce(F.col("nbw"), F.lit(0)) + F.lit(1)).cast("double")
+        / (F.col("n_bigrams") + F.col("v_size")).cast("double")
+    )
+    joined = joined.withColumn("pcont", pcont)
+    p = F.when(
+        (F.coalesce(F.col("c1"), F.lit(0)) > 0)
+        & (F.coalesce(F.col("nfw"), F.lit(0)) > 0),
+        F.greatest(
+            F.coalesce(F.col("c12"), F.lit(0)).cast("double") - F.lit(d),
+            F.lit(0.0),
+        )
+        / F.col("c1").cast("double")
+        + F.lit(d)
+        * F.col("nfw").cast("double")
+        / F.col("c1").cast("double")
+        * F.col("pcont"),
+    ).otherwise(F.col("pcont"))
+    tok = joined.select("doc", "pos", F.round(-F.log(p), 12).alias("nll_tok"))
+    ordered_sum = F.aggregate(
+        F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("nll_tok")))),
+        F.lit(0.0),
+        lambda acc, x: acc + x["nll_tok"],
+    )
+    return tok.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(ordered_sum / F.count(F.lit(1)), 6).alias("nll"),
+    ).select(F.col("doc").alias(id_col), "n_tokens", "nll")
+
+
 def pmi_bigrams(
     docs: DataFrame,
     min_count: int = 5,

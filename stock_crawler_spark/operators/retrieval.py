@@ -1,0 +1,91 @@
+"""Hybrid retrieval: reciprocal-rank fusion (RRF) of ranked lists.
+
+Modern corpus search / RAG stacks retrieve with SEVERAL systems at
+once — lexical BM25, embedding cosine, sometimes a recency or
+authority prior — and merge the ranked lists. Cormack, Clarke &
+Buettcher (SIGIR 2009) showed the embarrassingly simple reciprocal-
+rank fusion
+
+    rrf(d) = sum over systems s of  1 / (k + rank_s(d))
+
+outperforms learned fusion across TREC collections; k=60 is the
+paper's constant. The reference crawler feeds exactly this kind of
+downstream index (its Kafka topics are consumed by a search/analytics
+stack), so the fusion step belongs to this engine's retrieval family
+next to BM25 (functions/text.bm25_scores) and ANN top-k
+(operators/ann).
+
+Scale shape: each input ranking is already top-k per system, so the
+union is O(systems * k) rows — a UNION ALL plus ONE groupBy on the
+doc id; no joins against the corpus, nothing quadratic, nothing
+collected. At 10^10 docs the rankings themselves are produced by the
+bounded operators (BM25 score-filter, IVF probe) — fusion only ever
+sees the k heads.
+
+Float discipline (BASELINE.md conventions): contributions are folded
+in SYSTEM-NAME order (collect_list -> array_sort -> aggregate), so
+the sum is bit-reproducible across partitionings and engines; the
+DuckDB oracle folds `list(contrib ORDER BY sys)` identically. The
+fused score is rounded to 9 (it lives in [0, systems/k] ~ 1e-2 scale;
+9 decimals keeps ~7 significant digits).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+RRF_K = 60  # Cormack et al. 2009's constant
+
+
+def rrf_fuse(
+    systems: dict[str, DataFrame],
+    k: int = RRF_K,
+    id_col: str = "doc_id",
+    rank_col: str = "rnk",
+) -> DataFrame:
+    """Fuse named rankings into one list.
+
+    Each value of ``systems`` is a ranking: (id_col, rank_col) with
+    rank 1 = best (extra columns are ignored). Returns one row per id
+    that appears in >= 1 ranking:
+
+      (id_col, rrf, n_systems, best_rank, fused_rank)
+
+    ordered implicitly by ``fused_rank`` = row_number over
+    (rrf DESC, id ASC) — the deterministic final ranking.
+    """
+    if not systems:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    tagged = None
+    for name in sorted(systems):
+        part = systems[name].select(
+            F.col(id_col),
+            F.lit(name).alias("sys"),
+            F.col(rank_col).cast("long").alias("r"),
+        )
+        tagged = part if tagged is None else tagged.unionByName(part)
+    contrib = tagged.withColumn(
+        "contrib", F.lit(1.0) / (F.lit(float(k)) + F.col("r").cast("double"))
+    )
+    # fold contributions in system-name order: bit-reproducible across
+    # partitionings and engines (DuckDB: list(contrib ORDER BY sys))
+    ordered_sum = F.aggregate(
+        F.array_sort(F.collect_list(F.struct(F.col("sys"), F.col("contrib")))),
+        F.lit(0.0),
+        lambda acc, x: acc + x["contrib"],
+    )
+    fused = tagged.select(id_col).distinct().join(
+        contrib.groupBy(id_col).agg(
+            F.round(ordered_sum, 9).alias("rrf"),
+            F.count(F.lit(1)).alias("n_systems"),
+            F.min("r").alias("best_rank"),
+        ),
+        id_col,
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("rrf").desc(), F.col(id_col))
+    # single-partition window is safe: input is O(systems * k) fused
+    # heads by construction, never the corpus
+    return fused.withColumn("fused_rank", F.row_number().over(w))

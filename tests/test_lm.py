@@ -167,3 +167,77 @@ def test_pmi_min_count_prunes(spark):
     )
     got = {(r["w1"], r["w2"]) for r in pmi_bigrams(docs, min_count=3).collect()}
     assert got == {("a", "b")}  # c('a b')=3; everything else below 3
+
+
+# --- Kneser-Ney ---------------------------------------------------------------
+
+
+def _ref_kn_nll(text, uni, bi, n_docs, d=0.75):
+    toks = [w for w in text.strip().lower().split() if w]
+    v = len(uni)
+    n_bigrams = len(bi)
+    nfw, nbw = {}, {}
+    for (a, b) in bi:
+        nfw[a] = nfw.get(a, 0) + 1
+        nbw[b] = nbw.get(b, 0) + 1
+    total = 0.0
+    for a, b in zip([BOS] + toks, toks):
+        c1 = n_docs if a == BOS else uni.get(a, 0)
+        pcont = (nbw.get(b, 0) + 1) / (n_bigrams + v)
+        if c1 > 0 and nfw.get(a, 0) > 0:
+            p = max(bi.get((a, b), 0) - d, 0.0) / c1 + d * nfw[a] / c1 * pcont
+        else:
+            p = pcont
+        total += round(-math.log(p), 12)
+    return len(toks), round(total / len(toks), 6)
+
+
+KN_VAL = VAL + [
+    "mat ran again",  # 'mat'/'ran' seen ONLY document-final: nfw=0 backoff
+]
+
+
+def test_kneser_ney_matches_reference(spark):
+    from stock_crawler_spark.functions.lm import kneser_ney_lm, kneser_ney_nll
+
+    uni_r, bi_r, n_docs = _ref_counts(TRAIN)
+    uni, bi, fw, bw, totals = kneser_ney_lm(_docs(spark, TRAIN))
+    t = totals.collect()[0]
+    assert t["n_bigrams"] == len(bi_r)
+    assert t["v_size"] == len(uni_r) and t["n_docs"] == n_docs
+    assert {r["w1"]: r["nfw"] for r in fw.collect()} == {
+        a: len({b for (x, b) in bi_r if x == a}) for (a, _) in bi_r
+    }
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["nll"])
+        for r in kneser_ney_nll(
+            _docs(spark, KN_VAL), uni, bi, fw, bw, totals
+        ).collect()
+    }
+    for i, text in enumerate(KN_VAL):
+        assert got[i] == _ref_kn_nll(text, uni_r, bi_r, n_docs), text
+
+
+def test_kneser_ney_discount_rewards_diverse_continuations(spark):
+    """The KN signature: a word frequent in ONE context ('francisco'
+    after 'san') gets a LOWER continuation probability than a less
+    frequent word seen in many contexts — unigram smoothing can't do
+    this. Train makes 'francisco' frequent but single-context while
+    'trip' follows many different words."""
+    from stock_crawler_spark.functions.lm import kneser_ney_lm, kneser_ney_nll
+
+    train = [
+        "san francisco " * 4 + "is big",
+        "a trip b trip c trip d trip",
+    ]
+    uni, bi, fw, bw, totals = kneser_ney_lm(_docs(spark, train))
+    # both scored in the SAME unseen context 'zzz' -> pure p_cont path
+    val = ["zzz francisco", "zzz trip"]
+    got = {
+        r["doc_id"]: r["nll"]
+        for r in kneser_ney_nll(
+            _docs(spark, val), uni, bi, fw, bw, totals
+        ).collect()
+    }
+    # c(francisco)=4 == c(trip)=4, but nbw(francisco)=1 < nbw(trip)=4
+    assert got[1] < got[0]

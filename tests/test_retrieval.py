@@ -1,0 +1,59 @@
+from __future__ import annotations
+
+import pytest
+
+from stock_crawler_spark.operators.retrieval import rrf_fuse
+
+
+def _rankings(spark):
+    a = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "doc_id long, rnk long"
+    )
+    b = spark.createDataFrame(
+        [(20, 1), (40, 2), (10, 3)], "doc_id long, rnk long"
+    )
+    return a, b
+
+
+def test_rrf_known_answer(spark):
+    a, b = _rankings(spark)
+    rows = {
+        r["doc_id"]: r
+        for r in rrf_fuse({"sysA": a, "sysB": b}, k=60).collect()
+    }
+    # doc 20: 1/(60+2) + 1/(60+1); doc 10: 1/(60+1) + 1/(60+3)
+    assert rows[20]["rrf"] == round(1 / 62 + 1 / 61, 9)
+    assert rows[10]["rrf"] == round(1 / 61 + 1 / 63, 9)
+    assert rows[30]["rrf"] == round(1 / 63, 9)
+    assert rows[40]["rrf"] == round(1 / 62, 9)
+    assert rows[20]["n_systems"] == 2 and rows[20]["best_rank"] == 1
+    assert rows[30]["n_systems"] == 1 and rows[30]["best_rank"] == 3
+    # fused ranking: 20 (both heads) > 10 > 40 > 30
+    order = sorted(rows.values(), key=lambda r: r["fused_rank"])
+    assert [r["doc_id"] for r in order] == [20, 10, 40, 30]
+
+
+def test_rrf_single_system_is_rank_monotone(spark):
+    a, _ = _rankings(spark)
+    got = sorted(
+        rrf_fuse({"only": a}).collect(), key=lambda r: r["fused_rank"]
+    )
+    # one system: fused order == that system's order
+    assert [r["doc_id"] for r in got] == [10, 20, 30]
+    assert all(r["n_systems"] == 1 for r in got)
+
+
+def test_rrf_tie_breaks_on_doc_id(spark):
+    # symmetric ranks -> equal rrf; fused_rank must break by doc_id asc
+    a = spark.createDataFrame([(7, 1), (3, 2)], "doc_id long, rnk long")
+    b = spark.createDataFrame([(3, 1), (7, 2)], "doc_id long, rnk long")
+    got = sorted(
+        rrf_fuse({"a": a, "b": b}).collect(), key=lambda r: r["fused_rank"]
+    )
+    assert got[0]["rrf"] == got[1]["rrf"]
+    assert [r["doc_id"] for r in got] == [3, 7]
+
+
+def test_rrf_empty_systems_raises(spark):
+    with pytest.raises(ValueError):
+        rrf_fuse({})
