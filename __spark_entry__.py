@@ -2685,6 +2685,76 @@ def q134_temperature_mix(spark, sf):
 RRF_TOPK = 50
 
 
+def q137_entropy(spark, sf):
+    """Shannon-entropy quality signals (functions/text.char_entropy /
+    token_entropy): char-distribution entropy flags keyboard-mash /
+    base64 blobs, token entropy is the information-theoretic cousin of
+    the Gopher repetition battery. Pure Column expressions — a sorted-
+    distinct fold per row inside codegen, ZERO shuffles, no UDF; the
+    scan never leaves the row."""
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(T.char_entropy(F.col("text")), 6).alias("char_h"),
+        F.round(T.token_entropy(F.col("text")), 6).alias("tok_h"),
+    )
+
+
+def q138_snapshot_drift(spark, sf):
+    """Per-language Jensen-Shannon drift between two crawl snapshots
+    (operators/profile.token_js_drift; Lin 1991) — synthetic snapshots
+    via doc_id parity. One tagged tokenize+groupBy over the union,
+    integer per-group totals broadcast back, vocab-long float reduction
+    through det_sum's two-level ordered fold (never one collected
+    array)."""
+    from stock_crawler_spark.operators.profile import token_js_drift
+
+    docs = _t(spark, sf, "documents")
+    return token_js_drift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    )
+
+
+MMR_STEPS = 10
+
+
+def q139_mmr_rerank(spark, sf):
+    """MMR diversity re-ranking (operators/retrieval.mmr_rerank;
+    Carbonell & Goldstein 1998, lambda 0.7): de-clumps q13's cosine
+    top-50 head for query vec 0. Head-local pairwise sims come from the
+    same engine-fold dot (round-6, q13's contract) via a bounded
+    head-squared join; the inherently sequential greedy runs per query
+    in one cogrouped applyInPandas. Oracle unrolls the 10 greedy stages
+    (q131's unrolled-sweeps precedent)."""
+    from stock_crawler_spark.operators.ann import _dot, _unit_select
+    from stock_crawler_spark.operators.retrieval import mmr_rerank
+
+    emb = _t(spark, sf, "embeddings")
+    head = ann.brute_force_topk(
+        emb.filter(F.col("vec_id") == 0), emb, k=RRF_TOPK
+    )
+    ranked = head.select("query_id", "cand_id", F.round("cos", 6).alias("rel"))
+    u = _unit_select(emb, "vec_id", "embedding", "uid", "ue")
+    h = (
+        head.select("query_id", "cand_id")
+        .join(u, F.col("cand_id") == F.col("uid"))
+        .select("query_id", "cand_id", "ue")
+    )
+    lft, rgt = h.alias("Lh"), h.alias("Rh")
+    sims = lft.join(
+        rgt,
+        (F.col("Lh.query_id") == F.col("Rh.query_id"))
+        & (F.col("Lh.cand_id") != F.col("Rh.cand_id")),
+    ).select(
+        F.col("Lh.query_id").alias("query_id"),
+        F.col("Lh.cand_id").alias("a"),
+        F.col("Rh.cand_id").alias("b"),
+        F.round(_dot(F.col("Lh.ue"), F.col("Rh.ue")), 6).alias("sim"),
+    )
+    return mmr_rerank(ranked, sims, lam=0.7, k=MMR_STEPS)
+
+
 def q136_kneser_ney(spark, sf):
     """Interpolated Kneser-Ney bigram LM (functions/lm.kneser_ney_lm /
     kneser_ney_nll; Kneser & Ney 1995, Chen & Goodman 1999) — the
@@ -2883,6 +2953,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q134_temperature_mix": q134_temperature_mix,
         "q135_rrf_fusion": q135_rrf_fusion,
         "q136_kneser_ney": q136_kneser_ney,
+        "q137_entropy": q137_entropy,
+        "q138_snapshot_drift": q138_snapshot_drift,
+        "q139_mmr_rerank": q139_mmr_rerank,
     }
 
 
@@ -4047,6 +4120,60 @@ FROM tok GROUP BY 1
 """
 
 
+def _mmr_oracle(steps: int = 10, head: int = 50, lam: float = 0.7) -> str:
+    """Replays q139 by UNROLLING the greedy (q131's unrolled-sweeps
+    precedent): the q13-contract cosine head and round-6 pairwise sims,
+    then one CTE pair per pick — argmax of lam*rel - (1-lam)*max-sim-
+    to-selected via ORDER BY score DESC, cand_id LIMIT 1, selected set
+    accumulated by UNION ALL. All floats entering comparisons are the
+    same round-6 doubles the engine feeds its greedy."""
+    lam_sql = f"CAST({lam!r} AS DOUBLE)"
+    mu_sql = f"(CAST(1.0 AS DOUBLE) - {lam_sql})"
+    sql = f"""
+WITH u AS MATERIALIZED (
+  {_UNIT_CORPUS}
+), qv AS MATERIALIZED (SELECT e AS qe FROM u WHERE vec_id = 0),
+head AS MATERIALIZED (
+  SELECT cand_id, round(cos, 6) AS rel FROM (
+    SELECT vec_id AS cand_id, list_inner_product(e, qe) AS cos,
+      row_number() OVER (
+        ORDER BY list_inner_product(e, qe) DESC, vec_id) AS r
+    FROM u CROSS JOIN qv
+  ) WHERE r <= {head}
+), uh AS MATERIALIZED (
+  SELECT u.vec_id, u.e FROM u JOIN head ON u.vec_id = head.cand_id
+), sims AS MATERIALIZED (
+  SELECT x.vec_id AS a, y.vec_id AS b,
+         round(list_inner_product(x.e, y.e), 6) AS sim
+  FROM uh x JOIN uh y ON x.vec_id <> y.vec_id
+),
+pick1 AS MATERIALIZED (
+  SELECT 1 AS step, cand_id, {lam_sql} * rel - {mu_sql} * 0.0 AS score
+  FROM head ORDER BY score DESC, cand_id LIMIT 1
+), sel1 AS MATERIALIZED (SELECT cand_id AS cid FROM pick1)"""
+    for i in range(2, steps + 1):
+        p = i - 1
+        sql += f""",
+pick{i} AS MATERIALIZED (
+  SELECT {i} AS step, h.cand_id,
+    {lam_sql} * h.rel - {mu_sql} * coalesce(
+      (SELECT max(s.sim) FROM sims s
+       JOIN sel{p} ON s.b = sel{p}.cid WHERE s.a = h.cand_id), 0.0) AS score
+  FROM head h WHERE h.cand_id NOT IN (SELECT cid FROM sel{p})
+  ORDER BY score DESC, h.cand_id LIMIT 1
+), sel{i} AS MATERIALIZED (
+  SELECT cid FROM sel{p} UNION ALL SELECT cand_id FROM pick{i}
+)"""
+    picks = " UNION ALL ".join(
+        f"SELECT * FROM pick{i}" for i in range(1, steps + 1)
+    )
+    sql += f"""
+SELECT CAST(0 AS BIGINT) AS query_id, step, cand_id, round(score, 6) AS mmr_r
+FROM ({picks})
+"""
+    return sql
+
+
 def _exact_substr_oracle(k: int = 40) -> str:
     """Replays q95: the footer augmentation, the k-gram positions (same
     md5-60 hash), the packed-integer argmin (pos < 2^20 so
@@ -5100,6 +5227,74 @@ SELECT doc_id, rrf, n_systems, best_rank,
   row_number() OVER (ORDER BY rrf DESC, doc_id) AS fused_rank
 FROM fused
 """,
+        # q137: same sorted-distinct entropy fold as the engine (list
+        # sorted, p*ln(p), sequential sum), substring char walk so both
+        # engines enumerate identical BMP chars
+        "q137_entropy": f"""
+WITH arrs AS (
+  SELECT doc_id,
+    list_transform(range(1, length(text) + 1), i -> substr(text, i, 1)) AS cs,
+    list_filter({_TOKS}, t -> t <> '') AS ts
+  FROM documents
+)
+SELECT doc_id,
+  round(CASE WHEN len(cs) > 0 THEN -list_aggregate(list_transform(
+    list_sort(list_distinct(cs)),
+    d -> (CAST(len(list_filter(cs, c -> c = d)) AS DOUBLE)
+            / CAST(len(cs) AS DOUBLE))
+         * ln(CAST(len(list_filter(cs, c -> c = d)) AS DOUBLE)
+            / CAST(len(cs) AS DOUBLE))), 'sum')
+  ELSE 0.0 END, 6) AS char_h,
+  round(CASE WHEN len(ts) > 0 THEN -list_aggregate(list_transform(
+    list_sort(list_distinct(ts)),
+    d -> (CAST(len(list_filter(ts, c -> c = d)) AS DOUBLE)
+            / CAST(len(ts) AS DOUBLE))
+         * ln(CAST(len(list_filter(ts, c -> c = d)) AS DOUBLE)
+            / CAST(len(ts) AS DOUBLE))), 'sum')
+  ELSE 0.0 END, 6) AS tok_h
+FROM arrs
+""",
+        # q138: tagged token counts, integer totals, p/q/m contributions
+        # with the engine's literal shape, det_sum two-level fold replay
+        "q138_snapshot_drift": f"""
+WITH u AS (
+  SELECT lang AS g, CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END AS snap,
+         unnest(list_filter({_TOKS}, x -> x <> '')) AS t
+  FROM documents
+), counts AS (
+  SELECT g, t,
+    count(*) FILTER (WHERE snap = 'a') AS ca,
+    count(*) FILTER (WHERE snap = 'b') AS cb
+  FROM u GROUP BY 1, 2
+), totals AS (
+  SELECT g, sum(ca) AS na, sum(cb) AS nb, count(*) AS n_vocab
+  FROM counts GROUP BY 1
+), terms AS (
+  SELECT g, t,
+    CASE WHEN p > 0 THEN 0.5 * p * ln(p / m) ELSE 0.0 END
+    + CASE WHEN q > 0 THEN 0.5 * q * ln(q / m) ELSE 0.0 END AS term
+  FROM (
+    SELECT g, t, p, q, 0.5 * (p + q) AS m FROM (
+      SELECT counts.g, t,
+        CASE WHEN na > 0 THEN CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+             ELSE 0.0 END AS p,
+        CASE WHEN nb > 0 THEN CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)
+             ELSE 0.0 END AS q
+      FROM counts JOIN totals USING (g)
+    )
+  )
+), lvl1 AS (
+  SELECT g, (('0x' || substr(md5(t), 1, 15))::BIGINT % 64) AS b,
+         list_aggregate(list(term ORDER BY t), 'sum') AS s1
+  FROM terms GROUP BY 1, 2
+), js AS (
+  SELECT g, list_aggregate(list(s1 ORDER BY b), 'sum') AS js
+  FROM lvl1 GROUP BY 1
+)
+SELECT g AS lang, n_vocab, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       round(js, 6) AS js_r
+FROM js JOIN totals USING (g)
+""",
         # q131: full unrolled replay of 2 GD sweeps — same hashed features
         # as q63, same det_sum two-level sorted folds as q54, exp() the
         # only ulp-sensitive op (rounded at 6 dp in the output only)
@@ -5634,6 +5829,7 @@ FROM cum
 """,
         "q93_bigram_lm": _lm_oracle(),
         "q136_kneser_ney": _kn_oracle(),
+        "q139_mmr_rerank": _mmr_oracle(MMR_STEPS, RRF_TOPK),
         "q94_epoch_shuffle": _SHUFFLE_ORACLE,
         "q95_exact_substr": _exact_substr_oracle(),
         "q96_meta_robots": """

@@ -454,3 +454,55 @@ def readability(docs, id_col: str = "doc_id", text_col: str = "text"):
         F.round(F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * ypw, 6).alias("fre_r"),
         F.round(F.lit(0.39) * wps + F.lit(11.8) * ypw - F.lit(15.59), 6).alias("fkgl_r"),
     )
+
+
+# --- Shannon-entropy quality signals ------------------------------------------
+
+
+def _dist_entropy(arr):
+    """Shannon entropy (nats) of the empirical distribution of an
+    array's elements, as a pure Column expression: fold over the SORTED
+    distinct elements (bit-reproducible order; DuckDB folds the same
+    sorted list), p = count/len via a per-element filter scan. Cost is
+    O(distinct * len) per row inside codegen — bounded by ~100 distinct
+    chars for text, and token arrays are short relative to chars; no
+    shuffle, no UDF, the scan stays row-local."""
+    n = F.size(arr)
+    contrib = F.aggregate(
+        F.array_sort(F.array_distinct(arr)),
+        F.lit(0.0),
+        lambda acc, d: acc
+        + (
+            F.size(F.filter(arr, lambda c: c == d)).cast("double")
+            / n.cast("double")
+        )
+        * F.log(
+            F.size(F.filter(arr, lambda c: c == d)).cast("double")
+            / n.cast("double")
+        ),
+    )
+    return F.when(n > 0, -contrib).otherwise(F.lit(0.0))
+
+
+def char_entropy(text: Column) -> Column:
+    """Character-distribution entropy of a document (nats). The classic
+    cheap spam/gibberish signal: keyboard-mash and repeated-char filler
+    sit far below natural-language entropy (~2.9-3.1 nats for English
+    prose), base64/hex blobs sit above it. Chars are enumerated with an
+    explicit substring walk (sequence + substring) so Spark (UTF-16
+    code units) and DuckDB (codepoints) agree on any BMP text."""
+    cs = F.transform(
+        F.sequence(F.lit(1), F.length(text)),
+        lambda i: F.substring(text, i, F.lit(1)),
+    )
+    return F.when(F.length(text) > 0, _dist_entropy(cs)).otherwise(F.lit(0.0))
+
+
+def token_entropy(text: Column) -> Column:
+    """Token-distribution entropy (nats): near-zero when a few tokens
+    dominate (the Gopher repetition family's information-theoretic
+    cousin — one number instead of per-n thresholds)."""
+    toks = F.filter(
+        F.split(F.trim(F.lower(text)), r"\s+"), lambda t: t != F.lit("")
+    )
+    return _dist_entropy(toks)

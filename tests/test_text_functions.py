@@ -307,3 +307,53 @@ def test_readability_matches_reference(spark):
     assert got[1][4] < got[2][4]
     # blank doc excluded; punctuation-free doc uses S = 1
     assert 4 not in got and got[3][1] == 1
+
+
+# --- Shannon-entropy signals ---------------------------------------------------
+
+
+def _h(counts):
+    import math
+
+    n = sum(counts)
+    return round(-sum(c / n * math.log(c / n) for c in counts), 6)
+
+
+def test_char_entropy_hand_math(spark):
+    from stock_crawler_spark.functions.text import char_entropy
+
+    rows = spark.createDataFrame(
+        [
+            (1, "aaaa"),          # one symbol: H = 0
+            (2, "abab"),          # uniform over 2: H = ln 2
+            (3, "aab"),           # p = 2/3, 1/3
+            (4, ""),              # empty: defined 0
+            (5, "the cat sat"),   # mixed incl space
+        ],
+        "doc_id long, text string",
+    ).select("doc_id", F.round(char_entropy(F.col("text")), 6).alias("h"))
+    got = {r["doc_id"]: r["h"] for r in rows.collect()}
+    assert got[1] == 0.0
+    assert got[2] == _h([2, 2])
+    assert got[3] == _h([2, 1])
+    assert got[4] == 0.0
+    # 'the cat sat': t×3 a×2 space×2 h,e,c,s ×1 → 11 chars
+    assert got[5] == _h([3, 2, 2, 1, 1, 1, 1])
+
+
+def test_token_entropy_flags_repetition(spark):
+    from stock_crawler_spark.functions.text import token_entropy
+
+    rows = spark.createDataFrame(
+        [
+            (1, "buy now " * 30),                   # 2 tokens repeated
+            (2, "the quick brown fox jumps over"),  # all distinct
+            (3, "   "),                             # blank: 0
+        ],
+        "doc_id long, text string",
+    ).select("doc_id", F.round(token_entropy(F.col("text")), 6).alias("h"))
+    got = {r["doc_id"]: r["h"] for r in rows.collect()}
+    assert got[3] == 0.0
+    assert got[1] == _h([30, 30])
+    assert got[2] == _h([1] * 6)
+    assert got[1] < got[2]  # repetition scores lower
