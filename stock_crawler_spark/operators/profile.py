@@ -146,3 +146,100 @@ def skew_profile(
             6,
         ).alias("gini_r"),
     )
+
+
+# --- snapshot drift: Jensen-Shannon divergence ---------------------------------
+
+
+def token_js_drift(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Jensen-Shannon divergence between the token distributions of two
+    corpus snapshots, per group (language) — the drift alarm one rung
+    above zipf_fit: it compares snapshot B against snapshot A directly
+    instead of against the Zipf ideal, so it catches topic/spam shifts
+    that keep the rank-frequency slope intact. JS (Lin 1991) rather
+    than KL: symmetric, bounded [0, ln 2], and defined when either side
+    has vocabulary the other lacks.
+
+      p = c_a/n_a, q = c_b/n_b, m = 0.5*(p+q)
+      js = 0.5 * sum_t p*ln(p/m) + 0.5 * sum_t q*ln(q/m)
+
+    (0-count terms contribute 0; a group absent from one snapshot
+    leaves only the surviving side's KL term, js = ln(2)/2, via the
+    q=0 guard — disjoint VOCABULARIES with both sides populated hit
+    the true maximum ln 2.)
+
+    Scale shape: ONE corpus-scale tokenize+groupBy per snapshot side
+    (union tagged, so actually one), per-group totals are exact integer
+    sums on a tiny table joined back broadcast, and the vocabulary-long
+    float reduction goes through det_sum's two-level ordered fold — no
+    single collected array, bit-reproducible, SQL-replayable.
+
+    Returns (group, n_vocab, n_a, n_b, js_r).
+    """
+    from stock_crawler_spark.operators.graph import det_sum
+
+    def toks(df, tag):
+        return df.select(
+            F.col(group_col).alias("g"),
+            F.lit(tag).alias("snap"),
+            F.explode(
+                F.filter(
+                    F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+                    lambda t: t != F.lit(""),
+                )
+            ).alias("t"),
+        )
+
+    counts = (
+        toks(docs_a, "a")
+        .unionByName(toks(docs_b, "b"))
+        .groupBy("g", "t")
+        .agg(
+            F.count(F.when(F.col("snap") == "a", F.lit(1))).alias("ca"),
+            F.count(F.when(F.col("snap") == "b", F.lit(1))).alias("cb"),
+        )
+    )
+    totals = counts.groupBy("g").agg(
+        F.sum("ca").alias("na"),
+        F.sum("cb").alias("nb"),
+        F.count(F.lit(1)).alias("n_vocab"),
+    )
+    j = counts.join(F.broadcast(totals), "g")
+    # identical literal shape on the DuckDB side — do not refactor
+    p = F.when(
+        F.col("na") > 0, F.col("ca").cast("double") / F.col("na").cast("double")
+    ).otherwise(F.lit(0.0))
+    q = F.when(
+        F.col("nb") > 0, F.col("cb").cast("double") / F.col("nb").cast("double")
+    ).otherwise(F.lit(0.0))
+    j = j.withColumn("p", p).withColumn("q", q).withColumn(
+        "m", F.lit(0.5) * (F.col("p") + F.col("q"))
+    )
+    contrib = (
+        F.when(
+            F.col("p") > 0,
+            F.lit(0.5) * F.col("p") * F.log(F.col("p") / F.col("m")),
+        ).otherwise(F.lit(0.0))
+        + F.when(
+            F.col("q") > 0,
+            F.lit(0.5) * F.col("q") * F.log(F.col("q") / F.col("m")),
+        ).otherwise(F.lit(0.0))
+    )
+    summed = det_sum(
+        j.select("g", "t", contrib.alias("term")), ["g"], "t", "term", "js"
+    )
+    return (
+        summed.join(totals, "g")
+        .select(
+            F.col("g").alias(group_col),
+            "n_vocab",
+            F.col("na").alias("n_a"),
+            F.col("nb").alias("n_b"),
+            F.round("js", 6).alias("js_r"),
+        )
+    )

@@ -83,3 +83,74 @@ def test_skew_profile_partition_invariance_and_nulls(spark):
     assert a == b
     # NULL keys are profiled as a real key
     assert a[1] == 8
+
+
+# --- token JS drift ------------------------------------------------------------
+
+
+def _jsd(pa, pb):
+    """Reference JS over two count dicts."""
+    import math
+
+    na, nb = sum(pa.values()), sum(pb.values())
+    vocab = set(pa) | set(pb)
+    js = 0.0
+    for t in sorted(vocab):
+        p = pa.get(t, 0) / na if na else 0.0
+        q = pb.get(t, 0) / nb if nb else 0.0
+        m = 0.5 * (p + q)
+        js += (0.5 * p * math.log(p / m) if p > 0 else 0.0) + (
+            0.5 * q * math.log(q / m) if q > 0 else 0.0
+        )
+    return round(js, 6)
+
+
+def _drift(spark, a_texts, b_texts):
+    from stock_crawler_spark.operators.profile import token_js_drift
+
+    mk = lambda xs: spark.createDataFrame(
+        [(i, "en", t) for i, t in enumerate(xs)], "doc_id long, lang string, text string"
+    )
+    return {
+        r["lang"]: r for r in token_js_drift(mk(a_texts), mk(b_texts)).collect()
+    }
+
+
+def test_js_identical_snapshots_is_zero(spark):
+    got = _drift(spark, ["a b c", "c d"], ["a b c c d"])
+    assert got["en"]["js_r"] == 0.0
+    assert got["en"]["n_a"] == 5 and got["en"]["n_b"] == 5
+
+
+def test_js_disjoint_vocab_is_ln2(spark):
+    import math
+
+    got = _drift(spark, ["a a b"], ["x y z"])
+    assert got["en"]["js_r"] == round(math.log(2), 6)
+
+
+def test_js_hand_math_and_bounds(spark):
+    a = {"the": 3, "cat": 1}
+    b = {"the": 1, "dog": 3}
+    got = _drift(spark, ["the the the cat"], ["the dog dog dog"])
+    assert got["en"]["js_r"] == _jsd(a, b)
+    assert 0.0 < got["en"]["js_r"] < 0.6931472
+
+
+def test_js_group_absent_one_side(spark):
+    import math
+
+    from stock_crawler_spark.operators.profile import token_js_drift
+
+    a = spark.createDataFrame(
+        [(1, "en", "hello world"), (2, "fr", "bonjour monde")],
+        "doc_id long, lang string, text string",
+    )
+    b = spark.createDataFrame(
+        [(3, "en", "hello there")], "doc_id long, lang string, text string"
+    )
+    got = {r["lang"]: r for r in token_js_drift(a, b).collect()}
+    # fr exists only in snapshot A: q = 0 everywhere, so only the
+    # 0.5*KL(P||M) term survives -> ln(2)/2, with n_b = 0
+    assert got["fr"]["js_r"] == round(math.log(2) / 2, 6)
+    assert got["fr"]["n_b"] == 0
