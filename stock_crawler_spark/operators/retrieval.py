@@ -89,3 +89,85 @@ def rrf_fuse(
     # single-partition window is safe: input is O(systems * k) fused
     # heads by construction, never the corpus
     return fused.withColumn("fused_rank", F.row_number().over(w))
+
+
+# --- MMR diversity re-ranking ---------------------------------------------------
+
+MMR_LAMBDA = 0.7
+
+
+def mmr_rerank(
+    ranked: DataFrame,
+    sims: DataFrame,
+    lam: float = MMR_LAMBDA,
+    k: int = 10,
+    qid: str = "query_id",
+    cid: str = "cand_id",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998): greedily pick k results that are relevant AND mutually
+    diverse —
+
+        next = argmax_c  lam * rel(c) - (1 - lam) * max_{s in S} sim(c, s)
+
+    with S the already-selected set (empty-S penalty = 0) and ties on
+    the score broken by ascending candidate id. The retrieval-head
+    companion to rrf_fuse: fusion merges systems, MMR de-clumps the
+    merged head before it reaches an index/serving layer.
+
+    Inputs are HEADS, not corpora: ``ranked`` is (qid, cid, rel) — the
+    bounded top-N per query from brute_force_topk/ivf_topk/bm25 (rel
+    already rounded to 6); ``sims`` is (qid, a, b, sim) — pairwise
+    candidate-candidate similarity WITHIN each query's head, both
+    directions, a != b, sim rounded to 6. The greedy is inherently
+    sequential in k, so it runs per-query inside ONE cogrouped
+    applyInPandas over groups of <= N candidates (the same sanctioned
+    Arrow-batch shape as the reference's per-payload parsers,
+    SURVEY.md §2.6) — each group is O(head²) small, queries fan out in
+    parallel, nothing touches the driver.
+
+    Float discipline: every float entering the greedy (rel, sim) is a
+    round-6 double produced by engine-fold arithmetic that the DuckDB
+    oracle reproduces bit-for-bit (q13's contract); the score is the
+    single expression ``lam * rel - (1.0 - lam) * pen`` evaluated in
+    IEEE doubles identically on both sides, so argmax decisions agree
+    exactly. Returns (qid, step, cid, mmr_r) with step = 1-based pick
+    order and mmr_r the round-6 score at selection time.
+    """
+    out_schema = (
+        f"{qid} long, step int, {cid} long, mmr_r double"
+    )
+
+    def greedy(key, rel_pdf, sim_pdf):
+        import pandas as pd
+
+        rel = dict(zip(rel_pdf[cid], rel_pdf[rel_col]))
+        sim = {
+            (a, b): s
+            for a, b, s in zip(sim_pdf["a"], sim_pdf["b"], sim_pdf["sim"])
+        }
+        selected: list = []
+        rows = []
+        remaining = sorted(rel)
+        for step in range(1, min(k, len(remaining)) + 1):
+            best_c, best_score = None, None
+            for c in remaining:
+                # true max over S (may be negative); 0.0 only for empty S
+                # — mirrors the oracle's coalesce(max(sim), 0.0)
+                pen = max(
+                    (sim.get((c, s), 0.0) for s in selected), default=0.0
+                )
+                score = lam * rel[c] - (1.0 - lam) * pen
+                if best_score is None or score > best_score:
+                    best_c, best_score = c, score
+            selected.append(best_c)
+            remaining.remove(best_c)
+            rows.append((key[0], step, best_c, round(best_score, 6)))
+        return pd.DataFrame(rows, columns=[qid, "step", cid, "mmr_r"])
+
+    return (
+        ranked.groupBy(qid)
+        .cogroup(sims.groupBy(qid))
+        .applyInPandas(greedy, out_schema)
+    )

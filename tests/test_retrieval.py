@@ -57,3 +57,72 @@ def test_rrf_tie_breaks_on_doc_id(spark):
 def test_rrf_empty_systems_raises(spark):
     with pytest.raises(ValueError):
         rrf_fuse({})
+
+
+# --- MMR ------------------------------------------------------------------------
+
+
+def _mmr(spark, rel_rows, sim_rows, **kw):
+    from stock_crawler_spark.operators.retrieval import mmr_rerank
+
+    ranked = spark.createDataFrame(
+        rel_rows, "query_id long, cand_id long, rel double"
+    )
+    sims = spark.createDataFrame(
+        sim_rows, "query_id long, a long, b long, sim double"
+    )
+    return sorted(
+        mmr_rerank(ranked, sims, **kw).collect(), key=lambda r: (r["query_id"], r["step"])
+    )
+
+
+def _sym(q, a, b, s):
+    return [(q, a, b, s), (q, b, a, s)]
+
+
+def test_mmr_demotes_redundant_runner_up(spark):
+    # 1 and 2 are near-duplicates; pure relevance order is 1,2,3 but
+    # MMR picks 3 second because 2's similarity penalty dominates
+    rel = [(0, 1, 0.95), (0, 2, 0.94), (0, 3, 0.6)]
+    sims = _sym(0, 1, 2, 0.99) + _sym(0, 1, 3, 0.1) + _sym(0, 2, 3, 0.1)
+    got = _mmr(spark, rel, sims, lam=0.7, k=3)
+    # step2: c=2 scores .7*.94-.3*.99 = .361 < c=3's .7*.6-.3*.1 = .39
+    assert [r["cand_id"] for r in got] == [1, 3, 2]
+    assert got[0]["mmr_r"] == round(0.7 * 0.95 - 0.3 * 0.0, 6)
+    assert got[1]["mmr_r"] == round(0.7 * 0.6 - 0.3 * 0.1, 6)
+    # step3 (c=2): penalty is max(sim to 1, sim to 3) = .99
+    assert got[2]["mmr_r"] == round(0.7 * 0.94 - 0.3 * 0.99, 6)
+
+
+def test_mmr_lambda_one_is_pure_relevance(spark):
+    rel = [(0, 1, 0.9), (0, 2, 0.8), (0, 3, 0.7)]
+    sims = _sym(0, 1, 2, 0.99) + _sym(0, 1, 3, 0.99) + _sym(0, 2, 3, 0.99)
+    got = _mmr(spark, rel, sims, lam=1.0, k=3)
+    assert [r["cand_id"] for r in got] == [1, 2, 3]
+
+
+def test_mmr_tie_breaks_on_cand_id_and_caps_k(spark):
+    rel = [(0, 9, 0.5), (0, 4, 0.5)]
+    sims = _sym(0, 4, 9, 0.0)
+    got = _mmr(spark, rel, sims, k=10)
+    assert [r["cand_id"] for r in got] == [4, 9]  # tie -> lower id first
+    assert len(got) == 2  # k capped at head size
+
+
+def test_mmr_parallel_queries_independent(spark):
+    rel = [(0, 1, 0.9), (0, 2, 0.8), (7, 1, 0.2), (7, 2, 0.9)]
+    sims = _sym(0, 1, 2, 0.0) + _sym(7, 1, 2, 0.0)
+    got = _mmr(spark, rel, sims, k=1)
+    picks = {r["query_id"]: r["cand_id"] for r in got}
+    assert picks == {0: 1, 7: 2}
+
+
+def test_mmr_negative_sim_rewards_diversity(spark):
+    # anti-correlated candidate gets a BONUS (pen < 0), not clamped to 0
+    rel = [(0, 1, 0.9), (0, 2, 0.5), (0, 3, 0.5)]
+    sims = (
+        _sym(0, 1, 2, -0.8) + _sym(0, 1, 3, 0.0) + _sym(0, 2, 3, 0.0)
+    )
+    got = _mmr(spark, rel, sims, lam=0.7, k=2)
+    assert [r["cand_id"] for r in got] == [1, 2]
+    assert got[1]["mmr_r"] == round(0.7 * 0.5 - 0.3 * -0.8, 6)
