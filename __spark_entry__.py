@@ -2717,6 +2717,110 @@ def q138_snapshot_drift(spark, sf):
 
 
 MMR_STEPS = 10
+PHRASE_QUERY = ["big", "table"]
+
+
+ECE_BINS = 10
+
+
+def q141_calibration(spark, sf):
+    """Reliability diagram + per-bin ECE terms (Guo et al. 2017) for
+    the heuristic quality gate: treat q15's quality_score as the keep
+    CONFIDENCE and compare it against the empirical long-doc label per
+    equal-width bin. conf folds through det_sum (bit-reproducible),
+    accuracy/weights are exact integer ratios; sum(wgap_r) IS the ECE.
+    The ML-ops check a curation pipeline runs before trusting any
+    score as a probability-calibrated gate."""
+    from stock_crawler_spark.operators.graph import det_sum
+
+    docs = _t(spark, sf, "documents")
+    pred = docs.select(
+        F.col("doc_id").cast("string").alias("k"),
+        F.round(T.quality_score(F.col("text")), 6).alias("p_r"),
+        (F.length("text") >= 300).cast("int").alias("label"),
+    ).withColumn(
+        "bin",
+        F.least(
+            F.floor(F.col("p_r") * ECE_BINS).cast("int"),
+            F.lit(ECE_BINS - 1),
+        ),
+    )
+    conf = det_sum(pred, ["bin"], "k", "p_r", "conf_sum")
+    per_bin = pred.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("label").alias("n_pos")
+    )
+    total = per_bin.agg(F.sum("n").alias("n_total"))
+    j = (
+        per_bin.join(conf, "bin")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "conf_b", F.col("conf_sum") / F.col("n").cast("double")
+        )
+        .withColumn(
+            "acc_b",
+            F.col("n_pos").cast("double") / F.col("n").cast("double"),
+        )
+    )
+    return j.select(
+        "bin",
+        "n",
+        F.round("conf_b", 6).alias("conf_r"),
+        F.round("acc_b", 6).alias("acc_r"),
+        F.round(
+            (F.col("n").cast("double") / F.col("n_total").cast("double"))
+            * F.abs(F.col("acc_b") - F.col("conf_b")),
+            6,
+        ).alias("wgap_r"),
+    )
+
+
+def q142_warc_revisit(spark, sf):
+    """WARC revisit-record dedup (operators/warc_export.warc_revisit;
+    WARC/1.0 identical-payload-digest profile): a synthetic two-
+    snapshot recrawl where 2/3 of pages are byte-identical — those
+    second captures become revisit records pointing at the original
+    response. One digest groupBy + one join back; rendering is pure
+    Column. Full record strings value-checked via md5."""
+    from stock_crawler_spark.operators.warc_export import warc_revisit
+
+    docs = _t(spark, sf, "documents")
+    url = F.concat(
+        F.lit("https://h"), (F.col("doc_id") % GRAPH_HOSTS).cast("string"),
+        F.lit(".com/d"), F.col("doc_id").cast("string"),
+    )
+    payload = F.coalesce(F.col("text"), F.lit(""))
+    snap1 = docs.select(
+        F.col("doc_id").alias("capture_id"),
+        url.alias("url"),
+        F.lit("2024-01-01T00:00:00Z").alias("warc_date"),
+        payload.alias("payload"),
+    )
+    snap2 = docs.select(
+        (F.col("doc_id") + 1000000).alias("capture_id"),
+        url.alias("url"),
+        F.lit("2024-02-01T00:00:00Z").alias("warc_date"),
+        F.when(F.col("doc_id") % 3 == 0, F.concat(payload, F.lit(" updated")))
+        .otherwise(payload)
+        .alias("payload"),
+    )
+    out = warc_revisit(snap1.unionByName(snap2))
+    return out.select(
+        "capture_id",
+        "rec_type",
+        "payload_digest",
+        "refers_to",
+        F.md5(F.col("record")).alias("rec_md5"),
+        "length",
+    )
+
+
+def q140_phrase_query(spark, sf):
+    """Exact-phrase retrieval via positional-index anchor voting
+    (functions/text.phrase_match): a token matching slot i at position
+    p votes for anchor p - i; full-slot anchors are occurrences. One
+    tokenize, postings filtered to the phrase terms via a broadcast
+    slot join, one bounded (doc, anchor) groupBy."""
+    return T.phrase_match(_t(spark, sf, "documents"), PHRASE_QUERY)
 
 
 def q139_mmr_rerank(spark, sf):
@@ -2956,6 +3060,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q137_entropy": q137_entropy,
         "q138_snapshot_drift": q138_snapshot_drift,
         "q139_mmr_rerank": q139_mmr_rerank,
+        "q140_phrase_query": q140_phrase_query,
+        "q141_calibration": q141_calibration,
+        "q142_warc_revisit": q142_warc_revisit,
     }
 
 
@@ -4450,6 +4557,100 @@ FROM k
 """
 
 
+_LR_SQL = r"""
+WITH toks AS (
+  SELECT doc_id AS doc, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t,
+         generate_subscripts(string_split_regex(trim(lower(text)), '\s+'), 1) AS idx
+  FROM documents WHERE trim(text) <> ''
+), featrows AS (
+  SELECT doc, t AS feat FROM toks
+  UNION ALL
+  SELECT doc, lag(t) OVER (PARTITION BY doc ORDER BY idx) || '_' || t AS feat
+  FROM toks QUALIFY lag(t) OVER (PARTITION BY doc ORDER BY idx) IS NOT NULL
+), tf AS (
+  SELECT doc, feat, count(*) AS tf FROM featrows GROUP BY 1, 2
+), bt AS (
+  SELECT doc, (('0x' || substr(md5(feat), 1, 15))::BIGINT % 4096) AS bucket,
+         sum(tf) AS btf
+  FROM tf GROUP BY 1, 2
+), tot AS (
+  SELECT doc, sum(tf) AS ttf FROM tf GROUP BY 1
+), xs AS (
+  SELECT bt.doc, bt.bucket,
+         CAST(bt.btf AS DOUBLE) / CAST(tot.ttf AS DOUBLE) AS x
+  FROM bt JOIN tot ON bt.doc = tot.doc
+), lab AS (
+  SELECT doc_id AS doc,
+         CAST(CASE WHEN length(text) >= 300 THEN 1 ELSE 0 END AS DOUBLE) AS y
+  FROM documents
+), xy AS (
+  SELECT xs.doc, CAST(xs.doc AS VARCHAR) AS k, xs.bucket, xs.x, lab.y
+  FROM xs JOIN lab ON xs.doc = lab.doc
+), nst AS (
+  SELECT CAST(count(DISTINCT doc) AS DOUBLE) AS n FROM xy
+), e1 AS (
+  SELECT doc, k, (0.5 - y) AS e FROM (SELECT DISTINCT doc, k, y FROM xy)
+), g1a AS (
+  SELECT xy.bucket, (('0x' || substr(md5(xy.k), 1, 15))::BIGINT % 64) AS b,
+         list_aggregate(list(xy.x * e1.e ORDER BY xy.k), 'sum') AS s1
+  FROM xy JOIN e1 ON xy.doc = e1.doc GROUP BY 1, 2
+), g1 AS (
+  SELECT bucket, list_aggregate(list(s1 ORDER BY b), 'sum') AS gsum
+  FROM g1a GROUP BY 1
+), gb1a AS (
+  SELECT (('0x' || substr(md5(k), 1, 15))::BIGINT % 64) AS b,
+         list_aggregate(list(e ORDER BY k), 'sum') AS s1
+  FROM e1 GROUP BY 1
+), gb1 AS (
+  SELECT coalesce(list_aggregate(list(s1 ORDER BY b), 'sum'), 0.0) AS gsum
+  FROM gb1a
+), w1 AS (
+  SELECT g1.bucket, (0.0 - 0.5 * (g1.gsum / nst.n + 0.01 * 0.0)) AS w
+  FROM g1 CROSS JOIN nst
+), b1 AS (
+  SELECT (0.0 - 0.5 * gb1.gsum / nst.n) AS b FROM gb1 CROSS JOIN nst
+), d2 AS (
+  SELECT xy.doc, xy.k, max(xy.y) AS y,
+         list_aggregate(list(xy.x * w1.w ORDER BY xy.bucket), 'sum') AS dot
+  FROM xy JOIN w1 ON xy.bucket = w1.bucket GROUP BY 1, 2
+), e2 AS (
+  SELECT doc, k, (1.0 / (1.0 + exp(-(b1.b + dot))) - y) AS e
+  FROM d2 CROSS JOIN b1
+), g2a AS (
+  SELECT xy.bucket, (('0x' || substr(md5(xy.k), 1, 15))::BIGINT % 64) AS b,
+         list_aggregate(list(xy.x * e2.e ORDER BY xy.k), 'sum') AS s1
+  FROM xy JOIN e2 ON xy.doc = e2.doc GROUP BY 1, 2
+), g2 AS (
+  SELECT bucket, list_aggregate(list(s1 ORDER BY b), 'sum') AS gsum
+  FROM g2a GROUP BY 1
+), gb2a AS (
+  SELECT (('0x' || substr(md5(k), 1, 15))::BIGINT % 64) AS b,
+         list_aggregate(list(e ORDER BY k), 'sum') AS s1
+  FROM e2 GROUP BY 1
+), gb2 AS (
+  SELECT coalesce(list_aggregate(list(s1 ORDER BY b), 'sum'), 0.0) AS gsum
+  FROM gb2a
+), w2 AS (
+  SELECT w1.bucket,
+         (w1.w - 0.5 * (coalesce(g2.gsum, 0.0) / nst.n + 0.01 * w1.w)) AS w
+  FROM w1 LEFT JOIN g2 ON w1.bucket = g2.bucket CROSS JOIN nst
+), b2 AS (
+  SELECT (b1.b - 0.5 * gb2.gsum / nst.n) AS b
+  FROM b1 CROSS JOIN gb2 CROSS JOIN nst
+), pr AS (
+  SELECT xs.doc,
+         list_aggregate(list(xs.x * coalesce(w2.w, 0.0) ORDER BY xs.bucket),
+                        'sum') AS dot
+  FROM xs LEFT JOIN w2 ON xs.bucket = w2.bucket GROUP BY 1
+)
+SELECT pr.doc AS doc_id,
+  round(1.0 / (1.0 + exp(-(b2.b + pr.dot))), 6) AS p_r,
+  round(1.0 / (1.0 + exp(-(b2.b + pr.dot))), 6) >= 0.5 AS keep,
+  CAST(lab.y AS INTEGER) AS label
+FROM pr CROSS JOIN b2 JOIN lab ON pr.doc = lab.doc
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q01_pricing_rollup": """
@@ -5295,101 +5496,143 @@ SELECT g AS lang, n_vocab, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
        round(js, 6) AS js_r
 FROM js JOIN totals USING (g)
 """,
+        # q142: two-snapshot captures, digest originals via rn=1 over
+        # (date, capture_id, url), record strings rebuilt byte-for-byte
+        # (response replays q110's layout with the 'cap' id prefix)
+        "q142_warc_revisit": f"""
+WITH k AS (SELECT chr(13) || chr(10) AS c),
+base AS (
+  SELECT doc_id,
+    'https://h' || (doc_id % {GRAPH_HOSTS}) || '.com/d' || doc_id AS url,
+    coalesce(text, '') AS payload
+  FROM documents
+), caps AS (
+  SELECT doc_id AS capture_id, url,
+         '2024-01-01T00:00:00Z' AS warc_date, payload
+  FROM base
+  UNION ALL
+  SELECT doc_id + 1000000, url, '2024-02-01T00:00:00Z',
+         CASE WHEN doc_id % 3 = 0 THEN payload || ' updated' ELSE payload END
+  FROM base
+), d AS (
+  SELECT capture_id, url, warc_date, payload, sha256(payload) AS digest,
+    row_number() OVER (
+      PARTITION BY sha256(payload)
+      ORDER BY warc_date, capture_id, url) AS rn
+  FROM caps
+), orig AS (
+  SELECT digest, capture_id AS ocid, url AS ourl, warc_date AS odate
+  FROM d WHERE rn = 1
+), r AS (
+  SELECT capture_id, d.url, d.warc_date, payload, digest, c,
+    capture_id = ocid AS is_orig, ocid, ourl, odate,
+    'HTTP/1.1 200 OK' || c || 'Content-Type: text/html; charset=utf-8' || c
+      || 'Content-Length: ' || strlen(payload) || c || c || payload AS h,
+    'HTTP/1.1 304 Not Modified' || c || c AS hr
+  FROM d JOIN orig USING (digest) CROSS JOIN k
+)
+SELECT capture_id,
+  CASE WHEN is_orig THEN 'response' ELSE 'revisit' END AS rec_type,
+  digest AS payload_digest,
+  CASE WHEN is_orig THEN NULL ELSE ocid END AS refers_to,
+  md5(CASE WHEN is_orig THEN
+    'WARC/1.0' || c || 'WARC-Type: response' || c
+    || 'WARC-Record-ID: <urn:uuid:cap' || capture_id || '>' || c
+    || 'WARC-Target-URI: ' || url || c
+    || 'WARC-Date: ' || warc_date || c
+    || 'WARC-Payload-Digest: sha-256:' || digest || c
+    || 'Content-Type: application/http; msgtype=response' || c
+    || 'Content-Length: ' || strlen(h) || c || c || h || c || c
+  ELSE
+    'WARC/1.0' || c || 'WARC-Type: revisit' || c
+    || 'WARC-Record-ID: <urn:uuid:cap' || capture_id || '>' || c
+    || 'WARC-Target-URI: ' || url || c
+    || 'WARC-Date: ' || warc_date || c
+    || 'WARC-Payload-Digest: sha-256:' || digest || c
+    || 'WARC-Profile: http://netpreserve.org/warc/1.0/revisit/identical-payload-digest' || c
+    || 'WARC-Refers-To: <urn:uuid:cap' || ocid || '>' || c
+    || 'WARC-Refers-To-Target-URI: ' || ourl || c
+    || 'WARC-Refers-To-Date: ' || odate || c
+    || 'Content-Type: application/http; msgtype=response' || c
+    || 'Content-Length: ' || strlen(hr) || c || c || hr || c || c
+  END) AS rec_md5,
+  strlen(CASE WHEN is_orig THEN
+    'WARC/1.0' || c || 'WARC-Type: response' || c
+    || 'WARC-Record-ID: <urn:uuid:cap' || capture_id || '>' || c
+    || 'WARC-Target-URI: ' || url || c
+    || 'WARC-Date: ' || warc_date || c
+    || 'WARC-Payload-Digest: sha-256:' || digest || c
+    || 'Content-Type: application/http; msgtype=response' || c
+    || 'Content-Length: ' || strlen(h) || c || c || h || c || c
+  ELSE
+    'WARC/1.0' || c || 'WARC-Type: revisit' || c
+    || 'WARC-Record-ID: <urn:uuid:cap' || capture_id || '>' || c
+    || 'WARC-Target-URI: ' || url || c
+    || 'WARC-Date: ' || warc_date || c
+    || 'WARC-Payload-Digest: sha-256:' || digest || c
+    || 'WARC-Profile: http://netpreserve.org/warc/1.0/revisit/identical-payload-digest' || c
+    || 'WARC-Refers-To: <urn:uuid:cap' || ocid || '>' || c
+    || 'WARC-Refers-To-Target-URI: ' || ourl || c
+    || 'WARC-Refers-To-Date: ' || odate || c
+    || 'Content-Type: application/http; msgtype=response' || c
+    || 'Content-Length: ' || strlen(hr) || c || c || hr || c || c
+  END) AS length
+FROM r
+""",
+        # q141: q15's quality score as confidence vs the long-doc label;
+        # equal-width bins; conf via det_sum two-level fold keyed on
+        # CAST(doc_id AS VARCHAR), acc/weights exact integer ratios
+        "q141_calibration": f"""
+WITH pred AS (
+  SELECT doc_id, quality AS p_r,
+    CASE WHEN length(text) >= 300 THEN 1 ELSE 0 END AS label,
+    least(CAST(floor(quality * {ECE_BINS}) AS INT), {ECE_BINS - 1}) AS bin
+  FROM ( {_QUALITY_SQL} ) q JOIN documents USING (doc_id)
+), lvl1 AS (
+  SELECT bin,
+    (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 64) AS b,
+    list_aggregate(list(p_r ORDER BY CAST(doc_id AS VARCHAR)), 'sum') AS s1
+  FROM pred GROUP BY 1, 2
+), conf AS (
+  SELECT bin, list_aggregate(list(s1 ORDER BY b), 'sum') AS conf_sum
+  FROM lvl1 GROUP BY 1
+), per AS (
+  SELECT bin, count(*) AS n, sum(label) AS n_pos FROM pred GROUP BY 1
+), tot AS (SELECT sum(n) AS n_total FROM per)
+SELECT bin, n,
+  round(conf_sum / CAST(n AS DOUBLE), 6) AS conf_r,
+  round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS acc_r,
+  round((CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE))
+        * abs(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+              - conf_sum / CAST(n AS DOUBLE)), 6) AS wgap_r
+FROM per JOIN conf USING (bin) CROSS JOIN tot
+""",
+        # q140: positional anchor voting — slots joined on term, anchor
+        # = pos - slot (0-based raw-split positions, empties dropped
+        # after indexing), full-slot anchors are occurrences
+        "q140_phrase_query": f"""
+WITH toks AS (
+  SELECT doc_id, t, idx - 1 AS pos FROM (
+    SELECT doc_id, unnest({_TOKS}) AS t,
+           generate_subscripts({_TOKS}, 1) AS idx
+    FROM documents
+  ) WHERE t <> ''
+), slots(slot, pt) AS (
+  VALUES {", ".join(f"({i}, '{t}')" for i, t in enumerate(PHRASE_QUERY))}
+), anchored AS (
+  SELECT doc_id, pos - slot AS anchor, slot
+  FROM toks JOIN slots ON t = pt
+  WHERE pos - slot >= 0
+), hits AS (
+  SELECT doc_id, anchor, count(*) AS ns FROM anchored GROUP BY 1, 2
+)
+SELECT doc_id, count(*) AS n_occ, CAST(min(anchor) AS BIGINT) AS first_pos
+FROM hits WHERE ns = {len(PHRASE_QUERY)} GROUP BY 1
+""",
         # q131: full unrolled replay of 2 GD sweeps — same hashed features
         # as q63, same det_sum two-level sorted folds as q54, exp() the
         # only ulp-sensitive op (rounded at 6 dp in the output only)
-        "q131_lr_train": r"""
-WITH toks AS (
-  SELECT doc_id AS doc, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t,
-         generate_subscripts(string_split_regex(trim(lower(text)), '\s+'), 1) AS idx
-  FROM documents WHERE trim(text) <> ''
-), featrows AS (
-  SELECT doc, t AS feat FROM toks
-  UNION ALL
-  SELECT doc, lag(t) OVER (PARTITION BY doc ORDER BY idx) || '_' || t AS feat
-  FROM toks QUALIFY lag(t) OVER (PARTITION BY doc ORDER BY idx) IS NOT NULL
-), tf AS (
-  SELECT doc, feat, count(*) AS tf FROM featrows GROUP BY 1, 2
-), bt AS (
-  SELECT doc, (('0x' || substr(md5(feat), 1, 15))::BIGINT % 4096) AS bucket,
-         sum(tf) AS btf
-  FROM tf GROUP BY 1, 2
-), tot AS (
-  SELECT doc, sum(tf) AS ttf FROM tf GROUP BY 1
-), xs AS (
-  SELECT bt.doc, bt.bucket,
-         CAST(bt.btf AS DOUBLE) / CAST(tot.ttf AS DOUBLE) AS x
-  FROM bt JOIN tot ON bt.doc = tot.doc
-), lab AS (
-  SELECT doc_id AS doc,
-         CAST(CASE WHEN length(text) >= 300 THEN 1 ELSE 0 END AS DOUBLE) AS y
-  FROM documents
-), xy AS (
-  SELECT xs.doc, CAST(xs.doc AS VARCHAR) AS k, xs.bucket, xs.x, lab.y
-  FROM xs JOIN lab ON xs.doc = lab.doc
-), nst AS (
-  SELECT CAST(count(DISTINCT doc) AS DOUBLE) AS n FROM xy
-), e1 AS (
-  SELECT doc, k, (0.5 - y) AS e FROM (SELECT DISTINCT doc, k, y FROM xy)
-), g1a AS (
-  SELECT xy.bucket, (('0x' || substr(md5(xy.k), 1, 15))::BIGINT % 64) AS b,
-         list_aggregate(list(xy.x * e1.e ORDER BY xy.k), 'sum') AS s1
-  FROM xy JOIN e1 ON xy.doc = e1.doc GROUP BY 1, 2
-), g1 AS (
-  SELECT bucket, list_aggregate(list(s1 ORDER BY b), 'sum') AS gsum
-  FROM g1a GROUP BY 1
-), gb1a AS (
-  SELECT (('0x' || substr(md5(k), 1, 15))::BIGINT % 64) AS b,
-         list_aggregate(list(e ORDER BY k), 'sum') AS s1
-  FROM e1 GROUP BY 1
-), gb1 AS (
-  SELECT coalesce(list_aggregate(list(s1 ORDER BY b), 'sum'), 0.0) AS gsum
-  FROM gb1a
-), w1 AS (
-  SELECT g1.bucket, (0.0 - 0.5 * (g1.gsum / nst.n + 0.01 * 0.0)) AS w
-  FROM g1 CROSS JOIN nst
-), b1 AS (
-  SELECT (0.0 - 0.5 * gb1.gsum / nst.n) AS b FROM gb1 CROSS JOIN nst
-), d2 AS (
-  SELECT xy.doc, xy.k, max(xy.y) AS y,
-         list_aggregate(list(xy.x * w1.w ORDER BY xy.bucket), 'sum') AS dot
-  FROM xy JOIN w1 ON xy.bucket = w1.bucket GROUP BY 1, 2
-), e2 AS (
-  SELECT doc, k, (1.0 / (1.0 + exp(-(b1.b + dot))) - y) AS e
-  FROM d2 CROSS JOIN b1
-), g2a AS (
-  SELECT xy.bucket, (('0x' || substr(md5(xy.k), 1, 15))::BIGINT % 64) AS b,
-         list_aggregate(list(xy.x * e2.e ORDER BY xy.k), 'sum') AS s1
-  FROM xy JOIN e2 ON xy.doc = e2.doc GROUP BY 1, 2
-), g2 AS (
-  SELECT bucket, list_aggregate(list(s1 ORDER BY b), 'sum') AS gsum
-  FROM g2a GROUP BY 1
-), gb2a AS (
-  SELECT (('0x' || substr(md5(k), 1, 15))::BIGINT % 64) AS b,
-         list_aggregate(list(e ORDER BY k), 'sum') AS s1
-  FROM e2 GROUP BY 1
-), gb2 AS (
-  SELECT coalesce(list_aggregate(list(s1 ORDER BY b), 'sum'), 0.0) AS gsum
-  FROM gb2a
-), w2 AS (
-  SELECT w1.bucket,
-         (w1.w - 0.5 * (coalesce(g2.gsum, 0.0) / nst.n + 0.01 * w1.w)) AS w
-  FROM w1 LEFT JOIN g2 ON w1.bucket = g2.bucket CROSS JOIN nst
-), b2 AS (
-  SELECT (b1.b - 0.5 * gb2.gsum / nst.n) AS b
-  FROM b1 CROSS JOIN gb2 CROSS JOIN nst
-), pr AS (
-  SELECT xs.doc,
-         list_aggregate(list(xs.x * coalesce(w2.w, 0.0) ORDER BY xs.bucket),
-                        'sum') AS dot
-  FROM xs LEFT JOIN w2 ON xs.bucket = w2.bucket GROUP BY 1
-)
-SELECT pr.doc AS doc_id,
-  round(1.0 / (1.0 + exp(-(b2.b + pr.dot))), 6) AS p_r,
-  round(1.0 / (1.0 + exp(-(b2.b + pr.dot))), 6) >= 0.5 AS keep,
-  CAST(lab.y AS INTEGER) AS label
-FROM pr CROSS JOIN b2 JOIN lab ON pr.doc = lab.doc
-""",
+        "q131_lr_train": _LR_SQL,
         "q127_span_corrupt": f"""
 WITH d AS (
   SELECT doc_id, list_filter({_TOKS}, t -> t <> '') AS tk

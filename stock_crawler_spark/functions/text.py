@@ -506,3 +506,59 @@ def token_entropy(text: Column) -> Column:
         F.split(F.trim(F.lower(text)), r"\s+"), lambda t: t != F.lit("")
     )
     return _dist_entropy(toks)
+
+
+# --- positional phrase query ----------------------------------------------------
+
+
+def phrase_match(docs, phrase: list, id_col: str = "doc_id",
+                 text_col: str = "text"):
+    """Exact-phrase retrieval over a positional index — the classic
+    anchor trick: a token matching phrase slot i at position p votes
+    for an occurrence ANCHORED at p - i; an anchor that collects all
+    len(phrase) slot votes is an exact occurrence. Handles repeated
+    terms in the phrase (a token row joins every slot it matches) and
+    overlapping occurrences (each anchor counted independently).
+
+    Scale shape: tokenize once, immediately filter to the phrase's
+    terms (tiny broadcast join against the slot table), then ONE
+    groupBy on (doc, anchor) whose cardinality is bounded by the
+    phrase-term postings, not the corpus. Positions are 0-based over
+    the raw whitespace-split array (empties dropped AFTER indexing, so
+    positions are split-stable).
+
+    Returns (id_col, n_occ, first_pos) for matching docs only.
+    """
+    terms = [t.lower() for t in phrase]
+    if not terms:
+        raise ValueError("phrase_match needs at least one term")
+    slots = docs.sparkSession.createDataFrame(
+        list(enumerate(terms)), "slot int, pt string"
+    )
+    toks = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias(
+                "pos", "t"
+            ),
+        )
+        .filter(F.col("t") != "")
+    )
+    anchored = (
+        toks.join(F.broadcast(slots), F.col("t") == F.col("pt"))
+        .select(
+            F.col(id_col),
+            (F.col("pos") - F.col("slot")).alias("anchor"),
+            "slot",
+        )
+        .filter(F.col("anchor") >= 0)
+    )
+    hits = (
+        anchored.groupBy(id_col, "anchor")
+        .agg(F.count(F.lit(1)).alias("ns"))
+        .filter(F.col("ns") == len(terms))
+    )
+    return hits.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.min("anchor").cast("long").alias("first_pos"),
+    )

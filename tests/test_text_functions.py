@@ -357,3 +357,51 @@ def test_token_entropy_flags_repetition(spark):
     assert got[1] == _h([30, 30])
     assert got[2] == _h([1] * 6)
     assert got[1] < got[2]  # repetition scores lower
+
+
+# --- phrase query ----------------------------------------------------------------
+
+
+def test_phrase_match_basics(spark):
+    from stock_crawler_spark.functions.text import phrase_match
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),
+            (2, "quick brown quick brown fox"),
+            (3, "brown quick"),             # right words, wrong order
+            (4, "quick  brown"),            # double space: still adjacent
+            (5, "QUICK Brown"),             # case folded
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_occ"], r["first_pos"])
+        for r in phrase_match(docs, ["quick", "brown"]).collect()
+    }
+    assert got[1] == (1, 1)
+    assert got[2] == (2, 0)
+    assert 3 not in got
+    assert got[4] == (1, 0)
+    assert got[5] == (1, 0)
+
+
+def test_phrase_match_repeated_term_and_overlap(spark):
+    from stock_crawler_spark.functions.text import phrase_match
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "a a a a")], "doc_id long, text string"
+    )
+    # repeated-term phrase: 'a b a' occurs at 0 and 2 (overlapping)
+    got = {
+        r["doc_id"]: (r["n_occ"], r["first_pos"])
+        for r in phrase_match(docs, ["a", "b", "a"]).collect()
+    }
+    assert got[1] == (2, 0)
+    assert 2 not in got
+    # all-same phrase over a run: 'a a' at 0,1,2
+    got2 = {
+        r["doc_id"]: (r["n_occ"], r["first_pos"])
+        for r in phrase_match(docs, ["a", "a"]).collect()
+    }
+    assert got2[2] == (3, 0)
