@@ -264,3 +264,99 @@ def segment_blobs(
         rendered.select(id_col, "record"), id_col
     )
     return joined.groupBy("segment_id").applyInPandas(_build, SEGMENT_SCHEMA)
+
+
+# --- revisit records: digest-identical capture dedup ---------------------------
+
+REVISIT_PROFILE = (
+    "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"
+)
+
+
+def warc_revisit(
+    captures: DataFrame,
+    cap_col: str = "capture_id",
+    url_col: str = "url",
+    date_col: str = "warc_date",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Archive-side capture dedup, the way Common Crawl / IA actually
+    store recrawls: the FIRST capture of each payload digest stays a
+    full ``response`` record; every later digest-identical capture is
+    written as a ``revisit`` record (WARC/1.0 §6.7.2,
+    identical-payload-digest profile) that carries only a 304 HTTP
+    envelope plus WARC-Refers-To pointers at the original — the
+    storage win that makes weekly recrawls of a mostly-static web
+    affordable.
+
+    Original election is deterministic: min (warc_date, capture_id,
+    url) per sha-256 digest — one corpus-scale groupBy on the digest
+    (map-side partial min) and one hash join back; record rendering is
+    a pure Column chain (no shuffle). Returns (capture_id, url,
+    rec_type, payload_digest, refers_to, record, length) where
+    refers_to is NULL on originals.
+    """
+    payload = F.coalesce(F.col(payload_col).cast("string"), F.lit(""))
+    digest = F.sha2(F.encode(payload, "UTF-8"), 256)
+    caps = captures.select(
+        F.col(cap_col),
+        F.col(url_col).alias("url"),
+        F.col(date_col).alias("warc_date"),
+        payload.alias("payload"),
+        digest.alias("payload_digest"),
+    )
+    orig = caps.groupBy("payload_digest").agg(
+        F.min(
+            F.struct(
+                F.col("warc_date").alias("d"),
+                F.col(cap_col).alias("cid"),
+                F.col("url").alias("u"),
+            )
+        ).alias("o")
+    )
+    j = caps.join(orig, "payload_digest")
+    is_orig = F.col(cap_col) == F.col("o.cid")
+    resp_rec, _ = warc_record_text(
+        F.col("url"),
+        F.col("warc_date"),
+        F.col("payload"),
+        F.concat(F.lit("cap"), F.col(cap_col).cast("string")),
+    )
+    http_r = F.lit("HTTP/1.1 304 Not Modified" + CRLF + CRLF)
+    rev_rec = F.concat(
+        F.lit("WARC/1.0" + CRLF + "WARC-Type: revisit" + CRLF),
+        F.lit("WARC-Record-ID: <urn:uuid:cap"),
+        F.col(cap_col).cast("string"),
+        F.lit(">" + CRLF),
+        F.lit("WARC-Target-URI: "), F.col("url"), F.lit(CRLF),
+        F.lit("WARC-Date: "), F.col("warc_date"), F.lit(CRLF),
+        F.lit("WARC-Payload-Digest: sha-256:"),
+        F.col("payload_digest"),
+        F.lit(CRLF),
+        F.lit("WARC-Profile: " + REVISIT_PROFILE + CRLF),
+        F.lit("WARC-Refers-To: <urn:uuid:cap"),
+        F.col("o.cid").cast("string"),
+        F.lit(">" + CRLF),
+        F.lit("WARC-Refers-To-Target-URI: "), F.col("o.u"), F.lit(CRLF),
+        F.lit("WARC-Refers-To-Date: "), F.col("o.d"), F.lit(CRLF),
+        F.lit("Content-Type: application/http; msgtype=response" + CRLF),
+        F.lit("Content-Length: "),
+        F.octet_length(http_r).cast("string"),
+        F.lit(CRLF + CRLF),
+        http_r,
+        F.lit(CRLF + CRLF),
+    )
+    rec = F.when(is_orig, resp_rec).otherwise(rev_rec)
+    return j.select(
+        F.col(cap_col),
+        "url",
+        F.when(is_orig, F.lit("response")).otherwise(F.lit("revisit")).alias(
+            "rec_type"
+        ),
+        "payload_digest",
+        F.when(is_orig, F.lit(None).cast("long")).otherwise(
+            F.col("o.cid")
+        ).alias("refers_to"),
+        rec.alias("record"),
+        F.octet_length(rec).alias("length"),
+    )

@@ -197,3 +197,81 @@ def test_partition_invariance(spark):
         )
     )
     assert man1 == man2
+
+
+# --- revisit records -------------------------------------------------------------
+
+
+def _caps(spark, rows):
+    return spark.createDataFrame(
+        rows, "capture_id long, url string, warc_date string, payload string"
+    )
+
+
+def test_revisit_identical_payload_points_at_original(spark):
+    from stock_crawler_spark.operators.warc_export import warc_revisit
+
+    out = {
+        r["capture_id"]: r
+        for r in warc_revisit(
+            _caps(
+                spark,
+                [
+                    (1, "https://a.com/x", "2024-01-01T00:00:00Z", "same body"),
+                    (2, "https://a.com/x", "2024-02-01T00:00:00Z", "same body"),
+                    (3, "https://a.com/y", "2024-02-01T00:00:00Z", "other body"),
+                ],
+            )
+        ).collect()
+    }
+    assert out[1]["rec_type"] == "response" and out[1]["refers_to"] is None
+    assert out[2]["rec_type"] == "revisit" and out[2]["refers_to"] == 1
+    assert out[3]["rec_type"] == "response"
+    rec = out[2]["record"]
+    assert "WARC-Type: revisit\r\n" in rec
+    assert "identical-payload-digest" in rec
+    assert "WARC-Refers-To: <urn:uuid:cap1>\r\n" in rec
+    assert "WARC-Refers-To-Date: 2024-01-01T00:00:00Z\r\n" in rec
+    assert "HTTP/1.1 304 Not Modified" in rec
+    assert "same body" not in rec  # payload never re-stored
+    assert out[2]["payload_digest"] == out[1]["payload_digest"]
+    assert out[2]["length"] == len(rec.encode())
+
+
+def test_revisit_original_election_tie_breaks(spark):
+    from stock_crawler_spark.operators.warc_export import warc_revisit
+
+    # same date: lower capture_id wins the original slot
+    out = {
+        r["capture_id"]: r["rec_type"]
+        for r in warc_revisit(
+            _caps(
+                spark,
+                [
+                    (9, "https://a.com/x", "2024-01-01T00:00:00Z", "b"),
+                    (4, "https://b.com/z", "2024-01-01T00:00:00Z", "b"),
+                ],
+            )
+        ).collect()
+    }
+    assert out == {4: "response", 9: "revisit"}
+
+
+def test_revisit_null_payload_treated_as_empty(spark):
+    from stock_crawler_spark.operators.warc_export import warc_revisit
+
+    out = sorted(
+        warc_revisit(
+            _caps(
+                spark,
+                [
+                    (1, "https://a.com/e", "2024-01-01T00:00:00Z", None),
+                    (2, "https://a.com/e2", "2024-02-01T00:00:00Z", ""),
+                ],
+            )
+        ).collect(),
+        key=lambda r: r["capture_id"],
+    )
+    # NULL and '' share a digest: second capture is a revisit of the first
+    assert out[0]["rec_type"] == "response"
+    assert out[1]["rec_type"] == "revisit" and out[1]["refers_to"] == 1
