@@ -2774,6 +2774,43 @@ def q141_calibration(spark, sf):
     )
 
 
+def q143_sq8_topk(spark, sf):
+    """Scalar-quantization ANN (operators/ann sq_train/sq_encode/
+    sq_topk; FAISS QT_8bit): per-dim min/max bounds (one posexplode
+    groupBy, dim rows out), int8 codes as a pure Column transform, and
+    asymmetric top-k against reconstructed candidates — the 4x-smaller
+    memory tier beside PQ. floor(v+0.5) quantization and dim-ordered
+    score folds replay exactly in SQL."""
+    from stock_crawler_spark.operators.ann import sq_encode, sq_topk, sq_train
+
+    emb = _t(spark, sf, "embeddings")
+    stats = sq_train(emb)
+    codes = sq_encode(emb, stats)
+    out = sq_topk(emb.filter(F.col("vec_id") < 5), codes, stats, k=5)
+    return out.select(
+        "query_id", "cand_id", F.round("score", 6).alias("score_r"), "rank"
+    )
+
+
+JL_R = 16
+
+
+def q144_jl_project(spark, sf):
+    """Johnson-Lindenstrauss Rademacher projection (operators/ann.
+    jl_project; Achlioptas 2003): 64 -> 16 dims with the +-1 matrix
+    rebuilt from md5(seed, j, i) on any engine. Pure Column chain —
+    one dim-ordered fold per output component, no shuffle; SRP keeps
+    only these dots' signs, this keeps the values so distances
+    survive."""
+    from stock_crawler_spark.operators.ann import jl_project
+
+    emb = _t(spark, sf, "embeddings")
+    out = jl_project(emb, r=JL_R)
+    return out.select(
+        "vec_id", *[F.col("proj")[j].alias(f"y{j}") for j in range(JL_R)]
+    )
+
+
 def q142_warc_revisit(spark, sf):
     """WARC revisit-record dedup (operators/warc_export.warc_revisit;
     WARC/1.0 identical-payload-digest profile): a synthetic two-
@@ -3063,6 +3100,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q140_phrase_query": q140_phrase_query,
         "q141_calibration": q141_calibration,
         "q142_warc_revisit": q142_warc_revisit,
+        "q143_sq8_topk": q143_sq8_topk,
+        "q144_jl_project": q144_jl_project,
     }
 
 
@@ -4224,6 +4263,30 @@ WITH assigned AS (
 SELECT doc AS doc_id, count(*) AS n_tokens,
   round(list_aggregate(list(nll_tok ORDER BY pos), 'sum') / count(*), 6) AS nll
 FROM tok GROUP BY 1
+"""
+
+
+def _jl_oracle(r: int = 16, dim: int = 64, seed: int = 0) -> str:
+    """Replays q144: the identical md5-derived Rademacher rows emitted
+    as SQL list literals (both engines consume the SAME Python-built
+    matrix), dim-ordered inner products, / sqrt(r) via repr so both
+    parse the same double, round 6."""
+    import math
+
+    from stock_crawler_spark.operators.ann import jl_planes
+
+    planes = jl_planes(dim, r, seed)
+    scale = repr(math.sqrt(r))
+    cols = ",\n  ".join(
+        "round(list_inner_product(x, ["
+        + ", ".join(repr(s) for s in row)
+        + f"]::DOUBLE[]) / {scale}, 6) AS y{j}"
+        for j, row in enumerate(planes)
+    )
+    return f"""
+SELECT vec_id,
+  {cols}
+FROM (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings)
 """
 
 
@@ -5496,6 +5559,42 @@ SELECT g AS lang, n_vocab, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
        round(js, 6) AS js_r
 FROM js JOIN totals USING (g)
 """,
+        # q143: per-dim min/max on the unit corpus, floor(v+0.5) codes,
+        # asymmetric reconstruction, dim-ordered score fold
+        "q143_sq8_topk": f"""
+WITH u AS (
+  {_UNIT_CORPUS}
+), dims AS (
+  SELECT vec_id, x, idx - 1 AS dim FROM (
+    SELECT vec_id, unnest(e) AS x, generate_subscripts(e, 1) AS idx FROM u
+  )
+), stats AS (
+  SELECT dim, min(x) AS mn, max(x) AS mx FROM dims GROUP BY 1
+), codes AS (
+  SELECT vec_id, dim, mn, mx,
+    CASE WHEN mx > mn THEN
+      least(greatest(floor((x - mn) / (mx - mn) * 255.0 + 0.5), 0), 255)
+    ELSE 0 END AS code
+  FROM dims JOIN stats USING (dim)
+), recon AS (
+  SELECT vec_id AS cand_id, dim,
+         mn + CAST(code AS DOUBLE) / 255.0 * (mx - mn) AS xh
+  FROM codes
+), q AS (
+  SELECT vec_id AS query_id, dim, x AS qx FROM dims WHERE vec_id < 5
+), sc AS (
+  SELECT query_id, cand_id,
+         list_aggregate(list(qx * xh ORDER BY dim), 'sum') AS score
+  FROM q JOIN recon USING (dim)
+  GROUP BY 1, 2
+)
+SELECT query_id, cand_id, round(score, 6) AS score_r, rank FROM (
+  SELECT query_id, cand_id, score,
+    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id)
+      AS rank
+  FROM sc
+) WHERE rank <= 5
+""",
         # q142: two-snapshot captures, digest originals via rn=1 over
         # (date, capture_id, url), record strings rebuilt byte-for-byte
         # (response replays q110's layout with the 'cap' id prefix)
@@ -6073,6 +6172,7 @@ FROM cum
         "q93_bigram_lm": _lm_oracle(),
         "q136_kneser_ney": _kn_oracle(),
         "q139_mmr_rerank": _mmr_oracle(MMR_STEPS, RRF_TOPK),
+        "q144_jl_project": _jl_oracle(JL_R, 64),
         "q94_epoch_shuffle": _SHUFFLE_ORACLE,
         "q95_exact_substr": _exact_substr_oracle(),
         "q96_meta_robots": """

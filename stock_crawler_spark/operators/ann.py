@@ -688,3 +688,178 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", F.round("adc", 6).alias("adc_r"), "rank")
     )
+
+
+# --- scalar quantization (SQ8) --------------------------------------------------
+#
+# The third memory tier of the ANN stack: uniform per-dimension int8
+# quantization (FAISS's ScalarQuantizer QT_8bit) — 4x smaller than
+# float32 with near-lossless recall, simpler and cheaper to (re)train
+# than PQ because "training" is just per-dim min/max. At 10^10 vectors
+# the stats are one posexplode groupBy (64-256 rows out) and codes are
+# a pure Column transform — no codebook assignment pass at all.
+
+SQ_LEVELS = 255
+
+
+def sq_train(
+    corpus: DataFrame, cid: str = "vec_id", emb: str = "embedding"
+) -> DataFrame:
+    """-> per-dim (dim, mn, mx) quantizer bounds over UNIT vectors
+    (unit-normalized like every tier of this stack, so dot == cosine
+    downstream). One corpus-scale posexplode + groupBy(dim) — map-side
+    partial min/max, output is dim rows."""
+    c = _unit_select(corpus, cid, emb, "cand_id", "c_emb")
+    return (
+        c.select(F.posexplode("c_emb").alias("dim", "v"))
+        .groupBy("dim")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    )
+
+
+def _sq_stats_arrays(stats: DataFrame) -> DataFrame:
+    """stats rows -> ONE broadcastable row (mns, mxs) in dim order."""
+    return stats.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mn"))), lambda s: s["mn"]
+        ).alias("mns"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mx"))), lambda s: s["mx"]
+        ).alias("mxs"),
+    )
+
+
+def sq_encode(
+    corpus: DataFrame,
+    stats: DataFrame,
+    cid: str = "vec_id",
+    emb: str = "embedding",
+) -> DataFrame:
+    """-> (cand_id, codes array<int>): code_d = floor((x-mn)/(mx-mn)
+    * 255 + 0.5) clamped to [0, 255]; degenerate dims (mx == mn) code
+    to 0. floor(v + 0.5) — not round() — so both engines take the same
+    branch at halfway points. Pure Column chain after a 1-row stats
+    broadcast."""
+    c = _unit_select(corpus, cid, emb, "cand_id", "c_emb")
+    code = lambda x, i: F.when(
+        F.element_at(F.col("mxs"), i + 1) > F.element_at(F.col("mns"), i + 1),
+        F.least(
+            F.greatest(
+                F.floor(
+                    (x - F.element_at(F.col("mns"), i + 1))
+                    / (
+                        F.element_at(F.col("mxs"), i + 1)
+                        - F.element_at(F.col("mns"), i + 1)
+                    )
+                    * F.lit(float(SQ_LEVELS))
+                    + F.lit(0.5)
+                ),
+                F.lit(0),
+            ),
+            F.lit(SQ_LEVELS),
+        ),
+    ).otherwise(F.lit(0))
+    return c.crossJoin(F.broadcast(_sq_stats_arrays(stats))).select(
+        "cand_id",
+        F.transform(F.col("c_emb"), lambda x, i: code(x, i).cast("int")).alias(
+            "codes"
+        ),
+    )
+
+
+def sq_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    stats: DataFrame,
+    k: int = 5,
+    qid: str = "vec_id",
+    emb: str = "embedding",
+) -> DataFrame:
+    """Asymmetric top-k: true (unit) query against per-dim RECONSTRUCTED
+    candidates xhat_d = mn + code/255 * (mx - mn) — quantization error
+    stays on the corpus side only, the PQ-ADC trick at scalar
+    granularity. Queries broadcast; one linear pass over codes; rank by
+    (score desc, cand_id). Returns (query_id, cand_id, score, rank)."""
+    q = _unit_select(queries, qid, emb, "query_id", "q_emb")
+    recon = codes.crossJoin(F.broadcast(_sq_stats_arrays(stats))).select(
+        "cand_id",
+        F.transform(
+            F.col("codes"),
+            lambda cd, i: F.element_at(F.col("mns"), i + 1)
+            + cd.cast("double")
+            / F.lit(float(SQ_LEVELS))
+            * (
+                F.element_at(F.col("mxs"), i + 1)
+                - F.element_at(F.col("mns"), i + 1)
+            ),
+        ).alias("xhat"),
+    )
+    scored = F.broadcast(q).crossJoin(recon).withColumn(
+        "score", _dot(F.col("q_emb"), F.col("xhat"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "score", "rank")
+    )
+
+
+# --- Johnson-Lindenstrauss random projection ------------------------------------
+
+
+def jl_planes(dim: int, r: int, seed: int = 0) -> list[list[float]]:
+    """Deterministic Rademacher (+-1) projection rows: entry (j, i) is
+    +1 iff the md5-60 of (seed, j, i) is even — the same engine-
+    portable construction as srp_planes, so ANY engine rebuilds the
+    matrix from (seed, j, i) alone. Rademacher entries satisfy the JL
+    lemma with the same guarantees as Gaussians (Achlioptas 2003,
+    'Database-friendly random projections')."""
+    import hashlib
+
+    return [
+        [
+            float(
+                (int(hashlib.md5(f"jl{seed}:{j}:{i}".encode()).hexdigest()[:15], 16) % 2)
+                * 2
+                - 1
+            )
+            for i in range(dim)
+        ]
+        for j in range(r)
+    ]
+
+
+def jl_project(
+    vectors: DataFrame,
+    r: int = 16,
+    seed: int = 0,
+    vid: str = "vec_id",
+    emb: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Project embeddings to r dims: y_j = <x, s_j> / sqrt(r) with s_j
+    the Rademacher rows — the dimensionality-reduction front-end that
+    makes downstream all-pairs / clustering work r/dim cheaper while
+    preserving pairwise distances to (1 +- eps), eps ~ sqrt(ln n / r)
+    (Johnson & Lindenstrauss 1984). SRP (srp_signatures) keeps only the
+    SIGN of these dots for LSH bucketing; this keeps the values, so
+    distances survive.
+
+    Pure Column chain: the r x dim matrix rides along as literals (it
+    is tiny and deterministic), each output dim is one dim-ordered
+    fold — no shuffle, no UDF. Returns (vid, proj array<double>),
+    components rounded to 6."""
+    import math
+
+    dim = dim if dim is not None else _infer_dim(vectors, emb)
+    planes = jl_planes(dim, r, seed)
+    scale = math.sqrt(r)
+    x = F.transform(F.col(emb), lambda v: v.cast("double"))
+    comps = [
+        F.round(
+            _dot(x, F.array(*[F.lit(s) for s in row])) / F.lit(scale), 6
+        )
+        for row in planes
+    ]
+    return vectors.select(F.col(vid), F.array(*comps).alias("proj"))

@@ -478,3 +478,121 @@ def test_ivfpq_full_probe_equals_flat_pq_topk(spark):
                             n_codes=16).collect()
     )
     assert flat == full
+
+
+# --- scalar quantization ----------------------------------------------------------
+
+
+def test_sq8_codes_in_range_and_degenerate_dim(spark):
+    from stock_crawler_spark.operators.ann import sq_encode, sq_train
+
+    # dim 2 is constant across vectors -> degenerate (mx == mn) -> code 0
+    rows = [
+        (1, [1.0, 0.0, 5.0]),
+        (2, [0.0, 1.0, 5.0]),
+        (3, [0.6, 0.8, 5.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    stats = sq_train(emb)
+    codes = {r["cand_id"]: r["codes"] for r in sq_encode(emb, stats).collect()}
+    for cs in codes.values():
+        assert all(0 <= c <= 255 for c in cs)
+        assert cs[2] == 0  # degenerate dim
+    # per-dim extremes hit the end codes
+    assert codes[1][0] == 255 and codes[2][0] == 0
+
+
+def test_sq8_reconstruction_error_bounded(spark):
+    import numpy as np
+
+    from stock_crawler_spark.operators.ann import sq_encode, sq_train
+
+    rows = [(i, [((i * 37 + d * 11) % 100) / 50.0 - 1.0 for d in range(8)])
+            for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    df_stats = sq_train(emb)
+    stats = {r["dim"]: (r["mn"], r["mx"]) for r in df_stats.collect()}
+    got = {r["cand_id"]: r["codes"] for r in sq_encode(emb, df_stats).collect()}
+    units = {i: (np.array(v) / np.linalg.norm(v)).tolist() for i, v in rows}
+    # error bounded at half a quantization step, per dimension
+    for i, unit in units.items():
+        for d, x in enumerate(unit):
+            mn, mx = stats[d]
+            xh = mn + got[i][d] / 255.0 * (mx - mn)
+            step = (mx - mn) / 255.0
+            assert abs(x - xh) <= step / 2 + 1e-12
+
+
+def test_sq8_topk_matches_brute_force_top1(spark):
+    import math
+
+    from stock_crawler_spark.operators.ann import (
+        brute_force_topk, sq_encode, sq_topk, sq_train,
+    )
+
+    # sin-based vectors: no duplicates/near-ties for quantization to flip
+    rows = [(i, [math.sin(i * 1.7 + d * 0.9) + 1.5 for d in range(8)])
+            for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    stats = sq_train(emb)
+    codes = sq_encode(emb, stats)
+    qs = emb.filter("vec_id < 6")
+    sq = {
+        (r["query_id"], r["rank"]): r["cand_id"]
+        for r in sq_topk(qs, codes, stats, k=3).collect()
+    }
+    bf = {
+        (r["query_id"], r["rank"]): r["cand_id"]
+        for r in brute_force_topk(qs, emb, k=3).collect()
+    }
+    # 8-bit quantization is near-lossless: the true top-1 must appear
+    # in the quantized top-3 for every query (exact top-1 can swap with
+    # a near-duplicate whose distance gap is below the quantization
+    # step), and most top-1s should agree outright
+    agree = 0
+    for q in range(6):
+        assert bf[(q, 1)] in {sq[(q, r)] for r in (1, 2, 3)}
+        agree += bf[(q, 1)] == sq[(q, 1)]
+    assert agree >= 4
+
+
+# --- JL projection ----------------------------------------------------------------
+
+
+def test_jl_planes_deterministic_rademacher():
+    from stock_crawler_spark.operators.ann import jl_planes
+
+    p1 = jl_planes(16, 4, seed=0)
+    p2 = jl_planes(16, 4, seed=0)
+    assert p1 == p2
+    assert all(v in (-1.0, 1.0) for row in p1 for v in row)
+    assert jl_planes(16, 4, seed=1) != p1
+    # roughly balanced signs (Rademacher)
+    flat = [v for row in p1 for v in row]
+    assert 0.25 < sum(1 for v in flat if v > 0) / len(flat) < 0.75
+
+
+def test_jl_preserves_pairwise_distances(spark):
+    import math
+    import numpy as np
+
+    from stock_crawler_spark.operators.ann import jl_project
+
+    rng_rows = [
+        (i, [math.sin(i * 2.3 + d * 1.1) * 3.0 for d in range(64)])
+        for i in range(30)
+    ]
+    emb = spark.createDataFrame(rng_rows, "vec_id long, embedding array<double>")
+    proj = {r["vec_id"]: np.array(r["proj"]) for r in jl_project(emb, r=16).collect()}
+    orig = {i: np.array(v) for i, v in rng_rows}
+    ratios = []
+    for i in range(0, 30, 3):
+        for j in range(i + 1, 30, 7):
+            do = np.linalg.norm(orig[i] - orig[j])
+            dp = np.linalg.norm(proj[i] - proj[j])
+            if do > 1e-9:
+                ratios.append(dp / do)
+    # JL with r=16 from d=64: distances preserved within a loose band
+    # and unbiased on average
+    assert all(0.4 < x < 1.8 for x in ratios), (min(ratios), max(ratios))
+    assert 0.8 < sum(ratios) / len(ratios) < 1.2
