@@ -183,6 +183,12 @@ def test_no_cartesian_products_anywhere(spark):
         "q131_lr_train",         # broadcast 1-row bias/doc-count state
         "q132_pq_adc",           # broadcast PQ codebook + per-query LUT
         "q133_ivfpq_topk",       # broadcast centroids + codebook + LUT
+        "q134_temperature_mix",  # broadcast 1-row weight normalizer + spare slots
+        "q135_rrf_fusion",       # broadcast 1-row BM25 corpus stats (q42's scorer)
+        "q136_kneser_ney",       # broadcast 1-row LM + continuation totals
+        "q139_mmr_rerank",       # broadcast query vector x streamed corpus (q13)
+        "q141_calibration",      # broadcast 1-row bin-weight total
+        "q143_sq8_topk",         # broadcast 1-row SQ bounds + query vectors
     }
     for name, fn in entrymod.queries().items():
         tree = _plan(fn(spark, "/root/testdata/sf0.001")).split("\n\n")[0]
