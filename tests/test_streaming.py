@@ -513,3 +513,52 @@ def test_streaming_lr_gate_matches_batch(spark, tmp_path):
     assert got == want and len(got) == 2  # blank doc absent both sides
     by_id = {r[0]: r[2] for r in got}
     assert by_id[100] and not by_id[101]  # spam kept by the spam-label gate
+
+
+def test_streaming_entropy_and_phrase_match_batch(spark, tmp_path):
+    """char/token entropy and phrase_match on a stream: the entropy
+    signals are stateless narrow Column folds; phrase_match needs one
+    grouped aggregation (anchor voting), so the stream goes through
+    foreachBatch — each micro-batch is processed with full batch
+    semantics (the kafka-sink/LR-gate pattern) — and must emit exactly
+    what a batch re-run would (the ingestion-time quality gate +
+    phrase-alert of a live crawl)."""
+    from stock_crawler_spark.functions.text import (
+        char_entropy, phrase_match, token_entropy,
+    )
+
+    rows = [
+        (1, "big table scan with a big table inside"),
+        (2, "buy now " * 20),
+        (3, "table big"),
+        (4, "   "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "docs_ent_stream")
+    df.coalesce(1).write.parquet(path)
+    out_dir = str(tmp_path / "ent_out")
+
+    def xform(d):
+        ent = d.select(
+            "doc_id",
+            F.round(char_entropy(F.col("text")), 6).alias("ch"),
+            F.round(token_entropy(F.col("text")), 6).alias("th"),
+        )
+        return ent.join(phrase_match(d, ["big", "table"]), "doc_id", "left")
+
+    stream = spark.readStream.schema(spark.read.parquet(path).schema).parquet(path)
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda b, _eid: xform(b).write.mode("append").parquet(out_dir)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt_ent"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.read.parquet(out_dir).collect()))
+    want = sorted(map(tuple, xform(spark.read.parquet(path)).collect()))
+    assert got == want and len(got) == 4
+    # sanity: doc 1 has 2 occurrences of the phrase, doc 3 none
+    byid = {t[0]: t for t in got}
+    assert byid[1][3] == 2 and byid[3][3] is None
