@@ -2811,6 +2811,18 @@ def q144_jl_project(spark, sf):
     )
 
 
+def q145_datacard(spark, sf):
+    """Per-language corpus datasheet (operators/profile.corpus_datacard;
+    Gebru et al. 2021): docs/tokens/mean-length volume, exact-dup rate,
+    mean quality and mean char entropy — one narrow-Column pass, one
+    groupBy(lang) of exact integer aggregates + countDistinct(md5),
+    det_sum folds for the float means. The release-time summary table
+    of a curated corpus."""
+    from stock_crawler_spark.operators.profile import corpus_datacard
+
+    return corpus_datacard(_t(spark, sf, "documents"))
+
+
 def q142_warc_revisit(spark, sf):
     """WARC revisit-record dedup (operators/warc_export.warc_revisit;
     WARC/1.0 identical-payload-digest profile): a synthetic two-
@@ -3102,6 +3114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q142_warc_revisit": q142_warc_revisit,
         "q143_sq8_topk": q143_sq8_topk,
         "q144_jl_project": q144_jl_project,
+        "q145_datacard": q145_datacard,
     }
 
 
@@ -4264,6 +4277,18 @@ SELECT doc AS doc_id, count(*) AS n_tokens,
   round(list_aggregate(list(nll_tok ORDER BY pos), 'sum') / count(*), 6) AS nll
 FROM tok GROUP BY 1
 """
+
+
+def _entropy_case(arr: str) -> str:
+    """SQL twin of functions/text._dist_entropy over array expr `arr`:
+    sorted-distinct p*ln(p) fold, 0.0 on empty — shared by q137/q145."""
+    return f"""CASE WHEN len({arr}) > 0 THEN -list_aggregate(list_transform(
+    list_sort(list_distinct({arr})),
+    d -> (CAST(len(list_filter({arr}, c -> c = d)) AS DOUBLE)
+            / CAST(len({arr}) AS DOUBLE))
+         * ln(CAST(len(list_filter({arr}, c -> c = d)) AS DOUBLE)
+            / CAST(len({arr}) AS DOUBLE))), 'sum')
+  ELSE 0.0 END"""
 
 
 def _jl_oracle(r: int = 16, dim: int = 64, seed: int = 0) -> str:
@@ -5502,20 +5527,8 @@ WITH arrs AS (
   FROM documents
 )
 SELECT doc_id,
-  round(CASE WHEN len(cs) > 0 THEN -list_aggregate(list_transform(
-    list_sort(list_distinct(cs)),
-    d -> (CAST(len(list_filter(cs, c -> c = d)) AS DOUBLE)
-            / CAST(len(cs) AS DOUBLE))
-         * ln(CAST(len(list_filter(cs, c -> c = d)) AS DOUBLE)
-            / CAST(len(cs) AS DOUBLE))), 'sum')
-  ELSE 0.0 END, 6) AS char_h,
-  round(CASE WHEN len(ts) > 0 THEN -list_aggregate(list_transform(
-    list_sort(list_distinct(ts)),
-    d -> (CAST(len(list_filter(ts, c -> c = d)) AS DOUBLE)
-            / CAST(len(ts) AS DOUBLE))
-         * ln(CAST(len(list_filter(ts, c -> c = d)) AS DOUBLE)
-            / CAST(len(ts) AS DOUBLE))), 'sum')
-  ELSE 0.0 END, 6) AS tok_h
+  round({_entropy_case('cs')}, 6) AS char_h,
+  round({_entropy_case('ts')}, 6) AS tok_h
 FROM arrs
 """,
         # q138: tagged token counts, integer totals, p/q/m contributions
@@ -5594,6 +5607,50 @@ SELECT query_id, cand_id, round(score, 6) AS score_r, rank FROM (
       AS rank
   FROM sc
 ) WHERE rank <= 5
+""",
+        # q145: one per-doc pass (tokens/chars/md5/quality/entropy),
+        # exact integer aggregates + count(DISTINCT md5), det_sum folds
+        # for the two float means
+        "q145_datacard": f"""
+WITH chs AS (
+  SELECT doc_id, round({_entropy_case('cs')}, 6) AS ch FROM (
+    SELECT doc_id,
+      list_transform(range(1, length(text) + 1), i -> substr(text, i, 1)) AS cs
+    FROM documents)
+), per AS (
+  SELECT d.doc_id, lang AS g, CAST(d.doc_id AS VARCHAR) AS k,
+    len(list_filter({_TOKS}, x -> x <> '')) AS n_tok,
+    length(text) AS n_chars, md5(text) AS h, quality AS q, ch
+  FROM documents d
+  JOIN ({_QUALITY_SQL}) qq USING (doc_id)
+  JOIN chs USING (doc_id)
+), ints AS (
+  SELECT g, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         count(DISTINCT h) AS n_distinct
+  FROM per GROUP BY 1
+), l1q AS (
+  SELECT g, (('0x' || substr(md5(k), 1, 15))::BIGINT % 64) AS b,
+         list_aggregate(list(q ORDER BY k), 'sum') AS s1
+  FROM per GROUP BY 1, 2
+), qs AS (
+  SELECT g, list_aggregate(list(s1 ORDER BY b), 'sum') AS q_sum
+  FROM l1q GROUP BY 1
+), l1e AS (
+  SELECT g, (('0x' || substr(md5(k), 1, 15))::BIGINT % 64) AS b,
+         list_aggregate(list(ch ORDER BY k), 'sum') AS s1
+  FROM per GROUP BY 1, 2
+), es AS (
+  SELECT g, list_aggregate(list(s1 ORDER BY b), 'sum') AS ch_sum
+  FROM l1e GROUP BY 1
+)
+SELECT g AS lang, n_docs, n_tokens,
+  round(CAST(sum_chars AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS mean_len_r,
+  round(CAST(n_docs - n_distinct AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+    AS dup_rate_r,
+  round(q_sum / CAST(n_docs AS DOUBLE), 6) AS mean_quality_r,
+  round(ch_sum / CAST(n_docs AS DOUBLE), 6) AS mean_char_h_r
+FROM ints JOIN qs USING (g) JOIN es USING (g)
 """,
         # q142: two-snapshot captures, digest originals via rn=1 over
         # (date, capture_id, url), record strings rebuilt byte-for-byte

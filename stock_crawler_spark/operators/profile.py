@@ -243,3 +243,77 @@ def token_js_drift(
             F.round("js", 6).alias("js_r"),
         )
     )
+
+
+# --- corpus data card -----------------------------------------------------------
+
+
+def corpus_datacard(docs: DataFrame, group_col: str = "lang",
+                    text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-group corpus datasheet — the one-table summary (Gebru et al.
+    2021, 'Datasheets for Datasets') every released training corpus
+    ships: volume (docs, tokens, mean length), exact-duplicate rate,
+    and the mean quality / char-entropy signals, per language.
+
+    Scale shape: ONE pass computes every per-doc signal as narrow
+    Columns, then one groupBy(lang) for the exact integer aggregates +
+    countDistinct(md5) for the dup rate, and det_sum folds for the two
+    float means (bit-reproducible). countDistinct is exact and
+    shuffles the md5 set; at 10^10 docs swap it for the engine's HLL
+    sketch (operators/sketch.hll_distinct) — the datacard is a
+    reporting query, 2% error is fine there.
+
+    Returns (group, n_docs, n_tokens, mean_len_r, dup_rate_r,
+    mean_quality_r, mean_char_h_r).
+    """
+    from stock_crawler_spark.functions.text import char_entropy, quality_score
+    from stock_crawler_spark.operators.graph import det_sum
+
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        lambda t: t != F.lit(""),
+    )
+    per_doc = docs.select(
+        F.col(group_col).alias("g"),
+        F.col(id_col).cast("string").alias("k"),
+        F.size(toks).alias("n_tok"),
+        F.length(F.col(text_col)).alias("n_chars"),
+        F.md5(F.col(text_col)).alias("h"),
+        F.round(quality_score(F.col(text_col)), 6).alias("q"),
+        F.round(char_entropy(F.col(text_col)), 6).alias("ch"),
+    )
+    ints = per_doc.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.countDistinct("h").alias("n_distinct"),
+    )
+    qs = det_sum(per_doc, ["g"], "k", "q", "q_sum")
+    es = det_sum(
+        per_doc.select("g", "k", F.col("ch").cast("double").alias("ch")),
+        ["g"], "k", "ch", "ch_sum",
+    )
+    return (
+        ints.join(qs, "g")
+        .join(es, "g")
+        .select(
+            F.col("g").alias(group_col),
+            "n_docs",
+            "n_tokens",
+            F.round(
+                F.col("sum_chars").cast("double") / F.col("n_docs").cast("double"),
+                6,
+            ).alias("mean_len_r"),
+            F.round(
+                (F.col("n_docs") - F.col("n_distinct")).cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("dup_rate_r"),
+            F.round(F.col("q_sum") / F.col("n_docs").cast("double"), 6).alias(
+                "mean_quality_r"
+            ),
+            F.round(F.col("ch_sum") / F.col("n_docs").cast("double"), 6).alias(
+                "mean_char_h_r"
+            ),
+        )
+    )

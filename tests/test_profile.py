@@ -154,3 +154,50 @@ def test_js_group_absent_one_side(spark):
     # 0.5*KL(P||M) term survives -> ln(2)/2, with n_b = 0
     assert got["fr"]["js_r"] == round(math.log(2) / 2, 6)
     assert got["fr"]["n_b"] == 0
+
+
+# --- corpus data card ------------------------------------------------------------
+
+
+def test_datacard_known_answer(spark):
+    from stock_crawler_spark.operators.profile import corpus_datacard
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "hello world hello"),
+            (2, "en", "hello world hello"),   # exact dup of 1
+            (3, "en", "different text here now"),
+            (4, "fr", "bonjour"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    got = {r["lang"]: r for r in corpus_datacard(docs).collect()}
+    en = got["en"]
+    assert en["n_docs"] == 3 and en["n_tokens"] == 3 + 3 + 4
+    assert en["dup_rate_r"] == round(1 / 3, 6)
+    assert en["mean_len_r"] == round((17 + 17 + 23) / 3, 6)
+    fr = got["fr"]
+    assert fr["n_docs"] == 1 and fr["dup_rate_r"] == 0.0
+    # single 7-char distinct word: token entropy n/a here, but char
+    # entropy of 'bonjour' has 6 distinct chars over 7
+    assert 0 < fr["mean_char_h_r"] < 2.0
+
+
+def test_datacard_quality_mean_matches_per_doc(spark):
+    from pyspark.sql import functions as F
+
+    from stock_crawler_spark.functions.text import quality_score
+    from stock_crawler_spark.operators.profile import corpus_datacard
+
+    docs = spark.createDataFrame(
+        [(i, "en", f"some text piece number {i} with words") for i in range(7)],
+        "doc_id long, lang string, text string",
+    )
+    per = [
+        r["q"]
+        for r in docs.select(
+            F.round(quality_score(F.col("text")), 6).alias("q")
+        ).collect()
+    ]
+    got = corpus_datacard(docs).collect()[0]
+    assert abs(got["mean_quality_r"] - sum(per) / len(per)) < 1e-6
