@@ -2811,6 +2811,36 @@ def q144_jl_project(spark, sf):
     )
 
 
+DOMAIN_SPLIT = {"train": 0.8, "val": 0.1, "test": 0.1}
+DOMAIN_SALT = "domsplit0"
+
+
+def q146_domain_split(spark, sf):
+    """Domain-disjoint train/val/test split: the registrable domain
+    (full PSL engine, q47's rule-class host synthesis) is the split
+    KEY, so same-site near-duplicates can never straddle splits — the
+    leakage-safe eval practice hash-by-doc (q86) cannot give. Pure
+    Column chain: PSL eTLD+1 -> split_by_hash(id_col=dom); by
+    construction every domain lands in exactly one split (pinned by
+    tests/test_split.py)."""
+    from stock_crawler_spark.operators.training import split_by_hash
+
+    docs = _t(spark, sf, "documents")
+    sfx = F.element_at(
+        F.array(*[F.lit(s) for s in _Q47_SUFFIXES]),
+        (F.col("doc_id") % 8 + 1).cast("int"),
+    )
+    host = F.when(F.col("doc_id") % 8 == 3, F.lit("www.ck")).otherwise(
+        F.concat(F.col("source"), F.lit("."), sfx)
+    )
+    d = docs.select(
+        "doc_id", host.alias("host"), registrable_domain(host).alias("dom")
+    )
+    return split_by_hash(d, DOMAIN_SPLIT, id_col="dom", salt=DOMAIN_SALT).select(
+        "doc_id", "dom", "split"
+    )
+
+
 def q145_datacard(spark, sf):
     """Per-language corpus datasheet (operators/profile.corpus_datacard;
     Gebru et al. 2021): docs/tokens/mean-length volume, exact-dup rate,
@@ -3115,6 +3145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q143_sq8_topk": q143_sq8_topk,
         "q144_jl_project": q144_jl_project,
         "q145_datacard": q145_datacard,
+        "q146_domain_split": q146_domain_split,
     }
 
 
@@ -4289,6 +4320,40 @@ def _entropy_case(arr: str) -> str:
          * ln(CAST(len(list_filter({arr}, c -> c = d)) AS DOUBLE)
             / CAST(len({arr}) AS DOUBLE))), 'sum')
   ELSE 0.0 END"""
+
+
+def _domain_split_oracle() -> str:
+    """Replays q146: q47's hand-derived eTLD+1 per rule class (fully
+    independent of the PSL engine) and split_by_hash's md5-60 cuts on
+    the domain key."""
+    from stock_crawler_spark.operators.training import split_thresholds
+
+    ths = split_thresholds(DOMAIN_SPLIT)
+    case = "CASE\n"
+    for upper, name in ths[:-1]:
+        case += f"    WHEN h < {upper} THEN '{name}'\n"
+    case += f"    ELSE '{ths[-1][1]}'\n  END"
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+    CASE doc_id % 8
+      WHEN 0 THEN 'example.com'
+      WHEN 1 THEN source || '.co.uk'
+      WHEN 2 THEN source || '.foo.ck'
+      WHEN 3 THEN 'www.ck'
+      WHEN 4 THEN source || '.github.io'
+      WHEN 5 THEN source || '.s3.amazonaws.com'
+      WHEN 6 THEN 'city.kobe.jp'
+      ELSE source || '.internal'
+    END AS dom
+  FROM documents
+)
+SELECT doc_id, dom,
+  {case} AS split
+FROM (SELECT doc_id, dom,
+        ('0x' || substr(md5('{DOMAIN_SALT}:' || dom), 1, 15))::BIGINT AS h
+      FROM d)
+"""
 
 
 def _jl_oracle(r: int = 16, dim: int = 64, seed: int = 0) -> str:
@@ -6230,6 +6295,7 @@ FROM cum
         "q136_kneser_ney": _kn_oracle(),
         "q139_mmr_rerank": _mmr_oracle(MMR_STEPS, RRF_TOPK),
         "q144_jl_project": _jl_oracle(JL_R, 64),
+        "q146_domain_split": _domain_split_oracle(),
         "q94_epoch_shuffle": _SHUFFLE_ORACLE,
         "q95_exact_substr": _exact_substr_oracle(),
         "q96_meta_robots": """

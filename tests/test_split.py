@@ -64,3 +64,35 @@ def test_leakage_counts(spark):
     got = {r["doc_id"]: r["n_leaks"] for r in split_leakage(a, pairs).collect()}
     # 0: neighbors 1(train, same), 3, 4 (test) -> 2 ; 3: 0 (cross) + 4 (same) -> 1
     assert got == {0: 2, 1: 0, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+def test_domain_split_is_domain_disjoint(spark):
+    """Splitting on the registrable domain: every domain lands in
+    exactly ONE split (the leakage-safety invariant), and the split is
+    a pure function of the domain — re-keying by doc would break both."""
+    from pyspark.sql import functions as F
+
+    from stock_crawler_spark.operators.training import split_by_hash
+
+    rows = [(i, f"site{i % 9}.com") for i in range(90)]
+    d = spark.createDataFrame(rows, "doc_id long, dom string")
+    out = split_by_hash(
+        d, {"train": 0.8, "val": 0.1, "test": 0.1}, id_col="dom", salt="s"
+    )
+    per_dom = (
+        out.groupBy("dom")
+        .agg(F.countDistinct("split").alias("ns"))
+        .collect()
+    )
+    assert all(r["ns"] == 1 for r in per_dom)
+    # and all three splits are reachable over many domains
+    many = spark.createDataFrame(
+        [(i, f"d{i}.org") for i in range(300)], "doc_id long, dom string"
+    )
+    splits = {
+        r["split"]
+        for r in split_by_hash(
+            many, {"train": 0.8, "val": 0.1, "test": 0.1}, id_col="dom", salt="s"
+        ).select("split").distinct().collect()
+    }
+    assert splits == {"train", "val", "test"}
