@@ -2841,6 +2841,30 @@ def q146_domain_split(spark, sf):
     )
 
 
+BM25F_WEIGHTS = {"body": 1.0, "title": 2.0}
+
+
+def q147_bm25f(spark, sf):
+    """Multi-field BM25F retrieval (functions/text.bm25f_scores;
+    Robertson & Zaragoza 2009): title (first 5 tokens, weight 2) +
+    body (weight 1), per-field length normalization, idf over any-
+    field matches. Same scale shape as q42 — map-side token partials,
+    broadcast stats — with field-ordered then term-ordered folds so
+    scores replay bit-exactly."""
+    docs = _t(spark, sf, "documents")
+    tk = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+        lambda t: t != F.lit(""),
+    )
+    title = F.array_join(F.slice(tk, 1, 5), " ")
+    fields = docs.select(
+        "doc_id", F.lit("body").alias("field"), F.col("text")
+    ).unionByName(
+        docs.select("doc_id", F.lit("title").alias("field"), title.alias("text"))
+    )
+    return T.bm25f_scores(fields, BM25_QUERY, BM25F_WEIGHTS)
+
+
 def q145_datacard(spark, sf):
     """Per-language corpus datasheet (operators/profile.corpus_datacard;
     Gebru et al. 2021): docs/tokens/mean-length volume, exact-dup rate,
@@ -3146,6 +3170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q144_jl_project": q144_jl_project,
         "q145_datacard": q145_datacard,
         "q146_domain_split": q146_domain_split,
+        "q147_bm25f": q147_bm25f,
     }
 
 
@@ -5672,6 +5697,49 @@ SELECT query_id, cand_id, round(score, 6) AS score_r, rank FROM (
       AS rank
   FROM sc
 ) WHERE rank <= 5
+""",
+        # q147: long-format fields (body = tokens, title = first 5),
+        # per-field normalized tf folded by field, idf over any-field
+        # df, term-ordered score fold — q42's literal discipline
+        "q147_bm25f": f"""
+WITH base AS (
+  SELECT doc_id, list_filter({_TOKS}, x -> x <> '') AS tk FROM documents
+), fields AS (
+  SELECT doc_id, 'body' AS field, tk AS toks FROM base
+  UNION ALL
+  SELECT doc_id, 'title' AS field, tk[1:5] AS toks FROM base
+), toks AS (
+  SELECT doc_id, field, unnest(toks) AS t FROM fields
+), flen AS (
+  SELECT doc_id, field, count(*) AS fl FROM toks GROUP BY 1, 2
+), favg AS (
+  SELECT field, avg(fl) AS avg_fl FROM flen GROUP BY 1
+), tf AS (
+  SELECT doc_id, field, t, count(*) AS tf FROM toks
+  WHERE t IN ('spark', 'join', 'window', 'shuffle') GROUP BY 1, 2, 3
+), parts AS (
+  SELECT doc_id, t, field,
+    (CASE field WHEN 'body' THEN CAST(1.0 AS DOUBLE)
+                ELSE CAST(2.0 AS DOUBLE) END)
+      * CAST(tf AS DOUBLE)
+      / (CAST(0.25 AS DOUBLE)
+         + CAST(0.75 AS DOUBLE) * CAST(fl AS DOUBLE) / avg_fl) AS part
+  FROM tf JOIN flen USING (doc_id, field) JOIN favg USING (field)
+), wtf AS (
+  SELECT doc_id, t,
+         list_aggregate(list(part ORDER BY field), 'sum') AS wtf
+  FROM parts GROUP BY 1, 2
+), dft AS (
+  SELECT t, count(*) AS df FROM wtf GROUP BY 1
+), nd AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id,
+  round(list_aggregate(list(term_part ORDER BY t), 'sum'), 6) AS bm25f,
+  count(*) AS n_terms_hit
+FROM (
+  SELECT doc_id, t,
+    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * wtf / (1.2 + wtf) AS term_part
+  FROM wtf JOIN dft USING (t) CROSS JOIN nd
+) GROUP BY 1
 """,
         # q145: one per-doc pass (tokens/chars/md5/quality/entropy),
         # exact integer aggregates + count(DISTINCT md5), det_sum folds

@@ -562,3 +562,103 @@ def phrase_match(docs, phrase: list, id_col: str = "doc_id",
         F.count(F.lit(1)).alias("n_occ"),
         F.min("anchor").cast("long").alias("first_pos"),
     )
+
+
+# --- BM25F: multi-field retrieval scoring ---------------------------------------
+
+
+def bm25f_scores(fields, query_terms, weights, k1: float = BM25_K1,
+                 b: float = BM25_B, id_col: str = "doc_id"):
+    """BM25F (Robertson & Zaragoza 2009, the simple variant): score
+    documents with FIELDS (title/body/anchor) instead of one bag —
+    the structure real web search uses, where a title or anchor hit
+    outweighs a body hit:
+
+      tf~(t,d) = sum_f w_f * tf_f / (1 - b + b * len_f/avg_len_f)
+      score(d) = sum_t idf(t) * tf~ / (k1 + tf~)
+
+    with idf = ln((N - df + .5)/(df + .5) + 1) over documents matching
+    in ANY field. ``fields`` is long format (id_col, field, text);
+    ``weights`` maps field name -> w_f (every field in the data must
+    be present).
+
+    Scale shape mirrors bm25_scores: token aggregations partial map-
+    side, per-field avg lengths and per-term df broadcast (tiny), and
+    both float reductions fold in sorted order — per-(doc, term) parts
+    by FIELD name, per-doc score by TERM — so scores replay bit-exactly
+    in SQL.
+    """
+    from pyspark.sql import functions as F
+
+    q = [t.lower() for t in query_terms]
+    if not q:
+        return fields.select(
+            F.col(id_col),
+            F.lit(0.0).alias("bm25f"),
+            F.lit(0).cast("long").alias("n_terms_hit"),
+        ).limit(0)
+    wmap = F.create_map(
+        *[x for f, w in sorted(weights.items()) for x in (F.lit(f), F.lit(float(w)))]
+    )
+    toks = fields.select(
+        F.col(id_col),
+        F.col("field"),
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("t"),
+    )
+    flen = toks.groupBy(id_col, "field").agg(F.count(F.lit(1)).alias("fl"))
+    favg = flen.groupBy("field").agg(F.avg("fl").alias("avg_fl"))
+    tf = (
+        toks.filter(F.col("t").isin(*q))
+        .groupBy(id_col, "field", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    parts = (
+        tf.join(flen, [id_col, "field"])
+        .join(F.broadcast(favg), "field")
+        .withColumn(
+            "part",
+            wmap[F.col("field")]
+            * F.col("tf").cast("double")
+            / (
+                F.lit(1.0 - b)
+                + F.lit(b) * F.col("fl").cast("double") / F.col("avg_fl")
+            ),
+        )
+    )
+    # fold per-(doc, term) parts in FIELD-name order
+    field_fold = F.aggregate(
+        F.array_sort(F.collect_list(F.struct(F.col("field"), F.col("part")))),
+        F.lit(0.0),
+        lambda acc, x: acc + x["part"],
+    )
+    wtf = parts.groupBy(id_col, "t").agg(field_fold.alias("wtf"))
+    df_t = wtf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = fields.select(id_col).distinct().agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    scored = (
+        wtf.join(F.broadcast(df_t), "t")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "idf",
+            F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
+        )
+        .withColumn(
+            "term_part",
+            F.col("idf") * F.col("wtf") / (F.lit(k1) + F.col("wtf")),
+        )
+    )
+    term_fold = F.aggregate(
+        F.array_sort(F.collect_list(F.struct(F.col("t"), F.col("term_part")))),
+        F.lit(0.0),
+        lambda acc, x: acc + x["term_part"],
+    )
+    return scored.groupBy(id_col).agg(
+        F.round(term_fold, 6).alias("bm25f"),
+        F.count(F.lit(1)).alias("n_terms_hit"),
+    )

@@ -405,3 +405,64 @@ def test_phrase_match_repeated_term_and_overlap(spark):
         for r in phrase_match(docs, ["a", "a"]).collect()
     }
     assert got2[2] == (3, 0)
+
+
+# --- BM25F -----------------------------------------------------------------------
+
+
+def _fields(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, field string, text string")
+
+
+def test_bm25f_title_hit_outweighs_body_hit(spark):
+    from stock_crawler_spark.functions.text import bm25f_scores
+
+    # doc 1 matches in title, doc 2 in body; same everything else
+    rows = [
+        (1, "title", "spark rocks"),
+        (1, "body", "filler words here nothing else"),
+        (2, "title", "other rocks"),
+        (2, "body", "filler words here spark else"),
+    ]
+    got = {
+        r["doc_id"]: r["bm25f"]
+        for r in bm25f_scores(
+            _fields(spark, rows), ["spark"], {"body": 1.0, "title": 2.0}
+        ).collect()
+    }
+    assert got[1] > got[2] > 0
+
+
+def test_bm25f_weight_sensitivity_and_nhit(spark):
+    from stock_crawler_spark.functions.text import bm25f_scores
+
+    rows = [
+        (1, "title", "spark join"),
+        (1, "body", "window data"),
+        (2, "title", "data data"),
+        (2, "body", "join join join"),
+    ]
+    f = _fields(spark, rows)
+    hi = {
+        r["doc_id"]: (r["bm25f"], r["n_terms_hit"])
+        for r in bm25f_scores(f, ["spark", "join", "window"],
+                              {"body": 1.0, "title": 5.0}).collect()
+    }
+    lo = {
+        r["doc_id"]: (r["bm25f"], r["n_terms_hit"])
+        for r in bm25f_scores(f, ["spark", "join", "window"],
+                              {"body": 1.0, "title": 0.1}).collect()
+    }
+    assert hi[1][1] == 3 and hi[2][1] == 1  # any-field term hits
+    # title-heavy weights favor doc 1 more than body-heavy weights do
+    assert hi[1][0] / hi[2][0] > lo[1][0] / lo[2][0]
+
+
+def test_bm25f_empty_query_is_empty_stable_schema(spark):
+    from stock_crawler_spark.functions.text import bm25f_scores
+
+    out = bm25f_scores(
+        _fields(spark, [(1, "body", "x")]), [], {"body": 1.0}
+    )
+    assert out.count() == 0
+    assert set(out.columns) == {"doc_id", "bm25f", "n_terms_hit"}
