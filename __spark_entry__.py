@@ -2865,6 +2865,99 @@ def q147_bm25f(spark, sf):
     return T.bm25f_scores(fields, BM25_QUERY, BM25F_WEIGHTS)
 
 
+NDCG_K = 10
+
+
+def q148_ndcg(spark, sf):
+    """Retrieval-quality evaluation: nDCG@10 (Jarvelin & Kekalainen
+    2002) of q13's cosine ranking under deterministic graded labels —
+    exact self-hit grade 3, same-cluster (embeddings.label) grade 2,
+    else 0, gains (2^rel - 1) stated as exact literals. DCG folds in
+    rank order, IDCG re-sorts gains descending (position discount only
+    depends on position); both are k-bounded per-query folds, queries
+    fan out in parallel."""
+    emb = _t(spark, sf, "embeddings")
+    head = ann.brute_force_topk(
+        emb.filter(F.col("vec_id") < 5), emb, k=NDCG_K
+    )
+    lab = emb.select("vec_id", "label")
+    j = (
+        head.join(
+            lab.select(F.col("vec_id").alias("query_id"), F.col("label").alias("ql")),
+            "query_id",
+        )
+        .join(
+            lab.select(F.col("vec_id").alias("cand_id"), F.col("label").alias("cl")),
+            "cand_id",
+        )
+        .withColumn(
+            "gain",
+            F.when(F.col("query_id") == F.col("cand_id"), F.lit(7.0))
+            .when(F.col("ql") == F.col("cl"), F.lit(3.0))
+            .otherwise(F.lit(0.0)),
+        )
+    )
+    dcg = F.aggregate(
+        F.array_sort(F.collect_list(F.struct(F.col("rank"), F.col("gain")))),
+        F.lit(0.0),
+        lambda acc, x: acc + x["gain"] / F.log2(x["rank"].cast("double") + 1.0),
+    )
+    # IDCG: gains sorted DESC, discount by 1-based position (i is
+    # 0-based in Spark's transform -> log2(i + 2))
+    idcg = F.aggregate(
+        F.transform(
+            F.reverse(F.array_sort(F.collect_list(F.col("gain")))),
+            lambda g, i: g / F.log2(i.cast("double") + 2.0),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    agg = j.groupBy("query_id").agg(dcg.alias("dcg"), idcg.alias("idcg"))
+    return agg.select(
+        "query_id",
+        F.round("dcg", 6).alias("dcg_r"),
+        F.round("idcg", 6).alias("idcg_r"),
+        F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg_r"),
+    )
+
+
+def q149_gate_agreement(spark, sf):
+    """Quality-gate agreement telemetry: confusion matrix, precision/
+    recall/F1, accuracy, and Cohen's kappa between the heuristic
+    quality gate (quality >= 0.7) and the long-doc label — the
+    comparison a pipeline runs before swapping gates. One pass, exact
+    integer confusion counts; floats only in the final ratios, every
+    literal shape mirrored in SQL."""
+    docs = _t(spark, sf, "documents")
+    g = docs.select(
+        (F.round(T.quality_score(F.col("text")), 6) >= 0.7).alias("keep"),
+        (F.length("text") >= 300).alias("label"),
+    )
+    agg = g.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("keep") & F.col("label"), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(F.col("keep") & ~F.col("label"), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(~F.col("keep") & F.col("label"), 1).otherwise(0)).alias("fn"),
+        F.sum(F.when(~F.col("keep") & ~F.col("label"), 1).otherwise(0)).alias("tn"),
+    )
+    d = lambda c: F.col(c).cast("double")
+    po = (d("tp") + d("tn")) / d("n")
+    pe = (
+        (d("tp") + d("fp")) * (d("tp") + d("fn"))
+        + (d("fn") + d("tn")) * (d("fp") + d("tn"))
+    ) / (d("n") * d("n"))
+    return agg.select(
+        "n", "tp", "fp", "fn", "tn",
+        F.round(d("tp") / (d("tp") + d("fp")), 6).alias("precision_r"),
+        F.round(d("tp") / (d("tp") + d("fn")), 6).alias("recall_r"),
+        F.round(
+            2.0 * d("tp") / (2.0 * d("tp") + d("fp") + d("fn")), 6
+        ).alias("f1_r"),
+        F.round(po, 6).alias("accuracy_r"),
+        F.round((po - pe) / (1.0 - pe), 6).alias("kappa_r"),
+    )
+
+
 def q145_datacard(spark, sf):
     """Per-language corpus datasheet (operators/profile.corpus_datacard;
     Gebru et al. 2021): docs/tokens/mean-length volume, exact-dup rate,
@@ -3171,6 +3264,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q145_datacard": q145_datacard,
         "q146_domain_split": q146_domain_split,
         "q147_bm25f": q147_bm25f,
+        "q148_ndcg": q148_ndcg,
+        "q149_gate_agreement": q149_gate_agreement,
     }
 
 
@@ -5740,6 +5835,79 @@ FROM (
     ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * wtf / (1.2 + wtf) AS term_part
   FROM wtf JOIN dft USING (t) CROSS JOIN nd
 ) GROUP BY 1
+""",
+        # q148: q13's cosine head, literal gains (7/3/0), DCG as a
+        # rank-ordered fold of per-row discounted gains, IDCG over
+        # gains sorted desc with 1-based lambda index (engine uses
+        # 0-based i -> log2(i+2); same positions)
+        "q148_ndcg": f"""
+WITH u AS (
+  {_UNIT_CORPUS}
+), q AS (SELECT vec_id AS query_id, e AS qe FROM u WHERE vec_id < 5),
+head AS (
+  SELECT query_id, cand_id, rank FROM (
+    SELECT query_id, c.vec_id AS cand_id,
+      row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY list_inner_product(qe, c.e) DESC, c.vec_id) AS rank
+    FROM q CROSS JOIN u c
+  ) WHERE rank <= {NDCG_K}
+), g AS (
+  SELECT query_id, cand_id, rank,
+    CASE WHEN query_id = cand_id THEN 7.0
+         WHEN ql.label = cl.label THEN 3.0 ELSE 0.0 END AS gain
+  FROM head
+  JOIN embeddings ql ON head.query_id = ql.vec_id
+  JOIN embeddings cl ON head.cand_id = cl.vec_id
+), agg AS (
+  SELECT query_id,
+    list_aggregate(
+      list(gain / log2(CAST(rank AS DOUBLE) + 1.0) ORDER BY rank),
+      'sum') AS dcg,
+    list_aggregate(
+      list_transform(
+        list(gain ORDER BY gain DESC),
+        (gn, i) -> gn / log2(CAST(i AS DOUBLE) + 1.0)),
+      'sum') AS idcg
+  FROM g GROUP BY 1
+)
+SELECT query_id, round(dcg, 6) AS dcg_r, round(idcg, 6) AS idcg_r,
+       round(dcg / idcg, 6) AS ndcg_r
+FROM agg
+""",
+        # q149: exact integer confusion counts; po/pe materialized so
+        # accuracy and kappa compose the same doubles as the engine
+        "q149_gate_agreement": f"""
+SELECT n, tp, fp, fn, tn,
+  round(CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE)), 6)
+    AS precision_r,
+  round(CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE)), 6)
+    AS recall_r,
+  round(CAST(2.0 AS DOUBLE) * CAST(tp AS DOUBLE)
+        / (CAST(2.0 AS DOUBLE) * CAST(tp AS DOUBLE)
+           + CAST(fp AS DOUBLE) + CAST(fn AS DOUBLE)), 6) AS f1_r,
+  round(po, 6) AS accuracy_r,
+  round((po - pe) / (CAST(1.0 AS DOUBLE) - pe), 6) AS kappa_r
+FROM (
+  SELECT n, tp, fp, fn, tn,
+    (CAST(tp AS DOUBLE) + CAST(tn AS DOUBLE)) / CAST(n AS DOUBLE) AS po,
+    ((CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE))
+       * (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE))
+     + (CAST(fn AS DOUBLE) + CAST(tn AS DOUBLE))
+       * (CAST(fp AS DOUBLE) + CAST(tn AS DOUBLE)))
+    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe
+  FROM (
+    SELECT count(*) AS n,
+      count(*) FILTER (WHERE keep AND label) AS tp,
+      count(*) FILTER (WHERE keep AND NOT label) AS fp,
+      count(*) FILTER (WHERE NOT keep AND label) AS fn,
+      count(*) FILTER (WHERE NOT keep AND NOT label) AS tn
+    FROM (
+      SELECT (quality >= 0.7) AS keep, (length(text) >= 300) AS label
+      FROM ({_QUALITY_SQL}) qq JOIN documents USING (doc_id)
+    )
+  )
+)
 """,
         # q145: one per-doc pass (tokens/chars/md5/quality/entropy),
         # exact integer aggregates + count(DISTINCT md5), det_sum folds
