@@ -2865,6 +2865,26 @@ def q147_bm25f(spark, sf):
     return T.bm25f_scores(fields, BM25_QUERY, BM25F_WEIGHTS)
 
 
+def q150_normalize(spark, sf):
+    """Canonical text fold (functions/text.normalize_text): documents
+    are deterministically dirtied — accented vowels via translate, an
+    uppercase accented prefix, a tab + accented suffix — then folded
+    back to lowercase/accent-free/single-spaced form. Pure JVM string
+    chain with exact DuckDB twins; normalized dedup keys must hash
+    identically on any engine."""
+    docs = _t(spark, sf, "documents")
+    dirty = F.concat(
+        F.lit("ÀCCENT  "),
+        F.translate(F.col("text"), "ea", "éà"),
+        F.lit("\t öf"),
+    )
+    return docs.select(
+        "doc_id",
+        T.normalize_text(dirty).alias("norm"),
+        F.md5(T.normalize_text(dirty)).alias("norm_md5"),
+    )
+
+
 NDCG_K = 10
 
 
@@ -3266,6 +3286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q147_bm25f": q147_bm25f,
         "q148_ndcg": q148_ndcg,
         "q149_gate_agreement": q149_gate_agreement,
+        "q150_normalize": q150_normalize,
     }
 
 
@@ -5835,6 +5856,21 @@ FROM (
     ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * wtf / (1.2 + wtf) AS term_part
   FROM wtf JOIN dft USING (t) CROSS JOIN nd
 ) GROUP BY 1
+""",
+        # q150: identical dirtying + fold chain; DuckDB regexp_replace
+        # needs the 'g' flag (Spark's is global by default)
+        "q150_normalize": f"""
+SELECT doc_id, norm, md5(norm) AS norm_md5 FROM (
+  SELECT doc_id,
+    trim(regexp_replace(
+      regexp_replace(
+        translate(lower('ÀCCENT  ' || translate(text, 'ea', 'éà')
+                        || chr(9) || ' öf'),
+                  '{T.ACCENT_SRC}', '{T.ACCENT_DST}'),
+        '[\\x00-\\x1f]', ' ', 'g'),
+      '\\s+', ' ', 'g')) AS norm
+  FROM documents
+)
 """,
         # q148: q13's cosine head, literal gains (7/3/0), DCG as a
         # rank-ordered fold of per-row discounted gains, IDCG over

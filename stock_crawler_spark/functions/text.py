@@ -662,3 +662,29 @@ def bm25f_scores(fields, query_terms, weights, k1: float = BM25_K1,
         F.round(term_fold, 6).alias("bm25f"),
         F.count(F.lit(1)).alias("n_terms_hit"),
     )
+
+
+# --- text normalization (case / accent / whitespace fold) ------------------------
+
+ACCENT_SRC = "àáâãäåèéêëìíîïòóôõöùúûüýÿçñ"
+ACCENT_DST = "aaaaaaeeeeiiiiooooouuuuyycn"
+assert len(ACCENT_SRC) == len(ACCENT_DST)  # misalignment shifts every fold after it
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical text fold for matching/dedup keys: lowercase, strip
+    Latin accents (the NFKD-then-drop-combining result for the Latin-1
+    block, as a fixed translate table — Spark has no NFKC built-in and
+    a UDF would leave codegen), control chars -> space, whitespace runs
+    collapsed, trimmed. Every step is a single JVM string function with
+    an exact DuckDB twin (translate / regexp_replace 'g'), so
+    normalized keys agree across engines — which is the point: dedup
+    and join keys derived here must hash identically everywhere.
+
+    BMP-only by construction (the table is Latin-1; other scripts pass
+    through untouched), matching the engine-wide BMP contract
+    (char_entropy's note)."""
+    t = F.lower(text)
+    t = F.translate(t, ACCENT_SRC, ACCENT_DST)
+    t = F.regexp_replace(t, r"[\x00-\x1f]", " ")
+    return F.trim(F.regexp_replace(t, r"\s+", " "))

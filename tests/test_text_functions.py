@@ -466,3 +466,47 @@ def test_bm25f_empty_query_is_empty_stable_schema(spark):
     )
     assert out.count() == 0
     assert set(out.columns) == {"doc_id", "bm25f", "n_terms_hit"}
+
+
+# --- normalize_text --------------------------------------------------------------
+
+
+def test_normalize_text_folds(spark):
+    from stock_crawler_spark.functions.text import normalize_text
+
+    rows = [
+        (1, "Héllo   Wörld"),          # case + accents + runs
+        (2, "ÀÉÎÕÜ çñ"),               # uppercase accents via lower-first
+        (3, "tab\there\nand\rthere"),  # control chars -> space
+        (4, "  already clean  "),
+        (5, "日本語 テスト"),            # non-Latin passes through
+    ]
+    got = {
+        r["doc_id"]: r["n"]
+        for r in spark.createDataFrame(rows, "doc_id long, text string")
+        .select("doc_id", normalize_text(F.col("text")).alias("n"))
+        .collect()
+    }
+    assert got[1] == "hello world"
+    assert got[2] == "aeiou cn"
+    assert got[3] == "tab here and there"
+    assert got[4] == "already clean"
+    assert got[5] == "日本語 テスト"
+
+
+def test_normalize_text_idempotent_and_key_stable(spark):
+    from stock_crawler_spark.functions.text import normalize_text
+
+    df = spark.createDataFrame(
+        [(1, "CAFÉ  du   Monde"), (2, "cafe du monde")],
+        "doc_id long, text string",
+    ).select("doc_id", normalize_text(F.col("text")).alias("n"))
+    vals = {r["doc_id"]: r["n"] for r in df.collect()}
+    # both variants fold to the same dedup key
+    assert vals[1] == vals[2] == "cafe du monde"
+    # idempotent: normalizing a normalized string is a no-op
+    again = (
+        df.select("doc_id", normalize_text(F.col("n")).alias("n2"))
+        .collect()
+    )
+    assert all(r["n2"] == vals[r["doc_id"]] for r in again)
