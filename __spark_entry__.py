@@ -2865,6 +2865,20 @@ def q147_bm25f(spark, sf):
     return T.bm25f_scores(fields, BM25_QUERY, BM25F_WEIGHTS)
 
 
+C4_BADWORDS = ["slow", "junk", "viagra"]
+
+
+def q151_badwords(spark, sf):
+    """C4's bad-words page rule (operators/c4.badword_filter; Raffel et
+    al. 2020 §2.2 — any banned token vetoes the page), closing the rule
+    this engine's C4 module had deferred. Token-exact matches against
+    an array literal ('slow' exists in the corpus, 'viagra' doesn't —
+    both paths exercised); pure Column, zero shuffles."""
+    from stock_crawler_spark.operators.c4 import badword_filter
+
+    return badword_filter(_t(spark, sf, "documents"), C4_BADWORDS)
+
+
 def q150_normalize(spark, sf):
     """Canonical text fold (functions/text.normalize_text): documents
     are deterministically dirtied — accented vowels via translate, an
@@ -3287,6 +3301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q148_ndcg": q148_ndcg,
         "q149_gate_agreement": q149_gate_agreement,
         "q150_normalize": q150_normalize,
+        "q151_badwords": q151_badwords,
     }
 
 
@@ -5856,6 +5871,20 @@ FROM (
     ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * wtf / (1.2 + wtf) AS term_part
   FROM wtf JOIN dft USING (t) CROSS JOIN nd
 ) GROUP BY 1
+""",
+        # q151: token-exact banned-list matches, any-hit veto
+        "q151_badwords": f"""
+SELECT doc_id,
+  len(tk) AS n_tokens,
+  len(list_filter(tk, x -> list_contains(['slow', 'junk', 'viagra'], x)))
+    AS n_bad,
+  round(CASE WHEN len(tk) > 0 THEN
+    CAST(len(list_filter(tk, x -> list_contains(['slow', 'junk', 'viagra'], x)))
+         AS DOUBLE) / CAST(len(tk) AS DOUBLE)
+  ELSE 0.0 END, 6) AS bad_frac_r,
+  len(list_filter(tk, x -> list_contains(['slow', 'junk', 'viagra'], x))) = 0
+    AS keep
+FROM (SELECT doc_id, list_filter({_TOKS}, x -> x <> '') AS tk FROM documents)
 """,
         # q150: identical dirtying + fold chain; DuckDB regexp_replace
         # needs the 'g' flag (Spark's is global by default)

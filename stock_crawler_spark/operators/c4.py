@@ -15,9 +15,9 @@ Divergences from the paper, on purpose:
   * sentence boundaries are approximated as terminal-punctuation runs
     (`[.!?]+`) instead of a learned sentence tokenizer — pure Column
     expressions with an exact ANSI-SQL twin, no Python in the hot path;
-  * the paper's bad-words page filter is omitted: it is a list lookup
-    with no new plan shape (identical to the "lorem ipsum" containment
-    rule, swap the literal for an `exists(badwords)` over tokens).
+  * the paper's bad-words page filter ships as its own operator
+    (`badword_filter` below) rather than folded into c4_clean, so
+    callers can apply a fraction threshold instead of the any-hit veto.
 
 Scale notes (10^10 pages):
   * c4_clean is per-row Column algebra — narrow, whole-stage codegen,
@@ -174,4 +174,36 @@ def span_dedup(
             ),
             F.coalesce(F.col("dedup_text"), F.lit("")).alias("dedup_text"),
         )
+    )
+
+
+def badword_filter(docs: DataFrame, badwords: list,
+                   id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """The C4 'bad words' page rule this module's docstring previously
+    deferred (Raffel et al. 2020 §2.2 drop any page containing a word
+    from the banned list): token-exact matches against a small list.
+    Pure Column chain — the list rides as an array literal (real
+    deployments use the ~400-word LDNOOBW list; still literal-sized).
+    Returns every page with (n_tokens, n_bad, bad_frac_r, keep) so
+    callers can route drops or apply a fraction threshold instead of
+    C4's any-hit veto."""
+    bad = F.array(*[F.lit(w.lower()) for w in badwords])
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        lambda t: t != F.lit(""),
+    )
+    n_tok = F.size(toks)
+    n_bad = F.size(F.filter(toks, lambda t: F.array_contains(bad, t)))
+    return docs.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        n_bad.alias("n_bad"),
+        F.round(
+            F.when(
+                n_tok > 0,
+                n_bad.cast("double") / n_tok.cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("bad_frac_r"),
+        (n_bad == 0).alias("keep"),
     )

@@ -110,3 +110,27 @@ def test_span_dedup_overlapping_spans_union_removal(spark):
     }
     assert got[1]["n_removed"] == 0
     assert got[2]["n_removed"] == 4 and got[2]["dedup_text"] == "other tail."
+
+
+def test_badword_filter(spark):
+    from stock_crawler_spark.operators.c4 import badword_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "clean text entirely fine"),
+            (2, "this is JUNK text"),        # case-folded hit
+            (3, "junk junk junk ok"),        # fraction 3/4
+            (4, "   "),                      # blank: 0 tokens, keep
+            (5, "junkyard is fine"),         # token-exact: no substring hit
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_bad"], r["bad_frac_r"], r["keep"])
+        for r in badword_filter(docs, ["junk", "spamword"]).collect()
+    }
+    assert got[1] == (4, 0, 0.0, True)
+    assert got[2] == (4, 1, 0.25, False)
+    assert got[3] == (4, 3, 0.75, False)
+    assert got[4] == (0, 0, 0.0, True)
+    assert got[5] == (3, 0, 0.0, True)
