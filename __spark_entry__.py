@@ -2865,6 +2865,93 @@ def q147_bm25f(spark, sf):
     return T.bm25f_scores(fields, BM25_QUERY, BM25F_WEIGHTS)
 
 
+KEYWORDS_K = 3
+
+
+def q152_keywords(spark, sf):
+    """Per-document keyword extraction: top-3 terms by tf-idf (raw tf
+    x ln(N/df) — the classic Salton weighting), ties by term asc. One
+    corpus tokenize + one (doc, term) groupBy; df is a term-level
+    aggregate joined back (web-scale vocab is NOT broadcastable — hash
+    join, q118's precedent); ranking is a per-doc window bounded by the
+    doc's distinct terms, never corpus-wide."""
+    docs = _t(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("t"),
+    )
+    tf = toks.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_t, "t")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf").cast("double")
+            * F.round(
+                F.log(
+                    F.col("n_docs").cast("double") / F.col("df").cast("double")
+                ),
+                12,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("t")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KEYWORDS_K)
+        .select("doc_id", "rank", "t", F.round("tfidf", 6).alias("tfidf_r"))
+    )
+
+
+VOCAB_K = 20
+
+
+def q153_oov_rate(spark, sf):
+    """Vocabulary truncation + OOV telemetry: build the top-20 corpus
+    vocabulary (freq desc, term asc — Spark's parallel TakeOrdered, no
+    global sort), then measure every document's out-of-vocabulary token
+    rate — the curve a tokenizer/vocab-size decision is made from. The
+    vocab is broadcast (K rows by construction); per-doc counting is
+    one left join + one groupBy."""
+    docs = _t(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("t"),
+    )
+    vocab = (
+        toks.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("t"))
+        .limit(VOCAB_K)
+        .select("t", F.lit(1).alias("in_v"))
+    )
+    j = toks.join(F.broadcast(vocab), "t", "left")
+    agg = j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.sum(F.when(F.col("in_v").isNull(), 1).otherwise(0)).alias("n_oov"),
+    )
+    return agg.select(
+        "doc_id", "n_tok", "n_oov",
+        F.round(
+            F.col("n_oov").cast("double") / F.col("n_tok").cast("double"), 6
+        ).alias("oov_r"),
+    )
+
+
 C4_BADWORDS = ["slow", "junk", "viagra"]
 
 
@@ -3302,6 +3389,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q149_gate_agreement": q149_gate_agreement,
         "q150_normalize": q150_normalize,
         "q151_badwords": q151_badwords,
+        "q152_keywords": q152_keywords,
+        "q153_oov_rate": q153_oov_rate,
     }
 
 
@@ -5871,6 +5960,47 @@ FROM (
     ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * wtf / (1.2 + wtf) AS term_part
   FROM wtf JOIN dft USING (t) CROSS JOIN nd
 ) GROUP BY 1
+""",
+        # q153: top-K vocab (freq desc, term asc), per-doc OOV join
+        "q153_oov_rate": f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter({_TOKS}, x -> x <> '')) AS t
+  FROM documents
+), vocab AS (
+  SELECT t FROM (
+    SELECT t, count(*) AS c FROM toks GROUP BY 1
+    ORDER BY c DESC, t LIMIT {VOCAB_K}
+  )
+), j AS (
+  SELECT doc_id, CASE WHEN v.t IS NULL THEN 1 ELSE 0 END AS oov
+  FROM toks LEFT JOIN vocab v USING (t)
+)
+SELECT doc_id, count(*) AS n_tok, CAST(sum(oov) AS BIGINT) AS n_oov,
+  round(CAST(sum(oov) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS oov_r
+FROM j GROUP BY 1
+""",
+        # q152: tf * round-12 ln(N/df) (the engine-wide ln discipline —
+        # the product feeds an ORDER BY), per-doc rank window
+        "q152_keywords": f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter({_TOKS}, x -> x <> '')) AS t
+  FROM documents
+), tf AS (
+  SELECT doc_id, t, count(*) AS tf FROM toks GROUP BY 1, 2
+), dft AS (
+  SELECT t, count(*) AS df FROM tf GROUP BY 1
+), nd AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, t,
+    CAST(tf AS DOUBLE)
+      * round(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 12) AS tfidf
+  FROM tf JOIN dft USING (t) CROSS JOIN nd
+)
+SELECT doc_id, rank, t, round(tfidf, 6) AS tfidf_r FROM (
+  SELECT doc_id, t, tfidf,
+    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, t) AS rank
+  FROM scored
+) WHERE rank <= {KEYWORDS_K}
 """,
         # q151: token-exact banned-list matches, any-hit veto
         "q151_badwords": f"""
