@@ -2912,6 +2912,22 @@ def q152_keywords(spark, sf):
     )
 
 
+LPA_ITERS = 3
+
+
+def q154_label_propagation(spark, sf):
+    """Community detection via deterministic synchronous label
+    propagation (operators/graph.label_propagation; Raghavan et al.
+    2007) over the harvested host graph — splits a connected web into
+    densely-linked clusters where connected components would merge
+    everything. Each sweep is one hash join + two groupBys (the
+    pagerank shape); ties break by smallest label so sweeps replay
+    exactly; oracle unrolls the same 3 sweeps."""
+    from stock_crawler_spark.operators.graph import label_propagation
+
+    return label_propagation(_q50_edges(spark, sf), n_iter=LPA_ITERS)
+
+
 VOCAB_K = 20
 
 
@@ -3391,6 +3407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q151_badwords": q151_badwords,
         "q152_keywords": q152_keywords,
         "q153_oov_rate": q153_oov_rate,
+        "q154_label_propagation": q154_label_propagation,
     }
 
 
@@ -4565,6 +4582,44 @@ def _entropy_case(arr: str) -> str:
          * ln(CAST(len(list_filter({arr}, c -> c = d)) AS DOUBLE)
             / CAST(len({arr}) AS DOUBLE))), 'sum')
   ELSE 0.0 END"""
+
+
+def _lpa_oracle(n_iter: int = 3) -> str:
+    """Replays q154: q50's arithmetic edge derivation, symmetrize +
+    dedup, then each sweep's mode-vote with the (count desc, label asc)
+    tie-break as a row_number pick — all integer/string exact."""
+    sql = f"""
+WITH ks AS (
+  SELECT doc_id, unnest([1, 2, 3]) AS k FROM documents
+), e0 AS (
+  SELECT 'h' || CAST(doc_id % {GRAPH_HOSTS} AS VARCHAR) || '.com' AS a,
+         'h' || CAST((doc_id * 7 + k) % {GRAPH_HOSTS} AS VARCHAR) || '.com' AS b
+  FROM ks
+), e AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0
+  ) WHERE a <> b
+), nodes AS (SELECT DISTINCT a AS node FROM e),
+l0 AS (SELECT node, node AS lbl FROM nodes)"""
+    for i in range(1, n_iter + 1):
+        p = i - 1
+        sql += f""",
+v{i} AS (
+  SELECT e.a, l.lbl AS nl, count(*) AS c
+  FROM e JOIN l{p} l ON e.b = l.node GROUP BY 1, 2
+), p{i} AS (
+  SELECT a AS node, nl AS lbl FROM (
+    SELECT a, nl, row_number() OVER (PARTITION BY a ORDER BY c DESC, nl) AS rn
+    FROM v{i}
+  ) WHERE rn = 1
+), l{i} AS (
+  SELECT n.node, coalesce(p.lbl, n.node) AS lbl
+  FROM nodes n LEFT JOIN p{i} p ON n.node = p.node
+)"""
+    sql += f"""
+SELECT node, lbl AS community FROM l{n_iter}
+"""
+    return sql
 
 
 def _domain_split_oracle() -> str:
@@ -6727,6 +6782,7 @@ FROM cum
         "q139_mmr_rerank": _mmr_oracle(MMR_STEPS, RRF_TOPK),
         "q144_jl_project": _jl_oracle(JL_R, 64),
         "q146_domain_split": _domain_split_oracle(),
+        "q154_label_propagation": _lpa_oracle(LPA_ITERS),
         "q94_epoch_shuffle": _SHUFFLE_ORACLE,
         "q95_exact_substr": _exact_substr_oracle(),
         "q96_meta_robots": """

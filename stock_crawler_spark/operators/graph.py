@@ -605,3 +605,68 @@ def opic(
     if truncate_lineage:
         e.unpersist()
     return out
+
+
+# --- label propagation communities ----------------------------------------------
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_iter: int = 3,
+    src: str = "src_dom",
+    dst: str = "dst_dom",
+    truncate_lineage: bool = True,
+) -> DataFrame:
+    """Synchronous label-propagation communities (Raghavan, Albert &
+    Kumara 2007) over the host link graph — the community detector one
+    tier up from connected_components: CC merges anything touching,
+    LPA splits a connected web into densely-linked clusters (site
+    families, link farms) because each node adopts the MOST FREQUENT
+    neighbor label, not the minimum.
+
+    Made deterministic (the paper's weakness is tie randomness): labels
+    init to the node id, edges are symmetrized + deduplicated, and the
+    per-sweep argmax breaks ties by smallest label via min(struct(-c,
+    lbl)) — a total order, so every engine replays identical sweeps.
+
+    Scale shape: each sweep is one hash join (labels onto edge dsts) +
+    two groupBys — the pagerank iteration shape; lineage is
+    localCheckpoint-truncated per sweep so the plan stays O(1) in
+    n_iter. Synchronous updates can oscillate on bipartite-ish graphs;
+    n_iter is a fixed small budget (the standard batch-LPA practice),
+    not a convergence loop.
+
+    Returns (node, community).
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    nodes = sym.select(F.col("a").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("lbl"))
+    for _ in range(n_iter):
+        votes = (
+            sym.join(
+                labels.select(F.col("node").alias("b"), F.col("lbl").alias("nl")),
+                "b",
+            )
+            .groupBy("a", "nl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        picked = (
+            votes.groupBy("a")
+            .agg(
+                F.min(
+                    F.struct((-F.col("c")).alias("nc"), F.col("nl").alias("l"))
+                ).alias("m")
+            )
+            .select(F.col("a").alias("node"), F.col("m.l").alias("lbl"))
+        )
+        labels = nodes.join(picked, "node", "left").select(
+            "node", F.coalesce(F.col("lbl"), F.col("node")).alias("lbl")
+        )
+        if truncate_lineage:
+            labels = labels.localCheckpoint(eager=False)
+    return labels.select("node", F.col("lbl").alias("community"))

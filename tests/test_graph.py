@@ -404,3 +404,48 @@ def test_trustrank_partition_invariant_bit_exact(spark):
         trustrank(_edges(spark, pairs).repartition(13), sd).collect()
     )
     assert a == b
+
+
+# --- label propagation ------------------------------------------------------------
+
+
+def _lpa(spark, edges, n_iter=3):
+    from stock_crawler_spark.operators.graph import label_propagation
+
+    e = spark.createDataFrame(edges, "src_dom string, dst_dom string")
+    return {
+        r["node"]: r["community"]
+        for r in label_propagation(e, n_iter=n_iter).collect()
+    }
+
+
+def test_lpa_two_cliques_with_bridge(spark):
+    # two 4-cliques joined by one bridge edge: LPA keeps them separate
+    # communities (CC would merge them into one component)
+    clique = lambda ns: [(a, b) for a in ns for b in ns if a < b]
+    a = [f"a{i}" for i in range(4)]
+    b = [f"b{i}" for i in range(4)]
+    got = _lpa(spark, clique(a) + clique(b) + [("a0", "b0")], n_iter=4)
+    assert len({got[x] for x in a}) == 1
+    assert len({got[x] for x in b}) == 1
+    assert got["a1"] != got["b1"]
+
+
+def test_lpa_deterministic_and_partition_invariant(spark):
+    from stock_crawler_spark.operators.graph import label_propagation
+
+    edges = [(f"h{i}", f"h{(i * 3 + 1) % 17}") for i in range(40)]
+    e = spark.createDataFrame(edges, "src_dom string, dst_dom string")
+    a = sorted(map(tuple, label_propagation(e, n_iter=3).collect()))
+    b = sorted(
+        map(tuple, label_propagation(e.repartition(13), n_iter=3).collect())
+    )
+    assert a == b and len(a) > 0
+
+
+def test_lpa_star_adopts_hub_label(spark):
+    # leaves see only the hub; after one sweep every leaf holds 'hub';
+    # the hub's mode over leaves tie-breaks to the smallest leaf label
+    got = _lpa(spark, [("hub", f"leaf{i}") for i in range(5)], n_iter=1)
+    assert all(got[f"leaf{i}"] == "hub" for i in range(5))
+    assert got["hub"] == "leaf0"
