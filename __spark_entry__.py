@@ -2912,6 +2912,51 @@ def q152_keywords(spark, sf):
     )
 
 
+SNAKE_SHARDS = 8
+
+
+def q155_snake_pack(spark, sf):
+    """Balanced shard assignment for skewed per-host loads: hosts
+    ranked by token weight desc (ties host asc) are dealt to shards in
+    a SNAKE pattern (0..N-1, N-1..0, ...) — the deterministic
+    one-window cousin of LPT greedy packing that bounds shard imbalance
+    without any sequential state, composing with rendezvous hashing
+    (stability) as the BALANCE-aware planner. Output: per-shard host
+    count, exact token load, and the load share — the table a
+    partition planner reads before a co-located join."""
+    docs = _t(spark, sf, "documents")
+    host = F.concat(F.lit("h"), (F.col("doc_id") % GRAPH_HOSTS).cast("string"))
+    toks = docs.select(
+        host.alias("host"),
+        F.size(
+            F.filter(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("n_tok"),
+    )
+    loads = toks.groupBy("host").agg(F.sum("n_tok").alias("w"))
+    # single-partition window is gate-scale only (120 hosts); at 10^8
+    # hosts the rank comes from the distributed global-index pattern
+    # (operators/training._pinned_range_parts, as skew_profile does)
+    w = Window.orderBy(F.desc("w"), F.asc("host"))
+    ranked = loads.withColumn("i", F.row_number().over(w) - 1)
+    n = SNAKE_SHARDS
+    cycle = F.col("i") % (2 * n)
+    shard = F.when(cycle < n, cycle).otherwise(2 * n - 1 - cycle)
+    assigned = ranked.withColumn("shard", shard.cast("int"))
+    per = assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_hosts"), F.sum("w").alias("load")
+    )
+    tot = per.agg(F.sum("load").alias("total"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "shard", "n_hosts", "load",
+        F.round(
+            F.col("load").cast("double") / F.col("total").cast("double"), 6
+        ).alias("share_r"),
+    )
+
+
 LPA_ITERS = 3
 
 
@@ -3408,6 +3453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q152_keywords": q152_keywords,
         "q153_oov_rate": q153_oov_rate,
         "q154_label_propagation": q154_label_propagation,
+        "q155_snake_pack": q155_snake_pack,
     }
 
 
@@ -6015,6 +6061,31 @@ FROM (
     ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * wtf / (1.2 + wtf) AS term_part
   FROM wtf JOIN dft USING (t) CROSS JOIN nd
 ) GROUP BY 1
+""",
+        # q155: rank by load desc, snake-deal to shards, exact loads
+        "q155_snake_pack": f"""
+WITH toks AS (
+  SELECT 'h' || CAST(doc_id % {GRAPH_HOSTS} AS VARCHAR) AS host,
+         len(list_filter({_TOKS}, x -> x <> '')) AS n_tok
+  FROM documents
+), loads AS (
+  SELECT host, CAST(sum(n_tok) AS BIGINT) AS w FROM toks GROUP BY 1
+), ranked AS (
+  SELECT host, w, row_number() OVER (ORDER BY w DESC, host) - 1 AS i
+  FROM loads
+), a AS (
+  SELECT host, w,
+    CASE WHEN i % {2 * SNAKE_SHARDS} < {SNAKE_SHARDS}
+         THEN i % {2 * SNAKE_SHARDS}
+         ELSE {2 * SNAKE_SHARDS - 1} - (i % {2 * SNAKE_SHARDS}) END AS shard
+  FROM ranked
+), per AS (
+  SELECT shard, count(*) AS n_hosts, CAST(sum(w) AS BIGINT) AS load
+  FROM a GROUP BY 1
+), tot AS (SELECT CAST(sum(load) AS BIGINT) AS total FROM per)
+SELECT shard, n_hosts, load,
+  round(CAST(load AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share_r
+FROM per CROSS JOIN tot
 """,
         # q153: top-K vocab (freq desc, term asc), per-doc OOV join
         "q153_oov_rate": f"""
