@@ -2912,6 +2912,39 @@ def q152_keywords(spark, sf):
     )
 
 
+def q156_ivf_recall(spark, sf):
+    """ANN self-evaluation: recall@5 of the IVF tier (q26's exact
+    configuration) against brute force, per query — the measurement
+    that justifies nprobe/n_cells choices before trusting the
+    approximate tier at scale. One inner join on (query, cand) between
+    the two bounded heads; recall = hits/k exactly."""
+    emb = _t(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    bf = ann.brute_force_topk(q, emb, k=5).select("query_id", "cand_id")
+    ivf = ann.ivf_topk(q, emb, k=5, n_cells=NEARDUP_CELLS, nprobe=4).select(
+        "query_id", F.col("cand_id").alias("ic")
+    )
+    hits = bf.join(
+        ivf,
+        (bf["query_id"] == ivf["query_id"]) & (bf["cand_id"] == ivf["ic"]),
+        "left_semi",
+    )
+    agg = bf.groupBy("query_id").agg(F.count(F.lit(1)).alias("k")).join(
+        hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits")),
+        "query_id",
+        "left",
+    )
+    return agg.select(
+        "query_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+        F.round(
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+            / F.col("k").cast("double"),
+            6,
+        ).alias("recall_r"),
+    )
+
+
 SNAKE_SHARDS = 8
 
 
@@ -3454,6 +3487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q153_oov_rate": q153_oov_rate,
         "q154_label_propagation": q154_label_propagation,
         "q155_snake_pack": q155_snake_pack,
+        "q156_ivf_recall": q156_ivf_recall,
     }
 
 
@@ -6061,6 +6095,34 @@ FROM (
     ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * wtf / (1.2 + wtf) AS term_part
   FROM wtf JOIN dft USING (t) CROSS JOIN nd
 ) GROUP BY 1
+""",
+        # q156: both heads replayed (q13's brute CTE at k=5, q26's IVF
+        # statement nested), hits via inner join, recall = hits/k
+        "q156_ivf_recall": f"""
+WITH u AS (
+  {_UNIT_CORPUS}
+), q AS (SELECT vec_id AS query_id, e AS qe FROM u WHERE vec_id < 10),
+bf AS (
+  SELECT query_id, cand_id FROM (
+    SELECT query_id, c.vec_id AS cand_id,
+      row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY list_inner_product(qe, c.e) DESC, c.vec_id) AS rank
+    FROM q CROSS JOIN u c
+  ) WHERE rank <= 5
+), ivf AS (
+  SELECT query_id, cand_id FROM ( {_IVF_TOPK_SQL} )
+), hits AS (
+  SELECT bf.query_id, count(*) AS n_hits
+  FROM bf JOIN ivf ON bf.query_id = ivf.query_id AND bf.cand_id = ivf.cand_id
+  GROUP BY 1
+), ks AS (
+  SELECT query_id, count(*) AS k FROM bf GROUP BY 1
+)
+SELECT ks.query_id,
+  CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+  round(CAST(coalesce(n_hits, 0) AS DOUBLE) / CAST(k AS DOUBLE), 6) AS recall_r
+FROM ks LEFT JOIN hits ON ks.query_id = hits.query_id
 """,
         # q155: rank by load desc, snake-deal to shards, exact loads
         "q155_snake_pack": f"""
