@@ -2912,6 +2912,53 @@ def q152_keywords(spark, sf):
     )
 
 
+def q157_dedup_eval(spark, sf):
+    """Dedup-detector evaluation against PLANTED ground truth: every
+    5th document gets a clone with every 7th token dropped (a ~14%
+    mutation — inside 3-gram Jaccard 0.3's catch range but far from
+    exact-hash reach); the q10 detector runs on the augmented corpus
+    and is scored as precision/recall/F1 over the planted pairs. The
+    eval harness a pipeline runs BEFORE trusting a dedup threshold —
+    q156's twin for the dedup family."""
+    docs = _t(spark, sf, "documents")
+    tk = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+        lambda t: t != F.lit(""),
+    )
+    clone_text = F.array_join(
+        F.filter(tk, lambda t, i: (i + 1) % 7 != 0), " "
+    )
+    clones = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        clone_text.alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(clones)
+    det = dedup.ngram_jaccard_pairs(corpus, threshold=0.3).select(
+        "doc_a", "doc_b"
+    )
+    truth = docs.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") + 1000000).alias("doc_b"),
+    )
+    n_det = det.agg(F.count(F.lit(1)).alias("n_det"))
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_tp = det.join(truth, ["doc_a", "doc_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("tp")
+    )
+    j = n_det.crossJoin(n_truth).crossJoin(n_tp)
+    d = lambda c: F.col(c).cast("double")
+    return j.select(
+        "n_truth", "n_det", "tp",
+        (F.col("n_det") - F.col("tp")).alias("fp"),
+        (F.col("n_truth") - F.col("tp")).alias("fn"),
+        F.round(d("tp") / d("n_det"), 6).alias("precision_r"),
+        F.round(d("tp") / d("n_truth"), 6).alias("recall_r"),
+        F.round(
+            2.0 * d("tp") / (d("n_det") + d("n_truth")), 6
+        ).alias("f1_r"),
+    )
+
+
 def q156_ivf_recall(spark, sf):
     """ANN self-evaluation: recall@5 of the IVF tier (q26's exact
     configuration) against brute force, per query — the measurement
@@ -3488,6 +3535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q154_label_propagation": q154_label_propagation,
         "q155_snake_pack": q155_snake_pack,
         "q156_ivf_recall": q156_ivf_recall,
+        "q157_dedup_eval": q157_dedup_eval,
     }
 
 
@@ -6095,6 +6143,51 @@ FROM (
     ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * wtf / (1.2 + wtf) AS term_part
   FROM wtf JOIN dft USING (t) CROSS JOIN nd
 ) GROUP BY 1
+""",
+        # q157: augmented corpus (clones drop every 7th token), q10's
+        # shingle-jaccard detector replayed over it, planted-pair PRF1
+        "q157_dedup_eval": f"""
+WITH base AS (
+  SELECT doc_id, list_filter({_TOKS}, x -> x <> '') AS t FROM documents
+), corpus AS (
+  SELECT doc_id, t FROM base
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         list_filter(t, (x, i) -> i % 7 <> 0) AS t
+  FROM base WHERE doc_id % 5 = 0
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    generate_series(1, greatest(len(t) - 2, 0)),
+    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+  FROM corpus
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), det AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.3
+), truth AS (
+  SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b
+  FROM documents WHERE doc_id % 5 = 0
+), counts AS (
+  SELECT
+    (SELECT count(*) FROM truth) AS n_truth,
+    (SELECT count(*) FROM det) AS n_det,
+    (SELECT count(*) FROM det JOIN truth USING (doc_a, doc_b)) AS tp
+)
+SELECT n_truth, n_det, tp,
+  CAST(n_det - tp AS BIGINT) AS fp,
+  CAST(n_truth - tp AS BIGINT) AS fn,
+  round(CAST(tp AS DOUBLE) / CAST(n_det AS DOUBLE), 6) AS precision_r,
+  round(CAST(tp AS DOUBLE) / CAST(n_truth AS DOUBLE), 6) AS recall_r,
+  round(CAST(2.0 AS DOUBLE) * CAST(tp AS DOUBLE)
+        / (CAST(n_det AS DOUBLE) + CAST(n_truth AS DOUBLE)), 6) AS f1_r
+FROM counts
 """,
         # q156: both heads replayed (q13's brute CTE at k=5, q26's IVF
         # statement nested), hits via inner join, recall = hits/k
