@@ -2912,6 +2912,32 @@ def q152_keywords(spark, sf):
     )
 
 
+def q158_s_stem(spark, sf):
+    """Harman S-stemmer over every token (functions/text.s_stem; JASIS
+    1991 — the three-rule plural stemmer, first-match-only): per doc,
+    the stemmed-text md5 plus how many tokens changed. A pure Column
+    `when` ladder inside one transform — zero shuffles; the index/
+    retrieval preprocessing rung under BM25."""
+    docs = _t(spark, sf, "documents")
+    tk = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+        lambda t: t != F.lit(""),
+    )
+    docs = docs.select("doc_id", tk.alias("tk"))
+    stemmed = F.transform(F.col("tk"), lambda t: T.s_stem(t))
+    return docs.select(
+        "doc_id",
+        F.size(F.col("tk")).alias("n_tok"),
+        F.size(
+            F.filter(
+                F.zip_with(F.col("tk"), stemmed, lambda a, b: a != b),
+                lambda x: x,
+            )
+        ).alias("n_changed"),
+        F.md5(F.array_join(stemmed, " ")).alias("stem_md5"),
+    )
+
+
 def q157_dedup_eval(spark, sf):
     """Dedup-detector evaluation against PLANTED ground truth: every
     5th document gets a clone with every 7th token dropped (a ~14%
@@ -3536,6 +3562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q155_snake_pack": q155_snake_pack,
         "q156_ivf_recall": q156_ivf_recall,
         "q157_dedup_eval": q157_dedup_eval,
+        "q158_s_stem": q158_s_stem,
     }
 
 
@@ -6143,6 +6170,34 @@ FROM (
     ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * wtf / (1.2 + wtf) AS term_part
   FROM wtf JOIN dft USING (t) CROSS JOIN nd
 ) GROUP BY 1
+""",
+        # q158: same three S-stemmer rules as a CASE lambda; right-
+        # anchored substr(x, len(x)-k+1, k) since PG/DuckDB negative
+        # starts count from a virtual position, not the string end
+        "q158_s_stem": f"""
+WITH tk AS (
+  SELECT doc_id, list_filter({_TOKS}, x -> x <> '') AS tk FROM documents
+), st AS (
+  SELECT doc_id, tk,
+    list_transform(tk, x -> CASE
+      WHEN len(x) > 3 AND substr(x, len(x)-2, 3) = 'ies'
+           AND substr(x, len(x)-3, 4) NOT IN ('eies', 'aies')
+        THEN substr(x, 1, len(x)-3) || 'y'
+      WHEN len(x) > 2 AND substr(x, len(x)-1, 2) = 'es'
+           AND substr(x, len(x)-2, 3) NOT IN ('aes', 'ees', 'oes')
+        THEN substr(x, 1, len(x)-1)
+      WHEN len(x) > 1 AND substr(x, len(x), 1) = 's'
+           AND substr(x, len(x)-1, 2) NOT IN ('us', 'ss')
+        THEN substr(x, 1, len(x)-1)
+      ELSE x END) AS stems
+  FROM tk
+)
+SELECT doc_id, len(tk) AS n_tok,
+  len(list_filter(
+    list_transform(generate_series(1, len(tk)), i -> tk[i] <> stems[i]),
+    b -> b)) AS n_changed,
+  md5(array_to_string(stems, ' ')) AS stem_md5
+FROM st
 """,
         # q157: augmented corpus (clones drop every 7th token), q10's
         # shingle-jaccard detector replayed over it, planted-pair PRF1

@@ -688,3 +688,48 @@ def normalize_text(text: Column) -> Column:
     t = F.translate(t, ACCENT_SRC, ACCENT_DST)
     t = F.regexp_replace(t, r"[\x00-\x1f]", " ")
     return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+# --- S-stemmer (Harman 1991) ------------------------------------------------------
+
+
+def s_stem(token: Column) -> Column:
+    """Harman's S-stemmer ("How effective is suffixing?", JASIS 1991):
+    the three-rule plural stemmer that captures most of Porter's
+    retrieval gain with none of its measure conditions — exactly the
+    kind of rule chain that stays a pure Column `when` ladder:
+
+      ...ies -> ...y   unless ending eies/aies
+      ...es  -> ...e   unless ending aes/ees/oes
+      ...s   -> drop   unless ending us/ss
+
+    The rules chain as strict ELSE-IF on their FULL conditions
+    (Harman's published table): an exception blocks only its own rule,
+    so a later rule may still fire — 'goes' passes the oes-exception
+    into the s-rule ('goe'), 'eies' into the es-rule ('eie'). Rules
+    never cascade (at most one fires); tokens shorter than the suffix
+    pass through."""
+    t = token
+    e3 = F.substring(t, -3, 3)
+    e2 = F.substring(t, -2, 2)
+    return (
+        F.when(
+            (F.length(t) > 3)
+            & (e3 == "ies")
+            & ~F.substring(t, -4, 4).isin("eies", "aies"),
+            F.concat(F.substring(t, 1, F.length(t) - 3), F.lit("y")),
+        )
+        .when(
+            (F.length(t) > 2)
+            & (e2 == "es")
+            & ~e3.isin("aes", "ees", "oes"),
+            F.substring(t, 1, F.length(t) - 1),
+        )
+        .when(
+            (F.length(t) > 1)
+            & (F.substring(t, -1, 1) == "s")
+            & ~e2.isin("us", "ss"),
+            F.substring(t, 1, F.length(t) - 1),
+        )
+        .otherwise(t)
+    )

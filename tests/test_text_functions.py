@@ -510,3 +510,31 @@ def test_normalize_text_idempotent_and_key_stable(spark):
         .collect()
     )
     assert all(r["n2"] == vals[r["doc_id"]] for r in again)
+
+
+# --- S-stemmer --------------------------------------------------------------------
+
+
+def test_s_stem_rules(spark):
+    from stock_crawler_spark.functions.text import s_stem
+
+    # Harman's rules chain as strict ELSE-IF: an exception blocks only
+    # its OWN rule, later rules still apply ('goes' falls past the oes
+    # exception into the s-rule; 'eies' past the ies exception into the
+    # es-rule)
+    cases = {
+        "queries": "query",      # ies -> y
+        "movies": "movy",        # ies -> y (rule-based, not lexical)
+        "ties": "ty",            # len 4 > 3, 'ties' not in (eies, aies)
+        "eies": "eie",           # ies-exception -> falls to es-rule
+        "tables": "table",       # es -> e
+        "goes": "goe",           # oes-exception -> falls to s-rule
+        "cats": "cat",           # s -> drop
+        "class": "class",        # ss exception (terminal: no later rule)
+        "bus": "bus",            # us exception
+        "s": "s",                # too short
+        "as": "a",               # len 2, ends s, not us/ss -> 'a'
+    }
+    df = spark.createDataFrame([(w,) for w in cases], "w string")
+    got = {r["w"]: r["s"] for r in df.select("w", s_stem(F.col("w")).alias("s")).collect()}
+    assert got == cases
