@@ -2912,6 +2912,44 @@ def q152_keywords(spark, sf):
     )
 
 
+AGING_ROUND = 8
+
+
+def q159_priority_aging(spark, sf):
+    """Starvation-free dequeue via priority aging (operators/frontier.
+    age_priorities): eff = priority + 0.05 * rounds-waiting, then the
+    usual per-host top-2 — the fix that stops a 10^10-URL frontier's
+    long tail from starving behind hot-host backlogs. Same q20 priority
+    formula, enqueue round = doc_id % 8, aged at round 8; windows are
+    per-host bounded."""
+    from stock_crawler_spark.operators.frontier import age_priorities
+
+    docs = _t(spark, sf, "documents")
+    fr = docs.select(
+        F.concat(
+            F.lit("https://h"), (F.col("doc_id") % GRAPH_HOSTS).cast("string"),
+            F.lit(".com/d"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit("h"), (F.col("doc_id") % GRAPH_HOSTS).cast("string"),
+            F.lit(".com"),
+        ).alias("host"),
+        (
+            ((F.col("doc_id") * 2654435761) % 1000000) / F.lit(1000000.0)
+        ).alias("priority"),
+        (F.col("doc_id") % 8).cast("int").alias("enqueued_round"),
+    )
+    aged = age_priorities(fr, current_round=AGING_ROUND)
+    w = Window.partitionBy("host").orderBy(
+        F.col("eff_priority").desc(), F.col("url")
+    )
+    return (
+        aged.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 2)
+        .select("host", "rank", "url", "age", F.col("eff_priority").alias("eff_r"))
+    )
+
+
 def q158_s_stem(spark, sf):
     """Harman S-stemmer over every token (functions/text.s_stem; JASIS
     1991 — the three-rule plural stemmer, first-match-only): per doc,
@@ -3563,6 +3601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q156_ivf_recall": q156_ivf_recall,
         "q157_dedup_eval": q157_dedup_eval,
         "q158_s_stem": q158_s_stem,
+        "q159_priority_aging": q159_priority_aging,
     }
 
 
@@ -6170,6 +6209,28 @@ FROM (
     ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * wtf / (1.2 + wtf) AS term_part
   FROM wtf JOIN dft USING (t) CROSS JOIN nd
 ) GROUP BY 1
+""",
+        # q159: q20's priority formula + linear aging, per-host top-2
+        "q159_priority_aging": f"""
+WITH fr AS (
+  SELECT
+    'https://h' || CAST(doc_id % {GRAPH_HOSTS} AS VARCHAR) || '.com/d'
+      || CAST(doc_id AS VARCHAR) AS url,
+    'h' || CAST(doc_id % {GRAPH_HOSTS} AS VARCHAR) || '.com' AS host,
+    ((doc_id * 2654435761) % 1000000) / 1000000.0 AS priority,
+    CAST(doc_id % 8 AS INT) AS enqueued_round
+  FROM documents
+), aged AS (
+  SELECT host, url, {AGING_ROUND} - enqueued_round AS age,
+    round(priority + 0.05 * CAST({AGING_ROUND} - enqueued_round AS DOUBLE), 6)
+      AS eff_r
+  FROM fr
+)
+SELECT host, rank, url, age, eff_r FROM (
+  SELECT host, url, age, eff_r,
+    row_number() OVER (PARTITION BY host ORDER BY eff_r DESC, url) AS rank
+  FROM aged
+) WHERE rank <= 2
 """,
         # q158: same three S-stemmer rules as a CASE lambda; right-
         # anchored substr(x, len(x)-k+1, k) since PG/DuckDB negative

@@ -286,3 +286,36 @@ def schedule_fairness(schedule: DataFrame, key_col: str = "domain") -> DataFrame
             F.col("max_count").cast("double") / F.col("total").cast("double"), 6
         ).alias("dominance_r"),
     )
+
+
+AGING_RATE = 0.05
+
+
+def age_priorities(
+    frontier: DataFrame,
+    current_round: int,
+    rate: float = AGING_RATE,
+    priority_col: str = "priority",
+    enqueued_col: str = "enqueued_round",
+) -> DataFrame:
+    """Starvation-free scheduling: effective priority grows linearly
+    with queue age —
+
+        eff = priority + rate * (current_round - enqueued_round)
+
+    so a low-priority URL parked behind a hot host's backlog is
+    eventually dequeued instead of starving forever (the classic aging
+    fix to strict priority queues; without it a 10^10-URL frontier
+    permanently buries the long tail the politeness cap keeps
+    deferring). Pure Column — composes in front of dequeue()'s
+    per-host cap unchanged; the added term is deterministic so aged
+    order replays exactly.
+
+    Adds ``age`` and ``eff_priority`` (round 6)."""
+    age = F.lit(int(current_round)) - F.col(enqueued_col)
+    return frontier.withColumn("age", age.cast("int")).withColumn(
+        "eff_priority",
+        F.round(
+            F.col(priority_col) + F.lit(float(rate)) * age.cast("double"), 6
+        ),
+    )

@@ -161,3 +161,30 @@ def test_schedule_fairness_bounds(spark):
     assert r2["jain_r"] == round(32 * 32 / (3 * 902), 6)
     assert r2["dominance_r"] == round(30 / 32, 6)
     assert r2["max_count"] == 30 and r2["min_count"] == 1
+
+
+def test_priority_aging_prevents_starvation(spark):
+    from pyspark.sql import functions as F
+
+    from stock_crawler_spark.operators.frontier import age_priorities
+
+    fr = spark.createDataFrame(
+        [
+            ("u_new_hot", "h1", 0.9, 20),   # arrives at round 20, high prio
+            ("u_old_cold", "h1", 0.2, 0),   # parked since round 0
+            ("u_mid", "h1", 0.5, 8),
+        ],
+        "url string, host string, priority double, enqueued_round int",
+    )
+    aged = {
+        r["url"]: (r["age"], r["eff_priority"])
+        for r in age_priorities(fr, current_round=20).collect()
+    }
+    assert aged["u_new_hot"] == (0, 0.9)       # zero age: unchanged
+    assert aged["u_old_cold"] == (20, 1.2)     # 0.2 + 0.05*20
+    assert aged["u_mid"] == (12, 1.1)
+    # overtaking needs enqueue-time separation x rate to exceed the
+    # priority gap (items enqueued TOGETHER keep their relative order
+    # forever under linear aging): old is 20 rounds older, bonus 1.0
+    # > gap 0.7 -> the parked URL outranks the later hot arrival
+    assert aged["u_old_cold"][1] > aged["u_new_hot"][1]
