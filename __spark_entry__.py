@@ -2912,6 +2912,38 @@ def q152_keywords(spark, sf):
     )
 
 
+DRIFT_SUFFIX = " updated content here"
+DRIFT_HAMMING = 3
+
+
+def q160_simhash_drift(spark, sf):
+    """Recrawl change detection via fingerprint distance: simhash both
+    captures of every page (snapshot B mutates every 3rd doc) and flag
+    changed = hamming > 3 — the CONTENT-aware freshness signal that
+    feeds q114's Poisson change-rate estimator, robust to trivial
+    byte diffs where a digest comparison (q142) flips on any byte.
+    Two simhash passes + one join; hamming is bit_count(xor), exact."""
+    docs = _t(spark, sf, "documents")
+    b = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(DRIFT_SUFFIX)),
+        ).otherwise(F.col("text")),
+    )
+    ha = dedup.simhash(docs).select(F.col("doc"), F.col("simhash").alias("h1"))
+    hb = dedup.simhash(b).select(
+        F.col("doc").alias("doc_b"), F.col("simhash").alias("h2")
+    )
+    j = ha.join(hb, ha["doc"] == hb["doc_b"]).select("doc", "h1", "h2")
+    ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+    return j.select(
+        "doc", "h1", "h2",
+        ham.cast("int").alias("hamming"),
+        (ham > DRIFT_HAMMING).alias("changed"),
+    )
+
+
 AGING_ROUND = 8
 
 
@@ -3602,6 +3634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q157_dedup_eval": q157_dedup_eval,
         "q158_s_stem": q158_s_stem,
         "q159_priority_aging": q159_priority_aging,
+        "q160_simhash_drift": q160_simhash_drift,
     }
 
 
@@ -3634,6 +3667,41 @@ WITH toks AS (
   SELECT doc_id AS doc, {_H60} AS h FROM sh
 )
 SELECT doc, {mins} FROM h GROUP BY doc
+"""
+
+
+def _simhash_drift_oracle() -> str:
+    """Replays q160: both snapshots through the identical simhash
+    replay as q12's oracle, hamming via bit_count(xor)."""
+    bit_sums = ",\n    ".join(
+        f"sum(CASE WHEN (h & {1 << b}) != 0 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(dedup.SIMHASH_BITS)
+    )
+    hash_sum = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(dedup.SIMHASH_BITS)
+    )
+    return f"""
+WITH c AS (
+  SELECT doc_id AS doc, 'a' AS snap, text FROM documents
+  UNION ALL
+  SELECT doc_id, 'b',
+    CASE WHEN doc_id % 3 = 0
+         THEN coalesce(text, '') || '{DRIFT_SUFFIX}' ELSE text END
+  FROM documents
+), w AS (
+  SELECT doc, snap, unnest(list_distinct({_TOKS})) AS s FROM c
+), h AS (
+  SELECT doc, snap, {_H60} AS h FROM w
+), bits AS (
+  SELECT doc, snap, {bit_sums} FROM h GROUP BY doc, snap
+), sh AS (
+  SELECT doc, snap, CAST({hash_sum} AS BIGINT) AS sim FROM bits
+)
+SELECT a.doc, a.sim AS h1, b.sim AS h2,
+  CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming,
+  bit_count(xor(a.sim, b.sim)) > {DRIFT_HAMMING} AS changed
+FROM sh a JOIN sh b ON a.doc = b.doc AND a.snap = 'a' AND b.snap = 'b'
 """
 
 
@@ -5367,6 +5435,7 @@ FROM documents GROUP BY 1
         "q10_ngram_jaccard": _JACCARD_CTE,
         "q11_minhash_sigs": _minhash_oracle(),
         "q12_simhash": _simhash_oracle(),
+        "q160_simhash_drift": _simhash_drift_oracle(),
         "q13_ann_topk": f"""
 WITH u AS (
   {_UNIT_CORPUS}
