@@ -2912,6 +2912,33 @@ def q152_keywords(spark, sf):
     )
 
 
+def q161_length_variance(spark, sf):
+    """Exact per-language variance/std of document length: sums of x
+    and x^2 stay INTEGER (longs) all the way through the shuffle —
+    no float accumulation order to pin, no catastrophic cancellation —
+    floats appear only in the final divisions (population variance =
+    sumsq/n - (sum/n)^2 composed in the same literal shape both
+    engines). The numeric-stability pattern for any integer-valued
+    moment at 10^10 rows."""
+    docs = _t(spark, sf, "documents")
+    g = docs.select(
+        "lang", F.length("text").cast("long").alias("x")
+    ).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("ss"),
+    )
+    d = lambda c: F.col(c).cast("double")
+    mean = d("s") / d("n")
+    var = d("ss") / d("n") - (d("s") / d("n")) * (d("s") / d("n"))
+    return g.select(
+        "lang", "n", "s", "ss",
+        F.round(mean, 6).alias("mean_r"),
+        F.round(var, 6).alias("var_r"),
+        F.round(F.sqrt(var), 6).alias("std_r"),
+    )
+
+
 DRIFT_SUFFIX = " updated content here"
 DRIFT_HAMMING = 3
 
@@ -3635,6 +3662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q158_s_stem": q158_s_stem,
         "q159_priority_aging": q159_priority_aging,
         "q160_simhash_drift": q160_simhash_drift,
+        "q161_length_variance": q161_length_variance,
     }
 
 
@@ -6278,6 +6306,24 @@ FROM (
     ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * wtf / (1.2 + wtf) AS term_part
   FROM wtf JOIN dft USING (t) CROSS JOIN nd
 ) GROUP BY 1
+""",
+        # q161: integer moment sums, floats only in the final divisions
+        "q161_length_variance": """
+SELECT lang, n, s, ss,
+  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_r,
+  round(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+        - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+          * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS var_r,
+  round(sqrt(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+        - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+          * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS std_r
+FROM (
+  SELECT lang, count(*) AS n,
+    CAST(sum(length(text)) AS BIGINT) AS s,
+    CAST(sum(CAST(length(text) AS BIGINT) * CAST(length(text) AS BIGINT))
+         AS BIGINT) AS ss
+  FROM documents GROUP BY 1
+)
 """,
         # q159: q20's priority formula + linear aging, per-host top-2
         "q159_priority_aging": f"""
