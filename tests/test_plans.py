@@ -189,6 +189,12 @@ def test_no_cartesian_products_anywhere(spark):
         "q139_mmr_rerank",       # broadcast query vector x streamed corpus (q13)
         "q141_calibration",      # broadcast 1-row bin-weight total
         "q143_sq8_topk",         # broadcast 1-row SQ bounds + query vectors
+        "q147_bm25f",            # broadcast 1-row per-field corpus stats (q42)
+        "q148_ndcg",             # broadcast 5-query head x streamed corpus (q13)
+        "q152_keywords",         # broadcast 1-row corpus doc count (idf N)
+        "q155_snake_pack",       # broadcast 1-row total-load normalizer
+        "q156_ivf_recall",       # broadcast query head + IVF centroids (q13/q26)
+        "q157_dedup_eval",       # crossJoin of three 1-row count aggregates
     }
     for name, fn in entrymod.queries().items():
         tree = _plan(fn(spark, "/root/testdata/sf0.001")).split("\n\n")[0]
