@@ -2939,6 +2939,61 @@ def q161_length_variance(spark, sf):
     )
 
 
+KCORE_K = 4
+
+
+def _skew_edges(spark, sf):
+    """Degree-SKEWED deterministic host graph for the structure
+    detectors (q162/q163): per doc, 1-3 fanout links s=doc%120 ->
+    (doc*13 + k^2)%120, plus every 4th doc links its host to hub
+    doc%7 — hubs h0-h6 reach degree ~24 while the tail sits at 3-7,
+    giving the graph a real core/periphery split (the q50 extraction
+    graph is 6-regular, so every node would peel together)."""
+    docs = _t(spark, sf, "documents")
+    h = lambda c: F.concat(F.lit("h"), c.cast("string"), F.lit(".com"))
+    fan = docs.select(
+        F.explode(F.sequence(F.lit(1), F.lit(1) + F.col("doc_id") % 3)).alias("k"),
+        h(F.col("doc_id") % GRAPH_HOSTS).alias("src_dom"),
+        F.col("doc_id").alias("d"),
+    ).select(
+        "src_dom",
+        h((F.col("d") * 13 + F.col("k") * F.col("k")) % GRAPH_HOSTS).alias(
+            "dst_dom"
+        ),
+    )
+    hub = docs.filter(F.col("doc_id") % 4 == 0).select(
+        h(F.col("doc_id") % GRAPH_HOSTS).alias("src_dom"),
+        h(F.col("doc_id") % 7).alias("dst_dom"),
+    )
+    return fan.unionByName(hub).filter(F.col("src_dom") != F.col("dst_dom"))
+
+
+def q162_triangles(spark, sf):
+    """Per-host triangle count + local clustering coefficient
+    (operators/graph.triangle_stats) — the link-farm density signal
+    (Becchetti et al. KDD'08): spam cliques cluster near 1.0, organic
+    hubs near 0. Degree-ordered node-iterator, so the 10^7-degree hub
+    roots zero wedges; wedge volume is arboricity-bounded instead of
+    sum(deg^2). Oracle counts the same triangles as a<b<c edge
+    3-joins — algorithm-independent."""
+    from stock_crawler_spark.operators.graph import triangle_stats
+
+    return triangle_stats(_skew_edges(spark, sf))
+
+
+def q163_kcore(spark, sf):
+    """4-core of the host graph (operators/graph.k_core) — the
+    well-woven center that earns frontier seeds and recrawl budget,
+    while pendant/chain hosts peel out (Carmi et al. PNAS'07 k-shell
+    view). Batch-simultaneous peeling is an exact monotone fixpoint;
+    the gate graph converges in 3 sweeps (35 of 120 hosts survive);
+    the oracle unrolls 5 sweeps (extra sweeps are no-ops once the
+    fixpoint is reached, so both engines agree)."""
+    from stock_crawler_spark.operators.graph import k_core
+
+    return k_core(_skew_edges(spark, sf), k=KCORE_K)
+
+
 DRIFT_SUFFIX = " updated content here"
 DRIFT_HAMMING = 3
 
@@ -3663,6 +3718,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q159_priority_aging": q159_priority_aging,
         "q160_simhash_drift": q160_simhash_drift,
         "q161_length_variance": q161_length_variance,
+        "q162_triangles": q162_triangles,
+        "q163_kcore": q163_kcore,
     }
 
 
@@ -4872,6 +4929,53 @@ def _entropy_case(arr: str) -> str:
          * ln(CAST(len(list_filter({arr}, c -> c = d)) AS DOUBLE)
             / CAST(len({arr}) AS DOUBLE))), 'sum')
   ELSE 0.0 END"""
+
+
+_SKEW_EDGES_SQL = f"""
+WITH fan AS (
+  SELECT 'h' || CAST(doc_id % {GRAPH_HOSTS} AS VARCHAR) || '.com' AS s,
+         'h' || CAST((doc_id * 13 + k * k) % {GRAPH_HOSTS} AS VARCHAR)
+           || '.com' AS d
+  FROM (SELECT doc_id, unnest([1, 2, 3]) AS k FROM documents)
+  WHERE k <= 1 + doc_id % 3
+), hub AS (
+  SELECT 'h' || CAST(doc_id % {GRAPH_HOSTS} AS VARCHAR) || '.com' AS s,
+         'h' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS d
+  FROM documents WHERE doc_id % 4 = 0
+), e AS (
+  SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v
+  FROM (SELECT s, d FROM fan UNION ALL SELECT s, d FROM hub)
+  WHERE s <> d
+)"""
+
+
+def _kcore_oracle(k: int, sweeps: int = 5) -> str:
+    """Replays q163: the skew-edge derivation, then `sweeps` unrolled
+    simultaneous-peel rounds (drop nodes with degree < k, restrict the
+    edge list, recount). The gate graph reaches its fixpoint in 3
+    sweeps; the extra rounds are no-ops on a fixpoint, so the unrolled
+    depth only needs to be >= the true peel depth."""
+    sql = _SKEW_EDGES_SQL
+    prev = "e"
+    for i in range(1, sweeps + 1):
+        sql += f""",
+n{i} AS (
+  SELECT n FROM (
+    SELECT n, count(*) AS c FROM (
+      SELECT u AS n FROM {prev} UNION ALL SELECT v AS n FROM {prev}
+    ) GROUP BY 1
+  ) WHERE c >= {k}
+), e{i} AS (
+  SELECT u, v FROM {prev}
+  WHERE u IN (SELECT n FROM n{i}) AND v IN (SELECT n FROM n{i})
+)"""
+        prev = f"e{i}"
+    sql += f"""
+SELECT n AS dom, count(*) AS core_degree FROM (
+  SELECT u AS n FROM {prev} UNION ALL SELECT v AS n FROM {prev}
+) GROUP BY 1
+"""
+    return sql
 
 
 def _lpa_oracle(n_iter: int = 3) -> str:
@@ -6307,6 +6411,32 @@ FROM (
   FROM wtf JOIN dft USING (t) CROSS JOIN nd
 ) GROUP BY 1
 """,
+        # q162: triangles as a<b<c edge 3-joins — counts each once,
+        # independent of the engine's degree-ordered wedge algorithm
+        "q162_triangles": _SKEW_EDGES_SQL + """,
+deg AS (
+  SELECT n, count(*) AS deg FROM (
+    SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e
+  ) GROUP BY 1
+), tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.v
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+), credit AS (
+  SELECT n, count(*) AS n_tri FROM (
+    SELECT unnest([a, b, c]) AS n FROM tri
+  ) GROUP BY 1
+)
+SELECT deg.n AS dom, deg.deg AS degree,
+  coalesce(credit.n_tri, CAST(0 AS BIGINT)) AS n_tri,
+  round(CASE WHEN deg.deg >= 2 THEN
+      2.0 * coalesce(credit.n_tri, 0) / (deg.deg * (deg.deg - 1.0))
+    ELSE 0.0 END, 6) AS clustering_r
+FROM deg LEFT JOIN credit ON deg.n = credit.n
+""",
+        # q163: unrolled simultaneous peeling to the 4-core fixpoint
+        "q163_kcore": _kcore_oracle(KCORE_K),
         # q161: integer moment sums, floats only in the final divisions
         "q161_length_variance": """
 SELECT lang, n, s, ss,

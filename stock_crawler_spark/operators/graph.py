@@ -670,3 +670,158 @@ def label_propagation(
         if truncate_lineage:
             labels = labels.localCheckpoint(eager=False)
     return labels.select("node", F.col("lbl").alias("community"))
+
+
+def _undirected(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Canonical undirected simple edges: self-loops dropped, each link
+    stored once as (u, v) with u < v regardless of direction."""
+    return (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def triangle_stats(
+    edges: DataFrame, src: str = "src_dom", dst: str = "dst_dom"
+) -> DataFrame:
+    """Per-node triangle count + local clustering coefficient over the
+    UNDIRECTED host graph -> (dom, degree, n_tri, clustering_r).
+
+    Link farms betray themselves by density: a clique of N mutually
+    linking spam hosts has clustering ~1.0 at every member, while an
+    organically popular host's neighbors rarely know each other
+    (Becchetti et al., KDD'08 use exactly this signal for web-spam
+    demotion). Clustering = 2*tri / (deg*(deg-1)), the fraction of a
+    node's neighbor pairs that are themselves linked.
+
+    Scale shape (the node-iterator of Schank & Wagner '05 / Suri &
+    Vassilvitskii WWW'11): every edge is ORIENTED from the lower-rank
+    endpoint to the higher, rank = (degree, node) — a total order. Each
+    triangle then has exactly ONE wedge rooted at its minimum-rank
+    corner, so wedges = one self-join of the oriented edge list on its
+    source, closure = one semi-ish inner join against the oriented
+    edges, and no triangle is counted twice. Degree-ordering is the
+    load-bearing part at 10^10 edges: a 10^7-degree hub generates ZERO
+    wedges as a source (every neighbor outranks nothing) — wedge volume
+    is bounded by sum of min(deg_u, deg_v) over edges (O(m^1.5) worst
+    case, arboricity-bounded in practice) instead of sum(deg^2), which
+    a naive neighbor-pair join would pay on the hub alone. Per-triangle
+    corner credit fans back through one explode + groupBy keyed on the
+    node — uniform after the orientation bound.
+    """
+    und = _undirected(edges, src, dst).persist()
+    deg = und.select(F.col("u").alias("n")).unionByName(
+        und.select(F.col("v").alias("n"))
+    ).groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
+    # rank-oriented arcs: lo = lower (degree, node), hi = higher
+    ranked = (
+        und.join(deg.select(F.col("n").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("n").alias("v"), F.col("deg").alias("dv")), "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("lo"), F.col("v").alias("hi")),
+            )
+            .otherwise(F.struct(F.col("v").alias("lo"), F.col("u").alias("hi")))
+            .alias("e")
+        )
+        .select("e.lo", "e.hi")
+    )
+    # wedges rooted at the min-rank corner: lo -> (hi1, hi2), hi1 < hi2
+    w1 = ranked.select(F.col("lo"), F.col("hi").alias("h1"))
+    w2 = ranked.select(F.col("lo"), F.col("hi").alias("h2"))
+    wedges = w1.join(w2, "lo").filter(F.col("h1") < F.col("h2"))
+    # closure: the (h1, h2) arc exists in EITHER orientation; probe the
+    # canonical undirected list (u < v), which (h1, h2) already is
+    tri = wedges.join(
+        und.select(F.col("u").alias("h1"), F.col("v").alias("h2")),
+        ["h1", "h2"],
+        "inner",
+    )
+    corner_credit = tri.select(
+        F.explode(F.array("lo", "h1", "h2")).alias("n")
+    ).groupBy("n").agg(F.count(F.lit(1)).alias("n_tri"))
+    out = (
+        deg.join(corner_credit, "n", "left")
+        .select(
+            F.col("n").alias("dom"),
+            F.col("deg").alias("degree"),
+            F.coalesce(F.col("n_tri"), F.lit(0)).alias("n_tri"),
+            F.round(
+                F.when(
+                    F.col("deg") >= 2,
+                    2.0
+                    * F.coalesce(F.col("n_tri"), F.lit(0)).cast("double")
+                    / (F.col("deg").cast("double") * (F.col("deg") - 1).cast("double")),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("clustering_r"),
+        )
+    )
+    return out
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    max_sweeps: int = 30,
+    src: str = "src_dom",
+    dst: str = "dst_dom",
+    truncate_lineage: bool = True,
+) -> DataFrame:
+    """Nodes of the k-core (maximal subgraph where every node keeps
+    degree >= k after everyone below is peeled) -> (dom, core_degree).
+
+    The crawl use is the inverse of triangle_stats: the DEEP cores of
+    the host graph are the well-woven center of the web (quality
+    frontier seeds), while nodes that fall out of the 2-core are
+    pendant/chain hosts — doorway pages and scraper tails that earn a
+    lower recrawl budget (Carmi et al., PNAS'07 k-shell view of the
+    web; Batagelj-Zaversnik '03 is the sequential peeler this batch
+    version parallelizes).
+
+    Peeling is a monotone fixpoint, so the batch sweep is exact, not
+    approximate: drop all nodes with current degree < k SIMULTANEOUSLY,
+    recount degrees over the induced subgraph, repeat until no node
+    falls. Each sweep is one degree groupBy + two semi-joins restricting
+    the edge list — all keyed on the node, the components.py shape;
+    lineage is localCheckpoint-truncated per sweep. Sweeps needed =
+    longest peel chain (the graph's "degeneracy depth"), tiny for web
+    graphs (the heavy tail peels in sweep 1). Raises if max_sweeps is
+    exhausted with nodes still falling — a silent partial core would
+    over-credit chain hosts, the components.py non-convergence rule.
+    """
+    live = _undirected(edges, src, dst)
+    if truncate_lineage:
+        live = live.localCheckpoint(eager=True)
+    for _ in range(max_sweeps):
+        deg = live.select(F.col("u").alias("n")).unionByName(
+            live.select(F.col("v").alias("n"))
+        ).groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("n")
+        nxt = live.join(
+            keep.select(F.col("n").alias("u")), "u", "left_semi"
+        ).join(keep.select(F.col("n").alias("v")), "v", "left_semi")
+        if truncate_lineage:
+            nxt = nxt.localCheckpoint(eager=True)
+        # converged when no edge was dropped this sweep
+        if nxt.count() == live.count():
+            live = nxt
+            break
+        live = nxt
+    else:
+        raise RuntimeError(
+            f"k_core(k={k}) still peeling after {max_sweeps} sweeps — "
+            "raise max_sweeps (sweeps needed ~ longest peel chain)"
+        )
+    deg = live.select(F.col("u").alias("n")).unionByName(
+        live.select(F.col("v").alias("n"))
+    ).groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
+    return deg.select(
+        F.col("n").alias("dom"), F.col("deg").alias("core_degree")
+    )

@@ -449,3 +449,94 @@ def test_lpa_star_adopts_hub_label(spark):
     got = _lpa(spark, [("hub", f"leaf{i}") for i in range(5)], n_iter=1)
     assert all(got[f"leaf{i}"] == "hub" for i in range(5))
     assert got["hub"] == "leaf0"
+
+
+# --- triangle_stats -------------------------------------------------------
+
+
+def test_triangles_clique_plus_pendant(spark):
+    from stock_crawler_spark.operators.graph import triangle_stats
+
+    # triangle a-b-c with a pendant d hanging off a; direction/dup noise
+    e = _edges(
+        spark,
+        [
+            ("a.com", "b.com"),
+            ("b.com", "a.com"),  # reverse dup collapses
+            ("b.com", "c.com"),
+            ("c.com", "a.com"),
+            ("a.com", "d.com"),
+            ("d.com", "d.com"),  # self-loop dropped
+        ],
+    )
+    got = {r["dom"]: r for r in triangle_stats(e).collect()}
+    assert got["b.com"]["n_tri"] == 1 and got["c.com"]["n_tri"] == 1
+    assert got["a.com"]["n_tri"] == 1 and got["a.com"]["degree"] == 3
+    # a: 1 closed pair of 3 possible -> 2*1/(3*2)
+    assert got["a.com"]["clustering_r"] == round(2 * 1 / 6, 6)
+    assert got["b.com"]["clustering_r"] == 1.0
+    # pendant: degree 1, zero triangles, clustering defined as 0
+    assert got["d.com"]["n_tri"] == 0 and got["d.com"]["clustering_r"] == 0.0
+
+
+def test_triangles_k4_counts(spark):
+    from stock_crawler_spark.operators.graph import triangle_stats
+
+    # K4: every node in 3 of the 4 triangles, clustering 1.0 everywhere
+    ns = ["a", "b", "c", "d"]
+    e = _edges(
+        spark,
+        [(x, y) for i, x in enumerate(ns) for y in ns[i + 1:]],
+    )
+    rows = triangle_stats(e).collect()
+    assert len(rows) == 4
+    assert all(r["n_tri"] == 3 and r["clustering_r"] == 1.0 for r in rows)
+
+
+def test_triangles_partition_invariant(spark):
+    from stock_crawler_spark.operators.graph import triangle_stats
+
+    pairs = [
+        (f"h{i}.com", f"h{(i * 7 + j) % 13}.com")
+        for i in range(13)
+        for j in (1, 2, 3)
+    ]
+    a = triangle_stats(_edges(spark, pairs))
+    b = triangle_stats(_edges(spark, pairs).repartition(7))
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+# --- k_core ---------------------------------------------------------------
+
+
+def test_kcore_chain_peels_clique_stays(spark):
+    from stock_crawler_spark.operators.graph import k_core
+
+    # K4 clique with a 3-link chain tail: 2-core = the clique only,
+    # and the chain forces MULTIPLE peel sweeps (outermost link first)
+    ns = ["a", "b", "c", "d"]
+    clique = [(x, y) for i, x in enumerate(ns) for y in ns[i + 1:]]
+    chain = [("d", "t1"), ("t1", "t2"), ("t2", "t3")]
+    got = {r["dom"]: r["core_degree"] for r in k_core(_edges(spark, clique + chain), k=2).collect()}
+    assert set(got) == {"a", "b", "c", "d"}
+    assert all(v == 3 for v in got.values())
+
+
+def test_kcore_k_exceeds_graph_empty(spark):
+    from stock_crawler_spark.operators.graph import k_core
+
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a")])
+    assert k_core(e, k=3).collect() == []
+    # whole triangle IS the 2-core
+    assert len(k_core(e, k=2).collect()) == 3
+
+
+def test_kcore_raises_when_sweep_budget_exhausted(spark):
+    import pytest
+    from stock_crawler_spark.operators.graph import k_core
+
+    # 5-link chain needs 2 peel sweeps to empty at k=2; budget of 1
+    # must raise instead of returning a partially peeled "core"
+    chain = [(f"n{i}", f"n{i+1}") for i in range(5)]
+    with pytest.raises(RuntimeError, match="still peeling"):
+        k_core(_edges(spark, chain), k=2, max_sweeps=1)
