@@ -2994,6 +2994,156 @@ def q163_kcore(spark, sf):
     return k_core(_skew_edges(spark, sf), k=KCORE_K)
 
 
+QUANTILE_PS = [0.5, 0.9, 0.99]
+
+ROUTE_SHARDS = 8
+ROUTE_TOP = 3
+
+COCITE_MIN_COMMON = 2
+
+
+def q167_adjacency_bits(spark, sf):
+    """WebGraph-style adjacency compression accounting (Boldi & Vigna
+    WWW'04): per host, the Elias gamma/delta bit cost of its SORTED,
+    gap-encoded outlink list vs the raw fixed-width cost — the storage
+    model that decides whether a 10^10-edge link graph fits a single
+    Iceberg table of packed arrays or needs the full BV reference
+    machinery. All bit lengths are computed as len(bin(g)) — INTEGER
+    string ops, no float log2 whose 2^k boundary rounding differs per
+    engine; gaps of a distinct sorted list are >= 1 so every code is
+    defined. One groupBy(src) + pure array Columns, no UDF."""
+    e = _skew_edges(spark, sf).select(
+        "src_dom",
+        F.regexp_extract("dst_dom", r"h(\d+)\.com", 1).cast("int").alias("tid"),
+    ).distinct()
+    adj = e.groupBy("src_dom").agg(
+        F.sort_array(F.collect_list("tid")).alias("a")
+    )
+    arr = F.col("a")
+    gaps = F.transform(
+        arr,
+        lambda x, i: x
+        - F.when(i == F.lit(0), F.lit(-1)).otherwise(F.get(arr, i - 1)),
+    )
+    blen = lambda g: F.length(F.conv(g.cast("string"), 10, 2))  # floor(log2)+1
+    gamma = F.aggregate(
+        gaps, F.lit(0).cast("long"),
+        lambda acc, g: acc + 2 * (blen(g) - 1) + 1,
+    )
+    delta = F.aggregate(
+        gaps, F.lit(0).cast("long"),
+        lambda acc, g: acc + (blen(g) - 1) + 2 * (blen(blen(g)) - 1) + 1,
+    )
+    raw_w = 7  # ceil(log2(120)) fixed-width baseline
+    return adj.select(
+        F.col("src_dom").alias("dom"),
+        F.size("a").alias("outdeg"),
+        gamma.alias("gamma_bits"),
+        delta.alias("delta_bits"),
+        (F.size("a").cast("long") * raw_w).alias("raw_bits"),
+        F.round(gamma.cast("double") / F.size("a").cast("double"), 6).alias(
+            "gamma_per_link_r"
+        ),
+    )
+
+
+def q166_cocitation(spark, sf):
+    """Structural related-host pairs by co-citation cosine
+    (operators/graph.cocitation_pairs; Dean & Henzinger WWW'99): hosts
+    the same referrers point at — mirror/alias discovery above q67's
+    content tier. One referrer-keyed self-join bounded by the max_out
+    fan-cap (the q10 max_df rule on the link graph); normalizers from
+    the uncapped in-degree table."""
+    from stock_crawler_spark.operators.graph import cocitation_pairs
+
+    return cocitation_pairs(
+        _skew_edges(spark, sf), min_common=COCITE_MIN_COMMON
+    )
+
+
+def q165_shard_routing(spark, sf):
+    """Federated-retrieval shard selection (ReDDE/CORI family — Si &
+    Callan SIGIR'03, Callan et al. '95): score each of 8 corpus shards
+    for a query by sum_t df_shard(t) * idf(t) — the expected-relevant-
+    docs surrogate — and route to the top-3, so a 1000-shard search
+    fans the query out to the few shards that can answer instead of
+    all of them. Everything is per-(shard, term) integer df counts
+    (map-side partial-aggregated) + a broadcast |terms|-row idf table;
+    the per-shard float sum folds in term order (det_sum discipline)
+    so the routing decision replays bit-exactly."""
+    from stock_crawler_spark.operators.graph import _sorted_fold
+
+    docs = _t(spark, sf, "documents")
+    shard = F.concat(
+        F.lit("s"), (F.col("doc_id") % ROUTE_SHARDS).cast("string")
+    )
+    n_docs = docs.groupBy(shard.alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    toks = docs.select(
+        shard.alias("shard"),
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                    lambda t: t != F.lit(""),
+                )
+            )
+        ).alias("t"),
+    ).filter(F.col("t").isin(BM25_QUERY))
+    df_st = toks.groupBy("shard", "t").agg(F.count(F.lit(1)).alias("df_s"))
+    df_t = df_st.groupBy("t").agg(F.sum("df_s").alias("df"))
+    total = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    idf = df_t.crossJoin(F.broadcast(total)).select(
+        "t",
+        F.round(
+            F.log(
+                F.lit(1.0)
+                + F.col("n_total").cast("double") / F.col("df").cast("double")
+            ),
+            12,
+        ).alias("idf"),
+    )
+    scored = (
+        df_st.join(F.broadcast(idf), "t")
+        .groupBy("shard")
+        .agg(
+            _sorted_fold(
+                F.col("t"), F.col("df_s").cast("double") * F.col("idf")
+            ).alias("score"),
+            F.count(F.lit(1)).alias("n_hit_terms"),
+        )
+    )
+    out = n_docs.join(scored, "shard", "left").select(
+        "shard",
+        "n_docs",
+        F.coalesce(F.col("n_hit_terms"), F.lit(0)).cast("long").alias("n_hit_terms"),
+        F.round(F.coalesce(F.col("score"), F.lit(0.0)), 6).alias("score_r"),
+    )
+    w = Window.orderBy(F.desc("score_r"), F.asc("shard"))
+    return out.withColumn("rank", F.row_number().over(w)).withColumn(
+        "routed", F.col("rank") <= ROUTE_TOP
+    )
+
+
+def q164_exact_quantiles(spark, sf):
+    """Exact global p50/p90/p99 fetch-latency selection WITHOUT a
+    global sort (operators/quantiles.exact_quantiles): log_B(range)
+    counting scans, each shuffling only |ps|*256 bucket-count rows, the
+    per-round range filter pushed into the parquet scan so later rounds
+    read only surviving stripes. PERCENTILE_DISC rank semantics
+    (k = ceil(p*n)), so the oracle is DuckDB's built-in quantile_disc.
+    Latencies are the deterministic Knuth-hash spread of event ids over
+    [0, 100000)."""
+    from stock_crawler_spark.operators.quantiles import exact_quantiles
+
+    ev = _t(spark, sf, "events").select(
+        ((F.col("event_id") * F.lit(2654435761)) % 100000).alias("latency_ms")
+    )
+    return exact_quantiles(ev, "latency_ms", QUANTILE_PS)
+
+
 DRIFT_SUFFIX = " updated content here"
 DRIFT_HAMMING = 3
 
@@ -3720,6 +3870,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q161_length_variance": q161_length_variance,
         "q162_triangles": q162_triangles,
         "q163_kcore": q163_kcore,
+        "q164_exact_quantiles": q164_exact_quantiles,
+        "q165_shard_routing": q165_shard_routing,
+        "q166_cocitation": q166_cocitation,
+        "q167_adjacency_bits": q167_adjacency_bits,
     }
 
 
@@ -6437,6 +6591,128 @@ FROM deg LEFT JOIN credit ON deg.n = credit.n
 """,
         # q163: unrolled simultaneous peeling to the 4-core fixpoint
         "q163_kcore": _kcore_oracle(KCORE_K),
+        # q167: Elias gamma/delta gap costs via bin() lengths (no log2)
+        "q167_adjacency_bits": f"""
+WITH fan AS (
+  SELECT 'h' || CAST(doc_id % {GRAPH_HOSTS} AS VARCHAR) || '.com' AS s,
+         CAST((doc_id * 13 + k * k) % {GRAPH_HOSTS} AS INT) AS tid,
+         'h' || CAST((doc_id * 13 + k * k) % {GRAPH_HOSTS} AS VARCHAR)
+           || '.com' AS d
+  FROM (SELECT doc_id, unnest([1, 2, 3]) AS k FROM documents)
+  WHERE k <= 1 + doc_id % 3
+), hub AS (
+  SELECT 'h' || CAST(doc_id % {GRAPH_HOSTS} AS VARCHAR) || '.com' AS s,
+         CAST(doc_id % 7 AS INT) AS tid,
+         'h' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS d
+  FROM documents WHERE doc_id % 4 = 0
+), e AS (
+  SELECT DISTINCT s, tid
+  FROM (SELECT s, tid, d FROM fan UNION ALL SELECT s, tid, d FROM hub)
+  WHERE s <> d
+), adj AS (
+  SELECT s, list(tid ORDER BY tid) AS a FROM e GROUP BY 1
+), g AS (
+  SELECT s, a, list_transform(
+    generate_series(1, len(a)),
+    i -> a[i] - CASE WHEN i = 1 THEN -1 ELSE a[i - 1] END) AS gaps
+  FROM adj
+)
+SELECT s AS dom, len(a) AS outdeg,
+  CAST(list_aggregate(list_transform(gaps,
+    x -> 2 * (length(bin(x)) - 1) + 1), 'sum') AS BIGINT) AS gamma_bits,
+  CAST(list_aggregate(list_transform(gaps,
+    x -> (length(bin(x)) - 1)
+         + 2 * (length(bin(length(bin(x)))) - 1) + 1), 'sum') AS BIGINT)
+    AS delta_bits,
+  CAST(len(a) * 7 AS BIGINT) AS raw_bits,
+  round(CAST(list_aggregate(list_transform(gaps,
+      x -> 2 * (length(bin(x)) - 1) + 1), 'sum') AS DOUBLE)
+    / CAST(len(a) AS DOUBLE), 6) AS gamma_per_link_r
+FROM g
+""",
+        # q166: co-citation pairs from the DIRECTED skew edges
+        "q166_cocitation": f"""
+WITH fan AS (
+  SELECT 'h' || CAST(doc_id % {GRAPH_HOSTS} AS VARCHAR) || '.com' AS s,
+         'h' || CAST((doc_id * 13 + k * k) % {GRAPH_HOSTS} AS VARCHAR)
+           || '.com' AS d
+  FROM (SELECT doc_id, unnest([1, 2, 3]) AS k FROM documents)
+  WHERE k <= 1 + doc_id % 3
+), hub AS (
+  SELECT 'h' || CAST(doc_id % {GRAPH_HOSTS} AS VARCHAR) || '.com' AS s,
+         'h' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS d
+  FROM documents WHERE doc_id % 4 = 0
+), e AS (
+  SELECT DISTINCT s AS r, d AS x
+  FROM (SELECT s, d FROM fan UNION ALL SELECT s, d FROM hub)
+  WHERE s <> d
+), indeg AS (SELECT x AS n, count(*) AS ind FROM e GROUP BY 1),
+cm AS (
+  SELECT a.x AS dom_a, b.x AS dom_b, count(*) AS common
+  FROM e a JOIN e b ON a.r = b.r AND a.x < b.x
+  GROUP BY 1, 2 HAVING count(*) >= {COCITE_MIN_COMMON}
+)
+SELECT dom_a, dom_b, common, ia.ind AS in_a, ib.ind AS in_b,
+  round(CAST(common AS DOUBLE)
+        / sqrt(CAST(ia.ind AS DOUBLE) * CAST(ib.ind AS DOUBLE)), 6)
+    AS cosine_r
+FROM cm
+JOIN indeg ia ON cm.dom_a = ia.n
+JOIN indeg ib ON cm.dom_b = ib.n
+""",
+        # q165: ReDDE-lite shard scores, term-ordered float fold
+        "q165_shard_routing": f"""
+WITH tk AS (
+  SELECT doc_id, 's' || CAST(doc_id % {ROUTE_SHARDS} AS VARCHAR) AS shard,
+    unnest(list_distinct(list_filter(
+      string_split_regex(trim(lower(text)), '\\s+'), x -> x <> ''))) AS t
+  FROM documents
+), fst AS (
+  SELECT shard, t, count(*) AS df_s FROM tk
+  WHERE t IN ({",".join(f"'{t}'" for t in BM25_QUERY)}) GROUP BY 1, 2
+), dft AS (SELECT t, sum(df_s) AS df FROM fst GROUP BY 1),
+nt AS (SELECT count(*) AS n_total FROM documents),
+idf AS (
+  SELECT t, round(ln(1 + CAST(n_total AS DOUBLE) / CAST(df AS DOUBLE)), 12)
+    AS idf FROM dft CROSS JOIN nt
+), sc AS (
+  SELECT shard,
+    round(list_aggregate(list(df_s * idf ORDER BY t), 'sum'), 6) AS score_r,
+    count(*) AS n_hit_terms
+  FROM fst JOIN idf USING (t) GROUP BY 1
+), nd AS (
+  SELECT 's' || CAST(doc_id % {ROUTE_SHARDS} AS VARCHAR) AS shard,
+    count(*) AS n_docs
+  FROM documents GROUP BY 1
+)
+SELECT shard, n_docs, n_hit_terms, score_r, rank, rank <= {ROUTE_TOP} AS routed
+FROM (
+  SELECT nd.shard AS shard, n_docs,
+    coalesce(n_hit_terms, CAST(0 AS BIGINT)) AS n_hit_terms,
+    coalesce(score_r, 0.0) AS score_r,
+    CAST(row_number() OVER (
+      ORDER BY coalesce(score_r, 0.0) DESC, nd.shard ASC) AS INT) AS rank
+  FROM nd LEFT JOIN sc ON nd.shard = sc.shard
+)
+""",
+        # q164: PERCENTILE_DISC semantics — rank ceil(p*n), lower value
+        "q164_exact_quantiles": """
+WITH lat AS (
+  SELECT (event_id * 2654435761) % 100000 AS latency_ms FROM events
+), n AS (SELECT count(*) AS n FROM lat)
+SELECT CAST(0.5 AS DOUBLE) AS p_r,
+  CAST(ceil(0.5 * n.n) AS BIGINT) AS rank_k,
+  CAST(quantile_disc(latency_ms, 0.5) AS BIGINT) AS value
+FROM lat CROSS JOIN n GROUP BY n.n
+UNION ALL
+SELECT CAST(0.9 AS DOUBLE), CAST(ceil(0.9 * n.n) AS BIGINT),
+  CAST(quantile_disc(latency_ms, 0.9) AS BIGINT)
+FROM lat CROSS JOIN n GROUP BY n.n
+UNION ALL
+SELECT CAST(0.99 AS DOUBLE), CAST(ceil(0.99 * n.n) AS BIGINT),
+  CAST(quantile_disc(latency_ms, 0.99) AS BIGINT)
+FROM lat CROSS JOIN n GROUP BY n.n
+""",
         # q161: integer moment sums, floats only in the final divisions
         "q161_length_variance": """
 SELECT lang, n, s, ss,

@@ -825,3 +825,71 @@ def k_core(
     return deg.select(
         F.col("n").alias("dom"), F.col("deg").alias("core_degree")
     )
+
+
+def cocitation_pairs(
+    edges: DataFrame,
+    min_common: int = 2,
+    max_out: int | None = 1000,
+    src: str = "src_dom",
+    dst: str = "dst_dom",
+) -> DataFrame:
+    """Co-citation host similarity (Small '73, applied to the web as in
+    Dean & Henzinger WWW'99 related-pages): two hosts are similar when
+    the same REFERRERS link to both -> (dom_a, dom_b, common, in_a,
+    in_b, cosine_r), dom_a < dom_b, cosine = common/sqrt(in_a*in_b).
+
+    The crawl uses: mirror/alias discovery one tier above q67's
+    content hash (same in-link profile, different bytes), and topical
+    frontier expansion (co-cited with a trusted seed ~ same community
+    as TrustRank sees, but purely structural).
+
+    Scale shape: pair generation is ONE self-join of the distinct
+    (referrer -> target) list keyed on the referrer, so volume is
+    sum_r od(r)^2/2 — bounded by capping the fan-out: referrers with
+    outdegree > max_out are DROPPED before pairing (a directory page
+    linking 10^5 hosts contributes ~5e9 pairs and no signal — the
+    max_df stop-shingle rule of dedup.py applied to the link graph;
+    pass None to disable). In-degree normalizers count the UNCAPPED
+    graph, so the cap only prunes candidate pairs, never distorts the
+    cosine of surviving ones. min_common prunes the singleton-overlap
+    tail before the normalizer join.
+    """
+    e = (
+        edges.select(F.col(src).alias("r"), F.col(dst).alias("x"))
+        .filter(F.col("r") != F.col("x"))
+        .distinct()
+        .persist()
+    )
+    indeg = e.groupBy(F.col("x").alias("n")).agg(
+        F.count(F.lit(1)).alias("ind")
+    )
+    paired = e
+    if max_out is not None:
+        keep = (
+            e.groupBy("r").agg(F.count(F.lit(1)).alias("od"))
+            .filter(F.col("od") <= max_out)
+            .select("r")
+        )
+        paired = e.join(keep, "r", "left_semi")
+    a = paired.select("r", F.col("x").alias("dom_a"))
+    b = paired.select("r", F.col("x").alias("dom_b"))
+    common = (
+        a.join(b, "r")
+        .filter(F.col("dom_a") < F.col("dom_b"))
+        .groupBy("dom_a", "dom_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .filter(F.col("common") >= min_common)
+    )
+    return (
+        common.join(indeg.select(F.col("n").alias("dom_a"), F.col("ind").alias("in_a")), "dom_a")
+        .join(indeg.select(F.col("n").alias("dom_b"), F.col("ind").alias("in_b")), "dom_b")
+        .select(
+            "dom_a", "dom_b", "common", "in_a", "in_b",
+            F.round(
+                F.col("common").cast("double")
+                / F.sqrt(F.col("in_a").cast("double") * F.col("in_b").cast("double")),
+                6,
+            ).alias("cosine_r"),
+        )
+    )

@@ -1,0 +1,151 @@
+"""Exact distributed quantile selection WITHOUT a global sort.
+
+The ops surface of a crawler needs exact latency/size percentiles for
+SLO lines (p50/p90/p99 fetch latency, p99 page bytes). At 10^10 rows a
+global sort for one scalar is absurd, and the usual escape hatch —
+percentile_approx / t-digest — trades away exactness, which matters the
+moment the number feeds an alerting threshold that gets audited.
+
+exact_quantiles implements the classic iterative HISTOGRAM-NARROWING
+selection (the distributed k-th-element algorithm: Blum-style selection
+re-expressed as log_B(range) counting scans):
+
+  round r: bucket every in-range value into B equal-width integer
+  buckets (ONE narrow scan -> a (quantile, bucket) count aggregate of
+  at most |ps|*B rows), walk the cumulative counts on the driver to
+  find the bucket holding rank k, recurse into that bucket's range.
+
+For a 64-bit integer domain, B=256 terminates in <= 8 rounds; for the
+bounded domains real metrics live in (latency-ms, byte sizes) it is
+2-3 rounds. Each round's shuffle is |ps|*B counting rows — KILOBYTES —
+and the driver never sees data, only bucket counts (the same sanctioned
+O(1) metric-read shape as plans/round.py's folded counters). Rank
+semantics: k = ceil(p * n) over non-null values, 1-indexed — exactly
+DuckDB quantile_disc / ANSI PERCENTILE_DISC lower-value semantics, so
+the oracle is the built-in.
+
+All state between rounds is six integers per quantile; the input
+DataFrame is scanned, never mutated, so Catalyst pushes the per-round
+range filter straight into the parquet scan (min/max page pruning makes
+later rounds progressively CHEAPER at scale — each round reads only the
+stripes overlapping the surviving range).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def exact_quantiles(
+    df: DataFrame,
+    col: str,
+    ps: list[float],
+    n_buckets: int = 256,
+    max_rounds: int = 16,
+) -> DataFrame:
+    """Exact p-quantiles of an INTEGER column -> (p_r, rank_k, value).
+
+    One count + one min/max action up front, then <= log_B(range)
+    counting scans shared by every requested quantile. Raises if the
+    range fails to narrow within max_rounds (cannot happen for integer
+    domains with B >= 2; the guard keeps a misuse — e.g. a non-integer
+    column smuggled through a cast — loud instead of infinite).
+    """
+    spark: SparkSession = df.sparkSession
+    out_schema = "p_r double, rank_k bigint, value bigint"
+    c = F.col(col).cast("long")
+    base = df.select(c.alias("_x")).filter(F.col("_x").isNotNull())
+
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("_x").alias("lo"),
+        F.max("_x").alias("hi"),
+    ).collect()[0]
+    n, lo0, hi0 = stats["n"], stats["lo"], stats["hi"]
+    if n == 0:
+        return spark.createDataFrame([], out_schema)
+
+    # state per quantile: [lo, hi] inclusive range still in play and the
+    # rank k WITHIN that range (global rank minus count below lo)
+    state = {}
+    for p in sorted(set(ps)):
+        k = max(1, math.ceil(p * n))
+        state[p] = {"lo": int(lo0), "hi": int(hi0), "k": k, "value": None}
+
+    for _ in range(max_rounds):
+        active = {p: s for p, s in state.items() if s["value"] is None}
+        if not active:
+            break
+        # degenerate ranges resolve without a scan
+        for p, s in active.items():
+            if s["lo"] == s["hi"]:
+                s["value"] = s["lo"]
+        active = {p: s for p, s in state.items() if s["value"] is None}
+        if not active:
+            break
+
+        plist = sorted(active)
+        widths = {
+            p: max(1, math.ceil((active[p]["hi"] - active[p]["lo"] + 1) / n_buckets))
+            for p in plist
+        }
+        entries = F.array(
+            *[
+                F.when(
+                    F.col("_x").between(
+                        F.lit(active[p]["lo"]), F.lit(active[p]["hi"])
+                    ),
+                    F.struct(
+                        F.lit(i).alias("qi"),
+                        F.floor(
+                            (F.col("_x") - F.lit(active[p]["lo"]))
+                            / F.lit(widths[p])
+                        ).cast("int").alias("b"),
+                    ),
+                )
+                for i, p in enumerate(plist)
+            ]
+        )
+        rows = (
+            base.select(F.explode(entries).alias("e"))
+            .filter(F.col("e").isNotNull())
+            .groupBy(F.col("e.qi").alias("qi"), F.col("e.b").alias("b"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        by_q: dict[int, dict[int, int]] = {}
+        for r in rows:
+            by_q.setdefault(r["qi"], {})[r["b"]] = r["c"]
+        for i, p in enumerate(plist):
+            s = active[p]
+            w = widths[p]
+            cum = 0
+            for b in sorted(by_q.get(i, {})):
+                nxt = cum + by_q[i][b]
+                if nxt >= s["k"]:
+                    s["k"] -= cum
+                    s["lo"] = s["lo"] + b * w
+                    s["hi"] = min(s["hi"], s["lo"] + w - 1)
+                    if w == 1 or s["lo"] == s["hi"]:
+                        s["value"] = s["lo"]
+                    break
+                cum = nxt
+            else:  # pragma: no cover - rank exceeds in-range count
+                raise RuntimeError(
+                    f"exact_quantiles: rank {s['k']} not reachable in "
+                    f"[{s['lo']}, {s['hi']}] for p={p} — inconsistent input"
+                )
+    if any(s["value"] is None for s in state.values()):
+        raise RuntimeError(
+            f"exact_quantiles did not converge in {max_rounds} rounds"
+        )
+    return spark.createDataFrame(
+        [
+            (float(p), int(max(1, math.ceil(p * n))), int(s["value"]))
+            for p, s in sorted(state.items())
+        ],
+        out_schema,
+    )

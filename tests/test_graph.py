@@ -540,3 +540,64 @@ def test_kcore_raises_when_sweep_budget_exhausted(spark):
     chain = [(f"n{i}", f"n{i+1}") for i in range(5)]
     with pytest.raises(RuntimeError, match="still peeling"):
         k_core(_edges(spark, chain), k=2, max_sweeps=1)
+
+
+# --- cocitation_pairs -----------------------------------------------------
+
+
+def test_cocitation_basic_cosine(spark):
+    from stock_crawler_spark.operators.graph import cocitation_pairs
+
+    # r1, r2 both cite a and b; r3 cites only a -> common=2, in_a=3, in_b=2
+    e = _edges(
+        spark,
+        [
+            ("r1", "a"), ("r1", "b"),
+            ("r2", "a"), ("r2", "b"),
+            ("r3", "a"),
+        ],
+    )
+    rows = cocitation_pairs(e, min_common=2).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["dom_a"], r["dom_b"], r["common"], r["in_a"], r["in_b"]) == (
+        "a", "b", 2, 3, 2
+    )
+    assert r["cosine_r"] == round(2 / (3 * 2) ** 0.5, 6)
+
+
+def test_cocitation_min_common_prunes(spark):
+    from stock_crawler_spark.operators.graph import cocitation_pairs
+
+    e = _edges(spark, [("r1", "a"), ("r1", "b")])
+    assert cocitation_pairs(e, min_common=2).collect() == []
+    assert len(cocitation_pairs(e, min_common=1).collect()) == 1
+
+
+def test_cocitation_fan_cap_drops_directory_referrer(spark):
+    from stock_crawler_spark.operators.graph import cocitation_pairs
+
+    # "dir" links to 5 hosts (above cap 4) and is excluded from pairing;
+    # r links a+b twice -> only the (a, b) pair from r survives, and the
+    # in-degree normalizers still count dir's links
+    pairs = [("dir", f"t{i}") for i in range(5)]
+    pairs += [("dir", "a"), ("dir", "b")]  # 7 outlinks total
+    pairs += [("r", "a"), ("r", "b")]
+    got = cocitation_pairs(
+        _edges(spark, pairs), min_common=1, max_out=4
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["dom_a"], r["dom_b"], r["common"]) == ("a", "b", 1)
+    assert r["in_a"] == 2 and r["in_b"] == 2  # dir still counted
+    # uncapped: t-pairs appear too
+    uncapped = cocitation_pairs(_edges(spark, pairs), min_common=1, max_out=None)
+    assert len(uncapped.collect()) == 21  # C(7,2) } from dir + (a,b) merged
+
+
+def test_cocitation_dedups_multi_edges(spark):
+    from stock_crawler_spark.operators.graph import cocitation_pairs
+
+    e = _edges(spark, [("r", "a"), ("r", "a"), ("r", "b"), ("a", "a")])
+    rows = cocitation_pairs(e, min_common=1).collect()
+    assert len(rows) == 1 and rows[0]["common"] == 1

@@ -1,0 +1,71 @@
+"""Exact histogram-narrowing quantile selection (operators/quantiles)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from stock_crawler_spark.operators.quantiles import exact_quantiles
+
+
+def _df(spark, vals):
+    return spark.createDataFrame([(int(v),) for v in vals], "x long")
+
+
+def _truth(vals, p):
+    s = sorted(vals)
+    return s[max(1, math.ceil(p * len(s))) - 1]
+
+
+def test_matches_sorted_selection(spark):
+    vals = [(i * 2654435761) % 9973 for i in range(501)]
+    got = {r["p_r"]: r["value"] for r in
+           exact_quantiles(_df(spark, vals), "x", [0.01, 0.5, 0.9, 0.99, 1.0]).collect()}
+    for p in (0.01, 0.5, 0.9, 0.99, 1.0):
+        assert got[p] == _truth(vals, p), p
+
+
+def test_duplicate_heavy_and_negatives(spark):
+    vals = [-5] * 40 + [0] * 30 + [7] * 29 + [123456]
+    got = {r["p_r"]: r["value"] for r in
+           exact_quantiles(_df(spark, vals), "x", [0.25, 0.5, 0.75, 1.0]).collect()}
+    for p in (0.25, 0.5, 0.75, 1.0):
+        assert got[p] == _truth(vals, p), p
+
+
+def test_tiny_bucket_count_still_exact(spark):
+    # B=2 forces many narrowing rounds — exactness must not depend on B
+    vals = [(i * 7919) % 100003 for i in range(200)]
+    got = {r["p_r"]: r["value"] for r in
+           exact_quantiles(_df(spark, vals), "x", [0.5, 0.9], n_buckets=2, max_rounds=40).collect()}
+    assert got[0.5] == _truth(vals, 0.5)
+    assert got[0.9] == _truth(vals, 0.9)
+
+
+def test_single_value_and_empty(spark):
+    one = exact_quantiles(_df(spark, [42]), "x", [0.5, 0.99]).collect()
+    assert [(r["value"]) for r in one] == [42, 42]
+    empty = exact_quantiles(_df(spark, []), "x", [0.5])
+    assert empty.collect() == []
+    assert [f.name for f in empty.schema.fields] == ["p_r", "rank_k", "value"]
+
+
+def test_nulls_ignored_and_rank_reported(spark):
+    df = spark.createDataFrame([(1,), (None,), (2,), (3,), (None,)], "x long")
+    rows = exact_quantiles(df, "x", [0.5]).collect()
+    assert rows[0]["value"] == 2           # median of {1,2,3}
+    assert rows[0]["rank_k"] == 2          # ceil(0.5*3) over non-nulls
+
+
+def test_partition_invariant(spark):
+    vals = [(i * 31) % 1009 for i in range(300)]
+    a = exact_quantiles(_df(spark, vals), "x", [0.5, 0.9]).collect()
+    b = exact_quantiles(_df(spark, vals).repartition(13), "x", [0.5, 0.9]).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_nonconvergence_guard(spark):
+    with pytest.raises(RuntimeError, match="did not converge"):
+        exact_quantiles(_df(spark, range(100000, 200000, 7)), "x",
+                        [0.5], n_buckets=2, max_rounds=2)
