@@ -2994,6 +2994,169 @@ def q163_kcore(spark, sf):
     return k_core(_skew_edges(spark, sf), k=KCORE_K)
 
 
+SCC_NODES = 60  # w-graph: bow-tie with a 20-core, IN/OUT flanks, a hidden 2-SCC
+
+OVERLAP_HOSTS = 8
+OVERLAP_PAGES = 50
+OVERLAP_SHIFT = 30
+
+
+def _bowtie_edges(spark, sf):
+    """Deterministic DIRECTED bow-tie graph (Broder WWW'00 shape) on 60
+    integer nodes, derived from doc_id so both engines rebuild it from
+    the same table: CORE = cycle 0..19 + (+7) chords (one giant SCC),
+    IN = chain 20->..->39 feeding the core, OUT = core feeding chain
+    40->..->59, plus a HIDDEN 2-SCC {57,58} (58->57 back edge) sitting
+    behind larger ids — the case that forces a second peel."""
+    docs = _t(spark, sf, "documents")
+    n = (F.col("doc_id") % SCC_NODES).cast("long")
+    parts = [
+        docs.filter(n < 20).select(n.alias("s"), ((n + 1) % 20).alias("d")),
+        docs.filter(n < 20).select(n.alias("s"), ((n + 7) % 20).alias("d")),
+        docs.filter((n >= 20) & (n < 39)).select(n.alias("s"), (n + 1).alias("d")),
+        docs.filter((n >= 20) & (n < 40)).select(n.alias("s"), (n - 20).alias("d")),
+        docs.filter(n >= 40).select((n - 40).alias("s"), n.alias("d")),
+        docs.filter((n >= 40) & (n < 59)).select(n.alias("s"), (n + 1).alias("d")),
+        docs.filter(n == 58).select(n.alias("s"), (n - 1).alias("d")),
+        # TENDRILS 65..69 hang off IN (reachable from IN, never reach
+        # the core, never reached from it) — q170's fourth class
+        docs.filter((n >= 20) & (n < 25)).select(n.alias("s"), (n + 45).alias("d")),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
+def q169_scc(spark, sf):
+    """Strongly connected components (operators/graph.scc; Broder et
+    al. WWW'00 bow-tie) — a large non-giant SCC is the structural
+    link-farm signature q162's local triangle density can't see, and
+    the condensation orders frontier expansion. Orzan-style forward
+    max-coloring + backward root sweep, peeling settled SCCs; chains
+    and DAG stretches settle in one peel, the hidden {57,58} SCC forces
+    a second. Expected here: the 20-node core (scc_id 0), {57,58}
+    (scc_id 57), 38 singletons."""
+    from stock_crawler_spark.operators.graph import scc
+
+    return scc(_bowtie_edges(spark, sf), src="s", dst="d").select(
+        F.col("node").cast("long").alias("node"),
+        F.col("scc_id").cast("long").alias("scc_id"),
+        F.col("scc_size").cast("long").alias("scc_size"),
+    )
+
+
+def q170_bowtie(spark, sf):
+    """Bow-tie decomposition of the web graph (Broder et al. WWW'00):
+    core = the giant SCC (q169's labels; max size, min-id tie-break via
+    parallel TakeOrdered limit 1, broadcast back), in = reaches the
+    core (backward BFS), out = reached from it (forward BFS), tendril =
+    neither. The crawl uses the classes directly: OUT is free coverage
+    once CORE is fetched, IN must be seeded explicitly, tendrils are
+    where a frontier goes to die. Both BFS waves are graph.bfs_depth
+    frontier expansion with early stop — cost tracks the wave, never
+    O(nodes * hops)."""
+    from stock_crawler_spark.operators.graph import bfs_depth, scc
+
+    e = _bowtie_edges(spark, sf)
+    labels = scc(e, src="s", dst="d")
+    giant = (
+        labels.select("scc_id", "scc_size").distinct()
+        .orderBy(F.desc("scc_size"), F.asc("scc_id"))
+        .limit(1)
+        .select("scc_id")
+    )
+    core = labels.join(giant, "scc_id").select("node")
+    seeds = core.select(F.col("node").alias("dom"))
+    fwd = (
+        bfs_depth(e, seeds, 64, src="s", dst="d")
+        .select(F.col("dom").alias("node"))
+        .withColumn("_fwd", F.lit(True))
+    )
+    bwd = (
+        bfs_depth(
+            e.select(F.col("d").alias("s"), F.col("s").alias("d")),
+            seeds, 64, src="s", dst="d",
+        )
+        .select(F.col("dom").alias("node"))
+        .withColumn("_bwd", F.lit(True))
+    )
+    return (
+        labels.select("node")
+        .join(core.withColumn("_core", F.lit(True)), "node", "left")
+        .join(fwd, "node", "left")
+        .join(bwd, "node", "left")
+        .select(
+            F.col("node").cast("long").alias("node"),
+            F.when(F.coalesce(F.col("_core"), F.lit(False)), F.lit("core"))
+            .when(F.coalesce(F.col("_bwd"), F.lit(False)), F.lit("in"))
+            .when(F.coalesce(F.col("_fwd"), F.lit(False)), F.lit("out"))
+            .otherwise(F.lit("tendril"))
+            .alias("cls"),
+        )
+    )
+
+
+def q168_hll_overlap(spark, sf):
+    """Mergeable-sketch crawl-overlap accounting (operators/sketch
+    hll_build/hll_merge/hll_estimate): two crawl snapshots' distinct-URL
+    sketches fold by register max (union semantics), and inclusion-
+    exclusion est_a + est_b - est_union prices the overlap WITHOUT a
+    join — the recrawl-planning "how much of snapshot B is new" question
+    answered from two kilobyte register tables at 10^10-URL scale. The
+    oracle rebuilds all three register tables and the estimator through
+    the identical md5/bit chain (q75's discipline), so estimates match
+    bit-for-bit; exact intersection counts ride along for the error
+    story."""
+    from stock_crawler_spark.operators.sketch import (
+        hll_build, hll_estimate, hll_merge,
+    )
+
+    ev = _t(spark, sf, "events")
+    host_i = F.col("event_id") % OVERLAP_HOSTS
+    host = F.concat(F.lit("h"), host_i.cast("string"), F.lit(".com"))
+
+    def snapshot(offset: int):
+        page = (F.col("event_id") % OVERLAP_PAGES) + F.lit(offset)
+        return ev.select(
+            host.alias("host"),
+            F.concat(
+                F.lit("https://h"), host_i.cast("string"), F.lit(".com/p"),
+                page.cast("string"),
+            ).alias("url"),
+        )
+
+    a, b = snapshot(0), snapshot(OVERLAP_SHIFT)
+    sk_a = hll_build(a, "url", group_cols=["host"], p=HLL_P_Q75)
+    sk_b = hll_build(b, "url", group_cols=["host"], p=HLL_P_Q75)
+    est_a = hll_estimate(sk_a, ["host"], p=HLL_P_Q75).select(
+        "host", F.col("est").alias("est_a")
+    )
+    est_b = hll_estimate(sk_b, ["host"], p=HLL_P_Q75).select(
+        "host", F.col("est").alias("est_b")
+    )
+    est_u = hll_estimate(
+        hll_merge(sk_a, sk_b, group_cols=["host"]), ["host"], p=HLL_P_Q75
+    ).select("host", F.col("est").alias("est_union"))
+    exact = (
+        a.intersect(b)
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("exact_overlap"))
+    )
+    return (
+        est_a.join(est_b, "host")
+        .join(est_u, "host")
+        .join(exact, "host")
+        .select(
+            "host", "est_a", "est_b", "est_union",
+            F.round(
+                F.col("est_a") + F.col("est_b") - F.col("est_union"), 6
+            ).alias("overlap_est_r"),
+            "exact_overlap",
+        )
+    )
+
+
 QUANTILE_PS = [0.5, 0.9, 0.99]
 
 ROUTE_SHARDS = 8
@@ -3874,6 +4037,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q165_shard_routing": q165_shard_routing,
         "q166_cocitation": q166_cocitation,
         "q167_adjacency_bits": q167_adjacency_bits,
+        "q168_hll_overlap": q168_hll_overlap,
+        "q169_scc": q169_scc,
+        "q170_bowtie": q170_bowtie,
     }
 
 
@@ -5652,6 +5818,36 @@ FROM pr CROSS JOIN b2 JOIN lab ON pr.doc = lab.doc
 """
 
 
+def _hll_reg_sql(visits_cte: str) -> str:
+    """q75's register chain over a (host, url) CTE: md5-60 hash, p=10
+    bucket, rho = leading-zero rank of the remaining 50 bits."""
+    return f"""
+  SELECT host, h % 1024 AS bucket,
+    max(CASE WHEN (h >> 10) = 0 THEN 51
+             ELSE 51 - length(bin(h >> 10)) END) AS rho
+  FROM (SELECT host, ('0x' || substr(md5('hll:' || url), 1, 15))::BIGINT AS h
+        FROM {visits_cte})
+  GROUP BY 1, 2"""
+
+
+def _hll_est_sql(reg_cte: str) -> str:
+    """q75's estimator over a (host, bucket, rho) register CTE: exact
+    BIGINT harmonic sum, one IEEE division, linear-counting branch with
+    the round-12 ln discipline — bit-identical to sketch.hll_estimate."""
+    num = 0.7213 / (1.0 + 1.079 / 1024) * 1024 * 1024 * float(1 << 51)
+    return f"""
+  SELECT host,
+    CASE WHEN ({num!r} / ssum) <= 2560.0 AND v > 0
+         THEN round(round(ln(1024 / v), 12) * 1024, 6)
+         ELSE round({num!r} / ssum, 6) END AS est
+  FROM (
+    SELECT host,
+      sum(1::BIGINT << (51 - rho)) + (1024 - count(*)) * (1::BIGINT << 51) AS ssum,
+      1024 - count(*) AS v
+    FROM {reg_cte} GROUP BY 1
+  )"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q01_pricing_rollup": """
@@ -6591,6 +6787,110 @@ FROM deg LEFT JOIN credit ON deg.n = credit.n
 """,
         # q163: unrolled simultaneous peeling to the 4-core fixpoint
         "q163_kcore": _kcore_oracle(KCORE_K),
+        # q168: three register tables + the q75 estimator chain, union by
+        # register max — inclusion-exclusion in the SAME rounded doubles
+        "q168_hll_overlap": f"""
+WITH va AS (
+  SELECT 'h' || (event_id % {OVERLAP_HOSTS}) || '.com' AS host,
+         'https://h' || (event_id % {OVERLAP_HOSTS}) || '.com/p'
+           || (event_id % {OVERLAP_PAGES}) AS url
+  FROM events
+), vb AS (
+  SELECT 'h' || (event_id % {OVERLAP_HOSTS}) || '.com' AS host,
+         'https://h' || (event_id % {OVERLAP_HOSTS}) || '.com/p'
+           || (event_id % {OVERLAP_PAGES} + {OVERLAP_SHIFT}) AS url
+  FROM events
+), ra AS ({_hll_reg_sql('va')}
+), rb AS ({_hll_reg_sql('vb')}
+), ru AS (
+  SELECT host, bucket, max(rho) AS rho
+  FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb) GROUP BY 1, 2
+), ea AS ({_hll_est_sql('ra')}
+), eb AS ({_hll_est_sql('rb')}
+), eu AS ({_hll_est_sql('ru')}
+), ex AS (
+  SELECT host, count(*) AS exact_overlap FROM (
+    SELECT host, url FROM va INTERSECT SELECT host, url FROM vb
+  ) GROUP BY 1
+)
+SELECT host, ea.est AS est_a, eb.est AS est_b, eu.est AS est_union,
+  round(ea.est + eb.est - eu.est, 6) AS overlap_est_r, exact_overlap
+FROM ea JOIN eb USING (host) JOIN eu USING (host) JOIN ex USING (host)
+""",
+        # q169: exact SCC from the recursive transitive closure —
+        # scc_id(u) = min over {u} and all v with u->*v AND v->*u
+        "q169_scc": f"""
+WITH RECURSIVE docs_n AS (
+  SELECT doc_id % {SCC_NODES} AS n FROM documents
+), e AS (
+  SELECT DISTINCT s, d FROM (
+    SELECT n AS s, (n + 1) % 20 AS d FROM docs_n WHERE n < 20
+    UNION ALL SELECT n, (n + 7) % 20 FROM docs_n WHERE n < 20
+    UNION ALL SELECT n, n + 1 FROM docs_n WHERE n >= 20 AND n < 39
+    UNION ALL SELECT n, n - 20 FROM docs_n WHERE n >= 20 AND n < 40
+    UNION ALL SELECT n - 40, n FROM docs_n WHERE n >= 40
+    UNION ALL SELECT n, n + 1 FROM docs_n WHERE n >= 40 AND n < 59
+    UNION ALL SELECT n, n - 1 FROM docs_n WHERE n = 58
+    UNION ALL SELECT n, n + 45 FROM docs_n WHERE n >= 20 AND n < 25
+  ) WHERE s <> d
+), reach AS (
+  SELECT s, d FROM e
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s
+), nodes AS (
+  SELECT DISTINCT node FROM (SELECT s AS node FROM e UNION ALL SELECT d AS node FROM e)
+), mutual AS (
+  SELECT node, min(v) AS scc_id FROM (
+    SELECT node, node AS v FROM nodes
+    UNION ALL
+    SELECT a.s AS node, a.d AS v
+    FROM reach a JOIN reach b ON a.s = b.d AND a.d = b.s
+  ) GROUP BY 1
+), sizes AS (SELECT scc_id, count(*) AS scc_size FROM mutual GROUP BY 1)
+SELECT node, scc_id, scc_size FROM mutual JOIN sizes USING (scc_id)
+""",
+        # q170: exact bow-tie classes from the same closure — core =
+        # giant SCC (max size, min id tie-break), in reaches it, out is
+        # reached from it, tendril neither
+        "q170_bowtie": f"""
+WITH RECURSIVE docs_n AS (
+  SELECT doc_id % {SCC_NODES} AS n FROM documents
+), e AS (
+  SELECT DISTINCT s, d FROM (
+    SELECT n AS s, (n + 1) % 20 AS d FROM docs_n WHERE n < 20
+    UNION ALL SELECT n, (n + 7) % 20 FROM docs_n WHERE n < 20
+    UNION ALL SELECT n, n + 1 FROM docs_n WHERE n >= 20 AND n < 39
+    UNION ALL SELECT n, n - 20 FROM docs_n WHERE n >= 20 AND n < 40
+    UNION ALL SELECT n - 40, n FROM docs_n WHERE n >= 40
+    UNION ALL SELECT n, n + 1 FROM docs_n WHERE n >= 40 AND n < 59
+    UNION ALL SELECT n, n - 1 FROM docs_n WHERE n = 58
+    UNION ALL SELECT n, n + 45 FROM docs_n WHERE n >= 20 AND n < 25
+  ) WHERE s <> d
+), reach AS (
+  SELECT s, d FROM e
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s
+), nodes AS (
+  SELECT DISTINCT node FROM (SELECT s AS node FROM e UNION ALL SELECT d AS node FROM e)
+), mutual AS (
+  SELECT node, min(v) AS scc_id FROM (
+    SELECT node, node AS v FROM nodes
+    UNION ALL
+    SELECT a.s AS node, a.d AS v
+    FROM reach a JOIN reach b ON a.s = b.d AND a.d = b.s
+  ) GROUP BY 1
+), sizes AS (SELECT scc_id, count(*) AS scc_size FROM mutual GROUP BY 1),
+giant AS (SELECT scc_id FROM sizes ORDER BY scc_size DESC, scc_id ASC LIMIT 1),
+core AS (SELECT node FROM mutual WHERE scc_id = (SELECT scc_id FROM giant)),
+fwd AS (SELECT DISTINCT d AS node FROM reach WHERE s IN (SELECT node FROM core)),
+bwd AS (SELECT DISTINCT s AS node FROM reach WHERE d IN (SELECT node FROM core))
+SELECT node,
+  CASE WHEN node IN (SELECT node FROM core) THEN 'core'
+       WHEN node IN (SELECT node FROM bwd) THEN 'in'
+       WHEN node IN (SELECT node FROM fwd) THEN 'out'
+       ELSE 'tendril' END AS cls
+FROM nodes
+""",
         # q167: Elias gamma/delta gap costs via bin() lengths (no log2)
         "q167_adjacency_bits": f"""
 WITH fan AS (

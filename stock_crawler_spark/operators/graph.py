@@ -893,3 +893,176 @@ def cocitation_pairs(
             ).alias("cosine_r"),
         )
     )
+
+
+def scc(
+    edges: DataFrame,
+    src: str = "src_dom",
+    dst: str = "dst_dom",
+    max_peels: int = 16,
+    max_sweeps: int = 64,
+    return_peels: bool = False,
+) -> DataFrame:
+    """Strongly connected components of the DIRECTED host graph ->
+    (node, scc_id, scc_size), scc_id = min node id in the SCC. Every
+    node incident to an edge appears exactly once (isolated nodes are
+    their own SCC by definition and are the caller's concern).
+
+    The web is a bow-tie (Broder et al., WWW'00): a giant SCC with an
+    IN-flank that reaches it and an OUT-flank it reaches. The crawl
+    uses: a large non-giant SCC is the structural signature of a link
+    farm (mutual-endorsement cores that q162's triangle density sees
+    only locally), and the condensation DAG orders frontier expansion
+    (fetch IN before CORE pays twice — CORE is reachable anyway).
+
+    Algorithm — Orzan-style forward coloring + backward root sweep,
+    peeling settled SCCs (the standard distributed SCC shape; Tarjan
+    is inherently sequential):
+
+      1. color(u) = max node id that reaches u, by forward max-label
+         propagation to fixpoint. Color regions partition the
+         remaining graph; each region's root (color(u) == u) is the
+         max-id node of >= 1 whole SCC.
+      2. flag(u) = u reaches its region's root THROUGH same-color
+         nodes, by backward propagation from the roots to fixpoint.
+         {flagged nodes of one color} is EXACTLY the root's SCC: the
+         root reaches them (same color = root is an ancestor... color
+         equality certifies root ->* u since color propagates only
+         along edges), and they reach the root (the flag).
+      3. Settle flagged nodes (scc_id = min id per color group — the
+         oracle's convention), drop them and their edges, repeat.
+
+    Every chain/DAG stretch settles in ONE peel (each node is its own
+    color root), so peel count is bounded by the depth of nested
+    SCC-behind-larger-id-SCC structure — small on web graphs; the loop
+    RAISES if max_peels is exhausted rather than returning partial
+    labels (the components.py contract). Per sweep: one hash join +
+    one groupBy, O(edges) shuffled, plans lineage-truncated via
+    localCheckpoint so they never grow with iteration count.
+    """
+    e0 = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    remaining = (
+        e0.select(F.col("s").alias("node"))
+        .unionByName(e0.select(F.col("d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e = e0
+    settled_parts: list[DataFrame] = []
+    peels = 0
+    for _ in range(max_peels):
+        if remaining.limit(1).count() == 0:
+            break
+        peels += 1
+        # --- 1. forward max-label coloring to fixpoint ---
+        colors = remaining.withColumn("color", F.col("node"))
+        for _s in range(max_sweeps):
+            nb = (
+                e.join(
+                    colors.select(F.col("node").alias("s"), "color"), "s"
+                )
+                .groupBy(F.col("d").alias("node"))
+                .agg(F.max("color").alias("nb_color"))
+            )
+            stepped = (
+                colors.join(nb, "node", "left")
+                .select(
+                    "node",
+                    F.greatest(
+                        F.col("color"),
+                        F.coalesce(F.col("nb_color"), F.col("color")),
+                    ).alias("color"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                stepped.alias("n")
+                .join(colors.alias("o"), "node")
+                .filter(F.col("n.color") != F.col("o.color"))
+                .count()
+            )
+            colors = stepped
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"scc: coloring failed to converge within {max_sweeps} sweeps"
+            )
+        # --- 2. backward same-color reachability from each color root ---
+        # edge (s, d) propagates flag d -> s when both endpoints share
+        # the color; all color regions sweep SIMULTANEOUSLY.
+        ce = (
+            e.join(colors.select(F.col("node").alias("s"), F.col("color").alias("_cs")), "s")
+            .join(colors.select(F.col("node").alias("d"), F.col("color").alias("_cd")), "d")
+            .filter(F.col("_cs") == F.col("_cd"))
+            .select("s", "d")
+            .localCheckpoint(eager=True)
+        )
+        flags = colors.withColumn("flag", F.col("color") == F.col("node"))
+        for _s in range(max_sweeps):
+            nb = (
+                ce.join(
+                    flags.filter(F.col("flag")).select(F.col("node").alias("d")), "d"
+                )
+                .select(F.col("s").alias("node"))
+                .distinct()
+                .withColumn("nb_flag", F.lit(True))
+            )
+            stepped = (
+                flags.join(nb, "node", "left")
+                .select(
+                    "node", "color",
+                    (F.col("flag") | F.coalesce(F.col("nb_flag"), F.lit(False))).alias("flag"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                stepped.alias("n")
+                .join(flags.alias("o"), "node")
+                .filter(F.col("n.flag") & ~F.col("o.flag"))
+                .count()
+            )
+            flags = stepped
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"scc: root sweep failed to converge within {max_sweeps} sweeps"
+            )
+        now = flags.filter(F.col("flag"))
+        # scc_id = MIN id per settled color group (oracle convention)
+        part = (
+            now.join(
+                now.groupBy("color").agg(F.min("node").alias("scc_id")), "color"
+            )
+            .select("node", "scc_id")
+            .localCheckpoint(eager=True)
+        )
+        settled_parts.append(part)
+        remaining = remaining.join(part, "node", "left_anti").localCheckpoint(eager=True)
+        e = (
+            e.join(remaining.select(F.col("node").alias("s")), "s", "left_semi")
+            .join(remaining.select(F.col("node").alias("d")), "d", "left_semi")
+            .select("s", "d")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        raise RuntimeError(f"scc: failed to settle within {max_peels} peels")
+    if not settled_parts:  # no edges survive the self-loop filter
+        spark = edges.sparkSession
+        empty = spark.createDataFrame(
+            [], "node long, scc_id long, scc_size long"
+        )
+        return (empty, 0) if return_peels else empty
+    labels = settled_parts[0]
+    for p in settled_parts[1:]:
+        labels = labels.unionByName(p)
+    out = labels.join(
+        labels.groupBy("scc_id").agg(F.count(F.lit(1)).alias("scc_size")), "scc_id"
+    ).select("node", "scc_id", "scc_size")
+    return (out, peels) if return_peels else out

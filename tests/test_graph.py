@@ -601,3 +601,87 @@ def test_cocitation_dedups_multi_edges(spark):
     e = _edges(spark, [("r", "a"), ("r", "a"), ("r", "b"), ("a", "a")])
     rows = cocitation_pairs(e, min_common=1).collect()
     assert len(rows) == 1 and rows[0]["common"] == 1
+
+
+# ---------------------------------------------------------------------------
+# scc — Orzan coloring + backward root sweep, peeled
+# ---------------------------------------------------------------------------
+
+
+def _iedges(spark, pairs):
+    return spark.createDataFrame(pairs, "s long, d long")
+
+
+def _scc_map(df):
+    return {r["node"]: (r["scc_id"], r["scc_size"]) for r in df.collect()}
+
+
+def test_scc_two_cycles_one_way_bridge(spark):
+    from stock_crawler_spark.operators.graph import scc
+
+    # cycle {1,2,3} -> bridge -> cycle {10,11}; node 20 dangles off 11
+    e = _iedges(
+        spark,
+        [(1, 2), (2, 3), (3, 1), (3, 10), (10, 11), (11, 10), (11, 20)],
+    )
+    got = _scc_map(scc(e, src="s", dst="d"))
+    assert got == {
+        1: (1, 3), 2: (1, 3), 3: (1, 3),
+        10: (10, 2), 11: (10, 2),
+        20: (20, 1),
+    }
+
+
+def test_scc_pure_dag_settles_in_one_peel(spark):
+    from stock_crawler_spark.operators.graph import scc
+
+    # 12-node chain: every node its own color root -> exactly 1 peel
+    e = _iedges(spark, [(i, i + 1) for i in range(12)])
+    labels, peels = scc(e, src="s", dst="d", return_peels=True)
+    got = _scc_map(labels)
+    assert got == {i: (i, 1) for i in range(13)}
+    assert peels == 1
+
+
+def test_scc_hidden_small_scc_needs_second_peel(spark):
+    from stock_crawler_spark.operators.graph import scc
+
+    # low-id cycle {1,2} fed FROM high-id cycle {10,11}: the high cycle
+    # colors everything, so {1,2} only settles after {10,11} peels
+    e = _iedges(spark, [(10, 11), (11, 10), (11, 1), (1, 2), (2, 1)])
+    labels, peels = scc(e, src="s", dst="d", return_peels=True)
+    got = _scc_map(labels)
+    assert got == {10: (10, 2), 11: (10, 2), 1: (1, 2), 2: (1, 2)}
+    assert peels == 2
+
+
+def test_scc_self_loops_and_duplicate_edges_collapse(spark):
+    from stock_crawler_spark.operators.graph import scc
+
+    e = _iedges(spark, [(1, 1), (1, 2), (1, 2), (2, 1), (2, 3)])
+    got = _scc_map(scc(e, src="s", dst="d"))
+    assert got == {1: (1, 2), 2: (1, 2), 3: (3, 1)}
+
+
+def test_scc_partition_invariant(spark):
+    from stock_crawler_spark.operators.graph import scc
+
+    pairs = [(i, (i * 7 + 3) % 23) for i in range(23)] + [(5, 40), (40, 41)]
+    e1 = _iedges(spark, pairs).repartition(1)
+    e8 = _iedges(spark, pairs).repartition(8)
+    assert _scc_map(scc(e1, src="s", dst="d")) == _scc_map(scc(e8, src="s", dst="d"))
+
+
+def test_scc_raises_when_peel_budget_exhausted(spark):
+    import pytest as _pytest
+
+    from stock_crawler_spark.operators.graph import scc
+
+    # nested low-id-behind-high-id cycles force one peel per layer
+    e = _iedges(
+        spark,
+        [(30, 31), (31, 30), (31, 20), (20, 21), (21, 20), (21, 10),
+         (10, 11), (11, 10)],
+    )
+    with _pytest.raises(RuntimeError, match="peels"):
+        scc(e, src="s", dst="d", max_peels=2)
