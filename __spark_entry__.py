@@ -3157,6 +3157,46 @@ def q168_hll_overlap(spark, sf):
     )
 
 
+ANF_MAX_T = 4
+
+
+def q171_hyperanf(spark, sf):
+    """HyperANF neighborhood function N(t) over the bow-tie host graph
+    (operators/graph.hyperanf; Boldi, Rosa & Vigna WWW'11): estimated
+    ordered-pair reach within t hops for t = 0..4 from one HLL ball
+    counter per node — the reach-vs-depth curve whose knee is the
+    effective diameter, computed WITHOUT the transitive closure. HLL
+    union is lossless register max, so approximation never compounds
+    across sweeps; per-node estimates fold through det_sum, so the
+    oracle (exact bounded closure -> same register/estimator/fold
+    chain) matches bit-for-bit."""
+    from stock_crawler_spark.operators.graph import hyperanf
+
+    return hyperanf(
+        _bowtie_edges(spark, sf), max_t=ANF_MAX_T, src="s", dst="d",
+        p=HLL_P_Q75, buckets=64,
+    )
+
+
+def q172_auc(spark, sf):
+    """Exact ROC-AUC (functions/classifier.exact_auc; Mann-Whitney with
+    the tie-pair 1/2 convention) of the heuristic quality gate against
+    the long-doc label — the threshold-free ranking-power number beside
+    q141's calibration ECE and q149's fixed-threshold kappa. Integer
+    arithmetic end to end (DECIMAL(38,0) pair sums), the distinct-score
+    cumsum runs through the shared distributed-cumsum pattern instead
+    of a global rank window, and the single final division replays
+    bit-for-bit in SQL."""
+    from stock_crawler_spark.functions.classifier import exact_auc
+
+    docs = _t(spark, sf, "documents")
+    pred = docs.select(
+        F.round(T.quality_score(F.col("text")), 6).alias("score"),
+        (F.length("text") >= 300).cast("int").alias("label"),
+    )
+    return exact_auc(pred)
+
+
 QUANTILE_PS = [0.5, 0.9, 0.99]
 
 ROUTE_SHARDS = 8
@@ -4040,6 +4080,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q168_hll_overlap": q168_hll_overlap,
         "q169_scc": q169_scc,
         "q170_bowtie": q170_bowtie,
+        "q171_hyperanf": q171_hyperanf,
+        "q172_auc": q172_auc,
     }
 
 
@@ -5830,6 +5872,11 @@ def _hll_reg_sql(visits_cte: str) -> str:
   GROUP BY 1, 2"""
 
 
+# alpha_m * m^2 * 2^T numerator of the p=10 estimator — shared by
+# _hll_est_sql and the q171 per-(t, node) replay
+_HLL_EST_NUM = 0.7213 / (1.0 + 1.079 / 1024) * 1024 * 1024 * float(1 << 51)
+
+
 def _hll_est_sql(reg_cte: str) -> str:
     """q75's estimator over a (host, bucket, rho) register CTE: exact
     BIGINT harmonic sum, one IEEE division, linear-counting branch with
@@ -6890,6 +6937,86 @@ SELECT node,
        WHEN node IN (SELECT node FROM fwd) THEN 'out'
        ELSE 'tendril' END AS cls
 FROM nodes
+""",
+        # q171: registers built straight from the EXACT depth-bounded
+        # closure (HLL union over sets is lossless, so the iterated
+        # register max equals these), then the q75 estimator chain and
+        # the det_sum two-level fold — bit-identical to graph.hyperanf
+        "q171_hyperanf": f"""
+WITH RECURSIVE docs_n AS (
+  SELECT doc_id % {SCC_NODES} AS n FROM documents
+), e AS (
+  SELECT DISTINCT s, d FROM (
+    SELECT n AS s, (n + 1) % 20 AS d FROM docs_n WHERE n < 20
+    UNION ALL SELECT n, (n + 7) % 20 FROM docs_n WHERE n < 20
+    UNION ALL SELECT n, n + 1 FROM docs_n WHERE n >= 20 AND n < 39
+    UNION ALL SELECT n, n - 20 FROM docs_n WHERE n >= 20 AND n < 40
+    UNION ALL SELECT n - 40, n FROM docs_n WHERE n >= 40
+    UNION ALL SELECT n, n + 1 FROM docs_n WHERE n >= 40 AND n < 59
+    UNION ALL SELECT n, n - 1 FROM docs_n WHERE n = 58
+    UNION ALL SELECT n, n + 45 FROM docs_n WHERE n >= 20 AND n < 25
+  ) WHERE s <> d
+), nodes AS (
+  SELECT DISTINCT node FROM (SELECT s AS node FROM e UNION ALL SELECT d AS node FROM e)
+), r AS (
+  SELECT node AS s, node AS d, 0 AS dist FROM nodes
+  UNION
+  SELECT r.s, e.d, r.dist + 1 FROM r JOIN e ON r.d = e.s WHERE r.dist < {ANF_MAX_T}
+), mind AS (
+  SELECT s, d, min(dist) AS dist FROM r GROUP BY 1, 2
+), ts AS (
+  SELECT unnest([{",".join(str(t) for t in range(ANF_MAX_T + 1))}]) AS t
+), regs AS (
+  SELECT t, node, h % 1024 AS bucket,
+    max(CASE WHEN (h >> 10) = 0 THEN 51
+             ELSE 51 - length(bin(h >> 10)) END) AS rho
+  FROM (SELECT ts.t AS t, mind.s AS node,
+          ('0x' || substr(md5('hll:' || CAST(mind.d AS VARCHAR)), 1, 15))::BIGINT AS h
+        FROM mind JOIN ts ON mind.dist <= ts.t)
+  GROUP BY 1, 2, 3
+), est AS (
+  SELECT t, node,
+    CASE WHEN ({_HLL_EST_NUM!r} / ssum) <= 2560.0 AND v > 0
+         THEN round(round(ln(1024 / v), 12) * 1024, 6)
+         ELSE round({_HLL_EST_NUM!r} / ssum, 6) END AS est
+  FROM (
+    SELECT t, node,
+      sum(1::BIGINT << (51 - rho)) + (1024 - count(*)) * (1::BIGINT << 51) AS ssum,
+      1024 - count(*) AS v
+    FROM regs GROUP BY 1, 2)
+), lvl1 AS (
+  SELECT t, (('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 15))::BIGINT % 64) AS b,
+         list_aggregate(list(est ORDER BY CAST(node AS VARCHAR)), 'sum') AS s1
+  FROM est GROUP BY 1, 2
+)
+SELECT CAST(t AS INTEGER) AS t,
+       round(list_aggregate(list(s1 ORDER BY b), 'sum'), 6) AS n_pairs_est_r
+FROM lvl1 GROUP BY 1
+""",
+        # q172: per-distinct-score class counts, window cumsum of
+        # negatives-below, Mann-Whitney with the tie/2 convention —
+        # integer until the one final division
+        "q172_auc": f"""
+WITH pred AS (
+  SELECT quality AS s, CASE WHEN length(text) >= 300 THEN 1 ELSE 0 END AS y
+  FROM ( {_QUALITY_SQL} ) q JOIN documents USING (doc_id)
+), per AS (
+  SELECT s, CAST(sum(y) AS BIGINT) AS np, CAST(sum(1 - y) AS BIGINT) AS nn
+  FROM pred GROUP BY 1
+), cum AS (
+  SELECT s, np, nn,
+    sum(nn) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      - nn AS below
+  FROM per
+), tot AS (
+  SELECT CAST(sum(np) AS BIGINT) AS n_pos, CAST(sum(nn) AS BIGINT) AS n_neg,
+         count(*) AS n_scores, sum(np * below) AS c, sum(np * nn) AS t
+  FROM cum
+)
+SELECT n_pos, n_neg, n_scores,
+  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+    round((2.0 * c + t) / (2.0 * n_pos * n_neg), 6) ELSE NULL END AS auc_r
+FROM tot
 """,
         # q167: Elias gamma/delta gap costs via bin() lengths (no log2)
         "q167_adjacency_bits": f"""

@@ -450,3 +450,104 @@ def lr_predict(
             (p >= F.lit(threshold)).alias("keep"),
         )
     )
+
+
+def exact_auc(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    n_partitions: int = 32,
+) -> DataFrame:
+    """Exact ROC-AUC of a scorer against a binary label, with the
+    Mann-Whitney tie convention (ties count 1/2) — the threshold-free
+    companion to q141's ECE and q149's fixed-threshold kappa: does the
+    quality score RANK keepers above droppers at all operating points?
+
+      AUC = (concordant + 0.5 * tied) / (n_pos * n_neg)
+
+    computed WITHOUT the naive global rank window (a single-partition
+    sort at 10^10 rows):
+
+      1. groupBy(score): per-distinct-score (n_pos, n_neg) — the one
+         corpus-sized shuffle, map-side partial-aggregated;
+      2. exclusive cumsum of n_neg in ascending score order over the
+         DISTINCT scores via the shared distributed-cumsum pattern
+         (training._pinned_range_parts: range shuffle + O(n_partitions)
+         driver scalars + per-partition window — never one partition);
+      3. concordant = sum(n_pos * neg_below), tied = sum(n_pos * n_neg)
+         — INTEGER arithmetic end to end, accumulated as DECIMAL(38,0)
+         so the sums stay exact past int64 (concordant <= P*N ~ 10^20
+         at 10^10 docs); the only float op is the single final
+         division (counts < 2^53 cast to double exactly; beyond that
+         the division's 1e-16 relative error vanishes in round-6).
+
+    Returns ONE row: (n_pos, n_neg, n_scores, auc_r). Degenerate
+    single-class input yields auc_r NULL rather than a division error.
+    Both the distinct-score partition and the final arithmetic replay
+    in ANSI SQL (window cumsum over distinct scores), so the oracle
+    matches bit-for-bit.
+    """
+    from pyspark.sql import Window
+
+    from stock_crawler_spark.operators.training import _pinned_range_parts
+
+    per = (
+        scored.select(
+            F.col(score_col).alias("_s"),
+            F.col(label_col).cast("int").alias("_y"),
+        )
+        .groupBy("_s")
+        .agg(
+            F.sum("_y").cast("long").alias("_np"),
+            F.sum(1 - F.col("_y")).cast("long").alias("_nn"),
+        )
+    )
+    with_pid = _pinned_range_parts(per, n_partitions, F.asc("_s"))
+    totals = with_pid.groupBy("_pid").agg(F.sum("_nn").alias("_t")).collect()
+    off = 0
+    rows = []
+    for pid, t in sorted((r["_pid"], r["_t"]) for r in totals):
+        rows.append((int(pid), int(off)))
+        off += int(t)
+    offsets = scored.sparkSession.createDataFrame(
+        rows, schema="_pid int, _off long"
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(F.asc("_s"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        with_pid.join(F.broadcast(offsets), "_pid")
+        .withColumn("_below", F.col("_off") + F.sum("_nn").over(w) - F.col("_nn"))
+    )
+    dec = "decimal(38,0)"
+    agg = cum.agg(
+        F.sum("_np").alias("n_pos"),
+        F.sum("_nn").alias("n_neg"),
+        F.count(F.lit(1)).alias("n_scores"),
+        # cast operands BEFORE multiplying: a single all-ties score row
+        # would overflow long * long at P * N ~ 10^20
+        F.sum(F.col("_np").cast(dec) * F.col("_below").cast(dec)).alias("_c"),
+        F.sum(F.col("_np").cast(dec) * F.col("_nn").cast(dec)).alias("_t"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        "n_scores",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.round(
+                (
+                    F.lit(2.0) * F.col("_c").cast("double")
+                    + F.col("_t").cast("double")
+                )
+                / (
+                    F.lit(2.0)
+                    * F.col("n_pos").cast("double")
+                    * F.col("n_neg").cast("double")
+                ),
+                6,
+            ),
+        ).alias("auc_r"),
+    )

@@ -213,3 +213,60 @@ def test_lr_unlabeled_and_blank_docs_excluded_from_training(spark):
     m_extra = lr_train(docs.unionByName(extra), labels, n_iter=2, n_buckets=128)
     base = {(r["bucket"], r["w"]) for r in m_base.collect()}
     assert base == {(r["bucket"], r["w"]) for r in m_extra.collect()}
+
+
+# --- exact_auc -------------------------------------------------------------
+
+
+def _auc_py(pairs):
+    """O(n^2) Mann-Whitney ground truth: (concordant + ties/2) / (P*N)."""
+    pos = [s for s, y in pairs if y == 1]
+    neg = [s for s, y in pairs if y == 0]
+    if not pos or not neg:
+        return None
+    c = sum(1.0 if p > n else (0.5 if p == n else 0.0) for p in pos for n in neg)
+    return round(c / (len(pos) * len(neg)), 6)
+
+
+def _auc_df(spark, pairs, parts=None):
+    from stock_crawler_spark.functions.classifier import exact_auc
+
+    df = spark.createDataFrame(pairs, "score double, label int")
+    if parts:
+        df = df.repartition(parts)
+    return exact_auc(df).collect()[0]
+
+
+def test_auc_known_answer_with_ties(spark):
+    pairs = [
+        (0.9, 1), (0.8, 1), (0.8, 0), (0.7, 1), (0.5, 0),
+        (0.5, 0), (0.5, 1), (0.3, 0), (0.1, 0), (0.9, 0),
+    ]
+    row = _auc_df(spark, pairs)
+    assert row["n_pos"] == 4 and row["n_neg"] == 6
+    assert row["n_scores"] == 6
+    assert row["auc_r"] == _auc_py(pairs)
+
+
+def test_auc_endpoints_and_all_ties(spark):
+    sep = [(float(i), 1 if i >= 5 else 0) for i in range(10)]
+    assert _auc_df(spark, sep)["auc_r"] == 1.0
+    rev = [(float(-i), 1 if i >= 5 else 0) for i in range(10)]
+    assert _auc_df(spark, rev)["auc_r"] == 0.0
+    ties = [(1.0, i % 2) for i in range(8)]
+    assert _auc_df(spark, ties)["auc_r"] == 0.5
+
+
+def test_auc_single_class_null(spark):
+    assert _auc_df(spark, [(0.4, 1), (0.6, 1)])["auc_r"] is None
+
+
+def test_auc_partition_invariant_and_matches_quadratic(spark):
+    pairs = [
+        (round(((i * 37) % 19) / 19.0, 6), 1 if (i * i) % 3 == 0 else 0)
+        for i in range(200)
+    ]
+    a = _auc_df(spark, pairs)
+    b = _auc_df(spark, pairs, parts=13)
+    assert a == b
+    assert a["auc_r"] == _auc_py(pairs)

@@ -5,7 +5,7 @@ from __future__ import annotations
 
 import math
 
-from stock_crawler_spark.operators.graph import bfs_depth, host_indegree
+from stock_crawler_spark.operators.graph import bfs_depth, host_indegree, hyperanf
 
 
 def _edges(spark, pairs):
@@ -685,3 +685,70 @@ def test_scc_raises_when_peel_budget_exhausted(spark):
     )
     with _pytest.raises(RuntimeError, match="peels"):
         scc(e, src="s", dst="d", max_peels=2)
+
+
+# --- hyperanf -------------------------------------------------------------
+
+
+def _anf_curve(df):
+    return {r["t"]: r["n_pairs_est_r"] for r in df.collect()}
+
+
+def test_hyperanf_path_graph_tracks_exact_closure(spark):
+    # 0 -> 1 -> 2 -> 3: exact N(t) = 4, 7, 9, 10, then frozen. At
+    # n <= 10 and m = 1024 the estimator sits on the linear-counting
+    # branch, whose error at V = m - n missing registers is << 1, so
+    # rounding the estimate to the nearest integer recovers the truth.
+    e = _iedges(spark, [(0, 1), (1, 2), (2, 3)])
+    got = _anf_curve(hyperanf(e, max_t=5, src="s", dst="d"))
+    assert sorted(got) == [0, 1, 2, 3, 4, 5]
+    exact = {0: 4, 1: 7, 2: 9, 3: 10}
+    for t, n in exact.items():
+        assert abs(got[t] - n) < 0.2, (t, got[t])
+    # registers are frozen once every ball is complete -> bit-equal rows
+    assert got[3] == got[4] == got[5]
+
+
+def test_hyperanf_monotone_and_cycle_saturates(spark):
+    # 4-cycle: every ball is the whole graph by t=3 -> N(3) = 16
+    e = _iedges(spark, [(0, 1), (1, 2), (2, 3), (3, 0)])
+    got = _anf_curve(hyperanf(e, max_t=4, src="s", dst="d"))
+    vals = [got[t] for t in sorted(got)]
+    assert all(b >= a for a, b in zip(vals, vals[1:]))
+    assert abs(got[3] - 16) < 0.3 and got[3] == got[4]
+
+
+def test_hyperanf_partition_invariant_bit_exact(spark):
+    pairs = [(i, (i * 7 + 3) % 23) for i in range(23)] + [
+        (i, (i + 1) % 11) for i in range(11)
+    ]
+    e = _iedges(spark, [(a, b) for a, b in pairs if a != b])
+    a = _anf_curve(hyperanf(e, max_t=3, src="s", dst="d"))
+    b = _anf_curve(hyperanf(e.repartition(7), max_t=3, src="s", dst="d"))
+    assert a == b  # det_sum fold + deterministic registers -> bit equality
+
+
+def test_hyperanf_estimates_within_hll_error_of_exact(spark):
+    # deterministic scramble graph, exact closure via python BFS
+    pairs = sorted({(i, (i * i + 5) % 37) for i in range(37)} | {
+        (i, (3 * i + 11) % 37) for i in range(37)
+    })
+    pairs = [(a, b) for a, b in pairs if a != b]
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, []).append(b)
+    nodes = sorted({a for a, _ in pairs} | {b for _, b in pairs})
+    exact = {}
+    for t in range(4):
+        total = 0
+        for s in nodes:
+            ball = {s}
+            frontier = {s}
+            for _ in range(t):
+                frontier = {v for u in frontier for v in adj.get(u, [])} - ball
+                ball |= frontier
+            total += len(ball)
+        exact[t] = total
+    got = _anf_curve(hyperanf(_iedges(spark, pairs), max_t=3, src="s", dst="d"))
+    for t in range(4):
+        assert abs(got[t] - exact[t]) / exact[t] < 0.05, (t, got[t], exact[t])
