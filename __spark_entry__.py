@@ -3197,6 +3197,26 @@ def q172_auc(spark, sf):
     return exact_auc(pred)
 
 
+KMPP_K = 8
+KMPP_L = 6
+KMPP_ROUNDS = 2
+
+
+def q173_kmeanspp(spark, sf):
+    """k-means|| seeding (operators/ann.kmeans_parallel_init; Bahmani
+    et al. VLDB'12) for the IVF centroid tier: a constant number of
+    oversampling rounds replaces sequential k-means++'s k corpus passes
+    — d2 state carried incrementally against each round's NEW centers
+    only (broadcast), phi through det_sum, draws from md5 uniforms (no
+    RNG object), candidates reduced by vote weight. Every decision
+    quantity is round-6, so the DuckDB oracle replays the rounds,
+    draws, votes, and final ranking exactly."""
+    from stock_crawler_spark.operators.ann import kmeans_parallel_init
+
+    emb = _t(spark, sf, "embeddings")
+    return kmeans_parallel_init(emb, k=KMPP_K, l=KMPP_L, rounds=KMPP_ROUNDS)
+
+
 QUANTILE_PS = [0.5, 0.9, 0.99]
 
 ROUTE_SHARDS = 8
@@ -4082,6 +4102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q170_bowtie": q170_bowtie,
         "q171_hyperanf": q171_hyperanf,
         "q172_auc": q172_auc,
+        "q173_kmeanspp": q173_kmeanspp,
     }
 
 
@@ -7017,6 +7038,64 @@ SELECT n_pos, n_neg, n_scores,
   CASE WHEN n_pos > 0 AND n_neg > 0 THEN
     round((2.0 * c + t) / (2.0 * n_pos * n_neg), 6) ELSE NULL END AS auc_r
 FROM tot
+""",
+        # q173: both k-means|| rounds unrolled — round-6 cos/d2, det_sum
+        # phi folds, md5 draws, vote weights, weight-ranked top-k
+        "q173_kmeanspp": f"""
+WITH corpus AS (
+  {_UNIT_CORPUS}
+), c0 AS (
+  SELECT vec_id AS ctr_id, e AS ce FROM corpus ORDER BY vec_id LIMIT 1
+), s0 AS (
+  SELECT c.vec_id AS id,
+    greatest(0.0, 1.0 - max(round({_COS.format(a='c.e', b='c0.ce')}, 6))) AS d2
+  FROM corpus c CROSS JOIN c0 GROUP BY 1
+), phi1 AS (
+  SELECT list_aggregate(list(s1 ORDER BY b), 'sum') AS phi FROM (
+    SELECT (('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))::BIGINT % 64) AS b,
+           list_aggregate(list(d2 ORDER BY CAST(id AS VARCHAR)), 'sum') AS s1
+    FROM s0 GROUP BY 1)
+), n1 AS (
+  SELECT id FROM s0 CROSS JOIN phi1
+  WHERE (('0x' || substr(md5('km0:1:' || CAST(id AS VARCHAR)), 1, 15))::BIGINT
+         % 1000000) * phi < {KMPP_L} * d2 * 1000000.0
+), s1 AS (
+  SELECT s0.id, least(s0.d2, coalesce(nb.nd, s0.d2)) AS d2
+  FROM s0 LEFT JOIN (
+    SELECT c.vec_id AS id,
+      greatest(0.0, 1.0 - max(round({_COS.format(a='c.e', b='ne.e')}, 6))) AS nd
+    FROM corpus c CROSS JOIN (
+      SELECT e FROM corpus WHERE vec_id IN (SELECT id FROM n1)) ne
+    GROUP BY 1
+  ) nb ON s0.id = nb.id
+), phi2 AS (
+  SELECT list_aggregate(list(s1 ORDER BY b), 'sum') AS phi FROM (
+    SELECT (('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))::BIGINT % 64) AS b,
+           list_aggregate(list(d2 ORDER BY CAST(id AS VARCHAR)), 'sum') AS s1
+    FROM s1 GROUP BY 1)
+), n2 AS (
+  SELECT id FROM s1 CROSS JOIN phi2
+  WHERE (('0x' || substr(md5('km0:2:' || CAST(id AS VARCHAR)), 1, 15))::BIGINT
+         % 1000000) * phi < {KMPP_L} * d2 * 1000000.0
+), cents AS (
+  SELECT ctr_id FROM c0
+  UNION ALL SELECT id FROM n1
+  UNION ALL SELECT id FROM n2
+), voted AS (
+  SELECT id, ctr FROM (
+    SELECT c.vec_id AS id, ct.ctr_id AS ctr,
+      row_number() OVER (PARTITION BY c.vec_id
+        ORDER BY round({_COS.format(a='c.e', b='ce.e')}, 6) DESC,
+                 ct.ctr_id ASC) AS rn
+    FROM corpus c CROSS JOIN cents ct JOIN corpus ce ON ce.vec_id = ct.ctr_id
+  ) WHERE rn = 1
+), w AS (
+  SELECT ctr, count(*) AS weight FROM voted GROUP BY 1
+), nc AS (SELECT count(*) AS n_candidates FROM cents)
+SELECT CAST(rn - 1 AS INTEGER) AS cell, ctr AS cand_id, weight, n_candidates
+FROM (SELECT ctr, weight,
+        row_number() OVER (ORDER BY weight DESC, ctr ASC) AS rn FROM w)
+CROSS JOIN nc WHERE rn <= {KMPP_K}
 """,
         # q167: Elias gamma/delta gap costs via bin() lengths (no log2)
         "q167_adjacency_bits": f"""

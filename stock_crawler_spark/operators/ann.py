@@ -863,3 +863,140 @@ def jl_project(
         for row in planes
     ]
     return vectors.select(F.col(vid), F.array(*comps).alias("proj"))
+
+
+# --- k-means|| initialization ---------------------------------------------
+
+
+def kmeans_parallel_init(
+    corpus: DataFrame,
+    k: int,
+    l: int | None = None,
+    rounds: int = 3,
+    salt: str = "km0",
+    cid: str = "vec_id",
+    emb: str = "embedding",
+    buckets: int = 64,
+) -> DataFrame:
+    """Scalable k-means++ seeding (k-means|| — Bahmani et al., VLDB
+    2012): the initialization tier under build_ivf's Lloyd refinement.
+    Sequential k-means++ needs k corpus passes (one per center — dead at
+    k ~ sqrt(10^10)); k-means|| reaches the same O(log phi)-competitive
+    seeding quality in a CONSTANT number of passes by oversampling ~l
+    centers per round in parallel, then reducing the ~l*rounds
+    candidates by weight.
+
+    Per round (all DataFrame ops, centers always broadcast-sized):
+
+      d2(x)   = 1 - best cos against centers so far, maintained
+                INCREMENTALLY — each round joins the corpus against the
+                round's NEW centers only (broadcast), min-folds into the
+                carried d2, localCheckpoint-truncated (pagerank pattern);
+      phi     = sum of d2 through det_sum's ordered fold
+                (bit-reproducible);
+      draw    x joins the candidate set iff u(x, round) < l * d2 / phi,
+                with u a 6-digit md5 uniform of (salt, round, id) — pure
+                data, no RNG object: re-runs, re-partitions, and the
+                DuckDB oracle reproduce the same draws (q127's
+                discipline). Spherical distance d2 = 1 - cos on unit
+                vectors is Euclidean d^2 / 2, so the sampling odds match
+                the paper's up to the constant that cancels in l*d2/phi.
+
+    Every decision quantity (cos, d2) is rounded to 6 dp BEFORE use so
+    threshold comparisons and argmaxes replay exactly in SQL (q139's
+    greedy-replay discipline). The final reduction is the weight-ranked
+    variant: each corpus point votes for its nearest candidate, and the
+    k heaviest candidates (weight desc, id asc) become cells 0..k-1 —
+    one groupBy + one O(candidates) rank, never the paper's driver-side
+    k-means++ re-clustering (an option at small k, but a serial k-step
+    loop at k = 65536). Output: (cell, cand_id, weight, n_candidates);
+    feed the chosen rows to build_ivf/Lloyd as the centroid seed.
+    """
+    from stock_crawler_spark.operators.dedup import _md5_hash60
+    from stock_crawler_spark.operators.graph import det_sum
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    l = l if l is not None else 2 * k
+    c = _unit_select(corpus, cid, emb, "cand_id", "c_emb")
+    c = c.persist()
+    first = (
+        c.orderBy(F.asc("cand_id")).limit(1)
+        .select(F.col("cand_id").alias("ctr_id"), F.col("c_emb").alias("ctr_emb"))
+    )
+    centers = first
+    new = first
+
+    def _min_d2_vs(state: DataFrame, new_centers: DataFrame) -> DataFrame:
+        best = (
+            state.select("cand_id", "c_emb")
+            .join(F.broadcast(new_centers))
+            .withColumn("_cos", F.round(_dot(F.col("c_emb"), F.col("ctr_emb")), 6))
+            .groupBy("cand_id")
+            .agg(F.max("_cos").alias("_best"))
+        )
+        carried = (
+            state.join(best, "cand_id", "left")
+            .withColumn(
+                "_nd",
+                F.greatest(F.lit(0.0), F.lit(1.0) - F.coalesce("_best", F.lit(-1.0))),
+            )
+        )
+        if "d2" in state.columns:
+            carried = carried.withColumn("_nd", F.least(F.col("d2"), F.col("_nd")))
+        return carried.select("cand_id", "c_emb", F.col("_nd").alias("d2"))
+
+    state = _min_d2_vs(c, new).localCheckpoint(eager=True)
+    for r in range(1, rounds + 1):
+        phi = det_sum(
+            state.withColumn("_k", F.col("cand_id").cast("string")),
+            [], "_k", "d2", "_phi", buckets,
+        )
+        u6 = F.pmod(
+            _md5_hash60(
+                F.concat(
+                    F.lit(f"{salt}:{r}:"), F.col("cand_id").cast("string")
+                )
+            ),
+            F.lit(1000000),
+        ).cast("double")
+        new = (
+            state.crossJoin(F.broadcast(phi))
+            .filter(u6 * F.col("_phi") < F.lit(float(l)) * F.col("d2") * F.lit(1e6))
+            .select(F.col("cand_id").alias("ctr_id"), F.col("c_emb").alias("ctr_emb"))
+        )
+        centers = centers.unionByName(new).localCheckpoint(eager=True)
+        # once selected, a point's d2 folds to 0 via its self-cos = 1
+        state = _min_d2_vs(state, new).localCheckpoint(eager=True)
+    # weight candidates: every corpus point votes for its nearest
+    voted = (
+        c.join(F.broadcast(centers))
+        .withColumn("_cos", F.round(_dot(F.col("c_emb"), F.col("ctr_emb")), 6))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("cand_id").orderBy(
+                    F.desc("_cos"), F.asc("ctr_id")
+                )
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+    )
+    weights = voted.groupBy("ctr_id").agg(F.count(F.lit(1)).alias("weight"))
+    n_cand = centers.count()
+    c.unpersist()
+    return (
+        weights.withColumn(
+            "cell",
+            F.row_number().over(
+                Window.orderBy(F.desc("weight"), F.asc("ctr_id"))
+            ) - 1,
+        )
+        .filter(F.col("cell") < k)
+        .select(
+            F.col("cell").cast("int").alias("cell"),
+            F.col("ctr_id").alias("cand_id"),
+            "weight",
+            F.lit(int(n_cand)).cast("long").alias("n_candidates"),
+        )
+    )

@@ -596,3 +596,93 @@ def test_jl_preserves_pairwise_distances(spark):
     # and unbiased on average
     assert all(0.4 < x < 1.8 for x in ratios), (min(ratios), max(ratios))
     assert 0.8 < sum(ratios) / len(ratios) < 1.2
+
+
+# --- kmeans_parallel_init ---------------------------------------------------
+
+
+def _kmpp_py(rows, k, l, rounds, salt="km0"):
+    """Python twin of the round/draw/weight chain (round-6 decisions)."""
+    import hashlib
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    ids = sorted(r["vec_id"] for r in rows)
+    vec = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows
+    }
+    unit = {i: v / np.linalg.norm(v) for i, v in vec.items()}
+
+    def cos6(a, b):
+        return round(float(unit[a] @ unit[b]), 6)
+
+    centers = [ids[0]]
+    d2 = {i: max(0.0, 1.0 - cos6(i, ids[0])) for i in ids}
+    for r in range(1, rounds + 1):
+        # det_sum replay: bucket by md5(id) % 64, fold in id-string order
+        bks = {}
+        for i in ids:
+            b = h60(str(i)) % 64
+            bks.setdefault(b, []).append(i)
+        phi = 0.0
+        for b in sorted(bks):
+            s = 0.0
+            for i in sorted(bks[b], key=str):
+                s += d2[i]
+            phi += s
+        new = [
+            i for i in ids
+            if (h60(f"{salt}:{r}:{i}") % 1000000) * phi < l * d2[i] * 1e6
+        ]
+        centers += new
+        for i in ids:
+            best = max((cos6(i, c) for c in new), default=-1.0)
+            d2[i] = min(d2[i], max(0.0, 1.0 - best))
+    votes = {}
+    for i in ids:
+        tgt = min(centers, key=lambda c: (-cos6(i, c), c))
+        votes[tgt] = votes.get(tgt, 0) + 1
+    ranked = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return [
+        (cell, cid, w, len(centers)) for cell, (cid, w) in enumerate(ranked)
+    ]
+
+
+def test_kmpp_matches_python_twin(spark, emb):
+    sub = emb.filter(F.col("vec_id") < 60).cache()
+    got = sorted(
+        tuple(r) for r in ann.kmeans_parallel_init(
+            sub, k=6, l=4, rounds=2
+        ).collect()
+    )
+    expected = sorted(_kmpp_py(sub.collect(), k=6, l=4, rounds=2))
+    assert got == [tuple(e) for e in expected]
+
+
+def test_kmpp_partition_invariant_and_covers_clusters(spark):
+    # three orthogonal clusters of IDENTICAL vectors: within a cluster
+    # every vote ties at cos 1 and collapses onto the min-id candidate,
+    # so the top-3 by weight is exactly one seed per cluster, weight 10
+    base = [[10.0, 0.0, 0.0], [0.0, 10.0, 0.0], [0.0, 0.0, 10.0]]
+    rows = [(i, base[i % 3]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = sorted(tuple(r) for r in ann.kmeans_parallel_init(df, k=3, l=5, rounds=3).collect())
+    b = sorted(
+        tuple(r)
+        for r in ann.kmeans_parallel_init(
+            df.repartition(7), k=3, l=5, rounds=3
+        ).collect()
+    )
+    assert a == b  # deterministic draws + det_sum phi -> bit equality
+    # one seed per cluster: the 3 chosen candidates' ids cover all residues
+    assert {int(cid) % 3 for _, cid, _, _ in a} == {0, 1, 2}
+    assert all(w == 10 for _, _, w, _ in a)
+
+
+def test_kmpp_k1_and_validation(spark, emb):
+    sub = emb.filter(F.col("vec_id") < 10)
+    one = ann.kmeans_parallel_init(sub, k=1, l=2, rounds=1).collect()
+    assert len(one) == 1 and one[0]["cell"] == 0
+    with pytest.raises(ValueError):
+        ann.kmeans_parallel_init(sub, k=0)

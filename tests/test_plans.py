@@ -196,6 +196,7 @@ def test_no_cartesian_products_anywhere(spark):
         "q156_ivf_recall",       # broadcast query head + IVF centroids (q13/q26)
         "q157_dedup_eval",       # crossJoin of three 1-row count aggregates
         "q165_shard_routing",    # broadcast 1-row corpus doc count (idf N)
+        "q173_kmeanspp",         # broadcast 1-row phi + O(k*rounds) center set
     }
     for name, fn in entrymod.queries().items():
         tree = _plan(fn(spark, "/root/testdata/sf0.001")).split("\n\n")[0]
