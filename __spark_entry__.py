@@ -3217,6 +3217,29 @@ def q173_kmeanspp(spark, sf):
     return kmeans_parallel_init(emb, k=KMPP_K, l=KMPP_L, rounds=KMPP_ROUNDS)
 
 
+MARGIN_K = 4
+MARGIN_THR = 1.10
+
+
+def q174_bitext_mine(spark, sf):
+    """Margin-based bitext mining (operators/ann.margin_mine; Artetxe
+    & Schwenk ACL'19 — the LASER/CCMatrix recipe): even-id embeddings
+    play the source language, odd-id the target; forward/backward
+    brute-force top-4 heads feed the margin ratio cos / (mean
+    neighborhood density), each source keeps its best candidate above
+    1.10. Hub vectors that raw cosine would pair with everything
+    collapse to margin ~1 and drop. Composition over the q13 head shape
+    — at 10^9 vectors swap in ivf_topk/ivfpq_topk heads unchanged."""
+    from stock_crawler_spark.operators.ann import brute_force_topk, margin_mine
+
+    emb = _t(spark, sf, "embeddings")
+    src = emb.filter(F.col("vec_id") % 2 == 0)
+    tgt = emb.filter(F.col("vec_id") % 2 == 1)
+    fwd = brute_force_topk(src, tgt, k=MARGIN_K)
+    bwd = brute_force_topk(tgt, src, k=MARGIN_K)
+    return margin_mine(fwd, bwd, threshold=MARGIN_THR)
+
+
 QUANTILE_PS = [0.5, 0.9, 0.99]
 
 ROUTE_SHARDS = 8
@@ -4103,6 +4126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q171_hyperanf": q171_hyperanf,
         "q172_auc": q172_auc,
         "q173_kmeanspp": q173_kmeanspp,
+        "q174_bitext_mine": q174_bitext_mine,
     }
 
 
@@ -7096,6 +7120,38 @@ SELECT CAST(rn - 1 AS INTEGER) AS cell, ctr AS cand_id, weight, n_candidates
 FROM (SELECT ctr, weight,
         row_number() OVER (ORDER BY weight DESC, ctr ASC) AS rn FROM w)
 CROSS JOIN nc WHERE rn <= {KMPP_K}
+""",
+        # q174: both top-4 heads (q13 shape), rank-ordered mean folds,
+        # round-6 margin decisions, per-source argmax + threshold
+        "q174_bitext_mine": f"""
+WITH u AS (
+  {_UNIT_CORPUS}
+), s AS (SELECT vec_id AS qid, e FROM u WHERE vec_id % 2 = 0),
+t AS (SELECT vec_id AS cid, e FROM u WHERE vec_id % 2 = 1),
+fwd AS (SELECT qid, cid, cos, rank FROM (
+  SELECT s.qid, t.cid, {_COS.format(a='s.e', b='t.e')} AS cos,
+    row_number() OVER (PARTITION BY s.qid
+      ORDER BY {_COS.format(a='s.e', b='t.e')} DESC, t.cid) AS rank
+  FROM s, t) WHERE rank <= {MARGIN_K}),
+bwd AS (SELECT qid, cid, cos, rank FROM (
+  SELECT t.cid AS qid, s.qid AS cid, {_COS.format(a='s.e', b='t.e')} AS cos,
+    row_number() OVER (PARTITION BY t.cid
+      ORDER BY {_COS.format(a='s.e', b='t.e')} DESC, s.qid) AS rank
+  FROM s, t) WHERE rank <= {MARGIN_K}),
+fm AS (SELECT qid, list_aggregate(list(cos ORDER BY rank), 'sum')
+                   / count(*) AS m FROM fwd GROUP BY 1),
+bm AS (SELECT qid AS cid, list_aggregate(list(cos ORDER BY rank), 'sum')
+                   / count(*) AS m FROM bwd GROUP BY 1),
+sc AS (
+  SELECT f.qid AS src_id, f.cid AS tgt_id, round(f.cos, 6) AS cos_r,
+         round(f.cos / ((fm.m + bm.m) / 2.0), 6) AS margin_r
+  FROM fwd f JOIN fm USING (qid) JOIN bm USING (cid)
+  WHERE fm.m + bm.m > 0
+)
+SELECT src_id, tgt_id, cos_r, margin_r FROM (
+  SELECT *, row_number() OVER (PARTITION BY src_id
+    ORDER BY margin_r DESC, tgt_id) AS rn FROM sc)
+WHERE rn = 1 AND margin_r >= {MARGIN_THR}
 """,
         # q167: Elias gamma/delta gap costs via bin() lengths (no log2)
         "q167_adjacency_bits": f"""

@@ -1000,3 +1000,80 @@ def kmeans_parallel_init(
             F.lit(int(n_cand)).cast("long").alias("n_candidates"),
         )
     )
+
+
+# --- margin-based bitext mining ---------------------------------------------
+
+
+def margin_mine(
+    fwd: DataFrame,
+    bwd: DataFrame,
+    threshold: float = 1.05,
+) -> DataFrame:
+    """Margin-based parallel-corpus mining (Artetxe & Schwenk, ACL
+    2019 — the LASER/CCMatrix recipe): score each forward-neighbor
+    candidate pair by its cosine RELATIVE to both endpoints' average
+    neighborhood density,
+
+      margin(x, y) = cos(x, y) / ((mean_k cos(x, NN(x)) +
+                                   mean_k cos(y, NN(y))) / 2)
+
+    which suppresses hub vectors that are near EVERYTHING (raw-cosine
+    thresholds mine garbage around hubs — the paper's core finding),
+    then keeps each source's best candidate (the "max" strategy) above
+    ``threshold``.
+
+    Composition, not recomputation: ``fwd`` (src -> tgt) and ``bwd``
+    (tgt -> src) are any (query_id, cand_id, cos, rank) top-k heads —
+    brute_force_topk at gate scale, ivf_topk / ivfpq_topk at 10^9
+    vectors — so mining adds only O(pairs)-sized work over the heads:
+    two k-bounded groupBy means (cos folded in rank order — the fixed
+    fold that makes the means bit-reproducible), one join of the
+    forward head against both mean tables, and a per-source argmax over
+    <= k candidates. margin is rounded to 6 dp BEFORE the argmax and
+    threshold test so accept/reject decisions replay exactly in SQL
+    (q139's greedy-replay discipline). Non-positive mean denominators
+    (pathological all-negative neighborhoods) are dropped rather than
+    divided through.
+
+    Output: (src_id, tgt_id, cos_r, margin_r) — one row per mined pair.
+    """
+    from stock_crawler_spark.operators.graph import _sorted_fold
+
+    def _means(head: DataFrame, out_id: str, out_m: str) -> DataFrame:
+        return head.groupBy(F.col("query_id").alias(out_id)).agg(
+            (
+                _sorted_fold(F.col("rank"), F.col("cos"))
+                / F.count(F.lit(1)).cast("double")
+            ).alias(out_m)
+        )
+
+    fm = _means(fwd, "_src", "_fm")
+    bm = _means(bwd, "_tgt", "_bm")
+    scored = (
+        fwd.select(
+            F.col("query_id").alias("_src"),
+            F.col("cand_id").alias("_tgt"),
+            "cos",
+        )
+        .join(fm, "_src")
+        .join(bm, "_tgt")
+        .filter((F.col("_fm") + F.col("_bm")) > 0)
+        .withColumn(
+            "margin_r",
+            F.round(
+                F.col("cos") / ((F.col("_fm") + F.col("_bm")) / F.lit(2.0)), 6
+            ),
+        )
+    )
+    w = Window.partitionBy("_src").orderBy(F.desc("margin_r"), F.asc("_tgt"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col("margin_r") >= F.lit(threshold)))
+        .select(
+            F.col("_src").alias("src_id"),
+            F.col("_tgt").alias("tgt_id"),
+            F.round("cos", 6).alias("cos_r"),
+            "margin_r",
+        )
+    )

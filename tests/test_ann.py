@@ -686,3 +686,79 @@ def test_kmpp_k1_and_validation(spark, emb):
     assert len(one) == 1 and one[0]["cell"] == 0
     with pytest.raises(ValueError):
         ann.kmeans_parallel_init(sub, k=0)
+
+
+# --- margin_mine ------------------------------------------------------------
+
+
+def _mine(spark, src_rows, tgt_rows, k=2, thr=1.02):
+    src = spark.createDataFrame(src_rows, "vec_id long, embedding array<double>")
+    tgt = spark.createDataFrame(tgt_rows, "vec_id long, embedding array<double>")
+    fwd = ann.brute_force_topk(src, tgt, k=k)
+    bwd = ann.brute_force_topk(tgt, src, k=k)
+    return {
+        (r["src_id"], r["tgt_id"]): r["margin_r"]
+        for r in ann.margin_mine(fwd, bwd, threshold=thr).collect()
+    }
+
+
+def test_margin_demotes_hub_keeps_true_pair(spark):
+    # t10 is a genuine translation of s0; t11-t13 are a HUB CLUSTER the
+    # remaining sources all sit inside. Raw cosine pairs s1-s3 with hub
+    # twins at cos ~0.999, but both endpoints' neighborhood means are
+    # just as high, so those margins collapse to ~1.000 while the
+    # isolated true pair keeps margin ~1.21 — the paper's core finding.
+    src = [(0, [1.0, 0.0, 0.05]), (1, [0.58, 0.62, 0.5]),
+           (2, [0.62, 0.58, 0.5]), (3, [0.6, 0.6, 0.55])]
+    tgt = [(10, [0.995, 0.0, 0.05]), (11, [0.6, 0.6, 0.5]),
+           (12, [0.61, 0.59, 0.5]), (13, [0.59, 0.61, 0.52])]
+    got = _mine(spark, src, tgt, k=2, thr=1.02)
+    assert set(got) == {(0, 10)}  # true pair survives, hub pairs rejected
+
+
+def test_margin_matches_numpy_twin(spark):
+    rng = [(i, [((i * 7 + j * 13) % 19) / 19.0 + 0.05 for j in range(4)])
+           for i in range(24)]
+    src_rows = [r for r in rng if r[0] % 2 == 0]
+    tgt_rows = [r for r in rng if r[0] % 2 == 1]
+    k, thr = 3, 0.0
+
+    def unit(v):
+        v = np.array(v, dtype=np.float64)
+        return v / np.linalg.norm(v)
+
+    su = {i: unit(v) for i, v in src_rows}
+    tu = {i: unit(v) for i, v in tgt_rows}
+
+    def head(qs, cs, k):
+        out = {}
+        for qi, qv in qs.items():
+            ranked = sorted(cs.items(), key=lambda kv: (-float(qv @ kv[1]), kv[0]))[:k]
+            out[qi] = [(ci, float(qv @ cv)) for ci, cv in ranked]
+        return out
+
+    fwd, bwd = head(su, tu, k), head(tu, su, k)
+    fm = {q: sum(c for _, c in h) / len(h) for q, h in fwd.items()}
+    bm = {q: sum(c for _, c in h) / len(h) for q, h in bwd.items()}
+    expected = {}
+    for q, h in fwd.items():
+        cands = [
+            (round(cos / ((fm[q] + bm[t]) / 2.0), 6), t)
+            for t, cos in h if (fm[q] + bm[t]) > 0
+        ]
+        m, t = max(((m, -t) for m, t in cands))
+        if m >= thr:
+            expected[(q, -t)] = m
+    got = _mine(spark, src_rows, tgt_rows, k=k, thr=thr)
+    assert got == expected
+
+
+def test_margin_partition_invariant_and_threshold(spark):
+    rows = [(i, [((i * 11 + j * 5) % 17) / 17.0 + 0.1 for j in range(3)])
+            for i in range(20)]
+    src_rows = [r for r in rows if r[0] % 2 == 0]
+    tgt_rows = [r for r in rows if r[0] % 2 == 1]
+    a = _mine(spark, src_rows, tgt_rows, k=3, thr=0.0)
+    b = _mine(spark, src_rows, tgt_rows, k=3, thr=2.0)
+    assert len(a) == len(src_rows)  # thr 0 keeps every source's best
+    assert b == {}  # impossible threshold mines nothing

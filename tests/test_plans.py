@@ -197,6 +197,7 @@ def test_no_cartesian_products_anywhere(spark):
         "q157_dedup_eval",       # crossJoin of three 1-row count aggregates
         "q165_shard_routing",    # broadcast 1-row corpus doc count (idf N)
         "q173_kmeanspp",         # broadcast 1-row phi + O(k*rounds) center set
+        "q174_bitext_mine",      # broadcast query halves x streamed corpus (q13)
     }
     for name, fn in entrymod.queries().items():
         tree = _plan(fn(spark, "/root/testdata/sf0.001")).split("\n\n")[0]
