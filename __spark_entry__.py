@@ -3240,6 +3240,55 @@ def q174_bitext_mine(spark, sf):
     return margin_mine(fwd, bwd, threshold=MARGIN_THR)
 
 
+HEAPS_C = 8
+HEAPS_DOC_TOKENS = 40
+HEAPS_VOCAB_M = 8192
+
+
+def q175_heaps_fit(spark, sf):
+    """Heaps-law vocabulary growth fit V(n) = K * n^beta
+    (operators/profile.heaps_fit; Heaps 1978) — q122's Zipf integral
+    twin: how fast NEW words keep arriving as the crawl grows, the
+    curve that sizes tokenizer vocabularies and prices the marginal
+    10^9 pages. The gate documents carry a ~31-word template
+    vocabulary that saturates at the first checkpoint (a flat,
+    fit-degenerate line), so the entry drives the operator over a
+    deterministic md5 token stream derived from doc_id (the q165/q27
+    synthesis practice): 40 tokens/doc drawn from an 8192-word pool —
+    a genuinely growing curve. Global token positions from the shared
+    distributed cumsum, first occurrences from one min-groupBy, all 8
+    checkpoint counts in ONE aggregation pass, OLS folded in
+    checkpoint order — bit-identical in the oracle."""
+    from stock_crawler_spark.operators.profile import heaps_fit
+
+    docs = _t(spark, sf, "documents")
+    h = lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    synth = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(HEAPS_DOC_TOKENS - 1)),
+                lambda j: F.concat(
+                    F.lit("w"),
+                    F.pmod(
+                        h(
+                            F.concat(
+                                F.lit("hp:"),
+                                F.col("doc_id").cast("string"),
+                                F.lit(":"),
+                                j.cast("string"),
+                            )
+                        ),
+                        F.lit(HEAPS_VOCAB_M),
+                    ).cast("string"),
+                ),
+            ),
+        ).alias("text"),
+    )
+    return heaps_fit(synth, n_checkpoints=HEAPS_C)
+
+
 QUANTILE_PS = [0.5, 0.9, 0.99]
 
 ROUTE_SHARDS = 8
@@ -4127,6 +4176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q172_auc": q172_auc,
         "q173_kmeanspp": q173_kmeanspp,
         "q174_bitext_mine": q174_bitext_mine,
+        "q175_heaps_fit": q175_heaps_fit,
     }
 
 
@@ -7152,6 +7202,60 @@ SELECT src_id, tgt_id, cos_r, margin_r FROM (
   SELECT *, row_number() OVER (PARTITION BY src_id
     ORDER BY margin_r DESC, tgt_id) AS rn FROM sc)
 WHERE rn = 1 AND margin_r >= {MARGIN_THR}
+""",
+        # q175: window-cumsum token offsets, min first positions, all 8
+        # checkpoint counts in one pass, j-ordered OLS folds (q122 shape)
+        "q175_heaps_fit": f"""
+WITH d AS (
+  SELECT doc_id, list_transform(generate_series(0, {HEAPS_DOC_TOKENS - 1}),
+    j -> 'w' || CAST(('0x' || substr(md5('hp:' || doc_id || ':' || j), 1, 15))
+                     ::BIGINT % {HEAPS_VOCAB_M} AS VARCHAR)) AS tk
+  FROM documents
+), cn AS (
+  SELECT doc_id, len(tk) AS n FROM d
+), offs AS (
+  SELECT doc_id,
+    sum(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) - n AS o
+  FROM cn
+), tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM cn
+), pos AS (
+  SELECT tok, o + idx AS pos FROM (
+    SELECT o, unnest(tk) AS tok, generate_subscripts(tk, 1) AS idx
+    FROM d JOIN offs USING (doc_id))
+), firsts AS (SELECT tok, min(pos) AS fp FROM pos GROUP BY 1
+), vocab AS (SELECT count(*) AS vocab FROM firsts
+), ts AS (SELECT unnest([{",".join(str(j) for j in range(1, HEAPS_C + 1))}]) AS j
+), vj AS (
+  SELECT ts.j, (tot.t * ts.j) // {HEAPS_C} AS nj,
+         count(*) FILTER (WHERE fp <= (tot.t * ts.j) // {HEAPS_C}) AS v
+  FROM firsts CROSS JOIN ts CROSS JOIN tot GROUP BY 1, 2
+), pts AS (
+  SELECT j, round(ln(nj), 12) AS x, round(ln(v), 12) AS y
+  FROM vj WHERE nj > 0 AND v > 0
+), s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+    list_aggregate(list(x ORDER BY j), 'sum') AS sx,
+    list_aggregate(list(y ORDER BY j), 'sum') AS sy,
+    list_aggregate(list(x * x ORDER BY j), 'sum') AS sxx,
+    list_aggregate(list(y * y ORDER BY j), 'sum') AS syy,
+    list_aggregate(list(x * y ORDER BY j), 'sum') AS sxy
+  FROM pts
+), fit AS (
+  SELECT n, sx, sy,
+    n * sxy - sx * sy AS cov,
+    n * sxx - sx * sx AS varx,
+    n * syy - sy * sy AS vary
+  FROM s
+)
+SELECT CAST(n AS BIGINT) AS n_points, t AS total_tokens,
+  CAST(vocab AS BIGINT) AS vocab,
+  CASE WHEN varx > 0 THEN round(cov / varx, 6) + 0.0 END AS beta_r,
+  CASE WHEN varx > 0 THEN round((sy - (cov / varx) * sx) / n, 6) + 0.0
+  END AS lnk_r,
+  CASE WHEN varx > 0 AND vary > 0
+       THEN round(cov * cov / (varx * vary), 6) END AS r2_r
+FROM fit CROSS JOIN tot CROSS JOIN vocab
 """,
         # q167: Elias gamma/delta gap costs via bin() lengths (no log2)
         "q167_adjacency_bits": f"""

@@ -317,3 +317,150 @@ def corpus_datacard(docs: DataFrame, group_col: str = "lang",
             ),
         )
     )
+
+
+def heaps_fit(
+    docs: DataFrame,
+    n_checkpoints: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_partitions: int = 32,
+) -> DataFrame:
+    """One row: (n_points, total_tokens, vocab, beta_r, lnk_r, r2_r) —
+    the Heaps-law fit V(n) = K * n^beta of vocabulary growth against
+    corpus size (Heaps 1978; beta ~ 0.4-0.6 for natural language),
+    zipf_fit's integral twin: Zipf says how often known words recur,
+    Heaps says how fast NEW words keep arriving — the curve that sizes
+    tokenizer vocabularies (q92/q153) and predicts whether another
+    10^9 crawled pages still buys coverage or only tail noise. A spam
+    or template flood bends beta toward 0 (no new vocabulary) or 1
+    (unbounded junk tokens) — both alarms.
+
+    Exact and distributed, no global sort:
+
+      1. per-doc token counts -> exclusive GLOBAL token offsets in
+         doc-id order via the shared distributed-cumsum pattern
+         (_pinned_range_parts); position of token i in doc d =
+         offset(d) + i + 1 — pure integer plumbing;
+      2. first-occurrence position per distinct token: one groupBy
+         min(pos) — the only vocabulary-scale shuffle;
+      3. V at checkpoint n_j = (T * j) div C, j = 1..C: C conditional
+         integer counts in ONE aggregation pass over the distinct
+         tokens (fp <= n_j), never a per-checkpoint rescan;
+      4. OLS of round-12 ln(V_j) on ln(n_j) over the C points, folded
+         in checkpoint order (zipf_fit's normal-equation shape) —
+         beta = slope, ln K = intercept, r2 rides along.
+
+    Checkpoints with n_j = 0 or V_j = 0 (degenerate tiny corpora) are
+    excluded from the fit; duplicate checkpoint positions (T < C)
+    collapse to distinct j values with equal n_j — harmless repeated
+    points. Every decision is integer, every float fold is
+    order-pinned, so the DuckDB oracle replays the fit bit-for-bit.
+    """
+    c = int(n_checkpoints)
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        lambda t: t != F.lit(""),
+    )
+    base = docs.select(
+        F.col(id_col).alias("_id"), toks.alias("_tk")
+    ).withColumn("_n", F.size("_tk"))
+    counts = base.select("_id", "_n")
+    with_pid = _pinned_range_parts(counts, n_partitions, F.asc("_id"))
+    totals = with_pid.groupBy("_pid").agg(F.sum("_n").alias("_t")).collect()
+    off, rows = 0, []
+    for pid, t in sorted((r["_pid"], r["_t"]) for r in totals):
+        rows.append((int(pid), int(off)))
+        off += int(t or 0)
+    total_tokens = off
+    offs = docs.sparkSession.createDataFrame(rows, "_pid int, _off long")
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(F.asc("_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    doc_off = (
+        with_pid.join(F.broadcast(offs), "_pid")
+        .withColumn("_doc_off", F.col("_off") + F.sum("_n").over(w) - F.col("_n"))
+        .select("_id", "_doc_off")
+    )
+    pos = (
+        base.join(doc_off, "_id")
+        .select(
+            "_doc_off", F.posexplode("_tk").alias("_i", "_tok")
+        )
+        .select(
+            "_tok", (F.col("_doc_off") + F.col("_i") + 1).alias("_pos")
+        )
+    )
+    firsts = pos.groupBy("_tok").agg(F.min("_pos").alias("_fp"))
+    cps = [(total_tokens * j) // c for j in range(1, c + 1)]
+    vrow = firsts.agg(
+        F.count(F.lit(1)).alias("_vocab"),
+        *[
+            F.sum((F.col("_fp") <= F.lit(nj)).cast("long")).alias(f"_v{j}")
+            for j, nj in enumerate(cps, start=1)
+        ],
+    )
+    pts = vrow.select(
+        "_vocab",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.lit(nj).cast("long").alias("nj"),
+                        F.col(f"_v{j}").alias("vj"),
+                    )
+                    for j, nj in enumerate(cps, start=1)
+                ]
+            )
+        ).alias("_p"),
+    ).select(
+        "_vocab",
+        F.col("_p.j").alias("j"),
+        F.col("_p.nj").alias("nj"),
+        F.col("_p.vj").alias("vj"),
+    ).filter((F.col("nj") > 0) & (F.col("vj") > 0)).select(
+        "_vocab",
+        "j",
+        F.round(F.log(F.col("nj").cast("double")), 12).alias("x"),
+        F.round(F.log(F.col("vj").cast("double")), 12).alias("y"),
+    )
+
+    def osum(val):
+        return F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("j"), val.alias("v")))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["v"],
+        )
+
+    agg = pts.groupBy("_vocab").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        osum(F.col("x")).alias("sx"),
+        osum(F.col("y")).alias("sy"),
+        osum(F.col("x") * F.col("x")).alias("sxx"),
+        osum(F.col("y") * F.col("y")).alias("syy"),
+        osum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    # degenerate guards: varx = 0 (all checkpoints collapse, T < C) ->
+    # slope undefined; vary = 0 (vocabulary already saturated at the
+    # first checkpoint) -> r2 is 0/0, reported NULL rather than divided
+    return agg.select(
+        F.col("n").cast("long").alias("n_points"),
+        F.lit(int(total_tokens)).cast("long").alias("total_tokens"),
+        F.col("_vocab").cast("long").alias("vocab"),
+        # + 0.0 folds IEEE -0.0 to 0.0 so both engines print one zero
+        F.when(varx > 0, F.round(cov / varx, 6) + F.lit(0.0)).alias("beta_r"),
+        F.when(
+            varx > 0,
+            F.round((F.col("sy") - (cov / varx) * F.col("sx")) / F.col("n"), 6)
+            + F.lit(0.0),
+        ).alias("lnk_r"),
+        F.when(
+            (varx > 0) & (vary > 0), F.round((cov * cov) / (varx * vary), 6)
+        ).alias("r2_r"),
+    )

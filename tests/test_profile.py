@@ -201,3 +201,77 @@ def test_datacard_quality_mean_matches_per_doc(spark):
     ]
     got = corpus_datacard(docs).collect()[0]
     assert abs(got["mean_quality_r"] - sum(per) / len(per)) < 1e-6
+
+
+# --- heaps_fit --------------------------------------------------------------
+
+
+def _heaps_py(texts, c=8):
+    """Python twin: global first positions, C checkpoint counts, OLS."""
+    toks = []
+    for t in texts:
+        toks += [w for w in t.strip().lower().split() if w]
+    total = len(toks)
+    first = {}
+    for i, w in enumerate(toks, start=1):
+        first.setdefault(w, i)
+    cps = [(total * j) // c for j in range(1, c + 1)]
+    pts = []
+    for j, nj in enumerate(cps, start=1):
+        vj = sum(1 for fp in first.values() if fp <= nj)
+        if nj > 0 and vj > 0:
+            pts.append((j, round(math.log(nj), 12), round(math.log(vj), 12)))
+    n = float(len(pts))
+    sx = sum(x for _, x, _ in pts)
+    sy = sum(y for _, _, y in pts)
+    sxx = sum(x * x for _, x, _ in pts)
+    syy = sum(y * y for _, _, y in pts)
+    sxy = sum(x * y for _, x, y in pts)
+    cov, varx, vary = n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy
+    return {
+        "n_points": int(n),
+        "total_tokens": total,
+        "vocab": len(first),
+        "beta_r": round(cov / varx, 6) if varx > 0 else None,
+        "lnk_r": round((sy - (cov / varx) * sx) / n, 6) if varx > 0 else None,
+        "r2_r": round(cov * cov / (varx * vary), 6)
+        if varx > 0 and vary > 0
+        else None,
+    }
+
+
+def _heaps_spark(spark, texts, parts=None):
+    from stock_crawler_spark.operators.profile import heaps_fit
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    if parts:
+        df = df.repartition(parts)
+    return heaps_fit(df).collect()[0].asDict()
+
+
+def test_heaps_matches_python_twin_and_partitions(spark):
+    texts = [
+        " ".join(f"w{(i * j * 7 + j * j) % (20 + 3 * i)}" for j in range(40))
+        for i in range(12)
+    ]
+    got = _heaps_spark(spark, texts)
+    assert got == _heaps_py(texts)
+    assert got == _heaps_spark(spark, texts, parts=7)  # bit-exact invariance
+    assert 0.0 < got["beta_r"] < 1.0  # natural-ish growth exponent
+
+
+def test_heaps_all_unique_tokens_beta_one(spark):
+    # every token new: V(n) = n -> slope 1, perfect fit, ln K = 0
+    texts = [" ".join(f"u{i}_{j}" for j in range(10)) for i in range(6)]
+    got = _heaps_spark(spark, texts)
+    assert got["beta_r"] == 1.0 and got["r2_r"] == 1.0 and got["lnk_r"] == 0.0
+    assert got["vocab"] == got["total_tokens"] == 60
+
+
+def test_heaps_single_token_vocab_flat(spark):
+    texts = ["same same same same same same same same"] * 4
+    got = _heaps_spark(spark, texts)
+    assert got["vocab"] == 1 and got["beta_r"] == 0.0
+    assert got["r2_r"] is None  # vary = 0: r2 is 0/0, reported NULL
