@@ -3289,6 +3289,26 @@ def q175_heaps_fit(spark, sf):
     return heaps_fit(synth, n_checkpoints=HEAPS_C)
 
 
+WALK_LEN = 5
+
+
+def q176_random_walks(spark, sf):
+    """Deterministic uniform random walks over the bow-tie host graph
+    (operators/graph.random_walks; Perozzi et al. KDD'14 DeepWalk
+    corpus shape): step t of walk w moves to the out-neighbor
+    minimizing md5(salt:w:t:v) — uniform yet a pure function of its
+    inputs, so paths replay on any partitioning and engine. One
+    frontier join + one map-side-collapsed min per step, dead ends
+    self-terminate (the OUT-chain tail stops mid-walk). Walk windows
+    feed skip-gram graph embeddings; the paths themselves simulate
+    where a link-following frontier drifts from each seed."""
+    from stock_crawler_spark.operators.graph import random_walks
+
+    return random_walks(
+        _bowtie_edges(spark, sf), walk_len=WALK_LEN, src="s", dst="d"
+    )
+
+
 QUANTILE_PS = [0.5, 0.9, 0.99]
 
 ROUTE_SHARDS = 8
@@ -4177,6 +4197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q173_kmeanspp": q173_kmeanspp,
         "q174_bitext_mine": q174_bitext_mine,
         "q175_heaps_fit": q175_heaps_fit,
+        "q176_random_walks": q176_random_walks,
     }
 
 
@@ -5972,6 +5993,53 @@ def _hll_reg_sql(visits_cte: str) -> str:
 _HLL_EST_NUM = 0.7213 / (1.0 + 1.079 / 1024) * 1024 * 1024 * float(1 << 51)
 
 
+def _walks_oracle(walk_len: int, salt: str = "rw0") -> str:
+    """q176's replay: every walk step unrolled — pick = row 1 by
+    (md5-60 hash, neighbor), dead ends carried through the left join."""
+    head = f"""
+WITH docs_n AS (
+  SELECT doc_id % {SCC_NODES} AS n FROM documents
+), e AS (
+  SELECT DISTINCT s, d FROM (
+    SELECT n AS s, (n + 1) % 20 AS d FROM docs_n WHERE n < 20
+    UNION ALL SELECT n, (n + 7) % 20 FROM docs_n WHERE n < 20
+    UNION ALL SELECT n, n + 1 FROM docs_n WHERE n >= 20 AND n < 39
+    UNION ALL SELECT n, n - 20 FROM docs_n WHERE n >= 20 AND n < 40
+    UNION ALL SELECT n - 40, n FROM docs_n WHERE n >= 40
+    UNION ALL SELECT n, n + 1 FROM docs_n WHERE n >= 40 AND n < 59
+    UNION ALL SELECT n, n - 1 FROM docs_n WHERE n = 58
+    UNION ALL SELECT n, n + 45 FROM docs_n WHERE n >= 20 AND n < 25
+  )
+), nodes AS (
+  SELECT DISTINCT node FROM (SELECT s AS node FROM e UNION ALL SELECT d AS node FROM e)
+), w0 AS (
+  SELECT node AS walk_id, node AS cur, CAST(node AS VARCHAR) AS path,
+         0 AS n_steps
+  FROM nodes
+)"""
+    parts = [head]
+    for t in range(1, walk_len + 1):
+        parts.append(f""", p{t} AS (
+  SELECT walk_id, d FROM (
+    SELECT w.walk_id, e.d,
+      row_number() OVER (PARTITION BY w.walk_id ORDER BY
+        ('0x' || substr(md5('{salt}:' || CAST(w.walk_id AS VARCHAR)
+          || ':{t}:' || CAST(e.d AS VARCHAR)), 1, 15))::BIGINT, e.d) AS rn
+    FROM w{t - 1} w JOIN e ON e.s = w.cur
+  ) WHERE rn = 1
+), w{t} AS (
+  SELECT w.walk_id, coalesce(p.d, w.cur) AS cur,
+    CASE WHEN p.d IS NULL THEN w.path
+         ELSE w.path || '-' || CAST(p.d AS VARCHAR) END AS path,
+    w.n_steps + CASE WHEN p.d IS NULL THEN 0 ELSE 1 END AS n_steps
+  FROM w{t - 1} w LEFT JOIN p{t} p USING (walk_id)
+)""")
+    parts.append(
+        f"\nSELECT walk_id, path, CAST(n_steps AS INTEGER) AS n_steps FROM w{walk_len}"
+    )
+    return "".join(parts)
+
+
 def _hll_est_sql(reg_cte: str) -> str:
     """q75's estimator over a (host, bucket, rho) register CTE: exact
     BIGINT harmonic sum, one IEEE division, linear-counting branch with
@@ -7257,6 +7325,9 @@ SELECT CAST(n AS BIGINT) AS n_points, t AS total_tokens,
        THEN round(cov * cov / (varx * vary), 6) END AS r2_r
 FROM fit CROSS JOIN tot CROSS JOIN vocab
 """,
+        # q176: every walk step unrolled — md5-argmin picks, dead ends
+        # through the left join
+        "q176_random_walks": _walks_oracle(WALK_LEN),
         # q167: Elias gamma/delta gap costs via bin() lengths (no log2)
         "q167_adjacency_bits": f"""
 WITH fan AS (

@@ -1177,3 +1177,102 @@ def hyperanf(
         # cached edge list is unreachable from the returned plan
         e.unpersist()
     return out
+
+
+# --- deterministic random walks -------------------------------------------
+
+
+def random_walks(
+    edges: DataFrame,
+    walk_len: int = 5,
+    salt: str = "rw0",
+    src: str = "src_dom",
+    dst: str = "dst_dom",
+    truncate_lineage: bool = True,
+) -> DataFrame:
+    """Uniform random walks over the directed host graph, one per node
+    — the DeepWalk/node2vec(p=q=1) corpus generator (Perozzi et al.
+    KDD'14): walk windows feed skip-gram embeddings the same way text
+    windows do, and the walks themselves are crawl-path simulations
+    (where does a link-following frontier drift from each seed?).
+
+    Deterministic without an RNG object: step t of walk w moves to
+
+      argmin over out-neighbors v of cur:  md5(salt : w : t : v)
+
+    Each neighbor is equally likely to hold the minimum, so the pick is
+    uniform — but it is a PURE FUNCTION of (salt, walk, step, neighbor):
+    re-runs, re-partitions, and the DuckDB oracle reproduce every path
+    (the q127/q128 hash-draw discipline). No per-source neighbor
+    ranking, no windows: each step is ONE join of the walk frontier
+    against edges keyed on the current node plus one groupBy
+    min(struct(h, v)) whose map-side partial min collapses a hub's
+    10^7 candidate rows inside the scan partitions — cost tracks
+    O(walks x avg-degree) per step, walk state is localCheckpoint-
+    truncated (pagerank pattern) so the plan never grows with length.
+
+    Dead ends self-terminate: a node with no out-edges simply stops
+    advancing (left-join miss keeps cur/path unchanged), matching the
+    restart-free DeepWalk convention. Output one row per start node:
+    (walk_id, path, n_steps) with path the '-'-joined node string.
+    """
+    e = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .union(e.select(F.col("_d").alias("node")))
+        .distinct()
+    )
+    walks = nodes.select(
+        F.col("node").alias("walk_id"),
+        F.col("node").alias("cur"),
+        F.col("node").cast("string").alias("path"),
+        F.lit(0).alias("n_steps"),
+    )
+    if truncate_lineage:
+        walks = walks.localCheckpoint(eager=True)
+    for t in range(1, walk_len + 1):
+        cand = walks.join(e, walks.cur == e._s).select(
+            "walk_id",
+            F.struct(
+                _h60(
+                    F.concat(
+                        F.lit(f"{salt}:"),
+                        F.col("walk_id").cast("string"),
+                        F.lit(f":{t}:"),
+                        F.col("_d").cast("string"),
+                    )
+                ).alias("h"),
+                F.col("_d").alias("v"),
+            ).alias("_hv"),
+        )
+        pick = cand.groupBy("walk_id").agg(F.min("_hv").alias("_hv")).select(
+            "walk_id", F.col("_hv.v").alias("_nxt")
+        )
+        walks = (
+            walks.join(pick, "walk_id", "left")
+            .select(
+                "walk_id",
+                F.coalesce(F.col("_nxt"), F.col("cur")).alias("cur"),
+                F.when(
+                    F.col("_nxt").isNull(), F.col("path")
+                ).otherwise(
+                    F.concat(
+                        F.col("path"), F.lit("-"), F.col("_nxt").cast("string")
+                    )
+                ).alias("path"),
+                (
+                    F.col("n_steps")
+                    + F.col("_nxt").isNotNull().cast("int")
+                ).alias("n_steps"),
+            )
+        )
+        if truncate_lineage:
+            walks = walks.localCheckpoint(eager=True)
+    out = walks.select("walk_id", "path", "n_steps")
+    if truncate_lineage:
+        e.unpersist()
+    return out

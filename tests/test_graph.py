@@ -5,7 +5,12 @@ from __future__ import annotations
 
 import math
 
-from stock_crawler_spark.operators.graph import bfs_depth, host_indegree, hyperanf
+from stock_crawler_spark.operators.graph import (
+    bfs_depth,
+    host_indegree,
+    hyperanf,
+    random_walks,
+)
 
 
 def _edges(spark, pairs):
@@ -752,3 +757,73 @@ def test_hyperanf_estimates_within_hll_error_of_exact(spark):
     got = _anf_curve(hyperanf(_iedges(spark, pairs), max_t=3, src="s", dst="d"))
     for t in range(4):
         assert abs(got[t] - exact[t]) / exact[t] < 0.05, (t, got[t], exact[t])
+
+
+# --- random_walks -----------------------------------------------------------
+
+
+def _walks_py(pairs, walk_len, salt="rw0"):
+    import hashlib
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    adj = {}
+    nodes = set()
+    for a, b in set(pairs):
+        adj.setdefault(a, set()).add(b)
+        nodes |= {a, b}
+    out = {}
+    for w in nodes:
+        cur, path, steps = w, str(w), 0
+        for t in range(1, walk_len + 1):
+            nbrs = adj.get(cur)
+            if not nbrs:
+                continue
+            cur = min(nbrs, key=lambda v: (h60(f"{salt}:{w}:{t}:{v}"), v))
+            path += f"-{cur}"
+            steps += 1
+        out[w] = (path, steps)
+    return out
+
+
+def test_walks_chain_and_dead_end(spark):
+    e = _iedges(spark, [(0, 1), (1, 2), (2, 3)])
+    got = {r["walk_id"]: (r["path"], r["n_steps"])
+           for r in random_walks(e, walk_len=5, src="s", dst="d").collect()}
+    assert got[0] == ("0-1-2-3", 3)  # deterministic chain, then stuck
+    assert got[3] == ("3", 0)        # dead end never advances
+    assert got == _walks_py([(0, 1), (1, 2), (2, 3)], 5)
+
+
+def test_walks_branching_matches_twin_and_partitions(spark):
+    pairs = [(i, (i * 5 + 1) % 13) for i in range(13)] + [
+        (i, (i * 3 + 7) % 13) for i in range(13)
+    ]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    e = _iedges(spark, pairs)
+    got = {r["walk_id"]: (r["path"], r["n_steps"])
+           for r in random_walks(e, walk_len=4, src="s", dst="d").collect()}
+    assert got == _walks_py(pairs, 4)
+    rep = {r["walk_id"]: (r["path"], r["n_steps"])
+           for r in random_walks(e.repartition(5), walk_len=4, src="s", dst="d").collect()}
+    assert rep == got  # hash draws + min fold -> bit-exact invariance
+    # both out-branches are exercised somewhere across walks x steps
+    hops = set()
+    for w, (path, _) in got.items():
+        ns = [int(x) for x in path.split("-")]
+        hops |= {(a, b) for a, b in zip(ns, ns[1:])}
+    outdeg2 = {a for a, _ in pairs}
+    used_second = any((a, (a * 3 + 7) % 13) in hops for a in outdeg2)
+    used_first = any((a, (a * 5 + 1) % 13) in hops for a in outdeg2)
+    assert used_first and used_second
+
+
+def test_walks_salt_changes_paths(spark):
+    pairs = [(0, i) for i in range(1, 9)]
+    e = _iedges(spark, pairs)
+    a = random_walks(e, walk_len=1, salt="rw0", src="s", dst="d").collect()
+    b = random_walks(e, walk_len=1, salt="rw1", src="s", dst="d").collect()
+    pa = {r["walk_id"]: r["path"] for r in a}
+    pb = {r["walk_id"]: r["path"] for r in b}
+    assert pa[0] != pb[0]  # different salt, different draw (8 branches)
