@@ -3309,6 +3309,23 @@ def q176_random_walks(spark, sf):
     )
 
 
+def q177_salsa(spark, sf):
+    """SALSA (operators/graph.salsa; Lempel & Moran WWW'00) on q76's
+    harvested link graph: HITS' random-walk cousin — hub/authority mass
+    divides across degree instead of copying whole, so a dense link
+    farm caps at its degree share of the walk (within a connected
+    co-citation component the stationary authority is EXACTLY
+    in-degree-proportional). The spam-resistant half of the
+    fetch-vs-harvest prioritization pair; det_sum folds end to end, so
+    the oracle unrolls the same 3 iterations bit-for-bit."""
+    from stock_crawler_spark.operators.graph import salsa
+
+    edges = _q50_edges(spark, sf).filter(
+        F.regexp_extract("src_dom", r"^h(\d+)\.com$", 1).cast("int") < PR_SRC_CAP
+    )
+    return salsa(edges, n_iter=PR_ITER)
+
+
 QUANTILE_PS = [0.5, 0.9, 0.99]
 
 ROUTE_SHARDS = 8
@@ -4198,6 +4215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q174_bitext_mine": q174_bitext_mine,
         "q175_heaps_fit": q175_heaps_fit,
         "q176_random_walks": q176_random_walks,
+        "q177_salsa": q177_salsa,
     }
 
 
@@ -4709,6 +4727,72 @@ FROM h{PR_ITER} h JOIN au{PR_ITER} au ON h.dom = au.dom"""
     # reference each prior CTE several times; DuckDB's default inlining
     # re-expands the whole chain per reference (exponential planner blowup
     # — >280s at sf0.001 vs 0.5s materialized). Values are unchanged.
+    return sql.replace(" AS (", " AS MATERIALIZED (")
+
+
+def _salsa_oracle() -> str:
+    """Unrolled SALSA matching operators/graph.salsa bit-for-bit — the
+    _hits_oracle chain with each contribution divided by the opposite
+    endpoint's degree (hub/outdeg into authorities, auth/indeg into
+    hubs), same md5 bucketing / ordered folds / L1 normalizers."""
+    from stock_crawler_spark.operators.graph import DET_SUM_BUCKETS
+
+    def bkt(x: str) -> str:
+        return f"(('0x' || substr(md5({x}), 1, 15))::BIGINT % {DET_SUM_BUCKETS})"
+
+    z = "CAST(0 AS DOUBLE)"
+    sql = f"""
+WITH ks AS (
+  SELECT doc_id, unnest([1, 2, 3]) AS k FROM documents
+), e AS (
+  SELECT DISTINCT 'h' || CAST(doc_id % {GRAPH_HOSTS} AS VARCHAR) || '.com' AS s,
+         'h' || CAST((doc_id * 7 + k) % {GRAPH_HOSTS} AS VARCHAR) || '.com' AS d
+  FROM ks
+  WHERE doc_id % {GRAPH_HOSTS} < {PR_SRC_CAP}
+    AND doc_id % {GRAPH_HOSTS} <> (doc_id * 7 + k) % {GRAPH_HOSTS}
+), nodes AS (
+  SELECT s AS dom FROM e UNION SELECT d FROM e
+), od AS (SELECT s AS dom, count(*) AS od_n FROM e GROUP BY 1
+), ind AS (SELECT d AS dom, count(*) AS in_n FROM e GROUP BY 1
+), h0 AS (SELECT dom, CAST(1.0 AS DOUBLE) AS hub FROM nodes)"""
+    for i in range(1, PR_ITER + 1):
+        p = i - 1
+        sql += f""",
+a{i}a AS (
+  SELECT e.d AS dom, {bkt('e.s')} AS b,
+         list_aggregate(list(h.hub / od.od_n ORDER BY e.s), 'sum') AS s1
+  FROM e JOIN h{p} h ON e.s = h.dom JOIN od ON e.s = od.dom GROUP BY 1, 2
+), a{i}r AS (
+  SELECT dom, list_aggregate(list(s1 ORDER BY b), 'sum') AS a FROM a{i}a GROUP BY 1
+), a{i}ta AS (
+  SELECT {bkt('dom')} AS b, list_aggregate(list(a ORDER BY dom), 'sum') AS s1
+  FROM a{i}r GROUP BY 1
+), a{i}t AS (
+  SELECT coalesce(list_aggregate(list(s1 ORDER BY b), 'sum'), {z}) AS t FROM a{i}ta
+), au{i} AS (
+  SELECT n.dom,
+    CASE WHEN t.t = 0 THEN {z} ELSE coalesce(a.a, {z}) / t.t END AS auth
+  FROM nodes n CROSS JOIN a{i}t t LEFT JOIN a{i}r a ON n.dom = a.dom
+), h{i}a AS (
+  SELECT e.s AS dom, {bkt('e.d')} AS b,
+         list_aggregate(list(au.auth / ind.in_n ORDER BY e.d), 'sum') AS s1
+  FROM e JOIN au{i} au ON e.d = au.dom JOIN ind ON e.d = ind.dom GROUP BY 1, 2
+), h{i}r AS (
+  SELECT dom, list_aggregate(list(s1 ORDER BY b), 'sum') AS hh FROM h{i}a GROUP BY 1
+), h{i}ta AS (
+  SELECT {bkt('dom')} AS b, list_aggregate(list(hh ORDER BY dom), 'sum') AS s1
+  FROM h{i}r GROUP BY 1
+), h{i}t AS (
+  SELECT coalesce(list_aggregate(list(s1 ORDER BY b), 'sum'), {z}) AS t FROM h{i}ta
+), h{i} AS (
+  SELECT n.dom,
+    CASE WHEN t.t = 0 THEN {z} ELSE coalesce(r.hh, {z}) / t.t END AS hub
+  FROM nodes n CROSS JOIN h{i}t t LEFT JOIN h{i}r r ON n.dom = r.dom
+)"""
+    sql += f"""
+SELECT h.dom, round(h.hub, 9) AS hub, round(au.auth, 9) AS auth
+FROM h{PR_ITER} h JOIN au{PR_ITER} au ON h.dom = au.dom"""
+    # MATERIALIZED: same planner-blowup guard as _hits_oracle
     return sql.replace(" AS (", " AS MATERIALIZED (")
 
 
@@ -7328,6 +7412,8 @@ FROM fit CROSS JOIN tot CROSS JOIN vocab
         # q176: every walk step unrolled — md5-argmin picks, dead ends
         # through the left join
         "q176_random_walks": _walks_oracle(WALK_LEN),
+        # q177: _hits_oracle's chain with degree-divided contributions
+        "q177_salsa": _salsa_oracle(),
         # q167: Elias gamma/delta gap costs via bin() lengths (no log2)
         "q167_adjacency_bits": f"""
 WITH fan AS (

@@ -1276,3 +1276,119 @@ def random_walks(
     if truncate_lineage:
         e.unpersist()
     return out
+
+
+# --- SALSA ---------------------------------------------------------------------
+
+
+def salsa(
+    edges: DataFrame,
+    n_iter: int = 3,
+    src: str = "src_dom",
+    dst: str = "dst_dom",
+    buckets: int = DET_SUM_BUCKETS,
+    truncate_lineage: bool = True,
+) -> DataFrame:
+    """SALSA (Lempel & Moran, WWW 2000) -> (dom, hub, auth): HITS'
+    random-walk cousin — each half-step divides a node's mass across
+    its degree instead of copying it whole,
+
+      auth'(v) = sum_{u->v} hub(u) / outdeg(u)
+      hub'(u)  = sum_{u->v} auth'(v) / indeg(v)
+
+    which is exactly what makes SALSA the spam-resistant variant the
+    link-analysis literature (and production web search, per Lempel's
+    later accounts) preferred: HITS' tight mutual-reinforcement lets a
+    small dense link farm capture BOTH scores (every farm page copies
+    the whole farm's mass), while SALSA's degree division caps a farm
+    at its share of the random walk — within a connected component the
+    stationary authority is proportional to IN-DEGREE, so a thousand
+    farm pages pointing at each other earn no more than their degree
+    says. The crawl uses it exactly like hits() (fetch authorities
+    first, harvest hub outlinks first) when the graph is farm-infested.
+
+    Same execution shape as hits(): degrees ride in the state so each
+    half-step is ONE edges-x-state join + det_sum ordered folds, L1
+    re-normalization per half-step (keeps dangling-node mass loss from
+    shrinking the vector), every float reduction order-pinned and
+    SQL-replayable, state localCheckpoint-truncated per sweep.
+    """
+    e = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .filter(F.col("_s") != F.col("_d"))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("_s").alias("dom"))
+        .union(e.select(F.col("_d").alias("dom")))
+        .distinct()
+    )
+    outdeg = e.groupBy(F.col("_s").alias("dom")).agg(
+        F.count(F.lit(1)).alias("_od")
+    )
+    indeg = e.groupBy(F.col("_d").alias("dom")).agg(
+        F.count(F.lit(1)).alias("_id")
+    )
+    degs = (
+        nodes.join(outdeg, "dom", "left")
+        .join(indeg, "dom", "left")
+        .select(
+            "dom",
+            F.coalesce(F.col("_od"), F.lit(0)).alias("_od"),
+            F.coalesce(F.col("_id"), F.lit(0)).alias("_id"),
+        )
+    )
+    if truncate_lineage:
+        degs = degs.localCheckpoint(eager=True)
+    hub = degs.withColumn("hub", F.lit(1.0))
+    auth = degs.withColumn("auth", F.lit(0.0))
+
+    def _normalized(raw: DataFrame, out: str) -> DataFrame:
+        total = det_sum(raw, [], "dom", "_sum", "_t", buckets)
+        return (
+            degs.join(raw, "dom", "left")
+            .crossJoin(F.broadcast(total))
+            .select(
+                "dom",
+                "_od",
+                "_id",
+                F.when(F.col("_t") == 0.0, F.lit(0.0))
+                .otherwise(F.coalesce(F.col("_sum"), F.lit(0.0)) / F.col("_t"))
+                .alias(out),
+            )
+        )
+
+    for _ in range(n_iter):
+        contrib_a = e.join(
+            hub.select(F.col("dom").alias("_s"), "hub", "_od"), "_s"
+        ).select(
+            F.col("_d").alias("dom"),
+            F.col("_s"),
+            (F.col("hub") / F.col("_od")).alias("_c"),
+        )
+        auth = _normalized(
+            det_sum(contrib_a, ["dom"], "_s", "_c", "_sum", buckets), "auth"
+        )
+        if truncate_lineage:
+            auth = auth.localCheckpoint(eager=True)
+        contrib_h = e.join(
+            auth.select(F.col("dom").alias("_d"), "auth", "_id"), "_d"
+        ).select(
+            F.col("_s").alias("dom"),
+            F.col("_d"),
+            (F.col("auth") / F.col("_id")).alias("_c"),
+        )
+        hub = _normalized(
+            det_sum(contrib_h, ["dom"], "_d", "_c", "_sum", buckets), "hub"
+        )
+        if truncate_lineage:
+            hub = hub.localCheckpoint(eager=True)
+    out = hub.select("dom", "hub").join(auth.select("dom", "auth"), "dom").select(
+        "dom",
+        F.round(F.col("hub"), 9).alias("hub"),
+        F.round(F.col("auth"), 9).alias("auth"),
+    )
+    if truncate_lineage:
+        e.unpersist()
+    return out

@@ -827,3 +827,99 @@ def test_walks_salt_changes_paths(spark):
     pa = {r["walk_id"]: r["path"] for r in a}
     pb = {r["walk_id"]: r["path"] for r in b}
     assert pa[0] != pb[0]  # different salt, different draw (8 branches)
+
+
+# --- salsa ------------------------------------------------------------------
+
+
+def _np_salsa(pairs, n_iter=3):
+    pairs = sorted({(a, b) for a, b in pairs if a != b})
+    doms = sorted({d for p in pairs for d in p})
+    od, ind = {}, {}
+    for s, t in pairs:
+        od[s] = od.get(s, 0) + 1
+        ind[t] = ind.get(t, 0) + 1
+    hub = {d: 1.0 for d in doms}
+    auth = {d: 0.0 for d in doms}
+    for _ in range(n_iter):
+        raw = {d: 0.0 for d in doms}
+        for s, t in pairs:
+            raw[t] += hub[s] / od[s]
+        tot = sum(raw.values())
+        auth = {d: (raw[d] / tot if tot > 0 else 0.0) for d in doms}
+        raw = {d: 0.0 for d in doms}
+        for s, t in pairs:
+            raw[s] += auth[t] / ind[t]
+        tot = sum(raw.values())
+        hub = {d: (raw[d] / tot if tot > 0 else 0.0) for d in doms}
+    return {d: (hub[d], auth[d]) for d in doms}
+
+
+def test_salsa_matches_python_twin(spark):
+    from stock_crawler_spark.operators.graph import salsa
+
+    pairs = [
+        ("a.com", "b.com"), ("a.com", "c.com"), ("b.com", "c.com"),
+        ("c.com", "a.com"), ("d.com", "c.com"), ("c.com", "e.com"),
+        ("f.com", "a.com"),
+    ]
+    got = {r["dom"]: (r["hub"], r["auth"])
+           for r in salsa(_edges(spark, pairs), n_iter=3).collect()}
+    want = _np_salsa(pairs, 3)
+    assert set(got) == set(want)
+    for d, (h, a) in want.items():
+        assert abs(got[d][0] - h) < 1e-9 and abs(got[d][1] - a) < 1e-9, d
+
+
+def test_salsa_stationary_auth_tracks_indegree(spark):
+    from stock_crawler_spark.operators.graph import salsa
+
+    # overlapping citation sets make the authority (co-citation) chain
+    # IRREDUCIBLE, so the stationary authority is proportional to
+    # in-degree (Lempel & Moran) — the property that caps link farms
+    # at their degree share. (On a reducible chain any mixture of
+    # per-component stationaries is a fixpoint, so this test would be
+    # meaningless there.)
+    pairs = [
+        ("u1.com", "a.com"), ("u1.com", "b.com"),
+        ("u2.com", "b.com"), ("u2.com", "c.com"),
+        ("u3.com", "c.com"), ("u3.com", "d.com"), ("u3.com", "a.com"),
+    ]
+    ind = {}
+    for _, t in set(pairs):
+        ind[t] = ind.get(t, 0) + 1
+    tot = sum(ind.values())
+    got = {r["dom"]: r["auth"]
+           for r in salsa(_edges(spark, pairs), n_iter=20).collect()}
+    for d, k in ind.items():
+        assert abs(got[d] - k / tot) < 1e-6, (d, got[d], k / tot)
+
+
+def test_salsa_resists_link_farm_hits_does_not(spark):
+    from stock_crawler_spark.operators.graph import hits, salsa
+
+    # 4-page farm linking itself densely vs one organic authority with
+    # 6 independent endorsers: SALSA's degree division ranks the
+    # organic page top authority; HITS' mutual reinforcement crowns
+    # the farm.
+    farm = [(f"f{i}.com", f"f{j}.com") for i in range(4) for j in range(4) if i != j]
+    organic = [(f"o{i}.com", "good.com") for i in range(6)]
+    e = _edges(spark, farm + organic)
+    s_auth = {r["dom"]: r["auth"] for r in salsa(e, n_iter=6).collect()}
+    h_auth = {r["dom"]: r["auth"] for r in hits(e, n_iter=6).collect()}
+    farm_best_s = max(v for d, v in s_auth.items() if d.startswith("f"))
+    farm_best_h = max(v for d, v in h_auth.items() if d.startswith("f"))
+    assert s_auth["good.com"] > farm_best_s      # SALSA: organic wins
+    assert h_auth["good.com"] < farm_best_h      # HITS: farm captures it
+
+
+def test_salsa_partition_invariant_bit_exact(spark):
+    from stock_crawler_spark.operators.graph import salsa
+
+    pairs = [(f"h{i}.com", f"h{(i * 5 + 2) % 11}.com") for i in range(11)] + [
+        (f"h{i}.com", f"h{(i + 1) % 11}.com") for i in range(11)
+    ]
+    e = _edges(spark, [(a, b) for a, b in pairs if a != b])
+    a = sorted(tuple(r) for r in salsa(e, n_iter=3).collect())
+    b = sorted(tuple(r) for r in salsa(e.repartition(7), n_iter=3).collect())
+    assert a == b
