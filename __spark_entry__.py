@@ -3326,6 +3326,66 @@ def q177_salsa(spark, sf):
     return salsa(edges, n_iter=PR_ITER)
 
 
+KMVQ_K = 16
+
+
+def q178_kmv_overlap(spark, sf):
+    """KMV / bottom-k theta-sketch overlap (operators/sketch
+    kmv_build/kmv_overlap; Beyer et al. SIGMOD'07, the DataSketches
+    theta family) on q168's two crawl snapshots — the estimator HLL
+    cannot give: the k-min sets are a COORDINATED uniform sample of the
+    distinct universe, so the union's k smallest measure Jaccard
+    directly and inter = J * D_union carries intersection-relative
+    error, vs inclusion-exclusion's |A|+|B|-relative error. k = 16 <
+    50 urls/host keeps the estimator path live; exact overlap rides
+    along for the error story. Integer end to end except the one
+    estimate division — bit-identical in the oracle."""
+    from stock_crawler_spark.operators.sketch import kmv_build, kmv_overlap
+
+    ev = _t(spark, sf, "events")
+    host_i = F.col("event_id") % OVERLAP_HOSTS
+    host = F.concat(F.lit("h"), host_i.cast("string"), F.lit(".com"))
+
+    def snapshot(offset: int):
+        page = (F.col("event_id") % OVERLAP_PAGES) + F.lit(offset)
+        return ev.select(
+            host.alias("host"),
+            F.concat(
+                F.lit("https://h"), host_i.cast("string"), F.lit(".com/p"),
+                page.cast("string"),
+            ).alias("url"),
+        )
+
+    a, b = snapshot(0), snapshot(OVERLAP_SHIFT)
+    sk_a = kmv_build(a, "url", group_cols=["host"], k=KMVQ_K)
+    sk_b = kmv_build(b, "url", group_cols=["host"], k=KMVQ_K)
+    exact = (
+        a.intersect(b)
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("exact_overlap"))
+    )
+    return kmv_overlap(sk_a, sk_b, group_cols=["host"], k=KMVQ_K).join(
+        exact, "host"
+    )
+
+
+def q179_harmonic_centrality(spark, sf):
+    """Harmonic centrality via HyperBall registers
+    (operators/graph.hyperball_centrality; Boldi & Vigna 2013/WWW'14
+    axioms): H(u) = sum 1/d(v -> u) estimated from in-ball growth on
+    the bow-tie graph — the frontier-seed ranking that prices GLOBAL
+    reachability (indegree is its t=1 term, PageRank its random-surfer
+    cousin) and handles disconnected graphs with no 1/infinity cases.
+    Same register sweeps as q171 on the transpose; round-6 estimates
+    and a fixed-order harmonic fold replay bit-for-bit."""
+    from stock_crawler_spark.operators.graph import hyperball_centrality
+
+    return hyperball_centrality(
+        _bowtie_edges(spark, sf), max_t=ANF_MAX_T, src="s", dst="d",
+        p=HLL_P_Q75,
+    )
+
+
 QUANTILE_PS = [0.5, 0.9, 0.99]
 
 ROUTE_SHARDS = 8
@@ -4216,6 +4276,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q175_heaps_fit": q175_heaps_fit,
         "q176_random_walks": q176_random_walks,
         "q177_salsa": q177_salsa,
+        "q178_kmv_overlap": q178_kmv_overlap,
+        "q179_harmonic_centrality": q179_harmonic_centrality,
     }
 
 
@@ -7412,8 +7474,132 @@ FROM fit CROSS JOIN tot CROSS JOIN vocab
         # q176: every walk step unrolled — md5-argmin picks, dead ends
         # through the left join
         "q176_random_walks": _walks_oracle(WALK_LEN),
+        # q178: bottom-k sets via row_number, (k-1)*2^60/h_k estimates,
+        # coordinated-sample Jaccard — integer until the divisions
+        "q178_kmv_overlap": f"""
+WITH va AS (
+  SELECT DISTINCT 'h' || (event_id % {OVERLAP_HOSTS}) || '.com' AS host,
+         'https://h' || (event_id % {OVERLAP_HOSTS}) || '.com/p'
+           || (event_id % {OVERLAP_PAGES}) AS url
+  FROM events
+), vb AS (
+  SELECT DISTINCT 'h' || (event_id % {OVERLAP_HOSTS}) || '.com' AS host,
+         'https://h' || (event_id % {OVERLAP_HOSTS}) || '.com/p'
+           || (event_id % {OVERLAP_PAGES} + {OVERLAP_SHIFT}) AS url
+  FROM events
+), ha AS (
+  SELECT DISTINCT host,
+    ('0x' || substr(md5('kmv:' || url), 1, 15))::BIGINT AS h FROM va
+), hb AS (
+  SELECT DISTINCT host,
+    ('0x' || substr(md5('kmv:' || url), 1, 15))::BIGINT AS h FROM vb
+), sa AS (
+  SELECT host, h FROM (SELECT host, h,
+    row_number() OVER (PARTITION BY host ORDER BY h) AS rn FROM ha)
+  WHERE rn <= {KMVQ_K}
+), sb AS (
+  SELECT host, h FROM (SELECT host, h,
+    row_number() OVER (PARTITION BY host ORDER BY h) AS rn FROM hb)
+  WHERE rn <= {KMVQ_K}
+), su AS (
+  SELECT host, h FROM (SELECT host, h,
+    row_number() OVER (PARTITION BY host ORDER BY h) AS rn FROM (
+      SELECT host, h FROM sa UNION SELECT host, h FROM sb))
+  WHERE rn <= {KMVQ_K}
+), ea AS (
+  SELECT host, CASE WHEN count(*) < {KMVQ_K} THEN CAST(count(*) AS DOUBLE)
+    ELSE round({float(KMVQ_K - 1)!r} * {float(1 << 60)!r}
+               / CAST(max(h) AS DOUBLE), 6) END AS est_a
+  FROM sa GROUP BY 1
+), eb AS (
+  SELECT host, CASE WHEN count(*) < {KMVQ_K} THEN CAST(count(*) AS DOUBLE)
+    ELSE round({float(KMVQ_K - 1)!r} * {float(1 << 60)!r}
+               / CAST(max(h) AS DOUBLE), 6) END AS est_b
+  FROM sb GROUP BY 1
+), eu AS (
+  SELECT host, CASE WHEN count(*) < {KMVQ_K} THEN CAST(count(*) AS DOUBLE)
+    ELSE round({float(KMVQ_K - 1)!r} * {float(1 << 60)!r}
+               / CAST(max(h) AS DOUBLE), 6) END AS est_union
+  FROM su GROUP BY 1
+), hits AS (
+  SELECT su.host, count(*) AS nu,
+    count(*) FILTER (WHERE sa.h IS NOT NULL AND sb.h IS NOT NULL) AS nboth
+  FROM su
+  LEFT JOIN sa ON su.host = sa.host AND su.h = sa.h
+  LEFT JOIN sb ON su.host = sb.host AND su.h = sb.h
+  GROUP BY 1
+), ex AS (
+  SELECT host, count(*) AS exact_overlap FROM (
+    SELECT host, url FROM va INTERSECT SELECT host, url FROM vb
+  ) GROUP BY 1
+)
+SELECT host, est_a, est_b, est_union,
+  round(CAST(nboth AS DOUBLE) / CAST(nu AS DOUBLE), 6) AS jaccard_r,
+  round((CAST(nboth AS DOUBLE) / CAST(nu AS DOUBLE)) * est_union, 6)
+    AS inter_est_r,
+  exact_overlap
+FROM hits JOIN ea USING (host) JOIN eb USING (host) JOIN eu USING (host)
+JOIN ex USING (host)
+""",
         # q177: _hits_oracle's chain with degree-divided contributions
         "q177_salsa": _salsa_oracle(),
+        # q179: q171's register/estimator chain on the REVERSED bounded
+        # closure, per-t estimates pivoted, fixed-order harmonic fold
+        "q179_harmonic_centrality": f"""
+WITH RECURSIVE docs_n AS (
+  SELECT doc_id % {SCC_NODES} AS n FROM documents
+), e AS (
+  SELECT DISTINCT s, d FROM (
+    SELECT n AS s, (n + 1) % 20 AS d FROM docs_n WHERE n < 20
+    UNION ALL SELECT n, (n + 7) % 20 FROM docs_n WHERE n < 20
+    UNION ALL SELECT n, n + 1 FROM docs_n WHERE n >= 20 AND n < 39
+    UNION ALL SELECT n, n - 20 FROM docs_n WHERE n >= 20 AND n < 40
+    UNION ALL SELECT n - 40, n FROM docs_n WHERE n >= 40
+    UNION ALL SELECT n, n + 1 FROM docs_n WHERE n >= 40 AND n < 59
+    UNION ALL SELECT n, n - 1 FROM docs_n WHERE n = 58
+    UNION ALL SELECT n, n + 45 FROM docs_n WHERE n >= 20 AND n < 25
+  ) WHERE s <> d
+), er AS (SELECT d AS s, s AS d FROM e
+), nodes AS (
+  SELECT DISTINCT node FROM (SELECT s AS node FROM e UNION ALL SELECT d AS node FROM e)
+), r AS (
+  SELECT node AS s, node AS d, 0 AS dist FROM nodes
+  UNION
+  SELECT r.s, er.d, r.dist + 1 FROM r JOIN er ON r.d = er.s
+  WHERE r.dist < {ANF_MAX_T}
+), mind AS (
+  SELECT s, d, min(dist) AS dist FROM r GROUP BY 1, 2
+), ts AS (
+  SELECT unnest([{",".join(str(t) for t in range(ANF_MAX_T + 1))}]) AS t
+), regs AS (
+  SELECT t, node, h % 1024 AS bucket,
+    max(CASE WHEN (h >> 10) = 0 THEN 51
+             ELSE 51 - length(bin(h >> 10)) END) AS rho
+  FROM (SELECT ts.t AS t, mind.s AS node,
+          ('0x' || substr(md5('hll:' || CAST(mind.d AS VARCHAR)), 1, 15))::BIGINT AS h
+        FROM mind JOIN ts ON mind.dist <= ts.t)
+  GROUP BY 1, 2, 3
+), est AS (
+  SELECT t, node,
+    CASE WHEN ({_HLL_EST_NUM!r} / ssum) <= 2560.0 AND v > 0
+         THEN round(round(ln(1024 / v), 12) * 1024, 6)
+         ELSE round({_HLL_EST_NUM!r} / ssum, 6) END AS est
+  FROM (
+    SELECT t, node,
+      sum(1::BIGINT << (51 - rho)) + (1024 - count(*)) * (1::BIGINT << 51) AS ssum,
+      1024 - count(*) AS v
+    FROM regs GROUP BY 1, 2)
+), piv AS (
+  SELECT node,
+    {", ".join(f"max(CASE WHEN t = {t} THEN est END) AS e{t}" for t in range(ANF_MAX_T + 1))}
+  FROM est GROUP BY 1
+)
+SELECT node,
+  round(0.0 + {" + ".join(f"greatest(0.0, e{t} - e{t - 1}) / {float(t)!r}" for t in range(1, ANF_MAX_T + 1))}, 6)
+    AS harmonic_r,
+  e{ANF_MAX_T} AS reach_est_r
+FROM piv
+""",
         # q167: Elias gamma/delta gap costs via bin() lengths (no log2)
         "q167_adjacency_bits": f"""
 WITH fan AS (

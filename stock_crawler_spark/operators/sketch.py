@@ -329,3 +329,157 @@ def dd_quantiles(
         F.round(F.lit(c) * F.exp(F.round(idx.cast("double") * F.lit(lg), 12)), 6)
     )
     return rows.select(*group_cols, "q", est.alias("est"))
+
+
+# --------------------------------------------------------------------------
+# KMV (k-minimum values / bottom-k theta sketch) — mergeable DISTINCT
+# estimation with SET-OPERATION estimators.
+#
+# HLL (above) answers |A|, and union merges losslessly, but its only
+# intersection story is inclusion-exclusion (q168) whose error grows
+# with |A|+|B| rather than |A & B|. The KMV sketch (Bar-Yossef et al.
+# 2002; Beyer et al. SIGMOD 2007; the DataSketches "theta" family)
+# keeps the k SMALLEST distinct md5-60 hash values per group. That
+# sample is a uniform coordinated sample of the distinct universe, so:
+#
+#   estimate      D^ = (k-1) * 2^60 / h_(k)     (exact count if < k kept)
+#   union         k smallest of S_A ∪ S_B       (lossless composition)
+#   Jaccard       |S_u ∩ S_A ∩ S_B| / k         (coordinated-sample hit rate)
+#   intersection  J^ * D^_union                 (error ~ |A & B|-relative)
+#
+# Representation mirrors cms_*/hll_*: the sketch IS a DataFrame
+# ``(*group_cols, h)`` of the retained hash values (<= k rows/group).
+# Build cost: one distinct on (group, h) — the only corpus-scale
+# shuffle, map-side partial — then a per-group rank over DISTINCT
+# hashes. The rank is a sort-based window: spill-safe (Spark sorts, it
+# never collects a group into memory), but it does sort each group's
+# distinct hashes; at 10^10 distinct keys pre-filter with a static
+# hash ceiling (h < 2^60 * c*k / D_lower) when a lower bound on D is
+# known — the standard theta-sketch "early theta" trick — before the
+# window. Everything is integer until the single estimate division, so
+# DuckDB replays sketches AND estimates bit-for-bit.
+# --------------------------------------------------------------------------
+
+KMV_K = 64
+
+
+def _bottom_k(
+    hashes: DataFrame, group_cols: list[str], k: int
+) -> DataFrame:
+    """(group..., h) -> the k smallest DISTINCT h per group (sort-based
+    window: spill-safe, never collects a group into memory)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(F.asc("h"))
+    return (
+        hashes.select(*group_cols, "h")
+        .distinct()
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= int(k))
+        .select(*group_cols, "h")
+    )
+
+
+def kmv_build(
+    df: DataFrame, key_col: str, group_cols: list[str] | None = None,
+    k: int = KMV_K,
+) -> DataFrame:
+    """Sketch distinct ``key_col`` values (per group) -> the k smallest
+    md5-60 hashes ``(*group_cols, h)``."""
+    group_cols = list(group_cols or [])
+    h = _md5_hash60(
+        F.concat(F.lit("kmv:"), F.col(key_col).cast("string"))
+    ).alias("h")
+    return _bottom_k(df.select(*group_cols, h), group_cols, k)
+
+
+def kmv_merge(
+    *sketches: DataFrame, group_cols: list[str] | None = None, k: int = KMV_K
+) -> DataFrame:
+    """Fold sketches built with the same k: union + distinct + re-rank
+    (NOT a re-hash) — IDENTICAL to building over the unioned inputs
+    (the k smallest of a union are among the per-part k smallest), so
+    per-round sketches fold losslessly."""
+    group_cols = list(group_cols or [])
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return _bottom_k(out, group_cols, k)
+
+
+def kmv_estimate(
+    sketch: DataFrame, group_cols: list[str] | None = None, k: int = KMV_K
+) -> DataFrame:
+    """Registers -> ``(*group_cols, est)``: (k-1) * 2^60 / h_(k) when k
+    hashes are retained, the EXACT retained count when fewer (the
+    sketch saw the whole distinct universe). One bounded groupBy."""
+    group_cols = list(group_cols or [])
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("_n"), F.max("h").alias("_hk")
+    )
+    return agg.select(
+        *group_cols,
+        F.when(F.col("_n") < int(k), F.col("_n").cast("double"))
+        .otherwise(
+            F.round(
+                F.lit(float(k - 1))
+                * F.lit(float(1 << 60))
+                / F.col("_hk").cast("double"),
+                6,
+            )
+        )
+        .alias("est"),
+    )
+
+
+def kmv_overlap(
+    a: DataFrame,
+    b: DataFrame,
+    group_cols: list[str] | None = None,
+    k: int = KMV_K,
+) -> DataFrame:
+    """Two same-k sketches -> per group
+    ``(est_a, est_b, est_union, jaccard_r, inter_est_r)``.
+
+    The k-min sets are a COORDINATED sample (same hash function), so
+    membership of the union's k smallest in both sides estimates
+    Jaccard directly, and inter = J * D_union inherits
+    intersection-relative error — the estimator HLL's
+    inclusion-exclusion (q168) cannot give. All joins are on the hash
+    value over <= k rows per group; never the raw keys."""
+    group_cols = list(group_cols or [])
+    gj = group_cols + ["h"]
+    union = kmv_merge(a, b, group_cols=group_cols, k=k)
+    marked = (
+        union.join(a.select(*gj).withColumn("_ina", F.lit(1)), gj, "left")
+        .join(b.select(*gj).withColumn("_inb", F.lit(1)), gj, "left")
+    )
+    hits = marked.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("_nu"),
+        F.sum(
+            (F.col("_ina").isNotNull() & F.col("_inb").isNotNull()).cast("long")
+        ).alias("_both"),
+    )
+    est_a = kmv_estimate(a, group_cols, k).withColumnRenamed("est", "est_a")
+    est_b = kmv_estimate(b, group_cols, k).withColumnRenamed("est", "est_b")
+    est_u = kmv_estimate(union, group_cols, k).withColumnRenamed(
+        "est", "est_union"
+    )
+    joined = (
+        hits.join(est_a, group_cols) if group_cols else hits.crossJoin(est_a)
+    )
+    joined = (
+        joined.join(est_b, group_cols) if group_cols else joined.crossJoin(est_b)
+    )
+    joined = (
+        joined.join(est_u, group_cols) if group_cols else joined.crossJoin(est_u)
+    )
+    jac = F.col("_both").cast("double") / F.col("_nu").cast("double")
+    return joined.select(
+        *group_cols,
+        "est_a",
+        "est_b",
+        "est_union",
+        F.round(jac, 6).alias("jaccard_r"),
+        F.round(jac * F.col("est_union"), 6).alias("inter_est_r"),
+    )

@@ -923,3 +923,48 @@ def test_salsa_partition_invariant_bit_exact(spark):
     a = sorted(tuple(r) for r in salsa(e, n_iter=3).collect())
     b = sorted(tuple(r) for r in salsa(e.repartition(7), n_iter=3).collect())
     assert a == b
+
+
+# --- hyperball harmonic centrality -------------------------------------------
+
+
+def test_hyperball_path_matches_exact_harmonic(spark):
+    from stock_crawler_spark.operators.graph import hyperball_centrality
+
+    # 0 -> 1 -> 2 -> 3, IN-centrality: H(3) = 1 + 1/2 + 1/3, H(0) = 0
+    e = _iedges(spark, [(0, 1), (1, 2), (2, 3)])
+    got = {r["node"]: r["harmonic_r"]
+           for r in hyperball_centrality(e, max_t=4, src="s", dst="d").collect()}
+    exact = {0: 0.0, 1: 1.0, 2: 1.5, 3: 1.0 + 0.5 + 1 / 3}
+    for n, h in exact.items():
+        assert abs(got[n] - h) < 0.05, (n, got[n], h)
+
+
+def test_hyperball_star_and_disconnected(spark):
+    from stock_crawler_spark.operators.graph import hyperball_centrality
+
+    # 5 spokes -> hub, plus a disconnected pair: no 1/infinity blowups
+    e = _iedges(spark, [(i, 100) for i in range(5)] + [(200, 201)])
+    got = {r["node"]: r for r in
+           hyperball_centrality(e, max_t=3, src="s", dst="d").collect()}
+    assert abs(got[100]["harmonic_r"] - 5.0) < 0.05
+    assert got[0]["harmonic_r"] == 0.0       # spokes: nothing reaches them
+    assert abs(got[201]["harmonic_r"] - 1.0) < 0.05
+    assert got[200]["harmonic_r"] == 0.0
+    # audiences: hub measured ~6 (itself + 5), spokes ~1
+    assert abs(got[100]["reach_est_r"] - 6) < 0.2
+    assert abs(got[0]["reach_est_r"] - 1) < 0.2
+
+
+def test_hyperball_partition_invariant_bit_exact(spark):
+    from stock_crawler_spark.operators.graph import hyperball_centrality
+
+    pairs = [(i, (i * 7 + 3) % 19) for i in range(19)] + [
+        (i, (i + 2) % 13) for i in range(13)
+    ]
+    e = _iedges(spark, [(a, b) for a, b in pairs if a != b])
+    a = sorted(tuple(r) for r in
+               hyperball_centrality(e, max_t=3, src="s", dst="d").collect())
+    b = sorted(tuple(r) for r in
+               hyperball_centrality(e.repartition(7), max_t=3, src="s", dst="d").collect())
+    assert a == b

@@ -380,3 +380,83 @@ def test_streaming_dd_microbatch_merge_matches_batch(spark, latency_df, tmp_path
     assert sorted(map(tuple, streamed.collect())) == sorted(
         map(tuple, direct.collect())
     )
+
+
+# --- KMV / bottom-k theta ----------------------------------------------------
+
+
+def _kmv_py(keys, k=64):
+    import hashlib
+
+    hs = sorted(
+        {
+            int(hashlib.md5(f"kmv:{x}".encode()).hexdigest()[:15], 16)
+            for x in keys
+        }
+    )[:k]
+    if len(hs) < k:
+        return float(len(hs)), hs
+    return round((k - 1) * float(1 << 60) / float(hs[-1]), 6), hs
+
+
+def test_kmv_small_universe_exact(spark):
+    from stock_crawler_spark.operators.sketch import kmv_build, kmv_estimate
+
+    df = spark.createDataFrame(
+        [(f"u{i % 20}",) for i in range(300)], "k string"
+    )
+    sk = kmv_build(df, "k", k=64)
+    assert sk.count() == 20  # all 20 distinct hashes kept
+    [row] = kmv_estimate(sk, k=64).collect()
+    assert row["est"] == 20.0  # below k: exact, not estimated
+
+
+def test_kmv_estimate_matches_twin_and_error_bound(spark):
+    from stock_crawler_spark.operators.sketch import kmv_build, kmv_estimate
+
+    keys = [f"url{i}" for i in range(5000)]
+    df = spark.createDataFrame([(x,) for x in keys], "k string")
+    [row] = kmv_estimate(kmv_build(df, "k", k=64), k=64).collect()
+    want, _ = _kmv_py(keys, 64)
+    assert row["est"] == want  # bit-exact vs the python twin
+    assert abs(row["est"] - 5000) / 5000 < 0.4  # ~1/sqrt(k-1) regime
+
+
+def test_kmv_merge_equals_build_on_union(spark):
+    from stock_crawler_spark.operators.sketch import kmv_build, kmv_merge
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(400)], "k string")
+    b = spark.createDataFrame(
+        [(f"a{i}",) for i in range(200, 600)], "k string"
+    )
+    merged = sorted(
+        r["h"] for r in kmv_merge(
+            kmv_build(a, "k", k=32), kmv_build(b, "k", k=32), k=32
+        ).collect()
+    )
+    direct = sorted(
+        r["h"] for r in kmv_build(a.unionByName(b), "k", k=32).collect()
+    )
+    assert merged == direct  # lossless composition
+
+
+def test_kmv_overlap_estimates_jaccard(spark):
+    from stock_crawler_spark.operators.sketch import kmv_build, kmv_overlap
+
+    # |A| = |B| = 1200, |A & B| = 600 -> J = 600/1800 = 1/3
+    a = spark.createDataFrame([(f"x{i}",) for i in range(1200)], "k string")
+    b = spark.createDataFrame(
+        [(f"x{i}",) for i in range(600, 1800)], "k string"
+    )
+    [row] = kmv_overlap(
+        kmv_build(a, "k", k=128), kmv_build(b, "k", k=128), k=128
+    ).collect()
+    assert abs(row["jaccard_r"] - 1 / 3) < 0.12
+    assert abs(row["inter_est_r"] - 600) / 600 < 0.35
+    # partition invariance: sketches are sets, estimates pure arithmetic
+    [row2] = kmv_overlap(
+        kmv_build(a.repartition(7), "k", k=128),
+        kmv_build(b.repartition(3), "k", k=128),
+        k=128,
+    ).collect()
+    assert row.asDict() == row2.asDict()
