@@ -3386,6 +3386,58 @@ def q179_harmonic_centrality(spark, sf):
     )
 
 
+MIR_HOSTS = 12
+MIR_PAGES = 80
+MIR_UNIQ = 160
+MIR_ALIASES = 4
+MIRQ_K = 16
+MIR_MIN_SHARED = 2
+MIR_HOT_CAP = 6
+
+
+def q180_mirror_hosts(spark, sf):
+    """Mirror / host-alias detection via a coordinated-KMV hash join
+    (operators/sketch.kmv_mirror_pairs): at 10^8 hosts no pairwise
+    comparison survives (10^16 pairs), but every host's bottom-k
+    content fingerprints come from the SAME hash function, so an
+    equi-join on retained hash values surfaces exactly the overlapping
+    pairs — shingle-dedup's inverted-index trick over bounded k-row
+    sketches. Corpus plants 4 mirror classes of 3 hosts each (shared
+    'c' fingerprints gcd-correlated through event_id) plus 4 exact
+    aliases m<i> that carry only the shared fps: base-base pairs land
+    at J = 1, alias-base at J ~ 1/3, disjoint classes never pair. The
+    hot-hash cap (max_groups_per_hash=6, the max_df stop-shingle
+    analog) and min_shared floor both exercise their SQL replicas.
+    Integer until the estimate divisions — bit-identical oracle."""
+    from stock_crawler_spark.operators.sketch import (
+        kmv_build,
+        kmv_mirror_pairs,
+    )
+
+    ev = _t(spark, sf, "events")
+    hid = F.col("event_id") % MIR_HOSTS
+    base_host = F.concat(F.lit("h"), hid.cast("string"), F.lit(".com"))
+    c_fp = F.concat(F.lit("c"), (F.col("event_id") % MIR_PAGES).cast("string"))
+    u_fp = F.concat(F.lit("u"), (F.col("event_id") % MIR_UNIQ).cast("string"))
+    rows = (
+        ev.select(base_host.alias("host"), c_fp.alias("fp"))
+        .unionByName(
+            ev.filter(hid < MIR_ALIASES).select(
+                F.concat(F.lit("m"), hid.cast("string"), F.lit(".com")).alias(
+                    "host"
+                ),
+                c_fp.alias("fp"),
+            )
+        )
+        .unionByName(ev.select(base_host.alias("host"), u_fp.alias("fp")))
+    )
+    sk = kmv_build(rows, "fp", group_cols=["host"], k=MIRQ_K)
+    return kmv_mirror_pairs(
+        sk, "host", k=MIRQ_K, min_shared=MIR_MIN_SHARED,
+        max_groups_per_hash=MIR_HOT_CAP,
+    )
+
+
 QUANTILE_PS = [0.5, 0.9, 0.99]
 
 ROUTE_SHARDS = 8
@@ -4278,6 +4330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q177_salsa": q177_salsa,
         "q178_kmv_overlap": q178_kmv_overlap,
         "q179_harmonic_centrality": q179_harmonic_centrality,
+        "q180_mirror_hosts": q180_mirror_hosts,
     }
 
 
@@ -7599,6 +7652,62 @@ SELECT node,
     AS harmonic_r,
   e{ANF_MAX_T} AS reach_est_r
 FROM piv
+""",
+        # q180: bottom-k sketches -> hot-cap -> hash self-join pairs ->
+        # per-pair union bottom-k + estimators, bit-identical
+        "q180_mirror_hosts": f"""
+WITH v AS (
+  SELECT DISTINCT 'h' || (event_id % {MIR_HOSTS}) || '.com' AS host,
+         'c' || (event_id % {MIR_PAGES}) AS fp FROM events
+  UNION
+  SELECT DISTINCT 'm' || (event_id % {MIR_HOSTS}) || '.com',
+         'c' || (event_id % {MIR_PAGES}) FROM events
+  WHERE event_id % {MIR_HOSTS} < {MIR_ALIASES}
+  UNION
+  SELECT DISTINCT 'h' || (event_id % {MIR_HOSTS}) || '.com',
+         'u' || (event_id % {MIR_UNIQ}) FROM events
+), hh AS (
+  SELECT DISTINCT host,
+    ('0x' || substr(md5('kmv:' || fp), 1, 15))::BIGINT AS h FROM v
+), sk AS (
+  SELECT host, h FROM (SELECT host, h,
+    row_number() OVER (PARTITION BY host ORDER BY h) AS rn FROM hh)
+  WHERE rn <= {MIRQ_K}
+), s AS (
+  SELECT host, h FROM sk
+  WHERE h NOT IN (SELECT h FROM sk GROUP BY h HAVING count(*) > {MIR_HOT_CAP})
+), pairs AS (
+  SELECT a.host AS g_a, b.host AS g_b, count(*) AS n_shared
+  FROM s a JOIN s b ON a.h = b.h AND a.host < b.host
+  GROUP BY 1, 2 HAVING count(*) >= {MIR_MIN_SHARED}
+), un AS (
+  SELECT g_a, g_b, h, max(ina) AS ina, max(inb) AS inb FROM (
+    SELECT p.g_a, p.g_b, s.h, 1 AS ina, NULL::INT AS inb
+    FROM pairs p JOIN s ON s.host = p.g_a
+    UNION ALL
+    SELECT p.g_a, p.g_b, s.h, NULL::INT, 1
+    FROM pairs p JOIN s ON s.host = p.g_b
+  ) GROUP BY 1, 2, 3
+), topk AS (
+  SELECT * FROM (SELECT g_a, g_b, h, ina, inb,
+    row_number() OVER (PARTITION BY g_a, g_b ORDER BY h) AS rn FROM un)
+  WHERE rn <= {MIRQ_K}
+), hits AS (
+  SELECT g_a, g_b, count(*) AS nu,
+    count(*) FILTER (WHERE ina IS NOT NULL AND inb IS NOT NULL) AS nboth,
+    max(h) AS hk
+  FROM topk GROUP BY 1, 2
+)
+SELECT hits.g_a, hits.g_b, n_shared,
+  CASE WHEN nu < {MIRQ_K} THEN CAST(nu AS DOUBLE)
+       ELSE round({float(MIRQ_K - 1)!r} * {float(1 << 60)!r}
+                  / CAST(hk AS DOUBLE), 6) END AS est_union,
+  round(CAST(nboth AS DOUBLE) / CAST(nu AS DOUBLE), 6) AS jaccard_r,
+  round((CAST(nboth AS DOUBLE) / CAST(nu AS DOUBLE))
+        * CASE WHEN nu < {MIRQ_K} THEN CAST(nu AS DOUBLE)
+               ELSE round({float(MIRQ_K - 1)!r} * {float(1 << 60)!r}
+                          / CAST(hk AS DOUBLE), 6) END, 6) AS inter_est_r
+FROM hits JOIN pairs ON hits.g_a = pairs.g_a AND hits.g_b = pairs.g_b
 """,
         # q167: Elias gamma/delta gap costs via bin() lengths (no log2)
         "q167_adjacency_bits": f"""

@@ -483,3 +483,102 @@ def kmv_overlap(
         F.round(jac, 6).alias("jaccard_r"),
         F.round(jac * F.col("est_union"), 6).alias("inter_est_r"),
     )
+
+
+def kmv_mirror_pairs(
+    sketch: DataFrame,
+    group_col: str = "host",
+    k: int = KMV_K,
+    min_shared: int = 2,
+    max_groups_per_hash: int | None = None,
+) -> DataFrame:
+    """All-pairs mirror / host-alias detection over ONE coordinated KMV
+    sketch table ``(group_col, h)`` -> candidate pairs
+    ``(g_a, g_b, n_shared, est_union, jaccard_r, inter_est_r)``.
+
+    Mirrors (www vs apex, CDN aliases, wholesale site copies) waste
+    crawl budget host-by-host, and no pairwise comparison survives 10^8
+    hosts (10^16 pairs). Because every group's bottom-k is drawn with
+    the SAME hash function, two mirrors retain the same smallest hash
+    values — so a plain equi-join on the hash value surfaces exactly
+    the overlapping pairs, the same inverted-index trick as shingle
+    dedup (dedup.py) but over bounded k-row sketches instead of full
+    shingle sets:
+
+      candidates  self-join on h, g_a < g_b, count shared values;
+                  cost is sum over hash values of (#groups retaining
+                  it choose 2) — pair fan-out IS the mirror structure
+                  (an M-way mirror cluster yields its M*(M-1)/2 answer
+                  pairs); boilerplate fingerprints retained by many
+                  non-mirror groups are dropped by
+                  ``max_groups_per_hash`` (the stop-shingle / max_df
+                  cap, same skew story as dedup.max_df).
+      verify      per surviving pair, kmv_overlap's estimator on the
+                  pair's <= 2k retained rows: union bottom-k via a
+                  pair-keyed sort window, coordinated-sample hit rate
+                  = Jaccard, inter = J * D^_union. Never touches the
+                  raw per-group key sets.
+
+    ``min_shared`` floors the candidate support (1 shared hash at
+    k = 64 is noise; true mirrors share nearly all k). Estimates are
+    round-6, integer upstream — bit-reproducible in SQL.
+    """
+    s = sketch.select(F.col(group_col).alias("_g"), "h")
+    if max_groups_per_hash is not None:
+        hot = (
+            s.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("_ng"))
+            .filter(F.col("_ng") > int(max_groups_per_hash))
+            .select("h")
+        )
+        s = s.join(hot, "h", "left_anti")
+    pairs = (
+        s.withColumnRenamed("_g", "g_a")
+        .join(s.withColumnRenamed("_g", "g_b"), "h")
+        .filter(F.col("g_a") < F.col("g_b"))
+        .groupBy("g_a", "g_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= int(min_shared))
+    )
+    rows_a = pairs.join(
+        s.withColumnRenamed("_g", "g_a"), "g_a"
+    ).select("g_a", "g_b", "h", F.lit(1).alias("_ina"), F.lit(None).cast("int").alias("_inb"))
+    rows_b = pairs.join(
+        s.withColumnRenamed("_g", "g_b"), "g_b"
+    ).select("g_a", "g_b", "h", F.lit(None).cast("int").alias("_ina"), F.lit(1).alias("_inb"))
+    un = (
+        rows_a.unionByName(rows_b)
+        .groupBy("g_a", "g_b", "h")
+        .agg(F.max("_ina").alias("_ina"), F.max("_inb").alias("_inb"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("g_a", "g_b").orderBy(F.asc("h"))
+    topk = un.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= int(k)
+    )
+    hits = topk.groupBy("g_a", "g_b").agg(
+        F.count(F.lit(1)).alias("_nu"),
+        F.sum(
+            (F.col("_ina").isNotNull() & F.col("_inb").isNotNull()).cast("long")
+        ).alias("_nboth"),
+        F.max("h").alias("_hk"),
+    )
+    est_u = F.when(
+        F.col("_nu") < int(k), F.col("_nu").cast("double")
+    ).otherwise(
+        F.round(
+            F.lit(float(k - 1)) * F.lit(float(1 << 60))
+            / F.col("_hk").cast("double"),
+            6,
+        )
+    )
+    jac = F.col("_nboth").cast("double") / F.col("_nu").cast("double")
+    return hits.join(pairs, ["g_a", "g_b"]).select(
+        "g_a",
+        "g_b",
+        "n_shared",
+        est_u.alias("est_union"),
+        F.round(jac, 6).alias("jaccard_r"),
+        F.round(jac * est_u, 6).alias("inter_est_r"),
+    )

@@ -460,3 +460,71 @@ def test_kmv_overlap_estimates_jaccard(spark):
         k=128,
     ).collect()
     assert row.asDict() == row2.asDict()
+
+
+# --- KMV mirror pairs ---------------------------------------------------------
+
+
+def _mirror_corpus(spark):
+    # three host families: h0/h1 exact mirrors (60 shared fps), h2
+    # half-overlaps h0 (30 of 60), h3 disjoint, plus a boilerplate fp
+    # present on EVERY host ("bp") to exercise the hot-hash cap
+    rows = []
+    for i in range(60):
+        rows += [("h0", f"c{i}"), ("h1", f"c{i}")]
+        rows += [("h2", f"c{i}")] if i < 30 else [("h2", f"z{i}")]
+        rows += [("h3", f"w{i}")]
+    rows += [(h, "bp") for h in ["h0", "h1", "h2", "h3"]]
+    return spark.createDataFrame(rows, "host string, fp string")
+
+
+def test_kmv_mirror_pairs_detects_planted_mirrors(spark):
+    from stock_crawler_spark.operators.sketch import kmv_build, kmv_mirror_pairs
+
+    sk = kmv_build(_mirror_corpus(spark), "fp", group_cols=["host"], k=32)
+    got = {
+        (r["g_a"], r["g_b"]): r
+        for r in kmv_mirror_pairs(sk, "host", k=32, min_shared=2).collect()
+    }
+    assert abs(got[("h0", "h1")]["jaccard_r"] - 1.0) < 1e-9  # exact mirror
+    # half overlap: J = 30/90 = 1/3 (estimated over the 32-min sample)
+    assert abs(got[("h0", "h2")]["jaccard_r"] - 1 / 3) < 0.25
+    assert ("h0", "h3") not in got  # 1 shared fp ("bp") < min_shared
+
+
+def test_kmv_mirror_pairs_hot_hash_cap_drops_boilerplate(spark):
+    from stock_crawler_spark.operators.sketch import kmv_build, kmv_mirror_pairs
+
+    # every fp shared by ALL 6 hosts -> cap at 3 kills every candidate
+    rows = [(f"h{j}", f"c{i}") for j in range(6) for i in range(40)]
+    sk = kmv_build(
+        spark.createDataFrame(rows, "host string, fp string"),
+        "fp", group_cols=["host"], k=16,
+    )
+    assert (
+        kmv_mirror_pairs(sk, "host", k=16, min_shared=1,
+                         max_groups_per_hash=3).count() == 0
+    )
+    # without the cap the full 15-pair mirror clique surfaces at J = 1
+    full = kmv_mirror_pairs(sk, "host", k=16, min_shared=1).collect()
+    assert len(full) == 15 and all(r["jaccard_r"] == 1.0 for r in full)
+
+
+def test_kmv_mirror_pairs_partition_invariant_bit_exact(spark):
+    from stock_crawler_spark.operators.sketch import kmv_build, kmv_mirror_pairs
+
+    corpus = _mirror_corpus(spark)
+    a = sorted(
+        tuple(r)
+        for r in kmv_mirror_pairs(
+            kmv_build(corpus, "fp", group_cols=["host"], k=32), "host", k=32
+        ).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in kmv_mirror_pairs(
+            kmv_build(corpus.repartition(7), "fp", group_cols=["host"], k=32),
+            "host", k=32,
+        ).collect()
+    )
+    assert a == b
