@@ -3438,6 +3438,57 @@ def q180_mirror_hosts(spark, sf):
     )
 
 
+UCB_HOSTS = 9
+UCB_ROUNDS = 5
+UCB_M = 6
+UCB_C = 1.4142135623730951  # sqrt(2), the classic UCB1 constant
+
+
+def q181_ucb_schedule(spark, sf):
+    """UCB1 bandit host scheduling (operators/bandit.ucb_schedule; Auer
+    et al. 2002): pick the m hosts for the next crawl round by
+    mean harvest rate + sqrt(2 ln N / n) exploration bonus — the
+    explore/exploit answer to WHERE the fleet's fetch budget goes,
+    with logarithmic regret vs the uniform fan-out the reference uses
+    on its closed ticker list (cronjob.go). Observation log derives
+    from events: host h<id%9>, round (id div 9) % 5, per-round harvest
+    indicator id % (hid+2) = 0 so true rates fall ~ 1/(hid+2); one
+    synthetic zero-fetch round exercises the not-an-observation rule
+    and two never-crawled candidate hosts exercise the play-each-arm-
+    once preemption. Floats rounded to 6 in both engines."""
+    from stock_crawler_spark.operators.bandit import ucb_schedule
+
+    ev = _t(spark, sf, "events")
+    hid = F.col("event_id") % UCB_HOSTS
+    host = F.concat(F.lit("h"), hid.cast("string"), F.lit(".com"))
+    rnd = F.expr(f"(event_id div {UCB_HOSTS}) % {UCB_ROUNDS}")
+    hit = (F.col("event_id") % (hid + 2) == 0).cast("int")
+    stats = (
+        ev.groupBy(host.alias("host"), rnd.alias("round"))
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_fetched"),
+            F.sum(hit).cast("int").alias("n_new"),
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [("h0.com", 99, 0, 0)],
+                "host string, round int, n_fetched int, n_new int",
+            )
+        )
+    )
+    hosts = stats.select("host").distinct().unionByName(
+        spark.createDataFrame([("x0.new",), ("x1.new",)], "host string")
+    )
+    out = ucb_schedule(stats, hosts=hosts, m=UCB_M, c=UCB_C)
+    return out.select(
+        "host",
+        "n_pulls",
+        F.round("mean_reward", 6).alias("mean_reward"),
+        F.round("ucb", 6).alias("ucb"),
+        "pick",
+    )
+
+
 QUANTILE_PS = [0.5, 0.9, 0.99]
 
 ROUTE_SHARDS = 8
@@ -4331,6 +4382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q178_kmv_overlap": q178_kmv_overlap,
         "q179_harmonic_centrality": q179_harmonic_centrality,
         "q180_mirror_hosts": q180_mirror_hosts,
+        "q181_ucb_schedule": q181_ucb_schedule,
     }
 
 
@@ -7708,6 +7760,46 @@ SELECT hits.g_a, hits.g_b, n_shared,
                ELSE round({float(MIRQ_K - 1)!r} * {float(1 << 60)!r}
                           / CAST(hk AS DOUBLE), 6) END, 6) AS inter_est_r
 FROM hits JOIN pairs ON hits.g_a = pairs.g_a AND hits.g_b = pairs.g_b
+""",
+        # q181: UCB1 index replayed — per-round rates averaged per arm,
+        # + c*sqrt(ln N / n) bonus, unexplored-first top-m
+        "q181_ucb_schedule": f"""
+WITH raw AS (
+  SELECT 'h' || (event_id % {UCB_HOSTS}) || '.com' AS host,
+         (event_id // {UCB_HOSTS}) % {UCB_ROUNDS} AS r,
+         count(*) AS n_fetched,
+         count(*) FILTER (
+           WHERE event_id % ((event_id % {UCB_HOSTS}) + 2) = 0) AS n_new
+  FROM events GROUP BY 1, 2
+  UNION ALL SELECT 'h0.com', 99, 0, 0
+), obs AS (
+  SELECT * FROM raw WHERE n_fetched > 0
+), arms AS (
+  SELECT host, count(*) AS n_pulls,
+         sum(CAST(n_new AS DOUBLE) / CAST(n_fetched AS DOUBLE)) AS rate_sum
+  FROM obs GROUP BY 1
+), uni AS (
+  SELECT host FROM raw UNION SELECT 'x0.new' UNION SELECT 'x1.new'
+), tot AS (
+  SELECT CAST(sum(n_pulls) AS DOUBLE) AS nn FROM arms
+), scored AS (
+  SELECT u.host,
+    CAST(COALESCE(a.n_pulls, 0) AS BIGINT) AS n_pulls,
+    COALESCE(a.rate_sum / a.n_pulls, 0.0) AS mean_reward,
+    CASE WHEN a.n_pulls IS NOT NULL THEN
+      a.rate_sum / a.n_pulls
+      + {UCB_C!r} * sqrt(ln(t.nn) / CAST(a.n_pulls AS DOUBLE))
+    END AS ucb,
+    CASE WHEN a.n_pulls IS NULL THEN 1 ELSE 0 END AS unexplored
+  FROM uni u LEFT JOIN arms a USING (host) CROSS JOIN tot t
+)
+SELECT host, n_pulls, round(mean_reward, 6) AS mean_reward,
+       round(ucb, 6) AS ucb, CAST(pick AS INT) AS pick
+FROM (
+  SELECT *, row_number() OVER (
+    ORDER BY unexplored DESC, ucb DESC NULLS LAST, host ASC) AS pick
+  FROM scored)
+WHERE pick <= {UCB_M}
 """,
         # q167: Elias gamma/delta gap costs via bin() lengths (no log2)
         "q167_adjacency_bits": f"""

@@ -1,0 +1,127 @@
+"""UCB1 bandit scheduling of per-host crawl budget.
+
+The frontier's open question every round is WHERE to spend fetches:
+exploit hosts with a proven harvest rate, or explore hosts with few
+observations whose rate estimate is still wide. That is the stochastic
+multi-armed bandit, and UCB1 (Auer, Cesa-Bianchi & Fischer 2002,
+"Finite-time Analysis of the Multiarmed Bandit Problem") is its
+canonical index policy: play the arm maximizing
+
+    ucb_i = mean_i + c * sqrt( ln(N) / n_i )
+
+where mean_i is the arm's observed mean reward (here: the per-round
+harvest rate n_new/n_fetched, the same signal harvest_stop EWMAs),
+n_i is how many rounds the host has been pulled, and N = sum(n_i).
+Arms never pulled have an infinite index — UCB1's "play each arm once
+first" rule — so newly discovered hosts always enter the schedule
+ahead of any exploited host.
+
+Scale shape (10^8 hosts):
+  - per-host stats are ONE map-side-combinable groupBy on host;
+  - N is a 1-row aggregate broadcast back (no second pass over rows);
+  - top-m selection is TakeOrdered (orderBy + limit: per-partition
+    heaps, never a global sort) — the q38 heavy-hitters pattern;
+  - everything else is a narrow projection. Reward math is double but
+    fixed-order: mean = sum(new)/sum(fetched) per host, one division.
+
+Determinism: ties on the UCB score break by host ascending, and
+unexplored hosts rank among themselves by host ascending. Rounds with
+n_fetched = 0 carry no rate observation and are skipped (same
+convention as budget.harvest_stop); a host whose every round had zero
+fetches counts as unexplored.
+
+Reference analog: the reference schedules a CLOSED list of ~2000
+tickers uniformly (cronjob.go fan-out) — at an open 10^8-host frontier
+uniform scheduling starves the productive tail, which is exactly the
+regret UCB1 bounds logarithmically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def ucb_host_stats(
+    stats: DataFrame,
+    host_col: str = "host",
+    fetched_col: str = "n_fetched",
+    new_col: str = "n_new",
+) -> DataFrame:
+    """Per-arm sufficient statistics: (host, n_pulls, total_fetched,
+    total_new, mean_reward). One map-side-combinable groupBy; rounds
+    with zero fetches are not observations."""
+    obs = stats.filter(F.col(fetched_col) > 0)
+    return obs.groupBy(F.col(host_col).alias("host")).agg(
+        F.count(F.lit(1)).alias("n_pulls"),
+        F.sum(F.col(fetched_col).cast("long")).alias("total_fetched"),
+        F.sum(F.col(new_col).cast("long")).alias("total_new"),
+        F.sum(
+            F.col(new_col).cast("double") / F.col(fetched_col).cast("double")
+        ).alias("_rate_sum"),
+    ).select(
+        "host",
+        "n_pulls",
+        "total_fetched",
+        "total_new",
+        (F.col("_rate_sum") / F.col("n_pulls")).alias("mean_reward"),
+    )
+
+
+def ucb_schedule(
+    stats: DataFrame,
+    hosts: DataFrame | None = None,
+    m: int = 100,
+    c: float = 1.4142135623730951,
+    host_col: str = "host",
+    fetched_col: str = "n_fetched",
+    new_col: str = "n_new",
+) -> DataFrame:
+    """Pick the m hosts to crawl next round by UCB1 index.
+
+    stats: (host, round, n_fetched, n_new) observation log.
+    hosts: optional candidate universe (one column `host_col`);
+      candidates absent from stats are UNEXPLORED arms with infinite
+      index and preempt every explored arm (UCB1's init rule). When
+      omitted, the universe is the hosts present in stats.
+
+    Returns (host, n_pulls, mean_reward, ucb, pick) for the selected m,
+    pick = 1..m in schedule order: unexplored hosts first (host asc),
+    then explored by (ucb desc, host asc). c = sqrt(2) is the classic
+    UCB1 constant; shrink it to exploit harder.
+    """
+    arms = ucb_host_stats(stats, host_col, fetched_col, new_col)
+    if hosts is not None:
+        universe = hosts.select(F.col(host_col).alias("host")).distinct()
+        arms = universe.join(arms, "host", "left")
+    total = arms.agg(F.sum("n_pulls").alias("N"))
+    explored = F.col("n_pulls").isNotNull()
+    scored = arms.crossJoin(F.broadcast(total)).select(
+        "host",
+        F.coalesce(F.col("n_pulls"), F.lit(0)).alias("n_pulls"),
+        F.coalesce(F.col("mean_reward"), F.lit(0.0)).alias("mean_reward"),
+        F.when(
+            explored,
+            F.col("mean_reward")
+            + F.lit(float(c))
+            * F.sqrt(F.log(F.col("N").cast("double")) / F.col("n_pulls")),
+        ).alias("ucb"),
+        (~explored).cast("int").alias("unexplored"),
+    )
+    # TakeOrdered: per-partition heaps + limit, never a global sort.
+    picked = scored.orderBy(
+        F.col("unexplored").desc(),
+        F.col("ucb").desc_nulls_last(),
+        F.col("host").asc(),
+    ).limit(int(m))
+    # rank WITHIN the m picked rows only — a K-row window, K = m.
+    from pyspark.sql import Window
+
+    w = Window.orderBy(
+        F.col("unexplored").desc(),
+        F.col("ucb").desc_nulls_last(),
+        F.col("host").asc(),
+    )
+    return picked.withColumn("pick", F.row_number().over(w)).select(
+        "host", "n_pulls", "mean_reward", "ucb", "pick"
+    )

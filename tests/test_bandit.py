@@ -1,0 +1,143 @@
+"""UCB1 host scheduling (operators/bandit)."""
+
+import math
+
+from stock_crawler_spark.operators.bandit import ucb_host_stats, ucb_schedule
+
+
+def _stats(spark, rows):
+    return spark.createDataFrame(
+        rows, "host string, round int, n_fetched int, n_new int"
+    )
+
+
+def _py_ucb(rows, m, c, universe=None):
+    """Reference implementation: the exact operator contract in plain
+    python (mean of per-round rates, ucb = mean + c*sqrt(ln N / n),
+    unexplored-first, tie-break host asc)."""
+    per = {}
+    for h, _r, f, n in rows:
+        if f > 0:
+            per.setdefault(h, []).append(n / f)
+    hosts = sorted(universe if universe is not None else per)
+    total = sum(len(v) for v in per.values())
+    scored = []
+    for h in hosts:
+        if h in per:
+            rates = per[h]
+            mean = sum(rates) / len(rates)
+            ucb = mean + c * math.sqrt(math.log(total) / len(rates))
+            scored.append((0, -ucb, h, len(rates), mean, ucb))
+        else:
+            scored.append((-1, 0.0, h, 0, 0.0, None))
+    scored.sort()
+    return [
+        (h, n, mean, ucb, i + 1)
+        for i, (_u, _s, h, n, mean, ucb) in enumerate(scored[:m])
+    ]
+
+
+def test_ucb_matches_python_twin(spark):
+    rows = [
+        ("a.com", 0, 10, 5),
+        ("a.com", 1, 10, 4),
+        ("b.com", 0, 20, 1),
+        ("b.com", 1, 0, 0),  # zero-fetch round: not an observation
+        ("c.com", 0, 4, 4),
+    ]
+    got = sorted(
+        (r["host"], r["n_pulls"], r["mean_reward"], r["ucb"], r["pick"])
+        for r in ucb_schedule(_stats(spark, rows), m=3, c=1.0).collect()
+    )
+    want = sorted(_py_ucb(rows, 3, 1.0))
+    assert len(got) == len(want) == 3
+    for g, w in zip(got, want):
+        assert g[0] == w[0] and g[1] == w[1] and g[4] == w[4]
+        assert abs(g[2] - w[2]) < 1e-12
+        assert abs(g[3] - w[3]) < 1e-12
+
+
+def test_unexplored_preempt_and_order(spark):
+    rows = [("a.com", 0, 10, 9), ("b.com", 0, 10, 1)]
+    hosts = spark.createDataFrame(
+        [("a.com",), ("b.com",), ("z.new",), ("c.new",)], "host string"
+    )
+    out = {
+        r["host"]: (r["pick"], r["n_pulls"])
+        for r in ucb_schedule(_stats(spark, rows), hosts=hosts, m=3).collect()
+    }
+    # both unexplored arms picked first, host asc; best explored arm third
+    assert out["c.new"] == (1, 0)
+    assert out["z.new"] == (2, 0)
+    assert out["a.com"][0] == 3
+    assert "b.com" not in out
+
+
+def test_zero_fetch_only_host_is_unexplored(spark):
+    rows = [("a.com", 0, 5, 1), ("dead.com", 0, 0, 0), ("dead.com", 1, 0, 0)]
+    out = {
+        r["host"]: r["n_pulls"]
+        for r in ucb_schedule(_stats(spark, rows), m=5).collect()
+    }
+    # dead.com never had a real pull -> not an arm in the stats universe
+    assert out == {"a.com": 1}
+    hosts = spark.createDataFrame([("a.com",), ("dead.com",)], "host string")
+    out2 = {
+        r["host"]: (r["pick"], r["n_pulls"])
+        for r in ucb_schedule(_stats(spark, rows), hosts=hosts, m=5).collect()
+    }
+    assert out2["dead.com"] == (1, 0)  # unexplored, preempts a.com
+    assert out2["a.com"][0] == 2
+
+
+def test_ucb_concentrates_on_best_arm(spark):
+    """Deterministic regret sanity: arms with fixed rates 0.9/0.5/0.1,
+    simulate T sequential picks (m=1) feeding each pick back as a new
+    observation at the arm's true rate — the best arm must take the
+    majority of pulls and every arm is tried at least once."""
+    true_rate = {"hi.com": 9, "mid.com": 5, "lo.com": 1}  # n_new per 10
+    hosts = spark.createDataFrame([(h,) for h in true_rate], "host string")
+    log = []
+    pulls = {h: 0 for h in true_rate}
+    for t in range(12):
+        picked = ucb_schedule(
+            _stats(spark, log or [("x", 0, 0, 0)]), hosts=hosts, m=1
+        ).collect()[0]["host"]
+        pulls[picked] += 1
+        log.append((picked, t, 10, true_rate[picked]))
+    assert all(v >= 1 for v in pulls.values())
+    assert pulls["hi.com"] > pulls["mid.com"] >= pulls["lo.com"]
+
+
+def test_partition_invariance(spark):
+    rows = [
+        (f"h{i % 7}.com", r, 10 + (i % 3), (i * r) % 7)
+        for i in range(40)
+        for r in range(3)
+    ]
+    base = _stats(spark, rows)
+    a = [
+        (r["host"], r["pick"])
+        for r in ucb_schedule(base.repartition(1), m=5).collect()
+    ]
+    b = [
+        (r["host"], r["pick"])
+        for r in ucb_schedule(base.repartition(13, "round"), m=5).collect()
+    ]
+    assert sorted(a) == sorted(b)
+
+
+def test_stats_shape(spark):
+    rows = [("a.com", 0, 4, 2), ("a.com", 1, 8, 2), ("b.com", 0, 2, 2)]
+    got = {
+        r["host"]: (
+            r["n_pulls"],
+            r["total_fetched"],
+            r["total_new"],
+            r["mean_reward"],
+        )
+        for r in ucb_host_stats(_stats(spark, rows)).collect()
+    }
+    assert got["a.com"][:3] == (2, 12, 4)
+    assert abs(got["a.com"][3] - (0.5 + 0.25) / 2) < 1e-12
+    assert got["b.com"] == (1, 2, 2, 1.0)
