@@ -3178,6 +3178,27 @@ def q171_hyperanf(spark, sf):
     )
 
 
+EFFD_ALPHAS = (0.5, 0.9)
+
+
+def q182_effective_diameter(spark, sf):
+    """alpha-effective diameter (operators/graph.effective_diameter;
+    Palmer et al. KDD'02's 90%-convention, Boldi-Vigna WWW'11's
+    interpolation) of the bow-tie host graph — the crawl-planning
+    scalar behind q171's reach curve: the interpolated hop depth at
+    which a from-everywhere frontier covers 50% / 90% of all reachable
+    pairs. Everything past the HyperANF sweeps is K-row work on the
+    max_t+1 curve rows; the oracle wraps q171's exact-closure register
+    replay as a CTE and replays the lag window + first-crossing
+    interpolation, bit-for-bit."""
+    from stock_crawler_spark.operators.graph import effective_diameter
+
+    return effective_diameter(
+        _bowtie_edges(spark, sf), alphas=EFFD_ALPHAS, max_t=ANF_MAX_T,
+        src="s", dst="d", p=HLL_P_Q75, buckets=64,
+    )
+
+
 def q172_auc(spark, sf):
     """Exact ROC-AUC (functions/classifier.exact_auc; Mann-Whitney with
     the tie-pair 1/2 convention) of the heuristic quality gate against
@@ -4383,6 +4404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q179_harmonic_centrality": q179_harmonic_centrality,
         "q180_mirror_hosts": q180_mirror_hosts,
         "q181_ucb_schedule": q181_ucb_schedule,
+        "q182_effective_diameter": q182_effective_diameter,
     }
 
 
@@ -6309,6 +6331,63 @@ def _hll_est_sql(reg_cte: str) -> str:
   )"""
 
 
+# q171/q182 shared oracle: HyperANF registers built straight from the
+# EXACT depth-bounded closure (HLL union over sets is lossless, so the
+# iterated register max equals these), then the q75 estimator chain and
+# the det_sum two-level fold — bit-identical to graph.hyperanf.
+_ANF_CURVE_SQL = f"""
+WITH RECURSIVE docs_n AS (
+  SELECT doc_id % {SCC_NODES} AS n FROM documents
+), e AS (
+  SELECT DISTINCT s, d FROM (
+    SELECT n AS s, (n + 1) % 20 AS d FROM docs_n WHERE n < 20
+    UNION ALL SELECT n, (n + 7) % 20 FROM docs_n WHERE n < 20
+    UNION ALL SELECT n, n + 1 FROM docs_n WHERE n >= 20 AND n < 39
+    UNION ALL SELECT n, n - 20 FROM docs_n WHERE n >= 20 AND n < 40
+    UNION ALL SELECT n - 40, n FROM docs_n WHERE n >= 40
+    UNION ALL SELECT n, n + 1 FROM docs_n WHERE n >= 40 AND n < 59
+    UNION ALL SELECT n, n - 1 FROM docs_n WHERE n = 58
+    UNION ALL SELECT n, n + 45 FROM docs_n WHERE n >= 20 AND n < 25
+  ) WHERE s <> d
+), nodes AS (
+  SELECT DISTINCT node FROM (SELECT s AS node FROM e UNION ALL SELECT d AS node FROM e)
+), r AS (
+  SELECT node AS s, node AS d, 0 AS dist FROM nodes
+  UNION
+  SELECT r.s, e.d, r.dist + 1 FROM r JOIN e ON r.d = e.s WHERE r.dist < {ANF_MAX_T}
+), mind AS (
+  SELECT s, d, min(dist) AS dist FROM r GROUP BY 1, 2
+), ts AS (
+  SELECT unnest([{",".join(str(t) for t in range(ANF_MAX_T + 1))}]) AS t
+), regs AS (
+  SELECT t, node, h % 1024 AS bucket,
+    max(CASE WHEN (h >> 10) = 0 THEN 51
+             ELSE 51 - length(bin(h >> 10)) END) AS rho
+  FROM (SELECT ts.t AS t, mind.s AS node,
+          ('0x' || substr(md5('hll:' || CAST(mind.d AS VARCHAR)), 1, 15))::BIGINT AS h
+        FROM mind JOIN ts ON mind.dist <= ts.t)
+  GROUP BY 1, 2, 3
+), est AS (
+  SELECT t, node,
+    CASE WHEN ({_HLL_EST_NUM!r} / ssum) <= 2560.0 AND v > 0
+         THEN round(round(ln(1024 / v), 12) * 1024, 6)
+         ELSE round({_HLL_EST_NUM!r} / ssum, 6) END AS est
+  FROM (
+    SELECT t, node,
+      sum(1::BIGINT << (51 - rho)) + (1024 - count(*)) * (1::BIGINT << 51) AS ssum,
+      1024 - count(*) AS v
+    FROM regs GROUP BY 1, 2)
+), lvl1 AS (
+  SELECT t, (('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 15))::BIGINT % 64) AS b,
+         list_aggregate(list(est ORDER BY CAST(node AS VARCHAR)), 'sum') AS s1
+  FROM est GROUP BY 1, 2
+)
+SELECT CAST(t AS INTEGER) AS t,
+       round(list_aggregate(list(s1 ORDER BY b), 'sum'), 6) AS n_pairs_est_r
+FROM lvl1 GROUP BY 1
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q01_pricing_rollup": """
@@ -7356,56 +7435,32 @@ FROM nodes
         # closure (HLL union over sets is lossless, so the iterated
         # register max equals these), then the q75 estimator chain and
         # the det_sum two-level fold — bit-identical to graph.hyperanf
-        "q171_hyperanf": f"""
-WITH RECURSIVE docs_n AS (
-  SELECT doc_id % {SCC_NODES} AS n FROM documents
-), e AS (
-  SELECT DISTINCT s, d FROM (
-    SELECT n AS s, (n + 1) % 20 AS d FROM docs_n WHERE n < 20
-    UNION ALL SELECT n, (n + 7) % 20 FROM docs_n WHERE n < 20
-    UNION ALL SELECT n, n + 1 FROM docs_n WHERE n >= 20 AND n < 39
-    UNION ALL SELECT n, n - 20 FROM docs_n WHERE n >= 20 AND n < 40
-    UNION ALL SELECT n - 40, n FROM docs_n WHERE n >= 40
-    UNION ALL SELECT n, n + 1 FROM docs_n WHERE n >= 40 AND n < 59
-    UNION ALL SELECT n, n - 1 FROM docs_n WHERE n = 58
-    UNION ALL SELECT n, n + 45 FROM docs_n WHERE n >= 20 AND n < 25
-  ) WHERE s <> d
-), nodes AS (
-  SELECT DISTINCT node FROM (SELECT s AS node FROM e UNION ALL SELECT d AS node FROM e)
-), r AS (
-  SELECT node AS s, node AS d, 0 AS dist FROM nodes
-  UNION
-  SELECT r.s, e.d, r.dist + 1 FROM r JOIN e ON r.d = e.s WHERE r.dist < {ANF_MAX_T}
-), mind AS (
-  SELECT s, d, min(dist) AS dist FROM r GROUP BY 1, 2
-), ts AS (
-  SELECT unnest([{",".join(str(t) for t in range(ANF_MAX_T + 1))}]) AS t
-), regs AS (
-  SELECT t, node, h % 1024 AS bucket,
-    max(CASE WHEN (h >> 10) = 0 THEN 51
-             ELSE 51 - length(bin(h >> 10)) END) AS rho
-  FROM (SELECT ts.t AS t, mind.s AS node,
-          ('0x' || substr(md5('hll:' || CAST(mind.d AS VARCHAR)), 1, 15))::BIGINT AS h
-        FROM mind JOIN ts ON mind.dist <= ts.t)
-  GROUP BY 1, 2, 3
-), est AS (
-  SELECT t, node,
-    CASE WHEN ({_HLL_EST_NUM!r} / ssum) <= 2560.0 AND v > 0
-         THEN round(round(ln(1024 / v), 12) * 1024, 6)
-         ELSE round({_HLL_EST_NUM!r} / ssum, 6) END AS est
-  FROM (
-    SELECT t, node,
-      sum(1::BIGINT << (51 - rho)) + (1024 - count(*)) * (1::BIGINT << 51) AS ssum,
-      1024 - count(*) AS v
-    FROM regs GROUP BY 1, 2)
-), lvl1 AS (
-  SELECT t, (('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 15))::BIGINT % 64) AS b,
-         list_aggregate(list(est ORDER BY CAST(node AS VARCHAR)), 'sum') AS s1
-  FROM est GROUP BY 1, 2
+        "q171_hyperanf": _ANF_CURVE_SQL,
+        # q182: q171's curve wrapped as a CTE, then the lag window and
+        # first-crossing interpolation replayed per alpha
+        "q182_effective_diameter": f"""
+WITH curve AS ({_ANF_CURVE_SQL}
+), lagged AS (
+  SELECT t, n_pairs_est_r AS n,
+         lag(n_pairs_est_r) OVER (ORDER BY t) AS prevn
+  FROM curve
+), tot AS (
+  SELECT n_pairs_est_r AS n_total FROM curve WHERE t = {ANF_MAX_T}
+), targets AS (
+  SELECT unnest([{",".join(repr(float(a)) for a in EFFD_ALPHAS)}]) AS alpha,
+         n_total
+  FROM tot
+), first AS (
+  SELECT alpha, min(t) AS t_ceil, min(n_total) AS n_total
+  FROM lagged JOIN targets ON n >= alpha * n_total
+  GROUP BY 1
 )
-SELECT CAST(t AS INTEGER) AS t,
-       round(list_aggregate(list(s1 ORDER BY b), 'sum'), 6) AS n_pairs_est_r
-FROM lvl1 GROUP BY 1
+SELECT alpha, CAST(t_ceil AS INT) AS t_ceil,
+  round(CASE WHEN t_ceil = 0 THEN 0.0
+    ELSE CAST(t_ceil - 1 AS DOUBLE)
+      + (alpha * n_total - prevn) / (n - prevn) END, 6) AS d_eff_r,
+  round(n_total, 6) AS n_total_r
+FROM first JOIN lagged ON lagged.t = first.t_ceil
 """,
         # q172: per-distinct-score class counts, window cumsum of
         # negatives-below, Mann-Whitney with the tie/2 convention —

@@ -25,7 +25,7 @@ Scale notes (10^8 hosts, 10^10 edges):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -1177,6 +1177,77 @@ def hyperanf(
         # cached edge list is unreachable from the returned plan
         e.unpersist()
     return out
+
+
+def effective_diameter(
+    edges: DataFrame,
+    alphas: tuple = (0.5, 0.9),
+    max_t: int = 8,
+    src: str = "src_dom",
+    dst: str = "dst_dom",
+    p: int = 10,
+    buckets: int = DET_SUM_BUCKETS,
+) -> DataFrame:
+    """alpha-effective diameter of the directed host graph from the
+    HyperANF curve (Boldi, Rosa & Vigna WWW'11 §2; Palmer et al. KDD'02
+    introduced the 90%-effective-diameter convention): the interpolated
+    hop count t at which N(t) first reaches alpha * N(max_t) — "how
+    deep must a frontier crawl from everywhere to cover 90% of all
+    reachable pairs". This is the planning scalar the full curve
+    (q171) carries implicitly; computing it stays on the curve's
+    max_t+1 rows, so everything after hyperanf() is K-row work: a lag
+    window and a first-crossing pick per alpha, with the standard
+    linear interpolation
+
+        d_eff(alpha) = (t-1) + (alpha*N(max) - N(t-1)) / (N(t) - N(t-1))
+
+    (0 when N(0) already covers the target — N is nondecreasing and
+    the first crossing has N(t) > N(t-1), so the division is safe).
+
+    Scale: identical to hyperanf — the curve is the only corpus-scale
+    work; the diameter extraction would be driver-side arithmetic on
+    any engine and stays a K-row DataFrame here only so the whole
+    thing remains one lazy plan for the driver gate.
+
+    Output: (alpha, t_ceil, d_eff_r, n_total_r) per alpha, round-6.
+    """
+    curve = hyperanf(
+        edges, max_t=max_t, src=src, dst=dst, p=p, buckets=buckets
+    )
+    w = Window.orderBy("t")
+    lagged = curve.select(
+        "t", F.col("n_pairs_est_r").alias("n")
+    ).withColumn("prevn", F.lag("n").over(w))
+    tot = curve.filter(F.col("t") == max_t).select(
+        F.col("n_pairs_est_r").alias("n_total")
+    )
+    targets = tot.select(
+        F.explode(
+            F.array(*[F.lit(float(a)) for a in alphas])
+        ).alias("alpha"),
+        "n_total",
+    )
+    cand = lagged.join(
+        F.broadcast(targets),
+        F.col("n") >= F.col("alpha") * F.col("n_total"),
+    )
+    first = cand.groupBy("alpha").agg(
+        F.min("t").alias("t_ceil"), F.first("n_total").alias("n_total")
+    )
+    hit = first.join(
+        lagged.withColumnRenamed("t", "t_ceil"), "t_ceil"
+    )
+    d_eff = F.when(F.col("t_ceil") == 0, F.lit(0.0)).otherwise(
+        (F.col("t_ceil") - 1).cast("double")
+        + (F.col("alpha") * F.col("n_total") - F.col("prevn"))
+        / (F.col("n") - F.col("prevn"))
+    )
+    return hit.select(
+        "alpha",
+        "t_ceil",
+        F.round(d_eff, 6).alias("d_eff_r"),
+        F.round("n_total", 6).alias("n_total_r"),
+    )
 
 
 # --- deterministic random walks -------------------------------------------

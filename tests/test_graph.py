@@ -968,3 +968,73 @@ def test_hyperball_partition_invariant_bit_exact(spark):
     b = sorted(tuple(r) for r in
                hyperball_centrality(e.repartition(7), max_t=3, src="s", dst="d").collect())
     assert a == b
+
+
+# --- effective diameter -----------------------------------------------------
+
+
+def test_effective_diameter_matches_curve_interpolation(spark):
+    """Twin check: compute d_eff from the operator's own hyperanf curve
+    with the textbook first-crossing interpolation in plain python."""
+    from stock_crawler_spark.operators.graph import effective_diameter
+
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 4), (0, 2)]
+    e = _iedges(spark, pairs)
+    alphas = (0.5, 0.9)
+    curve = _anf_curve(hyperanf(e, max_t=4, src="s", dst="d"))
+    n_total = curve[4]
+
+    def py_deff(alpha):
+        target = alpha * n_total
+        for t in sorted(curve):
+            if curve[t] >= target:
+                if t == 0:
+                    return 0.0, 0
+                prev = curve[t - 1]
+                return round(
+                    (t - 1) + (target - prev) / (curve[t] - prev), 6
+                ), t
+        raise AssertionError("no crossing")
+
+    got = {
+        r["alpha"]: (r["d_eff_r"], r["t_ceil"], r["n_total_r"])
+        for r in effective_diameter(
+            e, alphas=alphas, max_t=4, src="s", dst="d"
+        ).collect()
+    }
+    assert sorted(got) == sorted(alphas)
+    for a in alphas:
+        d, tc = py_deff(a)
+        assert got[a][0] == d and got[a][1] == tc
+        assert got[a][2] == round(n_total, 6)
+
+
+def test_effective_diameter_complete_graph_is_zero_then_one(spark):
+    """K4: N(0) = 4, N(1) = 16 = N(max). alpha=0.2 is covered by the
+    self-balls alone (d = 0); alpha=0.9 lands inside hop one."""
+    from stock_crawler_spark.operators.graph import effective_diameter
+
+    pairs = [(a, b) for a in range(4) for b in range(4) if a != b]
+    got = {
+        r["alpha"]: (r["d_eff_r"], r["t_ceil"])
+        for r in effective_diameter(
+            _iedges(spark, pairs), alphas=(0.2, 0.9), max_t=2,
+            src="s", dst="d",
+        ).collect()
+    }
+    assert got[0.2] == (0.0, 0)
+    assert got[0.9][1] == 1 and 0.0 < got[0.9][0] <= 1.0
+
+
+def test_effective_diameter_partition_invariant(spark):
+    from stock_crawler_spark.operators.graph import effective_diameter
+
+    pairs = [(i, (i * 5 + 2) % 17) for i in range(17) if i != (i * 5 + 2) % 17]
+    e = _iedges(spark, pairs)
+    rows = lambda d: sorted(
+        (r["alpha"], r["t_ceil"], r["d_eff_r"], r["n_total_r"])
+        for r in d.collect()
+    )
+    a = rows(effective_diameter(e, max_t=3, src="s", dst="d"))
+    b = rows(effective_diameter(e.repartition(9), max_t=3, src="s", dst="d"))
+    assert a == b
