@@ -3510,6 +3510,52 @@ def q181_ucb_schedule(spark, sf):
     )
 
 
+RBO_HOSTS = 20
+RBO_DEPTH = 10
+RBO_P = 0.9
+
+
+def q183_rbo_drift(spark, sf):
+    """Rank-biased overlap (operators/retrieval.rbo; Webber, Moffat &
+    Zobel TOIS'10) between two per-event-type host priority orderings
+    — rank-by-event-count vs rank-by-round-6-value-mass — the drift
+    meter for indefinite top-weighted rankings (how much would the
+    frontier's dequeue order move if the scorer changed?). Exercises
+    the telescoped per-item weight-table reduction, the full-outer
+    prefix join, the zero-overlap group path, and the det_sum fold;
+    the oracle replays the same reverse-cumsum weight table and
+    md5-bucketed ordered fold bit-for-bit."""
+    from pyspark.sql import Window
+
+    from stock_crawler_spark.operators.retrieval import rbo
+
+    ev = _t(spark, sf, "events").select(
+        F.col("event_type").alias("g"),
+        F.concat(
+            F.lit("h"), (F.col("user_id") % RBO_HOSTS).cast("string"),
+            F.lit(".com"),
+        ).alias("host"),
+        "value",
+    )
+    wa = Window.partitionBy("g").orderBy(
+        F.col("s").desc(), F.col("host").asc()
+    )
+    ranks_a = (
+        ev.groupBy("g", "host")
+        .agg(F.count(F.lit(1)).alias("s"))
+        .select("g", "host", F.row_number().over(wa).alias("rank"))
+    )
+    ranks_b = (
+        ev.groupBy("g", "host")
+        .agg(F.round(F.sum("value"), 6).alias("s"))
+        .select("g", "host", F.row_number().over(wa).alias("rank"))
+    )
+    return rbo(
+        ranks_a, ranks_b, depth=RBO_DEPTH, p=RBO_P, group_cols=("g",),
+        item_col="host",
+    )
+
+
 QUANTILE_PS = [0.5, 0.9, 0.99]
 
 ROUTE_SHARDS = 8
@@ -4405,6 +4451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q180_mirror_hosts": q180_mirror_hosts,
         "q181_ucb_schedule": q181_ucb_schedule,
         "q182_effective_diameter": q182_effective_diameter,
+        "q183_rbo_drift": q183_rbo_drift,
     }
 
 
@@ -6388,6 +6435,17 @@ FROM lvl1 GROUP BY 1
 """
 
 
+def _rbo_wt_values() -> str:
+    """q183's weight table as SQL VALUES — the IDENTICAL python doubles
+    the engine's driver-side table carries."""
+    from stock_crawler_spark.operators.retrieval import rbo_weights
+
+    return ", ".join(
+        f"({d}, CAST({w!r} AS DOUBLE))"
+        for d, w in sorted(rbo_weights(RBO_DEPTH, RBO_P).items())
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q01_pricing_rollup": """
@@ -7855,6 +7913,62 @@ FROM (
     ORDER BY unexplored DESC, ucb DESC NULLS LAST, host ASC) AS pick
   FROM scored)
 WHERE pick <= {UCB_M}
+""",
+        # q183: RBO replayed — same prefix full-outer join, the SAME
+        # python-float weight table (fold order is part of the
+        # contract), det_sum's md5-bucket ordered fold
+        "q183_rbo_drift": f"""
+WITH ev AS (
+  SELECT event_type AS g, 'h' || (user_id % {RBO_HOSTS}) || '.com' AS host,
+         value
+  FROM events
+), sa AS (
+  SELECT g, host, count(*) AS s FROM ev GROUP BY 1, 2
+), ra AS (
+  SELECT g, host,
+    row_number() OVER (PARTITION BY g ORDER BY s DESC, host ASC) AS r
+  FROM sa
+), sb AS (
+  SELECT g, host, round(sum(value), 6) AS s FROM ev GROUP BY 1, 2
+), rb AS (
+  SELECT g, host,
+    row_number() OVER (PARTITION BY g ORDER BY s DESC, host ASC) AS r
+  FROM sb
+), pa AS (SELECT g, host, r FROM ra WHERE r <= {RBO_DEPTH}
+), pb AS (SELECT g, host, r FROM rb WHERE r <= {RBO_DEPTH}
+), j AS (
+  SELECT COALESCE(pa.g, pb.g) AS g, COALESCE(pa.host, pb.host) AS host,
+         greatest(COALESCE(pa.r, {RBO_DEPTH + 1}),
+                  COALESCE(pb.r, {RBO_DEPTH + 1})) AS m
+  FROM pa FULL JOIN pb ON pa.g = pb.g AND pa.host = pb.host
+), jj AS (SELECT * FROM j WHERE m <= {RBO_DEPTH}
+), wt AS (
+  SELECT * FROM (VALUES {_rbo_wt_values()}) AS t(d, w)
+), jw AS (
+  SELECT jj.g, jj.host, wt.w FROM jj JOIN wt ON jj.m = wt.d
+), lvl1 AS (
+  SELECT g, (('0x' || substr(md5(host), 1, 15))::BIGINT % 64) AS b,
+         list_aggregate(list(w ORDER BY host), 'sum') AS s1
+  FROM jw GROUP BY 1, 2
+), sw AS (
+  SELECT g, list_aggregate(list(s1 ORDER BY b), 'sum') AS sw
+  FROM lvl1 GROUP BY 1
+), cnt AS (
+  SELECT g, count(*) AS n_overlap FROM jw GROUP BY 1
+), uni AS (
+  SELECT DISTINCT g FROM (SELECT g FROM ra UNION ALL SELECT g FROM rb)
+)
+SELECT u.g,
+  CAST(COALESCE(c.n_overlap, 0) AS BIGINT) AS n_overlap,
+  round(CAST(COALESCE(c.n_overlap, 0) AS DOUBLE)
+        / CAST({float(RBO_DEPTH)!r} AS DOUBLE), 6) AS a_depth_r,
+  round(CAST({((1.0 - RBO_P) / RBO_P)!r} AS DOUBLE) * COALESCE(s.sw, 0.0), 6)
+    AS rbo_min_r,
+  round(CAST({((1.0 - RBO_P) / RBO_P)!r} AS DOUBLE) * COALESCE(s.sw, 0.0)
+        + CAST({(RBO_P ** RBO_DEPTH / RBO_DEPTH)!r} AS DOUBLE)
+          * COALESCE(c.n_overlap, 0), 6)
+    AS rbo_ext_r
+FROM uni u LEFT JOIN cnt c ON u.g = c.g LEFT JOIN sw s ON u.g = s.g
 """,
         # q167: Elias gamma/delta gap costs via bin() lengths (no log2)
         "q167_adjacency_bits": f"""

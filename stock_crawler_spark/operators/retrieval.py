@@ -171,3 +171,120 @@ def mmr_rerank(
         .cogroup(sims.groupBy(qid))
         .applyInPandas(greedy, out_schema)
     )
+
+
+# --- rank-biased overlap ----------------------------------------------------
+
+
+def rbo_weights(depth: int, p: float) -> dict:
+    """w(m) = sum_{d=m..D} p^d / d, accumulated from d = D down to m —
+    the exact doubles both the engine and any SQL replica must use
+    (fold order is part of the contract)."""
+    w = {}
+    acc = 0.0
+    for d in range(depth, 0, -1):
+        acc += p**d / d
+        w[d] = acc
+    return w
+
+
+def rbo(
+    ranks_a: DataFrame,
+    ranks_b: DataFrame,
+    depth: int = 50,
+    p: float = 0.9,
+    group_cols: tuple = (),
+    item_col: str = "item",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Rank-biased overlap at evaluation depth D (Webber, Moffat &
+    Zobel, TOIS 2010) between two rankings — THE drift meter for
+    indefinite, top-weighted lists: how much did the frontier's
+    priority ordering move between recrawl snapshots, or between two
+    scorers (PageRank vs OPIC vs UCB)? Kendall/Spearman need conjoint
+    full permutations; RBO is defined on top-k prefixes and weights
+    rank 1 geometrically above rank 100:
+
+        RBO = (1 - p) * sum_{d>=1} p^(d-1) * |A_:d ∩ B_:d| / d
+
+    Inputs are (group..., item, rank) with rank a 1-based permutation
+    per group (ties unsupported — break them upstream; ranks > depth
+    are ignored). The paper's prefix (min) sum and point extrapolation
+    both report:
+
+        rbo_min_r = (1-p)/p * sum_i w(m_i)          m_i = max(ra_i, rb_i)
+        rbo_ext_r = rbo_min_r + p^D / D * X_D
+        w(m)      = sum_{d=m..D} p^d / d
+
+    The per-item reduction is the scale story: X_d telescopes — an
+    item present in both prefixes at depth m contributes to every
+    A_d with d >= m — so the depth dimension collapses into a D-row
+    weight table (reverse cumsum, broadcast) and the corpus-scale work
+    is ONE full-outer join on (group, item) plus one groupBy. No
+    per-depth explode, no quadratic pair work. Groups whose prefixes
+    share nothing still report (overlap 0, rbo 0). Float sums fold
+    through det_sum (md5-bucketed ordered two-level fold) — bit-
+    reproducible across partitionings and engines; outputs round-6.
+
+    Output: (group..., n_overlap, a_depth_r, rbo_min_r, rbo_ext_r).
+    """
+    from stock_crawler_spark.operators.graph import det_sum
+
+    gc = list(group_cols)
+    miss = depth + 1
+    a = ranks_a.select(
+        *gc, F.col(item_col).alias("_it"), F.col(rank_col).alias("_ra")
+    ).filter(F.col("_ra") <= depth)
+    b = ranks_b.select(
+        *gc, F.col(item_col).alias("_it"), F.col(rank_col).alias("_rb")
+    ).filter(F.col("_rb") <= depth)
+    j = (
+        a.join(b, [*gc, "_it"], "full")
+        .select(
+            *gc,
+            "_it",
+            F.greatest(
+                F.coalesce(F.col("_ra"), F.lit(miss)),
+                F.coalesce(F.col("_rb"), F.lit(miss)),
+            ).alias("_m"),
+        )
+        .filter(F.col("_m") <= depth)
+    )
+    spark = ranks_a.sparkSession
+    # weight table built DRIVER-side: depth is a scalar parameter (a
+    # D-row broadcast table), and python-float literals dodge any
+    # engine-to-engine pow()/summation-order ULP drift — both engines
+    # consume the identical doubles.
+    wt = spark.createDataFrame(
+        list(rbo_weights(depth, p).items()), "_d int, _w double"
+    )
+    jw = j.join(F.broadcast(wt), j["_m"] == wt["_d"]).select(
+        *gc, "_it", "_w"
+    )
+    sw = det_sum(jw, gc, "_it", "_w", "_sw")
+    cnt = jw.groupBy(*gc).agg(F.count(F.lit(1)).alias("n_overlap"))
+    stats = (
+        cnt.join(sw, gc) if gc else cnt.crossJoin(sw)
+    )
+    if gc:
+        universe = (
+            ranks_a.select(*gc).union(ranks_b.select(*gc)).distinct()
+        )
+        stats = universe.join(stats, gc, "left")
+    tail = float(p) ** depth / depth
+    scale = (1.0 - float(p)) / float(p)
+    n_ov = F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap")
+    swc = F.coalesce(F.col("_sw"), F.lit(0.0))
+    return stats.select(
+        *gc,
+        n_ov,
+        F.round(
+            F.coalesce(F.col("n_overlap"), F.lit(0)) / F.lit(float(depth)), 6
+        ).alias("a_depth_r"),
+        F.round(F.lit(scale) * swc, 6).alias("rbo_min_r"),
+        F.round(
+            F.lit(scale) * swc
+            + F.lit(tail) * F.coalesce(F.col("n_overlap"), F.lit(0)),
+            6,
+        ).alias("rbo_ext_r"),
+    )

@@ -126,3 +126,106 @@ def test_mmr_negative_sim_rewards_diversity(spark):
     got = _mmr(spark, rel, sims, lam=0.7, k=2)
     assert [r["cand_id"] for r in got] == [1, 2]
     assert got[1]["mmr_r"] == round(0.7 * 0.5 - 0.3 * -0.8, 6)
+
+
+# --- rank-biased overlap ----------------------------------------------------
+
+
+def _ranking(spark, items, group=None):
+    if group is None:
+        return spark.createDataFrame(
+            [(it, i + 1) for i, it in enumerate(items)],
+            "item string, rank int",
+        )
+    return spark.createDataFrame(
+        [(group, it, i + 1) for i, it in enumerate(items)],
+        "g string, item string, rank int",
+    )
+
+
+def _py_rbo(list_a, list_b, depth, p):
+    """Direct per-depth evaluation of the paper's definition."""
+    s = 0.0
+    for d in range(1, depth + 1):
+        x_d = len(set(list_a[:d]) & set(list_b[:d]))
+        s += p ** (d - 1) * x_d / d
+    rbo_min = (1 - p) * s
+    x_depth = len(set(list_a[:depth]) & set(list_b[:depth]))
+    return rbo_min, rbo_min + p**depth / depth * x_depth
+
+
+def test_rbo_identical_rankings_is_one(spark):
+    from stock_crawler_spark.operators.retrieval import rbo
+
+    items = [f"d{i}" for i in range(10)]
+    a = _ranking(spark, items)
+    r = rbo(a, _ranking(spark, items), depth=10, p=0.9).collect()[0]
+    assert r["n_overlap"] == 10 and r["a_depth_r"] == 1.0
+    assert r["rbo_ext_r"] == 1.0  # 1 - p^D + p^D exactly
+
+
+def test_rbo_matches_per_depth_definition(spark):
+    """The telescoped per-item weight sum equals the textbook per-depth
+    sum (python twin evaluates the definition directly)."""
+    from stock_crawler_spark.operators.retrieval import rbo
+
+    la = ["a", "b", "c", "d", "e", "f"]
+    lb = ["b", "a", "x", "c", "y", "d"]
+    for depth, p in ((6, 0.9), (4, 0.5)):
+        r = rbo(
+            _ranking(spark, la), _ranking(spark, lb), depth=depth, p=p
+        ).collect()[0]
+        want_min, want_ext = _py_rbo(la, lb, depth, p)
+        assert abs(r["rbo_min_r"] - round(want_min, 6)) <= 1e-6
+        assert abs(r["rbo_ext_r"] - round(want_ext, 6)) <= 1e-6
+
+
+def test_rbo_disjoint_and_missing_groups(spark):
+    from stock_crawler_spark.operators.retrieval import rbo
+
+    a = _ranking(spark, ["a", "b"], group="g1").union(
+        _ranking(spark, ["p", "q"], group="g2")
+    )
+    b = _ranking(spark, ["a", "b"], group="g1").union(
+        _ranking(spark, ["x", "y"], group="g2")
+    )
+    got = {
+        r["g"]: (r["n_overlap"], r["rbo_ext_r"])
+        for r in rbo(a, b, depth=2, p=0.9, group_cols=("g",)).collect()
+    }
+    assert got["g1"][0] == 2 and got["g1"][1] == 1.0
+    assert got["g2"] == (0, 0.0)  # zero-overlap group still reported
+
+
+def test_rbo_top_weighted(spark):
+    """Agreement at the head outweighs equal agreement at the tail."""
+    from stock_crawler_spark.operators.retrieval import rbo
+
+    base = [f"d{i}" for i in range(8)]
+    swap_head = list(base)
+    swap_head[0], swap_head[1] = swap_head[1], swap_head[0]
+    swap_tail = list(base)
+    swap_tail[6], swap_tail[7] = swap_tail[7], swap_tail[6]
+    rh = rbo(
+        _ranking(spark, base), _ranking(spark, swap_head), depth=8, p=0.9
+    ).collect()[0]["rbo_ext_r"]
+    rt = rbo(
+        _ranking(spark, base), _ranking(spark, swap_tail), depth=8, p=0.9
+    ).collect()[0]["rbo_ext_r"]
+    assert rt > rh  # tail swap hurts less
+
+
+def test_rbo_partition_invariant(spark):
+    from stock_crawler_spark.operators.retrieval import rbo
+
+    la = [f"d{i}" for i in range(30)]
+    lb = [f"d{(i * 7) % 35}" for i in range(30)]
+    seen = set()
+    lb = [x for x in lb if not (x in seen or seen.add(x))]
+    a, b = _ranking(spark, la), _ranking(spark, lb)
+    r1 = rbo(a.repartition(1), b, depth=20, p=0.8).collect()[0]
+    r2 = rbo(a.repartition(11), b.repartition(5), depth=20, p=0.8).collect()[0]
+    assert (r1["rbo_min_r"], r1["rbo_ext_r"]) == (
+        r2["rbo_min_r"],
+        r2["rbo_ext_r"],
+    )
