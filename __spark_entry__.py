@@ -571,6 +571,22 @@ def q42_bm25(spark, sf):
     return T.bm25_scores(_t(spark, sf, "documents"), BM25_QUERY)
 
 
+QLM_QUERY = ["spark", "spark", "join", "window"]  # repeated term: qtf=2
+QLM_MU_Q = 2000.0
+
+
+def q184_qlm_retrieval(spark, sf):
+    """Dirichlet query-likelihood retrieval (functions/text.qlm_scores;
+    Zhai & Lafferty SIGIR'01) — the language-modeling scorer beside
+    q42's BM25 and q147's BM25F, in the rank-equivalent sparse form
+    (present-term sum + per-doc length normalizer). The repeated query
+    term exercises qtf weighting; plan shape is q42's: one corpus tf
+    shuffle, cf/stats/Q_len broadcast, sorted-term float fold."""
+    return T.qlm_scores(
+        _t(spark, sf, "documents"), QLM_QUERY, mu=QLM_MU_Q
+    )
+
+
 _Q44_PRE = (
     "<html><head><title>t</title><script>var x = 1 < 2;</script>"
     "<style>p { color: red; }</style></head><body><!-- nav boilerplate -->"
@@ -4452,6 +4468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q181_ucb_schedule": q181_ucb_schedule,
         "q182_effective_diameter": q182_effective_diameter,
         "q183_rbo_drift": q183_rbo_drift,
+        "q184_qlm_retrieval": q184_qlm_retrieval,
     }
 
 
@@ -7969,6 +7986,45 @@ SELECT u.g,
           * COALESCE(c.n_overlap, 0), 6)
     AS rbo_ext_r
 FROM uni u LEFT JOIN cnt c ON u.g = c.g LEFT JOIN sw s ON u.g = s.g
+""",
+        # q184: QLM rank-equivalent decomposition replayed — same cf/
+        # c_total smoothing, sorted-term fold, Q_len * length normalizer
+        "q184_qlm_retrieval": f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS t FROM documents
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1
+), coll AS (
+  SELECT CAST(sum(dl) AS DOUBLE) AS c_total FROM dl
+), qdf AS (
+  SELECT * FROM (VALUES ('join', 1), ('spark', 2), ('window', 1)) AS v(t, qtf)
+), cfq AS (
+  SELECT c.t, q.qtf, c.cf FROM (
+    SELECT t, count(*) AS cf FROM toks
+    WHERE t IN ('join', 'spark', 'window') GROUP BY 1
+  ) c JOIN qdf q ON c.t = q.t
+), qlen AS (
+  SELECT CAST(sum(qtf) AS DOUBLE) AS q_len FROM cfq
+), tf AS (
+  SELECT doc_id, t, count(*) AS tf FROM toks
+  WHERE t IN ('join', 'spark', 'window') GROUP BY 1, 2
+), hits AS (
+  SELECT doc_id,
+    list_aggregate(list(part ORDER BY t), 'sum') AS hit_sum,
+    count(*) AS n_terms_hit
+  FROM (
+    SELECT tf.doc_id, tf.t,
+      qtf * ln(1.0 + tf / (CAST({QLM_MU_Q!r} AS DOUBLE) * (cf / c_total)))
+        AS part
+    FROM tf JOIN cfq ON tf.t = cfq.t CROSS JOIN coll
+  ) GROUP BY 1
+)
+SELECT h.doc_id,
+  round(h.hit_sum + q.q_len
+        * ln(CAST({QLM_MU_Q!r} AS DOUBLE)
+             / (d.dl + CAST({QLM_MU_Q!r} AS DOUBLE))), 6) AS qlm_r,
+  h.n_terms_hit
+FROM hits h JOIN dl d ON h.doc_id = d.doc_id CROSS JOIN qlen q
 """,
         # q167: Elias gamma/delta gap costs via bin() lengths (no log2)
         "q167_adjacency_bits": f"""

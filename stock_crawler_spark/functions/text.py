@@ -181,6 +181,117 @@ def bm25_scores(docs, query_terms, id_col: str = "doc_id", text_col: str = "text
     )
 
 
+QLM_MU = 2000.0  # Zhai & Lafferty's recommended Dirichlet prior range
+
+
+def qlm_scores(docs, query_terms, mu: float = QLM_MU,
+               id_col: str = "doc_id", text_col: str = "text"):
+    """Dirichlet-smoothed query-likelihood retrieval score (Zhai &
+    Lafferty, SIGIR 2001) — the language-modeling counterpart to
+    bm25_scores, sharing its plan shape:
+
+        ll(q, d) = sum_t qtf_t * ln( (tf_td + mu*P(t|C)) / (|d| + mu) )
+
+    reported in the standard RANK-EQUIVALENT sparse form (Zhai &
+    Lafferty eq. 6): dropping the doc-independent constant
+    sum_t qtf_t * ln P(t|C) leaves
+
+        score = sum_{t in q and d} qtf_t * ln(1 + tf_td / (mu * P(t|C)))
+              + Q_len * ln(mu / (|d| + mu))
+
+    so docs are touched only where a query term actually occurs, and
+    ordering (hence top-k) is identical to the raw log-likelihood.
+
+    with P(t|C) = cf_t / |C| (collection term frequency over total
+    collection tokens) and Q_len = sum_t qtf_t. Query terms never seen
+    in the collection have P(t|C) = 0 and are DROPPED from the query
+    (the standard convention — strict QLM would send every score to
+    -inf); Q_len shrinks accordingly, exactly as if the caller had
+    pruned the query. Candidates are docs matching >= 1 surviving
+    term; the rank-equivalent score mixes a non-negative hit sum with
+    a non-positive length normalizer, so either sign occurs.
+
+    Scale shape = bm25_scores: both token aggregations (doc length,
+    per-(doc,term) tf) partial-aggregate map-side, cf_t is |query|
+    broadcast rows, |C|/stats a broadcast 1-row cross join, and the
+    per-term parts fold in SORTED term order (bit-reproducible across
+    partitionings and engines). Output (id, qlm_r, n_terms_hit).
+    """
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    qtf = Counter(t.lower() for t in query_terms)
+    if not qtf:
+        return docs.select(
+            F.col(id_col),
+            F.lit(0.0).alias("qlm_r"),
+            F.lit(0).cast("long").alias("n_terms_hit"),
+        ).limit(0)
+    q = sorted(qtf)
+    spark = docs.sparkSession
+    qdf = spark.createDataFrame(
+        [(t, int(qtf[t])) for t in q], "t string, qtf int"
+    )
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("t"),
+    )
+    doc_len = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    coll = doc_len.agg(F.sum("dl").cast("double").alias("c_total"))
+    # collection frequency of the query terms only (|query| rows)
+    cf = (
+        toks.filter(F.col("t").isin(*q))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("cf"))
+        .join(F.broadcast(qdf), "t")
+    )
+    # unseen-in-collection terms drop here; Q_len recomputed from what
+    # survives so both engines agree without a collect
+    q_len = cf.agg(F.sum("qtf").cast("double").alias("q_len"))
+    tf = (
+        toks.filter(F.col("t").isin(*q))
+        .groupBy(id_col, "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    m = float(mu)
+    parts = (
+        tf.join(F.broadcast(cf), "t")
+        .crossJoin(F.broadcast(coll))
+        .withColumn(
+            "part",
+            F.col("qtf")
+            * F.log(
+                1.0
+                + F.col("tf")
+                / (F.lit(m) * (F.col("cf") / F.col("c_total")))
+            ),
+        )
+    )
+    ordered_sum = F.aggregate(
+        F.array_sort(F.collect_list(F.struct(F.col("t"), F.col("part")))),
+        F.lit(0.0),
+        lambda acc, x: acc + x["part"],
+    )
+    per_doc = parts.groupBy(id_col).agg(
+        ordered_sum.alias("_hit_sum"),
+        F.count(F.lit(1)).alias("n_terms_hit"),
+    )
+    return (
+        per_doc.join(doc_len, id_col)
+        .crossJoin(F.broadcast(q_len))
+        .select(
+            F.col(id_col),
+            F.round(
+                F.col("_hit_sum")
+                + F.col("q_len") * F.log(F.lit(m) / (F.col("dl") + F.lit(m))),
+                6,
+            ).alias("qlm_r"),
+            "n_terms_hit",
+        )
+    )
+
+
 def posting_lists(docs, bucket_size: int = 1_000_000,
                   id_col: str = "doc_id", text_col: str = "text"):
     """Inverted-index build: (term, bucket, postings, df_bucket) with

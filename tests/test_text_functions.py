@@ -538,3 +538,103 @@ def test_s_stem_rules(spark):
     df = spark.createDataFrame([(w,) for w in cases], "w string")
     got = {r["w"]: r["s"] for r in df.select("w", s_stem(F.col("w")).alias("s")).collect()}
     assert got == cases
+
+
+# --- Dirichlet query-likelihood -----------------------------------------------
+
+
+def _ref_qlm(texts, query, mu):
+    """Full Zhai-Lafferty log-likelihood minus the doc-independent
+    constant sum_t qtf*ln P(t|C) — must equal the operator's sparse
+    rank-equivalent decomposition exactly (same algebra, same logs)."""
+    import math
+    from collections import Counter
+
+    toks = {i: t.lower().split() for i, t in enumerate(texts)}
+    cf = Counter(w for ws in toks.values() for w in ws)
+    c_total = sum(len(ws) for ws in toks.values())
+    qtf = Counter(w.lower() for w in query)
+    alive = {t: n for t, n in qtf.items() if cf[t] > 0}
+    out = {}
+    for i, ws in toks.items():
+        tf = Counter(ws)
+        if not any(tf[t] for t in alive):
+            continue
+        full = sum(
+            n * math.log((tf[t] + mu * cf[t] / c_total) / (len(ws) + mu))
+            for t, n in alive.items()
+        )
+        const = sum(n * math.log(cf[t] / c_total) for t, n in alive.items())
+        out[i] = (
+            round(full - const, 6),
+            sum(1 for t in alive if tf[t] > 0),
+        )
+    return out
+
+
+def test_qlm_matches_full_loglik_minus_constant(spark):
+    from stock_crawler_spark.functions.text import qlm_scores
+
+    texts = [
+        "spark shuffle join spark spark window",
+        "window window join",
+        "nothing relevant here at all",
+        "spark",
+    ]
+    query = ["spark", "spark", "join", "zzz_unseen_term"]
+    mu = 10.0
+    d = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["qlm_r"], r["n_terms_hit"])
+        for r in qlm_scores(d, query, mu=mu).collect()
+    }
+    want = _ref_qlm(texts, query, mu)
+    assert set(got) == set(want)  # doc 2 (no hits) absent
+    for i in want:
+        assert abs(got[i][0] - want[i][0]) <= 1e-6, (i, got[i], want[i])
+        assert got[i][1] == want[i][1]
+
+
+def test_qlm_ranks_tf_and_penalizes_length(spark):
+    from stock_crawler_spark.functions.text import qlm_scores
+
+    pad = " ".join(["filler"] * 50)
+    d = spark.createDataFrame(
+        [
+            (0, "spark spark spark"),
+            (1, "spark"),
+            (2, "spark " + pad),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["qlm_r"] for r in qlm_scores(d, ["spark"], mu=5.0).collect()
+    }
+    assert got[0] > got[1] > got[2]  # more tf wins; padding hurts
+
+
+def test_qlm_empty_and_all_unseen_query(spark):
+    from stock_crawler_spark.functions.text import qlm_scores
+
+    d = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    assert qlm_scores(d, []).count() == 0
+    assert qlm_scores(d, ["zzz"]).count() == 0
+
+
+def test_qlm_partition_invariance(spark):
+    from stock_crawler_spark.functions.text import qlm_scores
+
+    rows = [(i, f"w{i % 5} w{i % 3} spark join " * (1 + i % 4)) for i in range(60)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    q = ["spark", "w1", "w2"]
+    a = sorted(
+        (r["doc_id"], r["qlm_r"])
+        for r in qlm_scores(d.repartition(1), q).collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["qlm_r"])
+        for r in qlm_scores(d.repartition(17, "text"), q).collect()
+    )
+    assert a == b
