@@ -327,3 +327,136 @@ def poisson_change_rate(
         p.alias("p_changed"),
         (p >= F.lit(float(due_threshold))).alias("due"),
     )
+
+
+# --- Wilson lower-bound host health ranking ---------------------------------
+
+WILSON_Z = 1.959963984540054  # two-sided 95% normal quantile
+
+
+def wilson_success_rank(
+    fetch_log: DataFrame,
+    z: float = WILSON_Z,
+    host_col: str = "host",
+    ok_col: str = "ok",
+) -> DataFrame:
+    """Rank hosts by the WILSON SCORE INTERVAL lower bound of their
+    fetch success rate (Wilson 1927; popularized for ranking by Evan
+    Miller's "How Not To Sort By Average Rating") -> (host, attempts,
+    successes, p_hat_r, wilson_lb_r).
+
+    The circuit breaker (host_circuit_breaker) answers "is this host
+    DEAD right now" with a hard min-attempts gate; scheduling wants the
+    smoother question "how much do we TRUST this host", where a 1/1
+    host must rank below a 95/100 host even though its raw p-hat is
+    higher. The Wilson lower bound
+
+        lb = (p + z^2/2n - z*sqrt((p*(1-p) + z^2/4n) / n)) / (1 + z^2/n)
+
+    prices the evidence: it shrinks toward 0 for small n and toward
+    p-hat as n grows, never needs a prior, and never leaves [0, 1].
+    Feed it to ucb_schedule's `hosts` universe as a quality weight, or
+    to allocate_budget as the per-domain weight.
+
+    Scale: ONE map-side-combinable groupBy over the fetch log; output
+    O(hosts). All arithmetic is fixed-order double ops on two integers
+    (attempts, successes) — engine-portable bit-for-bit at round-6
+    (the q185 oracle replays the formula literally).
+    """
+    zz = float(z) * float(z)
+    agg = fetch_log.groupBy(F.col(host_col).alias("host")).agg(
+        F.count(F.lit(1)).alias("attempts"),
+        F.sum(F.col(ok_col).cast("long")).alias("successes"),
+    )
+    n = F.col("attempts").cast("double")
+    p = F.col("successes") / n
+    lb = (
+        p
+        + F.lit(zz) / (2.0 * n)
+        - F.lit(float(z))
+        * F.sqrt((p * (1.0 - p) + F.lit(zz) / (4.0 * n)) / n)
+    ) / (1.0 + F.lit(zz) / n)
+    return agg.select(
+        "host",
+        "attempts",
+        "successes",
+        F.round(p, 6).alias("p_hat_r"),
+        F.round(lb, 6).alias("wilson_lb_r"),
+    )
+
+
+# --- CUSUM harvest / latency drift detection ---------------------------------
+
+
+def cusum_drift(
+    stats: DataFrame,
+    mu0: float,
+    k: float,
+    h: float,
+    host_col: str = "host",
+    round_col: str = "round",
+    value_col: str = "x",
+) -> DataFrame:
+    """Two-sided CUSUM change detection (Page, Biometrika 1954) on a
+    per-host round-by-round metric -> (host, n_rounds, sp_r, sn_r,
+    alarmed, alarm_round).
+
+    EWMA (budget.harvest_stop) answers "what is the level now"; CUSUM
+    answers "did the level SHIFT", with the classical optimality for
+    detecting a sustained step change of ~2k against target mu0:
+
+        sp_t = max(0, sp_{t-1} + (x_t - mu0 - k))     upward drift
+        sn_t = max(0, sn_{t-1} + (mu0 - k - x_t))     downward drift
+        alarm at the first t where sp_t > h or sn_t > h
+
+    For a crawl: x = per-round harvest rate (drop = site exhausted or
+    now blocking us), fetch latency (rise = host degrading before the
+    circuit breaker's hard failure gate), or dedup rate (rise = we
+    started recrawling mirrors). k = half the shift worth reacting to;
+    h trades detection delay against false alarms (Page recommends
+    h ~ 4-5 sigma for k = sigma/2).
+
+    The recursion is inherently per-host sequential, so it folds ONE
+    in-order array per host (history is O(rounds) — bounded small,
+    the harvest_stop convention): collect_list -> array_sort -> one
+    aggregate with a struct accumulator carrying (sp, sn, first alarm
+    round). One groupBy keyed on host; output O(hosts). The fold
+    order and every double op are fixed, so the q187 oracle replays
+    the recursion exactly (recursive CTE over the ordered rounds).
+    """
+    m0, kk, hh = float(mu0), float(k), float(h)
+    d = stats.select(
+        F.col(host_col).alias("_h"),
+        F.struct(
+            F.col(round_col).cast("int").alias("r"),
+            F.col(value_col).cast("double").alias("x"),
+        ).alias("_s"),
+    )
+    per = d.groupBy("_h").agg(F.array_sort(F.collect_list("_s")).alias("arr"))
+    init = F.struct(
+        F.lit(0.0).alias("sp"),
+        F.lit(0.0).alias("sn"),
+        F.lit(None).cast("int").alias("alarm_r"),
+    )
+
+    def step(acc, s):
+        sp = F.greatest(F.lit(0.0), acc["sp"] + (s["x"] - F.lit(m0) - F.lit(kk)))
+        sn = F.greatest(F.lit(0.0), acc["sn"] + (F.lit(m0) - F.lit(kk) - s["x"]))
+        return F.struct(
+            sp.alias("sp"),
+            sn.alias("sn"),
+            F.coalesce(
+                acc["alarm_r"],
+                F.when((sp > F.lit(hh)) | (sn > F.lit(hh)), s["r"]),
+            ).alias("alarm_r"),
+        )
+
+    fin = F.aggregate(F.col("arr"), init, step)
+    return per.select(
+        F.col("_h").alias(host_col),
+        F.size("arr").alias("n_rounds"),
+        F.round(fin["sp"], 6).alias("sp_r"),
+        F.round(fin["sn"], 6).alias("sn_r"),
+        fin["alarm_r"].isNotNull().alias("alarmed"),
+        fin["alarm_r"].alias("alarm_round"),
+    )

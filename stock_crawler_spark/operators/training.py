@@ -808,3 +808,84 @@ def temperature_weights(
         .cast("long")
         .alias("slots"),
     )
+
+
+# --- Neyman allocation of an eval-sample budget ------------------------------
+
+
+def neyman_allocation(
+    df: DataFrame,
+    total_n: int,
+    stratum_col: str = "stratum",
+    value_col: str = "x",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Allocate a fixed evaluation/labeling budget of ``total_n`` draws
+    across strata by NEYMAN OPTIMAL ALLOCATION (Neyman 1934; Cochran,
+    Sampling Techniques §5.5): n_h proportional to N_h * S_h, the
+    allocation minimizing the variance of the stratified mean for a
+    fixed total sample size. Equal-proportion sampling over-spends on
+    huge homogeneous strata (10^9 boilerplate pages whose quality
+    barely varies) and starves small heterogeneous ones — exactly the
+    wrong trade for eval sets and labeling budgets.
+
+    Population moments per stratum are computed in ONE pass: N_h by
+    count, S_h as the population std sqrt(E[x^2] - E[x]^2) with both
+    expectations folded through det_sum keyed on ``id_col`` (float
+    sums are order-sensitive; the fold makes the weight engine- and
+    partition-exact). S_h rounds to 6 before weighting, and the
+    integer seat assignment reuses operators/budget.allocate_budget's
+    largest-remainder method (power=1.0), so sum(n_alloc) == total_n
+    EXACTLY, deterministic ties and all. int64 bound inherited from
+    allocate_budget: total_n * 1e9 * max(N_h*S_h) must fit — fine for
+    any real labeling budget.
+
+    Zero-variance strata carry weight 0: base 0, and at most a
+    largest-remainder +1 seat — statistically harmless (one probe of
+    a constant stratum). Raises (via allocate_budget) if every
+    stratum has zero variance or the input is empty.
+
+    Output: (stratum, n_pop, s_r, n_alloc) with sum(n_alloc) = total_n.
+    """
+    from stock_crawler_spark.operators.budget import allocate_budget
+    from stock_crawler_spark.operators.graph import det_sum
+
+    sel = df.select(
+        F.col(stratum_col).alias("_st"),
+        F.col(id_col).cast("string").alias("_id"),
+        F.col(value_col).cast("double").alias("_x"),
+        (F.col(value_col).cast("double") * F.col(value_col).cast("double")
+         ).alias("_x2"),
+    )
+    sx = det_sum(sel, ["_st"], "_id", "_x", "_sx")
+    sx2 = det_sum(sel, ["_st"], "_id", "_x2", "_sx2")
+    cnt = sel.groupBy("_st").agg(F.count(F.lit(1)).alias("n_pop"))
+    nd = F.col("n_pop").cast("double")
+    mean = F.col("_sx") / nd
+    var = F.greatest(
+        F.lit(0.0), F.col("_sx2") / nd - mean * mean
+    )
+    moments = (
+        cnt.join(sx, "_st")
+        .join(sx2, "_st")
+        .select(
+            "_st",
+            "n_pop",
+            F.round(F.sqrt(var), 6).alias("s_r"),
+        )
+        .withColumn("_w", F.col("n_pop") * F.col("s_r"))
+    )
+    alloc = allocate_budget(
+        moments, int(total_n), weight_col="_w", dom_col="_st", power=1.0
+    )
+    return (
+        moments.join(
+            alloc.select(F.col("dom").alias("_st"), "budget"), "_st"
+        )
+        .select(
+            F.col("_st").alias(stratum_col),
+            "n_pop",
+            "s_r",
+            F.col("budget").alias("n_alloc"),
+        )
+    )
