@@ -587,6 +587,95 @@ def q184_qlm_retrieval(spark, sf):
     )
 
 
+def q185_wilson_rank(spark, sf):
+    """Wilson score-interval lower-bound host health ranking
+    (operators/recrawl.wilson_success_rank; Wilson 1927): the
+    evidence-priced trust score scheduling wants where q82's breaker
+    gives a hard trip — a 1/1 host ranks below a 99/100 host. Same
+    synthetic fetch log as q82 (h0-h5 fail ~70%); oracle replays the
+    closed-form bound literally."""
+    from stock_crawler_spark.operators.recrawl import wilson_success_rank
+
+    ev = _t(spark, sf, "events")
+    log = ev.select(
+        F.concat(
+            F.lit("h"), (F.col("user_id") % 40).cast("string"), F.lit(".org")
+        ).alias("host"),
+        (
+            ((F.col("user_id") + F.col("event_id")) % 10)
+            >= F.when(F.col("user_id") % 40 < 6, F.lit(7)).otherwise(F.lit(1))
+        ).alias("ok"),
+    )
+    return wilson_success_rank(log)
+
+
+NEY_TOTAL = 500
+
+
+def q186_neyman_allocation(spark, sf):
+    """Neyman optimal allocation (operators/training.neyman_allocation;
+    Neyman 1934, Cochran §5.5) of a 500-doc labeling budget across
+    language strata, n_h ∝ N_h * S_h over the n_chars spread — the
+    variance-minimizing split equal-proportion sampling gets wrong.
+    Population moments fold through det_sum; seats through q68's exact
+    largest-remainder apportionment, so sum(n_alloc) == 500 exactly
+    and the oracle replays moments, quantization, and remainder ranks
+    bit-for-bit."""
+    from stock_crawler_spark.operators.training import neyman_allocation
+
+    docs = _t(spark, sf, "documents")
+    return neyman_allocation(
+        docs.select("lang", "doc_id", F.col("n_chars").alias("x")),
+        NEY_TOTAL,
+        stratum_col="lang",
+        value_col="x",
+    )
+
+
+CUSUM_MU0 = 0.3
+CUSUM_K = 0.05
+CUSUM_H = 0.4
+CUSUM_DRIFT_SERIES = [
+    ("drift.com", 0, 0.3), ("drift.com", 1, 0.3), ("drift.com", 2, 0.3),
+    ("drift.com", 3, 0.8), ("drift.com", 4, 0.8), ("drift.com", 5, 0.8),
+]
+
+
+def q187_cusum_drift(spark, sf):
+    """Two-sided CUSUM drift detection (operators/recrawl.cusum_drift;
+    Page 1954) on per-host round-by-round hit rates — "did this host's
+    harvest/latency LEVEL shift", the sequential-change complement to
+    q160's content-based recrawl signal. Rates are exact integer
+    ratios per (host, round); a planted step series (0.3 -> 0.8 at
+    round 3) must alarm at round 3 while the organic hosts stay quiet
+    or alarm per the same recursion the oracle replays as a recursive
+    CTE over the ordered rounds."""
+    from stock_crawler_spark.operators.recrawl import cusum_drift
+
+    ev = _t(spark, sf, "events")
+    organic = (
+        ev.groupBy(
+            F.concat(
+                F.lit("h"), (F.col("user_id") % 8).cast("string"),
+                F.lit(".net"),
+            ).alias("host"),
+            (F.col("event_id") % 6).cast("int").alias("round"),
+        )
+        .agg(
+            (
+                F.sum((F.col("event_id") % 7 < 2).cast("long")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("x")
+        )
+    )
+    planted = spark.createDataFrame(
+        CUSUM_DRIFT_SERIES, "host string, round int, x double"
+    )
+    return cusum_drift(
+        organic.unionByName(planted), mu0=CUSUM_MU0, k=CUSUM_K, h=CUSUM_H
+    )
+
+
 _Q44_PRE = (
     "<html><head><title>t</title><script>var x = 1 < 2;</script>"
     "<style>p { color: red; }</style></head><body><!-- nav boilerplate -->"
@@ -4469,6 +4558,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q182_effective_diameter": q182_effective_diameter,
         "q183_rbo_drift": q183_rbo_drift,
         "q184_qlm_retrieval": q184_qlm_retrieval,
+        "q185_wilson_rank": q185_wilson_rank,
+        "q186_neyman_allocation": q186_neyman_allocation,
+        "q187_cusum_drift": q187_cusum_drift,
     }
 
 
@@ -6464,6 +6556,10 @@ def _rbo_wt_values() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from stock_crawler_spark.operators.recrawl import WILSON_Z
+
+    _WZ = repr(float(WILSON_Z))
+    _WZZ = repr(float(WILSON_Z) * float(WILSON_Z))
     return {
         "q01_pricing_rollup": """
 SELECT l_returnflag, l_linestatus,
@@ -8025,6 +8121,131 @@ SELECT h.doc_id,
              / (d.dl + CAST({QLM_MU_Q!r} AS DOUBLE))), 6) AS qlm_r,
   h.n_terms_hit
 FROM hits h JOIN dl d ON h.doc_id = d.doc_id CROSS JOIN qlen q
+""",
+        # q185: Wilson lower bound replayed literally (same op order)
+        "q185_wilson_rank": f"""
+WITH log AS (
+  SELECT 'h' || (user_id % 40) || '.org' AS host,
+    CASE WHEN ((user_id + event_id) % 10)
+         >= (CASE WHEN user_id % 40 < 6 THEN 7 ELSE 1 END)
+         THEN 1 ELSE 0 END AS ok
+  FROM events
+), agg AS (
+  SELECT host, count(*) AS attempts, CAST(sum(ok) AS BIGINT) AS successes
+  FROM log GROUP BY 1
+)
+SELECT host, attempts, successes,
+  round(successes / CAST(attempts AS DOUBLE), 6) AS p_hat_r,
+  round(
+    (successes / CAST(attempts AS DOUBLE)
+     + CAST({{_WZZ}} AS DOUBLE) / (2.0 * CAST(attempts AS DOUBLE))
+     - CAST({{_WZ}} AS DOUBLE)
+       * sqrt(((successes / CAST(attempts AS DOUBLE))
+               * (1.0 - successes / CAST(attempts AS DOUBLE))
+               + CAST({{_WZZ}} AS DOUBLE) / (4.0 * CAST(attempts AS DOUBLE)))
+              / CAST(attempts AS DOUBLE)))
+    / (1.0 + CAST({{_WZZ}} AS DOUBLE) / CAST(attempts AS DOUBLE)), 6)
+    AS wilson_lb_r
+FROM agg
+""".replace("{_WZ}", _WZ).replace("{_WZZ}", _WZZ),
+        # q186: det_sum moment folds -> round-6 population std -> q68's
+        # exact largest-remainder apportionment
+        "q186_neyman_allocation": f"""
+WITH d AS (
+  SELECT lang AS st, CAST(doc_id AS VARCHAR) AS id,
+         CAST(n_chars AS DOUBLE) AS x,
+         CAST(n_chars AS DOUBLE) * CAST(n_chars AS DOUBLE) AS x2
+  FROM documents
+), l1x AS (
+  SELECT st, (('0x' || substr(md5(id), 1, 15))::BIGINT % 64) AS b,
+         list_aggregate(list(x ORDER BY id), 'sum') AS s1
+  FROM d GROUP BY 1, 2
+), sx AS (
+  SELECT st, list_aggregate(list(s1 ORDER BY b), 'sum') AS sx
+  FROM l1x GROUP BY 1
+), l1x2 AS (
+  SELECT st, (('0x' || substr(md5(id), 1, 15))::BIGINT % 64) AS b,
+         list_aggregate(list(x2 ORDER BY id), 'sum') AS s1
+  FROM d GROUP BY 1, 2
+), sx2 AS (
+  SELECT st, list_aggregate(list(s1 ORDER BY b), 'sum') AS sx2
+  FROM l1x2 GROUP BY 1
+), cnt AS (
+  SELECT st, count(*) AS n_pop FROM d GROUP BY 1
+), mom AS (
+  SELECT c.st, c.n_pop,
+    round(sqrt(greatest(CAST(0.0 AS DOUBLE),
+      sx2 / CAST(n_pop AS DOUBLE)
+      - (sx / CAST(n_pop AS DOUBLE)) * (sx / CAST(n_pop AS DOUBLE)))), 6)
+      AS s_r
+  FROM cnt c JOIN sx ON c.st = sx.st JOIN sx2 ON c.st = sx2.st
+), p AS (
+  SELECT st, n_pop, s_r,
+    CAST(round(pow(n_pop * s_r, 1.0) * 1000000000, 0) AS BIGINT) AS wi
+  FROM mom
+), t AS (SELECT CAST(sum(wi) AS BIGINT) AS W FROM p
+), q AS (
+  SELECT st, n_pop, s_r, wi, (wi * {NEY_TOTAL}) // W AS base,
+         (wi * {NEY_TOTAL}) % W AS rem
+  FROM p CROSS JOIN t
+), l AS (SELECT {NEY_TOTAL} - CAST(sum(base) AS BIGINT) AS R FROM q
+), rk AS (
+  SELECT st, n_pop, s_r, base,
+    row_number() OVER (ORDER BY rem DESC, st) AS rn
+  FROM q
+)
+SELECT st AS lang, n_pop, s_r,
+  CAST(base AS BIGINT)
+    + CASE WHEN rn <= (SELECT R FROM l) THEN 1 ELSE 0 END AS n_alloc
+FROM rk
+""",
+        # q187: the CUSUM recursion replayed as a recursive CTE over
+        # the per-host ordered rounds
+        "q187_cusum_drift": f"""
+WITH RECURSIVE organic AS (
+  SELECT 'h' || (user_id % 8) || '.net' AS host,
+         CAST(event_id % 6 AS INT) AS r,
+         CAST(sum(CASE WHEN event_id % 7 < 2 THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS x
+  FROM events GROUP BY 1, 2
+), planted AS (
+  SELECT * FROM (VALUES
+    {", ".join(f"('{h}', {r}, CAST({x!r} AS DOUBLE))" for h, r, x in CUSUM_DRIFT_SERIES)}
+  ) AS v(host, r, x)
+), obs AS (
+  SELECT host, r, x,
+    row_number() OVER (PARTITION BY host ORDER BY r) AS rn
+  FROM (SELECT * FROM organic UNION ALL SELECT * FROM planted)
+), nr AS (
+  SELECT host, count(*) AS n_rounds FROM obs GROUP BY 1
+), rec AS (
+  SELECT host, 0 AS rn, CAST(0.0 AS DOUBLE) AS sp, CAST(0.0 AS DOUBLE) AS sn,
+         CAST(NULL AS INT) AS alarm_r
+  FROM nr
+  UNION ALL
+  SELECT o.host, o.rn,
+    greatest(CAST(0.0 AS DOUBLE),
+      rec.sp + (o.x - CAST({CUSUM_MU0!r} AS DOUBLE)
+                - CAST({CUSUM_K!r} AS DOUBLE))),
+    greatest(CAST(0.0 AS DOUBLE),
+      rec.sn + (CAST({CUSUM_MU0!r} AS DOUBLE)
+                - CAST({CUSUM_K!r} AS DOUBLE) - o.x)),
+    COALESCE(rec.alarm_r, CASE WHEN
+      greatest(CAST(0.0 AS DOUBLE),
+        rec.sp + (o.x - CAST({CUSUM_MU0!r} AS DOUBLE)
+                  - CAST({CUSUM_K!r} AS DOUBLE)))
+        > CAST({CUSUM_H!r} AS DOUBLE)
+      OR greatest(CAST(0.0 AS DOUBLE),
+        rec.sn + (CAST({CUSUM_MU0!r} AS DOUBLE)
+                  - CAST({CUSUM_K!r} AS DOUBLE) - o.x))
+        > CAST({CUSUM_H!r} AS DOUBLE)
+      THEN o.r END)
+  FROM rec JOIN obs o ON o.host = rec.host AND o.rn = rec.rn + 1
+)
+SELECT rec.host, CAST(nr.n_rounds AS INT) AS n_rounds,
+  round(sp, 6) AS sp_r, round(sn, 6) AS sn_r,
+  alarm_r IS NOT NULL AS alarmed, alarm_r AS alarm_round
+FROM rec JOIN nr ON rec.host = nr.host AND rec.rn = nr.n_rounds
 """,
         # q167: Elias gamma/delta gap costs via bin() lengths (no log2)
         "q167_adjacency_bits": f"""

@@ -304,3 +304,98 @@ def test_poisson_more_changes_higher_priority(spark):
     }
     assert got[1] < got[2] < got[4]
     assert got[2] == got[3]  # same X, same cadence
+
+
+# --- Wilson lower-bound ranking ----------------------------------------------
+
+
+def _py_wilson(successes, attempts, z):
+    import math
+
+    n = float(attempts)
+    p = successes / n
+    zz = z * z
+    return round(
+        (p + zz / (2.0 * n) - z * math.sqrt((p * (1.0 - p) + zz / (4.0 * n)) / n))
+        / (1.0 + zz / n),
+        6,
+    )
+
+
+def test_wilson_matches_formula_and_prices_evidence(spark):
+    from stock_crawler_spark.operators.recrawl import (
+        WILSON_Z,
+        wilson_success_rank,
+    )
+
+    rows = (
+        [("one.com", 0, True)]
+        + [("big.com", i, i != 0) for i in range(100)]  # 99/100
+        + [("half.com", i, i % 2 == 0) for i in range(10)]
+    )
+    log = spark.createDataFrame(rows, "host string, round int, ok boolean")
+    got = {
+        r["host"]: (r["attempts"], r["successes"], r["p_hat_r"], r["wilson_lb_r"])
+        for r in wilson_success_rank(log).collect()
+    }
+    assert got["one.com"][:2] == (1, 1)
+    for h, (a, s, p, lb) in got.items():
+        assert lb == _py_wilson(s, a, WILSON_Z)
+        assert 0.0 <= lb <= p <= 1.0
+    # 1/1 (p-hat 1.0) must rank BELOW 99/100 (p-hat .99): evidence wins
+    assert got["big.com"][3] > got["one.com"][3]
+    # and even below 5/10 — one trial is almost no evidence at z=1.96
+    assert got["half.com"][3] > got["one.com"][3]
+
+
+# --- CUSUM drift ---------------------------------------------------------------
+
+
+def _py_cusum(series, mu0, k, h):
+    sp = sn = 0.0
+    alarm = None
+    for r, x in sorted(series):
+        sp = max(0.0, sp + (x - mu0 - k))
+        sn = max(0.0, sn + (mu0 - k - x))
+        if alarm is None and (sp > h or sn > h):
+            alarm = r
+    return round(sp, 6), round(sn, 6), alarm
+
+
+def test_cusum_matches_python_twin(spark):
+    from stock_crawler_spark.operators.recrawl import cusum_drift
+
+    series = {
+        "stable.com": [(r, 0.5 + (0.02 if r % 2 else -0.02)) for r in range(8)],
+        "drop.com": [(r, 0.5) for r in range(4)] + [(r, 0.1) for r in range(4, 8)],
+        "rise.com": [(r, 0.5) for r in range(3)] + [(r, 0.9) for r in range(3, 8)],
+    }
+    rows = [(h, r, x) for h, s in series.items() for r, x in s]
+    df = spark.createDataFrame(rows, "host string, round int, x double")
+    mu0, k, h = 0.5, 0.05, 0.5
+    got = {
+        r["host"]: (r["sp_r"], r["sn_r"], r["alarmed"], r["alarm_round"])
+        for r in cusum_drift(df, mu0=mu0, k=k, h=h).collect()
+    }
+    for hst, s in series.items():
+        sp, sn, alarm = _py_cusum(s, mu0, k, h)
+        assert got[hst] == (sp, sn, alarm is not None, alarm), hst
+    assert not got["stable.com"][2]
+    assert got["drop.com"][2] and got["drop.com"][3] is not None
+    assert got["rise.com"][2]
+
+
+def test_cusum_partition_invariance(spark):
+    from stock_crawler_spark.operators.recrawl import cusum_drift
+
+    rows = [
+        (f"h{i % 5}.com", r, ((i * r) % 9) / 10.0)
+        for i in range(25)
+        for r in range(6)
+    ]
+    df = spark.createDataFrame(rows, "host string, round int, x double")
+    out = lambda d: sorted(
+        (r["host"], r["sp_r"], r["sn_r"], r["alarm_round"])
+        for r in cusum_drift(d, mu0=0.4, k=0.05, h=0.6).collect()
+    )
+    assert out(df.repartition(1)) == out(df.repartition(13, "round"))

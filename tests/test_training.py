@@ -644,3 +644,81 @@ def test_temperature_weights_partition_invariant(spark):
         )
 
     assert run(docs) == run(docs.repartition(17))
+
+
+# --- Neyman allocation ---------------------------------------------------------
+
+
+def _py_neyman(rows, total):
+    """Exact replication: round-6 population std, 1e9-unit quantized
+    largest-remainder apportionment with (rem desc, stratum asc) ties."""
+    import math
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for st, x in rows:
+        per[st].append(float(x))
+    stats = {}
+    for st, xs in per.items():
+        n = len(xs)
+        mean = sum(xs) / n  # fold order differs from det_sum but the
+        # test data is exact in binary (integers/halves), so sums agree
+        var = max(0.0, sum(v * v for v in xs) / n - mean * mean)
+        stats[st] = (n, round(math.sqrt(var), 6))
+    wi = {st: round(n * s * 1e9) for st, (n, s) in stats.items()}
+    W = sum(wi.values())
+    base = {st: (w * total) // W for st, w in wi.items()}
+    rem = {st: (w * total) % W for st, w in wi.items()}
+    r_total = total - sum(base.values())
+    order = sorted(stats, key=lambda st: (-rem[st], st))
+    alloc = {
+        st: base[st] + (1 if i < r_total else 0) for i, st in enumerate(order)
+    }
+    return stats, alloc
+
+
+def test_neyman_matches_twin_and_sums_exactly(spark):
+    from stock_crawler_spark.operators.training import neyman_allocation
+
+    rows = (
+        [("big_flat", float(100)) for _ in range(400)]
+        + [("small_wild", float(v)) for v in (0, 1000, 0, 1000, 0, 1000, 500, 500)]
+        + [("mid", float(v % 7) * 8) for v in range(50)]
+        + [("constant", 42.0) for _ in range(30)]
+    )
+    df = spark.createDataFrame(
+        [(st, i, x) for i, (st, x) in enumerate(rows)],
+        "stratum string, doc_id long, x double",
+    )
+    total = 97
+    got = {
+        r["stratum"]: (r["n_pop"], r["s_r"], r["n_alloc"])
+        for r in neyman_allocation(
+            df, total, stratum_col="stratum", value_col="x"
+        ).collect()
+    }
+    stats, alloc = _py_neyman(rows, total)
+    assert sum(v[2] for v in got.values()) == total
+    for st in stats:
+        assert got[st][0] == stats[st][0]
+        assert got[st][1] == stats[st][1]
+        assert got[st][2] == alloc[st], (st, got[st], alloc[st])
+    # zero-variance stratum never beats a live one
+    assert got["constant"][2] <= 1
+    # the small wild stratum out-allocates the huge flat one per capita
+    assert got["small_wild"][2] >= 1
+
+
+def test_neyman_partition_invariance(spark):
+    from stock_crawler_spark.operators.training import neyman_allocation
+
+    rows = [
+        (f"s{i % 6}", i, float((i * 13) % 29))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "stratum string, doc_id long, x double")
+    out = lambda d: sorted(
+        (r["stratum"], r["n_pop"], r["s_r"], r["n_alloc"])
+        for r in neyman_allocation(d, 53, "stratum", "x").collect()
+    )
+    assert out(df.repartition(1)) == out(df.repartition(17, "x"))
