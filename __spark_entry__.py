@@ -676,6 +676,67 @@ def q187_cusum_drift(spark, sf):
     )
 
 
+HILL_K = 50
+
+
+def q188_hill_tail(spark, sf):
+    """Hill tail-index estimate (operators/profile.hill_tail_index;
+    Hill 1975) over the doc-length distribution — the tail-risk number
+    beside q122's whole-line Zipf fit and q123's Gini skew profile:
+    alpha near 1 says the biggest keys grow linearly with corpus scale
+    (salt everything), alpha > 2 says plain hash partitioning holds.
+    TakeOrdered top-(k+1), then K-row folds the oracle replays."""
+    from stock_crawler_spark.operators.profile import hill_tail_index
+
+    docs = _t(spark, sf, "documents")
+    return hill_tail_index(docs.select(F.col("n_chars").alias("x")), k=HILL_K)
+
+
+AMS_HOSTS = 37
+
+
+def q189_ams_f2(spark, sf):
+    """AMS tug-of-war F2 / self-join-size estimate (operators/sketch.
+    ams_f2; Alon-Matias-Szegedy STOC'96) of the host key — the
+    pre-shuffle skew answer that needs NO per-key state: 54 integer
+    running sums instead of a 10^10-key groupBy. Exact F2 rides along
+    broadcast for the error story; the oracle replays signs, integer
+    squares, and the median-of-means fold bit-for-bit."""
+    from stock_crawler_spark.operators.sketch import ams_f2
+
+    ev = _t(spark, sf, "events").select(
+        F.concat(
+            F.lit("h"), (F.col("user_id") % AMS_HOSTS).cast("string"),
+            F.lit(".com"),
+        ).alias("host")
+    )
+    est = ams_f2(ev, "host")
+    exact = (
+        ev.groupBy("host")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum(
+                F.col("c").cast("decimal(38,0)") * F.col("c")
+            ).cast("long").alias("exact_f2")
+        )
+    )
+    return est.crossJoin(F.broadcast(exact))
+
+
+def q190_bootstrap_ci(spark, sf):
+    """Poisson-bootstrap percentile CI (operators/profile.
+    bootstrap_mean_ci; Chamandy et al. 2012) for the corpus mean doc
+    length — error bars before anyone flips a corpus switch, as a
+    one-pass, coordination-free resample: each row enters replica j a
+    Poisson(1) number of times derived from md5(j, doc_id). Replica
+    sums fold through det_sum; the oracle replays draws, folds, and
+    the order-statistic trim exactly."""
+    from stock_crawler_spark.operators.profile import bootstrap_mean_ci
+
+    docs = _t(spark, sf, "documents")
+    return bootstrap_mean_ci(docs, "n_chars", id_col="doc_id")
+
+
 _Q44_PRE = (
     "<html><head><title>t</title><script>var x = 1 < 2;</script>"
     "<style>p { color: red; }</style></head><body><!-- nav boilerplate -->"
@@ -4561,6 +4622,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q185_wilson_rank": q185_wilson_rank,
         "q186_neyman_allocation": q186_neyman_allocation,
         "q187_cusum_drift": q187_cusum_drift,
+        "q188_hill_tail": q188_hill_tail,
+        "q189_ams_f2": q189_ams_f2,
+        "q190_bootstrap_ci": q190_bootstrap_ci,
     }
 
 
@@ -6544,6 +6608,19 @@ FROM lvl1 GROUP BY 1
 """
 
 
+def _pois_w_sql(u_expr: str) -> str:
+    """q190: Poisson(1) weight from a 60-bit uniform — the same python
+    integer thresholds poisson_bootstrap_thresholds feeds the engine."""
+    from stock_crawler_spark.operators.profile import (
+        poisson_bootstrap_thresholds,
+    )
+
+    return " + ".join(
+        f"(CASE WHEN {u_expr} >= {t} THEN 1 ELSE 0 END)"
+        for t in poisson_bootstrap_thresholds()
+    )
+
+
 def _rbo_wt_values() -> str:
     """q183's weight table as SQL VALUES — the IDENTICAL python doubles
     the engine's driver-side table carries."""
@@ -8246,6 +8323,101 @@ SELECT rec.host, CAST(nr.n_rounds AS INT) AS n_rounds,
   round(sp, 6) AS sp_r, round(sn, 6) AS sn_r,
   alarm_r IS NOT NULL AS alarmed, alarm_r AS alarm_round
 FROM rec JOIN nr ON rec.host = nr.host AND rec.rn = nr.n_rounds
+""",
+        # q188: Hill estimator replayed — rank, round-12 ln fold over
+        # the top-k, the k+1 anchor, one division
+        "q188_hill_tail": f"""
+WITH top AS (
+  SELECT CAST(n_chars AS DOUBLE) AS x FROM documents
+  WHERE n_chars > 0 ORDER BY x DESC LIMIT {HILL_K + 1}
+), r AS (
+  SELECT x, row_number() OVER (ORDER BY x DESC) AS rn FROM top
+), f AS (
+  SELECT
+    list_aggregate(list(
+      CASE WHEN rn <= {HILL_K} THEN round(ln(x), 12)
+           ELSE CAST(0.0 AS DOUBLE) END ORDER BY rn), 'sum') AS lnsum,
+    min(CASE WHEN rn = {HILL_K + 1} THEN round(ln(x), 12) END) AS lnk1,
+    min(CASE WHEN rn = {HILL_K + 1} THEN x END) AS xk1
+  FROM r
+)
+SELECT CAST({HILL_K} AS INT) AS k, round(xk1, 6) AS x_kplus1_r,
+  CASE WHEN (lnsum / CAST({float(HILL_K)!r} AS DOUBLE) - lnk1) > 0
+       THEN round(1.0 / (lnsum / CAST({float(HILL_K)!r} AS DOUBLE) - lnk1), 6)
+  END AS alpha_r,
+  round(lnsum / CAST({float(HILL_K)!r} AS DOUBLE) - lnk1, 6) AS gamma_r
+FROM f
+""",
+        # q189: AMS signs/sums/median-of-means replayed in integers
+        "q189_ams_f2": f"""
+WITH ev AS (
+  SELECT 'h' || (user_id % {AMS_HOSTS}) || '.com' AS host FROM events
+), js AS (
+  SELECT unnest(range(0, 54)) AS j
+), signs AS (
+  SELECT j, CAST(1 - 2 * (('0x' || substr(md5('ams' || j || ':' || host),
+    1, 15))::BIGINT % 2) AS BIGINT) AS s
+  FROM ev CROSS JOIN js
+), xj AS (
+  SELECT j, sum(s) AS x FROM signs GROUP BY 1
+), grp AS (
+  SELECT j % 6 AS g, sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sg
+  FROM xj GROUP BY 1
+), med AS (
+  SELECT list(sg ORDER BY sg) AS arr FROM grp
+), ex AS (
+  SELECT CAST(sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS BIGINT)
+    AS exact_f2
+  FROM (SELECT host, count(*) AS c FROM ev GROUP BY 1)
+)
+SELECT CAST(54 AS INT) AS m_estimators,
+  round(CAST(arr[3] + arr[4] AS DOUBLE) / CAST(18.0 AS DOUBLE), 6)
+    AS f2_est_r,
+  exact_f2
+FROM med CROSS JOIN ex
+""",
+        # q190: Poisson draws from the SAME integer thresholds, per-
+        # replica det_sum folds, order-statistic trim
+        "q190_bootstrap_ci": f"""
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id, CAST(n_chars AS DOUBLE) AS x
+  FROM documents
+), reps AS (
+  SELECT unnest(range(0, 32)) AS j
+), u AS (
+  SELECT j, id, x,
+    ('0x' || substr(md5('boot' || j || ':' || id), 1, 15))::BIGINT AS u
+  FROM d CROSS JOIN reps
+), w AS (
+  SELECT j, id, x, ({_pois_w_sql("u")}) AS w FROM u
+), wpos AS (
+  SELECT j, id, CAST(w AS DOUBLE) * x AS wx, w FROM w WHERE w > 0
+), l1 AS (
+  SELECT j, (('0x' || substr(md5(id), 1, 15))::BIGINT % 64) AS b,
+         list_aggregate(list(wx ORDER BY id), 'sum') AS s1
+  FROM wpos GROUP BY 1, 2
+), srep AS (
+  SELECT j, list_aggregate(list(s1 ORDER BY b), 'sum') AS s
+  FROM l1 GROUP BY 1
+), nrep AS (
+  SELECT j, CAST(sum(w) AS BIGINT) AS n FROM wpos GROUP BY 1
+), means AS (
+  SELECT s / CAST(n AS DOUBLE) AS m FROM srep JOIN nrep USING (j)
+), arr AS (
+  SELECT list(m ORDER BY m) AS a FROM means
+), l1b AS (
+  SELECT (('0x' || substr(md5(id), 1, 15))::BIGINT % 64) AS b,
+         list_aggregate(list(x ORDER BY id), 'sum') AS s1
+  FROM d GROUP BY 1
+), base AS (
+  SELECT list_aggregate(list(s1 ORDER BY b), 'sum') AS sx FROM l1b
+), n0 AS (
+  SELECT count(*) AS n_rows FROM d
+)
+SELECT CAST(32 AS INT) AS b_replicas, n_rows,
+  round(sx / CAST(n_rows AS DOUBLE), 6) AS mean_r,
+  round(a[2], 6) AS ci_lo_r, round(a[-2], 6) AS ci_hi_r
+FROM arr CROSS JOIN base CROSS JOIN n0
 """,
         # q167: Elias gamma/delta gap costs via bin() lengths (no log2)
         "q167_adjacency_bits": f"""

@@ -464,3 +464,178 @@ def heaps_fit(
             (varx > 0) & (vary > 0), F.round((cov * cov) / (varx * vary), 6)
         ).alias("r2_r"),
     )
+
+
+# --- Hill power-law tail index -------------------------------------------------
+
+
+def hill_tail_index(
+    df: DataFrame,
+    k: int = 50,
+    value_col: str = "x",
+) -> DataFrame:
+    """One row: (k, x_kplus1_r, alpha_r, gamma_r) — the HILL ESTIMATOR
+    (Hill, Annals of Statistics 1975) of the power-law tail index over
+    the top-k order statistics of a size distribution:
+
+        1/alpha = (1/k) * sum_{i=1..k} ln( x_(i) / x_(k+1) )
+
+    with x_(1) >= x_(2) >= ... the descending order statistics. Where
+    zipf_fit regresses the WHOLE rank-frequency line, Hill prices only
+    the TAIL — the number that says how bad hot-host skew gets at 10x
+    the crawl: alpha ~ 1 means the biggest host grows linearly with
+    corpus size (salting mandatory), alpha > 2 means bounded variance
+    (plain hash partitioning holds). gamma = 1/alpha is the extreme-
+    value index.
+
+    Scale: the only corpus-scale action is TakeOrdered's k+1-row
+    per-partition heap (orderBy + limit, no global sort); everything
+    after is a (k+1)-row window plus one ordered array fold, both
+    driver-scale by construction. The estimate depends only on the
+    VALUE multiset — ties across the k/k+1 boundary cannot change it,
+    so any deterministic tie-break yields the same answer. Requires
+    > k positive values (ln of the ratios must exist); raises
+    otherwise. ln values carry the engine round-12 discipline; outputs
+    round-6 (q188's oracle replays rank, fold, and division exactly).
+    """
+    kk = int(k)
+    top = (
+        df.select(F.col(value_col).cast("double").alias("x"))
+        .filter(F.col("x") > 0)
+        .orderBy(F.desc("x"))
+        .limit(kk + 1)
+    )
+    w = Window.orderBy(F.desc("x"))
+    ranked = top.withColumn("rn", F.row_number().over(w))
+    lnx = F.round(F.log(F.col("x")), 12)
+    folded = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "rn",
+                        F.when(F.col("rn") <= kk, lnx)
+                        .otherwise(F.lit(0.0))
+                        .alias("v"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + s["v"],
+        ).alias("lnsum"),
+        F.min(F.when(F.col("rn") == kk + 1, lnx)).alias("lnk1"),
+        F.min(F.when(F.col("rn") == kk + 1, F.col("x"))).alias("xk1"),
+    )
+    bad = folded.filter(
+        (F.col("n") < kk + 1) | F.col("lnk1").isNull()
+    ).count()
+    if bad:
+        raise ValueError(
+            f"hill_tail_index: needs > k={kk} positive values"
+        )
+    inv = F.col("lnsum") / F.lit(float(kk)) - F.col("lnk1")
+    # inv >= 0 by construction (x_(i) >= x_(k+1)); a degenerate flat
+    # top-(k+1) (inv = 0) has no tail to price -> NULL alpha, gamma 0
+    return folded.select(
+        F.lit(kk).alias("k"),
+        F.round(F.col("xk1"), 6).alias("x_kplus1_r"),
+        F.when(inv > 0, F.round(1.0 / inv, 6)).alias("alpha_r"),
+        F.round(inv, 6).alias("gamma_r"),
+    )
+
+
+# --- Poisson-bootstrap confidence interval --------------------------------------
+
+
+def poisson_bootstrap_thresholds(max_k: int = 8) -> list:
+    """Cumulative Poisson(1) CDF cut points scaled to the md5 60-bit
+    range: a uniform draw u yields weight w = #{t_k <= u} (capped at
+    max_k, tail mass ~1e-6 at 8). Python-exact literals shared by the
+    engine and any SQL replica."""
+    import math
+
+    e1 = math.exp(-1.0)
+    acc, fact, out = 0.0, 1.0, []
+    for k in range(max_k):
+        acc += e1 / fact
+        fact *= k + 1
+        out.append(min(int(acc * float(1 << 60)), (1 << 60) - 1))
+    return out
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    value_col: str,
+    id_col: str = "doc_id",
+    b: int = 32,
+    salt: str = "boot",
+) -> DataFrame:
+    """One row: (b_replicas, n_rows, mean_r, ci_lo_r, ci_hi_r) — a
+    PERCENTILE BOOTSTRAP interval for the corpus mean of ``value_col``
+    via the POISSON BOOTSTRAP (Oza & Russell AISTATS'01; Chamandy et
+    al., "Estimating Uncertainty for Massive Data Streams", Google
+    2012): resampling n rows WITH replacement needs coordinated draws,
+    but for large n the multinomial factorizes — each row enters
+    replica j an independent Poisson(1) number of times, a pure
+    function of (salt, j, row id). That makes the resample:
+
+      * embarrassingly parallel (no coordination, no global n),
+      * deterministic and partition-invariant (md5 uniforms),
+      * one-pass: a row expands to its B weights map-side.
+
+    Quality gates, dedup rates, and mean-quality comparisons between
+    pipeline candidates need ERROR BARS before anyone flips a corpus
+    switch; this is the scale-shaped way to get them. Per-replica
+    sums fold through det_sum keyed on the row id (bit-reproducible);
+    the interval is the order-statistic trim of the B sorted replica
+    means — lo = 2nd smallest, hi = 2nd largest, the central
+    (B-2)/B ~ 93.75% at B = 32. Replicas whose total weight lands 0
+    (possible only at toy n) are excluded from the order statistics.
+    Cost: B x the row stream, map-side; the shuffle carries B x
+    bucket-bounded partials, never B x corpus.
+    """
+    from stock_crawler_spark.operators.dedup import _md5_hash60
+    from stock_crawler_spark.operators.graph import det_sum
+
+    th = poisson_bootstrap_thresholds()
+    bb = int(b)
+    rid = F.col(id_col).cast("string")
+
+    def w_of(j: int):
+        u = _md5_hash60(F.concat(F.lit(f"{salt}{j}:"), rid))
+        out = F.lit(0)
+        for t in th:
+            out = out + (u >= F.lit(t)).cast("int")
+        return out.cast("long")
+
+    expl = df.select(
+        rid.alias("_id"),
+        F.col(value_col).cast("double").alias("_x"),
+        F.posexplode(F.array(*[w_of(j) for j in range(bb)])).alias("_rep", "_w"),
+    ).filter(F.col("_w") > 0)
+    wx = expl.select(
+        "_rep", "_id", (F.col("_w").cast("double") * F.col("_x")).alias("_wx")
+    )
+    sums = det_sum(wx, ["_rep"], "_id", "_wx", "_s")
+    neff = expl.groupBy("_rep").agg(F.sum("_w").alias("_n"))
+    means = sums.join(neff, "_rep").select(
+        (F.col("_s") / F.col("_n").cast("double")).alias("_m")
+    )
+    base = df.select(rid.alias("_id"), F.col(value_col).cast("double").alias("_x"))
+    gmean = det_sum(base, [], "_id", "_x", "_sx").crossJoin(
+        F.broadcast(base.agg(F.count(F.lit(1)).alias("_n0")))
+    )
+    arr = F.array_sort(F.collect_list("_m"))
+    stats = means.agg(
+        F.count(F.lit(1)).alias("_nb"),
+        F.round(F.element_at(arr, 2), 6).alias("ci_lo_r"),
+        F.round(F.element_at(arr, -2), 6).alias("ci_hi_r"),
+    )
+    return stats.crossJoin(F.broadcast(gmean)).select(
+        F.lit(bb).alias("b_replicas"),
+        F.col("_n0").alias("n_rows"),
+        F.round(F.col("_sx") / F.col("_n0").cast("double"), 6).alias("mean_r"),
+        "ci_lo_r",
+        "ci_hi_r",
+    )

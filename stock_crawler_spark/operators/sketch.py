@@ -582,3 +582,90 @@ def kmv_mirror_pairs(
         F.round(jac, 6).alias("jaccard_r"),
         F.round(jac * est_u, 6).alias("inter_est_r"),
     )
+
+
+# --------------------------------------------------------------------------
+# AMS / tug-of-war second frequency moment (self-join size)
+# --------------------------------------------------------------------------
+
+AMS_GROUPS = 6
+AMS_PER_GROUP = 9
+
+
+def ams_f2(
+    df: DataFrame,
+    key_col: str,
+    groups: int = AMS_GROUPS,
+    per_group: int = AMS_PER_GROUP,
+    salt: str = "ams",
+) -> DataFrame:
+    """One row: (m_estimators, f2_est_r) — the ALON-MATIAS-SZEGEDY
+    tug-of-war estimate (STOC 1996) of the second frequency moment
+    F2 = sum_h c_h^2 of ``key_col``, i.e. the SELF-JOIN SIZE of the
+    key: the number the planner needs before shuffling a join on host
+    / shingle / term (F2 large = hot keys = salt first), and the exact
+    quantity a skew-aware AQE decision is about.
+
+    Why a sketch when groupBy-count can compute F2 exactly: the exact
+    path keeps one counter PER KEY (10^10-key shuffle state). Each AMS
+    estimator keeps ONE integer regardless of key cardinality:
+
+        X_j = sum over ROWS of s_j(key),   s_j(key) in {-1, +1}
+        E[X_j^2] = F2    (4-wise independent signs)
+
+    so the whole sketch is m running sums that partial-aggregate
+    map-side — no per-key state anywhere, stream-mergeable by
+    addition. Variance control is the textbook mean-of-9 / median-of-6
+    (median of even count = average of the two middle group sums).
+
+    Determinism / portability: signs come from the md5 low bit of
+    "{salt}{j}:key"; X_j and X_j^2 are INTEGER (squares in
+    DECIMAL(38,0) — X_j can reach row count, whose square overflows
+    int64); the single division by (2 * per_group) happens once at the
+    end, round-6. The q189 oracle replays signs, sums, and the median
+    fold bit-for-bit.
+    """
+    m = int(groups) * int(per_group)
+    key = F.col(key_col).cast("string")
+    signs = df.select(
+        F.posexplode(
+            F.array(
+                *[
+                    (
+                        1
+                        - 2
+                        * F.pmod(
+                            _md5_hash60(
+                                F.concat(F.lit(f"{salt}{j}:"), key)
+                            ),
+                            F.lit(2),
+                        )
+                    ).cast("long")
+                    for j in range(m)
+                ]
+            )
+        ).alias("j", "s")
+    )
+    xj = signs.groupBy("j").agg(F.sum("s").alias("x"))
+    grp = xj.groupBy((F.col("j") % int(groups)).alias("g")).agg(
+        F.sum(
+            (F.col("x").cast("decimal(38,0)") * F.col("x").cast("decimal(38,0)"))
+        ).alias("sg")
+    )
+    # median of `groups` group sums: sort the tiny array, average the
+    # two middles (even) or take the middle (odd) — integer until the
+    # final division
+    arr = F.array_sort(F.collect_list(F.col("sg")))
+    g = int(groups)
+    if g % 2 == 0:
+        med2 = F.element_at(arr, g // 2) + F.element_at(arr, g // 2 + 1)
+        den = 2.0 * int(per_group)
+    else:
+        med2 = F.element_at(arr, g // 2 + 1)
+        den = 1.0 * int(per_group)
+    return grp.agg(
+        F.lit(m).alias("m_estimators"),
+        F.round(
+            med2.cast("double") / F.lit(float(den)), 6
+        ).alias("f2_est_r"),
+    )

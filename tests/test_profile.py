@@ -275,3 +275,107 @@ def test_heaps_single_token_vocab_flat(spark):
     got = _heaps_spark(spark, texts)
     assert got["vocab"] == 1 and got["beta_r"] == 0.0
     assert got["r2_r"] is None  # vary = 0: r2 is 0/0, reported NULL
+
+
+# --- Hill tail index -------------------------------------------------------------
+
+
+def test_hill_matches_python_twin_on_pareto(spark):
+    """Exact Pareto(alpha=1.5) quantile sample: the estimator must land
+    near 1.5 and match the python replication of the fold exactly."""
+    import math
+
+    from stock_crawler_spark.operators.profile import hill_tail_index
+
+    alpha = 1.5
+    xs = [(1.0 - (i + 0.5) / 400) ** (-1.0 / alpha) for i in range(400)]
+    df = spark.createDataFrame([(x,) for x in xs], "x double")
+    k = 50
+    got = hill_tail_index(df, k=k).collect()[0]
+    top = sorted(xs, reverse=True)[: k + 1]
+    lnsum = 0.0
+    for v in sorted(
+        (i + 1, round(math.log(x), 12)) for i, x in enumerate(top[:k])
+    ):
+        lnsum += v[1]
+    inv = lnsum / k - round(math.log(top[k]), 12)
+    assert got["k"] == k
+    assert got["x_kplus1_r"] == round(top[k], 6)
+    assert got["alpha_r"] == round(1.0 / inv, 6)
+    assert abs(got["alpha_r"] - alpha) < 0.45  # estimator consistency band
+
+
+def test_hill_flat_top_yields_null_alpha(spark):
+    from stock_crawler_spark.operators.profile import hill_tail_index
+
+    df = spark.createDataFrame([(5.0,)] * 30, "x double")
+    got = hill_tail_index(df, k=10).collect()[0]
+    assert got["alpha_r"] is None and got["gamma_r"] == 0.0
+
+
+def test_hill_requires_enough_values(spark):
+    import pytest
+
+    from stock_crawler_spark.operators.profile import hill_tail_index
+
+    df = spark.createDataFrame([(float(i + 1),) for i in range(5)], "x double")
+    with pytest.raises(ValueError):
+        hill_tail_index(df, k=10)
+
+
+def test_hill_partition_invariance(spark):
+    from stock_crawler_spark.operators.profile import hill_tail_index
+
+    xs = [float((i * 37) % 101 + 1) ** 1.7 for i in range(300)]
+    df = spark.createDataFrame([(x,) for x in xs], "x double")
+    a = hill_tail_index(df.repartition(1), k=20).collect()[0]
+    b = hill_tail_index(df.repartition(13), k=20).collect()[0]
+    assert a == b
+
+
+# --- Poisson bootstrap CI ---------------------------------------------------------
+
+
+def test_bootstrap_ci_covers_mean_and_is_deterministic(spark):
+    from stock_crawler_spark.operators.profile import bootstrap_mean_ci
+
+    rows = [(i, float((i * 13) % 40) + 5.0) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, x double")
+    a = bootstrap_mean_ci(df, "x").collect()[0]
+    b = bootstrap_mean_ci(df.repartition(17, "x"), "x").collect()[0]
+    assert a == b  # md5 draws + det_sum -> partition invariant
+    assert a["b_replicas"] == 32 and a["n_rows"] == 400
+    mean = sum(x for _, x in rows) / 400
+    assert abs(a["mean_r"] - round(mean, 6)) < 1e-6
+    assert a["ci_lo_r"] <= a["mean_r"] <= a["ci_hi_r"]
+    # width sanity: sd/sqrt(n) ~ 0.58; central 94% ~ +/- 2 se
+    assert 0.3 < a["ci_hi_r"] - a["ci_lo_r"] < 3.0
+
+
+def test_bootstrap_weights_follow_poisson_one(spark):
+    """Empirical weight distribution across replicas x rows tracks
+    Poisson(1): P(0) ~ P(1) ~ 0.368."""
+    from pyspark.sql import functions as F
+
+    from stock_crawler_spark.operators.dedup import _md5_hash60
+    from stock_crawler_spark.operators.profile import (
+        poisson_bootstrap_thresholds,
+    )
+
+    th = poisson_bootstrap_thresholds()
+    df = spark.range(20000).select(
+        _md5_hash60(F.concat(F.lit("boot0:"), F.col("id").cast("string"))).alias("u")
+    )
+    w = F.lit(0)
+    for t in th:
+        w = w + (F.col("u") >= F.lit(t)).cast("int")
+    dist = {
+        r["w"]: r["n"]
+        for r in df.select(w.alias("w")).groupBy("w").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    n = sum(dist.values())
+    assert abs(dist.get(0, 0) / n - 0.3679) < 0.02
+    assert abs(dist.get(1, 0) / n - 0.3679) < 0.02
+    assert abs(dist.get(2, 0) / n - 0.1839) < 0.02

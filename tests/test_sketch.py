@@ -528,3 +528,61 @@ def test_kmv_mirror_pairs_partition_invariant_bit_exact(spark):
         ).collect()
     )
     assert a == b
+
+
+# --- AMS F2 ----------------------------------------------------------------------
+
+
+def _exact_f2(keys):
+    from collections import Counter
+
+    return sum(c * c for c in Counter(keys).values())
+
+
+def _py_ams(keys, groups=6, per_group=9, salt="ams"):
+    import hashlib
+
+    m = groups * per_group
+    xs = [0] * m
+    for k in keys:
+        for j in range(m):
+            h = int(hashlib.md5(f"{salt}{j}:{k}".encode()).hexdigest()[:15], 16)
+            xs[j] += 1 - 2 * (h % 2)
+    sg = sorted(
+        sum(xs[j] * xs[j] for j in range(m) if j % groups == g)
+        for g in range(groups)
+    )
+    med2 = sg[groups // 2 - 1] + sg[groups // 2]
+    return round(med2 / (2.0 * per_group), 6)
+
+
+def test_ams_matches_python_twin(spark):
+    from stock_crawler_spark.operators.sketch import ams_f2
+
+    keys = [f"h{(i * i) % 23}.com" for i in range(500)]
+    df = spark.createDataFrame([(k,) for k in keys], "host string")
+    got = ams_f2(df, "host").collect()[0]
+    assert got["m_estimators"] == 54
+    assert got["f2_est_r"] == _py_ams(keys)
+
+
+def test_ams_tracks_exact_f2(spark):
+    """Median-of-means lands within the textbook error band on a skewed
+    multiset (relative error ~ 1/sqrt(per_group))."""
+    from stock_crawler_spark.operators.sketch import ams_f2
+
+    keys = ["hot.com"] * 300 + [f"h{i}.com" for i in range(200)]
+    df = spark.createDataFrame([(k,) for k in keys], "host string")
+    est = ams_f2(df, "host").collect()[0]["f2_est_r"]
+    exact = _exact_f2(keys)
+    assert abs(est - exact) / exact < 0.6
+
+
+def test_ams_partition_invariance_and_additivity(spark):
+    from stock_crawler_spark.operators.sketch import ams_f2
+
+    keys = [f"k{(i * 7) % 40}" for i in range(600)]
+    df = spark.createDataFrame([(k,) for k in keys], "host string")
+    a = ams_f2(df.repartition(1), "host").collect()[0]
+    b = ams_f2(df.repartition(19, "host"), "host").collect()[0]
+    assert a == b
