@@ -737,6 +737,44 @@ def q190_bootstrap_ci(spark, sf):
     return bootstrap_mean_ci(docs, "n_chars", id_col="doc_id")
 
 
+CWS_HQ = 16
+CWS_MIN_MATCH = 13
+
+
+def q191_icws_weighted_jaccard(spark, sf):
+    """ICWS weighted MinHash (operators/cws; Ioffe ICDM'10): weighted-
+    Jaccard near-dup over per-doc TF vectors — the similarity q10/q31
+    cannot price (a term seen 40x counts 40x). Slot agreement / h is
+    an unbiased J_w estimate; candidates come from the slot-value
+    equi-join (never all-pairs) at >= 13/16 matches, and the exact
+    min/max-sum J_w verifies each pair (integer-valued doubles — the
+    sums are order-free exact). Oracle replays draws, argmin, join,
+    and exact sums."""
+    from stock_crawler_spark.operators.cws import (
+        icws_pair_estimates,
+        icws_signatures,
+        weighted_jaccard_exact,
+    )
+
+    docs = _t(spark, sf, "documents")
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("t"),
+        )
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    sigs = icws_signatures(tf, h=CWS_HQ)
+    pairs = icws_pair_estimates(sigs, h=CWS_HQ, min_matches=CWS_MIN_MATCH)
+    exact = weighted_jaccard_exact(
+        tf, pairs.select("doc_a", "doc_b")
+    )
+    return pairs.join(exact, ["doc_a", "doc_b"])
+
+
 _Q44_PRE = (
     "<html><head><title>t</title><script>var x = 1 < 2;</script>"
     "<style>p { color: red; }</style></head><body><!-- nav boilerplate -->"
@@ -4625,6 +4663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q188_hill_tail": q188_hill_tail,
         "q189_ams_f2": q189_ams_f2,
         "q190_bootstrap_ci": q190_bootstrap_ci,
+        "q191_icws_weighted_jaccard": q191_icws_weighted_jaccard,
     }
 
 
@@ -6621,6 +6660,17 @@ def _pois_w_sql(u_expr: str) -> str:
     )
 
 
+def _cws_u(salt: str) -> str:
+    """q191: ICWS md5 uniform in (0,1] over SQL columns (i, t) — the
+    engine's (h60 + 1) / 2^60 with identical casts."""
+    return (
+        "((CAST(('0x' || substr(md5('"
+        + salt
+        + "' || i || ':' || t), 1, 15))::BIGINT AS DOUBLE) + 1.0)"
+        + f" / CAST({float(1 << 60)!r} AS DOUBLE))"
+    )
+
+
 def _rbo_wt_values() -> str:
     """q183's weight table as SQL VALUES — the IDENTICAL python doubles
     the engine's driver-side table carries."""
@@ -8418,6 +8468,63 @@ SELECT CAST(32 AS INT) AS b_replicas, n_rows,
   round(sx / CAST(n_rows AS DOUBLE), 6) AS mean_r,
   round(a[2], 6) AS ci_lo_r, round(a[-2], 6) AS ci_hi_r
 FROM arr CROSS JOIN base CROSS JOIN n0
+""",
+        # q191: ICWS draw chain (ln/exp/floor), struct argmin, slot
+        # equi-join, exact min/max sums — replayed end to end
+        "q191_icws_weighted_jaccard": f"""
+WITH tf AS (
+  SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS w
+  FROM (SELECT doc_id, unnest({_TOKS}) AS t FROM documents)
+  GROUP BY 1, 2
+), wi AS (
+  SELECT doc_id, t, w, unnest(range(0, {CWS_HQ})) AS i FROM tf
+), dr AS (
+  SELECT doc_id, t, w, i,
+    -ln({_cws_u("cwsr1:")} * {_cws_u("cwsr2:")}) AS r,
+    -ln({_cws_u("cwsc1:")} * {_cws_u("cwsc2:")}) AS c,
+    {_cws_u("cwsb:")} AS beta
+  FROM wi
+), ti AS (
+  SELECT doc_id, t, i, r, c, beta,
+    CAST(floor(ln(w) / r + beta) AS BIGINT) AS ti
+  FROM dr
+), av AS (
+  SELECT doc_id, t, i, ti,
+    c / (exp(r * (CAST(ti AS DOUBLE) - beta)) * exp(r)) AS a
+  FROM ti
+), sigs AS (
+  SELECT doc_id, i, t AS sig_t, ti AS sig_ti FROM (
+    SELECT doc_id, i, t, ti,
+      row_number() OVER (PARTITION BY doc_id, i ORDER BY a, t, ti) AS rn
+    FROM av) WHERE rn = 1
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_match
+  FROM sigs a JOIN sigs b
+    ON a.i = b.i AND a.sig_t = b.sig_t AND a.sig_ti = b.sig_ti
+   AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING count(*) >= {CWS_MIN_MATCH}
+), fa AS (
+  SELECT p.doc_a, p.doc_b, tf.t, tf.w AS wa
+  FROM pairs p JOIN tf ON tf.doc_id = p.doc_a
+), fb AS (
+  SELECT p.doc_a, p.doc_b, tf.t, tf.w AS wb
+  FROM pairs p JOIN tf ON tf.doc_id = p.doc_b
+), uni AS (
+  SELECT COALESCE(fa.doc_a, fb.doc_a) AS doc_a,
+         COALESCE(fa.doc_b, fb.doc_b) AS doc_b,
+         COALESCE(fa.wa, 0.0) AS wa, COALESCE(fb.wb, 0.0) AS wb
+  FROM fa FULL JOIN fb
+    ON fa.doc_a = fb.doc_a AND fa.doc_b = fb.doc_b AND fa.t = fb.t
+), ex AS (
+  SELECT doc_a, doc_b,
+    round(sum(least(wa, wb)) / sum(greatest(wa, wb)), 6) AS jw_exact_r
+  FROM uni GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b, p.n_match,
+  round(p.n_match / CAST({float(CWS_HQ)!r} AS DOUBLE), 6) AS jw_est_r,
+  jw_exact_r
+FROM pairs p JOIN ex ON p.doc_a = ex.doc_a AND p.doc_b = ex.doc_b
 """,
         # q167: Elias gamma/delta gap costs via bin() lengths (no log2)
         "q167_adjacency_bits": f"""

@@ -1,0 +1,185 @@
+"""Improved Consistent Weighted Sampling — weighted-Jaccard MinHash.
+
+Unweighted MinHash (operators/dedup) prices SET overlap: a term that
+appears 40 times counts exactly like a term that appears once. Real
+near-dup and template detection over web text wants the WEIGHTED
+Jaccard
+
+    J_w(A, B) = sum_t min(a_t, b_t) / sum_t max(a_t, b_t)
+
+(tf-weighted shingles, per-host term profiles, click histograms).
+ICWS (Ioffe, ICDM 2010, "Improved Consistent Weighted Sampling") is
+the exact-distribution sketch for it: per hash index i, every (term,
+weight) draws
+
+    r = -ln(u1 * u2)        ~ Gamma(2, 1)
+    c = -ln(u3 * u4)        ~ Gamma(2, 1)
+    beta = u5               ~ Uniform(0, 1)
+    t_i  = floor( ln(w)/r + beta )
+    y    = exp( r * (t_i - beta) )
+    a    = c / ( y * exp(r) )
+
+and the signature slot is the (term, t_i) of the MINIMUM a. Ioffe
+proves P[slot_A == slot_B] = J_w(A, B) exactly — so the mean slot
+agreement is an unbiased weighted-Jaccard estimate and the slots band
+into LSH exactly like operators/dedup's unweighted signatures.
+
+Determinism: all uniforms are md5 functions of (salt, i, term) —
+u = (h60 + 1) / 2^60 in (0, 1] — so signatures are pure functions of
+the input multiset: rerun-, partition- and engine-portable (the q191
+oracle replays the ln/exp/floor chain; cross-engine argmin flips
+would need two `a` values within ~1 ulp, beyond astronomically
+unlikely for hashed draws). Weights must be > 0 (zero-weight terms
+simply do not exist in the multiset).
+
+Scale shape: signatures cost one narrow explode (features x H rows,
+map-side) and ONE groupBy(doc, i) min — no joins, no per-key state
+beyond the groupBy; pair estimation joins signatures on the slot
+VALUE (i, term, t_i) exactly like shingle-hash dedup, so candidate
+generation never goes all-pairs. The exact J_w twin
+(weighted_jaccard_exact) is a full-outer join per pair — integer
+min/max sums when weights are integer tfs.
+
+Reference parity: the reference dedups by exact url-hash membership
+(internal/cache/*.go); weighted near-dup is the LLM-corpus extension
+beside MinHash/SimHash/LSH in SURVEY §2's pipeline additions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from stock_crawler_spark.operators.dedup import _md5_hash60
+
+CWS_H = 16
+_U60 = float(1 << 60)
+
+
+def _u(salt: str, i, term) -> F.Column:
+    """md5 uniform in (0, 1] for (salt, hash index, term) — ``i`` is a
+    COLUMN so the expression tree stays constant-size however many
+    hash slots explode (an h-length array of inlined formulas blows
+    codegen up at h ~ 100s)."""
+    h = _md5_hash60(
+        F.concat(
+            F.lit(salt), i.cast("string"), F.lit(":"), term.cast("string")
+        )
+    )
+    return (h.cast("double") + F.lit(1.0)) / F.lit(_U60)
+
+
+def icws_signatures(
+    features: DataFrame,
+    h: int = CWS_H,
+    doc_col: str = "doc_id",
+    term_col: str = "t",
+    weight_col: str = "w",
+) -> DataFrame:
+    """(doc, i, sig_t, sig_ti) — the ICWS signature slot per hash
+    index. ``features`` is the weighted multiset (doc, term, weight>0),
+    e.g. per-doc term frequencies."""
+    d = features.select(
+        F.col(doc_col).alias("doc"),
+        F.col(term_col).cast("string").alias("t"),
+        F.col(weight_col).cast("double").alias("w"),
+    ).filter(F.col("w") > 0)
+    # hash index as a COLUMN (explode a 0..h-1 range): the draw
+    # formulas are written once whatever h is — an h-wide array of
+    # inlined expressions (5 md5 calls each) melts whole-stage codegen
+    # at h in the hundreds
+    withi = d.select(
+        "doc", "t", "w",
+        F.explode(F.sequence(F.lit(0), F.lit(int(h) - 1))).alias("i"),
+    )
+    t, i = F.col("t"), F.col("i")
+    r = -F.log(_u("cwsr1:", i, t) * _u("cwsr2:", i, t))
+    c = -F.log(_u("cwsc1:", i, t) * _u("cwsc2:", i, t))
+    beta = _u("cwsb:", i, t)
+    ti = F.floor(F.log(F.col("w")) / r + beta).cast("long")
+    y = F.exp(r * (ti.cast("double") - beta))
+    a = c / (y * F.exp(r))
+    expl = withi.select(
+        "doc", "i", a.alias("a"), "t", ti.alias("ti")
+    )
+    # min of (a, t, ti) struct = argmin on a, term tiebreak — one
+    # map-side-combinable groupBy, no window
+    best = expl.groupBy("doc", "i").agg(
+        F.min(F.struct("a", "t", "ti")).alias("m")
+    )
+    return best.select(
+        "doc",
+        "i",
+        F.col("m.t").alias("sig_t"),
+        F.col("m.ti").alias("sig_ti"),
+    )
+
+
+def icws_pair_estimates(
+    sigs: DataFrame,
+    h: int = CWS_H,
+    min_matches: int = 1,
+) -> DataFrame:
+    """(doc_a, doc_b, n_match, jw_est_r) for every doc pair sharing at
+    least ``min_matches`` signature slots — slot agreement / h is the
+    unbiased weighted-Jaccard estimate. Candidate generation is an
+    equi-join on the slot VALUE (the shingle-dedup inverted-index
+    trick): pair fan-out IS the similarity structure, never all-pairs."""
+    s = sigs.select("doc", "i", "sig_t", "sig_ti")
+    a = s.select(
+        F.col("doc").alias("doc_a"), "i", "sig_t", "sig_ti"
+    )
+    b = s.select(
+        F.col("doc").alias("doc_b"), "i", "sig_t", "sig_ti"
+    )
+    pairs = (
+        a.join(b, ["i", "sig_t", "sig_ti"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_match"))
+        .filter(F.col("n_match") >= int(min_matches))
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        "n_match",
+        F.round(F.col("n_match") / F.lit(float(h)), 6).alias("jw_est_r"),
+    )
+
+
+def weighted_jaccard_exact(
+    features: DataFrame,
+    pairs: DataFrame,
+    doc_col: str = "doc_id",
+    term_col: str = "t",
+    weight_col: str = "w",
+) -> DataFrame:
+    """Exact J_w = sum min / sum max for the given (doc_a, doc_b)
+    candidate pairs — the verify stage after icws_pair_estimates, and
+    integer-exact when weights are integer term frequencies. Joins
+    each pair's feature vectors (outer on term: absent = 0); never
+    all-pairs — cost is candidates x their feature lengths."""
+    f = features.select(
+        F.col(doc_col).alias("_d"),
+        F.col(term_col).cast("string").alias("t"),
+        F.col(weight_col).cast("double").alias("w"),
+    ).filter(F.col("w") > 0)
+    fa = pairs.join(f, pairs["doc_a"] == f["_d"]).select(
+        "doc_a", "doc_b", "t", F.col("w").alias("wa")
+    )
+    fb = pairs.join(f, pairs["doc_b"] == f["_d"]).select(
+        "doc_a", "doc_b", "t", F.col("w").alias("wb")
+    )
+    j = fa.join(fb, ["doc_a", "doc_b", "t"], "full").select(
+        "doc_a",
+        "doc_b",
+        F.coalesce(F.col("wa"), F.lit(0.0)).alias("wa"),
+        F.coalesce(F.col("wb"), F.lit(0.0)).alias("wb"),
+    )
+    return j.groupBy("doc_a", "doc_b").agg(
+        F.round(
+            F.sum(F.least(F.col("wa"), F.col("wb")))
+            / F.sum(F.greatest(F.col("wa"), F.col("wb"))),
+            6,
+        ).alias("jw_exact_r")
+    )

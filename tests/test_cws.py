@@ -1,0 +1,116 @@
+"""ICWS weighted MinHash (operators/cws)."""
+
+import hashlib
+import math
+
+from stock_crawler_spark.operators.cws import (
+    icws_pair_estimates,
+    icws_signatures,
+    weighted_jaccard_exact,
+)
+
+
+def _h60(s):
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _u(salt, i, term):
+    return (_h60(f"{salt}{i}:{term}") + 1.0) / float(1 << 60)
+
+
+def _py_sig(doc_feats, i):
+    best = None
+    for t, w in doc_feats.items():
+        r = -math.log(_u("cwsr1:", i, t) * _u("cwsr2:", i, t))
+        c = -math.log(_u("cwsc1:", i, t) * _u("cwsc2:", i, t))
+        beta = _u("cwsb:", i, t)
+        ti = math.floor(math.log(w) / r + beta)
+        y = math.exp(r * (ti - beta))
+        a = c / (y * math.exp(r))
+        cand = (a, t, ti)
+        if best is None or cand < best:
+            best = cand
+    return best[1], best[2]
+
+
+def _jw(a, b):
+    keys = set(a) | set(b)
+    return sum(min(a.get(t, 0), b.get(t, 0)) for t in keys) / sum(
+        max(a.get(t, 0), b.get(t, 0)) for t in keys
+    )
+
+
+def _feats_df(spark, docs):
+    rows = [
+        (d, t, float(w)) for d, fs in docs.items() for t, w in fs.items()
+    ]
+    return spark.createDataFrame(rows, "doc_id string, t string, w double")
+
+
+def test_signatures_match_python_twin(spark):
+    docs = {
+        "a": {"x": 3.0, "y": 1.0, "z": 7.5},
+        "b": {"x": 3.0, "q": 0.25},
+    }
+    h = 8
+    got = {
+        (r["doc"], r["i"]): (r["sig_t"], r["sig_ti"])
+        for r in icws_signatures(_feats_df(spark, docs), h=h).collect()
+    }
+    for d, fs in docs.items():
+        for i in range(h):
+            assert got[(d, i)] == _py_sig(fs, i), (d, i)
+
+
+def test_slot_agreement_estimates_weighted_jaccard(spark):
+    """P[slot match] = J_w exactly (Ioffe 2010 Thm 1): at h=256 the
+    empirical agreement must sit in a ~4-sigma binomial band."""
+    a = {f"t{j}": 1.0 + (j % 5) for j in range(40)}
+    b = dict(a)
+    for j in range(0, 40, 2):
+        b[f"t{j}"] = a[f"t{j}"] * 3.0  # heavier on half the terms
+    b["extra"] = 4.0
+    jw = _jw(a, b)
+    h = 256
+    sigs = icws_signatures(_feats_df(spark, {"a": a, "b": b}), h=h)
+    est = icws_pair_estimates(sigs, h=h).collect()[0]["jw_est_r"]
+    sigma = math.sqrt(jw * (1 - jw) / h)
+    assert abs(est - jw) < 4 * sigma + 1e-9, (est, jw)
+
+
+def test_identical_docs_agree_everywhere(spark):
+    a = {"x": 2.0, "y": 0.5}
+    sigs = icws_signatures(_feats_df(spark, {"a": a, "b": dict(a)}), h=12)
+    row = icws_pair_estimates(sigs, h=12).collect()[0]
+    assert row["n_match"] == 12 and row["jw_est_r"] == 1.0
+
+
+def test_weighted_jaccard_exact_matches_python(spark):
+    docs = {
+        "a": {"x": 3, "y": 1, "z": 2},
+        "b": {"x": 1, "z": 2, "q": 5},
+        "c": {"q": 1},
+    }
+    feats = _feats_df(spark, docs)
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("a", "c")], "doc_a string, doc_b string"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jw_exact_r"]
+        for r in weighted_jaccard_exact(feats, pairs).collect()
+    }
+    assert got[("a", "b")] == round(_jw(docs["a"], docs["b"]), 6)
+    assert got[("a", "c")] == 0.0
+
+
+def test_partition_invariance(spark):
+    docs = {
+        f"d{k}": {f"t{j}": 1.0 + ((j * k) % 7) for j in range(k % 9 + 3)}
+        for k in range(12)
+    }
+    feats = _feats_df(spark, docs)
+    out = lambda d: sorted(
+        (r["doc"], r["i"], r["sig_t"], r["sig_ti"])
+        for r in icws_signatures(d, h=6).collect()
+    )
+    assert out(feats.repartition(1)) == out(feats.repartition(13, "t"))
