@@ -53,7 +53,7 @@ from pyspark.sql import functions as F
 from stock_crawler_spark.operators.dedup import _md5_hash60
 
 CWS_H = 16
-_U60 = float(1 << 60)
+_U60 = float(1 << 60)  # md5 uniforms: (h60 + 1) / 2^60 in (0, 1]
 
 
 def _u(salt: str, i, term) -> F.Column:

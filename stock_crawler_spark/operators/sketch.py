@@ -625,6 +625,21 @@ def ams_f2(
     end, round-6. The q189 oracle replays signs, sums, and the median
     fold bit-for-bit.
     """
+    xj = ams_partials(df, key_col, groups, per_group, salt)
+    return ams_estimate(xj, groups, per_group)
+
+
+def ams_partials(
+    df: DataFrame,
+    key_col: str,
+    groups: int = AMS_GROUPS,
+    per_group: int = AMS_PER_GROUP,
+    salt: str = "ams",
+) -> DataFrame:
+    """The sketch STATE: (j, x) with x = X_j = sum of row signs —
+    m rows total, mergeable by plain addition (ams_merge), which is
+    the streaming/shard story: per-microbatch or per-shard partials
+    fold losslessly into the union's sketch."""
     m = int(groups) * int(per_group)
     key = F.col(key_col).cast("string")
     signs = df.select(
@@ -646,7 +661,24 @@ def ams_f2(
             )
         ).alias("j", "s")
     )
-    xj = signs.groupBy("j").agg(F.sum("s").alias("x"))
+    return signs.groupBy("j").agg(F.sum("s").alias("x"))
+
+
+def ams_merge(*partials: DataFrame) -> DataFrame:
+    """Fold AMS partials built with the same (m, salt): X_j adds."""
+    out = partials[0]
+    for p in partials[1:]:
+        out = out.unionByName(p)
+    return out.groupBy("j").agg(F.sum("x").alias("x"))
+
+
+def ams_estimate(
+    xj: DataFrame,
+    groups: int = AMS_GROUPS,
+    per_group: int = AMS_PER_GROUP,
+) -> DataFrame:
+    """Median-of-means F2 estimate from (j, x) partials (see ams_f2)."""
+    m = int(groups) * int(per_group)
     grp = xj.groupBy((F.col("j") % int(groups)).alias("g")).agg(
         F.sum(
             (F.col("x").cast("decimal(38,0)") * F.col("x").cast("decimal(38,0)"))

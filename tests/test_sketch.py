@@ -586,3 +586,58 @@ def test_ams_partition_invariance_and_additivity(spark):
     a = ams_f2(df.repartition(1), "host").collect()[0]
     b = ams_f2(df.repartition(19, "host"), "host").collect()[0]
     assert a == b
+
+
+def test_streaming_ams_microbatch_merge_matches_batch(spark, tmp_path):
+    """AMS is the canonical streaming sketch: per-microbatch (j, X_j)
+    partials MERGE BY ADDITION into the union's sketch. Drive two
+    microbatches through foreachBatch, fold with ams_merge, and the
+    final estimate must equal the one-shot batch run bit-for-bit."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from stock_crawler_spark.operators.sketch import (
+        ams_estimate,
+        ams_f2,
+        ams_merge,
+        ams_partials,
+    )
+
+    rows = spark.range(800).select(
+        (F.concat(F.lit("h"), (F.col("id") % 31).cast("string"))).alias("host")
+    )
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "ams_state")
+    os.makedirs(src)
+    rows.filter(F.col("host") < "h3").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src + "/b0")
+    rows.filter(F.col("host") >= "h3").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src + "/b1")
+
+    def fold(batch_df, batch_id):
+        p = ams_partials(batch_df, "host")
+        if os.path.exists(state + "/_SUCCESS"):
+            p = ams_merge(batch_df.sparkSession.read.parquet(state), p)
+        staging = str(tmp_path / "staging")
+        p.coalesce(1).write.mode("overwrite").parquet(staging)
+        batch_df.sparkSession.read.parquet(staging).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(state)
+
+    q = (
+        spark.readStream.schema("host string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b*")
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    streamed = ams_estimate(spark.read.parquet(state)).collect()[0]
+    direct = ams_f2(rows, "host").collect()[0]
+    assert streamed == direct
