@@ -75,3 +75,54 @@ def streaming_round_metrics(
         )
         .select(F.col("w.start").alias("window_start"), "strategy", "n_pages", "n_records", "n_errors")
     )
+
+
+def streaming_fetch_parse_join(
+    fetches: DataFrame,
+    parses: DataFrame,
+    watermark: str = "10 minutes",
+    max_lag: str = "5 minutes",
+) -> DataFrame:
+    """Watermarked STREAM-STREAM inner join: fetch events (url,
+    fetch_ts, status) matched to parse events (url, parse_ts,
+    n_records) with parse_ts in [fetch_ts, fetch_ts + max_lag] — the
+    fetch->parse latency ledger as the two stages report independently
+    (two Kafka topics in the reference's deployment,
+    internal/kafka/consumer.go's per-topic handlers; the reference
+    joins them implicitly by being a single process — a distributed
+    engine must join the streams).
+
+    This is the one Structured Streaming join shape with bounded
+    state: BOTH sides carry event-time watermarks and the join
+    condition carries a time-range predicate, so Spark can drop
+    buffered rows once the other side's watermark passes
+    fetch_ts + max_lag (Spark docs: stream-stream joins require a
+    range condition for state cleanup). Without the range predicate
+    the state store grows without bound — at 10^6 urls/s that is the
+    difference between a crawl-long job and an OOM.
+
+    Output: (url, fetch_ts, status, parse_ts, n_records,
+    parse_lag_sec). Late parses beyond the watermark drop — exactly
+    the batch semantics of a fetch round whose parse never arrived
+    within the round.
+    """
+    f = fetches.withWatermark("fetch_ts", watermark).alias("f")
+    p = parses.withWatermark("parse_ts", watermark).alias("p")
+    joined = f.join(
+        p,
+        F.expr(
+            "f.url = p.url AND "
+            f"p.parse_ts >= f.fetch_ts AND "
+            f"p.parse_ts <= f.fetch_ts + interval {max_lag}"
+        ),
+    )
+    return joined.select(
+        F.col("f.url").alias("url"),
+        "fetch_ts",
+        "status",
+        "parse_ts",
+        "n_records",
+        (
+            F.col("parse_ts").cast("double") - F.col("fetch_ts").cast("double")
+        ).alias("parse_lag_sec"),
+    )

@@ -562,3 +562,71 @@ def test_streaming_entropy_and_phrase_match_batch(spark, tmp_path):
     # sanity: doc 1 has 2 occurrences of the phrase, doc 3 none
     byid = {t[0]: t for t in got}
     assert byid[1][3] == 2 and byid[3][3] is None
+
+
+def test_stream_stream_fetch_parse_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream join == the batch join under the same
+    range predicate: in-window parses match, pre-fetch and beyond-lag
+    parses do not."""
+    import os
+
+    from stock_crawler_spark.streaming.jobs import streaming_fetch_parse_join
+
+    fetch_rows = [
+        ("u1", "2024-01-01 10:00:00", 200),
+        ("u2", "2024-01-01 10:00:30", 200),
+        ("u3", "2024-01-01 10:01:00", 404),
+        ("u4", "2024-01-01 10:02:00", 200),
+    ]
+    parse_rows = [
+        ("u1", "2024-01-01 10:00:05", 12),  # in window -> match
+        ("u2", "2024-01-01 10:06:00", 5),   # beyond 5 min lag -> drop
+        ("u3", "2024-01-01 10:00:30", 0),   # BEFORE its fetch -> drop
+        ("u4", "2024-01-01 10:06:59", 7),   # 4m59s lag -> match
+    ]
+    fdf = spark.createDataFrame(
+        fetch_rows, "url string, fetch_ts string, status int"
+    ).select("url", F.col("fetch_ts").cast("timestamp"), "status")
+    pdf = spark.createDataFrame(
+        parse_rows, "url string, parse_ts string, n_records int"
+    ).select("url", F.col("parse_ts").cast("timestamp"), "n_records")
+
+    fsrc, psrc = str(tmp_path / "f"), str(tmp_path / "p")
+    fdf.write.parquet(fsrc)
+    pdf.write.parquet(psrc)
+    fs = spark.readStream.schema(
+        "url string, fetch_ts timestamp, status int"
+    ).parquet(fsrc)
+    ps = spark.readStream.schema(
+        "url string, parse_ts timestamp, n_records int"
+    ).parquet(psrc)
+    out_dir = str(tmp_path / "out")
+    q = (
+        streaming_fetch_parse_join(fs, ps)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        (r["url"], r["n_records"], r["parse_lag_sec"])
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    assert got == [("u1", 12, 5.0), ("u4", 7, 299.0)]
+    # batch twin: identical predicate, identical rows
+    batch = sorted(
+        (r["url"], r["n_records"])
+        for r in fdf.alias("f")
+        .join(
+            pdf.alias("p"),
+            F.expr(
+                "f.url = p.url AND p.parse_ts >= f.fetch_ts "
+                "AND p.parse_ts <= f.fetch_ts + interval 5 minutes"
+            ),
+        )
+        .collect()
+    )
+    assert [(u, n) for u, n, _ in got] == batch
