@@ -3232,6 +3232,18 @@ def _bowtie_edges(spark, sf):
     return out.distinct()
 
 
+def q192_graph_datasheet(spark, sf):
+    """Web-graph datasheet numbers (operators/graph.graph_datasheet):
+    directed reciprocity and Newman-2002 out-in degree assortativity
+    over the bow-tie graph — the structure row beside q169-q171's
+    reach curves; integer sums in DECIMAL(38,0) until two final
+    divisions, so the oracle replays bit-for-bit with no float-order
+    discipline."""
+    from stock_crawler_spark.operators.graph import graph_datasheet
+
+    return graph_datasheet(_bowtie_edges(spark, sf), src="s", dst="d")
+
+
 def q169_scc(spark, sf):
     """Strongly connected components (operators/graph.scc; Broder et
     al. WWW'00 bow-tie) — a large non-giant SCC is the structural
@@ -4664,6 +4676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q189_ams_f2": q189_ams_f2,
         "q190_bootstrap_ci": q190_bootstrap_ci,
         "q191_icws_weighted_jaccard": q191_icws_weighted_jaccard,
+        "q192_graph_datasheet": q192_graph_datasheet,
     }
 
 
@@ -8525,6 +8538,48 @@ SELECT p.doc_a, p.doc_b, p.n_match,
   round(p.n_match / CAST({float(CWS_HQ)!r} AS DOUBLE), 6) AS jw_est_r,
   jw_exact_r
 FROM pairs p JOIN ex ON p.doc_a = ex.doc_a AND p.doc_b = ex.doc_b
+""",
+        # q192: reciprocity + Newman assortativity in exact integers
+        # over the shared bow-tie edge CTE
+        "q192_graph_datasheet": f"""
+WITH docs_n AS (
+  SELECT doc_id % {SCC_NODES} AS n FROM documents
+), e AS (
+  SELECT DISTINCT s, d FROM (
+    SELECT n AS s, (n + 1) % 20 AS d FROM docs_n WHERE n < 20
+    UNION ALL SELECT n, (n + 7) % 20 FROM docs_n WHERE n < 20
+    UNION ALL SELECT n, n + 1 FROM docs_n WHERE n >= 20 AND n < 39
+    UNION ALL SELECT n, n - 20 FROM docs_n WHERE n >= 20 AND n < 40
+    UNION ALL SELECT n - 40, n FROM docs_n WHERE n >= 40
+    UNION ALL SELECT n, n + 1 FROM docs_n WHERE n >= 40 AND n < 59
+    UNION ALL SELECT n, n - 1 FROM docs_n WHERE n = 58
+    UNION ALL SELECT n, n + 45 FROM docs_n WHERE n >= 20 AND n < 25
+  ) WHERE s <> d
+), outd AS (
+  SELECT s, count(*) AS j FROM e GROUP BY 1
+), ind AS (
+  SELECT d, count(*) AS k FROM e GROUP BY 1
+), ejk AS (
+  SELECT j, k FROM e JOIN outd USING (s) JOIN ind USING (d)
+), sums AS (
+  SELECT count(*) AS m,
+    sum(CAST(j AS HUGEINT)) AS sj, sum(CAST(k AS HUGEINT)) AS sk,
+    sum(CAST(j AS HUGEINT) * CAST(k AS HUGEINT)) AS sjk,
+    sum(CAST(j AS HUGEINT) * CAST(j AS HUGEINT)) AS sjj,
+    sum(CAST(k AS HUGEINT) * CAST(k AS HUGEINT)) AS skk
+  FROM ejk
+), recip AS (
+  SELECT count(*) AS n_reciprocal
+  FROM e a JOIN e b ON a.s = b.d AND a.d = b.s
+)
+SELECT m AS n_edges, n_reciprocal,
+  round(n_reciprocal / CAST(m AS DOUBLE), 6) AS reciprocity_r,
+  CASE WHEN (m * sjj - sj * sj) > 0 AND (m * skk - sk * sk) > 0 THEN
+    round(CAST(m * sjk - sj * sk AS DOUBLE)
+          / sqrt(CAST(m * sjj - sj * sj AS DOUBLE)
+                 * CAST(m * skk - sk * sk AS DOUBLE)), 6)
+  END AS assortativity_r
+FROM sums CROSS JOIN recip
 """,
         # q167: Elias gamma/delta gap costs via bin() lengths (no log2)
         "q167_adjacency_bits": f"""

@@ -1038,3 +1038,63 @@ def test_effective_diameter_partition_invariant(spark):
     a = rows(effective_diameter(e, max_t=3, src="s", dst="d"))
     b = rows(effective_diameter(e.repartition(9), max_t=3, src="s", dst="d"))
     assert a == b
+
+
+# --- graph datasheet --------------------------------------------------------
+
+
+def _py_datasheet(pairs):
+    from collections import Counter
+
+    e = {(s, d) for s, d in pairs if s != d}
+    outd = Counter(s for s, _ in e)
+    ind = Counter(d for _, d in e)
+    recip = sum(1 for s, d in e if (d, s) in e)
+    js = [(outd[s], ind[d]) for s, d in e]
+    m = len(js)
+    sj = sum(j for j, _ in js)
+    sk = sum(k for _, k in js)
+    sjk = sum(j * k for j, k in js)
+    sjj = sum(j * j for j, _ in js)
+    skk = sum(k * k for _, k in js)
+    varj, vark = m * sjj - sj * sj, m * skk - sk * sk
+    r = (
+        round((m * sjk - sj * sk) / ((varj * vark) ** 0.5), 6)
+        if varj > 0 and vark > 0
+        else None
+    )
+    return m, recip, round(recip / m, 6), r
+
+
+def test_datasheet_matches_python_twin(spark):
+    from stock_crawler_spark.operators.graph import graph_datasheet
+
+    pairs = (
+        [(0, 1), (1, 2), (2, 0), (3, 4), (4, 3)]
+        + [(5, i) for i in range(6)]  # hub fanning out (incl. 5->5 self)
+        + [(1, 4), (2, 4)]
+    )
+    got = graph_datasheet(_iedges(spark, pairs), src="s", dst="d").collect()[0]
+    m, recip, rr, asr = _py_datasheet(pairs)
+    assert got["n_edges"] == m and got["n_reciprocal"] == recip
+    assert got["reciprocity_r"] == rr
+    assert got["assortativity_r"] == asr and asr is not None
+
+
+def test_datasheet_cycle_degenerate(spark):
+    from stock_crawler_spark.operators.graph import graph_datasheet
+
+    pairs = [(i, (i + 1) % 6) for i in range(6)]
+    got = graph_datasheet(_iedges(spark, pairs), src="s", dst="d").collect()[0]
+    assert got["reciprocity_r"] == 0.0
+    assert got["assortativity_r"] is None  # all degrees 1: zero variance
+
+
+def test_datasheet_partition_invariant(spark):
+    from stock_crawler_spark.operators.graph import graph_datasheet
+
+    pairs = [(i, (i * 3 + 1) % 17) for i in range(17)] + [(i, 0) for i in range(5)]
+    e = _iedges(spark, [(a, b) for a, b in pairs if a != b])
+    a = graph_datasheet(e.repartition(1), src="s", dst="d").collect()[0]
+    b = graph_datasheet(e.repartition(7), src="s", dst="d").collect()[0]
+    assert a == b
