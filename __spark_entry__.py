@@ -775,6 +775,33 @@ def q191_icws_weighted_jaccard(spark, sf):
     return pairs.join(exact, ["doc_a", "doc_b"])
 
 
+MKSP_FLEET = 5000
+MKSP_CAP = 40
+
+
+def q193_makespan_bound(spark, sf):
+    """Politeness-constrained crawl makespan lower bound (operators/
+    budget.crawl_makespan_bound; Graham 1969's two-resource LB applied
+    to crawling): rounds >= max(ceil(total/R), ceil(max_host/c)).
+    Pending counts derive from events with a planted hot host (every
+    5th event piles onto h0), so the politeness term binds — the
+    actionable reading: past that crossover, adding fetchers does
+    nothing. Pure integer aggregate; oracle replays the ceil
+    divisions."""
+    from stock_crawler_spark.operators.budget import crawl_makespan_bound
+
+    ev = _t(spark, sf, "events")
+    hid = F.when(F.col("event_id") % 5 == 0, F.lit(0)).otherwise(
+        F.col("event_id") % 97
+    )
+    counts = ev.groupBy(
+        F.concat(F.lit("h"), hid.cast("string"), F.lit(".com")).alias("host")
+    ).agg(F.count(F.lit(1)).alias("n_pending"))
+    return crawl_makespan_bound(
+        counts, fleet_per_round=MKSP_FLEET, per_host_cap=MKSP_CAP
+    )
+
+
 _Q44_PRE = (
     "<html><head><title>t</title><script>var x = 1 < 2;</script>"
     "<style>p { color: red; }</style></head><body><!-- nav boilerplate -->"
@@ -4677,6 +4704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q190_bootstrap_ci": q190_bootstrap_ci,
         "q191_icws_weighted_jaccard": q191_icws_weighted_jaccard,
         "q192_graph_datasheet": q192_graph_datasheet,
+        "q193_makespan_bound": q193_makespan_bound,
     }
 
 
@@ -8580,6 +8608,29 @@ SELECT m AS n_edges, n_reciprocal,
                  * CAST(m * skk - sk * sk AS DOUBLE)), 6)
   END AS assortativity_r
 FROM sums CROSS JOIN recip
+""",
+        # q193: Graham-LB ceil divisions replayed in integers
+        "q193_makespan_bound": f"""
+WITH counts AS (
+  SELECT 'h' || (CASE WHEN event_id % 5 = 0 THEN 0
+                      ELSE event_id % 97 END) || '.com' AS host,
+         count(*) AS n_pending
+  FROM events GROUP BY 1
+), agg AS (
+  SELECT CAST(sum(n_pending) AS BIGINT) AS total_urls,
+         count(*) AS n_hosts,
+         CAST(max(n_pending) AS BIGINT) AS max_host
+  FROM counts WHERE n_pending > 0
+)
+SELECT total_urls, n_hosts, max_host,
+  (total_urls + {MKSP_FLEET - 1}) // {MKSP_FLEET} AS rounds_fleet,
+  (max_host + {MKSP_CAP - 1}) // {MKSP_CAP} AS rounds_politeness,
+  greatest((total_urls + {MKSP_FLEET - 1}) // {MKSP_FLEET},
+           (max_host + {MKSP_CAP - 1}) // {MKSP_CAP}) AS rounds_lower,
+  ((max_host + {MKSP_CAP - 1}) // {MKSP_CAP})
+    > ((total_urls + {MKSP_FLEET - 1}) // {MKSP_FLEET})
+    AS politeness_bound_binds
+FROM agg
 """,
         # q167: Elias gamma/delta gap costs via bin() lengths (no log2)
         "q167_adjacency_bits": f"""

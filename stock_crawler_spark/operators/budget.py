@@ -219,3 +219,61 @@ def harvest_stop(
         F.round(ewma, 6).alias("ewma_rate"),
         (F.round(ewma, 6) < F.lit(float(eps))).alias("exhausted"),
     )
+
+
+# --- politeness-constrained makespan bound -------------------------------------
+
+
+def crawl_makespan_bound(
+    counts: DataFrame,
+    fleet_per_round: int,
+    per_host_cap: int,
+    host_col: str = "host",
+    n_col: str = "n_pending",
+) -> DataFrame:
+    """One row of capacity-planning integers for a frontier of per-host
+    pending counts: how many politeness rounds does this crawl NEED?
+
+        rounds_fleet      = ceil( sum(n_h) / R )     fleet capacity
+        rounds_politeness = ceil( max(n_h) / c )     hottest host
+        rounds_lower      = max of the two
+
+    The classic two-resource makespan lower bound (identical-machines
+    scheduling with per-job rate limits — Graham 1969's LB applied to
+    crawling: the fleet is the machine pool, a host's politeness cap
+    is its job's max parallelism). The greedy host-capped dequeue the
+    engine runs (frontier.dequeue) meets this bound to within one
+    round when R is a multiple of c, so the LOWER bound doubles as an
+    accurate planning estimate: "this 10^10-url frontier at 10^6
+    urls/round with cap 100 is a >= 10^4-round crawl, and host X alone
+    forces >= n_X/100 rounds no matter how many fetchers you add."
+    That last clause is the actionable one — past the crossover
+    max(n_h)/c > sum(n_h)/R, ADDING FETCHERS DOES NOTHING; only more
+    hosts (frontier growth) or a laxer cap shortens the crawl.
+
+    Pure integer arithmetic (ceil division as (n + d - 1) div d), ONE
+    map-side-combinable aggregate over O(hosts) rows. Returns
+    (total_urls, n_hosts, max_host, rounds_fleet, rounds_politeness,
+    rounds_lower, politeness_bound_binds).
+    """
+    r_, c_ = int(fleet_per_round), int(per_host_cap)
+    if r_ <= 0 or c_ <= 0:
+        raise ValueError("fleet_per_round and per_host_cap must be > 0")
+    agg = counts.select(
+        F.col(host_col).alias("h"), F.col(n_col).cast("long").alias("n")
+    ).filter(F.col("n") > 0).agg(
+        F.sum("n").alias("total_urls"),
+        F.count(F.lit(1)).alias("n_hosts"),
+        F.max("n").alias("max_host"),
+    )
+    fleet = F.expr(f"(total_urls + {r_ - 1}) div {r_}")
+    pol = F.expr(f"(max_host + {c_ - 1}) div {c_}")
+    return agg.select(
+        "total_urls",
+        "n_hosts",
+        "max_host",
+        fleet.alias("rounds_fleet"),
+        pol.alias("rounds_politeness"),
+        F.greatest(fleet, pol).alias("rounds_lower"),
+        (pol > fleet).alias("politeness_bound_binds"),
+    )

@@ -117,3 +117,42 @@ def test_harvest_stop_matches_reference(spark):
     assert got["c.com"][0] == 1
     # d.com: 0.9 -> .5*.5+.5*.9=.7 -> .5*0+.5*.7=.35 (order matters)
     assert got["d.com"][2] == 0.35
+
+
+# --- makespan bound ---------------------------------------------------------
+
+
+def test_makespan_bound_hand_math(spark):
+    from stock_crawler_spark.operators.budget import crawl_makespan_bound
+
+    counts = spark.createDataFrame(
+        [("a", 1000), ("b", 10), ("c", 90), ("dead", 0)],
+        "host string, n_pending int",
+    )
+    got = crawl_makespan_bound(counts, fleet_per_round=200, per_host_cap=7)
+    r = got.collect()[0]
+    assert (r["total_urls"], r["n_hosts"], r["max_host"]) == (1100, 3, 1000)
+    assert r["rounds_fleet"] == 6          # ceil(1100/200)
+    assert r["rounds_politeness"] == 143   # ceil(1000/7)
+    assert r["rounds_lower"] == 143 and r["politeness_bound_binds"]
+
+
+def test_makespan_fleet_binds_when_spread(spark):
+    from stock_crawler_spark.operators.budget import crawl_makespan_bound
+
+    counts = spark.createDataFrame(
+        [(f"h{i}", 50) for i in range(100)], "host string, n_pending int"
+    )
+    r = crawl_makespan_bound(counts, 500, 50).collect()[0]
+    assert r["rounds_fleet"] == 10 and r["rounds_politeness"] == 1
+    assert r["rounds_lower"] == 10 and not r["politeness_bound_binds"]
+
+
+def test_makespan_validates_params(spark):
+    import pytest
+
+    from stock_crawler_spark.operators.budget import crawl_makespan_bound
+
+    counts = spark.createDataFrame([("a", 1)], "host string, n_pending int")
+    with pytest.raises(ValueError):
+        crawl_makespan_bound(counts, 0, 5)
