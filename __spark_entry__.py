@@ -802,6 +802,50 @@ def q193_makespan_bound(spark, sf):
     )
 
 
+SLIDE_PANES = 12
+SLIDE_WIN = 4
+SLIDE_KEYS = 5000
+
+
+def q194_sliding_distinct(spark, sf):
+    """Sliding-window distinct URLs via pane-merged HLL registers
+    (operators/sketch.sliding_window_distinct; the "no pane, no gain"
+    decomposition over a mergeable sketch): rows are touched ONCE (per-
+    pane registers), windows merge registers — the distinct-urls-per-
+    sliding-24h job that a naive recount touches win times. HLL union
+    is lossless, so estimates equal from-scratch builds; exact counts
+    ride along (the naive row-explode path, verification only).
+    Complete windows only (end pane >= win-1)."""
+    from stock_crawler_spark.operators.sketch import sliding_window_distinct
+
+    ev = _t(spark, sf, "events")
+    rows = ev.select(
+        (F.col("event_id") % SLIDE_PANES).cast("int").alias("pane"),
+        F.concat(
+            F.lit("u"), (F.col("event_id") % SLIDE_KEYS).cast("string")
+        ).alias("url"),
+    )
+    est = sliding_window_distinct(rows, "pane", "url", win=SLIDE_WIN).filter(
+        (F.col("w") >= SLIDE_WIN - 1) & (F.col("w") < SLIDE_PANES)
+    )
+    exact = (
+        rows.select(
+            F.explode(
+                F.sequence(
+                    F.col("pane"), F.col("pane") + (SLIDE_WIN - 1)
+                )
+            ).alias("w"),
+            "url",
+        )
+        .filter((F.col("w") >= SLIDE_WIN - 1) & (F.col("w") < SLIDE_PANES))
+        .groupBy("w")
+        .agg(F.countDistinct("url").alias("n_exact"))
+    )
+    return est.join(exact, "w").select(
+        "w", "n_exact", F.col("est").alias("est_r")
+    )
+
+
 _Q44_PRE = (
     "<html><head><title>t</title><script>var x = 1 < 2;</script>"
     "<style>p { color: red; }</style></head><body><!-- nav boilerplate -->"
@@ -4705,6 +4749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q191_icws_weighted_jaccard": q191_icws_weighted_jaccard,
         "q192_graph_datasheet": q192_graph_datasheet,
         "q193_makespan_bound": q193_makespan_bound,
+        "q194_sliding_distinct": q194_sliding_distinct,
     }
 
 
@@ -8631,6 +8676,25 @@ SELECT total_urls, n_hosts, max_host,
     > ((total_urls + {MKSP_FLEET - 1}) // {MKSP_FLEET})
     AS politeness_bound_binds
 FROM agg
+""",
+        # q194: window-membership rows -> q75 register/estimator chain
+        # (HLL union lossless == pane-merged registers) + exact counts
+        "q194_sliding_distinct": f"""
+WITH rows_ AS (
+  SELECT CAST(event_id % {SLIDE_PANES} AS INT) AS pane,
+         'u' || (event_id % {SLIDE_KEYS}) AS url
+  FROM events
+), memb AS (
+  SELECT pane + o AS host, url
+  FROM rows_ CROSS JOIN (SELECT unnest(range(0, {SLIDE_WIN})) AS o)
+  WHERE pane + o >= {SLIDE_WIN - 1} AND pane + o < {SLIDE_PANES}
+), regs AS ({_hll_reg_sql('memb')}
+), est AS ({_hll_est_sql('regs')}
+), ex AS (
+  SELECT host, count(DISTINCT url) AS n_exact FROM memb GROUP BY 1
+)
+SELECT CAST(est.host AS INT) AS w, n_exact, est AS est_r
+FROM est JOIN ex ON est.host = ex.host
 """,
         # q167: Elias gamma/delta gap costs via bin() lengths (no log2)
         "q167_adjacency_bits": f"""

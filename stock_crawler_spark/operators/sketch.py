@@ -701,3 +701,47 @@ def ams_estimate(
             med2.cast("double") / F.lit(float(den)), 6
         ).alias("f2_est_r"),
     )
+
+
+def sliding_window_distinct(
+    df: DataFrame,
+    pane_col: str,
+    key_col: str,
+    win: int = 4,
+    p: int = HLL_P,
+) -> DataFrame:
+    """Sliding-window distinct counts via PANE-MERGED HLL registers
+    (the "no pane, no gain" decomposition, Li et al. SIGMOD Record'05,
+    applied to mergeable sketches): build ONE register set per pane
+    (hour/day bucket), then every sliding window of `win` panes gets
+    its registers as the element-wise max over its panes — HLL union
+    is lossless over the underlying sets, so the window estimate
+    EQUALS the estimate of a from-scratch build over the window's
+    rows.
+
+    The scale point: "distinct urls per sliding 24h, hourly step"
+    recomputed naively touches every row `win` times; panes touch
+    every ROW once and every REGISTER `win` times — registers are
+    m = 2^p rows per pane regardless of row count. Window id = END
+    pane; window w covers panes (w - win, w]. Boundary windows whose
+    range precedes the first pane are emitted too (they merge fewer
+    panes); callers wanting only complete windows filter w >= first
+    pane + win - 1.
+
+    Returns (w, est) with the q75 estimator chain — bit-identical to
+    a same-register SQL replay."""
+    regs = hll_build(
+        df.select(F.col(pane_col).alias("_pane"), F.col(key_col)),
+        key_col,
+        ["_pane"],
+        p,
+    )
+    expl = regs.select(
+        F.explode(
+            F.sequence(F.col("_pane"), F.col("_pane") + (int(win) - 1))
+        ).alias("w"),
+        "bucket",
+        "rho",
+    )
+    merged = expl.groupBy("w", "bucket").agg(F.max("rho").alias("rho"))
+    return hll_estimate(merged, ["w"], p=p)

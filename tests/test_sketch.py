@@ -641,3 +641,51 @@ def test_streaming_ams_microbatch_merge_matches_batch(spark, tmp_path):
     streamed = ams_estimate(spark.read.parquet(state)).collect()[0]
     direct = ams_f2(rows, "host").collect()[0]
     assert streamed == direct
+
+
+def test_sliding_window_distinct_equals_from_scratch_build(spark):
+    """HLL union is lossless, so pane-merged window registers must give
+    EXACTLY the estimate of a from-scratch build over the window's rows
+    — and sit near the true distinct count."""
+    from pyspark.sql import functions as F
+
+    from stock_crawler_spark.operators.sketch import (
+        hll_build,
+        hll_estimate,
+        sliding_window_distinct,
+    )
+
+    rows = spark.range(4000).select(
+        (F.col("id") % 8).cast("int").alias("pane"),
+        F.concat(F.lit("u"), (F.col("id") % 900).cast("string")).alias("url"),
+    )
+    win = 3
+    got = {
+        r["w"]: r["est"]
+        for r in sliding_window_distinct(rows, "pane", "url", win=win).collect()
+    }
+    # complete windows: end pane w covers panes w-2..w
+    for w in range(win - 1, 8):
+        member = rows.filter(
+            (F.col("pane") >= w - win + 1) & (F.col("pane") <= w)
+        )
+        direct = hll_estimate(hll_build(member, "url", [], p=10), [], p=10)
+        assert got[w] == direct.collect()[0]["est"], w
+        exact = member.select("url").distinct().count()
+        assert abs(got[w] - exact) / exact < 0.15, (w, got[w], exact)
+
+
+def test_sliding_window_distinct_partition_invariant(spark):
+    from pyspark.sql import functions as F
+
+    from stock_crawler_spark.operators.sketch import sliding_window_distinct
+
+    rows = spark.range(2000).select(
+        (F.col("id") % 6).cast("int").alias("pane"),
+        F.concat(F.lit("u"), (F.col("id") % 500).cast("string")).alias("url"),
+    )
+    out = lambda d: sorted(
+        (r["w"], r["est"])
+        for r in sliding_window_distinct(d, "pane", "url", win=4).collect()
+    )
+    assert out(rows.repartition(1)) == out(rows.repartition(13, "url"))
