@@ -846,6 +846,38 @@ def q194_sliding_distinct(spark, sf):
     )
 
 
+def q195_theil_sen(spark, sf):
+    """Per-host Theil-Sen robust trend (operators/recrawl.
+    theil_sen_trend; Theil 1950 / Sen 1968 — median of pairwise
+    slopes, 29% breakdown point) over q187's exact host/round rate
+    series including the planted step: CUSUM says "it shifted",
+    Theil-Sen says which way and how fast, and one outage round
+    cannot drag it. Bounded within-host self-join; the oracle replays
+    pairs, sort, and the integer-indexed median pick."""
+    from stock_crawler_spark.operators.recrawl import theil_sen_trend
+
+    ev = _t(spark, sf, "events")
+    organic = (
+        ev.groupBy(
+            F.concat(
+                F.lit("h"), (F.col("user_id") % 8).cast("string"),
+                F.lit(".net"),
+            ).alias("host"),
+            (F.col("event_id") % 6).cast("int").alias("round"),
+        )
+        .agg(
+            (
+                F.sum((F.col("event_id") % 7 < 2).cast("long")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("x")
+        )
+    )
+    planted = spark.createDataFrame(
+        CUSUM_DRIFT_SERIES, "host string, round int, x double"
+    )
+    return theil_sen_trend(organic.unionByName(planted))
+
+
 _Q44_PRE = (
     "<html><head><title>t</title><script>var x = 1 < 2;</script>"
     "<style>p { color: red; }</style></head><body><!-- nav boilerplate -->"
@@ -4750,6 +4782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q192_graph_datasheet": q192_graph_datasheet,
         "q193_makespan_bound": q193_makespan_bound,
         "q194_sliding_distinct": q194_sliding_distinct,
+        "q195_theil_sen": q195_theil_sen,
     }
 
 
@@ -8695,6 +8728,37 @@ WITH rows_ AS (
 )
 SELECT CAST(est.host AS INT) AS w, n_exact, est AS est_r
 FROM est JOIN ex ON est.host = ex.host
+""",
+        # q195: pairwise slopes, sorted list, integer-indexed median —
+        # over q187's exact series
+        "q195_theil_sen": f"""
+WITH organic AS (
+  SELECT 'h' || (user_id % 8) || '.net' AS host,
+         CAST(event_id % 6 AS INT) AS r,
+         CAST(sum(CASE WHEN event_id % 7 < 2 THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS x
+  FROM events GROUP BY 1, 2
+), planted AS (
+  SELECT * FROM (VALUES
+    {", ".join(f"('{h}', {r}, CAST({x!r} AS DOUBLE))" for h, r, x in CUSUM_DRIFT_SERIES)}
+  ) AS v(host, r, x)
+), obs AS (
+  SELECT * FROM organic UNION ALL SELECT * FROM planted
+), prs AS (
+  SELECT a.host, (b.x - a.x) / CAST(b.r - a.r AS DOUBLE) AS s
+  FROM obs a JOIN obs b ON a.host = b.host AND b.r > a.r
+), obs_n AS (
+  SELECT host, count(*) AS n_obs FROM obs GROUP BY 1
+), agg AS (
+  SELECT host, count(*) AS n_pairs, list(s ORDER BY s) AS arr
+  FROM prs GROUP BY 1
+)
+SELECT a.host, n_obs, n_pairs,
+  round(CASE WHEN n_pairs % 2 = 1
+        THEN arr[CAST(n_pairs // 2 + 1 AS INT)]
+        ELSE (arr[CAST(n_pairs // 2 AS INT)]
+              + arr[CAST(n_pairs // 2 + 1 AS INT)]) / 2.0 END, 6) AS slope_r
+FROM agg a JOIN obs_n o ON a.host = o.host
 """,
         # q167: Elias gamma/delta gap costs via bin() lengths (no log2)
         "q167_adjacency_bits": f"""

@@ -460,3 +460,72 @@ def cusum_drift(
         fin["alarm_r"].isNotNull().alias("alarmed"),
         fin["alarm_r"].alias("alarm_round"),
     )
+
+
+# --- Theil-Sen robust trend ---------------------------------------------------
+
+
+def theil_sen_trend(
+    stats: DataFrame,
+    host_col: str = "host",
+    round_col: str = "round",
+    value_col: str = "x",
+) -> DataFrame:
+    """Per-host THEIL-SEN slope (Theil 1950 / Sen 1968) of a round-by-
+    round metric -> (host, n_obs, n_pairs, slope_r): the median of all
+    pairwise slopes (x_j - x_i) / (r_j - r_i), i < j.
+
+    OLS trend on crawl telemetry is wrecked by exactly the points that
+    matter (one outage round, one bot-block spike); the median-of-
+    slopes estimator has a 29% breakdown point — a third of the rounds
+    can be garbage and the trend still reads true. Complements CUSUM
+    (q187): CUSUM answers "did it shift", Theil-Sen answers "which way
+    and how fast is it drifting".
+
+    Per-host history is O(rounds) — bounded small (the harvest_stop /
+    cusum convention) — so the all-pairs step is a within-host
+    self-join of bounded fan-out (R(R-1)/2 pairs at R rounds), never a
+    corpus-scale product; the median is one sorted-array pick per
+    host. Hosts with < 2 observations carry no slope and are omitted.
+    Median of an even pair count averages the two middles. Engine-
+    portable: slopes are single divisions of doubles on integer round
+    gaps; outputs round-6.
+    """
+    d = stats.select(
+        F.col(host_col).alias("_h"),
+        F.col(round_col).cast("int").alias("_r"),
+        F.col(value_col).cast("double").alias("_x"),
+    )
+    a = d.select(F.col("_h"), F.col("_r").alias("_r1"), F.col("_x").alias("_x1"))
+    b = d.select(F.col("_h"), F.col("_r").alias("_r2"), F.col("_x").alias("_x2"))
+    pairs = a.join(b, "_h").filter(F.col("_r2") > F.col("_r1")).select(
+        "_h",
+        (
+            (F.col("_x2") - F.col("_x1"))
+            / (F.col("_r2") - F.col("_r1")).cast("double")
+        ).alias("_s"),
+    )
+    obs = d.groupBy("_h").agg(F.count(F.lit(1)).alias("n_obs"))
+    agg = pairs.groupBy("_h").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.array_sort(F.collect_list("_s")).alias("arr"),
+    )
+    n = F.col("n_pairs")
+    # INTEGER division for the order-statistic indices: float-divide +
+    # cast is a portability trap (Spark casts truncate, DuckDB rounds)
+    mid_hi = F.expr("n_pairs div 2 + 1").cast("int")  # 1-based upper middle
+    med = F.when(
+        n % 2 == 1, F.element_at(F.col("arr"), mid_hi)
+    ).otherwise(
+        (
+            F.element_at(F.col("arr"), F.expr("n_pairs div 2").cast("int"))
+            + F.element_at(F.col("arr"), mid_hi)
+        )
+        / 2.0
+    )
+    return agg.join(obs, "_h").select(
+        F.col("_h").alias(host_col),
+        "n_obs",
+        "n_pairs",
+        F.round(med, 6).alias("slope_r"),
+    )

@@ -399,3 +399,57 @@ def test_cusum_partition_invariance(spark):
         for r in cusum_drift(d, mu0=0.4, k=0.05, h=0.6).collect()
     )
     assert out(df.repartition(1)) == out(df.repartition(13, "round"))
+
+
+# --- Theil-Sen trend ---------------------------------------------------------
+
+
+def _py_theil_sen(series):
+    slopes = sorted(
+        (x2 - x1) / (r2 - r1)
+        for i, (r1, x1) in enumerate(series)
+        for r2, x2 in series[i + 1 :]
+        if r2 > r1
+    )
+    n = len(slopes)
+    med = (
+        slopes[n // 2]
+        if n % 2 == 1
+        else (slopes[n // 2 - 1] + slopes[n // 2]) / 2.0
+    )
+    return len(series), n, round(med, 6)
+
+
+def test_theil_sen_matches_twin_and_resists_outlier(spark):
+    from stock_crawler_spark.operators.recrawl import theil_sen_trend
+
+    series = {
+        "up.com": [(r, 0.1 * r + 0.2) for r in range(6)],
+        "noisy.com": [(0, 1.0), (1, 1.1), (2, 9.9), (3, 1.3), (4, 1.4)],
+        "lonely.com": [(0, 5.0)],
+    }
+    rows = [(h, r, x) for h, s in series.items() for r, x in s]
+    df = spark.createDataFrame(rows, "host string, round int, x double")
+    got = {
+        r["host"]: (r["n_obs"], r["n_pairs"], r["slope_r"])
+        for r in theil_sen_trend(df).collect()
+    }
+    assert "lonely.com" not in got  # < 2 observations
+    for h in ("up.com", "noisy.com"):
+        assert got[h] == _py_theil_sen(sorted(series[h])), h
+    assert abs(got["up.com"][2] - 0.1) < 1e-9
+    # the 9.9 outlier round cannot drag the median slope far from 0.1
+    assert abs(got["noisy.com"][2] - 0.1) < 0.05
+
+
+def test_theil_sen_partition_invariance(spark):
+    from stock_crawler_spark.operators.recrawl import theil_sen_trend
+
+    rows = [
+        (f"h{i % 4}", r, ((i * r) % 11) / 7.0)
+        for i in range(20)
+        for r in range(5)
+    ]
+    df = spark.createDataFrame(rows, "host string, round int, x double")
+    out = lambda d: sorted(map(tuple, theil_sen_trend(d).collect()))
+    assert out(df.repartition(1)) == out(df.repartition(9, "x"))
