@@ -1,0 +1,144 @@
+"""Misra-Gries mergeable heavy hitters + exact-confirm threshold query.
+
+The crawl-ops question this answers: "which hosts (tokens, mime types,
+registrable domains, ...) account for more than a phi fraction of the
+round's fetches / bytes?" — exactly, at 10^10-row scale, WITHOUT a full
+groupBy over the key universe reaching the driver or a giant top-k sort.
+
+Two-level batch Misra-Gries (Misra & Gries '82; mergeability per
+Agarwal, Cormode, Huang, Phillips, Wei, Yi — "Mergeable Summaries",
+PODS'12):
+
+  level 1  per input partition, exact (key, weight) partial counts are
+           truncated to the k largest by subtracting the (k+1)-th
+           largest count d_p and dropping non-positive remainders.
+           (k+1) * d_p <= W_p, so the per-partition underestimate is
+           <= W_p / (k+1).
+  level 2  the <= k-row per-partition summaries are summed per key and
+           truncated the same way once more; the second decrement d2 is
+           <= (sum of carried estimates)/(k+1) <= W/(k+1).
+
+So for every key:  true - 2W/(k+1) <= est <= true,  with at most k
+survivors — a deterministic LOWER bound (never an overcount), which is
+what makes the confirm pass below exact.
+
+``heavy_hitters_exact`` then picks k+1 > 2/phi so every key with true
+weight > phi*W provably survives the sketch (no false negatives),
+broadcasts the <= k candidate keys back as a left-semi prune, and
+re-counts exactly — the same sketch-prune-then-exact-confirm shape as
+the bloom/cuckoo seen-filter probe (operators/seen.py). Output is the
+EXACT answer of ``GROUP BY key HAVING sum(w) > phi * total`` while the
+full-width shuffle only ever carries per-partition partial aggregates
+(map-side combine) and the confirm join streams the corpus once against
+a broadcast candidate set.
+
+Scale notes: level 1's groupBy(partition, key) partial-aggregates
+map-side, so the shuffle is bounded by distinct-keys-per-partition, and
+the level-2 window runs over <= k * n_partitions summary rows — a few
+thousand, never data-scale. No collect anywhere; the candidate
+broadcast is <= k rows by construction.
+
+Reference analog: the reference counts per-entity record totals in its
+countingSink (stock-crawler's round metrics); this is that counter
+generalized to "which keys dominate" under a fixed memory budget.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def mg_summary(
+    df: DataFrame,
+    key_col: str,
+    k: int,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """<= k (key, est) rows; est is a lower bound with
+    true - est <= 2 * total_weight / (k+1). Weights must be >= 0."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    part = (
+        df.groupBy(
+            F.spark_partition_id().alias("_pid"), F.col(key_col).alias("key")
+        )
+        .agg(F.sum(w).alias("_c"))
+    )
+    # batch-MG truncation within each partition's partial counts
+    wp = Window.partitionBy("_pid").orderBy(F.col("_c").desc(), F.col("key"))
+    wp_all = Window.partitionBy("_pid")
+    ranked = part.withColumn("_r", F.row_number().over(wp)).withColumn(
+        "_d",
+        F.max(F.when(F.col("_r") == k + 1, F.col("_c")).otherwise(F.lit(0))).over(
+            wp_all
+        ),
+    )
+    lvl1 = ranked.filter(
+        (F.col("_r") <= k) & (F.col("_c") > F.col("_d"))
+    ).select("key", (F.col("_c") - F.col("_d")).alias("_e"))
+    # merge: sum carried estimates per key, truncate once more. The
+    # window is global but runs over <= k * n_partitions summary rows.
+    merged = lvl1.groupBy("key").agg(F.sum("_e").alias("_e"))
+    wg = Window.orderBy(F.col("_e").desc(), F.col("key"))
+    ranked2 = merged.withColumn("_r", F.row_number().over(wg)).withColumn(
+        "_d",
+        F.max(
+            F.when(F.col("_r") == k + 1, F.col("_e")).otherwise(F.lit(0))
+        ).over(Window.partitionBy()),
+    )
+    return ranked2.filter(
+        (F.col("_r") <= k) & (F.col("_e") > F.col("_d"))
+    ).select("key", (F.col("_e") - F.col("_d")).alias("est"))
+
+
+def heavy_hitters_exact(
+    df: DataFrame,
+    key_col: str,
+    phi: float,
+    weight_col: str | None = None,
+    k: int | None = None,
+) -> DataFrame:
+    """EXACT ``group by key having sum(weight) > phi * total`` via an MG
+    candidate prune: k+1 > 2/phi makes the sketch's underestimate
+    < phi*W, so every true heavy hitter has est > 0 and survives —
+    no false negatives; the exact confirm count removes any false
+    positives. Returns (key, freq, share) for the qualifying keys,
+    share = freq / total as a plain double.
+
+    phi must satisfy 0 < phi < 1. The candidate set is <= k rows and is
+    broadcast; the confirm pass is one map-side-combined aggregation of
+    the semi-joined corpus.
+    """
+    if not (0.0 < phi < 1.0):
+        raise ValueError("phi must be in (0, 1)")
+    if k is None:
+        k = int(math.ceil(2.0 / phi)) + 1
+    if k + 1 <= 2.0 / phi:
+        raise ValueError(f"k={k} too small for phi={phi}: need k+1 > 2/phi")
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    total = df.agg(F.sum(w).alias("_w_total"))
+    cands = mg_summary(df, key_col, k, weight_col=weight_col).select("key")
+    exact = (
+        df.join(
+            F.broadcast(cands.withColumnRenamed("key", key_col)),
+            key_col,
+            "left_semi",
+        )
+        .groupBy(key_col)
+        .agg(F.sum(w).alias("freq"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("freq").cast("double") > F.lit(float(phi)) * F.col("_w_total")
+        )
+        .select(
+            key_col,
+            "freq",
+            (F.col("freq") / F.col("_w_total")).alias("share"),
+        )
+    )

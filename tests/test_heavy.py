@@ -1,0 +1,87 @@
+"""Misra-Gries heavy hitters: sketch bounds + exact-confirm equality."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from stock_crawler_spark.operators.heavy import heavy_hitters_exact, mg_summary
+
+
+def _zipf_df(spark, seed: int, n: int = 5000, universe: int = 400):
+    rng = np.random.default_rng(seed)
+    keys = rng.zipf(1.6, size=n) % universe
+    weights = (rng.integers(1, 50, size=n)).astype(int)
+    rows = [(f"h{int(k)}.com", int(w)) for k, w in zip(keys, weights)]
+    return spark.createDataFrame(rows, "host string, nbytes int")
+
+
+def _brute(df, phi, weight=None):
+    w = F.col(weight).cast("long") if weight else F.lit(1).cast("long")
+    tot = df.agg(F.sum(w)).collect()[0][0]
+    rows = df.groupBy("host").agg(F.sum(w).alias("freq")).collect()
+    return {r["host"]: r["freq"] for r in rows if r["freq"] > phi * tot}, tot
+
+
+@pytest.mark.parametrize("seed,parts", [(1, 1), (2, 3), (3, 17)])
+def test_exact_confirm_matches_bruteforce_counts(spark, seed, parts):
+    df = _zipf_df(spark, seed).repartition(parts)
+    expect, _ = _brute(df, 0.05)
+    got = {
+        r["host"]: r["freq"]
+        for r in heavy_hitters_exact(df, "host", 0.05).collect()
+    }
+    assert got == expect
+
+
+@pytest.mark.parametrize("seed", [11, 12])
+def test_exact_confirm_matches_bruteforce_weighted(spark, seed):
+    df = _zipf_df(spark, seed).repartition(5)
+    expect, tot = _brute(df, 0.08, weight="nbytes")
+    out = heavy_hitters_exact(df, "host", 0.08, weight_col="nbytes").collect()
+    got = {r["host"]: r["freq"] for r in out}
+    assert got == expect
+    for r in out:  # share is freq/total exactly
+        assert r["share"] == pytest.approx(r["freq"] / tot, abs=0)
+
+
+def test_mg_summary_bounds(spark):
+    df = _zipf_df(spark, 7).repartition(9)
+    k = 25
+    true = {
+        r["host"]: r["c"]
+        for r in df.groupBy("host").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    total = sum(true.values())
+    rows = mg_summary(df, "host", k).collect()
+    assert len(rows) <= k
+    for r in rows:
+        assert 0 < r["est"] <= true[r["key"]]  # never an overcount
+        assert true[r["key"]] - r["est"] <= 2 * total / (k + 1)
+
+
+def test_no_false_negatives_at_tight_k(spark):
+    # phi just above several keys' shares; k the auto-derived minimum
+    df = _zipf_df(spark, 21).repartition(13)
+    phi = 0.03
+    expect, _ = _brute(df, phi)
+    got = {r["host"] for r in heavy_hitters_exact(df, "host", phi).collect()}
+    assert got == set(expect)
+
+
+def test_bad_params_raise(spark):
+    df = _zipf_df(spark, 1)
+    with pytest.raises(ValueError):
+        mg_summary(df, "host", 0)
+    with pytest.raises(ValueError):
+        heavy_hitters_exact(df, "host", 0.0)
+    with pytest.raises(ValueError):
+        heavy_hitters_exact(df, "host", 0.1, k=3)  # k+1 <= 2/phi
+
+
+def test_confirm_join_is_broadcast_semi(spark):
+    df = _zipf_df(spark, 5)
+    plan = heavy_hitters_exact(df, "host", 0.05)._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan and "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan

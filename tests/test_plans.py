@@ -198,6 +198,17 @@ def test_no_cartesian_products_anywhere(spark):
         "q165_shard_routing",    # broadcast 1-row corpus doc count (idf N)
         "q173_kmeanspp",         # broadcast 1-row phi + O(k*rounds) center set
         "q174_bitext_mine",      # broadcast query halves x streamed corpus (q13)
+        "q181_ucb_schedule",     # broadcast 1-row total-pulls N (UCB log term)
+        "q182_effective_diameter",  # K-row ANF curve x broadcast 2-row alphas
+        "q184_qlm_retrieval",    # broadcast 1-row collection stats (mu, |C|)
+        "q189_ams_f2",           # broadcast 1-row sketch-median estimate
+        "q190_bootstrap_ci",     # broadcast 1-row replicate-percentile stats
+        "q192_graph_datasheet",  # broadcast 1-row reciprocity beside sums
+        "q196_heavy_hitters",    # broadcast 1-row total weight (phi*W threshold)
+        "q199_kendall_taub",     # broadcast contingency CELLS x cells (V^2, not rows)
+        "q200_bh_fdr",           # broadcast 1-row global rate + 1-row B-H cutoff
+        "q201_good_turing",      # broadcast 1-row total-token count N
+        "q197_heavy_bytes",      # broadcast 1-row total weight (phi*W threshold)
     }
     for name, fn in entrymod.queries().items():
         tree = _plan(fn(spark, "/root/testdata/sf0.001")).split("\n\n")[0]
