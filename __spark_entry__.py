@@ -878,6 +878,227 @@ def q195_theil_sen(spark, sf):
     return theil_sen_trend(organic.unionByName(planted))
 
 
+def q196_heavy_hitters(spark, sf):
+    """Exact phi-heavy-hitter hosts via a Misra-Gries candidate prune
+    (operators/heavy.heavy_hitters_exact; Misra & Gries '82, mergeable
+    per Agarwal+ PODS'12): which hosts exceed 2% of the round's
+    fetches, EXACTLY, with the full-width shuffle carrying only
+    per-partition partial counts and a <= k-row broadcast confirm.
+    Hosts follow floor(sqrt(id mod 2500)) — a skewed 50-host universe
+    where high hosts dominate. Oracle is the plain GROUP BY/HAVING the
+    sketch provably reproduces (k+1 > 2/phi => no false negatives;
+    exact confirm removes false positives)."""
+    from stock_crawler_spark.operators.heavy import heavy_hitters_exact
+
+    ev = _t(spark, sf, "events")
+    rows = ev.select(
+        F.concat(
+            F.lit("h"),
+            F.floor(F.sqrt((F.col("event_id") % 2500).cast("double")))
+            .cast("long")
+            .cast("string"),
+            F.lit(".com"),
+        ).alias("host")
+    )
+    return heavy_hitters_exact(rows, "host", 0.02)
+
+
+def q197_heavy_bytes(spark, sf):
+    """Weighted heavy hitters — which hosts account for > 5% of bytes
+    fetched (operators/heavy.heavy_hitters_exact with weight_col).
+    Bimodal host universe: half the events pile onto 4 fat .net hosts,
+    the rest spread over 64; nbytes in 1..7. Same MG-prune +
+    exact-confirm contract as q196, weighted."""
+    from stock_crawler_spark.operators.heavy import heavy_hitters_exact
+
+    ev = _t(spark, sf, "events")
+    rows = ev.select(
+        F.when(
+            F.col("event_id") % 64 < 32,
+            F.concat(
+                F.lit("h"), (F.col("event_id") % 4).cast("string"),
+                F.lit(".net"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("h"), (F.col("event_id") % 64).cast("string"),
+                F.lit(".net"),
+            )
+        )
+        .alias("host"),
+        ((F.col("event_id") % 7) + 1).cast("long").alias("nbytes"),
+    )
+    return heavy_hitters_exact(rows, "host", 0.05, weight_col="nbytes")
+
+
+def q198_spearman(spark, sf):
+    """Exact tie-corrected Spearman rank correlation (operators/
+    rankcorr.spearman_rho; Pearson over mean-centered average ranks,
+    ranks from the shared pinned-range distributed cumsum — never a
+    global sort) between two deterministic integer signals over the
+    events rows (x mod-211 value, y a shifted affine of it mod 89 —
+    moderately correlated, heavily tied). All sums exact
+    DECIMAL(38,0); the oracle replays the doubled-centered-rank
+    construction and the one final double division bit-for-bit."""
+    from stock_crawler_spark.operators.rankcorr import spearman_rho
+
+    ev = _t(spark, sf, "events")
+    rows = ev.select(
+        (F.col("event_id") % 211).alias("x"),
+        (((F.col("event_id") % 211) * 3 + F.col("event_id") % 89) % 211).alias(
+            "y"
+        ),
+    )
+    return spearman_rho(rows, "x", "y")
+
+
+def q199_kendall_taub(spark, sf):
+    """Exact Kendall tau-b over BANDED signals (operators/rankcorr.
+    kendall_tau_b; Kendall 1945 tie correction) — the corpus collapses
+    to a 5x6-ish contingency table (one map-side-combined aggregate);
+    concordant/discordant counts pair CELLS via a broadcast nested
+    loop, data-scale independent. Bands: quintile of a mod-100 value
+    vs a noised /25 band — genuinely dependent, genuinely tied. The
+    oracle replays cells, cell pairs, marginal tie terms, and the one
+    final double division."""
+    from stock_crawler_spark.operators.rankcorr import kendall_tau_b
+
+    ev = _t(spark, sf, "events")
+    a = F.col("event_id") % 100
+    rows = ev.select(
+        F.floor(a / 20).alias("xb"),
+        F.floor((a + F.col("event_id") % 31) / 25).alias("yb"),
+    )
+    return kendall_tau_b(rows, "xb", "yb")
+
+
+BH_HOSTS = 257
+BH_ALPHA = 0.1
+
+
+def q200_bh_fdr(spark, sf):
+    """Benjamini-Hochberg FDR control (operators/recrawl.
+    benjamini_hochberg; B-H 1995 step-up) over per-host error-rate
+    drift tests — the multiple-testing correction q187's per-host
+    alarms need at 10^8 hosts. P-values are one-sided Hoeffding bounds
+    p = exp(-2 n (phat - p0)^2) for phat > p0 (conservative but VALID,
+    and pure exp arithmetic both engines round-6): 4 planted hosts
+    carry an extra every-5th error stream atop the global every-11th
+    baseline. Ranks via the pinned-range distributed cumsum over
+    DISTINCT p; the oracle replays ranks, the step-up cutoff, and the
+    rejection mark."""
+    from stock_crawler_spark.operators.recrawl import benjamini_hochberg
+
+    ev = _t(spark, sf, "events")
+    hid = F.col("event_id") % BH_HOSTS
+    base = ev.select(
+        F.concat(F.lit("h"), hid.cast("string"), F.lit(".com")).alias("host"),
+        (
+            (F.col("event_id") % 11 == 0)
+            | ((hid < 4) & (F.col("event_id") % 5 == 0))
+        )
+        .cast("int")
+        .alias("e"),
+    )
+    per = base.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_fetch"),
+        F.sum("e").cast("long").alias("n_err"),
+    )
+    tot = per.agg(
+        F.sum("n_fetch").cast("long").alias("tn"),
+        F.sum("n_err").cast("long").alias("te"),
+    )
+    phat = F.col("n_err").cast("double") / F.col("n_fetch")
+    p0 = F.col("te").cast("double") / F.col("tn")
+    d = F.greatest(phat - p0, F.lit(0.0))
+    tests = per.crossJoin(F.broadcast(tot)).select(
+        "host",
+        "n_fetch",
+        "n_err",
+        F.round(F.exp(F.lit(-2.0) * F.col("n_fetch") * d * d), 6).alias("p_r"),
+    )
+    return benjamini_hochberg(tests, BH_ALPHA, p_col="p_r")
+
+
+GT_TOKS_PER_DOC = 20
+GT_POOL = 3000
+
+
+def q201_good_turing(spark, sf):
+    """Good-Turing frequency-of-frequencies profile (operators/
+    profile.good_turing; Good 1953): unseen-type mass N1/N and
+    Turing-smoothed r* over a deterministic md5 token stream (20
+    tokens/doc from a 3000-word pool — the q175 synthesis practice, so
+    the N_r curve is Poisson-rich instead of the gate template's
+    degenerate 31-word vocabulary). One corpus groupBy; everything
+    after is O(distinct r). Beside q175: Heaps prices NEW types'
+    arrival rate, GT prices the probability mass they already own."""
+    from stock_crawler_spark.operators.profile import good_turing
+
+    docs = _t(spark, sf, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(GT_TOKS_PER_DOC - 1))
+            ).alias("j"),
+        )
+        .select(
+            F.concat(
+                F.lit("w"),
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    "_",
+                                    F.col("doc_id").cast("string"),
+                                    F.col("j").cast("string"),
+                                )
+                            ),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % GT_POOL
+                ).cast("string"),
+            ).alias("token")
+        )
+    )
+    return good_turing(toks)
+
+
+def q202_mann_kendall(spark, sf):
+    """Mann-Kendall monotone-trend test (operators/recrawl.
+    mann_kendall_trend; Mann 1945, tie-corrected variance, continuity
+    correction) over q187/q195's exact host/round series including the
+    planted step — the significance verdict beside Theil-Sen's slope:
+    S and var18 exact integers from the same bounded within-host
+    pair join, one final double division. The oracle replays pairs,
+    tie groups, and the z arithmetic."""
+    from stock_crawler_spark.operators.recrawl import mann_kendall_trend
+
+    ev = _t(spark, sf, "events")
+    organic = ev.groupBy(
+        F.concat(
+            F.lit("h"), (F.col("user_id") % 8).cast("string"), F.lit(".net")
+        ).alias("host"),
+        (F.col("event_id") % 6).cast("int").alias("round"),
+    ).agg(
+        (
+            F.sum((F.col("event_id") % 7 < 2).cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("x")
+    )
+    planted = spark.createDataFrame(
+        CUSUM_DRIFT_SERIES, "host string, round int, x double"
+    )
+    return mann_kendall_trend(organic.unionByName(planted))
+
+
 _Q44_PRE = (
     "<html><head><title>t</title><script>var x = 1 < 2;</script>"
     "<style>p { color: red; }</style></head><body><!-- nav boilerplate -->"
@@ -4783,6 +5004,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q193_makespan_bound": q193_makespan_bound,
         "q194_sliding_distinct": q194_sliding_distinct,
         "q195_theil_sen": q195_theil_sen,
+        "q196_heavy_hitters": q196_heavy_hitters,
+        "q197_heavy_bytes": q197_heavy_bytes,
+        "q198_spearman": q198_spearman,
+        "q199_kendall_taub": q199_kendall_taub,
+        "q200_bh_fdr": q200_bh_fdr,
+        "q201_good_turing": q201_good_turing,
+        "q202_mann_kendall": q202_mann_kendall,
     }
 
 
@@ -8759,6 +8987,192 @@ SELECT a.host, n_obs, n_pairs,
         ELSE (arr[CAST(n_pairs // 2 AS INT)]
               + arr[CAST(n_pairs // 2 + 1 AS INT)]) / 2.0 END, 6) AS slope_r
 FROM agg a JOIN obs_n o ON a.host = o.host
+""",
+        # q196: the sketch provably reproduces plain GROUP BY/HAVING;
+        # threshold multiply in DOUBLE to match Spark's lit(phi)
+        "q196_heavy_hitters": """
+WITH h AS (
+  SELECT 'h' || CAST(CAST(FLOOR(SQRT(event_id % 2500)) AS BIGINT) AS VARCHAR)
+         || '.com' AS host
+  FROM events
+), tot AS (SELECT COUNT(*) AS w FROM h)
+SELECT host, COUNT(*) AS freq,
+       COUNT(*) / (SELECT w FROM tot) AS share
+FROM h GROUP BY host
+HAVING COUNT(*) > CAST(0.02 AS DOUBLE) * (SELECT w FROM tot)
+""",
+        # q197: weighted variant; SUM cast to BIGINT (DuckDB HUGEINT)
+        "q197_heavy_bytes": """
+WITH h AS (
+  SELECT CASE WHEN event_id % 64 < 32
+              THEN 'h' || CAST(event_id % 4 AS VARCHAR) || '.net'
+              ELSE 'h' || CAST(event_id % 64 AS VARCHAR) || '.net' END AS host,
+         (event_id % 7) + 1 AS nbytes
+  FROM events
+), tot AS (SELECT CAST(SUM(nbytes) AS BIGINT) AS w FROM h)
+SELECT host, CAST(SUM(nbytes) AS BIGINT) AS freq,
+       CAST(SUM(nbytes) AS BIGINT) / (SELECT w FROM tot) AS share
+FROM h GROUP BY host
+HAVING CAST(SUM(nbytes) AS BIGINT) > CAST(0.05 AS DOUBLE) * (SELECT w FROM tot)
+""",
+        # q198: doubled mean-centered average ranks via window cumsum
+        # over distinct values; HUGEINT sums -> one double division
+        "q198_spearman": """
+WITH rows_ AS (
+  SELECT event_id % 211 AS x,
+         ((event_id % 211) * 3 + event_id % 89) % 211 AS y
+  FROM events
+), nn AS (SELECT count(*) AS n FROM rows_),
+rx AS (
+  SELECT x, 2 * (sum(cnt) OVER (ORDER BY x) - cnt) + cnt
+            - (SELECT n FROM nn) AS dx
+  FROM (SELECT x, count(*) AS cnt FROM rows_ GROUP BY 1)
+), ry AS (
+  SELECT y, 2 * (sum(cnt) OVER (ORDER BY y) - cnt) + cnt
+            - (SELECT n FROM nn) AS dy
+  FROM (SELECT y, count(*) AS cnt FROM rows_ GROUP BY 1)
+), j AS (
+  SELECT dx, dy FROM rows_ JOIN rx USING (x) JOIN ry USING (y)
+), s AS (
+  SELECT count(*) AS n_rows,
+         (SELECT count(*) FROM rx) AS n_x,
+         (SELECT count(*) FROM ry) AS n_y,
+         sum(dx * dy) AS sxy, sum(dx * dx) AS sxx, sum(dy * dy) AS syy
+  FROM j
+)
+SELECT n_rows, n_x, n_y,
+  CASE WHEN sxx > 0 AND syy > 0 THEN
+    round(CAST(sxy AS DOUBLE)
+          / sqrt(CAST(sxx AS DOUBLE) * CAST(syy AS DOUBLE)), 6)
+  END AS rho_r
+FROM s
+""",
+        # q199: contingency cells, cell-pair concordance, marginal tie
+        # terms — integer (HUGEINT) until the one final division
+        "q199_kendall_taub": """
+WITH rows_ AS (
+  SELECT (event_id % 100) // 20 AS xb,
+         ((event_id % 100) + event_id % 31) // 25 AS yb
+  FROM events
+), cells AS (
+  SELECT xb, yb, count(*) AS c FROM rows_ GROUP BY 1, 2
+), cd AS (
+  SELECT sum(CASE WHEN a.yb < b.yb THEN a.c * b.c ELSE 0 END) AS c_pairs,
+         sum(CASE WHEN a.yb > b.yb THEN a.c * b.c ELSE 0 END) AS d_pairs
+  FROM cells a JOIN cells b ON a.xb < b.xb
+), xm AS (
+  SELECT sum(t * (t - 1) // 2) AS n1
+  FROM (SELECT sum(c) AS t FROM cells GROUP BY xb)
+), ym AS (
+  SELECT sum(t * (t - 1) // 2) AS n2
+  FROM (SELECT sum(c) AS t FROM cells GROUP BY yb)
+), tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_rows, count(*) AS n_cells,
+         sum(c) * (sum(c) - 1) // 2 AS n0
+  FROM cells
+)
+SELECT n_rows, n_cells,
+  CAST(c_pairs AS BIGINT) AS c_pairs, CAST(d_pairs AS BIGINT) AS d_pairs,
+  CASE WHEN n0 > n1 AND n0 > n2 THEN
+    round(CAST(c_pairs - d_pairs AS DOUBLE)
+          / sqrt(CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n2 AS DOUBLE)), 6)
+  END AS taub_r
+FROM tot, cd, xm, ym
+""",
+        # q200: Hoeffding p (round-6), distinct-p rank cumsum, B-H
+        # step-up cutoff, rejection mark — all replayed
+        "q200_bh_fdr": f"""
+WITH base AS (
+  SELECT 'h' || CAST(event_id % {BH_HOSTS} AS VARCHAR) || '.com' AS host,
+         CASE WHEN event_id % 11 = 0
+                   OR (event_id % {BH_HOSTS} < 4 AND event_id % 5 = 0)
+              THEN 1 ELSE 0 END AS e
+  FROM events
+), per AS (
+  SELECT host, count(*) AS n_fetch, CAST(sum(e) AS BIGINT) AS n_err
+  FROM base GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n_fetch) AS BIGINT) AS tn, CAST(sum(n_err) AS BIGINT) AS te
+  FROM per
+), tests AS (
+  SELECT host, n_fetch, n_err,
+    round(exp(CAST(-2.0 AS DOUBLE) * n_fetch
+              * greatest(CAST(n_err AS DOUBLE) / n_fetch
+                         - CAST(te AS DOUBLE) / tn, CAST(0.0 AS DOUBLE))
+              * greatest(CAST(n_err AS DOUBLE) / n_fetch
+                         - CAST(te AS DOUBLE) / tn, CAST(0.0 AS DOUBLE))),
+          6) AS p_r
+  FROM per, tot
+), ranked AS (
+  SELECT p_r AS p, sum(cnt) OVER (ORDER BY p_r) AS k
+  FROM (SELECT p_r, count(*) AS cnt FROM tests GROUP BY 1)
+), crit AS (
+  SELECT max(p) AS crit FROM ranked
+  WHERE p <= (CAST({BH_ALPHA} AS DOUBLE) * k) / (SELECT count(*) FROM tests)
+)
+SELECT t.host, t.n_fetch, t.n_err, t.p_r, CAST(r.k AS BIGINT) AS k_max,
+       coalesce(t.p_r <= (SELECT crit FROM crit), false) AS rejected
+FROM tests t JOIN ranked r ON t.p_r = r.p
+""",
+        # q201: md5 token stream -> freqs -> N_r -> Turing r* chain
+        "q201_good_turing": f"""
+WITH toks AS (
+  SELECT 'w' || CAST((('0x' || substr(md5(doc_id || '_' || j), 1, 15))::BIGINT
+                      % {GT_POOL}) AS VARCHAR) AS t
+  FROM (SELECT doc_id, unnest(range(0, {GT_TOKS_PER_DOC})) AS j FROM documents)
+), freqs AS (
+  SELECT t, count(*) AS r FROM toks GROUP BY 1
+), nr AS (
+  SELECT r, count(*) AS n_types FROM freqs GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(r * n_types) AS BIGINT) AS n FROM nr
+)
+SELECT nr.r, nr.n_types,
+  round(CAST(nr.r * nr.n_types AS DOUBLE) / (SELECT n FROM tot), 6) AS mass_r,
+  round(CAST((nr.r + 1) * nx.n_next AS DOUBLE) / nr.n_types, 6) AS r_star_r
+FROM nr LEFT JOIN (SELECT r - 1 AS r, n_types AS n_next FROM nr) nx
+  ON nr.r = nx.r
+""",
+        # q202: within-host pair signs, tie groups, var18, z — over
+        # q187/q195's exact series
+        "q202_mann_kendall": f"""
+WITH organic AS (
+  SELECT 'h' || (user_id % 8) || '.net' AS host,
+         CAST(event_id % 6 AS INT) AS r,
+         CAST(sum(CASE WHEN event_id % 7 < 2 THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS x
+  FROM events GROUP BY 1, 2
+), planted AS (
+  SELECT * FROM (VALUES
+    {", ".join(f"('{h}', {r}, CAST({x!r} AS DOUBLE))" for h, r, x in CUSUM_DRIFT_SERIES)}
+  ) AS v(host, r, x)
+), obs AS (
+  SELECT * FROM organic UNION ALL SELECT * FROM planted
+), s AS (
+  SELECT a.host,
+         CAST(sum(CASE WHEN b.x > a.x THEN 1
+                       WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+  FROM obs a JOIN obs b ON a.host = b.host AND b.r > a.r
+  GROUP BY 1
+), nn AS (
+  SELECT host, count(*) AS n_obs FROM obs GROUP BY 1
+), ties AS (
+  SELECT host, CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie18
+  FROM (SELECT host, x, count(*) AS t FROM obs GROUP BY 1, 2) GROUP BY 1
+), j AS (
+  SELECT nn.host, nn.n_obs, s.s_stat,
+         CAST(nn.n_obs * (nn.n_obs - 1) * (2 * nn.n_obs + 5) - tie18
+              AS BIGINT) AS var18
+  FROM nn JOIN s ON nn.host = s.host JOIN ties ON nn.host = ties.host
+)
+SELECT host, n_obs, s_stat, var18,
+  CASE WHEN var18 <= 0 THEN NULL
+       WHEN s_stat > 0 THEN round(CAST(s_stat - 1 AS DOUBLE)
+                                  / sqrt(CAST(var18 AS DOUBLE) / 18.0), 6)
+       WHEN s_stat < 0 THEN round(CAST(s_stat + 1 AS DOUBLE)
+                                  / sqrt(CAST(var18 AS DOUBLE) / 18.0), 6)
+       ELSE 0.0 END AS z_r
+FROM j
 """,
         # q167: Elias gamma/delta gap costs via bin() lengths (no log2)
         "q167_adjacency_bits": f"""

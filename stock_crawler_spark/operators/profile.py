@@ -639,3 +639,62 @@ def bootstrap_mean_ci(
         "ci_lo_r",
         "ci_hi_r",
     )
+
+
+# --- Good-Turing frequency smoothing ------------------------------------------
+
+
+def good_turing(tokens: DataFrame, token_col: str = "token") -> DataFrame:
+    """Good-Turing frequency-of-frequencies profile (Good, Biometrika
+    1953) over token occurrences — the "how much corpus have we NOT
+    crawled yet" estimator: the total probability mass of UNSEEN types
+    is N1/N (the mass_r of the r=1 row), and the Turing-smoothed
+    adjusted count for a type seen r times is
+
+        r* = (r + 1) * N_{r+1} / N_r
+
+    (NULL where N_{r+1} = 0 — raw GT is undefined there; language
+    models then back off to the raw count or fit the Simple-GT
+    regression, which is a modeling choice this profile deliberately
+    stays below). Beside heaps_fit's vocabulary-growth curve this
+    gives the crawl-planning pair: Heaps says how fast NEW types keep
+    arriving, GT says how much probability the current snapshot
+    assigns to them.
+
+    Pipeline: one corpus-scale groupBy(token) -> per-type frequency r
+    (map-side combined), then O(distinct r) rows for everything else
+    (N_r, the r+1 self-join, the 1-row total broadcast). All integer
+    until the two final divisions, so the oracle replays exactly.
+
+    Output: one row per observed r — (r, n_types, mass_r, r_star_r),
+    mass_r = r * N_r / N round-6, the share of OBSERVED tokens in
+    types of frequency r; sum(mass_r) = 1.
+    """
+    freqs = tokens.groupBy(F.col(token_col).alias("_t")).agg(
+        F.count(F.lit(1)).cast("long").alias("_r")
+    )
+    nr = freqs.groupBy(F.col("_r").alias("r")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_types")
+    )
+    total = nr.agg(
+        F.sum(F.col("r") * F.col("n_types")).cast("long").alias("_n")
+    )
+    nxt = nr.select(
+        (F.col("r") - 1).alias("r"), F.col("n_types").alias("_n_next")
+    )
+    return (
+        nr.join(nxt, "r", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "r",
+            "n_types",
+            F.round(
+                (F.col("r") * F.col("n_types")).cast("double") / F.col("_n"), 6
+            ).alias("mass_r"),
+            F.round(
+                ((F.col("r") + 1) * F.col("_n_next")).cast("double")
+                / F.col("n_types"),
+                6,
+            ).alias("r_star_r"),
+        )
+    )

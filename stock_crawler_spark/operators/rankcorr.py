@@ -1,0 +1,224 @@
+"""Exact rank-correlation statistics without a global sort.
+
+Which crawl-ops question this answers: "do two per-host signals agree
+in RANKING?" — e.g. does fetch volume track bytes served, does OPIC
+track indegree, does the quality gate track human labels — robustly
+(rank-based, so monotone transforms and outliers don't move it),
+EXACTLY, and at 10^8-host scale.
+
+Both statistics here avoid the naive global rank window (a
+single-partition sort at data scale — the q38-class killer):
+
+* ``spearman_rho`` ranks each variable through the shared
+  distributed-cumsum pattern (training._pinned_range_parts: range
+  shuffle over DISTINCT values + O(n_partitions) driver scalars +
+  per-partition window), then aggregates Pearson sufficient statistics
+  over the MEAN-CENTERED integer ranks in DECIMAL(38,0). Centering is
+  the numerical load-bearing choice: with raw ranks the n*Sxx - S1^2
+  cancellation at 10^10 rows is below double ulp; with centered ranks
+  every sum is an exact integer <= ~n^3 and the one final division is
+  the only float op.
+* ``kendall_tau_b`` reduces the corpus to a CONTINGENCY table of the
+  two (bounded-cardinality, e.g. quantized/banded) variables — the
+  full-width shuffle carries only map-side partial-aggregated cell
+  counts — then counts concordant/discordant pairs by pairing CELLS
+  (broadcast nested loop over V^2 cell pairs, data-scale independent),
+  with Kendall's tie terms from the marginals. Every count is exact in
+  DECIMAL(38,0) (pair counts reach ~n^2/2 = 10^19 at 10^10 rows —
+  past int64, well inside 38 digits).
+
+Tie conventions are the textbook ones: Spearman uses average ranks
+(fractional ranks enter as exact integer DOUBLED ranks so nothing
+floats until the end), tau-b divides by sqrt((n0-n1)(n0-n2)) per
+Kendall 1945.
+
+Reference analog: the reference engine has no correlation machinery —
+this extends its per-entity counters (countingSink, metrics rollup)
+with the scheduler-comparison statistics a frontier A/B needs
+(retrieval.py:204 flags exactly this gap for PageRank-vs-OPIC runs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_DEC = "decimal(38,0)"
+
+
+def _centered_double_ranks(
+    df: DataFrame, val_col: str, out_col: str, n_partitions: int
+) -> DataFrame:
+    """(distinct value, d) where d = 2*avgrank - (n+1): the EXACT
+    integer doubled mean-centered average rank of ``val_col``.
+
+    avgrank(v) = below(v) + (cnt(v)+1)/2 with below = #rows < v, so
+    d(v) = 2*below(v) + cnt(v) - n — integers end to end. below comes
+    from the distributed cumsum over distinct values, never a global
+    single-partition window.
+    """
+    from stock_crawler_spark.operators.training import _pinned_range_parts
+
+    per = df.groupBy(F.col(val_col).alias("_v")).agg(
+        F.count(F.lit(1)).cast("long").alias("_cnt")
+    )
+    with_pid = _pinned_range_parts(per, n_partitions, F.asc("_v"))
+    totals = with_pid.groupBy("_pid").agg(F.sum("_cnt").alias("_t")).collect()
+    off = 0
+    rows = []
+    for pid, t in sorted((r["_pid"], r["_t"]) for r in totals):
+        rows.append((int(pid), int(off)))
+        off += int(t)
+    n_total = off
+    offsets = df.sparkSession.createDataFrame(rows, "_pid int, _off long")
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(F.asc("_v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        with_pid.join(F.broadcast(offsets), "_pid")
+        .withColumn("_below", F.col("_off") + F.sum("_cnt").over(w) - F.col("_cnt"))
+        .select(
+            F.col("_v").alias(val_col),
+            (
+                F.lit(2) * F.col("_below") + F.col("_cnt") - F.lit(n_total)
+            ).alias(out_col),
+        )
+    )
+
+
+def spearman_rho(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    n_partitions: int = 32,
+) -> DataFrame:
+    """Exact tie-corrected Spearman rank correlation of two columns.
+
+    rho = sum(dx*dy) / sqrt(sum(dx^2) * sum(dy^2)) over the doubled
+    mean-centered average ranks dx, dy (the 2x scale cancels; average
+    ranks make this EXACTLY Pearson-on-ranks, the tie-corrected
+    Spearman). All three sums are exact DECIMAL(38,0) integers; the
+    single final division/sqrt runs in double and replays bit-for-bit
+    in ANSI SQL.
+
+    Returns ONE row: (n_rows, n_x, n_y, rho_r) — n_x/n_y the distinct
+    cardinalities (ties diagnostics). Degenerate inputs (either
+    variable constant, or < 2 rows) yield rho_r NULL.
+
+    Scale: two distinct-value cumsums + two value-keyed equi-joins back
+    to the rows (shuffle on value — skew-safe under AQE since a hot
+    value is one rank row) + one map-side-combined aggregate. No
+    global sort, no collect beyond O(n_partitions) scalars.
+    """
+    rows = df.select(F.col(x_col).alias("_x"), F.col(y_col).alias("_y"))
+    rx = _centered_double_ranks(rows, "_x", "_dx", n_partitions)
+    ry = _centered_double_ranks(rows, "_y", "_dy", n_partitions)
+    joined = rows.join(rx, "_x").join(ry, "_y")
+    agg = joined.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("_x").alias("n_x"),
+        F.countDistinct("_y").alias("n_y"),
+        F.sum(F.col("_dx").cast(_DEC) * F.col("_dy").cast(_DEC)).alias("_sxy"),
+        F.sum(F.col("_dx").cast(_DEC) * F.col("_dx").cast(_DEC)).alias("_sxx"),
+        F.sum(F.col("_dy").cast(_DEC) * F.col("_dy").cast(_DEC)).alias("_syy"),
+    )
+    return agg.select(
+        "n_rows",
+        "n_x",
+        "n_y",
+        F.when(
+            (F.col("_sxx") > 0) & (F.col("_syy") > 0),
+            F.round(
+                F.col("_sxy").cast("double")
+                / F.sqrt(
+                    F.col("_sxx").cast("double") * F.col("_syy").cast("double")
+                ),
+                6,
+            ),
+        ).alias("rho_r"),
+    )
+
+
+def kendall_tau_b(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Exact Kendall tau-b of two BOUNDED-cardinality columns (bands,
+    quantized scores, categories) via the contingency table.
+
+    The corpus collapses to cells (x, y, cnt) in one map-side-combined
+    aggregate; concordant/discordant pair counts then pair CELLS
+    (x1 < x2 strictly; y compared for direction), so the quadratic
+    work is V_x*V_y cell pairs — data-scale independent, a broadcast
+    nested loop by construction. Tie terms n1/n2 come from the
+    marginals; everything is exact DECIMAL(38,0) until the one final
+    division:
+
+        tau_b = (C - D) / sqrt((n0 - n1) * (n0 - n2)),   n0 = n(n-1)/2
+
+    (Kendall 1945 tie correction). Returns ONE row:
+    (n_rows, n_cells, c_pairs, d_pairs, taub_r); NULL taub_r when
+    either variable is constant. taub_r is computed from the DECIMAL
+    sums; the c_pairs/d_pairs DIAGNOSTIC columns are cast to long for
+    the output schema and saturate past n ~ 4e9 rows (n^2/2 > 2^63) —
+    the statistic itself never does.
+
+    CONTRACT: cardinalities must be bounded (quantize first — e.g.
+    F.round(score, 1) or banding); at V distinct values per axis the
+    cell-pair loop is V^4 in the worst case. The operator does not
+    sample or approximate — it is exact for whatever grid you give it.
+    """
+    cells = df.groupBy(
+        F.col(x_col).alias("_x"), F.col(y_col).alias("_y")
+    ).agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    a = cells.select(
+        F.col("_x").alias("_x1"), F.col("_y").alias("_y1"),
+        F.col("_c").alias("_c1"),
+    )
+    b = cells.select(
+        F.col("_x").alias("_x2"), F.col("_y").alias("_y2"),
+        F.col("_c").alias("_c2"),
+    )
+    pairs = a.crossJoin(F.broadcast(b)).filter(F.col("_x1") < F.col("_x2"))
+    prod = F.col("_c1").cast(_DEC) * F.col("_c2").cast(_DEC)
+    cd = pairs.agg(
+        F.sum(F.when(F.col("_y1") < F.col("_y2"), prod).otherwise(F.lit(0).cast(_DEC))).alias("c_pairs"),
+        F.sum(F.when(F.col("_y1") > F.col("_y2"), prod).otherwise(F.lit(0).cast(_DEC))).alias("d_pairs"),
+    )
+    half = lambda c: (c.cast(_DEC) * (c - 1).cast(_DEC)) / 2  # noqa: E731
+    xm = (
+        cells.groupBy("_x").agg(F.sum("_c").alias("_t"))
+        .agg(F.sum(half(F.col("_t"))).cast(_DEC).alias("n1"))
+    )
+    ym = (
+        cells.groupBy("_y").agg(F.sum("_c").alias("_t"))
+        .agg(F.sum(half(F.col("_t"))).cast(_DEC).alias("n2"))
+    )
+    tot = cells.agg(
+        F.sum("_c").alias("n_rows"), F.count(F.lit(1)).alias("n_cells")
+    ).withColumn("n0", half(F.col("n_rows")).cast(_DEC))
+    one = (
+        tot.crossJoin(F.broadcast(cd))
+        .crossJoin(F.broadcast(xm))
+        .crossJoin(F.broadcast(ym))
+    )
+    return one.select(
+        "n_rows",
+        "n_cells",
+        F.col("c_pairs").cast("long").alias("c_pairs"),
+        F.col("d_pairs").cast("long").alias("d_pairs"),
+        F.when(
+            (F.col("n0") > F.col("n1")) & (F.col("n0") > F.col("n2")),
+            F.round(
+                (F.col("c_pairs") - F.col("d_pairs")).cast("double")
+                / F.sqrt(
+                    (F.col("n0") - F.col("n1")).cast("double")
+                    * (F.col("n0") - F.col("n2")).cast("double")
+                ),
+                6,
+            ),
+        ).alias("taub_r"),
+    )

@@ -529,3 +529,156 @@ def theil_sen_trend(
         "n_pairs",
         F.round(med, 6).alias("slope_r"),
     )
+
+
+# --- Mann-Kendall trend test --------------------------------------------------
+
+
+def mann_kendall_trend(
+    stats: DataFrame,
+    host_col: str = "host",
+    round_col: str = "round",
+    value_col: str = "x",
+) -> DataFrame:
+    """Mann-Kendall monotone-trend TEST per host (Mann 1945, Kendall's
+    S with the tie-corrected variance) — the significance companion to
+    theil_sen_trend: Theil-Sen says how fast the metric moves, this
+    says whether the monotone drift is distinguishable from noise at
+    all (|z| ~ 1.96 => ~5% two-sided under H0: no trend).
+
+        S     = sum over round pairs i<j of sign(x_j - x_i)
+        var18 = n(n-1)(2n+5) - sum over tied-value groups t(t-1)(2t+5)
+        z     = (S -/+ 1) / sqrt(var18/18)   (continuity-corrected;
+                0 when S = 0, NULL when var18 <= 0, i.e. n < 2 or
+                all values tied)
+
+    S and var18 are exact integers (the series per host is O(rounds),
+    q187's bounded-history convention — the same R(R-1)/2 within-host
+    self-join theil_sen_trend does, never cross-host); the one double
+    op is the final z division, so the oracle replays it bit-for-bit.
+
+    Output: (host, n_obs, s_stat, var18, z_r).
+    """
+    d = stats.select(
+        F.col(host_col).alias("_h"),
+        F.col(round_col).cast("int").alias("_r"),
+        F.col(value_col).cast("double").alias("_x"),
+    )
+    a = d.select(F.col("_h"), F.col("_r").alias("_r1"), F.col("_x").alias("_x1"))
+    b = d.select(F.col("_h"), F.col("_r").alias("_r2"), F.col("_x").alias("_x2"))
+    s = (
+        a.join(b, "_h")
+        .filter(F.col("_r2") > F.col("_r1"))
+        .groupBy("_h")
+        .agg(
+            F.sum(F.signum(F.col("_x2") - F.col("_x1")).cast("long")).alias(
+                "s_stat"
+            )
+        )
+    )
+    nn = d.groupBy("_h").agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    ties = (
+        d.groupBy("_h", "_x")
+        .agg(F.count(F.lit(1)).cast("long").alias("_t"))
+        .groupBy("_h")
+        .agg(
+            F.sum(
+                F.col("_t") * (F.col("_t") - 1) * (2 * F.col("_t") + 5)
+            ).alias("_tie18")
+        )
+    )
+    n = F.col("n_obs")
+    var18 = (n * (n - 1) * (2 * n + 5) - F.col("_tie18")).alias("var18")
+    z = F.when(F.col("var18") <= 0, F.lit(None).cast("double")).otherwise(
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1).cast("double"))
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1).cast("double"))
+        .otherwise(F.lit(0.0))
+        / F.sqrt(F.col("var18").cast("double") / F.lit(18.0))
+    )
+    return (
+        nn.join(s, "_h")
+        .join(ties, "_h")
+        .withColumn("var18", var18)
+        .select(
+            F.col("_h").alias(host_col),
+            "n_obs",
+            "s_stat",
+            "var18",
+            F.round(z, 6).alias("z_r"),
+        )
+    )
+
+
+# --- Benjamini-Hochberg FDR ---------------------------------------------------
+
+
+def benjamini_hochberg(
+    tests: DataFrame,
+    alpha: float,
+    p_col: str = "p",
+    n_partitions: int = 32,
+) -> DataFrame:
+    """Benjamini-Hochberg step-up FDR control (Benjamini & Hochberg
+    1995) over a table of per-key p-values — the multiple-testing
+    correction the per-host drift alarms (cusum_drift, mann_kendall)
+    need at 10^8 hosts: testing every host at alpha produces
+    alpha * 10^8 false alarms; BH bounds the FALSE DISCOVERY RATE of
+    the alarm set at alpha instead.
+
+    Step-up rule: with p-values sorted ascending, find the largest k
+    with p_(k) <= alpha * k / m, and reject exactly the tests with
+    p <= p_(k). Within a tied p block the LARGEST index is the one
+    that matters (the rule is step-up), so per distinct p the rank
+    tested is rank_max = below + cnt — computed via the shared
+    pinned-range distributed cumsum over DISTINCT p-values, never a
+    global sort; the critical p is then a 1-row broadcast back onto
+    the rows.
+
+    Returns the input columns plus (k_max, rejected). Deterministic:
+    the only float compares are p <= (alpha*k)/m and p <= crit, both
+    replayed identically in SQL (multiply THEN divide, fixed order).
+
+    At 10^10 tests the distinct-p table is the only shuffled state and
+    the output marks rejected in one map-side broadcast filter — no
+    driver-side p-vector, which is how R's p.adjust would die here.
+    """
+    if not (0.0 < alpha < 1.0):
+        raise ValueError("alpha must be in (0, 1)")
+    from stock_crawler_spark.operators.training import _pinned_range_parts
+
+    per = tests.groupBy(F.col(p_col).alias("_p")).agg(
+        F.count(F.lit(1)).cast("long").alias("_cnt")
+    )
+    with_pid = _pinned_range_parts(per, n_partitions, F.asc("_p"))
+    totals = with_pid.groupBy("_pid").agg(F.sum("_cnt").alias("_t")).collect()
+    off = 0
+    rows = []
+    for pid, t in sorted((r["_pid"], r["_t"]) for r in totals):
+        rows.append((int(pid), int(off)))
+        off += int(t)
+    m = off
+    offsets = tests.sparkSession.createDataFrame(rows, "_pid int, _off long")
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(F.asc("_p"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = (
+        with_pid.join(F.broadcast(offsets), "_pid")
+        .withColumn("_k", F.col("_off") + F.sum("_cnt").over(w))
+        .select("_p", "_k")
+    )
+    crit = ranked.filter(
+        F.col("_p") <= (F.lit(float(alpha)) * F.col("_k")) / F.lit(float(m))
+    ).agg(F.max("_p").alias("_crit"))
+    return (
+        tests.join(ranked, tests[p_col] == ranked["_p"])
+        .crossJoin(F.broadcast(crit))
+        .select(
+            *[tests[c] for c in tests.columns],
+            F.col("_k").alias("k_max"),
+            F.coalesce(tests[p_col] <= F.col("_crit"), F.lit(False)).alias(
+                "rejected"
+            ),
+        )
+    )

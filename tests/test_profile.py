@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import math
 
+import pytest
+
 
 def _ref_zipf(freqs, k):
     top = sorted(freqs.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
@@ -379,3 +381,39 @@ def test_bootstrap_weights_follow_poisson_one(spark):
     assert abs(dist.get(0, 0) / n - 0.3679) < 0.02
     assert abs(dist.get(1, 0) / n - 0.3679) < 0.02
     assert abs(dist.get(2, 0) / n - 0.1839) < 0.02
+
+
+# --- Good-Turing ---------------------------------------------------------------
+
+
+def test_good_turing_hand_check(spark):
+    from stock_crawler_spark.operators.profile import good_turing
+
+    # freqs: a,a,a  b,b  c,c  d  e  -> N=9; N_1=2, N_2=2, N_3=1
+    toks = ["a"] * 3 + ["b"] * 2 + ["c"] * 2 + ["d", "e"]
+    df = spark.createDataFrame([(t,) for t in toks], "token string")
+    rows = {r["r"]: r for r in good_turing(df).collect()}
+    assert rows[1]["n_types"] == 2 and rows[2]["n_types"] == 2
+    assert rows[3]["n_types"] == 1
+    assert rows[1]["mass_r"] == pytest.approx(2 / 9, abs=1e-6)  # unseen mass
+    # r*=1: (1+1)*N_2/N_1 = 2*2/2 = 2.0 ; r*=2: 3*1/2 = 1.5 ; r*=3: NULL
+    assert rows[1]["r_star_r"] == pytest.approx(2.0)
+    assert rows[2]["r_star_r"] == pytest.approx(1.5)
+    assert rows[3]["r_star_r"] is None
+    assert sum(r["mass_r"] for r in rows.values()) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_good_turing_partition_invariance(spark):
+    import numpy as np
+
+    from stock_crawler_spark.operators.profile import good_turing
+
+    rng = np.random.default_rng(11)
+    toks = [f"t{int(v)}" for v in rng.zipf(1.7, size=3000) % 500]
+    a = good_turing(
+        spark.createDataFrame([(t,) for t in toks], "token string").repartition(1)
+    ).collect()
+    b = good_turing(
+        spark.createDataFrame([(t,) for t in toks], "token string").repartition(17)
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

@@ -1,0 +1,119 @@
+"""Exact rank correlation: brute-force parity, edge cases, plan shape."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from stock_crawler_spark.operators.rankcorr import kendall_tau_b, spearman_rho
+
+
+def _spearman_brute(xs, ys):
+    rx = pd.Series(xs).rank(method="average").to_numpy()
+    ry = pd.Series(ys).rank(method="average").to_numpy()
+    dx, dy = rx - rx.mean(), ry - ry.mean()
+    den = np.sqrt((dx * dx).sum() * (dy * dy).sum())
+    return float((dx * dy).sum() / den) if den > 0 else None
+
+
+def _taub_brute(xs, ys):
+    x = np.asarray(xs)[:, None] - np.asarray(xs)[None, :]
+    y = np.asarray(ys)[:, None] - np.asarray(ys)[None, :]
+    iu = np.triu_indices(len(xs), 1)
+    sx, sy = np.sign(x[iu]), np.sign(y[iu])
+    c = int(((sx * sy) > 0).sum())
+    d = int(((sx * sy) < 0).sum())
+    n0 = len(iu[0])
+    n1 = n0 - int((sx != 0).sum())
+    n2 = n0 - int((sy != 0).sum())
+    den = np.sqrt((n0 - n1) * (n0 - n2))
+    return (c, d, float((c - d) / den) if den > 0 else None)
+
+
+def _df(spark, xs, ys, parts=7):
+    return spark.createDataFrame(
+        [(int(a), int(b)) for a, b in zip(xs, ys)], "x long, y long"
+    ).repartition(parts)
+
+
+@pytest.mark.parametrize("seed,parts,n_parts", [(1, 3, 5), (2, 11, 32), (3, 1, 8)])
+def test_spearman_matches_bruteforce_with_ties(spark, seed, parts, n_parts):
+    rng = np.random.default_rng(seed)
+    xs = rng.integers(0, 40, size=400)  # heavy ties
+    ys = xs * 3 + rng.integers(0, 60, size=400)
+    row = spearman_rho(_df(spark, xs, ys, parts), "x", "y", n_parts).collect()[0]
+    assert row["n_rows"] == 400
+    assert row["rho_r"] == pytest.approx(_spearman_brute(xs, ys), abs=2e-6)
+
+
+def test_spearman_perfect_and_reversed_and_degenerate(spark):
+    xs = list(range(100))
+    assert spearman_rho(_df(spark, xs, xs), "x", "y").collect()[0]["rho_r"] == 1.0
+    assert (
+        spearman_rho(_df(spark, xs, xs[::-1]), "x", "y").collect()[0]["rho_r"]
+        == -1.0
+    )
+    const = spearman_rho(_df(spark, [5] * 50, xs[:50]), "x", "y").collect()[0]
+    assert const["rho_r"] is None and const["n_x"] == 1
+
+
+def test_spearman_partition_invariance(spark):
+    rng = np.random.default_rng(9)
+    xs = rng.integers(0, 25, size=300)
+    ys = rng.integers(0, 25, size=300)
+    a = spearman_rho(_df(spark, xs, ys, 1), "x", "y", 4).collect()[0]
+    b = spearman_rho(_df(spark, xs, ys, 13), "x", "y", 32).collect()[0]
+    assert a == b
+
+
+@pytest.mark.parametrize("seed", [5, 6])
+def test_kendall_matches_bruteforce(spark, seed):
+    rng = np.random.default_rng(seed)
+    xs = rng.integers(0, 8, size=300)
+    ys = (xs + rng.integers(0, 5, size=300)) % 9
+    c, d, tb = _taub_brute(xs, ys)
+    row = kendall_tau_b(_df(spark, xs, ys), "x", "y").collect()[0]
+    assert (row["c_pairs"], row["d_pairs"]) == (c, d)
+    assert row["taub_r"] == pytest.approx(tb, abs=2e-6)
+
+
+def test_kendall_perfect_and_degenerate(spark):
+    xs = [i % 10 for i in range(200)]
+    assert kendall_tau_b(_df(spark, xs, xs), "x", "y").collect()[0]["taub_r"] == 1.0
+    anti = kendall_tau_b(
+        _df(spark, xs, [9 - v for v in xs]), "x", "y"
+    ).collect()[0]
+    assert anti["taub_r"] == -1.0
+    const = kendall_tau_b(_df(spark, [3] * 80, xs[:80]), "x", "y").collect()[0]
+    assert const["taub_r"] is None
+
+
+def test_kendall_pairs_cells_not_rows(spark):
+    # plan: contingency pairing is a broadcast nested loop over cell
+    # aggregates, never a row-level cartesian
+    df = _df(spark, [i % 4 for i in range(500)], [i % 6 for i in range(500)])
+    plan = (
+        kendall_tau_b(df, "x", "y")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_spearman_no_global_sort(spark):
+    # ranks come from the pinned-range cumsum, not one global window
+    df = _df(spark, list(range(100)), list(range(100)))
+    plan = (
+        spearman_rho(df, "x", "y")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # a global rank window prints windowspecdefinition(<sort> ...) with
+    # no partition column; the pattern's cumsum windows all partition
+    # by the pinned range-partition id
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^,)]+)", plan)
+    assert specs, "expected the per-partition cumsum windows"
+    assert all(s.startswith("_pid") for s in specs), specs

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 from datetime import datetime
 
+import pytest
+
 from stock_crawler_spark.operators.recrawl import (
     MAX_INTERVAL_SEC,
     MIN_INTERVAL_SEC,
@@ -453,3 +455,131 @@ def test_theil_sen_partition_invariance(spark):
     df = spark.createDataFrame(rows, "host string, round int, x double")
     out = lambda d: sorted(map(tuple, theil_sen_trend(d).collect()))
     assert out(df.repartition(1)) == out(df.repartition(9, "x"))
+
+
+# --- Mann-Kendall --------------------------------------------------------------
+
+
+def _mk_brute(xs):
+    import numpy as np
+
+    x = np.asarray(xs, dtype=float)
+    n = len(x)
+    s = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            s += int(np.sign(x[j] - x[i]))
+    _, counts = np.unique(x, return_counts=True)
+    tie = int(sum(t * (t - 1) * (2 * t + 5) for t in counts))
+    var18 = n * (n - 1) * (2 * n + 5) - tie
+    if var18 <= 0:
+        return s, var18, None
+    num = s - 1 if s > 0 else (s + 1 if s < 0 else 0)
+    return s, var18, num / (var18 / 18.0) ** 0.5
+
+
+@pytest.mark.parametrize("seed,parts", [(1, 1), (2, 7)])
+def test_mann_kendall_matches_bruteforce(spark, seed, parts):
+    import numpy as np
+
+    from stock_crawler_spark.operators.recrawl import mann_kendall_trend
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    series = {}
+    for h in range(6):
+        xs = [round(float(v), 3) for v in rng.normal(0, 1, size=9)]
+        if h % 2 == 0:  # planted upward drift
+            xs = [x + 0.4 * t for t, x in enumerate(xs)]
+        series[f"h{h}"] = xs
+        rows += [(f"h{h}", t, x) for t, x in enumerate(xs)]
+    df = spark.createDataFrame(
+        rows, "host string, round int, x double"
+    ).repartition(parts)
+    got = {
+        r["host"]: (r["s_stat"], r["var18"], r["z_r"])
+        for r in mann_kendall_trend(df).collect()
+    }
+    for h, xs in series.items():
+        s, v, z = _mk_brute(xs)
+        assert got[h][0] == s and got[h][1] == v
+        if z is None:
+            assert got[h][2] is None
+        else:
+            assert got[h][2] == pytest.approx(z, abs=1e-6)
+
+
+def test_mann_kendall_monotone_and_tied(spark):
+    from stock_crawler_spark.operators.recrawl import mann_kendall_trend
+
+    rows = [("up", t, float(t)) for t in range(8)] + [
+        ("flat", t, 1.0) for t in range(8)
+    ]
+    df = spark.createDataFrame(rows, "host string, round int, x double")
+    got = {r["host"]: r for r in mann_kendall_trend(df).collect()}
+    assert got["up"]["s_stat"] == 28  # n(n-1)/2, all concordant
+    assert got["up"]["z_r"] > 2.0
+    assert got["flat"]["var18"] == 0 and got["flat"]["z_r"] is None
+
+
+# --- Benjamini-Hochberg --------------------------------------------------------
+
+
+def _bh_brute(ps, alpha):
+    m = len(ps)
+    order = sorted(range(m), key=lambda i: ps[i])
+    kstar, crit = 0, None
+    for rank, i in enumerate(order, start=1):
+        if ps[i] <= alpha * rank / m:
+            kstar, crit = rank, ps[i]
+    if crit is None:
+        return set()
+    return {i for i in range(m) if ps[i] <= crit}
+
+
+@pytest.mark.parametrize("seed,parts,n_parts", [(3, 1, 4), (4, 9, 32)])
+def test_bh_matches_bruteforce(spark, seed, parts, n_parts):
+    import numpy as np
+
+    from stock_crawler_spark.operators.recrawl import benjamini_hochberg
+
+    rng = np.random.default_rng(seed)
+    ps = [round(float(p), 6) for p in rng.uniform(0, 1, size=200)]
+    ps[:8] = [0.00001 * (i + 1) for i in range(8)]  # planted signals
+    df = spark.createDataFrame(
+        [(f"k{i}", p) for i, p in enumerate(ps)], "key string, p double"
+    ).repartition(parts)
+    out = benjamini_hochberg(df, 0.1, n_partitions=n_parts).collect()
+    got = {int(r["key"][1:]) for r in out if r["rejected"]}
+    assert got == _bh_brute(ps, 0.1)
+
+
+def test_bh_tied_pvalues_step_up(spark):
+    from stock_crawler_spark.operators.recrawl import benjamini_hochberg
+
+    # 3 tied at 0.02 with m=10, alpha=0.1: rank_max=4 (after 0.001) ->
+    # 0.02 <= 0.1*4/10 qualifies; the tie block is in or out TOGETHER
+    ps = [0.001, 0.02, 0.02, 0.02, 0.5, 0.6, 0.7, 0.8, 0.9, 0.95]
+    df = spark.createDataFrame(
+        [(f"k{i}", p) for i, p in enumerate(ps)], "key string, p double"
+    )
+    out = {r["key"]: r["rejected"] for r in benjamini_hochberg(df, 0.1).collect()}
+    assert {k for k, v in out.items() if v} == {"k0", "k1", "k2", "k3"}
+    assert {k for k, v in out.items() if v} == {
+        f"k{i}" for i in _bh_brute(ps, 0.1)
+    }
+
+
+def test_bh_none_and_all_rejected(spark):
+    from stock_crawler_spark.operators.recrawl import benjamini_hochberg
+
+    high = spark.createDataFrame(
+        [(f"k{i}", 0.5 + i * 0.01) for i in range(20)], "key string, p double"
+    )
+    assert all(not r["rejected"] for r in benjamini_hochberg(high, 0.05).collect())
+    low = spark.createDataFrame(
+        [(f"k{i}", 1e-6 * (i + 1)) for i in range(20)], "key string, p double"
+    )
+    assert all(r["rejected"] for r in benjamini_hochberg(low, 0.05).collect())
+    with pytest.raises(ValueError):
+        benjamini_hochberg(high, 0.0)
