@@ -1099,6 +1099,80 @@ def q202_mann_kendall(spark, sf):
     return mann_kendall_trend(organic.unionByName(planted))
 
 
+def q203_survival(spark, sf):
+    """Kaplan-Meier page-survival + Nelson-Aalen cumulative hazard
+    (operators/survival.survival_curve; KM JASA'58, Nelson'69) over
+    right-censored synthetic URL lifetimes (death observed on 2/3 of
+    URLs, censored-at-last-fetch on 1/3, three TLD cohorts) — the
+    time-to-404 curve that prices recrawl and link-rot repair; naive
+    frac-dead is biased low under censoring (pinned by test). One
+    corpus groupBy; curve work is per-cohort windows over distinct
+    times. Oracle replays at-risk cumsums, the absorbing flag, and
+    the exp/ln chain."""
+    from stock_crawler_spark.operators.survival import survival_curve
+
+    ev = _t(spark, sf, "events")
+    obs = ev.select(
+        F.concat(F.lit("g"), (F.col("user_id") % 3).cast("string")).alias(
+            "cohort"
+        ),
+        (F.lit(1) + F.col("event_id") % 25).alias("t"),
+        (F.col("event_id") % 3 != 0).cast("int").alias("died"),
+    )
+    return survival_curve(obs)
+
+
+def q204_cmh_test(spark, sf):
+    """Cochran-Mantel-Haenszel stratified 2x2 test (operators/abtest.
+    cmh_test; Cochran'54, Mantel-Haenszel'59) — "is scheduler B's hit
+    rate genuinely higher, controlling for strata?" Five strata with
+    wildly different base rates; treatment adds a uniform 8-point
+    lift. Per-stratum cells are exact longs; E/V/OR terms fold
+    stratum-sorted (order-pinned doubles), so the oracle replays the
+    fold term by term."""
+    from stock_crawler_spark.operators.abtest import cmh_test
+
+    ev = _t(spark, sf, "events")
+    rows = ev.select(
+        F.concat(F.lit("s"), (F.col("event_id") % 5).cast("string")).alias(
+            "stratum"
+        ),
+        (F.col("user_id") % 2).cast("int").alias("grp"),
+        (
+            (F.col("event_id") * 13 + F.col("user_id") * 7) % 100
+            < 20 + 10 * (F.col("event_id") % 5) + 8 * (F.col("user_id") % 2)
+        )
+        .cast("int")
+        .alias("hit"),
+    )
+    return cmh_test(rows)
+
+
+def q205_g_test(spark, sf):
+    """G-test of independence (operators/abtest.g_test; log-likelihood
+    ratio 2*sum O ln(O/E)) between snapshot id and token bucket — the
+    significance verdict beside q138's Jensen-Shannon drift DISTANCE:
+    the second snapshot's bucket distribution is deterministically
+    skewed, so G is large. Cells fold (r,c)-sorted; the oracle
+    replays marginals, N, and the term-by-term double fold."""
+    from stock_crawler_spark.operators.abtest import g_test
+
+    ev = _t(spark, sf, "events")
+    rows = ev.select(
+        F.concat(F.lit("s"), (F.col("event_id") % 2).cast("string")).alias(
+            "r"
+        ),
+        F.concat(
+            F.lit("w"),
+            (
+                (F.col("event_id") % 9 + (F.col("event_id") % 2) * (F.col("event_id") % 4))
+                % 9
+            ).cast("string"),
+        ).alias("c"),
+    )
+    return g_test(rows)
+
+
 _Q44_PRE = (
     "<html><head><title>t</title><script>var x = 1 < 2;</script>"
     "<style>p { color: red; }</style></head><body><!-- nav boilerplate -->"
@@ -5011,6 +5085,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q200_bh_fdr": q200_bh_fdr,
         "q201_good_turing": q201_good_turing,
         "q202_mann_kendall": q202_mann_kendall,
+        "q203_survival": q203_survival,
+        "q204_cmh_test": q204_cmh_test,
+        "q205_g_test": q205_g_test,
     }
 
 
@@ -9173,6 +9250,120 @@ SELECT host, n_obs, s_stat, var18,
                                   / sqrt(CAST(var18 AS DOUBLE) / 18.0), 6)
        ELSE 0.0 END AS z_r
 FROM j
+""",
+        # q203: at-risk cumsums, absorbing flag, exp/ln KM chain, NA
+        # hazard — death-time rows only
+        "q203_survival": """
+WITH obs AS (
+  SELECT 'g' || (user_id % 3) AS cohort,
+         1 + event_id % 25 AS t,
+         CASE WHEN event_id % 3 <> 0 THEN 1 ELSE 0 END AS died
+  FROM events
+), per AS (
+  SELECT cohort, CAST(t AS BIGINT) AS t,
+         CAST(sum(died) AS BIGINT) AS n_death,
+         CAST(sum(1 - died) AS BIGINT) AS n_censor
+  FROM obs GROUP BY 1, 2
+), cum AS (
+  SELECT cohort, t, n_death, n_censor,
+    sum(n_death + n_censor) OVER (PARTITION BY cohort ORDER BY t) AS gone,
+    sum(n_death + n_censor) OVER (PARTITION BY cohort) AS total
+  FROM per
+), risk AS (
+  SELECT cohort, t, n_death, n_censor,
+         CAST(total - gone + n_death + n_censor AS BIGINT) AS n_risk
+  FROM cum
+), flagged AS (
+  SELECT *, max(CASE WHEN n_death > 0 AND n_death = n_risk THEN 1 ELSE 0 END)
+            OVER (PARTITION BY cohort ORDER BY t) AS absorbed
+  FROM risk
+), curved AS (
+  SELECT *,
+    sum(CASE WHEN absorbed = 1 THEN CAST(0.0 AS DOUBLE)
+             WHEN n_death > 0
+             THEN ln(CAST(1.0 AS DOUBLE) - CAST(n_death AS DOUBLE) / n_risk)
+             ELSE CAST(0.0 AS DOUBLE) END)
+      OVER (PARTITION BY cohort ORDER BY t) AS lnsum,
+    sum(CASE WHEN n_death > 0 THEN CAST(n_death AS DOUBLE) / n_risk
+             ELSE CAST(0.0 AS DOUBLE) END)
+      OVER (PARTITION BY cohort ORDER BY t) AS na
+  FROM flagged
+)
+SELECT cohort, t, n_risk, n_death, n_censor,
+  round(CASE WHEN absorbed = 1 THEN 0.0 ELSE exp(lnsum) END, 6) AS km_r,
+  round(na, 6) AS na_r
+FROM curved WHERE n_death > 0
+""",
+        # q204: per-stratum 2x2 cells -> stratum-sorted fold of the
+        # E/V/OR terms (the q42 sorted-float-sum convention)
+        "q204_cmh_test": """
+WITH rows_ AS (
+  SELECT 's' || (event_id % 5) AS k,
+         CAST(user_id % 2 AS INT) AS grp,
+         CASE WHEN (event_id * 13 + user_id * 7) % 100
+                   < 20 + 10 * (event_id % 5) + 8 * (user_id % 2)
+              THEN 1 ELSE 0 END AS hit
+  FROM events
+), per AS (
+  SELECT k,
+    CAST(sum(CASE WHEN grp = 1 AND hit = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+    CAST(sum(CASE WHEN grp = 1 AND hit = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+    CAST(sum(CASE WHEN grp = 0 AND hit = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+    CAST(sum(CASE WHEN grp = 0 AND hit = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM rows_ GROUP BY 1
+), cells AS (
+  SELECT k, a, b, c, d, a + b + c + d AS n FROM per WHERE a + b + c + d >= 2
+), terms AS (
+  SELECT k,
+    CAST(a AS DOUBLE) - CAST(a + b AS DOUBLE) * CAST(a + c AS DOUBLE)
+      / CAST(n AS DOUBLE) AS dev,
+    CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE) * CAST(a + c AS DOUBLE)
+      * CAST(b + d AS DOUBLE)
+      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS v,
+    CAST(a AS DOUBLE) * CAST(d AS DOUBLE) / CAST(n AS DOUBLE) AS rn,
+    CAST(b AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS rd
+  FROM cells
+), folded AS (
+  SELECT count(*) AS n_strata,
+         (SELECT CAST(sum(n) AS BIGINT) FROM cells) AS n_obs,
+         list_aggregate(list(dev ORDER BY k), 'sum') AS dev,
+         list_aggregate(list(v ORDER BY k), 'sum') AS v,
+         list_aggregate(list(rn ORDER BY k), 'sum') AS rn,
+         list_aggregate(list(rd ORDER BY k), 'sum') AS rd
+  FROM terms
+)
+SELECT n_strata, n_obs,
+  CASE WHEN v > 0 THEN
+    round((abs(dev) - 0.5) * (abs(dev) - 0.5) / v, 6) END AS cmh_r,
+  CASE WHEN rd > 0 THEN round(rn / rd, 6) END AS or_mh_r
+FROM folded
+""",
+        # q205: cells + marginals -> (r,c)-sorted fold of O*ln(O*N/(RS*CS))
+        "q205_g_test": """
+WITH rows_ AS (
+  SELECT 's' || (event_id % 2) AS r,
+         'w' || ((event_id % 9 + (event_id % 2) * (event_id % 4)) % 9) AS c
+  FROM events
+), obs AS (
+  SELECT r, c, CAST(count(*) AS BIGINT) AS o FROM rows_ GROUP BY 1, 2
+), rm AS (SELECT r, CAST(sum(o) AS BIGINT) AS rs FROM obs GROUP BY 1),
+cm AS (SELECT c, CAST(sum(o) AS BIGINT) AS cs FROM obs GROUP BY 1),
+tot AS (
+  SELECT CAST(sum(o) AS BIGINT) AS n_obs,
+         count(DISTINCT r) AS n_r, count(DISTINCT c) AS n_c
+  FROM obs
+), terms AS (
+  SELECT obs.r, obs.c,
+    CAST(o AS DOUBLE) * ln(CAST(o AS DOUBLE) * (SELECT n_obs FROM tot)
+                           / (CAST(rs AS DOUBLE) * CAST(cs AS DOUBLE))) AS g1
+  FROM obs JOIN rm ON obs.r = rm.r JOIN cm ON obs.c = cm.c
+)
+SELECT n_obs, n_r, n_c, (n_r - 1) * (n_c - 1) AS dof,
+  CASE WHEN n_r > 1 AND n_c > 1 THEN
+    round(CAST(2.0 AS DOUBLE)
+          * (SELECT list_aggregate(list(g1 ORDER BY r, c), 'sum') FROM terms),
+          6) END AS g_r
+FROM tot
 """,
         # q167: Elias gamma/delta gap costs via bin() lengths (no log2)
         "q167_adjacency_bits": f"""

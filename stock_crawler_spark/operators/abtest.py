@@ -1,0 +1,204 @@
+"""Stratified categorical significance tests: CMH and the G-test.
+
+The crawl-ops questions these answer:
+
+* ``cmh_test`` — "does scheduler B really fetch fresher pages than A,
+  or is the lift an artifact of B crawling easier strata?" The
+  Cochran-Mantel-Haenszel statistic (Cochran 1954; Mantel & Haenszel
+  1959) pools per-stratum 2x2 tables (stratum = language, TLD, depth
+  band ...) into one continuity-corrected chi-square on 1 df, immune
+  to Simpson's-paradox reversals that a pooled-table chi-square
+  walks straight into. Also reports the MH common odds ratio.
+* ``g_test`` — "did the token/mime/lang distribution SHIFT between
+  two snapshots, significantly?" The log-likelihood-ratio G statistic
+  (Sokal & Rohlf; 2*sum O*ln(O/E)) over an R x C contingency table —
+  the significance companion to the Jensen-Shannon drift DISTANCE
+  (profile.token_js_drift): JS says how far, G says whether chance
+  explains it.
+
+Spark shape: both tests collapse the corpus in ONE map-side-combined
+groupBy to bounded aggregate rows (strata / cells), then fold the
+per-stratum terms in a SORTED array aggregate — the double sums add in
+a fixed key order, so the statistic is bit-reproducible across
+partitionings and replays exactly in ANSI SQL (the BM25 sorted-fold
+convention, text.py). No collect; the fold arrays are O(strata) and
+O(R*C).
+
+Reference analog: none — the reference never compares cohorts; these
+extend its metrics rollup into decision-grade comparisons.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cmh_test(
+    tables: DataFrame,
+    stratum_col: str = "stratum",
+    group_col: str = "grp",
+    outcome_col: str = "hit",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Cochran-Mantel-Haenszel test over per-stratum 2x2 tables.
+
+    ``tables`` holds one row per observation (or per pre-aggregated
+    cell with ``weight_col``): binary ``group_col`` (0 = control / A,
+    1 = treatment / B) and binary ``outcome_col``. Per stratum k with
+    cells a,b,c,d (a = treated hits, b = treated misses, c = control
+    hits, d = control misses; n = a+b+c+d):
+
+        E_k = (a+b)(a+c)/n
+        V_k = (a+b)(c+d)(a+c)(b+d) / (n^2 (n-1))
+        CMH = (|sum(a_k - E_k)| - 0.5)^2 / sum(V_k)      (1 df)
+        OR_MH = sum(a_k d_k / n_k) / sum(b_k c_k / n_k)
+
+    Strata with n < 2 contribute nothing (V undefined) and are
+    dropped, mirroring the classical treatment. Returns ONE row:
+    (n_strata, n_obs, cmh_r, or_mh_r); cmh_r NULL when sum(V) = 0,
+    or_mh_r NULL when the denominator is 0.
+
+    The per-stratum cells are exact longs; E/V/OR terms fold in
+    stratum-sorted order so every double add is order-pinned.
+    """
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col
+        else F.lit(1).cast("long")
+    )
+    g = F.col(group_col).cast("int")
+    y = F.col(outcome_col).cast("int")
+    per = (
+        tables.groupBy(F.col(stratum_col).alias("_k"))
+        .agg(
+            F.sum(F.when((g == 1) & (y == 1), w).otherwise(0)).alias("a"),
+            F.sum(F.when((g == 1) & (y == 0), w).otherwise(0)).alias("b"),
+            F.sum(F.when((g == 0) & (y == 1), w).otherwise(0)).alias("c"),
+            F.sum(F.when((g == 0) & (y == 0), w).otherwise(0)).alias("d"),
+        )
+        .withColumn("n", F.col("a") + F.col("b") + F.col("c") + F.col("d"))
+        .filter(F.col("n") >= 2)
+    )
+    packed = per.agg(
+        F.array_sort(
+            F.collect_list(F.struct("_k", "a", "b", "c", "d", "n"))
+        ).alias("arr"),
+        F.sum("n").alias("n_obs"),
+        F.count(F.lit(1)).alias("n_strata"),
+    )
+    folded = packed.select(
+        "n_strata",
+        "n_obs",
+        F.aggregate(
+            "arr",
+            F.struct(
+                F.lit(0.0).alias("dev"),
+                F.lit(0.0).alias("v"),
+                F.lit(0.0).alias("rnum"),
+                F.lit(0.0).alias("rden"),
+            ),
+            lambda acc, s: F.struct(
+                (
+                    acc["dev"]
+                    + (
+                        s["a"].cast("double")
+                        - (s["a"] + s["b"]).cast("double")
+                        * (s["a"] + s["c"]).cast("double")
+                        / s["n"].cast("double")
+                    )
+                ).alias("dev"),
+                (
+                    acc["v"]
+                    + (s["a"] + s["b"]).cast("double")
+                    * (s["c"] + s["d"]).cast("double")
+                    * (s["a"] + s["c"]).cast("double")
+                    * (s["b"] + s["d"]).cast("double")
+                    / (
+                        s["n"].cast("double")
+                        * s["n"].cast("double")
+                        * (s["n"] - 1).cast("double")
+                    )
+                ).alias("v"),
+                (
+                    acc["rnum"]
+                    + s["a"].cast("double") * s["d"].cast("double")
+                    / s["n"].cast("double")
+                ).alias("rnum"),
+                (
+                    acc["rden"]
+                    + s["b"].cast("double") * s["c"].cast("double")
+                    / s["n"].cast("double")
+                ).alias("rden"),
+            ),
+        ).alias("f"),
+    )
+    dev, v = F.col("f.dev"), F.col("f.v")
+    cmh = F.when(
+        v > 0,
+        (F.abs(dev) - F.lit(0.5)) * (F.abs(dev) - F.lit(0.5)) / v,
+    )
+    ormh = F.when(F.col("f.rden") > 0, F.col("f.rnum") / F.col("f.rden"))
+    return folded.select(
+        "n_strata",
+        "n_obs",
+        F.round(cmh, 6).alias("cmh_r"),
+        F.round(ormh, 6).alias("or_mh_r"),
+    )
+
+
+def g_test(
+    cells: DataFrame,
+    row_col: str = "r",
+    col_col: str = "c",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """G-test of independence over an R x C contingency:
+    G = 2 * sum O * ln(O / E), E = rowsum * colsum / N, df = (R-1)(C-1).
+
+    ``cells`` holds one row per observation (or pre-aggregated with
+    ``weight_col``); empty cells contribute 0 (lim O->0 of O ln O/E).
+    Returns ONE row (n_obs, n_r, n_c, dof, g_r); NULL g_r for
+    degenerate tables (single row or column). Marginals join back to
+    the observed cells (E needs only OBSERVED cells' marginals — an
+    absent cell's term is 0); the G terms fold in (r, c)-sorted order
+    so the double sum is order-pinned and replays in SQL.
+    """
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col
+        else F.lit(1).cast("long")
+    )
+    obs = cells.groupBy(
+        F.col(row_col).alias("_r"), F.col(col_col).alias("_c")
+    ).agg(F.sum(w).alias("_o"))
+    rm = obs.groupBy("_r").agg(F.sum("_o").alias("_rs"))
+    cm = obs.groupBy("_c").agg(F.sum("_o").alias("_cs"))
+    tot = obs.agg(
+        F.sum("_o").cast("long").alias("n_obs"),
+        F.countDistinct("_r").alias("n_r"),
+        F.countDistinct("_c").alias("n_c"),
+    )
+    joined = obs.join(rm, "_r").join(cm, "_c")
+    packed = joined.agg(
+        F.array_sort(
+            F.collect_list(F.struct("_r", "_c", "_o", "_rs", "_cs"))
+        ).alias("arr")
+    ).crossJoin(F.broadcast(tot))
+    term = lambda s: s["_o"].cast("double") * F.log(  # noqa: E731
+        s["_o"].cast("double")
+        * F.col("n_obs").cast("double")
+        / (s["_rs"].cast("double") * s["_cs"].cast("double"))
+    )
+    g = F.aggregate(
+        "arr", F.lit(0.0), lambda acc, s: acc + term(s)
+    )
+    return packed.select(
+        "n_obs",
+        "n_r",
+        "n_c",
+        ((F.col("n_r") - 1) * (F.col("n_c") - 1)).alias("dof"),
+        F.when(
+            (F.col("n_r") > 1) & (F.col("n_c") > 1), F.round(F.lit(2.0) * g, 6)
+        ).alias("g_r"),
+    )

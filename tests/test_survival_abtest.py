@@ -1,0 +1,179 @@
+"""KM/NA survival curves and CMH / G-test: brute-force parity + edges."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import numpy as np
+import pytest
+
+from stock_crawler_spark.operators.abtest import cmh_test, g_test
+from stock_crawler_spark.operators.survival import survival_curve
+
+
+def _km_brute(obs):
+    d, c = Counter(), Counter()
+    for t, e in obs:
+        (d if e else c)[t] += 1
+    out = {}
+    n, surv, haz = len(obs), 1.0, 0.0
+    for t in sorted(set(d) | set(c)):
+        dt, ct = d.get(t, 0), c.get(t, 0)
+        if dt:
+            surv *= 1.0 - dt / n
+            haz += dt / n
+            out[t] = (n, dt, ct, surv, haz)
+        n -= dt + ct
+    return out
+
+
+@pytest.mark.parametrize("seed,parts", [(1, 1), (2, 9)])
+def test_km_matches_bruteforce(spark, seed, parts):
+    rng = np.random.default_rng(seed)
+    obs = [
+        (int(t), int(e))
+        for t, e in zip(
+            rng.integers(1, 30, size=500), rng.integers(0, 2, size=500)
+        )
+    ]
+    df = spark.createDataFrame(
+        [("x", t, e) for t, e in obs], "cohort string, t int, died int"
+    ).repartition(parts)
+    got = {
+        r["t"]: r for r in survival_curve(df).collect()
+    }
+    expect = _km_brute(obs)
+    assert set(got) == set(expect)
+    for t, (n, dt, ct, surv, haz) in expect.items():
+        r = got[t]
+        assert (r["n_risk"], r["n_death"], r["n_censor"]) == (n, dt, ct)
+        assert r["km_r"] == pytest.approx(surv, abs=2e-6)
+        assert r["na_r"] == pytest.approx(haz, abs=2e-6)
+
+
+def test_km_absorbing_and_multicohort(spark):
+    rows = (
+        [("dies", 5, 1)] * 4  # whole cohort dies at t=5 -> S=0
+        + [("mix", 1, 1), ("mix", 2, 0), ("mix", 3, 1), ("mix", 9, 0)]
+    )
+    df = spark.createDataFrame(rows, "cohort string, t int, died int")
+    out = {(r["cohort"], r["t"]): r for r in survival_curve(df).collect()}
+    assert out[("dies", 5)]["km_r"] == 0.0
+    assert out[("mix", 1)]["km_r"] == pytest.approx(0.75)
+    # at t=3: risk set {3,9} -> S = 0.75 * (1 - 1/2)
+    assert out[("mix", 3)]["km_r"] == pytest.approx(0.375)
+    assert ("mix", 2) not in out  # censoring-only time emits no step
+    assert ("mix", 9) not in out
+
+
+def test_km_censoring_bias_direction(spark):
+    # heavy censoring must NOT drag KM down the way naive frac-dead does
+    rows = [("c", t, 1) for t in (2, 4)] + [("c", 9, 0)] * 8
+    df = spark.createDataFrame(rows, "cohort string, t int, died int")
+    out = {r["t"]: r["km_r"] for r in survival_curve(df).collect()}
+    assert out[4] == pytest.approx((1 - 1 / 10) * (1 - 1 / 9), abs=1e-6)
+    assert out[4] > 1 - 2 / 10 - 1e-9  # above the naive "2 of 10 dead"
+
+
+def _cmh_brute(strata):
+    dev = v = rn = rd = 0.0
+    for a, b, c, d in strata:
+        n = a + b + c + d
+        if n < 2:
+            continue
+        dev += a - (a + b) * (a + c) / n
+        v += (a + b) * (c + d) * (a + c) * (b + d) / (n * n * (n - 1))
+        rn += a * d / n
+        rd += b * c / n
+    cmh = (abs(dev) - 0.5) ** 2 / v if v > 0 else None
+    return cmh, (rn / rd if rd > 0 else None)
+
+
+def _obs_from_strata(strata):
+    rows = []
+    for k, (a, b, c, d) in enumerate(strata):
+        rows += [(f"s{k}", 1, 1)] * a + [(f"s{k}", 1, 0)] * b
+        rows += [(f"s{k}", 0, 1)] * c + [(f"s{k}", 0, 0)] * d
+    return rows
+
+
+@pytest.mark.parametrize("parts", [1, 7])
+def test_cmh_matches_bruteforce(spark, parts):
+    strata = [(12, 8, 6, 14), (3, 17, 2, 18), (30, 10, 22, 18)]
+    df = spark.createDataFrame(
+        _obs_from_strata(strata), "stratum string, grp int, hit int"
+    ).repartition(parts)
+    row = cmh_test(df).collect()[0]
+    cmh, ormh = _cmh_brute(strata)
+    assert row["n_strata"] == 3 and row["n_obs"] == sum(map(sum, strata))
+    assert row["cmh_r"] == pytest.approx(cmh, abs=2e-6)
+    assert row["or_mh_r"] == pytest.approx(ormh, abs=2e-6)
+
+
+def test_cmh_simpson_resistant(spark):
+    # classic Simpson pair: treatment concentrated in the HARD
+    # stratum — within each stratum OR = 2.25, pooled OR ~ 0.13;
+    # CMH's common OR must stay at the within-stratum truth
+    strata = [(9, 1, 80, 20), (20, 80, 1, 9)]
+    df = spark.createDataFrame(
+        _obs_from_strata(strata), "stratum string, grp int, hit int"
+    )
+    row = cmh_test(df).collect()[0]
+    assert row["or_mh_r"] == pytest.approx(2.25, abs=1e-6)
+    a = sum(s[0] for s in strata)
+    b = sum(s[1] for s in strata)
+    c = sum(s[2] for s in strata)
+    d = sum(s[3] for s in strata)
+    assert (a * d) / (b * c) < 1.0 < row["or_mh_r"]  # pooled reverses
+
+
+def test_cmh_degenerate_null(spark):
+    df = spark.createDataFrame(
+        [("s0", 1, 1), ("s0", 0, 1), ("s1", 1, 1), ("s1", 0, 1)],
+        "stratum string, grp int, hit int",
+    )
+    row = cmh_test(df).collect()[0]
+    assert row["cmh_r"] is None  # all hits -> V = 0
+
+
+def _g_brute(cells):
+    n = sum(cells.values())
+    rs, cs = Counter(), Counter()
+    for (r, c), o in cells.items():
+        rs[r] += o
+        cs[c] += o
+    g = 2.0 * sum(
+        o * math.log(o * n / (rs[r] * cs[c])) for (r, c), o in cells.items()
+    )
+    return g
+
+
+@pytest.mark.parametrize("parts", [1, 5])
+def test_g_matches_bruteforce(spark, parts):
+    cells = {("en", "a"): 30, ("en", "b"): 10, ("de", "a"): 12, ("de", "b"): 28,
+             ("fr", "a"): 5, ("fr", "b"): 15}
+    rows = [(r, c) for (r, c), o in cells.items() for _ in range(o)]
+    df = spark.createDataFrame(rows, "r string, c string").repartition(parts)
+    row = g_test(df).collect()[0]
+    assert (row["n_r"], row["n_c"], row["dof"]) == (3, 2, 2)
+    assert row["g_r"] == pytest.approx(_g_brute(cells), abs=2e-6)
+
+
+def test_g_weighted_equals_exploded(spark):
+    cells = [("x", "p", 40), ("x", "q", 20), ("y", "p", 10), ("y", "q", 30)]
+    wdf = spark.createDataFrame(cells, "r string, c string, w long")
+    edf = spark.createDataFrame(
+        [(r, c) for r, c, o in cells for _ in range(o)], "r string, c string"
+    )
+    assert (
+        g_test(wdf, weight_col="w").collect()
+        == g_test(edf).collect()
+    )
+
+
+def test_g_degenerate_null(spark):
+    df = spark.createDataFrame(
+        [("only", "a"), ("only", "b")], "r string, c string"
+    )
+    assert g_test(df).collect()[0]["g_r"] is None
