@@ -14,6 +14,7 @@ aggregation and DuckDB's sequential scan hash identically.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1171,6 +1172,110 @@ def q205_g_test(spark, sf):
         ).alias("c"),
     )
     return g_test(rows)
+
+
+SPRT_P0, SPRT_P1 = 0.4, 0.6
+SPRT_AB = 0.05
+_SPRT_WH = math.log(SPRT_P1 / SPRT_P0)
+_SPRT_WM = math.log((1.0 - SPRT_P1) / (1.0 - SPRT_P0))
+_SPRT_A = math.log((1.0 - SPRT_AB) / SPRT_AB)
+_SPRT_B = math.log(SPRT_AB / (1.0 - SPRT_AB))
+
+
+def q206_sprt(spark, sf):
+    """Wald SPRT early-stopping host gate (operators/recrawl.
+    sprt_bernoulli; Wald 1945): decide per host whether the success
+    rate is p1=0.6 (healthy) vs p0=0.4 (degraded) at the FIRST round
+    the evidence suffices — the sequential companion to the fixed-n
+    tests; rates vary 30-76% across 24 hosts so the output mixes
+    accept_h1 / accept_h0 / continue and frozen-at-decision llrs.
+    Ties per (host, round) are majority-folded first (deterministic
+    window order). The ln increments are python-double literals in
+    both engines; the oracle replays cumsum, first crossing, freeze,
+    and n_used."""
+    from stock_crawler_spark.operators.recrawl import sprt_bernoulli
+
+    ev = _t(spark, sf, "events")
+    hid = F.col("user_id") % 24
+    base = (
+        ev.select(
+            F.concat(F.lit("h"), hid.cast("string")).alias("host"),
+            (F.col("event_id") % 30).cast("int").alias("round"),
+            (
+                (F.col("event_id") * 7 + F.col("user_id") * 3) % 100
+                < 30 + hid * 2
+            )
+            .cast("int")
+            .alias("hit"),
+        )
+        .groupBy("host", "round")
+        .agg(
+            (F.sum("hit") * 2 > F.count(F.lit(1))).cast("int").alias("x")
+        )
+    )
+    return sprt_bernoulli(base, p0=SPRT_P0, p1=SPRT_P1, alpha=SPRT_AB,
+                          beta=SPRT_AB)
+
+
+BENFORD_P = {str(d): math.log10(1 + 1 / d) for d in range(1, 10)}
+
+
+def q207_benford(spark, sf):
+    """Benford first-digit conformance via the G goodness-of-fit
+    (operators/abtest.g_goodness_of_fit; Benford 1938, G per Sokal &
+    Rohlf) over per-host total bytes — organic size distributions
+    track Benford, template-stamped farms don't (pinned by test);
+    beside q177's SALSA and q192's reciprocity farm flags. Expected
+    probs log10(1+1/d) enter both engines as python-double literals;
+    terms fold digit-sorted. Oracle replays counts, N, and the term
+    fold."""
+    from stock_crawler_spark.operators.abtest import g_goodness_of_fit
+
+    ev = _t(spark, sf, "events")
+    per = ev.groupBy((F.col("event_id") % 991).alias("hid")).agg(
+        F.sum((F.col("event_id") % 997) + 3).cast("long").alias("tot")
+    )
+    digits = per.select(
+        F.substring(F.col("tot").cast("string"), 1, 1).alias("cat")
+    )
+    return g_goodness_of_fit(digits, BENFORD_P)
+
+
+def q208_typosquat(spark, sf):
+    """Typosquat host pairs at Levenshtein distance 1 (operators/
+    typosquat.typosquat_pairs; SymSpell deletion-neighborhood blocking
+    — lev<=1 pairs share a 0/1-deletion variant, so candidates come
+    from a plain equi-join on variant strings, verified with the exact
+    levenshtein built-in; NEVER all-pairs). Gate hosts: two organic
+    families plus planted '.exmple' deletions of the site family. The
+    oracle is the INDEPENDENT brute-force all-pairs SQL, so blocking
+    recall = 1 is verified, not assumed."""
+    from stock_crawler_spark.operators.typosquat import typosquat_pairs
+
+    ev = _t(spark, sf, "events")
+    base = ev.select(
+        F.when(
+            F.col("event_id") % 7 == 0,
+            F.concat(
+                F.lit("site"), (F.col("event_id") % 60).cast("string"),
+                F.lit(".example"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("page"), (F.col("event_id") % 80).cast("string"),
+                F.lit(".example"),
+            )
+        )
+        .alias("host")
+    )
+    typos = ev.filter(F.col("event_id") % 11 == 0).select(
+        F.concat(
+            F.lit("site"), (F.col("event_id") % 60).cast("string"),
+            F.lit(".exmple"),
+        ).alias("host")
+    )
+    return typosquat_pairs(base.unionByName(typos))
 
 
 _Q44_PRE = (
@@ -5088,6 +5193,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q203_survival": q203_survival,
         "q204_cmh_test": q204_cmh_test,
         "q205_g_test": q205_g_test,
+        "q206_sprt": q206_sprt,
+        "q207_benford": q207_benford,
+        "q208_typosquat": q208_typosquat,
     }
 
 
@@ -9364,6 +9472,92 @@ SELECT n_obs, n_r, n_c, (n_r - 1) * (n_c - 1) AS dof,
           * (SELECT list_aggregate(list(g1 ORDER BY r, c), 'sum') FROM terms),
           6) END AS g_r
 FROM tot
+""",
+        # q206: llr cumsum with literal increments, first boundary
+        # crossing, frozen llr, n_used
+        "q206_sprt": f"""
+WITH base AS (
+  SELECT 'h' || (user_id % 24) AS host,
+         CAST(event_id % 30 AS INT) AS r,
+         CASE WHEN 2 * sum(CASE WHEN (event_id * 7 + user_id * 3) % 100
+                                     < 30 + (user_id % 24) * 2
+                                THEN 1 ELSE 0 END) > count(*)
+              THEN 1 ELSE 0 END AS x
+  FROM events GROUP BY 1, 2
+), run AS (
+  SELECT host, r, x,
+    sum(CASE WHEN x = 1 THEN CAST({_SPRT_WH!r} AS DOUBLE)
+             ELSE CAST({_SPRT_WM!r} AS DOUBLE) END)
+      OVER (PARTITION BY host ORDER BY r) AS llr
+  FROM base
+), hit AS (
+  SELECT *, CASE WHEN llr >= CAST({_SPRT_A!r} AS DOUBLE) THEN 1
+                 WHEN llr <= CAST({_SPRT_B!r} AS DOUBLE) THEN -1
+                 ELSE 0 END AS hitf
+  FROM run
+), stop AS (
+  SELECT host, min(CASE WHEN hitf <> 0 THEN r END) AS stop_r
+  FROM hit GROUP BY 1
+), dec AS (
+  SELECT h.host, h.llr, h.hitf
+  FROM hit h JOIN stop s ON h.host = s.host AND h.r = s.stop_r
+), used AS (
+  SELECT h.host, count(*) AS n_used
+  FROM hit h JOIN stop s ON h.host = s.host
+  WHERE s.stop_r IS NULL OR h.r <= s.stop_r GROUP BY 1
+), lastr AS (
+  SELECT host, arg_max(llr, r) AS llr_last, count(*) AS n_obs
+  FROM hit GROUP BY 1
+)
+SELECT l.host, l.n_obs, u.n_used,
+  round(coalesce(d.llr, l.llr_last), 6) + 0.0 AS llr_r,
+  CASE WHEN d.hitf IS NULL THEN 'continue'
+       WHEN d.hitf = 1 THEN 'accept_h1' ELSE 'accept_h0' END AS decision
+FROM lastr l JOIN used u ON l.host = u.host
+LEFT JOIN dec d ON l.host = d.host
+""",
+        # q207: first digit of per-host byte totals vs Benford probs
+        # (python-double literals), digit-sorted term fold
+        "q207_benford": f"""
+WITH per AS (
+  SELECT event_id % 991 AS hid,
+         CAST(sum((event_id % 997) + 3) AS BIGINT) AS tot
+  FROM events GROUP BY 1
+), digits AS (
+  SELECT substr(CAST(tot AS VARCHAR), 1, 1) AS c, CAST(count(*) AS BIGINT) AS o
+  FROM per GROUP BY 1
+), tot2 AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM digits),
+terms AS (
+  SELECT c, CAST(o AS DOUBLE) * ln(CAST(o AS DOUBLE)
+    / (CAST((SELECT n FROM tot2) AS DOUBLE)
+       * CASE c {" ".join(f"WHEN '{d}' THEN CAST({p!r} AS DOUBLE)" for d, p in sorted(BENFORD_P.items()))} END)) AS t1
+  FROM digits
+)
+SELECT (SELECT n FROM tot2) AS n_obs,
+       (SELECT count(*) FROM digits) AS n_cats,
+       8 AS dof,
+       round(CAST(2.0 AS DOUBLE)
+             * (SELECT list_aggregate(list(t1 ORDER BY c), 'sum') FROM terms),
+             6) AS g_r
+""",
+        # q208: INDEPENDENT brute-force all-pairs levenshtein — proves
+        # the deletion-neighborhood blocking has recall 1
+        "q208_typosquat": """
+WITH hosts AS (
+  SELECT DISTINCT host FROM (
+    SELECT CASE WHEN event_id % 7 = 0
+                THEN 'site' || (event_id % 60) || '.example'
+                ELSE 'page' || (event_id % 80) || '.example' END AS host
+    FROM events
+    UNION ALL
+    SELECT 'site' || (event_id % 60) || '.exmple' AS host
+    FROM events WHERE event_id % 11 = 0
+  )
+)
+SELECT a.host AS host_a, b.host AS host_b,
+       CAST(levenshtein(a.host, b.host) AS INT) AS dist
+FROM hosts a JOIN hosts b ON a.host < b.host
+WHERE levenshtein(a.host, b.host) <= 1
 """,
         # q167: Elias gamma/delta gap costs via bin() lengths (no log2)
         "q167_adjacency_bits": f"""

@@ -202,3 +202,70 @@ def g_test(
             (F.col("n_r") > 1) & (F.col("n_c") > 1), F.round(F.lit(2.0) * g, 6)
         ).alias("g_r"),
     )
+
+
+def g_goodness_of_fit(
+    counts: DataFrame,
+    expected: dict,
+    cat_col: str = "cat",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """G goodness-of-fit against FIXED expected probabilities:
+    G = 2 * sum O * ln(O / (N * p_cat)), df = K - 1 — e.g. Benford's
+    first-digit law (p_d = log10(1 + 1/d)) over per-host byte counts:
+    organic size distributions track Benford; template-stamped spam
+    farms don't, which makes conformance a cheap farm signal
+    (beside q177's SALSA farm flags and q192's reciprocity).
+
+    ``expected`` maps category -> probability (python doubles; they
+    enter both engines as literals). Categories observed but absent
+    from ``expected`` get p = 0 — any observation there makes G
+    infinite in theory; here they raise, which is the honest contract
+    (fix your category map). Expected categories with ZERO observed
+    count contribute 0 (lim O->0). Terms fold category-sorted
+    (order-pinned doubles). Returns ONE row (n_obs, n_cats, dof, g_r).
+    """
+    tot_p = sum(expected.values())
+    if abs(tot_p - 1.0) > 1e-9:
+        raise ValueError(f"expected probs must sum to 1, got {tot_p}")
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col
+        else F.lit(1).cast("long")
+    )
+    obs = counts.groupBy(F.col(cat_col).alias("_c")).agg(F.sum(w).alias("_o"))
+    emap = F.create_map(
+        *[x for k, v in sorted(expected.items())
+          for x in (F.lit(k), F.lit(float(v)))]
+    )
+    tot = obs.agg(F.sum("_o").cast("long").alias("n_obs"))
+    packed = (
+        obs.withColumn("_p", emap[F.col("_c")])
+        .agg(
+            F.array_sort(F.collect_list(F.struct("_c", "_o", "_p"))).alias(
+                "arr"
+            ),
+            F.count(F.lit(1)).alias("n_cats"),
+            F.sum(F.when(F.col("_p").isNull(), 1).otherwise(0)).alias("_bad"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    term = lambda s: s["_o"].cast("double") * F.log(  # noqa: E731
+        s["_o"].cast("double")
+        / (F.col("n_obs").cast("double") * s["_p"])
+    )
+    g = F.aggregate("arr", F.lit(0.0), lambda acc, s: acc + term(s))
+    out = packed.select(
+        "n_obs",
+        "n_cats",
+        (F.lit(len(expected)) - 1).alias("dof"),
+        F.round(F.lit(2.0) * g, 6).alias("g_r"),
+        F.col("_bad"),
+    )
+    # observed-but-unexpected categories -> loud failure, not silent inf
+    return out.select(
+        "n_obs", "n_cats", "dof",
+        F.when(F.col("_bad") > 0, F.assert_true(F.lit(False)).cast("double"))
+        .otherwise(F.col("g_r"))
+        .alias("g_r"),
+    )

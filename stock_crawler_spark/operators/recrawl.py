@@ -682,3 +682,120 @@ def benjamini_hochberg(
             ),
         )
     )
+
+
+# --- Sequential probability ratio test ----------------------------------------
+
+
+def sprt_bernoulli(
+    obs: DataFrame,
+    p0: float,
+    p1: float,
+    alpha: float = 0.05,
+    beta: float = 0.05,
+    host_col: str = "host",
+    seq_col: str = "round",
+    outcome_col: str = "x",
+) -> DataFrame:
+    """Wald's sequential probability ratio test (Wald 1945) per host on
+    a Bernoulli stream — the EARLY-STOPPING companion to the fixed-n
+    tests: decide "this host's success rate is p1 (degraded/improved)"
+    vs "still p0" the moment the evidence suffices, instead of burning
+    a fixed observation budget per host. For a crawl: gate a host out
+    (or back in) after the FEWEST fetches that settle it.
+
+        llr_t = sum_{s<=t} [ x_s ln(p1/p0) + (1-x_s) ln((1-p1)/(1-p0)) ]
+        accept H1 at first llr >= A = ln((1-beta)/alpha)
+        accept H0 at first llr <= B = ln(beta/(1-alpha))
+
+    The stream is the per-host bounded round series (q187's
+    convention); the llr is a per-host ORDERED window cumsum, the
+    decision the min round where either boundary is crossed, and the
+    reported llr is FROZEN at that round (post-decision observations
+    are ignored, as Wald's stopped test requires). Output one row per
+    host: (host, n_obs, n_used, llr_r, decision) with decision in
+    ('accept_h1', 'accept_h0', 'continue'); n_used = rounds consumed
+    (all of them when still 'continue').
+
+    The two ln increments are computed ONCE as python doubles and
+    enter both engines as literals, so the cumsum replays exactly.
+    """
+    import math
+
+    if not (0.0 < p0 < 1.0 and 0.0 < p1 < 1.0 and p0 != p1):
+        raise ValueError("need 0 < p0, p1 < 1 and p0 != p1")
+    if not (0.0 < alpha < 1.0 and 0.0 < beta < 1.0):
+        raise ValueError("alpha, beta in (0, 1)")
+    w_hit = math.log(p1 / p0)
+    w_miss = math.log((1.0 - p1) / (1.0 - p0))
+    a_bound = math.log((1.0 - beta) / alpha)
+    b_bound = math.log(beta / (1.0 - alpha))
+    d = obs.select(
+        F.col(host_col).alias("_h"),
+        F.col(seq_col).cast("int").alias("_r"),
+        F.col(outcome_col).cast("int").alias("_x"),
+    )
+    w = (
+        Window.partitionBy("_h")
+        .orderBy("_r")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = d.withColumn(
+        "_llr",
+        F.sum(
+            F.when(F.col("_x") == 1, F.lit(w_hit)).otherwise(F.lit(w_miss))
+        ).over(w),
+    ).withColumn(
+        "_hit",
+        F.when(F.col("_llr") >= F.lit(a_bound), F.lit(1))
+        .when(F.col("_llr") <= F.lit(b_bound), F.lit(-1))
+        .otherwise(F.lit(0)),
+    )
+    per = run.groupBy("_h").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.min(F.when(F.col("_hit") != 0, F.col("_r"))).alias("_stop_r"),
+        F.min(
+            F.when(
+                F.col("_hit") != 0,
+                F.struct(F.col("_r").alias("r"), F.col("_hit").alias("h"),
+                         F.col("_llr").alias("l")),
+            )
+        ).alias("_first"),
+        F.max(F.struct(F.col("_r").alias("r"), F.col("_llr").alias("l"))).alias(
+            "_last"
+        ),
+    )
+    # n_used: rounds up to the stop (rank of stop round), = count of
+    # rounds <= stop_r; recompute from the run rows to stay exact
+    used = (
+        run.join(
+            per.select("_h", "_stop_r"), "_h"
+        )
+        .filter(
+            F.col("_stop_r").isNull() | (F.col("_r") <= F.col("_stop_r"))
+        )
+        .groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("n_used"))
+    )
+    return (
+        per.join(used, "_h")
+        .select(
+            F.col("_h").alias(host_col),
+            "n_obs",
+            "n_used",
+            # + 0.0 folds IEEE -0.0 (a hair-negative llr rounded at 6)
+            # to +0.0 so both engines render the same zero
+            (
+                F.round(
+                    F.when(F.col("_first").isNotNull(), F.col("_first")["l"])
+                    .otherwise(F.col("_last")["l"]),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("llr_r"),
+            F.when(F.col("_first").isNull(), F.lit("continue"))
+            .when(F.col("_first")["h"] == 1, F.lit("accept_h1"))
+            .otherwise(F.lit("accept_h0"))
+            .alias("decision"),
+        )
+    )

@@ -209,6 +209,7 @@ def test_no_cartesian_products_anywhere(spark):
         "q200_bh_fdr",           # broadcast 1-row global rate + 1-row B-H cutoff
         "q201_good_turing",      # broadcast 1-row total-token count N
         "q205_g_test",           # broadcast 1-row (N, R, C) totals
+        "q207_benford",          # broadcast 1-row total-count N
         "q197_heavy_bytes",      # broadcast 1-row total weight (phi*W threshold)
     }
     for name, fn in entrymod.queries().items():

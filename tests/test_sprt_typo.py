@@ -1,0 +1,161 @@
+"""SPRT early stopping, Benford goodness-of-fit, typosquat blocking."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from stock_crawler_spark.operators.abtest import g_goodness_of_fit
+from stock_crawler_spark.operators.recrawl import sprt_bernoulli
+from stock_crawler_spark.operators.typosquat import typosquat_pairs
+
+BENFORD = {str(d): math.log10(1 + 1 / d) for d in range(1, 10)}
+
+
+def _sprt_brute(xs, p0, p1, alpha, beta):
+    wh, wm = math.log(p1 / p0), math.log((1 - p1) / (1 - p0))
+    a, b = math.log((1 - beta) / alpha), math.log(beta / (1 - alpha))
+    llr, used = 0.0, 0
+    for x in xs:
+        llr += wh if x else wm
+        used += 1
+        if llr >= a:
+            return llr, used, "accept_h1"
+        if llr <= b:
+            return llr, used, "accept_h0"
+    return llr, used, "continue"
+
+
+@pytest.mark.parametrize("seed,parts", [(1, 1), (2, 8)])
+def test_sprt_matches_sequential_bruteforce(spark, seed, parts):
+    rng = np.random.default_rng(seed)
+    rows, series = [], {}
+    rates = [0.9, 0.1, 0.5, 0.82, 0.25, 0.55]
+    for h, rate in enumerate(rates):
+        xs = [int(v) for v in rng.random(30) < rate]
+        series[f"h{h}"] = xs
+        rows += [(f"h{h}", t, x) for t, x in enumerate(xs)]
+    df = spark.createDataFrame(
+        rows, "host string, round int, x int"
+    ).repartition(parts)
+    out = {
+        r["host"]: r
+        for r in sprt_bernoulli(df, p0=0.4, p1=0.7).collect()
+    }
+    for h, xs in series.items():
+        llr, used, dec = _sprt_brute(xs, 0.4, 0.7, 0.05, 0.05)
+        r = out[h]
+        assert (r["n_used"], r["decision"]) == (used, dec), h
+        assert r["llr_r"] == pytest.approx(llr, abs=2e-6)
+        assert r["n_obs"] == 30
+
+
+def test_sprt_freezes_after_decision(spark):
+    # decisive prefix then a contradicting tail: tail must not matter
+    xs = [1] * 10 + [0] * 20
+    df = spark.createDataFrame(
+        [("h", t, x) for t, x in enumerate(xs)], "host string, round int, x int"
+    )
+    r = sprt_bernoulli(df, p0=0.4, p1=0.7).collect()[0]
+    llr, used, dec = _sprt_brute(xs, 0.4, 0.7, 0.05, 0.05)
+    assert dec == "accept_h1" and r["decision"] == dec
+    assert r["n_used"] == used < 30
+
+
+def test_sprt_validation(spark):
+    df = spark.createDataFrame([("h", 0, 1)], "host string, round int, x int")
+    with pytest.raises(ValueError):
+        sprt_bernoulli(df, p0=0.5, p1=0.5)
+    with pytest.raises(ValueError):
+        sprt_bernoulli(df, p0=0.4, p1=0.7, alpha=0.0)
+
+
+def _gof_brute(counts, expected):
+    n = sum(counts.values())
+    return 2.0 * sum(
+        o * math.log(o / (n * expected[c])) for c, o in counts.items() if o
+    )
+
+
+def test_benford_gof_hand_check(spark):
+    counts = {"1": 310, "2": 170, "3": 120, "4": 95, "5": 75, "6": 70,
+              "7": 60, "8": 55, "9": 45}
+    df = spark.createDataFrame(
+        [(c, o) for c, o in counts.items()], "cat string, w long"
+    )
+    r = g_goodness_of_fit(df, BENFORD, weight_col="w").collect()[0]
+    assert r["n_obs"] == sum(counts.values()) and r["dof"] == 8
+    assert r["g_r"] == pytest.approx(_gof_brute(counts, BENFORD), abs=2e-6)
+
+
+def test_benford_gof_conformant_is_small_stamped_is_big(spark):
+    n = 10000
+    conforming = {
+        str(d): int(round(n * BENFORD[str(d)])) for d in range(1, 10)
+    }
+    stamped = {str(d): (n if d == 7 else 10) for d in range(1, 10)}
+    g_ok = _gof_brute(conforming, BENFORD)
+    df = spark.createDataFrame(
+        [(c, o) for c, o in stamped.items()], "cat string, w long"
+    )
+    g_bad = g_goodness_of_fit(df, BENFORD, weight_col="w").collect()[0]["g_r"]
+    assert g_ok < 16 < g_bad  # chi2_0.95(8) ~ 15.5
+
+
+def test_gof_unexpected_category_raises(spark):
+    df = spark.createDataFrame([("0", 5)], "cat string, w long")
+    with pytest.raises(Exception):
+        g_goodness_of_fit(df, BENFORD, weight_col="w").collect()
+    with pytest.raises(ValueError):
+        g_goodness_of_fit(df, {"1": 0.5}, weight_col="w")
+
+
+def _lev(a, b):
+    la, lb = len(a), len(b)
+    dp = list(range(lb + 1))
+    for i in range(1, la + 1):
+        prev, dp[0] = dp[0], i
+        for j in range(1, lb + 1):
+            cur = min(
+                dp[j] + 1, dp[j - 1] + 1,
+                prev + (a[i - 1] != b[j - 1]),
+            )
+            prev, dp[j] = dp[j], cur
+    return dp[lb]
+
+
+@pytest.mark.parametrize("parts", [1, 6])
+def test_typosquat_matches_bruteforce(spark, parts):
+    hosts = [
+        "example.com", "exampl.com", "examp1e.com", "examplee.com",
+        "exmaple.com",  # transposition: distance 2, must NOT appear
+        "sample.com", "bank.com", "banc.com", "bank.co", "xbank.com",
+        "aa.com", "ab.com", "ba.com",  # ab<->ba distance 2 via shared variants
+    ]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string").repartition(
+        parts
+    )
+    got = {
+        (r["host_a"], r["host_b"]) for r in typosquat_pairs(df).collect()
+    }
+    expect = {
+        tuple(sorted((a, b)))
+        for i, a in enumerate(hosts)
+        for b in hosts[i + 1 :]
+        if _lev(a, b) == 1
+    }
+    assert got == expect
+    assert ("ab.com", "ba.com") not in got
+    assert ("example.com", "exmaple.com") not in got
+    assert ("banc.com", "bank.com") in got
+
+
+def test_typosquat_duplicate_variants_dedup(spark):
+    # double letters: deleting either 'o' of "foo" yields the same
+    # variant; the pair must still appear exactly once
+    df = spark.createDataFrame([("foo",), ("fo",)], "host string")
+    rows = typosquat_pairs(df).collect()
+    assert len(rows) == 1 and rows[0]["dist"] == 1
