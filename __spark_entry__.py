@@ -1278,6 +1278,90 @@ def q208_typosquat(spark, sf):
     return typosquat_pairs(base.unionByName(typos))
 
 
+def q209_eb_shrinkage(spark, sf):
+    """Beta-binomial empirical-Bayes shrinkage of per-host rates
+    (operators/estimate.eb_shrunk_rates; Robbins 1956 method-of-
+    moments prior): small-n hosts collapse toward the population
+    prior instead of polluting rankings at 0%/100% — the borrow-
+    strength companion to q185's per-host Wilson bound. Moment sums
+    run over round-9 integer-quantized rates (EXACT long/DECIMAL
+    sums, order-free, no sorted fold, no collect); the oracle replays
+    quantization, moments, and the shrink arithmetic."""
+    from stock_crawler_spark.operators.estimate import eb_shrunk_rates
+
+    ev = _t(spark, sf, "events")
+    hid = F.col("event_id") % 311
+    per = ev.groupBy(
+        F.concat(F.lit("h"), hid.cast("string")).alias("host")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (
+                (F.col("event_id") * 17 + 5) % 100
+                < 25 + (F.col("event_id") % 311) % 30
+            ).cast("long")
+        ).alias("k"),
+    )
+    return eb_shrunk_rates(per)
+
+
+def q210_chapman(spark, sf):
+    """Chapman capture-recapture universe estimate (operators/
+    estimate.chapman_estimate; Chapman 1951 bias-corrected Lincoln-
+    Petersen) from two deterministic snapshot url sets — "how many
+    URLs exist that neither crawl saw", the frontier-sizing scalar.
+    Exact integer (n1, n2, m); the oracle replays the estimate and
+    SE arithmetic."""
+    from stock_crawler_spark.operators.estimate import chapman_estimate
+
+    ev = _t(spark, sf, "events")
+    u = F.concat(F.lit("u"), (F.col("event_id") % 70001).cast("string"))
+    snap_a = ev.filter(F.col("event_id") % 2 == 0).select(u.alias("url"))
+    snap_b = ev.filter(F.col("event_id") % 3 == 0).select(u.alias("url"))
+    return chapman_estimate(snap_a, snap_b)
+
+
+def q211_kruskal_wallis(spark, sf):
+    """Exact tie-corrected Kruskal-Wallis H (operators/rankcorr.
+    kruskal_wallis; K-W 1952) across four scheduler groups with
+    planted latency shifts — the k-group rank test ANOVA can't be
+    trusted to be on crawl latency tails. Global ranks via the shared
+    pinned-range cumsum (q198's machinery), per-group rank sums exact
+    DECIMAL, group terms fold sorted; the oracle replays ranks, tie
+    term, and the H arithmetic."""
+    from stock_crawler_spark.operators.rankcorr import kruskal_wallis
+
+    ev = _t(spark, sf, "events")
+    rows = ev.select(
+        F.concat(F.lit("s"), (F.col("user_id") % 4).cast("string")).alias(
+            "grp"
+        ),
+        (F.col("event_id") % 120 + (F.col("user_id") % 4) * 7).alias("x"),
+    )
+    return kruskal_wallis(rows, "grp", "x")
+
+
+def q212_psi_drift(spark, sf):
+    """Population Stability Index between two snapshots' band
+    distributions (operators/profile.psi_drift; the ops-dashboard
+    drift floor beside q138's JS distance — PSI is the symmetrised
+    KL). The second snapshot's bands are deterministically skewed;
+    terms fold band-sorted; zero-count bands would go NULL loudly.
+    Oracle replays shares and the term fold."""
+    from stock_crawler_spark.operators.profile import psi_drift
+
+    ev = _t(spark, sf, "events")
+    j = F.expr("event_id div 2")
+    rows = ev.select(
+        (F.col("event_id") % 2).cast("int").alias("snap"),
+        F.concat(
+            F.lit("b"),
+            ((j + (F.col("event_id") % 2) * (j % 4)) % 6).cast("string"),
+        ).alias("band"),
+    )
+    return psi_drift(rows)
+
+
 _Q44_PRE = (
     "<html><head><title>t</title><script>var x = 1 < 2;</script>"
     "<style>p { color: red; }</style></head><body><!-- nav boilerplate -->"
@@ -5196,6 +5280,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q206_sprt": q206_sprt,
         "q207_benford": q207_benford,
         "q208_typosquat": q208_typosquat,
+        "q209_eb_shrinkage": q209_eb_shrinkage,
+        "q210_chapman": q210_chapman,
+        "q211_kruskal_wallis": q211_kruskal_wallis,
+        "q212_psi_drift": q212_psi_drift,
     }
 
 
@@ -9558,6 +9646,152 @@ SELECT a.host AS host_a, b.host AS host_b,
        CAST(levenshtein(a.host, b.host) AS INT) AS dist
 FROM hosts a JOIN hosts b ON a.host < b.host
 WHERE levenshtein(a.host, b.host) <= 1
+""",
+        # q209: round-9 rate quantization -> exact moment sums ->
+        # method-of-moments Beta prior -> shrink arithmetic
+        "q209_eb_shrinkage": """
+WITH per AS (
+  SELECT 'h' || (event_id % 311) AS host, count(*) AS n,
+         CAST(sum(CASE WHEN (event_id * 17 + 5) % 100
+                            < 25 + (event_id % 311) % 30
+                       THEN 1 ELSE 0 END) AS BIGINT) AS k
+  FROM events GROUP BY 1
+), q AS (
+  SELECT host, n, k,
+    CAST(round(CAST(k AS DOUBLE) / n * CAST(1000000000.0 AS DOUBLE))
+         AS BIGINT) AS p9
+  FROM per
+), s AS (
+  SELECT CAST(sum(p9) AS BIGINT) AS s1, sum(p9 * p9) AS s2, count(*) AS m
+  FROM q
+), pr AS (
+  SELECT
+    CAST(s1 AS DOUBLE)
+      / (CAST(m AS DOUBLE) * CAST(1000000000.0 AS DOUBLE)) AS mu,
+    CAST(s2 AS DOUBLE)
+      / (CAST(m AS DOUBLE) * CAST(1000000000000000000.0 AS DOUBLE))
+      - (CAST(s1 AS DOUBLE)
+         / (CAST(m AS DOUBLE) * CAST(1000000000.0 AS DOUBLE)))
+      * (CAST(s1 AS DOUBLE)
+         / (CAST(m AS DOUBLE) * CAST(1000000000.0 AS DOUBLE))) AS v
+  FROM s
+), pc AS (
+  SELECT mu, v,
+         mu * (CAST(1.0 AS DOUBLE) - mu) / v - CAST(1.0 AS DOUBLE) AS c
+  FROM pr
+), ab AS (
+  SELECT CASE WHEN v > 0 AND c > 0 THEN mu * c END AS alpha,
+         CASE WHEN v > 0 AND c > 0
+              THEN (CAST(1.0 AS DOUBLE) - mu) * c END AS beta
+  FROM pc
+)
+SELECT host, n, k,
+  round(CAST(k AS DOUBLE) / n, 6) AS raw_r,
+  round(CASE WHEN alpha IS NOT NULL
+             THEN (CAST(k AS DOUBLE) + alpha)
+                  / (CAST(n AS DOUBLE) + alpha + beta)
+             ELSE CAST(k AS DOUBLE) / n END, 6) AS shrunk_r,
+  round(alpha, 6) AS alpha_r, round(beta, 6) AS beta_r
+FROM q, ab
+""",
+        # q210: exact (n1, n2, m) then Chapman estimate + SE replay
+        "q210_chapman": """
+WITH a AS (
+  SELECT DISTINCT 'u' || (event_id % 70001) AS u
+  FROM events WHERE event_id % 2 = 0
+), b AS (
+  SELECT DISTINCT 'u' || (event_id % 70001) AS u
+  FROM events WHERE event_id % 3 = 0
+), c AS (
+  SELECT (SELECT count(*) FROM a) AS n1, (SELECT count(*) FROM b) AS n2,
+         (SELECT count(*) FROM a JOIN b USING (u)) AS m_overlap
+)
+SELECT n1, n2, m_overlap,
+  round(CAST(n1 + 1 AS DOUBLE) * CAST(n2 + 1 AS DOUBLE)
+        / CAST(m_overlap + 1 AS DOUBLE) - CAST(1.0 AS DOUBLE), 2) AS n_hat_r,
+  CASE WHEN m_overlap > 0 THEN
+    round(sqrt(CAST(n1 + 1 AS DOUBLE) * CAST(n2 + 1 AS DOUBLE)
+               * CAST(n1 - m_overlap AS DOUBLE)
+               * CAST(n2 - m_overlap AS DOUBLE)
+               / (CAST(m_overlap + 1 AS DOUBLE)
+                  * CAST(m_overlap + 1 AS DOUBLE)
+                  * CAST(m_overlap + 2 AS DOUBLE))), 2) END AS se_r
+FROM c
+""",
+        # q211: q198's rank cumsum -> per-group HUGEINT rank sums ->
+        # sorted group-term fold -> tie-corrected H
+        "q211_kruskal_wallis": """
+WITH rows_ AS (
+  SELECT 's' || (user_id % 4) AS g,
+         event_id % 120 + (user_id % 4) * 7 AS x
+  FROM events
+), nn AS (SELECT count(*) AS n FROM rows_),
+rx AS (
+  SELECT x, 2 * (sum(cnt) OVER (ORDER BY x) - cnt) + cnt
+            - (SELECT n FROM nn) AS d
+  FROM (SELECT x, count(*) AS cnt FROM rows_ GROUP BY 1)
+), per AS (
+  SELECT g, count(*) AS ng, sum(d) AS dg
+  FROM rows_ JOIN rx USING (x) GROUP BY 1
+), ties AS (
+  SELECT sum(t * t * t - t) AS tt
+  FROM (SELECT count(*) AS t FROM rows_ GROUP BY x)
+), terms AS (
+  SELECT g, CAST(dg * dg AS DOUBLE) / CAST(ng AS DOUBLE) AS term FROM per
+), f AS (
+  SELECT list_aggregate(list(term ORDER BY g), 'sum') AS ssum,
+         count(*) AS n_groups
+  FROM terms
+)
+SELECT (SELECT n FROM nn) AS n_rows, n_groups,
+       n_groups - 1 AS dof,
+  CASE WHEN n_groups > 1
+            AND (SELECT tt FROM ties)
+                < (SELECT CAST(n AS HUGEINT) * n * n - n FROM nn)
+  THEN round(
+    (CAST(3.0 AS DOUBLE)
+     / (CAST((SELECT n FROM nn) AS DOUBLE)
+        * (CAST((SELECT n FROM nn) AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+     * ssum)
+    / (CAST(1.0 AS DOUBLE)
+       - CAST((SELECT tt FROM ties) AS DOUBLE)
+         / (CAST((SELECT n FROM nn) AS DOUBLE)
+            * CAST((SELECT n FROM nn) AS DOUBLE)
+            * CAST((SELECT n FROM nn) AS DOUBLE)
+            - CAST((SELECT n FROM nn) AS DOUBLE))), 6)
+  END AS h_r
+FROM f
+""",
+        # q212: band shares both snapshots -> band-sorted PSI term fold
+        "q212_psi_drift": """
+WITH rows_ AS (
+  SELECT CAST(event_id % 2 AS INT) AS snap,
+         'b' || (((event_id // 2) + (event_id % 2) * ((event_id // 2) % 4))
+                 % 6) AS band
+  FROM events
+), per AS (
+  SELECT band,
+    CAST(sum(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+    CAST(sum(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM rows_ GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
+         count(*) AS n_bands,
+         sum(CASE WHEN ca = 0 OR cb = 0 THEN 1 ELSE 0 END) AS bad
+  FROM per
+), terms AS (
+  SELECT band,
+    (CAST(ca AS DOUBLE) / (SELECT na FROM tot)
+     - CAST(cb AS DOUBLE) / (SELECT nb FROM tot))
+    * ln((CAST(ca AS DOUBLE) / (SELECT na FROM tot))
+         / (CAST(cb AS DOUBLE) / (SELECT nb FROM tot))) AS t1
+  FROM per
+)
+SELECT n_bands, na AS n_a, nb AS n_b,
+  CASE WHEN bad = 0 THEN
+    round((SELECT list_aggregate(list(t1 ORDER BY band), 'sum') FROM terms), 6)
+  END AS psi_r
+FROM tot
 """,
         # q167: Elias gamma/delta gap costs via bin() lengths (no log2)
         "q167_adjacency_bits": f"""

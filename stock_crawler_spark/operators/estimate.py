@@ -1,0 +1,150 @@
+"""Small-sample estimation for crawl ops: empirical-Bayes shrinkage
+and capture-recapture universe sizing.
+
+* ``eb_shrunk_rates`` — per-host success/error rates at 10^8 hosts are
+  dominated by hosts with a handful of fetches; ranking raw p̂ puts
+  1-of-1 hosts at both extremes. Beta-binomial empirical Bayes
+  (Robbins 1956; the baseball-batting classic) fits ONE prior
+  Beta(alpha, beta) to the whole host population by method of moments
+  and shrinks every host toward it:
+
+      shrunk = (k + alpha) / (n + alpha + beta)
+
+  — small-n hosts collapse to the prior, big-n hosts keep their data.
+  The companion to wilson_success_rank (q185): Wilson bounds ONE
+  host's uncertainty; EB borrows strength ACROSS hosts.
+* ``chapman_estimate`` — "how many URLs exist that we have NOT seen?"
+  Two independent crawl snapshots are a capture-recapture experiment
+  (Lincoln-Petersen; Chapman 1951's bias-corrected form):
+
+      N_hat = (n1 + 1)(n2 + 1) / (m + 1) - 1,   m = |overlap|
+      var   = (n1+1)(n2+1)(n1-m)(n2-m) / ((m+1)^2 (m+2))
+
+  — the frontier-sizing number that prices "how much crawl is left",
+  honest under the independence caveat (documented, not hidden).
+
+Spark shape: both are one or two map-side-combined aggregates over the
+corpus plus 1-row broadcast arithmetic — no shuffle beyond the
+groupBys, every decision quantity round-6 for exact SQL replay.
+
+Reference analog: the reference's fixed stock list never needs sizing;
+an open frontier does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def eb_shrunk_rates(
+    counts: DataFrame,
+    key_col: str = "host",
+    hits_col: str = "k",
+    trials_col: str = "n",
+) -> DataFrame:
+    """Beta-binomial EB shrinkage of per-key rates.
+
+    Prior by method of moments on the per-key rate distribution
+    (keys weighted equally — the population being ranked):
+
+        mu = mean(p̂),  v = var(p̂)  (population variance)
+        c  = mu(1-mu)/v - 1,  alpha = mu*c,  beta = (1-mu)*c
+
+    Degenerate populations (v = 0, or v >= mu(1-mu), where the moment
+    solution has c <= 0) fall back to no shrinkage (shrunk = raw) with
+    alpha/beta NULL — loud in the output, not a crash. Returns one row
+    per key: (key, n, k, raw_r, shrunk_r) plus the prior columns
+    (alpha_r, beta_r) repeated for audit. Rates round-6.
+
+    Scale/determinism: the moment sums run over rates QUANTIZED to
+    round-9 integers (p9 = round(p̂ * 1e9)), so S1 = sum(p9) and
+    S2 = sum(p9^2) are EXACT integers (long / DECIMAL(38,0) — p9 <=
+    1e9, so S2 <= 10^18 per key, 10^26 at 10^8 keys) summed in any
+    order — no sorted float fold, no collect, one map-side-combined
+    aggregate over the key table; mu/v/alpha/beta are a handful of
+    final double ops that replay bit-for-bit in SQL. The 1e-9 rate
+    quantization is documented, deterministic, and far below any
+    ranking-relevant resolution.
+    """
+    per = counts.select(
+        F.col(key_col).alias("_key"),
+        F.col(trials_col).cast("long").alias("_n"),
+        F.col(hits_col).cast("long").alias("_k"),
+    ).filter(F.col("_n") > 0)
+    rate = F.col("_k").cast("double") / F.col("_n").cast("double")
+    p9 = F.round(rate * F.lit(1.0e9), 0).cast("long")
+    dec = "decimal(38,0)"
+    packed = per.agg(
+        F.sum(p9).cast("long").alias("_s1"),
+        F.sum(p9.cast(dec) * p9.cast(dec)).alias("_s2"),
+        F.count(F.lit(1)).alias("_m"),
+    )
+    md = F.col("_m").cast("double")
+    mu = F.col("_s1").cast("double") / (md * F.lit(1.0e9))
+    v = F.col("_s2").cast("double") / (md * F.lit(1.0e18)) - mu * mu
+    c = mu * (F.lit(1.0) - mu) / v - F.lit(1.0)
+    prior = packed.select(
+        F.when((v > 0) & (c > 0), mu * c).alias("_alpha"),
+        F.when((v > 0) & (c > 0), (F.lit(1.0) - mu) * c).alias("_beta"),
+    )
+    joined = per.crossJoin(F.broadcast(prior))
+    shrunk = F.when(
+        F.col("_alpha").isNotNull(),
+        (F.col("_k").cast("double") + F.col("_alpha"))
+        / (F.col("_n").cast("double") + F.col("_alpha") + F.col("_beta")),
+    ).otherwise(rate)
+    return joined.select(
+        F.col("_key").alias(key_col),
+        F.col("_n").alias("n"),
+        F.col("_k").alias("k"),
+        F.round(rate, 6).alias("raw_r"),
+        F.round(shrunk, 6).alias("shrunk_r"),
+        F.round(F.col("_alpha"), 6).alias("alpha_r"),
+        F.round(F.col("_beta"), 6).alias("beta_r"),
+    )
+
+
+def chapman_estimate(
+    snap_a: DataFrame,
+    snap_b: DataFrame,
+    key_col: str = "url",
+) -> DataFrame:
+    """Chapman bias-corrected capture-recapture estimate of the
+    universe size from two snapshots of keys. Exact integer counts
+    (n1, n2, m) via two distincts and one inner join; the estimate and
+    its variance are the only float ops (round-2 — these are
+    population COUNTS, sub-integer precision is noise). Returns ONE
+    row: (n1, n2, m_overlap, n_hat_r, se_r); se_r NULL when m = 0
+    (the estimator is defined — (n1+1)(n2+1)-1 — but its variance
+    formula's (m+2) guard is real; callers treat m=0 as "snapshots
+    disjoint, estimate unreliable").
+
+    CAVEAT (documented contract): assumes the two snapshots sample
+    independently; shared crawl frontiers violate this toward
+    underestimation. Use snapshots from different seed families.
+    """
+    a = snap_a.select(F.col(key_col).alias("_u")).distinct()
+    b = snap_b.select(F.col(key_col).alias("_u")).distinct()
+    n1 = a.agg(F.count(F.lit(1)).cast("long").alias("n1"))
+    n2 = b.agg(F.count(F.lit(1)).cast("long").alias("n2"))
+    m = a.join(b, "_u").agg(F.count(F.lit(1)).cast("long").alias("m_overlap"))
+    one = n1.crossJoin(F.broadcast(n2)).crossJoin(F.broadcast(m))
+    f1 = (F.col("n1") + 1).cast("double")
+    f2 = (F.col("n2") + 1).cast("double")
+    fm = (F.col("m_overlap") + 1).cast("double")
+    nhat = f1 * f2 / fm - F.lit(1.0)
+    var = (
+        f1
+        * f2
+        * (F.col("n1") - F.col("m_overlap")).cast("double")
+        * (F.col("n2") - F.col("m_overlap")).cast("double")
+        / (fm * fm * (F.col("m_overlap") + 2).cast("double"))
+    )
+    return one.select(
+        "n1",
+        "n2",
+        "m_overlap",
+        F.round(nhat, 2).alias("n_hat_r"),
+        F.when(F.col("m_overlap") > 0, F.round(F.sqrt(var), 2)).alias("se_r"),
+    )

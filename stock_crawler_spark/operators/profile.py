@@ -698,3 +698,61 @@ def good_turing(tokens: DataFrame, token_col: str = "token") -> DataFrame:
             ).alias("r_star_r"),
         )
     )
+
+
+# --- Population stability index -----------------------------------------------
+
+
+def psi_drift(
+    banded: DataFrame,
+    snap_col: str = "snap",
+    band_col: str = "band",
+) -> DataFrame:
+    """Population Stability Index between two snapshots' band
+    distributions: PSI = sum_bands (p_b - q_b) * ln(p_b / q_b) — the
+    ops-floor drift metric (credit-scoring folklore thresholds: < 0.1
+    stable, 0.1-0.25 watch, > 0.25 shifted) beside the
+    information-theoretic q138 JS distance; PSI is what a monitoring
+    dashboard alarms on, JS is what a paper cites. PSI is in fact the
+    SYMMETRISED KL divergence KL(p||q) + KL(q||p).
+
+    ``banded`` has one row per observation: ``snap_col`` in {0, 1}
+    (baseline / current) and a band label. CONTRACT: every band must
+    appear in BOTH snapshots (PSI is undefined on a zero share — band
+    your variable so it is exhaustive); a violating band yields NULL
+    psi_r, loudly, instead of an epsilon fudge. Terms fold
+    band-sorted (q42 convention). One groupBy; O(bands) after.
+    Returns ONE row: (n_bands, n_a, n_b, psi_r) round-6.
+    """
+    per = banded.groupBy(F.col(band_col).alias("_b")).agg(
+        F.sum(
+            F.when(F.col(snap_col).cast("int") == 0, 1).otherwise(0)
+        ).cast("long").alias("_ca"),
+        F.sum(
+            F.when(F.col(snap_col).cast("int") == 1, 1).otherwise(0)
+        ).cast("long").alias("_cb"),
+    )
+    tot = per.agg(
+        F.sum("_ca").cast("long").alias("n_a"),
+        F.sum("_cb").cast("long").alias("n_b"),
+        F.count(F.lit(1)).alias("n_bands"),
+        F.sum(
+            F.when((F.col("_ca") == 0) | (F.col("_cb") == 0), 1).otherwise(0)
+        ).alias("_bad"),
+    )
+    packed = per.agg(
+        F.array_sort(F.collect_list(F.struct("_b", "_ca", "_cb"))).alias("arr")
+    ).crossJoin(F.broadcast(tot))
+    pa = lambda s: s["_ca"].cast("double") / F.col("n_a").cast("double")  # noqa: E731
+    pb = lambda s: s["_cb"].cast("double") / F.col("n_b").cast("double")  # noqa: E731
+    psi = F.aggregate(
+        "arr",
+        F.lit(0.0),
+        lambda a, s: a + (pa(s) - pb(s)) * F.log(pa(s) / pb(s)),
+    )
+    return packed.select(
+        "n_bands",
+        "n_a",
+        "n_b",
+        F.when(F.col("_bad") == 0, F.round(psi, 6)).alias("psi_r"),
+    )

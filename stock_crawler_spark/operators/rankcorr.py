@@ -222,3 +222,74 @@ def kendall_tau_b(
             ),
         ).alias("taub_r"),
     )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    n_partitions: int = 32,
+) -> DataFrame:
+    """Exact tie-corrected Kruskal-Wallis H test (Kruskal & Wallis
+    1952): do k groups (schedulers, mirrors, content pipelines) share
+    one latency/quality distribution, judged on RANKS — the k-group
+    generalization of Mann-Whitney, robust to the heavy tails that
+    invalidate ANOVA on crawl latencies.
+
+    Via the same centered doubled ranks d = 2*avgrank - (n+1) as
+    spearman_rho (global ranks from the pinned-range distributed
+    cumsum, never a global sort): with D_g = sum of d over group g
+    (an EXACT integer, DECIMAL(38,0)),
+
+        H = [ 3 / (n(n+1)) * sum_g D_g^2 / n_g ] / (1 - T/(n^3 - n)),
+        T = sum over tied-value groups (t^3 - t)
+
+    — the per-group terms fold group-sorted (k groups, bounded), T and
+    every D_g are exact integers, and the final expression is a
+    handful of double ops that replay in SQL. Returns ONE row:
+    (n_rows, n_groups, dof, h_r); NULL h_r when all values are tied
+    (tie divisor 0) or fewer than 2 groups.
+    """
+    rows = df.select(
+        F.col(group_col).alias("_g"), F.col(value_col).alias("_x")
+    )
+    rx = _centered_double_ranks(rows, "_x", "_d", n_partitions)
+    joined = rows.join(rx, "_x")
+    per_g = joined.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("long").alias("_ng"),
+        F.sum(F.col("_d").cast(_DEC)).alias("_dg"),
+    )
+    ties = (
+        rows.groupBy("_x")
+        .agg(F.count(F.lit(1)).cast("long").alias("_t"))
+        .agg(
+            F.sum(
+                F.col("_t").cast(_DEC) * F.col("_t").cast(_DEC)
+                * F.col("_t").cast(_DEC)
+                - F.col("_t").cast(_DEC)
+            ).alias("_tt"),
+            F.sum("_t").cast("long").alias("_n"),
+        )
+    )
+    packed = per_g.agg(
+        F.array_sort(F.collect_list(F.struct("_g", "_ng", "_dg"))).alias("arr"),
+        F.count(F.lit(1)).alias("n_groups"),
+    ).crossJoin(F.broadcast(ties))
+    term = lambda s: (  # noqa: E731
+        (s["_dg"] * s["_dg"]).cast("double") / s["_ng"].cast("double")
+    )
+    ssum = F.aggregate("arr", F.lit(0.0), lambda a, s: a + term(s))
+    nd = F.col("_n").cast("double")
+    tiediv = F.lit(1.0) - F.col("_tt").cast("double") / (nd * nd * nd - nd)
+    h = (
+        F.lit(3.0) / (nd * (nd + F.lit(1.0))) * ssum
+    ) / tiediv
+    return packed.select(
+        F.col("_n").alias("n_rows"),
+        "n_groups",
+        (F.col("n_groups") - 1).alias("dof"),
+        F.when(
+            (F.col("n_groups") > 1) & (F.col("_tt") < (F.col("_n").cast(_DEC) * F.col("_n").cast(_DEC) * F.col("_n").cast(_DEC) - F.col("_n").cast(_DEC))),
+            F.round(h, 6),
+        ).alias("h_r"),
+    )

@@ -1,0 +1,165 @@
+"""EB shrinkage, Chapman capture-recapture, Kruskal-Wallis, PSI."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from stock_crawler_spark.operators.estimate import (
+    chapman_estimate,
+    eb_shrunk_rates,
+)
+from stock_crawler_spark.operators.profile import psi_drift
+from stock_crawler_spark.operators.rankcorr import kruskal_wallis
+
+
+def _eb_brute(pairs):
+    p9s = [round(k / n * 1e9) for _, n, k in pairs]
+    m = len(p9s)
+    mu = sum(p9s) / (m * 1e9)
+    v = sum(p * p for p in p9s) / (m * 1e18) - mu * mu
+    if v <= 0:
+        return None, None
+    c = mu * (1 - mu) / v - 1
+    if c <= 0:
+        return None, None
+    return mu * c, (1 - mu) * c
+
+
+@pytest.mark.parametrize("parts", [1, 7])
+def test_eb_matches_bruteforce_and_shrinks(spark, parts):
+    rng = np.random.default_rng(3)
+    pairs = []
+    for i in range(60):
+        n = int(rng.integers(1, 200))
+        k = int(rng.binomial(n, 0.3 + 0.4 * (i % 3) / 2))
+        pairs.append((f"h{i}", n, k))
+    pairs.append(("tiny", 1, 1))  # raw rate 1.0, must shrink hard
+    df = spark.createDataFrame(pairs, "host string, n long, k long").repartition(
+        parts
+    )
+    alpha, beta = _eb_brute(pairs)
+    out = {r["host"]: r for r in eb_shrunk_rates(df).collect()}
+    assert out["tiny"]["alpha_r"] == pytest.approx(alpha, abs=1e-5)
+    assert out["tiny"]["beta_r"] == pytest.approx(beta, abs=1e-5)
+    for key, n, k in pairs:
+        want = (k + alpha) / (n + alpha + beta)
+        assert out[key]["shrunk_r"] == pytest.approx(want, abs=2e-6), key
+    # the 1-of-1 host collapses toward the prior mean, far from 1.0
+    assert out["tiny"]["raw_r"] == 1.0
+    assert out["tiny"]["shrunk_r"] < 0.75
+
+
+def test_eb_degenerate_no_shrink(spark):
+    df = spark.createDataFrame(
+        [(f"h{i}", 10, 5) for i in range(8)], "host string, n long, k long"
+    )
+    out = eb_shrunk_rates(df).collect()
+    for r in out:
+        assert r["alpha_r"] is None and r["shrunk_r"] == r["raw_r"] == 0.5
+
+
+def test_chapman_hand_numbers(spark):
+    a = spark.createDataFrame([(f"u{i}",) for i in range(900)], "url string")
+    b = spark.createDataFrame(
+        [(f"u{i}",) for i in range(300, 1100)], "url string"
+    )
+    r = chapman_estimate(a, b).collect()[0]
+    assert (r["n1"], r["n2"], r["m_overlap"]) == (900, 800, 600)
+    want = 901 * 801 / 601 - 1
+    assert r["n_hat_r"] == pytest.approx(want, abs=0.01)
+    var = 901 * 801 * 300 * 200 / (601 * 601 * 602)
+    assert r["se_r"] == pytest.approx(math.sqrt(var), abs=0.01)
+
+
+def test_chapman_disjoint(spark):
+    a = spark.createDataFrame([("a",), ("b",)], "url string")
+    b = spark.createDataFrame([("c",), ("d",)], "url string")
+    r = chapman_estimate(a, b).collect()[0]
+    assert r["m_overlap"] == 0 and r["se_r"] is None
+    assert r["n_hat_r"] == pytest.approx(3 * 3 / 1 - 1)
+
+
+def _kw_brute(groups):
+    vals = [v for g in groups for v in g]
+    ranks = pd.Series(vals).rank(method="average").to_numpy()
+    n = len(vals)
+    i, h = 0, 0.0
+    for g in groups:
+        rg = ranks[i : i + len(g)]
+        h += len(g) * (rg.mean() - (n + 1) / 2) ** 2
+        i += len(g)
+    h *= 12 / (n * (n + 1))
+    _, t = np.unique(vals, return_counts=True)
+    tie = 1 - (t**3 - t).sum() / (n**3 - n)
+    return h / tie if tie > 0 else None
+
+
+@pytest.mark.parametrize("seed,parts", [(1, 1), (4, 11)])
+def test_kw_matches_bruteforce(spark, seed, parts):
+    rng = np.random.default_rng(seed)
+    groups = [
+        [int(v) for v in rng.integers(0, 30, size=80)],
+        [int(v) + 4 for v in rng.integers(0, 30, size=60)],
+        [int(v) for v in rng.integers(0, 30, size=70)],
+    ]
+    rows = [(f"g{i}", v) for i, g in enumerate(groups) for v in g]
+    df = spark.createDataFrame(rows, "grp string, x long").repartition(parts)
+    r = kruskal_wallis(df, "grp", "x").collect()[0]
+    assert (r["n_rows"], r["n_groups"], r["dof"]) == (210, 3, 2)
+    assert r["h_r"] == pytest.approx(_kw_brute(groups), abs=2e-6)
+
+
+def test_kw_shifted_vs_identical(spark):
+    same = [("a", v) for v in range(50)] + [("b", v) for v in range(50)]
+    shifted = [("a", v) for v in range(50)] + [("b", v + 40) for v in range(50)]
+    h_same = kruskal_wallis(
+        spark.createDataFrame(same, "grp string, x long"), "grp", "x"
+    ).collect()[0]["h_r"]
+    h_shift = kruskal_wallis(
+        spark.createDataFrame(shifted, "grp string, x long"), "grp", "x"
+    ).collect()[0]["h_r"]
+    assert h_same < 1 < 20 < h_shift
+
+
+def test_kw_all_tied_null(spark):
+    df = spark.createDataFrame(
+        [("a", 7)] * 5 + [("b", 7)] * 5, "grp string, x long"
+    )
+    assert kruskal_wallis(df, "grp", "x").collect()[0]["h_r"] is None
+
+
+def _psi_brute(ca, cb):
+    na, nb = sum(ca.values()), sum(cb.values())
+    return sum(
+        (ca[b] / na - cb[b] / nb) * math.log((ca[b] / na) / (cb[b] / nb))
+        for b in ca
+    )
+
+
+@pytest.mark.parametrize("parts", [1, 6])
+def test_psi_matches_bruteforce(spark, parts):
+    ca = {"low": 400, "mid": 350, "high": 250}
+    cb = {"low": 250, "mid": 300, "high": 450}
+    rows = [(0, b) for b, c in ca.items() for _ in range(c)] + [
+        (1, b) for b, c in cb.items() for _ in range(c)
+    ]
+    df = spark.createDataFrame(rows, "snap int, band string").repartition(parts)
+    r = psi_drift(df).collect()[0]
+    assert (r["n_a"], r["n_b"], r["n_bands"]) == (1000, 1000, 3)
+    assert r["psi_r"] == pytest.approx(_psi_brute(ca, cb), abs=2e-6)
+    assert r["psi_r"] > 0.1  # this shift is "watch" grade
+
+
+def test_psi_identical_zero_and_missing_band_null(spark):
+    same = [(s, b) for s in (0, 1) for b in ("x", "y", "z") for _ in range(40)]
+    r = psi_drift(spark.createDataFrame(same, "snap int, band string")).collect()[0]
+    assert r["psi_r"] == pytest.approx(0.0, abs=1e-9)
+    missing = [(0, "x"), (0, "y"), (1, "x")]
+    r2 = psi_drift(
+        spark.createDataFrame(missing, "snap int, band string")
+    ).collect()[0]
+    assert r2["psi_r"] is None

@@ -210,6 +210,10 @@ def test_no_cartesian_products_anywhere(spark):
         "q201_good_turing",      # broadcast 1-row total-token count N
         "q205_g_test",           # broadcast 1-row (N, R, C) totals
         "q207_benford",          # broadcast 1-row total-count N
+        "q209_eb_shrinkage",     # broadcast 1-row fitted Beta prior
+        "q210_chapman",          # broadcast 1-row snapshot counts
+        "q211_kruskal_wallis",   # broadcast 1-row tie term beside group fold
+        "q212_psi_drift",        # broadcast 1-row snapshot totals
         "q197_heavy_bytes",      # broadcast 1-row total weight (phi*W threshold)
     }
     for name, fn in entrymod.queries().items():
