@@ -51,6 +51,42 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _truncate_summary(merged: DataFrame, k: int) -> DataFrame:
+    """Batch-MG truncation of a (key, _e) summary to <= k rows:
+    subtract the (k+1)-th largest carried estimate and drop
+    non-positives. Each application removes at least (k+1)*d weight,
+    so decrements stay bounded by carried-weight/(k+1). The window is
+    global but only ever sees summary rows (<= k per input), never
+    data-scale."""
+    wg = Window.orderBy(F.col("_e").desc(), F.col("key"))
+    ranked = merged.withColumn("_r", F.row_number().over(wg)).withColumn(
+        "_d",
+        F.max(
+            F.when(F.col("_r") == k + 1, F.col("_e")).otherwise(F.lit(0))
+        ).over(Window.partitionBy()),
+    )
+    return ranked.filter(
+        (F.col("_r") <= k) & (F.col("_e") > F.col("_d"))
+    ).select("key", (F.col("_e") - F.col("_d")).alias("est"))
+
+
+def mg_merge(a: DataFrame, b: DataFrame, k: int) -> DataFrame:
+    """Merge two MG summaries (key, est) into one <= k-row summary —
+    the mergeability that IS the streaming story (Agarwal+ PODS'12):
+    per-microbatch summaries folded with mg_merge stay valid lower
+    bounds, with each fold layer adding at most carried-weight/(k+1)
+    to the deficit. Sum per key, truncate once."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    merged = (
+        a.select("key", "est")
+        .unionByName(b.select("key", "est"))
+        .groupBy("key")
+        .agg(F.sum("est").alias("_e"))
+    )
+    return _truncate_summary(merged, k)
+
+
 def mg_summary(
     df: DataFrame,
     key_col: str,
@@ -83,16 +119,7 @@ def mg_summary(
     # merge: sum carried estimates per key, truncate once more. The
     # window is global but runs over <= k * n_partitions summary rows.
     merged = lvl1.groupBy("key").agg(F.sum("_e").alias("_e"))
-    wg = Window.orderBy(F.col("_e").desc(), F.col("key"))
-    ranked2 = merged.withColumn("_r", F.row_number().over(wg)).withColumn(
-        "_d",
-        F.max(
-            F.when(F.col("_r") == k + 1, F.col("_e")).otherwise(F.lit(0))
-        ).over(Window.partitionBy()),
-    )
-    return ranked2.filter(
-        (F.col("_r") <= k) & (F.col("_e") > F.col("_d"))
-    ).select("key", (F.col("_e") - F.col("_d")).alias("est"))
+    return _truncate_summary(merged, k)
 
 
 def heavy_hitters_exact(

@@ -85,3 +85,66 @@ def test_confirm_join_is_broadcast_semi(spark):
     plan = heavy_hitters_exact(df, "host", 0.05)._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan and "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_streaming_mg_microbatch_fold_keeps_bounds(spark, tmp_path):
+    """MG's mergeability IS its streaming story (Agarwal+ PODS'12):
+    per-microbatch summaries folded with mg_merge stay deterministic
+    LOWER bounds, with total deficit <= 3W/(k+1) for the two-level
+    batch construction plus one fold layer — which keeps the
+    sketch-prune-then-exact-confirm contract alive on a stream."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from stock_crawler_spark.operators.heavy import mg_merge, mg_summary
+
+    df = _zipf_df(spark, 31, n=6000)
+    k = 40
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "mg_state")
+    os.makedirs(src)
+    half = F.crc32(F.col("host")) % 2
+    df.filter(half == 0).coalesce(1).write.parquet(src + "/b0")
+    df.filter(half == 1).coalesce(1).write.parquet(src + "/b1")
+
+    def fold(batch_df, batch_id):
+        sk = mg_summary(batch_df, "host", k)
+        if os.path.exists(state + "/_SUCCESS"):
+            prev = batch_df.sparkSession.read.parquet(state)
+            sk = mg_merge(prev, sk, k)
+        staging = str(tmp_path / "staging")
+        sk.coalesce(1).write.mode("overwrite").parquet(staging)
+        batch_df.sparkSession.read.parquet(staging).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(state)
+
+    q = (
+        spark.readStream.schema("host string, nbytes int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b*")
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    streamed = {
+        r["key"]: r["est"] for r in spark.read.parquet(state).collect()
+    }
+    true = {
+        r["host"]: r["c"]
+        for r in df.groupBy("host").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    w = sum(true.values())
+    assert 0 < len(streamed) <= k
+    for key, est in streamed.items():
+        assert 0 < est <= true[key]          # never an overcount
+        assert true[key] - est <= 3 * w / (k + 1)
+    # candidate completeness at phi sized for the merged bound
+    # (k+1 > 3/phi): every true phi-hitter must survive the fold
+    phi = 4.0 / (k + 1)
+    for key, c in true.items():
+        if c > phi * w:
+            assert key in streamed, key
