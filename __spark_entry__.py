@@ -1362,6 +1362,75 @@ def q212_psi_drift(spark, sf):
     return psi_drift(rows)
 
 
+HOLT_A, HOLT_G = 0.5, 0.3
+
+
+def q213_holt_mase(spark, sf):
+    """Holt linear forecast + in-sample MASE per host (operators/
+    recrawl.holt_forecast; Holt 1957, MASE per Hyndman & Koehler
+    2006) over per-host round series with planted linear ramps — the
+    level+trend recrawl forecaster beside EWMA, with MASE reporting
+    whether it beats naive carry-forward at all. Same bounded ordered
+    fold as q187; the oracle replays the recursion via a recursive
+    CTE."""
+    from stock_crawler_spark.operators.recrawl import holt_forecast
+
+    ev = _t(spark, sf, "events")
+    per = ev.groupBy(
+        (F.col("user_id") % 10).alias("hid"),
+        (F.col("event_id") % 8).cast("int").alias("round"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    rows = per.select(
+        F.concat(F.lit("h"), F.col("hid").cast("string"), F.lit(".org")).alias(
+            "host"
+        ),
+        "round",
+        (
+            F.col("cnt").cast("double") / F.lit(100.0)
+            + (F.col("round").cast("long") * (F.col("hid") % 3))
+            * F.lit(0.05)
+        ).alias("x"),
+    )
+    return holt_forecast(rows, HOLT_A, HOLT_G)
+
+
+TRIM_FRAC = 0.05
+
+
+def q214_trimmed_mean(spark, sf):
+    """Exact symmetric trimmed mean of fetch latencies (operators/
+    profile.trimmed_mean) with planted 5000ms outlier spikes every
+    97th event — the robust SLO statistic between median and mean,
+    computed tie-exactly from distinct-value rank spans (pinned-range
+    cumsum, no global sort; kept weights and weighted sums exact
+    longs/DECIMAL). Oracle replays spans and the two divisions."""
+    from stock_crawler_spark.operators.profile import trimmed_mean
+
+    ev = _t(spark, sf, "events")
+    vals = ev.select(
+        (
+            F.col("event_id") % 400
+            + F.when(F.col("event_id") % 97 == 0, 5000).otherwise(0)
+        ).alias("x")
+    )
+    return trimmed_mean(vals, TRIM_FRAC)
+
+
+def q215_gini(spark, sf):
+    """Exact Gini coefficient of per-host fetch-count load (operators/
+    profile.gini_coefficient) — the one-number shard/host imbalance
+    reading beside q123's full skew profile; tie-exact rank-sum
+    identity over distinct counts, everything integer until two final
+    double ops. Oracle replays the cumsum and rank-sum formula."""
+    from stock_crawler_spark.operators.profile import gini_coefficient
+
+    ev = _t(spark, sf, "events")
+    per = ev.groupBy((F.col("event_id") % 1201).alias("hid")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    return gini_coefficient(per)
+
+
 _Q44_PRE = (
     "<html><head><title>t</title><script>var x = 1 < 2;</script>"
     "<style>p { color: red; }</style></head><body><!-- nav boilerplate -->"
@@ -5284,6 +5353,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q210_chapman": q210_chapman,
         "q211_kruskal_wallis": q211_kruskal_wallis,
         "q212_psi_drift": q212_psi_drift,
+        "q213_holt_mase": q213_holt_mase,
+        "q214_trimmed_mean": q214_trimmed_mean,
+        "q215_gini": q215_gini,
     }
 
 
@@ -9792,6 +9864,111 @@ SELECT n_bands, na AS n_a, nb AS n_b,
     round((SELECT list_aggregate(list(t1 ORDER BY band), 'sum') FROM terms), 6)
   END AS psi_r
 FROM tot
+""",
+        # q213: Holt recursion replayed via recursive CTE (q187's
+        # pattern); literals shared with the Spark fold
+        "q213_holt_mase": f"""
+WITH RECURSIVE per AS (
+  SELECT user_id % 10 AS hid, CAST(event_id % 8 AS INT) AS r,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2
+), obs0 AS (
+  SELECT 'h' || hid || '.org' AS host, r,
+    CAST(cnt AS DOUBLE) / CAST(100.0 AS DOUBLE)
+      + (CAST(r AS BIGINT) * (hid % 3)) * CAST(0.05 AS DOUBLE) AS x
+  FROM per
+), obs AS (
+  SELECT host, r, x,
+    row_number() OVER (PARTITION BY host ORDER BY r) AS rn
+  FROM obs0
+), nr AS (
+  SELECT host, count(*) AS n_rounds FROM obs GROUP BY 1
+), rec AS (
+  SELECT host, 0 AS rn, CAST(0.0 AS DOUBLE) AS l, CAST(0.0 AS DOUBLE) AS b,
+         CAST(0.0 AS DOUBLE) AS prev, CAST(0.0 AS DOUBLE) AS se,
+         CAST(0.0 AS DOUBLE) AS sn
+  FROM nr
+  UNION ALL
+  SELECT o.host, o.rn,
+    CASE WHEN rec.rn = 0 THEN o.x
+         ELSE CAST({HOLT_A!r} AS DOUBLE) * o.x
+              + (CAST(1.0 AS DOUBLE) - CAST({HOLT_A!r} AS DOUBLE))
+                * (rec.l + rec.b) END,
+    CASE WHEN rec.rn = 0 THEN CAST(0.0 AS DOUBLE)
+         ELSE CAST({HOLT_G!r} AS DOUBLE)
+              * ((CAST({HOLT_A!r} AS DOUBLE) * o.x
+                  + (CAST(1.0 AS DOUBLE) - CAST({HOLT_A!r} AS DOUBLE))
+                    * (rec.l + rec.b)) - rec.l)
+              + (CAST(1.0 AS DOUBLE) - CAST({HOLT_G!r} AS DOUBLE)) * rec.b
+    END,
+    o.x,
+    CASE WHEN rec.rn = 0 THEN CAST(0.0 AS DOUBLE)
+         ELSE rec.se + abs(o.x - (rec.l + rec.b)) END,
+    CASE WHEN rec.rn = 0 THEN CAST(0.0 AS DOUBLE)
+         ELSE rec.sn + abs(o.x - rec.prev) END
+  FROM rec JOIN obs o ON o.host = rec.host AND o.rn = rec.rn + 1
+)
+SELECT rec.host, CAST(nr.n_rounds AS INT) AS n_rounds,
+  round(l, 6) AS level_r, round(b, 6) AS trend_r,
+  round(l + b, 6) AS forecast_r,
+  CASE WHEN sn > 0 THEN round(se / sn, 6) END AS mase_r
+FROM rec JOIN nr ON rec.host = nr.host AND rec.rn = nr.n_rounds
+""",
+        # q214: distinct-value rank spans, kept-weight overlap, two
+        # exact divisions
+        "q214_trimmed_mean": f"""
+WITH vals AS (
+  SELECT event_id % 400
+         + CASE WHEN event_id % 97 = 0 THEN 5000 ELSE 0 END AS v
+  FROM events
+), per AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM vals GROUP BY 1
+), nn AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM per),
+k AS (
+  SELECT n,
+    CAST(trunc(CAST({TRIM_FRAC!r} AS DOUBLE) * n) AS BIGINT) AS lo
+  FROM nn
+), cum AS (
+  SELECT v, cnt, sum(cnt) OVER (ORDER BY v) - cnt AS below FROM per
+), spans AS (
+  SELECT v, cnt,
+    greatest(CAST(0 AS BIGINT),
+             least((SELECT n - lo FROM k), below + cnt)
+             - greatest((SELECT lo FROM k), below)) AS kept
+  FROM cum
+)
+SELECT (SELECT n FROM nn) AS n_rows,
+       CAST(sum(kept) AS BIGINT) AS n_kept,
+  round(CAST(sum(v * cnt) AS DOUBLE)
+        / CAST((SELECT n FROM nn) AS DOUBLE), 6) AS mean_r,
+  CASE WHEN sum(kept) > 0 THEN
+    round(CAST(sum(v * kept) AS DOUBLE)
+          / CAST(sum(kept) AS DOUBLE), 6) END AS trimmed_r
+FROM spans
+""",
+        # q215: tie-exact rank-sum Gini over per-host count load
+        "q215_gini": """
+WITH per AS (
+  SELECT event_id % 1201 AS hid, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+), pv AS (
+  SELECT x AS v, CAST(count(*) AS BIGINT) AS cnt FROM per GROUP BY 1
+), cum AS (
+  SELECT v, cnt, sum(cnt) OVER (ORDER BY v) - cnt AS below FROM pv
+), agg AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+         CAST(sum(v * cnt) AS BIGINT) AS total,
+         sum(v * (cnt * below + cnt * (cnt + 1) // 2)) AS s
+  FROM cum
+)
+SELECT n_rows, total,
+  CASE WHEN total > 0 THEN
+    round(CAST(2.0 AS DOUBLE) * CAST(s AS DOUBLE)
+          / (CAST(n_rows AS DOUBLE) * CAST(total AS DOUBLE))
+          - (CAST(n_rows AS DOUBLE) + CAST(1.0 AS DOUBLE))
+            / CAST(n_rows AS DOUBLE), 6)
+  END AS gini_r
+FROM agg
 """,
         # q167: Elias gamma/delta gap costs via bin() lengths (no log2)
         "q167_adjacency_bits": f"""

@@ -756,3 +756,174 @@ def psi_drift(
         "n_b",
         F.when(F.col("_bad") == 0, F.round(psi, 6)).alias("psi_r"),
     )
+
+
+# --- exact trimmed mean -------------------------------------------------------
+
+
+def trimmed_mean(
+    values: DataFrame,
+    trim: float = 0.1,
+    value_col: str = "x",
+    n_partitions: int = 32,
+) -> DataFrame:
+    """EXACT symmetric alpha-trimmed mean of an integer-valued column
+    — the robust latency/size SLO statistic between the median (throws
+    away almost everything) and the mean (one stuck 300s fetch moves
+    it): drop the lowest and highest floor(trim*n) observations and
+    average the rest, at 10^10 rows, without a global sort.
+
+    Tie-exact construction: per DISTINCT value the kept multiplicity
+    is the overlap of the value's rank span (below, below+cnt] with
+    the kept span (lo, hi], lo = floor(trim*n), hi = n - lo — rank
+    spans from the shared pinned-range distributed cumsum. The kept
+    weights and the weighted sum are exact longs/DECIMAL(38,0); the
+    single division is the only float op. Returns ONE row:
+    (n_rows, n_kept, mean_r, trimmed_r) — plain mean alongside for
+    the contrast the SLO dashboard wants. trim in [0, 0.5).
+    """
+    from stock_crawler_spark.operators.training import _pinned_range_parts
+
+    t = float(trim)
+    if not (0.0 <= t < 0.5):
+        raise ValueError("trim must be in [0, 0.5)")
+    per = values.groupBy(F.col(value_col).cast("long").alias("_v")).agg(
+        F.count(F.lit(1)).cast("long").alias("_cnt")
+    )
+    with_pid = _pinned_range_parts(per, n_partitions, F.asc("_v"))
+    totals = with_pid.groupBy("_pid").agg(F.sum("_cnt").alias("_t")).collect()
+    off = 0
+    rows = []
+    for pid, tt in sorted((r["_pid"], r["_t"]) for r in totals):
+        rows.append((int(pid), int(off)))
+        off += int(tt)
+    n = off
+    lo = int(t * n)
+    hi = n - lo
+    offsets = values.sparkSession.createDataFrame(rows, "_pid int, _off long")
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(F.asc("_v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dec = "decimal(38,0)"
+    spans = (
+        with_pid.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            "_below", F.col("_off") + F.sum("_cnt").over(w) - F.col("_cnt")
+        )
+        .withColumn(
+            "_kept",
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.least(F.lit(hi), F.col("_below") + F.col("_cnt"))
+                - F.greatest(F.lit(lo), F.col("_below")),
+            ),
+        )
+    )
+    agg = spans.agg(
+        F.sum("_cnt").cast("long").alias("n_rows"),
+        F.sum("_kept").cast("long").alias("n_kept"),
+        F.sum(F.col("_v").cast(dec) * F.col("_cnt").cast(dec)).alias("_s_all"),
+        F.sum(F.col("_v").cast(dec) * F.col("_kept").cast(dec)).alias("_s_kept"),
+    )
+    return agg.select(
+        "n_rows",
+        "n_kept",
+        F.round(
+            F.col("_s_all").cast("double") / F.col("n_rows").cast("double"), 6
+        ).alias("mean_r"),
+        F.when(
+            F.col("n_kept") > 0,
+            F.round(
+                F.col("_s_kept").cast("double")
+                / F.col("n_kept").cast("double"),
+                6,
+            ),
+        ).alias("trimmed_r"),
+    )
+
+
+# --- Gini coefficient ---------------------------------------------------------
+
+
+def gini_coefficient(
+    values: DataFrame,
+    value_col: str = "x",
+    n_partitions: int = 32,
+) -> DataFrame:
+    """EXACT Gini coefficient of a nonnegative integer-valued column —
+    the one-number load-imbalance reading for per-host fetch counts or
+    per-shard bytes (0 = perfectly even, ->1 = one host owns the
+    crawl); the scalar summary beside skew_profile's full histogram.
+
+    Tie-exact rank-sum identity over DISTINCT values (any within-tie
+    order gives the same sum, so ties are harmless):
+
+        S = sum_v v * (t_v * below_v + t_v (t_v + 1) / 2)
+        G = 2S / (n * T) - (n + 1) / n,     T = sum of all values
+
+    below from the pinned-range distributed cumsum; S and T exact
+    DECIMAL(38,0)/long; two final double ops. Returns ONE row:
+    (n_rows, total, gini_r); NULL when T = 0. Negative inputs raise —
+    Gini is undefined there and silently wrong answers are worse than
+    an error.
+    """
+    from stock_crawler_spark.operators.training import _pinned_range_parts
+
+    per = values.groupBy(F.col(value_col).cast("long").alias("_v")).agg(
+        F.count(F.lit(1)).cast("long").alias("_cnt")
+    )
+    with_pid = _pinned_range_parts(per, n_partitions, F.asc("_v"))
+    totals = with_pid.groupBy("_pid").agg(F.sum("_cnt").alias("_t")).collect()
+    off = 0
+    rows = []
+    for pid, tt in sorted((r["_pid"], r["_t"]) for r in totals):
+        rows.append((int(pid), int(off)))
+        off += int(tt)
+    n = off
+    offsets = values.sparkSession.createDataFrame(rows, "_pid int, _off long")
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(F.asc("_v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dec = "decimal(38,0)"
+    neg_guard = F.when(
+        F.col("_v") < 0, F.assert_true(F.lit(False)).cast("long")
+    ).otherwise(F.col("_v"))
+    spans = (
+        with_pid.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            "_below", F.col("_off") + F.sum("_cnt").over(w) - F.col("_cnt")
+        )
+        .withColumn("_v", neg_guard)
+    )
+    ranksum = (
+        F.col("_v").cast(dec)
+        * (
+            F.col("_cnt").cast(dec) * F.col("_below").cast(dec)
+            + (
+                F.col("_cnt").cast(dec) * (F.col("_cnt") + 1).cast(dec)
+            ) / 2
+        )
+    )
+    agg = spans.agg(
+        F.sum("_cnt").cast("long").alias("n_rows"),
+        F.sum(F.col("_v").cast(dec) * F.col("_cnt").cast(dec)).alias("_tot"),
+        F.sum(ranksum).alias("_s"),
+    )
+    nd = F.col("n_rows").cast("double")
+    return agg.select(
+        "n_rows",
+        F.col("_tot").cast("long").alias("total"),
+        F.when(
+            F.col("_tot") > 0,
+            F.round(
+                F.lit(2.0) * F.col("_s").cast("double")
+                / (nd * F.col("_tot").cast("double"))
+                - (nd + F.lit(1.0)) / nd,
+                6,
+            ),
+        ).alias("gini_r"),
+    )

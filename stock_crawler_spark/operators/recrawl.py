@@ -799,3 +799,92 @@ def sprt_bernoulli(
             .alias("decision"),
         )
     )
+
+
+# --- Holt linear forecast + MASE ----------------------------------------------
+
+
+def holt_forecast(
+    stats: DataFrame,
+    alpha: float = 0.5,
+    gamma: float = 0.3,
+    host_col: str = "host",
+    round_col: str = "round",
+    value_col: str = "x",
+) -> DataFrame:
+    """Holt's linear (double) exponential smoothing per host (Holt
+    1957) with in-sample MASE (Hyndman & Koehler 2006) — the
+    level+TREND forecast the recrawl scheduler needs where plain EWMA
+    (budget.harvest_stop) lags every ramp: discovery rates that grow
+    or decay linearly get a trend term, and MASE says whether the
+    model beats the naive carry-forward AT ALL (MASE < 1) before
+    anyone trusts the forecast.
+
+        init: l_1 = x_1, b_1 = 0          (documented choice)
+        t>=2: pred_t = l_{t-1} + b_{t-1}
+              e_t = x_t - pred_t
+              l_t = alpha*x_t + (1-alpha)*pred_t
+              b_t = gamma*(l_t - l_{t-1}) + (1-gamma)*b_{t-1}
+        MASE = sum|e_t| / sum|x_t - x_{t-1}|   (t >= 2)
+
+    Same bounded per-host ordered-array fold as cusum_drift (history
+    is O(rounds)); every double op is order-fixed, so the oracle
+    replays the recursion via a recursive CTE. Output one row per
+    host: (host, n_rounds, level_r, trend_r, forecast_r, mase_r);
+    mase_r NULL when the naive denominator is 0 (constant series) or
+    n < 2; forecast_r is the one-step-ahead l + b.
+    """
+    a, g = float(alpha), float(gamma)
+    if not (0.0 < a <= 1.0 and 0.0 <= g <= 1.0):
+        raise ValueError("need 0 < alpha <= 1 and 0 <= gamma <= 1")
+    d = stats.select(
+        F.col(host_col).alias("_h"),
+        F.struct(
+            F.col(round_col).cast("int").alias("r"),
+            F.col(value_col).cast("double").alias("x"),
+        ).alias("_s"),
+    )
+    per = d.groupBy("_h").agg(F.array_sort(F.collect_list("_s")).alias("arr"))
+    init = F.struct(
+        F.lit(0.0).alias("l"),
+        F.lit(0.0).alias("b"),
+        F.lit(0.0).alias("prev"),
+        F.lit(0.0).alias("se"),
+        F.lit(0.0).alias("sn"),
+        F.lit(0).alias("i"),
+    )
+
+    def step(acc, s):
+        pred = acc["l"] + acc["b"]
+        e = s["x"] - pred
+        l2 = F.lit(a) * s["x"] + (F.lit(1.0) - F.lit(a)) * pred
+        b2 = F.lit(g) * (l2 - acc["l"]) + (F.lit(1.0) - F.lit(g)) * acc["b"]
+        stepped = F.struct(
+            l2.alias("l"),
+            b2.alias("b"),
+            s["x"].alias("prev"),
+            (acc["se"] + F.abs(e)).alias("se"),
+            (acc["sn"] + F.abs(s["x"] - acc["prev"])).alias("sn"),
+            (acc["i"] + 1).alias("i"),
+        )
+        first = F.struct(
+            s["x"].alias("l"),
+            F.lit(0.0).alias("b"),
+            s["x"].alias("prev"),
+            F.lit(0.0).alias("se"),
+            F.lit(0.0).alias("sn"),
+            F.lit(1).alias("i"),
+        )
+        return F.when(acc["i"] == 0, first).otherwise(stepped)
+
+    fin = F.aggregate(F.col("arr"), init, step)
+    return per.select(
+        F.col("_h").alias(host_col),
+        F.size("arr").alias("n_rounds"),
+        F.round(fin["l"], 6).alias("level_r"),
+        F.round(fin["b"], 6).alias("trend_r"),
+        F.round(fin["l"] + fin["b"], 6).alias("forecast_r"),
+        F.when(fin["sn"] > 0, F.round(fin["se"] / fin["sn"], 6)).alias(
+            "mase_r"
+        ),
+    )

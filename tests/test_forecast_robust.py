@@ -1,0 +1,124 @@
+"""Holt linear forecast + MASE, exact trimmed mean, exact Gini."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from stock_crawler_spark.operators.profile import gini_coefficient, trimmed_mean
+from stock_crawler_spark.operators.recrawl import holt_forecast
+
+
+def _holt_brute(xs, a, g):
+    l = xs[0]
+    b = 0.0
+    prev = xs[0]
+    se = sn = 0.0
+    for x in xs[1:]:
+        pred = l + b
+        se += abs(x - pred)
+        sn += abs(x - prev)
+        l2 = a * x + (1 - a) * pred
+        b = g * (l2 - l) + (1 - g) * b
+        l = l2
+        prev = x
+    return l, b, (se / sn if sn > 0 else None)
+
+
+@pytest.mark.parametrize("seed,parts", [(1, 1), (2, 7)])
+def test_holt_matches_bruteforce(spark, seed, parts):
+    rng = np.random.default_rng(seed)
+    rows, series = [], {}
+    for h in range(5):
+        xs = [
+            round(float(10 + 2 * t * (h % 3) + rng.normal(0, 1)), 3)
+            for t in range(12)
+        ]
+        series[f"h{h}"] = xs
+        rows += [(f"h{h}", t, x) for t, x in enumerate(xs)]
+    df = spark.createDataFrame(
+        rows, "host string, round int, x double"
+    ).repartition(parts)
+    out = {r["host"]: r for r in holt_forecast(df, 0.5, 0.3).collect()}
+    for h, xs in series.items():
+        l, b, mase = _holt_brute(xs, 0.5, 0.3)
+        r = out[h]
+        assert r["level_r"] == pytest.approx(l, abs=2e-6)
+        assert r["trend_r"] == pytest.approx(b, abs=2e-6)
+        assert r["forecast_r"] == pytest.approx(l + b, abs=2e-6)
+        assert r["mase_r"] == pytest.approx(mase, abs=2e-6)
+
+
+def test_holt_beats_naive_on_linear_ramp_and_null_on_constant(spark):
+    ramp = [("r", t, float(5 + 3 * t)) for t in range(15)]
+    flat = [("f", t, 2.0) for t in range(15)]
+    df = spark.createDataFrame(
+        ramp + flat, "host string, round int, x double"
+    )
+    out = {r["host"]: r for r in holt_forecast(df, 0.5, 0.3).collect()}
+    assert out["r"]["mase_r"] < 1.0  # trend model beats carry-forward
+    assert out["r"]["trend_r"] > 1.0
+    assert out["f"]["mase_r"] is None  # naive denominator 0
+    with pytest.raises(ValueError):
+        holt_forecast(df, alpha=0.0)
+
+
+@pytest.mark.parametrize("seed,parts,trim", [(3, 1, 0.1), (4, 9, 0.25)])
+def test_trimmed_mean_matches_sorted_slice(spark, seed, parts, trim):
+    rng = np.random.default_rng(seed)
+    xs = [int(v) for v in rng.integers(0, 50, size=777)]
+    xs += [100000, 100000]  # outliers the trim must drop
+    df = spark.createDataFrame([(x,) for x in xs], "x long").repartition(parts)
+    r = trimmed_mean(df, trim).collect()[0]
+    s = sorted(xs)
+    lo = int(trim * len(xs))
+    kept = s[lo : len(xs) - lo]
+    assert r["n_rows"] == len(xs) and r["n_kept"] == len(kept)
+    assert r["trimmed_r"] == pytest.approx(sum(kept) / len(kept), abs=2e-6)
+    assert r["mean_r"] == pytest.approx(sum(xs) / len(xs), abs=2e-6)
+    assert r["trimmed_r"] < r["mean_r"]  # outliers dropped
+
+
+def test_trimmed_mean_zero_trim_is_mean_and_validation(spark):
+    df = spark.createDataFrame([(x,) for x in (1, 2, 3, 4)], "x long")
+    r = trimmed_mean(df, 0.0).collect()[0]
+    assert r["trimmed_r"] == r["mean_r"] == 2.5
+    with pytest.raises(ValueError):
+        trimmed_mean(df, 0.5)
+
+
+def _gini_brute(xs):
+    s = sorted(xs)
+    n = len(s)
+    tot = sum(s)
+    if tot == 0:
+        return None
+    return 2 * sum((i + 1) * x for i, x in enumerate(s)) / (n * tot) - (
+        n + 1
+    ) / n
+
+
+@pytest.mark.parametrize("seed,parts", [(5, 1), (6, 11)])
+def test_gini_matches_bruteforce(spark, seed, parts):
+    rng = np.random.default_rng(seed)
+    xs = [int(v) for v in rng.zipf(1.5, size=900) % 10000]
+    df = spark.createDataFrame([(x,) for x in xs], "x long").repartition(parts)
+    r = gini_coefficient(df).collect()[0]
+    assert r["n_rows"] == 900 and r["total"] == sum(xs)
+    assert r["gini_r"] == pytest.approx(_gini_brute(xs), abs=2e-6)
+
+
+def test_gini_extremes(spark):
+    even = spark.createDataFrame([(5,)] * 100, "x long")
+    assert gini_coefficient(even).collect()[0]["gini_r"] == pytest.approx(
+        0.0, abs=1e-9
+    )
+    onehot = spark.createDataFrame([(0,)] * 99 + [(1000,)], "x long")
+    assert gini_coefficient(onehot).collect()[0]["gini_r"] == pytest.approx(
+        0.99, abs=1e-6
+    )
+    zeros = spark.createDataFrame([(0,)] * 10, "x long")
+    assert gini_coefficient(zeros).collect()[0]["gini_r"] is None
+    neg = spark.createDataFrame([(-3,), (5,)], "x long")
+    with pytest.raises(Exception):
+        gini_coefficient(neg).collect()
