@@ -73,3 +73,102 @@ def streaming_politeness_gate(requests: DataFrame, max_per_domain: int) -> DataF
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# --- stateful streaming SPRT host gate ---------------------------------------
+
+SPRT_OUT_SCHEMA = StructType(
+    [
+        StructField("host", StringType()),
+        StructField("n_seen", LongType()),
+        StructField("n_used", LongType()),
+        StructField("llr", DoubleType()),
+        StructField("decision", StringType()),
+    ]
+)
+
+# (llr, n_seen, n_used, decided) — decided in {0 none, 1 h1, -1 h0}
+SPRT_STATE_SCHEMA = StructType(
+    [
+        StructField("llr", DoubleType()),
+        StructField("n_seen", LongType()),
+        StructField("n_used", LongType()),
+        StructField("decided", IntegerType()),
+    ]
+)
+
+
+def streaming_sprt_gate(
+    obs: DataFrame,
+    p0: float,
+    p1: float,
+    alpha: float = 0.05,
+    beta: float = 0.05,
+) -> DataFrame:
+    """Streaming twin of operators/recrawl.sprt_bernoulli: per-host
+    Wald SPRT state (llr, counts, decision) carried across
+    micro-batches in the checkpointed state store — the host gets
+    gated out (or confirmed healthy) the micro-batch the evidence
+    suffices, and the decision is FROZEN exactly as the batch stopped
+    test requires (post-decision observations bump n_seen only).
+
+    Emits one status row per host per micro-batch (append mode); the
+    latest row is the current verdict. CONTRACT: per host, rounds must
+    arrive in nondecreasing order ACROSS micro-batches (time-ordered
+    streams do); within a batch rows are sorted by round before
+    folding, and the fold adds the same two literal increments in the
+    same order as the batch operator, so the final (llr, n_used,
+    decision) is BIT-IDENTICAL to sprt_bernoulli on the union — the
+    module test pins that equality.
+
+    One state row per host (4 scalars) — the bounded-key-space story
+    of the politeness gate applies unchanged.
+    """
+    import math
+
+    if not (0.0 < p0 < 1.0 and 0.0 < p1 < 1.0 and p0 != p1):
+        raise ValueError("need 0 < p0, p1 < 1 and p0 != p1")
+    if not (0.0 < alpha < 1.0 and 0.0 < beta < 1.0):
+        raise ValueError("alpha, beta in (0, 1)")
+    w_hit = math.log(p1 / p0)
+    w_miss = math.log((1.0 - p1) / (1.0 - p0))
+    a_bound = math.log((1.0 - beta) / alpha)
+    b_bound = math.log(beta / (1.0 - alpha))
+
+    def gate(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (host,) = key
+        llr, n_seen, n_used, decided = (
+            state.get if state.exists else (0.0, 0, 0, 0)
+        )
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values("round", kind="mergesort")
+        for x in rows["x"]:
+            n_seen += 1
+            if decided == 0:
+                llr += w_hit if int(x) == 1 else w_miss
+                n_used += 1
+                if llr >= a_bound:
+                    decided = 1
+                elif llr <= b_bound:
+                    decided = -1
+        state.update((llr, n_seen, n_used, decided))
+        label = {0: "continue", 1: "accept_h1", -1: "accept_h0"}[decided]
+        yield pd.DataFrame(
+            {
+                "host": [host],
+                "n_seen": [n_seen],
+                "n_used": [n_used],
+                "llr": [llr],
+                "decision": [label],
+            }
+        )
+
+    return obs.groupBy("host").applyInPandasWithState(
+        gate,
+        SPRT_OUT_SCHEMA,
+        SPRT_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

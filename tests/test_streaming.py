@@ -630,3 +630,72 @@ def test_stream_stream_fetch_parse_join_matches_batch(spark, tmp_path):
         .collect()
     )
     assert [(u, n) for u, n, _ in got] == batch
+
+
+def test_stateful_sprt_gate_matches_batch_operator(spark, tmp_path):
+    """The streaming SPRT's per-host state (llr, counts, frozen decision)
+    must fold across micro-batches to EXACTLY the batch operator's
+    verdict on the union — same literal increments in the same order,
+    so llr is bit-identical; and a decision made in batch 1 must stay
+    frozen while batch 2's contradicting tail only bumps n_seen."""
+    import numpy as np
+
+    from stock_crawler_spark.operators.recrawl import sprt_bernoulli
+    from stock_crawler_spark.streaming.stateful import streaming_sprt_gate
+
+    rng = np.random.default_rng(17)
+    rates = {"good": 0.85, "bad": 0.12, "mid": 0.5, "flip": None}
+    rows = []
+    for h, rate in rates.items():
+        if h == "flip":  # decisive healthy prefix, then all failures
+            xs = [1] * 12 + [0] * 18
+        else:
+            xs = [int(v) for v in rng.random(30) < rate]
+        rows += [(h, t, x) for t, x in enumerate(xs)]
+    schema = "host string, round int, x int"
+
+    src = tmp_path / "sprt_stream"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt_sprt")
+    out = str(tmp_path / "sprt_out")
+
+    def run_batch(batch_rows):
+        spark.createDataFrame(batch_rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            streaming_sprt_gate(stream, p0=0.4, p1=0.7)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_batch([r for r in rows if r[1] < 15])
+    run_batch([r for r in rows if r[1] >= 15])
+
+    # latest status per host = the row with max n_seen
+    statuses = spark.read.parquet(out).collect()
+    final = {}
+    for r in statuses:
+        if r["host"] not in final or r["n_seen"] > final[r["host"]]["n_seen"]:
+            final[r["host"]] = r
+
+    batch = {
+        r["host"]: r
+        for r in sprt_bernoulli(
+            spark.createDataFrame(rows, schema), p0=0.4, p1=0.7
+        ).collect()
+    }
+    assert set(final) == set(batch)
+    for h in batch:
+        assert final[h]["n_seen"] == batch[h]["n_obs"], h
+        assert final[h]["n_used"] == batch[h]["n_used"], h
+        assert final[h]["decision"] == batch[h]["decision"], h
+        assert round(final[h]["llr"], 6) + 0.0 == batch[h]["llr_r"], h
+    # the flip host decided h1 in batch 1 and must have stayed frozen
+    assert final["flip"]["decision"] == "accept_h1"
+    assert final["flip"]["n_used"] < 30 <= final["flip"]["n_seen"]
