@@ -1431,6 +1431,44 @@ def q215_gini(spark, sf):
     return gini_coefficient(per)
 
 
+def q216_damerau_typos(spark, sf):
+    """Damerau-Levenshtein distance-1 host pairs (operators/typosquat.
+    damerau1_pairs): q208's deletion-neighborhood blocking ALSO
+    catches adjacent transpositions (a transposed pair shares the
+    delete-the-x variant), so 'stie7.example' is caught for
+    'site7.example' — the most common human typo class, which plain
+    Levenshtein scores 2. Verify is JVM Column logic (lev=1 OR exactly
+    two adjacent crossed diffs). Gate plants 'stie' transpositions
+    beside q208's families; the oracle is DuckDB's INDEPENDENT
+    damerau_levenshtein over all pairs (at threshold 1, OSA == DL)."""
+    from stock_crawler_spark.operators.typosquat import damerau1_pairs
+
+    ev = _t(spark, sf, "events")
+    base = ev.select(
+        F.when(
+            F.col("event_id") % 7 == 0,
+            F.concat(
+                F.lit("site"), (F.col("event_id") % 60).cast("string"),
+                F.lit(".example"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("page"), (F.col("event_id") % 80).cast("string"),
+                F.lit(".example"),
+            )
+        )
+        .alias("host")
+    )
+    transposed = ev.filter(F.col("event_id") % 13 == 0).select(
+        F.concat(
+            F.lit("stie"), (F.col("event_id") % 60).cast("string"),
+            F.lit(".example"),
+        ).alias("host")
+    )
+    return damerau1_pairs(base.unionByName(transposed))
+
+
 _Q44_PRE = (
     "<html><head><title>t</title><script>var x = 1 < 2;</script>"
     "<style>p { color: red; }</style></head><body><!-- nav boilerplate -->"
@@ -5356,6 +5394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q213_holt_mase": q213_holt_mase,
         "q214_trimmed_mean": q214_trimmed_mean,
         "q215_gini": q215_gini,
+        "q216_damerau_typos": q216_damerau_typos,
     }
 
 
@@ -9969,6 +10008,26 @@ SELECT n_rows, total,
             / CAST(n_rows AS DOUBLE), 6)
   END AS gini_r
 FROM agg
+""",
+        # q216: INDEPENDENT brute-force damerau_levenshtein all-pairs
+        # (at threshold 1, OSA == DL) — blocking recall proven again
+        "q216_damerau_typos": """
+WITH hosts AS (
+  SELECT DISTINCT host FROM (
+    SELECT CASE WHEN event_id % 7 = 0
+                THEN 'site' || (event_id % 60) || '.example'
+                ELSE 'page' || (event_id % 80) || '.example' END AS host
+    FROM events
+    UNION ALL
+    SELECT 'stie' || (event_id % 60) || '.example' AS host
+    FROM events WHERE event_id % 13 = 0
+  )
+)
+SELECT a.host AS host_a, b.host AS host_b,
+       CASE WHEN levenshtein(a.host, b.host) = 1 THEN 'edit'
+            ELSE 'transposition' END AS kind
+FROM hosts a JOIN hosts b ON a.host < b.host
+WHERE damerau_levenshtein(a.host, b.host) = 1
 """,
         # q167: Elias gamma/delta gap costs via bin() lengths (no log2)
         "q167_adjacency_bits": f"""

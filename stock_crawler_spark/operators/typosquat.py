@@ -76,3 +76,76 @@ def typosquat_pairs(
     return cand.filter(
         F.levenshtein("host_a", "host_b") <= 1
     ).withColumn("dist", F.levenshtein("host_a", "host_b"))
+
+
+def damerau1_pairs(
+    hosts: DataFrame,
+    host_col: str = "host",
+) -> DataFrame:
+    """All unordered pairs of distinct hosts at Damerau-Levenshtein
+    (OSA) distance exactly 1 — the typosquat net that also catches
+    ADJACENT TRANSPOSITIONS (stie7.example for site7.example), the
+    single most common human typo class, which plain Levenshtein
+    scores 2 and typosquat_pairs therefore misses.
+
+    Blocking is the SAME deletion neighborhood: for a transposed pair
+    a = P+"xy"+S, b = P+"yx"+S, deleting the 'x' from each yields the
+    identical P+"y"+S variant — so DL<=1 candidates still all collide
+    on a shared 0/1-deletion variant and the equi-join loses nothing.
+    The verify stays JVM-side Column logic (no UDF): lev = 1, OR
+    lengths equal with EXACTLY two adjacent, crossed differing
+    positions (the OSA transposition case). Output:
+    (host_a, host_b, kind) with kind in ('edit', 'transposition'),
+    host_a < host_b.
+    """
+    h = hosts.select(F.col(host_col).alias("_h")).distinct()
+    n = F.length("_h")
+    variants = h.select(
+        "_h",
+        F.explode(
+            F.array_union(
+                F.array(F.col("_h")),
+                F.transform(
+                    F.sequence(F.lit(1), n),
+                    lambda i: F.concat(
+                        F.col("_h").substr(F.lit(1), i - 1),
+                        F.col("_h").substr(i + 1, n),
+                    ),
+                ),
+            )
+        ).alias("_v"),
+    ).distinct()
+    a = variants.select(F.col("_h").alias("host_a"), "_v")
+    b = variants.select(F.col("_h").alias("host_b"), "_v")
+    cand = (
+        a.join(b, "_v")
+        .filter(F.col("host_a") < F.col("host_b"))
+        .select("host_a", "host_b")
+        .distinct()
+    )
+    ca, cb = F.col("host_a"), F.col("host_b")
+    diffs = F.filter(
+        F.sequence(F.lit(1), F.length(ca)),
+        lambda i: ca.substr(i, F.lit(1)) != cb.substr(i, F.lit(1)),
+    )
+    transposed = (
+        (F.length(ca) == F.length(cb))
+        & (F.size(diffs) == 2)
+        & (F.try_element_at(diffs, F.lit(2)) == F.try_element_at(diffs, F.lit(1)) + 1)
+        & (
+            ca.substr(F.try_element_at(diffs, F.lit(1)), F.lit(1))
+            == cb.substr(F.try_element_at(diffs, F.lit(2)), F.lit(1))
+        )
+        & (
+            ca.substr(F.try_element_at(diffs, F.lit(2)), F.lit(1))
+            == cb.substr(F.try_element_at(diffs, F.lit(1)), F.lit(1))
+        )
+    )
+    lev1 = F.levenshtein("host_a", "host_b") == 1
+    return cand.filter(lev1 | transposed).select(
+        "host_a",
+        "host_b",
+        F.when(lev1, F.lit("edit")).otherwise(F.lit("transposition")).alias(
+            "kind"
+        ),
+    )

@@ -159,3 +159,62 @@ def test_typosquat_duplicate_variants_dedup(spark):
     df = spark.createDataFrame([("foo",), ("fo",)], "host string")
     rows = typosquat_pairs(df).collect()
     assert len(rows) == 1 and rows[0]["dist"] == 1
+
+
+def _dl1(a, b):
+    # OSA distance == 1 check via brute force small-scale
+    if _lev(a, b) == 1:
+        return "edit"
+    if len(a) == len(b):
+        d = [i for i in range(len(a)) if a[i] != b[i]]
+        if (
+            len(d) == 2
+            and d[1] == d[0] + 1
+            and a[d[0]] == b[d[1]]
+            and a[d[1]] == b[d[0]]
+        ):
+            return "transposition"
+    return None
+
+
+@pytest.mark.parametrize("parts", [1, 5])
+def test_damerau_pairs_match_bruteforce(spark, parts):
+    from stock_crawler_spark.operators.typosquat import damerau1_pairs
+
+    hosts = [
+        "site7.example", "stie7.example",  # transposition
+        "example.com", "exampel.com",      # transposition at the end-ish
+        "exampl.com", "bank.com", "banck.com", "abnk.com",
+        "ab.com", "ba.com",                # transposition of first two
+        "aa.com", "paypal.com", "papyal.com",
+    ]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string").repartition(
+        parts
+    )
+    got = {
+        (r["host_a"], r["host_b"]): r["kind"]
+        for r in damerau1_pairs(df).collect()
+    }
+    expect = {}
+    for i, x in enumerate(hosts):
+        for y in hosts[i + 1 :]:
+            lo, hi = sorted((x, y))
+            kind = _dl1(lo, hi)
+            if kind:
+                expect[(lo, hi)] = kind
+    assert got == expect
+    assert got[("site7.example", "stie7.example")] == "transposition"
+    assert got[("ab.com", "ba.com")] == "transposition"
+    assert ("aa.com", "ab.com") in got and got[("aa.com", "ab.com")] == "edit"
+
+
+def test_damerau_excludes_distance_two_non_adjacent(spark):
+    from stock_crawler_spark.operators.typosquat import damerau1_pairs
+
+    # 'acbd' vs 'abcd' is adjacent-transposed (in); 'dbca' vs 'abcd'
+    # differs at non-adjacent crossed positions (out)
+    df = spark.createDataFrame(
+        [("abcd.x",), ("acbd.x",), ("dbca.x",)], "host string"
+    )
+    got = {(r["host_a"], r["host_b"]) for r in damerau1_pairs(df).collect()}
+    assert got == {("abcd.x", "acbd.x")}
