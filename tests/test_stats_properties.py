@@ -1,0 +1,124 @@
+"""Hypothesis property tests for the exact-statistics operators: the
+invariants that make 'EXACT' a contract rather than a docstring —
+random inputs, brute-force twins, adversarial tie structure."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from stock_crawler_spark.operators.heavy import heavy_hitters_exact
+from stock_crawler_spark.operators.profile import trimmed_mean
+from stock_crawler_spark.operators.rankcorr import spearman_rho
+from stock_crawler_spark.operators.recrawl import benjamini_hochberg
+
+# heavy-tie value pools make average-rank/tie-correction paths load-bearing
+_vals = st.integers(min_value=0, max_value=6)
+
+
+@given(
+    xs=st.lists(_vals, min_size=5, max_size=40),
+    seed=st.integers(min_value=0, max_value=10**6),
+)
+@settings(max_examples=15, deadline=None)
+def test_spearman_property_matches_pandas(spark, xs, seed):
+    ys = [(x * 3 + (seed + i * 7) % 5) % 7 for i, x in enumerate(xs)]
+    df = spark.createDataFrame(list(zip(xs, ys)), "x long, y long")
+    got = spearman_rho(df, "x", "y", n_partitions=4).collect()[0]["rho_r"]
+    rx = pd.Series(xs).rank(method="average")
+    ry = pd.Series(ys).rank(method="average")
+    dx, dy = rx - rx.mean(), ry - ry.mean()
+    den = math.sqrt((dx * dx).sum() * (dy * dy).sum())
+    if den == 0:
+        assert got is None
+    else:
+        assert got == pytest.approx(float((dx * dy).sum() / den), abs=2e-6)
+
+
+@given(
+    weights=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(1, 30)),
+        min_size=4,
+        max_size=60,
+    ),
+    phi_pct=st.integers(min_value=5, max_value=40),
+)
+@settings(max_examples=15, deadline=None)
+def test_heavy_hitters_property_exact_vs_groupby(spark, weights, phi_pct):
+    phi = phi_pct / 100.0
+    df = spark.createDataFrame(
+        [(f"k{k}", w) for k, w in weights], "key string, w int"
+    ).repartition(3)
+    got = {
+        r["key"]: r["freq"]
+        for r in heavy_hitters_exact(df, "key", phi, weight_col="w").collect()
+    }
+    tot = sum(w for _, w in weights)
+    brute = {}
+    for k, w in weights:
+        brute[f"k{k}"] = brute.get(f"k{k}", 0) + w
+    expect = {k: v for k, v in brute.items() if v > phi * tot}
+    assert got == expect
+
+
+@given(
+    xs=st.lists(st.integers(0, 1000), min_size=3, max_size=80),
+    trim_pct=st.integers(min_value=0, max_value=45),
+)
+@settings(max_examples=15, deadline=None)
+def test_trimmed_mean_property_matches_sorted_slice(spark, xs, trim_pct):
+    t = trim_pct / 100.0
+    df = spark.createDataFrame([(x,) for x in xs], "x long").repartition(3)
+    r = trimmed_mean(df, t).collect()[0]
+    s = sorted(xs)
+    lo = int(t * len(xs))
+    kept = s[lo : len(xs) - lo]
+    assert r["n_kept"] == len(kept)
+    if kept:
+        assert r["trimmed_r"] == pytest.approx(
+            sum(kept) / len(kept), abs=2e-6
+        )
+
+
+@given(
+    millis=st.lists(st.integers(0, 1000), min_size=2, max_size=60),
+    alpha_pct=st.integers(min_value=1, max_value=30),
+)
+@settings(max_examples=15, deadline=None)
+def test_bh_property_matches_step_up(spark, millis, alpha_pct):
+    alpha = alpha_pct / 100.0
+    ps = [m / 1000.0 for m in millis]
+    df = spark.createDataFrame(
+        [(f"k{i}", p) for i, p in enumerate(ps)], "key string, p double"
+    ).repartition(3)
+    got = {
+        r["key"]
+        for r in benjamini_hochberg(df, alpha, n_partitions=4).collect()
+        if r["rejected"]
+    }
+    m = len(ps)
+    order = sorted(range(m), key=lambda i: ps[i])
+    crit = None
+    for rank, i in enumerate(order, start=1):
+        if ps[i] <= alpha * rank / m:
+            crit = ps[i]
+    expect = (
+        set() if crit is None else {f"k{i}" for i in range(m) if ps[i] <= crit}
+    )
+    assert got == expect
+
+
+def test_spearman_rank_sum_invariant(spark):
+    # centered doubled ranks must sum to EXACTLY zero whatever the ties
+    from stock_crawler_spark.operators.rankcorr import _centered_double_ranks
+
+    df = spark.createDataFrame(
+        [(v % 4,) for v in range(37)], "x long"
+    ).repartition(5)
+    ranks = _centered_double_ranks(df.select("x"), "x", "d", 4)
+    joined = df.join(ranks, "x")
+    assert joined.agg(F.sum("d")).collect()[0][0] == 0
