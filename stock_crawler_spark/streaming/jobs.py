@@ -126,3 +126,46 @@ def streaming_fetch_parse_join(
             F.col("parse_ts").cast("double") - F.col("fetch_ts").cast("double")
         ).alias("parse_lag_sec"),
     )
+
+
+def streaming_session_stats(
+    events: DataFrame,
+    gap_sec: int = 1800,
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Streaming twin of the batch sessionizer (q19): gap-based user
+    sessions via the native ``session_window`` streaming aggregate —
+    bounded state (open sessions only; the watermark closes and EVICTS
+    a session once event time passes its end), where the batch
+    lag/cumsum construction would need the full per-user history.
+
+    Output: (user_id, sess_start, sess_end, sess_len) per CLOSED
+    session, append mode — sess_end is session_window.end, i.e. last
+    event + gap (the window's exclusive bound), not the last event
+    itself; subtract the gap for the batch reading.
+
+    BOUNDARY CONVENTION (documented, test-pinned away from it): the
+    batch q19 sessionizer keeps events with inter-event gap EXACTLY
+    equal to gap_sec in one session (it splits on gap > gap_sec);
+    ``session_window`` windows are [start, last+gap) — an event
+    landing exactly at the bound starts a NEW session. Real
+    wall-clock gaps sit on the boundary with probability ~0; pipelines
+    that quantize timestamps to gap multiples must pick one convention
+    and this twin is the strict one.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), f"{int(gap_sec)} seconds"),
+            F.col(user_col),
+        )
+        .agg(F.count(F.lit(1)).alias("sess_len"))
+        .select(
+            F.col(user_col),
+            F.col("session_window.start").alias("sess_start"),
+            F.col("session_window.end").alias("sess_end"),
+            "sess_len",
+        )
+    )

@@ -699,3 +699,100 @@ def test_stateful_sprt_gate_matches_batch_operator(spark, tmp_path):
     # the flip host decided h1 in batch 1 and must have stayed frozen
     assert final["flip"]["decision"] == "accept_h1"
     assert final["flip"]["n_used"] < 30 <= final["flip"]["n_seen"]
+
+
+def test_streaming_session_window_matches_batch_sessionize(spark, tmp_path):
+    """session_window across micro-batches must reproduce the batch
+    lag/cumsum sessionizer's (n_sessions, max_len, n_events) per user
+    — gaps chosen strictly off the exact-gap boundary (convention
+    documented in streaming_session_stats). A far-future sentinel
+    advances the watermark so every real session closes and emits."""
+    from datetime import datetime, timedelta
+
+    from stock_crawler_spark.streaming.jobs import streaming_session_stats
+
+    t0 = datetime(2024, 3, 1, 0, 0, 0)
+    gap = 1800
+
+    def ts(sec):
+        return t0 + timedelta(seconds=sec)
+
+    rows = []
+    # u1: two sessions (3 events tight, then a > gap jump, 2 events)
+    rows += [(1, ts(0)), (1, ts(600)), (1, ts(1200))]
+    rows += [(1, ts(1200 + gap + 1)), (1, ts(1200 + gap + 500))]
+    # u2: one long chained session — each step just under the gap
+    rows += [(2, ts(i * (gap - 1))) for i in range(5)]
+    # u3: singleton
+    rows += [(3, ts(42))]
+    schema = "user_id int, ts timestamp"
+
+    src = tmp_path / "sess_stream"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt_sess")
+    out = str(tmp_path / "sess_out")
+
+    def run_batch(batch_rows):
+        spark.createDataFrame(batch_rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            streaming_session_stats(stream, gap_sec=gap)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    mid = ts(1500)
+    run_batch([r for r in rows if r[1] <= mid])
+    run_batch([r for r in rows if r[1] > mid])
+    # sentinel far beyond watermark+gap closes every real session
+    run_batch([(99, ts(10 * 86400))])
+
+    got = spark.read.parquet(out).filter(F.col("user_id") != 99)
+    per_user = {
+        r["user_id"]: r
+        for r in got.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.max("sess_len").alias("max_sess_len"),
+            F.sum("sess_len").alias("n_events"),
+        )
+        .collect()
+    }
+    # batch twin: q19's lag/cumsum construction on the same rows
+    from pyspark.sql import Window
+
+    bdf = spark.createDataFrame(rows, schema)
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"))
+    g = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    s = bdf.withColumn(
+        "new_sess", F.when(g.isNull() | (g > gap), 1).otherwise(0)
+    ).withColumn(
+        "sess_id",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    batch = {
+        r["user_id"]: r
+        for r in s.groupBy("user_id", "sess_id")
+        .agg(F.count(F.lit(1)).alias("sess_len"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.max("sess_len").alias("max_sess_len"),
+            F.sum("sess_len").alias("n_events"),
+        )
+        .collect()
+    }
+    assert set(per_user) == set(batch) == {1, 2, 3}
+    for u in batch:
+        for c in ("n_sessions", "max_sess_len", "n_events"):
+            assert per_user[u][c] == batch[u][c], (u, c)
+    # u2's chained session proves windows EXTEND across micro-batches
+    assert per_user[2]["n_sessions"] == 1 and per_user[2]["max_sess_len"] == 5
