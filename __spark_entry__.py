@@ -1469,6 +1469,30 @@ def q216_damerau_typos(spark, sf):
     return damerau1_pairs(base.unionByName(transposed))
 
 
+ETA_CAP = 4
+
+
+def q217_eta_bands(spark, sf):
+    """Per-(host, priority-class) dequeue ETA bands (operators/
+    frontier.dequeue_eta_bands): in which future round does each
+    class start/finish draining under the politeness cap — "when will
+    my URL be fetched" at the granularity that scales (a per-URL rank
+    would be a full per-host sort, the q38-class killer; classes cost
+    one groupBy + a cumsum over the bounded per-host priority grid).
+    Integer arithmetic end to end; oracle replays the cumsum and ceil
+    bands."""
+    from stock_crawler_spark.operators.frontier import dequeue_eta_bands
+
+    ev = _t(spark, sf, "events")
+    pending = ev.select(
+        F.concat(F.lit("h"), (F.col("event_id") % 53).cast("string")).alias(
+            "host"
+        ),
+        (F.col("event_id") % 9).cast("int").alias("priority"),
+    )
+    return dequeue_eta_bands(pending, per_host_cap=ETA_CAP)
+
+
 _Q44_PRE = (
     "<html><head><title>t</title><script>var x = 1 < 2;</script>"
     "<style>p { color: red; }</style></head><body><!-- nav boilerplate -->"
@@ -5395,6 +5419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q214_trimmed_mean": q214_trimmed_mean,
         "q215_gini": q215_gini,
         "q216_damerau_typos": q216_damerau_typos,
+        "q217_eta_bands": q217_eta_bands,
     }
 
 
@@ -10028,6 +10053,26 @@ SELECT a.host AS host_a, b.host AS host_b,
             ELSE 'transposition' END AS kind
 FROM hosts a JOIN hosts b ON a.host < b.host
 WHERE damerau_levenshtein(a.host, b.host) = 1
+""",
+        # q217: class counts -> host-local priority-desc cumsum ->
+        # integer div bands
+        "q217_eta_bands": f"""
+WITH per AS (
+  SELECT 'h' || (event_id % 53) AS host,
+         CAST(event_id % 9 AS INT) AS priority,
+         CAST(count(*) AS BIGINT) AS n_urls
+  FROM events GROUP BY 1, 2
+), cum AS (
+  SELECT host, priority, n_urls,
+    sum(n_urls) OVER (PARTITION BY host ORDER BY priority DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      - n_urls AS below
+  FROM per
+)
+SELECT host, priority, n_urls,
+  below // {ETA_CAP} AS eta_first_round,
+  (below + n_urls - 1) // {ETA_CAP} AS eta_last_round
+FROM cum
 """,
         # q167: Elias gamma/delta gap costs via bin() lengths (no log2)
         "q167_adjacency_bits": f"""

@@ -319,3 +319,54 @@ def age_priorities(
             F.col(priority_col) + F.lit(float(rate)) * age.cast("double"), 6
         ),
     )
+
+
+def dequeue_eta_bands(
+    pending: DataFrame,
+    per_host_cap: int,
+    host_col: str = "host",
+    prio_col: str = "priority",
+) -> DataFrame:
+    """Per-(host, priority-class) dequeue ETA bands: given the pending
+    set and the per-host politeness cap c, in which future round does
+    each priority class START draining and when does it FINISH —
+    "when will my URL be fetched", answered at the granularity that
+    scales.
+
+        below     = pending urls of strictly higher priority (host-local)
+        eta_first = below div c,   eta_last = (below + n - 1) div c
+
+    Deliberately BAND-level, not per-URL: a per-URL rank needs a full
+    per-host sort (one hot host = one 10^8-row sort partition — the
+    q38-class killer); classes collapse the corpus in one map-side
+    groupBy and the cumsum window runs over the bounded per-host
+    PRIORITY GRID (quantize unbounded priorities first), so the hot
+    host costs exactly its number of classes. Within a class, dequeue
+    order is the engine's canonical (priority desc, url asc) — the
+    band endpoints are exact, a specific url lands somewhere inside.
+
+    Output: (host, priority, n_urls, eta_first_round, eta_last_round),
+    integer rounds from now, 0 = this round. Deterministic integer
+    arithmetic end to end.
+    """
+    if per_host_cap < 1:
+        raise ValueError("per_host_cap must be >= 1")
+    per = pending.groupBy(
+        F.col(host_col).alias("host"), F.col(prio_col).alias("priority")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_urls"))
+    w = (
+        Window.partitionBy("host")
+        .orderBy(F.col("priority").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    below = F.sum("n_urls").over(w) - F.col("n_urls")
+    c = F.lit(int(per_host_cap))
+    return per.select(
+        "host",
+        "priority",
+        "n_urls",
+        (below / c).cast("long").alias("eta_first_round"),
+        ((below + F.col("n_urls") - 1) / c).cast("long").alias(
+            "eta_last_round"
+        ),
+    )

@@ -188,3 +188,29 @@ def test_priority_aging_prevents_starvation(spark):
     # forever under linear aging): old is 20 rounds older, bonus 1.0
     # > gap 0.7 -> the parked URL outranks the later hot arrival
     assert aged["u_old_cold"][1] > aged["u_new_hot"][1]
+
+
+def test_dequeue_eta_bands_hand_check(spark):
+    from stock_crawler_spark.operators.frontier import dequeue_eta_bands
+
+    rows = (
+        [("h1", 9)] * 3      # drains rounds 0..0 (cap 4: below=0..2)
+        + [("h1", 5)] * 6    # below=3 -> rounds 0..2
+        + [("h1", 1)] * 2    # below=9 -> rounds 2..2
+        + [("h2", 7)] * 1    # below=0 -> round 0
+    )
+    df = spark.createDataFrame(rows, "host string, priority int")
+    out = {
+        (r["host"], r["priority"]): (
+            r["n_urls"], r["eta_first_round"], r["eta_last_round"]
+        )
+        for r in dequeue_eta_bands(df, per_host_cap=4).collect()
+    }
+    assert out[("h1", 9)] == (3, 0, 0)
+    assert out[("h1", 5)] == (6, 0, 2)
+    assert out[("h1", 1)] == (2, 2, 2)
+    assert out[("h2", 7)] == (1, 0, 0)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        dequeue_eta_bands(df, per_host_cap=0)
