@@ -1493,6 +1493,54 @@ def q217_eta_bands(spark, sf):
     return dequeue_eta_bands(pending, per_host_cap=ETA_CAP)
 
 
+def q218_changepoint(spark, sf):
+    """Offline CUSUM changepoint location (operators/recrawl.
+    cusum_changepoint; Hinkley 1970) over q187/q195's exact series
+    with the planted step — q187 alarms that a shift happened, this
+    locates WHERE and sizes the jump (delta = after-mean − before-
+    mean). One ordered window cumsum + an argmax struct per host;
+    the oracle replays the stat and the (stat desc, round asc)
+    argmax."""
+    from stock_crawler_spark.operators.recrawl import cusum_changepoint
+
+    ev = _t(spark, sf, "events")
+    organic = ev.groupBy(
+        F.concat(
+            F.lit("h"), (F.col("user_id") % 8).cast("string"), F.lit(".net")
+        ).alias("host"),
+        (F.col("event_id") % 6).cast("int").alias("round"),
+    ).agg(
+        (
+            F.sum((F.col("event_id") % 7 < 2).cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("x")
+    )
+    planted = spark.createDataFrame(
+        CUSUM_DRIFT_SERIES, "host string, round int, x double"
+    )
+    return cusum_changepoint(organic.unionByName(planted))
+
+
+def q219_ks_test(spark, sf):
+    """Exact two-sample Kolmogorov-Smirnov D (operators/abtest.
+    ks_two_sample) between two deterministic latency samples (group 1
+    carries an additive shift) — full-CDF distribution comparison
+    with no banding choice, reported WITH the value attaining D.
+    Distinct-value cumsum via the pinned-range pattern; the oracle
+    replays CDF diffs and the (d desc, v asc) argmax."""
+    from stock_crawler_spark.operators.abtest import ks_two_sample
+
+    ev = _t(spark, sf, "events")
+    rows = ev.select(
+        (F.col("event_id") % 2).cast("int").alias("grp"),
+        (
+            F.col("event_id") % 120
+            + (F.col("event_id") % 2) * (F.col("event_id") % 15)
+        ).alias("x"),
+    )
+    return ks_two_sample(rows)
+
+
 _Q44_PRE = (
     "<html><head><title>t</title><script>var x = 1 < 2;</script>"
     "<style>p { color: red; }</style></head><body><!-- nav boilerplate -->"
@@ -5420,6 +5468,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q215_gini": q215_gini,
         "q216_damerau_typos": q216_damerau_typos,
         "q217_eta_bands": q217_eta_bands,
+        "q218_changepoint": q218_changepoint,
+        "q219_ks_test": q219_ks_test,
     }
 
 
@@ -10073,6 +10123,75 @@ SELECT host, priority, n_urls,
   below // {ETA_CAP} AS eta_first_round,
   (below + n_urls - 1) // {ETA_CAP} AS eta_last_round
 FROM cum
+""",
+        # q218: ordered cumsum, |S_t - (t/n)S_n| stat, earliest-argmax,
+        # split-mean delta — over q187's series
+        "q218_changepoint": f"""
+WITH organic AS (
+  SELECT 'h' || (user_id % 8) || '.net' AS host,
+         CAST(event_id % 6 AS INT) AS r,
+         CAST(sum(CASE WHEN event_id % 7 < 2 THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS x
+  FROM events GROUP BY 1, 2
+), planted AS (
+  SELECT * FROM (VALUES
+    {", ".join(f"('{h}', {r}, CAST({x!r} AS DOUBLE))" for h, r, x in CUSUM_DRIFT_SERIES)}
+  ) AS v(host, r, x)
+), obs AS (
+  SELECT * FROM organic UNION ALL SELECT * FROM planted
+), cum AS (
+  SELECT host, r, x,
+    sum(x) OVER (PARTITION BY host ORDER BY r
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+    count(*) OVER (PARTITION BY host ORDER BY r
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t,
+    sum(x) OVER (PARTITION BY host) AS sn,
+    count(*) OVER (PARTITION BY host) AS n
+  FROM obs
+), cand AS (
+  SELECT *, abs(s - (CAST(t AS DOUBLE) / CAST(n AS DOUBLE)) * sn) AS stat,
+    row_number() OVER (PARTITION BY host ORDER BY
+      abs(s - (CAST(t AS DOUBLE) / CAST(n AS DOUBLE)) * sn) DESC, r ASC)
+      AS rk
+  FROM cum WHERE t < n
+)
+SELECT host, CAST(n AS INT) AS n_rounds, CAST(r AS INT) AS cp_round,
+  round(stat, 6) AS stat_r,
+  round((sn - s) / CAST(n - t AS DOUBLE)
+        - s / CAST(t AS DOUBLE), 6) AS delta_r
+FROM cand WHERE rk = 1
+""",
+        # q219: distinct-value CDF cumsum, |Fa - Fb| with the (d desc,
+        # v asc) argmax
+        "q219_ks_test": """
+WITH rows_ AS (
+  SELECT CAST(event_id % 2 AS INT) AS grp,
+         event_id % 120 + (event_id % 2) * (event_id % 15) AS x
+  FROM events
+), per AS (
+  SELECT x AS v,
+    CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+    CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM rows_ GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
+         count(*) AS n_values
+  FROM per
+), cum AS (
+  SELECT v,
+    sum(ca) OVER (ORDER BY v) AS cuma,
+    sum(cb) OVER (ORDER BY v) AS cumb
+  FROM per
+), diffs AS (
+  SELECT v,
+    abs(CAST(cuma AS DOUBLE) / CAST((SELECT na FROM tot) AS DOUBLE)
+        - CAST(cumb AS DOUBLE) / CAST((SELECT nb FROM tot) AS DOUBLE)) AS d
+  FROM cum
+)
+SELECT (SELECT na FROM tot) AS n_a, (SELECT nb FROM tot) AS n_b,
+       (SELECT n_values FROM tot) AS n_values,
+       round(d, 6) AS d_stat_r, v AS d_at_value
+FROM diffs ORDER BY d DESC, v ASC LIMIT 1
 """,
         # q167: Elias gamma/delta gap costs via bin() lengths (no log2)
         "q167_adjacency_bits": f"""

@@ -269,3 +269,87 @@ def g_goodness_of_fit(
         .otherwise(F.col("g_r"))
         .alias("g_r"),
     )
+
+
+def ks_two_sample(
+    samples: DataFrame,
+    group_col: str = "grp",
+    value_col: str = "x",
+    n_partitions: int = 32,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic over integer-
+    valued samples — "are these two latency/size DISTRIBUTIONS the
+    same" with no binning choice at all (the G-test needs bands; KS
+    compares the full empirical CDFs):
+
+        D = max over values v of | F_a(v) - F_b(v) |
+
+    reported with the value attaining it (smallest such v on ties) —
+    the actionable part: WHERE the distributions diverge. group_col
+    must be binary 0/1. Exact and distributed: per-distinct-value
+    counts for both samples, ONE pinned-range cumsum over the merged
+    distinct values (never a global sort), then an argmax struct
+    aggregate; the CDF divisions are the only float ops. With ties
+    (discrete data) the classical p-value tables are conservative —
+    this operator reports the exact D and leaves calibration to the
+    caller (document, don't pretend). Returns ONE row:
+    (n_a, n_b, n_values, d_stat_r, d_at_value); NULL when either
+    sample is empty.
+    """
+    from pyspark.sql import Window
+
+    from stock_crawler_spark.operators.training import _pinned_range_parts
+
+    g = F.col(group_col).cast("int")
+    per = samples.groupBy(F.col(value_col).cast("long").alias("_v")).agg(
+        F.sum(F.when(g == 0, 1).otherwise(0)).cast("long").alias("_ca"),
+        F.sum(F.when(g == 1, 1).otherwise(0)).cast("long").alias("_cb"),
+    )
+    with_pid = _pinned_range_parts(per, n_partitions, F.asc("_v"))
+    totals = with_pid.groupBy("_pid").agg(
+        F.sum("_ca").alias("_ta"), F.sum("_cb").alias("_tb")
+    ).collect()
+    offa = offb = 0
+    rows = []
+    for pid, ta, tb in sorted(
+        (r["_pid"], r["_ta"], r["_tb"]) for r in totals
+    ):
+        rows.append((int(pid), int(offa), int(offb)))
+        offa += int(ta)
+        offb += int(tb)
+    n_a, n_b = offa, offb
+    offsets = samples.sparkSession.createDataFrame(
+        rows, "_pid int, _offa long, _offb long"
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(F.asc("_v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        with_pid.join(F.broadcast(offsets), "_pid")
+        .withColumn("_cuma", F.col("_offa") + F.sum("_ca").over(w))
+        .withColumn("_cumb", F.col("_offb") + F.sum("_cb").over(w))
+    )
+    if n_a == 0 or n_b == 0:
+        return samples.sparkSession.createDataFrame(
+            [(n_a, n_b, 0, None, None)],
+            "n_a long, n_b long, n_values long, d_stat_r double, d_at_value long",
+        )
+    diff = F.abs(
+        F.col("_cuma").cast("double") / F.lit(float(n_a))
+        - F.col("_cumb").cast("double") / F.lit(float(n_b))
+    )
+    pick = cum.withColumn("_d", diff).agg(
+        F.count(F.lit(1)).alias("n_values"),
+        F.max(
+            F.struct(F.col("_d").alias("d"), (-F.col("_v")).alias("negv"))
+        ).alias("m"),
+    )
+    return pick.select(
+        F.lit(n_a).alias("n_a"),
+        F.lit(n_b).alias("n_b"),
+        "n_values",
+        F.round(F.col("m")["d"], 6).alias("d_stat_r"),
+        (-F.col("m")["negv"]).alias("d_at_value"),
+    )

@@ -888,3 +888,88 @@ def holt_forecast(
             "mase_r"
         ),
     )
+
+
+# --- offline changepoint location ---------------------------------------------
+
+
+def cusum_changepoint(
+    stats: DataFrame,
+    host_col: str = "host",
+    round_col: str = "round",
+    value_col: str = "x",
+) -> DataFrame:
+    """Offline single-changepoint LOCATION per host via the classic
+    CUSUM-maximization estimator (Page's offline form; Hinkley 1970):
+    cusum_drift (q187) says a shift HAPPENED, mann_kendall (q202) says
+    it is monotone-significant — this says WHERE:
+
+        S_t    = x_1 + ... + x_t
+        stat_t = | S_t - (t/n) * S_n |        (t = 1 .. n-1)
+        cp     = argmax_t stat_t              (earliest t on ties)
+
+    plus the effect size delta = mean(after) - mean(before) at the
+    split. The per-host series is the bounded q187 round history; one
+    ordered window cumsum + one argmax struct aggregate per host, all
+    order-pinned doubles. Output: (host, n_rounds, cp_round, stat_r,
+    delta_r); NULL cp for n < 2.
+    """
+    d = stats.select(
+        F.col(host_col).alias("_h"),
+        F.col(round_col).cast("int").alias("_r"),
+        F.col(value_col).cast("double").alias("_x"),
+    )
+    w = (
+        Window.partitionBy("_h")
+        .orderBy("_r")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("_h")
+    cum = (
+        d.withColumn("_s", F.sum("_x").over(w))
+        .withColumn("_t", F.count(F.lit(1)).over(w))
+        .withColumn("_sn", F.sum("_x").over(wall))
+        .withColumn("_n", F.count(F.lit(1)).over(wall))
+    )
+    stat = F.abs(
+        F.col("_s")
+        - (F.col("_t").cast("double") / F.col("_n").cast("double"))
+        * F.col("_sn")
+    )
+    cand = cum.filter(F.col("_t") < F.col("_n")).withColumn("_stat", stat)
+    # argmax by (stat desc, round asc): max of (stat, -r) struct
+    pick = cand.groupBy("_h").agg(
+        F.max(
+            F.struct(
+                F.col("_stat").alias("s"),
+                (-F.col("_r")).alias("negr"),
+                F.col("_t").alias("t"),
+                F.col("_s").alias("pre"),
+                F.col("_sn").alias("sn"),
+                F.col("_n").alias("n"),
+            )
+        ).alias("m")
+    )
+    m = F.col("m")
+    before = m["pre"] / m["t"].cast("double")
+    after = (m["sn"] - m["pre"]) / (m["n"] - m["t"]).cast("double")
+    picked = pick.select(
+        F.col("_h").alias(host_col),
+        m["n"].cast("int").alias("n_rounds"),
+        (-m["negr"]).cast("int").alias("cp_round"),
+        F.round(m["s"], 6).alias("stat_r"),
+        F.round(after - before, 6).alias("delta_r"),
+    )
+    singles = (
+        d.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") < 2)
+        .select(
+            F.col("_h").alias(host_col),
+            F.col("_c").cast("int").alias("n_rounds"),
+            F.lit(None).cast("int").alias("cp_round"),
+            F.lit(None).cast("double").alias("stat_r"),
+            F.lit(None).cast("double").alias("delta_r"),
+        )
+    )
+    return picked.unionByName(singles)

@@ -177,3 +177,111 @@ def test_g_degenerate_null(spark):
         [("only", "a"), ("only", "b")], "r string, c string"
     )
     assert g_test(df).collect()[0]["g_r"] is None
+
+
+# --- KS two-sample -------------------------------------------------------------
+
+
+def _ks_brute(a, b):
+    vals = sorted(set(a) | set(b))
+    na, nb = len(a), len(b)
+    best, at = -1.0, None
+    ca = cb = 0
+    for v in vals:
+        ca += sum(1 for x in a if x == v)
+        cb += sum(1 for x in b if x == v)
+        d = abs(ca / na - cb / nb)
+        if d > best + 1e-15:
+            best, at = d, v
+    return best, at
+
+
+@pytest.mark.parametrize("seed,parts", [(1, 1), (2, 9)])
+def test_ks_matches_bruteforce(spark, seed, parts):
+    from stock_crawler_spark.operators.abtest import ks_two_sample
+
+    rng = np.random.default_rng(seed)
+    a = [int(v) for v in rng.integers(0, 40, size=300)]
+    b = [int(v) + 6 for v in rng.integers(0, 40, size=250)]
+    df = spark.createDataFrame(
+        [(0, v) for v in a] + [(1, v) for v in b], "grp int, x long"
+    ).repartition(parts)
+    r = ks_two_sample(df, n_partitions=5).collect()[0]
+    d, at = _ks_brute(a, b)
+    assert (r["n_a"], r["n_b"]) == (300, 250)
+    assert r["d_stat_r"] == pytest.approx(d, abs=2e-6)
+    assert r["d_at_value"] == at
+
+
+def test_ks_identical_and_disjoint_and_empty(spark):
+    from stock_crawler_spark.operators.abtest import ks_two_sample
+
+    same = spark.createDataFrame(
+        [(g, v) for g in (0, 1) for v in range(50)], "grp int, x long"
+    )
+    assert ks_two_sample(same).collect()[0]["d_stat_r"] == 0.0
+    disjoint = spark.createDataFrame(
+        [(0, v) for v in range(20)] + [(1, v + 100) for v in range(20)],
+        "grp int, x long",
+    )
+    assert ks_two_sample(disjoint).collect()[0]["d_stat_r"] == 1.0
+    empty_b = spark.createDataFrame([(0, 1), (0, 2)], "grp int, x long")
+    assert ks_two_sample(empty_b).collect()[0]["d_stat_r"] is None
+
+
+# --- offline changepoint -------------------------------------------------------
+
+
+def _cp_brute(xs):
+    n = len(xs)
+    if n < 2:
+        return None
+    sn = sum(xs)
+    best, at, pre = -1.0, None, None
+    s = 0.0
+    for t, x in enumerate(xs[:-1], start=1):
+        s += x
+        stat = abs(s - t / n * sn)
+        if stat > best + 1e-12:
+            best, at, pre = stat, t, s
+    delta = (sn - pre) / (n - at) - pre / at
+    return at, best, delta
+
+
+@pytest.mark.parametrize("seed,parts", [(3, 1), (4, 7)])
+def test_changepoint_matches_bruteforce(spark, seed, parts):
+    from stock_crawler_spark.operators.recrawl import cusum_changepoint
+
+    rng = np.random.default_rng(seed)
+    rows, series = [], {}
+    for h in range(4):
+        k = 5 + h
+        xs = [round(float(rng.normal(0, 0.2)), 4) for _ in range(12)]
+        xs = [x + (3.0 if i >= k else 0.0) for i, x in enumerate(xs)]
+        series[f"h{h}"] = xs
+        rows += [(f"h{h}", t, x) for t, x in enumerate(xs)]
+    df = spark.createDataFrame(
+        rows, "host string, round int, x double"
+    ).repartition(parts)
+    out = {r["host"]: r for r in cusum_changepoint(df).collect()}
+    for h, xs in series.items():
+        at, stat, delta = _cp_brute(xs)
+        r = out[h]
+        # cp_round is the ROUND label of the argmax prefix (rounds are
+        # 0-based here: prefix of length t ends at round t-1)
+        assert r["cp_round"] == at - 1, h
+        assert r["stat_r"] == pytest.approx(stat, abs=2e-6)
+        assert r["delta_r"] == pytest.approx(delta, abs=2e-6)
+        # the planted step at k means the best split is right before it
+        k = 5 + int(h[1:])
+        assert at == k and r["delta_r"] > 2.5
+
+
+def test_changepoint_single_observation_null(spark):
+    from stock_crawler_spark.operators.recrawl import cusum_changepoint
+
+    df = spark.createDataFrame(
+        [("solo", 0, 1.0)], "host string, round int, x double"
+    )
+    r = cusum_changepoint(df).collect()[0]
+    assert r["cp_round"] is None and r["n_rounds"] == 1
