@@ -1541,6 +1541,48 @@ def q219_ks_test(spark, sf):
     return ks_two_sample(rows)
 
 
+def q220_welch_t(spark, sf):
+    """Welch's unequal-variance t test (operators/abtest.welch_t_test;
+    Welch 1947, Welch-Satterthwaite df) between two deterministic
+    latency samples where group 1 carries both a mean shift and extra
+    variance — the parametric mean-verdict beside q219's full-CDF KS.
+    Sufficient statistics exact long/DECIMAL from one aggregate;
+    the oracle replays means, variances, t, and df step by step."""
+    from stock_crawler_spark.operators.abtest import welch_t_test
+
+    ev = _t(spark, sf, "events")
+    rows = ev.select(
+        (F.col("event_id") % 2).cast("int").alias("grp"),
+        (
+            F.col("event_id") % 150
+            + (F.col("event_id") % 2) * (F.col("event_id") % 90)
+        ).alias("x"),
+    )
+    return welch_t_test(rows)
+
+
+def q221_mcnemar(spark, sf):
+    """McNemar's paired-binary test (operators/abtest.mcnemar_test;
+    McNemar 1947, continuity-corrected) comparing two document
+    quality gates ON THE SAME DOCS — length >= 300 vs a whitespace
+    word-count proxy >= 51 — where only the discordant pairs carry
+    information; the doc-paired design needs far less data than the
+    unpaired tests for the same power. Exact longs; the oracle
+    replays the discordant counts and the chi-square."""
+    from stock_crawler_spark.operators.abtest import mcnemar_test
+
+    docs = _t(spark, sf, "documents")
+    rows = docs.select(
+        (F.length("text") >= 300).cast("int").alias("a"),
+        (
+            F.expr("length(text) - length(replace(text, ' ', ''))") >= 50
+        )
+        .cast("int")
+        .alias("b"),
+    )
+    return mcnemar_test(rows)
+
+
 _Q44_PRE = (
     "<html><head><title>t</title><script>var x = 1 < 2;</script>"
     "<style>p { color: red; }</style></head><body><!-- nav boilerplate -->"
@@ -5470,6 +5512,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q217_eta_bands": q217_eta_bands,
         "q218_changepoint": q218_changepoint,
         "q219_ks_test": q219_ks_test,
+        "q220_welch_t": q220_welch_t,
+        "q221_mcnemar": q221_mcnemar,
     }
 
 
@@ -10192,6 +10236,68 @@ SELECT (SELECT na FROM tot) AS n_a, (SELECT nb FROM tot) AS n_b,
        (SELECT n_values FROM tot) AS n_values,
        round(d, 6) AS d_stat_r, v AS d_at_value
 FROM diffs ORDER BY d DESC, v ASC LIMIT 1
+""",
+        # q220: exact sufficient statistics -> stepwise Welch replay
+        "q220_welch_t": """
+WITH rows_ AS (
+  SELECT CAST(event_id % 2 AS INT) AS grp,
+         event_id % 150 + (event_id % 2) * (event_id % 90) AS x
+  FROM events
+), s AS (
+  SELECT
+    CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+    CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+    CAST(sum(CASE WHEN grp = 0 THEN x ELSE 0 END) AS BIGINT) AS sa,
+    CAST(sum(CASE WHEN grp = 1 THEN x ELSE 0 END) AS BIGINT) AS sb,
+    sum(CASE WHEN grp = 0 THEN x * x ELSE 0 END) AS qa,
+    sum(CASE WHEN grp = 1 THEN x * x ELSE 0 END) AS qb
+  FROM rows_
+), m AS (
+  SELECT *, CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS ma,
+            CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb
+  FROM s
+), vv AS (
+  SELECT *,
+    (CAST(qa AS DOUBLE) - CAST(na AS DOUBLE) * ma * ma)
+      / (CAST(na AS DOUBLE) - CAST(1.0 AS DOUBLE)) AS va,
+    (CAST(qb AS DOUBLE) - CAST(nb AS DOUBLE) * mb * mb)
+      / (CAST(nb AS DOUBLE) - CAST(1.0 AS DOUBLE)) AS vb
+  FROM m
+), e AS (
+  SELECT *, va / CAST(na AS DOUBLE) AS sea, vb / CAST(nb AS DOUBLE) AS seb,
+         (na >= 2 AND nb >= 2 AND (va > 0 OR vb > 0)) AS ok
+  FROM vv
+)
+SELECT na AS n_a, nb AS n_b,
+  round(ma, 6) AS mean_a_r, round(mb, 6) AS mean_b_r,
+  CASE WHEN ok THEN round((ma - mb) / sqrt(sea + seb), 6) END AS t_r,
+  CASE WHEN ok THEN
+    round((sea + seb) * (sea + seb)
+          / (sea * sea / (CAST(na AS DOUBLE) - CAST(1.0 AS DOUBLE))
+             + seb * seb / (CAST(nb AS DOUBLE) - CAST(1.0 AS DOUBLE))), 6)
+  END AS df_r
+FROM e
+""",
+        # q221: discordant counts + continuity-corrected chi-square
+        "q221_mcnemar": """
+WITH rows_ AS (
+  SELECT CASE WHEN length(text) >= 300 THEN 1 ELSE 0 END AS a,
+         CASE WHEN length(text) - length(replace(text, ' ', '')) >= 50
+              THEN 1 ELSE 0 END AS b
+  FROM documents
+), s AS (
+  SELECT count(*) AS n_pairs,
+    CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b01,
+    CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b10
+  FROM rows_
+)
+SELECT n_pairs, b01, b10,
+  CASE WHEN b01 + b10 > 0 THEN
+    round((abs(b01 - b10) - CAST(1.0 AS DOUBLE))
+          * (abs(b01 - b10) - CAST(1.0 AS DOUBLE))
+          / CAST(b01 + b10 AS DOUBLE), 6)
+  END AS chi2_r
+FROM s
 """,
         # q167: Elias gamma/delta gap costs via bin() lengths (no log2)
         "q167_adjacency_bits": f"""

@@ -353,3 +353,106 @@ def ks_two_sample(
         F.round(F.col("m")["d"], 6).alias("d_stat_r"),
         (-F.col("m")["negv"]).alias("d_at_value"),
     )
+
+
+def welch_t_test(
+    samples: DataFrame,
+    group_col: str = "grp",
+    value_col: str = "x",
+) -> DataFrame:
+    """Welch's unequal-variance t test (Welch 1947) over two integer-
+    valued samples — the parametric mean-shift companion to
+    ks_two_sample's full-CDF verdict (KS asks "same distribution?",
+    Welch asks "same MEAN?", robust to unequal variances where
+    Student's pooled test is not):
+
+        t  = (m_a - m_b) / sqrt(va/na + vb/nb)       (v = sample var)
+        df = (va/na + vb/nb)^2
+             / ((va/na)^2/(na-1) + (vb/nb)^2/(nb-1))  (Welch-Satterthwaite)
+
+    Sufficient statistics (n, sum x, sum x^2) per group are EXACT
+    longs/DECIMAL(38,0) from one map-side aggregate — order-free, no
+    sorted fold needed; means/variances/t/df are a handful of final
+    double ops replayed in SQL. Returns ONE row: (n_a, n_b, mean_a_r,
+    mean_b_r, t_r, df_r); NULLs when either n < 2 or both variances
+    are 0.
+    """
+    g = F.col(group_col).cast("int")
+    x = F.col(value_col).cast("long")
+    dec = "decimal(38,0)"
+    agg = samples.agg(
+        F.sum(F.when(g == 0, 1).otherwise(0)).cast("long").alias("na"),
+        F.sum(F.when(g == 1, 1).otherwise(0)).cast("long").alias("nb"),
+        F.sum(F.when(g == 0, x).otherwise(0)).cast("long").alias("sa"),
+        F.sum(F.when(g == 1, x).otherwise(0)).cast("long").alias("sb"),
+        F.sum(F.when(g == 0, x.cast(dec) * x.cast(dec)).otherwise(0)).alias(
+            "qa"
+        ),
+        F.sum(F.when(g == 1, x.cast(dec) * x.cast(dec)).otherwise(0)).alias(
+            "qb"
+        ),
+    )
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    ma = F.col("sa").cast("double") / na
+    mb = F.col("sb").cast("double") / nb
+    va = (F.col("qa").cast("double") - na * ma * ma) / (na - F.lit(1.0))
+    vb = (F.col("qb").cast("double") - nb * mb * mb) / (nb - F.lit(1.0))
+    sea = va / na
+    seb = vb / nb
+    t = (ma - mb) / F.sqrt(sea + seb)
+    dfree = (
+        (sea + seb) * (sea + seb)
+        / (sea * sea / (na - F.lit(1.0)) + seb * seb / (nb - F.lit(1.0)))
+    )
+    ok = (
+        (F.col("na") >= 2) & (F.col("nb") >= 2)
+        & ((va > 0) | (vb > 0))
+    )
+    return agg.select(
+        "na",
+        "nb",
+        F.round(ma, 6).alias("mean_a_r"),
+        F.round(mb, 6).alias("mean_b_r"),
+        F.when(ok, F.round(t, 6)).alias("t_r"),
+        F.when(ok, F.round(dfree, 6)).alias("df_r"),
+    ).withColumnsRenamed({"na": "n_a", "nb": "n_b"})
+
+
+def mcnemar_test(
+    paired: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """McNemar's paired-binary test (McNemar 1947, continuity-
+    corrected) — compare two quality gates / fetchers / classifiers on
+    the SAME items: only the DISCORDANT pairs carry information
+    (b01 = A passes, B fails; b10 = A fails, B passes):
+
+        chi2 = (|b01 - b10| - 1)^2 / (b01 + b10)     (1 df)
+
+    The unpaired tests (cmh_test, welch) throw away the pairing and
+    need far more data for the same power. One map-side aggregate over
+    exact longs; two final double ops. Returns ONE row: (n_pairs,
+    b01, b10, chi2_r); NULL when no discordant pairs.
+    """
+    a = F.col(a_col).cast("int")
+    b = F.col(b_col).cast("int")
+    agg = paired.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when((a == 1) & (b == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("b01"),
+        F.sum(F.when((a == 0) & (b == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("b10"),
+    )
+    num = F.abs(F.col("b01") - F.col("b10")).cast("double") - F.lit(1.0)
+    chi2 = num * num / (F.col("b01") + F.col("b10")).cast("double")
+    return agg.select(
+        "n_pairs",
+        "b01",
+        "b10",
+        F.when(F.col("b01") + F.col("b10") > 0, F.round(chi2, 6)).alias(
+            "chi2_r"
+        ),
+    )

@@ -285,3 +285,64 @@ def test_changepoint_single_observation_null(spark):
     )
     r = cusum_changepoint(df).collect()[0]
     assert r["cp_round"] is None and r["n_rounds"] == 1
+
+
+# --- Welch t and McNemar -------------------------------------------------------
+
+
+def _welch_brute(a, b):
+    na, nb = len(a), len(b)
+    ma, mb = sum(a) / na, sum(b) / nb
+    va = sum((x - ma) ** 2 for x in a) / (na - 1)
+    vb = sum((x - mb) ** 2 for x in b) / (nb - 1)
+    sea, seb = va / na, vb / nb
+    t = (ma - mb) / math.sqrt(sea + seb)
+    df = (sea + seb) ** 2 / (sea**2 / (na - 1) + seb**2 / (nb - 1))
+    return ma, mb, t, df
+
+
+@pytest.mark.parametrize("seed,parts", [(7, 1), (8, 9)])
+def test_welch_matches_bruteforce(spark, seed, parts):
+    from stock_crawler_spark.operators.abtest import welch_t_test
+
+    rng = np.random.default_rng(seed)
+    a = [int(v) for v in rng.integers(0, 100, size=240)]
+    b = [int(v) for v in rng.integers(20, 260, size=90)]  # unequal var
+    df = spark.createDataFrame(
+        [(0, v) for v in a] + [(1, v) for v in b], "grp int, x long"
+    ).repartition(parts)
+    r = welch_t_test(df).collect()[0]
+    ma, mb, t, dfree = _welch_brute(a, b)
+    assert (r["n_a"], r["n_b"]) == (240, 90)
+    assert r["mean_a_r"] == pytest.approx(ma, abs=2e-6)
+    assert r["t_r"] == pytest.approx(t, abs=2e-5)
+    assert r["df_r"] == pytest.approx(dfree, abs=2e-4)
+    # df must land strictly between min(n)-1 and na+nb-2
+    assert 89 < r["df_r"] < 328
+
+
+def test_welch_degenerate(spark):
+    from stock_crawler_spark.operators.abtest import welch_t_test
+
+    tiny = spark.createDataFrame([(0, 5), (1, 7), (1, 9)], "grp int, x long")
+    assert welch_t_test(tiny).collect()[0]["t_r"] is None  # n_a < 2
+    const = spark.createDataFrame(
+        [(0, 4)] * 5 + [(1, 4)] * 5, "grp int, x long"
+    )
+    assert welch_t_test(const).collect()[0]["t_r"] is None  # both vars 0
+
+
+def test_mcnemar_hand_check_and_degenerate(spark):
+    from stock_crawler_spark.operators.abtest import mcnemar_test
+
+    # classic: 101 both-pass, 59 A-only, 6 B-only, 33 both-fail
+    rows = (
+        [(1, 1)] * 101 + [(1, 0)] * 59 + [(0, 1)] * 6 + [(0, 0)] * 33
+    )
+    r = mcnemar_test(spark.createDataFrame(rows, "a int, b int")).collect()[0]
+    assert (r["n_pairs"], r["b01"], r["b10"]) == (199, 59, 6)
+    assert r["chi2_r"] == pytest.approx((abs(59 - 6) - 1) ** 2 / 65, abs=1e-6)
+    concordant = spark.createDataFrame(
+        [(1, 1)] * 10 + [(0, 0)] * 10, "a int, b int"
+    )
+    assert mcnemar_test(concordant).collect()[0]["chi2_r"] is None
