@@ -117,6 +117,138 @@ def fold_canonical(pages: DataFrame, url_col: str = "url",
     ).withColumn("is_alias", F.col("fetch_url") != F.col(url_col))
 
 
+# --- hreflang alternates ------------------------------------------------------
+
+_HREFLANG_RX_LH = r"""(?i)<link\b[^>]*?hreflang\s*=\s*["']([a-zA-Z0-9\-]+)["'][^>]*?href\s*=\s*["']([^"']+)["']"""
+_HREFLANG_RX_HL = r"""(?i)<link\b[^>]*?href\s*=\s*["']([^"']+)["'][^>]*?hreflang\s*=\s*["']([a-zA-Z0-9\-]+)["']"""
+
+
+def extract_hreflang(html: Column, base_url: Column) -> Column:
+    """Every ``<link rel="alternate" hreflang=...>`` declaration of a
+    page as ``array<struct<lang, alt_url>>`` — lang lowercased (BCP-47
+    tags are case-insensitive; ``x-default`` is a valid tag), href
+    resolved against the base url, unresolvable hrefs dropped, exact
+    duplicate declarations deduped.
+
+    hreflang families are the i18n mirror structure of the web: the
+    same content under /en/ /fr/ /de/ paths or ccTLD hosts. A crawler
+    that treats members as unrelated urls re-fetches and re-stores the
+    family N_langs times and near-dup dedup later rediscovers — noisily
+    — what the markup declared exactly. Attribute order is free in
+    HTML, so both ``hreflang..href`` and ``href..hreflang`` forms
+    match; both group lists come from the SAME pattern so they zip 1:1
+    (the extract_anchors convention). Pure Column regexp — codegen,
+    no Python."""
+    s = html.cast("string")
+    lh = F.zip_with(
+        F.regexp_extract_all(s, F.lit(_HREFLANG_RX_LH), F.lit(1)),
+        F.regexp_extract_all(s, F.lit(_HREFLANG_RX_LH), F.lit(2)),
+        lambda lang, href: F.struct(
+            F.lower(lang).alias("lang"),
+            resolve_url(href, base_url).alias("alt_url"),
+        ),
+    )
+    hl = F.zip_with(
+        F.regexp_extract_all(s, F.lit(_HREFLANG_RX_HL), F.lit(2)),
+        F.regexp_extract_all(s, F.lit(_HREFLANG_RX_HL), F.lit(1)),
+        lambda lang, href: F.struct(
+            F.lower(lang).alias("lang"),
+            resolve_url(href, base_url).alias("alt_url"),
+        ),
+    )
+    return F.array_distinct(
+        F.filter(F.concat(lh, hl), lambda p: p["alt_url"].isNotNull())
+    )
+
+
+def hreflang_clusters(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Per-cluster hreflang consistency rollup:
+    (cluster_id, n_pages, n_langs, n_edges, n_recip, frac_recip_r,
+    consistent).
+
+    Each page's cluster key is ``least(self, min(declared alternates))``
+    — a ONE-HOP key, deliberately not connected components: a
+    well-formed hreflang family is a complete directed graph (every
+    member lists every member), so all members share the same minimum
+    and coalesce under one key without any iterative sweeps; a broken
+    family splinters into multiple keys and/or unreciprocated edges,
+    which is exactly the signal. Google ignores unreciprocated
+    hreflang annotations, so ``n_recip`` (edges whose target declares
+    ANY alternate back at the source) vs ``n_edges`` prices how much
+    of the declared structure search engines will actually honor;
+    ``consistent`` = every edge reciprocated.
+
+    Scale shape: one explode (bounded by declared alternates per page,
+    ~N_langs), one self-equi-join on (src,dst)=(dst,src) for
+    reciprocity — url-keyed, never all-pairs — and two map-side-
+    combinable groupBys. Self-referential declarations (a page listing
+    itself, the common canonical form) count as pages, not edges."""
+    url = F.col(url_col)
+    alts = pages.select(
+        url.alias("src"),
+        F.explode_outer(
+            extract_hreflang(F.col(html_col), url)
+        ).alias("p"),
+    ).select(
+        "src",
+        F.col("p.lang").alias("lang"),
+        F.col("p.alt_url").alias("dst"),
+    )
+    # one-hop cluster key per page (self included so alternate-less
+    # pages are their own singleton cluster)
+    keys = alts.groupBy("src").agg(
+        F.least(F.first("src"), F.min("dst")).alias("cluster_id")
+    )
+    edges = alts.filter(
+        F.col("dst").isNotNull() & (F.col("dst") != F.col("src"))
+    )
+    back = edges.select(
+        F.col("src").alias("b_src"), F.col("dst").alias("b_dst")
+    ).distinct()
+    recip = edges.join(
+        back,
+        (edges["dst"] == back["b_src"]) & (edges["src"] == back["b_dst"]),
+        "left",
+    ).select(
+        "src", "lang", "dst", F.col("b_src").isNotNull().alias("is_recip")
+    )
+    per_cluster_edges = (
+        recip.join(keys, "src")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.sum(F.col("is_recip").cast("long")).alias("n_recip"),
+            F.count_distinct("lang").alias("n_langs"),
+        )
+    )
+    pages_per_cluster = keys.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_pages")
+    )
+    return pages_per_cluster.join(
+        per_cluster_edges, "cluster_id", "left"
+    ).select(
+        "cluster_id",
+        "n_pages",
+        F.coalesce(F.col("n_edges"), F.lit(0)).cast("long").alias("n_edges"),
+        F.coalesce(F.col("n_recip"), F.lit(0)).cast("long").alias("n_recip"),
+        F.coalesce(F.col("n_langs"), F.lit(0)).cast("long").alias("n_langs"),
+        F.when(
+            F.coalesce(F.col("n_edges"), F.lit(0)) > 0,
+            F.round(
+                F.col("n_recip").cast("double")
+                / F.col("n_edges").cast("double"),
+                6,
+            ),
+        ).alias("frac_recip_r"),
+        (
+            F.coalesce(F.col("n_recip"), F.lit(0))
+            == F.coalesce(F.col("n_edges"), F.lit(0))
+        ).alias("consistent"),
+    )
+
+
 # --- Python twin (fixtures / simulator) --------------------------------------
 
 

@@ -75,3 +75,81 @@ def with_pii_scrubbed(df: DataFrame, text_col: str = "text") -> DataFrame:
     cols += [c.cast("long").alias(n) for n, c in pii_counts(t).items()]
     cols.append(scrub_pii(t).alias("text_scrubbed"))
     return df.select(*cols)
+
+
+# --- credentials / secrets ------------------------------------------------------
+#
+# Web crawls capture leaked credentials constantly (pastebins, committed
+# .env files, misconfigured error pages); a model trained on them can
+# regurgitate live keys, so public pipelines scrub secrets as a
+# first-class pass beside PII (detect-secrets' keyword + well-known-
+# token detectors are the high-precision core replicated here). Same
+# contract as PII_RULES: Java/RE2-common regex subset (no lookaround,
+# no backreferences — also none in the REPLACEMENT, whose escape syntax
+# differs between Java's $1 and RE2's \1), counts independent on raw
+# text, scrub applied sequentially in rule order. Masks contain no
+# [A-Za-z0-9] runs long enough to re-match a later rule.
+#
+# Order matters twice: private-key blocks first (their base64 body
+# would otherwise shred into generic-token matches), and the keyword-
+# assignment rule last (earlier masks contain no 12+ alnum run, so an
+# already-masked value can't double-match).
+SECRET_RULES: tuple[tuple[str, str, str], ...] = (
+    (
+        "private_key",
+        r"(?s)-----BEGIN [A-Z ]*PRIVATE KEY-----.*?-----END [A-Z ]*PRIVATE KEY-----",
+        "<PRIVATE-KEY>",
+    ),
+    (
+        "aws_key",
+        r"\b(?:AKIA|ASIA)[0-9A-Z]{16}\b",
+        "<AWS-KEY>",
+    ),
+    (
+        "github_token",
+        r"\bgh[pousr]_[A-Za-z0-9]{36,}\b",
+        "<GH-TOKEN>",
+    ),
+    (
+        "slack_token",
+        r"\bxox[baprs]-[A-Za-z0-9-]{10,60}\b",
+        "<SLACK-TOKEN>",
+    ),
+    (
+        "jwt",
+        r"\beyJ[A-Za-z0-9_-]{8,}\.[A-Za-z0-9_-]{8,}\.[A-Za-z0-9_-]{8,}",
+        "<JWT>",
+    ),
+    (
+        "kv_secret",
+        r"(?i)\b(?:api[_-]?key|secret|token|passwd|password)\b[\"']?\s*[:=]\s*[\"']?[A-Za-z0-9+/_.=-]{12,100}",
+        "<SECRET-ASSIGNMENT>",
+    ),
+)
+
+
+def scrub_secrets(text: Column) -> Column:
+    """Masked text: every rule applied in SECRET_RULES order."""
+    out = text
+    for _, pat, mask in SECRET_RULES:
+        out = F.regexp_replace(out, pat, mask)
+    return out
+
+
+def secret_counts(text: Column) -> dict[str, Column]:
+    """Per-type match counts on the raw text (independent per rule)."""
+    return {
+        f"n_{name}": F.regexp_count(text, F.lit(pat))
+        for name, pat, _ in SECRET_RULES
+    }
+
+
+def with_secrets_scrubbed(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds per-type counts (longs, counted on the raw text) and
+    ``text_scrubbed``. Pure Column regexp chain — codegen, zero
+    shuffles, a mapper at any corpus size."""
+    t = F.col(text_col)
+    cols = [df["*"]]
+    cols += [c.cast("long").alias(n) for n, c in secret_counts(t).items()]
+    cols.append(scrub_secrets(t).alias("text_scrubbed"))
+    return df.select(*cols)

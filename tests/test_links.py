@@ -201,3 +201,95 @@ def test_anchor_agg_window_partitions_by_dom(spark):
     # the Window operator must list a partition spec containing dom
     wins = [l for l in plan.splitlines() if "Window" in l and "row_number" in l]
     assert wins and all("dom" in w for w in wins)
+
+
+# --- hreflang -----------------------------------------------------------------
+
+
+def test_extract_hreflang_orders_resolution_case(spark):
+    from stock_crawler_spark.functions.links import extract_hreflang
+
+    html = (
+        '<link rel="alternate" hreflang="EN" href="/en/p">'
+        "<link rel='alternate' href='https://fr.ex.com/p' hreflang='fr-FR'>"
+        '<link hreflang="x-default" href="//www.ex.com/p">'
+        '<link hreflang="de" href="mailto:x@y.z">'  # dropped scheme
+        '<link hreflang="en" href="/en/p">'  # exact dup after case fold
+    )
+    rows = spark.createDataFrame(
+        [("https://www.ex.com/p", html)], "base string, html string"
+    ).select(
+        extract_hreflang(F.col("html"), F.col("base")).alias("a")
+    ).collect()
+    got = [(p["lang"], p["alt_url"]) for p in rows[0]["a"]]
+    # hreflang..href order matches list first, href..hreflang after
+    assert got == [
+        ("en", "https://www.ex.com/en/p"),
+        ("x-default", "https://www.ex.com/p"),
+        ("fr-fr", "https://fr.ex.com/p"),
+    ]
+
+
+def test_hreflang_clusters_reciprocity(spark):
+    from stock_crawler_spark.functions.links import hreflang_clusters
+
+    def links(*pairs):
+        return "".join(
+            f'<link rel="alternate" hreflang="{lang}" href="{href}">'
+            for lang, href in pairs
+        )
+
+    a, b, c = "https://x.com/en", "https://x.com/fr", "https://x.com/de"
+    lone = "https://x.com/solo"
+    half_a, half_b = "https://y.com/en", "https://y.com/fr"
+    pages = [
+        # well-formed trio: everyone lists everyone (incl. self)
+        (a, links(("en", a), ("fr", b), ("de", c))),
+        (b, links(("en", a), ("fr", b), ("de", c))),
+        (c, links(("en", a), ("fr", b), ("de", c))),
+        # no alternates at all -> singleton cluster
+        (lone, "<body>x</body>"),
+        # broken pair: half_a points at half_b, half_b declares nothing back
+        (half_a, links(("fr", half_b))),
+        (half_b, links(("fr", half_b))),
+    ]
+    out = {
+        r["cluster_id"]: r
+        for r in hreflang_clusters(
+            spark.createDataFrame(pages, "url string, html string")
+        ).collect()
+    }
+    trio = out[min(a, b, c)]
+    assert (trio["n_pages"], trio["n_langs"], trio["n_edges"], trio["n_recip"]) == (
+        3, 3, 6, 6
+    )
+    assert trio["consistent"] and trio["frac_recip_r"] == 1.0
+    assert out[lone]["n_pages"] == 1 and out[lone]["n_edges"] == 0
+    assert out[lone]["consistent"] and out[lone]["frac_recip_r"] is None
+    # the broken family SPLINTERS: half_a keys on itself (its declared min
+    # is half_b but least(self, .) stays half_a... half_a < half_b), and
+    # half_b — declaring only itself — keys on itself too; half_a's edge
+    # to half_b is unreciprocated
+    broken = out[half_a]
+    assert (broken["n_pages"], broken["n_edges"], broken["n_recip"]) == (1, 1, 0)
+    assert not broken["consistent"] and broken["frac_recip_r"] == 0.0
+    selfdecl = out[half_b]
+    assert (selfdecl["n_pages"], selfdecl["n_edges"]) == (1, 0)
+    assert selfdecl["consistent"]
+
+
+def test_hreflang_clusters_partition_invariance(spark):
+    from stock_crawler_spark.functions.links import hreflang_clusters
+
+    rows = []
+    for g in range(12):
+        urls = [f"https://c{g}.ex/{lng}" for lng in ("en", "fr", "de")]
+        tags = "".join(
+            f'<link hreflang="l{i}" href="{u}">' for i, u in enumerate(urls)
+        )
+        for u in urls[: 2 + g % 2]:
+            rows.append((u, tags if g % 3 else "<p>none</p>"))
+    df = spark.createDataFrame(rows, "url string, html string")
+    a = sorted(map(tuple, hreflang_clusters(df.repartition(1)).collect()))
+    b = sorted(map(tuple, hreflang_clusters(df.repartition(13, "html")).collect()))
+    assert a == b
