@@ -1663,6 +1663,63 @@ def q223_secret_scrub(spark, sf):
     )
 
 
+def q224_k_anonymity(spark, sf):
+    """k-anonymity / l-diversity release audit (operators/privacy.
+    k_anonymity_audit; Sweeney 2002, Machanavelli 2007): quasi-
+    identifier classes over (lang, source, length band) with a
+    23-valued synthetic sensitive attribute — classes under k=5 rows
+    are re-identification fingerprints, classes under l=3 distinct
+    sensitive values leak via the homogeneity attack even when k
+    holds. ONE map-side groupBy; per-class output so downstream
+    suppression targets exactly the violating classes. Oracle is a
+    plain GROUP BY."""
+    from stock_crawler_spark.operators.privacy import k_anonymity_audit
+
+    docs = _t(spark, sf, "documents")
+    rows = docs.select(
+        "lang",
+        "source",
+        (F.col("n_chars") / 200).cast("long").alias("band"),
+        (F.col("doc_id") % 23).cast("string").alias("attr"),
+    )
+    return k_anonymity_audit(
+        rows, ["lang", "source", "band"], sensitive_col="attr", k=5, l_div=3
+    )
+
+
+def q225_calibration_ece(spark, sf):
+    """Expected / maximum calibration error (functions/classifier.
+    calibration_ece; Naeini 2015 binning estimator) of a deliberately
+    miscalibrated gate: score p is a rational ramp on doc_id, the true
+    hit probability is p^2 (md5-threshold labels), so low-confidence
+    bins are overconfident by construction. AUC (q172) prices ranking;
+    this prices whether p MEANS p. Per-bin sums are exact integers of
+    p*10^9; the cross-bin fold runs bin-ascending. Oracle replays
+    bins, integer sums, and both error folds."""
+    from stock_crawler_spark.functions.classifier import calibration_ece
+
+    docs = _t(spark, sf, "documents")
+    p = F.round(
+        ((F.col("doc_id") * 37 % 1000).cast("double") + 0.5) / 1000.0, 9
+    )
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("cal:"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000000
+    )
+    y = (h < F.floor(p * p * F.lit(1000000.0)).cast("long")).cast("int")
+    return calibration_ece(
+        docs.select(p.alias("p"), y.alias("y")), n_bins=10
+    )
+
+
 def _secrets_augmented_text():
     sid = F.col("doc_id")
     return F.concat(
@@ -5630,6 +5687,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q221_mcnemar": q221_mcnemar,
         "q222_hreflang_clusters": q222_hreflang_clusters,
         "q223_secret_scrub": q223_secret_scrub,
+        "q224_k_anonymity": q224_k_anonymity,
+        "q225_calibration_ece": q225_calibration_ece,
     }
 
 
@@ -10524,6 +10583,54 @@ SELECT pc.cluster_id, pc.n_pages,
   coalesce(ce.n_recip, 0) = coalesce(ce.n_edges, 0) AS consistent
 FROM pc LEFT JOIN ce ON ce.cluster_id = pc.cluster_id
 ORDER BY pc.cluster_id
+""",
+        # q224: plain GROUP BY audit
+        "q224_k_anonymity": """
+SELECT lang, source, CAST(n_chars // 200 AS BIGINT) AS band,
+  CAST(count(*) AS BIGINT) AS class_size,
+  CAST(count(DISTINCT CAST(doc_id % 23 AS VARCHAR)) AS BIGINT) AS n_sensitive,
+  count(*) >= 5 AS k_ok,
+  count(DISTINCT CAST(doc_id % 23 AS VARCHAR)) >= 3 AS l_ok
+FROM documents
+GROUP BY 1, 2, 3
+""",
+        # q225: bins + exact integer p-sums + bin-ascending error folds
+        "q225_calibration_ece": """
+WITH s AS (
+  SELECT round((CAST(doc_id * 37 % 1000 AS DOUBLE) + 0.5) / 1000.0, 9) AS p,
+    ('0x' || substr(md5('cal:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      % 1000000 AS h
+  FROM documents
+), lab AS (
+  SELECT p,
+    CASE WHEN h < CAST(floor(p * p * 1000000.0) AS BIGINT)
+         THEN 1 ELSE 0 END AS y
+  FROM s
+), b AS (
+  SELECT least(CAST(floor(p * 10.0) AS INT), 9) AS bin,
+    count(*) AS n,
+    sum(CAST(round(p * 1000000000.0) AS HUGEINT)) AS sp,
+    CAST(sum(y) AS BIGINT) AS sy
+  FROM lab GROUP BY 1
+), packed AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+    CAST(count(*) AS BIGINT) AS n_bins_used,
+    list({'n': n, 'sp': sp, 'sy': sy} ORDER BY bin) AS arr
+  FROM b
+)
+SELECT n_rows, n_bins_used,
+  round(list_aggregate(list_transform(arr, t ->
+      CAST(t['n'] AS DOUBLE)
+      * abs(CAST(t['sy'] AS DOUBLE) / CAST(t['n'] AS DOUBLE)
+            - CAST(t['sp'] AS DOUBLE)
+              / (1000000000.0 * CAST(t['n'] AS DOUBLE)))),
+    'sum') / CAST(n_rows AS DOUBLE), 6) AS ece_r,
+  round(list_aggregate(list_transform(arr, t ->
+      abs(CAST(t['sy'] AS DOUBLE) / CAST(t['n'] AS DOUBLE)
+          - CAST(t['sp'] AS DOUBLE)
+            / (1000000000.0 * CAST(t['n'] AS DOUBLE)))),
+    'max'), 6) AS mce_r
+FROM packed
 """,
         # q167: Elias gamma/delta gap costs via bin() lengths (no log2)
         "q167_adjacency_bits": f"""

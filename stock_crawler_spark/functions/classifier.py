@@ -551,3 +551,76 @@ def exact_auc(
             ),
         ).alias("auc_r"),
     )
+
+
+def calibration_ece(
+    scored: DataFrame,
+    p_col: str = "p",
+    y_col: str = "y",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Expected / maximum calibration error of a probabilistic gate
+    (Naeini et al. AAAI 2015 binning estimator): ONE row
+    (n_rows, n_bins_used, ece_r, mce_r).
+
+    AUC (mann_whitney_auc) prices RANKING; calibration prices whether
+    the score MEANS what it says — a quality gate that emits p=0.9 on
+    docs that are good 60% of the time poisons every downstream
+    threshold and the DSIR-style importance weights computed from it.
+    Equal-width bins over [0,1): bin = min(floor(p*n_bins), n_bins-1);
+    per bin, conf = mean(p), acc = mean(y);
+    ECE = sum_b (n_b/N)*|acc_b - conf_b|, MCE = max_b |acc_b - conf_b|.
+
+    Determinism: p is quantized to 9 decimals (round-half-up on the
+    wire already — the caller rounds) and summed as exact
+    DECIMAL(38,0) integers of p*10^9, so per-bin sums are order-free;
+    the cross-bin ECE fold runs in ascending bin order over <= n_bins
+    rows. One map-side groupBy; no windows, no collect.
+    """
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    p = F.col(p_col).cast("double")
+    y = F.col(y_col).cast("int")
+    q = F.round(p * F.lit(1000000000.0)).cast("decimal(38,0)")
+    b = F.least(
+        F.floor(p * F.lit(float(n_bins))).cast("int"), F.lit(n_bins - 1)
+    )
+    bins = scored.groupBy(b.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("sp"),
+        F.sum(y.cast("long")).alias("sy"),
+    )
+    packed = bins.agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_bins_used"),
+        F.array_sort(
+            F.collect_list(F.struct("bin", "n", "sp", "sy"))
+        ).alias("arr"),
+    )
+    gap = lambda s: F.abs(  # noqa: E731
+        s["sy"].cast("double") / s["n"].cast("double")
+        - s["sp"].cast("double")
+        / (F.lit(1000000000.0) * s["n"].cast("double"))
+    )
+    return packed.select(
+        "n_rows",
+        "n_bins_used",
+        F.round(
+            F.aggregate(
+                "arr",
+                F.lit(0.0),
+                lambda acc, s: acc
+                + s["n"].cast("double") * gap(s),
+            )
+            / F.col("n_rows").cast("double"),
+            6,
+        ).alias("ece_r"),
+        F.round(
+            F.aggregate(
+                "arr",
+                F.lit(0.0),
+                lambda acc, s: F.greatest(acc, gap(s)),
+            ),
+            6,
+        ).alias("mce_r"),
+    )

@@ -1,0 +1,93 @@
+"""Privacy audits for corpus release: k-anonymity and l-diversity.
+
+Before a webtext corpus (or its metadata sidecar) ships, release
+pipelines audit re-identification risk over the quasi-identifier
+columns that survive scrubbing — functions/pii masks the direct
+identifiers (emails, phones, keys), but COMBINATIONS of innocuous
+columns (language x source x length band x host) can still isolate
+individuals or tiny cohorts. The two classical audits:
+
+* k-anonymity (Sweeney 2002): every quasi-identifier equivalence
+  class must contain >= k rows — a class of 1 is a fingerprint.
+* l-diversity (Machanavelli et al. 2007): within each class, the
+  SENSITIVE attribute must take >= l distinct values — a k=50 class
+  where all 50 share one sensitive value leaks it to anyone who can
+  place a row in the class (the homogeneity attack k-anonymity
+  misses).
+
+Spark shape: ONE map-side-combinable groupBy over the quasi columns
+computing (count, count_distinct(sensitive)) — no window, no collect;
+equivalence classes are bounded by the quasi-identifier cross product,
+and hot classes (the safe ones) partial-aggregate map-side. The
+output is per-class, so downstream can suppress / generalize exactly
+the violating classes instead of re-scanning.
+
+Reference analog: none — the reference publishes per-stock quotes with
+no privacy surface; this extends the engine's corpus-release side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str | None = None,
+    k: int = 5,
+    l_div: int = 2,
+) -> DataFrame:
+    """Per-equivalence-class audit rows:
+    (*quasi_cols, class_size, n_sensitive, k_ok, l_ok).
+
+    ``class_size`` counts rows in the quasi-identifier class; ``k_ok``
+    is class_size >= k. With a ``sensitive_col``, ``n_sensitive`` is
+    the class's distinct sensitive values and ``l_ok`` is
+    n_sensitive >= l_div; without one, n_sensitive is NULL and l_ok
+    vacuously true. NULL quasi values form their own class (SQL
+    GROUP BY semantics — both engines agree).
+    """
+    if k < 1 or l_div < 1:
+        raise ValueError("k and l_div must be >= 1")
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    aggs = [F.count(F.lit(1)).alias("class_size")]
+    if sensitive_col is not None:
+        aggs.append(
+            F.count_distinct(F.col(sensitive_col)).alias("n_sensitive")
+        )
+    out = df.groupBy(*[F.col(c) for c in quasi_cols]).agg(*aggs)
+    if sensitive_col is None:
+        out = out.withColumn("n_sensitive", F.lit(None).cast("long"))
+        l_ok = F.lit(True)
+    else:
+        out = out.withColumn("n_sensitive", F.col("n_sensitive").cast("long"))
+        l_ok = F.col("n_sensitive") >= l_div
+    return out.select(
+        *quasi_cols,
+        F.col("class_size").cast("long").alias("class_size"),
+        "n_sensitive",
+        (F.col("class_size") >= k).alias("k_ok"),
+        l_ok.alias("l_ok"),
+    )
+
+
+def anonymity_summary(
+    audit: DataFrame, row_col: str = "class_size"
+) -> DataFrame:
+    """One-row release verdict over a k_anonymity_audit result:
+    (n_classes, n_rows, min_class_size, n_k_violations, rows_at_risk,
+    n_l_violations) — ``rows_at_risk`` counts rows inside k-violating
+    classes (the suppression cost of enforcing k by dropping them)."""
+    return audit.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum(row_col).cast("long").alias("n_rows"),
+        F.min(row_col).cast("long").alias("min_class_size"),
+        F.sum((~F.col("k_ok")).cast("long")).alias("n_k_violations"),
+        F.sum(F.when(~F.col("k_ok"), F.col(row_col)).otherwise(0))
+        .cast("long")
+        .alias("rows_at_risk"),
+        F.sum((~F.col("l_ok")).cast("long")).alias("n_l_violations"),
+    )

@@ -1,0 +1,144 @@
+"""k-anonymity / l-diversity release audits (operators/privacy) and the
+calibration-error metric (functions/classifier.calibration_ece)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from stock_crawler_spark.operators.privacy import (
+    anonymity_summary,
+    k_anonymity_audit,
+)
+
+
+def _rows():
+    # (lang, band, secret): class sizes 1 / 3 / 5; the size-5 class is
+    # sensitive-homogeneous (l violation), the size-3 class diverse
+    out = [("en", 0, "a")]
+    out += [("fr", 1, s) for s in ("a", "b", "c")]
+    out += [("de", 2, "z")] * 5
+    return out
+
+
+def test_k_anonymity_flags(spark):
+    df = spark.createDataFrame(_rows(), "lang string, band int, secret string")
+    audit = {
+        (r["lang"], r["band"]): r
+        for r in k_anonymity_audit(
+            df, ["lang", "band"], sensitive_col="secret", k=3, l_div=2
+        ).collect()
+    }
+    assert len(audit) == 3
+    single = audit[("en", 0)]
+    # a singleton violates BOTH: size 1 < k and 1 distinct sensitive < l
+    assert (single["class_size"], single["k_ok"], single["l_ok"]) == (1, False, False)
+    diverse = audit[("fr", 1)]
+    assert (diverse["class_size"], diverse["n_sensitive"]) == (3, 3)
+    assert diverse["k_ok"] and diverse["l_ok"]
+    homog = audit[("de", 2)]
+    assert (homog["class_size"], homog["n_sensitive"]) == (5, 1)
+    assert homog["k_ok"] and not homog["l_ok"]
+
+
+def test_k_anonymity_without_sensitive(spark):
+    df = spark.createDataFrame(_rows(), "lang string, band int, secret string")
+    out = k_anonymity_audit(df, ["lang"], k=2).collect()
+    assert all(r["n_sensitive"] is None and r["l_ok"] for r in out)
+
+
+def test_anonymity_summary(spark):
+    df = spark.createDataFrame(_rows(), "lang string, band int, secret string")
+    audit = k_anonymity_audit(df, ["lang", "band"], "secret", k=3, l_div=2)
+    s = anonymity_summary(audit).collect()[0]
+    assert (s["n_classes"], s["n_rows"], s["min_class_size"]) == (3, 9, 1)
+    assert (s["n_k_violations"], s["rows_at_risk"], s["n_l_violations"]) == (1, 1, 2)
+
+
+def test_k_anonymity_validation(spark):
+    df = spark.createDataFrame(_rows(), "lang string, band int, secret string")
+    with pytest.raises(ValueError):
+        k_anonymity_audit(df, [], k=3)
+    with pytest.raises(ValueError):
+        k_anonymity_audit(df, ["lang"], k=0)
+
+
+def test_k_anonymity_partition_invariance(spark):
+    rows = [("l%d" % (i % 7), i % 4, "s%d" % (i % 3)) for i in range(200)]
+    df = spark.createDataFrame(rows, "lang string, band int, secret string")
+    a = sorted(
+        map(tuple, k_anonymity_audit(df.repartition(1), ["lang", "band"], "secret").collect())
+    )
+    b = sorted(
+        map(tuple, k_anonymity_audit(df.repartition(17, "secret"), ["lang", "band"], "secret").collect())
+    )
+    assert a == b
+
+
+# --- calibration ----------------------------------------------------------------
+
+
+def _ece_brute(pairs, n_bins=10):
+    bins = {}
+    for p, y in pairs:
+        b = min(int(p * n_bins), n_bins - 1)
+        n, sp, sy = bins.get(b, (0, 0, 0))
+        bins[b] = (n + 1, sp + round(p * 1e9), sy + y)
+    n_tot = sum(v[0] for v in bins.values())
+    ece = mce = 0.0
+    for b in sorted(bins):
+        n, sp, sy = bins[b]
+        gap = abs(sy / n - sp / (1e9 * n))
+        ece += n * gap
+        mce = max(mce, gap)
+    return round(ece / n_tot, 6), round(mce, 6)
+
+
+def test_ece_brute_force_parity(spark):
+    from stock_crawler_spark.functions.classifier import calibration_ece
+
+    pairs = [
+        (round(((i * 37) % 1000 + 0.5) / 1000.0, 9), 1 if (i * 13) % 10 < 4 else 0)
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(pairs, "p double, y int")
+    r = calibration_ece(df).collect()[0]
+    ece, mce = _ece_brute(pairs)
+    assert (r["n_rows"], r["ece_r"], r["mce_r"]) == (500, ece, mce)
+    assert r["mce_r"] >= r["ece_r"]
+
+
+def test_ece_perfectly_calibrated_bin(spark):
+    from stock_crawler_spark.functions.classifier import calibration_ece
+
+    # one bin, conf 0.5, acc 0.5 -> zero error; p=1.0 lands in the top bin
+    pairs = [(0.5, 1), (0.5, 0), (0.5, 1), (0.5, 0)]
+    r = calibration_ece(
+        spark.createDataFrame(pairs, "p double, y int")
+    ).collect()[0]
+    assert r["ece_r"] == 0.0 and r["mce_r"] == 0.0 and r["n_bins_used"] == 1
+    top = calibration_ece(
+        spark.createDataFrame([(1.0, 1)], "p double, y int")
+    ).collect()[0]
+    assert top["n_bins_used"] == 1 and top["ece_r"] == 0.0
+
+
+def test_ece_partition_invariance(spark):
+    from stock_crawler_spark.functions.classifier import calibration_ece
+
+    pairs = [
+        (round((i % 100 + 0.5) / 100.0, 9), 1 if (i * 7) % 3 == 0 else 0)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(pairs, "p double, y int")
+    a = calibration_ece(df.repartition(1)).collect()[0]
+    b = calibration_ece(df.repartition(13, "y")).collect()[0]
+    assert tuple(a) == tuple(b)
+
+
+def test_ece_validation(spark):
+    from stock_crawler_spark.functions.classifier import calibration_ece
+
+    df = spark.createDataFrame([(0.5, 1)], "p double, y int")
+    with pytest.raises(ValueError):
+        calibration_ece(df, n_bins=0)
