@@ -1720,6 +1720,64 @@ def q225_calibration_ece(spark, sf):
     )
 
 
+def q226_anova_f(spark, sf):
+    """One-way ANOVA F (operators/abtest.anova_f) across five
+    scheduler variants with planted mean shifts (x = event_id%120 +
+    6*variant) — the k-group portmanteau mean test beside q211's
+    rank-based Kruskal-Wallis and q220's 2-group Welch; one test
+    instead of 10 pairwise comparisons. Sufficient statistics exact
+    long/HUGEINT; the s_g^2/n_g fold runs group-sorted; the oracle
+    replays every step."""
+    from stock_crawler_spark.operators.abtest import anova_f
+
+    ev = _t(spark, sf, "events")
+    rows = ev.select(
+        (F.col("event_id") % 5).cast("int").alias("grp"),
+        (F.col("event_id") % 120 + 6 * (F.col("event_id") % 5)).alias("x"),
+    )
+    return anova_f(rows)
+
+
+def q227_cochran_armitage(spark, sf):
+    """Cochran-Armitage trend test (operators/abtest.cochran_armitage)
+    for a monotone success-rate fall across crawl-depth levels —
+    planted: hit rate 0.8 - 0.1*depth via a residue ramp. The trend
+    question q205's G-test wastes power on (any-difference vs ordered
+    alternative). All sums exact and order-free; the oracle replays
+    cells, T, Var, z."""
+    from stock_crawler_spark.operators.abtest import cochran_armitage
+
+    ev = _t(spark, sf, "events")
+    rows = ev.select(
+        (F.col("event_id") % 5).cast("int").alias("dose"),
+        (
+            (F.col("event_id") * 7) % 10 < 8 - (F.col("event_id") % 5)
+        ).cast("int").alias("hit"),
+    )
+    return cochran_armitage(rows)
+
+
+def q228_average_precision(spark, sf):
+    """Exact average precision (functions/classifier.average_precision)
+    of a deterministic scorer against a sparse positive label (1 in 5)
+    — the PR-domain ranking metric beside q172's ROC-AUC: AUC is blind
+    to imbalance, AP weights exactly the top-of-ranking a budgeted
+    selection consumes. Strict (score desc, id asc) order via the
+    pinned-range distributed cumsum — never a global sort; per-positive
+    h/k terms quantized to 12 decimals and summed as exact DECIMAL so
+    the fold is order-free. Oracle replays the ranking and the
+    quantized sum."""
+    from stock_crawler_spark.functions.classifier import average_precision
+
+    docs = _t(spark, sf, "documents")
+    scored = docs.select(
+        "doc_id",
+        ((F.col("doc_id") * 37) % 100).cast("double").alias("score"),
+        ((F.col("doc_id") * 13) % 5 == 0).cast("int").alias("label"),
+    )
+    return average_precision(scored)
+
+
 def _secrets_augmented_text():
     sid = F.col("doc_id")
     return F.concat(
@@ -5689,6 +5747,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q223_secret_scrub": q223_secret_scrub,
         "q224_k_anonymity": q224_k_anonymity,
         "q225_calibration_ece": q225_calibration_ece,
+        "q226_anova_f": q226_anova_f,
+        "q227_cochran_armitage": q227_cochran_armitage,
+        "q228_average_precision": q228_average_precision,
     }
 
 
@@ -10631,6 +10692,101 @@ SELECT n_rows, n_bins_used,
             / (1000000000.0 * CAST(t['n'] AS DOUBLE)))),
     'max'), 6) AS mce_r
 FROM packed
+""",
+        # q226: per-group sufficient stats + group-sorted s^2/n fold
+        "q226_anova_f": """
+WITH rows_ AS (
+  SELECT CAST(event_id % 5 AS INT) AS g,
+         CAST(event_id % 120 + 6 * (event_id % 5) AS BIGINT) AS x
+  FROM events
+), per AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s,
+         sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS q
+  FROM rows_ GROUP BY 1
+), packed AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_groups,
+         CAST(sum(n) AS BIGINT) AS n_obs,
+         CAST(sum(s) AS BIGINT) AS s_tot, sum(q) AS q_tot,
+         list_aggregate(list(
+           CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+           ORDER BY g), 'sum') AS braw
+  FROM per
+)
+SELECT n_groups, n_obs,
+  round(braw - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE)
+          / CAST(n_obs AS DOUBLE), 6) AS ss_between_r,
+  round(CAST(q_tot AS DOUBLE) - braw, 6) AS ss_within_r,
+  CASE WHEN n_groups >= 2 AND n_obs > n_groups
+            AND CAST(q_tot AS DOUBLE) - braw > 0 THEN
+    round(((braw - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE)
+             / CAST(n_obs AS DOUBLE)) / (n_groups - 1))
+          / ((CAST(q_tot AS DOUBLE) - braw) / (n_obs - n_groups)), 6)
+  END AS f_r
+FROM packed
+""",
+        # q227: level cells + T / Var / z replay (all exact until z)
+        "q227_cochran_armitage": """
+WITH rows_ AS (
+  SELECT CAST(event_id % 5 AS INT) AS dose,
+    CASE WHEN (event_id * 7) % 10 < 8 - (event_id % 5)
+         THEN 1 ELSE 0 END AS hit
+  FROM events
+), per AS (
+  SELECT dose, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(hit) AS BIGINT) AS r
+  FROM rows_ GROUP BY 1
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_levels,
+         CAST(sum(n) AS BIGINT) AS n_obs,
+         CAST(sum(r) AS BIGINT) AS n_hits,
+         sum(CAST(dose AS HUGEINT) * CAST(r AS HUGEINT)) AS sr,
+         sum(CAST(dose AS HUGEINT) * CAST(n AS HUGEINT)) AS sn,
+         sum(CAST(dose AS HUGEINT) * CAST(dose AS HUGEINT)
+             * CAST(n AS HUGEINT)) AS ssn
+  FROM per
+)
+SELECT n_levels, n_obs, n_hits,
+  round(CAST(sr AS DOUBLE)
+        - CAST(n_hits AS DOUBLE) * CAST(sn AS DOUBLE)
+          / CAST(n_obs AS DOUBLE), 6) AS t_r,
+  CASE WHEN (CAST(n_hits AS DOUBLE) / CAST(n_obs AS DOUBLE))
+            * (1.0 - CAST(n_hits AS DOUBLE) / CAST(n_obs AS DOUBLE))
+            * (CAST(ssn AS DOUBLE)
+               - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE)
+                 / CAST(n_obs AS DOUBLE)) > 0 THEN
+    round((CAST(sr AS DOUBLE)
+           - CAST(n_hits AS DOUBLE) * CAST(sn AS DOUBLE)
+             / CAST(n_obs AS DOUBLE))
+          / sqrt((CAST(n_hits AS DOUBLE) / CAST(n_obs AS DOUBLE))
+                 * (1.0 - CAST(n_hits AS DOUBLE) / CAST(n_obs AS DOUBLE))
+                 * (CAST(ssn AS DOUBLE)
+                    - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE)
+                      / CAST(n_obs AS DOUBLE))), 6)
+  END AS z_r
+FROM agg
+""",
+        # q228: strict (score desc, id asc) ranking + quantized h/k sum
+        "q228_average_precision": """
+WITH s AS (
+  SELECT doc_id, CAST((doc_id * 37) % 100 AS DOUBLE) AS score,
+    CASE WHEN (doc_id * 13) % 5 = 0 THEN 1 ELSE 0 END AS y
+  FROM documents
+), r AS (
+  SELECT y,
+    row_number() OVER (ORDER BY score DESC, doc_id ASC) AS k,
+    sum(y) OVER (ORDER BY score DESC, doc_id ASC
+                 ROWS UNBOUNDED PRECEDING) AS h
+  FROM s
+), t AS (
+  SELECT CAST(round(CAST(h AS DOUBLE) / CAST(k AS DOUBLE), 12)
+              AS DECIMAL(38,18)) AS term
+  FROM r WHERE y = 1
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM s) AS n_rows,
+       (SELECT CAST(sum(y) AS BIGINT) FROM s) AS n_pos,
+       round(CAST(sum(term) AS DOUBLE)
+             / (SELECT CAST(sum(y) AS DOUBLE) FROM s), 6) AS ap_r
+FROM t
 """,
         # q167: Elias gamma/delta gap costs via bin() lengths (no log2)
         "q167_adjacency_bits": f"""

@@ -561,7 +561,10 @@ def calibration_ece(
 ) -> DataFrame:
     """Expected / maximum calibration error of a probabilistic gate
     (Naeini et al. AAAI 2015 binning estimator): ONE row
-    (n_rows, n_bins_used, ece_r, mce_r).
+    (n_rows, n_bins_used, ece_r, mce_r) — the scalar release-gate
+    summary whose per-bin expansion is the q141 reliability diagram
+    (that query keeps bins as rows; this op folds them to the two
+    numbers a threshold check needs).
 
     AUC (mann_whitney_auc) prices RANKING; calibration prices whether
     the score MEANS what it says — a quality gate that emits p=0.9 on
@@ -623,4 +626,89 @@ def calibration_ece(
             ),
             6,
         ).alias("mce_r"),
+    )
+
+
+def average_precision(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    id_col: str = "doc_id",
+    n_partitions: int = 32,
+) -> DataFrame:
+    """Exact average precision (area under the PR curve at positive
+    ranks) of a scorer against a binary label: ONE row
+    (n_rows, n_pos, ap_r).
+
+        AP = (1/P) * sum over positives at rank k of (hits_at_k / k)
+
+    ROC-AUC (exact_auc) is blind to class imbalance — at 1 good doc
+    per 10^4 junk, a gate can post AUC 0.99 while its top-of-ranking
+    (the only part a budgeted selection ever consumes) is garbage; AP
+    weights exactly that head. Ranking is the STRICT total order
+    (score desc, id asc) — the id tie-break makes the metric
+    deterministic where the classical tie-averaged AP is not, and it
+    matches how a real top-k selection would cut.
+
+    Scale shape: the distributed global-index pattern — range shuffle
+    on the order key (_pinned_range_parts), O(n_partitions) driver
+    scalars for the per-partition (rows, hits) offsets, per-partition
+    window cumsums; NEVER a single-partition global sort. Per-positive
+    terms h/k are doubles quantized to 12 decimals and summed as exact
+    DECIMAL(38,18) — order-free, so no sorted fold over the P positives
+    (which would be corpus-sized) is needed.
+    """
+    from pyspark.sql import Window
+
+    from stock_crawler_spark.operators.training import _pinned_range_parts
+
+    base = scored.select(
+        F.col(score_col).alias("_s"),
+        F.col(id_col).alias("_id"),
+        F.col(label_col).cast("int").alias("_y"),
+    )
+    parts = _pinned_range_parts(base, n_partitions, F.desc("_s"), F.asc("_id"))
+    totals = (
+        parts.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_n"), F.sum("_y").alias("_h"))
+        .collect()
+    )
+    row_off = hit_off = 0
+    rows = []
+    for pid, n, h in sorted((r["_pid"], r["_n"], r["_h"]) for r in totals):
+        rows.append((int(pid), int(row_off), int(hit_off)))
+        row_off += int(n)
+        hit_off += int(h)
+    n_rows_total, n_pos_total = row_off, hit_off
+    spark = scored.sparkSession
+    if not rows:  # empty input
+        return spark.createDataFrame(
+            [(0, 0, None)], "n_rows long, n_pos long, ap_r double"
+        )
+    offsets = spark.createDataFrame(
+        rows, "_pid int, _roff long, _hoff long"
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(F.desc("_s"), F.asc("_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = (
+        parts.join(F.broadcast(offsets), "_pid")
+        .withColumn("_k", F.col("_roff") + F.sum(F.lit(1)).over(w))
+        .withColumn("_hk", F.col("_hoff") + F.sum("_y").over(w))
+    )
+    term = F.round(
+        F.col("_hk").cast("double") / F.col("_k").cast("double"), 12
+    ).cast("decimal(38,18)")
+    agg = ranked.filter(F.col("_y") == 1).agg(F.sum(term).alias("_ap_sum"))
+    return agg.select(
+        F.lit(n_rows_total).cast("long").alias("n_rows"),
+        F.lit(n_pos_total).cast("long").alias("n_pos"),
+        F.when(
+            F.lit(n_pos_total) > 0,
+            F.round(
+                F.col("_ap_sum").cast("double") / F.lit(float(n_pos_total)), 6
+            ),
+        ).alias("ap_r"),
     )

@@ -456,3 +456,130 @@ def mcnemar_test(
             "chi2_r"
         ),
     )
+
+
+def anova_f(
+    samples: DataFrame,
+    group_col: str = "grp",
+    value_col: str = "x",
+) -> DataFrame:
+    """One-way ANOVA F over k integer-valued groups — the k-group
+    extension of welch_t_test's 2-group mean verdict (Kruskal-Wallis
+    is its rank-based sibling for non-normal data):
+
+        SSB = sum_g s_g^2/n_g - S^2/N     (between, df = k-1)
+        SSW = Q - sum_g s_g^2/n_g         (within,  df = N-k)
+        F   = (SSB/(k-1)) / (SSW/(N-k))
+
+    Which scheduler variant (of five) moves mean harvest rate — one
+    portmanteau test instead of 10 pairwise Welch comparisons and
+    their multiplicity problem (or feed the 10 p-values to
+    benjamini_hochberg).
+
+    Sufficient statistics (n_g, sum x, sum x^2) per group are exact
+    longs/DECIMAL(38,0) from ONE map-side groupBy; the s_g^2/n_g
+    terms fold group-sorted (<= k rows) so the double adds are
+    order-pinned. Returns ONE row: (n_groups, n_obs, ss_between_r,
+    ss_within_r, f_r); f_r NULL when k < 2, N <= k, or SSW <= 0.
+    """
+    g = F.col(group_col)
+    x = F.col(value_col).cast("long")
+    dec = "decimal(38,0)"
+    per = samples.groupBy(g.alias("_g")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).cast("long").alias("s"),
+        F.sum(x.cast(dec) * x.cast(dec)).alias("q"),
+    )
+    packed = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("n").cast("long").alias("n_obs"),
+        F.sum("s").cast("long").alias("s_tot"),
+        F.sum("q").alias("q_tot"),
+        F.array_sort(F.collect_list(F.struct("_g", "n", "s"))).alias("arr"),
+    )
+    between_raw = F.aggregate(
+        "arr",
+        F.lit(0.0),
+        lambda acc, t: acc
+        + t["s"].cast("double") * t["s"].cast("double")
+        / t["n"].cast("double"),
+    )
+    n_tot = F.col("n_obs").cast("double")
+    ssb = between_raw - F.col("s_tot").cast("double") * F.col(
+        "s_tot"
+    ).cast("double") / n_tot
+    ssw = F.col("q_tot").cast("double") - between_raw
+    k = F.col("n_groups").cast("double")
+    f_stat = (ssb / (k - F.lit(1.0))) / (ssw / (n_tot - k))
+    ok = (
+        (F.col("n_groups") >= 2)
+        & (F.col("n_obs") > F.col("n_groups"))
+        & (ssw > 0)
+    )
+    return packed.select(
+        "n_groups",
+        "n_obs",
+        F.round(ssb, 6).alias("ss_between_r"),
+        F.round(ssw, 6).alias("ss_within_r"),
+        F.when(ok, F.round(f_stat, 6)).alias("f_r"),
+    )
+
+
+def cochran_armitage(
+    rows: DataFrame,
+    score_col: str = "dose",
+    outcome_col: str = "hit",
+) -> DataFrame:
+    """Cochran-Armitage trend test (Cochran 1954, Armitage 1955) for a
+    MONOTONE trend in proportions across ordered integer levels —
+    "does success rate fall with crawl depth?" is a trend question,
+    not the any-difference question the G-test / ANOVA answer (they
+    spend power on non-monotone alternatives):
+
+        T   = sum_i s_i r_i - R * (sum_i s_i n_i) / N
+        Var = (R/N)(1 - R/N) (sum_i s_i^2 n_i - (sum_i s_i n_i)^2 / N)
+        z   = T / sqrt(Var)
+
+    with s_i the integer level scores, n_i level sizes, r_i level
+    hits, R total hits. Every sum is an exact long/DECIMAL(38,0) from
+    ONE map-side groupBy over the bounded level set — fully order-free
+    (no sorted fold needed); T/Var/z are final double ops. Returns ONE
+    row: (n_levels, n_obs, n_hits, t_r, z_r); z_r NULL when Var <= 0
+    (all-hit/no-hit or single level).
+    """
+    s = F.col(score_col).cast("long")
+    y = F.col(outcome_col).cast("int")
+    dec = "decimal(38,0)"
+    per = rows.groupBy(s.alias("_s")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(y.cast("long")).cast("long").alias("r"),
+    )
+    sc = F.col("_s").cast(dec)
+    agg = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_levels"),
+        F.sum("n").cast("long").alias("n_obs"),
+        F.sum("r").cast("long").alias("n_hits"),
+        F.sum(sc * F.col("r").cast(dec)).alias("sr"),
+        F.sum(sc * F.col("n").cast(dec)).alias("sn"),
+        F.sum(sc * sc * F.col("n").cast(dec)).alias("ssn"),
+    )
+    n_tot = F.col("n_obs").cast("double")
+    rate = F.col("n_hits").cast("double") / n_tot
+    t_stat = F.col("sr").cast("double") - F.col("n_hits").cast(
+        "double"
+    ) * F.col("sn").cast("double") / n_tot
+    var = (
+        rate
+        * (F.lit(1.0) - rate)
+        * (
+            F.col("ssn").cast("double")
+            - F.col("sn").cast("double") * F.col("sn").cast("double") / n_tot
+        )
+    )
+    return agg.select(
+        "n_levels",
+        "n_obs",
+        "n_hits",
+        F.round(t_stat, 6).alias("t_r"),
+        F.when(var > 0, F.round(t_stat / F.sqrt(var), 6)).alias("z_r"),
+    )

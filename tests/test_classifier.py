@@ -270,3 +270,66 @@ def test_auc_partition_invariant_and_matches_quadratic(spark):
     b = _auc_df(spark, pairs, parts=13)
     assert a == b
     assert a["auc_r"] == _auc_py(pairs)
+
+
+# --- average precision -------------------------------------------------------------
+
+
+def _ap_brute(rows):
+    # rows: (id, score, y); strict order (score desc, id asc)
+    ranked = sorted(rows, key=lambda r: (-r[1], r[0]))
+    hits = 0
+    from decimal import Decimal
+
+    s = Decimal(0)
+    for k, (_, _, y) in enumerate(ranked, start=1):
+        if y:
+            hits += 1
+            s += Decimal(repr(round(hits / k, 12)))
+    n_pos = sum(1 for _, _, y in rows if y)
+    return round(float(s) / n_pos, 6) if n_pos else None
+
+
+def test_average_precision_brute_force(spark):
+    from stock_crawler_spark.functions.classifier import average_precision
+
+    rows = [(i, float((i * 37) % 100), 1 if (i * 13) % 5 == 0 else 0)
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, score double, label int")
+    r = average_precision(df).collect()[0]
+    assert (r["n_rows"], r["n_pos"]) == (300, 60)
+    assert r["ap_r"] == _ap_brute(rows)
+
+
+def test_average_precision_extremes(spark):
+    from stock_crawler_spark.functions.classifier import average_precision
+
+    # perfect ranking: all positives first -> AP 1
+    perfect = [(i, 100.0 - i, 1 if i < 5 else 0) for i in range(20)]
+    r = average_precision(
+        spark.createDataFrame(perfect, "doc_id long, score double, label int")
+    ).collect()[0]
+    assert r["ap_r"] == 1.0
+    # no positives -> NULL
+    none = [(i, float(i), 0) for i in range(10)]
+    r0 = average_precision(
+        spark.createDataFrame(none, "doc_id long, score double, label int")
+    ).collect()[0]
+    assert r0["ap_r"] is None and r0["n_pos"] == 0
+    # ties broken by id asc: positive at smaller id ranks first
+    ties = [(1, 5.0, 1), (2, 5.0, 0), (3, 1.0, 0)]
+    rt = average_precision(
+        spark.createDataFrame(ties, "doc_id long, score double, label int")
+    ).collect()[0]
+    assert rt["ap_r"] == 1.0
+
+
+def test_average_precision_partition_invariance(spark):
+    from stock_crawler_spark.functions.classifier import average_precision
+
+    rows = [(i, float((i * 17) % 50), 1 if (i * 7) % 4 == 0 else 0)
+            for i in range(250)]
+    df = spark.createDataFrame(rows, "doc_id long, score double, label int")
+    a = tuple(average_precision(df.repartition(1)).collect()[0])
+    b = tuple(average_precision(df.repartition(13, "label"), n_partitions=7).collect()[0])
+    assert a == b

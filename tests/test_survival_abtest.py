@@ -346,3 +346,120 @@ def test_mcnemar_hand_check_and_degenerate(spark):
         [(1, 1)] * 10 + [(0, 0)] * 10, "a int, b int"
     )
     assert mcnemar_test(concordant).collect()[0]["chi2_r"] is None
+
+
+# --- one-way ANOVA F --------------------------------------------------------------
+
+
+def _anova_brute(pairs):
+    import numpy as np
+
+    groups = {}
+    for g, x in pairs:
+        groups.setdefault(g, []).append(x)
+    k = len(groups)
+    allx = np.array([x for _, x in pairs], dtype=float)
+    n = len(allx)
+    grand = allx.mean()
+    ssb = sum(len(v) * (np.mean(v) - grand) ** 2 for v in groups.values())
+    ssw = sum(((np.array(v, dtype=float) - np.mean(v)) ** 2).sum() for v in groups.values())
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    return round(ssb, 6), round(ssw, 6), round(f, 6)
+
+
+def test_anova_brute_force_parity(spark):
+    from stock_crawler_spark.operators.abtest import anova_f
+
+    pairs = [(i % 4, (i * 7) % 23 + 5 * (i % 4)) for i in range(200)]
+    df = spark.createDataFrame(pairs, "grp int, x long")
+    r = anova_f(df).collect()[0]
+    ssb, ssw, f = _anova_brute(pairs)
+    assert (r["n_groups"], r["n_obs"]) == (4, 200)
+    assert abs(r["ss_between_r"] - ssb) < 1e-5
+    assert abs(r["ss_within_r"] - ssw) < 1e-5
+    assert abs(r["f_r"] - f) < 1e-5
+
+
+def test_anova_separation_and_degenerate(spark):
+    from stock_crawler_spark.operators.abtest import anova_f
+
+    # identical groups -> F near 0; shifted groups -> large F
+    same = [(g, v) for g in range(3) for v in (1, 2, 3, 4, 5)]
+    shifted = [(g, v + 100 * g) for g, v in same]
+    f_same = anova_f(spark.createDataFrame(same, "grp int, x long")).collect()[0]["f_r"]
+    f_shift = anova_f(spark.createDataFrame(shifted, "grp int, x long")).collect()[0]["f_r"]
+    assert f_same == 0.0 and f_shift > 1000
+    # constant everything -> SSW 0 -> NULL
+    const = anova_f(
+        spark.createDataFrame([(g, 7) for g in range(3) for _ in range(4)], "grp int, x long")
+    ).collect()[0]
+    assert const["f_r"] is None
+    # single group -> NULL
+    one = anova_f(spark.createDataFrame([(0, 1), (0, 2)], "grp int, x long")).collect()[0]
+    assert one["f_r"] is None
+
+
+def test_anova_partition_invariance(spark):
+    from stock_crawler_spark.operators.abtest import anova_f
+
+    pairs = [(i % 5, (i * 13) % 47) for i in range(300)]
+    df = spark.createDataFrame(pairs, "grp int, x long")
+    a = tuple(anova_f(df.repartition(1)).collect()[0])
+    b = tuple(anova_f(df.repartition(17, "x")).collect()[0])
+    assert a == b
+
+
+# --- Cochran-Armitage trend --------------------------------------------------------
+
+
+def _ca_brute(rows):
+    import numpy as np
+
+    levels = {}
+    for s, y in rows:
+        n, r = levels.get(s, (0, 0))
+        levels[s] = (n + 1, r + y)
+    N = sum(n for n, _ in levels.values())
+    R = sum(r for _, r in levels.values())
+    sr = sum(s * r for s, (_, r) in levels.items())
+    sn = sum(s * n for s, (n, _) in levels.items())
+    ssn = sum(s * s * n for s, (n, _) in levels.items())
+    t = sr - R * sn / N
+    var = (R / N) * (1 - R / N) * (ssn - sn * sn / N)
+    return round(t, 6), (round(t / var**0.5, 6) if var > 0 else None)
+
+
+def test_cochran_armitage_brute_force(spark):
+    from stock_crawler_spark.operators.abtest import cochran_armitage
+
+    # success rate falls with depth: monotone trend
+    rows = [(d, 1 if (i * 7) % 10 < 8 - 2 * d else 0)
+            for d in range(4) for i in range(60)]
+    df = spark.createDataFrame(rows, "dose int, hit int")
+    r = cochran_armitage(df).collect()[0]
+    t, z = _ca_brute(rows)
+    assert (r["n_levels"], r["n_obs"]) == (4, 240)
+    assert r["t_r"] == t and r["z_r"] == z
+    assert r["z_r"] < -3  # falling trend is strongly negative
+
+
+def test_cochran_armitage_degenerate_and_flat(spark):
+    from stock_crawler_spark.operators.abtest import cochran_armitage
+
+    # all hits -> Var 0 -> NULL z
+    allhit = spark.createDataFrame([(d, 1) for d in range(3) for _ in range(5)], "dose int, hit int")
+    assert cochran_armitage(allhit).collect()[0]["z_r"] is None
+    # flat rates -> |z| small
+    flat = [(d, 1 if i % 2 == 0 else 0) for d in range(4) for i in range(50)]
+    r = cochran_armitage(spark.createDataFrame(flat, "dose int, hit int")).collect()[0]
+    assert abs(r["z_r"]) < 0.1
+
+
+def test_cochran_armitage_partition_invariance(spark):
+    from stock_crawler_spark.operators.abtest import cochran_armitage
+
+    rows = [(i % 6, 1 if (i * 11) % 7 < 3 else 0) for i in range(400)]
+    df = spark.createDataFrame(rows, "dose int, hit int")
+    a = tuple(cochran_armitage(df.repartition(1)).collect()[0])
+    b = tuple(cochran_armitage(df.repartition(19, "hit")).collect()[0])
+    assert a == b
