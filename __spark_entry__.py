@@ -1778,6 +1778,37 @@ def q228_average_precision(spark, sf):
     return average_precision(scored)
 
 
+WF_MAX_EPOCHS = 4
+
+
+def q229_water_fill(spark, sf):
+    """Data-constrained token allocation (operators/training.
+    water_fill_allocation; Muennighoff 2023): split a 30%-of-corpus
+    training budget across per-source token pools in proportion to
+    integer weights, capped at 4 epochs of repetition per source —
+    exact water-filling via the pinned-range prefix-sum breakpoint
+    search (L* = max proposal with L <= cap/weight ratio), never a
+    global sort. tokens = per-source n_chars sums (exact longs),
+    budget = (3*total)//10 integer arithmetic in both engines; the
+    oracle replays ratios, exclusive prefix sums, the level max, and
+    the min(L*w, cap) allocations."""
+    from stock_crawler_spark.operators.training import water_fill_allocation
+
+    docs = _t(spark, sf, "documents")
+    src = (
+        docs.groupBy("source")
+        .agg(F.sum("n_chars").cast("long").alias("tokens"))
+        .select(
+            "source",
+            "tokens",
+            (F.length("source") % 5 + 1).cast("long").alias("weight"),
+        )
+    )
+    total = int(src.agg(F.sum("tokens")).collect()[0][0])
+    budget = (3 * total) // 10
+    return water_fill_allocation(src, budget, max_epochs=WF_MAX_EPOCHS)
+
+
 def _secrets_augmented_text():
     sid = F.col("doc_id")
     return F.concat(
@@ -5750,6 +5781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q226_anova_f": q226_anova_f,
         "q227_cochran_armitage": q227_cochran_armitage,
         "q228_average_precision": q228_average_precision,
+        "q229_water_fill": q229_water_fill,
     }
 
 
@@ -10787,6 +10819,54 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM s) AS n_rows,
        round(CAST(sum(term) AS DOUBLE)
              / (SELECT CAST(sum(y) AS DOUBLE) FROM s), 6) AS ap_r
 FROM t
+""",
+        # q229: water-filling level search + allocations replayed
+        "q229_water_fill": f"""
+WITH src AS (
+  SELECT source, CAST(sum(n_chars) AS BIGINT) AS tokens,
+         CAST(length(source) % 5 + 1 AS BIGINT) AS w
+  FROM documents GROUP BY 1
+), p AS (
+  SELECT source, tokens, w,
+         CAST(tokens * {WF_MAX_EPOCHS} AS BIGINT) AS cap,
+         CAST(tokens * {WF_MAX_EPOCHS} AS DOUBLE) / CAST(w AS DOUBLE) AS r
+  FROM src
+), tot AS (
+  SELECT CAST(sum(cap) AS HUGEINT) AS cap_tot,
+         CAST(sum(w) AS HUGEINT) AS w_tot,
+         (3 * CAST(sum(tokens) AS BIGINT)) // 10 AS budget
+  FROM p
+), cums AS (
+  SELECT source, w, cap, r,
+    coalesce(sum(CAST(cap AS HUGEINT)) OVER
+      (ORDER BY r, source ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      0) AS cbefore,
+    (SELECT w_tot FROM tot) - coalesce(sum(CAST(w AS HUGEINT)) OVER
+      (ORDER BY r, source ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      0) AS wfrom
+  FROM p
+), lvlq AS (
+  SELECT max((CAST((SELECT budget FROM tot) AS DOUBLE)
+              - CAST(cbefore AS DOUBLE)) / CAST(wfrom AS DOUBLE)) AS lvl
+  FROM cums
+  WHERE (CAST((SELECT budget FROM tot) AS DOUBLE)
+         - CAST(cbefore AS DOUBLE)) / CAST(wfrom AS DOUBLE) <= r
+), final AS (
+  SELECT p.source, p.tokens, p.w, p.cap,
+    CASE WHEN (SELECT budget FROM tot) >= (SELECT cap_tot FROM tot)
+         THEN CAST(p.cap AS DOUBLE)
+         ELSE least((SELECT lvl FROM lvlq) * CAST(p.w AS DOUBLE),
+                    CAST(p.cap AS DOUBLE)) END AS alloc,
+    CASE WHEN (SELECT budget FROM tot) >= (SELECT cap_tot FROM tot)
+         THEN TRUE
+         ELSE (SELECT lvl FROM lvlq) * CAST(p.w AS DOUBLE)
+              >= CAST(p.cap AS DOUBLE) END AS capped
+  FROM p
+)
+SELECT source, tokens, w AS weight, cap, capped,
+  round(alloc, 6) AS alloc_r,
+  round(alloc / CAST(tokens AS DOUBLE), 6) AS epochs_r
+FROM final
 """,
         # q167: Elias gamma/delta gap costs via bin() lengths (no log2)
         "q167_adjacency_bits": f"""

@@ -889,3 +889,144 @@ def neyman_allocation(
             F.col("budget").alias("n_alloc"),
         )
     )
+
+
+def water_fill_allocation(
+    sources: DataFrame,
+    budget_tokens: int,
+    max_epochs: int = 4,
+    source_col: str = "source",
+    tokens_col: str = "tokens",
+    weight_col: str = "weight",
+    n_partitions: int = 32,
+) -> DataFrame:
+    """Data-constrained token allocation (Muennighoff et al. 2023,
+    "Scaling Data-Constrained Language Models"): split a training
+    budget across sources in proportion to integer mixture weights,
+    except no source may repeat beyond ``max_epochs`` passes over its
+    unique tokens — the point past which repetition stops buying loss.
+
+    Exact water-filling: with cap_s = max_epochs * tokens_s, find the
+    water level L solving  sum_s min(L * w_s, cap_s) = budget.  f(L)
+    is increasing piecewise-linear with breakpoints at the ratios
+    r_s = cap_s / w_s; sorting ascending by (r, source) and taking
+    exclusive prefix sums (caps already saturated, weights still
+    flowing), each row proposes
+    L_i = (budget - caps_before_i) / weights_from_i;  rows before the
+    true breakpoint propose L_i > r_i (infeasible — an uncapped
+    earlier source would exceed its cap), rows at or past it propose
+    L_i <= r_i with the breakpoint row proposing the LARGEST such L
+    (later rows subtract caps that were not actually saturated at L*,
+    shrinking their proposal), so L* = max over {L_i : L_i <= r_i} —
+    a float-tie-robust selection with no lag/lead at partition
+    boundaries. budget >= sum(cap) means every source caps out and
+    the budget is not fully spendable (L reported NULL).
+
+    Per source output: (source, tokens, weight, cap, capped, alloc_r,
+    epochs_r) with alloc = min(L*w, cap) and epochs = alloc/tokens.
+
+    Scale shape: the prefix sums ride the pinned-range distributed
+    cumsum (training._pinned_range_parts — range shuffle +
+    O(n_partitions) driver scalars + per-partition windows, never a
+    single-partition sort), so 10^8 registrable-domain sources work;
+    the water level is a 1-row broadcast back. Token/weight/cap sums
+    are exact DECIMAL(38,0); L and the allocations are the only
+    doubles.
+    """
+    if budget_tokens <= 0 or max_epochs <= 0:
+        raise ValueError("budget_tokens and max_epochs must be positive")
+    from pyspark.sql import Window
+
+    dec = "decimal(38,0)"
+    base = sources.select(
+        F.col(source_col).alias("_src"),
+        F.col(tokens_col).cast("long").alias("_tok"),
+        F.col(weight_col).cast("long").alias("_w"),
+    ).filter((F.col("_tok") > 0) & (F.col("_w") > 0))
+    base = base.withColumn(
+        "_cap", (F.col("_tok") * F.lit(max_epochs)).cast("long")
+    ).withColumn(
+        "_r", F.col("_cap").cast("double") / F.col("_w").cast("double")
+    )
+    parts = _pinned_range_parts(base, n_partitions, F.asc("_r"), F.asc("_src"))
+    per_part = (
+        parts.groupBy("_pid")
+        .agg(
+            F.sum(F.col("_cap").cast(dec)).alias("_pc"),
+            F.sum(F.col("_w").cast(dec)).alias("_pw"),
+            F.max("_r").alias("_pr"),
+        )
+        .collect()
+    )
+    cap_off: dict[int, int] = {}
+    w_off: dict[int, int] = {}
+    run_c, run_w = 0, 0
+    total_w = sum(int(p["_pw"]) for p in per_part)
+    for pid, pc, pw in sorted(
+        (p["_pid"], int(p["_pc"]), int(p["_pw"])) for p in per_part
+    ):
+        cap_off[pid], w_off[pid] = run_c, run_w
+        run_c += pc
+        run_w += pw
+    total_cap = run_c
+    spark = sources.sparkSession
+    if budget_tokens >= total_cap or total_w == 0:
+        lvl = None
+    else:
+        offsets = spark.createDataFrame(
+            [(pid, str(cap_off[pid]), str(w_off[pid])) for pid in cap_off],
+            "_pid int, _coff string, _woff string",
+        )
+        w_ex = (
+            Window.partitionBy("_pid")
+            .orderBy(F.asc("_r"), F.asc("_src"))
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        cand = (
+            parts.join(F.broadcast(offsets), "_pid")
+            .withColumn(
+                "_cbefore",
+                F.col("_coff").cast(dec)
+                + F.coalesce(
+                    F.sum(F.col("_cap").cast(dec)).over(w_ex),
+                    F.lit(0).cast(dec),
+                ),
+            )
+            .withColumn(
+                "_wfrom",
+                F.lit(total_w).cast(dec)
+                - F.col("_woff").cast(dec)
+                - F.coalesce(
+                    F.sum(F.col("_w").cast(dec)).over(w_ex),
+                    F.lit(0).cast(dec),
+                ),
+            )
+            .withColumn(
+                "_lvl",
+                (F.lit(float(budget_tokens)) - F.col("_cbefore").cast("double"))
+                / F.col("_wfrom").cast("double"),
+            )
+            .filter(F.col("_lvl") <= F.col("_r"))
+            .agg(F.max("_lvl").alias("_lvl"))
+            .collect()
+        )
+        lvl = float(cand[0]["_lvl"]) if cand and cand[0]["_lvl"] is not None else None
+    if lvl is None:
+        alloc = F.col("_cap").cast("double")
+    else:
+        alloc = F.least(
+            F.lit(lvl) * F.col("_w").cast("double"), F.col("_cap").cast("double")
+        )
+    return base.select(
+        F.col("_src").alias("source"),
+        F.col("_tok").alias("tokens"),
+        F.col("_w").alias("weight"),
+        F.col("_cap").alias("cap"),
+        (
+            F.lit(True)
+            if lvl is None
+            else (F.lit(lvl) * F.col("_w").cast("double") >= F.col("_cap").cast("double"))
+        ).alias("capped"),
+        F.round(alloc, 6).alias("alloc_r"),
+        F.round(alloc / F.col("_tok").cast("double"), 6).alias("epochs_r"),
+    )

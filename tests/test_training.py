@@ -722,3 +722,93 @@ def test_neyman_partition_invariance(spark):
         for r in neyman_allocation(d, 53, "stratum", "x").collect()
     )
     assert out(df.repartition(1)) == out(df.repartition(17, "x"))
+
+
+# --- data-constrained water-filling ----------------------------------------------
+
+
+def _wf_brute(rows, budget, max_epochs):
+    # rows: (source, tokens, weight); returns {source: alloc}
+    caps = {s: t * max_epochs for s, t, _ in rows}
+    if budget >= sum(caps.values()):
+        return caps, None
+    lo, hi = 0.0, max(caps[s] / w for s, _, w in rows) + 1.0
+    for _ in range(200):  # bisection to machine precision
+        mid = (lo + hi) / 2
+        tot = sum(min(mid * w, caps[s]) for s, _, w in rows)
+        if tot < budget:
+            lo = mid
+        else:
+            hi = mid
+    lvl = (lo + hi) / 2
+    return {s: min(lvl * w, caps[s]) for s, _, w in rows}, lvl
+
+
+def test_water_fill_matches_bisection(spark):
+    from stock_crawler_spark.operators.training import water_fill_allocation
+
+    rows = [("web", 1000, 7), ("code", 100, 5), ("wiki", 30, 3),
+            ("books", 500, 1), ("forums", 8, 9)]
+    budget = 2500
+    df = spark.createDataFrame(rows, "source string, tokens long, weight long")
+    out = {r["source"]: r for r in
+           water_fill_allocation(df, budget, max_epochs=4).collect()}
+    want, lvl = _wf_brute(rows, budget, 4)
+    assert lvl is not None
+    total = 0.0
+    for s, t, w in rows:
+        assert abs(out[s]["alloc_r"] - want[s]) < 1e-3, (s, out[s]["alloc_r"], want[s])
+        assert out[s]["epochs_r"] <= 4.000001
+        assert out[s]["capped"] == (want[s] >= t * 4 - 1e-6)
+        total += out[s]["alloc_r"]
+    # the budget is spent exactly (within rounding)
+    assert abs(total - budget) < 1e-2
+
+
+def test_water_fill_all_capped(spark):
+    from stock_crawler_spark.operators.training import water_fill_allocation
+
+    rows = [("a", 10, 1), ("b", 20, 1)]
+    df = spark.createDataFrame(rows, "source string, tokens long, weight long")
+    out = {r["source"]: r for r in
+           water_fill_allocation(df, budget_tokens=10**6, max_epochs=2).collect()}
+    assert out["a"]["alloc_r"] == 20.0 and out["b"]["alloc_r"] == 40.0
+    assert out["a"]["capped"] and out["b"]["capped"]
+    assert out["a"]["epochs_r"] == 2.0
+
+
+def test_water_fill_uncapped_proportional(spark):
+    from stock_crawler_spark.operators.training import water_fill_allocation
+
+    # plenty of unique data: allocation is purely weight-proportional
+    rows = [("a", 10**6, 3), ("b", 10**6, 1)]
+    df = spark.createDataFrame(rows, "source string, tokens long, weight long")
+    out = {r["source"]: r for r in
+           water_fill_allocation(df, budget_tokens=4000, max_epochs=4).collect()}
+    assert abs(out["a"]["alloc_r"] - 3000.0) < 1e-6
+    assert abs(out["b"]["alloc_r"] - 1000.0) < 1e-6
+    assert not out["a"]["capped"]
+
+
+def test_water_fill_partition_invariance(spark):
+    from stock_crawler_spark.operators.training import water_fill_allocation
+
+    rows = [("s%d" % i, 50 + (i * 37) % 400, 1 + i % 5) for i in range(60)]
+    df = spark.createDataFrame(rows, "source string, tokens long, weight long")
+    a = sorted(map(tuple,
+        water_fill_allocation(df.repartition(1), 30000, 3).collect()))
+    b = sorted(map(tuple,
+        water_fill_allocation(df.repartition(11, "weight"), 30000, 3,
+                              n_partitions=5).collect()))
+    assert a == b
+
+
+def test_water_fill_validation(spark):
+    import pytest as _pt
+    from stock_crawler_spark.operators.training import water_fill_allocation
+
+    df = spark.createDataFrame([("a", 1, 1)], "source string, tokens long, weight long")
+    with _pt.raises(ValueError):
+        water_fill_allocation(df, 0)
+    with _pt.raises(ValueError):
+        water_fill_allocation(df, 100, max_epochs=0)
