@@ -1809,6 +1809,64 @@ def q229_water_fill(spark, sf):
     return water_fill_allocation(src, budget, max_epochs=WF_MAX_EPOCHS)
 
 
+def q230_ranking_metrics(spark, sf):
+    """Per-query RR / AP (operators/retrieval.ranking_metrics): the
+    judged-run metrics beside q148's nDCG — RR prices depth-to-first-
+    hit, AP integrates precision at every relevant rank; rows stay
+    per-query (macro-average downstream) because regression triage
+    needs the per-query deltas. Rank windows partition BY QUERY
+    (bounded groups, never a global sort); each query's h/k terms fold
+    rank-ascending. Oracle replays ranking, first-hit, and the
+    ordered fold."""
+    from stock_crawler_spark.operators.retrieval import ranking_metrics
+
+    docs = _t(spark, sf, "documents")
+    run = docs.select(
+        F.concat(F.lit("q"), (F.col("doc_id") % 11).cast("string")).alias(
+            "query"
+        ),
+        "doc_id",
+        ((F.col("doc_id") * 31) % 50).cast("double").alias("score"),
+        ((F.col("doc_id") * 13) % 6 == 0).cast("int").alias("rel"),
+    )
+    return ranking_metrics(run)
+
+
+ZORDER_BITS = 8
+ZORDER_FILES = 16
+
+
+def zorder_sql_import(a: str, b: str) -> str:
+    """The q231 oracle's z expression, from the engine's own SQL twin
+    generator (operators/layout.zorder_sql) at ZORDER_BITS."""
+    from stock_crawler_spark.operators.layout import zorder_sql
+
+    return zorder_sql(a, b, ZORDER_BITS)
+
+
+def q231_zorder_prune(spark, sf):
+    """Z-order file-layout audit (operators/layout): Morton-interleave
+    (host_bucket, priority) — pure Column bit algebra, value-
+    proportional file ids with NO sort/rank pass — then the per-file
+    min/max pruning table a parquet reader would consult for a
+    priority-range predicate. The layout claim at 100 TB: a z-layout
+    prunes BOTH key axes where a host-sorted table only prunes host
+    (pinned by test_layout). The oracle computes z from the SAME
+    bit-loop formula via zorder_sql, so the interleave can't drift."""
+    from stock_crawler_spark.operators.layout import (
+        file_prune_stats,
+        zorder_file,
+    )
+
+    docs = _t(spark, sf, "documents")
+    keys = docs.select(
+        ((F.col("doc_id") * 131) % 256).alias("a"),
+        ((F.col("doc_id") * 197) % 256).alias("b"),
+    )
+    laid = zorder_file(keys, "a", "b", n_files=ZORDER_FILES, bits=ZORDER_BITS)
+    return file_prune_stats(laid, "b", 0, 31)
+
+
 def _secrets_augmented_text():
     sid = F.col("doc_id")
     return F.concat(
@@ -5782,6 +5840,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q227_cochran_armitage": q227_cochran_armitage,
         "q228_average_precision": q228_average_precision,
         "q229_water_fill": q229_water_fill,
+        "q230_ranking_metrics": q230_ranking_metrics,
+        "q231_zorder_prune": q231_zorder_prune,
     }
 
 
@@ -10867,6 +10927,55 @@ SELECT source, tokens, w AS weight, cap, capped,
   round(alloc, 6) AS alloc_r,
   round(alloc / CAST(tokens AS DOUBLE), 6) AS epochs_r
 FROM final
+""",
+        # q230: per-query window ranking + rank-ascending h/k fold
+        "q230_ranking_metrics": """
+WITH run AS (
+  SELECT 'q' || CAST(doc_id % 11 AS VARCHAR) AS query, doc_id,
+         CAST((doc_id * 31) % 50 AS DOUBLE) AS score,
+         CASE WHEN (doc_id * 13) % 6 = 0 THEN 1 ELSE 0 END AS rel
+  FROM documents
+), ranked AS (
+  SELECT query, rel,
+    row_number() OVER (PARTITION BY query ORDER BY score DESC, doc_id) AS k,
+    sum(rel) OVER (PARTITION BY query ORDER BY score DESC, doc_id
+                   ROWS UNBOUNDED PRECEDING) AS h
+  FROM run
+), per AS (
+  SELECT query, CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(rel) AS BIGINT) AS n_rel,
+    min(CASE WHEN rel = 1 THEN k END) AS first_k,
+    list_aggregate(
+      list(CAST(h AS DOUBLE) / CAST(k AS DOUBLE) ORDER BY k)
+        FILTER (WHERE rel = 1),
+      'sum') AS apsum
+  FROM ranked GROUP BY 1
+)
+SELECT query, n_docs, n_rel,
+  CASE WHEN n_rel > 0 THEN round(1.0 / CAST(first_k AS DOUBLE), 6) END AS rr_r,
+  CASE WHEN n_rel > 0 THEN round(apsum / CAST(n_rel AS DOUBLE), 6) END AS ap_r
+FROM per
+""",
+        # q231: z from the SAME bit loop (zorder_sql), then the
+        # per-file envelope audit
+        "q231_zorder_prune": f"""
+WITH keys_ AS (
+  SELECT (doc_id * 131) % 256 AS a, (doc_id * 197) % 256 AS b
+  FROM documents
+), laid AS (
+  SELECT a, b,
+    {zorder_sql_import('a', 'b')} AS z
+  FROM keys_
+), f AS (
+  SELECT b, (z * {ZORDER_FILES}) // {4 ** ZORDER_BITS} AS file
+  FROM laid
+)
+SELECT file, CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(min(b) AS BIGINT) AS key_min, CAST(max(b) AS BIGINT) AS key_max,
+  (min(b) <= 31 AND max(b) >= 0) AS touched,
+  CAST(sum(CASE WHEN b >= 0 AND b <= 31 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_match
+FROM f GROUP BY 1
 """,
         # q167: Elias gamma/delta gap costs via bin() lengths (no log2)
         "q167_adjacency_bits": f"""

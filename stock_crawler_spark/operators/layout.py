@@ -1,0 +1,135 @@
+"""Z-order (Morton) file layout for the frontier/pages tables.
+
+At 100 TB, the cheapest query is the one that never reads the file:
+parquet/Iceberg readers prune files whose column min/max stats exclude
+the predicate. A table written in insertion order has random min/max
+envelopes — every file overlaps every predicate and pruning does
+nothing. Sorting by ONE key (host) fixes host-range scans but destroys
+locality for the second key (priority, date): the classical fix is the
+Z-order space-filling curve — interleave the key bits so files are
+axis-aligned-ish rectangles in (k1, k2) space and BOTH single-key and
+conjunctive range predicates touch O(selectivity) files (Morton 1966;
+the same layout Delta/Iceberg OPTIMIZE ZORDER BY writes).
+
+This module keeps everything DECLARATIVE and engine-portable:
+
+* ``zorder_key`` — pure Column bit algebra (shift/and/or unrolled over
+  the bit width; whole-stage codegen, no UDF);
+* ``zorder_file`` — value-proportional file assignment
+  file = z * n_files >> (2*bits): NO global sort or rank is needed to
+  bucket rows (the curve itself is the order), so laying out 10^10
+  rows costs a map + one write shuffle on ``file``;
+* ``file_prune_stats`` — the audit: per-file row counts + key
+  envelopes + whether a given range predicate would touch the file.
+  The layout is only as good as this table says it is, so the test
+  pins that a z-layout touches a strict subset of files for BOTH key
+  axes while a single-key sort only prunes its own axis.
+
+``zorder_sql`` emits the identical formula as a SQL expression from
+the same bit loop, so the DuckDB oracle can never drift from the
+Column chain.
+
+Reference analog: none — the reference writes row-at-a-time to Kafka;
+file layout is a Spark/lakehouse concern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def zorder_key(a: Column, b: Column, bits: int = 16) -> Column:
+    """Morton-interleave the low ``bits`` bits of two non-negative
+    ints: a on even bit positions, b on odd. Result in [0, 4^bits)."""
+    if not 1 <= bits <= 31:
+        raise ValueError("bits must be in [1, 31]")
+    a = a.cast("long")
+    b = b.cast("long")
+    z = F.lit(0).cast("long")
+    one = F.lit(1).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(a, i).bitwiseAND(one), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(b, i).bitwiseAND(one), 2 * i + 1)
+        )
+    return z
+
+
+def zorder_sql(a_expr: str, b_expr: str, bits: int = 16) -> str:
+    """The identical interleave as a SQL expression (DuckDB/ANSI bit
+    ops), generated from the same loop so the two engines cannot
+    drift."""
+    # NOTE: DuckDB/Postgres give &, |, <<, >> one shared left-associative
+    # precedence level, so every term must be FULLY parenthesized —
+    # "a << 0 | b << 1" parses as ((a << 0) | b) << 1 there.
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((({a_expr}) >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((({b_expr}) >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " | ".join(terms) + ")"
+
+
+def zorder_file(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    n_files: int,
+    bits: int = 16,
+) -> DataFrame:
+    """Adds ``z`` and ``file`` columns: file = z * n_files / 4^bits —
+    value-proportional bucketing along the curve, no sort/rank pass.
+    File sizes track occupancy of z-space (uniform-ish when both keys
+    are hash-derived, which is exactly how the frontier keys hosts);
+    pack_shards/byte-targeted packing is the complement when strict
+    size targets matter more than envelopes."""
+    if n_files < 1:
+        raise ValueError("n_files must be >= 1")
+    if (4**bits) * n_files >= 2**62:
+        # keep z * n_files inside int64 — the file id only needs the
+        # top bits of z anyway, so cap the curve resolution instead
+        raise ValueError("bits too large for integer file assignment")
+    z = zorder_key(F.col(a_col), F.col(b_col), bits)
+    return df.withColumn("z", z).withColumn(
+        # integral `div`, not float division: exact at any bit width
+        # (a double round-trip is only exact while z*n_files < 2^53)
+        "file",
+        F.expr(f"z * {n_files} div {4 ** bits}").cast("long"),
+    )
+
+
+def file_prune_stats(
+    laid_out: DataFrame,
+    key_col: str,
+    lo: int,
+    hi: int,
+    file_col: str = "file",
+) -> DataFrame:
+    """Per-file pruning audit for the predicate lo <= key <= hi:
+    (file, n_rows, key_min, key_max, touched, n_match) — ``touched``
+    is the min/max-envelope test a parquet reader applies, ``n_match``
+    the rows actually selected (0 inside a touched file = a false-
+    positive read the layout failed to prune). One map-side groupBy."""
+    k = F.col(key_col).cast("long")
+    return (
+        laid_out.groupBy(F.col(file_col).alias("file"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min(k).alias("key_min"),
+            F.max(k).alias("key_max"),
+            F.sum(
+                ((k >= lo) & (k <= hi)).cast("long")
+            ).alias("n_match"),
+        )
+        .select(
+            "file",
+            "n_rows",
+            "key_min",
+            "key_max",
+            ((F.col("key_min") <= hi) & (F.col("key_max") >= lo)).alias(
+                "touched"
+            ),
+            F.col("n_match").cast("long").alias("n_match"),
+        )
+    )

@@ -1,0 +1,108 @@
+"""Z-order layout (operators/layout): interleave correctness, the
+pruning win over single-key sorts, and Column==SQL twin agreement."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from stock_crawler_spark.operators.layout import (
+    file_prune_stats,
+    zorder_file,
+    zorder_key,
+    zorder_sql,
+)
+
+
+def _z_py(a: int, b: int, bits: int) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((a >> i) & 1) << (2 * i)
+        z |= ((b >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_zorder_key_matches_python_twin(spark):
+    rows = [(a, b) for a in range(0, 40, 3) for b in range(0, 40, 7)]
+    df = spark.createDataFrame(rows, "a long, b long").select(
+        "a", "b", zorder_key(F.col("a"), F.col("b"), 8).alias("z")
+    )
+    for r in df.collect():
+        assert r["z"] == _z_py(r["a"], r["b"], 8)
+
+
+def test_zorder_sql_twin_agreement(spark):
+    import duckdb
+
+    rows = [((i * 37) % 251, (i * 91) % 251) for i in range(300)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = sorted(
+        r["z"]
+        for r in df.select(zorder_key(F.col("a"), F.col("b"), 8).alias("z")).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (a BIGINT, b BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = sorted(
+        r[0] for r in con.execute(
+            f"SELECT {zorder_sql('a', 'b', 8)} FROM t"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_zorder_prunes_both_axes(spark):
+    """The pruning claim itself: a z-layout touches a strict subset of
+    files for a range predicate on EITHER key, while an a-sorted
+    layout only prunes a-predicates."""
+    rows = [((i * 131) % 256, (i * 197) % 256) for i in range(4096)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    n_files = 16
+
+    laid = zorder_file(df, "a", "b", n_files=n_files, bits=8)
+    # single-key layout: file = a * n_files / 256 (sorted by a)
+    linear = df.withColumn(
+        "file", (F.col("a") * n_files / 256).cast("long")
+    )
+
+    def touched(laid_df, key, lo, hi):
+        st = file_prune_stats(laid_df, key, lo, hi).collect()
+        return (
+            sum(1 for r in st if r["touched"]),
+            len(st),
+            sum(r["n_match"] for r in st),
+        )
+
+    # predicate on a: both layouts prune
+    za, zn, zm = touched(laid, "a", 0, 31)
+    la, ln, lm = touched(linear, "a", 0, 31)
+    assert zm == lm  # same rows selected regardless of layout
+    assert za < zn and la < ln
+    # predicate on b: z-order still prunes, a-sorted reads everything
+    zb, _, _ = touched(laid, "b", 0, 31)
+    lb, lnb, _ = touched(linear, "b", 0, 31)
+    assert zb < zn // 2  # z prunes more than half the files away
+    assert lb == lnb  # linear layout cannot prune the other axis
+
+
+def test_zorder_file_proportional_and_validation(spark):
+    df = spark.createDataFrame([(0, 0), (255, 255)], "a long, b long")
+    out = {r["a"]: r["file"] for r in
+           zorder_file(df, "a", "b", n_files=4, bits=8).collect()}
+    assert out[0] == 0 and out[255] == 3  # curve ends land in end files
+    with pytest.raises(ValueError):
+        zorder_file(df, "a", "b", n_files=0)
+    with pytest.raises(ValueError):
+        zorder_key(F.col("a"), F.col("b"), bits=0)
+
+
+def test_zorder_partition_invariance(spark):
+    rows = [((i * 37) % 512, (i * 73) % 512) for i in range(1000)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    a = sorted(map(tuple,
+        file_prune_stats(zorder_file(df.repartition(1), "a", "b", 8, 9),
+                         "b", 10, 99).collect()))
+    b = sorted(map(tuple,
+        file_prune_stats(zorder_file(df.repartition(13, "b"), "a", "b", 8, 9),
+                         "b", 10, 99).collect()))
+    assert a == b

@@ -229,3 +229,74 @@ def test_rbo_partition_invariant(spark):
         r2["rbo_min_r"],
         r2["rbo_ext_r"],
     )
+
+
+# --- per-query RR / AP -------------------------------------------------------------
+
+
+def _rm_brute(rows):
+    # rows: (q, doc, score, rel) -> {q: (n, n_rel, rr, ap)}
+    out = {}
+    byq = {}
+    for q, d, s, r in rows:
+        byq.setdefault(q, []).append((d, s, r))
+    for q, docs in byq.items():
+        ranked = sorted(docs, key=lambda t: (-t[1], t[0]))
+        hits, apsum, first = 0, 0.0, None
+        for k, (_, _, r) in enumerate(ranked, start=1):
+            if r:
+                hits += 1
+                apsum += hits / k
+                if first is None:
+                    first = k
+        n_rel = sum(1 for _, _, r in docs if r)
+        out[q] = (
+            len(docs),
+            n_rel,
+            round(1.0 / first, 6) if n_rel else None,
+            round(apsum / n_rel, 6) if n_rel else None,
+        )
+    return out
+
+
+def test_ranking_metrics_brute_force(spark):
+    from stock_crawler_spark.operators.retrieval import ranking_metrics
+
+    rows = [
+        ("q%d" % (i % 7), i, float((i * 31) % 50),
+         1 if (i * 13) % 6 == 0 else 0)
+        for i in range(280)
+    ]
+    df = spark.createDataFrame(rows, "query string, doc_id long, score double, rel int")
+    got = {r["query"]: (r["n_docs"], r["n_rel"], r["rr_r"], r["ap_r"])
+           for r in ranking_metrics(df).collect()}
+    assert got == _rm_brute(rows)
+
+
+def test_ranking_metrics_cases(spark):
+    from stock_crawler_spark.operators.retrieval import ranking_metrics
+
+    rows = [
+        # relevant doc ranked first -> rr = ap = 1
+        ("a", 1, 9.0, 1), ("a", 2, 5.0, 0),
+        # no relevant -> NULLs
+        ("b", 3, 9.0, 0), ("b", 4, 5.0, 0),
+        # tie broken by id: doc 5 (rel) before doc 6 at equal score
+        ("c", 5, 7.0, 1), ("c", 6, 7.0, 0),
+    ]
+    df = spark.createDataFrame(rows, "query string, doc_id long, score double, rel int")
+    got = {r["query"]: r for r in ranking_metrics(df).collect()}
+    assert got["a"]["rr_r"] == 1.0 and got["a"]["ap_r"] == 1.0
+    assert got["b"]["rr_r"] is None and got["b"]["ap_r"] is None
+    assert got["c"]["rr_r"] == 1.0
+
+
+def test_ranking_metrics_partition_invariance(spark):
+    from stock_crawler_spark.operators.retrieval import ranking_metrics
+
+    rows = [("q%d" % (i % 5), i, float((i * 17) % 23), i % 3 == 0)
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "query string, doc_id long, score double, rel boolean")
+    a = sorted(map(tuple, ranking_metrics(df.repartition(1)).collect()))
+    b = sorted(map(tuple, ranking_metrics(df.repartition(13, "doc_id")).collect()))
+    assert a == b
