@@ -1867,6 +1867,56 @@ def q231_zorder_prune(spark, sf):
     return file_prune_stats(laid, "b", 0, 31)
 
 
+def q232_revalidation_plan(spark, sf):
+    """Conditional-GET planning (operators/recrawl.revalidation_plan):
+    per-url ETag stability from fetch history decides which urls get
+    If-None-Match revalidation instead of full refetches, and how many
+    body bytes that saves. Three planted server behaviors: stable
+    validators (plan=conditional), per-response validators (no 304
+    wins), and 75%-coverage validators (wins exist but coverage < 0.9
+    -> full). Composes with q114's change-rate scheduler: it picks
+    WHEN, this picks the request shape. Window lag per url (bounded
+    series, q187 shape); oracle replays it with NULLS FIRST pinned to
+    Spark's asc ordering."""
+    from stock_crawler_spark.operators.recrawl import revalidation_plan
+
+    ev = _t(spark, sf, "events")
+    uid = F.col("user_id") % 40
+    cls = uid % 3
+    etag = (
+        F.when(cls == 0, F.concat(F.lit("e"), uid.cast("string")))
+        .when(cls == 1, F.concat(F.lit("e"), F.col("event_id").cast("string")))
+        .otherwise(
+            F.when(F.col("event_id") % 4 == 0, F.lit(None).cast("string"))
+            .otherwise(F.concat(F.lit("e"), uid.cast("string")))
+        )
+    )
+    hist = ev.select(
+        F.concat(F.lit("u"), uid.cast("string")).alias("url"),
+        "ts",
+        etag.alias("etag"),
+        (F.col("event_id") % 1000).cast("long").alias("body_bytes"),
+    )
+    return revalidation_plan(hist)
+
+
+def q233_effect_size(spark, sf):
+    """Cohen's d / Hedges' g (operators/abtest.effect_size) for the
+    q220 Welch pair's MAGNITUDE question: at corpus scale everything
+    is significant, d says whether the shift is worth acting on
+    (planted: +12 mean shift on an 80-wide uniform ramp, d ~ -0.5).
+    Same exact sufficient-statistics shape as Welch; oracle replays
+    means, pooled variance, d, and the Hedges J correction."""
+    from stock_crawler_spark.operators.abtest import effect_size
+
+    ev = _t(spark, sf, "events")
+    rows = ev.select(
+        (F.col("event_id") % 2).cast("int").alias("grp"),
+        (F.col("event_id") % 80 + 12 * (F.col("event_id") % 2)).alias("x"),
+    )
+    return effect_size(rows)
+
+
 def _secrets_augmented_text():
     sid = F.col("doc_id")
     return F.concat(
@@ -5842,6 +5892,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q229_water_fill": q229_water_fill,
         "q230_ranking_metrics": q230_ranking_metrics,
         "q231_zorder_prune": q231_zorder_prune,
+        "q232_revalidation_plan": q232_revalidation_plan,
+        "q233_effect_size": q233_effect_size,
     }
 
 
@@ -10976,6 +11028,81 @@ SELECT file, CAST(count(*) AS BIGINT) AS n_rows,
   CAST(sum(CASE WHEN b >= 0 AND b <= 31 THEN 1 ELSE 0 END) AS BIGINT)
     AS n_match
 FROM f GROUP BY 1
+""",
+        # q232: per-url lag chain (NULLS FIRST pins Spark asc order)
+        "q232_revalidation_plan": """
+WITH h AS (
+  SELECT 'u' || CAST(user_id % 40 AS VARCHAR) AS url, ts,
+    CASE WHEN (user_id % 40) % 3 = 0
+           THEN 'e' || CAST(user_id % 40 AS VARCHAR)
+         WHEN (user_id % 40) % 3 = 1
+           THEN 'e' || CAST(event_id AS VARCHAR)
+         WHEN event_id % 4 = 0 THEN NULL
+         ELSE 'e' || CAST(user_id % 40 AS VARCHAR) END AS etag,
+    CAST(event_id % 1000 AS BIGINT) AS b
+  FROM events
+), s AS (
+  SELECT url, b,
+    CASE WHEN etag IS NOT NULL THEN 1 ELSE 0 END AS hasv,
+    CASE WHEN etag IS NOT NULL AND lag(etag) OVER w IS NOT NULL
+              AND etag = lag(etag) OVER w THEN 1 ELSE 0 END AS same
+  FROM h
+  WINDOW w AS (PARTITION BY url ORDER BY ts, etag NULLS FIRST)
+)
+SELECT url, CAST(count(*) AS BIGINT) AS n_fetches,
+  CAST(sum(hasv) AS BIGINT) AS n_validator,
+  CAST(sum(same) AS BIGINT) AS n_304able,
+  CAST(sum(CASE WHEN same = 1 THEN b ELSE 0 END) AS BIGINT) AS bytes_saved,
+  round(CAST(sum(same) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+    AS frac_304_r,
+  CASE WHEN CAST(sum(hasv) AS DOUBLE) / CAST(count(*) AS DOUBLE) >= 0.9
+            AND sum(same) > 0
+       THEN 'conditional' ELSE 'full' END AS plan
+FROM s GROUP BY 1
+""",
+        # q233: Welch-style sufficient stats -> d and Hedges g
+        "q233_effect_size": """
+WITH rows_ AS (
+  SELECT CAST(event_id % 2 AS INT) AS g,
+         CAST(event_id % 80 + 12 * (event_id % 2) AS BIGINT) AS x
+  FROM events
+), s AS (
+  SELECT
+    CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+    CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+    CAST(sum(CASE WHEN g = 0 THEN x ELSE 0 END) AS BIGINT) AS sa,
+    CAST(sum(CASE WHEN g = 1 THEN x ELSE 0 END) AS BIGINT) AS sb,
+    sum(CASE WHEN g = 0 THEN CAST(x AS HUGEINT) * CAST(x AS HUGEINT)
+        ELSE 0 END) AS qa,
+    sum(CASE WHEN g = 1 THEN CAST(x AS HUGEINT) * CAST(x AS HUGEINT)
+        ELSE 0 END) AS qb
+  FROM rows_
+), m AS (
+  SELECT na, nb,
+    CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS ma,
+    CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb,
+    (CAST(qa AS DOUBLE) - CAST(na AS DOUBLE)
+       * (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE))
+       * (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)))
+      / (CAST(na AS DOUBLE) - 1.0) AS va,
+    (CAST(qb AS DOUBLE) - CAST(nb AS DOUBLE)
+       * (CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+       * (CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)))
+      / (CAST(nb AS DOUBLE) - 1.0) AS vb
+  FROM s
+), f AS (
+  SELECT na, nb, ma, mb,
+    ((CAST(na AS DOUBLE) - 1.0) * va + (CAST(nb AS DOUBLE) - 1.0) * vb)
+      / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 2.0) AS sp2
+  FROM m
+)
+SELECT na AS n_a, nb AS n_b,
+  CASE WHEN na >= 2 AND nb >= 2 AND sp2 > 0 THEN
+    round((ma - mb) / sqrt(sp2), 6) END AS d_r,
+  CASE WHEN na >= 2 AND nb >= 2 AND sp2 > 0 THEN
+    round((1.0 - 3.0 / (4.0 * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+                        - 9.0)) * (ma - mb) / sqrt(sp2), 6) END AS g_r
+FROM f
 """,
         # q167: Elias gamma/delta gap costs via bin() lengths (no log2)
         "q167_adjacency_bits": f"""

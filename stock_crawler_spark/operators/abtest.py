@@ -583,3 +583,54 @@ def cochran_armitage(
         F.round(t_stat, 6).alias("t_r"),
         F.when(var > 0, F.round(t_stat / F.sqrt(var), 6)).alias("z_r"),
     )
+
+
+def effect_size(
+    samples: DataFrame,
+    group_col: str = "grp",
+    value_col: str = "x",
+) -> DataFrame:
+    """Cohen's d and Hedges' g between two integer-valued groups — the
+    MAGNITUDE companion to welch_t_test's significance verdict: at
+    10^8 observations everything is "significant", and d (mean shift
+    in pooled-sd units) is the number that says whether anyone should
+    care. Hedges' g applies the small-sample bias correction
+    J = 1 - 3/(4*(na+nb) - 9) (Hedges 1981, the standard approximant).
+
+        s_p = sqrt(((na-1)*va + (nb-1)*vb) / (na+nb-2))
+        d   = (ma - mb) / s_p
+        g   = J * d
+
+    Same sufficient-statistics shape as welch_t_test: ONE order-free
+    map-side aggregate of exact longs/DECIMAL(38,0), then a stepwise
+    double replay. Returns ONE row: (n_a, n_b, d_r, g_r); NULL when
+    either n < 2 or the pooled variance is 0.
+    """
+    g = F.col(group_col).cast("int")
+    x = F.col(value_col).cast("long")
+    dec = "decimal(38,0)"
+    agg = samples.agg(
+        F.sum(F.when(g == 0, 1).otherwise(0)).cast("long").alias("na"),
+        F.sum(F.when(g == 1, 1).otherwise(0)).cast("long").alias("nb"),
+        F.sum(F.when(g == 0, x).otherwise(0)).cast("long").alias("sa"),
+        F.sum(F.when(g == 1, x).otherwise(0)).cast("long").alias("sb"),
+        F.sum(F.when(g == 0, x.cast(dec) * x.cast(dec)).otherwise(0)).alias("qa"),
+        F.sum(F.when(g == 1, x.cast(dec) * x.cast(dec)).otherwise(0)).alias("qb"),
+    )
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    ma = F.col("sa").cast("double") / na
+    mb = F.col("sb").cast("double") / nb
+    va = (F.col("qa").cast("double") - na * ma * ma) / (na - F.lit(1.0))
+    vb = (F.col("qb").cast("double") - nb * mb * mb) / (nb - F.lit(1.0))
+    sp2 = ((na - F.lit(1.0)) * va + (nb - F.lit(1.0)) * vb) / (
+        na + nb - F.lit(2.0)
+    )
+    d = (ma - mb) / F.sqrt(sp2)
+    j = F.lit(1.0) - F.lit(3.0) / (F.lit(4.0) * (na + nb) - F.lit(9.0))
+    ok = (F.col("na") >= 2) & (F.col("nb") >= 2) & (sp2 > 0)
+    return agg.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.when(ok, F.round(d, 6)).alias("d_r"),
+        F.when(ok, F.round(j * d, 6)).alias("g_r"),
+    )

@@ -973,3 +973,84 @@ def cusum_changepoint(
         )
     )
     return picked.unionByName(singles)
+
+
+def revalidation_plan(
+    history: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "ts",
+    etag_col: str = "etag",
+    bytes_col: str = "body_bytes",
+    min_coverage: float = 0.9,
+) -> DataFrame:
+    """Conditional-GET planning from fetch history: which urls should
+    be revalidated (If-None-Match / If-Modified-Since) instead of
+    refetched, and what that buys.
+
+    HTTP caching is the cheapest recrawl optimization there is — a 304
+    Not Modified costs headers instead of the body — but it only pays
+    on urls whose server (a) EMITS a validator and (b) keeps it stable
+    across unchanged content. Both are measured from history, per url,
+    ordered by fetch time:
+
+      n_validator   fetches that carried an etag
+      n_304able     fetches whose etag equals the PREVIOUS fetch's
+                    (a conditional GET would have returned 304)
+      bytes_saved   body bytes of those fetches (what conditionals
+                    would have avoided)
+      plan          'conditional' when validator coverage >= 
+                    min_coverage and there is at least one observed
+                    revalidation win, else 'full'
+
+    The freshness question (WHEN to refetch) is q114's Poisson change
+    rate / recrawl_intervals; this is the HOW — the two compose: the
+    scheduler picks the time, this picks the request shape.
+
+    Scale: one window pass partitioned BY URL (bounded per-url series,
+    the q187 shape — never a global sort) + one groupBy. Integer
+    sums; frac_304_r is the only rounded double.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.col(url_col)).orderBy(
+        F.asc(ts_col), F.asc(etag_col)
+    )
+    et = F.col(etag_col)
+    prev = F.lag(et).over(w)
+    steps = history.select(
+        F.col(url_col).alias("url"),
+        F.col(bytes_col).cast("long").alias("_b"),
+        et.isNotNull().cast("long").alias("_hasv"),
+        (et.isNotNull() & prev.isNotNull() & (et == prev))
+        .cast("long")
+        .alias("_same"),
+    )
+    per = steps.groupBy("url").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fetches"),
+        F.sum("_hasv").cast("long").alias("n_validator"),
+        F.sum("_same").cast("long").alias("n_304able"),
+        F.sum(F.when(F.col("_same") == 1, F.col("_b")).otherwise(0))
+        .cast("long")
+        .alias("bytes_saved"),
+    )
+    cov = F.col("n_validator").cast("double") / F.col("n_fetches").cast(
+        "double"
+    )
+    return per.select(
+        "url",
+        "n_fetches",
+        "n_validator",
+        "n_304able",
+        "bytes_saved",
+        F.round(
+            F.col("n_304able").cast("double")
+            / F.col("n_fetches").cast("double"),
+            6,
+        ).alias("frac_304_r"),
+        F.when(
+            (cov >= min_coverage) & (F.col("n_304able") > 0),
+            F.lit("conditional"),
+        )
+        .otherwise(F.lit("full"))
+        .alias("plan"),
+    )

@@ -583,3 +583,44 @@ def test_bh_none_and_all_rejected(spark):
     assert all(r["rejected"] for r in benjamini_hochberg(low, 0.05).collect())
     with pytest.raises(ValueError):
         benjamini_hochberg(high, 0.0)
+
+
+# --- conditional-GET revalidation planning ------------------------------------------
+
+
+def test_revalidation_plan_counts(spark):
+    from stock_crawler_spark.operators.recrawl import revalidation_plan
+
+    rows = [
+        # stable etag: 2 of 3 fetches were 304able
+        ("a", 1, "e1", 100), ("a", 2, "e1", 100), ("a", 3, "e1", 120),
+        # changing etag: validator present but no 304 wins
+        ("b", 1, "x1", 50), ("b", 2, "x2", 60),
+        # no validator at all
+        ("c", 1, None, 10), ("c", 2, None, 10),
+        # mixed: validator coverage 2/3 < 0.9 -> full even with a win
+        ("d", 1, "y", 30), ("d", 2, "y", 40), ("d", 3, None, 50),
+    ]
+    df = spark.createDataFrame(rows, "url string, ts long, etag string, body_bytes long")
+    out = {r["url"]: r for r in revalidation_plan(df).collect()}
+    a = out["a"]
+    assert (a["n_fetches"], a["n_validator"], a["n_304able"]) == (3, 3, 2)
+    assert a["bytes_saved"] == 220 and a["plan"] == "conditional"
+    assert out["b"]["n_304able"] == 0 and out["b"]["plan"] == "full"
+    assert out["c"]["n_validator"] == 0 and out["c"]["plan"] == "full"
+    d = out["d"]
+    assert d["n_304able"] == 1 and d["plan"] == "full"  # coverage 2/3
+
+
+def test_revalidation_plan_partition_invariance(spark):
+    from stock_crawler_spark.operators.recrawl import revalidation_plan
+
+    rows = [
+        ("u%d" % (i % 9), i, ("e%d" % (i % 3)) if i % 4 else None,
+         (i * 7) % 100)
+        for i in range(240)
+    ]
+    df = spark.createDataFrame(rows, "url string, ts long, etag string, body_bytes long")
+    a = sorted(map(tuple, revalidation_plan(df.repartition(1)).collect()))
+    b = sorted(map(tuple, revalidation_plan(df.repartition(13, "etag")).collect()))
+    assert a == b

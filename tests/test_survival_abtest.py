@@ -463,3 +463,37 @@ def test_cochran_armitage_partition_invariance(spark):
     a = tuple(cochran_armitage(df.repartition(1)).collect()[0])
     b = tuple(cochran_armitage(df.repartition(19, "hit")).collect()[0])
     assert a == b
+
+
+# --- effect size --------------------------------------------------------------------
+
+
+def test_effect_size_brute_force(spark):
+    import numpy as np
+    from stock_crawler_spark.operators.abtest import effect_size
+
+    pairs = [(i % 2, (i * 7) % 40 + 10 * (i % 2)) for i in range(150)]
+    df = spark.createDataFrame(pairs, "grp int, x long")
+    r = effect_size(df).collect()[0]
+    a = np.array([x for g, x in pairs if g == 0], dtype=float)
+    b = np.array([x for g, x in pairs if g == 1], dtype=float)
+    sp = (((len(a) - 1) * a.var(ddof=1) + (len(b) - 1) * b.var(ddof=1))
+          / (len(a) + len(b) - 2)) ** 0.5
+    d = (a.mean() - b.mean()) / sp
+    j = 1 - 3 / (4 * (len(a) + len(b)) - 9)
+    assert abs(r["d_r"] - round(d, 6)) < 1e-6
+    assert abs(r["g_r"] - round(j * d, 6)) < 1e-6
+    # correction shrinks |g| below |d|
+    assert abs(r["g_r"]) < abs(r["d_r"])
+
+
+def test_effect_size_degenerate(spark):
+    from stock_crawler_spark.operators.abtest import effect_size
+
+    const = spark.createDataFrame(
+        [(g, 5) for g in (0, 1) for _ in range(4)], "grp int, x long"
+    )
+    r = effect_size(const).collect()[0]
+    assert r["d_r"] is None and r["g_r"] is None
+    tiny = spark.createDataFrame([(0, 1), (1, 2)], "grp int, x long")
+    assert effect_size(tiny).collect()[0]["d_r"] is None
