@@ -1917,6 +1917,45 @@ def q233_effect_size(spark, sf):
     return effect_size(rows)
 
 
+def q234_cdc_dedup(spark, sf):
+    """Content-defined chunking storage dedup (operators/cdc; LBFS /
+    FastCDC cut rule as a pure Column expression): window-hash cuts
+    (md5 of the trailing 8 chars mod 64 == 0, forced end-of-doc cut),
+    chunk fingerprints, and the corpus dedup rollup — the storage
+    layer between q09's whole-doc dedup and q142's digest-identical
+    revisits, where an insertion re-aligns instead of shifting every
+    block. Oracle replays positions, cuts, lag-chunking, and the
+    fingerprint rollup verbatim."""
+    from stock_crawler_spark.operators.cdc import chunk_table, dedup_stats
+
+    docs = _t(spark, sf, "documents")
+    return dedup_stats(chunk_table(docs))
+
+
+def q235_mad_outliers(spark, sf):
+    """Per-host robust outlier census (operators/profile.mad_outliers;
+    Iglewicz-Hoaglin modified z over exact discrete median + MAD):
+    planted 5000 ms spikes on a 200-wide latency ramp — the anomaly
+    flag with 50% breakdown where mean/sigma fences mask themselves.
+    Per-key window cumsums over distinct values (bounded groups, no
+    global sort); oracle uses DuckDB quantile_disc, whose lower-value
+    rank-ceil(n/2) semantics the engine's rank pick matches exactly
+    (the exact_quantiles convention)."""
+    from stock_crawler_spark.operators.profile import mad_outliers
+
+    ev = _t(spark, sf, "events")
+    rows = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 12).cast("string")).alias(
+            "host"
+        ),
+        (
+            F.col("event_id") % 200
+            + F.when(F.col("event_id") % 97 == 0, 5000).otherwise(0)
+        ).alias("x"),
+    )
+    return mad_outliers(rows)
+
+
 def _secrets_augmented_text():
     sid = F.col("doc_id")
     return F.concat(
@@ -5894,6 +5933,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q231_zorder_prune": q231_zorder_prune,
         "q232_revalidation_plan": q232_revalidation_plan,
         "q233_effect_size": q233_effect_size,
+        "q234_cdc_dedup": q234_cdc_dedup,
+        "q235_mad_outliers": q235_mad_outliers,
     }
 
 
@@ -11103,6 +11144,81 @@ SELECT na AS n_a, nb AS n_b,
     round((1.0 - 3.0 / (4.0 * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
                         - 9.0)) * (ma - mb) / sqrt(sp2), 6) END AS g_r
 FROM f
+""",
+        # q234: CDC cut rule + lag-chunking + fingerprint rollup
+        "q234_cdc_dedup": """
+WITH d AS (
+  SELECT doc_id, text, length(text) AS L
+  FROM documents WHERE length(text) > 0
+), pos AS (
+  SELECT doc_id, text, L, unnest(range(8, L + 1)) AS i FROM d
+), cuts AS (
+  SELECT doc_id, i FROM pos
+  WHERE ('0x' || substr(md5(substr(text, i - 7, 8)), 1, 15))::BIGINT
+        % 64 = 0
+), bounds AS (
+  SELECT doc_id, i FROM cuts
+  UNION
+  SELECT doc_id, L AS i FROM d
+), spans AS (
+  SELECT doc_id, i,
+    coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0) AS p
+  FROM bounds
+), chunks AS (
+  SELECT s.doc_id, substr(d.text, s.p + 1, s.i - s.p) AS chunk
+  FROM spans s JOIN d ON d.doc_id = s.doc_id
+), fps AS (
+  SELECT substr(md5(chunk), 1, 15) AS fp, length(chunk) AS len
+  FROM chunks
+), per_fp AS (
+  SELECT fp, CAST(count(*) AS BIGINT) AS n,
+         CAST(min(len) AS BIGINT) AS len
+  FROM fps GROUP BY 1
+), agg AS (
+  SELECT CAST(sum(n) AS BIGINT) AS total_chunks,
+         CAST(count(*) AS BIGINT) AS distinct_chunks,
+         CAST(sum(n * len) AS BIGINT) AS total_bytes,
+         CAST(sum(len) AS BIGINT) AS unique_bytes
+  FROM per_fp
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_docs,
+  total_chunks, distinct_chunks, total_bytes, unique_bytes,
+  round(CAST(unique_bytes AS DOUBLE) / CAST(total_bytes AS DOUBLE), 6)
+    AS dedup_ratio_r,
+  round(CAST(total_bytes AS DOUBLE) / CAST(total_chunks AS DOUBLE), 6)
+    AS avg_chunk_r
+FROM agg
+""",
+        # q235: quantile_disc medians (rank-ceil(n/2)) + modified-z census
+        "q235_mad_outliers": """
+WITH rows_ AS (
+  SELECT 'h' || CAST(user_id % 12 AS VARCHAR) AS host,
+    CAST(event_id % 200
+         + CASE WHEN event_id % 97 = 0 THEN 5000 ELSE 0 END AS BIGINT) AS x
+  FROM events
+), med AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n,
+         CAST(quantile_disc(x, 0.5) AS BIGINT) AS median
+  FROM rows_ GROUP BY 1
+), mad_ AS (
+  SELECT r.host,
+         CAST(quantile_disc(abs(r.x - m.median), 0.5) AS BIGINT) AS mad
+  FROM rows_ r JOIN med m USING (host) GROUP BY 1
+), fl AS (
+  SELECT r.host,
+    CAST(sum(CASE WHEN 0.6745 * CAST(abs(r.x - m.median) AS DOUBLE)
+                       > 3.5 * CAST(d.mad AS DOUBLE)
+             THEN 1 ELSE 0 END) AS BIGINT) AS nout
+  FROM rows_ r
+  JOIN med m USING (host) JOIN mad_ d USING (host)
+  GROUP BY 1
+)
+SELECT m.host, m.n, m.median, d.mad,
+  CASE WHEN d.mad > 0 THEN f.nout END AS n_outliers,
+  CASE WHEN d.mad > 0 THEN
+    round(CAST(f.nout AS DOUBLE) / CAST(m.n AS DOUBLE), 6)
+  END AS frac_out_r
+FROM med m JOIN mad_ d USING (host) JOIN fl f USING (host)
 """,
         # q167: Elias gamma/delta gap costs via bin() lengths (no log2)
         "q167_adjacency_bits": f"""

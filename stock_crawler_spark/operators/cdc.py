@@ -1,0 +1,154 @@
+"""Content-defined chunking (CDC) for storage-level dedup.
+
+WARC archives store the same page bytes again and again — boilerplate
+shared across a host, recaptures that moved one byte, mirrors. Exact
+whole-doc dedup (q09) only collapses IDENTICAL payloads; revisit
+records (q142) only collapse identical DIGESTS. Content-defined
+chunking is the storage-layer answer in between (LBFS SOSP'01,
+FastCDC ATC'16, and every dedup appliance since): cut each payload at
+positions the CONTENT chooses — a hash of the trailing w-byte window
+crossing a threshold — so an insertion early in a page only reshapes
+the chunks it touches, and every shared run re-aligns and dedups,
+which fixed-size blocks structurally cannot do.
+
+The cut rule here is the window-hash form:
+
+    boundary after position i  iff  i >= w and
+        md5(text[i-w+1 .. i]) mod divisor == 0,  plus a forced
+        boundary at end-of-doc
+
+(expected chunk length = divisor chars). Gear/Rabin rolling hashes
+are the CONSTANT-FACTOR optimization of the same rule — they make the
+per-position hash O(1) amortized in imperative code; the CUT POSITIONS
+they produce for a given hash are what defines the chunking. Using
+md5-of-window keeps the rule a pure Column expression (array algebra
+over a per-row position sequence — codegen, no explode until chunk
+extraction, no UDF) that replays verbatim in ANSI SQL, the repo's
+engine-portability contract. Min/max chunk-length clamps (FastCDC's
+normalization) are deliberately omitted: they make the cut decision
+SEQUENTIAL (each cut suppresses nearby cuts), which has no closed
+form — a scale deployment wanting them would move this exact rule
+into a mapInPandas kernel, the sanctioned imperative escape.
+
+Scale shape: per-row array algebra (O(len) per doc, the same cost
+class as the parser pass) -> one explode of chunk rows -> one
+map-side-combinable groupBy on the 15-hex chunk fingerprint. The
+corpus-wide rollup is a second tiny aggregate.
+
+Reference analog: none — the reference stores parsed quotes, not
+payloads; this extends the WARC-export side (q110/q142).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _win_hash(text: Column, i: Column, window: int) -> Column:
+    """md5 of the window ending at 1-based position i, as int64."""
+    return F.conv(
+        F.substring(
+            F.md5(F.substring(text, i - F.lit(window - 1), F.lit(window))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def chunk_spans(
+    text: Column, window: int = 8, divisor: int = 64
+) -> Column:
+    """array<struct<start, len>> of the doc's content-defined chunks
+    (1-based start). Pure Column algebra; empty text yields []."""
+    n = F.length(text)
+    cuts = F.filter(
+        F.transform(
+            F.sequence(F.lit(window), F.greatest(n, F.lit(window))),
+            lambda i: F.when(
+                (i <= n) & (_win_hash(text, i, window) % divisor == 0), i
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    bounds = F.array_sort(
+        F.array_distinct(
+            F.concat(cuts, F.when(n > 0, F.array(n)).otherwise(F.array()))
+        )
+    )
+    prevs = F.concat(F.array(F.lit(0)), F.slice(bounds, 1, F.greatest(F.size(bounds) - 1, F.lit(0))))
+    return F.zip_with(
+        prevs,
+        bounds,
+        lambda p, b: F.struct((p + 1).alias("start"), (b - p).alias("len")),
+    )
+
+
+def chunk_table(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    divisor: int = 64,
+) -> DataFrame:
+    """(doc, seq, start, len, fp): one row per chunk, fp the 15-hex
+    md5 fingerprint of the chunk text — the storage-dedup key."""
+    t = F.col(text_col)
+    spans = chunk_spans(t, window, divisor)
+    exploded = docs.filter(F.length(t) > 0).select(
+        F.col(id_col).alias("doc"),
+        t.alias("_t"),
+        F.posexplode(spans).alias("seq", "s"),
+    )
+    return exploded.select(
+        "doc",
+        "seq",
+        F.col("s.start").alias("start"),
+        F.col("s.len").alias("len"),
+        F.substring(
+            F.md5(F.substring(F.col("_t"), F.col("s.start"), F.col("s.len"))),
+            1,
+            15,
+        ).alias("fp"),
+    )
+
+
+def dedup_stats(chunks: DataFrame) -> DataFrame:
+    """Corpus storage-dedup rollup over a chunk_table: ONE row
+    (n_docs, total_chunks, distinct_chunks, total_bytes, unique_bytes,
+    dedup_ratio_r, avg_chunk_r). unique_bytes stores each distinct
+    fingerprint once (its length is a function of the fingerprint —
+    chunks colliding on fp are counted once, the dedup-store model);
+    dedup_ratio = unique/total, lower = more shared content."""
+    per_fp = chunks.groupBy("fp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("len").cast("long").alias("len"),
+    )
+    docs = chunks.agg(
+        F.count_distinct("doc").cast("long").alias("n_docs")
+    )
+    agg = per_fp.agg(
+        F.sum("n").cast("long").alias("total_chunks"),
+        F.count(F.lit(1)).cast("long").alias("distinct_chunks"),
+        F.sum(F.col("n") * F.col("len")).cast("long").alias("total_bytes"),
+        F.sum("len").cast("long").alias("unique_bytes"),
+    )
+    return agg.crossJoin(F.broadcast(docs)).select(
+        "n_docs",
+        "total_chunks",
+        "distinct_chunks",
+        "total_bytes",
+        "unique_bytes",
+        F.round(
+            F.col("unique_bytes").cast("double")
+            / F.col("total_bytes").cast("double"),
+            6,
+        ).alias("dedup_ratio_r"),
+        F.round(
+            F.col("total_bytes").cast("double")
+            / F.col("total_chunks").cast("double"),
+            6,
+        ).alias("avg_chunk_r"),
+    )

@@ -927,3 +927,103 @@ def gini_coefficient(
             ),
         ).alias("gini_r"),
     )
+
+
+def mad_outliers(
+    rows: DataFrame,
+    key_col: str = "host",
+    val_col: str = "x",
+    z_cut: float = 3.5,
+) -> DataFrame:
+    """Per-key robust outlier census via the modified z-score
+    (Iglewicz & Hoaglin 1993): flag x when
+    0.6745*|x - median| > z_cut * MAD, with median and MAD both the
+    EXACT discrete medians (PERCENTILE_DISC / quantile_disc lower-
+    value semantics, rank ceil(n/2) — the exact_quantiles convention).
+
+    Mean/stddev outlier fences (the q182-era three-sigma habit) break
+    exactly when needed most: one 5000 ms spike inflates sigma until
+    it hides itself (masking). Median and MAD have 50% breakdown —
+    the per-host latency/size anomaly flag that still works on a host
+    whose tail IS the anomaly. Returns per key:
+    (key, n, median, mad, n_outliers, frac_out_r); degenerate
+    mad == 0 reports NULL counts (every non-median value would flag —
+    signal the caller loudly rather than emit noise).
+
+    Scale shape: ONE groupBy to (key, value, cnt), per-KEY window
+    cumsums over distinct values (millions of independent bounded
+    groups — never a global sort; the q187/q217 shape), two
+    median-rank picks, one broadcast-size join back. Integer
+    arithmetic until the final modified-z comparison.
+    """
+    from pyspark.sql import Window
+
+    kc = F.col(key_col)
+    v = F.col(val_col).cast("long")
+    per = rows.groupBy(kc.alias("_k"), v.alias("_v")).agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    wc = (
+        Window.partitionBy("_k")
+        .orderBy(F.asc("_v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wk = Window.partitionBy("_k")
+    cum = per.withColumn("_cum", F.sum("_c").over(wc)).withColumn(
+        "_n", F.sum("_c").over(wk)
+    )
+    med = (
+        cum.filter(F.col("_cum") >= F.ceil(F.col("_n").cast("double") / 2.0))
+        .groupBy("_k")
+        .agg(F.min("_v").alias("_med"), F.first("_n").alias("n"))
+    )
+    dev = (
+        per.join(med, "_k")
+        .groupBy("_k", F.abs(F.col("_v") - F.col("_med")).alias("_d"))
+        .agg(F.sum("_c").cast("long").alias("_c"))
+    )
+    wd = (
+        Window.partitionBy("_k")
+        .orderBy(F.asc("_d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dcum = dev.withColumn("_cum", F.sum("_c").over(wd)).withColumn(
+        "_n", F.sum("_c").over(wk)
+    )
+    mad = (
+        dcum.filter(F.col("_cum") >= F.ceil(F.col("_n").cast("double") / 2.0))
+        .groupBy("_k")
+        .agg(F.min("_d").alias("_mad"))
+    )
+    stats = med.join(mad, "_k")
+    flagged = (
+        per.join(stats, "_k")
+        .withColumn(
+            "_out",
+            F.when(
+                F.lit(0.6745)
+                * F.abs(F.col("_v") - F.col("_med")).cast("double")
+                > F.lit(z_cut) * F.col("_mad").cast("double"),
+                F.col("_c"),
+            ).otherwise(0),
+        )
+        .groupBy("_k")
+        .agg(F.sum("_out").cast("long").alias("_nout"))
+    )
+    return (
+        stats.join(flagged, "_k")
+        .select(
+            F.col("_k").alias(key_col),
+            F.col("n").cast("long").alias("n"),
+            F.col("_med").alias("median"),
+            F.col("_mad").alias("mad"),
+            F.when(F.col("_mad") > 0, F.col("_nout")).alias("n_outliers"),
+            F.when(
+                F.col("_mad") > 0,
+                F.round(
+                    F.col("_nout").cast("double") / F.col("n").cast("double"),
+                    6,
+                ),
+            ).alias("frac_out_r"),
+        )
+    )

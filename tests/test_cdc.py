@@ -1,0 +1,103 @@
+"""Content-defined chunking (operators/cdc): python-twin parity, the
+insertion re-alignment property fixed blocks lack, and dedup rollups."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from stock_crawler_spark.operators.cdc import chunk_table, dedup_stats
+
+W, DIV = 8, 64
+
+
+def _h(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _chunks_py(text: str, window: int = W, divisor: int = DIV):
+    n = len(text)
+    if n == 0:
+        return []
+    cuts = [
+        i
+        for i in range(window, n + 1)
+        if _h(text[i - window : i]) % divisor == 0
+    ]
+    if not cuts or cuts[-1] != n:
+        cuts.append(n)
+    out, prev = [], 0
+    for b in cuts:
+        out.append(text[prev:b])
+        prev = b
+    return out
+
+
+def test_chunk_table_matches_python_twin(spark):
+    import random
+
+    rnd = random.Random(11)
+    texts = [
+        "".join(rnd.choice("abcdefg h") for _ in range(rnd.randrange(1, 400)))
+        for _ in range(30)
+    ] + ["short", "x" * 7, "y" * 8]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got: dict[int, list] = {}
+    for r in chunk_table(df).collect():
+        got.setdefault(r["doc"], []).append((r["seq"], r["start"], r["len"], r["fp"]))
+    for i, t in enumerate(texts):
+        want = _chunks_py(t)
+        rows = sorted(got[i])
+        assert len(rows) == len(want), (i, t)
+        pos = 1
+        for (seq, start, ln, fp), chunk in zip(rows, want):
+            assert start == pos and ln == len(chunk)
+            assert fp == hashlib.md5(chunk.encode()).hexdigest()[:15]
+            pos += ln
+
+
+def test_insertion_realigns_chunks(spark):
+    """The CDC property: prepending bytes only reshapes the chunks
+    before the first content-defined cut; everything after re-aligns
+    and dedups. Fixed-size blocks would shift every block."""
+    import random
+
+    rnd = random.Random(7)
+    base = "".join(rnd.choice("abcdefgh ") for _ in range(3000))
+    shifted = "ZZZ" + base
+    a, b = set(), set()
+    for t, acc in ((base, a), (shifted, b)):
+        for c in _chunks_py(t):
+            acc.add(hashlib.md5(c.encode()).hexdigest()[:15])
+    shared = len(a & b)
+    assert shared >= len(a) - 2  # at most the head chunk differs (+1 slack)
+    # and Spark agrees on the shared-fraction via dedup_stats
+    df = spark.createDataFrame(
+        [(0, base), (1, shifted)], "doc_id long, text string"
+    )
+    st = dedup_stats(chunk_table(df)).collect()[0]
+    assert st["n_docs"] == 2
+    # nearly half the bytes dedup away (two near-identical docs)
+    assert st["dedup_ratio_r"] < 0.56
+
+
+def test_dedup_stats_identical_docs(spark):
+    df = spark.createDataFrame(
+        [(i, "the same page text " * 30) for i in range(4)],
+        "doc_id long, text string",
+    )
+    st = dedup_stats(chunk_table(df)).collect()[0]
+    assert st["total_chunks"] == 4 * st["distinct_chunks"]
+    assert st["unique_bytes"] * 4 == st["total_bytes"]
+    assert st["dedup_ratio_r"] == 0.25
+
+
+def test_chunking_partition_invariance(spark):
+    texts = [(i, ("tok%d " % (i % 5)) * (20 + i % 50)) for i in range(60)]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    a = sorted(map(tuple, chunk_table(df.repartition(1)).collect()))
+    b = sorted(map(tuple, chunk_table(df.repartition(13, "text")).collect()))
+    assert a == b

@@ -417,3 +417,67 @@ def test_good_turing_partition_invariance(spark):
         spark.createDataFrame([(t,) for t in toks], "token string").repartition(17)
     ).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# --- MAD outliers -------------------------------------------------------------------
+
+
+def _mad_brute(vals, z_cut=3.5):
+    s = sorted(vals)
+    n = len(s)
+    med = s[(n + 1) // 2 - 1] if n % 2 else s[n // 2 - 1]
+    ds = sorted(abs(x - med) for x in vals)
+    mad = ds[(n + 1) // 2 - 1] if n % 2 else ds[n // 2 - 1]
+    if mad == 0:
+        return med, mad, None
+    nout = sum(1 for x in vals if 0.6745 * abs(x - med) > z_cut * mad)
+    return med, mad, nout
+
+
+def test_mad_outliers_brute_force(spark):
+    from stock_crawler_spark.operators.profile import mad_outliers
+
+    rows = []
+    byhost = {}
+    for i in range(600):
+        h = "h%d" % (i % 7)
+        x = (i * 13) % 120 + (5000 if i % 97 == 0 else 0)
+        rows.append((h, x))
+        byhost.setdefault(h, []).append(x)
+    df = spark.createDataFrame(rows, "host string, x long")
+    got = {r["host"]: r for r in mad_outliers(df).collect()}
+    for h, vals in byhost.items():
+        med, mad, nout = _mad_brute(vals)
+        r = got[h]
+        assert (r["median"], r["mad"], r["n_outliers"]) == (med, mad, nout), h
+        assert r["n"] == len(vals)
+
+
+def test_mad_outliers_masking_resistance(spark):
+    from stock_crawler_spark.operators.profile import mad_outliers
+
+    # one huge spike among 99 tame values: three-sigma would widen,
+    # MAD flags it
+    vals = [(i % 20) + 40 for i in range(99)] + [100000]
+    df = spark.createDataFrame([("h", v) for v in vals], "host string, x long")
+    r = mad_outliers(df).collect()[0]
+    assert r["n_outliers"] == 1 and r["median"] < 100
+
+
+def test_mad_outliers_degenerate_constant(spark):
+    from stock_crawler_spark.operators.profile import mad_outliers
+
+    df = spark.createDataFrame([("h", 5)] * 10 + [("h", 9)], "host string, x long")
+    r = mad_outliers(df).collect()[0]
+    assert r["mad"] == 0 and r["n_outliers"] is None and r["frac_out_r"] is None
+
+
+def test_mad_outliers_partition_invariance(spark):
+    from stock_crawler_spark.operators.profile import mad_outliers
+
+    rows = [("h%d" % (i % 5), (i * 31) % 200 + (3000 if i % 53 == 0 else 0))
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "host string, x long")
+    a = sorted(map(tuple, mad_outliers(df.repartition(1)).collect()))
+    b = sorted(map(tuple, mad_outliers(df.repartition(17, "x")).collect()))
+    assert a == b
