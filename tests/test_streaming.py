@@ -796,3 +796,63 @@ def test_streaming_session_window_matches_batch_sessionize(spark, tmp_path):
             assert per_user[u][c] == batch[u][c], (u, c)
     # u2's chained session proves windows EXTEND across micro-batches
     assert per_user[2]["n_sessions"] == 1 and per_user[2]["max_sess_len"] == 5
+
+
+def test_streaming_secret_scrub_and_cdc_match_batch(spark, tmp_path):
+    """Secrets scrubbing (q223) and CDC chunking (q234) are pure
+    per-row Column chains, so they apply to a document stream
+    UNCHANGED — streamed outputs must equal the batch operators row
+    for row (the repo's batch-twin convention for mapper-class ops)."""
+    from stock_crawler_spark.functions.pii import with_secrets_scrubbed
+    from stock_crawler_spark.operators.cdc import chunk_table
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60)
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" ghp_"), F.repeat(F.lit("Ab9"), 12)
+        ).alias("text"),
+    )
+    src = str(tmp_path / "docs_stream")
+    planted.coalesce(2).write.parquet(src)
+
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q1 = (
+        with_secrets_scrubbed(stream)
+        .writeStream.format("memory")
+        .queryName("stream_scrub")
+        .option("checkpointLocation", str(tmp_path / "ckpt_scrub"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2 = (
+        chunk_table(stream)
+        .writeStream.format("memory")
+        .queryName("stream_cdc")
+        .option("checkpointLocation", str(tmp_path / "ckpt_cdc"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q1.awaitTermination(180)
+    q2.awaitTermination(180)
+
+    got_scrub = sorted(
+        (r["doc_id"], r["n_github_token"], r["text_scrubbed"])
+        for r in spark.sql(
+            "select doc_id, n_github_token, text_scrubbed from stream_scrub"
+        ).collect()
+    )
+    want_scrub = sorted(
+        (r["doc_id"], r["n_github_token"], r["text_scrubbed"])
+        for r in with_secrets_scrubbed(spark.read.parquet(src)).collect()
+    )
+    assert got_scrub == want_scrub and len(got_scrub) == 60
+    assert all(n == 1 for _, n, _ in got_scrub)
+
+    got_cdc = sorted(
+        map(tuple, spark.sql("select * from stream_cdc").collect())
+    )
+    want_cdc = sorted(
+        map(tuple, chunk_table(spark.read.parquet(src)).collect())
+    )
+    assert got_cdc == want_cdc and len(got_cdc) >= 60
