@@ -1956,6 +1956,26 @@ def q235_mad_outliers(spark, sf):
     return mad_outliers(rows)
 
 
+PPS_N = 60
+
+
+def q236_pps_sample(spark, sf):
+    """Systematic PPS audit sampling (operators/training.
+    systematic_pps_sample; Madow 1949): 60 equally-spaced picks over
+    the hash-ordered n_chars mass — the audit design where a 100 MB
+    host is checked 100x as often as a 1 MB one and oversize items hit
+    multiple times, the with-replacement complement of q81's
+    Efraimidis-Spirakis. EXACT integer arithmetic end to end (the
+    +W-shift integral-div ceil pins Spark truncating `div` to DuckDB
+    flooring `//`); oracle replays the cumsum, offset, and pick-count
+    interval."""
+    from stock_crawler_spark.operators.training import systematic_pps_sample
+
+    docs = _t(spark, sf, "documents")
+    rows = docs.select("doc_id", F.col("n_chars").alias("size"))
+    return systematic_pps_sample(rows, PPS_N, size_col="size")
+
+
 def _secrets_augmented_text():
     sid = F.col("doc_id")
     return F.concat(
@@ -5935,6 +5955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q233_effect_size": q233_effect_size,
         "q234_cdc_dedup": q234_cdc_dedup,
         "q235_mad_outliers": q235_mad_outliers,
+        "q236_pps_sample": q236_pps_sample,
     }
 
 
@@ -11219,6 +11240,37 @@ SELECT m.host, m.n, m.median, d.mad,
     round(CAST(f.nout AS DOUBLE) / CAST(m.n AS DOUBLE), 6)
   END AS frac_out_r
 FROM med m JOIN mad_ d USING (host) JOIN fl f USING (host)
+""",
+        # q236: hash-order cumsum + exact pick-interval arithmetic
+        "q236_pps_sample": f"""
+WITH base AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+    ('0x' || substr(md5('pps0:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      AS h
+  FROM documents WHERE n_chars > 0
+), tot AS (
+  SELECT CAST(sum(w) AS HUGEINT) AS tw FROM base
+), off AS (
+  SELECT ('0x' || substr(md5('pps0:offset'), 1, 15))::BIGINT
+         % (SELECT tw FROM tot) AS o
+), cums AS (
+  SELECT doc_id, w,
+    coalesce(sum(CAST(w AS HUGEINT)) OVER
+      (ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      0) AS c
+  FROM base
+), k AS (
+  SELECT doc_id, w,
+    (CAST(c AS HUGEINT) * {PPS_N} - (SELECT o FROM off)
+      + 2 * (SELECT tw FROM tot) - 1) // (SELECT tw FROM tot) AS kmin,
+    ((CAST(c AS HUGEINT) + w) * {PPS_N} - (SELECT o FROM off)
+      + 2 * (SELECT tw FROM tot) - 1) // (SELECT tw FROM tot) AS kmax
+  FROM cums
+)
+SELECT doc_id, w AS size, CAST(kmax - kmin AS BIGINT) AS n_hits,
+  round({PPS_N}.0 * CAST(w AS DOUBLE)
+        / CAST((SELECT tw FROM tot) AS DOUBLE), 6) AS expect_r
+FROM k WHERE kmax - kmin > 0
 """,
         # q167: Elias gamma/delta gap costs via bin() lengths (no log2)
         "q167_adjacency_bits": f"""

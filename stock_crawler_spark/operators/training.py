@@ -1030,3 +1030,120 @@ def water_fill_allocation(
         F.round(alloc, 6).alias("alloc_r"),
         F.round(alloc / F.col("_tok").cast("double"), 6).alias("epochs_r"),
     )
+
+
+def systematic_pps_sample(
+    df: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    size_col: str = "size",
+    salt: str = "pps0",
+    n_partitions: int = 32,
+) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling (the
+    classical survey-statistics PPS design, Madow 1949): lay the items
+    on a line in hash order, each occupying its ``size``; drop n
+    equally-spaced picks (spacing W/n, deterministic hash offset) and
+    take whatever they land on. Exactly n picks total, every item hit with
+    probability min(1, n*size/W) — the audit-sampling design where a
+    100 MB host should be checked 100x as often as a 1 MB one, and
+    big items can be hit multiple times (n_hits > 1), which
+    Efraimidis-Spirakis without-replacement (weighted_sample)
+    deliberately forbids; the two are complements.
+
+    EXACT integer arithmetic — no floats anywhere: the k-th pick sits
+    at (O + k*W)/n in item units, so item [c, c+w) is hit by k in
+    [ceil((c*n - O)/W), ceil(((c+w)*n - O)/W)); both ceils are
+    computed as (x + 2W - 1) div W - 1 after a +W shift that keeps
+    numerators positive — Spark's `div` truncates toward zero while
+    DuckDB's `//` floors, and the shift makes the two agree. Sums ride
+    DECIMAL(38,0).
+
+    Scale shape: one distributed cumsum over the hash order
+    (_pinned_range_parts + O(n_partitions) driver offsets — never a
+    global sort), one filter. Returns hit items only:
+    (id, size, n_hits, expect_r) with expect_r = n*size/W, the
+    diagnostic inclusion expectation.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    from pyspark.sql import Window
+
+    dec = "decimal(38,0)"
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(size_col).cast("long").alias("_w"),
+    ).filter(F.col("_w") > 0)
+    base = base.withColumn(
+        "_h",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + ":"), F.col("_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )
+    parts = _pinned_range_parts(base, n_partitions, F.asc("_h"), F.asc("_id"))
+    totals = (
+        parts.groupBy("_pid")
+        .agg(F.sum(F.col("_w").cast(dec)).alias("_pw"))
+        .collect()
+    )
+    off_rows = []
+    run = 0
+    for pid, pw in sorted((r["_pid"], int(r["_pw"])) for r in totals):
+        off_rows.append((pid, str(run)))
+        run += pw
+    total_w = run
+    spark = df.sparkSession
+    if total_w == 0:
+        return spark.createDataFrame(
+            [], f"{id_col} string, size long, n_hits long, expect_r double"
+        )
+    import hashlib
+
+    big_o = (
+        int(hashlib.md5(f"{salt}:offset".encode()).hexdigest()[:15], 16)
+        % total_w
+    )
+    offsets = spark.createDataFrame(off_rows, "_pid int, _off string")
+    w_ex = (
+        Window.partitionBy("_pid")
+        .orderBy(F.asc("_h"), F.asc("_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = F.col("_off").cast(dec) + F.coalesce(
+        F.sum(F.col("_w").cast(dec)).over(w_ex), F.lit(0).cast(dec)
+    )
+    W = F.lit(str(total_w)).cast(dec)
+    O = F.lit(str(big_o)).cast(dec)
+    nn = F.lit(n).cast(dec)
+    # ceil(x / W) with x > -W guaranteed: shift by +W so the numerator
+    # is positive, then TRUE integral div (decimal `/` would round to
+    # the result scale and floor() of a rounded quotient is off by one
+    # near integer boundaries), then shift back
+    num_min = c * nn - O + W + W - F.lit(1).cast(dec)
+    num_max = (c + F.col("_w").cast(dec)) * nn - O + W + W - F.lit(1).cast(dec)
+    hits = (
+        parts.join(F.broadcast(offsets), "_pid")
+        .withColumn("_nmin", num_min)
+        .withColumn("_nmax", num_max)
+        .withColumn(
+            "_nh",
+            F.expr(f"CAST(_nmax div CAST({total_w} AS DECIMAL(38,0)) AS LONG)")
+            - F.expr(f"CAST(_nmin div CAST({total_w} AS DECIMAL(38,0)) AS LONG)"),
+        )
+        .filter(F.col("_nh") > 0)
+    )
+    return hits.select(
+        F.col("_id").alias(id_col),
+        F.col("_w").alias("size"),
+        F.col("_nh").cast("long").alias("n_hits"),
+        F.round(
+            F.lit(float(n)) * F.col("_w").cast("double") / F.lit(float(total_w)),
+            6,
+        ).alias("expect_r"),
+    )

@@ -812,3 +812,66 @@ def test_water_fill_validation(spark):
         water_fill_allocation(df, 0)
     with _pt.raises(ValueError):
         water_fill_allocation(df, 100, max_epochs=0)
+
+
+# --- systematic PPS sampling --------------------------------------------------------
+
+
+def _pps_brute(rows, n, salt="pps0"):
+    import hashlib
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    items = sorted(
+        ((h(f"{salt}:{i}"), i, w) for i, w in rows if w > 0)
+    )
+    total = sum(w for _, _, w in items)
+    off = h(f"{salt}:offset") % total
+    picks = [off + k * total for k in range(n)]  # scaled by n: pos*n
+    out = {}
+    c = 0
+    for _, i, w in items:
+        lo, hi = c * n, (c + w) * n
+        nh = sum(1 for p in picks if lo <= p < hi)
+        if nh:
+            out[i] = (w, nh)
+        c += w
+    return out, total
+
+
+def test_pps_matches_brute_force_and_total(spark):
+    from stock_crawler_spark.operators.training import systematic_pps_sample
+
+    rows = [(i, 1 + (i * 37) % 50) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, size long")
+    got = {r["doc_id"]: (r["size"], r["n_hits"])
+           for r in systematic_pps_sample(df, 40).collect()}
+    want, total = _pps_brute(rows, 40)
+    assert got == want
+    assert sum(nh for _, nh in got.values()) == 40  # exactly n picks
+
+
+def test_pps_huge_item_multi_hit(spark):
+    from stock_crawler_spark.operators.training import systematic_pps_sample
+
+    rows = [(0, 10000)] + [(i, 10) for i in range(1, 21)]
+    df = spark.createDataFrame(rows, "doc_id long, size long")
+    got = {r["doc_id"]: r for r in systematic_pps_sample(df, 10).collect()}
+    # the 98%-of-mass item takes nearly every pick
+    assert got[0]["n_hits"] >= 9
+    assert got[0]["expect_r"] > 1.0  # expectation above 1 is legal here
+
+
+def test_pps_partition_invariance_and_validation(spark):
+    import pytest as _pt
+    from stock_crawler_spark.operators.training import systematic_pps_sample
+
+    rows = [(i, 1 + (i * 13) % 30) for i in range(150)]
+    df = spark.createDataFrame(rows, "doc_id long, size long")
+    a = sorted(map(tuple, systematic_pps_sample(df.repartition(1), 25).collect()))
+    b = sorted(map(tuple, systematic_pps_sample(
+        df.repartition(11, "size"), 25, n_partitions=5).collect()))
+    assert a == b
+    with _pt.raises(ValueError):
+        systematic_pps_sample(df, 0)
