@@ -1976,6 +1976,38 @@ def q236_pps_sample(spark, sf):
     return systematic_pps_sample(rows, PPS_N, size_col="size")
 
 
+BURST_SERIES = [
+    ("burst.example", t, (30 if 4 <= t <= 6 else 5), 100) for t in range(10)
+]
+
+
+def q237_kleinberg_bursts(spark, sf):
+    """Kleinberg 2-state burst detection (operators/burst; KDD 2002)
+    over per-(host, round) event-rate series with a planted 3-round
+    6x spike — the episode question beside q187's shift test and
+    q120's level rule: WHERE are the elevated-rate runs. Viterbi is
+    one ordered fold with a (c0, c1, path0, path1) accumulator (the
+    cusum_changepoint shape); the oracle replays the recursion as a
+    recursive CTE carrying the same two costs and two 0/1 path
+    strings, then reads the episode stats off the winning path."""
+    from stock_crawler_spark.operators.burst import kleinberg_bursts
+
+    ev = _t(spark, sf, "events")
+    organic = ev.groupBy(
+        F.concat(
+            F.lit("h"), (F.col("user_id") % 8).cast("string"), F.lit(".net")
+        ).alias("host"),
+        (F.col("event_id") % 10).cast("int").alias("t"),
+    ).agg(
+        F.sum((F.col("event_id") % 7 < 1).cast("long")).alias("r"),
+        F.count(F.lit(1)).alias("d"),
+    )
+    planted = spark.createDataFrame(
+        BURST_SERIES, "host string, t int, r long, d long"
+    )
+    return kleinberg_bursts(organic.unionByName(planted))
+
+
 def _secrets_augmented_text():
     sid = F.col("doc_id")
     return F.concat(
@@ -5956,6 +5988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q234_cdc_dedup": q234_cdc_dedup,
         "q235_mad_outliers": q235_mad_outliers,
         "q236_pps_sample": q236_pps_sample,
+        "q237_kleinberg_bursts": q237_kleinberg_bursts,
     }
 
 
@@ -11271,6 +11304,64 @@ SELECT doc_id, w AS size, CAST(kmax - kmin AS BIGINT) AS n_hits,
   round({PPS_N}.0 * CAST(w AS DOUBLE)
         / CAST((SELECT tw FROM tot) AS DOUBLE), 6) AS expect_r
 FROM k WHERE kmax - kmin > 0
+""",
+        # q237: recursive-CTE Viterbi twin of the burst fold
+        "q237_kleinberg_bursts": f"""
+WITH RECURSIVE counts AS (
+  SELECT 'h' || CAST(user_id % 8 AS VARCHAR) || '.net' AS host,
+         CAST(event_id % 10 AS INT) AS t,
+         CAST(sum(CASE WHEN event_id % 7 < 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS r,
+         CAST(count(*) AS BIGINT) AS d
+  FROM events GROUP BY 1, 2
+  UNION ALL
+  SELECT * FROM (VALUES
+    {", ".join(f"('{h}', {t}, CAST({r} AS BIGINT), CAST({d} AS BIGINT))" for h, t, r, d in BURST_SERIES)}
+  ) v(host, t, r, d)
+), params AS (
+  SELECT CAST(sum(r) AS DOUBLE) / CAST(sum(d) AS DOUBLE) AS p0,
+         least(2.0 * CAST(sum(r) AS DOUBLE) / CAST(sum(d) AS DOUBLE),
+               1.0 - 0.000001) AS p1
+  FROM counts
+), seq AS (
+  SELECT host, CAST(r AS DOUBLE) AS r, CAST(d AS DOUBLE) AS d,
+    row_number() OVER (PARTITION BY host ORDER BY t) AS i,
+    CAST(count(*) OVER (PARTITION BY host) AS BIGINT) AS tt
+  FROM counts
+), v AS (
+  SELECT host, CAST(0 AS BIGINT) AS i, tt,
+    CAST(0.0 AS DOUBLE) AS c0, 1.0 * ln(CAST(tt AS DOUBLE)) AS c1,
+    '' AS p0path, '' AS p1path
+  FROM (SELECT DISTINCT host, tt FROM seq)
+  UNION ALL
+  SELECT s.host, s.i, s.tt,
+    -(s.r * ln(p.p0) + (s.d - s.r) * ln(1.0 - p.p0))
+      + least(v.c0, v.c1) AS c0,
+    -(s.r * ln(p.p1) + (s.d - s.r) * ln(1.0 - p.p1))
+      + least(v.c1, v.c0 + 1.0 * ln(CAST(s.tt AS DOUBLE))) AS c1,
+    (CASE WHEN v.c0 <= v.c1 THEN v.p0path ELSE v.p1path END) || '0'
+      AS p0path,
+    (CASE WHEN v.c1 <= v.c0 + 1.0 * ln(CAST(s.tt AS DOUBLE))
+          THEN v.p1path ELSE v.p0path END) || '1' AS p1path
+  FROM v
+  JOIN seq s ON s.host = v.host AND s.i = v.i + 1
+  CROSS JOIN params p
+), fin AS (
+  SELECT host, tt,
+    CASE WHEN c0 <= c1 THEN p0path ELSE p1path END AS path
+  FROM v WHERE i = tt
+)
+SELECT host, tt AS t_rounds,
+  CAST(length(replace('0' || path, '01', '0#1'))
+       - length('0' || path) AS BIGINT) AS n_bursts,
+  CAST(length(path) - length(replace(path, '1', '')) AS BIGINT)
+    AS n_burst_rounds,
+  CASE WHEN strpos(path, '1') > 0
+       THEN CAST(strpos(path, '1') AS BIGINT) END AS first_burst_t,
+  CAST(coalesce(list_max(list_transform(string_split(path, '0'),
+                                        x -> length(x))), 0) AS BIGINT)
+    AS max_run
+FROM fin
 """,
         # q167: Elias gamma/delta gap costs via bin() lengths (no log2)
         "q167_adjacency_bits": f"""

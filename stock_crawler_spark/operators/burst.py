@@ -1,0 +1,161 @@
+"""Kleinberg 2-state burst detection over per-interval count series.
+
+"Is this host suddenly HOT?" is not a level question (harvest_stop's
+EWMA), a shift question (cusum_drift), or a trend question
+(mann_kendall) — it is an episode question: find the intervals where
+the arrival RATE jumped to an elevated regime, tolerating noise inside
+the episode. Kleinberg's burst automaton (KDD 2002, "Bursty and
+Hierarchical Structure in Streams", the 2-state batched variant of
+his §4 enumerating model) is the classical answer, used everywhere
+from query-log spike mining to hashtag trend detection:
+
+  state 0 emits at the base rate p0 = R/D (global relevant/total),
+  state 1 at p1 = min(s*p0, 1-1e-6); interval t with (r_t, d_t)
+  costs sigma(p, r, d) = -(r ln p + (d-r) ln(1-p)) in state p;
+  entering the burst state costs gamma * ln(T) (T = series length),
+  leaving is free. The minimum-cost state path is the burst labeling.
+
+Viterbi over 2 states is an ordered FOLD with a
+(cost0, cost1, path0, path1) struct accumulator — exactly the
+cusum_changepoint / holt_forecast bounded-per-key shape: one
+collect_list per key (per-host round series are bounded), one
+F.aggregate, no iteration, no UDF. Ties break toward staying /
+state 0 (<= comparisons), pinned by test. The base rate is ONE
+1-row broadcast (the q42-class pattern).
+
+Cross-engine determinism: the ln/exp doubles evaluate through the
+same platform libm in the JVM and DuckDB (the q42/q200/q213
+precedent); every fold add happens in the same t-ascending order in
+both engines, and the DECISION outputs are integers (burst counts,
+run lengths), which are insensitive to sub-ulp cost noise except at
+exact cost ties — which the planted gates avoid and real data
+essentially never produces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def kleinberg_bursts(
+    rows: DataFrame,
+    key_col: str = "host",
+    t_col: str = "t",
+    r_col: str = "r",
+    d_col: str = "d",
+    s: float = 2.0,
+    gamma: float = 1.0,
+) -> DataFrame:
+    """Per-key burst episodes: (key, t_rounds, n_bursts,
+    n_burst_rounds, first_burst_t, max_run).
+
+    ``t`` orders the intervals (ties undefined — feed distinct
+    interval ids), ``r`` relevant events, ``d`` total events
+    (r <= d, d >= 1). first_burst_t is the 1-BASED index of the first
+    burst interval (NULL when no burst); max_run the longest burst
+    episode length.
+    """
+    if s <= 1.0:
+        raise ValueError("s must be > 1 (burst state must be elevated)")
+    tot = rows.agg(
+        F.sum(F.col(r_col).cast("long")).alias("_R"),
+        F.sum(F.col(d_col).cast("long")).alias("_D"),
+    )
+    packed = rows.groupBy(F.col(key_col).alias("_k")).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(t_col).cast("long").alias("t"),
+                    F.col(r_col).cast("double").alias("r"),
+                    F.col(d_col).cast("double").alias("d"),
+                )
+            )
+        ).alias("arr")
+    ).crossJoin(F.broadcast(tot))
+    p0 = F.col("_R").cast("double") / F.col("_D").cast("double")
+    p1 = F.least(F.lit(s) * p0, F.lit(1.0 - 1e-6))
+    up_cost = F.lit(gamma) * F.log(F.size("arr").cast("double"))
+
+    def sigma(p, st):
+        return -(
+            st["r"] * F.log(p) + (st["d"] - st["r"]) * F.log(F.lit(1.0) - p)
+        )
+
+    # Viterbi fold: (c0, c1, path0, path1); paths are arrays of 0/1
+    init = F.struct(
+        F.lit(0.0).alias("c0"),
+        # starting in the burst state also pays the entry toll
+        up_cost.alias("c1"),
+        F.array().cast("array<int>").alias("p0"),
+        F.array().cast("array<int>").alias("p1"),
+    )
+
+    def step(acc, st):
+        s0 = sigma(p0, st)
+        s1 = sigma(p1, st)
+        stay0 = acc["c0"] <= acc["c1"]  # ties -> state 0's history
+        from0 = acc["c0"] + up_cost
+        enter = acc["c1"] <= from0  # ties -> stay in burst
+        new_c0 = s0 + F.least(acc["c0"], acc["c1"])
+        new_c1 = s1 + F.least(acc["c1"], from0)
+        new_p0 = F.concat(
+            F.when(stay0, acc["p0"]).otherwise(acc["p1"]), F.array(F.lit(0))
+        )
+        new_p1 = F.concat(
+            F.when(enter, acc["p1"]).otherwise(acc["p0"]), F.array(F.lit(1))
+        )
+        return F.struct(
+            new_c0.alias("c0"),
+            new_c1.alias("c1"),
+            new_p0.alias("p0"),
+            new_p1.alias("p1"),
+        )
+
+    folded = packed.withColumn("_v", F.aggregate("arr", init, step)).select(
+        "_k",
+        F.size("arr").alias("t_rounds"),
+        F.when(
+            F.col("_v.c0") <= F.col("_v.c1"), F.col("_v.p0")
+        ).otherwise(F.col("_v.p1")).alias("_path"),
+    )
+    # episode stats from the 0/1 path via one more fold:
+    # (n_bursts, n_burst_rounds, first_t, cur_run, max_run, idx)
+    stats_init = F.struct(
+        F.lit(0).alias("nb"),
+        F.lit(0).alias("nr"),
+        F.lit(0).alias("ft"),
+        F.lit(0).alias("cur"),
+        F.lit(0).alias("mx"),
+        F.lit(0).alias("i"),
+    )
+
+    def stats_step(a, b):
+        i = a["i"] + 1
+        is_b = b == 1
+        entering = is_b & (a["cur"] == 0)
+        cur = F.when(is_b, a["cur"] + 1).otherwise(F.lit(0))
+        return F.struct(
+            (a["nb"] + entering.cast("int")).alias("nb"),
+            (a["nr"] + is_b.cast("int")).alias("nr"),
+            F.when(entering & (a["ft"] == 0), i)
+            .otherwise(a["ft"])
+            .alias("ft"),
+            cur.alias("cur"),
+            F.greatest(a["mx"], cur).alias("mx"),
+            i.alias("i"),
+        )
+
+    out = folded.withColumn(
+        "_s", F.aggregate("_path", stats_init, stats_step)
+    )
+    return out.select(
+        F.col("_k").alias(key_col),
+        F.col("t_rounds").cast("long").alias("t_rounds"),
+        F.col("_s.nb").cast("long").alias("n_bursts"),
+        F.col("_s.nr").cast("long").alias("n_burst_rounds"),
+        F.when(F.col("_s.ft") > 0, F.col("_s.ft").cast("long")).alias(
+            "first_burst_t"
+        ),
+        F.col("_s.mx").cast("long").alias("max_run"),
+    )

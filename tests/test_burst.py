@@ -1,0 +1,90 @@
+"""Kleinberg burst detection (operators/burst): sequential-Viterbi
+brute-force parity, planted-burst localization, tie conventions."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from stock_crawler_spark.operators.burst import kleinberg_bursts
+
+
+def _viterbi_py(series, p0, s=2.0, gamma=1.0):
+    p1 = min(s * p0, 1.0 - 1e-6)
+    T = len(series)
+    up = gamma * math.log(T)
+
+    def sig(p, r, d):
+        return -(r * math.log(p) + (d - r) * math.log(1.0 - p))
+
+    c0, c1 = 0.0, up
+    path0, path1 = [], []
+    for r, d in series:
+        s0, s1 = sig(p0, r, d), sig(p1, r, d)
+        stay0 = c0 <= c1
+        from0 = c0 + up
+        enter = c1 <= from0
+        nc0 = s0 + min(c0, c1)
+        nc1 = s1 + min(c1, from0)
+        np0 = (path0 if stay0 else path1) + [0]
+        np1 = (path1 if enter else path0) + [1]
+        c0, c1, path0, path1 = nc0, nc1, np0, np1
+    return path0 if c0 <= c1 else path1
+
+
+def _stats(path):
+    nb = nr = ft = cur = mx = 0
+    for i, b in enumerate(path, 1):
+        if b:
+            if cur == 0:
+                nb += 1
+                if ft == 0:
+                    ft = i
+            cur += 1
+            nr += 1
+            mx = max(mx, cur)
+        else:
+            cur = 0
+    return nb, nr, (ft or None), mx
+
+
+def test_burst_matches_python_viterbi(spark):
+    serieses = {
+        "quiet": [(5, 100)] * 10,
+        "spike": [(5, 100)] * 4 + [(30, 100)] * 3 + [(5, 100)] * 3,
+        "two":   [(25, 100)] * 2 + [(5, 100)] * 4 + [(28, 100)] * 2 + [(5, 100)] * 2,
+    }
+    rows = [
+        (k, t, r, d)
+        for k, ser in serieses.items()
+        for t, (r, d) in enumerate(ser)
+    ]
+    df = spark.createDataFrame(rows, "host string, t int, r int, d int")
+    R = sum(r for _, _, r, _ in rows)
+    D = sum(d for _, _, _, d in rows)
+    got = {r["host"]: r for r in kleinberg_bursts(df).collect()}
+    for k, ser in serieses.items():
+        want = _stats(_viterbi_py(ser, R / D))
+        g = got[k]
+        assert (
+            g["n_bursts"], g["n_burst_rounds"], g["first_burst_t"], g["max_run"]
+        ) == want, k
+    # the planted episodes are actually found
+    assert got["quiet"]["n_bursts"] == 0
+    assert got["spike"]["n_bursts"] == 1 and got["spike"]["first_burst_t"] == 5
+    assert got["spike"]["max_run"] == 3
+    assert got["two"]["n_bursts"] == 2
+
+
+def test_burst_validation_and_partition_invariance(spark):
+    rows = [
+        ("h%d" % (i % 6), i // 6, 3 + (7 if (i % 6 == 1 and 4 <= i // 6 <= 6) else 0), 50)
+        for i in range(72)
+    ]
+    df = spark.createDataFrame(rows, "host string, t int, r int, d int")
+    with pytest.raises(ValueError):
+        kleinberg_bursts(df, s=1.0)
+    a = sorted(map(tuple, kleinberg_bursts(df.repartition(1)).collect()))
+    b = sorted(map(tuple, kleinberg_bursts(df.repartition(13, "d")).collect()))
+    assert a == b
