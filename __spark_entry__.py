@@ -2008,6 +2008,76 @@ def q237_kleinberg_bursts(spark, sf):
     return kleinberg_bursts(organic.unionByName(planted))
 
 
+CHAO_POOL = 30000
+CHAO_TOKS = 20
+DISPERSION_SERIES = [
+    ("bursty.example", t, (200 if t % 6 == 0 else 0)) for t in range(24)
+]
+
+
+def q238_chao1(spark, sf):
+    """Chao1 species-richness lower bound (operators/estimate.
+    chao1_richness; Chao 1984, bias-corrected) over the md5-pool token
+    stream (q201's convention, wider pool so the rare tail exists) —
+    the unseen-SPECIES count completing the trio with q175's Heaps
+    growth rate and q201's Good-Turing unseen mass. Two map-side
+    groupBys; the oracle replays frequency-of-frequencies and the
+    closed form."""
+    from stock_crawler_spark.operators.estimate import chao1_richness
+
+    docs = _t(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(CHAO_TOKS - 1))).alias("j"),
+    ).select(
+        F.concat(
+            F.lit("w"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("doc_id").cast("string"),
+                                F.lit("_"),
+                                F.col("j").cast("string"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % CHAO_POOL
+            ).cast("string"),
+        ).alias("token")
+    )
+    return chao1_richness(toks)
+
+
+def q239_dispersion(spark, sf):
+    """Variance-to-mean dispersion index (operators/estimate.
+    dispersion_index) of per-(host, interval) arrival counts, plus a
+    planted clumped host (all mass every 6th interval) — Poisson has
+    D = 1; D >> 1 says the arrival model behind q114's recrawl math
+    and the politeness queue sizing needs a negative-binomial, and
+    chi2 = (n-1)*D is the classical test. Exact sufficient stats from
+    one groupBy; oracle replays cells and the ratio."""
+    from stock_crawler_spark.operators.estimate import dispersion_index
+
+    ev = _t(spark, sf, "events")
+    organic = ev.groupBy(
+        F.concat(F.lit("h"), (F.col("user_id") % 10).cast("string")).alias(
+            "host"
+        ),
+        (F.col("event_id") % 30).cast("int").alias("t"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    planted = spark.createDataFrame(
+        DISPERSION_SERIES, "host string, t int, x long"
+    )
+    return dispersion_index(organic.unionByName(planted).select("host", "x"))
+
+
 def _secrets_augmented_text():
     sid = F.col("doc_id")
     return F.concat(
@@ -5989,6 +6059,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q235_mad_outliers": q235_mad_outliers,
         "q236_pps_sample": q236_pps_sample,
         "q237_kleinberg_bursts": q237_kleinberg_bursts,
+        "q238_chao1": q238_chao1,
+        "q239_dispersion": q239_dispersion,
     }
 
 
@@ -11362,6 +11434,69 @@ SELECT host, tt AS t_rounds,
                                         x -> length(x))), 0) AS BIGINT)
     AS max_run
 FROM fin
+""",
+        # q238: frequency-of-frequencies + Chao1 closed form
+        "q238_chao1": f"""
+WITH toks AS (
+  SELECT 'w' || CAST((('0x' || substr(md5(doc_id || '_' || j), 1, 15))::BIGINT
+                      % {CHAO_POOL}) AS VARCHAR) AS t
+  FROM (SELECT doc_id, unnest(range(0, {CHAO_TOKS})) AS j FROM documents)
+), freqs AS (
+  SELECT t, count(*) AS c FROM toks GROUP BY 1
+), agg AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_obs,
+    CAST(count(*) AS BIGINT) AS d_observed,
+    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+  FROM freqs
+)
+SELECT n_obs, d_observed, f1, f2,
+  round(CAST(d_observed AS DOUBLE)
+        + CAST(f1 AS DOUBLE) * (CAST(f1 AS DOUBLE) - 1.0)
+          / (2.0 * (CAST(f2 AS DOUBLE) + 1.0)), 6) AS chao1_r,
+  round(1.0 - CAST(f1 AS DOUBLE) / CAST(n_obs AS DOUBLE), 6) AS coverage_r
+FROM agg
+""",
+        # q239: per-host sufficient stats -> var/mean ratio
+        "q239_dispersion": f"""
+WITH organic AS (
+  SELECT 'h' || CAST(user_id % 10 AS VARCHAR) AS host,
+         CAST(event_id % 30 AS INT) AS t,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), allrows AS (
+  SELECT host, x FROM organic
+  UNION ALL
+  SELECT host, x FROM (VALUES
+    {", ".join(f"('{h}', CAST({x} AS BIGINT))" for h, _, x in DISPERSION_SERIES)}
+  ) v(host, x)
+), per AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(x) AS BIGINT) AS s,
+    sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS q
+  FROM allrows GROUP BY 1
+)
+SELECT host, n,
+  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_r,
+  CASE WHEN n >= 2 THEN
+    round((CAST(q AS DOUBLE) - CAST(n AS DOUBLE)
+             * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+          / (CAST(n AS DOUBLE) - 1.0), 6) END AS var_r,
+  CASE WHEN n >= 2 AND s > 0 THEN
+    round(((CAST(q AS DOUBLE) - CAST(n AS DOUBLE)
+              * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+              * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+           / (CAST(n AS DOUBLE) - 1.0))
+          / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6) END AS dispersion_r,
+  CASE WHEN n >= 2 AND s > 0 THEN
+    round((CAST(n AS DOUBLE) - 1.0)
+          * ((CAST(q AS DOUBLE) - CAST(n AS DOUBLE)
+                * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+             / (CAST(n AS DOUBLE) - 1.0))
+          / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6) END AS chi2_r
+FROM per
 """,
         # q167: Elias gamma/delta gap costs via bin() lengths (no log2)
         "q167_adjacency_bits": f"""

@@ -148,3 +148,90 @@ def chapman_estimate(
         F.round(nhat, 2).alias("n_hat_r"),
         F.when(F.col("m_overlap") > 0, F.round(F.sqrt(var), 2)).alias("se_r"),
     )
+
+
+def chao1_richness(
+    items: DataFrame,
+    key_col: str = "token",
+) -> DataFrame:
+    """Chao1 species-richness lower bound (Chao 1984, bias-corrected
+    form): ONE row (n_obs, d_observed, f1, f2, chao1_r, coverage_r).
+
+    "How many distinct urls/tokens/templates EXIST, given what we
+    sampled" — chapman_estimate answers it from two overlapping
+    snapshots; Chao1 answers it from ONE sample's rare-tail shape:
+
+        chao1    = D + f1*(f1-1) / (2*(f2+1))
+        coverage = 1 - f1/n          (Good's sample coverage)
+
+    with f1/f2 the singleton/doubleton counts. The trio with q175
+    (Heaps: how fast distinct GROWS) and q201 (Good-Turing: how much
+    probability MASS is unseen) — this one counts the unseen SPECIES.
+    The bias-corrected denominator (f2+1) keeps the estimator finite
+    when no doubletons exist. Two map-side groupBys (key counts ->
+    frequency-of-frequencies); everything after is a handful of
+    integers.
+    """
+    freqs = items.groupBy(F.col(key_col).alias("_k")).agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    agg = freqs.agg(
+        F.sum("_c").cast("long").alias("n_obs"),
+        F.count(F.lit(1)).cast("long").alias("d_observed"),
+        F.sum((F.col("_c") == 1).cast("long")).cast("long").alias("f1"),
+        F.sum((F.col("_c") == 2).cast("long")).cast("long").alias("f2"),
+    )
+    f1 = F.col("f1").cast("double")
+    chao = F.col("d_observed").cast("double") + f1 * (f1 - F.lit(1.0)) / (
+        F.lit(2.0) * (F.col("f2").cast("double") + F.lit(1.0))
+    )
+    return agg.select(
+        "n_obs",
+        "d_observed",
+        "f1",
+        "f2",
+        F.round(chao, 6).alias("chao1_r"),
+        F.round(
+            F.lit(1.0) - f1 / F.col("n_obs").cast("double"), 6
+        ).alias("coverage_r"),
+    )
+
+
+def dispersion_index(
+    rows: DataFrame,
+    key_col: str = "host",
+    val_col: str = "x",
+) -> DataFrame:
+    """Per-key index of dispersion (variance-to-mean ratio) over
+    integer counts: (key, n, mean_r, var_r, dispersion_r, chi2_r).
+
+    Poisson arrivals have D = var/mean = 1; D >> 1 (overdispersion —
+    bursty, clumped fetch arrivals) breaks every Poisson-based
+    capacity plan (q114's change-rate model, politeness queue sizing)
+    and argues for a negative-binomial model instead; chi2 = (n-1)*D
+    is the classical dispersion test statistic against chi-square with
+    n-1 df. Sufficient statistics exact long/DECIMAL(38,0) from ONE
+    map-side groupBy (the welch/anova convention); NULLs when n < 2
+    or mean = 0.
+    """
+    k = F.col(key_col)
+    x = F.col(val_col).cast("long")
+    dec = "decimal(38,0)"
+    per = rows.groupBy(k.alias(key_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).cast("long").alias("_s"),
+        F.sum(x.cast(dec) * x.cast(dec)).alias("_q"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("_s").cast("double") / n
+    var = (F.col("_q").cast("double") - n * mean * mean) / (n - F.lit(1.0))
+    ok = (F.col("n") >= 2) & (F.col("_s") > 0)
+    disp = var / mean
+    return per.select(
+        key_col,
+        "n",
+        F.round(mean, 6).alias("mean_r"),
+        F.when(F.col("n") >= 2, F.round(var, 6)).alias("var_r"),
+        F.when(ok, F.round(disp, 6)).alias("dispersion_r"),
+        F.when(ok, F.round((n - F.lit(1.0)) * disp, 6)).alias("chi2_r"),
+    )

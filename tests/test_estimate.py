@@ -163,3 +163,63 @@ def test_psi_identical_zero_and_missing_band_null(spark):
         spark.createDataFrame(missing, "snap int, band string")
     ).collect()[0]
     assert r2["psi_r"] is None
+
+
+# --- Chao1 richness -----------------------------------------------------------------
+
+
+def test_chao1_hand_numbers(spark):
+    from stock_crawler_spark.operators.estimate import chao1_richness
+
+    # 3 singletons, 2 doubletons, 1 tripleton: D=6, n=10
+    items = (["a", "b", "c"] + ["d", "d", "e", "e"] + ["f"] * 3)
+    df = spark.createDataFrame([(t,) for t in items], "token string")
+    r = chao1_richness(df).collect()[0]
+    assert (r["n_obs"], r["d_observed"], r["f1"], r["f2"]) == (10, 6, 3, 2)
+    assert r["chao1_r"] == round(6 + 3 * 2 / (2 * 3), 6)
+    assert r["coverage_r"] == round(1 - 3 / 10, 6)
+
+
+def test_chao1_no_doubletons_finite_and_complete_sample(spark):
+    from stock_crawler_spark.operators.estimate import chao1_richness
+
+    # all singletons: bias-corrected form stays finite
+    df = spark.createDataFrame([("t%d" % i,) for i in range(5)], "token string")
+    r = chao1_richness(df).collect()[0]
+    assert r["chao1_r"] == round(5 + 5 * 4 / 2, 6) and r["coverage_r"] == 0.0
+    # every species seen many times: chao1 == D, coverage 1
+    df2 = spark.createDataFrame([("x",)] * 5 + [("y",)] * 4, "token string")
+    r2 = chao1_richness(df2).collect()[0]
+    assert r2["chao1_r"] == 2.0 and r2["coverage_r"] == 1.0
+
+
+# --- dispersion index ---------------------------------------------------------------
+
+
+def test_dispersion_poisson_vs_bursty(spark):
+    import numpy as np
+    from stock_crawler_spark.operators.estimate import dispersion_index
+
+    flat = [("flat", 5 + (i % 3) - 1) for i in range(60)]       # var ~ 2/3
+    bursty = [("bursty", 0)] * 50 + [("bursty", 60)] * 10       # heavy clumping
+    df = spark.createDataFrame(flat + bursty, "host string, x long")
+    got = {r["host"]: r for r in dispersion_index(df).collect()}
+    for name, rows in (("flat", flat), ("bursty", bursty)):
+        xs = np.array([x for _, x in rows], dtype=float)
+        assert abs(got[name]["mean_r"] - round(xs.mean(), 6)) < 1e-6
+        assert abs(got[name]["var_r"] - round(xs.var(ddof=1), 6)) < 1e-5
+        want_d = xs.var(ddof=1) / xs.mean()
+        assert abs(got[name]["dispersion_r"] - want_d) < 1e-4
+    assert got["flat"]["dispersion_r"] < 1
+    assert got["bursty"]["dispersion_r"] > 10
+
+
+def test_dispersion_degenerate(spark):
+    from stock_crawler_spark.operators.estimate import dispersion_index
+
+    df = spark.createDataFrame(
+        [("z", 0), ("z", 0), ("one", 7)], "host string, x long"
+    )
+    got = {r["host"]: r for r in dispersion_index(df).collect()}
+    assert got["z"]["dispersion_r"] is None      # mean 0
+    assert got["one"]["dispersion_r"] is None    # n < 2
