@@ -2078,6 +2078,64 @@ def q239_dispersion(spark, sf):
     return dispersion_index(organic.unionByName(planted).select("host", "x"))
 
 
+def q240_bloom_join(spark, sf):
+    """Bloom-pruned exact join (operators/bloomjoin.bloom_inner_join):
+    a 1-in-37 recrawl due-list joins the corpus with the big side
+    bloom-pruned BEFORE the shuffle — per-shard blobs built and probed
+    via the seen-set cogroup machinery (no collect, no broadcast of
+    filter state), false positives removed by the exact join. The
+    bloom is an execution strategy, not a semantics change, so the
+    oracle is a PLAIN SQL JOIN — which is precisely the claim the
+    gate pins."""
+    from stock_crawler_spark.operators.bloomjoin import bloom_inner_join
+
+    docs = _t(spark, sf, "documents")
+    big = docs.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit("/d/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        "lang",
+        "n_chars",
+    )
+    small = docs.filter(F.col("doc_id") % 37 == 0).select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit("/d/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        (F.col("doc_id") % 5).cast("int").alias("priority"),
+    )
+    return bloom_inner_join(big, small, "url")
+
+
+BATCH_ROWS = 64
+
+
+def q241_length_batching(spark, sf):
+    """Length-bucketed batch packing vs arrival order (operators/
+    training.batched_padding): same 64-row batches, two orders — the
+    dynamic-batching throughput lever where padding-to-batch-max pays
+    the length variance unless like-sized docs batch together. Global
+    batch ids via the distributed global-index pattern (never one sort
+    task); exact integer padding accounting. Oracle replays both
+    orders with window row_number."""
+    from stock_crawler_spark.operators.training import batched_padding
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", F.col("n_chars").alias("n_tokens")
+    )
+    by_len = batched_padding(docs, BATCH_ROWS, by_length=True).withColumn(
+        "strategy", F.lit("length")
+    )
+    arrival = batched_padding(docs, BATCH_ROWS, by_length=False).withColumn(
+        "strategy", F.lit("arrival")
+    )
+    return by_len.unionByName(arrival).select(
+        "strategy", "batch_id", "n_docs", "max_len", "sum_tokens",
+        "padded_tokens", "waste_r",
+    )
+
+
 def _secrets_augmented_text():
     sid = F.col("doc_id")
     return F.concat(
@@ -6061,6 +6119,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q237_kleinberg_bursts": q237_kleinberg_bursts,
         "q238_chao1": q238_chao1,
         "q239_dispersion": q239_dispersion,
+        "q240_bloom_join": q240_bloom_join,
+        "q241_length_batching": q241_length_batching,
     }
 
 
@@ -11497,6 +11557,49 @@ SELECT host, n,
              / (CAST(n AS DOUBLE) - 1.0))
           / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6) END AS chi2_r
 FROM per
+""",
+        # q240: the bloom is an execution strategy — oracle is a PLAIN join
+        "q240_bloom_join": """
+WITH big AS (
+  SELECT 'https://' || source || '/d/' || CAST(doc_id AS VARCHAR) AS url,
+         lang, n_chars
+  FROM documents
+), small AS (
+  SELECT 'https://' || source || '/d/' || CAST(doc_id AS VARCHAR) AS url,
+         CAST(doc_id % 5 AS INT) AS priority
+  FROM documents WHERE doc_id % 37 = 0
+)
+SELECT big.url, big.lang, big.n_chars, small.priority
+FROM big JOIN small ON big.url = small.url
+""",
+        # q241: both batch orders via window row_number
+        "q241_length_batching": f"""
+WITH d AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS tok FROM documents
+), l AS (
+  SELECT tok,
+    (row_number() OVER (ORDER BY tok, doc_id) - 1) // {BATCH_ROWS} AS b
+  FROM d
+), a AS (
+  SELECT tok,
+    (row_number() OVER (ORDER BY doc_id) - 1) // {BATCH_ROWS} AS b
+  FROM d
+), u AS (
+  SELECT 'length' AS strategy, b, CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(max(tok) AS BIGINT) AS max_len, CAST(sum(tok) AS BIGINT)
+      AS sum_tokens
+  FROM l GROUP BY 2
+  UNION ALL
+  SELECT 'arrival' AS strategy, b, CAST(count(*) AS BIGINT),
+    CAST(max(tok) AS BIGINT), CAST(sum(tok) AS BIGINT)
+  FROM a GROUP BY 2
+)
+SELECT strategy, CAST(b AS BIGINT) AS batch_id, n_docs, max_len,
+  sum_tokens,
+  CAST(n_docs * max_len AS BIGINT) AS padded_tokens,
+  round(CAST(n_docs * max_len - sum_tokens AS DOUBLE)
+        / CAST(n_docs * max_len AS DOUBLE), 6) AS waste_r
+FROM u
 """,
         # q167: Elias gamma/delta gap costs via bin() lengths (no log2)
         "q167_adjacency_bits": f"""

@@ -1,0 +1,112 @@
+"""Bloom-filter join pruning — cut the big side's shuffle before it
+happens.
+
+The classic 100-TB join shape: a frontier/pages table joins a
+selective key set (flagged hosts, recrawl due-list, suspect urls) that
+is too big to broadcast but matches only a sliver of the big side. A
+plain shuffle join moves EVERY big-side row; runtime row-level
+filtering (Spark's own bloom pushdown) is planner-dependent. This
+operator makes the prune explicit and engine-controlled, reusing the
+seen-set machinery end to end:
+
+  1. build: per-shard NumpyBloom blobs over the small side's 60-bit
+     md5 key hashes (one applyInPandas groupBy — O(shards) blobs,
+     never a driver collect);
+  2. probe: the big side ships ONLY (shard, hash) rows through Arrow,
+     cogrouped with its shard's blob (the probe_seen_flag pattern —
+     each task deserializes one blob, filter state never leaves its
+     shard);
+  3. surviving hashes left-semi mark the big rows; the EXACT inner
+     join then runs on the pruned side — bloom false positives
+     (rate fpp) are dropped by the real join, so the result is
+     byte-identical to the unpruned join while the shuffle carries
+     ~selectivity + fpp of the big side instead of all of it.
+
+The oracle for the composed join is therefore a PLAIN SQL JOIN — the
+bloom is an execution strategy, not a semantics change, and the gate
+pins exactly that.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from stock_crawler_spark.operators.filters import NumpyBloom
+
+_BLOB_SCHEMA = "shard int, blob binary"
+_HASH_SCHEMA = StructType([StructField("_h", LongType())])
+
+
+def _h60(col):
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def bloom_prejoin(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    n_shards: int = 16,
+    fpp: float = 0.01,
+) -> DataFrame:
+    """The big side filtered to rows whose join key MIGHT appear in
+    ``small`` — a superset of the true matches (false-positive rate
+    fpp), same schema as ``big``. Compose with a real join for exact
+    results (bloom_inner_join), or use alone when a conservative
+    prefilter is the point (e.g. shipping candidates to a costlier
+    stage)."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    keys = small.select(_h60(F.col(on)).alias("_h")).distinct()
+    keys = keys.withColumn("_shard", F.pmod(F.col("_h"), F.lit(n_shards)))
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["_shard"].iloc[0])
+        f = NumpyBloom(max(len(pdf), 1), fpp=fpp)
+        f.add_many(pdf["_h"].to_numpy())
+        return pd.DataFrame({"shard": [shard], "blob": [f.to_bytes()]})
+
+    blobs = keys.groupBy("_shard").applyInPandas(_build, schema=_BLOB_SCHEMA)
+
+    big_h = big.withColumn("_h", _h60(F.col(on))).withColumn(
+        "_shard", F.pmod(F.col("_h"), F.lit(n_shards))
+    )
+
+    def _probe(cand: pd.DataFrame, filt: pd.DataFrame) -> pd.DataFrame:
+        if len(cand) == 0 or len(filt) == 0:
+            return pd.DataFrame({"_h": pd.Series([], dtype="int64")})
+        hashes = cand["_h"].to_numpy()
+        mask = np.zeros(len(hashes), dtype=bool)
+        for blob in filt["blob"]:
+            mask |= NumpyBloom.from_bytes(bytes(blob)).contains_many(hashes)
+        return cand.loc[mask, ["_h"]]
+
+    survivors = (
+        big_h.select("_shard", "_h")
+        .groupBy("_shard")
+        .cogroup(blobs.groupBy("shard"))
+        .applyInPandas(_probe, schema=_HASH_SCHEMA)
+        .distinct()
+    )
+    return (
+        big_h.join(survivors, "_h", "left_semi")
+        .drop("_h", "_shard")
+    )
+
+
+def bloom_inner_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    n_shards: int = 16,
+    fpp: float = 0.01,
+) -> DataFrame:
+    """Exact inner join of big x small on ``on``, with the big side
+    bloom-pruned first — result identical to ``big.join(small, on)``,
+    shuffle cost proportional to the match fraction (+fpp)."""
+    return bloom_prejoin(big, small, on, n_shards, fpp).join(small, on)

@@ -1147,3 +1147,87 @@ def systematic_pps_sample(
             6,
         ).alias("expect_r"),
     )
+
+
+def batched_padding(
+    docs: DataFrame,
+    batch_rows: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    by_length: bool = True,
+    n_partitions: int = 32,
+) -> DataFrame:
+    """Fixed-row batching with per-batch padding accounting:
+    (batch_id, n_docs, max_len, sum_tokens, padded_tokens, waste_r).
+
+    A training batch pads every sequence to the batch max, so batch
+    composition IS a throughput knob: length-sorted batching (the
+    standard dynamic-batching trick every serving/training stack
+    ships) puts like-sized docs together and pays near-zero padding,
+    while arrival-order batching pays the full length variance.
+    ``by_length=False`` computes exactly that baseline for the
+    comparison; padded_tokens = n_docs*max_len (the realized cost),
+    waste_r its padding fraction.
+
+    Global batch ids come from the distributed global-index pattern
+    (range shuffle + O(n_partitions) driver offsets + per-partition
+    window — pack_sequences' shape, never one sort task). Exact
+    integer arithmetic throughout.
+    """
+    if batch_rows < 1:
+        raise ValueError("batch_rows must be >= 1")
+    from pyspark.sql import Window
+
+    base = docs.select(
+        F.col(id_col).alias("_id"),
+        F.col(tokens_col).cast("long").alias("_tok"),
+    )
+    order = (
+        [F.asc("_tok"), F.asc("_id")] if by_length else [F.asc("_id")]
+    )
+    parts = _pinned_range_parts(base, n_partitions, *order)
+    totals = (
+        parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n")).collect()
+    )
+    off_rows, run = [], 0
+    for pid, cnt in sorted((r["_pid"], int(r["_n"])) for r in totals):
+        off_rows.append((pid, run))
+        run += cnt
+    spark = docs.sparkSession
+    if run == 0:
+        return spark.createDataFrame(
+            [],
+            "batch_id long, n_docs long, max_len long, sum_tokens long, "
+            "padded_tokens long, waste_r double",
+        )
+    offsets = spark.createDataFrame(off_rows, "_pid int, _off long")
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    idx = F.col("_off") + F.sum(F.lit(1)).over(w) - 1
+    batched = (
+        parts.join(F.broadcast(offsets), "_pid")
+        .withColumn("_idx", idx)
+        # integral div, not float-divide-and-cast (exact at any index)
+        .withColumn("_b", F.expr(f"_idx div {batch_rows}"))
+    )
+    per = batched.groupBy(F.col("_b").alias("batch_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.max("_tok").cast("long").alias("max_len"),
+        F.sum("_tok").cast("long").alias("sum_tokens"),
+    )
+    padded = F.col("n_docs") * F.col("max_len")
+    return per.select(
+        F.col("batch_id").cast("long").alias("batch_id"),
+        "n_docs",
+        "max_len",
+        "sum_tokens",
+        padded.cast("long").alias("padded_tokens"),
+        F.round(
+            (padded - F.col("sum_tokens")).cast("double")
+            / padded.cast("double"),
+            6,
+        ).alias("waste_r"),
+    )

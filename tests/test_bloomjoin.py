@@ -1,0 +1,58 @@
+"""Bloom join pruning (operators/bloomjoin): exact-join equality, real
+pruning power, hash-collision conservatism."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from stock_crawler_spark.operators.bloomjoin import (
+    bloom_inner_join,
+    bloom_prejoin,
+)
+
+
+def _frames(spark, n_big=2000, n_small=40):
+    big = spark.createDataFrame(
+        [(f"u{i}", i % 7) for i in range(n_big)], "url string, grp int"
+    )
+    small = spark.createDataFrame(
+        [(f"u{i * 37}", f"meta{i}") for i in range(n_small)],
+        "url string, meta string",
+    )
+    return big, small
+
+
+def test_bloom_inner_join_equals_plain_join(spark):
+    big, small = _frames(spark)
+    got = sorted(map(tuple, bloom_inner_join(big, small, "url").collect()))
+    want = sorted(map(tuple, big.join(small, "url").collect()))
+    assert got == want and len(got) > 20
+
+
+def test_prejoin_is_superset_and_prunes(spark):
+    big, small = _frames(spark)
+    pre = bloom_prejoin(big, small, "url")
+    kept = {r["url"] for r in pre.collect()}
+    matches = {r["url"] for r in big.join(small, "url").collect()}
+    assert matches <= kept                     # conservative: no false drops
+    assert len(kept) < 0.1 * big.count()       # and it actually prunes
+    # schema preserved
+    assert pre.columns == big.columns
+
+
+def test_prejoin_empty_small_side(spark):
+    big, _ = _frames(spark)
+    empty = spark.createDataFrame([], "url string, meta string")
+    assert bloom_prejoin(big, empty, "url").count() == 0
+    with pytest.raises(ValueError):
+        bloom_prejoin(big, empty, "url", n_shards=0)
+
+
+def test_bloom_join_partition_invariance(spark):
+    big, small = _frames(spark, 800, 25)
+    a = sorted(map(tuple, bloom_inner_join(
+        big.repartition(1), small, "url").collect()))
+    b = sorted(map(tuple, bloom_inner_join(
+        big.repartition(13, "grp"), small, "url", n_shards=5).collect()))
+    assert a == b

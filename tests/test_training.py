@@ -875,3 +875,65 @@ def test_pps_partition_invariance_and_validation(spark):
     assert a == b
     with _pt.raises(ValueError):
         systematic_pps_sample(df, 0)
+
+
+# --- length-bucketed batching -------------------------------------------------------
+
+
+def _batches_brute(rows, batch_rows, by_length):
+    key = (lambda r: (r[1], r[0])) if by_length else (lambda r: r[0])
+    ordered = sorted(rows, key=key)
+    out = {}
+    for i, (_, tok) in enumerate(ordered):
+        b = i // batch_rows
+        n, mx, s = out.get(b, (0, 0, 0))
+        out[b] = (n + 1, max(mx, tok), s + tok)
+    return {
+        b: (n, mx, s, n * mx, round((n * mx - s) / (n * mx), 6))
+        for b, (n, mx, s) in out.items()
+    }
+
+
+def test_batched_padding_brute_force_both_orders(spark):
+    from stock_crawler_spark.operators.training import batched_padding
+
+    rows = [(i, 10 + (i * 37) % 500) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    for by_len in (True, False):
+        got = {
+            r["batch_id"]: (r["n_docs"], r["max_len"], r["sum_tokens"],
+                            r["padded_tokens"], r["waste_r"])
+            for r in batched_padding(df, 32, by_length=by_len).collect()
+        }
+        assert got == _batches_brute(rows, 32, by_len), by_len
+
+
+def test_length_bucketing_beats_arrival_order(spark):
+    from stock_crawler_spark.operators.training import batched_padding
+
+    # interleaved short/long docs: arrival batches pay the variance
+    rows = [(i, 2000 if i % 2 else 20) for i in range(256)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+
+    def waste(by_len):
+        st = batched_padding(df, 16, by_length=by_len).collect()
+        padded = sum(r["padded_tokens"] for r in st)
+        toks = sum(r["sum_tokens"] for r in st)
+        return (padded - toks) / padded
+
+    assert waste(True) < 0.01       # like-sized batches: near-zero padding
+    assert waste(False) > 0.4       # interleaved arrival: ~half wasted
+
+
+def test_batched_padding_validation_and_invariance(spark):
+    import pytest as _pt
+    from stock_crawler_spark.operators.training import batched_padding
+
+    rows = [(i, 5 + (i * 13) % 90) for i in range(150)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    with _pt.raises(ValueError):
+        batched_padding(df, 0)
+    a = sorted(map(tuple, batched_padding(df.repartition(1), 20).collect()))
+    b = sorted(map(tuple, batched_padding(
+        df.repartition(11, "n_tokens"), 20, n_partitions=5).collect()))
+    assert a == b
