@@ -2136,6 +2136,83 @@ def q241_length_batching(spark, sf):
     )
 
 
+def q242_otsu_threshold(spark, sf):
+    """Otsu automatic threshold (operators/profile.otsu_threshold;
+    Otsu 1979) over a deliberately bimodal gate score (low mode near
+    0.15, high mode near 0.75) — the histogram split maximizing
+    between-class variance, replacing the hand-picked quality cutoff;
+    q141/q225 measure whether p means p, this picks WHERE to cut it.
+    Exact integer bin moments, bin-ascending sweep, smallest-threshold
+    tie-break; oracle replays the sweep and picks via ORDER BY var
+    DESC, t ASC."""
+    from stock_crawler_spark.operators.profile import otsu_threshold
+
+    docs = _t(spark, sf, "documents")
+    p = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.lit(0.7) + (F.col("doc_id") % 20).cast("double") / F.lit(200.0),
+    ).otherwise(
+        F.lit(0.1) + (F.col("doc_id") % 20).cast("double") / F.lit(200.0)
+    )
+    return otsu_threshold(docs.select(p.alias("p")))
+
+
+KNEE_POOL = 500
+KNEE_TOKS = 20
+KNEE_TOP = 40
+
+
+def q243_coverage_knee(spark, sf):
+    """Kneedle knee point (operators/profile.knee_point; Satopaa 2011)
+    of the top-40 cumulative token-coverage curve — "how many hot
+    terms cover the corpus", the diminishing-returns cutoff read off
+    q122's Zipf world. Curve built like zipf_fit (TakeOrdered top-K,
+    then a K-row window — driver-scale by construction); the knee is
+    max distance to the normalized chord, smallest-x tie-break.
+    Oracle replays ranking, cumsum, normalization, and the distance
+    argmax."""
+    from stock_crawler_spark.operators.profile import knee_point
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(KNEE_TOKS - 1))).alias("j"),
+    ).select(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("doc_id").cast("string"),
+                            F.lit("_"),
+                            F.col("j").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % KNEE_POOL
+        ).alias("t")
+    )
+    counts = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    top = counts.orderBy(F.desc("c"), F.asc("t")).limit(KNEE_TOP)
+    w = Window.orderBy(F.desc("c"), F.asc("t")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    curve = top.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("c"), F.asc("t")))
+        .cast("double")
+        .alias("x"),
+        F.sum("c").over(w).cast("double").alias("y"),
+    )
+    return knee_point(curve)
+
+
 def _secrets_augmented_text():
     sid = F.col("doc_id")
     return F.concat(
@@ -6121,6 +6198,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q239_dispersion": q239_dispersion,
         "q240_bloom_join": q240_bloom_join,
         "q241_length_batching": q241_length_batching,
+        "q242_otsu_threshold": q242_otsu_threshold,
+        "q243_coverage_knee": q243_coverage_knee,
     }
 
 
@@ -11600,6 +11679,82 @@ SELECT strategy, CAST(b AS BIGINT) AS batch_id, n_docs, max_len,
   round(CAST(n_docs * max_len - sum_tokens AS DOUBLE)
         / CAST(n_docs * max_len AS DOUBLE), 6) AS waste_r
 FROM u
+""",
+        # q242: bin moments + variance sweep, ORDER BY var DESC, t ASC
+        "q242_otsu_threshold": """
+WITH s AS (
+  SELECT CASE WHEN doc_id % 3 = 0
+              THEN 0.7 + CAST(doc_id % 20 AS DOUBLE) / 200.0
+              ELSE 0.1 + CAST(doc_id % 20 AS DOUBLE) / 200.0 END AS p
+  FROM documents
+), b AS (
+  SELECT least(CAST(floor(p * 64.0) AS INT), 63) AS bin,
+         CAST(count(*) AS BIGINT) AS n
+  FROM s GROUP BY 1
+), t AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_total,
+         CAST(sum(n * bin) AS BIGINT) AS s_total
+  FROM b
+), c AS (
+  SELECT bin,
+    sum(n) OVER (ORDER BY bin) AS cn,
+    sum(n * bin) OVER (ORDER BY bin) AS cs
+  FROM b
+), v AS (
+  SELECT bin + 1 AS bt,
+    CAST(cn AS DOUBLE) * CAST((SELECT n_total FROM t) - cn AS DOUBLE)
+    * (CAST(cs AS DOUBLE) / CAST(cn AS DOUBLE)
+       - CAST((SELECT s_total FROM t) - cs AS DOUBLE)
+         / CAST((SELECT n_total FROM t) - cn AS DOUBLE))
+    * (CAST(cs AS DOUBLE) / CAST(cn AS DOUBLE)
+       - CAST((SELECT s_total FROM t) - cs AS DOUBLE)
+         / CAST((SELECT n_total FROM t) - cn AS DOUBLE)) AS var
+  FROM c
+  WHERE cn > 0 AND cn < (SELECT n_total FROM t)
+)
+SELECT (SELECT n_total FROM t) AS n,
+  CAST(bt AS BIGINT) AS threshold_bin,
+  round(CAST(bt AS DOUBLE) / 64.0, 6) AS threshold_r,
+  round(var / (CAST((SELECT n_total FROM t) AS DOUBLE)
+               * CAST((SELECT n_total FROM t) AS DOUBLE)), 6)
+    AS between_var_r
+FROM v ORDER BY var DESC, bt ASC LIMIT 1
+""",
+        # q243: rank + cumsum curve, normalized chord-distance argmax
+        "q243_coverage_knee": f"""
+WITH toks AS (
+  SELECT ('0x' || substr(md5(doc_id || '_' || j), 1, 15))::BIGINT
+         % {KNEE_POOL} AS t
+  FROM (SELECT doc_id, unnest(range(0, {KNEE_TOKS})) AS j FROM documents)
+), counts AS (
+  SELECT t, count(*) AS c FROM toks GROUP BY 1
+), top AS (
+  SELECT t, c FROM counts ORDER BY c DESC, t ASC LIMIT {KNEE_TOP}
+), curve AS (
+  SELECT CAST(row_number() OVER (ORDER BY c DESC, t ASC) AS DOUBLE) AS x,
+    CAST(sum(c) OVER (ORDER BY c DESC, t ASC
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS y
+  FROM top
+), span AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_points,
+    min(x) AS x0, max(x) AS x1, min(y) AS y0, max(y) AS y1,
+    (SELECT y FROM curve ORDER BY x ASC LIMIT 1) AS fy,
+    (SELECT y FROM curve ORDER BY x DESC LIMIT 1) AS ly
+  FROM curve
+), d AS (
+  SELECT c.x, c.y,
+    abs(((s.ly - s.y0) / (s.y1 - s.y0) - (s.fy - s.y0) / (s.y1 - s.y0))
+          * ((c.x - s.x0) / (s.x1 - s.x0))
+        - (c.y - s.y0) / (s.y1 - s.y0)
+        + (s.fy - s.y0) / (s.y1 - s.y0))
+    / sqrt(((s.ly - s.y0) / (s.y1 - s.y0) - (s.fy - s.y0) / (s.y1 - s.y0))
+           * ((s.ly - s.y0) / (s.y1 - s.y0)
+              - (s.fy - s.y0) / (s.y1 - s.y0)) + 1.0) AS dist
+  FROM curve c CROSS JOIN span s
+)
+SELECT (SELECT n_points FROM span) AS n_points,
+  x AS knee_x, y AS knee_y, round(dist, 6) AS dist_r
+FROM d ORDER BY dist DESC, x ASC LIMIT 1
 """,
         # q167: Elias gamma/delta gap costs via bin() lengths (no log2)
         "q167_adjacency_bits": f"""

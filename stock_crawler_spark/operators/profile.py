@@ -1027,3 +1027,160 @@ def mad_outliers(
             ).alias("frac_out_r"),
         )
     )
+
+
+def otsu_threshold(
+    scored: DataFrame,
+    p_col: str = "p",
+    n_bins: int = 64,
+) -> DataFrame:
+    """Otsu's automatic threshold (Otsu 1979) over a [0,1) score
+    histogram: ONE row (n, threshold_bin, threshold_r,
+    between_var_r).
+
+    Where to CUT a bimodal quality/spam score is usually hand-picked;
+    Otsu picks the split maximizing between-class variance
+    w0*w1*(mu0-mu1)^2 over bin indices — the classical histogram
+    method (it runs in every image binarizer) applied to gate-score
+    distributions. Bin index is the working value, so every moment is
+    an exact integer; the candidate sweep is a cumsum over <= n_bins
+    rows folded bin-ascending (bounded array, the abtest convention).
+    Ties break toward the SMALLEST threshold (pinned). threshold_r is
+    the left edge of the first upper-class bin, bin/n_bins.
+
+    One map-side groupBy; everything after is O(n_bins).
+    """
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    p = F.col(p_col).cast("double")
+    b = F.least(
+        F.floor(p * F.lit(float(n_bins))).cast("int"), F.lit(n_bins - 1)
+    )
+    bins = scored.groupBy(b.alias("bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    packed = bins.agg(
+        F.sum("n").cast("long").alias("n_total"),
+        F.sum(F.col("n") * F.col("bin")).cast("long").alias("s_total"),
+        F.array_sort(F.collect_list(F.struct("bin", "n"))).alias("arr"),
+    )
+    # fold: carry (cum_n, cum_s, best_var, best_t); evaluate threshold
+    # t = bin+1 AFTER absorbing each bin (split = bins <= bin vs above)
+    init = F.struct(
+        F.lit(0).cast("long").alias("cn"),
+        F.lit(0).cast("long").alias("cs"),
+        F.lit(-1.0).alias("bv"),
+        F.lit(-1).alias("bt"),
+    )
+
+    def step(acc, s):
+        cn = acc["cn"] + s["n"]
+        cs = acc["cs"] + s["n"] * s["bin"].cast("long")
+        n_tot = F.col("n_total")
+        s_tot = F.col("s_total")
+        w0 = cn.cast("double")
+        w1 = (n_tot - cn).cast("double")
+        valid = (cn > 0) & (cn < n_tot)
+        mu0 = cs.cast("double") / w0
+        mu1 = (s_tot - cs).cast("double") / w1
+        var = F.when(
+            valid, w0 * w1 * (mu0 - mu1) * (mu0 - mu1)
+        ).otherwise(F.lit(-1.0))
+        better = var > acc["bv"]  # strict: ties keep the earlier split
+        return F.struct(
+            cn.alias("cn"),
+            cs.alias("cs"),
+            F.when(better, var).otherwise(acc["bv"]).alias("bv"),
+            F.when(better, s["bin"] + 1).otherwise(acc["bt"]).alias("bt"),
+        )
+
+    folded = packed.withColumn("_v", F.aggregate("arr", init, step))
+    nt = F.col("n_total").cast("double")
+    return folded.select(
+        F.col("n_total").alias("n"),
+        F.when(F.col("_v.bt") >= 0, F.col("_v.bt").cast("long")).alias(
+            "threshold_bin"
+        ),
+        F.when(
+            F.col("_v.bt") >= 0,
+            F.round(F.col("_v.bt").cast("double") / F.lit(float(n_bins)), 6),
+        ).alias("threshold_r"),
+        F.when(
+            F.col("_v.bt") >= 0,
+            F.round(F.col("_v.bv") / (nt * nt), 6),
+        ).alias("between_var_r"),
+    )
+
+
+def knee_point(
+    curve: DataFrame,
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Kneedle-style knee of a curve (Satopaa et al. 2011, the
+    max-distance-to-chord form): ONE row (n_points, knee_x, knee_y,
+    dist_r).
+
+    "How many top terms cover the corpus", "what k stops paying" —
+    diminishing-returns cutoffs read off a curve's knee: normalize x
+    and y to [0,1] over the curve's span, draw the chord from first
+    to last point, take the point farthest from it (ties -> smallest
+    x, pinned). The curve is BOUNDED input (ranks, k-sweeps — produced
+    by an upstream aggregation), so one sorted fold over the packed
+    points is the whole cost; all arithmetic is a handful of doubles
+    replayed stepwise in SQL. Degenerate spans (all x or all y equal)
+    return NULLs.
+    """
+    pts = curve.select(
+        F.col(x_col).cast("double").alias("_x"),
+        F.col(y_col).cast("double").alias("_y"),
+    )
+    packed = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.min("_x").alias("x0"),
+        F.max("_x").alias("x1"),
+        F.min("_y").alias("y0"),
+        F.max("_y").alias("y1"),
+        F.array_sort(F.collect_list(F.struct("_x", "_y"))).alias("arr"),
+    )
+    dx_raw = F.col("x1") - F.col("x0")
+    dy_raw = F.col("y1") - F.col("y0")
+    # NULL divisors instead of zero: ANSI mode raises on /0, and the
+    # degenerate-span rows are gated to NULL output anyway
+    dx = F.when(dx_raw != 0, dx_raw)
+    dy = F.when(dy_raw != 0, dy_raw)
+    # normalized chord from (0, ys) to (1, ye) where ys/ye are the
+    # normalized y at the curve's first/last x (sorted by x)
+    first = F.element_at("arr", 1)
+    last = F.element_at("arr", F.size("arr").cast("int"))
+    ys = (first["_y"] - F.col("y0")) / dy
+    ye = (last["_y"] - F.col("y0")) / dy
+    init = F.struct(
+        F.lit(-1.0).alias("bd"),
+        F.lit(None).cast("double").alias("bx"),
+        F.lit(None).cast("double").alias("by"),
+    )
+
+    def step(acc, s):
+        nx = (s["_x"] - F.col("x0")) / dx
+        ny = (s["_y"] - F.col("y0")) / dy
+        # distance from (nx, ny) to the line through (0, ys)-(1, ye):
+        # |(ye-ys)*nx - ny + ys| / sqrt((ye-ys)^2 + 1)
+        d = F.abs((ye - ys) * nx - ny + ys) / F.sqrt(
+            (ye - ys) * (ye - ys) + F.lit(1.0)
+        )
+        better = d > acc["bd"]  # strict: ties keep the smaller x
+        return F.struct(
+            F.when(better, d).otherwise(acc["bd"]).alias("bd"),
+            F.when(better, s["_x"]).otherwise(acc["bx"]).alias("bx"),
+            F.when(better, s["_y"]).otherwise(acc["by"]).alias("by"),
+        )
+
+    folded = packed.withColumn("_v", F.aggregate("arr", init, step))
+    ok = (F.col("n_points") >= 3) & (dx_raw > 0) & (dy_raw != 0)
+    return folded.select(
+        "n_points",
+        F.when(ok, F.col("_v.bx")).alias("knee_x"),
+        F.when(ok, F.col("_v.by")).alias("knee_y"),
+        F.when(ok, F.round(F.col("_v.bd"), 6)).alias("dist_r"),
+    )

@@ -481,3 +481,98 @@ def test_mad_outliers_partition_invariance(spark):
     a = sorted(map(tuple, mad_outliers(df.repartition(1)).collect()))
     b = sorted(map(tuple, mad_outliers(df.repartition(17, "x")).collect()))
     assert a == b
+
+
+# --- Otsu threshold -----------------------------------------------------------------
+
+
+def _otsu_brute(ps, n_bins=64):
+    import numpy as np
+
+    bins = np.zeros(n_bins, dtype=np.int64)
+    for p in ps:
+        bins[min(int(p * n_bins), n_bins - 1)] += 1
+    n = bins.sum()
+    s = (bins * np.arange(n_bins)).sum()
+    best_v, best_t = -1.0, -1
+    cn = cs = 0
+    for b in range(n_bins):
+        cn += bins[b]
+        cs += bins[b] * b
+        if cn == 0 or cn == n:
+            continue
+        w0, w1 = float(cn), float(n - cn)
+        mu0, mu1 = cs / w0, (s - cs) / w1
+        v = w0 * w1 * (mu0 - mu1) ** 2
+        if v > best_v:
+            best_v, best_t = v, b + 1
+    return best_t, round(best_v / (float(n) * float(n)), 6)
+
+
+def test_otsu_bimodal_split(spark):
+    from stock_crawler_spark.operators.profile import otsu_threshold
+
+    # two clear modes around 0.2 and 0.8
+    ps = [0.15 + (i % 10) / 100 for i in range(200)] + \
+         [0.75 + (i % 10) / 100 for i in range(150)]
+    df = spark.createDataFrame([(p,) for p in ps], "p double")
+    r = otsu_threshold(df).collect()[0]
+    bt, bv = _otsu_brute(ps)
+    assert (r["threshold_bin"], r["between_var_r"]) == (bt, bv)
+    # lands at/after the lower mode's right edge, before the upper mode
+    assert 0.2 < r["threshold_r"] < 0.7
+    assert r["n"] == 350
+
+
+def test_otsu_degenerate_single_bin(spark):
+    from stock_crawler_spark.operators.profile import otsu_threshold
+
+    df = spark.createDataFrame([(0.5,)] * 10, "p double")
+    r = otsu_threshold(df).collect()[0]
+    assert r["threshold_bin"] is None and r["between_var_r"] is None
+
+
+def test_otsu_partition_invariance(spark):
+    from stock_crawler_spark.operators.profile import otsu_threshold
+
+    ps = [((i * 37) % 100 + 0.5) / 100 for i in range(300)]
+    df = spark.createDataFrame([(p,) for p in ps], "p double")
+    a = tuple(otsu_threshold(df.repartition(1)).collect()[0])
+    b = tuple(otsu_threshold(df.repartition(13)).collect()[0])
+    assert a == b
+
+
+# --- knee point ---------------------------------------------------------------------
+
+
+def test_knee_point_elbow_curve(spark):
+    from stock_crawler_spark.operators.profile import knee_point
+
+    # sharp diminishing-returns curve: y = 1 - 2^-x, knee early
+    pts = [(float(x), 1.0 - 2.0 ** (-x)) for x in range(0, 11)]
+    df = spark.createDataFrame(pts, "x double, y double")
+    r = knee_point(df).collect()[0]
+    assert r["n_points"] == 11
+    assert 1.0 <= r["knee_x"] <= 3.0  # knee sits in the early bend
+    assert r["dist_r"] > 0.2
+
+
+def test_knee_point_straight_line_and_degenerate(spark):
+    from stock_crawler_spark.operators.profile import knee_point
+
+    line = [(float(x), 2.0 * x) for x in range(6)]
+    r = knee_point(spark.createDataFrame(line, "x double, y double")).collect()[0]
+    assert r["dist_r"] is not None and r["dist_r"] < 1e-9  # no knee on a line
+    flat = [(float(x), 3.0) for x in range(6)]
+    r2 = knee_point(spark.createDataFrame(flat, "x double, y double")).collect()[0]
+    assert r2["knee_x"] is None  # zero y-span -> NULLs
+
+
+def test_knee_point_partition_invariance(spark):
+    from stock_crawler_spark.operators.profile import knee_point
+
+    pts = [(float(x), float((x * x) % 97)) for x in range(40)]
+    df = spark.createDataFrame(pts, "x double, y double")
+    a = tuple(knee_point(df.repartition(1)).collect()[0])
+    b = tuple(knee_point(df.repartition(7, "y")).collect()[0])
+    assert a == b
