@@ -2213,6 +2213,30 @@ def q243_coverage_knee(spark, sf):
     return knee_point(curve)
 
 
+def q244_classification_report(spark, sf):
+    """Multi-class precision/recall/F1 table (functions/classifier.
+    classification_report) for a lang-id gate with planted confusions:
+    1-in-7 docs predicted as a phantom class 'xx' (never true: NULL
+    recall on it, precision 0), 1-in-11 confused into 'en'. Per-class
+    rows plus micro (=accuracy) and NULL-skipping macro rows — the
+    WHICH-class-is-failing companion to q172's AUC and q149's kappa.
+    One (true, pred)-cell groupBy; macro folds label-sorted over the
+    ROUNDED per-class values (pinned). Oracle replays cells, joins,
+    and both aggregate rows."""
+    from stock_crawler_spark.functions.classifier import classification_report
+
+    docs = _t(spark, sf, "documents")
+    pred = (
+        F.when(F.col("doc_id") % 7 == 0, F.lit("xx"))
+        .when(F.col("doc_id") % 11 == 0, F.lit("en"))
+        .otherwise(F.col("lang"))
+    )
+    pairs = docs.select(
+        F.col("lang").alias("y_true"), pred.alias("y_pred")
+    )
+    return classification_report(pairs)
+
+
 def _secrets_augmented_text():
     sid = F.col("doc_id")
     return F.concat(
@@ -6200,6 +6224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q241_length_batching": q241_length_batching,
         "q242_otsu_threshold": q242_otsu_threshold,
         "q243_coverage_knee": q243_coverage_knee,
+        "q244_classification_report": q244_classification_report,
     }
 
 
@@ -11755,6 +11780,73 @@ WITH toks AS (
 SELECT (SELECT n_points FROM span) AS n_points,
   x AS knee_x, y AS knee_y, round(dist, 6) AS dist_r
 FROM d ORDER BY dist DESC, x ASC LIMIT 1
+""",
+        # q244: confusion cells + per-class ratios + micro/macro rows
+        "q244_classification_report": """
+WITH pairs AS (
+  SELECT lang AS yt,
+    CASE WHEN doc_id % 7 = 0 THEN 'xx'
+         WHEN doc_id % 11 = 0 THEN 'en'
+         ELSE lang END AS yp
+  FROM documents
+), cells AS (
+  SELECT yt, yp, CAST(count(*) AS BIGINT) AS n FROM pairs GROUP BY 1, 2
+), bt AS (
+  SELECT yt AS label, CAST(sum(n) AS BIGINT) AS n_true
+  FROM cells GROUP BY 1
+), bp AS (
+  SELECT yp AS label, CAST(sum(n) AS BIGINT) AS n_pred
+  FROM cells GROUP BY 1
+), tp AS (
+  SELECT yt AS label, n AS tp FROM cells WHERE yt = yp
+), per AS (
+  SELECT coalesce(bt.label, bp.label) AS label,
+    coalesce(bt.n_true, 0) AS n_true,
+    coalesce(bp.n_pred, 0) AS n_pred,
+    CAST(coalesce(tp.tp, 0) AS BIGINT) AS tp
+  FROM bt FULL JOIN bp ON bt.label = bp.label
+  LEFT JOIN tp ON tp.label = coalesce(bt.label, bp.label)
+), scored AS (
+  SELECT label, n_true, n_pred, tp,
+    CASE WHEN n_pred > 0 THEN
+      round(CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE), 6) END AS p,
+    CASE WHEN n_true > 0 THEN
+      round(CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE), 6) END AS r,
+    CASE WHEN n_pred > 0 AND n_true > 0
+              AND CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE)
+                  + CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE) > 0 THEN
+      round(2.0 * (CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE))
+            * (CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE))
+            / ((CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE))
+               + (CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE))), 6)
+    END AS f
+  FROM per
+), tot AS (
+  SELECT CAST(sum(n_true) AS BIGINT) AS n_true,
+    CAST(sum(n_pred) AS BIGINT) AS n_pred,
+    CAST(sum(tp) AS BIGINT) AS tp,
+    round(list_aggregate(list(p ORDER BY label) FILTER (WHERE p IS NOT NULL),
+                         'sum')
+          / count(p), 6) AS mp,
+    round(list_aggregate(list(r ORDER BY label) FILTER (WHERE r IS NOT NULL),
+                         'sum')
+          / count(r), 6) AS mr,
+    round(list_aggregate(list(f ORDER BY label) FILTER (WHERE f IS NOT NULL),
+                         'sum')
+          / count(f), 6) AS mf
+  FROM scored
+)
+SELECT label, n_true, n_pred, tp, p AS precision_r, r AS recall_r,
+       f AS f1_r
+FROM scored
+UNION ALL
+SELECT 'micro', n_true, n_pred, tp,
+  round(CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE), 6),
+  round(CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE), 6),
+  round(CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE), 6)
+FROM tot
+UNION ALL
+SELECT 'macro', n_true, n_pred, tp, mp, mr, mf FROM tot
 """,
         # q167: Elias gamma/delta gap costs via bin() lengths (no log2)
         "q167_adjacency_bits": f"""

@@ -712,3 +712,122 @@ def average_precision(
             ),
         ).alias("ap_r"),
     )
+
+
+def classification_report(
+    pairs: DataFrame,
+    true_col: str = "y_true",
+    pred_col: str = "y_pred",
+) -> DataFrame:
+    """Multi-class precision/recall/F1 table — per-class rows plus
+    'micro' and 'macro' aggregate rows:
+    (label, n_true, n_pred, tp, precision_r, recall_r, f1_r).
+
+    The standard eval table for the lang-id / quality / spam gates
+    beside the threshold-free metrics (q172 AUC, q228 AP) and the
+    agreement ones (q149 kappa): per-class rows show WHICH language
+    or verdict is failing, macro weights classes equally (small-class
+    failures surface), micro equals accuracy in single-label
+    classification. Per-class NULL precision when the class is never
+    predicted, NULL recall when it never occurs; macro averages over
+    classes with a defined value (the scikit-learn zero_division
+    caveat made explicit as NULL-skipping); F1 NULL unless both parts
+    are defined and nonzero-summed.
+
+    ONE map-side groupBy over (true, pred) cells — bounded by the
+    label-set square, never corpus-scale state — then label-sorted
+    folds for the macro means. Exact longs until the final ratios.
+    """
+    cells = pairs.groupBy(
+        F.col(true_col).cast("string").alias("_t"),
+        F.col(pred_col).cast("string").alias("_p"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    by_true = cells.groupBy(F.col("_t").alias("label")).agg(
+        F.sum("n").cast("long").alias("n_true")
+    )
+    by_pred = cells.groupBy(F.col("_p").alias("label")).agg(
+        F.sum("n").cast("long").alias("n_pred")
+    )
+    tp = cells.filter(F.col("_t") == F.col("_p")).select(
+        F.col("_t").alias("label"), F.col("n").alias("tp")
+    )
+    per = (
+        by_true.join(by_pred, "label", "full")
+        .join(tp, "label", "left")
+        .select(
+            "label",
+            F.coalesce("n_true", F.lit(0)).cast("long").alias("n_true"),
+            F.coalesce("n_pred", F.lit(0)).cast("long").alias("n_pred"),
+            F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+        )
+    )
+    prec = F.when(
+        F.col("n_pred") > 0,
+        F.col("tp").cast("double") / F.col("n_pred").cast("double"),
+    )
+    rec = F.when(
+        F.col("n_true") > 0,
+        F.col("tp").cast("double") / F.col("n_true").cast("double"),
+    )
+    f1 = F.when(
+        prec.isNotNull() & rec.isNotNull() & (prec + rec > 0),
+        F.lit(2.0) * prec * rec / (prec + rec),
+    )
+    per_out = per.select(
+        "label",
+        "n_true",
+        "n_pred",
+        "tp",
+        F.round(prec, 6).alias("precision_r"),
+        F.round(rec, 6).alias("recall_r"),
+        F.round(f1, 6).alias("f1_r"),
+    )
+
+    def _macro_mean(col):
+        # label-sorted fold over defined values only (NULL-skipping)
+        return F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col(col).isNotNull(),
+                        F.struct(F.col("label"), F.col(col).alias("v")),
+                    )
+                )
+            ),
+            F.struct(F.lit(0.0).alias("s"), F.lit(0).alias("k")),
+            lambda acc, x: F.struct(
+                (acc["s"] + x["v"]).alias("s"), (acc["k"] + 1).alias("k")
+            ),
+            lambda acc: F.when(
+                acc["k"] > 0, acc["s"] / acc["k"].cast("double")
+            ),
+        )
+
+    totals = per_out.agg(
+        F.sum("n_true").cast("long").alias("n_true"),
+        F.sum("n_pred").cast("long").alias("n_pred"),
+        F.sum("tp").cast("long").alias("tp"),
+        _macro_mean("precision_r").alias("_mp"),
+        _macro_mean("recall_r").alias("_mr"),
+        _macro_mean("f1_r").alias("_mf"),
+    )
+    micro = F.col("tp").cast("double") / F.col("n_pred").cast("double")
+    micro_row = totals.select(
+        F.lit("micro").alias("label"),
+        "n_true",
+        "n_pred",
+        "tp",
+        F.round(micro, 6).alias("precision_r"),
+        F.round(micro, 6).alias("recall_r"),
+        F.round(micro, 6).alias("f1_r"),
+    )
+    macro_row = totals.select(
+        F.lit("macro").alias("label"),
+        "n_true",
+        "n_pred",
+        "tp",
+        F.round(F.col("_mp"), 6).alias("precision_r"),
+        F.round(F.col("_mr"), 6).alias("recall_r"),
+        F.round(F.col("_mf"), 6).alias("f1_r"),
+    )
+    return per_out.unionByName(micro_row).unionByName(macro_row)

@@ -333,3 +333,48 @@ def test_average_precision_partition_invariance(spark):
     a = tuple(average_precision(df.repartition(1)).collect()[0])
     b = tuple(average_precision(df.repartition(13, "label"), n_partitions=7).collect()[0])
     assert a == b
+
+
+# --- classification report ----------------------------------------------------------
+
+
+def test_classification_report_sklearn_style(spark):
+    from stock_crawler_spark.functions.classifier import classification_report
+
+    pairs = [
+        ("en", "en"), ("en", "en"), ("en", "fr"),
+        ("fr", "fr"), ("fr", "en"), ("fr", "fr"), ("fr", "fr"),
+        ("de", "en"),                   # de never predicted correctly
+    ]
+    df = spark.createDataFrame(pairs, "y_true string, y_pred string")
+    rows = {r["label"]: r for r in classification_report(df).collect()}
+    en = rows["en"]
+    assert (en["n_true"], en["n_pred"], en["tp"]) == (3, 4, 2)
+    assert en["precision_r"] == 0.5 and en["recall_r"] == round(2 / 3, 6)
+    de = rows["de"]
+    assert de["n_pred"] == 0 and de["precision_r"] is None
+    assert de["recall_r"] == 0.0 and de["f1_r"] is None
+    micro = rows["micro"]
+    assert micro["precision_r"] == round(5 / 8, 6)  # accuracy
+    # macro skips undefined values (de precision NULL) per docstring
+    fr = rows["fr"]
+    want_mp = round(round((en["precision_r"] + fr["precision_r"]) / 2, 6), 6)
+    assert abs(rows["macro"]["precision_r"] - (en["precision_r"] + fr["precision_r"]) / 2) < 1e-6
+    assert abs(rows["macro"]["recall_r"] - (en["recall_r"] + fr["recall_r"] + 0.0) / 3) < 1e-6
+
+
+def test_classification_report_perfect_and_invariance(spark):
+    from stock_crawler_spark.functions.classifier import classification_report
+
+    pairs = [("a", "a")] * 5 + [("b", "b")] * 3
+    df = spark.createDataFrame(pairs, "y_true string, y_pred string")
+    rows = {r["label"]: r for r in classification_report(df).collect()}
+    assert all(rows[k]["f1_r"] == 1.0 for k in ("a", "b", "micro", "macro"))
+
+    big = spark.createDataFrame(
+        [("c%d" % (i % 4), "c%d" % ((i * 7) % 4)) for i in range(200)],
+        "y_true string, y_pred string",
+    )
+    a = sorted(map(tuple, classification_report(big.repartition(1)).collect()))
+    b = sorted(map(tuple, classification_report(big.repartition(13, "y_pred")).collect()))
+    assert a == b
