@@ -2237,6 +2237,35 @@ def q244_classification_report(spark, sf):
     return classification_report(pairs)
 
 
+ERL_SPAN = 3600.0
+ERL_MU = 0.5
+ERL_TARGET = 0.5
+ERL_CMAX = 32
+
+
+def q245_erlang_sizing(spark, sf):
+    """Erlang-C fetcher sizing (operators/budget.erlang_c_sizing;
+    M/M/c wait formula): per-host arrival rates from the event log ->
+    the smallest worker count whose expected queue wait meets a 0.5 s
+    SLA at mu = 0.5 fetch/s — the steady-state companion to q193's
+    makespan lower bound, with q239's dispersion index saying when
+    the Poisson premise itself fails. Incremental factorial-series
+    fold (no overflow), identical in both engines (F.aggregate vs
+    list_reduce); infeasible hosts report NULL c_star with the c_max
+    numbers. Oracle replays candidates, fold, and the min-c pick."""
+    from stock_crawler_spark.operators.budget import erlang_c_sizing
+
+    ev = _t(spark, sf, "events")
+    arr = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 15).cast("string")).alias(
+            "host"
+        )
+    )
+    return erlang_c_sizing(
+        arr, ERL_SPAN, ERL_MU, ERL_TARGET, c_max=ERL_CMAX
+    )
+
+
 def _secrets_augmented_text():
     sid = F.col("doc_id")
     return F.concat(
@@ -6225,6 +6254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q242_otsu_threshold": q242_otsu_threshold,
         "q243_coverage_knee": q243_coverage_knee,
         "q244_classification_report": q244_classification_report,
+        "q245_erlang_sizing": q245_erlang_sizing,
     }
 
 
@@ -11847,6 +11877,58 @@ SELECT 'micro', n_true, n_pred, tp,
 FROM tot
 UNION ALL
 SELECT 'macro', n_true, n_pred, tp, mp, mr, mf FROM tot
+""",
+        # q245: incremental factorial fold via list_reduce + min-c pick
+        "q245_erlang_sizing": f"""
+WITH per AS (
+  SELECT 'h' || CAST(user_id % 15 AS VARCHAR) AS host,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+), cand AS (
+  SELECT host, n, CAST(n AS DOUBLE) / {ERL_SPAN} AS lam,
+         CAST(n AS DOUBLE) / {ERL_SPAN} / {ERL_MU} AS a,
+         unnest(range(1, {ERL_CMAX + 1})) AS c
+  FROM per
+), f AS (
+  SELECT host, n, lam, a, c,
+    CASE WHEN c > 1 THEN
+      list_reduce(
+        list_prepend(
+          {{'t': CAST(1.0 AS DOUBLE), 's': CAST(1.0 AS DOUBLE)}},
+          list_transform(range(1, c),
+            k -> {{'t': CAST(k AS DOUBLE), 's': CAST(0.0 AS DOUBLE)}})),
+        (acc, b) -> {{'t': acc.t * a / b.t, 's': acc.s + acc.t * a / b.t}})
+    ELSE {{'t': CAST(1.0 AS DOUBLE), 's': CAST(1.0 AS DOUBLE)}} END AS fd
+  FROM cand
+), sc AS (
+  SELECT host, n, lam, a, c,
+    fd.t * a / CAST(c AS DOUBLE) AS term_c,
+    a / CAST(c AS DOUBLE) AS rho,
+    fd.s AS s
+  FROM f
+), vals AS (
+  SELECT host, n, lam, a, c,
+    CASE WHEN CAST(c AS DOUBLE) > a THEN
+      term_c / ((1.0 - rho) * s + term_c) END AS erl,
+    CASE WHEN CAST(c AS DOUBLE) > a THEN
+      (term_c / ((1.0 - rho) * s + term_c))
+      / (CAST(c AS DOUBLE) * {ERL_MU} - lam) END AS wq
+  FROM sc
+), best AS (
+  SELECT host, min(c) AS c_star FROM vals
+  WHERE wq IS NOT NULL AND wq <= {ERL_TARGET} GROUP BY 1
+), fb AS (
+  SELECT host, n, lam, a, erl AS erl_max, wq AS wq_max
+  FROM vals WHERE c = {ERL_CMAX}
+)
+SELECT fb.host, fb.n AS n_arrivals,
+  round(fb.lam, 6) AS lambda_r, round(fb.a, 6) AS a_r,
+  CAST(best.c_star AS BIGINT) AS c_star,
+  round(coalesce(v.erl, fb.erl_max), 6) AS erlang_c_r,
+  round(coalesce(v.wq, fb.wq_max), 6) AS wq_r
+FROM fb
+LEFT JOIN best ON best.host = fb.host
+LEFT JOIN vals v ON v.host = fb.host AND v.c = best.c_star
 """,
         # q167: Elias gamma/delta gap costs via bin() lengths (no log2)
         "q167_adjacency_bits": f"""

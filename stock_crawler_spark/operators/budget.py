@@ -277,3 +277,99 @@ def crawl_makespan_bound(
         F.greatest(fleet, pol).alias("rounds_lower"),
         (pol > fleet).alias("politeness_bound_binds"),
     )
+
+
+def erlang_c_sizing(
+    arrivals: DataFrame,
+    span_sec: float,
+    mu_per_sec: float,
+    wq_target_sec: float,
+    c_max: int = 32,
+    key_col: str = "host",
+) -> DataFrame:
+    """Fetcher-pool sizing per key via the Erlang C queue (M/M/c wait
+    formula, Erlang 1917): (key, n_arrivals, lambda_r, a_r, c_star,
+    erlang_c_r, wq_r).
+
+    crawl_makespan_bound answers "how many ROUNDS at least";
+    dispersion_index says whether Poisson arrivals are even plausible;
+    this computes the STEADY-STATE promise: the smallest worker count
+    c whose expected queue wait Wq meets the SLA, given arrival rate
+    lambda (observed count / span) and service rate mu:
+
+        a = lambda/mu,  rho = a/c              (offered load)
+        ErlC = (a^c/c!) / ((1-rho) * sum_{k<c} a^k/k! + a^c/c!)
+        Wq = ErlC / (c*mu - lambda)
+
+    The factorial series folds INCREMENTALLY (t_k = t_{k-1}*a/k — no
+    factorial overflow) in ascending-k order over a bounded c_max
+    candidate fan-out per key; both engines run the identical fold
+    (DuckDB list_reduce / Spark F.aggregate), so the doubles agree.
+    c_star is the smallest stable (c > a) candidate meeting the
+    target; keys whose SLA no candidate meets report NULL c_star with
+    the c_max row's numbers (the "buy more fleet" signal). Rows with
+    zero arrivals report c_star = 1, Wq = 0.
+    """
+    if c_max < 1 or span_sec <= 0 or mu_per_sec <= 0:
+        raise ValueError("c_max, span_sec, mu_per_sec must be positive")
+    per = arrivals.groupBy(F.col(key_col).alias("_k")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_arrivals")
+    )
+    lam = F.col("n_arrivals").cast("double") / F.lit(float(span_sec))
+    a = lam / F.lit(float(mu_per_sec))
+    cand = per.withColumn("_lam", lam).withColumn("_a", a).withColumn(
+        "c", F.explode(F.sequence(F.lit(1), F.lit(int(c_max))))
+    )
+    ks = F.when(
+        F.col("c") > 1,
+        F.transform(
+            F.sequence(F.lit(1), F.col("c") - 1),
+            lambda k: k.cast("double"),
+        ),
+    ).otherwise(F.array().cast("array<double>"))
+    folded = F.aggregate(
+        ks,
+        F.struct(F.lit(1.0).alias("t"), F.lit(1.0).alias("s")),
+        lambda acc, k: F.struct(
+            (acc["t"] * F.col("_a") / k).alias("t"),
+            (acc["s"] + acc["t"] * F.col("_a") / k).alias("s"),
+        ),
+    )
+    cand = cand.withColumn("_f", folded)
+    term_c = F.col("_f.t") * F.col("_a") / F.col("c").cast("double")
+    rho = F.col("_a") / F.col("c").cast("double")
+    erl = term_c / ((F.lit(1.0) - rho) * F.col("_f.s") + term_c)
+    wq = erl / (
+        F.col("c").cast("double") * F.lit(float(mu_per_sec)) - F.col("_lam")
+    )
+    stable = F.col("c").cast("double") > F.col("_a")
+    cand = cand.withColumn(
+        "_erl", F.when(stable, erl)
+    ).withColumn("_wq", F.when(stable, wq))
+    ok = cand.filter(
+        F.col("_wq").isNotNull() & (F.col("_wq") <= F.lit(float(wq_target_sec)))
+    )
+    best = ok.groupBy("_k").agg(F.min("c").alias("c_star"))
+    fallback = cand.filter(F.col("c") == c_max).select(
+        "_k", "n_arrivals", "_lam", "_a",
+        F.col("_erl").alias("_erl_max"), F.col("_wq").alias("_wq_max"),
+    )
+    chosen = (
+        fallback.join(best, "_k", "left")
+        .join(
+            cand.select("_k", F.col("c").alias("c_star"), "_erl", "_wq"),
+            ["_k", "c_star"],
+            "left",
+        )
+    )
+    return chosen.select(
+        F.col("_k").alias(key_col),
+        "n_arrivals",
+        F.round("_lam", 6).alias("lambda_r"),
+        F.round("_a", 6).alias("a_r"),
+        F.col("c_star").cast("long").alias("c_star"),
+        F.round(F.coalesce(F.col("_erl"), F.col("_erl_max")), 6).alias(
+            "erlang_c_r"
+        ),
+        F.round(F.coalesce(F.col("_wq"), F.col("_wq_max")), 6).alias("wq_r"),
+    )

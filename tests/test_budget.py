@@ -156,3 +156,68 @@ def test_makespan_validates_params(spark):
     counts = spark.createDataFrame([("a", 1)], "host string, n_pending int")
     with pytest.raises(ValueError):
         crawl_makespan_bound(counts, 0, 5)
+
+
+# --- Erlang C sizing ----------------------------------------------------------------
+
+
+def _erlang_py(lam, mu, c):
+    a = lam / mu
+    t = s = 1.0
+    for k in range(1, c):
+        t = t * a / k
+        s = s + t
+    term_c = t * a / c
+    rho = a / c
+    erl = term_c / ((1.0 - rho) * s + term_c)
+    return erl, erl / (c * mu - lam)
+
+
+def test_erlang_c_matches_closed_form(spark):
+    from stock_crawler_spark.operators.budget import erlang_c_sizing
+
+    # host A: 720 arrivals/3600s = 0.2/s; mu=0.5/s -> a=0.4
+    rows = [("a",)] * 720 + [("b",)] * 7000  # b: lambda ~1.944, a ~3.9
+    df = spark.createDataFrame(rows, "host string")
+    got = {r["host"]: r for r in
+           erlang_c_sizing(df, 3600.0, 0.5, 0.5, c_max=16).collect()}
+    for h, lam in (("a", 0.2), ("b", 7000 / 3600)):
+        want_c = None
+        for c in range(1, 17):
+            if c <= lam / 0.5:
+                continue
+            erl, wq = _erlang_py(lam, 0.5, c)
+            if wq <= 0.5:
+                want_c = c
+                break
+        r = got[h]
+        assert r["c_star"] == want_c, h
+        erl, wq = _erlang_py(lam, 0.5, want_c)
+        assert r["erlang_c_r"] == round(erl, 6) and r["wq_r"] == round(wq, 6)
+    # more load -> more workers
+    assert got["b"]["c_star"] > got["a"]["c_star"]
+
+
+def test_erlang_c_infeasible_and_validation(spark):
+    import pytest as _pt
+    from stock_crawler_spark.operators.budget import erlang_c_sizing
+
+    # lambda far beyond c_max * mu: no stable candidate
+    rows = [("hot",)] * 100000
+    df = spark.createDataFrame(rows, "host string")
+    r = erlang_c_sizing(df, 100.0, 0.5, 1.0, c_max=8).collect()[0]
+    assert r["c_star"] is None and r["erlang_c_r"] is None
+    with _pt.raises(ValueError):
+        erlang_c_sizing(df, 0.0, 0.5, 1.0)
+
+
+def test_erlang_c_partition_invariance(spark):
+    from stock_crawler_spark.operators.budget import erlang_c_sizing
+
+    rows = [("h%d" % (i % 6),) for i in range(5000)]
+    df = spark.createDataFrame(rows, "host string")
+    a = sorted(map(tuple, erlang_c_sizing(
+        df.repartition(1), 3600.0, 0.3, 0.8).collect()))
+    b = sorted(map(tuple, erlang_c_sizing(
+        df.repartition(13), 3600.0, 0.3, 0.8).collect()))
+    assert a == b
