@@ -2266,6 +2266,24 @@ def q245_erlang_sizing(spark, sf):
     )
 
 
+def q246_bbit_minhash(spark, sf):
+    """b-bit minwise estimates (operators/dedup.bbit_minhash_pairs;
+    Li & König WWW 2010) over the q31 LSH-verified pair set: per pair
+    the exact Jaccard, the full-slot match fraction, the low-2-bit
+    match fraction, and the corrected estimate — the 32x sketch-
+    storage cut for signatures that live beside every doc forever
+    (recrawl change detection, cross-snapshot probes). Same LSH
+    machinery untouched; slot folds are bounded k-slot zips. Oracle
+    extends the q31 SQL chain with per-slot comparisons and the
+    correction."""
+    from stock_crawler_spark.operators.dedup import bbit_minhash_pairs
+
+    docs = _t(spark, sf, "documents")
+    return bbit_minhash_pairs(
+        docs, b=2, k=LSH_K, bands=LSH_BANDS, threshold=0.3
+    )
+
+
 def _secrets_augmented_text():
     sid = F.col("doc_id")
     return F.concat(
@@ -6255,6 +6273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q243_coverage_knee": q243_coverage_knee,
         "q244_classification_report": q244_classification_report,
         "q245_erlang_sizing": q245_erlang_sizing,
+        "q246_bbit_minhash": q246_bbit_minhash,
     }
 
 
@@ -6581,6 +6600,78 @@ WITH toks AS (
 )
 SELECT p.doc_a, p.doc_b, p.jaccard
 FROM pairs p JOIN cands c ON p.doc_a = c.doc_a AND p.doc_b = c.doc_b
+"""
+
+
+def _bbit_oracle() -> str:
+    """q246: the q31 LSH chain verbatim, plus per-pair slot
+    comparisons over the mh columns — full-slot equality and low-2-bit
+    equality — and the Li-König correction."""
+    rows_per_band = LSH_K // LSH_BANDS
+    band_selects = " UNION ALL ".join(
+        "SELECT doc, {b} AS band_idx, md5({key}) AS band_key FROM sig".format(
+            b=b,
+            key=" || ',' || ".join(
+                f"mh{i}::VARCHAR" for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+            ),
+        )
+        for b in range(LSH_BANDS)
+    )
+    perms = dedup._perm_constants(LSH_K)
+    mins = ",\n    ".join(
+        f"min(({a} * (h % {_P}) + {b}) % {_P}) AS mh{i}" for i, (a, b) in enumerate(perms)
+    )
+    full_sum = " + ".join(
+        f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END"
+        for i in range(LSH_K)
+    )
+    low_sum = " + ".join(
+        f"CASE WHEN (sa.mh{i} & 3) = (sb.mh{i} & 3) THEN 1 ELSE 0 END"
+        for i in range(LSH_K)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    generate_series(1, greatest(len(t) - 2, 0)),
+    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+  FROM toks
+), h AS (
+  SELECT doc_id AS doc, {_H60} AS h FROM sh
+), sig AS (
+  SELECT doc, {mins} FROM h GROUP BY doc
+), bands AS (
+  {band_selects}
+), cands AS (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc < b.doc
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT doc_a, doc_b,
+         CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.3
+), verified AS (
+  SELECT p.doc_a, p.doc_b, p.jaccard
+  FROM pairs p JOIN cands c ON p.doc_a = c.doc_a AND p.doc_b = c.doc_b
+)
+SELECT v.doc_a, v.doc_b, round(v.jaccard, 6) AS jaccard_r,
+  round(CAST({full_sum} AS DOUBLE) / {float(LSH_K)!r}, 6) AS p_full_r,
+  round(CAST({low_sum} AS DOUBLE) / {float(LSH_K)!r}, 6) AS p_bbit_r,
+  round((CAST({low_sum} AS DOUBLE) / {float(LSH_K)!r} - 0.25) / 0.75, 6)
+    AS j_bbit_r
+FROM verified v
+JOIN sig sa ON sa.doc = v.doc_a
+JOIN sig sb ON sb.doc = v.doc_b
 """
 
 
@@ -8597,6 +8688,7 @@ FROM events e ASOF LEFT JOIN err
 SELECT doc_id FROM documents WHERE doc_id % 3 != 0 OR doc_id % 6 = 0
 """,
         "q31_minhash_lsh": _lsh_oracle(),
+        "q246_bbit_minhash": _bbit_oracle(),
         "q69_incremental_lsh": _incr_lsh_oracle(),
         "q45_link_extract": """
 SELECT doc_id, 'https://www.' || source || '.com/p/' || CAST(doc_id AS VARCHAR) AS link

@@ -741,3 +741,79 @@ def lsh_plan(
         if best is None or cost < best[0]:
             best = (cost, b, r)
     return best[1], best[2]
+
+
+def bbit_minhash_pairs(
+    docs: DataFrame, b: int = 2, k: int = 32, bands: int = 8, n: int = 3,
+    threshold: float = 0.5, id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """b-bit minwise estimates for the LSH-verified pairs (Li & König
+    WWW 2010): (doc_a, doc_b, jaccard_r, p_full_r, p_bbit_r,
+    j_bbit_r).
+
+    Storing full 61-bit minhash slots costs 8 bytes/slot; Li-König's
+    result is that keeping only the low b bits loses LITTLE resolution
+    at high similarity: a slot collides when the mins agree (prob J)
+    or by low-bit accident (prob ~2^-b for disagreeing mins), so
+
+        E[p_bbit] = J + (1 - J) * 2^-b
+        J_hat     = (p_bbit - 2^-b) / (1 - 2^-b)
+
+    — a 32x storage cut at b=2 for sketches whose whole point is to
+    be carried beside every doc forever (recrawl change detection,
+    cross-snapshot candidate probes). The gate rides the SAME q31
+    pair set and reports, per verified pair, the exact Jaccard, the
+    full-slot match fraction, the b-bit match fraction, and the
+    corrected estimate — the telescope from 8-byte to b-bit sketches
+    in one table. Slot comparisons fold slot-ascending over the k-slot
+    zip (bounded arrays); everything else is the q31 machinery
+    untouched.
+    """
+    if not 1 <= b <= 16:
+        raise ValueError("b must be in [1, 16]")
+    pairs = minhash_lsh_pairs(
+        docs, k=k, bands=bands, n=n, threshold=threshold,
+        id_col=id_col, text_col=text_col,
+    )
+    sig = minhash_signatures(docs, k=k, n=n, id_col=id_col, text_col=text_col)
+    sa = sig.select(F.col("doc").alias("doc_a"), F.col("sig").alias("_sa"))
+    sb = sig.select(F.col("doc").alias("doc_b"), F.col("sig").alias("_sb"))
+    mask = (1 << b) - 1
+    matches = F.zip_with(
+        "_sa", "_sb",
+        lambda x, y: F.struct(
+            (x == y).cast("int").alias("full"),
+            (x.bitwiseAND(F.lit(mask)) == y.bitwiseAND(F.lit(mask)))
+            .cast("int")
+            .alias("low"),
+        ),
+    )
+    counted = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "_m",
+            F.aggregate(
+                matches,
+                F.struct(F.lit(0).alias("f"), F.lit(0).alias("l")),
+                lambda acc, s: F.struct(
+                    (acc["f"] + s["full"]).alias("f"),
+                    (acc["l"] + s["low"]).alias("l"),
+                ),
+            ),
+        )
+    )
+    r = 1.0 / float(1 << b)
+    p_bbit = F.col("_m.l").cast("double") / F.lit(float(k))
+    return counted.select(
+        "doc_a",
+        "doc_b",
+        F.round("jaccard", 6).alias("jaccard_r"),
+        F.round(F.col("_m.f").cast("double") / F.lit(float(k)), 6).alias(
+            "p_full_r"
+        ),
+        F.round(p_bbit, 6).alias("p_bbit_r"),
+        F.round(
+            (p_bbit - F.lit(r)) / F.lit(1.0 - r), 6
+        ).alias("j_bbit_r"),
+    )

@@ -526,3 +526,43 @@ def test_lsh_plan_validates():
 
     with pytest.raises(ValueError):
         lsh_plan(1.5, 64)
+
+
+# --- b-bit minhash ------------------------------------------------------------------
+
+
+def test_bbit_minhash_estimates(spark):
+    from stock_crawler_spark.operators.dedup import bbit_minhash_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    docs = [
+        (0, base),
+        (1, base + " tail variation one"),        # near-dup of 0
+        (2, "totally different content about other things entirely " * 5),
+        (3, "totally different content about other things entirely " * 5
+            + " with a small suffix"),            # near-dup of 2
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {(r["doc_a"], r["doc_b"]): r
+           for r in bbit_minhash_pairs(df, b=2, threshold=0.3).collect()}
+    assert (0, 1) in out and (2, 3) in out
+    for r in out.values():
+        # low-bit matches are a superset of full-slot matches
+        assert r["p_bbit_r"] >= r["p_full_r"]
+        # corrected estimate tracks the full-slot estimate within
+        # sketch noise (k=32 slots)
+        assert abs(r["j_bbit_r"] - r["p_full_r"]) < 0.35
+        assert r["jaccard_r"] >= 0.3
+
+
+def test_bbit_validation_and_invariance(spark):
+    import pytest as _pt
+    from stock_crawler_spark.operators.dedup import bbit_minhash_pairs
+
+    docs = [(i, ("tok%d " % (i % 4)) * 30 + "x y z") for i in range(24)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    with _pt.raises(ValueError):
+        bbit_minhash_pairs(df, b=0)
+    a = sorted(map(tuple, bbit_minhash_pairs(df.repartition(1), threshold=0.9).collect()))
+    bb = sorted(map(tuple, bbit_minhash_pairs(df.repartition(13, "text"), threshold=0.9).collect()))
+    assert a == bb and len(a) > 0
