@@ -2284,6 +2284,36 @@ def q246_bbit_minhash(spark, sf):
     )
 
 
+def q247_markov_health(spark, sf):
+    """URL-health Markov chain + stationary mix (operators/recrawl.
+    state_transition_model): fetch outcomes (ok/slow/error/dead from
+    an event-id residue map) per url in time order -> ML transition
+    matrix -> 30-step power-iteration stationary distribution, the
+    forward-looking link-rot forecast beside q203's backward-looking
+    survival curve. One lag window per url + a bounded S^2 grid; the
+    power iteration is a fixed-order fold over the packed matrix (the
+    q237 cross-engine double convention). Oracle replays the grid and
+    iterates the same fold in a recursive CTE."""
+    from stock_crawler_spark.operators.recrawl import state_transition_model
+
+    ev = _t(spark, sf, "events")
+    m = (F.col("event_id") * 7) % 10
+    state = (
+        F.when(m < 5, F.lit("ok"))
+        .when(m < 7, F.lit("slow"))
+        .when(m < 9, F.lit("error"))
+        .otherwise(F.lit("dead"))
+    )
+    hist = ev.select(
+        F.concat(F.lit("u"), (F.col("user_id") % 30).cast("string")).alias(
+            "url"
+        ),
+        "ts",
+        state.alias("state"),
+    )
+    return state_transition_model(hist)
+
+
 def _secrets_augmented_text():
     sid = F.col("doc_id")
     return F.concat(
@@ -6274,6 +6304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q244_classification_report": q244_classification_report,
         "q245_erlang_sizing": q245_erlang_sizing,
         "q246_bbit_minhash": q246_bbit_minhash,
+        "q247_markov_health": q247_markov_health,
     }
 
 
@@ -12021,6 +12052,60 @@ SELECT fb.host, fb.n AS n_arrivals,
 FROM fb
 LEFT JOIN best ON best.host = fb.host
 LEFT JOIN vals v ON v.host = fb.host AND v.c = best.c_star
+""",
+        # q247: grid + absorbing self-loops + recursive-CTE power iteration
+        "q247_markov_health": """
+WITH RECURSIVE hist AS (
+  SELECT 'u' || CAST(user_id % 30 AS VARCHAR) AS url, ts,
+    CASE WHEN (event_id * 7) % 10 < 5 THEN 'ok'
+         WHEN (event_id * 7) % 10 < 7 THEN 'slow'
+         WHEN (event_id * 7) % 10 < 9 THEN 'error'
+         ELSE 'dead' END AS s
+  FROM events
+), tr AS (
+  SELECT lag(s) OVER (PARTITION BY url ORDER BY ts, s) AS f, s AS t_
+  FROM hist
+), tc AS (
+  SELECT f, t_, CAST(count(*) AS BIGINT) AS n
+  FROM tr WHERE f IS NOT NULL GROUP BY 1, 2
+), st AS (
+  SELECT DISTINCT s FROM (SELECT f AS s FROM tc UNION SELECT t_ FROM tc)
+), grid AS (
+  SELECT a.s AS f, b.s AS t_, CAST(coalesce(tc.n, 0) AS BIGINT) AS n
+  FROM st a CROSS JOIN st b
+  LEFT JOIN tc ON tc.f = a.s AND tc.t_ = b.s
+), rt AS (
+  SELECT f, sum(n) AS rtot FROM grid GROUP BY 1
+), probs AS (
+  SELECT g.f, g.t_, g.n,
+    CASE WHEN rt.rtot > 0
+         THEN CAST(g.n AS DOUBLE) / CAST(rt.rtot AS DOUBLE)
+         ELSE CASE WHEN g.f = g.t_ THEN 1.0 ELSE 0.0 END END AS p
+  FROM grid g JOIN rt ON rt.f = g.f
+), mat AS (
+  SELECT list(p ORDER BY f, t_) AS pv,
+         CAST(count(DISTINCT f) AS INT) AS sn
+  FROM probs
+), pit AS (
+  SELECT 0 AS it,
+    list_transform(range(1, sn + 1),
+                   x -> 1.0 / CAST(sn AS DOUBLE)) AS v
+  FROM mat
+  UNION ALL
+  SELECT it + 1,
+    list_transform(range(0, m.sn), j ->
+      list_aggregate(list_transform(range(0, m.sn),
+        i -> v[i + 1] * m.pv[i * m.sn + j + 1]), 'sum'))
+  FROM pit, mat m WHERE it < 30
+), pi_ AS (
+  SELECT v FROM pit WHERE it = 30
+), names AS (
+  SELECT s, CAST(row_number() OVER (ORDER BY s) AS INT) AS i FROM st
+)
+SELECT p.f AS from_state, p.t_ AS to_state, p.n,
+  round(p.p, 6) AS p_r,
+  round((SELECT v FROM pi_)[nm.i], 6) AS pi_to_r
+FROM probs p JOIN names nm ON nm.s = p.t_
 """,
         # q167: Elias gamma/delta gap costs via bin() lengths (no log2)
         "q167_adjacency_bits": f"""

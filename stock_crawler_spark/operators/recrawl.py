@@ -1054,3 +1054,119 @@ def revalidation_plan(
         .otherwise(F.lit("full"))
         .alias("plan"),
     )
+
+
+def state_transition_model(
+    history: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "ts",
+    state_col: str = "state",
+    n_iter: int = 30,
+) -> DataFrame:
+    """Empirical URL-health Markov chain + stationary distribution:
+    one row per observed ordered state pair,
+    (from_state, to_state, n, p_r, pi_to_r).
+
+    Fetch outcomes form a chain (ok -> slow -> error -> dead ...);
+    the row-normalized transition counts are the maximum-likelihood
+    chain estimate, and its stationary distribution is the long-run
+    health mix the fleet converges to — the link-rot forecast behind
+    q203's survival curve (survival looks backward at lifetimes; the
+    chain projects forward from dynamics). States with no observed
+    outgoing transition get a self-loop (absorbing), the conservative
+    reading of "we never saw it leave".
+
+    Shapes: transitions are ONE lag window per url (bounded per-url
+    series, the q187/q232 shape) + one groupBy to the <= S^2 cell
+    table; the stationary vector is a power-iteration FOLD over the
+    packed S*S matrix (S tiny; n_iter * S^2 multiply-adds in a fixed
+    order, so both engines produce the same doubles — the q237
+    Viterbi convention). No collect; the matrix lives in one packed
+    row.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.col(url_col)).orderBy(
+        F.asc(ts_col), F.asc(state_col)
+    )
+    prev = F.lag(F.col(state_col)).over(w)
+    trans = (
+        history.select(
+            prev.alias("_from"), F.col(state_col).alias("_to")
+        )
+        .filter(F.col("_from").isNotNull())
+        .groupBy("_from", "_to")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    states = (
+        trans.select(F.col("_from").alias("s"))
+        .unionByName(trans.select(F.col("_to").alias("s")))
+        .distinct()
+    )
+    # dense S x S grid with absorbing self-loops where a row is empty
+    grid = (
+        states.select(F.col("s").alias("_from"))
+        .crossJoin(states.select(F.col("s").alias("_to")))
+        .join(trans, ["_from", "_to"], "left")
+        .withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
+    )
+    row_tot = grid.groupBy("_from").agg(F.sum("n").alias("_rt"))
+    probs = grid.join(row_tot, "_from").withColumn(
+        "p",
+        F.when(
+            F.col("_rt") > 0,
+            F.col("n").cast("double") / F.col("_rt").cast("double"),
+        ).otherwise((F.col("_from") == F.col("_to")).cast("double")),
+    )
+    packed = probs.agg(
+        F.array_sort(
+            F.collect_list(F.struct("_from", "_to", "p"))
+        ).alias("cells"),
+        F.count_distinct("_from").cast("int").alias("s_n"),
+    )
+    # state index = position in the sorted distinct-state list; the
+    # sorted cells array is exactly row-major (from-major, to-minor)
+    pvec = F.transform(F.col("cells"), lambda c: c["p"])
+    sn = F.col("s_n")
+    init = F.transform(
+        F.sequence(F.lit(1), sn), lambda _: F.lit(1.0) / sn.cast("double")
+    )
+    stepped = F.aggregate(
+        F.sequence(F.lit(1), F.lit(int(n_iter))),
+        init,
+        lambda acc, _: F.transform(
+            F.sequence(F.lit(0), sn - 1),
+            lambda j: F.aggregate(
+                F.sequence(F.lit(0), sn - 1),
+                F.lit(0.0),
+                lambda s, i: s
+                + F.element_at(acc, i + 1)
+                * F.element_at(F.col("_pv"), i * sn + j + 1),
+            ),
+        ),
+    )
+    folded = packed.withColumn("_pv", pvec).withColumn("pi", stepped)
+    out = probs.crossJoin(F.broadcast(folded.select("cells", "pi", "s_n")))
+    # pi index of to_state: position in the sorted state list == index
+    # of the first cell whose _from equals it, divided by s_n
+    state_idx = F.aggregate(
+        F.sequence(F.lit(0), F.col("s_n") - 1),
+        F.lit(-1),
+        lambda acc, i: F.when(
+            (acc == -1)
+            & (
+                F.element_at(F.col("cells"), i * F.col("s_n") + 1)["_from"]
+                == F.col("_to")
+            ),
+            i,
+        ).otherwise(acc),
+    )
+    return out.select(
+        F.col("_from").alias("from_state"),
+        F.col("_to").alias("to_state"),
+        "n",
+        F.round("p", 6).alias("p_r"),
+        F.round(F.element_at(F.col("pi"), state_idx + 1), 6).alias(
+            "pi_to_r"
+        ),
+    )

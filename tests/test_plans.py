@@ -216,6 +216,7 @@ def test_no_cartesian_products_anywhere(spark):
         "q212_psi_drift",        # broadcast 1-row snapshot totals
         "q197_heavy_bytes",      # broadcast 1-row total weight (phi*W threshold)
         "q234_cdc_dedup",        # broadcast 1-row n_docs beside the fp rollup
+        "q247_markov_health",    # S x S state grid + 1-row packed matrix
     }
     for name, fn in entrymod.queries().items():
         tree = _plan(fn(spark, "/root/testdata/sf0.001")).split("\n\n")[0]

@@ -624,3 +624,82 @@ def test_revalidation_plan_partition_invariance(spark):
     a = sorted(map(tuple, revalidation_plan(df.repartition(1)).collect()))
     b = sorted(map(tuple, revalidation_plan(df.repartition(13, "etag")).collect()))
     assert a == b
+
+
+# --- URL-health Markov chain --------------------------------------------------------
+
+
+def _markov_brute(seqs, n_iter=30):
+    import numpy as np
+
+    trans = {}
+    for seq in seqs:
+        for a, b in zip(seq, seq[1:]):
+            trans[(a, b)] = trans.get((a, b), 0) + 1
+    states = sorted({s for k in trans for s in k})
+    S = len(states)
+    idx = {s: i for i, s in enumerate(states)}
+    M = np.zeros((S, S))
+    for (a, b), n in trans.items():
+        M[idx[a], idx[b]] = n
+    for i in range(S):
+        if M[i].sum() > 0:
+            M[i] /= M[i].sum()
+        else:
+            M[i, i] = 1.0
+    v = np.full(S, 1.0 / S)
+    for _ in range(n_iter):
+        v = v @ M
+    return states, M, v, trans
+
+
+def test_markov_brute_force_parity(spark):
+    from stock_crawler_spark.operators.recrawl import state_transition_model
+
+    seqs = {
+        "u%d" % i: [
+            ["ok", "slow", "error", "dead"][(i * 3 + t * 7) % 9 % 4]
+            for t in range(8)
+        ]
+        for i in range(40)
+    }
+    rows = [(u, t, s) for u, seq in seqs.items() for t, s in enumerate(seq)]
+    df = spark.createDataFrame(rows, "url string, ts long, state string")
+    got = {(r["from_state"], r["to_state"]): r
+           for r in state_transition_model(df).collect()}
+    states, M, v, trans = _markov_brute(list(seqs.values()))
+    idx = {s: i for i, s in enumerate(states)}
+    assert len(got) == len(states) ** 2
+    for (a, b), r in got.items():
+        assert r["n"] == trans.get((a, b), 0)
+        assert abs(r["p_r"] - round(M[idx[a], idx[b]], 6)) < 1e-6
+        assert abs(r["pi_to_r"] - v[idx[b]]) < 1e-5
+    # stationary sums to ~1
+    pis = {b: r["pi_to_r"] for (a, b), r in got.items()}
+    assert abs(sum(pis.values()) - 1.0) < 1e-4
+
+
+def test_markov_absorbing_dead(spark):
+    from stock_crawler_spark.operators.recrawl import state_transition_model
+
+    # every chain drifts into 'dead' and never leaves: stationary mass 1
+    rows = []
+    for i in range(10):
+        for t, s in enumerate(["ok", "ok", "dead", "dead", "dead"]):
+            rows.append(("u%d" % i, t, s))
+    df = spark.createDataFrame(rows, "url string, ts long, state string")
+    got = {(r["from_state"], r["to_state"]): r
+           for r in state_transition_model(df, n_iter=60).collect()}
+    assert got[("dead", "dead")]["p_r"] == 1.0
+    assert got[("ok", "dead")]["pi_to_r"] > 0.99
+
+
+def test_markov_partition_invariance(spark):
+    from stock_crawler_spark.operators.recrawl import state_transition_model
+
+    rows = [("u%d" % (i % 12), i // 12, ["a", "b", "c"][(i * 5) % 3])
+            for i in range(360)]
+    df = spark.createDataFrame(rows, "url string, ts long, state string")
+    a = sorted(map(tuple, state_transition_model(df.repartition(1)).collect()))
+    b = sorted(map(tuple, state_transition_model(df.repartition(17, "state")).collect()))
+    assert a == b
