@@ -2314,6 +2314,28 @@ def q247_markov_health(spark, sf):
     return state_transition_model(hist)
 
 
+SF_REPS = 64
+
+
+def q248_sign_flip(spark, sf):
+    """Paired sign-flip permutation test (operators/abtest.
+    sign_flip_test; Fisher randomization, md5-derandomized per q190's
+    convention, Phipson-Smyth add-one p): per-url latency differences
+    with a planted +1 shift — the exact finite-sample paired verdict
+    needing no normality, beside q221's binary-paired McNemar and
+    q220's unpaired Welch. Replicate sums are exact integers from one
+    order-free aggregate over the B-fanned stream; oracle replays
+    signs, sums, and the extreme count."""
+    from stock_crawler_spark.operators.abtest import sign_flip_test
+
+    ev = _t(spark, sf, "events")
+    rows = ev.select(
+        F.col("event_id").alias("doc_id"),
+        (F.col("event_id") % 9 - 3).alias("d"),
+    )
+    return sign_flip_test(rows, n_reps=SF_REPS)
+
+
 def _secrets_augmented_text():
     sid = F.col("doc_id")
     return F.concat(
@@ -6305,6 +6327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q245_erlang_sizing": q245_erlang_sizing,
         "q246_bbit_minhash": q246_bbit_minhash,
         "q247_markov_health": q247_markov_health,
+        "q248_sign_flip": q248_sign_flip,
     }
 
 
@@ -12106,6 +12129,38 @@ SELECT p.f AS from_state, p.t_ AS to_state, p.n,
   round(p.p, 6) AS p_r,
   round((SELECT v FROM pi_)[nm.i], 6) AS pi_to_r
 FROM probs p JOIN names nm ON nm.s = p.t_
+""",
+        # q248: md5 signs + integer replicate sums + add-one p
+        "q248_sign_flip": f"""
+WITH base AS (
+  SELECT CAST(event_id AS VARCHAR) AS id,
+         CAST(event_id % 9 - 3 AS BIGINT) AS d
+  FROM events
+), fan AS (
+  SELECT id, d, unnest(range(1, {SF_REPS + 1})) AS b FROM base
+), signed AS (
+  SELECT b,
+    CASE WHEN ('0x' || substr(md5('sf0:' || CAST(b AS VARCHAR) || ':' || id),
+                              32, 1))::BIGINT % 2 = 1
+         THEN -d ELSE d END AS sd
+  FROM fan
+), reps AS (
+  SELECT b, CAST(sum(sd) AS BIGINT) AS t FROM signed GROUP BY 1
+), obs AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(d) AS BIGINT) AS s
+  FROM base
+), ext AS (
+  SELECT CAST(sum(CASE WHEN abs(t) >= abs((SELECT s FROM obs))
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme
+  FROM reps
+)
+SELECT (SELECT n FROM obs) AS n,
+  round(CAST((SELECT s FROM obs) AS DOUBLE)
+        / CAST((SELECT n FROM obs) AS DOUBLE), 6) AS t_obs_r,
+  n_extreme,
+  round((1.0 + CAST(n_extreme AS DOUBLE)) / {float(SF_REPS + 1)!r}, 6)
+    AS p_r
+FROM ext
 """,
         # q167: Elias gamma/delta gap costs via bin() lengths (no log2)
         "q167_adjacency_bits": f"""

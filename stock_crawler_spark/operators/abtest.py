@@ -634,3 +634,86 @@ def effect_size(
         F.when(ok, F.round(d, 6)).alias("d_r"),
         F.when(ok, F.round(j * d, 6)).alias("g_r"),
     )
+
+
+def sign_flip_test(
+    paired: DataFrame,
+    id_col: str = "doc_id",
+    diff_col: str = "d",
+    n_reps: int = 64,
+    salt: str = "sf0",
+) -> DataFrame:
+    """Derandomized paired sign-flip permutation test (Fisher 1935
+    randomization logic; md5-derandomized like q190's Poisson
+    bootstrap): ONE row (n, t_obs_r, n_extreme, p_r).
+
+    Under H0 (no treatment effect) each paired difference d_i is
+    symmetric around 0, so every sign pattern is equally likely; the
+    permutation p-value is the fraction of sign-flipped replicates
+    whose |mean| reaches |mean_obs| — an EXACT finite-sample test
+    with no normality assumption, where q221 (McNemar) needs binary
+    outcomes and q220 (Welch) needs unpaired groups. The add-one
+    (1 + extreme)/(B + 1) form keeps p valid for finite B (Phipson &
+    Smyth 2010).
+
+    Derandomized: replicate b flips d_i iff md5('{salt}:{b}:{id}') is
+    odd — signs are pure functions of (replicate, row id), so reruns,
+    partitionings, and engines draw identical flips. d is cast to
+    long (quantize upstream), so every replicate sum is an EXACT
+    integer from ONE order-free aggregate over the B-fanned row
+    stream; |T_b| >= |T_obs| compares integer sums scaled by the same
+    n. B*n map-side rows, one aggregate, no collect.
+    """
+    if n_reps < 1:
+        raise ValueError("n_reps must be >= 1")
+    base = paired.select(
+        F.col(id_col).cast("string").alias("_id"),
+        F.col(diff_col).cast("long").alias("_d"),
+    )
+    fan = base.withColumn(
+        "_b", F.explode(F.sequence(F.lit(1), F.lit(int(n_reps))))
+    )
+    parity = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(salt + ":"),
+                    F.col("_b").cast("string"),
+                    F.lit(":"),
+                    F.col("_id"),
+                )
+            ),
+            32,
+            1,
+        ),
+        16,
+        10,
+    ).cast("long") % 2
+    signed = fan.withColumn(
+        "_sd", F.when(parity == 1, -F.col("_d")).otherwise(F.col("_d"))
+    )
+    reps = signed.groupBy("_b").agg(F.sum("_sd").cast("long").alias("_t"))
+    obs = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_d").cast("long").alias("_s"),
+    )
+    joined = reps.crossJoin(F.broadcast(obs))
+    extreme = joined.agg(
+        F.first("n").alias("n"),
+        F.first("_s").alias("_s"),
+        F.sum(
+            (F.abs(F.col("_t")) >= F.abs(F.col("_s"))).cast("long")
+        ).alias("n_extreme"),
+    )
+    return extreme.select(
+        "n",
+        F.round(
+            F.col("_s").cast("double") / F.col("n").cast("double"), 6
+        ).alias("t_obs_r"),
+        F.col("n_extreme").cast("long").alias("n_extreme"),
+        F.round(
+            (F.lit(1.0) + F.col("n_extreme").cast("double"))
+            / F.lit(float(n_reps + 1)),
+            6,
+        ).alias("p_r"),
+    )

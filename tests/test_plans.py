@@ -217,6 +217,7 @@ def test_no_cartesian_products_anywhere(spark):
         "q197_heavy_bytes",      # broadcast 1-row total weight (phi*W threshold)
         "q234_cdc_dedup",        # broadcast 1-row n_docs beside the fp rollup
         "q247_markov_health",    # S x S state grid + 1-row packed matrix
+        "q248_sign_flip",        # broadcast 1-row observed-sum beside replicates
     }
     for name, fn in entrymod.queries().items():
         tree = _plan(fn(spark, "/root/testdata/sf0.001")).split("\n\n")[0]
@@ -519,3 +520,70 @@ def test_skew_profile_no_global_window(spark):
     # the only SinglePartition allowed is the terminal 1-row aggregate
     pre_agg = tree.split("HashAggregate")[0]
     assert "Exchange SinglePartition" not in pre_agg, tree
+
+
+def test_average_precision_no_global_sort(spark):
+    """q228's ranking must ride the pinned-range pattern: windows are
+    _pid-partitioned (no single-partition exchange before the terminal
+    1-row aggregate) and the offsets table joins broadcast."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["q228_average_precision"](
+        spark, "/root/testdata/sf0.001"
+    )
+    tree = _plan(df).split("\n\n")[0]
+    pre_agg = tree.split("HashAggregate")[0]
+    assert "Exchange SinglePartition" not in pre_agg, tree
+    assert "BroadcastHashJoin" in tree, tree
+
+
+def test_pps_sample_no_global_sort(spark):
+    """q236's cumsum must stay pid-partitioned with broadcast offsets —
+    never a global ORDER BY cumsum."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["q236_pps_sample"](spark, "/root/testdata/sf0.001")
+    tree = _plan(df).split("\n\n")[0]
+    assert "Exchange SinglePartition" not in tree, tree
+    assert "Window" in tree and "BroadcastHashJoin" in tree, tree
+
+
+def test_batched_padding_no_global_sort(spark):
+    """q241: BOTH batch layouts come from the distributed global-index
+    pattern — no single-partition exchange anywhere in the union."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["q241_length_batching"](
+        spark, "/root/testdata/sf0.001"
+    )
+    tree = _plan(df).split("\n\n")[0]
+    assert "Exchange SinglePartition" not in tree, tree
+
+
+def test_mad_outliers_windows_partitioned(spark):
+    """q235's cumsums run per-HOST: every windowspecdefinition in the
+    plan opens with the host partition column, never a bare sort."""
+    import re
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["q235_mad_outliers"](
+        spark, "/root/testdata/sf0.001"
+    )
+    full = _plan(df)
+    specs = re.findall(r"windowspecdefinition\(([^,)]+)", full)
+    assert specs, full
+    for s in specs:
+        assert s.startswith("_k"), specs
+    assert "Exchange SinglePartition" not in full.split("\n\n")[0]

@@ -497,3 +497,57 @@ def test_effect_size_degenerate(spark):
     assert r["d_r"] is None and r["g_r"] is None
     tiny = spark.createDataFrame([(0, 1), (1, 2)], "grp int, x long")
     assert effect_size(tiny).collect()[0]["d_r"] is None
+
+
+# --- sign-flip permutation test ------------------------------------------------------
+
+
+def _signflip_brute(rows, n_reps=64, salt="sf0"):
+    import hashlib
+
+    def parity(b, i):
+        return int(hashlib.md5(f"{salt}:{b}:{i}".encode()).hexdigest()[31], 16) % 2
+
+    s = sum(d for _, d in rows)
+    n_ext = 0
+    for b in range(1, n_reps + 1):
+        t = sum(-d if parity(b, i) else d for i, d in rows)
+        if abs(t) >= abs(s):
+            n_ext += 1
+    return len(rows), round(s / len(rows), 6), n_ext, round((1 + n_ext) / (n_reps + 1), 6)
+
+
+def test_sign_flip_brute_force_parity(spark):
+    from stock_crawler_spark.operators.abtest import sign_flip_test
+
+    # genuine positive shift: differences centered at +3
+    rows = [(i, 3 + (i * 7) % 5 - 2) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, d long")
+    r = sign_flip_test(df).collect()[0]
+    want = _signflip_brute([(str(i), d) for i, d in rows])
+    assert (r["n"], r["t_obs_r"], r["n_extreme"], r["p_r"]) == want
+    assert r["p_r"] <= 0.05  # the shift is detected
+
+
+def test_sign_flip_null_effect_large_p(spark):
+    from stock_crawler_spark.operators.abtest import sign_flip_test
+
+    # exactly mirrored differences (sum 0): every replicate is at
+    # least as extreme, p = 1
+    rows = [(i, (1 if i % 2 else -1) * (1 + (i // 2) % 4)) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, d long")
+    r = sign_flip_test(df).collect()[0]
+    assert r["p_r"] > 0.2
+
+
+def test_sign_flip_invariance_and_validation(spark):
+    import pytest as _pt
+    from stock_crawler_spark.operators.abtest import sign_flip_test
+
+    rows = [(i, (i * 13) % 9 - 4) for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id long, d long")
+    with _pt.raises(ValueError):
+        sign_flip_test(df, n_reps=0)
+    a = tuple(sign_flip_test(df.repartition(1)).collect()[0])
+    b = tuple(sign_flip_test(df.repartition(13, "d")).collect()[0])
+    assert a == b
