@@ -2336,6 +2336,40 @@ def q248_sign_flip(spark, sf):
     return sign_flip_test(rows, n_reps=SF_REPS)
 
 
+def q249_robots_rollover(spark, sf):
+    """robots.txt rollover blast radius (operators/frontier.
+    robots_change_impact): q28's frontier under its old deny rules vs
+    a rotated new set — per-domain counts of verdict flips, the
+    circuit-breaker input before the engine swaps a freshly compiled
+    rules snapshot in (a mass-deny is as often a fetch bug as a
+    policy change). Two broadcast rules joins, one frontier pass, one
+    groupBy; oracle rebuilds both verdicts arithmetically like q28."""
+    from stock_crawler_spark.operators.frontier import robots_change_impact
+
+    docs = _t(spark, sf, "documents")
+    f = docs.select(
+        F.col("source").alias("domain"),
+        F.format_string("/s%d/%d", F.col("doc_id") % 10, F.col("doc_id")).alias(
+            "path"
+        ),
+    )
+    doms = docs.select(F.col("source").alias("domain")).distinct()
+    even = F.length("domain") % 2 == 0
+    old = doms.select(
+        "domain",
+        F.when(even, F.array(F.lit("/s1"), F.lit("/s4")))
+        .otherwise(F.array(F.lit("/s7")))
+        .alias("deny"),
+    )
+    new = doms.select(
+        "domain",
+        F.when(even, F.array(F.lit("/s1")))
+        .otherwise(F.array(F.lit("/s7"), F.lit("/s2")))
+        .alias("deny"),
+    )
+    return robots_change_impact(f, old, new)
+
+
 def _secrets_augmented_text():
     sid = F.col("doc_id")
     return F.concat(
@@ -6328,6 +6362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q246_bbit_minhash": q246_bbit_minhash,
         "q247_markov_health": q247_markov_health,
         "q248_sign_flip": q248_sign_flip,
+        "q249_robots_rollover": q249_robots_rollover,
     }
 
 
@@ -12161,6 +12196,28 @@ SELECT (SELECT n FROM obs) AS n,
   round((1.0 + CAST(n_extreme AS DOUBLE)) / {float(SF_REPS + 1)!r}, 6)
     AS p_r
 FROM ext
+""",
+        # q249: both robots verdicts rebuilt arithmetically (q28 style)
+        "q249_robots_rollover": """
+WITH f AS (
+  SELECT source AS domain, printf('/s%d', doc_id % 10) AS s
+  FROM documents
+), v AS (
+  SELECT domain,
+    NOT (CASE WHEN length(domain) % 2 = 0
+              THEN s IN ('/s1', '/s4') ELSE s = '/s7' END) AS a_old,
+    NOT (CASE WHEN length(domain) % 2 = 0
+              THEN s = '/s1' ELSE s IN ('/s7', '/s2') END) AS a_new
+  FROM f
+)
+SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
+  CAST(sum(CASE WHEN a_old THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed_old,
+  CAST(sum(CASE WHEN a_new THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed_new,
+  CAST(sum(CASE WHEN a_old AND NOT a_new THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_newly_denied,
+  CAST(sum(CASE WHEN NOT a_old AND a_new THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_newly_allowed
+FROM v GROUP BY 1
 """,
         # q167: Elias gamma/delta gap costs via bin() lengths (no log2)
         "q167_adjacency_bits": f"""

@@ -370,3 +370,62 @@ def dequeue_eta_bands(
             "eta_last_round"
         ),
     )
+
+
+def robots_change_impact(
+    frontier: DataFrame,
+    old_rules: DataFrame,
+    new_rules: DataFrame,
+    domain_col: str = "domain",
+    path_col: str = "path",
+) -> DataFrame:
+    """Per-domain impact audit of a robots.txt rules rollover:
+    (domain, n_urls, n_allowed_old, n_allowed_new, n_newly_denied,
+    n_newly_allowed).
+
+    Publishers change robots.txt without notice; before the engine
+    swaps a new compiled rules snapshot in (parsers/robots), operators
+    want the blast radius: how much of the pending frontier flips
+    verdict, per domain — a sudden mass-deny is as often a fetch bug
+    (HTML error page compiled as rules) as a real policy change, and
+    this table is the circuit breaker's input. Both rule sets apply
+    exactly like the q28 gate (broadcast rules join + deny-prefix
+    exists over the path); one frontier pass, two broadcast joins,
+    one groupBy.
+    """
+    def apply(rules, flag):
+        r = rules.select(
+            F.col(domain_col).alias("_d"), F.col("deny").alias(f"_deny_{flag}")
+        )
+        return r
+
+    j = (
+        frontier.select(
+            F.col(domain_col).alias("_d"), F.col(path_col).alias("_p")
+        )
+        .join(F.broadcast(apply(old_rules, "o")), "_d", "left")
+        .join(F.broadcast(apply(new_rules, "n")), "_d", "left")
+    )
+
+    def allowed(col):
+        return ~F.exists(
+            F.coalesce(F.col(col), F.array().cast("array<string>")),
+            lambda p: F.col("_p").startswith(p),
+        )
+
+    a_old = allowed("_deny_o")
+    a_new = allowed("_deny_n")
+    return (
+        j.groupBy(F.col("_d").alias(domain_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            F.sum(a_old.cast("long")).cast("long").alias("n_allowed_old"),
+            F.sum(a_new.cast("long")).cast("long").alias("n_allowed_new"),
+            F.sum((a_old & ~a_new).cast("long"))
+            .cast("long")
+            .alias("n_newly_denied"),
+            F.sum((~a_old & a_new).cast("long"))
+            .cast("long")
+            .alias("n_newly_allowed"),
+        )
+    )

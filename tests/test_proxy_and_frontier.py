@@ -214,3 +214,59 @@ def test_dequeue_eta_bands_hand_check(spark):
 
     with _pt.raises(ValueError):
         dequeue_eta_bands(df, per_host_cap=0)
+
+
+# --- robots rollover impact ---------------------------------------------------------
+
+
+def test_robots_change_impact(spark):
+    from pyspark.sql import functions as F
+    from stock_crawler_spark.operators.frontier import robots_change_impact
+
+    frontier = spark.createDataFrame(
+        [("a.com", "/s1/x"), ("a.com", "/s2/y"), ("a.com", "/s3/z"),
+         ("b.com", "/p/1"), ("b.com", "/q/2")],
+        "domain string, path string",
+    )
+    old = spark.createDataFrame(
+        [("a.com", ["/s1"]), ("b.com", [])],
+        "domain string, deny array<string>",
+    )
+    new = spark.createDataFrame(
+        [("a.com", ["/s2", "/s3"]), ("b.com", ["/p"])],
+        "domain string, deny array<string>",
+    )
+    got = {r["domain"]: r for r in
+           robots_change_impact(frontier, old, new).collect()}
+    a = got["a.com"]
+    # /s1 flips to allowed; /s2 and /s3 flip to denied
+    assert (a["n_allowed_old"], a["n_allowed_new"]) == (2, 1)
+    assert (a["n_newly_denied"], a["n_newly_allowed"]) == (2, 1)
+    b = got["b.com"]
+    assert (b["n_allowed_old"], b["n_newly_denied"]) == (2, 1)
+
+
+def test_robots_change_impact_missing_rules_and_invariance(spark):
+    from stock_crawler_spark.operators.frontier import robots_change_impact
+
+    frontier = spark.createDataFrame(
+        [("c%d.com" % (i % 6), "/s%d/%d" % (i % 9, i)) for i in range(120)],
+        "domain string, path string",
+    )
+    old = spark.createDataFrame(
+        [("c0.com", ["/s1"])], "domain string, deny array<string>"
+    )
+    new = spark.createDataFrame(
+        [("c0.com", ["/s1", "/s2"]), ("c1.com", ["/s3"])],
+        "domain string, deny array<string>",
+    )
+    out = {r["domain"]: r for r in
+           robots_change_impact(frontier, old, new).collect()}
+    # domains with no rules at all are fully allowed both sides
+    assert out["c5.com"]["n_allowed_old"] == out["c5.com"]["n_urls"]
+    assert out["c5.com"]["n_newly_denied"] == 0
+    a = sorted(map(tuple, robots_change_impact(
+        frontier.repartition(1), old, new).collect()))
+    b = sorted(map(tuple, robots_change_impact(
+        frontier.repartition(13, "path"), old, new).collect()))
+    assert a == b
