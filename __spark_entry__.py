@@ -2370,6 +2370,40 @@ def q249_robots_rollover(spark, sf):
     return robots_change_impact(f, old, new)
 
 
+COMPACT_APPENDS = [(100 + i, i * 10, 255 - i * 5) for i in range(8)]
+
+
+def q250_compaction_plan(spark, sf):
+    """Z-order OPTIMIZE planner (operators/layout.compaction_plan):
+    q231's clustered file envelopes plus 8 synthetic append files with
+    wide key ranges — exact per-file overlap counts via the union-
+    cumsum sweep (S - E - 1 interval arithmetic, pinned-range
+    distributed, no single-partition sort even over file metadata)
+    flag exactly the files whose envelopes erode pruning; appends
+    erode, the planner triggers the rewrite — the maintenance loop
+    behind q231's layout claim. Oracle counts overlaps with a plain
+    metadata-scale interval self-join."""
+    from stock_crawler_spark.operators.layout import (
+        compaction_plan,
+        file_prune_stats,
+        zorder_file,
+    )
+
+    docs = _t(spark, sf, "documents")
+    keys = docs.select(
+        ((F.col("doc_id") * 131) % 256).alias("a"),
+        ((F.col("doc_id") * 197) % 256).alias("b"),
+    )
+    laid = zorder_file(keys, "a", "b", n_files=ZORDER_FILES, bits=ZORDER_BITS)
+    stats = file_prune_stats(laid, "b", 0, 31).select(
+        "file", "key_min", "key_max"
+    )
+    appends = spark.createDataFrame(
+        COMPACT_APPENDS, "file long, key_min long, key_max long"
+    )
+    return compaction_plan(stats.unionByName(appends), max_overlaps=3)
+
+
 def _secrets_augmented_text():
     sid = F.col("doc_id")
     return F.concat(
@@ -6363,6 +6397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q247_markov_health": q247_markov_health,
         "q248_sign_flip": q248_sign_flip,
         "q249_robots_rollover": q249_robots_rollover,
+        "q250_compaction_plan": q250_compaction_plan,
     }
 
 
@@ -12218,6 +12253,35 @@ SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
   CAST(sum(CASE WHEN NOT a_old AND a_new THEN 1 ELSE 0 END) AS BIGINT)
     AS n_newly_allowed
 FROM v GROUP BY 1
+""",
+        # q250: q231 stats + appends, overlap via interval self-join
+        "q250_compaction_plan": f"""
+WITH keys_ AS (
+  SELECT (doc_id * 131) % 256 AS a, (doc_id * 197) % 256 AS b
+  FROM documents
+), laid AS (
+  SELECT b, ({zorder_sql_import('a', 'b')} * {ZORDER_FILES})
+             // {4 ** ZORDER_BITS} AS file
+  FROM keys_
+), stats AS (
+  SELECT file, CAST(min(b) AS BIGINT) AS key_min,
+         CAST(max(b) AS BIGINT) AS key_max
+  FROM laid GROUP BY 1
+  UNION ALL
+  SELECT * FROM (VALUES
+    {", ".join(f"(CAST({f} AS BIGINT), CAST({lo} AS BIGINT), CAST({hi} AS BIGINT))" for f, lo, hi in COMPACT_APPENDS)}
+  ) v(file, key_min, key_max)
+), ov AS (
+  SELECT a.file, CAST(count(b.file) AS BIGINT) AS n_overlaps
+  FROM stats a
+  LEFT JOIN stats b
+    ON a.file <> b.file AND b.key_min <= a.key_max
+       AND b.key_max >= a.key_min
+  GROUP BY 1
+)
+SELECT s.file, s.key_min, s.key_max, ov.n_overlaps,
+  ov.n_overlaps > 3 AS compact
+FROM stats s JOIN ov ON ov.file = s.file
 """,
         # q167: Elias gamma/delta gap costs via bin() lengths (no log2)
         "q167_adjacency_bits": f"""

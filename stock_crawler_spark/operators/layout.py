@@ -133,3 +133,109 @@ def file_prune_stats(
             F.col("n_match").cast("long").alias("n_match"),
         )
     )
+
+
+def compaction_plan(
+    file_stats: DataFrame,
+    max_overlaps: int = 2,
+    file_col: str = "file",
+    min_col: str = "key_min",
+    max_col: str = "key_max",
+    n_partitions: int = 32,
+) -> DataFrame:
+    """OPTIMIZE planner over file key-range metadata: which files'
+    envelopes overlap so many neighbors that range pruning is dying
+    and a rewrite pays — (file, key_min, key_max, n_overlaps,
+    compact).
+
+    Appends erode any clustered layout: each new file spans whatever
+    keys arrived, envelopes widen, and a range predicate starts
+    touching everything (q231's audit measures it; this plans the
+    fix, the same trigger logic lakehouse OPTIMIZE/compaction services
+    run on file statistics). A file's overlap count is exact interval
+    arithmetic: with S = #{j: min_j <= max_i} and
+    E = #{j: max_j < min_i}, n_overlaps = S - E - 1.
+
+    Both counts come from ONE union-cumsum each (the sweep trick):
+    data rows (the boundary being counted) and query rows (the file
+    asking) union into a single stream ordered by (value, side) — the
+    side bit encodes the tie rule (<= counts data first at equal
+    values; < counts queries first) — and a pinned-range distributed
+    cumsum of the data indicator hands every query row its answer.
+    File METADATA is the input (O(files), not O(rows)), but the
+    pattern stays fully distributed anyway — no single-partition sort
+    even at 10^7 files.
+    """
+    from pyspark.sql import Window
+
+    from stock_crawler_spark.operators.training import _pinned_range_parts
+
+    base = file_stats.select(
+        F.col(file_col).alias("_f"),
+        F.col(min_col).cast("long").alias("_lo"),
+        F.col(max_col).cast("long").alias("_hi"),
+    )
+
+    def sweep(data_val, query_val, data_first: bool):
+        """query rows' running count of data rows (<= or < per tie rule)."""
+        data = base.select(
+            data_val.alias("_v"),
+            F.lit(0 if data_first else 1).alias("_side"),
+            F.lit(None).cast("string").alias("_q"),
+        )
+        query = base.select(
+            query_val.alias("_v"),
+            F.lit(1 if data_first else 0).alias("_side"),
+            F.col("_f").cast("string").alias("_q"),
+        )
+        u = data.unionByName(query)
+        parts = _pinned_range_parts(
+            u, n_partitions, F.asc("_v"), F.asc("_side"), F.asc("_q")
+        )
+        totals = (
+            parts.groupBy("_pid")
+            .agg(F.sum(F.col("_q").isNull().cast("long")).alias("_n"))
+            .collect()
+        )
+        rows, run = [], 0
+        for pid, n in sorted((r["_pid"], int(r["_n"])) for r in totals):
+            rows.append((pid, run))
+            run += n
+        offs = file_stats.sparkSession.createDataFrame(
+            rows, "_pid int, _off long"
+        )
+        w = (
+            Window.partitionBy("_pid")
+            .orderBy(F.asc("_v"), F.asc("_side"), F.asc("_q"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return (
+            parts.join(F.broadcast(offs), "_pid")
+            .withColumn(
+                "_cnt",
+                F.col("_off") + F.sum(F.col("_q").isNull().cast("long")).over(w),
+            )
+            .filter(F.col("_q").isNotNull())
+            .select(F.col("_q").alias("_f"), "_cnt")
+        )
+
+    s = sweep(F.col("_lo"), F.col("_hi"), data_first=True).withColumnRenamed(
+        "_cnt", "_s"
+    )
+    e = sweep(F.col("_hi"), F.col("_lo"), data_first=False).withColumnRenamed(
+        "_cnt", "_e"
+    )
+    return (
+        base.withColumn("_fs", F.col("_f").cast("string"))
+        .join(s, base["_f"].cast("string") == s["_f"], "inner")
+        .drop(s["_f"])
+        .join(e, F.col("_fs") == e["_f"], "inner")
+        .drop(e["_f"])
+        .select(
+            base["_f"].alias(file_col),
+            F.col("_lo").alias(min_col),
+            F.col("_hi").alias(max_col),
+            (F.col("_s") - F.col("_e") - 1).cast("long").alias("n_overlaps"),
+            (F.col("_s") - F.col("_e") - 1 > max_overlaps).alias("compact"),
+        )
+    )

@@ -106,3 +106,57 @@ def test_zorder_partition_invariance(spark):
         file_prune_stats(zorder_file(df.repartition(13, "b"), "a", "b", 8, 9),
                          "b", 10, 99).collect()))
     assert a == b
+
+
+# --- compaction planner -------------------------------------------------------------
+
+
+def _overlaps_brute(files):
+    out = {}
+    for f, lo, hi in files:
+        n = sum(
+            1 for g, l2, h2 in files
+            if g != f and l2 <= hi and h2 >= lo
+        )
+        out[f] = n
+    return out
+
+
+def test_compaction_plan_brute_force(spark):
+    from stock_crawler_spark.operators.layout import compaction_plan
+
+    files = [(i, (i * 37) % 200, (i * 37) % 200 + 10 + (i % 5) * 40)
+             for i in range(60)]
+    df = spark.createDataFrame(files, "file long, key_min long, key_max long")
+    got = {r["file"]: r for r in compaction_plan(df, max_overlaps=3).collect()}
+    want = _overlaps_brute(files)
+    assert len(got) == 60
+    for f, lo, hi in files:
+        assert got[f]["n_overlaps"] == want[f], f
+        assert got[f]["compact"] == (want[f] > 3)
+
+
+def test_compaction_plan_disjoint_and_nested(spark):
+    from stock_crawler_spark.operators.layout import compaction_plan
+
+    files = [
+        (0, 0, 9), (1, 10, 19), (2, 20, 29),       # perfectly clustered
+        (3, 0, 29),                                 # spans everything
+        (4, 5, 6),                                  # nested inside 0 and 3
+    ]
+    df = spark.createDataFrame(files, "file long, key_min long, key_max long")
+    got = {r["file"]: r["n_overlaps"] for r in
+           compaction_plan(df, max_overlaps=1).collect()}
+    assert got == {0: 2, 1: 1, 2: 1, 3: 4, 4: 2}
+
+
+def test_compaction_plan_partition_invariance(spark):
+    from stock_crawler_spark.operators.layout import compaction_plan
+
+    files = [(i, (i * 91) % 500, (i * 91) % 500 + (i * 13) % 120)
+             for i in range(100)]
+    df = spark.createDataFrame(files, "file long, key_min long, key_max long")
+    a = sorted(map(tuple, compaction_plan(df.repartition(1)).collect()))
+    b = sorted(map(tuple, compaction_plan(
+        df.repartition(11, "key_max"), n_partitions=5).collect()))
+    assert a == b
