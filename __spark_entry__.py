@@ -2404,6 +2404,47 @@ def q250_compaction_plan(spark, sf):
     return compaction_plan(stats.unionByName(appends), max_overlaps=3)
 
 
+def q251_modularity(spark, sf):
+    """Newman modularity (operators/graph.modularity) of q154's LPA
+    partition over the harvested host graph — the evaluation that
+    closes the community loop: LPA emits a partition, Q says whether
+    it beats chance before the map feeds sharding/politeness config.
+    Undirected symmetrize+dedup identical to LPA's; exact per-
+    community sums; community-sorted Q fold. Oracle = the q154 CTE
+    chain + the same Q arithmetic."""
+    from stock_crawler_spark.operators.graph import label_propagation, modularity
+
+    edges = _q50_edges(spark, sf)
+    comm = label_propagation(edges, n_iter=LPA_ITERS)
+    return modularity(edges, comm)
+
+
+def q252_lang_homophily(spark, sf):
+    """Categorical attribute assortativity (operators/graph.
+    attribute_assortativity; Newman PRE'03) of a synthetic per-host
+    language over the directed host graph — do pages link within
+    their language? Prices how well per-language crawl sharding
+    localizes traffic; the categorical sibling of q192's degree
+    assortativity. Bounded mixing-matrix cells, attr-sorted marginal
+    fold, exact DECIMAL products. Oracle replays cells, marginals,
+    and the trace formula."""
+    from stock_crawler_spark.operators.graph import attribute_assortativity
+
+    docs = _t(spark, sf, "documents")
+    edges = _q50_edges(spark, sf)
+    attrs = (
+        docs.select((F.col("doc_id") % GRAPH_HOSTS).alias("n"))
+        .distinct()
+        .select(
+            F.concat(F.lit("h"), F.col("n").cast("string"), F.lit(".com")).alias(
+                "node"
+            ),
+            F.concat(F.lit("l"), (F.col("n") % 4).cast("string")).alias("attr"),
+        )
+    )
+    return attribute_assortativity(edges, attrs)
+
+
 def _secrets_augmented_text():
     sid = F.col("doc_id")
     return F.concat(
@@ -6398,6 +6439,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q248_sign_flip": q248_sign_flip,
         "q249_robots_rollover": q249_robots_rollover,
         "q250_compaction_plan": q250_compaction_plan,
+        "q251_modularity": q251_modularity,
+        "q252_lang_homophily": q252_lang_homophily,
     }
 
 
@@ -7844,6 +7887,14 @@ def _lpa_oracle(n_iter: int = 3) -> str:
     """Replays q154: q50's arithmetic edge derivation, symmetrize +
     dedup, then each sweep's mode-vote with the (count desc, label asc)
     tie-break as a row_number pick — all integer/string exact."""
+    return _lpa_cte(n_iter) + f"""
+SELECT node, lbl AS community FROM l{n_iter}
+"""
+
+
+def _lpa_cte(n_iter: int = 3) -> str:
+    """The shared WITH-chain of the q154 replay (edges e, nodes,
+    sweeps l1..lN) — reused by q251's modularity oracle."""
     sql = f"""
 WITH ks AS (
   SELECT doc_id, unnest([1, 2, 3]) AS k FROM documents
@@ -7872,10 +7923,46 @@ v{i} AS (
   SELECT n.node, coalesce(p.lbl, n.node) AS lbl
   FROM nodes n LEFT JOIN p{i} p ON n.node = p.node
 )"""
-    sql += f"""
-SELECT node, lbl AS community FROM l{n_iter}
-"""
     return sql
+
+
+def _modularity_oracle(n_iter: int = 3) -> str:
+    """q251: the q154 LPA chain as a CTE, then Newman Q over the
+    undirected dedup of the same edges, community-sorted fold."""
+    return _lpa_cte(n_iter) + f""",
+eu AS (
+  SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b FROM e
+), tg AS (
+  SELECT eu.a, eu.b, la.lbl AS ca, lb.lbl AS cb
+  FROM eu
+  JOIN l{n_iter} la ON la.node = eu.a
+  JOIN l{n_iter} lb ON lb.node = eu.b
+), intra AS (
+  SELECT ca AS c, CAST(count(*) AS BIGINT) AS e_c
+  FROM tg WHERE ca = cb GROUP BY 1
+), deg AS (
+  SELECT c, CAST(count(*) AS BIGINT) AS d_c
+  FROM (SELECT ca AS c FROM tg UNION ALL SELECT cb AS c FROM tg)
+  GROUP BY 1
+), per AS (
+  SELECT deg.c, CAST(coalesce(intra.e_c, 0) AS BIGINT) AS e_c, deg.d_c
+  FROM deg LEFT JOIN intra ON intra.c = deg.c
+), mm AS (
+  SELECT CAST(count(*) AS DOUBLE) AS m, CAST(count(*) AS BIGINT) AS mi
+  FROM eu
+), nn AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM l{n_iter}
+)
+SELECT (SELECT n FROM nn) AS n_nodes,
+  CAST(count(*) AS BIGINT) AS n_comms,
+  (SELECT mi FROM mm) AS m_edges,
+  round(list_aggregate(list(
+    CAST(e_c AS DOUBLE) / (SELECT m FROM mm)
+    - (CAST(d_c AS DOUBLE) / (2.0 * (SELECT m FROM mm)))
+      * (CAST(d_c AS DOUBLE) / (2.0 * (SELECT m FROM mm)))
+    ORDER BY c), 'sum'), 6) AS q_r
+FROM per
+"""
 
 
 def _domain_split_oracle() -> str:
@@ -12282,6 +12369,62 @@ WITH keys_ AS (
 SELECT s.file, s.key_min, s.key_max, ov.n_overlaps,
   ov.n_overlaps > 3 AS compact
 FROM stats s JOIN ov ON ov.file = s.file
+""",
+        # q251: q154's LPA CTE chain + Newman Q
+        "q251_modularity": _modularity_oracle(LPA_ITERS),
+        # q252: mixing cells + marginals + trace formula over the
+        # arithmetic edge derivation (multiplicity preserved)
+        "q252_lang_homophily": f"""
+WITH ks AS (
+  SELECT doc_id, unnest([1, 2, 3]) AS k FROM documents
+), e0 AS (
+  SELECT 'h' || CAST(doc_id % {GRAPH_HOSTS} AS VARCHAR) || '.com' AS s,
+         'h' || CAST((doc_id * 7 + k) % {GRAPH_HOSTS} AS VARCHAR)
+           || '.com' AS d
+  FROM ks
+), at AS (
+  SELECT DISTINCT
+    'h' || CAST(doc_id % {GRAPH_HOSTS} AS VARCHAR) || '.com' AS node,
+    'l' || CAST((doc_id % {GRAPH_HOSTS}) % 4 AS VARCHAR) AS attr
+  FROM documents
+), e AS (
+  SELECT sa.attr AS x, da.attr AS y
+  FROM e0 JOIN at sa ON sa.node = e0.s JOIN at da ON da.node = e0.d
+), cells AS (
+  SELECT x, y, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1, 2
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS ne FROM cells
+), diag AS (
+  SELECT CAST(coalesce(sum(CASE WHEN x = y THEN n END), 0) AS BIGINT) AS d
+  FROM cells
+), outs AS (
+  SELECT x AS a, CAST(sum(n) AS BIGINT) AS o FROM cells GROUP BY 1
+), ins AS (
+  SELECT y AS a, CAST(sum(n) AS BIGINT) AS i FROM cells GROUP BY 1
+), marg AS (
+  SELECT coalesce(outs.a, ins.a) AS a,
+    CAST(coalesce(o, 0) AS BIGINT) AS o,
+    CAST(coalesce(i, 0) AS BIGINT) AS i
+  FROM outs FULL JOIN ins ON outs.a = ins.a
+), mp AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_attrs,
+    sum(CAST(o AS HUGEINT) * CAST(i AS HUGEINT)) AS ab
+  FROM marg
+)
+SELECT (SELECT ne FROM tot) AS n_edges,
+  (SELECT n_attrs FROM mp) AS n_attrs,
+  CASE WHEN 1.0 - CAST((SELECT ab FROM mp) AS DOUBLE)
+         / (CAST((SELECT ne FROM tot) AS DOUBLE)
+            * CAST((SELECT ne FROM tot) AS DOUBLE)) <> 0 THEN
+    round((CAST((SELECT d FROM diag) AS DOUBLE)
+             / CAST((SELECT ne FROM tot) AS DOUBLE)
+           - CAST((SELECT ab FROM mp) AS DOUBLE)
+             / (CAST((SELECT ne FROM tot) AS DOUBLE)
+                * CAST((SELECT ne FROM tot) AS DOUBLE)))
+          / (1.0 - CAST((SELECT ab FROM mp) AS DOUBLE)
+             / (CAST((SELECT ne FROM tot) AS DOUBLE)
+                * CAST((SELECT ne FROM tot) AS DOUBLE))), 6)
+  END AS r_r
 """,
         # q167: Elias gamma/delta gap costs via bin() lengths (no log2)
         "q167_adjacency_bits": f"""

@@ -1626,3 +1626,164 @@ def graph_datasheet(
             F.round(num / F.sqrt(varj * vark), 6),
         ).alias("assortativity_r"),
     )
+
+
+def modularity(
+    edges: DataFrame,
+    communities: DataFrame,
+    src: str = "src_dom",
+    dst: str = "dst_dom",
+    node_col: str = "node",
+    comm_col: str = "community",
+) -> DataFrame:
+    """Newman modularity Q of a partition over the UNDIRECTED host
+    graph: ONE row (n_nodes, n_comms, m_edges, q_r).
+
+        Q = sum_c ( e_c/m - (d_c/2m)^2 )
+
+    with e_c the intra-community edge count, d_c the community degree
+    sum, m the undirected edge count. The EVALUATION closing q154's
+    loop: LPA emits a partition, Q says whether it beats chance
+    (Q ~ 0 random, 0.3+ real structure) — the number that gates
+    swapping a new community map into the politeness/sharding config.
+    Edges are symmetrized+deduped exactly like label_propagation, so
+    the two operators agree on the graph. Per-community sums are
+    exact longs from two groupBys; the Q fold runs community-sorted
+    (bounded by n_comms).
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+    )
+    lab = communities.select(
+        F.col(node_col).alias("_n"), F.col(comm_col).alias("_c")
+    )
+    la = lab.select(F.col("_n").alias("a"), F.col("_c").alias("ca"))
+    lb = lab.select(F.col("_n").alias("b"), F.col("_c").alias("cb"))
+    tagged = e.join(la, "a").join(lb, "b")
+    intra = (
+        tagged.filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("_c"))
+        .agg(F.count(F.lit(1)).cast("long").alias("e_c"))
+    )
+    deg = (
+        tagged.select(F.col("a").alias("_n"), F.col("ca").alias("_c"))
+        .unionByName(
+            tagged.select(F.col("b").alias("_n"), F.col("cb").alias("_c"))
+        )
+        .groupBy("_c")
+        .agg(F.count(F.lit(1)).cast("long").alias("d_c"))
+    )
+    per = deg.join(intra, "_c", "left").withColumn(
+        "e_c", F.coalesce("e_c", F.lit(0))
+    )
+    m = e.count()
+    n_nodes = lab.count()
+    packed = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_comms"),
+        F.array_sort(
+            F.collect_list(F.struct("_c", "e_c", "d_c"))
+        ).alias("arr"),
+    )
+    md = float(m)
+    q = F.aggregate(
+        "arr",
+        F.lit(0.0),
+        lambda acc, s: acc
+        + (
+            s["e_c"].cast("double") / F.lit(md)
+            - (s["d_c"].cast("double") / F.lit(2.0 * md))
+            * (s["d_c"].cast("double") / F.lit(2.0 * md))
+        ),
+    )
+    return packed.select(
+        F.lit(n_nodes).cast("long").alias("n_nodes"),
+        "n_comms",
+        F.lit(m).cast("long").alias("m_edges"),
+        F.round(q, 6).alias("q_r"),
+    )
+
+
+def attribute_assortativity(
+    edges: DataFrame,
+    attrs: DataFrame,
+    src: str = "src_dom",
+    dst: str = "dst_dom",
+    node_col: str = "node",
+    attr_col: str = "attr",
+) -> DataFrame:
+    """Newman categorical assortativity (PRE 67, 2003) of a node
+    attribute over directed edges: ONE row (n_edges, n_attrs, r_r).
+
+        r = (sum_i e_ii - sum_i a_i*b_i) / (1 - sum_i a_i*b_i)
+
+    over the edge mixing matrix (e_ij = fraction of edges from
+    attr i to attr j; a_i, b_i its marginals). Language homophily of
+    the link graph in one number — do pages link within their
+    language (r -> 1), at random (r ~ 0), or across (r < 0)? The
+    categorical sibling of q192's degree assortativity; prices how
+    well per-language crawl sharding will localize traffic. Bounded
+    attr x attr cells; marginal products fold attr-sorted; exact
+    longs until the final ratios. NULL r when the denominator is 0
+    (all edges in one attribute class)."""
+    lab = attrs.select(
+        F.col(node_col).alias("_n"), F.col(attr_col).alias("_a")
+    )
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .join(lab.select(F.col("_n").alias("s"), F.col("_a").alias("sa")), "s")
+        .join(lab.select(F.col("_n").alias("d"), F.col("_a").alias("da")), "d")
+    )
+    cells = e.groupBy("sa", "da").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    packed = cells.agg(
+        F.sum("n").cast("long").alias("n_edges"),
+        F.array_sort(F.collect_list(F.struct("sa", "da", "n"))).alias("arr"),
+    )
+    diag = F.aggregate(
+        "arr",
+        F.lit(0).cast("long"),
+        lambda acc, s: acc + F.when(s["sa"] == s["da"], s["n"]).otherwise(0),
+    )
+    # marginals as maps folded attr-sorted: sum_i a_i*b_i needs the
+    # per-attr out/in totals; build them as two bounded groupBys
+    outs = cells.groupBy(F.col("sa").alias("_x")).agg(
+        F.sum("n").cast("long").alias("o")
+    )
+    ins = cells.groupBy(F.col("da").alias("_x")).agg(
+        F.sum("n").cast("long").alias("i")
+    )
+    marg = outs.join(ins, "_x", "full").select(
+        "_x",
+        F.coalesce("o", F.lit(0)).alias("o"),
+        F.coalesce("i", F.lit(0)).alias("i"),
+    )
+    mp = marg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_attrs"),
+        F.array_sort(F.collect_list(F.struct("_x", "o", "i"))).alias("ma"),
+    )
+    ab = F.aggregate(
+        "ma",
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, s: acc
+        + s["o"].cast("decimal(38,0)") * s["i"].cast("decimal(38,0)"),
+    )
+    joined = packed.withColumn("_diag", diag).crossJoin(
+        F.broadcast(mp.withColumn("_ab", ab).select("n_attrs", "_ab"))
+    )
+    ne = F.col("n_edges").cast("double")
+    tr = F.col("_diag").cast("double") / ne
+    sab = F.col("_ab").cast("double") / (ne * ne)
+    return joined.select(
+        "n_edges",
+        "n_attrs",
+        F.when(
+            F.lit(1.0) - sab != 0,
+            F.round((tr - sab) / (F.lit(1.0) - sab), 6),
+        ).alias("r_r"),
+    )

@@ -1098,3 +1098,108 @@ def test_datasheet_partition_invariant(spark):
     a = graph_datasheet(e.repartition(1), src="s", dst="d").collect()[0]
     b = graph_datasheet(e.repartition(7), src="s", dst="d").collect()[0]
     assert a == b
+
+
+# --- modularity ---------------------------------------------------------------------
+
+
+def test_modularity_two_cliques(spark):
+    from stock_crawler_spark.operators.graph import modularity
+
+    # two 4-cliques joined by one bridge: strong community structure
+    edges = []
+    for base in (0, 4):
+        for i in range(4):
+            for j in range(i + 1, 4):
+                edges.append(("n%d" % (base + i), "n%d" % (base + j)))
+    edges.append(("n0", "n4"))
+    e = spark.createDataFrame(edges, "src_dom string, dst_dom string")
+    comm = spark.createDataFrame(
+        [("n%d" % i, "c%d" % (i // 4)) for i in range(8)],
+        "node string, community string",
+    )
+    r = modularity(e, comm).collect()[0]
+    # m=13, intra per clique 6, degrees: c0 = 13, c1 = 13
+    want = 2 * (6 / 13 - (13 / 26) ** 2)
+    assert r["q_r"] == round(want, 6)
+    assert (r["n_nodes"], r["n_comms"], r["m_edges"]) == (8, 2, 13)
+    # the all-one-community partition scores 0
+    one = spark.createDataFrame(
+        [("n%d" % i, "all") for i in range(8)], "node string, community string"
+    )
+    assert modularity(e, one).collect()[0]["q_r"] == 0.0
+
+
+def test_modularity_beats_random_partition(spark):
+    from stock_crawler_spark.operators.graph import modularity
+
+    edges = [("a%d" % i, "a%d" % ((i + 1) % 6)) for i in range(6)]
+    edges += [("b%d" % i, "b%d" % ((i + 1) % 6)) for i in range(6)]
+    edges += [("a0", "b0")]
+    e = spark.createDataFrame(edges, "src_dom string, dst_dom string")
+    good = spark.createDataFrame(
+        [("a%d" % i, "A") for i in range(6)] + [("b%d" % i, "B") for i in range(6)],
+        "node string, community string",
+    )
+    bad = spark.createDataFrame(
+        [("a%d" % i, "X" if i % 2 else "Y") for i in range(6)]
+        + [("b%d" % i, "X" if i % 2 else "Y") for i in range(6)],
+        "node string, community string",
+    )
+    qg = modularity(e, good).collect()[0]["q_r"]
+    qb = modularity(e, bad).collect()[0]["q_r"]
+    assert qg > 0.3 and qg > qb
+
+
+# --- attribute assortativity --------------------------------------------------------
+
+
+def test_attribute_assortativity_extremes(spark):
+    from stock_crawler_spark.operators.graph import attribute_assortativity
+
+    attrs = spark.createDataFrame(
+        [("n%d" % i, "en" if i < 4 else "fr") for i in range(8)],
+        "node string, attr string",
+    )
+    # perfectly homophilous: links stay within language
+    homo = [("n%d" % i, "n%d" % ((i + 1) % 4)) for i in range(4)]
+    homo += [("n%d" % (4 + i), "n%d" % (4 + (i + 1) % 4)) for i in range(4)]
+    e1 = spark.createDataFrame(homo, "src_dom string, dst_dom string")
+    r1 = attribute_assortativity(e1, attrs).collect()[0]
+    assert r1["r_r"] == 1.0
+    # perfectly heterophilous: every link crosses
+    hetero = [("n%d" % i, "n%d" % (4 + i)) for i in range(4)]
+    hetero += [("n%d" % (4 + i), "n%d" % i) for i in range(4)]
+    e2 = spark.createDataFrame(hetero, "src_dom string, dst_dom string")
+    r2 = attribute_assortativity(e2, attrs).collect()[0]
+    assert r2["r_r"] < 0
+    # single class -> denominator 0 -> NULL
+    mono = spark.createDataFrame(
+        [("n0", "n1"), ("n1", "n2")], "src_dom string, dst_dom string"
+    )
+    allen = spark.createDataFrame(
+        [("n%d" % i, "en") for i in range(3)], "node string, attr string"
+    )
+    assert attribute_assortativity(mono, allen).collect()[0]["r_r"] is None
+
+
+def test_graph_metrics_partition_invariance(spark):
+    from stock_crawler_spark.operators.graph import (
+        attribute_assortativity,
+        modularity,
+    )
+
+    edges = [("h%d" % (i % 20), "h%d" % ((i * 7) % 20)) for i in range(200)
+             if i % 20 != (i * 7) % 20]
+    e = spark.createDataFrame(edges, "src_dom string, dst_dom string")
+    comm = spark.createDataFrame(
+        [("h%d" % i, "c%d" % (i % 4)) for i in range(20)],
+        "node string, community string",
+    )
+    attrs = comm.withColumnRenamed("community", "attr")
+    a1 = tuple(modularity(e.repartition(1), comm).collect()[0])
+    b1 = tuple(modularity(e.repartition(13, "dst_dom"), comm).collect()[0])
+    assert a1 == b1
+    a2 = tuple(attribute_assortativity(e.repartition(1), attrs).collect()[0])
+    b2 = tuple(attribute_assortativity(e.repartition(7, "src_dom"), attrs).collect()[0])
+    assert a2 == b2
