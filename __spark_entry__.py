@@ -2445,6 +2445,31 @@ def q252_lang_homophily(spark, sf):
     return attribute_assortativity(edges, attrs)
 
 
+SALT_TARGET = 1000
+
+
+def q253_salt_advisor(spark, sf):
+    """Per-hot-key salting plan (operators/profile.salt_advisor): the
+    REMEDY table q123's skew profile motivates — keys over the
+    per-task row target get salt = ceil(n/target) subkeys; broadcast
+    the plan, explode the build side by salt range, hash-salt the
+    probe side, and only listed keys pay any fan-out (the engine's
+    own salted dequeue shape). Planted hot key at ~1/3 of the event
+    stream; integral-div ceil; oracle is GROUP BY + HAVING
+    arithmetic."""
+    from stock_crawler_spark.operators.profile import salt_advisor
+
+    ev = _t(spark, sf, "events")
+    keys = ev.select(
+        F.when(F.col("event_id") % 3 == 0, F.lit("hot"))
+        .otherwise(
+            F.concat(F.lit("k"), (F.col("event_id") % 37).cast("string"))
+        )
+        .alias("k")
+    )
+    return salt_advisor(keys, "k", target_rows=SALT_TARGET)
+
+
 def _secrets_augmented_text():
     sid = F.col("doc_id")
     return F.concat(
@@ -6441,6 +6466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q250_compaction_plan": q250_compaction_plan,
         "q251_modularity": q251_modularity,
         "q252_lang_homophily": q252_lang_homophily,
+        "q253_salt_advisor": q253_salt_advisor,
     }
 
 
@@ -12425,6 +12451,22 @@ SELECT (SELECT ne FROM tot) AS n_edges,
              / (CAST((SELECT ne FROM tot) AS DOUBLE)
                 * CAST((SELECT ne FROM tot) AS DOUBLE))), 6)
   END AS r_r
+""",
+        # q253: GROUP BY + HAVING + integral-ceil salting plan
+        "q253_salt_advisor": f"""
+WITH keys_ AS (
+  SELECT CASE WHEN event_id % 3 = 0 THEN 'hot'
+              ELSE 'k' || CAST(event_id % 37 AS VARCHAR) END AS k
+  FROM events
+), counts AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n FROM keys_ GROUP BY 1
+)
+SELECT k, n,
+  CAST((n + {SALT_TARGET} - 1) // {SALT_TARGET} AS BIGINT) AS salt,
+  round(CAST(n AS DOUBLE)
+        / CAST((n + {SALT_TARGET} - 1) // {SALT_TARGET} AS DOUBLE), 6)
+    AS rows_per_task_r
+FROM counts WHERE n > {SALT_TARGET}
 """,
         # q167: Elias gamma/delta gap costs via bin() lengths (no log2)
         "q167_adjacency_bits": f"""

@@ -1184,3 +1184,41 @@ def knee_point(
         F.when(ok, F.col("_v.by")).alias("knee_y"),
         F.when(ok, F.round(F.col("_v.bd"), 6)).alias("dist_r"),
     )
+
+
+def salt_advisor(
+    df: DataFrame,
+    key_col: str,
+    target_rows: int = 1_000_000,
+) -> DataFrame:
+    """Per-hot-key salting plan: (key, n, salt, rows_per_task_r) for
+    every key whose row count exceeds ``target_rows`` — the REMEDY
+    table that skew_profile's Gini/top-share diagnosis motivates.
+
+    A join/groupBy key with n rows lands n rows in one task; salting
+    splits it into salt = ceil(n/target) subkeys (key, 0..salt-1) so
+    no task exceeds ~target. The plan is per-key DATA, not a global
+    config: broadcast it, explode the build side by its salt range,
+    salt the probe side by hash%salt — only the listed keys pay any
+    fan-out, the long tail joins untouched (the engine's own salted
+    dequeue uses exactly this shape, frontier.py). Integral-div ceil;
+    one map-side groupBy; output bounded by the hot-key count (rows/
+    target at worst).
+    """
+    if target_rows < 1:
+        raise ValueError("target_rows must be >= 1")
+    counts = df.groupBy(F.col(key_col).cast("string").alias(key_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    salt = F.expr(f"(n + {target_rows} - 1) div {target_rows}").cast("long")
+    return (
+        counts.filter(F.col("n") > target_rows)
+        .select(
+            key_col,
+            "n",
+            salt.alias("salt"),
+            F.round(
+                F.col("n").cast("double") / salt.cast("double"), 6
+            ).alias("rows_per_task_r"),
+        )
+    )

@@ -576,3 +576,33 @@ def test_knee_point_partition_invariance(spark):
     a = tuple(knee_point(df.repartition(1)).collect()[0])
     b = tuple(knee_point(df.repartition(7, "y")).collect()[0])
     assert a == b
+
+
+# --- salting advisor ----------------------------------------------------------------
+
+
+def test_salt_advisor_plan(spark):
+    import pytest as _pt
+    from stock_crawler_spark.operators.profile import salt_advisor
+
+    rows = [("hot",)] * 2500 + [("warm",)] * 1001 + [("cold",)] * 900
+    df = spark.createDataFrame(rows, "k string")
+    got = {r["k"]: r for r in salt_advisor(df, "k", target_rows=1000).collect()}
+    assert set(got) == {"hot", "warm"}  # cold stays untouched
+    assert got["hot"]["salt"] == 3 and got["hot"]["rows_per_task_r"] <= 1000
+    assert got["warm"]["salt"] == 2
+    # every salted key lands under target per task
+    for r in got.values():
+        assert r["rows_per_task_r"] <= 1000
+    with _pt.raises(ValueError):
+        salt_advisor(df, "k", target_rows=0)
+
+
+def test_salt_advisor_partition_invariance(spark):
+    from stock_crawler_spark.operators.profile import salt_advisor
+
+    rows = [("k%d" % (i % 5),) for i in range(5000)]
+    df = spark.createDataFrame(rows, "k string")
+    a = sorted(map(tuple, salt_advisor(df.repartition(1), "k", 300).collect()))
+    b = sorted(map(tuple, salt_advisor(df.repartition(13), "k", 300).collect()))
+    assert a == b and len(a) == 5
