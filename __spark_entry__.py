@@ -2470,6 +2470,22 @@ def q253_salt_advisor(spark, sf):
     return salt_advisor(keys, "k", target_rows=SALT_TARGET)
 
 
+def q254_chunk_richness(spark, sf):
+    """Chunk-universe richness (q238's Chao1 over q234's CDC chunk
+    fingerprints): how many distinct storage chunks EXIST beyond what
+    this snapshot stored, and Good's coverage of the chunk space — the
+    dedup-store capacity forecast (low coverage = the next snapshot
+    will mostly miss the store; chao1/d_observed = the growth
+    multiplier to provision for). Pure composition of two gated
+    operators; the oracle chains their two replays."""
+    from stock_crawler_spark.operators.cdc import chunk_table
+    from stock_crawler_spark.operators.estimate import chao1_richness
+
+    docs = _t(spark, sf, "documents")
+    fps = chunk_table(docs).select(F.col("fp").alias("token"))
+    return chao1_richness(fps)
+
+
 def _secrets_augmented_text():
     sid = F.col("doc_id")
     return F.concat(
@@ -6467,6 +6483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q251_modularity": q251_modularity,
         "q252_lang_homophily": q252_lang_homophily,
         "q253_salt_advisor": q253_salt_advisor,
+        "q254_chunk_richness": q254_chunk_richness,
     }
 
 
@@ -12467,6 +12484,44 @@ SELECT k, n,
         / CAST((n + {SALT_TARGET} - 1) // {SALT_TARGET} AS DOUBLE), 6)
     AS rows_per_task_r
 FROM counts WHERE n > {SALT_TARGET}
+""",
+        # q254: q234's chunk chain -> q238's Chao1 rollup
+        "q254_chunk_richness": """
+WITH d AS (
+  SELECT doc_id, text, length(text) AS L
+  FROM documents WHERE length(text) > 0
+), pos AS (
+  SELECT doc_id, text, L, unnest(range(8, L + 1)) AS i FROM d
+), cuts AS (
+  SELECT doc_id, i FROM pos
+  WHERE ('0x' || substr(md5(substr(text, i - 7, 8)), 1, 15))::BIGINT
+        % 64 = 0
+), bounds AS (
+  SELECT doc_id, i FROM cuts
+  UNION
+  SELECT doc_id, L AS i FROM d
+), spans AS (
+  SELECT doc_id, i,
+    coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0) AS p
+  FROM bounds
+), fps AS (
+  SELECT substr(md5(substr(dd.text, s.p + 1, s.i - s.p)), 1, 15) AS t
+  FROM spans s JOIN d dd ON dd.doc_id = s.doc_id
+), freqs AS (
+  SELECT t, count(*) AS c FROM fps GROUP BY 1
+), agg AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_obs,
+    CAST(count(*) AS BIGINT) AS d_observed,
+    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+  FROM freqs
+)
+SELECT n_obs, d_observed, f1, f2,
+  round(CAST(d_observed AS DOUBLE)
+        + CAST(f1 AS DOUBLE) * (CAST(f1 AS DOUBLE) - 1.0)
+          / (2.0 * (CAST(f2 AS DOUBLE) + 1.0)), 6) AS chao1_r,
+  round(1.0 - CAST(f1 AS DOUBLE) / CAST(n_obs AS DOUBLE), 6) AS coverage_r
+FROM agg
 """,
         # q167: Elias gamma/delta gap costs via bin() lengths (no log2)
         "q167_adjacency_bits": f"""
