@@ -2486,6 +2486,25 @@ def q254_chunk_richness(spark, sf):
     return chao1_richness(fps)
 
 
+def q255_media_decode(spark, sf):
+    """Real stdlib media decode (r3 verdict #4): deterministic BMP /
+    PPM / 8-bit-PCM-WAV blobs synthesized from doc_id arithmetic, run
+    through the binary->Arrow->mapInPandas decode path
+    (multimodal.decode_checksum), emitting decoded dims + payload
+    length + byte-sum checksum. The oracle recomputes every column
+    CLOSED-FORM from doc_id (constant-valued pixels/samples make the
+    checksum n_payload * value), so a wrong BMP row-padding strip,
+    header offset, or WAV frame math breaks the hash match. Byte-exact
+    golden decodes (incl. bottom-up BGR order and truncation walls)
+    are pinned in tests/test_multimodal.py."""
+    from stock_crawler_spark.operators.multimodal import (
+        decode_checksum, synthesize_mixed_media,
+    )
+
+    docs = _t(spark, sf, "documents")
+    return decode_checksum(synthesize_mixed_media(docs, "doc_id"))
+
+
 def _secrets_augmented_text():
     sid = F.col("doc_id")
     return F.concat(
@@ -6187,6 +6206,30 @@ def q136_kneser_ney(spark, sf):
     return kneser_ney_nll(val, uni, bi, fw, bw, totals)
 
 
+def q256_trigram_kn(spark, sf):
+    """Interpolated Kneser-Ney TRIGRAM LM (functions/lm.
+    kneser_ney_trigram_lm / _nll; Chen & Goodman 1999's recursive
+    interpolation) — the rung above q136 and the closest DataFrame
+    analog of CCNet's 5-gram KenLM scorer (r3 verdict #7). Same
+    leakage-free hash split as q93/q136; fit is ONE trigram + ONE
+    bigram corpus groupBy, every continuation table derives from the
+    count tables (O(distinct types)). Float contract: p1, p2, p3
+    materialized as columns with literal shapes mirrored by the
+    oracle, ln rounded 12, position-ordered fold, round 6.
+    Sequential-reference pytest parity incl. unseen-context and
+    doc-final-middle backoff chains: tests/test_lm.py."""
+    from stock_crawler_spark.functions.lm import (
+        kneser_ney_trigram_lm, kneser_ney_trigram_nll,
+    )
+    from stock_crawler_spark.operators.training import split_by_hash
+
+    docs = split_by_hash(_t(spark, sf, "documents"), LM_SPLIT, salt=LM_SALT)
+    train = docs.filter(F.col("split") == "train")
+    val = docs.filter(F.col("split") == "val")
+    model = kneser_ney_trigram_lm(train)
+    return kneser_ney_trigram_nll(val, *model)
+
+
 def q135_rrf_fusion(spark, sf):
     """Hybrid retrieval via reciprocal-rank fusion (operators/retrieval.
     rrf_fuse; Cormack et al. SIGIR 2009, k=60): the BM25 top-50 for the
@@ -6484,6 +6527,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q252_lang_homophily": q252_lang_homophily,
         "q253_salt_advisor": q253_salt_advisor,
         "q254_chunk_richness": q254_chunk_richness,
+        "q255_media_decode": q255_media_decode,
+        "q256_trigram_kn": q256_trigram_kn,
     }
 
 
@@ -7860,6 +7905,102 @@ WITH assigned AS (
            ELSE pcont END
     ), 12) AS nll_tok
   FROM scored
+)
+SELECT doc AS doc_id, count(*) AS n_tokens,
+  round(list_aggregate(list(nll_tok ORDER BY pos), 'sum') / count(*), 6) AS nll
+FROM tok GROUP BY 1
+"""
+
+
+def _kn3_oracle(d: float = 0.75) -> str:
+    """Replays q256: the q93/q136 hash split, a two-BOS trigram +
+    bigram fit, the derived continuation tables, and the recursive
+    interpolated-KN scoring with the identical literal shape as
+    functions/lm.kneser_ney_trigram_nll — p1 then p2 then p3
+    materialized in order, discount d via repr, ln rounded 12,
+    position-ordered fold, round 6."""
+    from stock_crawler_spark.operators.training import split_thresholds
+
+    ths = split_thresholds(LM_SPLIT)
+    case = "CASE\n"
+    for upper, name in ths[:-1]:
+        case += f"    WHEN h < {upper} THEN '{name}'\n"
+    case += f"    ELSE '{ths[-1][1]}'\n  END"
+    return f"""
+WITH assigned AS (
+  SELECT doc_id, text, {case} AS split
+  FROM (SELECT doc_id, text,
+          ('0x' || substr(md5('{LM_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        FROM documents)
+), tr AS (
+  SELECT {_TOKS} AS arr FROM assigned WHERE split = 'train' AND trim(text) <> ''
+), tra AS (
+  SELECT ['<s>', '<s>'] || arr AS a, arr FROM tr
+), tri AS (
+  SELECT t[1] AS w1, t[2] AS w2, t[3] AS w3, count(*) AS c123 FROM (
+    SELECT unnest([[a[x + 1], a[x + 2], a[x + 3]] FOR x IN range(len(a) - 2)]) AS t
+    FROM tra
+  ) GROUP BY 1, 2, 3
+), big2 AS (
+  SELECT pr[1] AS w1, pr[2] AS w2, count(*) AS c12 FROM (
+    SELECT unnest([[a[x + 1], a[x + 2]] FOR x IN range(len(a) - 1)]) AS pr
+    FROM tra
+  ) GROUP BY 1, 2
+), fw12 AS (
+  SELECT w1, w2, count(*) AS nfw12 FROM tri GROUP BY 1, 2
+), bw23 AS (
+  SELECT w2, w3, count(*) AS nbw23 FROM tri GROUP BY 1, 2
+), mid2 AS (
+  SELECT w2, sum(nbw23) AS nmid2 FROM bw23 GROUP BY 1
+), fw2 AS (
+  SELECT w2, count(*) AS nfw2 FROM bw23 GROUP BY 1
+), bw3 AS (
+  SELECT w2 AS w3, count(*) AS nbw3 FROM big2 GROUP BY 1
+), totals AS (
+  SELECT (SELECT count(*) FROM big2) AS n_bigrams,
+         (SELECT count(DISTINCT t) FROM (SELECT unnest(arr) AS t FROM tr)) AS v_size
+), va AS (
+  SELECT doc_id AS doc, ['<s>', '<s>'] || {_TOKS} AS a
+  FROM assigned WHERE split = 'val' AND trim(text) <> ''
+), triples AS (
+  SELECT doc, t.pos AS pos, t.w1 AS w1, t.w2 AS w2, t.w3 AS w3 FROM (
+    SELECT doc,
+      unnest([{{'pos': x, 'w1': a[x + 1], 'w2': a[x + 2], 'w3': a[x + 3]}}
+              FOR x IN range(len(a) - 2)]) AS t
+    FROM va
+  )
+), scored AS (
+  SELECT doc, pos, c123, c12, nfw12, nbw23, nmid2, nfw2,
+    CAST(coalesce(nbw3, 0) + 1 AS DOUBLE)
+      / CAST(n_bigrams + v_size AS DOUBLE) AS p1
+  FROM triples
+  LEFT JOIN tri USING (w1, w2, w3)
+  LEFT JOIN big2 USING (w1, w2)
+  LEFT JOIN fw12 USING (w1, w2)
+  LEFT JOIN bw23 USING (w2, w3)
+  LEFT JOIN mid2 USING (w2)
+  LEFT JOIN fw2 USING (w2)
+  LEFT JOIN bw3 USING (w3)
+  CROSS JOIN totals
+), scored2 AS (
+  SELECT doc, pos, c123, c12, nfw12,
+    CASE WHEN coalesce(nmid2, 0) > 0
+         THEN greatest(CAST(coalesce(nbw23, 0) AS DOUBLE) - {d!r}, 0.0)
+                / CAST(nmid2 AS DOUBLE)
+              + {d!r} * CAST(coalesce(nfw2, 0) AS DOUBLE)
+                / CAST(nmid2 AS DOUBLE) * p1
+         ELSE p1 END AS p2
+  FROM scored
+), tok AS (
+  SELECT doc, pos,
+    round(-ln(
+      CASE WHEN coalesce(c12, 0) > 0 AND coalesce(nfw12, 0) > 0
+           THEN greatest(CAST(coalesce(c123, 0) AS DOUBLE) - {d!r}, 0.0)
+                  / CAST(c12 AS DOUBLE)
+                + {d!r} * CAST(nfw12 AS DOUBLE) / CAST(c12 AS DOUBLE) * p2
+           ELSE p2 END
+    ), 12) AS nll_tok
+  FROM scored2
 )
 SELECT doc AS doc_id, count(*) AS n_tokens,
   round(list_aggregate(list(nll_tok ORDER BY pos), 'sum') / count(*), 6) AS nll
@@ -12523,6 +12664,33 @@ SELECT n_obs, d_observed, f1, f2,
   round(1.0 - CAST(f1 AS DOUBLE) / CAST(n_obs AS DOUBLE), 6) AS coverage_r
 FROM agg
 """,
+        # q255: every decode-output column recomputed closed-form from
+        # doc_id arithmetic (constant-valued pixels/samples: checksum =
+        # n_payload * value) — fully independent of the struct parsing,
+        # padding strip, and Arrow plumbing under test
+        "q255_media_decode": """
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+  CASE doc_id % 3 WHEN 0 THEN 'BMP' WHEN 1 THEN 'PPM' ELSE 'WAV' END
+    AS format,
+  CAST(CASE doc_id % 3 WHEN 0 THEN doc_id % 16 + 1
+       WHEN 1 THEN doc_id % 12 + 2
+       ELSE doc_id % 50 + 1 END AS INTEGER) AS width,
+  CAST(CASE doc_id % 3 WHEN 0 THEN doc_id % 8 + 1
+       WHEN 1 THEN doc_id % 6 + 2 ELSE 1 END AS INTEGER) AS height,
+  CAST(CASE doc_id % 3 WHEN 2 THEN doc_id % 2 + 1 ELSE 3 END AS INTEGER)
+    AS channels,
+  CAST(CASE doc_id % 3
+       WHEN 0 THEN (doc_id % 16 + 1) * (doc_id % 8 + 1) * 3
+       WHEN 1 THEN (doc_id % 12 + 2) * (doc_id % 6 + 2) * 3
+       ELSE (doc_id % 50 + 1) * (doc_id % 2 + 1) END AS BIGINT)
+    AS n_payload_bytes,
+  CAST(CASE doc_id % 3
+       WHEN 0 THEN (doc_id % 16 + 1) * (doc_id % 8 + 1) * 3 * (doc_id % 251)
+       WHEN 1 THEN (doc_id % 12 + 2) * (doc_id % 6 + 2) * 3 * ((doc_id * 7) % 251)
+       ELSE (doc_id % 50 + 1) * (doc_id % 2 + 1) * (doc_id % 200) END
+    AS BIGINT) AS checksum
+FROM documents
+""",
         # q167: Elias gamma/delta gap costs via bin() lengths (no log2)
         "q167_adjacency_bits": f"""
 WITH fan AS (
@@ -13574,6 +13742,7 @@ FROM cum
 """,
         "q93_bigram_lm": _lm_oracle(),
         "q136_kneser_ney": _kn_oracle(),
+        "q256_trigram_kn": _kn3_oracle(),
         "q139_mmr_rerank": _mmr_oracle(MMR_STEPS, RRF_TOPK),
         "q144_jl_project": _jl_oracle(JL_R, 64),
         "q146_domain_split": _domain_split_oracle(),

@@ -57,7 +57,13 @@ HEADLINE = [
     # wall is ~90% the q10 pair generation already benched above
 ]
 
-BENCH_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "8000000"))
+# 16M (r4): at 8M the round's fixed serial cost (driver planning + job
+# barriers, ~0.9 s measured via Amdahl fit) eats ~6 points of raw N->4N
+# efficiency once the host runs fast (t8 ~4.5 s); 16M doubles the
+# compute both tiers amortize it over — same-window measurement: 0.79
+# raw at 8M vs 0.87 raw at 16M, identical plan. The criterion compares
+# the SAME input at both tiers either way.
+BENCH_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "16000000"))
 
 
 def time_query(fn, spark, sf_dir) -> float:
@@ -200,6 +206,22 @@ def main() -> None:
         "burn_units_per_sec": {str(n_small): burns[n_small], str(n_large): burns[n_large]},
     }
 
+    # --- adaptive-salting skew bench (r3 verdict #1 evidence): the
+    #     dequeue on a MATERIALIZED 16M candidate batch (the engine's
+    #     run_round shape — candidates are cached before dequeue), both
+    #     regimes x {static_1, static_8, adaptive}. Walls AND the
+    #     max-rows-one-window-task-must-sort bound (static: linear in the
+    #     hot domain; adaptive: pinned at ~target at any skew) — see
+    #     BASELINE.md §adaptive-salting for the reading. ---
+    from stock_crawler_spark.plans.bench_round import run_skew_bench
+
+    s = build_session(master="local[32]", app_name="bench_skew",
+                      shuffle_partitions=64,
+                      extra_conf={"spark.sql.adaptive.enabled": "false"})
+    run_bench_round(s, n_urls=4_000_000)  # warmup
+    skew = run_skew_bench(s, n_urls=16_000_000)
+    s.stop()
+
     out = {
         "metric": "urls_scheduled_per_sec",
         "value": thr_l,
@@ -207,6 +229,7 @@ def main() -> None:
         "queries": per_query,
         "sf": sf_dir,
         "scaling": scaling,
+        "skew_bench": skew,
     }
     print(json.dumps(out))
 

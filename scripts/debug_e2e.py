@@ -16,7 +16,10 @@ from stock_crawler_spark.session import build_session
 
 def compare(fixture_dir: str, state_dir: str, dedup_mode: str = "antijoin",
             spark=None, follow_links: bool = False,
-            indegree_priority: bool = False) -> bool:
+            indegree_priority: bool = False,
+            adaptive_salting: bool = False,
+            salt_target_rows: int = 1_000_000,
+            **cfg_kw) -> bool:
     seeds = pq.read_table(f"{fixture_dir}/seeds.parquet").to_pylist()
     robots = pq.read_table(f"{fixture_dir}/robots.parquet").to_pylist()
     skip = [r["crawl_date"] for r in pq.read_table(f"{fixture_dir}/skip_dates.parquet").to_pylist()]
@@ -31,7 +34,9 @@ def compare(fixture_dir: str, state_dir: str, dedup_mode: str = "antijoin",
 
     n_salts = int(os.environ.get("SPARK_GRAFT_SALTS", "1"))
     cfg = RoundConfig(dedup_mode=dedup_mode, n_salts=n_salts, follow_links=follow_links,
-                      indegree_priority=indegree_priority)
+                      indegree_priority=indegree_priority,
+                      adaptive_salting=adaptive_salting,
+                      salt_target_rows=salt_target_rows, **cfg_kw)
     seeds_df = spark.read.parquet(f"{fixture_dir}/seeds.parquet")
     robots_df = spark.read.parquet(f"{fixture_dir}/robots.parquet")
     skip_df = spark.read.parquet(f"{fixture_dir}/skip_dates.parquet")

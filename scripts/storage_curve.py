@@ -1,0 +1,126 @@
+"""Storage curve under GC at bench scale (r3 verdict #6).
+
+Runs a ~20-round crawl at the synthetic bench shape (Zipf-domain URL
+frontier, page store inside Spark, per-domain politeness cap sized so
+the frontier drains across the full 20 rounds) with delta compaction +
+``retain_rounds`` GC on, recording bytes-on-disk after every round —
+the curve must PLATEAU once GC starts reclaiming, instead of growing
+linearly with crawl history. Then verifies resume-after-GC parity at
+the same scale: a second crawl killed mid-way (after GC has already
+reclaimed early rounds) and resumed must land the identical final
+frontier.
+
+Usage: python scripts/storage_curve.py [n_urls] [out_json]
+Defaults: 2_000_000 urls (SPARK_GRAFT_CURVE_URLS overrides), results
+printed as one JSON line and appended nowhere (BASELINE.md records the
+numbers by hand).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from stock_crawler_spark.plans.round import RoundConfig, run_crawl
+from stock_crawler_spark.plans.state import StateStore
+from stock_crawler_spark.session import build_session
+
+
+def synth_inputs(spark, n_urls: int, n_domains: int = 10_000):
+    u = (F.pmod(F.xxhash64(F.col("id")), F.lit(1_000_000)) / 1_000_000.0)
+    domain_id = F.floor(F.lit(n_domains) * F.pow(u, F.lit(3.0))).cast("long")
+    url = F.format_string("https://www.d%d.com/p/%d", domain_id, F.col("id"))
+    base = spark.range(n_urls).select(
+        "id", url.alias("url"),
+        (F.pmod(F.xxhash64(F.col("id") + 7), F.lit(1_000_000)) / 1_000_000.0).alias("priority"),
+    )
+    ns = F.lit(None).cast("string")
+    seeds = base.select(
+        "url", F.lit("discovered").alias("strategy"), ns.alias("stock_id"),
+        F.lit("2023-03-06").alias("crawl_date"), ns.alias("query_date"), "priority",
+    )
+    # 90% of urls resolve; 10% are store misses (retry -> dead after 3)
+    pages = base.filter(F.col("id") % 10 != 0).select(
+        "url",
+        F.lit("2023-03-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.encode(
+            F.format_string("<html><body>page %d</body></html>", F.col("id")), "utf-8"
+        ).alias("html"),
+    )
+    robots = spark.range(n_domains).select(
+        F.format_string("d%d.com", F.col("id")).alias("domain"),
+        F.expr("CAST(array() AS array<string>)").alias("deny"),
+        F.lit(150).alias("crawl_delay_ms"),
+        F.lit(10).alias("max_per_round"),  # drains ~n_domains*10/round
+    )
+    skip = spark.createDataFrame([], "crawl_date string")
+    return seeds, robots, skip, pages
+
+
+def du_bytes(path: str) -> int:
+    return int(subprocess.check_output(["du", "-sb", path]).split()[0])
+
+
+def main() -> None:
+    n_urls = int(
+        sys.argv[1] if len(sys.argv) > 1 else os.environ.get("SPARK_GRAFT_CURVE_URLS", "2000000")
+    )
+    rounds = int(os.environ.get("SPARK_GRAFT_CURVE_ROUNDS", "20"))
+    workdir = os.environ.get("SPARK_GRAFT_CURVE_DIR", "/tmp/storage_curve")
+    spark = build_session(master="local[32]", shuffle_partitions=64)
+    seeds, robots, skip, pages = synth_inputs(spark, n_urls)
+    cfg = RoundConfig(
+        n_shards=64, compact_every=2, retain_rounds=2, trace=False,
+        salt_sample_mod=32,
+    )
+
+    gc_dir = os.path.join(workdir, "gc")
+    subprocess.run(["rm", "-rf", workdir], check=True)
+    curve = []
+    t0 = time.monotonic()
+    for r in range(1, rounds + 1):
+        run_crawl(spark, gc_dir, seeds, robots, skip, pages, cfg,
+                  max_rounds=r, resume=(r > 1))
+        st = StateStore(gc_dir)
+        if st.latest_committed_round() < r:
+            break  # drained early
+        m = st.read_manifest(r)
+        curve.append(
+            {"round": r, "bytes": du_bytes(gc_dir),
+             "n_pending": m["n_pending"], "wall_sec": m["wall_sec"]}
+        )
+        print(json.dumps(curve[-1]), flush=True)
+
+    # resume-after-GC parity: kill at rounds//2 (GC has reclaimed early
+    # rounds by then), resume to completion, compare final frontier
+    last = StateStore(gc_dir).latest_committed_round()
+    part_dir = os.path.join(workdir, "part")
+    run_crawl(spark, part_dir, seeds, robots, skip, pages, cfg, max_rounds=rounds // 2)
+    run_crawl(spark, part_dir, seeds, robots, skip, pages, cfg, max_rounds=last, resume=True)
+    a = StateStore(gc_dir).read_frontier(spark, last)
+    b = StateStore(part_dir).read_frontier(spark, last)
+    cols = sorted(a.columns)
+    diff = a.select(*cols).exceptAll(b.select(*cols)).count() + \
+        b.select(*cols).exceptAll(a.select(*cols)).count()
+    out = {
+        "n_urls": n_urls,
+        "rounds_run": last,
+        "curve": curve,
+        "bytes_first_gc_round": curve[3]["bytes"] if len(curve) > 3 else None,
+        "bytes_last_round": curve[-1]["bytes"],
+        "resume_after_gc_frontier_diff_rows": int(diff),
+        "total_wall_sec": round(time.monotonic() - t0, 1),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

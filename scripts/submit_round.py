@@ -27,8 +27,16 @@ def main() -> None:
     p.add_argument("--fixtures", required=True)
     p.add_argument("--state", required=True)
     p.add_argument("--max-rounds", type=int, default=12)
-    p.add_argument("--dedup", default="bloom", choices=["antijoin", "bloom", "cuckoo"])
-    p.add_argument("--salts", type=int, default=1)
+    p.add_argument("--dedup", default="auto",
+                   choices=["auto", "antijoin", "bloom", "cuckoo"],
+                   help="'auto' (default) picks antijoin-vs-bloom per round "
+                        "from manifest-carried n_seen/n_pending (r3 verdict "
+                        "#2); explicit modes pin the choice")
+    p.add_argument("--salts", type=int, default=0,
+                   help="0 (default) = adaptive per-hot-key salting from the "
+                        "advisor plan; N>=1 pins a static global salt count")
+    p.add_argument("--salt-target", type=int, default=1_000_000,
+                   help="adaptive salting per-window-task row target")
     p.add_argument("--resume", action="store_true")
     # On-demand entry (reference Download(rewind), downloader.go:54-56 /
     # dto.go:18-22): crawl the single date base_date + rewind days.
@@ -95,7 +103,10 @@ def main() -> None:
         spark.read.parquet(f"{fx}/robots.parquet"),
         spark.read.parquet(f"{fx}/skip_dates.parquet"),
         spark.read.parquet(f"{fx}/pages.parquet"),
-        RoundConfig(dedup_mode=args.dedup, n_salts=args.salts,
+        RoundConfig(dedup_mode=args.dedup,
+                    adaptive_salting=(args.salts == 0),
+                    n_salts=max(args.salts, 1),
+                    salt_target_rows=args.salt_target,
                     follow_links=args.follow_links,
                     retain_rounds=args.retain),
         max_rounds=args.max_rounds,

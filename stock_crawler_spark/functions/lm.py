@@ -261,6 +261,187 @@ def kneser_ney_nll(
     ).select(F.col("doc").alias(id_col), "n_tokens", "nll")
 
 
+# (pos, w1, w2, w3) structs over a column literally named `warr`
+# (two-BOS-prefixed, so every REAL token owns exactly one trigram)
+_TRIPLES_EXPR = (
+    "transform(slice(warr, 1, greatest(size(warr) - 2, 0)),"
+    " (x, i) -> struct(i AS pos, x AS w1, get(warr, i + 1) AS w2,"
+    " get(warr, i + 2) AS w3))"
+)
+
+
+def _bos2_arr(arr_col):
+    """Double-BOS-prefixed token array (trigram context for token 1)."""
+    return F.concat(F.array(F.lit(BOS), F.lit(BOS)), arr_col)
+
+
+def kneser_ney_trigram_lm(
+    train_docs: DataFrame, text_col: str = "text"
+):
+    """Fit an interpolated Kneser-Ney TRIGRAM model (Chen & Goodman
+    1999's recursive interpolated variant) — the rung above
+    `kneser_ney_lm` and the closest DataFrame analog of what KenLM
+    estimates for CCNet-style perplexity filters (r3 verdict #7):
+
+      p3(w3|w1w2) = max(c(w1w2w3)-D,0)/c(w1w2)
+                  + D * N1+(w1w2,*)/c(w1w2) * p2(w3|w2)   if c(w1w2)>0
+      p2(w3|w2)   = max(N1+(*,w2w3)-D,0)/N1+(*,w2,*)
+                  + D * N1+(w2,*)/N1+(*,w2,*) * p1(w3)    if N1+(*,w2,*)>0
+      p1(w3)      = (N1+(*,w3) + 1) / (B + V)
+
+    with two BOS tokens ``<s>`` opening every document (so token 1 has
+    a full trigram context), continuation counts N1+ taken over
+    trigram TYPES, N1+(*,w3) over bigram types from the same stream,
+    B = distinct bigrams of that stream and V the real-token
+    vocabulary. p1 keeps the repo's add-one continuation divergence
+    from textbook KN (documented at `kneser_ney_lm`) so held-out
+    tokens never hit p = 0; unseen contexts back off one level
+    outright (the discount mass is zero there).
+
+    Returns (tri, big2, fw12, bw23, mid2, fw2, bw3, totals):
+      tri  (w1,w2,w3,c)        trigram counts
+      big2 (w1,w2,c12)         bigram counts of the 2-BOS stream
+                               (doubles as the trigram context count:
+                               c(w1w2) sums c(w1w2w3) over w3 except
+                               at document ends, where the shortfall
+                               only shrinks the discount mass —
+                               mirrored exactly by oracle + twin)
+      fw12 (w1,w2,nfw12)       N1+(w1w2,*)
+      bw23 (w2,w3,nbw23)       N1+(*,w2w3)
+      mid2 (w2,nmid2)          N1+(*,w2,*) = sum_w3 N1+(*,w2w3)
+      fw2  (w2,nfw2)           N1+(w2,*) distinct w3 with middle w2
+      bw3  (w3,nbw3)           N1+(*,w3) at the bigram level
+      totals 1 row (n_bigrams, v_size, n_docs)
+
+    Scale shape: ONE corpus-scale trigram groupBy and one bigram
+    groupBy (both map-side-combine); every other table derives from
+    the trigram/bigram COUNT tables themselves (O(distinct types),
+    never a re-pass over the corpus)."""
+    docs = train_docs.filter(F.trim(F.col(text_col)) != "").select(
+        _tok_arr(text_col).alias("arr")
+    )
+    warr = docs.select(_bos2_arr(F.col("arr")).alias("warr"))
+    tri = (
+        warr.select(F.explode(F.expr(_TRIPLES_EXPR)).alias("t"))
+        .groupBy(
+            F.col("t.w1").alias("w1"),
+            F.col("t.w2").alias("w2"),
+            F.col("t.w3").alias("w3"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    big2 = (
+        warr.select(F.explode(F.expr(_PAIRS_EXPR)).alias("p"))
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    fw12 = tri.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("nfw12"))
+    bw23 = tri.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("nbw23"))
+    mid2 = bw23.groupBy("w2").agg(F.sum("nbw23").alias("nmid2"))
+    fw2 = bw23.groupBy("w2").agg(F.count(F.lit(1)).alias("nfw2"))
+    bw3 = big2.groupBy(F.col("w2").alias("w3")).agg(
+        F.count(F.lit(1)).alias("nbw3")
+    )
+    vocab = docs.select(F.explode("arr").alias("w")).agg(
+        F.count_distinct("w").alias("v_size")
+    )
+    totals = (
+        big2.agg(F.count(F.lit(1)).alias("n_bigrams"))
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(docs.agg(F.count(F.lit(1)).alias("n_docs"))))
+    )
+    return tri, big2, fw12, bw23, mid2, fw2, bw3, totals
+
+
+def kneser_ney_trigram_nll(
+    docs: DataFrame,
+    tri: DataFrame,
+    big2: DataFrame,
+    fw12: DataFrame,
+    bw23: DataFrame,
+    mid2: DataFrame,
+    fw2: DataFrame,
+    bw3: DataFrame,
+    totals: DataFrame,
+    d: float = KN_D,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score documents under a fitted trigram KN model: (id, n_tokens,
+    nll), nll = mean per-token negative log-likelihood. Join shape:
+    the per-token trigram table hash-joins each count table by its own
+    key (each probe row matches ≤1 build row — linear), 1-row totals
+    broadcast; float discipline identical to the bigram scorers (p1
+    then p2 then p3 materialized as their own columns with literal
+    shapes mirrored by the SQL oracle; ln rounded 12,
+    position-ordered fold, round 6)."""
+    triples = (
+        docs.filter(F.trim(F.col(text_col)) != "")
+        .select(
+            F.col(id_col).alias("doc"),
+            _bos2_arr(_tok_arr(text_col)).alias("warr"),
+        )
+        .select("doc", F.explode(F.expr(_TRIPLES_EXPR)).alias("t"))
+        .select("doc", "t.pos", "t.w1", "t.w2", "t.w3")
+    )
+    joined = (
+        triples.join(
+            tri.select("w1", "w2", "w3", F.col("c").alias("c123")),
+            ["w1", "w2", "w3"],
+            "left",
+        )
+        .join(big2, ["w1", "w2"], "left")
+        .join(fw12, ["w1", "w2"], "left")
+        .join(bw23, ["w2", "w3"], "left")
+        .join(mid2, "w2", "left")
+        .join(fw2, "w2", "left")
+        .join(bw3, "w3", "left")
+        .crossJoin(F.broadcast(totals.select("n_bigrams", "v_size")))
+    )
+    # identical literal shape on the DuckDB side — do not refactor
+    p1 = (
+        (F.coalesce(F.col("nbw3"), F.lit(0)) + F.lit(1)).cast("double")
+        / (F.col("n_bigrams") + F.col("v_size")).cast("double")
+    )
+    joined = joined.withColumn("p1", p1)
+    p2 = F.when(
+        F.coalesce(F.col("nmid2"), F.lit(0)) > 0,
+        F.greatest(
+            F.coalesce(F.col("nbw23"), F.lit(0)).cast("double") - F.lit(d),
+            F.lit(0.0),
+        )
+        / F.col("nmid2").cast("double")
+        + F.lit(d)
+        * F.coalesce(F.col("nfw2"), F.lit(0)).cast("double")
+        / F.col("nmid2").cast("double")
+        * F.col("p1"),
+    ).otherwise(F.col("p1"))
+    joined = joined.withColumn("p2", p2)
+    p3 = F.when(
+        (F.coalesce(F.col("c12"), F.lit(0)) > 0)
+        & (F.coalesce(F.col("nfw12"), F.lit(0)) > 0),
+        F.greatest(
+            F.coalesce(F.col("c123"), F.lit(0)).cast("double") - F.lit(d),
+            F.lit(0.0),
+        )
+        / F.col("c12").cast("double")
+        + F.lit(d)
+        * F.col("nfw12").cast("double")
+        / F.col("c12").cast("double")
+        * F.col("p2"),
+    ).otherwise(F.col("p2"))
+    tok = joined.select("doc", "pos", F.round(-F.log(p3), 12).alias("nll_tok"))
+    ordered_sum = F.aggregate(
+        F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("nll_tok")))),
+        F.lit(0.0),
+        lambda acc, x: acc + x["nll_tok"],
+    )
+    return tok.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(ordered_sum / F.count(F.lit(1)), 6).alias("nll"),
+    ).select(F.col("doc").alias(id_col), "n_tokens", "nll")
+
+
 def pmi_bigrams(
     docs: DataFrame,
     min_count: int = 5,

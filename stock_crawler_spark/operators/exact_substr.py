@@ -34,9 +34,10 @@ Note the gram subtree appears TWICE in the physical plan (winner
 build side and prober side of the self-join) — deliberate: grams are
 ~total-chars rows, so re-running the linear transform+explode is
 cheaper than materializing them (a persist would cache k bytes per
-character of corpus; the winner groupBy's shuffle files already
-amortize the build side). tests/test_plans.py pins exactly two gram
-Generates and no per-char explode."""
+character of corpus). With the default prefilter the prober side
+never shuffles (broadcast loser join), so the winner groupBy is the
+ONLY corpus-scale shuffle; tests/test_plans.py pins exactly two gram
+Generates, the broadcast loser join, and no per-char explode."""
 
 from __future__ import annotations
 
@@ -51,10 +52,34 @@ def exact_substr_dedup(
     k: int = 40,
     id_col: str = "doc_id",
     text_col: str = "text",
+    prefilter: bool | None = None,
+    prefilter_shards: int = 16,
 ) -> DataFrame:
     """(id, n_dup_grams, n_islands, removed_chars, cleaned_text) for
     every input doc; docs carrying no duplicated >= k-char run pass
-    through intact. See module doc for semantics and scale shape."""
+    through intact. See module doc for semantics and scale shape.
+
+    ``prefilter`` (r3 verdict #3): most grams of a real corpus are
+    UNIQUE, yet the naive loser join shuffles the full gram stream a
+    SECOND time just to probe the duplicated winners. With the
+    pre-filter on, the duplicated winners (one row per duplicated gram
+    TYPE — orders of magnitude below total grams) are broadcast, so
+    the loser probe is a map-side BroadcastHashJoin and the winner
+    groupBy stays the only corpus-scale shuffle: ~40 shuffle
+    bytes/gram instead of ~80, no extra gram pass, byte-identical
+    output (pytest pins prefilter == naive). An earlier variant that
+    count-prefiltered the gram stream BEFORE the winner groupBy was
+    measured slower at bench scale — the gram explode + md5 is the
+    CPU-dominant stage, and that shape re-runs it 4x instead of 2x.
+    Default None = on. Pass False when the duplicated-TYPE set
+    outgrows the broadcast budget (~10^7 types); the next rungs up the
+    scale ladder are a bloom of the dup hashes in the same broadcast
+    slot (16x smaller, exact after the occ>1 recount) and finally the
+    unfiltered shuffle. ``prefilter_shards`` is kept for that bloom
+    variant's blob partitioning.
+    """
+    if prefilter is None:
+        prefilter = True
     base = docs.select(
         F.col(id_col).alias("doc"), F.col(text_col).alias("txt")
     )
@@ -76,8 +101,19 @@ def exact_substr_dedup(
         F.min(F.struct(F.col("doc"), F.col("pos"))).alias("w"),
         F.count(F.lit(1)).alias("occ"),
     )
+    dup_winners = winners.filter(F.col("occ") > 1)
+    if prefilter:
+        # broadcast the DUPLICATED winners (dup gram types only — the
+        # corpus's duplicated-type count, orders below total grams):
+        # the loser probe becomes a map-side BroadcastHashJoin, so the
+        # gram stream is shuffled ONCE (the winner groupBy) instead of
+        # twice — shuffle bytes ~40/gram instead of ~80, no extra gram
+        # pass. Falls to prefilter=False when the duplicated-type set
+        # outgrows the broadcast budget (~10^7 types); the next rung up
+        # is a bloom of the dup hashes in the same slot.
+        dup_winners = F.broadcast(dup_winners)
     losers = (
-        grams.join(winners.filter(F.col("occ") > 1), "h")
+        grams.join(dup_winners, "h")
         .filter(
             (F.col("doc") != F.col("w.doc")) | (F.col("pos") != F.col("w.pos"))
         )

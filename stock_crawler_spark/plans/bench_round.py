@@ -84,3 +84,125 @@ def run_bench_round(
         "wall_sec": round(wall, 3),
         "urls_per_sec": round(n_urls / wall, 1),
     }
+
+
+def run_skew_bench(
+    spark: SparkSession,
+    n_urls: int = 16_000_000,
+    n_domains: int = 10_000,
+    salt_target_rows: int = 500_000,
+    reps: int = 2,
+) -> dict:
+    """Adaptive-salting evidence bench (r3 verdict #1): the politeness
+    DEQUEUE on a MATERIALIZED candidate batch — the engine's own shape
+    (run_round caches the flagged candidates before dequeuing) — under
+    two regimes: uniform Zipf, and a planted mega-domain holding half
+    the frontier. Cells: static n_salts=1, static n_salts=8, and the
+    advisor-driven adaptive path (sampled advisor + bounded plan
+    collect timed INSIDE the adaptive cell).
+
+    Two readings per cell:
+      wall          — best-of-reps seconds for the dequeue count
+      max_sort_task_rows — rows the LARGEST phase-1 window task must
+                      sort AND HOLD. This is the scale-limiting bound:
+                      static_1's grows linearly with the hot domain
+                      (10^8 rows = one spilling/OOM task at the 10^10
+                      design point — visible here already: the planted
+                      8M-row domain turns static_1's wall into a
+                      single-task spill), static_8 cuts it by a fixed
+                      8x (still linear), adaptive's per-key
+                      ceil(n/target) pins it at ~target at ANY skew.
+    """
+    from stock_crawler_spark.operators.frontier import dequeue
+    from stock_crawler_spark.operators.profile import salt_advisor
+    from stock_crawler_spark.operators.seen import anti_join_not_seen
+
+    out = {"n_urls": n_urls, "salt_target_rows": salt_target_rows}
+    for regime, hot_mod in (("uniform", 0), ("hot_domain", 2)):
+        fr = synthetic_frontier(spark, n_urls, n_domains)
+        if hot_mod:
+            fr = fr.withColumn(
+                "domain",
+                F.when(
+                    F.col("id") % hot_mod == 0, F.lit("hot.example.com")
+                ).otherwise(F.col("domain")),
+            )
+        fr = fr.select(
+            "*",
+            F.col("url").alias("url_canon"),
+            url_hash(F.col("url")).alias("url_hash"),
+            F.lit(150).alias("crawl_delay_ms"),
+            F.lit(200).alias("max_per_round"),
+        )
+        seen = (
+            synthetic_frontier(spark, n_urls, n_domains)
+            .filter(F.col("id") % 3 == 0)
+            .select(url_hash(F.col("url")).alias("url_hash"))
+        )
+        cand = anti_join_not_seen(fr, seen).cache()
+        cand.count()  # materialize outside every timed cell
+
+        walls: dict[str, list[float]] = {"static_1": [], "static_8": [], "adaptive": []}
+        for _ in range(reps):
+            for label in walls:
+                t0 = time.monotonic()
+                if label == "adaptive":
+                    mod = 32
+                    samp = cand.filter(
+                        F.pmod(F.xxhash64(F.col("url")), F.lit(mod)) == 0
+                    )
+                    plan_rows = salt_advisor(
+                        samp, "domain",
+                        target_rows=max(1, salt_target_rows // mod),
+                    ).collect()
+                    if plan_rows:
+                        plan = spark.createDataFrame(
+                            [(r["domain"], int(r["salt"])) for r in plan_rows],
+                            "domain string, salt long",
+                        )
+                        dq = dequeue(cand, 30_000, salt_plan=plan,
+                                     scheduled_only=True)
+                    else:
+                        dq = dequeue(cand, 30_000, n_salts=1, scheduled_only=True)
+                else:
+                    dq = dequeue(
+                        cand, 30_000,
+                        n_salts=1 if label == "static_1" else 8,
+                        scheduled_only=True,
+                    )
+                dq.count()
+                walls[label].append(round(time.monotonic() - t0, 3))
+
+        # the per-task sort bound per cell (untimed, deterministic)
+        def _max_rows(label):
+            if label == "static_1":
+                g = cand.groupBy("domain")
+            elif label == "static_8":
+                g = cand.groupBy(
+                    "domain",
+                    F.pmod(F.xxhash64(F.col("url")), F.lit(8)).alias("_s"),
+                )
+            else:
+                plan_df = (
+                    spark.createDataFrame(
+                        [(r["domain"], int(r["salt"])) for r in plan_rows],
+                        "domain string, salt long",
+                    )
+                    if plan_rows
+                    else spark.createDataFrame([], "domain string, salt long")
+                )
+                g = cand.join(F.broadcast(plan_df), "domain", "left").groupBy(
+                    "domain",
+                    F.pmod(
+                        F.xxhash64(F.col("url")),
+                        F.coalesce(F.col("salt"), F.lit(1)),
+                    ).alias("_s"),
+                )
+            return int(g.count().agg(F.max("count")).collect()[0][0] or 0)
+
+        out[regime] = {
+            "wall": {k: min(v) for k, v in walls.items()},
+            "max_sort_task_rows": {k: _max_rows(k) for k in walls},
+        }
+        cand.unpersist()
+    return out

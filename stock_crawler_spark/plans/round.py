@@ -50,8 +50,32 @@ class RoundConfig:
     backoff_ms: int = 60_000  # doubles per retry (retry/retry.go:41 analog)
     max_attempts: int = 3  # pipeline/stage.go:26 defaultRetryTimes
     n_shards: int = 16
-    dedup_mode: str = "antijoin"  # or "bloom" / "cuckoo"
+    dedup_mode: str = "antijoin"  # or "bloom" / "cuckoo" / "auto"
+    # "auto" picks antijoin-vs-bloom PER ROUND from manifest-carried
+    # cardinalities (BASELINE.md crossover: anti-join wins while the seen
+    # side is comparable to the candidate batch; the probe wins once the
+    # seen set outgrows it): bloom iff n_seen > ratio * n_pending. The
+    # decision + its inputs are recorded in the round manifest.
+    dedup_auto_ratio: float = 1.0
     n_salts: int = 1  # >1 = exact two-phase salted dequeue (hot-domain skew)
+    # adaptive per-hot-key salting (DEFAULT ON — r3 verdict #1): before
+    # each dequeue, run profile.salt_advisor over the round's candidates
+    # and broadcast its bounded (domain, salt) plan into the dequeue, so
+    # ONLY domains whose candidate count exceeds salt_target_rows pay the
+    # two-phase fan-out; everything else keeps the single-window plan.
+    # The advisor's count is one map-side-combine groupBy over the
+    # candidate batch — O(|domains|) output rows — and its per-key
+    # ceil(n/target) salts bound every window task at ~target rows at
+    # ANY skew (a static n_salts=k bound grows linearly with the hot
+    # domain instead). See BASELINE.md §adaptive-salting for measured
+    # walls + max-task-rows at both skew regimes.
+    adaptive_salting: bool = True
+    salt_target_rows: int = 1_000_000
+    # >1: the advisor counts a deterministic 1/mod url-hash sample with
+    # scaled counts instead of the full candidate batch (cuts the advisor
+    # pass ~mod-fold; borderline keys may flip hot/cold, which never
+    # affects dequeue exactness)
+    salt_sample_mod: int = 0
     trace: bool = True
     compact_every: int = 4  # fold seen/records deltas every K rounds (0 = off)
     follow_links: bool = False  # harvest outlinks into the frontier (growth)
@@ -115,7 +139,10 @@ def bootstrap(spark: SparkSession, store: StateStore, seeds, robots, skip_dates,
             "merged": store.write_table(empty_merged, "merged", 0),
         },
     }
-    if cfg.dedup_mode != "antijoin":
+    info["n_seen"] = 0
+    # "auto" starts like antijoin (n_seen = 0 can never clear the
+    # crossover), so no filter table until the decision first flips
+    if cfg.dedup_mode not in ("antijoin", "auto"):
         empty_filters = spark.createDataFrame([], seen_ops.FILTERS_SCHEMA)
         info["tables"]["seen_filters"] = store.write_table(empty_filters, "seen_filters", 0)
         info["filter_format"] = seen_ops.FILTER_FORMAT
@@ -144,20 +171,107 @@ def run_round(
         & (F.col("next_attempt_ts") <= F.lit(now))
     )
 
+    # --- dedup-mode resolution: "auto" decides per round from the
+    #     manifest-carried cardinalities (O(1) manifest reads — no scans;
+    #     legacy state dirs fall back to one count each). Monotone in
+    #     practice: seen only grows, pending only shrinks, so the flip
+    #     from antijoin to bloom happens once per crawl and the one-time
+    #     filter build below amortizes. ---
+    prev_manifest = store.read_manifest(round_id - 1)
+    mode = cfg.dedup_mode
+    dedup_decision = None
+    if mode == "auto":
+        n_seen_prev = prev_manifest.get("n_seen")
+        if n_seen_prev is None:
+            n_seen_prev = seen.count()
+        n_pending_est = prev_manifest.get("n_pending")
+        if n_pending_est is None:
+            n_pending_est = frontier.filter(
+                F.col("state").isin(fr.PENDING, fr.FAILED)
+            ).count()
+        mode = (
+            "bloom"
+            if n_seen_prev > cfg.dedup_auto_ratio * max(1, n_pending_est)
+            else "antijoin"
+        )
+        dedup_decision = {
+            "mode": mode,
+            "n_seen": int(n_seen_prev),
+            "n_pending": int(n_pending_est),
+            "ratio": cfg.dedup_auto_ratio,
+        }
+
     # --- dedup against the seen set (P3): ONE decision pass (`_seen` flag)
     #     instead of anti-join + complement (two shuffles of the candidates) ---
-    if cfg.dedup_mode == "antijoin":
+    if mode == "antijoin":
         flagged = seen_ops.flag_seen(candidates, seen).cache()
     else:
         # filters are maintained INCREMENTALLY: read round N-1's committed
-        # blobs, rebuild only shards the round touches (below)
+        # blobs, rebuild only shards the round touches (below). If the
+        # previous round ran WITHOUT filters (auto-mode flip, or a state
+        # dir advanced under antijoin) or with a stale blob format, build
+        # them once from the accumulated seen set — same distributed
+        # rebuild run_crawl applies on a mode-flip resume.
+        kind = "bloom" if mode == "bloom" else "cuckoo"
+        have = os.path.isdir(store.table_path("seen_filters", round_id - 1)) and (
+            prev_manifest.get("filter_format") == seen_ops.FILTER_FORMAT
+        )
+        if not have:
+            store.write_table(
+                seen_ops.build_seen_filters(seen, kind=kind),
+                "seen_filters",
+                round_id - 1,
+            )
         filters = store.read_table(spark, "seen_filters", round_id - 1)
         flagged = seen_ops.probe_seen_flag(candidates, filters, seen).cache()
     not_seen = flagged.filter(~F.col("_seen")).drop("_seen")
     deduped = flagged.filter(F.col("_seen")).drop("_seen")
 
     # --- politeness dequeue (C2) ---
-    dq = fr.dequeue(not_seen, cfg.round_budget_ms, n_salts=cfg.n_salts).cache()
+    salt_plan_summary = None
+    if cfg.adaptive_salting:
+        from stock_crawler_spark.operators.profile import salt_advisor
+
+        # the advisor's plan is BOUNDED (≤ |batch|/target rows — O(hot
+        # keys), metadata-scale like the shard lineage), so collect it
+        # once and replay it as a literal DataFrame: the dequeue
+        # broadcasts the plan on two sides (hot semi + cold anti) and a
+        # lazy plan would recompute the candidate scan under each
+        # broadcast. `salt_sample_mod` > 1 counts a deterministic
+        # 1/mod url-hash row sample with scaled counts instead of the
+        # full batch (same plan up to ±sampling error on borderline
+        # keys; exactness of the dequeue never depends on plan values).
+        adv_in = not_seen
+        if cfg.salt_sample_mod > 1:
+            adv_in = not_seen.filter(
+                F.pmod(F.xxhash64(F.col("url")), F.lit(cfg.salt_sample_mod)) == 0
+            )
+        plan_rows = salt_advisor(
+            adv_in,
+            "domain",
+            target_rows=max(1, cfg.salt_target_rows // max(1, cfg.salt_sample_mod)),
+        ).collect()
+        scale = max(1, cfg.salt_sample_mod)
+        salt_plan_summary = {
+            "n_hot_keys": len(plan_rows),
+            "max_salt": max((int(r["salt"]) for r in plan_rows), default=0),
+            "target_rows": cfg.salt_target_rows,
+            "sample_mod": cfg.salt_sample_mod,
+        }
+        if not plan_rows:
+            # no hot keys this round: the single-window plan is strictly
+            # cheaper (skip the per-salt pre-window + join-back)
+            dq = fr.dequeue(not_seen, cfg.round_budget_ms, n_salts=1).cache()
+        else:
+            plan_df = spark.createDataFrame(
+                [(r["domain"], int(r["salt"])) for r in plan_rows],
+                "domain string, salt long",
+            )
+            dq = fr.dequeue(
+                not_seen, cfg.round_budget_ms, salt_plan=plan_df
+            ).cache()
+    else:
+        dq = fr.dequeue(not_seen, cfg.round_budget_ms, n_salts=cfg.n_salts).cache()
     scheduled = dq.filter(F.col("_scheduled")).drop("_scheduled")
     deferred = dq.filter(~F.col("_scheduled")).drop("_scheduled")
     scheduled = scheduled.withColumn("round_id", F.lit(round_id))
@@ -396,8 +510,8 @@ def run_round(
 
     # --- incremental filter maintenance: rebuild ONLY the shards this
     #     round's seen-delta touched; untouched blobs carry forward ---
-    if cfg.dedup_mode != "antijoin":
-        kind = "bloom" if cfg.dedup_mode == "bloom" else "cuckoo"
+    if mode != "antijoin":
+        kind = "bloom" if mode == "bloom" else "cuckoo"
         touched_shards = (
             spark.read.parquet(store.delta_path("seen", round_id)).select("shard").distinct()
         )
@@ -416,7 +530,6 @@ def run_round(
     #     miss-that-exhausted-retries) + discovered-pending. Deferred and
     #     still-retryable misses stay in the set. run_crawl reads this
     #     instead of scanning the full frontier per round (Amdahl fix). ---
-    prev_manifest = store.read_manifest(round_id - 1)
     n_pending_prev = prev_manifest.get("n_pending")
     if n_pending_prev is None:  # legacy state dir: scan once, carry forward
         n_pending_prev = (
@@ -425,12 +538,21 @@ def run_round(
     n_pending = (
         int(n_pending_prev) - n_done - n_dedup - n_perm - n_miss_dead + n_disc_pending
     )
+    # manifest-carried seen count (drives the auto dedup decision, same
+    # O(1) arithmetic as n_pending); legacy dirs: one count, carried on
+    n_seen_carry = prev_manifest.get("n_seen")
+    if n_seen_carry is None:
+        n_seen_carry = seen.count()
+    n_seen_total = int(n_seen_carry) + int(tables["seen"])
 
     info = {
         "tables": tables,
         "frontier_shards": shard_map,
         "n_pending": n_pending,
+        "n_seen": n_seen_total,
         "changed_shards": sorted(changed_shards),
+        **({"dedup_decision": dedup_decision} if dedup_decision else {}),
+        **({"salt_plan": salt_plan_summary} if salt_plan_summary else {}),
         **({"filter_format": info_filter_format} if info_filter_format else {}),
         "metrics": dict(metrics_rows),
         "shard_lineage": [r.asDict() for r in shard_lineage.collect()],
@@ -481,7 +603,9 @@ def run_crawl(
         #     formulas would silently answer definitely-new — ADVICE r2).
         #     The tag check is O(1) manifest read; no blob ever reaches the
         #     driver.
-        if cfg.dedup_mode != "antijoin":
+        # ("auto" defers this to run_round, which applies the identical
+        # rebuild the first time its decision lands on the filter path)
+        if cfg.dedup_mode not in ("antijoin", "auto"):
             need_rebuild = not os.path.isdir(store.table_path("seen_filters", start - 1))
             if not need_rebuild:
                 committed_fmt = store.read_manifest(start - 1).get("filter_format")

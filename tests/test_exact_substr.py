@@ -147,3 +147,15 @@ def test_random_corpus_battery_matches_reference(spark):
         texts[i] = " ".join(parts)
     for k in (6, 11):
         assert _run(spark, texts, k=k) == _ref(texts, k=k), k
+
+
+def test_prefilter_equals_naive(spark):
+    """The broadcast-semi duplicated-gram prefilter is an execution
+    strategy only: byte-identical output vs the unfiltered plan."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in TEXTS.items()], "doc_id long, text string"
+    )
+    key = lambda rows: sorted(map(tuple, rows))  # noqa: E731
+    a = key(exact_substr_dedup(df, k=K, prefilter=True).collect())
+    b = key(exact_substr_dedup(df, k=K, prefilter=False).collect())
+    assert a == b

@@ -241,3 +241,133 @@ def test_kneser_ney_discount_rewards_diverse_continuations(spark):
     }
     # c(francisco)=4 == c(trip)=4, but nbw(francisco)=1 < nbw(trip)=4
     assert got[1] < got[0]
+
+
+# --- trigram Kneser-Ney -------------------------------------------------------
+
+
+def _ref_tri_tables(texts):
+    tri, big2, n_docs, vocab = {}, {}, 0, set()
+    for t in texts:
+        toks = [w for w in t.strip().lower().split() if w]
+        if not toks:
+            continue
+        n_docs += 1
+        vocab.update(toks)
+        warr = [BOS, BOS] + toks
+        for i in range(len(warr) - 1):
+            big2[(warr[i], warr[i + 1])] = big2.get((warr[i], warr[i + 1]), 0) + 1
+        for i in range(len(warr) - 2):
+            k = (warr[i], warr[i + 1], warr[i + 2])
+            tri[k] = tri.get(k, 0) + 1
+    return tri, big2, n_docs, vocab
+
+
+def _ref_tri_nll(text, tri, big2, n_docs, vocab, d=0.75):
+    fw12, bw23, mid2, fw2, bw3 = {}, {}, {}, {}, {}
+    for (a, b, c) in tri:
+        fw12[(a, b)] = fw12.get((a, b), 0) + 1
+        bw23[(b, c)] = bw23.get((b, c), 0) + 1
+    for (b, c), n in bw23.items():
+        mid2[b] = mid2.get(b, 0) + n
+        fw2[b] = fw2.get(b, 0) + 1
+    for (a, b) in big2:
+        bw3[b] = bw3.get(b, 0) + 1
+    n_bigrams, v = len(big2), len(vocab)
+    toks = [w for w in text.strip().lower().split() if w]
+    warr = [BOS, BOS] + toks
+    total = 0.0
+    for i in range(len(toks)):
+        w1, w2, w3 = warr[i], warr[i + 1], warr[i + 2]
+        p1 = (bw3.get(w3, 0) + 1) / (n_bigrams + v)
+        nm = mid2.get(w2, 0)
+        if nm > 0:
+            p2 = max(bw23.get((w2, w3), 0) - d, 0.0) / nm + d * fw2.get(w2, 0) / nm * p1
+        else:
+            p2 = p1
+        c12, nf = big2.get((w1, w2), 0), fw12.get((w1, w2), 0)
+        if c12 > 0 and nf > 0:
+            p3 = max(tri.get((w1, w2, w3), 0) - d, 0.0) / c12 + d * nf / c12 * p2
+        else:
+            p3 = p2
+        total += round(-math.log(p3), 12)
+    return len(toks), round(total / len(toks), 6)
+
+
+TRI_VAL = [
+    "the cat sat on the mat",  # all trigrams seen
+    "the zebra sat",           # unseen token: p1 add-one path
+    "zebra the cat",           # unseen context (w1,w2): p2 backoff
+    "mat ran again",           # 'mat' only ever doc-final: nmid2=0 -> p1
+    "dog sat on",              # seen bigram context, unseen continuation
+]
+
+
+def test_trigram_kn_matches_sequential_reference(spark):
+    from stock_crawler_spark.functions.lm import (
+        kneser_ney_trigram_lm, kneser_ney_trigram_nll,
+    )
+
+    tri_r, big2_r, n_docs, vocab = _ref_tri_tables(TRAIN)
+    model = kneser_ney_trigram_lm(_docs(spark, TRAIN))
+    tri, big2, fw12, bw23, mid2, fw2, bw3, totals = model
+    t = totals.collect()[0]
+    assert t["n_bigrams"] == len(big2_r)
+    assert t["v_size"] == len(vocab) and t["n_docs"] == n_docs
+    assert {(r["w1"], r["w2"], r["w3"]): r["c"] for r in tri.collect()} == tri_r
+    assert {(r["w1"], r["w2"]): r["c12"] for r in big2.collect()} == big2_r
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["nll"])
+        for r in kneser_ney_trigram_nll(_docs(spark, TRI_VAL), *model).collect()
+    }
+    for i, text in enumerate(TRI_VAL):
+        assert got[i] == _ref_tri_nll(text, tri_r, big2_r, n_docs, vocab), text
+
+
+def test_trigram_kn_tracks_longer_context_than_bigram(spark):
+    """The trigram rung's point: 'york' after 'new' is ambiguous at
+    bigram order once 'new jersey' is also frequent, but 'in new york'
+    vs 'of new jersey' disambiguates at trigram order — the trigram
+    model must score the attested trigram strictly below (better than)
+    the crossed one, while the bigram model scores both equal."""
+    from stock_crawler_spark.functions.lm import (
+        kneser_ney_lm, kneser_ney_nll,
+        kneser_ney_trigram_lm, kneser_ney_trigram_nll,
+    )
+
+    train = ["in new york " * 3, "of new jersey " * 3]
+    model3 = kneser_ney_trigram_lm(_docs(spark, train))
+    val = ["in new york", "in new jersey"]
+    g3 = {
+        r["doc_id"]: r["nll"]
+        for r in kneser_ney_trigram_nll(_docs(spark, val), *model3).collect()
+    }
+    assert g3[0] < g3[1]
+    model2 = kneser_ney_lm(_docs(spark, train))
+    g2 = {
+        r["doc_id"]: r["nll"]
+        for r in kneser_ney_nll(_docs(spark, val), *model2).collect()
+    }
+    assert g2[0] == g2[1]  # bigram order can't see past 'new'
+
+
+def test_trigram_kn_partition_invariance(spark):
+    from stock_crawler_spark.functions.lm import (
+        kneser_ney_trigram_lm, kneser_ney_trigram_nll,
+    )
+
+    train = _docs(spark, TRAIN).repartition(7)
+    model = kneser_ney_trigram_lm(train)
+    a = sorted(
+        map(tuple, kneser_ney_trigram_nll(_docs(spark, TRI_VAL), *model).collect())
+    )
+    model_1p = kneser_ney_trigram_lm(_docs(spark, TRAIN).coalesce(1))
+    b = sorted(
+        map(
+            tuple,
+            kneser_ney_trigram_nll(
+                _docs(spark, TRI_VAL).repartition(5), *model_1p
+            ).collect(),
+        )
+    )
+    assert a == b

@@ -96,3 +96,140 @@ def test_truncated_syn1_blob_hits_decode_wall():
         _decode_header(b"SYN1\x10\x00")
     with pytest.raises(NotImplementedError):
         _decode_header(b"JPEG....")
+
+
+# --- real stdlib decoders (r3 verdict #4) ------------------------------------
+
+
+def test_bmp_golden_bottom_up_bgr_and_padding():
+    """Hand-built 2x2 24-bit BMP with four DISTINCT pixels: stored
+    bottom-up, BGR, rows padded 6->8 bytes; decode must return
+    top-down RGB with the padding stripped — byte-exact."""
+    import struct
+
+    # image (top-down RGB): row0 = red, green ; row1 = blue, white
+    rows_topdown_rgb = [
+        [(255, 0, 0), (0, 255, 0)],
+        [(0, 0, 255), (255, 255, 255)],
+    ]
+    # file stores bottom-up BGR with 2 pad bytes per row
+    body = b""
+    for row in reversed(rows_topdown_rgb):
+        for (r, g, b) in row:
+            body += bytes([b, g, r])
+        body += b"\x00\x00"
+    hdr = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+        + struct.pack("<iiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(body), 0, 0, 0, 0)
+    )
+    w, h, c, px = mm.decode_bmp(hdr + body)
+    assert (w, h, c) == (2, 2, 3)
+    assert px == bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255])
+
+
+def test_bmp_negative_height_top_down():
+    import struct
+
+    body = bytes([1, 2, 3]) + b"\x00"  # 1px row padded 3->4
+    hdr = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+        + struct.pack("<iiiHHIIiiII", 40, 1, -1, 1, 24, 0, len(body), 0, 0, 0, 0)
+    )
+    w, h, c, px = mm.decode_bmp(hdr + body)
+    assert (w, h, c) == (1, 1, 3)
+    assert px == bytes([3, 2, 1])  # BGR -> RGB only; no row flip
+
+
+def test_bmp_walls():
+    import pytest
+
+    ok = mm.encode_bmp(4, 2, 7)
+    assert mm.decode_bmp(ok)[3] == bytes([7] * 24)
+    with pytest.raises(ValueError):
+        mm.decode_bmp(ok[:40])  # truncated header
+    with pytest.raises(ValueError):
+        mm.decode_bmp(ok[:-3])  # truncated pixel array
+    bad_bpp = bytearray(ok)
+    bad_bpp[28] = 32  # declare 32-bit
+    with pytest.raises(NotImplementedError):
+        mm.decode_bmp(bytes(bad_bpp))
+
+
+def test_ppm_pgm_header_comments_and_walls():
+    import pytest
+
+    blob = b"P6\n# comment line\n 3 2\n255\n" + bytes(range(18))
+    w, h, c, px = mm.decode_ppm(blob)
+    assert (w, h, c) == (3, 2, 3) and px == bytes(range(18))
+    with pytest.raises(ValueError):
+        mm.decode_ppm(blob[:-1])
+    with pytest.raises(NotImplementedError):
+        mm.decode_ppm(b"P6\n1 1\n65535\n\x00\x00\x00\x00\x00\x00")
+    g = b"P5\n2 2\n255\n" + bytes([9, 8, 7, 6])
+    assert mm.decode_pgm(g) == (2, 2, 1, bytes([9, 8, 7, 6]))
+
+
+def test_wav_pcm_roundtrip_and_walls():
+    import pytest
+    import struct as st
+
+    blob = mm.encode_wav(5, 2, 1000, rate=16000, bits=16)
+    n, one, ch, data = mm.decode_wav(blob)
+    assert (n, one, ch) == (5, 1, 2)
+    assert data == st.pack("<h", 1000) * 10
+    b8 = mm.encode_wav(7, 1, 42, bits=8)
+    assert mm.decode_wav(b8) == (7, 1, 1, bytes([42] * 7))
+    with pytest.raises(ValueError):
+        mm.decode_wav(blob[:-4])  # truncated data chunk
+    mutated = bytearray(blob)
+    mutated[20] = 3  # format tag 3 (IEEE float)
+    with pytest.raises(NotImplementedError):
+        mm.decode_wav(bytes(mutated))
+
+
+def test_decode_metadata_detects_real_formats(spark):
+    rows = [
+        (0, mm.encode_bmp(4, 3, 9)),
+        (1, mm.encode_ppm(5, 2, 11)),
+        (2, mm.encode_wav(10, 2, 3, bits=8)),
+        (3, mm.encode_fake(3, 6, 4, 3)),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, blob binary")
+    got = {r["media_id"]: r for r in mm.decode_metadata(df).collect()}
+    assert (got[0]["width"], got[0]["height"], got[0]["format"]) == (4, 3, "BMP")
+    assert (got[1]["width"], got[1]["channels"], got[1]["format"]) == (5, 3, "PPM")
+    assert (got[2]["width"], got[2]["channels"], got[2]["format"]) == (10, 2, "WAV")
+    assert got[3]["format"] == "SYN1"
+
+
+def test_decode_metadata_on_error_null_survives_corrupt_blobs(spark):
+    rows = [
+        (0, mm.encode_bmp(2, 2, 1)),
+        (1, b"\x89PNG\r\n\x1a\n garbage"),     # compressed: wall
+        (2, mm.encode_bmp(2, 2, 1)[:30]),       # truncated
+    ]
+    df = spark.createDataFrame(rows, "media_id long, blob binary")
+    got = {r["media_id"]: r for r in
+           mm.decode_metadata(df, on_error="null").collect()}
+    assert got[0]["format"] == "BMP" and got[0]["width"] == 2
+    assert got[1]["format"] == "ERROR:NotImplementedError"
+    assert got[2]["format"] == "ERROR:ValueError" and got[2]["width"] is None
+    import pytest
+
+    with pytest.raises(Exception):
+        mm.decode_metadata(df).collect()  # default posture still raises
+
+
+def test_decode_checksum_matches_arithmetic(spark):
+    rows = [
+        (0, mm.encode_bmp(4, 2, 7)),          # 4*2*3*7 = 168
+        (1, mm.encode_ppm(3, 3, 5)),          # 27*5 = 135
+        (2, mm.encode_wav(6, 1, 9, bits=8)),  # 6*9 = 54
+    ]
+    df = spark.createDataFrame(rows, "media_id long, blob binary")
+    got = {r["media_id"]: r for r in mm.decode_checksum(df).collect()}
+    assert (got[0]["n_payload_bytes"], got[0]["checksum"]) == (24, 168)
+    assert (got[1]["n_payload_bytes"], got[1]["checksum"]) == (27, 135)
+    assert (got[2]["n_payload_bytes"], got[2]["checksum"]) == (6, 54)

@@ -290,6 +290,11 @@ def test_exact_substr_no_per_char_explode(spark):
         if blk.startswith("(") and ") Generate" in blk.split("\n")[0]:
             assert "length(txt" in blk, blk
     assert "Exchange SinglePartition" not in tree, tree
+    # r4: the duplicated-winners prefilter makes the loser probe a
+    # map-side BroadcastHashJoin — the winner groupBy is the ONLY
+    # corpus-scale shuffle of the gram stream (r3 verdict #3)
+    assert "BroadcastHashJoin" in tree, tree
+    assert "SortMergeJoin" not in tree, tree
 
 
 def test_decontaminate_broadcasts_benchmark(spark):

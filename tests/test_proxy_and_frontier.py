@@ -65,6 +65,63 @@ def test_dequeue_salted_equals_unsalted(spark, n_salts):
     assert only == base
 
 
+def test_dequeue_adaptive_salt_plan_equals_unsalted(spark):
+    """Per-hot-key adaptive salting (salt_plan from profile.salt_advisor)
+    must return the exact unsalted result set — planted hot domain (600
+    rows) plus a cold tail, advisor target low enough that only the hot
+    domain salts."""
+    rows = [
+        ("hog%04d" % i, f"https://www.hog.com/p/{i}", "hog.com",
+         float((i * 37) % 997) / 997, 500, 50)
+        for i in range(600)
+    ] + [
+        ("c%04d" % i, f"https://www.c{i % 7}.com/p/{i}", f"c{i % 7}.com",
+         float((i * 13) % 100) / 100, 500, 5)
+        for i in range(70)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "url_canon string, url string, domain string, priority double, "
+        "crawl_delay_ms long, max_per_round int",
+    )
+    from stock_crawler_spark.operators.profile import salt_advisor
+
+    plan = salt_advisor(df, "domain", target_rows=100)
+    plan_rows = {r["domain"]: r["salt"] for r in plan.collect()}
+    assert plan_rows == {"hog.com": 6}  # only the planted hot key salts
+
+    base = {
+        r["url_canon"]
+        for r in fr.dequeue(df, 30_000, n_salts=1).filter(F.col("_scheduled")).collect()
+    }
+    got = {
+        r["url_canon"]
+        for r in fr.dequeue(df, 30_000, salt_plan=plan.select("domain", "salt"))
+        .filter(F.col("_scheduled"))
+        .collect()
+    }
+    assert got == base
+    only = {
+        r["url_canon"]
+        for r in fr.dequeue(
+            df, 30_000, salt_plan=plan.select("domain", "salt"), scheduled_only=True
+        ).collect()
+    }
+    assert only == base
+    # deferred complement is preserved (every candidate visible exactly once)
+    full = fr.dequeue(df, 30_000, salt_plan=plan.select("domain", "salt"))
+    assert full.count() == len(rows)
+    # empty plan (no hot keys) degrades to the unsalted result too
+    empty_plan = salt_advisor(df, "domain", target_rows=10_000)
+    got_empty = {
+        r["url_canon"]
+        for r in fr.dequeue(df, 30_000, salt_plan=empty_plan.select("domain", "salt"))
+        .filter(F.col("_scheduled"))
+        .collect()
+    }
+    assert got_empty == base
+
+
 def test_merge_asof_matches_pandas_semantics(spark):
     """merge_asof: latest right row with ts <= left ts per key; ties visible;
     no-match -> null."""

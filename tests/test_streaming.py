@@ -856,3 +856,104 @@ def test_streaming_secret_scrub_and_cdc_match_batch(spark, tmp_path):
         map(tuple, chunk_table(spark.read.parquet(src)).collect())
     )
     assert got_cdc == want_cdc and len(got_cdc) >= 60
+
+
+def test_streaming_crawl_full_round_parity_across_batch_sizes(
+    spark, small_fixture_dir, tmp_path
+):
+    """r3 verdict #5: the COMPLETE round pipeline driven as an
+    availableNow command stream (streaming/crawl.py — the reference's
+    download-v1 kafka consumer loop) must land byte-identical final
+    frontier / seen / records state vs the batch run_crawl, at every
+    micro-batch sizing (1 command/epoch, 3/epoch, all-in-one)."""
+    from stock_crawler_spark.plans.round import RoundConfig, run_crawl
+    from stock_crawler_spark.plans.state import StateStore
+    from stock_crawler_spark.streaming.crawl import (
+        streaming_crawl, write_round_commands,
+    )
+
+    fx = small_fixture_dir
+    seeds = spark.read.parquet(f"{fx}/seeds.parquet")
+    robots = spark.read.parquet(f"{fx}/robots.parquet")
+    skip = spark.read.parquet(f"{fx}/skip_dates.parquet")
+    pages = spark.read.parquet(f"{fx}/pages.parquet")
+    cfg = RoundConfig()
+
+    batch_dir = str(tmp_path / "batch")
+    run_crawl(spark, batch_dir, seeds, robots, skip, pages, cfg)
+    last_b = StateStore(batch_dir).latest_committed_round()
+    assert last_b >= 2
+
+    def state_snapshot(state_dir, last):
+        st = StateStore(state_dir)
+        f = st.read_frontier(spark, last)
+        out = {
+            "frontier": sorted(map(str, f.select(*sorted(f.columns)).collect()))
+        }
+        for t in ("seen", "records"):
+            out[t] = sorted(
+                map(str, st.read_accumulated(spark, t, last).collect())
+            )
+        return out
+
+    want = state_snapshot(batch_dir, last_b)
+
+    cmd_dir = str(tmp_path / "cmds")
+    write_round_commands(spark, cmd_dir, range(1, last_b + 3))  # overshoot: no-ops
+    for label, mfpt in (("one", 1), ("three", 3), ("all", None)):
+        sdir = str(tmp_path / f"s_{label}")
+        ckpt = str(tmp_path / f"ck_{label}")
+        last_s = streaming_crawl(
+            spark, sdir, seeds, robots, skip, pages, cmd_dir, ckpt,
+            cfg=cfg, max_files_per_trigger=mfpt,
+        )
+        assert last_s == last_b, label
+        assert state_snapshot(sdir, last_s) == want, label
+
+
+def test_streaming_crawl_restart_resumes_from_checkpoint(
+    spark, small_fixture_dir, tmp_path
+):
+    """Kill the command stream mid-crawl (only the first commands
+    published), then restart with the rest: the streaming checkpoint +
+    idempotent advance must finish the crawl with state identical to
+    batch — and a REPLAYED epoch (same checkpoint, commands re-read)
+    must be a no-op."""
+    from stock_crawler_spark.plans.round import RoundConfig, run_crawl
+    from stock_crawler_spark.plans.state import StateStore
+    from stock_crawler_spark.streaming.crawl import (
+        streaming_crawl, write_round_commands,
+    )
+
+    fx = small_fixture_dir
+    seeds = spark.read.parquet(f"{fx}/seeds.parquet")
+    robots = spark.read.parquet(f"{fx}/robots.parquet")
+    skip = spark.read.parquet(f"{fx}/skip_dates.parquet")
+    pages = spark.read.parquet(f"{fx}/pages.parquet")
+    cfg = RoundConfig()
+
+    batch_dir = str(tmp_path / "batch")
+    run_crawl(spark, batch_dir, seeds, robots, skip, pages, cfg)
+    last_b = StateStore(batch_dir).latest_committed_round()
+
+    sdir, ckpt = str(tmp_path / "s"), str(tmp_path / "ck")
+    cmd_dir = str(tmp_path / "cmds")
+    write_round_commands(spark, cmd_dir, [1])
+    assert streaming_crawl(
+        spark, sdir, seeds, robots, skip, pages, cmd_dir, ckpt, cfg=cfg
+    ) == 1
+    write_round_commands(spark, cmd_dir, range(2, last_b + 1))
+    assert streaming_crawl(
+        spark, sdir, seeds, robots, skip, pages, cmd_dir, ckpt, cfg=cfg
+    ) == last_b
+    # replay: nothing new to consume -> state untouched
+    assert streaming_crawl(
+        spark, sdir, seeds, robots, skip, pages, cmd_dir, ckpt, cfg=cfg
+    ) == last_b
+
+    a = StateStore(batch_dir).read_frontier(spark, last_b)
+    b = StateStore(sdir).read_frontier(spark, last_b)
+    sel = sorted(a.columns)
+    assert sorted(map(str, a.select(*sel).collect())) == sorted(
+        map(str, b.select(*sel).collect())
+    )
