@@ -2505,6 +2505,28 @@ def q255_media_decode(spark, sf):
     return decode_checksum(synthesize_mixed_media(docs, "doc_id"))
 
 
+def q257_media_resize(spark, sf):
+    """Real nearest-neighbor resize over the q255 mixed-media fixtures
+    (multimodal.resize_nearest): every blob — BMP pixels, PPM pixels,
+    8-bit PCM WAV samples (resize on a (n,1,ch) raster IS
+    nearest-neighbor resampling) — is resized to a fixed 16x8 target
+    through the Arrow mapInPandas path; constant-valued sources make
+    the resized byte-sum closed-form (16*8*channels*value), so the
+    oracle needs no image math while a wrong index mapping or channel
+    handling still breaks dims/checksum. Index-mapping exactness on
+    DISTINCT-pixel images is pinned by tests/test_multimodal.py."""
+    from stock_crawler_spark.operators.multimodal import (
+        byte_checksum, resize_nearest, synthesize_mixed_media,
+    )
+
+    docs = _t(spark, sf, "documents")
+    out = resize_nearest(synthesize_mixed_media(docs, "doc_id"), 16, 8)
+    return out.select(
+        "media_id", "width", "height", "channels",
+        byte_checksum(F.col("pixels")).alias("checksum"),
+    )
+
+
 def _secrets_augmented_text():
     sid = F.col("doc_id")
     return F.concat(
@@ -6529,6 +6551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q254_chunk_richness": q254_chunk_richness,
         "q255_media_decode": q255_media_decode,
         "q256_trigram_kn": q256_trigram_kn,
+        "q257_media_resize": q257_media_resize,
     }
 
 
@@ -12689,6 +12712,20 @@ SELECT CAST(doc_id AS BIGINT) AS media_id,
        WHEN 1 THEN (doc_id % 12 + 2) * (doc_id % 6 + 2) * 3 * ((doc_id * 7) % 251)
        ELSE (doc_id % 50 + 1) * (doc_id % 2 + 1) * (doc_id % 200) END
     AS BIGINT) AS checksum
+FROM documents
+""",
+        # q257: resized dims are literals, channels/value replay the
+        # q255 arithmetic, checksum = 16*8*channels*value — closed-form,
+        # decoder-free
+        "q257_media_resize": """
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+  16 AS width, 8 AS height,
+  CAST(CASE doc_id % 3 WHEN 2 THEN doc_id % 2 + 1 ELSE 3 END AS INTEGER)
+    AS channels,
+  CAST(16 * 8 * (CASE doc_id % 3 WHEN 2 THEN doc_id % 2 + 1 ELSE 3 END)
+       * (CASE doc_id % 3 WHEN 0 THEN doc_id % 251
+          WHEN 1 THEN (doc_id * 7) % 251
+          ELSE doc_id % 200 END) AS BIGINT) AS checksum
 FROM documents
 """,
         # q167: Elias gamma/delta gap costs via bin() lengths (no log2)

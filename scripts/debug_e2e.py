@@ -17,7 +17,7 @@ from stock_crawler_spark.session import build_session
 def compare(fixture_dir: str, state_dir: str, dedup_mode: str = "antijoin",
             spark=None, follow_links: bool = False,
             indegree_priority: bool = False,
-            adaptive_salting: bool = False,
+            adaptive_salting: bool = True,  # the RoundConfig default
             salt_target_rows: int = 1_000_000,
             **cfg_kw) -> bool:
     seeds = pq.read_table(f"{fixture_dir}/seeds.parquet").to_pylist()

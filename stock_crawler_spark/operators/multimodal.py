@@ -430,7 +430,65 @@ def sample_frames(media: DataFrame, every_n: int = 4, frame_bytes: int = 64,
     return media.select(id_col, blob_col).mapInPandas(_run, FRAME_SCHEMA)
 
 
+@F.pandas_udf(LongType())
+def byte_checksum(b: pd.Series) -> pd.Series:
+    """Arrow-batched byte-sum of a binary column (numpy uint8 sum per
+    value) — the audit scalar the closed-form oracles recompute."""
+    return b.map(
+        lambda x: int(np.frombuffer(bytes(x), dtype=np.uint8).sum())
+    )
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("pixels", BinaryType()),
+    ]
+)
+
+
+def resize_nearest(media: DataFrame, width: int, height: int,
+                   id_col: str = "media_id", blob_col: str = "blob") -> DataFrame:
+    """Real nearest-neighbor resize over the decodable raster formats
+    (BMP / PPM / PGM / SYN1-with-full-payload) — numpy integer index
+    sampling (dst pixel (x,y) reads src (x*w_src//w_dst,
+    y*h_src//h_dst), the standard floor-scale nearest rule) inside the
+    same Arrow-batched mapInPandas path. Interpolating resamplers
+    (bilinear/Lanczos) and compressed inputs remain a codec library's
+    job — `resize_stub` keeps that wall explicit. Blobs whose payload
+    length disagrees with the decoded dims (e.g. text-payload SYN1
+    fakes) raise ValueError rather than emitting garbage pixels."""
+    if width < 1 or height < 1:
+        raise ValueError("target dims must be >= 1")
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[blob_col]):
+                w, h, c, payload = _decode_header(bytes(blob))
+                if len(payload) != w * h * c:
+                    raise ValueError(
+                        f"payload length {len(payload)} != {w}x{h}x{c}: "
+                        "not a raster image blob"
+                    )
+                arr = np.frombuffer(payload, dtype=np.uint8).reshape(h, w, c)
+                yi = (np.arange(height) * h) // height
+                xi = (np.arange(width) * w) // width
+                out = np.ascontiguousarray(arr[yi][:, xi])
+                rows.append((int(mid), width, height, c, out.tobytes()))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in RESIZE_SCHEMA.fields]
+            )
+
+    return media.select(id_col, blob_col).mapInPandas(_run, RESIZE_SCHEMA)
+
+
 def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Real resize requires a codec — explicit stub (NotImplementedError) so
-    callers hit a clear wall instead of silent wrong output."""
+    """Interpolating resize of compressed formats requires a codec —
+    explicit stub (NotImplementedError) so callers hit a clear wall
+    instead of silent wrong output. Uncompressed rasters resize for
+    real via `resize_nearest`."""
     raise NotImplementedError("resize needs an image codec (PIL) — stubbed in this container")

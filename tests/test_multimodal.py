@@ -233,3 +233,49 @@ def test_decode_checksum_matches_arithmetic(spark):
     assert (got[0]["n_payload_bytes"], got[0]["checksum"]) == (24, 168)
     assert (got[1]["n_payload_bytes"], got[1]["checksum"]) == (27, 135)
     assert (got[2]["n_payload_bytes"], got[2]["checksum"]) == (6, 54)
+
+
+def test_resize_nearest_index_mapping(spark):
+    """2x2 distinct-pixel image -> 4x4: floor-scale nearest rule means
+    each source pixel tiles a 2x2 destination block — byte-exact."""
+    import numpy as np
+
+    src = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    # ship as PPM (decode path exercises the header strip too)
+    blob = b"P6\n2 2\n255\n" + src.tobytes()
+    df = spark.createDataFrame([(1, blob)], "media_id long, blob binary")
+    r = mm.resize_nearest(df, 4, 4).collect()[0]
+    assert (r["width"], r["height"], r["channels"]) == (4, 4, 3)
+    got = np.frombuffer(r["pixels"], dtype=np.uint8).reshape(4, 4, 3)
+    yi = (np.arange(4) * 2) // 4
+    xi = (np.arange(4) * 2) // 4
+    assert (got == src[yi][:, xi]).all()
+    # downscale back: picks the top-left of each block -> original
+    r2 = mm.resize_nearest(
+        spark.createDataFrame(
+            [(1, mm.encode_ppm(4, 4, 9))], "media_id long, blob binary"
+        ),
+        2, 2,
+    ).collect()[0]
+    assert r2["pixels"] == bytes([9] * 12)
+
+
+def test_resize_nearest_bmp_and_walls(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(0, mm.encode_bmp(4, 2, 7))], "media_id long, blob binary"
+    )
+    r = mm.resize_nearest(df, 8, 8).collect()[0]
+    assert (r["width"], r["height"], r["channels"]) == (8, 8, 3)
+    assert r["pixels"] == bytes([7] * 8 * 8 * 3)
+    with pytest.raises(ValueError):
+        mm.resize_nearest(df, 0, 4)
+    bad = spark.createDataFrame(
+        [(1, mm.synthesize_blobs(
+            spark.createDataFrame([(1, "text")], "doc_id long, text string")
+        ).collect()[0]["blob"])],
+        "media_id long, blob binary",
+    )
+    with pytest.raises(Exception):  # text-payload SYN1: dims mismatch
+        mm.resize_nearest(bad, 2, 2).collect()

@@ -957,3 +957,54 @@ def test_streaming_crawl_restart_resumes_from_checkpoint(
     assert sorted(map(str, a.select(*sel).collect())) == sorted(
         map(str, b.select(*sel).collect())
     )
+
+
+def test_streaming_crawl_parity_with_auto_dedup_and_adaptive_salting(
+    spark, small_fixture_dir, tmp_path
+):
+    """The r4 round defaults/features compose with the stream twin:
+    dedup_mode='auto' (cost-model flip mid-crawl) + adaptive salting
+    driven from inside foreachBatch epochs still lands byte-identical
+    final state vs the batch crawl under the same config."""
+    from stock_crawler_spark.plans.round import RoundConfig, run_crawl
+    from stock_crawler_spark.plans.state import StateStore
+    from stock_crawler_spark.streaming.crawl import (
+        streaming_crawl, write_round_commands,
+    )
+
+    fx = small_fixture_dir
+    seeds = spark.read.parquet(f"{fx}/seeds.parquet")
+    robots = spark.read.parquet(f"{fx}/robots.parquet")
+    skip = spark.read.parquet(f"{fx}/skip_dates.parquet")
+    pages = spark.read.parquet(f"{fx}/pages.parquet")
+    cfg = RoundConfig(
+        dedup_mode="auto", dedup_auto_ratio=0.05,
+        adaptive_salting=True, salt_target_rows=3,
+    )
+
+    batch_dir = str(tmp_path / "batch")
+    run_crawl(spark, batch_dir, seeds, robots, skip, pages, cfg)
+    last_b = StateStore(batch_dir).latest_committed_round()
+    modes = {
+        StateStore(batch_dir).read_manifest(r)["dedup_decision"]["mode"]
+        for r in range(1, last_b + 1)
+    }
+    assert modes == {"antijoin", "bloom"}  # the flip really happened
+
+    cmd_dir = str(tmp_path / "cmds")
+    write_round_commands(spark, cmd_dir, range(1, last_b + 1))
+    sdir, ckpt = str(tmp_path / "s"), str(tmp_path / "ck")
+    assert streaming_crawl(
+        spark, sdir, seeds, robots, skip, pages, cmd_dir, ckpt,
+        cfg=cfg, max_files_per_trigger=2,
+    ) == last_b
+    a = StateStore(batch_dir).read_frontier(spark, last_b)
+    b = StateStore(sdir).read_frontier(spark, last_b)
+    sel = sorted(a.columns)
+    assert sorted(map(str, a.select(*sel).collect())) == sorted(
+        map(str, b.select(*sel).collect())
+    )
+    for t in ("seen", "records"):
+        x = StateStore(batch_dir).read_accumulated(spark, t, last_b)
+        y = StateStore(sdir).read_accumulated(spark, t, last_b)
+        assert sorted(map(str, x.collect())) == sorted(map(str, y.collect())), t
