@@ -2527,6 +2527,40 @@ def q257_media_resize(spark, sf):
     )
 
 
+def q258_adaptive_dequeue(spark, sf):
+    """Adaptive per-hot-key salted politeness dequeue (r3 verdict #1,
+    operators/frontier.dequeue(salt_plan=...)) under a PLANTED hot
+    domain: every 4th doc lands on hog.com (125 of 500 rows at sf0.01
+    — far over the advisor's target of 20, so salt_advisor really
+    emits a multi-salt plan and the hot/cold broadcast split executes),
+    the rest spread over a 37-domain tail. Like q240's bloom join, the
+    salting is an EXECUTION STRATEGY, not a semantics change: the
+    oracle is the plain per-domain rank — the same top-cap window the
+    unsalted plan runs — so the gate pins the two-phase path's
+    exactness cross-engine. cap = max(1, min(5, 30000/500)) = 5."""
+    from stock_crawler_spark.operators.frontier import dequeue
+    from stock_crawler_spark.operators.profile import salt_advisor
+
+    docs = _t(spark, sf, "documents")
+    d = F.col("doc_id")
+    domain = F.when(d % 4 == 0, F.lit("hog.com")).otherwise(
+        F.format_string("d%d.com", d % 37)
+    )
+    cand = docs.select(
+        F.format_string("https://%s/p/%d", domain, d).alias("url"),
+        F.format_string("https://%s/p/%d", domain, d).alias("url_canon"),
+        domain.alias("domain"),
+        (F.pmod(d * 37, F.lit(1000)) / F.lit(1000.0)).alias("priority"),
+        F.lit(500).alias("crawl_delay_ms"),
+        F.lit(5).alias("max_per_round"),
+    )
+    plan = salt_advisor(cand, "domain", target_rows=20)
+    out = dequeue(cand, 30_000, salt_plan=plan.select("domain", "salt"))
+    return out.filter(F.col("_scheduled")).select(
+        "url", "domain", F.round("priority", 6).alias("priority_r")
+    )
+
+
 def _secrets_augmented_text():
     sid = F.col("doc_id")
     return F.concat(
@@ -6552,6 +6586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q255_media_decode": q255_media_decode,
         "q256_trigram_kn": q256_trigram_kn,
         "q257_media_resize": q257_media_resize,
+        "q258_adaptive_dequeue": q258_adaptive_dequeue,
     }
 
 
@@ -12727,6 +12762,28 @@ SELECT CAST(doc_id AS BIGINT) AS media_id,
           WHEN 1 THEN (doc_id * 7) % 251
           ELSE doc_id % 200 END) AS BIGINT) AS checksum
 FROM documents
+""",
+        # q258: the UNSALTED per-domain top-cap rank — salting is an
+        # execution strategy (q240 precedent), so the plain window IS
+        # the semantics the adaptive two-phase plan must reproduce
+        "q258_adaptive_dequeue": """
+WITH cand AS (
+  SELECT
+    'https://' || CASE WHEN doc_id % 4 = 0 THEN 'hog.com'
+                  ELSE 'd' || (doc_id % 37) || '.com' END
+      || '/p/' || doc_id AS url,
+    CASE WHEN doc_id % 4 = 0 THEN 'hog.com'
+         ELSE 'd' || (doc_id % 37) || '.com' END AS domain,
+    CAST((doc_id * 37) % 1000 AS DOUBLE) / 1000.0 AS priority
+  FROM documents
+), ranked AS (
+  SELECT url, domain, priority,
+    row_number() OVER (PARTITION BY domain
+                       ORDER BY priority DESC, url ASC) AS rn
+  FROM cand
+)
+SELECT url, domain, round(priority, 6) AS priority_r
+FROM ranked WHERE rn <= 5
 """,
         # q167: Elias gamma/delta gap costs via bin() lengths (no log2)
         "q167_adjacency_bits": f"""

@@ -220,6 +220,7 @@ def test_no_cartesian_products_anywhere(spark):
         "q248_sign_flip",        # broadcast 1-row observed-sum beside replicates
         "q252_lang_homophily",   # broadcast 1-row marginal-product total
         "q237_kleinberg_bursts", # broadcast 1-row global base-rate (p0, p1)
+        "q256_trigram_kn",       # broadcast 1-row LM totals (B, V, n_docs), q136 shape
     }
     for name, fn in entrymod.queries().items():
         tree = _plan(fn(spark, "/root/testdata/sf0.001")).split("\n\n")[0]
