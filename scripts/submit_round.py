@@ -53,7 +53,19 @@ def main() -> None:
     p.add_argument("--health-port", type=int, default=None,
                    help="serve /healthz + /readyz probes on this port for "
                         "the crawl's duration (reference serve.go:84-102)")
+    p.add_argument("--stream-commands", default=None,
+                   help="run as the CRAWL-AS-STREAM twin instead of the "
+                        "batch loop: consume 'advance to round N' command "
+                        "files from this dir (streaming/crawl.py — the "
+                        "reference's download-v1 kafka consumer loop); "
+                        "requires --checkpoint")
+    p.add_argument("--checkpoint", default=None,
+                   help="streaming checkpoint dir for --stream-commands")
+    p.add_argument("--max-files-per-trigger", type=int, default=None,
+                   help="commands per streaming micro-batch (default: all)")
     args = p.parse_args()
+    if args.stream_commands and not args.checkpoint:
+        p.error("--stream-commands requires --checkpoint")
 
     # master/conf come from spark-submit; only app-level settings here
     spark = (
@@ -96,19 +108,42 @@ def main() -> None:
             spark.stop()
             return
         seeds = seeds.filter(F.col("crawl_date") == target.isoformat())
+    cfg = RoundConfig(dedup_mode=args.dedup,
+                      adaptive_salting=(args.salts == 0),
+                      n_salts=max(args.salts, 1),
+                      salt_target_rows=args.salt_target,
+                      follow_links=args.follow_links,
+                      retain_rounds=args.retain)
+    robots = spark.read.parquet(f"{fx}/robots.parquet")
+    skip = spark.read.parquet(f"{fx}/skip_dates.parquet")
+    pages = spark.read.parquet(f"{fx}/pages.parquet")
+    if args.stream_commands:
+        from stock_crawler_spark.streaming.crawl import streaming_crawl
+
+        last = streaming_crawl(
+            spark, args.state, seeds, robots, skip, pages,
+            args.stream_commands, args.checkpoint, cfg=cfg,
+            max_files_per_trigger=args.max_files_per_trigger,
+        )
+        store = StateStore(args.state)
+        out = {
+            "last_round": last,
+            "mode": "stream",
+            "manifest_tables": sorted(store.read_manifest(last)["tables"]) if last >= 0 else [],
+        }
+        print(json.dumps(out))
+        if health_srv is not None:
+            health_srv.shutdown()
+        spark.stop()
+        return
     res = run_crawl(
         spark,
         args.state,
         seeds,
-        spark.read.parquet(f"{fx}/robots.parquet"),
-        spark.read.parquet(f"{fx}/skip_dates.parquet"),
-        spark.read.parquet(f"{fx}/pages.parquet"),
-        RoundConfig(dedup_mode=args.dedup,
-                    adaptive_salting=(args.salts == 0),
-                    n_salts=max(args.salts, 1),
-                    salt_target_rows=args.salt_target,
-                    follow_links=args.follow_links,
-                    retain_rounds=args.retain),
+        robots,
+        skip,
+        pages,
+        cfg,
         max_rounds=args.max_rounds,
         resume=args.resume,
     )

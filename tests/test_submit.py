@@ -92,3 +92,55 @@ def test_spark_submit_rewind_entry(small_fixture_dir, tmp_path):
     # Tue 2023-01-03 - 1 day = Mon 2023-01-02 -> crawl exactly that date
     out = run("--rewind", "-1", "--base-date", "2023-01-03", "--dedup", "antijoin")
     assert out["rounds_run"] >= 1 and out["total_scheduled"] > 0
+
+
+@pytest.mark.skipif(not os.path.exists(SPARK_SUBMIT), reason="no spark-submit")
+def test_spark_submit_stream_commands_mode(small_fixture_dir, tmp_path):
+    """Deployment shape of the crawl-as-stream twin: spark-submit with
+    --py-files runs --stream-commands (the download-command consumer
+    loop) and lands the same state layout as the batch loop."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    zip_path = str(tmp_path / "engine.zip")
+    pkg_root = "/root/repo/stock_crawler_spark"
+    with zipfile.ZipFile(zip_path, "w") as z:
+        for base, _dirs, files in os.walk(pkg_root):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(base, f)
+                    z.write(full, os.path.relpath(full, "/root/repo"))
+
+    cmd_dir = tmp_path / "cmds"
+    cmd_dir.mkdir()
+    for r in range(1, 4):  # advance to round 3 in three epochs
+        pq.write_table(
+            pa.table({"round_id": pa.array([r], type=pa.int32())}),
+            str(cmd_dir / f"cmd_{r}.parquet"),
+        )
+
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    proc = subprocess.run(
+        [
+            SPARK_SUBMIT,
+            "--master", "local[4]",
+            "--conf", "spark.ui.enabled=false",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--py-files", zip_path,
+            "/root/repo/scripts/submit_round.py",
+            "--fixtures", small_fixture_dir,
+            "--state", str(tmp_path / "state"),
+            "--stream-commands", str(cmd_dir),
+            "--checkpoint", str(tmp_path / "ckpt"),
+            "--max-files-per-trigger", "1",
+        ],
+        capture_output=True, text=True, timeout=420, env=env, cwd=str(tmp_path),
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    out = json.loads(line)
+    assert out == {
+        "last_round": 3, "mode": "stream",
+        "manifest_tables": out["manifest_tables"],
+    }
+    assert "frontier" in out["manifest_tables"]
