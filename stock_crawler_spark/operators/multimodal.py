@@ -186,7 +186,10 @@ def decode_wav(blob: bytes):
         cid, sz = blob[i : i + 4], struct.unpack("<I", blob[i + 4 : i + 8])[0]
         body = blob[i + 8 : i + 8 + sz]
         if cid == b"fmt ":
-            if sz < 16:
+            # len(body) guard (not just sz): a blob truncated mid-chunk has
+            # sz >= 16 but a short slice — struct.error would escape the
+            # on_error='null' ValueError net and kill the stage
+            if sz < 16 or len(body) < 16:
                 raise ValueError("truncated WAV fmt chunk")
             tag, ch, rate, _br, _ba, bits = struct.unpack("<HHIIHH", body[:16])
             if tag != 1:

@@ -98,8 +98,17 @@ def run_skew_bench(
     (run_round caches the flagged candidates before dequeuing) — under
     two regimes: uniform Zipf, and a planted mega-domain holding half
     the frontier. Cells: static n_salts=1, static n_salts=8, and the
-    advisor-driven adaptive path (sampled advisor + bounded plan
-    collect timed INSIDE the adaptive cell).
+    advisor-driven adaptive path.
+
+    The advisor runs ONCE per regime, before and OUTSIDE the timed
+    loop, and its plan is passed explicitly to both the timed adaptive
+    cell and the max-rows audit (r4 advice: the old code bound the
+    plan inside the timed loop — NameError at reps=0, and it silently
+    timed a recount per rep). This models the engine's steady state
+    since r5: run_round reuses the manifest-carried plan between
+    refreshes (RoundConfig.salt_refresh_every), so the per-round
+    adaptive cost IS the plan-driven dequeue alone; the advisor's
+    amortized recount is reported separately as `advisor_wall`.
 
     Two readings per cell:
       wall          — best-of-reps seconds for the dequeue count
@@ -142,24 +151,30 @@ def run_skew_bench(
         cand = anti_join_not_seen(fr, seen).cache()
         cand.count()  # materialize outside every timed cell
 
+        # --- advisor: once per regime, outside the timed loop (the
+        #     engine amortizes the recount over salt_refresh_every
+        #     rounds via the manifest-carried plan); timed on its own ---
+        mod = 32
+        t_adv = time.monotonic()
+        plan_pairs = [
+            (r["domain"], int(r["salt"]))
+            for r in salt_advisor(
+                cand.filter(F.pmod(F.xxhash64(F.col("url")), F.lit(mod)) == 0),
+                "domain",
+                target_rows=max(1, salt_target_rows // mod),
+            ).collect()
+        ]
+        advisor_wall = round(time.monotonic() - t_adv, 3)
+        # dict plan = the engine's own path for small plans (literal-map
+        # projection, no broadcast exchange)
+        plan = dict(plan_pairs) if plan_pairs else None
+
         walls: dict[str, list[float]] = {"static_1": [], "static_8": [], "adaptive": []}
         for _ in range(reps):
             for label in walls:
                 t0 = time.monotonic()
                 if label == "adaptive":
-                    mod = 32
-                    samp = cand.filter(
-                        F.pmod(F.xxhash64(F.col("url")), F.lit(mod)) == 0
-                    )
-                    plan_rows = salt_advisor(
-                        samp, "domain",
-                        target_rows=max(1, salt_target_rows // mod),
-                    ).collect()
-                    if plan_rows:
-                        plan = spark.createDataFrame(
-                            [(r["domain"], int(r["salt"])) for r in plan_rows],
-                            "domain string, salt long",
-                        )
+                    if plan is not None:
                         dq = dequeue(cand, 30_000, salt_plan=plan,
                                      scheduled_only=True)
                     else:
@@ -173,7 +188,8 @@ def run_skew_bench(
                 dq.count()
                 walls[label].append(round(time.monotonic() - t0, 3))
 
-        # the per-task sort bound per cell (untimed, deterministic)
+        # the per-task sort bound per cell (untimed, deterministic;
+        # takes the SAME plan_pairs the timed cell used)
         def _max_rows(label):
             if label == "static_1":
                 g = cand.groupBy("domain")
@@ -184,11 +200,8 @@ def run_skew_bench(
                 )
             else:
                 plan_df = (
-                    spark.createDataFrame(
-                        [(r["domain"], int(r["salt"])) for r in plan_rows],
-                        "domain string, salt long",
-                    )
-                    if plan_rows
+                    spark.createDataFrame(plan_pairs, "domain string, salt long")
+                    if plan_pairs
                     else spark.createDataFrame([], "domain string, salt long")
                 )
                 g = cand.join(F.broadcast(plan_df), "domain", "left").groupBy(
@@ -202,6 +215,8 @@ def run_skew_bench(
 
         out[regime] = {
             "wall": {k: min(v) for k, v in walls.items()},
+            "advisor_wall": advisor_wall,
+            "n_hot_keys": len(plan_pairs),
             "max_sort_task_rows": {k: _max_rows(k) for k in walls},
         }
         cand.unpersist()

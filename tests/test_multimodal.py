@@ -183,6 +183,10 @@ def test_wav_pcm_roundtrip_and_walls():
     assert mm.decode_wav(b8) == (7, 1, 1, bytes([42] * 7))
     with pytest.raises(ValueError):
         mm.decode_wav(blob[:-4])  # truncated data chunk
+    # truncated MID-fmt-chunk: sz says 16+ but the blob ends early — must
+    # be ValueError (on_error='null' catches it), never a raw struct.error
+    with pytest.raises(ValueError):
+        mm.decode_wav(blob[:22])
     mutated = bytearray(blob)
     mutated[20] = 3  # format tag 3 (IEEE float)
     with pytest.raises(NotImplementedError):

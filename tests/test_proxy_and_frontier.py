@@ -120,6 +120,20 @@ def test_dequeue_adaptive_salt_plan_equals_unsalted(spark):
         .collect()
     }
     assert got_empty == base
+    # dict plan (the engine's literal-map projection path — no join node)
+    # must equal both the DataFrame-plan and the unsalted result, for the
+    # full and the scheduled_only shapes
+    got_dict = {
+        r["url_canon"]
+        for r in fr.dequeue(df, 30_000, salt_plan=plan_rows)
+        .filter(F.col("_scheduled"))
+        .collect()
+    }
+    assert got_dict == base
+    full_dict = fr.dequeue(df, 30_000, salt_plan=plan_rows)
+    assert full_dict.count() == len(rows)
+    plan_str = full_dict._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan_str and "Broadcast" not in plan_str
 
 
 def test_merge_asof_matches_pandas_semantics(spark):

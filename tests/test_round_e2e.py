@@ -41,6 +41,26 @@ def test_small_scale_parity_adaptive_salting(spark, small_fixture_dir, tmp_path)
     assert m["salt_plan"]["target_rows"] == 3
     assert m["salt_plan"]["n_hot_keys"] >= 1
     assert m["salt_plan"]["max_salt"] >= 2
+    # r4 verdict #1: round 1 always recounts (no prior plan) and ships
+    # the plan in the manifest; rounds between refreshes (default every
+    # 4th) must REUSE it — recorded as reused=True with identical rows
+    store = StateStore(state)
+    assert m["salt_plan"]["reused"] is False
+    assert all(
+        isinstance(d, str) and isinstance(s, int) and s >= 2
+        for d, s in m["salt_plan_rows"]
+    )
+    last = store.latest_committed_round()
+    if last >= 2:
+        m2 = store.read_manifest(2)
+        assert m2["salt_plan"]["reused"] is True
+        assert m2["salt_plan_rows"] == m["salt_plan_rows"]
+    refreshes = [
+        r for r in range(1, last + 1)
+        if StateStore(state).read_manifest(r)["salt_plan"]["reused"] is False
+    ]
+    assert refreshes[0] == 1
+    assert all(r == 1 or r % 4 == 0 for r in refreshes)
 
 
 def test_small_scale_parity_auto_dedup_crosses_over(spark, small_fixture_dir, tmp_path):
