@@ -57,6 +57,7 @@ def simulate(
     max_rounds: int = 12,
     follow_links: bool = False,
     indegree_priority: bool = False,
+    seen_ttl_ms: int | None = None,
 ) -> dict:
     """Returns {'trace': [(round, seq, url, action)...],
                 'final_states': {url_canon: state},
@@ -115,7 +116,12 @@ def simulate(
         elif any(path.startswith(p) for p in r["deny"]):
             e["state"] = "denied"
 
-    seen: set[str] = set()
+    # canon -> first-seen timestamp; membership is the set of keys, and
+    # with seen_ttl_ms an entry older than the TTL stops blocking
+    # re-crawl (the Redis 6h expiry twin, services/entities.go:35) while
+    # remaining in the final membership output (the engine's seen table
+    # is append-only; expiry filters the DECISION, not the table)
+    seen: dict[str, datetime] = {}
     trace: list[tuple[int, int, str, str]] = []
     pages_out: dict[str, str] = {}
     records: list[dict] = []  # concentration page records
@@ -136,7 +142,12 @@ def simulate(
         # seen dedup
         fresh = []
         for e in cands:
-            if e["url_canon"] in seen:
+            first = seen.get(e["url_canon"])
+            live = first is not None and (
+                seen_ttl_ms is None
+                or first > now - timedelta(milliseconds=seen_ttl_ms)
+            )
+            if live:
                 e["state"] = "deduped"
                 trace.append((rnum, -1, e["url"], "deduped"))
             else:
@@ -179,7 +190,7 @@ def simulate(
                 trace.append((rnum, -1, e["url"], "failed_retry"))
                 continue
             e["state"] = "done"
-            seen.add(e["url_canon"])
+            seen[e["url_canon"]] = now
             # twin of round.py's meta-robots noindex gate: the page is
             # done + seen, but its text stays out of the corpus output
             from stock_crawler_spark.functions.html import meta_noindex_py
@@ -273,7 +284,7 @@ def simulate(
     return dict(
         trace=trace,
         final_states={c: e["state"] for c, e in frontier.items()},
-        seen=seen,
+        seen=set(seen),
         merged=merged,
         pages_out=pages_out,
     )

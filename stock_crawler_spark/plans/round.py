@@ -50,13 +50,24 @@ class RoundConfig:
     backoff_ms: int = 60_000  # doubles per retry (retry/retry.go:41 analog)
     max_attempts: int = 3  # pipeline/stage.go:26 defaultRetryTimes
     n_shards: int = 16
-    dedup_mode: str = "antijoin"  # or "bloom" / "cuckoo" / "auto"
-    # "auto" picks antijoin-vs-bloom PER ROUND from manifest-carried
-    # cardinalities (BASELINE.md crossover: anti-join wins while the seen
-    # side is comparable to the candidate batch; the probe wins once the
-    # seen set outgrows it): bloom iff n_seen > ratio * n_pending. The
+    dedup_mode: str = "auto"  # or "antijoin" / "bloom" / "cuckoo"
+    # "auto" (the engine-wide DEFAULT since r5 — r4 verdict #2) picks
+    # antijoin-vs-filter PER ROUND from manifest-carried cardinalities
+    # (BASELINE.md crossover: anti-join wins while the seen side is
+    # comparable to the candidate batch; the probe wins once the seen
+    # set outgrows it): filter iff n_seen > ratio * n_pending. The
+    # filter KIND is part of the model: bloom normally, cuckoo when
+    # seen_ttl_ms is set (TTL expiry needs deletion; bloom can only
+    # exclude at full-rebuild time, cuckoo deletes in place). The
     # decision + its inputs are recorded in the round manifest.
     dedup_auto_ratio: float = 1.0
+    # reference twin of the Redis 6h seen-TTL (services/entities.go:35):
+    # a seen entry older than this stops blocking re-crawl of its url —
+    # the dedup decision (anti-join or probe+confirm) only consults LIVE
+    # entries, and filter builds mark expired keys (bloom: excluded at
+    # build; cuckoo: delete_many'd — seen.build_seen_filters). None = no
+    # expiry (seen is forever), the crawl-fixture default.
+    seen_ttl_ms: int | None = None
     n_salts: int = 1  # >1 = exact two-phase salted dequeue (hot-domain skew)
     # adaptive per-hot-key salting (DEFAULT ON — r3 verdict #1): before
     # each dequeue, run profile.salt_advisor over the round's candidates
@@ -201,8 +212,11 @@ def run_round(
             n_pending_est = frontier.filter(
                 F.col("state").isin(fr.PENDING, fr.FAILED)
             ).count()
+        # filter kind is part of the model: TTL expiry needs deletion,
+        # which bloom cannot do in place — cuckoo can (r4 verdict #2)
+        filter_kind = "cuckoo" if cfg.seen_ttl_ms else "bloom"
         mode = (
-            "bloom"
+            filter_kind
             if n_seen_prev > cfg.dedup_auto_ratio * max(1, n_pending_est)
             else "antijoin"
         )
@@ -211,12 +225,26 @@ def run_round(
             "n_seen": int(n_seen_prev),
             "n_pending": int(n_pending_est),
             "ratio": cfg.dedup_auto_ratio,
+            **({"ttl_ms": cfg.seen_ttl_ms} if cfg.seen_ttl_ms else {}),
         }
+
+    # --- seen-TTL (reference Redis 6h expiry): dedup decisions consult
+    #     only LIVE entries; expired keys stop blocking re-crawl. The
+    #     expiry predicate is a partition-prunable timestamp filter, and
+    #     filter builds carry it as `_expired` (bloom: excluded at build,
+    #     cuckoo: deleted in place — seen.build_seen_filters). ---
+    if cfg.seen_ttl_ms:
+        ttl_floor = now - timedelta(milliseconds=cfg.seen_ttl_ms)
+        expired_pred = F.col("first_seen_ts") <= F.lit(ttl_floor)
+        seen_live = seen.filter(~expired_pred)
+    else:
+        expired_pred = None
+        seen_live = seen
 
     # --- dedup against the seen set (P3): ONE decision pass (`_seen` flag)
     #     instead of anti-join + complement (two shuffles of the candidates) ---
     if mode == "antijoin":
-        flagged = seen_ops.flag_seen(candidates, seen).cache()
+        flagged = seen_ops.flag_seen(candidates, seen_live).cache()
     else:
         # filters are maintained INCREMENTALLY: read round N-1's committed
         # blobs, rebuild only shards the round touches (below). If the
@@ -229,13 +257,24 @@ def run_round(
             prev_manifest.get("filter_format") == seen_ops.FILTER_FORMAT
         )
         if not have:
+            build_src = (
+                seen.withColumn("_expired", expired_pred)
+                if expired_pred is not None
+                else seen
+            )
             store.write_table(
-                seen_ops.build_seen_filters(seen, kind=kind),
+                seen_ops.build_seen_filters(
+                    build_src, kind=kind,
+                    expired_col="_expired" if expired_pred is not None else None,
+                ),
                 "seen_filters",
                 round_id - 1,
             )
         filters = store.read_table(spark, "seen_filters", round_id - 1)
-        flagged = seen_ops.probe_seen_flag(candidates, filters, seen).cache()
+        # probe against the (possibly TTL-stale) blobs, confirm against
+        # LIVE rows only — a blob still holding an expired key costs one
+        # extra confirm probe, never a wrong dedup
+        flagged = seen_ops.probe_seen_flag(candidates, filters, seen_live).cache()
     not_seen = flagged.filter(~F.col("_seen")).drop("_seen")
     deduped = flagged.filter(F.col("_seen")).drop("_seen")
 
@@ -545,8 +584,11 @@ def run_round(
             spark.read.parquet(store.delta_path("seen", round_id)).select("shard").distinct()
         )
         seen_now = store.read_accumulated(spark, "seen", round_id)
+        if expired_pred is not None:
+            seen_now = seen_now.withColumn("_expired", expired_pred)
         rebuilt = seen_ops.build_seen_filters(
-            seen_now.join(touched_shards, "shard", "left_semi"), kind=kind
+            seen_now.join(touched_shards, "shard", "left_semi"), kind=kind,
+            expired_col="_expired" if expired_pred is not None else None,
         )
         filters_next = filters.join(touched_shards, "shard", "left_anti").unionByName(rebuilt)
         tables["seen_filters"] = store.write_table(filters_next, "seen_filters", round_id)

@@ -126,6 +126,81 @@ def _load(spark, fx):
     )
 
 
+def test_auto_is_engine_wide_default():
+    """r4 verdict #2: 'auto' is the DEFAULT dedup mode everywhere — the
+    RoundConfig dataclass (run_crawl, streaming twin, and the submit CLI
+    all construct from it; the CLI's own --dedup default is asserted in
+    test_submit)."""
+    assert RoundConfig().dedup_mode == "auto"
+
+
+def test_seen_ttl_expiry_and_auto_cuckoo(spark, small_fixture_dir, tmp_path):
+    """seen_ttl_ms (the Redis 6h-TTL twin, services/entities.go:35):
+    a seen entry older than the TTL stops blocking re-crawl; a younger
+    one still dedups; and when TTL is configured the auto cost model
+    picks CUCKOO (deletable) over bloom on the filter side, recording
+    the kind in the manifest decision."""
+    from datetime import timedelta
+
+    from stock_crawler_spark.operators.extract import dedup_pages
+    from stock_crawler_spark.plans.round import EPOCH0_DT, bootstrap, run_round
+
+    seeds, robots, skip, pages = _load(spark, small_fixture_dir)
+    pages_canon = dedup_pages(pages)
+
+    def fresh(state, cfg):
+        store = StateStore(state)
+        bootstrap(spark, store, seeds, robots, skip, cfg)
+        f0 = store.read_frontier(spark, 0)
+        pend = (
+            f0.filter(F.col("state") == "pending")
+            .orderBy("url_canon")
+            .limit(3)
+            .select(
+                "url_hash", "url",
+                F.lit(EPOCH0_DT - timedelta(hours=10)).alias("first_seen_ts"),
+                "shard",
+            )
+        )
+        store.write_delta(pend, "seen", 0)
+        m0 = {k: v for k, v in store.read_manifest(0).items() if k != "round_id"}
+        m0["n_seen"] = pend.count()
+        store.commit_round(0, m0)
+        return store
+
+    # no TTL: the 3 injected canons dedup as before
+    cfg = RoundConfig(dedup_mode="antijoin")
+    info = run_round(spark, fresh(str(tmp_path / "a"), cfg), pages_canon, 1, cfg)
+    assert info["metrics"]["deduped"] == 3
+
+    # TTL = 24h: entries are 10h old at round 1 — still live, still dedup
+    cfg = RoundConfig(dedup_mode="antijoin", seen_ttl_ms=24 * 3600 * 1000)
+    info = run_round(spark, fresh(str(tmp_path / "b"), cfg), pages_canon, 1, cfg)
+    assert info["metrics"]["deduped"] == 3
+
+    # TTL = 6h: expired — the urls schedule again
+    cfg = RoundConfig(dedup_mode="antijoin", seen_ttl_ms=6 * 3600 * 1000)
+    info = run_round(spark, fresh(str(tmp_path / "c"), cfg), pages_canon, 1, cfg)
+    assert info["metrics"]["deduped"] == 0
+
+    # auto + TTL: once the cardinality model lands on the filter side it
+    # must choose cuckoo, and the probe+confirm still honors expiry
+    cfg = RoundConfig(
+        dedup_mode="auto", dedup_auto_ratio=0.0001, seen_ttl_ms=6 * 3600 * 1000
+    )
+    info = run_round(spark, fresh(str(tmp_path / "d"), cfg), pages_canon, 1, cfg)
+    assert info["dedup_decision"]["mode"] == "cuckoo"
+    assert info["dedup_decision"]["ttl_ms"] == 6 * 3600 * 1000
+    assert info["metrics"]["deduped"] == 0
+    # same config, live entries (24h TTL): cuckoo chosen AND dedup holds
+    cfg = RoundConfig(
+        dedup_mode="auto", dedup_auto_ratio=0.0001, seen_ttl_ms=24 * 3600 * 1000
+    )
+    info = run_round(spark, fresh(str(tmp_path / "e"), cfg), pages_canon, 1, cfg)
+    assert info["dedup_decision"]["mode"] == "cuckoo"
+    assert info["metrics"]["deduped"] == 3
+
+
 def test_kill_and_resume_identical_state(spark, small_fixture_dir, tmp_path):
     seeds, robots, skip, pages = _load(spark, small_fixture_dir)
     cfg = RoundConfig()
