@@ -3824,6 +3824,28 @@ def q95_exact_substr(spark, sf):
     )
 
 
+def q259_exact_substr_bloom(spark, sf):
+    """ExactSubstr under the BLOOM prefilter rung forced (r4 verdict
+    #5, operators/exact_substr): the dup-gram hashes ride the broadcast
+    slot as a NumpyBloom blob instead of the winner rows, the gram
+    stream is pruned by an Arrow-batched map-side probe, and the exact
+    loser join re-verifies survivors. fpp=0.25 is deliberately leaky so
+    the re-verify path really fires; the oracle is q95's — bit-for-bit,
+    because every prefilter rung is an execution strategy, not a
+    semantics change (q240/q258 precedent)."""
+    from stock_crawler_spark.operators.exact_substr import exact_substr_dedup
+
+    docs = _t(spark, sf, "documents")
+    txt = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(F.col("doc_id") % 3 != 0, F.lit(ES_FOOTER)).otherwise(F.lit("")),
+    )
+    return exact_substr_dedup(
+        docs.select("doc_id", txt.alias("text")), k=40,
+        prefilter="bloom", prefilter_fpp=0.25,
+    )
+
+
 def q96_meta_robots(spark, sf):
     """Page-level robots meta directives (functions/html.meta_noindex/
     meta_nofollow) — the in-page complement to robots.txt: noindex
@@ -6587,6 +6609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q256_trigram_kn": q256_trigram_kn,
         "q257_media_resize": q257_media_resize,
         "q258_adaptive_dequeue": q258_adaptive_dequeue,
+        "q259_exact_substr_bloom": q259_exact_substr_bloom,
     }
 
 
@@ -13843,6 +13866,9 @@ FROM cum
         "q154_label_propagation": _lpa_oracle(LPA_ITERS),
         "q94_epoch_shuffle": _SHUFFLE_ORACLE,
         "q95_exact_substr": _exact_substr_oracle(),
+        # q259: identical semantics to q95 — the bloom rung is an
+        # execution strategy; the oracle is deliberately the same SQL
+        "q259_exact_substr_bloom": _exact_substr_oracle(),
         "q96_meta_robots": """
 SELECT doc_id,
   (doc_id % 7) IN (1, 3, 5) AS noindex,

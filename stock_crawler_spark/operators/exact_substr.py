@@ -30,21 +30,39 @@ gram comprehension, the same winner argmin, gaps-and-islands window
 merge, string_agg reconstruction), which pins the semantics
 cross-engine.
 
-Note the gram subtree appears TWICE in the physical plan (winner
-build side and prober side of the self-join) — deliberate: grams are
-~total-chars rows, so re-running the linear transform+explode is
-cheaper than materializing them (a persist would cache k bytes per
-character of corpus). With the default prefilter the prober side
-never shuffles (broadcast loser join), so the winner groupBy is the
-ONLY corpus-scale shuffle; tests/test_plans.py pins exactly two gram
-Generates, the broadcast loser join, and no per-char explode."""
+Note the gram subtree appears TWICE in the broadcast-rung physical
+plan (winner build side and prober side of the self-join) —
+deliberate: grams are ~total-chars rows, so re-running the linear
+transform+explode is cheaper than materializing them (a persist
+would cache k bytes per character of corpus). With the broadcast
+prefilter the prober side never shuffles (broadcast loser join), so
+the winner groupBy is the ONLY corpus-scale shuffle; the bloom rung
+instead persists the (small) dup-winner aggregate and emits grams
+ONCE. tests/test_plans.py pins both shapes, plus the no-per-char-
+explode and no-single-partition invariants."""
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from stock_crawler_spark.operators.dedup import _md5_hash60
+
+
+def _bloom_build_fn(fpp: float):
+    """Per-shard NumpyBloom blob builder (applyInPandas groupBy body) —
+    the seen-set/bloomjoin pattern: distributed build, O(shards) blobs."""
+    from stock_crawler_spark.operators.filters import NumpyBloom
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["_shard"].iloc[0])
+        f = NumpyBloom(max(len(pdf), 1), fpp=fpp)
+        f.add_many(pdf["h"].to_numpy())
+        return pd.DataFrame({"shard": [shard], "blob": [f.to_bytes()]})
+
+    return _build
 
 
 def exact_substr_dedup(
@@ -52,34 +70,57 @@ def exact_substr_dedup(
     k: int = 40,
     id_col: str = "doc_id",
     text_col: str = "text",
-    prefilter: bool | None = None,
+    prefilter: bool | str | None = None,
     prefilter_shards: int = 16,
+    dup_broadcast_budget: int = 10_000_000,
+    prefilter_fpp: float = 0.01,
 ) -> DataFrame:
     """(id, n_dup_grams, n_islands, removed_chars, cleaned_text) for
     every input doc; docs carrying no duplicated >= k-char run pass
     through intact. See module doc for semantics and scale shape.
 
-    ``prefilter`` (r3 verdict #3): most grams of a real corpus are
-    UNIQUE, yet the naive loser join shuffles the full gram stream a
-    SECOND time just to probe the duplicated winners. With the
-    pre-filter on, the duplicated winners (one row per duplicated gram
-    TYPE — orders of magnitude below total grams) are broadcast, so
-    the loser probe is a map-side BroadcastHashJoin and the winner
-    groupBy stays the only corpus-scale shuffle: ~40 shuffle
-    bytes/gram instead of ~80, no extra gram pass, byte-identical
-    output (pytest pins prefilter == naive). An earlier variant that
-    count-prefiltered the gram stream BEFORE the winner groupBy was
-    measured slower at bench scale — the gram explode + md5 is the
-    CPU-dominant stage, and that shape re-runs it 4x instead of 2x.
-    Default None = on. Pass False when the duplicated-TYPE set
-    outgrows the broadcast budget (~10^7 types); the next rungs up the
-    scale ladder are a bloom of the dup hashes in the same broadcast
-    slot (16x smaller, exact after the occ>1 recount) and finally the
-    unfiltered shuffle. ``prefilter_shards`` is kept for that bloom
-    variant's blob partitioning.
+    ``prefilter`` (r3 verdict #3, r4 verdict #5) — the loser-probe
+    scale ladder; every rung is byte-identical (the exact join kills
+    any probabilistic survivor), they differ only in plan shape:
+
+    * ``"broadcast"`` / True — the duplicated winners (one row per
+      duplicated gram TYPE — orders of magnitude below total grams)
+      are broadcast, so the loser probe is a map-side
+      BroadcastHashJoin and the winner groupBy stays the only
+      corpus-scale shuffle: ~40 shuffle bytes/gram instead of ~80, no
+      extra gram pass (pytest pins prefilter == naive). An earlier
+      variant that count-prefiltered the gram stream BEFORE the
+      winner groupBy was measured slower at bench scale — the gram
+      explode + md5 is the CPU-dominant stage, and that shape re-runs
+      it 4x instead of 2x.
+    * ``"bloom"`` — for corpora whose duplicated-TYPE set outgrows
+      the broadcast budget (~10^7 types = ~160 MB of winner rows): a
+      NumpyBloom over the dup-gram hashes rides the broadcast slot
+      instead (~1.2 bytes/key at fpp=0.01 — ~16x smaller), the gram
+      stream is pruned map-side by an Arrow-batched probe, and the
+      EXACT loser join re-verifies the survivors — false positives
+      (rate ``prefilter_fpp``) cost shuffle bytes, never wrong
+      output. The dup-winner aggregate is persisted so its
+      corpus-scale shuffle still runs ONCE (blob build + join reuse).
+      ``prefilter_shards`` partitions the distributed blob build.
+    * ``False`` — the unfiltered double shuffle (the r2 shape).
+
+    ``None`` (default) = AUTO, resolving the r4 advice that the
+    broadcast hint was unconditional: corpora whose total char count
+    (a cheap one-agg upper bound on duplicated types) fits
+    ``dup_broadcast_budget`` take the broadcast rung; larger corpora
+    take the bloom rung — which degrades gracefully (more shuffled
+    survivors) instead of OOMing the driver on an oversized broadcast.
     """
     if prefilter is None:
-        prefilter = True
+        total_chars = docs.agg(
+            F.sum(F.length(F.col(text_col))).alias("n")
+        ).collect()[0]["n"] or 0
+        prefilter = "broadcast" if total_chars <= dup_broadcast_budget else "bloom"
+    if prefilter is True:
+        prefilter = "broadcast"
+    if prefilter not in ("broadcast", "bloom", False):
+        raise ValueError(f"prefilter must be 'broadcast'|'bloom'|True|False|None, got {prefilter!r}")
     base = docs.select(
         F.col(id_col).alias("doc"), F.col(text_col).alias("txt")
     )
@@ -102,18 +143,52 @@ def exact_substr_dedup(
         F.count(F.lit(1)).alias("occ"),
     )
     dup_winners = winners.filter(F.col("occ") > 1)
-    if prefilter:
-        # broadcast the DUPLICATED winners (dup gram types only — the
-        # corpus's duplicated-type count, orders below total grams):
-        # the loser probe becomes a map-side BroadcastHashJoin, so the
-        # gram stream is shuffled ONCE (the winner groupBy) instead of
-        # twice — shuffle bytes ~40/gram instead of ~80, no extra gram
-        # pass. Falls to prefilter=False when the duplicated-type set
-        # outgrows the broadcast budget (~10^7 types); the next rung up
-        # is a bloom of the dup hashes in the same slot.
+    probe_side = grams
+    if prefilter == "broadcast":
         dup_winners = F.broadcast(dup_winners)
+    elif prefilter == "bloom":
+        from stock_crawler_spark.operators.filters import NumpyBloom
+
+        # persist the dup-winner aggregate: the blob-build collect below
+        # is a separate job, and without the persist the join side would
+        # re-run the corpus-scale winner shuffle a second time. The
+        # persisted set is the DUP TYPES — small relative to the corpus
+        # even when over the broadcast-row budget.
+        dup_winners = dup_winners.persist()
+        n_shards = max(1, prefilter_shards)
+        blob_rows = (
+            dup_winners.select(
+                F.pmod(F.col("h"), F.lit(n_shards)).alias("_shard"), "h"
+            )
+            .groupBy("_shard")
+            .applyInPandas(
+                _bloom_build_fn(prefilter_fpp), schema="shard int, blob binary"
+            )
+            .collect()
+        )
+        blob_map = {int(r["shard"]): bytes(r["blob"]) for r in blob_rows}
+        bc = docs.sparkSession.sparkContext.broadcast(blob_map)
+
+        @pandas_udf("boolean")
+        def _might_contain(h: pd.Series) -> pd.Series:
+            import numpy as np
+
+            filters = {
+                s: NumpyBloom.from_bytes(b) for s, b in bc.value.items()
+            }
+            hv = h.to_numpy()
+            mask = np.zeros(len(hv), dtype=bool)
+            if filters:
+                shard = hv % n_shards
+                for s, f in filters.items():
+                    sel = shard == s
+                    if sel.any():
+                        mask[sel] = f.contains_many(hv[sel])
+            return pd.Series(mask)
+
+        probe_side = grams.filter(_might_contain(F.col("h")))
     losers = (
-        grams.join(dup_winners, "h")
+        probe_side.join(dup_winners, "h")
         .filter(
             (F.col("doc") != F.col("w.doc")) | (F.col("pos") != F.col("w.pos"))
         )

@@ -279,6 +279,9 @@ def test_exact_substr_no_per_char_explode(spark):
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entrymod
 
+    # q259's bloom rung persists a winners subtree whose logical plan
+    # matches q95's — drop it so this test sees q95's own plan shape
+    spark.catalog.clearCache()
     df = entrymod.queries()["q95_exact_substr"](spark, "/root/testdata/sf0.001")
     full = _plan(df)
     tree = full.split("\n\n")[0]
@@ -296,6 +299,36 @@ def test_exact_substr_no_per_char_explode(spark):
     # corpus-scale shuffle of the gram stream (r3 verdict #3)
     assert "BroadcastHashJoin" in tree, tree
     assert "SortMergeJoin" not in tree, tree
+
+
+def test_exact_substr_bloom_rung_plan(spark):
+    """q259 (the bloom prefilter rung, r4 verdict #5): the gram stream
+    must be pruned MAP-SIDE by the Arrow-batched bloom probe before any
+    join — the plan carries the ArrowEvalPython filter on the prober
+    side — and the dup-winner aggregate is persisted (InMemoryRelation)
+    so its corpus-scale shuffle ran once for blob build + join. The
+    per-char-explode and single-partition bans hold unchanged."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["q259_exact_substr_bloom"](
+        spark, "/root/testdata/sf0.001"
+    )
+    full = _plan(df)
+    tree = full.split("\n\n")[0]
+    assert "ArrowEvalPython" in tree, tree
+    assert "InMemoryTableScan" in tree, tree
+    # ONE gram Generate in the live plan: the winners side reads the
+    # persisted aggregate (InMemoryTableScan) instead of re-deriving
+    # grams, so the bloom rung emits grams once per corpus pass. The
+    # cached relation's own build plan is inlined below the
+    # InMemoryRelation node (and printed twice under AQE) — count only
+    # the live portion above it.
+    live = tree.split("InMemoryRelation")[0]
+    assert live.count("Generate (") == 1, tree
+    assert "Exchange SinglePartition" not in live, tree
 
 
 def test_decontaminate_broadcasts_benchmark(spark):
