@@ -211,8 +211,10 @@ def test_decode_metadata_detects_real_formats(spark):
 def test_decode_metadata_on_error_null_survives_corrupt_blobs(spark):
     rows = [
         (0, mm.encode_bmp(2, 2, 1)),
-        (1, b"\x89PNG\r\n\x1a\n garbage"),     # compressed: wall
+        (1, b"\xff\xd8\xff\xe0 jpeg-ish"),      # codec-walled format
         (2, mm.encode_bmp(2, 2, 1)[:30]),       # truncated
+        (3, b"\x89PNG\r\n\x1a\n garbage"),      # r5: PNG decodes now —
+                                                # corrupt stream = ValueError
     ]
     df = spark.createDataFrame(rows, "media_id long, blob binary")
     got = {r["media_id"]: r for r in
@@ -220,6 +222,7 @@ def test_decode_metadata_on_error_null_survives_corrupt_blobs(spark):
     assert got[0]["format"] == "BMP" and got[0]["width"] == 2
     assert got[1]["format"] == "ERROR:NotImplementedError"
     assert got[2]["format"] == "ERROR:ValueError" and got[2]["width"] is None
+    assert got[3]["format"] == "ERROR:ValueError" and got[3]["width"] is None
     import pytest
 
     with pytest.raises(Exception):
@@ -283,3 +286,157 @@ def test_resize_nearest_bmp_and_walls(spark):
     )
     with pytest.raises(Exception):  # text-payload SYN1: dims mismatch
         mm.resize_nearest(bad, 2, 2).collect()
+
+
+# ---------------------------------------------------------------------------
+# PNG (r4 verdict #3): stdlib zlib+struct decode
+# ---------------------------------------------------------------------------
+
+
+def _png_wrap(scan: bytes, w: int, h: int, color_type: int,
+              depth: int = 8, interlace: int = 0, plte: bytes | None = None) -> bytes:
+    """Test-side chunk assembler for crafted scanline streams."""
+    import struct as st
+    import zlib
+
+    def chunk(t, b):
+        return st.pack(">I", len(b)) + t + b + st.pack(
+            ">I", zlib.crc32(t + b) & 0xFFFFFFFF
+        )
+
+    parts = [
+        mm.PNG_MAGIC,
+        chunk(b"IHDR", st.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)),
+    ]
+    if plte is not None:
+        parts.append(chunk(b"PLTE", plte))
+    parts.append(chunk(b"IDAT", zlib.compress(scan)))
+    parts.append(chunk(b"IEND", b""))
+    return b"".join(parts)
+
+
+def test_png_roundtrip_all_fixture_color_types():
+    import numpy as np
+
+    for ct, ch in ((0, 1), (2, 3), (3, 3)):
+        w, h, c, px = mm.decode_png(mm.encode_png(5, 4, 77, color_type=ct))
+        assert (w, h, c) == (5, 4, ch), ct
+        a = np.frombuffer(px, np.uint8)
+        if ct in (0, 2):
+            assert (a == 77).all()
+        else:  # palette entry is (pv, 2pv%256, 3pv%256)
+            assert (a.reshape(-1, 3) == [77, 154, 231]).all()
+
+
+def test_png_all_filter_types_invert_exactly():
+    """Forward-filter a seeded random RGB image with every PNG filter
+    type (the test implements RFC 2083 §6 forward; decode_png must
+    invert it bit-for-bit) — covers Sub/Up/Average/Paeth recurrences
+    including the first row/column edge cases."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    w, h, ch = 6, 5, 3
+    img = rng.randint(0, 256, (h, w, ch), dtype=np.uint8)
+    stride = w * ch
+    rows, prev = [], np.zeros(stride, np.int64)
+    for y in range(h):
+        cur = img[y].reshape(stride).astype(np.int64)
+        ft = (0, 1, 2, 3, 4)[y % 5]
+        left = np.concatenate([np.zeros(ch, np.int64), cur[:-ch]])
+        ul = np.concatenate([np.zeros(ch, np.int64), prev[:-ch]])
+        if ft == 0:
+            f = cur
+        elif ft == 1:
+            f = (cur - left) % 256
+        elif ft == 2:
+            f = (cur - prev) % 256
+        elif ft == 3:
+            f = (cur - (left + prev) // 2) % 256
+        else:
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prev, ul))
+            f = (cur - pred) % 256
+        rows.append(bytes([ft]) + bytes(f.astype(np.uint8)))
+        prev = cur
+    w2, h2, c2, px = mm.decode_png(_png_wrap(b"".join(rows), w, h, 2))
+    import numpy as np2
+    assert (w2, h2, c2) == (w, h, ch)
+    assert np2.frombuffer(px, np2.uint8).reshape(h, w, ch).tolist() == img.tolist()
+
+
+def test_png_gray_alpha_and_rgba_decode():
+    import numpy as np
+
+    for ct, ch in ((4, 2), (6, 4)):
+        w, h = 3, 2
+        vals = bytes(range(w * h * ch))
+        scan = b"".join(
+            b"\x00" + vals[y * w * ch:(y + 1) * w * ch] for y in range(h)
+        )
+        w2, h2, c2, px = mm.decode_png(_png_wrap(scan, w, h, ct))
+        assert (w2, h2, c2) == (w, h, ch)
+        assert px == vals
+
+
+def test_png_error_walls():
+    ok = mm.encode_png(4, 4, 9)
+    with pytest.raises(ValueError):
+        mm.decode_png(b"\x89PNX" + ok[4:])  # bad signature
+    bad = bytearray(ok)
+    bad[20] ^= 1  # flip an IHDR body byte -> CRC mismatch
+    with pytest.raises(ValueError):
+        mm.decode_png(bytes(bad))
+    with pytest.raises(ValueError):
+        mm.decode_png(ok[:-10])  # truncated (no IEND)
+    with pytest.raises(NotImplementedError):
+        mm.decode_png(_png_wrap(b"\x00" * (4 * (1 + 4)), 4, 4, 0, depth=16))
+    with pytest.raises(NotImplementedError):
+        mm.decode_png(_png_wrap(b"\x00" + b"\x00" * 4, 4, 1, 0, interlace=1))
+    # declared dims disagree with inflated size
+    with pytest.raises(ValueError):
+        mm.decode_png(_png_wrap(b"\x00" + b"\x07" * 3, 4, 1, 0))
+    # palette index out of range
+    with pytest.raises(ValueError):
+        mm.decode_png(_png_wrap(b"\x00" + b"\x05", 1, 1, 3, plte=b"\x01\x02\x03"))
+
+
+def test_decode_metadata_detects_png(spark):
+    rows = [(0, mm.encode_png(6, 3, 21)), (1, mm.encode_png(2, 2, 5, color_type=3))]
+    df = spark.createDataFrame(rows, "media_id long, blob binary")
+    got = {r["media_id"]: r for r in mm.decode_metadata(df).collect()}
+    assert (got[0]["format"], got[0]["width"], got[0]["channels"]) == ("PNG", 6, 3)
+    assert (got[1]["format"], got[1]["channels"]) == ("PNG", 3)
+
+
+def test_resize_bilinear_golden_and_constants(spark):
+    """2x2 gray -> 4x4 bilinear against a hand-computed golden
+    (half-pixel centers: row 0 of the output lerps [0, 100] at
+    x weights 0/.25/.75/1 -> 0,25,75,100; row 1 blends rows at
+    wy=.25 -> 50, 59.375->59, ...), plus constant-stays-constant
+    across PNG and BMP sources."""
+    import numpy as np
+
+    src = np.array([[0, 100], [200, 50]], dtype=np.uint8)
+    scan = b"".join(bytes([0]) + bytes(src[y]) for y in range(2))
+    blob = _png_wrap(scan, 2, 2, 0)
+    df = spark.createDataFrame([(1, blob)], "media_id long, blob binary")
+    r = mm.resize_bilinear(df, 4, 4).collect()[0]
+    assert (r["width"], r["height"], r["channels"]) == (4, 4, 1)
+    got = np.frombuffer(r["pixels"], np.uint8).reshape(4, 4)
+    golden = np.array(
+        [[0, 25, 75, 100],
+         [50, 59, 78, 88],
+         [150, 128, 84, 63],
+         [200, 163, 88, 50]], dtype=np.uint8
+    )
+    assert got.tolist() == golden.tolist()
+    for blob2, c in ((mm.encode_png(5, 3, 123), 3), (mm.encode_bmp(4, 2, 44), 3)):
+        df2 = spark.createDataFrame([(0, blob2)], "media_id long, blob binary")
+        r2 = mm.resize_bilinear(df2, 7, 6).collect()[0]
+        val = 123 if blob2[:8] == mm.PNG_MAGIC else 44
+        assert r2["pixels"] == bytes([val] * (7 * 6 * c))
+    with pytest.raises(ValueError):
+        mm.resize_bilinear(df, 0, 2)
