@@ -6351,6 +6351,37 @@ def q256_trigram_kn(spark, sf):
     return kneser_ney_trigram_nll(val, *model)
 
 
+def q262_ccnet_kn_buckets(spark, sf):
+    """The REAL CCNet recipe (Wenzek et al. 2020) with the trigram-KN
+    scorer in KenLM's seat (r4 verdict #4, closing the q59 stand-in
+    gap): fit kneser_ney_trigram_lm on a CURATED quality head — docs
+    whose q15 heuristic quality (rounded 6, so threshold membership is
+    bit-stable cross-engine) clears 0.75, the in-repo proxy for
+    CCNet's Wikipedia corpus — then score EVERY doc's NLL under that
+    head-fitted model and tercile into head/middle/tail over the
+    deterministic (nll, doc_id) order. Unlike q59's unigram stand-in
+    (self-fitted, word-order-blind) this separates fluent text from
+    shuffled-word text of identical vocabulary — pinned by
+    tests/test_lm.py's separation test. Same ntile caveat as
+    ccnet_ppl_buckets: the window orders one small per-doc score row,
+    exact to ~10^8 docs, beyond which the bucket EDGES broadcast."""
+    from pyspark.sql import Window
+
+    from stock_crawler_spark.functions.lm import (
+        kneser_ney_trigram_lm, kneser_ney_trigram_nll,
+    )
+
+    docs = _t(spark, sf, "documents")
+    quality = F.round(T.quality_score(F.col("text")), 6)
+    train = docs.filter(quality >= 0.75)
+    model = kneser_ney_trigram_lm(train)
+    scored = kneser_ney_trigram_nll(docs, *model)
+    w = Window.orderBy(F.col("nll"), F.col("doc_id"))
+    return scored.select(
+        "doc_id", "n_tokens", "nll", F.ntile(3).over(w).alias("bucket")
+    )
+
+
 def q135_rrf_fusion(spark, sf):
     """Hybrid retrieval via reciprocal-rank fusion (operators/retrieval.
     rrf_fuse; Cormack et al. SIGIR 2009, k=60): the BM25 top-50 for the
@@ -6655,6 +6686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q259_exact_substr_bloom": q259_exact_substr_bloom,
         "q260_png_decode": q260_png_decode,
         "q261_resize_bilinear": q261_resize_bilinear,
+        "q262_ccnet_kn_buckets": q262_ccnet_kn_buckets,
     }
 
 
@@ -8038,28 +8070,19 @@ FROM tok GROUP BY 1
 """
 
 
-def _kn3_oracle(d: float = 0.75) -> str:
-    """Replays q256: the q93/q136 hash split, a two-BOS trigram +
-    bigram fit, the derived continuation tables, and the recursive
-    interpolated-KN scoring with the identical literal shape as
+def _kn3_score_body(train_where: str, target_where: str, d: float,
+                    final_select: str) -> str:
+    """The shared trigram-KN SQL body (fit on `assigned` rows matching
+    ``train_where``, score rows matching ``target_where``): two-BOS
+    trigram + bigram fit, derived continuation tables, and the
+    recursive interpolated scoring with the identical literal shape as
     functions/lm.kneser_ney_trigram_nll — p1 then p2 then p3
     materialized in order, discount d via repr, ln rounded 12,
-    position-ordered fold, round 6."""
-    from stock_crawler_spark.operators.training import split_thresholds
-
-    ths = split_thresholds(LM_SPLIT)
-    case = "CASE\n"
-    for upper, name in ths[:-1]:
-        case += f"    WHEN h < {upper} THEN '{name}'\n"
-    case += f"    ELSE '{ths[-1][1]}'\n  END"
-    return f"""
-WITH assigned AS (
-  SELECT doc_id, text, {case} AS split
-  FROM (SELECT doc_id, text,
-          ('0x' || substr(md5('{LM_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
-        FROM documents)
-), tr AS (
-  SELECT {_TOKS} AS arr FROM assigned WHERE split = 'train' AND trim(text) <> ''
+    position-ordered fold, round 6. The caller supplies the `assigned`
+    CTE (hash split for q256, quality head for q262) and the final
+    SELECT (plain per-doc nll, or nll + tercile)."""
+    return f""", tr AS (
+  SELECT {_TOKS} AS arr FROM assigned WHERE {train_where} AND trim(text) <> ''
 ), tra AS (
   SELECT ['<s>', '<s>'] || arr AS a, arr FROM tr
 ), tri AS (
@@ -8087,7 +8110,7 @@ WITH assigned AS (
          (SELECT count(DISTINCT t) FROM (SELECT unnest(arr) AS t FROM tr)) AS v_size
 ), va AS (
   SELECT doc_id AS doc, ['<s>', '<s>'] || {_TOKS} AS a
-  FROM assigned WHERE split = 'val' AND trim(text) <> ''
+  FROM assigned WHERE {target_where} AND trim(text) <> ''
 ), triples AS (
   SELECT doc, t.pos AS pos, t.w1 AS w1, t.w2 AS w2, t.w3 AS w3 FROM (
     SELECT doc,
@@ -8128,10 +8151,71 @@ WITH assigned AS (
     ), 12) AS nll_tok
   FROM scored2
 )
-SELECT doc AS doc_id, count(*) AS n_tokens,
-  round(list_aggregate(list(nll_tok ORDER BY pos), 'sum') / count(*), 6) AS nll
-FROM tok GROUP BY 1
+{final_select}
 """
+
+
+_KN3_FINAL = """SELECT doc AS doc_id, count(*) AS n_tokens,
+  round(list_aggregate(list(nll_tok ORDER BY pos), 'sum') / count(*), 6) AS nll
+FROM tok GROUP BY 1"""
+
+
+def _kn3_oracle(d: float = 0.75) -> str:
+    """Replays q256: the q93/q136 hash split feeding the shared
+    trigram-KN scoring body (train split fits, val split scores)."""
+    from stock_crawler_spark.operators.training import split_thresholds
+
+    ths = split_thresholds(LM_SPLIT)
+    case = "CASE\n"
+    for upper, name in ths[:-1]:
+        case += f"    WHEN h < {upper} THEN '{name}'\n"
+    case += f"    ELSE '{ths[-1][1]}'\n  END"
+    return f"""
+WITH assigned AS (
+  SELECT doc_id, text, {case} AS split
+  FROM (SELECT doc_id, text,
+          ('0x' || substr(md5('{LM_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        FROM documents)
+)""" + _kn3_score_body("split = 'train'", "split = 'val'", d, _KN3_FINAL)
+
+
+def _ccnet_kn_oracle(threshold: float = 0.75, d: float = 0.75) -> str:
+    """Replays q262: the q15 quality score (round 6) selects the
+    CCNet-style curated training head, the shared trigram-KN body
+    scores EVERY doc under that head-fitted model, and head/middle/
+    tail terciles come from ntile(3) over the deterministic
+    (nll, doc_id) order — the Wenzek et al. 2020 recipe with the
+    repo's KN scorer in KenLM's seat."""
+    final = f"""SELECT doc_id, n_tokens, nll,
+  ntile(3) OVER (ORDER BY nll, doc_id) AS bucket
+FROM (SELECT doc AS doc_id, count(*) AS n_tokens,
+        round(list_aggregate(list(nll_tok ORDER BY pos), 'sum') / count(*), 6)
+          AS nll
+      FROM tok GROUP BY 1)"""
+    return f"""
+WITH assigned AS (
+  SELECT doc_id, text, round((
+    least(length(text) / 500.0, 1.0)
+    + (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.5 END)
+    + least(sw_ratio * 4.0, 1.0)
+    + (1.0 - least(p_ratio * 4.0, 1.0))
+  ) / 4.0, 6) AS quality
+  FROM (
+    SELECT doc_id, text,
+      CASE WHEN len({_TOKS_RAW}) > 0
+           THEN CAST(list_sum(list_transform({_TOKS_RAW}, x -> length(x))) AS DOUBLE)
+                / len({_TOKS_RAW})
+           ELSE 0.0 END AS mwl,
+      CASE WHEN len({_TOKS}) > 0
+           THEN CAST(len(list_filter({_TOKS}, x -> x IN ({_STOP_SQL}))) AS DOUBLE)
+                / len({_TOKS})
+           ELSE 0.0 END AS sw_ratio,
+      CASE WHEN length(text) > 0
+           THEN CAST(len(regexp_extract_all(text, '[!-/:-@\\[-`{{-~]')) AS DOUBLE) / length(text)
+           ELSE 0.0 END AS p_ratio
+    FROM documents
+  )
+)""" + _kn3_score_body(f"quality >= {threshold!r}", "TRUE", d, final)
 
 
 def _entropy_case(arr: str) -> str:
@@ -13942,6 +14026,7 @@ FROM cum
         "q93_bigram_lm": _lm_oracle(),
         "q136_kneser_ney": _kn_oracle(),
         "q256_trigram_kn": _kn3_oracle(),
+        "q262_ccnet_kn_buckets": _ccnet_kn_oracle(),
         "q139_mmr_rerank": _mmr_oracle(MMR_STEPS, RRF_TOPK),
         "q144_jl_project": _jl_oracle(JL_R, 64),
         "q146_domain_split": _domain_split_oracle(),

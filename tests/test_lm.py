@@ -371,3 +371,45 @@ def test_trigram_kn_partition_invariance(spark):
         )
     )
     assert a == b
+
+
+def test_ccnet_kn_separates_fluency_unigram_cannot(spark):
+    """The q262 claim (r4 verdict #4): a head-fitted trigram-KN scorer
+    separates fluent word ORDER from shuffled text of the identical
+    vocabulary, which q59's unigram stand-in is structurally blind to.
+    Fluent target = a sentence whose trigrams the head corpus repeats;
+    shuffled target = the same multiset of words permuted. The unigram
+    CCNet score depends only on token counts, so the two targets tie
+    EXACTLY; the KN NLL must rank fluent strictly lower."""
+    from stock_crawler_spark.functions.lm import (
+        kneser_ney_trigram_lm, kneser_ney_trigram_nll,
+    )
+    from stock_crawler_spark.functions.text import ccnet_ppl_buckets
+
+    head = [
+        "the cat sat on the mat",
+        "the dog sat on the mat",
+        "the cat sat on the rug",
+        "a cat sat on a mat",
+        "the dog lay on the rug",
+    ]
+    fluent = "the cat sat on the mat"
+    shuffled = "mat the on sat cat the"  # same words, broken order
+    train = _docs(spark, head)
+    targets = spark.createDataFrame(
+        [(100, fluent), (101, shuffled)], "doc_id long, text string"
+    )
+    model = kneser_ney_trigram_lm(train)
+    nll = {
+        r["doc_id"]: r["nll"]
+        for r in kneser_ney_trigram_nll(targets, *model).collect()
+    }
+    assert nll[100] < nll[101], nll
+
+    # the unigram stand-in scores the corpus-wide token distribution:
+    # identical multisets -> identical per-token cross-entropy
+    uni = {
+        r["doc_id"]: r["nll"]
+        for r in ccnet_ppl_buckets(train.unionByName(targets)).collect()
+    }
+    assert uni[100] == uni[101]
