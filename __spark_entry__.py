@@ -6382,6 +6382,29 @@ def q262_ccnet_kn_buckets(spark, sf):
     )
 
 
+def q263_kn4_pruned(spark, sf):
+    """Count-pruned 4-gram Kneser-Ney (functions/lm.kneser_ney_4gram_lm
+    / _nll — the r4 verdict's optional rung; KenLM's shipped models
+    prune singleton top-order n-grams the same way): same leakage-free
+    hash split as q256, 3-BOS quadgram table pruned at c >= 2, 3-BOS
+    trigram context counts, recursive backoff into the SAME trigram-KN
+    model q256 fits (its own 2-BOS stream). Pruning semantics (a
+    documented divergence from KenLM's lower-order re-adjustment):
+    pruned types score as unseen and N1+(w1w2w3,*) counts survivors
+    only — exactly replayed by the oracle's HAVING clause and pinned
+    against the sequential reference in tests/test_lm.py."""
+    from stock_crawler_spark.functions.lm import (
+        kneser_ney_4gram_lm, kneser_ney_4gram_nll,
+    )
+    from stock_crawler_spark.operators.training import split_by_hash
+
+    docs = split_by_hash(_t(spark, sf, "documents"), LM_SPLIT, salt=LM_SALT)
+    train = docs.filter(F.col("split") == "train")
+    val = docs.filter(F.col("split") == "val")
+    model = kneser_ney_4gram_lm(train, prune_min=2)
+    return kneser_ney_4gram_nll(val, *model)
+
+
 def q135_rrf_fusion(spark, sf):
     """Hybrid retrieval via reciprocal-rank fusion (operators/retrieval.
     rrf_fuse; Cormack et al. SIGIR 2009, k=60): the BM25 top-50 for the
@@ -6687,6 +6710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q260_png_decode": q260_png_decode,
         "q261_resize_bilinear": q261_resize_bilinear,
         "q262_ccnet_kn_buckets": q262_ccnet_kn_buckets,
+        "q263_kn4_pruned": q263_kn4_pruned,
     }
 
 
@@ -8177,6 +8201,130 @@ WITH assigned AS (
           ('0x' || substr(md5('{LM_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
         FROM documents)
 )""" + _kn3_score_body("split = 'train'", "split = 'val'", d, _KN3_FINAL)
+
+
+def _kn4_oracle(d: float = 0.75, prune_min: int = 2) -> str:
+    """Replays q263: the q256 hash split, the 2-BOS trigram-model CTEs
+    (identical text to _kn3_score_body's model block), PLUS the 3-BOS
+    quadgram table with the prune as a HAVING clause, 3-BOS context
+    counts, and the four materialized probability levels with the same
+    literal float shapes as functions/lm.kneser_ney_4gram_nll."""
+    from stock_crawler_spark.operators.training import split_thresholds
+
+    ths = split_thresholds(LM_SPLIT)
+    case = "CASE\n"
+    for upper, name in ths[:-1]:
+        case += f"    WHEN h < {upper} THEN '{name}'\n"
+    case += f"    ELSE '{ths[-1][1]}'\n  END"
+    return f"""
+WITH assigned AS (
+  SELECT doc_id, text, {case} AS split
+  FROM (SELECT doc_id, text,
+          ('0x' || substr(md5('{LM_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        FROM documents)
+), tr AS (
+  SELECT {_TOKS} AS arr FROM assigned WHERE split = 'train' AND trim(text) <> ''
+), tra AS (
+  SELECT ['<s>', '<s>'] || arr AS a, arr FROM tr
+), tri AS (
+  SELECT t[1] AS w1, t[2] AS w2, t[3] AS w3, count(*) AS c123 FROM (
+    SELECT unnest([[a[x + 1], a[x + 2], a[x + 3]] FOR x IN range(len(a) - 2)]) AS t
+    FROM tra
+  ) GROUP BY 1, 2, 3
+), big2 AS (
+  SELECT pr[1] AS w1, pr[2] AS w2, count(*) AS c12 FROM (
+    SELECT unnest([[a[x + 1], a[x + 2]] FOR x IN range(len(a) - 1)]) AS pr
+    FROM tra
+  ) GROUP BY 1, 2
+), fw12 AS (
+  SELECT w1, w2, count(*) AS nfw12 FROM tri GROUP BY 1, 2
+), bw23 AS (
+  SELECT w2, w3, count(*) AS nbw23 FROM tri GROUP BY 1, 2
+), mid2 AS (
+  SELECT w2, sum(nbw23) AS nmid2 FROM bw23 GROUP BY 1
+), fw2 AS (
+  SELECT w2, count(*) AS nfw2 FROM bw23 GROUP BY 1
+), bw3 AS (
+  SELECT w2 AS w3, count(*) AS nbw3 FROM big2 GROUP BY 1
+), totals AS (
+  SELECT (SELECT count(*) FROM big2) AS n_bigrams,
+         (SELECT count(DISTINCT t) FROM (SELECT unnest(arr) AS t FROM tr)) AS v_size
+), tra3 AS (
+  SELECT ['<s>', '<s>', '<s>'] || arr AS a FROM tr
+), quad AS (
+  SELECT q[1] AS w1, q[2] AS w2, q[3] AS w3, q[4] AS w4, count(*) AS c4 FROM (
+    SELECT unnest([[a[x + 1], a[x + 2], a[x + 3], a[x + 4]]
+                   FOR x IN range(len(a) - 3)]) AS q
+    FROM tra3
+  ) GROUP BY 1, 2, 3, 4
+  HAVING count(*) >= {prune_min}
+), tri3 AS (
+  SELECT t[1] AS w1, t[2] AS w2, t[3] AS w3, count(*) AS c123x FROM (
+    SELECT unnest([[a[x + 1], a[x + 2], a[x + 3]] FOR x IN range(len(a) - 2)]) AS t
+    FROM tra3
+  ) GROUP BY 1, 2, 3
+), fw123 AS (
+  SELECT w1, w2, w3, count(*) AS nfw123 FROM quad GROUP BY 1, 2, 3
+), va AS (
+  SELECT doc_id AS doc, ['<s>', '<s>', '<s>'] || {_TOKS} AS a
+  FROM assigned WHERE split = 'val' AND trim(text) <> ''
+), quadruples AS (
+  SELECT doc, q.pos AS pos, q.w1 AS w1, q.w2 AS w2, q.w3 AS w3, q.w4 AS w4 FROM (
+    SELECT doc,
+      unnest([{{'pos': x, 'w1': a[x + 1], 'w2': a[x + 2], 'w3': a[x + 3],
+                'w4': a[x + 4]}}
+              FOR x IN range(len(a) - 3)]) AS q
+    FROM va
+  )
+), scored AS (
+  SELECT doc, pos, c4, c123x, nfw123, c234, c23, nfw12x, nbw23, nmid2, nfw2x,
+    CAST(coalesce(nbw3, 0) + 1 AS DOUBLE)
+      / CAST(n_bigrams + v_size AS DOUBLE) AS p1
+  FROM quadruples
+  LEFT JOIN quad USING (w1, w2, w3, w4)
+  LEFT JOIN tri3 USING (w1, w2, w3)
+  LEFT JOIN fw123 USING (w1, w2, w3)
+  LEFT JOIN (SELECT w1 AS w2, w2 AS w3, w3 AS w4, c123 AS c234 FROM tri)
+    USING (w2, w3, w4)
+  LEFT JOIN (SELECT w1 AS w2, w2 AS w3, c12 AS c23 FROM big2) USING (w2, w3)
+  LEFT JOIN (SELECT w1 AS w2, w2 AS w3, nfw12 AS nfw12x FROM fw12) USING (w2, w3)
+  LEFT JOIN (SELECT w2 AS w3, w3 AS w4, nbw23 FROM bw23) USING (w3, w4)
+  LEFT JOIN (SELECT w2 AS w3, nmid2 FROM mid2) USING (w3)
+  LEFT JOIN (SELECT w2 AS w3, nfw2 AS nfw2x FROM fw2) USING (w3)
+  LEFT JOIN (SELECT w3 AS w4, nbw3 FROM bw3) USING (w4)
+  CROSS JOIN totals
+), scored2 AS (
+  SELECT doc, pos, c4, c123x, nfw123, c234, c23, nfw12x,
+    CASE WHEN coalesce(nmid2, 0) > 0
+         THEN greatest(CAST(coalesce(nbw23, 0) AS DOUBLE) - {d!r}, 0.0)
+                / CAST(nmid2 AS DOUBLE)
+              + {d!r} * CAST(coalesce(nfw2x, 0) AS DOUBLE)
+                / CAST(nmid2 AS DOUBLE) * p1
+         ELSE p1 END AS p2
+  FROM scored
+), scored3 AS (
+  SELECT doc, pos, c4, c123x, nfw123,
+    CASE WHEN coalesce(c23, 0) > 0 AND coalesce(nfw12x, 0) > 0
+         THEN greatest(CAST(coalesce(c234, 0) AS DOUBLE) - {d!r}, 0.0)
+                / CAST(c23 AS DOUBLE)
+              + {d!r} * CAST(nfw12x AS DOUBLE) / CAST(c23 AS DOUBLE) * p2
+         ELSE p2 END AS p3
+  FROM scored2
+), tok AS (
+  SELECT doc, pos,
+    round(-ln(
+      CASE WHEN coalesce(c123x, 0) > 0 AND coalesce(nfw123, 0) > 0
+           THEN greatest(CAST(coalesce(c4, 0) AS DOUBLE) - {d!r}, 0.0)
+                  / CAST(c123x AS DOUBLE)
+                + {d!r} * CAST(nfw123 AS DOUBLE) / CAST(c123x AS DOUBLE) * p3
+           ELSE p3 END
+    ), 12) AS nll_tok
+  FROM scored3
+)
+SELECT doc AS doc_id, count(*) AS n_tokens,
+  round(list_aggregate(list(nll_tok ORDER BY pos), 'sum') / count(*), 6) AS nll
+FROM tok GROUP BY 1
+"""
 
 
 def _ccnet_kn_oracle(threshold: float = 0.75, d: float = 0.75) -> str:
@@ -14027,6 +14175,7 @@ FROM cum
         "q136_kneser_ney": _kn_oracle(),
         "q256_trigram_kn": _kn3_oracle(),
         "q262_ccnet_kn_buckets": _ccnet_kn_oracle(),
+        "q263_kn4_pruned": _kn4_oracle(),
         "q139_mmr_rerank": _mmr_oracle(MMR_STEPS, RRF_TOPK),
         "q144_jl_project": _jl_oracle(JL_R, 64),
         "q146_domain_split": _domain_split_oracle(),

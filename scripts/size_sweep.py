@@ -1,0 +1,104 @@
+"""Frontier size sweep under the r5 adaptive defaults (r4 verdict #7).
+
+The r3 sweep (flat per-URL cost to 128M) predates adaptive salting and
+the auto dedup default; this re-runs the bench round at growing frontier
+sizes with the CURRENT defaults:
+
+  * seen anti-join (the auto model's antijoin side — the bench round's
+    1/3-seen overlap keeps n_seen < n_pending, matching what auto picks)
+  * sampled salt advisor (mod 32, the storage-curve/bench setting),
+    timed SEPARATELY — in the engine it amortizes over
+    salt_refresh_every rounds via the manifest-carried plan
+  * plan-driven adaptive dequeue (literal-map path when hot keys exist,
+    plain single-window otherwise)
+
+Records per size: advisor wall, dequeue wall, URLs/s (dequeue), and the
+advisor's hot-key count — per-URL cost must stay ~flat and the advisor
+overhead visible + bounded.
+
+Usage: python scripts/size_sweep.py [sizes_csv]
+Default sizes 32,64,128,256 (millions). One JSON line per size plus a
+summary line; BASELINE.md records the numbers by hand.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from stock_crawler_spark.functions.urls import url_hash  # noqa: E402
+from stock_crawler_spark.operators.frontier import dequeue  # noqa: E402
+from stock_crawler_spark.operators.profile import salt_advisor  # noqa: E402
+from stock_crawler_spark.operators.seen import anti_join_not_seen  # noqa: E402
+from stock_crawler_spark.plans.bench_round import synthetic_frontier  # noqa: E402
+from stock_crawler_spark.session import build_session  # noqa: E402
+
+SALT_TARGET = 1_000_000
+SAMPLE_MOD = 32
+
+
+def one_size(spark, n_urls: int, n_domains: int = 10_000) -> dict:
+    frontier = synthetic_frontier(spark, n_urls, n_domains).select(
+        "*",
+        F.col("url").alias("url_canon"),
+        url_hash(F.col("url")).alias("url_hash"),
+        F.lit(150).alias("crawl_delay_ms"),
+        F.lit(200).alias("max_per_round"),
+    )
+    seen = (
+        synthetic_frontier(spark, n_urls, n_domains)
+        .filter(F.col("id") % 3 == 0)
+        .select(url_hash(F.col("url")).alias("url_hash"))
+    )
+    fresh = anti_join_not_seen(frontier, seen)
+
+    t0 = time.monotonic()
+    plan_pairs = [
+        (r["domain"], int(r["salt"]))
+        for r in salt_advisor(
+            fresh.filter(F.pmod(F.xxhash64(F.col("url")), F.lit(SAMPLE_MOD)) == 0),
+            "domain",
+            target_rows=max(1, SALT_TARGET // SAMPLE_MOD),
+        ).collect()
+    ]
+    advisor_wall = round(time.monotonic() - t0, 2)
+
+    t0 = time.monotonic()
+    if plan_pairs:
+        dq = dequeue(fresh, 30_000, salt_plan=dict(plan_pairs), scheduled_only=True)
+    else:
+        dq = dequeue(fresh, 30_000, n_salts=1, scheduled_only=True)
+    n_scheduled = dq.count()
+    wall = round(time.monotonic() - t0, 2)
+    return {
+        "n_urls": n_urls,
+        "advisor_wall_sec": advisor_wall,
+        "n_hot_keys": len(plan_pairs),
+        "dequeue_wall_sec": wall,
+        "urls_per_sec": round(n_urls / wall, 1),
+        "us_per_url": round(1e6 * wall / n_urls, 3),
+        "n_scheduled": n_scheduled,
+    }
+
+
+def main() -> None:
+    sizes = [
+        int(s) * 1_000_000
+        for s in (sys.argv[1] if len(sys.argv) > 1 else "32,64,128,256").split(",")
+    ]
+    spark = build_session(master="local[32]", shuffle_partitions=128)
+    rows = []
+    for n in sizes:
+        rows.append(one_size(spark, n))
+        print(json.dumps(rows[-1]), flush=True)
+    print(json.dumps({"sweep": rows}))
+
+
+if __name__ == "__main__":
+    main()

@@ -33,7 +33,8 @@ from stock_crawler_spark.plans.state import StateStore
 from stock_crawler_spark.session import build_session
 
 
-def synth_inputs(spark, n_urls: int, n_domains: int = 10_000):
+def synth_inputs(spark, n_urls: int, n_domains: int = 10_000,
+                 max_per_round: int = 10):
     u = (F.pmod(F.xxhash64(F.col("id")), F.lit(1_000_000)) / 1_000_000.0)
     domain_id = F.floor(F.lit(n_domains) * F.pow(u, F.lit(3.0))).cast("long")
     url = F.format_string("https://www.d%d.com/p/%d", domain_id, F.col("id"))
@@ -58,7 +59,7 @@ def synth_inputs(spark, n_urls: int, n_domains: int = 10_000):
         F.format_string("d%d.com", F.col("id")).alias("domain"),
         F.expr("CAST(array() AS array<string>)").alias("deny"),
         F.lit(150).alias("crawl_delay_ms"),
-        F.lit(10).alias("max_per_round"),  # drains ~n_domains*10/round
+        F.lit(max_per_round).alias("max_per_round"),  # drains ~n_domains*cap/round
     )
     skip = spark.createDataFrame([], "crawl_date string")
     return seeds, robots, skip, pages

@@ -1,0 +1,127 @@
+"""Streaming crawl twin at bench scale (r4 verdict #6).
+
+The full-round streaming twin (streaming/crawl.streaming_crawl) is
+parity-tested at fixture scale in tests/test_streaming.py; this script
+runs it ONCE at the 16M-URL synthetic bench shape (storage_curve's
+Zipf frontier, per-domain cap 200 so each round schedules ~2M urls)
+for a handful of rounds and records:
+
+  1. batch wall        — run_crawl for the same rounds
+  2. stream wall       — streaming_crawl, one command file per round,
+                         maxFilesPerTrigger=1 (one round per epoch:
+                         the worst-case trigger overhead)
+  3. overhead_pct      — (stream - batch) / batch  (target <= 10%)
+  4. byte identity     — final frontier exceptAll in both directions
+                         plus accumulated seen/records row counts
+  5. restart parity    — a second stream run fed 2 commands, stopped,
+                         then fed the rest and RESUMED on the same
+                         checkpoint dir; must land the identical state
+
+Usage: python scripts/stream_bench.py [n_urls] [rounds]
+Defaults 16_000_000 / 4; one JSON line on stdout (BASELINE.md records
+the numbers by hand).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from storage_curve import synth_inputs  # noqa: E402  (same bench shape)
+
+from stock_crawler_spark.plans.round import RoundConfig, run_crawl  # noqa: E402
+from stock_crawler_spark.plans.state import StateStore  # noqa: E402
+from stock_crawler_spark.session import build_session  # noqa: E402
+from stock_crawler_spark.streaming.crawl import (  # noqa: E402
+    streaming_crawl, write_round_commands,
+)
+
+
+def _final_state(spark, state_dir: str, last: int):
+    st = StateStore(state_dir)
+    fr = st.read_frontier(spark, last)
+    return (
+        fr,
+        st.read_accumulated(spark, "seen", last).count(),
+        st.read_accumulated(spark, "records", last).count(),
+    )
+
+
+def main() -> None:
+    n_urls = int(sys.argv[1]) if len(sys.argv) > 1 else 16_000_000
+    rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    workdir = os.environ.get("SPARK_GRAFT_STREAM_DIR", "/tmp/stream_bench")
+    subprocess.run(["rm", "-rf", workdir], check=True)
+    spark = build_session(master="local[32]", shuffle_partitions=64)
+    # cap 200 (the bench round's politeness shape) so each round moves
+    # ~2M urls — real per-round work, not trigger noise
+    seeds, robots, skip, pages = synth_inputs(spark, n_urls, max_per_round=200)
+    cfg = RoundConfig(n_shards=64, trace=False, salt_sample_mod=32)
+
+    batch_dir = os.path.join(workdir, "batch")
+    t0 = time.monotonic()
+    run_crawl(spark, batch_dir, seeds, robots, skip, pages, cfg, max_rounds=rounds)
+    batch_wall = round(time.monotonic() - t0, 1)
+    last = StateStore(batch_dir).latest_committed_round()
+
+    stream_dir = os.path.join(workdir, "stream")
+    cmd_dir = os.path.join(workdir, "commands")
+    ckpt = os.path.join(workdir, "ckpt")
+    write_round_commands(spark, cmd_dir, range(1, last + 1))
+    t0 = time.monotonic()
+    slast = streaming_crawl(
+        spark, stream_dir, seeds, robots, skip, pages, cmd_dir, ckpt,
+        cfg=cfg, max_files_per_trigger=1,
+    )
+    stream_wall = round(time.monotonic() - t0, 1)
+    assert slast == last, (slast, last)
+
+    bf, bs, br = _final_state(spark, batch_dir, last)
+    sf_, ss, sr = _final_state(spark, stream_dir, last)
+    cols = sorted(bf.columns)
+    diff = (
+        bf.select(*cols).exceptAll(sf_.select(*cols)).count()
+        + sf_.select(*cols).exceptAll(bf.select(*cols)).count()
+    )
+
+    # checkpoint restart at scale: feed half the commands, run, feed
+    # the rest, resume on the SAME checkpoint
+    r_dir = os.path.join(workdir, "restart")
+    rcmd = os.path.join(workdir, "rcommands")
+    rckpt = os.path.join(workdir, "rckpt")
+    half = max(1, last // 2)
+    write_round_commands(spark, rcmd, range(1, half + 1))
+    streaming_crawl(spark, r_dir, seeds, robots, skip, pages, rcmd, rckpt,
+                    cfg=cfg, max_files_per_trigger=1)
+    assert StateStore(r_dir).latest_committed_round() == half
+    write_round_commands(spark, rcmd, range(half + 1, last + 1))
+    rlast = streaming_crawl(spark, r_dir, seeds, robots, skip, pages, rcmd,
+                            rckpt, cfg=cfg, max_files_per_trigger=1)
+    assert rlast == last, (rlast, last)
+    rf, rs, rr = _final_state(spark, r_dir, last)
+    rdiff = (
+        bf.select(*cols).exceptAll(rf.select(*cols)).count()
+        + rf.select(*cols).exceptAll(bf.select(*cols)).count()
+    )
+
+    print(json.dumps({
+        "n_urls": n_urls,
+        "rounds": last,
+        "batch_wall_sec": batch_wall,
+        "stream_wall_sec": stream_wall,
+        "overhead_pct": round(100.0 * (stream_wall - batch_wall) / batch_wall, 1),
+        "frontier_diff_rows": diff,
+        "seen_rows": [bs, ss],
+        "records_rows": [br, sr],
+        "restart_frontier_diff_rows": rdiff,
+        "restart_seen_rows": [bs, rs],
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -506,3 +506,206 @@ def pmi_bigrams(
             F.round(F.log(pmi), 6).alias("pmi_r"),
         )
     )
+
+
+# (pos, w1, w2, w3, w4) structs over a column literally named `warr`
+# (three-BOS-prefixed, so every REAL token owns exactly one 4-gram)
+_QUADS_EXPR = (
+    "transform(slice(warr, 1, greatest(size(warr) - 3, 0)),"
+    " (x, i) -> struct(i AS pos, x AS w1, get(warr, i + 1) AS w2,"
+    " get(warr, i + 2) AS w3, get(warr, i + 3) AS w4))"
+)
+
+
+def _bos3_arr(arr_col):
+    """Triple-BOS-prefixed token array (4-gram context for token 1)."""
+    return F.concat(F.array(F.lit(BOS), F.lit(BOS), F.lit(BOS)), arr_col)
+
+
+def kneser_ney_4gram_lm(
+    train_docs: DataFrame, text_col: str = "text", prune_min: int = 2
+):
+    """Count-pruned 4-gram rung above `kneser_ney_trigram_lm` (the r4
+    verdict's optional rung; KenLM ships 5-gram models pruned the same
+    way — singleton top-order n-grams are noise AND the bulk of the
+    type table, so pruning is what makes the top order storable):
+
+      p4(w4|w1w2w3) = max(c4-D,0)/c123 + D * N1+(w1w2w3,*)/c123
+                        * p3(w4|w2w3)      if c123>0 and N1+(w1w2w3,*)>0
+                      = p3(w4|w2w3)        otherwise
+
+    with THREE BOS tokens opening every document, c123 the trigram
+    count of the 3-BOS stream, p3 the EXISTING trigram-KN model fitted
+    on the same docs (its own 2-BOS stream — the repo's recursive-
+    backoff composition), and the 4-gram table keeping only types with
+    c4 >= ``prune_min`` (prune_min=1 = unpruned). PRUNING SEMANTICS
+    (documented divergence from KenLM, which re-adjusts lower orders):
+    a pruned type scores as unseen — its held-out probability falls to
+    the interpolation/backoff term — and N1+(w1w2w3,*) counts only
+    SURVIVING types, so contexts whose quadgrams are all pruned back
+    off outright. Self-consistent, exactly replayed by oracle + the
+    sequential pytest reference.
+
+    Scale shape: TWO additional corpus-scale groupBys (quadgram +
+    3-BOS trigram context counts) on top of the trigram fit; the
+    pruned-type filter is a post-aggregation row filter (the pruning
+    point: the table that ships to scoring is the small one).
+
+    Returns (quad, tri3, fw123, tri_model) where tri_model is the
+    8-tuple from kneser_ney_trigram_lm."""
+    if prune_min < 1:
+        raise ValueError("prune_min must be >= 1")
+    docs = train_docs.filter(F.trim(F.col(text_col)) != "").select(
+        _tok_arr(text_col).alias("arr")
+    )
+    warr = docs.select(_bos3_arr(F.col("arr")).alias("warr"))
+    quad_all = (
+        warr.select(F.explode(F.expr(_QUADS_EXPR)).alias("q"))
+        .groupBy(
+            F.col("q.w1").alias("w1"),
+            F.col("q.w2").alias("w2"),
+            F.col("q.w3").alias("w3"),
+            F.col("q.w4").alias("w4"),
+        )
+        .agg(F.count(F.lit(1)).alias("c4"))
+    )
+    quad = quad_all.filter(F.col("c4") >= prune_min)
+    tri3 = (
+        warr.select(F.explode(F.expr(_TRIPLES_EXPR)).alias("t"))
+        .groupBy(
+            F.col("t.w1").alias("w1"),
+            F.col("t.w2").alias("w2"),
+            F.col("t.w3").alias("w3"),
+        )
+        .agg(F.count(F.lit(1)).alias("c123"))
+    )
+    fw123 = quad.groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).alias("nfw123")
+    )
+    tri_model = kneser_ney_trigram_lm(train_docs, text_col=text_col)
+    return quad, tri3, fw123, tri_model
+
+
+def kneser_ney_4gram_nll(
+    docs: DataFrame,
+    quad: DataFrame,
+    tri3: DataFrame,
+    fw123: DataFrame,
+    tri_model,
+    d: float = KN_D,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score documents under the pruned 4-gram model: (id, n_tokens,
+    nll). The quadruple stream joins the pruned quad table, the 3-BOS
+    context counts, and the trigram model's tables keyed on the
+    BACKOFF context (w2, w3 -> w4) — the same literal float shapes as
+    kneser_ney_trigram_nll with one more materialized level (p1, p2,
+    p3, then p4), ln rounded 12, position-ordered fold, round 6."""
+    tri, big2, fw12, bw23, mid2, fw2, bw3, totals = tri_model
+    quads = (
+        docs.filter(F.trim(F.col(text_col)) != "")
+        .select(
+            F.col(id_col).alias("doc"),
+            _bos3_arr(_tok_arr(text_col)).alias("warr"),
+        )
+        .select("doc", F.explode(F.expr(_QUADS_EXPR)).alias("q"))
+        .select("doc", "q.pos", "q.w1", "q.w2", "q.w3", "q.w4")
+    )
+    joined = (
+        quads.join(quad, ["w1", "w2", "w3", "w4"], "left")
+        .join(tri3, ["w1", "w2", "w3"], "left")
+        .join(fw123, ["w1", "w2", "w3"], "left")
+        # trigram-model tables keyed on the backoff context: p3 scores
+        # w4 under (w2, w3), so every join aliases into that frame
+        .join(
+            tri.select(
+                F.col("w1").alias("w2"), F.col("w2").alias("w3"),
+                F.col("w3").alias("w4"), F.col("c").alias("c234"),
+            ),
+            ["w2", "w3", "w4"],
+            "left",
+        )
+        .join(
+            big2.select(
+                F.col("w1").alias("w2"), F.col("w2").alias("w3"),
+                F.col("c12").alias("c23"),
+            ),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(
+            fw12.select(
+                F.col("w1").alias("w2"), F.col("w2").alias("w3"), "nfw12"
+            ),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(
+            bw23.select(
+                F.col("w2").alias("w3"), F.col("w3").alias("w4"), "nbw23"
+            ),
+            ["w3", "w4"],
+            "left",
+        )
+        .join(mid2.select(F.col("w2").alias("w3"), "nmid2"), "w3", "left")
+        .join(fw2.select(F.col("w2").alias("w3"), "nfw2"), "w3", "left")
+        .join(bw3.select(F.col("w3").alias("w4"), "nbw3"), "w4", "left")
+        .crossJoin(F.broadcast(totals.select("n_bigrams", "v_size")))
+    )
+    # identical literal shape on the DuckDB side — do not refactor
+    p1 = (
+        (F.coalesce(F.col("nbw3"), F.lit(0)) + F.lit(1)).cast("double")
+        / (F.col("n_bigrams") + F.col("v_size")).cast("double")
+    )
+    joined = joined.withColumn("p1", p1)
+    p2 = F.when(
+        F.coalesce(F.col("nmid2"), F.lit(0)) > 0,
+        F.greatest(
+            F.coalesce(F.col("nbw23"), F.lit(0)).cast("double") - F.lit(d),
+            F.lit(0.0),
+        )
+        / F.col("nmid2").cast("double")
+        + F.lit(d)
+        * F.coalesce(F.col("nfw2"), F.lit(0)).cast("double")
+        / F.col("nmid2").cast("double")
+        * F.col("p1"),
+    ).otherwise(F.col("p1"))
+    joined = joined.withColumn("p2", p2)
+    p3 = F.when(
+        (F.coalesce(F.col("c23"), F.lit(0)) > 0)
+        & (F.coalesce(F.col("nfw12"), F.lit(0)) > 0),
+        F.greatest(
+            F.coalesce(F.col("c234"), F.lit(0)).cast("double") - F.lit(d),
+            F.lit(0.0),
+        )
+        / F.col("c23").cast("double")
+        + F.lit(d)
+        * F.col("nfw12").cast("double")
+        / F.col("c23").cast("double")
+        * F.col("p2"),
+    ).otherwise(F.col("p2"))
+    joined = joined.withColumn("p3", p3)
+    p4 = F.when(
+        (F.coalesce(F.col("c123"), F.lit(0)) > 0)
+        & (F.coalesce(F.col("nfw123"), F.lit(0)) > 0),
+        F.greatest(
+            F.coalesce(F.col("c4"), F.lit(0)).cast("double") - F.lit(d),
+            F.lit(0.0),
+        )
+        / F.col("c123").cast("double")
+        + F.lit(d)
+        * F.col("nfw123").cast("double")
+        / F.col("c123").cast("double")
+        * F.col("p3"),
+    ).otherwise(F.col("p3"))
+    tok = joined.select("doc", "pos", F.round(-F.log(p4), 12).alias("nll_tok"))
+    ordered_sum = F.aggregate(
+        F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("nll_tok")))),
+        F.lit(0.0),
+        lambda acc, x: acc + x["nll_tok"],
+    )
+    return tok.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(ordered_sum / F.count(F.lit(1)), 6).alias("nll"),
+    ).select(F.col("doc").alias(id_col), "n_tokens", "nll")

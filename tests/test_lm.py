@@ -413,3 +413,131 @@ def test_ccnet_kn_separates_fluency_unigram_cannot(spark):
         for r in ccnet_ppl_buckets(train.unionByName(targets)).collect()
     }
     assert uni[100] == uni[101]
+
+
+# --- count-pruned 4-gram Kneser-Ney ------------------------------------------
+
+
+def _ref_quad_nll(text, train_texts, d=0.75, prune_min=2):
+    """Sequential reference for kneser_ney_4gram_nll: 3-BOS quadgram
+    table pruned at prune_min, 3-BOS trigram context counts, and the
+    trigram reference (its own 2-BOS stream) as the backoff."""
+    quad, tri3 = {}, {}
+    for t in train_texts:
+        toks = [w for w in t.strip().lower().split() if w]
+        if not toks:
+            continue
+        warr = [BOS, BOS, BOS] + toks
+        for i in range(len(warr) - 3):
+            k = tuple(warr[i:i + 4])
+            quad[k] = quad.get(k, 0) + 1
+        for i in range(len(warr) - 2):
+            k = tuple(warr[i:i + 3])
+            tri3[k] = tri3.get(k, 0) + 1
+    quad = {k: c for k, c in quad.items() if c >= prune_min}
+    fw123 = {}
+    for (a, b, c, _w) in quad:
+        fw123[(a, b, c)] = fw123.get((a, b, c), 0) + 1
+
+    tri_r, big2_r, n_docs, vocab = _ref_tri_tables(train_texts)
+    # rebuild the trigram scorer's derived tables once (as _ref_tri_nll)
+    fw12, bw23, mid2, fw2, bw3 = {}, {}, {}, {}, {}
+    for (a, b, c) in tri_r:
+        fw12[(a, b)] = fw12.get((a, b), 0) + 1
+        bw23[(b, c)] = bw23.get((b, c), 0) + 1
+    for (b, c), n in bw23.items():
+        mid2[b] = mid2.get(b, 0) + n
+        fw2[b] = fw2.get(b, 0) + 1
+    for (a, b) in big2_r:
+        bw3[b] = bw3.get(b, 0) + 1
+    n_bigrams, v = len(big2_r), len(vocab)
+
+    toks = [w for w in text.strip().lower().split() if w]
+    warr = [BOS, BOS, BOS] + toks
+    total = 0.0
+    for i in range(len(toks)):
+        w1, w2, w3, w4 = warr[i], warr[i + 1], warr[i + 2], warr[i + 3]
+        p1 = (bw3.get(w4, 0) + 1) / (n_bigrams + v)
+        nm = mid2.get(w3, 0)
+        if nm > 0:
+            p2 = (max(bw23.get((w3, w4), 0) - d, 0.0) / nm
+                  + d * fw2.get(w3, 0) / nm * p1)
+        else:
+            p2 = p1
+        c23, nf = big2_r.get((w2, w3), 0), fw12.get((w2, w3), 0)
+        if c23 > 0 and nf > 0:
+            p3 = (max(tri_r.get((w2, w3, w4), 0) - d, 0.0) / c23
+                  + d * nf / c23 * p2)
+        else:
+            p3 = p2
+        c123, nf4 = tri3.get((w1, w2, w3), 0), fw123.get((w1, w2, w3), 0)
+        if c123 > 0 and nf4 > 0:
+            p4 = (max(quad.get((w1, w2, w3, w4), 0) - d, 0.0) / c123
+                  + d * nf4 / c123 * p3)
+        else:
+            p4 = p3
+        total += round(-math.log(p4), 12)
+    return len(toks), round(total / len(toks), 6)
+
+
+QUAD_TRAIN = [
+    "the cat sat on the mat",
+    "the cat sat on the rug",
+    "the cat sat on the mat",   # 'the cat sat on' etc. survive prune 2
+    "a dog sat on a mat",
+    "the dog ran home fast",    # singleton quadgrams: pruned at 2
+]
+QUAD_VAL = [
+    "the cat sat on the mat",   # surviving quadgrams end-to-end
+    "the dog ran home fast",    # its quadgrams were pruned -> p3 path
+    "zebra cat sat on",         # unseen context: outright backoff
+    "on the mat",               # short doc, BOS-heavy contexts
+]
+
+
+def test_kn4_matches_sequential_reference(spark):
+    from stock_crawler_spark.functions.lm import (
+        kneser_ney_4gram_lm, kneser_ney_4gram_nll,
+    )
+
+    for prune in (1, 2):
+        model = kneser_ney_4gram_lm(_docs(spark, QUAD_TRAIN), prune_min=prune)
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["nll"])
+            for r in kneser_ney_4gram_nll(
+                _docs(spark, QUAD_VAL), *model
+            ).collect()
+        }
+        for i, text in enumerate(QUAD_VAL):
+            assert got[i] == _ref_quad_nll(
+                text, QUAD_TRAIN, prune_min=prune
+            ), (prune, text)
+
+
+def test_kn4_pruned_type_scores_as_backoff(spark):
+    """The pruning contract: a quadgram with c4 = 1 scores IDENTICALLY
+    to a corpus where that quadgram never occurred (its mass falls to
+    the trigram backoff), while prune_min=1 keeps it and scores lower
+    (the top-order hit)."""
+    from stock_crawler_spark.functions.lm import (
+        kneser_ney_4gram_lm, kneser_ney_4gram_nll,
+    )
+
+    target = ["x y z w"]
+    with_rare = QUAD_TRAIN + ["x y z w"]
+    m_pruned = kneser_ney_4gram_lm(_docs(spark, with_rare), prune_min=2)
+    nll_pruned = kneser_ney_4gram_nll(_docs(spark, target), *m_pruned).collect()[0]["nll"]
+    m_kept = kneser_ney_4gram_lm(_docs(spark, with_rare), prune_min=1)
+    nll_kept = kneser_ney_4gram_nll(_docs(spark, target), *m_kept).collect()[0]["nll"]
+    assert nll_kept < nll_pruned
+    # pruned == sequential reference's backoff arithmetic on the same corpus
+    assert (4, nll_pruned) == _ref_quad_nll(target[0], with_rare, prune_min=2)
+
+
+def test_kn4_prune_validation():
+    import pytest
+
+    from stock_crawler_spark.functions.lm import kneser_ney_4gram_lm
+
+    with pytest.raises(ValueError):
+        kneser_ney_4gram_lm(None, prune_min=0)
