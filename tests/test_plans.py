@@ -221,6 +221,8 @@ def test_no_cartesian_products_anywhere(spark):
         "q252_lang_homophily",   # broadcast 1-row marginal-product total
         "q237_kleinberg_bursts", # broadcast 1-row global base-rate (p0, p1)
         "q256_trigram_kn",       # broadcast 1-row LM totals (B, V, n_docs), q136 shape
+        "q262_ccnet_kn_buckets", # same 1-row LM totals broadcast (q256's scorer on all docs)
+        "q263_kn4_pruned",       # same 1-row LM totals broadcast (q256's backoff model)
     }
     for name, fn in entrymod.queries().items():
         tree = _plan(fn(spark, "/root/testdata/sf0.001")).split("\n\n")[0]
