@@ -37,6 +37,18 @@ def main() -> None:
                         "advisor plan; N>=1 pins a static global salt count")
     p.add_argument("--salt-target", type=int, default=1_000_000,
                    help="adaptive salting per-window-task row target")
+    p.add_argument("--salt-refresh", type=int, default=4,
+                   help="recount the salt advisor every N rounds and REUSE "
+                        "the manifest-carried plan in between (r4 verdict "
+                        "#1); 1 = recount every round")
+    p.add_argument("--salt-sample-mod", type=int, default=0,
+                   help=">1: the advisor counts a deterministic 1/mod url "
+                        "sample with scaled counts (mod-fold cheaper refresh)")
+    p.add_argument("--seen-ttl-ms", type=int, default=None,
+                   help="seen entries older than this stop blocking "
+                        "re-crawl (the reference's Redis 6h expiry, "
+                        "services/entities.go:35); with --dedup auto the "
+                        "filter side picks cuckoo (deletable) over bloom")
     p.add_argument("--resume", action="store_true")
     # On-demand entry (reference Download(rewind), downloader.go:54-56 /
     # dto.go:18-22): crawl the single date base_date + rewind days.
@@ -112,6 +124,9 @@ def main() -> None:
                       adaptive_salting=(args.salts == 0),
                       n_salts=max(args.salts, 1),
                       salt_target_rows=args.salt_target,
+                      salt_refresh_every=args.salt_refresh,
+                      salt_sample_mod=args.salt_sample_mod,
+                      seen_ttl_ms=args.seen_ttl_ms,
                       follow_links=args.follow_links,
                       retain_rounds=args.retain)
     robots = spark.read.parquet(f"{fx}/robots.parquet")
