@@ -1,0 +1,118 @@
+"""Frontier GROWTH at bench scale with an EMERGENT hot domain.
+
+follow_links is sim-parity-tested at fixture scale; this script runs
+the growth path at the synthetic bench shape and — the point — plants
+a hot domain that only EXISTS after round 1: every fetched page links
+one uniform-random cross-domain page AND one unique page on
+hog.example.com, so round 2's candidate batch suddenly carries ~2M
+urls on a single registrable domain. That is exactly the skew the
+adaptive salt advisor defends against, and the per-round manifests
+show it engaging: `salt_plan.n_hot_keys` flips 0 -> >=1 at the first
+refresh after the hot mass lands, max_salt sized to ceil(n/target),
+while the per-round wall stays bounded (no single-task sort of the
+hot domain).
+
+Records per round: wall, n_pending, links_discovered, the manifest's
+salt_plan (n_hot_keys / max_salt / reused).
+
+Usage: python scripts/growth_bench.py [n_seeds] [rounds]
+Defaults 2_000_000 / 4; salt_refresh_every=2 so the round-2 refresh
+catches the new hot domain and round 3 demonstrates reuse. One JSON
+line per round + a summary (BASELINE.md records by hand).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from stock_crawler_spark.plans.round import RoundConfig, run_crawl  # noqa: E402
+from stock_crawler_spark.plans.state import StateStore  # noqa: E402
+from stock_crawler_spark.session import build_session  # noqa: E402
+
+
+def growth_inputs(spark, n_seeds: int, n_domains: int = 10_000):
+    u = (F.pmod(F.xxhash64(F.col("id")), F.lit(1_000_000)) / 1_000_000.0)
+    domain_id = F.floor(F.lit(n_domains) * F.pow(u, F.lit(3.0))).cast("long")
+    url = F.format_string("https://www.d%d.com/p/%d", domain_id, F.col("id"))
+    base = spark.range(n_seeds).select(
+        "id", url.alias("url"),
+        (F.pmod(F.xxhash64(F.col("id") + 7), F.lit(1_000_000)) / 1_000_000.0).alias("priority"),
+    )
+    ns = F.lit(None).cast("string")
+    seeds = base.select(
+        "url", F.lit("discovered").alias("strategy"), ns.alias("stock_id"),
+        F.lit("2023-03-06").alias("crawl_date"), ns.alias("query_date"), "priority",
+    )
+    # every page carries one uniform cross-domain link and one UNIQUE
+    # hog.example.com link — the emergent hot registrable domain
+    cross = F.format_string(
+        "https://www.d%d.com/p/x%d",
+        F.pmod(F.xxhash64(F.col("id") + 13), F.lit(n_domains)),
+        F.col("id"),
+    )
+    hog = F.format_string("https://hog.example.com/p/%d", F.col("id"))
+    html = F.format_string(
+        '<html><body>page %d <a href="%s">c</a> <a href="%s">h</a></body></html>',
+        F.col("id"), cross, hog,
+    )
+    pages = base.select(
+        "url",
+        F.lit("2023-03-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.encode(html, "utf-8").alias("html"),
+    )
+    robots = spark.range(n_domains).select(
+        F.format_string("d%d.com", F.col("id")).alias("domain"),
+        F.expr("CAST(array() AS array<string>)").alias("deny"),
+        F.lit(150).alias("crawl_delay_ms"),
+        F.lit(200).alias("max_per_round"),
+    )
+    skip = spark.createDataFrame([], "crawl_date string")
+    return seeds, robots, skip, pages
+
+
+def main() -> None:
+    n_seeds = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    workdir = os.environ.get("SPARK_GRAFT_GROWTH_DIR", "/tmp/growth_bench")
+    subprocess.run(["rm", "-rf", workdir], check=True)
+    spark = build_session(master="local[32]", shuffle_partitions=64)
+    seeds, robots, skip, pages = growth_inputs(spark, n_seeds)
+    cfg = RoundConfig(
+        n_shards=64, trace=False, follow_links=True,
+        salt_sample_mod=32, salt_refresh_every=2, salt_target_rows=200_000,
+    )
+    state = os.path.join(workdir, "state")
+    out = []
+    for r in range(1, rounds + 1):
+        t0 = time.monotonic()
+        run_crawl(spark, state, seeds, robots, skip, pages, cfg,
+                  max_rounds=r, resume=(r > 1))
+        st = StateStore(state)
+        if st.latest_committed_round() < r:
+            break
+        m = st.read_manifest(r)
+        out.append({
+            "round": r,
+            "wall_sec": round(time.monotonic() - t0, 1),
+            "n_pending": m["n_pending"],
+            "links_discovered": m["metrics"].get("links_discovered", 0),
+            "scheduled": m["metrics"].get("scheduled", 0),
+            "salt_plan": {
+                k: m.get("salt_plan", {}).get(k)
+                for k in ("n_hot_keys", "max_salt", "reused")
+            },
+        })
+        print(json.dumps(out[-1]), flush=True)
+    print(json.dumps({"growth": out}))
+
+
+if __name__ == "__main__":
+    main()
