@@ -127,13 +127,26 @@ def run_skew_bench(
     from stock_crawler_spark.operators.seen import anti_join_not_seen
 
     out = {"n_urls": n_urls, "salt_target_rows": salt_target_rows}
-    for regime, hot_mod in (("uniform", 0), ("hot_domain", 2)):
+    # third regime (r5): MANY medium-hot keys — 8 domains each holding
+    # ~1/16 of the frontier. No single static k fits: k=1 leaves 1M-row
+    # tasks, k=8 splits the 10k cold domains 8x for nothing. The
+    # advisor sizes each of the 8 keys at ceil(n/target) and leaves the
+    # tail alone.
+    for regime, hot_mod in (("uniform", 0), ("hot_domain", 2), ("multi_hot", 16)):
         fr = synthetic_frontier(spark, n_urls, n_domains)
-        if hot_mod:
+        if regime == "hot_domain":
             fr = fr.withColumn(
                 "domain",
                 F.when(
                     F.col("id") % hot_mod == 0, F.lit("hot.example.com")
+                ).otherwise(F.col("domain")),
+            )
+        elif regime == "multi_hot":
+            fr = fr.withColumn(
+                "domain",
+                F.when(
+                    F.col("id") % 2 == 0,
+                    F.format_string("hot%d.example.com", F.col("id") % hot_mod),
                 ).otherwise(F.col("domain")),
             )
         fr = fr.select(

@@ -440,3 +440,54 @@ def test_resize_bilinear_golden_and_constants(spark):
         assert r2["pixels"] == bytes([val] * (7 * 6 * c))
     with pytest.raises(ValueError):
         mm.resize_bilinear(df, 0, 2)
+
+
+def test_png_filter_inversion_property():
+    """Property fuzz (hypothesis): for ANY image shape, channel count,
+    pixel content, and per-row filter-type sequence, decode_png inverts
+    the RFC 2083 forward filter bit-for-bit."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(1, 9),
+        h=st.integers(1, 7),
+        ct=st.sampled_from([0, 2, 4, 6]),
+        seed=st.integers(0, 2**31 - 1),
+        fseed=st.integers(0, 2**31 - 1),
+    )
+    def run(w, h, ct, seed, fseed):
+        ch = {0: 1, 2: 3, 4: 2, 6: 4}[ct]
+        rng = np.random.RandomState(seed)
+        img = rng.randint(0, 256, (h, w, ch), dtype=np.uint8)
+        frng = np.random.RandomState(fseed)
+        ftypes = frng.randint(0, 5, h)
+        stride = w * ch
+        rows, prev = [], np.zeros(stride, np.int64)
+        for y in range(h):
+            cur = img[y].reshape(stride).astype(np.int64)
+            left = np.concatenate([np.zeros(ch, np.int64), cur[:-ch]])
+            ul = np.concatenate([np.zeros(ch, np.int64), prev[:-ch]])
+            ft = int(ftypes[y])
+            if ft == 0:
+                f = cur
+            elif ft == 1:
+                f = (cur - left) % 256
+            elif ft == 2:
+                f = (cur - prev) % 256
+            elif ft == 3:
+                f = (cur - (left + prev) // 2) % 256
+            else:
+                p = left + prev - ul
+                pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+                pred = np.where((pa <= pb) & (pa <= pc), left,
+                                np.where(pb <= pc, prev, ul))
+                f = (cur - pred) % 256
+            rows.append(bytes([ft]) + bytes(f.astype(np.uint8)))
+            prev = cur
+        w2, h2, c2, px = mm.decode_png(_png_wrap(b"".join(rows), w, h, ct))
+        assert (w2, h2, c2) == (w, h, ch)
+        assert px == img.tobytes()
+
+    run()
