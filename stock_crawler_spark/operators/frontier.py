@@ -303,6 +303,12 @@ def dequeue(
     )
     ranked = j.withColumn("_salt_rank", F.row_number().over(w_salt))
     surv = ranked.filter(F.col("_salt_rank") <= cap)
+    # phase 2 re-ranks ALL survivors in one window even though unsalted
+    # keys' phase-1 rank is already final — a cold/hot branch split was
+    # measured SLOWER (16M: hot 6.8 s vs 4.3 s): the union's two
+    # branches re-run the phase-1 window SORT per branch (only the
+    # exchange is reused), which costs far more than re-windowing the
+    # ~|domains|*cap survivor set once.
     topk = surv.withColumn("_dom_rank", F.row_number().over(w_dom))
     cols = candidates.columns
     if scheduled_only:
